@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: every entry point (Verify, Bench, tests)
+  * builds its session here so AQE/CBO and oracle-parity settings are
+  * uniform.
+  *
+  * Scale notes (100 TB design intent):
+  *  - AQE on: runtime coalescing + skew-join splitting are the Spark
+  *    analog of the reference's measure-then-plan optimizer
+  *    (SURVEY.md §4.2 — DREAM runs candidate subqueries and costs the
+  *    measured sizes; AQE re-plans on the measured shuffle stats).
+  *  - CBO + join reorder on: subsumes DREAM's plan enumeration
+  *    (Optimizer.cpp:63-103) — SURVEY.md §4.4.
+  *  - shuffle.partitions is sized to the local core count here; on a
+  *    real cluster it should be ~2-3× total cores and AQE coalesces
+  *    the rest.
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def local(nCpus: String = cpus): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$nCpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", nCpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
+      // read as Long and let Tables.t normalize to a µs timestamp.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import OracleNum.{dsum, davg}
+
+/** Core relational operator surface: scan, filter/project, the join
+  * family (inner / semi / anti / outer / broadcast / multi-way),
+  * aggregation, having, distinct, sort/limit.
+  *
+  * Reference mapping (SURVEY.md §2): the reference's only join is an
+  * inner natural multi-key hash join (J2, BasicHashJoin.cpp:19-159) and
+  * its scans/filters are delegated triple-pattern scans (S2/P1,
+  * QueryPlanner.c:67-119). Here each shape is declared with the
+  * DataFrame API so Catalyst chooses broadcast/SMJ/shuffled-hash and
+  * pushes filters/projections into the parquet scan — at 100 TB the
+  * win is the scan pruning and broadcast of dimension tables, not the
+  * join algorithm itself.
+  *
+  * Oracle-parity conventions used throughout the registry:
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - double SUM/AVG aggregates go through OracleNum.dsum/davg (exact
+  *    decimal accumulation) so accumulation-order ulp noise cannot
+  *    flip the hash compare; row-level doubles may use round();
+  *  - int-typed scalars cast to BIGINT on the Spark side where DuckDB
+  *    widens (e.g. year()).
+  */
+object RelationalQueries {
+  import Tables.t
+
+  def all: Seq[GQuery] = Seq(
+
+    // ——— TPC-H Q1 shape: scan + filter + wide aggregate ———
+    GQuery(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+            davg($"l_quantity").as("avg_qty"),
+            davg($"l_extendedprice").as("avg_price"),
+            davg($"l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(floor((l_quantity) * 10000 + 0.5)) / 10000 AS sum_qty,
+             |  sum(floor((l_extendedprice) * 10000 + 0.5)) / 10000 AS sum_base_price,
+             |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)) / 10000 AS sum_disc_price,
+             |  sum(floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 10000 + 0.5)) / 10000 AS sum_charge,
+             |  sum(floor((l_quantity) * 10000 + 0.5)) / 10000 / count(*) AS avg_qty,
+             |  sum(floor((l_extendedprice) * 10000 + 0.5)) / 10000 / count(*) AS avg_price,
+             |  sum(floor((l_discount) * 10000 + 0.5)) / 10000 / count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ——— row-level filter + projection (pushdown showcase) ———
+    GQuery(
+      "q02_filter_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("2000-01-01").cast("timestamp") && $"l_quantity" > 45)
+          .select(
+            $"l_orderkey", $"l_linenumber", $"l_quantity",
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("disc_price"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  round(l_extendedprice * (1.0 - l_discount), 2) AS disc_price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45""".stripMargin)),
+
+    // ——— TPC-H Q3 shape: 3-way join + group agg ———
+    GQuery(
+      "q03_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)) / 10000 AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin),
+      headline = true),
+
+    // ——— left-semi join (EXISTS), TPC-H Q4 shape ———
+    GQuery(
+      "q04_order_priority_exists",
+      (s, dir) => {
+        import s.implicits._
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        ord.join(li,
+            ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+            "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin),
+      headline = true),
+
+    // ——— left-anti join (NOT EXISTS) ———
+    GQuery(
+      "q05_customers_without_orders",
+      (s, dir) => {
+        import s.implicits._
+        val recent = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+        t(s, dir, "customer")
+          .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_nationkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin)),
+
+    // ——— left-outer join, null-generating side aggregated ———
+    GQuery(
+      "q06_customer_order_counts",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            coalesce(dsum($"o_totalprice"), lit(0.0)).as("total_spent"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  coalesce(sum(floor((o_totalprice) * 10000 + 0.5)) / 10000, 0.0) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // ——— explicit broadcast join on a small dimension ———
+    GQuery(
+      "q07_brand_revenue_broadcast",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(
+            dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT p_brand,
+             |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)) / 10000 AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand""".stripMargin),
+      headline = true),
+
+    // ——— TPC-H Q5 shape: 6-way join with a cross-table equality ———
+    GQuery(
+      "q08_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val reg = t(s, dir, "region")
+        val nat = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        cust.join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      },
+      Some("""SELECT r_name, n_name,
+             |  sum(floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5)) / 10000 AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY r_name, n_name""".stripMargin),
+      headline = true),
+
+    // ——— global sort + limit (top-k with deterministic tiebreak) ———
+    GQuery(
+      "q09_top_orders",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(20)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // ——— DISTINCT projection ———
+    GQuery(
+      "q10_distinct_segments",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .select($"c_nationkey", $"c_mktsegment")
+          .distinct()
+      },
+      Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")),
+
+    // ——— aggregate + HAVING ———
+    GQuery(
+      "q11_big_spenders",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spent"))
+          .filter($"n_orders" > 15)
+      },
+      Some("""SELECT o_custkey, count(*) AS n_orders, sum(floor((o_totalprice) * 10000 + 0.5)) / 10000 AS spent
+             |FROM orders GROUP BY o_custkey HAVING count(*) > 15""".stripMargin)),
+
+    // ——— IN-subquery (rewritten to semi join) ———
+    GQuery(
+      "q12_orders_of_rich_customers",
+      (s, dir) => {
+        import s.implicits._
+        val rich = t(s, dir, "customer").filter($"c_acctbal" > 9000).select($"c_custkey")
+        t(s, dir, "orders")
+          .join(rich, $"o_custkey" === $"c_custkey", "left_semi")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin)),
+
+    // ——— scalar correlated-style aggregate comparison (avg subquery) ———
+    GQuery(
+      "q13_above_avg_balance",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val avgBal = cust.agg(avg($"c_acctbal").as("ab"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter($"c_acctbal" > $"ab")
+          .select($"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)),
+
+    // ——— count distinct + multiple agg functions ———
+    GQuery(
+      "q14_lineitem_stats",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_orderkey").as("n_orders"),
+            countDistinct($"l_partkey").as("n_parts"),
+            round(min($"l_extendedprice"), 2).as("min_price"),
+            round(max($"l_extendedprice"), 2).as("max_price"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_orderkey) AS n_orders,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  round(min(l_extendedprice), 2) AS min_price,
+             |  round(max(l_extendedprice), 2) AS max_price,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import OracleNum.{dsum, davg}
+
+/** Scalar function surface: string / date / math / conditional / JSON.
+  * Absent from the reference (SURVEY.md §2.8 — its only value-level op
+  * is 64-bit equality); provided here via codegen'd
+  * `org.apache.spark.sql.functions._` builtins, never UDFs, so every
+  * expression stays inside whole-stage codegen.
+  */
+object ScalarQueries {
+  import Tables.t
+
+  def all: Seq[GQuery] = Seq(
+
+    // string functions: substring / upper / lower / concat / length / trim / replace
+    GQuery(
+      "q19_string_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_size" <= 10)
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("name_upper"),
+            lower($"p_brand").as("brand_lower"),
+            substring($"p_type", 1, 5).as("type_prefix"),
+            length($"p_name").as("name_len"),
+            concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+            regexp_replace($"p_name", " ", "_").as("name_snake"))
+      },
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS name_upper,
+             |  lower(p_brand) AS brand_lower,
+             |  substr(p_type, 1, 5) AS type_prefix,
+             |  CAST(length(p_name) AS INT) AS name_len,
+             |  concat(p_brand, ':', p_type) AS brand_type,
+             |  replace(p_name, ' ', '_') AS name_snake
+             |FROM part WHERE p_size <= 10""".stripMargin)),
+
+    // date functions: year / month / day / date_trunc / datediff
+    GQuery(
+      "q20_date_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy(
+            year($"o_orderdate").cast("long").as("o_year"),
+            month($"o_orderdate").cast("long").as("o_month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice").as("revenue"))
+      },
+      Some("""SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             |  count(*) AS n_orders, sum(floor((o_totalprice) * 10000 + 0.5)) / 10000 AS revenue
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      headline = true),
+
+    // math functions: abs / round / floor / ceil / sqrt / ln / power / mod
+    GQuery(
+      "q21_math_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 100 === 0)
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            round(abs($"l_extendedprice" - lit(30000.0)), 2).as("abs_diff"),
+            floor($"l_quantity" / 10).cast("long").as("qty_bucket"),
+            ceil($"l_discount" * 100).cast("long").as("disc_pct"),
+            round(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
+            round(log($"l_extendedprice" + 1.0), 4).as("price_ln"),
+            round(pow($"l_quantity", 2.0), 1).as("qty_sq"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(abs(l_extendedprice - 30000.0), 2) AS abs_diff,
+             |  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+             |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
+             |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+             |  round(ln(l_extendedprice + 1.0), 4) AS price_ln,
+             |  round(pow(l_quantity, 2.0), 1) AS qty_sq
+             |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin)),
+
+    // CASE WHEN conditional buckets
+    GQuery(
+      "q22_case_buckets",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            when($"c_acctbal" < 0, "overdrawn")
+              .when($"c_acctbal" < 5000, "low")
+              .when($"c_acctbal" < 9000, "mid")
+              .otherwise("high").as("bal_class"))
+          .groupBy($"bal_class")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             |            WHEN c_acctbal < 5000 THEN 'low'
+             |            WHEN c_acctbal < 9000 THEN 'mid'
+             |            ELSE 'high' END AS bal_class,
+             |  count(*) AS n
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // JSON extraction from the events.props column
+    GQuery(
+      "q23_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(
+            $"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |  count(*) AS n_events
+             |FROM events GROUP BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import OracleNum.{dsum, davg}
+
+/** Window/analytic functions plus grouping sets (rollup & cube).
+  * Absent from the reference (SURVEY.md §2.4-2.5); expressed with the
+  * built-in `Window` spec so Spark plans a single sort-within-partition
+  * per window — partitioned by a key (never a global unpartitioned
+  * window, which would serialize on one task at 100 TB).
+  */
+object WindowQueries {
+  import Tables.t
+
+  def all: Seq[GQuery] = Seq(
+
+    // rank / row_number: top-3 customers by balance per nation
+    GQuery(
+      "q24_topk_per_group",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        t(s, dir, "customer")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"c_nationkey", $"rk".cast("long").as("rk"), $"c_custkey",
+            round($"c_acctbal", 2).as("acctbal"))
+      },
+      Some("""SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey,
+             |  round(c_acctbal, 2) AS acctbal
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+             |      FROM customer)
+             |WHERE rk <= 3""".stripMargin),
+      headline = true),
+
+    // running (cumulative) sum per customer ordered by date
+    GQuery(
+      "q25_running_total",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter($"o_custkey" < 100)
+          .select($"o_custkey", $"o_orderkey",
+            round(sum($"o_totalprice").over(w), 2).as("running_spent"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent
+             |FROM orders WHERE o_custkey < 100""".stripMargin)),
+
+    // lag/lead: day gap between consecutive orders of a customer
+    GQuery(
+      "q26_order_gaps",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        t(s, dir, "orders")
+          .filter($"o_custkey" < 200)
+          .select($"o_custkey", $"o_orderkey",
+            datediff($"o_orderdate", lag($"o_orderdate", 1).over(w))
+              .cast("long").as("days_since_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(date_diff('day',
+             |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+             |                           ORDER BY o_orderdate, o_orderkey),
+             |    o_orderdate) AS BIGINT) AS days_since_prev
+             |FROM orders WHERE o_custkey < 200""".stripMargin)),
+
+    // dense_rank + ntile + avg-over-partition analytics
+    GQuery(
+      "q27_price_analytics",
+      (s, dir) => {
+        import s.implicits._
+        val wOrd = Window.partitionBy($"p_brand")
+          .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+        val wAll = Window.partitionBy($"p_brand")
+        t(s, dir, "part")
+          .select($"p_partkey", $"p_brand",
+            dense_rank().over(wOrd).cast("long").as("price_rank"),
+            ntile(4).over(wOrd).cast("long").as("quartile"),
+            round($"p_retailprice" - avg($"p_retailprice").over(wAll), 2)
+              .as("diff_from_brand_avg"))
+      },
+      Some("""SELECT p_partkey, p_brand,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS price_rank,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(p_retailprice - avg(p_retailprice)
+             |        OVER (PARTITION BY p_brand), 2) AS diff_from_brand_avg
+             |FROM part
+             |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)""".stripMargin)),
+
+    // ROLLUP (hierarchical grouping sets)
+    GQuery(
+      "q28_rollup_revenue",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  sum(floor((l_extendedprice) * 10000 + 0.5)) / 10000 AS revenue
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // CUBE (all grouping-set combinations)
+    GQuery(
+      "q29_cube_orders",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), davg($"o_totalprice").as("avg_price"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  sum(floor((o_totalprice) * 10000 + 0.5)) / 10000 / count(*) AS avg_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin))
+  )
+}
