@@ -18,7 +18,8 @@ object SparkEntry {
     RelationalQueries.all ++
       SetOpQueries.all ++
       ScalarQueries.all ++
-      WindowQueries.all
+      WindowQueries.all ++
+      BgpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

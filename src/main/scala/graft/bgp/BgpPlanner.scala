@@ -1,0 +1,122 @@
+package graft.bgp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import Sparql._
+
+/** BGP → DataFrame planner.
+  *
+  * Reference lifecycle (SURVEY.md §3.1): parse → query graph → join
+  * vertices (degree>1) → per-vertex subqueries → distributed hash joins
+  * along graph edges. Spark-native translation: one filtered scan of
+  * the triple table per pattern, then an inner natural join chain on
+  * all shared variables (exactly the observable semantics of the
+  * reference's multi-key hash join J2, BasicHashJoin.cpp:589-611),
+  * with Catalyst/AQE playing the role of DREAM's cost-based optimizer
+  * (SURVEY.md §4.4). Bag semantics throughout — the reference never
+  * dedups (BasicHashJoin.cpp:571-587).
+  *
+  * Plan-shape choices for scale:
+  *  - pattern scans filter on constants first (predicate pushdown into
+  *    the triple scan — with a parquet store partitioned by `p` this
+  *    becomes partition pruning);
+  *  - join order: start at the most-constant pattern and grow the join
+  *    tree only along shared variables, so no accidental cartesian
+  *    products; AQE re-plans sizes at runtime;
+  *  - the final projection prunes to SELECT vars with lexicographic
+  *    column canonicalization (reference O2, QueryPlanner.c:839-860).
+  */
+object BgpPlanner {
+
+  /** Query-graph metadata (reference createGraph QueryPlanner.c:192-223;
+    * identifyJoinNodes 226-239; assignConditionsToNodes 242-288).
+    * Planner-side only — O(#patterns), never data-sized.
+    */
+  final case class QueryGraph(
+      vertices: Set[Term],
+      degree: Map[Term, Int],
+      joinVertices: Set[Term],
+      exclusive: Map[Term, Seq[TriplePattern]],
+      shared: Seq[TriplePattern])
+
+  def analyze(q: BgpQuery): QueryGraph = {
+    val endpoints: Seq[(Term, TriplePattern)] =
+      q.patterns.flatMap(p => Seq(p.s -> p, p.o -> p))
+    val degree = endpoints.groupBy(_._1).map { case (t, xs) => t -> xs.size }
+    val joinVertices = degree.filter(_._2 > 1).keySet
+    // A pattern with exactly one join-vertex endpoint is EXCLUSIVE to
+    // it; with two it is SHARED (QueryPlanner.c:259-277).
+    val (excl, shr) = q.patterns.partition(p =>
+      Seq(p.s, p.o).count(joinVertices.contains) <= 1)
+    val exclusive = excl
+      .flatMap(p => Seq(p.s, p.o).find(joinVertices.contains).map(_ -> p))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    QueryGraph(degree.keySet.toSet, degree, joinVertices, exclusive, shr)
+  }
+
+  /** Compile one pattern to a scan: filter constants, project variables
+    * (renamed to their var names), and handle repeated variables within
+    * the pattern by equality filter.
+    */
+  private def patternScan(triples: DataFrame, pat: TriplePattern,
+      encode: String => Column): DataFrame = {
+    val pos = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+    val constFilter = pos.collect { case (c, Const(v)) => col(c) === encode(v) }
+    val filtered = constFilter.foldLeft(triples)((df, f) => df.filter(f))
+    val varPos = pos.collect { case (c, Var(n)) => (c, n) }
+    // repeated variable inside one pattern ⇒ positions must be equal
+    val dupFilters = varPos.groupBy(_._2).values.filter(_.size > 1)
+      .map(g => g.map(x => col(x._1)).reduce(_ === _))
+    val selfEq = dupFilters.foldLeft(filtered)((df, f) => df.filter(f))
+    val firstPos = varPos.groupBy(_._2).map { case (n, xs) => xs.head._1 -> n }
+    selfEq.select(firstPos.toSeq.map { case (c, n) => col(c).as(n) }: _*)
+  }
+
+  /** Build the join-chain plan over a triple store. Returns columns =
+    * SELECT vars, lexicographically sorted.
+    */
+  def plan(store: TripleStore, q: BgpQuery): DataFrame = {
+    val encode: String => Column =
+      if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
+
+    val scans: Seq[(TriplePattern, DataFrame)] =
+      q.patterns.map(p => p -> patternScan(store.triples, p, encode))
+
+    // Greedy join order: seed with the most-constant (most selective)
+    // pattern, then always join a pattern sharing ≥1 variable; fall
+    // back to crossJoin only for genuinely disconnected components.
+    val seedIdx = scans.indices.maxBy { i =>
+      3 - q.patterns(i).vars.distinct.size
+    }
+    var joined = scans(seedIdx)._2
+    var done = Set(seedIdx)
+    var cols = joined.columns.toSet
+    while (done.size < scans.size) {
+      val next = scans.indices.filterNot(done)
+        .find(i => scans(i)._2.columns.exists(cols))
+        .getOrElse(scans.indices.filterNot(done).head)
+      val (_, scan) = scans(next)
+      val common = scan.columns.filter(cols).toSeq
+      joined =
+        if (common.nonEmpty) joined.join(scan, common, "inner")
+        else joined.crossJoin(scan)
+      cols ++= scan.columns
+      done += next
+    }
+
+    val projected = joined.select(q.select.distinct.sorted.map(col): _*)
+    store.dict match {
+      case None => projected
+      case Some(dict) =>
+        // decode each output column via one broadcast dict join
+        q.select.distinct.sorted.foldLeft(projected) { (df, v) =>
+          df.join(broadcast(dict.withColumnRenamed("id", v)), Seq(v))
+            .drop(v).withColumnRenamed("value", v)
+        }.select(q.select.distinct.sorted.map(col): _*)
+    }
+  }
+
+  /** Parse + plan in one step. */
+  def query(store: TripleStore, sparql: String): DataFrame =
+    plan(store, Sparql.parse(sparql))
+}

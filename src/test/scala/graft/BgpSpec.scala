@@ -1,0 +1,106 @@
+package graft
+
+import graft.bgp._
+import graft.bgp.Sparql._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BgpSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  def tinyStore: TripleStore = TripleStore(
+    Seq(
+      ("prof:0", "worksFor", "dept:0"),
+      ("prof:1", "worksFor", "dept:0"),
+      ("prof:2", "worksFor", "dept:1"),
+      ("prof:0", "name", "FullProfessor0"),
+      ("prof:1", "name", "FullProfessor1"),
+      ("prof:0", "email", "p0@u.edu"),
+      ("prof:1", "email", "p1@u.edu"),
+      ("stud:0", "memberOf", "dept:0"),
+      ("stud:0", "advisor", "prof:0")
+    ).toDF("s", "p", "o"), None)
+
+  test("parser handles the reference grammar (vars, URIs, literals)") {
+    val q = Sparql.parse(
+      """select ?A ?B where { ?A <http://x#worksFor> <http://dept0> . ?A name ?B }""")
+    assert(q.select == Seq("A", "B"))
+    assert(q.patterns.length == 2)
+    assert(q.patterns.head.p == Const("http://x#worksFor"))
+    assert(q.patterns.head.s == Var("A"))
+  }
+
+  test("parser rejects malformed queries") {
+    intercept[IllegalArgumentException](Sparql.parse("select ?A where { ?A b }"))
+    intercept[IllegalArgumentException](Sparql.parse("where { ?A b c }"))
+    intercept[IllegalArgumentException](Sparql.parse("select ?Z where { ?A b c }"))
+  }
+
+  test("query graph identifies join vertices by degree (ref QueryPlanner.c:226-239)") {
+    // LUBM Q4 shape: star on ?A
+    val q = Sparql.parse(
+      """select ?A ?B where { ?A worksFor dept0 . ?A name ?B . ?A email ?C }""")
+    val g = BgpPlanner.analyze(q)
+    assert(g.joinVertices == Set(Var("A")))
+    assert(g.degree(Var("A")) == 3)
+    // all three patterns have exactly one join-vertex endpoint ⇒ exclusive
+    assert(g.exclusive(Var("A")).length == 3)
+    assert(g.shared.isEmpty)
+  }
+
+  test("star BGP joins on the shared variable, bag semantics") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?N ?E where { ?A worksFor dept:0 . ?A name ?N . ?A email ?E }""")
+    assert(out.columns.toSeq == Seq("A", "E", "N")) // lexicographic canon
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("prof:0", "p0@u.edu", "FullProfessor0"),
+      ("prof:1", "p1@u.edu", "FullProfessor1")))
+  }
+
+  test("multi-hop BGP (chain across two join vertices)") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?S ?P where { ?S advisor ?P . ?P worksFor dept:0 . ?S memberOf dept:0 }""")
+    // columns canonicalized lexicographically: (P, S)
+    assert(out.columns.toSeq == Seq("P", "S"))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("prof:0", "stud:0")))
+  }
+
+  test("empty-result BGP short-circuits to 0 rows (ref entry point C)") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor dept:99 . ?A name ?N }""")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("A"))
+  }
+
+  test("repeated variable in one pattern means positional equality") {
+    val st = TripleStore(Seq(
+      ("a", "loves", "a"), ("a", "loves", "b")).toDF("s", "p", "o"), None)
+    val out = BgpPlanner.query(st, "select ?X where { ?X loves ?X }")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("variable predicate is supported") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?P where { prof:0 ?P dept:0 }")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("worksFor"))
+  }
+
+  test("dictionary-encoded store gives identical results to string store") {
+    val enc = TripleStore.encode(tinyStore)
+    val q = """select ?A ?N where { ?A worksFor dept:0 . ?A name ?N }"""
+    val a = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet
+    val b = BgpPlanner.query(enc, q).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("disconnected BGP components produce a cross product") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?A ?S where { ?A worksFor dept:1 . ?S memberOf dept:0 }")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("prof:2", "stud:0")))
+  }
+}
