@@ -19,7 +19,10 @@ object SparkEntry {
       SetOpQueries.all ++
       ScalarQueries.all ++
       WindowQueries.all ++
-      BgpQueries.all
+      BgpQueries.all ++
+      EventQueries.all ++
+      TextQueries.all ++
+      DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

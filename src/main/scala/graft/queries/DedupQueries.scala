@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. LLM-pipeline extensions (SURVEY.md §7.1.8).
+  *
+  * Scale design: every variant is candidate-generation via a
+  * bucket/band equi-join (shuffle on the band key) followed by
+  * verification on the candidate pairs only — never an all-pairs
+  * product. At 100 TB the band join is the only shuffle and its keys
+  * are high-entropy hashes, so it partitions evenly.
+  *
+  * Determinism: hash functions are md5-derived 32-bit integers
+  * (identical in Spark and DuckDB); similarity ratios divide exact
+  * integer counts — the doubles come out bit-identical.
+  */
+object DedupQueries {
+  import Tables.t
+
+  /** doc_id + distinct 5-token shingles (guarded to docs with ≥5 tokens). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 5)
+      .select($"doc_id",
+        explode(expr("transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+          .as("s"))
+      .distinct()
+  }
+
+  /** First 8 md5 hex chars of `e` as an unsigned 32-bit value in a Long. */
+  private def h32(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(e.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |        FROM toks WHERE len(w) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s FROM idx)""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+
+    // exact dedup: group identical texts by hash, keep the lowest id
+    GQuery(
+      "q43_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy(md5($"text".cast("binary")).as("fp"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      },
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // n-gram (5-token shingle) Jaccard near-dup: candidates = pairs
+    // sharing ≥1 shingle, verified with exact set overlap
+    GQuery(
+      "q44_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingles(s, dir)
+        val card = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(card.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+          .join(card.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+          .select($"d1", $"d2", $"inter",
+            ($"n1" + $"n2" - $"inter").as("uni"),
+            ($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter")).as("jaccard"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT d1, d2, inter, c1.n + c2.n - inter AS uni,
+              |  inter * 1.0 / (c1.n + c2.n - inter) AS jaccard
+              |FROM inter
+              |JOIN card c1 ON c1.doc_id = d1
+              |JOIN card c2 ON c2.doc_id = d2""".stripMargin)),
+
+    // MinHash (16 permutations) + LSH: candidates = pairs agreeing on
+    // ≥1 minhash; similarity estimated as agreeing-hash fraction
+    GQuery(
+      "q45_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingles(s, dir)
+        val mh = sh
+          .select($"doc_id", $"s", explode(sequence(lit(0), lit(15))).as("j"))
+          .select($"doc_id", $"j",
+            h32(concat($"j".cast("string"), lit(":"), $"s")).as("h"))
+          .groupBy($"doc_id", $"j").agg(min($"h").as("h"))
+        val cand = mh.as("a").join(mh.as("b"),
+            col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cand
+          .join(mh.as("x"), col("x.doc_id") === col("d1"))
+          .join(mh.as("y"), col("y.doc_id") === col("d2") && col("y.j") === col("x.j"))
+          .groupBy($"d1", $"d2")
+          .agg((sum(when(col("x.h") === col("y.h"), 1).otherwise(0)) / lit(16.0))
+            .as("est_sim"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |hs AS (SELECT doc_id, s, unnest(generate_series(0, 15)) AS j FROM sh),
+              |mh AS (SELECT doc_id, j,
+              |         min(CAST(concat('0x', substr(md5(concat(j, ':', s)), 1, 8)) AS BIGINT)) AS h
+              |       FROM hs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |         FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h
+              |           AND a.doc_id < b.doc_id)
+              |SELECT d1, d2,
+              |  sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 16.0 AS est_sim
+              |FROM cand
+              |JOIN mh x ON x.doc_id = d1
+              |JOIN mh y ON y.doc_id = d2 AND y.j = x.j
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // SimHash (32-bit over distinct tokens) + byte-band LSH candidates,
+    // verified by Hamming distance ≤ 8
+    GQuery(
+      "q46_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val tok = t(s, dir, "documents")
+          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tk"))
+          .select($"doc_id", h32($"tk").as("h"))
+        val bitCols = (0 until 32).map { b =>
+          when(sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }
+        val sim = tok.groupBy($"doc_id")
+          .agg(bitCols.reduce(_ + _).as("simhash"))
+        val bands = sim.select($"doc_id", $"simhash",
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .withColumn("bv", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+          .distinct()
+        cand
+          .select($"d1", $"d2",
+            bit_count($"s1".bitwiseXOR($"s2")).cast("long").as("hamming"))
+          .filter($"hamming" <= 8)
+      },
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, tk FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+             |h AS (SELECT doc_id,
+             |        CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS h
+             |      FROM tok),
+             |bits AS (SELECT doc_id, b,
+             |           CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+             |                THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
+             |         FROM h, (SELECT unnest(generate_series(0, 31)) AS b)
+             |         GROUP BY doc_id, b),
+             |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+             |        FROM bits GROUP BY doc_id),
+             |bands AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bv
+             |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+             |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+             |           x.simhash AS s1, y.simhash AS s2
+             |         FROM bands x JOIN bands y
+             |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+             |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+             |FROM cand WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 8""".stripMargin))
+  )
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import OracleNum.dsum
+
+/** Event-stream operators, batch-verified (SURVEY.md §2.9: the
+  * reference is batch-only; these are the streaming-shaped extensions,
+  * kept DuckDB-verifiable by running over the `events` table as a
+  * batch). The same transformations run under Structured Streaming via
+  * graft.streaming.StreamOps.
+  *
+  * All time arithmetic is done in epoch microseconds (bigint) so both
+  * engines compute on exact integers.
+  */
+object EventQueries {
+  import Tables.t
+
+  def all: Seq[GQuery] = Seq(
+
+    // tumbling time-window aggregate (streaming window() operator shape)
+    GQuery(
+      "q34_events_tumbling_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(
+            window($"ts", "1 hour").getField("start").as("win_start"),
+            $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+             |  count(*) AS n, sum(floor((value) * 10000 + 0.5)) / 10000 AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      headline = true),
+
+    // sessionization: 30-min-gap sessions per user (gaps-and-islands)
+    GQuery(
+      "q35_events_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_us".isNull ||
+              unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum($"new_sess").over(wRun))
+          .groupBy($"user_id")
+          .agg(
+            max($"sess_id").as("n_sessions"),
+            count(lit(1)).as("n_events"),
+            (count(lit(1)) * lit(1.0) / max($"sess_id")).as("events_per_session"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    lag(epoch_us(ts)) OVER w AS prev_us,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+             |  FROM g)
+             |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+             |  count(*) * 1.0 / max(sess_id) AS events_per_session
+             |FROM sess GROUP BY user_id""".stripMargin),
+      headline = true),
+
+    // as-of join: for each purchase, the latest click of the same user
+    // at or before it (composed as range join + per-key top-1)
+    GQuery(
+      "q36_events_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id",
+            unix_micros($"ts").as("pts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("cu"), $"event_id".as("click_id"),
+            unix_micros($"ts").as("cts"))
+        val w = Window.partitionBy($"purchase_id")
+          .orderBy($"cts".desc_nulls_last, $"click_id".desc_nulls_last)
+        purch
+          .join(clicks, $"user_id" === $"cu" && $"cts" <= $"pts", "left_outer")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"purchase_id", $"user_id", $"click_id",
+            ($"pts" - $"cts").as("gap_us"))
+      },
+      Some("""SELECT purchase_id, user_id, click_id, gap_us FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY epoch_us(c.ts) DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM events p
+             |  LEFT JOIN events c ON c.user_id = p.user_id
+             |    AND c.event_type = 'click' AND epoch_us(c.ts) <= epoch_us(p.ts)
+             |  WHERE p.event_type = 'purchase')
+             |WHERE rn = 1""".stripMargin)),
+
+    // range (interval) join: activity in the hour after each signup
+    GQuery(
+      "q37_events_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"event_id".as("signup_id"), $"user_id",
+            unix_micros($"ts").as("sts"))
+        val follow = ev.select($"user_id".as("fu"), $"event_id".as("fid"),
+          unix_micros($"ts").as("fts"))
+        signups
+          .join(follow,
+            $"user_id" === $"fu" && $"fts" > $"sts" &&
+              $"fts" <= $"sts" + 3600L * 1000000L, "left_outer")
+          .groupBy($"signup_id", $"user_id")
+          .agg(count($"fid").as("n_follow"))
+      },
+      Some("""SELECT s.event_id AS signup_id, s.user_id, count(f.event_id) AS n_follow
+             |FROM events s
+             |LEFT JOIN events f ON f.user_id = s.user_id
+             |  AND epoch_us(f.ts) > epoch_us(s.ts)
+             |  AND epoch_us(f.ts) <= epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
+             |WHERE s.event_type = 'signup'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // daily event counts + day-over-day delta (lag over aggregate)
+    GQuery(
+      "q38_events_daily_delta",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy(to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy($"day")
+        daily.withColumn("delta",
+          ($"n" - lag($"n", 1).over(w)).cast("long"))
+      },
+      Some("""SELECT day, n, CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta
+             |FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1)""".stripMargin))
+  )
+}
