@@ -54,15 +54,30 @@ object BgpPlanner {
     QueryGraph(degree.keySet.toSet, degree, joinVertices, exclusive, shr)
   }
 
-  /** Compile one pattern to a scan: filter constants, project variables
-    * (renamed to their var names), and handle repeated variables within
-    * the pattern by equality filter.
+  /** Compile one pattern to a scan.
+    *
+    * Constant-predicate patterns (all of the reference's fixtures)
+    * dispatch to the predicate's vertical slice — a pruned 2-column
+    * scan of one base table; an unknown predicate short-circuits to an
+    * empty relation (entry point C, Proxy.c:71-85). Variable-predicate
+    * patterns fall back to the union view. Remaining constants filter,
+    * variables project/rename, and a repeated variable within one
+    * pattern becomes an equality filter.
     */
-  private def patternScan(triples: DataFrame, pat: TriplePattern,
+  private def patternScan(store: TripleStore, pat: TriplePattern,
       encode: String => Column): DataFrame = {
-    val pos = Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o)
+    val (base, pos) = pat.p match {
+      case Const(p) =>
+        val slice = store.slices.getOrElse(p, {
+          val any = store.slices.values.head
+          any.filter(lit(false))
+        })
+        (slice, Seq("s" -> pat.s, "o" -> pat.o))
+      case Var(_) =>
+        (store.unionView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
+    }
     val constFilter = pos.collect { case (c, Const(v)) => col(c) === encode(v) }
-    val filtered = constFilter.foldLeft(triples)((df, f) => df.filter(f))
+    val filtered = constFilter.foldLeft(base)((df, f) => df.filter(f))
     val varPos = pos.collect { case (c, Var(n)) => (c, n) }
     // repeated variable inside one pattern ⇒ positions must be equal
     val dupFilters = varPos.groupBy(_._2).values.filter(_.size > 1)
@@ -80,7 +95,7 @@ object BgpPlanner {
       if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
 
     val scans: Seq[(TriplePattern, DataFrame)] =
-      q.patterns.map(p => p -> patternScan(store.triples, p, encode))
+      q.patterns.map(p => p -> patternScan(store, p, encode))
 
     // Greedy join order: seed with the most-constant (most selective)
     // pattern, then always join a pattern sharing ≥1 variable; fall

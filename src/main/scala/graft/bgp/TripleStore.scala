@@ -1,37 +1,58 @@
 package graft.bgp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** RDF triple store over Spark.
+/** RDF triple store over Spark, vertically partitioned by predicate.
   *
   * The reference keeps its triples inside the external RDF-3X binary
   * (SURVEY.md §1.1) with dictionary-encoded uint64 IDs and decodes
-  * lexical values only at the result edge (Proxy.c:211-224). Here:
+  * lexical values only at the result edge (Proxy.c:211-224). Here the
+  * store is a map `predicate -> DataFrame(s, o)` — the classic
+  * vertical-partitioning layout for SPARQL-on-relational. A pattern
+  * with a constant predicate (every pattern in the reference's fixture
+  * queries) touches exactly one slice, which is a narrow 2-column
+  * projection of one base table: Catalyst prunes the parquet scan to
+  * those columns, and at 100 TB the layout is "parquet partitioned by
+  * p" — pattern dispatch IS partition pruning. No monolithic union, no
+  * store-wide distinct (RDF set semantics are enforced per slice,
+  * where the distinct is narrow and cheap).
   *
-  *  - string form: `triples(s,p,o: String)` — the analysis-friendly
-  *    surface; set semantics (RDF triples are a set, so derivation
-  *    dedups);
-  *  - encoded form: `triples(s,p,o: Long)` + `dict(id, value)` —
-  *    joins run on longs (reference parity; also ~8× narrower shuffle
-  *    rows at 100 TB), decode is one broadcast-dict join per output
-  *    column. IDs are xxhash64 of the lexical form: deterministic and
-  *    embarrassingly parallel — no global sort or zipWithIndex
-  *    bottleneck at load, unlike a dense-ID dictionary build.
+  *  - string form: `slices(p): (s, o: String)`;
+  *  - encoded form: same slices with xxhash64 IDs + `dict(id, value)`
+  *    for result-edge decode (reference parity; ~8× narrower shuffle
+  *    rows). xxhash64 is deterministic and embarrassingly parallel —
+  *    no global sort or zipWithIndex bottleneck at load, unlike a
+  *    dense-ID dictionary build.
   */
-final case class TripleStore(triples: DataFrame, dict: Option[DataFrame]) {
+final case class TripleStore(
+    slices: Map[String, DataFrame],
+    dict: Option[DataFrame]) {
+
   def encoded: Boolean = dict.isDefined
+
+  /** Union view `(s, p, o)` for variable-predicate patterns only —
+    * never materialized unless such a pattern exists.
+    */
+  def unionView: DataFrame = {
+    val pCol: String => Column =
+      if (encoded) p => xxhash64(lit(p)) else p => lit(p)
+    slices.map { case (p, df) =>
+      df.select(col("s"), pCol(p).as("p"), col("o"))
+    }.reduce(_ unionByName _)
+  }
 }
 
 object TripleStore {
 
   /** Derive a string-form triple store from the driver's star schema.
     * Edge inventory mirrors an RDF view of TPC-H: entity URIs like
-    * `customer:17`, plus value literals. Set semantics via distinct().
+    * `customer:17`, plus value literals. Set semantics via per-slice
+    * distinct().
     */
   def fromStarSchema(spark: SparkSession, dir: String): TripleStore = {
     import graft.Tables.t
-    def uri(prefix: String, c: org.apache.spark.sql.Column) =
+    def uri(prefix: String, c: Column) =
       concat(lit(prefix), lit(":"), c.cast("string"))
 
     val cust = t(spark, dir, "customer")
@@ -41,47 +62,61 @@ object TripleStore {
     val ord = t(spark, dir, "orders")
     val li = t(spark, dir, "lineitem")
 
-    def tri(df: DataFrame, s: org.apache.spark.sql.Column, p: String,
-        o: org.apache.spark.sql.Column): DataFrame =
-      df.select(s.as("s"), lit(p).as("p"), o.cast("string").as("o"))
+    def so(df: DataFrame, s: Column, o: Column): DataFrame =
+      df.select(s.as("s"), o.cast("string").as("o"))
 
-    val parts = Seq(
-      tri(cust, uri("customer", col("c_custkey")), "rdf:type", lit("Customer")),
-      tri(cust, uri("customer", col("c_custkey")), "nationkey", uri("nation", col("c_nationkey"))),
-      tri(cust, uri("customer", col("c_custkey")), "mktsegment", col("c_mktsegment")),
-      tri(cust, uri("customer", col("c_custkey")), "name", col("c_name")),
-      tri(sup, uri("supplier", col("s_suppkey")), "rdf:type", lit("Supplier")),
-      tri(sup, uri("supplier", col("s_suppkey")), "nationkey", uri("nation", col("s_nationkey"))),
-      tri(sup, uri("supplier", col("s_suppkey")), "name", col("s_name")),
-      tri(nat, uri("nation", col("n_nationkey")), "rdf:type", lit("Nation")),
-      tri(nat, uri("nation", col("n_nationkey")), "name", col("n_name")),
-      tri(nat, uri("nation", col("n_nationkey")), "regionkey", uri("region", col("n_regionkey"))),
-      tri(reg, uri("region", col("r_regionkey")), "name", col("r_name")),
-      tri(ord, uri("order", col("o_orderkey")), "rdf:type", lit("Order")),
-      tri(ord, uri("order", col("o_orderkey")), "custkey", uri("customer", col("o_custkey"))),
-      tri(ord, uri("order", col("o_orderkey")), "status", col("o_orderstatus")),
-      tri(li, uri("order", col("l_orderkey")), "contains", uri("part", col("l_partkey"))),
-      tri(li, uri("order", col("l_orderkey")), "suppliedby", uri("supplier", col("l_suppkey"))),
-      tri(li, uri("supplier", col("l_suppkey")), "supplies", uri("part", col("l_partkey"))))
+    val parts: Seq[(String, DataFrame)] = Seq(
+      "rdf:type" -> so(cust, uri("customer", col("c_custkey")), lit("Customer")),
+      "nationkey" -> so(cust, uri("customer", col("c_custkey")), uri("nation", col("c_nationkey"))),
+      "mktsegment" -> so(cust, uri("customer", col("c_custkey")), col("c_mktsegment")),
+      "name" -> so(cust, uri("customer", col("c_custkey")), col("c_name")),
+      "rdf:type" -> so(sup, uri("supplier", col("s_suppkey")), lit("Supplier")),
+      "nationkey" -> so(sup, uri("supplier", col("s_suppkey")), uri("nation", col("s_nationkey"))),
+      "name" -> so(sup, uri("supplier", col("s_suppkey")), col("s_name")),
+      "rdf:type" -> so(nat, uri("nation", col("n_nationkey")), lit("Nation")),
+      "name" -> so(nat, uri("nation", col("n_nationkey")), col("n_name")),
+      "regionkey" -> so(nat, uri("nation", col("n_nationkey")), uri("region", col("n_regionkey"))),
+      "name" -> so(reg, uri("region", col("r_regionkey")), col("r_name")),
+      "rdf:type" -> so(ord, uri("order", col("o_orderkey")), lit("Order")),
+      "custkey" -> so(ord, uri("order", col("o_orderkey")), uri("customer", col("o_custkey"))),
+      "status" -> so(ord, uri("order", col("o_orderkey")), col("o_orderstatus")),
+      "contains" -> so(li, uri("order", col("l_orderkey")), uri("part", col("l_partkey"))),
+      "suppliedby" -> so(li, uri("order", col("l_orderkey")), uri("supplier", col("l_suppkey"))),
+      "supplies" -> so(li, uri("supplier", col("l_suppkey")), uri("part", col("l_partkey"))))
 
-    TripleStore(parts.reduce(_ unionByName _).distinct(), None)
+    val slices = parts.groupBy(_._1).map { case (p, xs) =>
+      p -> xs.map(_._2).reduce(_ unionByName _).distinct()
+    }
+    TripleStore(slices, None)
   }
 
-  /** Dictionary-encode a string-form store: triples → xxhash64 IDs,
-    * dict → (id, value). The dict is built from the union of all
-    * positions — one distinct over the data, no driver collect.
+  /** Build a store from a generic `(s, p, o)` string DataFrame (e.g.
+    * an N-Triples load). The predicate inventory is schema-sized, not
+    * data-sized, so the distinct-predicate collect is a metadata
+    * operation — the same assumption vertical partitioning always
+    * makes.
+    */
+  def fromTriples(df: DataFrame): TripleStore = {
+    val preds = df.select(col("p")).distinct().collect().map(_.getString(0))
+    val slices = preds.map { p =>
+      p -> df.filter(col("p") === p).select(col("s"), col("o")).distinct()
+    }.toMap
+    TripleStore(slices, None)
+  }
+
+  /** Dictionary-encode a string-form store: slice values → xxhash64
+    * IDs, dict → (id, value) over the union of all s/o positions — one
+    * distinct over the data, no driver collect.
     */
   def encode(store: TripleStore): TripleStore = {
-    val tr = store.triples
-    val dict = tr.select(col("s").as("value"))
-      .unionByName(tr.select(col("p").as("value")))
-      .unionByName(tr.select(col("o").as("value")))
+    val dict = store.slices.values.toSeq
+      .flatMap(df => Seq(df.select(col("s").as("value")), df.select(col("o").as("value"))))
+      .reduce(_ unionByName _)
       .distinct()
       .select(xxhash64(col("value")).as("id"), col("value"))
-    val enc = tr.select(
-      xxhash64(col("s")).as("s"),
-      xxhash64(col("p")).as("p"),
-      xxhash64(col("o")).as("o"))
+    val enc = store.slices.map { case (p, df) =>
+      p -> df.select(xxhash64(col("s")).as("s"), xxhash64(col("o")).as("o"))
+    }
     TripleStore(enc, Some(dict))
   }
 }

@@ -15,9 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BgpQueries {
 
-  // One triple store per (session, dir): derivation includes a distinct
-  // over ~5×|lineitem| rows — cache it so each BGP query reuses the
-  // materialized set instead of re-shuffling it.
+  // Memoize the store OBJECT per (session, dir) — building the slice
+  // DAG is cheap but not free. No Spark-level cache(): each pattern
+  // reads only its predicate slice, a pruned 2-column parquet scan,
+  // which at bench scale beats materializing a store-wide string cache.
   private val storeCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, Boolean), TripleStore]
 
@@ -25,8 +26,7 @@ object BgpQueries {
     storeCache.synchronized {
       storeCache.getOrElseUpdate((s, dir, encoded), {
         val base = TripleStore.fromStarSchema(s, dir)
-        val st = if (encoded) TripleStore.encode(base) else base
-        st.copy(triples = st.triples.cache())
+        if (encoded) TripleStore.encode(base) else base
       })
     }
 

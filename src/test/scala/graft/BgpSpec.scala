@@ -10,7 +10,7 @@ class BgpSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("4")
   import spark.implicits._
 
-  def tinyStore: TripleStore = TripleStore(
+  def tinyStore: TripleStore = TripleStore.fromTriples(
     Seq(
       ("prof:0", "worksFor", "dept:0"),
       ("prof:1", "worksFor", "dept:0"),
@@ -21,7 +21,7 @@ class BgpSpec extends AnyFunSuite {
       ("prof:1", "email", "p1@u.edu"),
       ("stud:0", "memberOf", "dept:0"),
       ("stud:0", "advisor", "prof:0")
-    ).toDF("s", "p", "o"), None)
+    ).toDF("s", "p", "o"))
 
   test("parser handles the reference grammar (vars, URIs, literals)") {
     val q = Sparql.parse(
@@ -77,8 +77,8 @@ class BgpSpec extends AnyFunSuite {
   }
 
   test("repeated variable in one pattern means positional equality") {
-    val st = TripleStore(Seq(
-      ("a", "loves", "a"), ("a", "loves", "b")).toDF("s", "p", "o"), None)
+    val st = TripleStore.fromTriples(Seq(
+      ("a", "loves", "a"), ("a", "loves", "b")).toDF("s", "p", "o"))
     val out = BgpPlanner.query(st, "select ?X where { ?X loves ?X }")
     assert(out.collect().map(_.getString(0)).toSeq == Seq("a"))
   }
