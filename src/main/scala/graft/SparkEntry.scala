@@ -22,7 +22,8 @@ object SparkEntry {
       BgpQueries.all ++
       EventQueries.all ++
       TextQueries.all ++
-      DedupQueries.all
+      DedupQueries.all ++
+      SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

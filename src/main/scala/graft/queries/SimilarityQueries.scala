@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label): brute-force cosine top-k as the
+  * baseline and an IVF-style bucketed variant as the scale path.
+  * LLM-pipeline extensions (SURVEY.md §7.1.8) — absent from the
+  * reference, whose only value-level op is 64-bit equality
+  * (BasicHashJoin.cpp:599).
+  *
+  * Scale design:
+  *  - the query set is small and broadcast; the corpus is scanned once
+  *    (brute force = one broadcast-nested-loop over the corpus, the
+  *    correct baseline at any scale);
+  *  - the IVF variant joins on the cluster label, so the search is
+  *    partition-pruned: shuffle on label, rank within the bucket —
+  *    at 100 TB only same-cluster pairs ever meet;
+  *  - dot products run inside codegen'd higher-order functions
+  *    (zip_with/aggregate), no UDFs.
+  *
+  * Cross-engine determinism: float math diverges between engines, so
+  * embeddings are quantized to exact integers (floor(x·10⁴ + ½) per
+  * element — float→double conversion is exact, floor is exact, and
+  * integer dot products/norms are order-independent). The final
+  * cosine is a single identical IEEE divide/sqrt on exact integers.
+  */
+object SimilarityQueries {
+  import Tables.t
+
+  /** Embeddings with 4-decimal integer quantization + integer norm. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      col("label"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+        .as("v"))
+      .withColumn("nrm",
+        expr("aggregate(transform(v, x -> x * x), cast(0 as bigint), (a, x) -> a + x)"))
+
+  private val quantizedSql =
+    """e AS (SELECT vec_id, label,
+      |        list_transform(embedding,
+      |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+      |      FROM embeddings),
+      |flat AS (SELECT vec_id, label,
+      |           unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+      |         FROM e),
+      |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm
+      |        FROM flat GROUP BY 1)""".stripMargin
+
+  /** Integer dot product of two quantized vectors. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)")
+
+  /** nq·nc can overflow int64 (≈(6e10)² ≈ 3.6e21), so take sqrts first;
+    * int64→double is exact below 2^53 and IEEE sqrt/divide are
+    * deterministic.
+    */
+  private def cosine(dotCol: Column, n1: Column, n2: Column): Column =
+    dotCol.cast("double") / (sqrt(n1.cast("double")) * sqrt(n2.cast("double")))
+
+  def all: Seq[GQuery] = Seq(
+
+    // brute-force cosine top-5 for 20 query vectors over the corpus
+    GQuery(
+      "q47_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+        val c = e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
+        val scored = c.join(broadcast(q), $"cid" =!= $"qid")
+          .select($"qid", $"cid", cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+      },
+      Some(s"""WITH $quantizedSql,
+              |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |           CAST(sum(q.x * c.x) AS BIGINT) AS dot
+              |         FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+              |         WHERE q.vec_id < 20 GROUP BY 1, 2),
+              |scored AS (SELECT qid, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nc ON nc.vec_id = cid)
+              |SELECT qid, cid, cos_sim, rank FROM (
+              |  SELECT qid, cid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin),
+      headline = true),
+
+    // IVF-style search: cluster assignment is precomputed (the label
+    // column = the coarse quantizer), probe=1 — rank only within the
+    // query's own cluster
+    GQuery(
+      "q48_ivf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"label", $"v".as("qv"), $"nrm".as("qn"))
+        val c = e.select($"vec_id".as("cid"), $"label", $"v".as("cv"), $"nrm".as("cn"))
+        val scored = c.join(broadcast(q), Seq("label"))
+          .filter($"cid" =!= $"qid")
+          .select($"qid", $"label", $"cid",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+      },
+      Some(s"""WITH $quantizedSql,
+              |lbl AS (SELECT vec_id, label FROM embeddings),
+              |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.label,
+              |           CAST(sum(q.x * c.x) AS BIGINT) AS dot
+              |         FROM flat q JOIN flat c
+              |           ON c.i = q.i AND c.label = q.label AND c.vec_id <> q.vec_id
+              |         WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
+              |scored AS (SELECT qid, label, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nc ON nc.vec_id = cid)
+              |SELECT qid, label, cid, cos_sim, rank FROM (
+              |  SELECT qid, label, cid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+              |  FROM scored)
+              |WHERE rank <= 3""".stripMargin)),
+
+    // embedding-cosine near-dup scan: candidates = same-cluster pairs
+    // (bucket join, never all-pairs); emit each vector's closest
+    // neighbor — a dedup pipeline thresholds this output, but the
+    // synthetic corpus has no true near-dups (max within-cluster cosine
+    // ≈ 0.45), so the top-1 form keeps the query observable at any sf
+    GQuery(
+      "q49_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val a = e.select($"vec_id".as("d1"), $"label", $"v".as("v1"), $"nrm".as("n1"))
+        val b = e.select($"vec_id".as("d2"), $"label", $"v".as("v2"), $"nrm".as("n2"))
+        val scored = a.join(b, Seq("label"))
+          .filter($"d1" =!= $"d2")
+          .select($"d1", $"d2", cosine(dot("v1", "v2"), $"n1", $"n2").as("cos_sim"))
+        val w = Window.partitionBy($"d1").orderBy($"cos_sim".desc, $"d2".asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).drop("rn")
+      },
+      Some(s"""WITH $quantizedSql,
+              |dots AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+              |           CAST(sum(a.x * b.x) AS BIGINT) AS dot
+              |         FROM flat a JOIN flat b
+              |           ON b.i = a.i AND b.label = a.label AND a.vec_id <> b.vec_id
+              |         GROUP BY 1, 2),
+              |scored AS (SELECT d1, d2,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nrm AS DOUBLE)) * sqrt(CAST(n2.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm n1 ON n1.vec_id = d1 JOIN nrm n2 ON n2.vec_id = d2)
+              |SELECT d1, d2, cos_sim FROM (
+              |  SELECT d1, d2, cos_sim,
+              |    row_number() OVER (PARTITION BY d1 ORDER BY cos_sim DESC, d2) AS rn
+              |  FROM scored)
+              |WHERE rn = 1""".stripMargin))
+  )
+}
