@@ -131,6 +131,40 @@ object EventQueries {
              |WHERE s.event_type = 'signup'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // native session_window sessionization (the declarative/streaming
+    // path — same operator StreamOps.sessionAggs runs under Structured
+    // Streaming; Spark merges sessions while consecutive events are
+    // strictly less than the 30-min gap apart)
+    GQuery(
+      "q50_session_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+          .select($"user_id",
+            $"session_window.start".as("sess_start"),
+            $"session_window.end".as("sess_end"),
+            $"n_events", $"total_value")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS sess_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS sess_end,
+             |  count(*) AS n_events,
+             |  sum(floor(value * 10000 + 0.5)) / 10000 AS total_value
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // daily event counts + day-over-day delta (lag over aggregate)
     GQuery(
       "q38_events_daily_delta",

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the event pipeline.
+  *
+  * The reference is strictly batch request/response (SURVEY.md §2.9,
+  * Main.c:44-194); these are the streaming-shaped extensions. Every
+  * transform here is source-agnostic: it takes the event DataFrame
+  * (from `readStream` in production, a MemoryStream in tests, or a
+  * batch scan — the same code compiles to either engine), so the batch
+  * GQuery surface (EventQueries q34/q35/q50) and the streaming path
+  * stay one implementation.
+  *
+  * Scale notes: watermarks bound state (late data beyond the watermark
+  * is dropped, so state never grows unboundedly); the stateful
+  * sessionizer keys state by user_id — state size is O(active users),
+  * not O(events).
+  */
+object StreamOps {
+
+  /** Input shape for the typed stateful ops (matches events.parquet
+    * post-normalization).
+    */
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  /** A closed user session (emitted by the stateful sessionizer). */
+  final case class Session(
+      user_id: Long,
+      sess_start: java.sql.Timestamp,
+      sess_end: java.sql.Timestamp,
+      n_events: Long)
+
+  // public: Catalyst's generated code must reach the accessors
+  final case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Tumbling event-time window counts/sums. With a streaming source,
+    * the watermark lets Spark finalize and drop window state `allowed`
+    * behind the max seen event time.
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      allowed: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", allowed)
+      .groupBy(window(col("ts"), width).getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Declarative sessionization via the native session_window operator:
+    * a session extends while consecutive events are < gap apart. This
+    * is the preferred (codegen'd, state-store-backed) path; the
+    * stateful variant below exists for custom-state semantics the
+    * built-in can't express.
+    */
+  def sessionAggs(events: DataFrame, gap: String = "30 minutes",
+      allowed: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", allowed)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("total_value"))
+
+  /** Custom-state sessionizer: flatMapGroupsWithState keyed by user,
+    * emitting a [[Session]] when the 30-min gap elapses (event-time
+    * timeout) or a later event implies the previous session closed.
+    * State is one [[SessState]] per active user.
+    */
+  def sessionizeStateful(events: Dataset[Event],
+      gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    def ts(u: Long): java.sql.Timestamp = new java.sql.Timestamp(u / 1000L)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, ts(s.startUs), ts(s.lastUs), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs < gapUs =>
+                  cur = Some(s.copy(lastUs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, ts(s.startUs), ts(s.lastUs), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming specs: the same StreamOps transforms that back
+  * the batch GQueries, driven through MemoryStream micro-batches with
+  * watermark advancement, so state handling (not just the expression
+  * logic) is exercised.
+  */
+class StreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long, typ: String = "click",
+      v: Double = 1.0): Event = Event(id, ts(t), user, typ, v)
+
+  test("tumblingCounts over a memory stream matches batch semantics") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(src.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      src.addData(
+        ev(1, "2024-01-01 10:05:00", 1), ev(2, "2024-01-01 10:55:00", 1, v = 2.0),
+        ev(3, "2024-01-01 11:05:00", 2), ev(4, "2024-01-01 10:10:00", 2, "buy"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select($"win_start".cast("string"), $"event_type", $"n", $"total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00", "buy", 1L, 1.0),
+        ("2024-01-01 11:00:00", "click", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionAggs (native session_window) merges events under the gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.sessionAggs(src.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 40-min gap
+      // (second session); user 2: single event
+      src.addData(
+        ev(1, "2024-01-01 09:00:00", 1), ev(2, "2024-01-01 09:10:00", 1),
+        ev(3, "2024-01-01 09:50:00", 1), ev(4, "2024-01-01 09:00:00", 2))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"user_id", $"sess_start".cast("string"), $"n_events")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 09:00:00", 2L),
+        (1L, "2024-01-01 09:50:00", 1L),
+        (2L, "2024-01-01 09:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions as watermark advances") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.sessionizeStateful(src.toDS())
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      src.addData(ev(1, "2024-01-01 09:00:00", 1), ev(2, "2024-01-01 09:10:00", 1))
+      q.processAllAvailable()
+      // a much later event closes user 1's first session in-batch and
+      // advances the watermark
+      src.addData(ev(3, "2024-01-01 12:00:00", 1))
+      q.processAllAvailable()
+      val sessions = spark.table("closed_sessions").as[Session]
+        .collect().map(s => (s.user_id, s.sess_start.toString, s.n_events)).toSet
+      assert(sessions.contains((1L, "2024-01-01 09:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming session_window agree on the events fixture") {
+    import spark.implicits._
+    val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val out = StreamOps.sessionAggs(batch) // watermark is a no-op in batch
+    val viaQuery = SparkEntry.queries("q50_session_window")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.count() == viaQuery.count())
+  }
+}
