@@ -23,7 +23,8 @@ object SparkEntry {
       EventQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++
-      SimilarityQueries.all
+      SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

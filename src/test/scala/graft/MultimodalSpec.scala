@@ -1,0 +1,69 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+import graft.multimodal.MultimodalOps.{FakeCodec, MediaFile}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def media = MultimodalOps.mediaFromDocuments(
+    Tables.t(spark, "/root/testdata/sf0.001", "documents"))
+
+  test("media derivation yields opaque payload + typed metadata schema") {
+    val df = media.toDF()
+    assert(df.schema("payload").dataType.typeName == "binary")
+    assert(df.schema("width").dataType.typeName == "integer")
+    assert(media.count() == 500)
+    val kinds = media.toDF().select("kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction is deterministic and fixed-dim") {
+    import spark.implicits._
+    val f1 = MultimodalOps.extractFeatures(media, dim = 16)
+      .orderBy($"media_id").collect()
+    val f2 = MultimodalOps.extractFeatures(media, dim = 16)
+      .orderBy($"media_id").collect()
+    assert(f1.length == 500)
+    assert(f1.forall(_.getSeq[Float](2).length == 16))
+    assert(f1.map(_.getSeq[Float](2)).toSeq == f2.map(_.getSeq[Float](2)).toSeq)
+    // features are chunk means of unsigned bytes scaled to [0,1)
+    assert(f1.flatMap(_.getSeq[Float](2)).forall(v => v >= 0f && v < 1f))
+  }
+
+  test("resize clamps metadata and rewrites only oversized payloads") {
+    import spark.implicits._
+    val out = MultimodalOps.resizeTo(media, 128, 128)
+    assert(out.filter($"width" > 128 || $"height" > 128).count() == 0)
+    // rows already within bounds keep their payload byte-for-byte
+    val before = media.filter($"width" <= 128 && $"height" <= 128)
+      .collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    val after = out.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(before.forall { case (id, p) => after(id) == p })
+  }
+
+  test("frame sampling fans out videos by n_frames, others to one frame") {
+    import spark.implicits._
+    val frames = MultimodalOps.sampleFrames(media)
+    val perMedia = frames.groupBy($"media_id", $"kind")
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val meta = media.collect().map(m => m.media_id -> m).toMap
+    perMedia.foreach { case (id, kind, n) =>
+      if (kind == "video") assert(n == meta(id).n_frames)
+      else assert(n == 1)
+    }
+  }
+
+  test("codec stub handles degenerate payloads") {
+    val empty = FakeCodec.features(Array.emptyByteArray, 4, new Array[Float](4))
+    assert(empty.toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(FakeCodec.frame(Array.emptyByteArray, 0, 1).isEmpty)
+    val one = FakeCodec.features(Array[Byte](127), 4, new Array[Float](4))
+    assert(one(0) == 127f / 256f)
+  }
+}
