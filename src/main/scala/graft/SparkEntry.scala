@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.all ++
       DedupQueries.all ++
       SimilarityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

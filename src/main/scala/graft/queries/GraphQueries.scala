@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.GQuery
+import graft.bgp.TripleStore
+import graft.graph.RdfGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity-graph analytics over the RDF view (GraphX). q53's degree
+  * count is SQL-expressible, so the DuckDB oracle re-derives the edge
+  * list relationally and verifies graph construction end-to-end; the
+  * iterative algorithms (components, PageRank) register as rows-only
+  * checks and are spec-verified on synthetic graphs (GraphSpec).
+  */
+object GraphQueries {
+
+  /** Entity→entity predicates (literal-valued ones carry no edges). */
+  private val entityPreds =
+    Seq("nationkey", "regionkey", "custkey", "contains", "suppliedby", "supplies")
+
+  private def graph(s: SparkSession, dir: String) =
+    RdfGraph.fromStore(TripleStore.fromStarSchema(s, dir), entityPreds)
+
+  /** The same edge list, relationally, for the oracle. */
+  private val edgesSql =
+    """edges AS (
+      |  SELECT DISTINCT concat('customer:', c_custkey) AS s, concat('nation:', c_nationkey) AS o FROM customer
+      |  UNION ALL
+      |  SELECT DISTINCT concat('supplier:', s_suppkey), concat('nation:', s_nationkey) FROM supplier
+      |  UNION ALL
+      |  SELECT DISTINCT concat('nation:', n_nationkey), concat('region:', n_regionkey) FROM nation
+      |  UNION ALL
+      |  SELECT DISTINCT concat('order:', o_orderkey), concat('customer:', o_custkey) FROM orders
+      |  UNION ALL
+      |  SELECT DISTINCT concat('order:', l_orderkey), concat('part:', l_partkey) FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT concat('order:', l_orderkey), concat('supplier:', l_suppkey) FROM lineitem
+      |  UNION ALL
+      |  SELECT DISTINCT concat('supplier:', l_suppkey), concat('part:', l_partkey) FROM lineitem)""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+
+    // in+out degree per entity via GraphX, verified relationally
+    GQuery(
+      "q53_entity_degrees",
+      (s, dir) => RdfGraph.degrees(graph(s, dir), s),
+      Some(s"""WITH $edgesSql
+              |SELECT v AS entity, count(*) AS degree FROM (
+              |  SELECT s AS v FROM edges UNION ALL SELECT o FROM edges)
+              |GROUP BY v""".stripMargin)),
+
+    // connected-component sizes (iterative Pregel — rows-only check;
+    // exact semantics spec-verified on synthetic graphs)
+    GQuery(
+      "q54_graph_components",
+      (s, dir) => {
+        import s.implicits._
+        RdfGraph.components(graph(s, dir), s)
+          .groupBy($"component").agg(count(lit(1)).as("n_entities"))
+      },
+      None),
+
+    // PageRank top entities (iterative, floating-point — rows-only)
+    GQuery(
+      "q55_graph_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        RdfGraph.pageRank(graph(s, dir), s)
+          .orderBy($"rank".desc, $"entity".asc).limit(20)
+      },
+      None)
+  )
+}

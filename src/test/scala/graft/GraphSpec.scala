@@ -1,0 +1,63 @@
+package graft
+
+import graft.bgp.TripleStore
+import graft.graph.RdfGraph
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  // two disconnected components: {a,b,c} via knows, {x,y} via knows;
+  // plus a literal-valued predicate that must NOT create edges
+  private def store: TripleStore = {
+    import spark.implicits._
+    TripleStore.fromTriples(Seq(
+      ("a", "knows", "b"),
+      ("b", "knows", "c"),
+      ("x", "knows", "y"),
+      ("a", "name", "Alice")
+    ).toDF("s", "p", "o"))
+  }
+
+  test("degrees count in+out edges over the chosen predicates only") {
+    val g = RdfGraph.fromStore(store, Seq("knows"))
+    val deg = RdfGraph.degrees(g, spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg == Map("a" -> 1L, "b" -> 2L, "c" -> 1L, "x" -> 1L, "y" -> 1L))
+  }
+
+  test("connected components find both components with min-name representative") {
+    val g = RdfGraph.fromStore(store, Seq("knows"))
+    val comp = RdfGraph.components(g, spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("pagerank mass concentrates on sink vertices") {
+    val g = RdfGraph.fromStore(store, Seq("knows"))
+    val pr = RdfGraph.pageRank(g, spark).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // c is the 2-hop chain sink: it must outrank everything else
+    assert(pr("c") > pr("a") && pr("c") > pr("b"))
+    assert(pr("c") > pr("x") && pr("c") > pr("y"))
+  }
+
+  test("corpus degree query matches a relational recount") {
+    val q = SparkEntry.queries("q53_entity_degrees")(spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val viaGraph = q.as[(String, Long)].collect().toMap
+    // independent relational recount of the same edge inventory
+    val st = TripleStore.fromStarSchema(spark, "/root/testdata/sf0.001")
+    val preds = Seq("nationkey", "regionkey", "custkey", "contains", "suppliedby", "supplies")
+    val edges = preds.map(st.slices).reduce(_ unionByName _)
+    val expected = edges.select($"s".as("v"))
+      .unionByName(edges.select($"o".as("v")))
+      .groupBy($"v").count()
+      .as[(String, Long)].collect().toMap
+    assert(viaGraph == expected)
+  }
+}
