@@ -32,6 +32,7 @@ object GraftSession {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
       // read as Long and let Tables.t normalize to a µs timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native Catalyst
+  * expressions so they are callable from SQL text and `expr(...)` in
+  * any session configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (GraftSession sets this).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -162,6 +162,26 @@ object SimilarityQueries {
               |  SELECT d1, d2, cos_sim,
               |    row_number() OVER (PARTITION BY d1 ORDER BY cos_sim DESC, d2) AS rn
               |  FROM scored)
-              |WHERE rn = 1""".stripMargin))
+              |WHERE rn = 1""".stripMargin)),
+
+    // raw-float brute-force top-k through the native codegen'd
+    // cosine_sim Expression (GraftExtensions) — the production fast
+    // path; float math is engine-specific so this registers rows-only,
+    // with FunctionsSpec proving bit-parity against the composed form
+    GQuery(
+      "q56_cosine_topk_native",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
+        val scored = c.join(broadcast(q), $"cid" =!= $"qid")
+          .select($"qid", $"cid", expr("cosine_sim(qv, cv)").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+      },
+      None)
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  /** The composable (builtin higher-order-function) spelling the native
+    * expression must match bit-for-bit.
+    */
+  private val composed =
+    """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)
+      | / (sqrt(aggregate(transform(a, x -> cast(x as double) * x), cast(0.0 as double), (acc, v) -> acc + v))
+      |    * sqrt(aggregate(transform(b, x -> cast(x as double) * x), cast(0.0 as double), (acc, v) -> acc + v)))""".stripMargin
+
+  test("cosine_sim is registered via GraftExtensions and matches the composed form") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(0.3f, -0.7f, 0.1f), Array(-0.2f, 0.5f, 0.9f))
+    ).toDF("a", "b")
+    val rows = df.select(
+        expr("cosine_sim(a, b)").as("native"),
+        expr(composed).as("composed"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, c) => assert(n == c, s"native=$n composed=$c") }
+    assert(math.abs(rows(0)._1 - 1.0) < 1e-12)
+    assert(rows(1)._1 == 0.0)
+  }
+
+  test("cosine_sim agrees with the composed form on real embeddings") {
+    import spark.implicits._
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = e.select($"vec_id", $"embedding".as("a"))
+      .crossJoin(broadcast(
+        e.filter($"vec_id" < 3).select($"embedding".as("b"))))
+    val diff = pairs
+      .select(expr("cosine_sim(a, b)").as("n"), expr(composed).as("c"))
+      .filter($"n" =!= $"c")
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim null and zero-norm semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 2f)), None: Option[Array[Float]]),
+      (Some(Array(0f, 0f)), Some(Array(1f, 2f)))
+    ).toDF("a", "b")
+    val out = df.select(expr("cosine_sim(a, b)")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0).isNaN)
+  }
+}
