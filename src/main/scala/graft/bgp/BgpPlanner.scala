@@ -123,11 +123,21 @@ object BgpPlanner {
     store.dict match {
       case None => projected
       case Some(dict) =>
-        // decode each output column via one broadcast dict join
-        q.select.distinct.sorted.foldLeft(projected) { (df, v) =>
-          df.join(broadcast(dict.withColumnRenamed("id", v)), Seq(v))
-            .drop(v).withColumnRenamed("value", v)
-        }.select(q.select.distinct.sorted.map(col): _*)
+        // Decode ALL output columns in ONE pass over the dictionary:
+        // unpivot (rid, var, id), join the dict once, pivot back. Per-
+        // column joins would scan the data-sized dict once per
+        // variable (or worse, pin it in a broadcast); here the dict is
+        // streamed once and AQE broadcasts the result-sized unpivoted
+        // side. The pivot shuffle is result-sized, never data-sized.
+        val sel = q.select.distinct.sorted
+        val withId = projected.withColumn("__rid", monotonically_increasing_id())
+        val kvs = sel.flatMap(v => Seq(lit(v): Column, col(v)))
+        val long = withId.select(col("__rid"),
+          explode(map(kvs: _*)).as(Seq("__var", "__id")))
+        long.join(dict, long("__id") === dict("id"))
+          .select(col("__rid"), col("__var"), col("value"))
+          .groupBy("__rid").pivot("__var", sel).agg(first(col("value")))
+          .select(sel.map(col): _*)
     }
   }
 

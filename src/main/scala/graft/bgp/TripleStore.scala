@@ -109,8 +109,14 @@ object TripleStore {
     * distinct over the data, no driver collect.
     */
   def encode(store: TripleStore): TripleStore = {
-    val dict = store.slices.values.toSeq
+    val spark = store.slices.values.head.sparkSession
+    import spark.implicits._
+    // predicate names participate too: a variable at the p position
+    // binds an encoded predicate that must decode at the result edge
+    val predNames = store.slices.keySet.toSeq.toDF("value")
+    val dict = (store.slices.values.toSeq
       .flatMap(df => Seq(df.select(col("s").as("value")), df.select(col("o").as("value"))))
+      :+ predNames)
       .reduce(_ unionByName _)
       .distinct()
       .select(xxhash64(col("value")).as("id"), col("value"))

@@ -26,7 +26,13 @@ object BgpQueries {
     storeCache.synchronized {
       storeCache.getOrElseUpdate((s, dir, encoded), {
         val base = TripleStore.fromStarSchema(s, dir)
-        if (encoded) TripleStore.encode(base) else base
+        if (encoded) {
+          // the dictionary is the one derived artifact a real engine
+          // keeps materialized (RDF-3X does exactly this on disk) —
+          // cache it; slices stay as pruned scans
+          val enc = TripleStore.encode(base)
+          enc.copy(dict = enc.dict.map(_.cache()))
+        } else base
       })
     }
 

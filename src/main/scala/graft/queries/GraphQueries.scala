@@ -18,8 +18,18 @@ object GraphQueries {
   private val entityPreds =
     Seq("nationkey", "regionkey", "custkey", "contains", "suppliedby", "supplies")
 
+  // Memoize + cache the graph per (session, dir): the three analytics
+  // queries share one construction, and the iterative algorithms
+  // (Pregel) re-visit the edge RDD every superstep — caching it is the
+  // difference between O(iters) and O(iters × rebuild) scans.
+  private val graphCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), org.apache.spark.graphx.Graph[String, String]]
+
   private def graph(s: SparkSession, dir: String) =
-    RdfGraph.fromStore(TripleStore.fromStarSchema(s, dir), entityPreds)
+    graphCache.synchronized {
+      graphCache.getOrElseUpdate((s, dir),
+        RdfGraph.fromStore(TripleStore.fromStarSchema(s, dir), entityPreds).cache())
+    }
 
   /** The same edge list, relationally, for the oracle. */
   private val edgesSql =
