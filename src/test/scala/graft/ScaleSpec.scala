@@ -1,0 +1,85 @@
+package graft
+
+import graft.scale.SkewOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-hygiene specs: salting correctness, bucketed co-located
+  * joins, and plan-shape assertions (the properties that matter at
+  * 100 TB, checked on small data by reading the physical plan).
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  test("saltedJoin equals plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows of hot key 1 + tail
+    val left = spark.range(10000).select(lit(1L).as("k"), $"id".as("lv"))
+      .unionByName(spark.range(100).select(($"id" + 2).as("k"), $"id".as("lv")))
+    val right = Seq((1L, "hot"), (2L, "cold"), (3L, "cool"))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+      .collect().map(_.toSeq).toSeq
+    val salted = SkewOps.saltedJoin(left, right, "k", buckets = 8)
+      .select("k", "lv", "rv").orderBy("k", "lv")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("nullSkewJoin preserves left-join semantics for null FKs") {
+    import spark.implicits._
+    val left = Seq((Some(1L), "a"), (None, "b"), (None, "c"))
+      .toDF("k", "lv")
+    val right = Seq((1L, "r1")).toDF("k", "rv")
+    val inner = SkewOps.nullSkewJoin(left, right, "k", keepUnmatched = false)
+    assert(inner.count() == 1)
+    val outer = SkewOps.nullSkewJoin(left, right, "k", keepUnmatched = true)
+    val rows = outer.collect().map(r => (r.getAs[Any]("lv"), r.getAs[Any]("rv"))).toSet
+    assert(rows == Set(("a", "r1"), ("b", null), ("c", null)))
+  }
+
+  test("saltedAgg equals plain aggregation") {
+    import spark.implicits._
+    val df = spark.range(10000)
+      .select(($"id" % 3).as("k"), ($"id" % 7).cast("double").as("v"))
+    val plain = df.groupBy($"k").agg(sum($"v").as("v"))
+      .as[(Long, Double)].collect().toMap
+    val salted = SkewOps.saltedAgg(df, "k", "v", sum, sum, buckets = 16)
+      .as[(Long, Double)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+    Tables.t(s2, "/root/testdata/sf0.001", "orders")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    Tables.t(s2, "/root/testdata/sf0.001", "lineitem")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+
+    val joined = s2.table("orders_b").join(s2.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val physical = joined.queryExecution.executedPlan.toString
+    // both sides read pre-bucketed files: no shuffle exchange at all
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$physical")
+    assert(joined.count() ==
+      Tables.t(s2, "/root/testdata/sf0.001", "lineitem").count())
+  }
+
+  test("headline plans push filters into the parquet scan") {
+    val df = SparkEntry.queries("q03_shipping_priority")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      "expected parquet-level pushed filters")
+  }
+}
