@@ -24,9 +24,10 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong=true it arrives as a Long of
     * epoch-nanos. Convert to a µs timestamp with integer division (a
-    * double division would lose precision at 1.7e18 ns).
+    * double division would lose precision at 1.7e18 ns). Public so
+    * streaming readers of the same files can apply it too.
     */
-  private def normalizeEvents(df: DataFrame): DataFrame =
+  def normalizeEvents(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     else df

@@ -70,6 +70,19 @@ object StreamOps {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: first occurrence of each key wins;
+    * dropDuplicatesWithinWatermark bounds the dedup state to the
+    * watermark horizon (without it, streaming dedup state grows
+    * forever — the difference between a demo and a pipeline that
+    * survives week-long runs). This is the streaming arm of the batch
+    * dedup family (DedupQueries q43).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      allowed: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", allowed)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom-state sessionizer: flatMapGroupsWithState keyed by user,
     * emitting a [[Session]] when the 30-min gap elapses (event-time
     * timeout) or a later event implies the previous session closed.

@@ -88,6 +88,58 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first occurrence, bounded by watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.dedupStream(src.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        ev(1, "2024-01-01 09:00:00", 1), ev(1, "2024-01-01 09:00:00", 1),
+        ev(2, "2024-01-01 09:01:00", 1))
+      q.processAllAvailable()
+      src.addData(ev(1, "2024-01-01 09:02:00", 1)) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("file-source stream end-to-end equals the batch window aggregate") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.Tables.t(spark, dir, "events")
+    // the file stream source wants a directory; stage the fixture file
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    // stream sees the RAW file schema (ts = epoch-nanos long), then the
+    // same normalization the batch loader applies
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.Tables.normalizeEvents(
+      spark.readStream.schema(rawSchema).format("parquet")
+        .load(stageDir.toString))
+    val q = StreamOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_windows")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("file_windows")
+        .select($"win_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      val batch = StreamOps.tumblingCounts(batchDf)
+        .select($"win_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch and streaming session_window agree on the events fixture") {
     import spark.implicits._
     val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
