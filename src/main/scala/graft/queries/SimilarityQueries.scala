@@ -182,6 +182,31 @@ object SimilarityQueries {
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .filter($"rank" <= 5)
       },
-      None)
+      None),
+
+    // array scalar-function surface over the embedding column (size /
+    // indexing / min-max / lambda filter — all order-independent, so
+    // float values compare exactly after the lossless float→double cast)
+    GQuery(
+      "q57_array_funcs",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "embeddings").select(
+          $"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          element_at($"embedding", 1).cast("double").as("first_val"),
+          element_at($"embedding", -1).cast("double").as("last_val"),
+          array_max($"embedding").cast("double").as("max_val"),
+          array_min($"embedding").cast("double").as("min_val"),
+          expr("cast(size(filter(embedding, x -> x > 0)) as bigint)").as("n_pos"))
+      },
+      Some("""SELECT vec_id,
+             |  len(embedding) AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS first_val,
+             |  CAST(embedding[-1] AS DOUBLE) AS last_val,
+             |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+             |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
+             |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+             |FROM embeddings""".stripMargin))
   )
 }
