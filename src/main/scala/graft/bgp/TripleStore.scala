@@ -104,6 +104,29 @@ object TripleStore {
     TripleStore(slices, None)
   }
 
+  /** Persist a string-form store as parquet partitioned by predicate —
+    * the on-disk layout of the vertical partitioning: one directory
+    * per `p=...`, so a constant-predicate pattern scan is answered by
+    * partition pruning (see [[fromPartitionedParquet]]).
+    */
+  def writePartitioned(store: TripleStore, path: String): Unit =
+    store.unionView.write.mode("overwrite").partitionBy("p").parquet(path)
+
+  /** Load a store from the partitioned layout. The predicate inventory
+    * comes from the partition directory names (a metadata-only query —
+    * no data files are read), and each slice is a filter on the
+    * partition column that Catalyst turns into `PartitionFilters` on
+    * the scan: touching one predicate reads one directory.
+    */
+  def fromPartitionedParquet(spark: SparkSession, path: String): TripleStore = {
+    val df = spark.read.parquet(path)
+    val preds = df.select(col("p")).distinct().collect().map(_.getString(0))
+    val slices = preds.map { p =>
+      p -> df.filter(col("p") === p).select(col("s"), col("o"))
+    }.toMap
+    TripleStore(slices, None)
+  }
+
   /** Dictionary-encode a string-form store: slice values → xxhash64
     * IDs, dict → (id, value) over the union of all s/o positions — one
     * distinct over the data, no driver collect.

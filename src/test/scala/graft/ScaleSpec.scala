@@ -75,6 +75,28 @@ class ScaleSpec extends AnyFunSuite {
       Tables.t(s2, "/root/testdata/sf0.001", "lineitem").count())
   }
 
+  test("p-partitioned triple store answers pattern scans by partition pruning") {
+    import graft.bgp.{BgpPlanner, TripleStore}
+    val st = TripleStore.fromStarSchema(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString + "/triples"
+    TripleStore.writePartitioned(st, dir)
+
+    val onDisk = TripleStore.fromPartitionedParquet(spark, dir)
+    assert(onDisk.slices.keySet == st.slices.keySet)
+
+    // the physical scan of one slice carries a partition filter on p
+    val plan = onDisk.slices("contains").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "p#\\d+ = contains".r.findFirstIn(plan).isDefined,
+      s"expected partition-pruned scan, got:\n$plan")
+
+    // and BGP answers over the on-disk store match the derived store
+    val q = "select ?o ?p where { ?o contains ?p . ?o status \"F\" }"
+    val a = BgpPlanner.query(st, q).collect().map(_.toSeq).toSet
+    val b = BgpPlanner.query(onDisk, q).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("headline plans push filters into the parquet scan") {
     val df = SparkEntry.queries("q03_shipping_priority")(
       spark, "/root/testdata/sf0.001")
