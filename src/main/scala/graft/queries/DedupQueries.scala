@@ -173,6 +173,68 @@ object DedupQueries {
              |         FROM bands x JOIN bands y
              |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
              |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-             |FROM cand WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 8""".stripMargin))
+             |FROM cand WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 8""".stripMargin)),
+
+    // capstone: the composed training-data pipeline — quality-filter
+    // documents, drop near-duplicates (Jaccard ≥ 0.6 keeps the lowest
+    // doc_id), report per-language corpus stats. One declarative plan:
+    // Catalyst fuses the quality filter into the scan, the dedup
+    // anti-join is candidate-generated (shingle band join), and the
+    // final rollup is a partial-aggregated groupBy.
+    GQuery(
+      "q58_training_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", split($"text", " ").as("w"))
+          .select($"doc_id", $"lang",
+            size($"w").as("n"), size(array_distinct($"w")).as("nu"),
+            expr("size(filter(w, t -> t IN ('the', 'a')))").as("stop"))
+          .withColumn("quality",
+            $"nu" * lit(1.0) / $"n" * lit(0.5)
+              + least($"n", lit(50)) * lit(1.0) / lit(50.0) * lit(0.3)
+              + (lit(1.0) - $"stop" * lit(1.0) / $"n") * lit(0.2))
+          .filter($"quality" >= 0.5)
+        val sh = shingles(s, dir)
+        val card = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val dupIds = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(card.select($"doc_id".as("d1"), $"nsh".as("n1")), Seq("d1"))
+          .join(card.select($"doc_id".as("d2"), $"nsh".as("n2")), Seq("d2"))
+          .filter($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter") >= 0.6)
+          .select($"d2".as("doc_id")).distinct()
+        docs.join(dupIds, Seq("doc_id"), "left_anti")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n").cast("long").as("total_tokens"),
+            OracleNum.davg($"quality").as("avg_quality"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |q AS (SELECT doc_id, lang,
+              |    len(string_split(text, ' ')) AS n,
+              |    len(list_distinct(string_split(text, ' '))) AS nu,
+              |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS stop
+              |  FROM documents),
+              |scored AS (SELECT doc_id, lang, n,
+              |    nu * 1.0 / n * 0.5 + least(n, 50) * 1.0 / 50.0 * 0.3
+              |      + (1.0 - stop * 1.0 / n) * 0.2 AS quality
+              |  FROM q),
+              |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+              |card AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |dup AS (SELECT DISTINCT d2 AS doc_id
+              |        FROM inter
+              |        JOIN card c1 ON c1.doc_id = d1
+              |        JOIN card c2 ON c2.doc_id = d2
+              |        WHERE inter * 1.0 / (c1.nsh + c2.nsh - inter) >= 0.6)
+              |SELECT lang, count(*) AS n_docs,
+              |  CAST(sum(n) AS BIGINT) AS total_tokens,
+              |  sum(floor(quality * 10000 + 0.5)) / 10000 / count(*) AS avg_quality
+              |FROM kept ANTI JOIN dup USING (doc_id)
+              |GROUP BY lang""".stripMargin))
   )
 }
