@@ -123,6 +123,25 @@ object WindowQueries {
       },
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
              |  sum(floor((o_totalprice) * 10000 + 0.5)) / 10000 / count(*) AS avg_price
-             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin))
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // explicit GROUPING SETS (arbitrary set list + grouping() marker);
+    // spark.sql text because the set-list form is SQL-only surface
+    GQuery(
+      "q59_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |  count(*) AS n,
+            |  cast(grouping(o_orderstatus) as bigint) AS g_status
+            |FROM orders_gs
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+            |""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin))
   )
 }
