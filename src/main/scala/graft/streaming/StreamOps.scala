@@ -70,6 +70,28 @@ object StreamOps {
         col("session_window.end").as("sess_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: clicks joined to the purchases of
+    * the same user within the following hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's state is droppable once the other side's watermark
+    * passes the interval — the canonical bounded-state two-stream
+    * join.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      allowed: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", allowed)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", allowed)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: first occurrence of each key wins;
     * dropDuplicatesWithinWatermark bounds the dedup state to the
     * watermark horizon (without it, streaming dedup state grows

@@ -140,6 +140,27 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the hour window") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 09:00:00", 1), ev(2, "2024-01-01 12:00:00", 1))
+      purchases.addData(
+        ev(10, "2024-01-01 09:30:00", 1, "purchase", 42.0), // within 1h of click 1
+        ev(11, "2024-01-01 11:00:00", 1, "purchase", 7.0))  // matches no click
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("batch and streaming session_window agree on the events fixture") {
     import spark.implicits._
     val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
