@@ -97,19 +97,26 @@ object BgpPlanner {
     val scans: Seq[(TriplePattern, DataFrame)] =
       q.patterns.map(p => p -> patternScan(store, p, encode))
 
-    // Greedy join order: seed with the most-constant (most selective)
-    // pattern, then always join a pattern sharing ≥1 variable; fall
-    // back to crossJoin only for genuinely disconnected components.
-    val seedIdx = scans.indices.maxBy { i =>
-      3 - q.patterns(i).vars.distinct.size
-    }
+    // Greedy join order — DREAM enumerates and costs candidate plans
+    // from measured sizes (Optimizer.cpp:63-103); the Spark-side
+    // analog orders the join chain by a static selectivity proxy
+    // (#constants in the pattern: a 2-constant pattern scans a thin
+    // filtered slice, an all-variable pattern a whole slice), growing
+    // only along shared variables, with AQE correcting strategy/skew
+    // at runtime from real sizes. Catalyst's CBO join reorder needs
+    // catalog stats, which path-derived DataFrames lack, so the chain
+    // order chosen here is the executed join order.
+    def constness(i: Int): Int = 3 - q.patterns(i).vars.distinct.size
+    val seedIdx = scans.indices.maxBy(constness)
     var joined = scans(seedIdx)._2
     var done = Set(seedIdx)
     var cols = joined.columns.toSet
     while (done.size < scans.size) {
-      val next = scans.indices.filterNot(done)
-        .find(i => scans(i)._2.columns.exists(cols))
-        .getOrElse(scans.indices.filterNot(done).head)
+      val remaining = scans.indices.filterNot(done)
+      val connected = remaining.filter(i => scans(i)._2.columns.exists(cols))
+      val next =
+        if (connected.nonEmpty) connected.maxBy(constness)
+        else remaining.maxBy(constness)
       val (_, scan) = scans(next)
       val common = scan.columns.filter(cols).toSeq
       joined =
