@@ -90,34 +90,30 @@ object BgpPlanner {
   /** Build the join-chain plan over a triple store. Returns columns =
     * SELECT vars, lexicographically sorted.
     */
-  def plan(store: TripleStore, q: BgpQuery): DataFrame = {
-    val encode: String => Column =
-      if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
-
-    val scans: Seq[(TriplePattern, DataFrame)] =
-      q.patterns.map(p => p -> patternScan(store, p, encode))
-
-    // Greedy join order — DREAM enumerates and costs candidate plans
-    // from measured sizes (Optimizer.cpp:63-103); the Spark-side
-    // analog orders the join chain by a static selectivity proxy
-    // (#constants in the pattern: a 2-constant pattern scans a thin
-    // filtered slice, an all-variable pattern a whole slice), growing
-    // only along shared variables, with AQE correcting strategy/skew
-    // at runtime from real sizes. Catalyst's CBO join reorder needs
-    // catalog stats, which path-derived DataFrames lack, so the chain
-    // order chosen here is the executed join order.
-    def constness(i: Int): Int = 3 - q.patterns(i).vars.distinct.size
+  /** Greedy join chain — DREAM enumerates and costs candidate plans
+    * from measured sizes (Optimizer.cpp:63-103); the Spark-side
+    * analog orders the chain by a static selectivity proxy
+    * (#constants in the pattern: a 2-constant pattern scans a thin
+    * filtered slice, an all-variable pattern a whole slice), growing
+    * only along shared variables, with AQE correcting strategy/skew
+    * at runtime from real sizes. Catalyst's CBO join reorder needs
+    * catalog stats, which path-derived DataFrames lack, so the chain
+    * order chosen here is the executed join order.
+    */
+  private def chain(patterns: Seq[TriplePattern],
+      scans: Seq[DataFrame]): DataFrame = {
+    def constness(i: Int): Int = 3 - patterns(i).vars.distinct.size
     val seedIdx = scans.indices.maxBy(constness)
-    var joined = scans(seedIdx)._2
+    var joined = scans(seedIdx)
     var done = Set(seedIdx)
     var cols = joined.columns.toSet
     while (done.size < scans.size) {
       val remaining = scans.indices.filterNot(done)
-      val connected = remaining.filter(i => scans(i)._2.columns.exists(cols))
+      val connected = remaining.filter(i => scans(i).columns.exists(cols))
       val next =
         if (connected.nonEmpty) connected.maxBy(constness)
         else remaining.maxBy(constness)
-      val (_, scan) = scans(next)
+      val scan = scans(next)
       val common = scan.columns.filter(cols).toSeq
       joined =
         if (common.nonEmpty) joined.join(scan, common, "inner")
@@ -125,8 +121,52 @@ object BgpPlanner {
       cols ++= scan.columns
       done += next
     }
+    joined
+  }
+
+  def plan(store: TripleStore, q: BgpQuery): DataFrame = {
+    val encode: String => Column =
+      if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
+
+    var joined = chain(q.patterns,
+      q.patterns.map(patternScan(store, _, encode)))
+
+    // OPTIONAL blocks: each is its own sub-chain, left-outer joined on
+    // the shared variables (standard SPARQL OPTIONAL ≡ left join)
+    for (block <- q.optionals) {
+      val sub = chain(block, block.map(patternScan(store, _, encode)))
+      val common = sub.columns.filter(joined.columns.toSet).toSeq
+      joined =
+        if (common.nonEmpty) joined.join(sub, common, "left_outer")
+        else joined.crossJoin(sub)
+    }
+
+    // FILTER comparisons, applied post-join. Equality ops work on the
+    // encoded store by encoding the literal; ordering comparisons need
+    // lexical values, so they require a string-form store.
+    for (f <- q.filters) {
+      val c = col(f.variable)
+      val cond = (f.op, f.numeric) match {
+        case ("=", _) => c === encode(f.value)
+        case ("!=", _) => c =!= encode(f.value)
+        case (op, numeric) =>
+          require(!store.encoded,
+            s"FILTER $op needs lexical values; decode the store first")
+          val (l, r) =
+            if (numeric) (c.cast("double"), lit(f.value.toDouble))
+            else (c, lit(f.value): Column)
+          op match {
+            case ">" => l > r
+            case ">=" => l >= r
+            case "<" => l < r
+            case "<=" => l <= r
+          }
+      }
+      joined = joined.filter(cond)
+    }
 
     val projected = joined.select(q.select.distinct.sorted.map(col): _*)
+      .transform(df => if (q.distinct) df.distinct() else df)
     store.dict match {
       case None => projected
       case Some(dict) =>

@@ -19,10 +19,32 @@ object Sparql {
     def vars: Seq[String] = Seq(s, p, o).collect { case Var(n) => n }
   }
 
-  final case class BgpQuery(select: Seq[String], patterns: Seq[TriplePattern])
+  /** A value-level restriction: `FILTER (?v op value)`. `numeric` =
+    * the literal parsed as a number, so compare numerically.
+    */
+  final case class FilterExpr(variable: String, op: String, value: String,
+      numeric: Boolean)
 
-  /** Parse the reference subset. Throws IllegalArgumentException on
-    * queries outside the grammar.
+  /** Extended BGP: the reference grammar (patterns only) plus the
+    * standard SPARQL extensions the reference lacks — DISTINCT,
+    * FILTER comparisons, OPTIONAL blocks (SURVEY.md §2.2 "Absent"
+    * rows; planner maps them to distinct / post-join filter /
+    * left-outer join).
+    */
+  final case class BgpQuery(
+      select: Seq[String],
+      patterns: Seq[TriplePattern],
+      optionals: Seq[Seq[TriplePattern]] = Nil,
+      filters: Seq[FilterExpr] = Nil,
+      distinct: Boolean = false)
+
+  private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
+  private val filterRe = "(?is)filter\\s*\\(([^)]*)\\)".r
+  private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
+  private val numberRe = "^-?\\d+(\\.\\d+)?$".r
+
+  /** Parse the reference subset + extensions. Throws
+    * IllegalArgumentException on queries outside the grammar.
     */
   def parse(query: String): BgpQuery = {
     val lower = query.trim
@@ -31,8 +53,10 @@ object Sparql {
     require(selIdx == 0, s"query must start with 'select': $query")
     require(whereIdx > 0, s"query must contain 'where': $query")
 
-    val selectVars = lower.substring("select".length, whereIdx)
+    val selClause = lower.substring("select".length, whereIdx)
       .split("\\s+").filter(_.nonEmpty).toSeq
+    val isDistinct = selClause.headOption.exists(_.equalsIgnoreCase("distinct"))
+    val selectVars = (if (isDistinct) selClause.tail else selClause)
       .map { tok =>
         require(tok.startsWith("?"), s"SELECT clause allows only ?vars, got: $tok")
         tok.drop(1)
@@ -41,26 +65,52 @@ object Sparql {
     val body0 = lower.substring(whereIdx + "where".length).trim
     require(body0.startsWith("{") && body0.endsWith("}"),
       s"where clause must be braced: $query")
-    val body = body0.drop(1).dropRight(1).trim
+    val bodyFull = body0.drop(1).dropRight(1).trim
 
-    // patterns separated by '.' tokens; tokens separated by whitespace.
-    // A '.' only counts as a separator when it stands alone (URIs and
-    // literals may contain dots).
-    val patterns = body.split("\\s+\\.\\s+|\\s+\\.$").toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    // pull extension clauses out first; the remainder is the
+    // reference's plain dot-separated pattern list
+    val optionals = optionalRe.findAllMatchIn(bodyFull)
+      .map(m => parsePatterns(m.group(1))).toSeq
+    val filters = filterRe.findAllMatchIn(bodyFull).map { m =>
+      m.group(1).trim match {
+        case filterExprRe(v, op, raw) =>
+          val value = term(raw.trim) match {
+            case Const(c) => c
+            case Var(n) =>
+              throw new IllegalArgumentException(
+                s"FILTER right side must be a constant, got ?$n")
+          }
+          FilterExpr(v, op, value, numberRe.matches(raw.trim))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported FILTER: $other")
+      }
+    }.toSeq
+    val body = filterRe.replaceAllIn(
+      optionalRe.replaceAllIn(bodyFull, ""), "").trim
+
+    val patterns = parsePatterns(body)
+    require(patterns.nonEmpty, s"empty BGP: $query")
+
+    val known = (patterns ++ optionals.flatten).flatMap(_.vars).toSet
+    selectVars.foreach(v =>
+      require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
+    filters.foreach(f =>
+      require(known.contains(f.variable), s"FILTER var ?${f.variable} not bound"))
+    BgpQuery(selectVars, patterns, optionals, filters, isDistinct)
+  }
+
+  /** Dot-separated triple patterns; a '.' only separates when it
+    * stands alone (URIs and literals may contain dots).
+    */
+  private def parsePatterns(body: String): Seq[TriplePattern] =
+    body.split("\\s+\\.\\s+|\\s+\\.$|^\\.\\s+").toSeq
+      .map(_.trim).filter(s => s.nonEmpty && s != ".")
       .map { pat =>
         // tokens: <uri> | "literal" (may contain spaces) | bare word
         val toks = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(pat).toSeq
         require(toks.length == 3, s"triple pattern needs 3 terms, got '${pat}'")
         TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
       }
-    require(patterns.nonEmpty, s"empty BGP: $query")
-
-    val known = patterns.flatMap(_.vars).toSet
-    selectVars.foreach(v =>
-      require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
-    BgpQuery(selectVars, patterns)
-  }
 
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))

@@ -97,6 +97,39 @@ class BgpSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("OPTIONAL block left-joins: unmatched side yields null") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E } }""")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // prof:2 works for dept:1 but has no email triple
+    assert(rows == Set(
+      ("prof:0", "p0@u.edu"), ("prof:1", "p1@u.edu"), ("prof:2", null)))
+  }
+
+  test("FILTER restricts post-join (equality and ordering)") {
+    val eq = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor dept:0 . ?A name ?N . FILTER (?N = "FullProfessor1") }""")
+    assert(eq.collect().map(_.getString(0)).toSeq == Seq("prof:1"))
+    val ord = BgpPlanner.query(tinyStore,
+      """select ?A ?N where { ?A name ?N . FILTER (?N > "FullProfessor0") }""")
+    assert(ord.collect().map(_.getString(1)).toSet == Set("FullProfessor1"))
+  }
+
+  test("FILTER equality works on the dictionary-encoded store") {
+    val enc = TripleStore.encode(tinyStore)
+    val out = BgpPlanner.query(enc,
+      """select ?A where { ?A worksFor dept:0 . ?A name ?N . FILTER (?N != "FullProfessor1") }""")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("prof:0"))
+  }
+
+  test("SELECT DISTINCT collapses duplicate bindings") {
+    val bag = BgpPlanner.query(tinyStore,
+      "select ?D where { ?A worksFor ?D }")
+    val set = BgpPlanner.query(tinyStore,
+      "select distinct ?D where { ?A worksFor ?D }")
+    assert(bag.count() == 3 && set.count() == 2)
+  }
+
   test("disconnected BGP components produce a cross product") {
     val out = BgpPlanner.query(tinyStore,
       "select ?A ?S where { ?A worksFor dept:1 . ?S memberOf dept:0 }")
