@@ -65,6 +65,11 @@ object TripleStore {
     def so(df: DataFrame, s: Column, o: Column): DataFrame =
       df.select(s.as("s"), o.cast("string").as("o"))
 
+    // third element: does the derivation already guarantee (s,o)
+    // uniqueness? True for every slice projected from a keyed table
+    // (one row per key ⇒ unique s; table-prefixed URIs keep unions
+    // disjoint); only the lineitem-derived edges can repeat, so only
+    // they pay a dedup shuffle.
     val parts: Seq[(String, DataFrame)] = Seq(
       "rdf:type" -> so(cust, uri("customer", col("c_custkey")), lit("Customer")),
       "nationkey" -> so(cust, uri("customer", col("c_custkey")), uri("nation", col("c_nationkey"))),
@@ -84,8 +89,10 @@ object TripleStore {
       "suppliedby" -> so(li, uri("order", col("l_orderkey")), uri("supplier", col("l_suppkey"))),
       "supplies" -> so(li, uri("supplier", col("l_suppkey")), uri("part", col("l_partkey"))))
 
+    val needsDedup = Set("contains", "suppliedby", "supplies")
     val slices = parts.groupBy(_._1).map { case (p, xs) =>
-      p -> xs.map(_._2).reduce(_ unionByName _).distinct()
+      val u = xs.map(_._2).reduce(_ unionByName _)
+      p -> (if (needsDedup(p)) u.distinct() else u)
     }
     TripleStore(slices, None)
   }
