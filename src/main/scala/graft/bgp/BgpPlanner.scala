@@ -80,8 +80,10 @@ object BgpPlanner {
     val filtered = constFilter.foldLeft(base)((df, f) => df.filter(f))
     val varPos = pos.collect { case (c, Var(n)) => (c, n) }
     // repeated variable inside one pattern ⇒ positions must be equal
+    // (pairwise against the first occurrence — a chained reduce of ===
+    // would compare a boolean to the third column)
     val dupFilters = varPos.groupBy(_._2).values.filter(_.size > 1)
-      .map(g => g.map(x => col(x._1)).reduce(_ === _))
+      .map(g => g.tail.map(x => col(g.head._1) === col(x._1)).reduce(_ && _))
     val selfEq = dupFilters.foldLeft(filtered)((df, f) => df.filter(f))
     val firstPos = varPos.groupBy(_._2).map { case (n, xs) => xs.head._1 -> n }
     selfEq.select(firstPos.toSeq.map { case (c, n) => col(c).as(n) }: _*)
