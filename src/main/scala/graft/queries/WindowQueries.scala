@@ -142,6 +142,31 @@ object WindowQueries {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
              |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
              |FROM orders
-             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin))
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())""".stripMargin)),
+
+    // top-k per key via the bounded-heap Aggregator (map-side partial
+    // merge shuffles ≤k rows per key per partition, vs the window
+    // spelling shuffling and sorting every row — q24 is the window
+    // twin of this query); oracle = the equivalent window SQL
+    GQuery(
+      "q60_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{col, explode, udaf}
+        val top3 = udaf(new graft.functions.TopKAggregator(3))
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
+          .select($"o_orderpriority", explode($"top").as("e"))
+          .select($"o_orderpriority",
+            col("e._2").as("o_orderkey"),
+            col("e._1").as("o_totalprice"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3""".stripMargin))
   )
 }
