@@ -140,7 +140,9 @@ object BgpPlanner {
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(sub, common, "left_outer")
-        else joined.crossJoin(sub)
+        // disconnected OPTIONAL still keeps unmatched rows (a crossJoin
+        // would drop every row when the block is empty)
+        else joined.join(sub, lit(true), "left_outer")
     }
 
     // FILTER comparisons, applied post-join. Equality ops work on the

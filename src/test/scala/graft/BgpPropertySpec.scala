@@ -16,7 +16,10 @@ class BgpPropertySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local("4")
 
-  /** Naive evaluator: enumerate all bindings pattern-by-pattern. */
+  /** Naive evaluator: enumerate all bindings pattern-by-pattern;
+    * OPTIONAL keeps the env when the block has no extension (unbound
+    * SELECT vars project as null — SPARQL left-join semantics).
+    */
   private def naive(triples: Seq[(String, String, String)],
       q: BgpQuery): Set[Seq[String]] = {
     def matches(t: (String, String, String), p: TriplePattern,
@@ -35,10 +38,33 @@ class BgpPropertySpec extends AnyFunSuite {
         e3 <- unify(p.o, t._3, e2)
       } yield e3
     }
-    var envs = Set(Map.empty[String, String])
-    for (p <- q.patterns)
-      envs = envs.flatMap(env => triples.flatMap(t => matches(t, p, env)))
-    envs.map(env => q.select.distinct.sorted.map(env))
+    def expand(envs: Set[Map[String, String]],
+        ps: Seq[TriplePattern]): Set[Map[String, String]] =
+      ps.foldLeft(envs)((es, p) =>
+        es.flatMap(env => triples.flatMap(t => matches(t, p, env))))
+
+    var envs = expand(Set(Map.empty[String, String]), q.patterns)
+    for (block <- q.optionals)
+      envs = envs.flatMap { env =>
+        val ext = expand(Set(env), block)
+        if (ext.nonEmpty) ext else Set(env)
+      }
+    envs = envs.filter { env =>
+      q.filters.forall { f =>
+        env.get(f.variable) match {
+          case None => false
+          case Some(v) => f.op match {
+            case "=" => v == f.value
+            case "!=" => v != f.value
+            case ">" => v > f.value
+            case ">=" => v >= f.value
+            case "<" => v < f.value
+            case "<=" => v <= f.value
+          }
+        }
+      }
+    }
+    envs.map(env => q.select.distinct.sorted.map(env.getOrElse(_, null)))
   }
 
   test("planner equals brute-force evaluation on 40 random stores/queries") {
@@ -75,6 +101,51 @@ class BgpPropertySpec extends AnyFunSuite {
         assert(got == want,
           s"round $round: patterns=$patterns select=$select store=$triples\n" +
             s"got ${got.size} rows, want ${want.size}")
+      }
+    }
+  }
+
+  test("planner equals brute-force with OPTIONAL blocks and FILTERs (30 random)") {
+    import spark.implicits._
+    import graft.bgp.Sparql.FilterExpr
+    val rnd = new Random(424242L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+
+    for (round <- 0 until 30) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val required = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val optionals = Seq.fill(rnd.nextInt(2))(Seq.fill(1 + rnd.nextInt(2))(randPattern()))
+      val reqVars = required.flatMap(_.vars).distinct
+      val allVars = (required ++ optionals.flatten).flatMap(_.vars).distinct
+      if (reqVars.nonEmpty) {
+        // filter only on required-bound vars (filtering an optional var
+        // that may be unbound is a deliberately unsupported corner)
+        val filters =
+          if (rnd.nextBoolean() && reqVars.nonEmpty)
+            Seq(FilterExpr(reqVars(rnd.nextInt(reqVars.size)),
+              Vector("=", "!=", "<", ">=")(rnd.nextInt(4)),
+              ents(rnd.nextInt(ents.size)), numeric = false))
+          else Nil
+        val select = rnd.shuffle(allVars).take(1 + rnd.nextInt(allVars.size))
+        val q = BgpQuery(select, required, optionals, filters)
+
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want,
+          s"round $round: req=$required opt=$optionals filt=$filters " +
+            s"select=$select store=$triples\ngot=${got.size} want=${want.size}")
       }
     }
   }
