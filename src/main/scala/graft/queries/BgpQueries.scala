@@ -93,6 +93,31 @@ object BgpQueries {
 
     // same star query through the dictionary-encoded path (xxhash64 IDs
     // + broadcast-dict decode) — must be observationally identical
-    GQuery("q33_bgp_dict_encoded", bgp(starQuery, encoded = true), Some(starOracle))
+    GQuery("q33_bgp_dict_encoded", bgp(starQuery, encoded = true), Some(starOracle)),
+
+    // grammar extension: OPTIONAL ≡ left join (nations with their
+    // region name, suppliers optional)
+    GQuery(
+      "q61_bgp_optional",
+      bgp("""select ?n ?rn ?s where {
+            | ?n rdf:type "Nation" .
+            | ?n regionkey ?r .
+            | ?r name ?rn .
+            | OPTIONAL { ?s nationkey ?n . ?s rdf:type "Supplier" } }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, r_name AS rn,
+             |  'supplier:' || s_suppkey AS s
+             |FROM nation
+             |JOIN region ON n_regionkey = r_regionkey
+             |LEFT JOIN supplier ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // grammar extension: FILTER comparison + SELECT DISTINCT
+    GQuery(
+      "q62_bgp_filter_distinct",
+      bgp("""select distinct ?seg where {
+            | ?c mktsegment ?seg .
+            | ?c rdf:type "Customer" .
+            | FILTER (?seg != "BUILDING") }""".stripMargin),
+      Some("""SELECT DISTINCT c_mktsegment AS seg
+             |FROM customer WHERE c_mktsegment <> 'BUILDING'""".stripMargin))
   )
 }
