@@ -78,6 +78,35 @@ object GraphQueries {
         RdfGraph.pageRank(graph(s, dir), s)
           .orderBy($"rank".desc, $"entity".asc).limit(20)
       },
-      None)
+      None),
+
+    // transitive closure (SPARQL property-path p+ shape) via semi-naive
+    // fixpoint over each customer's order-succession chain, verified
+    // against DuckDB's WITH RECURSIVE
+    GQuery(
+      "q63_transitive_closure",
+      (s, dir) => {
+        import s.implicits._
+        import graft.Tables.t
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        val edges = t(s, dir, "orders")
+          .withColumn("nk", lead($"o_orderkey", 1).over(w))
+          .filter($"nk".isNotNull)
+          .select($"o_orderkey".as("src"), $"nk".as("dst"))
+        graft.graph.PathOps.transitiveClosure(edges)
+      },
+      Some("""WITH RECURSIVE seq AS (
+             |  SELECT o_orderkey AS k,
+             |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS nk
+             |  FROM orders),
+             |edges AS (SELECT k AS src, nk AS dst FROM seq WHERE nk IS NOT NULL),
+             |closure AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+             |SELECT src, dst FROM closure""".stripMargin))
   )
 }

@@ -46,6 +46,20 @@ class GraphSpec extends AnyFunSuite {
     assert(pr("c") > pr("x") && pr("c") > pr("y"))
   }
 
+  test("transitive closure reaches fixpoint on chains and cycles") {
+    import spark.implicits._
+    import graft.graph.PathOps
+    // chain a->b->c->d
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val cc = PathOps.transitiveClosure(chain).as[(String, String)].collect().toSet
+    assert(cc == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    // cycle a->b->a must terminate and include self-reachability
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val cy = PathOps.transitiveClosure(cyc).as[(String, String)].collect().toSet
+    assert(cy == Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
+  }
+
   test("corpus degree query matches a relational recount") {
     val q = SparkEntry.queries("q53_entity_degrees")(spark, "/root/testdata/sf0.001")
     import spark.implicits._
