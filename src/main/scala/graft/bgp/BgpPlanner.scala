@@ -66,13 +66,19 @@ object BgpPlanner {
     */
   private def patternScan(store: TripleStore, pat: TriplePattern,
       encode: String => Column): DataFrame = {
+    def slice(p: String): DataFrame = store.slices.getOrElse(p, {
+      val any = store.slices.values.head
+      any.filter(lit(false))
+    })
     val (base, pos) = pat.p match {
       case Const(p) =>
-        val slice = store.slices.getOrElse(p, {
-          val any = store.slices.values.head
-          any.filter(lit(false))
-        })
-        (slice, Seq("s" -> pat.s, "o" -> pat.o))
+        (slice(p), Seq("s" -> pat.s, "o" -> pat.o))
+      case PathPlus(p) =>
+        // property path p+ = transitive closure of the predicate slice
+        val closed = graft.graph.PathOps
+          .transitiveClosure(slice(p).toDF("src", "dst"))
+          .toDF("s", "o")
+        (closed, Seq("s" -> pat.s, "o" -> pat.o))
       case Var(_) =>
         (store.unionView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
     }

@@ -13,6 +13,11 @@ object Sparql {
   sealed trait Term
   final case class Var(name: String) extends Term
   final case class Const(value: String) extends Term
+  /** One-or-more property path `p+` (SPARQL 1.1) — only valid at the
+    * predicate position; the planner evaluates the slice's transitive
+    * closure.
+    */
+  final case class PathPlus(predicate: String) extends Term
 
   /** One triple pattern (reference `Condition`, Structs.h:41-48). */
   final case class TriplePattern(s: Term, p: Term, o: Term) {
@@ -90,6 +95,10 @@ object Sparql {
 
     val patterns = parsePatterns(body)
     require(patterns.nonEmpty, s"empty BGP: $query")
+    (patterns ++ optionals.flatten).foreach { p =>
+      require(!p.s.isInstanceOf[PathPlus] && !p.o.isInstanceOf[PathPlus],
+        s"property path + is only valid at the predicate position: $p")
+    }
 
     val known = (patterns ++ optionals.flatten).flatMap(_.vars).toSet
     selectVars.foreach(v =>
@@ -114,6 +123,10 @@ object Sparql {
 
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))
+    else if (tok.endsWith("+") && tok.length > 1) term(tok.dropRight(1)) match {
+      case Const(p) => PathPlus(p)
+      case other => other
+    }
     else if (tok.startsWith("<") && tok.endsWith(">")) Const(tok.drop(1).dropRight(1))
     else if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2)
       Const(tok.drop(1).dropRight(1))

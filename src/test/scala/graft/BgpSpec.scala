@@ -130,6 +130,22 @@ class BgpSpec extends AnyFunSuite {
     assert(bag.count() == 3 && set.count() == 2)
   }
 
+  test("property path p+ evaluates the predicate's transitive closure") {
+    import spark.implicits._
+    val st = TripleStore.fromTriples(Seq(
+      ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d"),
+      ("a", "name", "A")
+    ).toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st, "select ?X where { a next+ ?X }")
+    assert(out.collect().map(_.getString(0)).toSet == Set("b", "c", "d"))
+    // plain (non-path) predicate still single-hop
+    val one = BgpPlanner.query(st, "select ?X where { a next ?X }")
+    assert(one.collect().map(_.getString(0)).toSet == Set("b"))
+    // + is predicate-position only
+    intercept[IllegalArgumentException](
+      Sparql.parse("select ?X where { a+ next ?X }"))
+  }
+
   test("disconnected BGP components produce a cross product") {
     val out = BgpPlanner.query(tinyStore,
       "select ?A ?S where { ?A worksFor dept:1 . ?S memberOf dept:0 }")
