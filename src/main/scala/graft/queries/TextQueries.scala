@@ -124,6 +124,27 @@ object TextQueries {
              |       WHEN fr_hits > 0 THEN 'fr'
              |       ELSE 'und' END AS pred_lang,
              |  count(*) AS n
-             |FROM h GROUP BY 1, 2""".stripMargin))
+             |FROM h GROUP BY 1, 2""".stripMargin)),
+
+    // BPE-style pre-tokenization: runs of letters / digits / single
+    // punctuation (the GPT-2-ish split), compared against whitespace
+    // tokens — the ratio is a fertility proxy a data pipeline tracks
+    GQuery(
+      "q64_bpe_token_count",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+              .cast("long").as("n_bpe"),
+            size(split($"text", " ")).cast("long").as("n_ws"))
+          .withColumn("fertility", $"n_bpe" * lit(1.0) / $"n_ws")
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+             |  len(string_split(text, ' ')) AS n_ws,
+             |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) * 1.0
+             |    / len(string_split(text, ' ')) AS fertility
+             |FROM documents""".stripMargin))
   )
 }
