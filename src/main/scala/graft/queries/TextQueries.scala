@@ -145,6 +145,31 @@ object TextQueries {
              |  len(string_split(text, ' ')) AS n_ws,
              |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) * 1.0
              |    / len(string_split(text, ' ')) AS fertility
+             |FROM documents""".stripMargin)),
+
+    // polynomial rolling hash (h = h·31 + c mod 1e9+7) over the whole
+    // document and over the 64-char prefix window — the Rabin-Karp
+    // fingerprint a shingling/winnowing pipeline builds on; exact
+    // integer folding in both engines
+    GQuery(
+      "q65_rolling_hash",
+      (s, dir) => {
+        import s.implicits._
+        def roll(e: String) =
+          expr(s"aggregate(transform(split($e, ''), ch -> cast(ascii(ch) as bigint)), " +
+            "cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007)")
+        t(s, dir, "documents")
+          .select($"doc_id",
+            roll("text").as("roll_full"),
+            roll("substring(text, 1, 64)").as("roll_prefix64"))
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_full,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(substr(text, 1, 64), ''), ch -> CAST(ascii(ch) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_prefix64
              |FROM documents""".stripMargin))
   )
 }
