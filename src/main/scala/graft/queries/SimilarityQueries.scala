@@ -184,6 +184,72 @@ object SimilarityQueries {
       },
       None),
 
+    // SRP-LSH (signed random projection): bucket = sign bits of dot
+    // products with 8 md5-derived ±1 hyperplanes; candidates share the
+    // bucket, then exact quantized cosine ranks within it. The pure
+    // LSH scale path (no precomputed clusters), deterministic in both
+    // engines because the hyperplanes are hash-derived ±1 vectors and
+    // all dots are exact integers.
+    GQuery(
+      "q66_srp_lsh_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        // plane j, dim i sign = +1 if md5("j:i") first hex nibble even
+        val signsCol = expr(
+          """transform(sequence(0, 7), j ->
+            |  transform(sequence(0, 63), i ->
+            |    CASE WHEN conv(substring(md5(cast(concat(j, ':', i) as binary)), 1, 1), 16, 10) % 2 = 0
+            |         THEN 1 ELSE -1 END))""".stripMargin)
+        val bucketed = e.withColumn("planes", signsCol)
+          .withColumn("bucket",
+            expr("""aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
+                   |  acc * 2 + CASE WHEN aggregate(zip_with(v, element_at(planes, j + 1),
+                   |    (x, sg) -> x * sg), cast(0 as bigint), (a, t) -> a + t) > 0
+                   |  THEN 1 ELSE 0 END)""".stripMargin))
+          .drop("planes")
+        val q = bucketed.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"bucket", $"v".as("qv"), $"nrm".as("qn"))
+        val c = bucketed.select($"vec_id".as("cid"), $"bucket", $"v".as("cv"), $"nrm".as("cn"))
+        val scored = c.join(broadcast(q), Seq("bucket"))
+          .filter($"cid" =!= $"qid")
+          .select($"qid", $"bucket", $"cid",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+      },
+      Some(s"""WITH $quantizedSql,
+              |planes AS (SELECT j.j, i.i,
+              |    CASE WHEN CAST(concat('0x', substr(md5(concat(j.j, ':', i.i)), 1, 1)) AS BIGINT) % 2 = 0
+              |         THEN 1 ELSE -1 END AS sg
+              |  FROM (SELECT unnest(generate_series(0, 7)) AS j) j,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) i),
+              |bits AS (SELECT f.vec_id, p.j,
+              |    CASE WHEN sum(f.x * p.sg) > 0 THEN 1 ELSE 0 END AS bit
+              |  FROM flat f JOIN planes p ON p.i = f.i - 1
+              |  GROUP BY 1, 2),
+              |bk AS (SELECT vec_id, CAST(sum(bit * (CAST(1 AS BIGINT) << (7 - j))) AS BIGINT) AS bucket
+              |       FROM bits GROUP BY 1),
+              |qb AS (SELECT vec_id AS qid, bucket FROM bk WHERE vec_id < 20),
+              |cb AS (SELECT vec_id AS cid, bucket FROM bk),
+              |cand AS (SELECT qid, qb.bucket, cid
+              |         FROM qb JOIN cb ON cb.bucket = qb.bucket AND cid <> qid),
+              |pdots AS (SELECT cand.qid, cand.bucket, cand.cid,
+              |    CAST(sum(a.x * b.x) AS BIGINT) AS dot
+              |  FROM cand
+              |  JOIN flat a ON a.vec_id = cand.qid
+              |  JOIN flat b ON b.vec_id = cand.cid AND b.i = a.i
+              |  GROUP BY 1, 2, 3),
+              |scored AS (SELECT qid, bucket, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM pdots JOIN nrm nq ON nq.vec_id = qid JOIN nrm nc ON nc.vec_id = cid)
+              |SELECT qid, bucket, cid, cos_sim, rank FROM (
+              |  SELECT qid, bucket, cid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+              |  FROM scored)
+              |WHERE rank <= 3""".stripMargin)),
+
     // array scalar-function surface over the embedding column (size /
     // indexing / min-max / lambda filter — all order-independent, so
     // float values compare exactly after the lossless float→double cast)
