@@ -15,6 +15,25 @@ object ScalarQueries {
 
   def all: Seq[GQuery] = Seq(
 
+    // sketch aggregates: HyperLogLog++ distinct counts and t-digest-
+    // style approximate percentiles — the sublinear-memory path for
+    // 100 TB cardinality/quantile questions. Estimates are engine-
+    // specific (rows-only check); SketchSpec bounds their error
+    // against the exact answers
+    GQuery(
+      "q67_sketch_aggregates",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"),
+            countDistinct($"l_orderkey").as("exact_orders"),
+            percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      },
+      None),
+
     // string functions: substring / upper / lower / concat / length / trim / replace
     GQuery(
       "q19_string_funcs",
