@@ -235,6 +235,7 @@ object DedupQueries {
               |  CAST(sum(n) AS BIGINT) AS total_tokens,
               |  sum(floor(quality * 10000 + 0.5)) / 10000 / count(*) AS avg_quality
               |FROM kept ANTI JOIN dup USING (doc_id)
-              |GROUP BY lang""".stripMargin))
+              |GROUP BY lang""".stripMargin),
+      headline = true)
   )
 }

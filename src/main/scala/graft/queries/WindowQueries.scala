@@ -167,6 +167,7 @@ object WindowQueries {
              |    row_number() OVER (PARTITION BY o_orderpriority
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders)
-             |WHERE rn <= 3""".stripMargin))
+             |WHERE rn <= 3""".stripMargin),
+      headline = true)
   )
 }
