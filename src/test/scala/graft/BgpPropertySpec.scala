@@ -105,6 +105,33 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary-encoded path equals brute-force on 15 random stores/queries") {
+    import spark.implicits._
+    val rnd = new Random(777L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 15) {
+      val triples = Seq.fill(3 + rnd.nextInt(9))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val vars = Vector("X", "Y")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      val patterns = Seq.fill(1 + rnd.nextInt(2))(TriplePattern(
+        pos(), Const(preds(rnd.nextInt(preds.size))), pos()))
+      val qVars = patterns.flatMap(_.vars).distinct
+      if (qVars.nonEmpty) {
+        val q = BgpQuery(qVars, patterns)
+        val enc = TripleStore.encode(TripleStore.fromTriples(triples.toDF("s", "p", "o")))
+        val got = BgpPlanner.plan(enc, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want, s"round $round: $patterns over $triples")
+      }
+    }
+  }
+
   test("planner equals brute-force with OPTIONAL blocks and FILTERs (30 random)") {
     import spark.implicits._
     import graft.bgp.Sparql.FilterExpr
