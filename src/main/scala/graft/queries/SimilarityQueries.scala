@@ -250,6 +250,33 @@ object SimilarityQueries {
               |  FROM scored)
               |WHERE rank <= 3""".stripMargin)),
 
+    // cross-modal join: text-quality stats per embedding cluster —
+    // the docs and vectors worlds meet on doc_id = vec_id; at scale
+    // both sides are bucketed on that key (SCALE.md) so this join is
+    // co-located
+    GQuery(
+      "q68_crossmodal_cluster_quality",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", size($"w").as("n"),
+            size(array_distinct($"w")).as("nu"))
+        val vecs = t(s, dir, "embeddings")
+          .select($"vec_id".as("doc_id"), $"label")
+        docs.join(vecs, Seq("doc_id"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n").cast("long").as("total_tokens"),
+            (sum($"nu") * lit(1.0) / sum($"n")).as("uniq_ratio"))
+      },
+      Some("""SELECT label, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  sum(len(list_distinct(string_split(text, ' ')))) * 1.0
+             |    / sum(len(string_split(text, ' '))) AS uniq_ratio
+             |FROM documents JOIN embeddings ON vec_id = doc_id
+             |GROUP BY label""".stripMargin)),
+
     // array scalar-function surface over the embedding column (size /
     // indexing / min-max / lambda filter — all order-independent, so
     // float values compare exactly after the lossless float→double cast)
