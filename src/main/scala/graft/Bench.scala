@@ -26,7 +26,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout is wrapped in sbt's [info] prefix; also write a bare file so
+    // the line stays machine-readable (round-1 BENCH had "parsed": null).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
   }
 }

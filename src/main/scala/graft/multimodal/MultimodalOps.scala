@@ -104,8 +104,9 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val buf = new Array[Float](dim) // per-partition batch buffer
-      it.map(m => (m.media_id, m.kind, FakeCodec.features(m.payload, dim, buf)))
-    }.toDF("media_id", "kind", "features")
+      it.map(m => (m.media_id, m.kind, m.payload.length.toLong,
+        FakeCodec.features(m.payload, dim, buf)))
+    }.toDF("media_id", "kind", "n_bytes", "features")
   }
 
   /** Metadata-pruned resize: only rows failing the size predicate pay

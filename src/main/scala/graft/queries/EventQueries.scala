@@ -67,7 +67,9 @@ object EventQueries {
              |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
              |  FROM g)
-             |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+             |-- CAST: DuckDB widens sum() OVER to HUGEINT, which the pandas
+             |-- harness renders as float64 ("56.0" vs Spark's "56")
+             |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events,
              |  count(*) * 1.0 / max(sess_id) AS events_per_session
              |FROM sess GROUP BY user_id""".stripMargin),
       headline = true),

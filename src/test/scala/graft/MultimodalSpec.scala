@@ -28,11 +28,15 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy($"media_id").collect()
     val f2 = MultimodalOps.extractFeatures(media, dim = 16)
       .orderBy($"media_id").collect()
+    def feats(r: org.apache.spark.sql.Row): Seq[Float] =
+      r.getSeq[Float](r.fieldIndex("features"))
     assert(f1.length == 500)
-    assert(f1.forall(_.getSeq[Float](2).length == 16))
-    assert(f1.map(_.getSeq[Float](2)).toSeq == f2.map(_.getSeq[Float](2)).toSeq)
+    assert(f1.forall(feats(_).length == 16))
+    assert(f1.map(feats).toSeq == f2.map(feats).toSeq)
     // features are chunk means of unsigned bytes scaled to [0,1)
-    assert(f1.flatMap(_.getSeq[Float](2)).forall(v => v >= 0f && v < 1f))
+    assert(f1.flatMap(feats).forall(v => v >= 0f && v < 1f))
+    // n_bytes carries the payload length so downstream never re-reads bytes
+    assert(f1.forall(_.getAs[Long]("n_bytes") > 0L))
   }
 
   test("resize clamps metadata and rewrites only oversized payloads") {
