@@ -32,6 +32,10 @@ object GraftSession {
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed tables here are deliberate secondary layouts (s-bucketed
+      // triples, id-bucketed dict); auto-disabling bucketed scans would
+      // also forfeit bucket-filter pruning (constant-subject patterns)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
       // read as Long and let Tables.t normalize to a µs timestamp.

@@ -54,23 +54,50 @@ object BgpPlanner {
     QueryGraph(degree.keySet.toSet, degree, joinVertices, exclusive, shr)
   }
 
+  /** Canonical pattern key for the measured-cost cache — DREAM keys
+    * its stats files by a canonical condition string
+    * (PlanCostEstimator.cpp:585-655); here constants print verbatim and
+    * variables normalize to first-occurrence indexes, so `?a p ?b` and
+    * `?x p ?y` share a measurement while `?a p ?a` (a self-equality
+    * filter) stays distinct.
+    */
+  def patternKey(pat: TriplePattern): String = {
+    val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def t(term: Term): String = term match {
+      case Var(n) => s"?${idx.getOrElseUpdate(n, idx.size)}"
+      case Const(v) => v
+      case PathPlus(p) => s"$p+"
+      case PathStar(p) => s"$p*"
+    }
+    s"${t(pat.s)} ${t(pat.p)} ${t(pat.o)}"
+  }
+
   /** Compile one pattern to a scan.
     *
     * Constant-predicate patterns (all of the reference's fixtures)
     * dispatch to the predicate's vertical slice — a pruned 2-column
     * scan of one base table; an unknown predicate short-circuits to an
-    * empty relation (entry point C, Proxy.c:71-85). Variable-predicate
-    * patterns fall back to the union view. Remaining constants filter,
-    * variables project/rename, and a repeated variable within one
-    * pattern becomes an equality filter.
+    * empty relation (entry point C, Proxy.c:71-85), as does a pattern
+    * whose measured cardinality is the −1 empty marker (the cached form
+    * of entry point C — no data touched, no path closure built).
+    * Variable-predicate patterns dispatch to the store's s-bucketed
+    * secondary layout when present (the SOP-index analog: a constant
+    * subject prunes to one bucket) and fall back to the union view.
+    * Remaining constants filter, variables project/rename, and a
+    * repeated variable within one pattern becomes an equality filter.
     */
   private def patternScan(store: TripleStore, pat: TriplePattern,
-      encode: String => Column): DataFrame = {
-    def slice(p: String): DataFrame = store.slices.getOrElse(p, {
-      val any = store.slices.values.head
-      any.filter(lit(false))
-    })
+      encode: String => Column,
+      measured: Map[String, Long] = Map.empty): DataFrame = {
+    def emptySlice: DataFrame = store.slices.values.head.filter(lit(false))
+    def slice(p: String): DataFrame = store.slices.getOrElse(p, emptySlice)
+    val knownEmpty = measured.get(patternKey(pat)).contains(-1L)
     val (base, pos) = pat.p match {
+      case _ if knownEmpty && !pat.p.isInstanceOf[Var] =>
+        (emptySlice, Seq("s" -> pat.s, "o" -> pat.o))
+      case _ if knownEmpty =>
+        (emptySlice.withColumn("p", col("s")),
+          Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
       case Const(p) =>
         (slice(p), Seq("s" -> pat.s, "o" -> pat.o))
       case PathPlus(p) =>
@@ -79,8 +106,20 @@ object BgpPlanner {
           .transitiveClosure(slice(p).toDF("src", "dst"))
           .toDF("s", "o")
         (closed, Seq("s" -> pat.s, "o" -> pat.o))
+      case PathStar(p) =>
+        // p* = p+ ∪ identity over the slice's vertex set (SPARQL 1.1
+        // zero-or-more, scoped to the predicate's vertices)
+        val sl = slice(p)
+        val closed = graft.graph.PathOps
+          .transitiveClosure(sl.toDF("src", "dst"))
+          .toDF("s", "o")
+        val identity = sl.select(col("s"))
+          .unionByName(sl.select(col("o").as("s")))
+          .distinct()
+          .select(col("s"), col("s").as("o"))
+        (closed.unionByName(identity).distinct(), Seq("s" -> pat.s, "o" -> pat.o))
       case Var(_) =>
-        (store.unionView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
+        (store.variableView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
     }
     val constFilter = pos.collect { case (c, Const(v)) => col(c) === encode(v) }
     val filtered = constFilter.foldLeft(base)((df, f) => df.filter(f))
@@ -95,54 +134,109 @@ object BgpPlanner {
     selfEq.select(firstPos.toSeq.map { case (c, n) => col(c).as(n) }: _*)
   }
 
-  /** Build the join-chain plan over a triple store. Returns columns =
-    * SELECT vars, lexicographically sorted.
+  /** Static cold-start selectivity proxy as pseudo-rows: a 2-constant
+    * pattern scans a thin filtered slice, an all-variable pattern a
+    * whole slice. Measured cardinalities slot into the same scale.
     */
-  /** Greedy join chain — DREAM enumerates and costs candidate plans
-    * from measured sizes (Optimizer.cpp:63-103); the Spark-side
-    * analog orders the chain by a static selectivity proxy
-    * (#constants in the pattern: a 2-constant pattern scans a thin
-    * filtered slice, an all-variable pattern a whole slice), growing
-    * only along shared variables, with AQE correcting strategy/skew
-    * at runtime from real sizes. Catalyst's CBO join reorder needs
-    * catalog stats, which path-derived DataFrames lack, so the chain
-    * order chosen here is the executed join order.
+  def heuristicCost(pat: TriplePattern): Long =
+    pat.vars.distinct.size match {
+      case 0 | 1 => 1000L
+      case 2 => 1000000L
+      case _ => 1000000000L
+    }
+
+  /** Greedy join-chain order — DREAM's measure-then-plan: the chain
+    * starts at the cheapest pattern (measured rows when a CostStats
+    * measurement exists, the constness heuristic otherwise,
+    * Optimizer.cpp:63-103 / PlanCostEstimator.cpp:585-655) and grows
+    * only along shared variables, so no accidental cartesian products;
+    * AQE corrects join strategy/skew at runtime from real sizes.
+    * Catalyst's CBO join reorder needs catalog stats, which
+    * path-derived DataFrames lack, so the order returned here is the
+    * executed join order. Pure planner-side function, unit-testable.
     */
-  private def chain(patterns: Seq[TriplePattern],
-      scans: Seq[DataFrame]): DataFrame = {
-    def constness(i: Int): Int = 3 - patterns(i).vars.distinct.size
-    val seedIdx = scans.indices.maxBy(constness)
-    var joined = scans(seedIdx)
-    var done = Set(seedIdx)
-    var cols = joined.columns.toSet
-    while (done.size < scans.size) {
-      val remaining = scans.indices.filterNot(done)
-      val connected = remaining.filter(i => scans(i).columns.exists(cols))
+  def chainOrder(patterns: Seq[TriplePattern], cost: Int => Long): Seq[Int] = {
+    val varsOf = patterns.map(_.vars.toSet)
+    val order = scala.collection.mutable.ArrayBuffer(
+      patterns.indices.minBy(cost))
+    var cols = varsOf(order.head)
+    while (order.size < patterns.size) {
+      val remaining = patterns.indices.filterNot(order.contains)
+      val connected = remaining.filter(i => varsOf(i).exists(cols))
       val next =
-        if (connected.nonEmpty) connected.maxBy(constness)
-        else remaining.maxBy(constness)
-      val scan = scans(next)
+        if (connected.nonEmpty) connected.minBy(cost)
+        else remaining.minBy(cost)
+      order += next
+      cols ++= varsOf(next)
+    }
+    order.toSeq
+  }
+
+  private def chain(patterns: Seq[TriplePattern], scans: Seq[DataFrame],
+      measured: Map[String, Long]): DataFrame = {
+    def cost(i: Int): Long = {
+      val m = measured.getOrElse(patternKey(patterns(i)),
+        heuristicCost(patterns(i)))
+      if (m == -1L) 0L else m // known-empty is the cheapest seed of all
+    }
+    val order = chainOrder(patterns, cost)
+    var joined = scans(order.head)
+    var cols = joined.columns.toSet
+    for (i <- order.tail) {
+      val scan = scans(i)
       val common = scan.columns.filter(cols).toSeq
       joined =
         if (common.nonEmpty) joined.join(scan, common, "inner")
         else joined.crossJoin(scan)
       cols ++= scan.columns
-      done += next
     }
     joined
   }
 
-  def plan(store: TripleStore, q: BgpQuery): DataFrame = {
+  def plan(store: TripleStore, q: BgpQuery): DataFrame =
+    plan(store, q, Map.empty[String, Long])
+
+  /** Plan with measured per-pattern cardinalities (rows; −1 = measured
+    * empty). Measurements order the join chain and short-circuit
+    * provably-empty patterns without touching data.
+    */
+  def plan(store: TripleStore, q: BgpQuery,
+      measured: Map[String, Long]): DataFrame = {
     val encode: String => Column =
       if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
 
-    var joined = chain(q.patterns,
-      q.patterns.map(patternScan(store, _, encode)))
+    val mainChain =
+      if (q.patterns.nonEmpty)
+        Some(chain(q.patterns,
+          q.patterns.map(patternScan(store, _, encode, measured)), measured))
+      else None
+
+    // UNION groups: each branch is its own sub-chain; branches combine
+    // as a bag union (reference U1 semantics — never dedups), and the
+    // group joins the main chain on whatever variables they share.
+    val unionDfs = q.unions.map { branches =>
+      branches.map(b =>
+        chain(b, b.map(patternScan(store, _, encode, measured)), measured))
+        .reduce(_ unionByName _)
+    }
+
+    var joined = (mainChain, unionDfs) match {
+      case (Some(m), _) => m
+      case (None, u +: _) => u
+      case (None, _) => throw new IllegalArgumentException("empty BGP")
+    }
+    for (u <- if (mainChain.isDefined) unionDfs else unionDfs.drop(1)) {
+      val common = u.columns.filter(joined.columns.toSet).toSeq
+      joined =
+        if (common.nonEmpty) joined.join(u, common, "inner")
+        else joined.crossJoin(u)
+    }
 
     // OPTIONAL blocks: each is its own sub-chain, left-outer joined on
     // the shared variables (standard SPARQL OPTIONAL ≡ left join)
     for (block <- q.optionals) {
-      val sub = chain(block, block.map(patternScan(store, _, encode)))
+      val sub = chain(block,
+        block.map(patternScan(store, _, encode, measured)), measured)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(sub, common, "left_outer")
@@ -201,4 +295,34 @@ object BgpPlanner {
   /** Parse + plan in one step. */
   def query(store: TripleStore, sparql: String): DataFrame =
     plan(store, Sparql.parse(sparql))
+
+  /** DREAM's enumerate–measure–merge loop (Optimizer.cpp:63-103) over
+    * a persistent [[graft.tools.CostStats]] cache: per-pattern slice
+    * cardinalities missing from the cache are measured once (a count
+    * per pattern — subquery-sized, not plan-sized), recorded, and every
+    * later plan against the same cache orders its join chain by the
+    * measured sizes and short-circuits measured-empty patterns from
+    * the cache alone (entry point C parity, Proxy.c:71-85).
+    */
+  def measureAndPlan(store: TripleStore, q: BgpQuery,
+      stats: graft.tools.CostStats): DataFrame = {
+    val encode: String => Column =
+      if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
+    val allPatterns =
+      (q.patterns ++ q.optionals.flatten ++ q.unions.flatten.flatten)
+    val known = stats.load()
+    allPatterns.map(patternKey).distinct
+      .filterNot(known.contains)
+      .foreach { key =>
+        val pat = allPatterns.find(p => patternKey(p) == key).get
+        stats.measure(key, patternScan(store, pat, encode))
+      }
+    val measured = stats.load().map { case (k, (rows, _)) => k -> rows }
+    plan(store, q, measured)
+  }
+
+  /** Parse + measure + plan in one step. */
+  def queryMeasured(store: TripleStore, sparql: String,
+      stats: graft.tools.CostStats): DataFrame =
+    measureAndPlan(store, Sparql.parse(sparql), stats)
 }

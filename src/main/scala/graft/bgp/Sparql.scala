@@ -18,6 +18,10 @@ object Sparql {
     * closure.
     */
   final case class PathPlus(predicate: String) extends Term
+  /** Zero-or-more property path `p*` (SPARQL 1.1) — `p+` ∪ identity
+    * over the slice's vertex set. Only valid at the predicate position.
+    */
+  final case class PathStar(predicate: String) extends Term
 
   /** One triple pattern (reference `Condition`, Structs.h:41-48). */
   final case class TriplePattern(s: Term, p: Term, o: Term) {
@@ -32,18 +36,25 @@ object Sparql {
 
   /** Extended BGP: the reference grammar (patterns only) plus the
     * standard SPARQL extensions the reference lacks — DISTINCT,
-    * FILTER comparisons, OPTIONAL blocks (SURVEY.md §2.2 "Absent"
-    * rows; planner maps them to distinct / post-join filter /
-    * left-outer join).
+    * FILTER comparisons, OPTIONAL blocks, UNION groups (SURVEY.md §2.2
+    * "Absent" rows; planner maps them to distinct / post-join filter /
+    * left-outer join / bag union).
+    *
+    * `unions`: each element is one `{A} UNION {B} [UNION {C}…]` group —
+    * a list of branches, each branch a pattern list. All branches of a
+    * group must bind the same variable set.
     */
   final case class BgpQuery(
       select: Seq[String],
       patterns: Seq[TriplePattern],
       optionals: Seq[Seq[TriplePattern]] = Nil,
       filters: Seq[FilterExpr] = Nil,
-      distinct: Boolean = false)
+      distinct: Boolean = false,
+      unions: Seq[Seq[Seq[TriplePattern]]] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
+  private val unionChainRe = "(?is)\\{[^{}]*\\}(?:\\s*union\\s*\\{[^{}]*\\})+".r
+  private val braceBlockRe = "(?s)\\{([^{}]*)\\}".r
   private val filterRe = "(?is)filter\\s*\\(([^)]*)\\)".r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
@@ -73,17 +84,28 @@ object Sparql {
     val bodyFull = body0.drop(1).dropRight(1).trim
 
     // pull extension clauses out first; the remainder is the
-    // reference's plain dot-separated pattern list
+    // reference's plain dot-separated pattern list. OPTIONAL blocks go
+    // first so a `{...}` following the keyword is never misread as a
+    // UNION branch.
     val optionals = optionalRe.findAllMatchIn(bodyFull)
       .map(m => parsePatterns(m.group(1))).toSeq
+    val body1 = optionalRe.replaceAllIn(bodyFull, "")
+    val unions = unionChainRe.findAllIn(body1).toSeq
+      .map(chain => braceBlockRe.findAllMatchIn(chain)
+        .map(m => parsePatterns(m.group(1))).toSeq)
+    unions.foreach { branches =>
+      val varSets = branches.map(_.flatMap(_.vars).toSet)
+      require(varSets.distinct.size == 1,
+        s"UNION branches must bind the same variables, got: $varSets")
+    }
     val filters = filterRe.findAllMatchIn(bodyFull).map { m =>
       m.group(1).trim match {
         case filterExprRe(v, op, raw) =>
           val value = term(raw.trim) match {
             case Const(c) => c
-            case Var(n) =>
+            case other =>
               throw new IllegalArgumentException(
-                s"FILTER right side must be a constant, got ?$n")
+                s"FILTER right side must be a constant, got $other")
           }
           FilterExpr(v, op, value, numberRe.matches(raw.trim))
         case other =>
@@ -91,21 +113,23 @@ object Sparql {
       }
     }.toSeq
     val body = filterRe.replaceAllIn(
-      optionalRe.replaceAllIn(bodyFull, ""), "").trim
+      unionChainRe.replaceAllIn(body1, ""), "").trim
 
     val patterns = parsePatterns(body)
-    require(patterns.nonEmpty, s"empty BGP: $query")
-    (patterns ++ optionals.flatten).foreach { p =>
-      require(!p.s.isInstanceOf[PathPlus] && !p.o.isInstanceOf[PathPlus],
-        s"property path + is only valid at the predicate position: $p")
+    require(patterns.nonEmpty || unions.nonEmpty, s"empty BGP: $query")
+    val allPatterns = patterns ++ optionals.flatten ++ unions.flatten.flatten
+    allPatterns.foreach { p =>
+      Seq(p.s, p.o).foreach(t =>
+        require(!t.isInstanceOf[PathPlus] && !t.isInstanceOf[PathStar],
+          s"property paths are only valid at the predicate position: $p"))
     }
 
-    val known = (patterns ++ optionals.flatten).flatMap(_.vars).toSet
+    val known = allPatterns.flatMap(_.vars).toSet
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
     filters.foreach(f =>
       require(known.contains(f.variable), s"FILTER var ?${f.variable} not bound"))
-    BgpQuery(selectVars, patterns, optionals, filters, isDistinct)
+    BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions)
   }
 
   /** Dot-separated triple patterns; a '.' only separates when it
@@ -125,6 +149,10 @@ object Sparql {
     if (tok.startsWith("?")) Var(tok.drop(1))
     else if (tok.endsWith("+") && tok.length > 1) term(tok.dropRight(1)) match {
       case Const(p) => PathPlus(p)
+      case other => other
+    }
+    else if (tok.endsWith("*") && tok.length > 1) term(tok.dropRight(1)) match {
+      case Const(p) => PathStar(p)
       case other => other
     }
     else if (tok.startsWith("<") && tok.endsWith(">")) Const(tok.drop(1).dropRight(1))

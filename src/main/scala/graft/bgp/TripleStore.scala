@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   */
 final case class TripleStore(
     slices: Map[String, DataFrame],
-    dict: Option[DataFrame]) {
+    dict: Option[DataFrame],
+    sBucketed: Option[DataFrame] = None) {
 
   def encoded: Boolean = dict.isDefined
 
@@ -41,6 +42,14 @@ final case class TripleStore(
       df.select(col("s"), pCol(p).as("p"), col("o"))
     }.reduce(_ unionByName _)
   }
+
+  /** The scan a variable-predicate pattern dispatches to: the
+    * s-bucketed secondary layout when materialized (the SOP-index
+    * analog of RDF-3X's permutation indexes — a constant subject
+    * prunes to one bucket instead of unioning every predicate slice),
+    * else the union view.
+    */
+  def variableView: DataFrame = sBucketed.getOrElse(unionView)
 }
 
 object TripleStore {
@@ -132,6 +141,41 @@ object TripleStore {
       p -> df.filter(col("p") === p).select(col("s"), col("o"))
     }.toMap
     TripleStore(slices, None)
+  }
+
+  /** Persist the s-bucketed secondary layout (the SOP-index analog):
+    * one parquet table of all triples, hash-bucketed and sorted by
+    * subject. A `?s`-constant variable-predicate pattern then reads one
+    * bucket (`SelectedBucketsCount: 1 out of N` in the scan), and a
+    * join on `s` against another s-bucketed relation needs no
+    * exchange. Bucketing metadata lives in the session catalog, so the
+    * table is (re-)registered via DDL against the same files on each
+    * new session — see [[registerSBucketed]].
+    */
+  def writeSBucketed(store: TripleStore, path: String, table: String,
+      buckets: Int = 16): Unit = {
+    val spark = store.slices.values.head.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    store.unionView.write.mode("overwrite")
+      .bucketBy(buckets, "s").sortBy("s")
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Re-register an existing s-bucketed layout in this session's
+    * catalog (bucket metadata is catalog state, not file state) and
+    * return the bucket-aware DataFrame.
+    */
+  def registerSBucketed(spark: SparkSession, path: String, table: String,
+      buckets: Int = 16): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table (s STRING, p STRING, o STRING)
+           |USING parquet
+           |CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    spark.table(table)
   }
 
   /** Dictionary-encode a string-form store: slice values → xxhash64

@@ -44,6 +44,9 @@ class BgpPropertySpec extends AnyFunSuite {
         es.flatMap(env => triples.flatMap(t => matches(t, p, env))))
 
     var envs = expand(Set(Map.empty[String, String]), q.patterns)
+    for (group <- q.unions)
+      envs = envs.flatMap(env =>
+        group.flatMap(branch => expand(Set(env), branch)))
     for (block <- q.optionals)
       envs = envs.flatMap { env =>
         val ext = expand(Set(env), block)
@@ -128,6 +131,85 @@ class BgpPropertySpec extends AnyFunSuite {
           .map(_.toSeq.map(_.asInstanceOf[String])).toSet
         val want = naive(triples, q)
         assert(got == want, s"round $round: $patterns over $triples")
+      }
+    }
+  }
+
+  test("planner equals brute-force with UNION groups (20 random)") {
+    import spark.implicits._
+    val rnd = new Random(31337L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    // second branch = same variable shape, re-rolled constants (the
+    // grammar requires branches to bind the same variable set)
+    def remap(p: TriplePattern): TriplePattern = TriplePattern(
+      p.s match { case Const(_) => Const(ents(rnd.nextInt(ents.size))); case v => v },
+      p.p match { case Const(_) => Const(preds(rnd.nextInt(preds.size))); case v => v },
+      p.o match { case Const(_) => Const(ents(rnd.nextInt(ents.size))); case v => v })
+
+    for (round <- 0 until 20) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val required = Seq.fill(rnd.nextInt(2))(randPattern())
+      val b1 = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val b2 = b1.map(remap)
+      val allVars = (required ++ b1).flatMap(_.vars).distinct
+      if (allVars.nonEmpty && b1.flatMap(_.vars).nonEmpty) {
+        val select = rnd.shuffle(allVars).take(1 + rnd.nextInt(allVars.size))
+        val q = BgpQuery(select, required, unions = Seq(Seq(b1, b2)))
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want,
+          s"round $round: req=$required union=${Seq(b1, b2)} " +
+            s"select=$select store=$triples\ngot=${got.size} want=${want.size}")
+      }
+    }
+  }
+
+  test("measured-cost plan equals brute force (stats order + empty short-circuit)") {
+    import spark.implicits._
+    val rnd = new Random(90210L)
+    val ents = Vector("e0", "e1", "e2")
+    val preds = Vector("p0", "p1")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      // small entity/predicate pools make randomly-empty slices common,
+      // so the −1 empty-marker short-circuit path gets exercised
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    for (round <- 0 until 20) {
+      val triples = Seq.fill(2 + rnd.nextInt(8))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val patterns = Seq.fill(1 + rnd.nextInt(3))(randPattern())
+      val vars = patterns.flatMap(_.vars).distinct
+      if (vars.nonEmpty) {
+        val select = rnd.shuffle(vars).take(1 + rnd.nextInt(vars.size))
+        val q = BgpQuery(select, patterns)
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val stats = new graft.tools.CostStats(java.nio.file.Files
+          .createTempDirectory("bgp-stats").resolve("s.tsv").toString)
+        val want = naive(triples, q)
+        // first pass measures, second plans purely from the cache
+        for (pass <- 1 to 2) {
+          val got = BgpPlanner.measureAndPlan(store, q, stats).collect()
+            .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+          assert(got == want,
+            s"round $round pass $pass: $patterns select=$select store=$triples")
+        }
       }
     }
   }

@@ -152,4 +152,89 @@ class BgpSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("prof:2", "stud:0")))
   }
+
+  test("UNION groups are bag unions of branch sub-chains") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?X where {
+        | { ?X worksFor dept:0 } UNION { ?X memberOf dept:0 } }""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSet ==
+      Set("prof:0", "prof:1", "stud:0"))
+    // bag semantics: a binding in both branches appears twice
+    val dup = BgpPlanner.query(tinyStore,
+      """select ?X where {
+        | { ?X worksFor dept:0 } UNION { ?X worksFor dept:0 } }""".stripMargin)
+    assert(dup.count() == 4)
+    // a UNION group joins the main chain on shared variables
+    val joined = BgpPlanner.query(tinyStore,
+      """select ?X ?N where { ?X name ?N .
+        | { ?X worksFor dept:0 } UNION { ?X memberOf dept:0 } }""".stripMargin)
+    // columns canonicalize lexicographically: (N, X)
+    assert(joined.columns.toSeq == Seq("N", "X"))
+    assert(joined.collect().map(_.getString(0)).toSet ==
+      Set("FullProfessor0", "FullProfessor1"))
+    // branches must bind the same variables
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select ?X where { { ?X worksFor dept:0 } UNION { ?Y memberOf dept:0 } }"))
+  }
+
+  test("property path p* adds identity over the slice's vertex set") {
+    val st = TripleStore.fromTriples(Seq(
+      ("a", "next", "b"), ("b", "next", "c")
+    ).toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st, "select ?X where { a next* ?X }")
+    assert(out.collect().map(_.getString(0)).toSet == Set("a", "b", "c"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("select ?X where { a* next ?X }"))
+  }
+
+  test("chain order follows measured cardinalities over the constness heuristic") {
+    val q = Sparql.parse(
+      """select ?A ?N where { ?A worksFor dept:0 . ?A name ?N . ?A email ?E }""")
+    // cold start: all three patterns tie on the heuristic → chain starts
+    // at pattern 0 (stable tie-break)
+    val cold = BgpPlanner.chainOrder(q.patterns,
+      i => BgpPlanner.heuristicCost(q.patterns(i)))
+    assert(cold.head == 0)
+    // measured: the email slice is by far the smallest → it seeds the
+    // chain even though constness says otherwise
+    val measured = Map(
+      BgpPlanner.patternKey(q.patterns(0)) -> 100000L,
+      BgpPlanner.patternKey(q.patterns(1)) -> 50000L,
+      BgpPlanner.patternKey(q.patterns(2)) -> 3L)
+    val warm = BgpPlanner.chainOrder(q.patterns,
+      i => measured(BgpPlanner.patternKey(q.patterns(i))))
+    assert(warm == Seq(2, 1, 0) || warm.head == 2)
+  }
+
+  test("pattern keys canonicalize variables, keep constants and self-joins distinct") {
+    def pat(q: String) = Sparql.parse(q).patterns.head
+    assert(BgpPlanner.patternKey(pat("select ?A where { ?A worksFor ?B }")) ==
+      BgpPlanner.patternKey(pat("select ?X where { ?X worksFor ?Y }")))
+    assert(BgpPlanner.patternKey(pat("select ?A where { ?A loves ?A }")) !=
+      BgpPlanner.patternKey(pat("select ?A where { ?A loves ?B }")))
+    assert(BgpPlanner.patternKey(pat("select ?A where { ?A worksFor dept:0 }")) !=
+      BgpPlanner.patternKey(pat("select ?A where { ?A worksFor dept:1 }")))
+  }
+
+  test("measure-then-plan records stats and short-circuits measured-empty patterns") {
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("coststats").resolve("stats.tsv").toString
+    val stats = new graft.tools.CostStats(statsPath)
+    val q = "select ?A ?N where { ?A worksFor dept:99 . ?A name ?N }"
+    // first run measures both patterns; dept:99 is empty → −1 marker
+    val first = BgpPlanner.queryMeasured(tinyStore, q, stats)
+    assert(first.count() == 0)
+    val recorded = stats.load()
+    assert(recorded.size == 2)
+    assert(stats.knownEmpty(
+      BgpPlanner.patternKey(Sparql.parse(q).patterns.head)))
+    // second run plans from the cache: the empty pattern short-circuits
+    // to a LocalRelation — Catalyst propagates the empty relation
+    // through the join without touching any slice
+    val second = BgpPlanner.queryMeasured(tinyStore, q, stats)
+    assert(second.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(second.count() == 0)
+    assert(second.columns.toSeq == Seq("A", "N"))
+  }
 }

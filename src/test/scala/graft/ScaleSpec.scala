@@ -97,6 +97,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("s-bucketed secondary layout prunes variable-predicate scans to one bucket") {
+    import graft.bgp.{BgpPlanner, TripleStore}
+    val st = TripleStore.fromStarSchema(spark, "/root/testdata/sf0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-sb").toString
+    TripleStore.writeSBucketed(st, s"$wh/spo_s", "graft_spo_spec_s", buckets = 8)
+
+    // a fresh session proves re-registration from files + DDL alone
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val bucketed = TripleStore.registerSBucketed(s2, s"$wh/spo_s", "graft_spo_spec_s", buckets = 8)
+    // slices stay unused by this pattern — only the secondary layout is
+    // scanned
+    val withSecondary = TripleStore(st.slices, None, sBucketed = Some(bucketed))
+
+    // constant-subject variable-predicate pattern: the scan reads ONE
+    // bucket of the secondary layout, not a union of every slice
+    val out = BgpPlanner.query(withSecondary,
+      "select ?p ?o where { <customer:17> ?p ?o }")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: 1 out of 8".r.findFirstIn(plan).isDefined,
+      s"expected bucket-pruned scan, got:\n$plan")
+    // and the rows match the union-view answer
+    val expected = BgpPlanner.query(st,
+      "select ?p ?o where { <customer:17> ?p ?o }")
+      .collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+  }
+
   test("headline plans push filters into the parquet scan") {
     val df = SparkEntry.queries("q03_shipping_priority")(
       spark, "/root/testdata/sf0.001")
