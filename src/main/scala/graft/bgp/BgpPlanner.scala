@@ -68,6 +68,8 @@ object BgpPlanner {
       case Const(v) => v
       case PathPlus(p) => s"$p+"
       case PathStar(p) => s"$p*"
+      case PathInverse(p) => s"^$p"
+      case PathAlt(ps) => ps.mkString("|")
     }
     s"${t(pat.s)} ${t(pat.p)} ${t(pat.o)}"
   }
@@ -118,6 +120,14 @@ object BgpPlanner {
           .distinct()
           .select(col("s"), col("s").as("o"))
         (closed.unionByName(identity).distinct(), Seq("s" -> pat.s, "o" -> pat.o))
+      case PathInverse(p) =>
+        // inverse path ^p: the slice with subject/object swapped
+        (slice(p).select(col("o").as("s"), col("s").as("o")),
+          Seq("s" -> pat.s, "o" -> pat.o))
+      case PathAlt(ps) =>
+        // alternation p1|p2|…: bag union of the predicate slices
+        (ps.map(slice).reduce(_ unionByName _),
+          Seq("s" -> pat.s, "o" -> pat.o))
       case Var(_) =>
         (store.variableView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
     }
@@ -246,24 +256,28 @@ object BgpPlanner {
     }
 
     // FILTER comparisons, applied post-join. Equality ops work on the
-    // encoded store by encoding the literal; ordering comparisons need
-    // lexical values, so they require a string-form store.
+    // encoded store by encoding the literal (var-vs-var compares
+    // columns directly); ordering comparisons need lexical values, so
+    // they require a string-form store.
     for (f <- q.filters) {
       val c = col(f.variable)
-      val cond = (f.op, f.numeric) match {
-        case ("=", _) => c === encode(f.value)
-        case ("!=", _) => c =!= encode(f.value)
-        case (op, numeric) =>
+      val rhs: Column =
+        if (f.rhsVar) col(f.value)
+        else if (f.op == "=" || f.op == "!=") encode(f.value)
+        else if (f.numeric) lit(f.value.toDouble)
+        else lit(f.value)
+      val cond = f.op match {
+        case "=" => c === rhs
+        case "!=" => c =!= rhs
+        case op =>
           require(!store.encoded,
             s"FILTER $op needs lexical values; decode the store first")
-          val (l, r) =
-            if (numeric) (c.cast("double"), lit(f.value.toDouble))
-            else (c, lit(f.value): Column)
+          val l = if (f.numeric && !f.rhsVar) c.cast("double") else c
           op match {
-            case ">" => l > r
-            case ">=" => l >= r
-            case "<" => l < r
-            case "<=" => l <= r
+            case ">" => l > rhs
+            case ">=" => l >= rhs
+            case "<" => l < rhs
+            case "<=" => l <= rhs
           }
       }
       joined = joined.filter(cond)

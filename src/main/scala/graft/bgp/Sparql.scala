@@ -22,17 +22,27 @@ object Sparql {
     * over the slice's vertex set. Only valid at the predicate position.
     */
   final case class PathStar(predicate: String) extends Term
+  /** Inverse property path `^p` (SPARQL 1.1) — matches with subject and
+    * object swapped. Only valid at the predicate position.
+    */
+  final case class PathInverse(predicate: String) extends Term
+  /** Alternation path `p1|p2|...` (SPARQL 1.1) — union of the predicate
+    * slices. Only valid at the predicate position.
+    */
+  final case class PathAlt(predicates: Seq[String]) extends Term
 
   /** One triple pattern (reference `Condition`, Structs.h:41-48). */
   final case class TriplePattern(s: Term, p: Term, o: Term) {
     def vars: Seq[String] = Seq(s, p, o).collect { case Var(n) => n }
   }
 
-  /** A value-level restriction: `FILTER (?v op value)`. `numeric` =
-    * the literal parsed as a number, so compare numerically.
+  /** A value-level restriction: `FILTER (?v op value)` or
+    * `FILTER (?v op ?w)` (`rhsVar` = true → `value` names the right
+    * variable). `numeric` = the literal parsed as a number, so compare
+    * numerically.
     */
   final case class FilterExpr(variable: String, op: String, value: String,
-      numeric: Boolean)
+      numeric: Boolean, rhsVar: Boolean = false)
 
   /** Extended BGP: the reference grammar (patterns only) plus the
     * standard SPARQL extensions the reference lacks — DISTINCT,
@@ -101,13 +111,13 @@ object Sparql {
     val filters = filterRe.findAllMatchIn(bodyFull).map { m =>
       m.group(1).trim match {
         case filterExprRe(v, op, raw) =>
-          val value = term(raw.trim) match {
-            case Const(c) => c
+          term(raw.trim) match {
+            case Var(w) => FilterExpr(v, op, w, numeric = false, rhsVar = true)
+            case Const(c) => FilterExpr(v, op, c, numberRe.matches(raw.trim))
             case other =>
               throw new IllegalArgumentException(
-                s"FILTER right side must be a constant, got $other")
+                s"FILTER right side must be a constant or variable, got $other")
           }
-          FilterExpr(v, op, value, numberRe.matches(raw.trim))
         case other =>
           throw new IllegalArgumentException(s"unsupported FILTER: $other")
       }
@@ -120,15 +130,18 @@ object Sparql {
     val allPatterns = patterns ++ optionals.flatten ++ unions.flatten.flatten
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
-        require(!t.isInstanceOf[PathPlus] && !t.isInstanceOf[PathStar],
+        require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
           s"property paths are only valid at the predicate position: $p"))
     }
 
     val known = allPatterns.flatMap(_.vars).toSet
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
-    filters.foreach(f =>
-      require(known.contains(f.variable), s"FILTER var ?${f.variable} not bound"))
+    filters.foreach { f =>
+      require(known.contains(f.variable), s"FILTER var ?${f.variable} not bound")
+      if (f.rhsVar)
+        require(known.contains(f.value), s"FILTER var ?${f.value} not bound")
+    }
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions)
   }
 
@@ -155,6 +168,19 @@ object Sparql {
       case Const(p) => PathStar(p)
       case other => other
     }
+    else if (tok.startsWith("^") && tok.length > 1) term(tok.drop(1)) match {
+      case Const(p) => PathInverse(p)
+      case other => other
+    }
+    // alternation applies to bare-token paths only: a URI or quoted
+    // literal containing '|' stays a constant
+    else if (tok.contains("|") && !tok.startsWith("<") && !tok.startsWith("\"")
+        && tok.length > 1)
+      PathAlt(tok.split("\\|").toSeq.map(t => term(t) match {
+        case Const(p) => p
+        case other => throw new IllegalArgumentException(
+          s"alternation branches must be plain predicates, got $other in $tok")
+      }))
     else if (tok.startsWith("<") && tok.endsWith(">")) Const(tok.drop(1).dropRight(1))
     else if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2)
       Const(tok.drop(1).dropRight(1))

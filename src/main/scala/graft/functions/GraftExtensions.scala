@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_i64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_i64 expects 2 arguments, got ${children.length}")
+        DotProductLong(children.head, children(1))
+      }))
   }
 }

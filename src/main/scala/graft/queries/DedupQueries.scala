@@ -55,9 +55,9 @@ object DedupQueries {
     *    shingles to hash per permutation.
     */
   private val bandMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tools.BoundedMemo[(SparkSession, String), DataFrame](4, _.unpersist())
   private val allMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tools.BoundedMemo[(SparkSession, String), DataFrame](4, _.unpersist())
 
   /** doc_id + distinct 5-token shingles (guarded to docs with ≥5 tokens). */
   private def shingles(s: SparkSession, dir: String): DataFrame =

@@ -22,15 +22,15 @@ object GraphQueries {
   // analytics queries share one construction, and the iterative
   // algorithms (Pregel) re-visit the edge RDD every superstep — caching
   // it is the difference between O(iters) and O(iters × rebuild) scans.
-  private val graphCache = scala.collection.mutable.Map
-    .empty[(SparkSession, String, Seq[String]), org.apache.spark.graphx.Graph[String, String]]
+  private val graphCache =
+    new graft.tools.BoundedMemo[(SparkSession, String, Seq[String]),
+      org.apache.spark.graphx.Graph[String, String]](4,
+      g => { g.unpersistVertices(blocking = false); g.edges.unpersist(blocking = false) })
 
   private def graph(s: SparkSession, dir: String,
       preds: Seq[String] = entityPreds) =
-    graphCache.synchronized {
-      graphCache.getOrElseUpdate((s, dir, preds),
-        RdfGraph.fromStore(TripleStore.fromStarSchema(s, dir), preds).cache())
-    }
+    graphCache.getOrElseUpdate((s, dir, preds),
+      RdfGraph.fromStore(TripleStore.fromStarSchema(s, dir), preds).cache())
 
   /** The same edge list, relationally, for the oracle. */
   private val edgesSql =

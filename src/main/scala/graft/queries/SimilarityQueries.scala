@@ -52,9 +52,13 @@ object SimilarityQueries {
       |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm
       |        FROM flat GROUP BY 1)""".stripMargin
 
-  /** Integer dot product of two quantized vectors. */
+  /** Integer dot product of two quantized vectors — the native
+    * codegen'd expression (one fused loop, no intermediate array);
+    * exact integer math, so bit-identical to the
+    * `aggregate(zip_with(...))` composition it replaced.
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)")
+    expr(s"dot_i64($a, $b)")
 
   /** nq·nc can overflow int64 (≈(6e10)² ≈ 3.6e21), so take sqrts first;
     * int64→double is exact below 2^53 and IEEE sqrt/divide are

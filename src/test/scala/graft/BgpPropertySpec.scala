@@ -54,16 +54,17 @@ class BgpPropertySpec extends AnyFunSuite {
       }
     envs = envs.filter { env =>
       q.filters.forall { f =>
-        env.get(f.variable) match {
-          case None => false
-          case Some(v) => f.op match {
-            case "=" => v == f.value
-            case "!=" => v != f.value
-            case ">" => v > f.value
-            case ">=" => v >= f.value
-            case "<" => v < f.value
-            case "<=" => v <= f.value
+        val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
+        (env.get(f.variable), rhs) match {
+          case (Some(v), Some(r)) => f.op match {
+            case "=" => v == r
+            case "!=" => v != r
+            case ">" => v > r
+            case ">=" => v >= r
+            case "<" => v < r
+            case "<=" => v <= r
           }
+          case _ => false
         }
       }
     }
@@ -238,13 +239,20 @@ class BgpPropertySpec extends AnyFunSuite {
       val allVars = (required ++ optionals.flatten).flatMap(_.vars).distinct
       if (reqVars.nonEmpty) {
         // filter only on required-bound vars (filtering an optional var
-        // that may be unbound is a deliberately unsupported corner)
+        // that may be unbound is a deliberately unsupported corner);
+        // half the filters compare two variables instead of a constant
         val filters =
-          if (rnd.nextBoolean() && reqVars.nonEmpty)
-            Seq(FilterExpr(reqVars(rnd.nextInt(reqVars.size)),
-              Vector("=", "!=", "<", ">=")(rnd.nextInt(4)),
-              ents(rnd.nextInt(ents.size)), numeric = false))
-          else Nil
+          if (rnd.nextBoolean() && reqVars.nonEmpty) {
+            val op = Vector("=", "!=", "<", ">=")(rnd.nextInt(4))
+            val lhs = reqVars(rnd.nextInt(reqVars.size))
+            if (rnd.nextBoolean() && reqVars.size > 1)
+              Seq(FilterExpr(lhs, op,
+                reqVars(rnd.nextInt(reqVars.size)), numeric = false,
+                rhsVar = true))
+            else
+              Seq(FilterExpr(lhs, op,
+                ents(rnd.nextInt(ents.size)), numeric = false))
+          } else Nil
         val select = rnd.shuffle(allVars).take(1 + rnd.nextInt(allVars.size))
         val q = BgpQuery(select, required, optionals, filters)
 

@@ -187,6 +187,40 @@ class BgpSpec extends AnyFunSuite {
       Sparql.parse("select ?X where { a* next ?X }"))
   }
 
+  test("inverse path ^p matches with subject and object swapped") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?D ?W where { ?D ^worksFor ?W }")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("dept:0", "prof:0"), ("dept:0", "prof:1"), ("dept:1", "prof:2")))
+    intercept[IllegalArgumentException](
+      Sparql.parse("select ?X where { ^a worksFor ?X }"))
+  }
+
+  test("alternation path p1|p2 is the bag union of the slices") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?X ?Y where { ?X worksFor|memberOf ?Y }")
+    assert(out.count() == 4) // 3 worksFor + 1 memberOf
+    assert(out.collect().map(_.getString(1)).toSet == Set("dept:0", "dept:1"))
+    // URIs containing '|' stay constants
+    val t = Sparql.parse("select ?X where { ?X <http://a|b> ?Y }")
+    assert(t.patterns.head.p == Const("http://a|b"))
+  }
+
+  test("FILTER compares two variables") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?N1 ?N2 where { ?A worksFor ?D . ?B worksFor ?D .
+        | ?A name ?N1 . ?B name ?N2 . FILTER (?N1 < ?N2) }""".stripMargin)
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("FullProfessor0", "FullProfessor1")))
+    // var-vs-var equality works on the encoded store too
+    val enc = TripleStore.encode(tinyStore)
+    val eq = BgpPlanner.query(enc,
+      """select ?A ?B where { ?A worksFor ?D . ?B memberOf ?D .
+        | FILTER (?A != ?B) }""".stripMargin)
+    assert(eq.count() == 2) // prof:0/prof:1 vs stud:0
+  }
+
   test("chain order follows measured cardinalities over the constness heuristic") {
     val q = Sparql.parse(
       """select ?A ?N where { ?A worksFor dept:0 . ?A name ?N . ?A email ?E }""")

@@ -28,4 +28,25 @@ class CostStatsSpec extends AnyFunSuite {
     stats.measure("<1>.3.4.5", Seq(1).toDF("x"))
     assert(stats.load()("<1>.3.4.5")._1 == 1L)
   }
+
+  test("catalog ANALYZE gives CBO real rowCounts (join reorder inputs)") {
+    import graft.tools.CatalogStats
+    val names = CatalogStats.registerAndAnalyze(
+      spark, "/root/testdata/sf0.001", Seq("nation", "region", "customer"))
+    // stats land in the catalog and flow into the optimized plan
+    for (name <- names) {
+      val rel = spark.table(name)
+      val rc = rel.queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.isDefined && rc.get.toLong == rel.count(),
+        s"$name should carry an exact analyzed rowCount, got $rc")
+    }
+    // with CBO stats present, the planner broadcasts the small side of
+    // a stats-visible join without AQE's help (initial plan, not final)
+    val joined = spark.sql(
+      s"""SELECT c_name, n_name FROM ${names(2)} c
+         |JOIN ${names(0)} n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    val initial = joined.queryExecution.sparkPlan.toString
+    assert(initial.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast join, got:\n$initial")
+  }
 }

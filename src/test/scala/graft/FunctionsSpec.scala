@@ -55,4 +55,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(0).isNullAt(0))
     assert(out(1).getDouble(0).isNaN)
   }
+
+  test("dot_i64 matches the composed integer dot product exactly") {
+    import spark.implicits._
+    val composedDot =
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-10000L, 60000L), Array(60000L, -10000L)),
+      (Array.empty[Long], Array.empty[Long])
+    ).toDF("a", "b")
+    val rows = df.select(
+        expr("dot_i64(a, b)").as("n"), expr(composedDot).as("c"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, c) => assert(n == c) }
+    assert(rows(0)._1 == 32L && rows(2)._1 == 0L)
+    // on real quantized embeddings (the q47 hot loop)
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 10000 + 0.5) as bigint))")
+        .as("a"))
+    val pairs = e.crossJoin(broadcast(e.limit(3).select($"a".as("b"))))
+    val diff = pairs
+      .select(expr("dot_i64(a, b)").as("n"), expr(composedDot).as("c"))
+      .filter($"n" =!= $"c").count()
+    assert(diff == 0)
+    // null semantics match the composed form
+    val nulls = Seq((Some(Array(1L)), None: Option[Array[Long]])).toDF("a", "b")
+    assert(nulls.select(expr("dot_i64(a, b)")).collect()(0).isNullAt(0))
+  }
 }
