@@ -255,6 +255,17 @@ object BgpPlanner {
         else joined.join(sub, lit(true), "left_outer")
     }
 
+    // MINUS blocks: SPARQL negation ≡ left-anti join on the shared
+    // variables. A block sharing no variable with the main chain is
+    // dom-disjoint and removes nothing (SPARQL MINUS semantics).
+    for (block <- q.minuses) {
+      val sub = chain(block,
+        block.map(patternScan(store, _, encode, measured)), measured)
+      val common = sub.columns.filter(joined.columns.toSet).toSeq
+      if (common.nonEmpty)
+        joined = joined.join(sub, common, "left_anti")
+    }
+
     // FILTER comparisons, applied post-join. Equality ops work on the
     // encoded store by encoding the literal (var-vs-var compares
     // columns directly); ordering comparisons need lexical values, so
@@ -323,7 +334,8 @@ object BgpPlanner {
     val encode: String => Column =
       if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
     val allPatterns =
-      (q.patterns ++ q.optionals.flatten ++ q.unions.flatten.flatten)
+      (q.patterns ++ q.optionals.flatten ++ q.unions.flatten.flatten
+        ++ q.minuses.flatten)
     val known = stats.load()
     allPatterns.map(patternKey).distinct
       .filterNot(known.contains)

@@ -60,9 +60,11 @@ object Sparql {
       optionals: Seq[Seq[TriplePattern]] = Nil,
       filters: Seq[FilterExpr] = Nil,
       distinct: Boolean = false,
-      unions: Seq[Seq[Seq[TriplePattern]]] = Nil)
+      unions: Seq[Seq[Seq[TriplePattern]]] = Nil,
+      minuses: Seq[Seq[TriplePattern]] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
+  private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val unionChainRe = "(?is)\\{[^{}]*\\}(?:\\s*union\\s*\\{[^{}]*\\})+".r
   private val braceBlockRe = "(?s)\\{([^{}]*)\\}".r
   private val filterRe = "(?is)filter\\s*\\(([^)]*)\\)".r
@@ -99,7 +101,10 @@ object Sparql {
     // UNION branch.
     val optionals = optionalRe.findAllMatchIn(bodyFull)
       .map(m => parsePatterns(m.group(1))).toSeq
-    val body1 = optionalRe.replaceAllIn(bodyFull, "")
+    val body0b = optionalRe.replaceAllIn(bodyFull, "")
+    val minuses = minusRe.findAllMatchIn(body0b)
+      .map(m => parsePatterns(m.group(1))).toSeq
+    val body1 = minusRe.replaceAllIn(body0b, "")
     val unions = unionChainRe.findAllIn(body1).toSeq
       .map(chain => braceBlockRe.findAllMatchIn(chain)
         .map(m => parsePatterns(m.group(1))).toSeq)
@@ -127,14 +132,18 @@ object Sparql {
 
     val patterns = parsePatterns(body)
     require(patterns.nonEmpty || unions.nonEmpty, s"empty BGP: $query")
-    val allPatterns = patterns ++ optionals.flatten ++ unions.flatten.flatten
+    val allPatterns =
+      patterns ++ optionals.flatten ++ unions.flatten.flatten ++ minuses.flatten
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
           s"property paths are only valid at the predicate position: $p"))
     }
 
-    val known = allPatterns.flatMap(_.vars).toSet
+    // MINUS blocks restrict, never bind: SELECT/FILTER vars must come
+    // from the positive patterns
+    val known =
+      (patterns ++ optionals.flatten ++ unions.flatten.flatten).flatMap(_.vars).toSet
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
     filters.foreach { f =>
@@ -142,7 +151,8 @@ object Sparql {
       if (f.rhsVar)
         require(known.contains(f.value), s"FILTER var ?${f.value} not bound")
     }
-    BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions)
+    BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
+      minuses)
   }
 
   /** Dot-separated triple patterns; a '.' only separates when it

@@ -178,6 +178,44 @@ object TripleStore {
     spark.table(table)
   }
 
+  /** Persist the dictionary as an id-bucketed, id-sorted parquet table
+    * (SCALE.md: the single-pass unpivot decode joins on `id`; when the
+    * result side is too large to broadcast, the dict side is already
+    * hash-partitioned by the join key and needs no exchange).
+    */
+  def writeDict(dict: DataFrame, path: String, table: String,
+      buckets: Int = 16): Unit = {
+    val spark = dict.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    dict.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Re-register a persisted dictionary in this session's catalog. */
+  def registerDict(spark: SparkSession, path: String, table: String,
+      buckets: Int = 16): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table (id BIGINT, value STRING)
+           |USING parquet
+           |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    spark.table(table)
+  }
+
+  /** Persist an encoded store's slices as p-partitioned parquet —
+    * partition directories keep the predicate's STRING name (the slice
+    * map key) while s/o carry xxhash64 ids.
+    */
+  def writeEncodedPartitioned(enc: TripleStore, path: String): Unit =
+    enc.slices.map { case (p, df) =>
+      df.select(col("s"), lit(p).as("p"), col("o"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("p").parquet(path)
+
   /** Dictionary-encode a string-form store: slice values → xxhash64
     * IDs, dict → (id, value) over the union of all s/o positions — one
     * distinct over the data, no driver collect.

@@ -44,11 +44,22 @@ object BgpQueries {
         val base = pstore.copy(
           sBucketed = Some(TripleStore.registerSBucketed(s, bdir, table)))
         if (encoded) {
-          // the dictionary is the one derived artifact a real engine
-          // keeps materialized (RDF-3X does exactly this on disk) —
-          // cache it; slices stay as pruned scans
-          val enc = TripleStore.encode(base)
-          enc.copy(dict = enc.dict.map(_.cache()))
+          // the dictionary and the encoded slices are the derived
+          // artifacts a real engine keeps materialized on disk (RDF-3X
+          // does exactly this): encoded triples p-partitioned like the
+          // string store, dict as an id-bucketed table — neither is
+          // re-derived per session
+          val edir = s"$pstoreRoot/${tag}_enc"
+          val ddir = s"$pstoreRoot/${tag}_dict"
+          val dtable = s"graft_dict_$tag"
+          if (!new java.io.File(edir, "_SUCCESS").exists() ||
+              !new java.io.File(ddir, "_SUCCESS").exists()) {
+            val enc = TripleStore.encode(base)
+            TripleStore.writeEncodedPartitioned(enc, edir)
+            TripleStore.writeDict(enc.dict.get, ddir, dtable)
+          }
+          TripleStore.fromPartitionedParquet(s, edir)
+            .copy(dict = Some(TripleStore.registerDict(s, ddir, dtable)))
         } else base
       })
 
@@ -172,17 +183,17 @@ object BgpQueries {
     GQuery(
       "q72_bgp_inverse",
       bgp("""select ?e ?n where {
-            | ?n name "GERMANY" .
+            | ?n name "NATION_7" .
             | ?n ^nationkey ?e }""".stripMargin),
       Some("""SELECT concat('customer:', c_custkey) AS e,
              |       concat('nation:', n_nationkey) AS n
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |WHERE n_name = 'GERMANY'
+             |WHERE n_name = 'NATION_7'
              |UNION ALL
              |SELECT concat('supplier:', s_suppkey),
              |       concat('nation:', n_nationkey)
              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-             |WHERE n_name = 'GERMANY'""".stripMargin)),
+             |WHERE n_name = 'NATION_7'""".stripMargin)),
 
     // grammar extension: alternation path p1|p2 (bag union of slices)
     GQuery(
@@ -211,6 +222,17 @@ object BgpQueries {
       Some("""SELECT a.n_name AS n1, b.n_name AS n2
              |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
              |WHERE a.n_name < b.n_name""".stripMargin)),
+
+    // grammar extension: MINUS negation ≡ left-anti join on shared vars
+    // (the BGP-level spelling of the q05 anti-join)
+    GQuery(
+      "q75_bgp_minus",
+      bgp("""select ?c where {
+            | ?c rdf:type "Customer" .
+            | MINUS { ?o custkey ?c . ?o status "P" } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
 
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by

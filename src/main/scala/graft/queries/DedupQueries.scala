@@ -181,24 +181,32 @@ object DedupQueries {
               |JOIN mh y ON y.doc_id = d2 AND y.j = x.j
               |GROUP BY 1, 2""".stripMargin)),
 
-    // SimHash (32-bit over distinct tokens) + byte-band LSH candidates,
-    // verified by Hamming distance ≤ 8
+    // SimHash (60-bit over 5-token shingles) + 15-bit-band LSH
+    // candidates, verified by Hamming distance ≤ 6. Shingles, not
+    // single tokens: these docs share most of their distinct-token
+    // vocabulary (a token-set simhash marked 57k of 125k possible pairs
+    // "near-dup" in round 1 — technically correct, useless as a dedup
+    // signal); order-sensitive shingles make the fingerprint
+    // discriminative (~20 pairs at sf0.01, the same magnitude q44's
+    // exact Jaccard finds). 60 bits = 15 md5 hex chars, kept below 2^63
+    // so both engines can carry the hash in a signed BIGINT.
     GQuery(
       "q46_simhash",
       (s, dir) => {
         import s.implicits._
-        val tok = t(s, dir, "documents")
-          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tk"))
-          .select($"doc_id", h32($"tk").as("h"))
-        val bitCols = (0 until 32).map { b =>
+        val sh = shingles(s, dir)
+          .select($"doc_id",
+            conv(substring(md5($"s".cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+        val bitCols = (0 until 60).map { b =>
           when(sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
             lit(1L << b)).otherwise(lit(0L))
         }
-        val sim = tok.groupBy($"doc_id")
+        val sim = sh.groupBy($"doc_id")
           .agg(bitCols.reduce(_ + _).as("simhash"))
         val bands = sim.select($"doc_id", $"simhash",
             explode(sequence(lit(0), lit(3))).as("b"))
-          .withColumn("bv", expr("shiftright(simhash, cast(b * 8 as int)) & 255"))
+          .withColumn("bv", expr("shiftright(simhash, cast(b * 15 as int)) & 32767"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
               col("x.doc_id") < col("y.doc_id"))
@@ -208,28 +216,27 @@ object DedupQueries {
         cand
           .select($"d1", $"d2",
             bit_count($"s1".bitwiseXOR($"s2")).cast("long").as("hamming"))
-          .filter($"hamming" <= 8)
+          .filter($"hamming" <= 6)
       },
-      Some("""WITH tok AS (SELECT DISTINCT doc_id, tk FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+      Some(s"""WITH $shinglesSql,
              |h AS (SELECT doc_id,
-             |        CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) AS h
-             |      FROM tok),
+             |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+             |      FROM sh),
              |bits AS (SELECT doc_id, b,
              |           CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
              |                THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
-             |         FROM h, (SELECT unnest(generate_series(0, 31)) AS b)
+             |         FROM h, (SELECT unnest(generate_series(0, 59)) AS b)
              |         GROUP BY doc_id, b),
              |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
              |        FROM bits GROUP BY doc_id),
-             |bands AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bv
+             |bands AS (SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
              |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
              |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
              |           x.simhash AS s1, y.simhash AS s2
              |         FROM bands x JOIN bands y
              |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
              |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-             |FROM cand WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 8""".stripMargin)),
+             |FROM cand WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 6""".stripMargin)),
 
     // capstone: the composed training-data pipeline — quality-filter
     // documents, drop near-duplicates (Jaccard ≥ 0.6 keeps the lowest

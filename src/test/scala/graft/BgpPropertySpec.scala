@@ -52,6 +52,15 @@ class BgpPropertySpec extends AnyFunSuite {
         val ext = expand(Set(env), block)
         if (ext.nonEmpty) ext else Set(env)
       }
+    for (block <- q.minuses) {
+      val blockVars = block.flatMap(_.vars).toSet
+      envs = envs.filter { env =>
+        // dom-disjoint MINUS removes nothing; else drop env if any
+        // block solution agrees on the shared vars
+        if (env.keySet.intersect(blockVars).isEmpty) true
+        else expand(Set(env), block).isEmpty
+      }
+    }
     envs = envs.filter { env =>
       q.filters.forall { f =>
         val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
@@ -173,6 +182,39 @@ class BgpPropertySpec extends AnyFunSuite {
         assert(got == want,
           s"round $round: req=$required union=${Seq(b1, b2)} " +
             s"select=$select store=$triples\ngot=${got.size} want=${want.size}")
+      }
+    }
+  }
+
+  test("planner equals brute-force with MINUS blocks (20 random)") {
+    import spark.implicits._
+    val rnd = new Random(55555L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    for (round <- 0 until 20) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val required = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val minuses = Seq.fill(1 + rnd.nextInt(2))(Seq.fill(1)(randPattern()))
+      val reqVars = required.flatMap(_.vars).distinct
+      if (reqVars.nonEmpty) {
+        val select = rnd.shuffle(reqVars).take(1 + rnd.nextInt(reqVars.size))
+        val q = BgpQuery(select, required, minuses = minuses)
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want,
+          s"round $round: req=$required minus=$minuses select=$select " +
+            s"store=$triples\ngot=${got.size} want=${want.size}")
       }
     }
   }

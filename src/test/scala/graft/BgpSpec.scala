@@ -187,6 +187,22 @@ class BgpSpec extends AnyFunSuite {
       Sparql.parse("select ?X where { a* next ?X }"))
   }
 
+  test("MINUS removes bindings matching the block; dom-disjoint removes nothing") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor dept:0 .
+        | MINUS { ?S advisor ?A } }""".stripMargin)
+    // prof:0 advises stud:0 → removed; prof:1 stays
+    assert(out.collect().map(_.getString(0)).toSet == Set("prof:1"))
+    // a MINUS block sharing no variable is dom-disjoint → no-op
+    val disjoint = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor dept:0 .
+        | MINUS { ?S memberOf dept:0 } }""".stripMargin)
+    assert(disjoint.count() == 2)
+    // MINUS vars don't bind: selecting one is an error
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select ?S where { ?A worksFor dept:0 . MINUS { ?S advisor ?A } }"))
+  }
+
   test("inverse path ^p matches with subject and object swapped") {
     val out = BgpPlanner.query(tinyStore,
       "select ?D ?W where { ?D ^worksFor ?W }")

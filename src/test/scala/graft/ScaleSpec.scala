@@ -125,6 +125,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
   }
 
+  test("encoded store reads persisted dict + encoded slices, no per-session re-derivation") {
+    val df = SparkEntry.queries("q33_bgp_dict_encoded")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // decode joins the persisted id-bucketed dict table; the encoded
+    // slices come partition-pruned from the on-disk encoded layout
+    assert(plan.contains("graft_dict_"),
+      s"expected a persisted-dict table scan in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("headline plans push filters into the parquet scan") {
     val df = SparkEntry.queries("q03_shipping_priority")(
       spark, "/root/testdata/sf0.001")
