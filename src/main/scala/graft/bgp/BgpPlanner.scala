@@ -68,6 +68,7 @@ object BgpPlanner {
       case Const(v) => v
       case PathPlus(p) => s"$p+"
       case PathStar(p) => s"$p*"
+      case PathOpt(p) => s"$p?"
       case PathInverse(p) => s"^$p"
       case PathAlt(ps) => ps.mkString("|")
     }
@@ -120,6 +121,14 @@ object BgpPlanner {
           .distinct()
           .select(col("s"), col("s").as("o"))
         (closed.unionByName(identity).distinct(), Seq("s" -> pat.s, "o" -> pat.o))
+      case PathOpt(p) =>
+        // p? = one step ∪ identity over the slice's vertex set (SPARQL
+        // 1.1 zero-or-one; path results are set-based)
+        val sl = slice(p)
+        val identity = sl.select(col("s"))
+          .unionByName(sl.select(col("o").as("s")))
+          .select(col("s"), col("s").as("o"))
+        (sl.unionByName(identity).distinct(), Seq("s" -> pat.s, "o" -> pat.o))
       case PathInverse(p) =>
         // inverse path ^p: the slice with subject/object swapped
         (slice(p).select(col("o").as("s"), col("s").as("o")),
@@ -266,18 +275,18 @@ object BgpPlanner {
         joined = joined.join(sub, common, "left_anti")
     }
 
-    // FILTER comparisons, applied post-join. Equality ops work on the
-    // encoded store by encoding the literal (var-vs-var compares
-    // columns directly); ordering comparisons need lexical values, so
-    // they require a string-form store.
-    for (f <- q.filters) {
+    // FILTER clauses (DNF: OR of AND-groups), applied post-join.
+    // Equality ops work on the encoded store by encoding the literal
+    // (var-vs-var compares columns directly); ordering comparisons need
+    // lexical values, so they require a string-form store.
+    def leafCond(f: FilterExpr): Column = {
       val c = col(f.variable)
       val rhs: Column =
         if (f.rhsVar) col(f.value)
         else if (f.op == "=" || f.op == "!=") encode(f.value)
         else if (f.numeric) lit(f.value.toDouble)
         else lit(f.value)
-      val cond = f.op match {
+      f.op match {
         case "=" => c === rhs
         case "!=" => c =!= rhs
         case op =>
@@ -291,22 +300,21 @@ object BgpPlanner {
             case "<=" => l <= rhs
           }
       }
-      joined = joined.filter(cond)
     }
+    for (fc <- q.filters)
+      joined = joined.filter(
+        fc.disjuncts.map(_.map(leafCond).reduce(_ && _)).reduce(_ || _))
 
-    val projected = joined.select(q.select.distinct.sorted.map(col): _*)
-      .transform(df => if (q.distinct) df.distinct() else df)
-    store.dict match {
-      case None => projected
+    // Decode the given columns in ONE pass over the dictionary: unpivot
+    // (rid, var, id), join the dict once, pivot back. Per-column joins
+    // would scan the data-sized dict once per variable (or worse, pin
+    // it in a broadcast); here the dict is streamed once and AQE
+    // broadcasts the result-sized unpivoted side. The pivot shuffle is
+    // result-sized, never data-sized. Identity for string-form stores.
+    def decode(df: DataFrame, sel: Seq[String]): DataFrame = store.dict match {
+      case None => df
       case Some(dict) =>
-        // Decode ALL output columns in ONE pass over the dictionary:
-        // unpivot (rid, var, id), join the dict once, pivot back. Per-
-        // column joins would scan the data-sized dict once per
-        // variable (or worse, pin it in a broadcast); here the dict is
-        // streamed once and AQE broadcasts the result-sized unpivoted
-        // side. The pivot shuffle is result-sized, never data-sized.
-        val sel = q.select.distinct.sorted
-        val withId = projected.withColumn("__rid", monotonically_increasing_id())
+        val withId = df.withColumn("__rid", monotonically_increasing_id())
         val kvs = sel.flatMap(v => Seq(lit(v): Column, col(v)))
         val long = withId.select(col("__rid"),
           explode(map(kvs: _*)).as(Seq("__var", "__id")))
@@ -315,6 +323,49 @@ object BgpPlanner {
           .groupBy("__rid").pivot("__var", sel).agg(first(col("value")))
           .select(sel.map(col): _*)
     }
+
+    val orderVars = q.orderBy.map(_.variable)
+    val result: DataFrame =
+      if (q.aggregates.nonEmpty) {
+        // decode group keys and aggregate inputs FIRST (ids aggregate
+        // wrongly for min/max/sum), then one partial-aggregated groupBy
+        val needed = (q.groupBy ++ q.aggregates.flatMap(_.variable))
+          .distinct.sorted
+        val solution = decode(joined.select(needed.map(col): _*), needed)
+        val aggCols = q.aggregates.map { a =>
+          ((a.op, a.variable): @unchecked) match {
+            case ("count", None) => count(lit(1)).as(a.alias)
+            case ("count", Some(v)) => count(col(v)).as(a.alias)
+            case ("sum", Some(v)) => sum(col(v).cast("double")).as(a.alias)
+            case ("avg", Some(v)) => avg(col(v).cast("double")).as(a.alias)
+            case ("min", Some(v)) => min(col(v)).as(a.alias)
+            case ("max", Some(v)) => max(col(v)).as(a.alias)
+          }
+        }
+        q.groupBy.distinct.sorted match {
+          case Seq() => solution.agg(aggCols.head, aggCols.tail: _*)
+          case keys => solution.groupBy(keys.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        }
+      } else {
+        // ORDER BY needs its keys through projection and decode; with
+        // DISTINCT the parser guarantees orderVars ⊆ select
+        val keep = (q.select ++ orderVars).distinct.sorted
+        val projected = joined.select(keep.map(col): _*)
+          .transform(df => if (q.distinct) df.distinct() else df)
+        decode(projected, keep)
+      }
+
+    val outCols =
+      (if (q.aggregates.nonEmpty) q.select ++ q.aggregates.map(_.alias)
+       else q.select).distinct.sorted
+    val ordered =
+      if (q.orderBy.isEmpty) result
+      else result.orderBy(q.orderBy.map(k =>
+        if (k.asc) col(k.variable).asc else col(k.variable).desc): _*)
+    val withOffset = q.offset.fold(ordered)(ordered.offset)
+    val withLimit = q.limit.fold(withOffset)(withOffset.limit)
+    withLimit.select(outCols.map(col): _*)
   }
 
   /** Parse + plan in one step. */

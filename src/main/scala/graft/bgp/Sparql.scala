@@ -26,6 +26,10 @@ object Sparql {
     * object swapped. Only valid at the predicate position.
     */
   final case class PathInverse(predicate: String) extends Term
+  /** Zero-or-one property path `p?` (SPARQL 1.1) — one step ∪ identity
+    * over the slice's vertex set. Only valid at the predicate position.
+    */
+  final case class PathOpt(predicate: String) extends Term
   /** Alternation path `p1|p2|...` (SPARQL 1.1) — union of the predicate
     * slices. Only valid at the predicate position.
     */
@@ -44,6 +48,23 @@ object Sparql {
   final case class FilterExpr(variable: String, op: String, value: String,
       numeric: Boolean, rhsVar: Boolean = false)
 
+  /** One `FILTER (...)` clause in disjunctive normal form: the clause
+    * holds iff ANY disjunct's comparisons ALL hold. A simple
+    * `FILTER (?v > 3)` is one disjunct with one comparison; `&&` binds
+    * tighter than `||` (SPARQL 1.1 operator precedence); parentheses
+    * beyond the outer pair are not supported.
+    */
+  final case class FilterClause(disjuncts: Seq[Seq[FilterExpr]])
+
+  /** One aggregate in the SELECT clause:
+    * `(COUNT(?v) AS ?alias)` / `(COUNT(*) AS ?alias)` /
+    * `(SUM|MIN|MAX|AVG(?v) AS ?alias)`. `variable` = None for `*`.
+    */
+  final case class AggExpr(op: String, variable: Option[String], alias: String)
+
+  /** One `ORDER BY` key: `?v` / `ASC(?v)` (ascending) or `DESC(?v)`. */
+  final case class OrderKey(variable: String, asc: Boolean)
+
   /** Extended BGP: the reference grammar (patterns only) plus the
     * standard SPARQL extensions the reference lacks — DISTINCT,
     * FILTER comparisons, OPTIONAL blocks, UNION groups (SURVEY.md §2.2
@@ -58,18 +79,36 @@ object Sparql {
       select: Seq[String],
       patterns: Seq[TriplePattern],
       optionals: Seq[Seq[TriplePattern]] = Nil,
-      filters: Seq[FilterExpr] = Nil,
+      filters: Seq[FilterClause] = Nil,
       distinct: Boolean = false,
       unions: Seq[Seq[Seq[TriplePattern]]] = Nil,
-      minuses: Seq[Seq[TriplePattern]] = Nil)
+      minuses: Seq[Seq[TriplePattern]] = Nil,
+      aggregates: Seq[AggExpr] = Nil,
+      groupBy: Seq[String] = Nil,
+      orderBy: Seq[OrderKey] = Nil,
+      limit: Option[Int] = None,
+      offset: Option[Int] = None)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val unionChainRe = "(?is)\\{[^{}]*\\}(?:\\s*union\\s*\\{[^{}]*\\})+".r
   private val braceBlockRe = "(?s)\\{([^{}]*)\\}".r
-  private val filterRe = "(?is)filter\\s*\\(([^)]*)\\)".r
+  // a FILTER body may contain one level of aggregate-free parens-less
+  // comparisons chained with && / || — the lazy [^()]* stops at the
+  // clause's closing paren
+  private val filterRe = "(?is)filter\\s*\\(([^()]*)\\)".r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
+  // SELECT items: an aggregate `(AGG(?v|*) AS ?alias)` or a plain ?var
+  private val selectItemRe =
+    ("(?is)\\(\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|\\?\\w+)\\s*\\)" +
+      "\\s+as\\s+\\?(\\w+)\\s*\\)|\\?(\\w+)").r
+  private val groupByRe = "(?is)group\\s+by((?:\\s+\\?\\w+)+)".r
+  private val orderByRe =
+    "(?is)order\\s+by((?:\\s+(?:(?:asc|desc)\\s*\\(\\s*\\?\\w+\\s*\\)|\\?\\w+))+)".r
+  private val orderKeyRe = "(?is)(asc|desc)\\s*\\(\\s*\\?(\\w+)\\s*\\)|\\?(\\w+)".r
+  private val limitRe = "(?is)limit\\s+(\\d+)".r
+  private val offsetRe = "(?is)offset\\s+(\\d+)".r
 
   /** Parse the reference subset + extensions. Throws
     * IllegalArgumentException on queries outside the grammar.
@@ -81,19 +120,52 @@ object Sparql {
     require(selIdx == 0, s"query must start with 'select': $query")
     require(whereIdx > 0, s"query must contain 'where': $query")
 
-    val selClause = lower.substring("select".length, whereIdx)
-      .split("\\s+").filter(_.nonEmpty).toSeq
-    val isDistinct = selClause.headOption.exists(_.equalsIgnoreCase("distinct"))
-    val selectVars = (if (isDistinct) selClause.tail else selClause)
-      .map { tok =>
-        require(tok.startsWith("?"), s"SELECT clause allows only ?vars, got: $tok")
-        tok.drop(1)
-      }
+    val selSection0 = lower.substring("select".length, whereIdx).trim
+    val isDistinct = selSection0.toLowerCase.startsWith("distinct")
+    val selSection =
+      if (isDistinct) selSection0.drop("distinct".length) else selSection0
+    // SELECT items in order: plain ?vars and (AGG(?v) AS ?alias) forms;
+    // anything the item regex doesn't consume is a syntax error
+    val leftover = selectItemRe.replaceAllIn(selSection, " ").trim
+    require(leftover.isEmpty,
+      s"SELECT clause allows only ?vars and (AGG(?v) AS ?alias), got: $leftover")
+    val items = selectItemRe.findAllMatchIn(selSection).toSeq
+    val selectVars = items.collect {
+      case m if m.group(4) != null => m.group(4)
+    }
+    val aggregates = items.collect {
+      case m if m.group(1) != null =>
+        val arg = m.group(2)
+        val v = if (arg == "*") None else Some(arg.drop(1))
+        val op = m.group(1).toLowerCase
+        require(v.nonEmpty || op == "count", s"only COUNT accepts *: $query")
+        AggExpr(op, v, m.group(3))
+    }
+    require(selectVars.nonEmpty || aggregates.nonEmpty,
+      s"empty SELECT clause: $query")
 
     val body0 = lower.substring(whereIdx + "where".length).trim
-    require(body0.startsWith("{") && body0.endsWith("}"),
-      s"where clause must be braced: $query")
-    val bodyFull = body0.drop(1).dropRight(1).trim
+    require(body0.startsWith("{"), s"where clause must be braced: $query")
+    // solution modifiers follow the LAST closing brace (the WHERE
+    // block's own braces nest, the modifier tail never contains one)
+    val closeIdx = body0.lastIndexOf("}")
+    require(closeIdx > 0, s"where clause must be braced: $query")
+    val bodyFull = body0.substring(1, closeIdx).trim
+    val tail = body0.substring(closeIdx + 1)
+
+    val groupVars = groupByRe.findFirstMatchIn(tail).toSeq
+      .flatMap(_.group(1).split("\\s+").filter(_.nonEmpty).map(_.drop(1)))
+    val orderKeys = orderByRe.findFirstMatchIn(tail).toSeq.flatMap(m =>
+      orderKeyRe.findAllMatchIn(m.group(1)).map { k =>
+        if (k.group(3) != null) OrderKey(k.group(3), asc = true)
+        else OrderKey(k.group(2), asc = k.group(1).equalsIgnoreCase("asc"))
+      })
+    val limitN = limitRe.findFirstMatchIn(tail).map(_.group(1).toInt)
+    val offsetN = offsetRe.findFirstMatchIn(tail).map(_.group(1).toInt)
+    val tailLeft = Seq(groupByRe, orderByRe, limitRe, offsetRe)
+      .foldLeft(tail)((t, re) => re.replaceAllIn(t, " ")).trim
+    require(tailLeft.isEmpty,
+      s"unrecognized text after the WHERE block: '$tailLeft'")
 
     // pull extension clauses out first; the remainder is the
     // reference's plain dot-separated pattern list. OPTIONAL blocks go
@@ -113,19 +185,22 @@ object Sparql {
       require(varSets.distinct.size == 1,
         s"UNION branches must bind the same variables, got: $varSets")
     }
+    def parseComparison(s: String): FilterExpr = s.trim match {
+      case filterExprRe(v, op, raw) =>
+        term(raw.trim) match {
+          case Var(w) => FilterExpr(v, op, w, numeric = false, rhsVar = true)
+          case Const(c) => FilterExpr(v, op, c, numberRe.matches(raw.trim))
+          case other =>
+            throw new IllegalArgumentException(
+              s"FILTER right side must be a constant or variable, got $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported FILTER: $other")
+    }
+    // DNF: || separates disjuncts, && separates comparisons inside one
     val filters = filterRe.findAllMatchIn(bodyFull).map { m =>
-      m.group(1).trim match {
-        case filterExprRe(v, op, raw) =>
-          term(raw.trim) match {
-            case Var(w) => FilterExpr(v, op, w, numeric = false, rhsVar = true)
-            case Const(c) => FilterExpr(v, op, c, numberRe.matches(raw.trim))
-            case other =>
-              throw new IllegalArgumentException(
-                s"FILTER right side must be a constant or variable, got $other")
-          }
-        case other =>
-          throw new IllegalArgumentException(s"unsupported FILTER: $other")
-      }
+      FilterClause(m.group(1).split("\\|\\|").toSeq
+        .map(_.split("&&").toSeq.map(parseComparison)))
     }.toSeq
     val body = filterRe.replaceAllIn(
       unionChainRe.replaceAllIn(body1, ""), "").trim
@@ -146,13 +221,38 @@ object Sparql {
       (patterns ++ optionals.flatten ++ unions.flatten.flatten).flatMap(_.vars).toSet
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
-    filters.foreach { f =>
+    filters.flatMap(_.disjuncts.flatten).foreach { f =>
       require(known.contains(f.variable), s"FILTER var ?${f.variable} not bound")
       if (f.rhsVar)
         require(known.contains(f.value), s"FILTER var ?${f.value} not bound")
     }
+
+    // aggregate/modifier validation (SPARQL 1.1 §18.2.4-18.2.5 shape:
+    // with aggregates every plain SELECT var must be a group key; ORDER
+    // BY may reference solution vars, group keys, or agg aliases)
+    val aliases = aggregates.map(_.alias)
+    require(aliases.distinct.size == aliases.size,
+      s"duplicate aggregate alias: $query")
+    groupVars.foreach(v =>
+      require(known.contains(v), s"GROUP BY var ?$v not bound"))
+    aggregates.flatMap(_.variable).foreach(v =>
+      require(known.contains(v), s"aggregate var ?$v not bound"))
+    if (aggregates.nonEmpty)
+      selectVars.foreach(v =>
+        require(groupVars.contains(v),
+          s"SELECT var ?$v must be a GROUP BY key when aggregating"))
+    else
+      require(groupVars.isEmpty, s"GROUP BY requires an aggregate: $query")
+    val outVars =
+      if (aggregates.nonEmpty) (selectVars ++ groupVars ++ aliases).toSet
+      else if (isDistinct) selectVars.toSet
+      else known
+    orderKeys.foreach(k =>
+      require(outVars.contains(k.variable),
+        s"ORDER BY var ?${k.variable} not available after projection"))
+
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
-      minuses)
+      minuses, aggregates, groupVars, orderKeys, limitN, offsetN)
   }
 
   /** Dot-separated triple patterns; a '.' only separates when it
@@ -176,6 +276,10 @@ object Sparql {
     }
     else if (tok.endsWith("*") && tok.length > 1) term(tok.dropRight(1)) match {
       case Const(p) => PathStar(p)
+      case other => other
+    }
+    else if (tok.endsWith("?") && tok.length > 1) term(tok.dropRight(1)) match {
+      case Const(p) => PathOpt(p)
       case other => other
     }
     else if (tok.startsWith("^") && tok.length > 1) term(tok.drop(1)) match {

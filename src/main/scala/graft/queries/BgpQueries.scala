@@ -234,6 +234,58 @@ object BgpQueries {
              |WHERE c_custkey NOT IN
              |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin)),
 
+    // grammar extension: SPARQL 1.1 aggregates — GROUP BY + COUNT/MIN
+    // folded into one partial-aggregated groupBy after the BGP join
+    GQuery(
+      "q76_bgp_aggregate",
+      bgp("""select ?nm (count(?c) as ?ncust) (min(?c) as ?firstc) where {
+            | ?c rdf:type "Customer" .
+            | ?c nationkey ?n .
+            | ?n name ?nm }
+            |group by ?nm""".stripMargin),
+      Some("""SELECT n_name AS nm, count(*) AS ncust,
+             |       min(concat('customer:', c_custkey)) AS firstc
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // grammar extension: ORDER BY / LIMIT / OFFSET solution modifiers
+    // (deterministic: the sort key ?o is unique)
+    GQuery(
+      "q77_bgp_order_limit",
+      bgp("""select ?o ?c where {
+            | ?o custkey ?c .
+            | ?o status "F" }
+            |ORDER BY ?o LIMIT 20 OFFSET 5""".stripMargin),
+      Some("""SELECT concat('order:', o_orderkey) AS o,
+             |       concat('customer:', o_custkey) AS c
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY concat('order:', o_orderkey) LIMIT 20 OFFSET 5""".stripMargin)),
+
+    // grammar extension: compound FILTER — && binds tighter than ||
+    GQuery(
+      "q78_bgp_compound_filter",
+      bgp("""select ?nm ?r where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | ?n regionkey ?r .
+            | FILTER (?r = region:2 && ?nm != NATION_3 || ?nm = NATION_7) }""".stripMargin),
+      Some("""SELECT n_name AS nm, concat('region:', n_regionkey) AS r
+             |FROM nation
+             |WHERE (n_regionkey = 2 AND n_name <> 'NATION_3')
+             |   OR n_name = 'NATION_7'""".stripMargin)),
+
+    // grammar extension: zero-or-one path p? (one step ∪ identity over
+    // the slice's vertex set, set semantics)
+    GQuery(
+      "q79_bgp_path_opt",
+      bgp("select ?a ?b where { ?a regionkey? ?b }"),
+      Some("""SELECT concat('nation:', n_nationkey) AS a,
+             |       concat('region:', n_regionkey) AS b FROM nation
+             |UNION
+             |SELECT x, x FROM (
+             |  SELECT concat('nation:', n_nationkey) AS x FROM nation
+             |  UNION SELECT concat('region:', r_regionkey) FROM region)""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

@@ -61,21 +61,23 @@ class BgpPropertySpec extends AnyFunSuite {
         else expand(Set(env), block).isEmpty
       }
     }
-    envs = envs.filter { env =>
-      q.filters.forall { f =>
-        val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
-        (env.get(f.variable), rhs) match {
-          case (Some(v), Some(r)) => f.op match {
-            case "=" => v == r
-            case "!=" => v != r
-            case ">" => v > r
-            case ">=" => v >= r
-            case "<" => v < r
-            case "<=" => v <= r
-          }
-          case _ => false
+    def leafHolds(env: Map[String, String], f: Sparql.FilterExpr): Boolean = {
+      val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
+      (env.get(f.variable), rhs) match {
+        case (Some(v), Some(r)) => f.op match {
+          case "=" => v == r
+          case "!=" => v != r
+          case ">" => v > r
+          case ">=" => v >= r
+          case "<" => v < r
+          case "<=" => v <= r
         }
+        case _ => false
       }
+    }
+    envs = envs.filter { env =>
+      q.filters.forall(fc =>
+        fc.disjuncts.exists(_.forall(leafHolds(env, _))))
     }
     envs.map(env => q.select.distinct.sorted.map(env.getOrElse(_, null)))
   }
@@ -259,7 +261,7 @@ class BgpPropertySpec extends AnyFunSuite {
 
   test("planner equals brute-force with OPTIONAL blocks and FILTERs (30 random)") {
     import spark.implicits._
-    import graft.bgp.Sparql.FilterExpr
+    import graft.bgp.Sparql.{FilterClause, FilterExpr}
     val rnd = new Random(424242L)
     val ents = Vector("e0", "e1", "e2", "e3")
     val preds = Vector("p0", "p1", "p2")
@@ -283,17 +285,23 @@ class BgpPropertySpec extends AnyFunSuite {
         // filter only on required-bound vars (filtering an optional var
         // that may be unbound is a deliberately unsupported corner);
         // half the filters compare two variables instead of a constant
+        def randLeaf(): FilterExpr = {
+          val op = Vector("=", "!=", "<", ">=")(rnd.nextInt(4))
+          val lhs = reqVars(rnd.nextInt(reqVars.size))
+          if (rnd.nextBoolean() && reqVars.size > 1)
+            FilterExpr(lhs, op,
+              reqVars(rnd.nextInt(reqVars.size)), numeric = false,
+              rhsVar = true)
+          else
+            FilterExpr(lhs, op,
+              ents(rnd.nextInt(ents.size)), numeric = false)
+        }
+        // half simple, half compound (a && b, a || b, a && b || c)
         val filters =
           if (rnd.nextBoolean() && reqVars.nonEmpty) {
-            val op = Vector("=", "!=", "<", ">=")(rnd.nextInt(4))
-            val lhs = reqVars(rnd.nextInt(reqVars.size))
-            if (rnd.nextBoolean() && reqVars.size > 1)
-              Seq(FilterExpr(lhs, op,
-                reqVars(rnd.nextInt(reqVars.size)), numeric = false,
-                rhsVar = true))
-            else
-              Seq(FilterExpr(lhs, op,
-                ents(rnd.nextInt(ents.size)), numeric = false))
+            val disjuncts = Seq.fill(1 + rnd.nextInt(2))(
+              Seq.fill(1 + rnd.nextInt(2))(randLeaf()))
+            Seq(FilterClause(disjuncts))
           } else Nil
         val select = rnd.shuffle(allVars).take(1 + rnd.nextInt(allVars.size))
         val q = BgpQuery(select, required, optionals, filters)

@@ -203,6 +203,65 @@ class BgpSpec extends AnyFunSuite {
       "select ?S where { ?A worksFor dept:0 . MINUS { ?S advisor ?A } }"))
   }
 
+  test("ORDER BY / LIMIT / OFFSET slice the sorted solution") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?A ?N where { ?A name ?N } ORDER BY DESC(?N) LIMIT 1")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("prof:1", "FullProfessor1")))
+    val page2 = BgpPlanner.query(tinyStore,
+      "select ?A where { ?A worksFor ?D } ORDER BY ?A LIMIT 1 OFFSET 1")
+    assert(page2.collect().map(_.getString(0)).toSeq == Seq("prof:1"))
+    // ORDER BY key need not be selected (and survives projection)
+    val byName = BgpPlanner.query(tinyStore,
+      "select ?A where { ?A name ?N } ORDER BY DESC(?N) LIMIT 1")
+    assert(byName.columns.toSeq == Seq("A"))
+    assert(byName.collect().map(_.getString(0)).toSeq == Seq("prof:1"))
+    // ...but DISTINCT projection eliminates it → error
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select distinct ?A where { ?A name ?N } ORDER BY ?N"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select ?A where { ?A name ?N } ORDER BY ?Q"))
+  }
+
+  test("aggregates group and fold bindings (COUNT/MIN/global)") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?D (count(?P) as ?n) where { ?P worksFor ?D } group by ?D""")
+    assert(out.columns.toSeq == Seq("D", "n"))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("dept:0", 2L), ("dept:1", 1L)))
+    val mins = BgpPlanner.query(tinyStore,
+      """select ?D (min(?P) as ?first) where { ?P worksFor ?D } group by ?D""")
+    assert(mins.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("dept:0", "prof:0"), ("dept:1", "prof:2")))
+    // global aggregate: no GROUP BY, COUNT(*)
+    val total = BgpPlanner.query(tinyStore,
+      "select (count(*) as ?n) where { ?P worksFor ?D }")
+    assert(total.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // plain SELECT var must be a group key; GROUP BY needs an aggregate
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select ?P (count(?D) as ?n) where { ?P worksFor ?D } group by ?D"))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select ?P where { ?P worksFor ?D } group by ?P"))
+  }
+
+  test("compound FILTER: && and || with SPARQL precedence") {
+    val or = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D .
+        | FILTER (?D = dept:1 || ?A = prof:0) }""".stripMargin)
+    assert(or.collect().map(_.getString(0)).toSet == Set("prof:0", "prof:2"))
+    val andOr = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D . ?A name ?N .
+        | FILTER (?D = dept:0 && ?N = FullProfessor1 || ?A = prof:0) }""".stripMargin)
+    assert(andOr.collect().map(_.getString(0)).toSet == Set("prof:0", "prof:1"))
+  }
+
+  test("zero-or-one path p? matches one step plus identity") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?X ?Y where { ?X advisor? ?Y }")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("stud:0", "prof:0"), ("stud:0", "stud:0"), ("prof:0", "prof:0")))
+  }
+
   test("inverse path ^p matches with subject and object swapped") {
     val out = BgpPlanner.query(tinyStore,
       "select ?D ?W where { ?D ^worksFor ?W }")
