@@ -89,15 +89,52 @@ object GraphQueries {
              |SELECT component, count(*) AS n_entities
              |FROM comp GROUP BY component""".stripMargin)),
 
-    // PageRank top entities (iterative, floating-point — rows-only)
+    // PageRank, fixed-iteration with integer-scaled arithmetic so the
+    // DuckDB oracle can verify it exactly (float pagerank is engine-
+    // specific; GraphX's tolerance-based variant stays spec-verified in
+    // GraphSpec). Ranks carry 1e10 scale; each step is
+    // rank' = (15·S + 85·Σ floor(rank/deg)) div 100 — all-integer, so
+    // summation order cannot flip a bit. 3 unrolled iterations.
     GQuery(
       "q55_graph_pagerank",
       (s, dir) => {
         import s.implicits._
-        RdfGraph.pageRank(graph(s, dir), s)
-          .orderBy($"rank".desc, $"entity".asc).limit(20)
+        val store = TripleStore.fromStarSchema(s, dir)
+        val edges = entityPreds.map(store.slices(_))
+          .reduce(_ unionByName _).toDF("src", "dst")
+        val vertices = edges.select($"src".as("v"))
+          .unionByName(edges.select($"dst".as("v"))).distinct().cache()
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val withDeg = edges.join(deg, "src").cache()
+        var ranks = vertices.select($"v", lit(10000000000L).as("rank"))
+        for (_ <- 1 to 3) {
+          val sums = withDeg
+            .join(ranks.withColumnRenamed("v", "src"), "src")
+            .select($"dst".as("v"), expr("rank div deg").as("c"))
+            .groupBy($"v").agg(sum($"c").as("m"))
+          ranks = vertices.join(sums, Seq("v"), "left")
+            .select($"v",
+              expr("(150000000000 + 85 * coalesce(m, 0L)) div 100").as("rank"))
+        }
+        ranks.select($"v".as("entity"), $"rank")
       },
-      None),
+      Some {
+        def step(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT n.v, CAST((150000000000 + 85 * coalesce(c.m, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.o AS v, CAST(sum(r.rank // d.deg) AS BIGINT) AS m
+             |    FROM edges e JOIN deg d ON e.s = d.s JOIN $prev r ON r.v = e.s
+             |    GROUP BY e.o) c ON c.v = n.v)""".stripMargin
+        s"""WITH $edgesSql,
+           |nodes AS (SELECT s AS v FROM edges UNION SELECT o FROM edges),
+           |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+           |r0 AS (SELECT v, CAST(10000000000 AS BIGINT) AS rank FROM nodes),
+           |${step("r0", "r1")},
+           |${step("r1", "r2")},
+           |${step("r2", "r3")}
+           |SELECT v AS entity, rank FROM r3""".stripMargin
+      }),
 
     // transitive closure (SPARQL property-path p+ shape) via semi-naive
     // fixpoint over each customer's order-succession chain, verified
