@@ -300,6 +300,53 @@ object DedupQueries {
               |  sum(floor(quality * 10000 + 0.5)) / 10000 / count(*) AS avg_quality
               |FROM kept ANTI JOIN dup USING (doc_id)
               |GROUP BY lang""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // transitive near-dup clustering: connected components over the
+    // q44 Jaccard-pair graph (≥ 0.6), each doc mapped to its cluster's
+    // canonical (minimum) doc_id — the "keep one per dup cluster" step
+    // a pairwise dedup can't express when A~B, B~C but A≁C.
+    // Scale shape: candidate pairs come from the banded join (never
+    // all-pairs), and the component closure runs path doubling — log₂
+    // of the longest chain rounds, each a self-join on doc_id — so a
+    // 100 TB corpus with bounded dup-chain length converges in a few
+    // shuffles. Oracle: WITH RECURSIVE min-label reachability.
+    GQuery(
+      "q83_dedup_components",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleBand(s, dir)
+        val card = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(card.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+          .join(card.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+          .filter($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter") >= 0.6)
+          .select($"d1", $"d2")
+        val und = pairs.select($"d1".as("src"), $"d2".as("dst"))
+          .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        val reach = graft.graph.PathOps.transitiveClosure(und)
+          .unionByName(und.select($"src").distinct()
+            .select($"src", $"src".as("dst")))
+        reach.groupBy($"src".as("doc_id")).agg(min($"dst").as("canonical"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |$shingleBandSql,
+              |card AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS (SELECT d1, d2 FROM inter
+              |          JOIN card c1 ON c1.doc_id = d1
+              |          JOIN card c2 ON c2.doc_id = d2
+              |          WHERE inter * 1.0 / (c1.n + c2.n - inter) >= 0.6),
+              |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              |        UNION SELECT d2, d1 FROM pairs),
+              |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
+              |          UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+              |SELECT src AS doc_id, min(dst) AS canonical
+              |FROM reach GROUP BY src""".stripMargin))
   )
 }

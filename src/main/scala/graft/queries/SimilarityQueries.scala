@@ -304,6 +304,72 @@ object SimilarityQueries {
              |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
              |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
              |  len(list_filter(embedding, x -> x > 0)) AS n_pos
-             |FROM embeddings""".stripMargin))
+             |FROM embeddings""".stripMargin)),
+
+    // deterministic k-means over the embedding column (k = 8, 2 fixed
+    // Lloyd iterations) — the corpus-curation clustering step of a
+    // training pipeline. Every quantity is exact: elements quantize to
+    // floor(x·1000) longs, distances are integer sums of squares,
+    // centroid updates floor one double divide of exact integers, and
+    // ties break by lowest centroid id — so Spark and an unrolled-CTE
+    // DuckDB oracle agree hash-exactly.
+    // Scale shape: the long format (vec_id, dim, qv) keeps every stage
+    // a hash-partitioned join/agg on data-sized keys: assignment
+    // shuffles on dim (64 rows per vector) against a centroid table of
+    // k·dim rows (broadcast), update is one groupBy (cluster, dim).
+    // No all-pairs stage anywhere; k and dim bound the small side.
+    GQuery(
+      "q81_kmeans_embed",
+      (s, dir) => {
+        import s.implicits._
+        val q = t(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("d", "e")))
+          .select($"vec_id", $"d",
+            floor($"e".cast("double") * 1000).cast("long").as("qv"))
+          .cache()
+        val c0 = q.filter($"vec_id" < 8)
+          .select($"vec_id".as("c"), $"d", $"qv".as("cv"))
+        def assign(cent: DataFrame): DataFrame =
+          q.join(broadcast(cent), Seq("d"))
+            .groupBy($"vec_id", $"c")
+            .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("dist"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"vec_id").orderBy($"dist", $"c")))
+            .filter($"rn" === 1).select($"vec_id", $"c")
+        def update(asg: DataFrame): DataFrame =
+          q.join(asg, Seq("vec_id")).groupBy($"c", $"d")
+            .agg(floor(sum($"qv").cast("double") / count(lit(1)))
+              .cast("long").as("cv"))
+        val a1 = assign(c0)
+        val c1 = update(a1)
+        val a2 = assign(c1)
+        val c2 = update(a2)
+        a2.groupBy($"c").agg(count(lit(1)).as("n_vecs"))
+          .join(c2.filter($"d" === 0).select($"c", $"cv".as("c0")), Seq("c"))
+          .select($"c".cast("long").as("cluster"), $"n_vecs", $"c0")
+      },
+      Some {
+        def step(cent: String, asg: String, dist: String) =
+          s"""$dist AS (SELECT q.vec_id, c.c, sum((q.qv - c.cv) * (q.qv - c.cv)) AS dist
+             |  FROM q JOIN $cent c ON q.d = c.d GROUP BY 1, 2),
+             |$asg AS (SELECT vec_id, c FROM (SELECT vec_id, c,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+             |  FROM $dist) WHERE rn = 1)""".stripMargin
+        def upd(asg: String, cent: String) =
+          s"""$cent AS (SELECT a.c, q.d,
+             |  CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+             |  FROM q JOIN $asg a ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+        s"""WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+           |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS c, d, qv AS cv FROM q WHERE vec_id < 8),
+           |${step("c0", "a1", "d1")},
+           |${upd("a1", "c1")},
+           |${step("c1", "a2", "d2")},
+           |${upd("a2", "c2")}
+           |SELECT a.c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, min(c2.cv) AS c0
+           |FROM a2 a JOIN c2 ON c2.c = a.c AND c2.d = 0
+           |GROUP BY a.c""".stripMargin
+      })
   )
 }

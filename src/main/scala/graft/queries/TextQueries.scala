@@ -170,6 +170,88 @@ object TextQueries {
              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
              |    list_transform(string_split(substr(text, 1, 64), ''), ch -> CAST(ascii(ch) AS BIGINT))),
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_prefix64
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // BM25 retrieval scoring for a fixed 3-term query (k1=1.2, b=0.75).
+    // idf is kept rational — (N − df + 0.5)/(df + 0.5), Robertson's idf
+    // without the log, because libm transcendentals are not bit-portable
+    // across engines. Every per-term score is ONE fixed-shape double
+    // expression over exact integer stats (same operation tree in Spark
+    // and DuckDB ⇒ bit-identical); the three term scores add in fixed
+    // left-assoc order and the total floor-quantizes to 1e-4 (the
+    // OracleNum discipline without an aggregation).
+    // Scale shape: corpus stats (N, Σdl, per-term df) are ONE tiny
+    // aggregate broadcast back over a single documents scan — no
+    // corpus-sized shuffle, no per-term join.
+    GQuery(
+      "q80_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("spark", "join", "hash")
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select(($"doc_id" +: size($"w").cast("long").as("dl") +:
+            terms.indices.map(i =>
+              expr(s"size(filter(w, t -> t = '${terms(i)}'))")
+                .cast("long").as(s"tf$i"))): _*)
+        val aggExprs = count(lit(1)).as("n") +: sum($"dl").as("sumdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val stats = docs.agg(aggExprs.head, aggExprs.tail: _*)
+          .withColumn("avgdl", $"sumdl".cast("double") / $"n")
+        def score(i: Int) = {
+          val tf = col(s"tf$i"); val df = col(s"df$i")
+          (($"n" - df + lit(0.5)) / (df + lit(0.5))) *
+            ((tf * lit(2.2)) /
+              (tf + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl"))))
+        }
+        docs.crossJoin(broadcast(stats))
+          .filter($"tf0" + $"tf1" + $"tf2" > 0)
+          .select($"doc_id",
+            floor((score(0) + score(1) + score(2)) * 10000 + 0.5)
+              .cast("long").as("score_q"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS BIGINT) AS tf0,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'join')) AS BIGINT) AS tf1,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'hash')) AS BIGINT) AS tf2
+             |  FROM documents),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(dl) AS BIGINT) AS sumdl,
+             |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+             |  FROM d),
+             |stx AS (SELECT n, df0, df1, df2, CAST(sumdl AS DOUBLE) / n AS avgdl FROM st)
+             |SELECT doc_id, CAST(floor((
+             |    ((n - df0 + 0.5) / (df0 + 0.5)) * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             |  + ((n - df1 + 0.5) / (df1 + 0.5)) * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             |  + ((n - df2 + 0.5) / (df2 + 0.5)) * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+             |  ) * 10000 + 0.5) AS BIGINT) AS score_q
+             |FROM d, stx WHERE tf0 + tf1 + tf2 > 0""".stripMargin)),
+
+    // deterministic hash sampling, stratified by language: keep a doc
+    // iff an md5-derived bucket of its id falls under the stratum's
+    // rate (en 20%, others 50%). The predicate is a pure function of
+    // the row — at 100 TB it pushes into the scan, needs no shuffle, no
+    // RNG state, and re-runs reproducibly on any engine or cluster
+    // (seeded `sample()` is implementation-defined across engines).
+    GQuery(
+      "q82_hash_sample",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            conv(substring(md5(concat($"doc_id".cast("string"), lit(":s1"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+          .filter($"bucket" < when($"lang" === "en", 20L).otherwise(50L))
+          .select($"doc_id", $"lang", $"bucket")
+      },
+      Some("""SELECT doc_id, lang, bucket FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':s1')), 1, 8)) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END""".stripMargin))
   )
 }
