@@ -221,6 +221,129 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Bag-semantics brute force over plain patterns (aggregates need
+    * multiplicities, which the Set-based naive evaluator collapses).
+    */
+  private def naiveBag(triples: Seq[(String, String, String)],
+      patterns: Seq[TriplePattern]): Seq[Map[String, String]] = {
+    def unify(term: Term, v: String, e: Map[String, String]): Option[Map[String, String]] =
+      term match {
+        case Const(c) => if (c == v) Some(e) else None
+        case Var(n) => e.get(n) match {
+          case Some(bound) => if (bound == v) Some(e) else None
+          case None => Some(e + (n -> v))
+        }
+      }
+    patterns.foldLeft(Seq(Map.empty[String, String]))((es, p) =>
+      es.flatMap(env => triples.flatMap(t =>
+        unify(p.s, t._1, env).flatMap(e1 =>
+          unify(p.p, t._2, e1).flatMap(e2 => unify(p.o, t._3, e2))))))
+  }
+
+  test("aggregates equal brute-force bag aggregation (25 random)") {
+    import spark.implicits._
+    import graft.bgp.Sparql.AggExpr
+    val rnd = new Random(31337L)
+    val ents = Vector("e0", "e1", "e2")
+    val preds = Vector("p0", "p1")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    for (round <- 0 until 25) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val patterns = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val vars = patterns.flatMap(_.vars).distinct
+      if (vars.nonEmpty) {
+        val aggVar = vars(rnd.nextInt(vars.size))
+        val groupVars =
+          if (rnd.nextBoolean() && vars.size > 1)
+            Seq(vars.filterNot(_ == aggVar).head)
+          else Nil
+        val q = BgpQuery(groupVars, patterns,
+          aggregates = Seq(AggExpr("count", Some(aggVar), "n"),
+            AggExpr("min", Some(aggVar), "lo")),
+          groupBy = groupVars)
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(String.valueOf)).toSet
+        val bags = naiveBag(triples, patterns)
+        // output columns sort lexicographically: [groupVar,] lo, n
+        // (capital var names sort before the lowercase aliases)
+        val want: Set[Seq[String]] =
+          if (groupVars.isEmpty)
+            // SQL global aggregate over zero rows: one (null, 0) row
+            if (bags.isEmpty) Set(Seq("null", "0"))
+            else Set(Seq(bags.map(_(aggVar)).min, bags.size.toString))
+          else bags.groupBy(e => groupVars.map(e(_))).map { case (k, es) =>
+            (k :+ es.map(_(aggVar)).min) :+ es.size.toString
+          }.toSet
+        assert(got == want,
+          s"round $round: pats=$patterns group=$groupVars agg=$aggVar " +
+            s"store=$triples\ngot=$got want=$want")
+      }
+    }
+  }
+
+  test("ORDER BY + LIMIT/OFFSET equal brute-force sort (25 random)") {
+    import spark.implicits._
+    import graft.bgp.Sparql.OrderKey
+    val rnd = new Random(777001L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    for (round <- 0 until 25) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val patterns = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val vars = patterns.flatMap(_.vars).distinct
+      if (vars.nonEmpty) {
+        // order on ALL select vars (full-row sort ⇒ the sliced prefix
+        // is deterministic up to equal rows)
+        val select = rnd.shuffle(vars)
+        val keys = select.map(v => OrderKey(v, asc = rnd.nextBoolean()))
+        val limit = Some(1 + rnd.nextInt(4))
+        val offset = if (rnd.nextBoolean()) Some(rnd.nextInt(3)) else None
+        val q = BgpQuery(select, patterns, orderBy = keys,
+          limit = limit, offset = offset)
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(String.valueOf).toList).toList
+        val outCols = select.distinct.sorted
+        val ord = new Ordering[Seq[String]] {
+          def compare(a: Seq[String], b: Seq[String]): Int =
+            keys.iterator.map { k =>
+              val i = outCols.indexOf(k.variable)
+              val c = a(i).compareTo(b(i))
+              if (k.asc) c else -c
+            }.find(_ != 0).getOrElse(0)
+        }
+        val sortedAll = naiveBag(triples, patterns)
+          .map(env => outCols.map(env(_))).sorted(ord)
+        val want = sortedAll.slice(offset.getOrElse(0),
+          offset.getOrElse(0) + limit.get)
+        // rows equal under the sort keys may come back in either order;
+        // compare as sorted multisets
+        import scala.math.Ordering.Implicits.seqOrdering
+        assert(got.sorted == want.map(_.toList).sorted,
+          s"round $round: pats=$patterns keys=$keys off=$offset lim=$limit " +
+            s"store=$triples\ngot=$got want=$want")
+      }
+    }
+  }
+
   test("measured-cost plan equals brute force (stats order + empty short-circuit)") {
     import spark.implicits._
     val rnd = new Random(90210L)
