@@ -347,6 +347,38 @@ object DedupQueries {
               |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
               |          UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
               |SELECT src AS doc_id, min(dst) AS canonical
-              |FROM reach GROUP BY src""".stripMargin))
+              |FROM reach GROUP BY src""".stripMargin)),
+
+    // fuzzy (edit-distance) dedup: banded candidates verified by
+    // Levenshtein over 64-char prefixes. The O(n·m) distance runs ONLY
+    // on candidate pairs from the shingle band join, and the fixed
+    // prefix bounds each evaluation — at 100 TB the edit distance is
+    // never the data-sized cost, the banded join is.
+    GQuery(
+      "q87_fuzzy_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleBand(s, dir)
+        val cand = sh.as("a").join(sh.as("b"),
+            col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val pre = t(s, dir, "documents")
+          .select($"doc_id", substring($"text", 1, 64).as("p"))
+        cand.join(pre.select($"doc_id".as("d1"), $"p".as("p1")), Seq("d1"))
+          .join(pre.select($"doc_id".as("d2"), $"p".as("p2")), Seq("d2"))
+          .select($"d1", $"d2", levenshtein($"p1", $"p2").cast("long").as("lev"))
+          .filter($"lev" <= 20)
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |         FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id),
+              |pre AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents)
+              |SELECT d1, d2, CAST(levenshtein(p1.p, p2.p) AS BIGINT) AS lev
+              |FROM cand
+              |JOIN pre p1 ON p1.doc_id = d1
+              |JOIN pre p2 ON p2.doc_id = d2
+              |WHERE levenshtein(p1.p, p2.p) <= 20""".stripMargin))
   )
 }

@@ -296,6 +296,53 @@ object RelationalQueries {
              |  round(min(l_extendedprice), 2) AS min_price,
              |  round(max(l_extendedprice), 2) AS max_price,
              |  count(*) AS n_rows
-             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ——— full-outer join: customers with only-F or only-P order
+    // histories survive on their respective sides ———
+    GQuery(
+      "q84_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val ords = t(s, dir, "orders")
+        val f = ords.filter($"o_orderstatus" === "F")
+          .groupBy($"o_custkey".as("custkey")).agg(count(lit(1)).as("n_f"))
+        val p = ords.filter($"o_orderstatus" === "P")
+          .groupBy($"o_custkey".as("custkey")).agg(count(lit(1)).as("n_p"))
+        f.join(p, Seq("custkey"), "full_outer")
+          .select($"custkey",
+            coalesce($"n_f", lit(0L)).as("n_f"),
+            coalesce($"n_p", lit(0L)).as("n_p"))
+      },
+      Some("""SELECT custkey,
+             |  CAST(coalesce(n_f, 0) AS BIGINT) AS n_f,
+             |  CAST(coalesce(n_p, 0) AS BIGINT) AS n_p
+             |FROM (SELECT o_custkey AS custkey, count(*) AS n_f
+             |      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+             |FULL JOIN (SELECT o_custkey AS custkey, count(*) AS n_p
+             |      FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) p
+             |USING (custkey)""".stripMargin)),
+
+    // ——— pivot: per-nation order counts spread over status columns
+    // (Spark `pivot` ≡ SQL conditional aggregation) ———
+    GQuery(
+      "q85_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .groupBy($"c_nationkey".as("nationkey"))
+          .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))
+          .select($"nationkey",
+            coalesce($"F", lit(0L)).as("n_f"),
+            coalesce($"O", lit(0L)).as("n_o"),
+            coalesce($"P", lit(0L)).as("n_p"))
+      },
+      Some("""SELECT c_nationkey AS nationkey,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_nationkey""".stripMargin))
   )
 }

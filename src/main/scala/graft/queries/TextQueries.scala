@@ -252,6 +252,27 @@ object TextQueries {
              |  SELECT doc_id, lang,
              |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':s1')), 1, 8)) AS BIGINT) % 100 AS bucket
              |  FROM documents)
-             |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END""".stripMargin))
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END""".stripMargin)),
+
+    // vocabulary building: corpus token frequencies + document
+    // frequencies with a min-count threshold — the tokenizer-training
+    // input step. One explode + one groupBy (map-side partial counts);
+    // the threshold keeps the output vocabulary-sized, not corpus-sized.
+    GQuery(
+      "q88_vocab",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("tk"))
+          .groupBy($"tk")
+          .agg(count(lit(1)).as("freq"),
+            countDistinct($"doc_id").as("n_docs"))
+          .filter($"freq" >= 50)
+      },
+      Some("""SELECT tk, CAST(count(*) AS BIGINT) AS freq,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+             |      FROM documents)
+             |GROUP BY tk HAVING count(*) >= 50""".stripMargin))
   )
 }

@@ -168,6 +168,29 @@ object WindowQueries {
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders)
              |WHERE rn <= 3""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // RANGE frame (value-based, not row-based): orders counted within
+    // a trailing 30-day window per customer — the frame is defined on
+    // the epoch-day VALUE, so gaps in order history shrink the window
+    // (a ROWS frame could not express this)
+    GQuery(
+      "q86_range_window",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val day = datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+        val w = Window.partitionBy($"o_custkey").orderBy($"day")
+          .rangeBetween(-30, Window.currentRow)
+        t(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", day.cast("long").as("day"))
+          .withColumn("n_trailing30", count(lit(1)).over(w))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             |  CAST(count(*) OVER (PARTITION BY o_custkey
+             |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing30
+             |FROM orders""".stripMargin))
   )
 }
