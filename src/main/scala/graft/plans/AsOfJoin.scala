@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.DataType
+
+/** Native as-of join — the whole-operator extension rung of the ladder
+  * (custom LogicalPlan + SparkStrategy + SparkPlan, registered through
+  * `SparkSessionExtensions`): for every left row, attach the single
+  * latest right row with `rightOn <= leftOn` in the same `by` group
+  * (ties on `rightOn` broken by the largest `rightTie`), or nulls —
+  * LEFT-OUTER as-of semantics.
+  *
+  * Spark has no built-in as-of join; the composable spelling (range
+  * join + per-key top-1 window, q36) shuffles every candidate pair and
+  * then sorts to discard all but one per left row. This operator is the
+  * plan a time-series engine would pick: both sides hash-partition on
+  * the `by` key and sort within partitions ONCE — then a single O(n+m)
+  * merge pass per partition emits the answer. No candidate-pair
+  * blow-up, no window; the merge state is one buffered right row. At
+  * 100 TB the cost is exactly two exchanges + two sorts (the SMJ
+  * floor), immune to users with many clicks-per-purchase, where the
+  * window spelling degrades with the candidate fan-out.
+  */
+object AsOfJoin {
+
+  /** Left-outer as-of join by column NAME (names resolve against each
+    * side's analyzed output, so the API needs no Column internals).
+    * The right side is re-aliased to fresh expression ids, making
+    * self-joins (same source on both sides) safe.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+      leftOn: String, rightOn: String,
+      leftBy: String, rightBy: String,
+      rightTie: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp0 = right.queryExecution.analyzed
+    val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def res(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    GraftShim.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp,
+        res(lp, leftOn), res(rp, rightOn),
+        res(lp, leftBy), res(rp, rightBy), res(rp, rightTie)))
+  }
+}
+
+/** Logical node: constructed resolved (attributes come from analyzed
+  * children), so it passes straight through analysis; unknown to the
+  * optimizer, which safely treats it as a barrier.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftOn: Expression, rightOn: Expression,
+    leftBy: Expression, rightBy: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sort-merge as-of join: requires both children clustered on
+  * the `by` key and sorted by (by, on[, tie]) — Spark's
+  * EnsureRequirements inserts the exchanges/sorts exactly as it would
+  * for a SortMergeJoin — then merges each co-partition pair in one
+  * O(n+m) pass holding a single buffered right row.
+  */
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftOn: Expression, rightOn: Expression,
+    leftBy: Expression, rightBy: Expression,
+    rightTie: Expression,
+    output: Seq[Attribute]) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
+    Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val byOrd = ordFor(leftBy.dataType)
+    val onOrd = ordFor(leftOn.dataType)
+    val outAttrs = output
+    val (lOnE, lByE) = (leftOn, leftBy)
+    val (rOnE, rByE) = (rightOn, rightBy)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lOn = BindReferences.bindReference(lOnE, lOut)
+      val lBy = BindReferences.bindReference(lByE, lOut)
+      val rOn = BindReferences.bindReference(rOnE, rOut)
+      val rBy = BindReferences.bindReference(rByE, rOut)
+      // the right input binds as NULLABLE: unmatched left rows read the
+      // all-null row, and a non-nullable BoundReference would skip the
+      // null check and read field zeros instead
+      val project = UnsafeProjection.create(outAttrs,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single-row merge state: the lookahead right row (copied — the
+        // shuffle reuses row buffers) and the best match so far
+        private var rCurr: InternalRow =
+          if (rIter.hasNext) rIter.next().copy() else null
+        private var best: InternalRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lByV = lBy.eval(lRow)
+          val lOnV = lOn.eval(lRow)
+          if (lByV == null || lOnV == null) {
+            joined(lRow, nullRight)
+          } else {
+            // advance the right side through every row at-or-before
+            // (lByV, lOnV); the last same-group row seen is the match
+            // (sorted by tie, so the largest tie wins among equal `on`)
+            var advancing = true
+            while (advancing && rCurr != null) {
+              val rByV = rBy.eval(rCurr)
+              val rOnV = rOn.eval(rCurr)
+              val byCmp = if (rByV == null) -1 else byOrd.compare(rByV, lByV)
+              if (byCmp < 0 ||
+                  (byCmp == 0 && rOnV != null && onOrd.compare(rOnV, lOnV) <= 0)) {
+                if (byCmp == 0 && rOnV != null) best = rCurr
+                rCurr = if (rIter.hasNext) rIter.next().copy() else null
+              } else advancing = false
+            }
+            val matched = best != null && {
+              val bByV = rBy.eval(best)
+              bByV != null && byOrd.compare(bByV, lByV) == 0
+            }
+            joined(lRow, if (matched) best else nullRight)
+          }
+          project(joined)
+        }
+      }
+    }
+  }
+
+  private def ordFor(dt: DataType): Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(dt)
+}
+
+/** Planner strategy mapping the logical node onto the exec — injected
+  * via `GraftExtensions.injectPlannerStrategy`.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.leftOn, p.rightOn, p.leftBy, p.rightBy, p.rightTie, p.output) :: Nil
+    case _ => Nil
+  }
+}

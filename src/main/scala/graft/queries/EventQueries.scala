@@ -107,6 +107,38 @@ object EventQueries {
              |  WHERE p.event_type = 'purchase')
              |WHERE rn = 1""".stripMargin)),
 
+    // the same as-of semantics through the NATIVE operator (custom
+    // LogicalPlan + SparkStrategy + merge-pass SparkPlan,
+    // plans/AsOfJoin.scala): two exchanges + two sorts, one O(n+m)
+    // merge per partition — no candidate-pair join, no window. Same
+    // oracle as q36.
+    GQuery(
+      "q89_asof_native",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id",
+            unix_micros($"ts").as("pts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("cu"), $"event_id".as("click_id"),
+            unix_micros($"ts").as("cts"))
+        graft.plans.AsOfJoin
+          .asof(purch, clicks, "pts", "cts", "user_id", "cu", "click_id")
+          .select($"purchase_id", $"user_id", $"click_id",
+            ($"pts" - $"cts").as("gap_us"))
+      },
+      Some("""SELECT purchase_id, user_id, click_id, gap_us FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY epoch_us(c.ts) DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+             |  FROM events p
+             |  LEFT JOIN events c ON c.user_id = p.user_id
+             |    AND c.event_type = 'click' AND epoch_us(c.ts) <= epoch_us(p.ts)
+             |  WHERE p.event_type = 'purchase')
+             |WHERE rn = 1""".stripMargin)),
+
     // range (interval) join: activity in the hour after each signup
     GQuery(
       "q37_events_range_join",

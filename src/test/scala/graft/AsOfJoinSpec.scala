@@ -1,0 +1,81 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The native as-of join operator versus the composable spelling
+  * (range join + per-key top-1 window): same rows on random data, and
+  * the plan shape an as-of join should have (one merge operator, no
+  * Window, no candidate-pair join).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  /** Reference spelling: left-outer candidate join + top-1 window. */
+  private def viaWindow(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy($"lid")
+      .orderBy($"ron".desc_nulls_last, $"tie".desc_nulls_last)
+    left.join(right, $"lby" === $"rby" && $"ron" <= $"lon", "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"lby", $"lon", $"rid", $"ron", $"tie")
+  }
+
+  private def viaNative(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.asof(left, right, "lon", "ron", "lby", "rby", "tie")
+      .select($"lid", $"lby", $"lon", $"rid", $"ron", $"tie")
+
+  test("native as-of join equals the window spelling on 15 random datasets") {
+    val rnd = new Random(20260812L)
+    for (round <- 0 until 15) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val lefts = Seq.tabulate(3 + rnd.nextInt(20))(i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong))
+      val rights = Seq.tabulate(rnd.nextInt(25))(i =>
+        (i.toLong + 1000, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong,
+          rnd.nextInt(5).toLong))
+      val l = lefts.toDF("lid", "lby", "lon")
+      val r = rights.toDF("rid", "rby", "ron", "tie")
+      val got = viaNative(l, r).collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val want = viaWindow(l, r).collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(got.sortBy(_.toString) == want.sortBy(_.toString),
+        s"round $round: lefts=$lefts rights=$rights\n" +
+          s"got=${got.sortBy(_.toString)}\nwant=${want.sortBy(_.toString)}")
+    }
+  }
+
+  test("as-of self-join (same source both sides) resolves and matches") {
+    val ev = Seq(
+      (1L, "u1", 10L, "click"), (2L, "u1", 20L, "purchase"),
+      (3L, "u1", 15L, "click"), (4L, "u2", 5L, "purchase"),
+      (5L, "u2", 9L, "click")
+    ).toDF("event_id", "user_id", "ts", "kind")
+    val purchases = ev.filter($"kind" === "purchase")
+      .select($"event_id".as("pid"), $"user_id".as("pu"), $"ts".as("pts"))
+    val clicks = ev.filter($"kind" === "click")
+      .select($"event_id".as("cid"), $"user_id".as("cu"), $"ts".as("cts"))
+    val out = AsOfJoin.asof(purchases, clicks, "pts", "cts", "pu", "cu", "cid")
+      .select($"pid", $"cid").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // purchase 2 (u1, ts 20) ← click 3 (ts 15, the latest ≤ 20);
+    // purchase 4 (u2, ts 5) has no click at or before it
+    assert(out == Set((2L, 3L), (4L, -1L)))
+  }
+
+  test("plan contains the merge exec and no Window or nested-loop join") {
+    val l = Seq((1L, "a", 3L)).toDF("lid", "lby", "lon")
+    val r = Seq((9L, "a", 2L, 0L)).toDF("rid", "rby", "ron", "tie")
+    val plan = viaNative(l, r).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoin exec in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"unexpected nested loop in:\n$plan")
+  }
+}
