@@ -275,6 +275,24 @@ object BgpPlanner {
         joined = joined.join(sub, common, "left_anti")
     }
 
+    // VALUES blocks: inline constant bindings. A var the chain already
+    // binds gets an IN restriction (constant-foldable, pushable); an
+    // unbound var joins the inline relation (SPARQL VALUES ≡ join with
+    // a constant table).
+    for ((v, consts) <- q.values) {
+      if (joined.columns.contains(v))
+        joined = joined.filter(
+          consts.map(c => col(v) === encode(c)).reduce(_ || _))
+      else {
+        val spark = joined.sparkSession
+        import spark.implicits._
+        val inline = consts.toDF("__raw")
+          .select((if (store.encoded) xxhash64(col("__raw"))
+                   else col("__raw")).as(v))
+        joined = joined.crossJoin(inline)
+      }
+    }
+
     // FILTER clauses (DNF: OR of AND-groups), applied post-join.
     // Equality ops work on the encoded store by encoding the literal
     // (var-vs-var compares columns directly); ordering comparisons need

@@ -83,6 +83,7 @@ object Sparql {
       distinct: Boolean = false,
       unions: Seq[Seq[Seq[TriplePattern]]] = Nil,
       minuses: Seq[Seq[TriplePattern]] = Nil,
+      values: Seq[(String, Seq[String])] = Nil,
       aggregates: Seq[AggExpr] = Nil,
       groupBy: Seq[String] = Nil,
       orderBy: Seq[OrderKey] = Nil,
@@ -91,6 +92,7 @@ object Sparql {
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
+  private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
   private val unionChainRe = "(?is)\\{[^{}]*\\}(?:\\s*union\\s*\\{[^{}]*\\})+".r
   private val braceBlockRe = "(?s)\\{([^{}]*)\\}".r
   // a FILTER body may contain one level of aggregate-free parens-less
@@ -173,7 +175,19 @@ object Sparql {
     // UNION branch.
     val optionals = optionalRe.findAllMatchIn(bodyFull)
       .map(m => parsePatterns(m.group(1))).toSeq
-    val body0b = optionalRe.replaceAllIn(bodyFull, "")
+    val body0a = optionalRe.replaceAllIn(bodyFull, "")
+    // VALUES ?v { c1 c2 ... }: inline constant bindings for one var
+    val valuesBinds = valuesRe.findAllMatchIn(body0a).map { m =>
+      val consts = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(m.group(2)).toSeq
+        .map(term).map {
+          case Const(c) => c
+          case other => throw new IllegalArgumentException(
+            s"VALUES entries must be constants, got $other")
+        }
+      require(consts.nonEmpty, s"empty VALUES block: $query")
+      m.group(1) -> consts
+    }.toSeq
+    val body0b = valuesRe.replaceAllIn(body0a, "")
     val minuses = minusRe.findAllMatchIn(body0b)
       .map(m => parsePatterns(m.group(1))).toSeq
     val body1 = minusRe.replaceAllIn(body0b, "")
@@ -216,9 +230,10 @@ object Sparql {
     }
 
     // MINUS blocks restrict, never bind: SELECT/FILTER vars must come
-    // from the positive patterns
+    // from the positive patterns (or a VALUES block, which DOES bind)
     val known =
-      (patterns ++ optionals.flatten ++ unions.flatten.flatten).flatMap(_.vars).toSet
+      (patterns ++ optionals.flatten ++ unions.flatten.flatten)
+        .flatMap(_.vars).toSet ++ valuesBinds.map(_._1)
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
     filters.flatMap(_.disjuncts.flatten).foreach { f =>
@@ -252,7 +267,7 @@ object Sparql {
         s"ORDER BY var ?${k.variable} not available after projection"))
 
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
-      minuses, aggregates, groupVars, orderKeys, limitN, offsetN)
+      minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN)
   }
 
   /** Dot-separated triple patterns; a '.' only separates when it

@@ -286,6 +286,17 @@ object BgpQueries {
              |  SELECT concat('nation:', n_nationkey) AS x FROM nation
              |  UNION SELECT concat('region:', r_regionkey) FROM region)""".stripMargin)),
 
+    // grammar extension: VALUES inline bindings — an IN restriction on
+    // a bound variable (constant-foldable, pushable into the scan)
+    GQuery(
+      "q90_bgp_values",
+      bgp("""select ?c ?seg where {
+            | ?c mktsegment ?seg .
+            | VALUES ?seg { "BUILDING" "MACHINERY" } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c, c_mktsegment AS seg
+             |FROM customer
+             |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

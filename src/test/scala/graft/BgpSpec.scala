@@ -262,6 +262,18 @@ class BgpSpec extends AnyFunSuite {
       Set(("stud:0", "prof:0"), ("stud:0", "stud:0"), ("prof:0", "prof:0")))
   }
 
+  test("VALUES restricts a bound var and binds an unbound one") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D . VALUES ?A { prof:0 prof:2 } }""")
+    assert(out.collect().map(_.getString(0)).toSet == Set("prof:0", "prof:2"))
+    val unbound = BgpPlanner.query(tinyStore,
+      """select ?A ?T where { ?A worksFor dept:0 . VALUES ?T { "x" } }""")
+    assert(unbound.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("prof:0", "x"), ("prof:1", "x")))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select ?A where { ?A worksFor ?D . VALUES ?A { } }"))
+  }
+
   test("inverse path ^p matches with subject and object swapped") {
     val out = BgpPlanner.query(tinyStore,
       "select ?D ?W where { ?D ^worksFor ?W }")
