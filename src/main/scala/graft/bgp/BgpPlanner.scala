@@ -390,6 +390,33 @@ object BgpPlanner {
   def query(store: TripleStore, sparql: String): DataFrame =
     plan(store, Sparql.parse(sparql))
 
+  /** `ASK WHERE {...}`: one boolean row — true iff the pattern has any
+    * solution. `limit(1)` bounds the work: existence never materializes
+    * more than one binding per partition.
+    */
+  def ask(store: TripleStore, sparql: String): DataFrame =
+    plan(store, Sparql.parseAsk(sparql)).limit(1)
+      .agg((count(lit(1)) > 0).as("result"))
+
+  /** `CONSTRUCT { template } WHERE {...}`: each template triple
+    * projects the solution set to (s, p, o) rows — constants become
+    * literals — and the templates union (bag semantics, like the
+    * reference's U1).
+    */
+  def construct(store: TripleStore, sparql: String): DataFrame = {
+    val (templates, bq) = Sparql.parseConstruct(sparql)
+    val sol = plan(store, bq)
+    def termCol(t: Term): Column = t match {
+      case Var(n) => col(n)
+      case Const(c) => lit(c)
+      case other => throw new IllegalArgumentException(
+        s"CONSTRUCT templates allow only vars and constants: $other")
+    }
+    templates.map(t => sol.select(
+        termCol(t.s).as("s"), termCol(t.p).as("p"), termCol(t.o).as("o")))
+      .reduce(_ unionByName _)
+  }
+
   /** DREAM's enumerate–measure–merge loop (Optimizer.cpp:63-103) over
     * a persistent [[graft.tools.CostStats]] cache: per-pattern slice
     * cardinalities missing from the cache are measured once (a count

@@ -126,13 +126,18 @@ object Sparql {
     val isDistinct = selSection0.toLowerCase.startsWith("distinct")
     val selSection =
       if (isDistinct) selSection0.drop("distinct".length) else selSection0
+    // SELECT * projects every bound variable (resolved after the
+    // pattern parse below)
+    val selectStar = selSection.trim == "*"
     // SELECT items in order: plain ?vars and (AGG(?v) AS ?alias) forms;
     // anything the item regex doesn't consume is a syntax error
-    val leftover = selectItemRe.replaceAllIn(selSection, " ").trim
+    val leftover =
+      if (selectStar) "" else selectItemRe.replaceAllIn(selSection, " ").trim
     require(leftover.isEmpty,
       s"SELECT clause allows only ?vars and (AGG(?v) AS ?alias), got: $leftover")
-    val items = selectItemRe.findAllMatchIn(selSection).toSeq
-    val selectVars = items.collect {
+    val items =
+      if (selectStar) Nil else selectItemRe.findAllMatchIn(selSection).toSeq
+    val selectVars0 = items.collect {
       case m if m.group(4) != null => m.group(4)
     }
     val aggregates = items.collect {
@@ -143,7 +148,7 @@ object Sparql {
         require(v.nonEmpty || op == "count", s"only COUNT accepts *: $query")
         AggExpr(op, v, m.group(3))
     }
-    require(selectVars.nonEmpty || aggregates.nonEmpty,
+    require(selectStar || selectVars0.nonEmpty || aggregates.nonEmpty,
       s"empty SELECT clause: $query")
 
     val body0 = lower.substring(whereIdx + "where".length).trim
@@ -234,6 +239,11 @@ object Sparql {
     val known =
       (patterns ++ optionals.flatten ++ unions.flatten.flatten)
         .flatMap(_.vars).toSet ++ valuesBinds.map(_._1)
+    val selectVars =
+      if (selectStar) {
+        require(known.nonEmpty, s"SELECT * needs at least one variable: $query")
+        known.toSeq.sorted
+      } else selectVars0
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
     filters.flatMap(_.disjuncts.flatten).foreach { f =>
@@ -269,6 +279,34 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN)
   }
+
+  private val askRe = "(?is)^\\s*ask\\s*(where.*)$".r
+  private val constructRe = "(?is)^\\s*construct\\s*\\{(.*?)\\}\\s*(where.*)$".r
+
+  /** `ASK WHERE { ... }` — rewritten to a `SELECT *` over the same
+    * body (so the full grammar applies); the planner reduces it to one
+    * boolean row.
+    */
+  def parseAsk(query: String): BgpQuery = query match {
+    case askRe(rest) => parse(s"select * $rest")
+    case _ => throw new IllegalArgumentException(s"not an ASK query: $query")
+  }
+
+  /** `CONSTRUCT { template } WHERE { ... }` — returns the template
+    * triples plus the underlying SELECT over the template's variables.
+    */
+  def parseConstruct(query: String): (Seq[TriplePattern], BgpQuery) =
+    query match {
+      case constructRe(template, rest) =>
+        val templates = parsePatterns(template)
+        templates.foreach(t => Seq(t.s, t.p, t.o).foreach(term =>
+          require(term.isInstanceOf[Var] || term.isInstanceOf[Const],
+            s"CONSTRUCT templates allow only vars and constants: $t")))
+        val vars = templates.flatMap(_.vars).distinct
+        require(vars.nonEmpty, "CONSTRUCT template needs at least one variable")
+        (templates, parse(s"select ${vars.map("?" + _).mkString(" ")} $rest"))
+      case _ => throw new IllegalArgumentException(s"not a CONSTRUCT query: $query")
+    }
 
   /** Dot-separated triple patterns; a '.' only separates when it
     * stands alone (URIs and literals may contain dots).

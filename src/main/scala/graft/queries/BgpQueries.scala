@@ -297,6 +297,33 @@ object BgpQueries {
              |FROM customer
              |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)),
 
+    // grammar extension: ASK — existence reduced to one boolean row
+    // (limit(1) bounds the work before the count)
+    GQuery(
+      "q91_bgp_ask",
+      (s, dir) => BgpPlanner.ask(store(s, dir, encoded = false),
+        """ask where { ?c mktsegment "BUILDING" }"""),
+      Some("""SELECT (count(*) > 0) AS result
+             |FROM (SELECT 1 FROM customer
+             |      WHERE c_mktsegment = 'BUILDING' LIMIT 1)""".stripMargin)),
+
+    // grammar extension: CONSTRUCT — template triples projected per
+    // solution, constants as literals, bag union across templates
+    GQuery(
+      "q92_bgp_construct",
+      (s, dir) => BgpPlanner.construct(store(s, dir, encoded = false),
+        """construct { ?e locatedIn ?nm . ?e rdf:type "Located" }
+          |where { ?e nationkey ?n . ?n name ?nm }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS s, 'locatedIn' AS p, n_name AS o
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |UNION ALL
+             |SELECT concat('supplier:', s_suppkey), 'locatedIn', n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |UNION ALL
+             |SELECT concat('customer:', c_custkey), 'rdf:type', 'Located' FROM customer
+             |UNION ALL
+             |SELECT concat('supplier:', s_suppkey), 'rdf:type', 'Located' FROM supplier""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

@@ -262,6 +262,28 @@ class BgpSpec extends AnyFunSuite {
       Set(("stud:0", "prof:0"), ("stud:0", "stud:0"), ("prof:0", "prof:0")))
   }
 
+  test("ASK reduces to one boolean row; SELECT * projects all bound vars") {
+    assert(BgpPlanner.ask(tinyStore,
+      "ask where { ?S advisor ?A }").collect()(0).getBoolean(0))
+    assert(!BgpPlanner.ask(tinyStore,
+      "ask where { ?S advisor dept:1 }").collect()(0).getBoolean(0))
+    val star = BgpPlanner.query(tinyStore, "select * where { ?A worksFor ?D }")
+    assert(star.columns.toSeq == Seq("A", "D"))
+    assert(star.count() == 3)
+  }
+
+  test("CONSTRUCT emits template triples per solution, constants as literals") {
+    val out = BgpPlanner.construct(tinyStore,
+      """construct { ?A employedBy ?D . ?A rdf:type "Employee" }
+        |where { ?A worksFor ?D }""".stripMargin)
+    assert(out.columns.toSeq == Seq("s", "p", "o"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("prof:0", "employedBy", "dept:0")))
+    assert(rows.contains(("prof:2", "rdf:type", "Employee")))
+    assert(out.count() == 6) // 3 solutions × 2 templates, bag semantics
+  }
+
   test("VALUES restricts a bound var and binds an unbound one") {
     val out = BgpPlanner.query(tinyStore,
       """select ?A where { ?A worksFor ?D . VALUES ?A { prof:0 prof:2 } }""")
