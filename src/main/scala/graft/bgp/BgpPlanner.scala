@@ -61,7 +61,20 @@ object BgpPlanner {
     * `?x p ?y` share a measurement while `?a p ?a` (a self-equality
     * filter) stays distinct.
     */
-  def patternKey(pat: TriplePattern): String = {
+  def patternKey(pat: TriplePattern): String =
+    canonical(Seq(pat))
+
+  /** Canonical key for a measured PAIR subquery — DREAM's optimizer
+    * measures candidate subquery plans, not just single patterns
+    * (Optimizer.cpp:63-103). Variables normalize JOINTLY across the
+    * pair, so `?a p ?b ⋈ ?b q ?c` (shared var) and `?a p ?b ⋈ ?c q ?d`
+    * (disconnected) get distinct keys; the two orderings canonicalize
+    * to the lexicographic minimum.
+    */
+  def pairKey(a: TriplePattern, b: TriplePattern): String =
+    Seq(canonical(Seq(a, b)), canonical(Seq(b, a))).min
+
+  private def canonical(pats: Seq[TriplePattern]): String = {
     val idx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def t(term: Term): String = term match {
       case Var(n) => s"?${idx.getOrElseUpdate(n, idx.size)}"
@@ -72,7 +85,7 @@ object BgpPlanner {
       case PathInverse(p) => s"^$p"
       case PathAlt(ps) => ps.mkString("|")
     }
-    s"${t(pat.s)} ${t(pat.p)} ${t(pat.o)}"
+    pats.map(p => s"${t(p.s)} ${t(p.p)} ${t(p.o)}").mkString(" |><| ")
   }
 
   /** Compile one pattern to a scan.
@@ -174,7 +187,17 @@ object BgpPlanner {
     * path-derived DataFrames lack, so the order returned here is the
     * executed join order. Pure planner-side function, unit-testable.
     */
-  def chainOrder(patterns: Seq[TriplePattern], cost: Int => Long): Seq[Int] = {
+  def chainOrder(patterns: Seq[TriplePattern], cost: Int => Long): Seq[Int] =
+    chainOrder(patterns, cost, (_, _) => None)
+
+  /** Chain order with measured PAIR join cardinalities: a connected
+    * candidate scores by the smallest measured join-output size with
+    * any pattern already in the chain (DREAM's subquery measurements),
+    * falling back to its own scan cardinality when no pair has been
+    * measured.
+    */
+  def chainOrder(patterns: Seq[TriplePattern], cost: Int => Long,
+      pairCost: (Int, Int) => Option[Long]): Seq[Int] = {
     val varsOf = patterns.map(_.vars.toSet)
     val order = scala.collection.mutable.ArrayBuffer(
       patterns.indices.minBy(cost))
@@ -182,8 +205,10 @@ object BgpPlanner {
     while (order.size < patterns.size) {
       val remaining = patterns.indices.filterNot(order.contains)
       val connected = remaining.filter(i => varsOf(i).exists(cols))
+      def score(i: Int): Long =
+        order.toSeq.flatMap(j => pairCost(j, i)).minOption.getOrElse(cost(i))
       val next =
-        if (connected.nonEmpty) connected.minBy(cost)
+        if (connected.nonEmpty) connected.minBy(score)
         else remaining.minBy(cost)
       order += next
       cols ++= varsOf(next)
@@ -198,7 +223,10 @@ object BgpPlanner {
         heuristicCost(patterns(i)))
       if (m == -1L) 0L else m // known-empty is the cheapest seed of all
     }
-    val order = chainOrder(patterns, cost)
+    def pairCost(i: Int, j: Int): Option[Long] =
+      measured.get(pairKey(patterns(i), patterns(j)))
+        .map(m => if (m == -1L) 0L else m)
+    val order = chainOrder(patterns, cost, pairCost)
     var joined = scans(order.head)
     var cols = joined.columns.toSet
     for (i <- order.tail) {
@@ -438,6 +466,24 @@ object BgpPlanner {
       .foreach { key =>
         val pat = allPatterns.find(p => patternKey(p) == key).get
         stats.measure(key, patternScan(store, pat, encode))
+      }
+    // DREAM also measures candidate SUBQUERY plans: record the join
+    // cardinality of every connected main-chain pair once — each
+    // measurement is a pairwise subquery count, never plan-sized
+    val known2 = stats.load()
+    val pairs = for {
+      i <- q.patterns.indices
+      j <- (i + 1) until q.patterns.size
+      if q.patterns(i).vars.toSet.intersect(q.patterns(j).vars.toSet).nonEmpty
+    } yield (q.patterns(i), q.patterns(j))
+    pairs.map { case (a, b) => (pairKey(a, b), a, b) }
+      .distinctBy(_._1)
+      .filterNot(p => known2.contains(p._1))
+      .foreach { case (key, a, b) =>
+        val sa = patternScan(store, a, encode)
+        val sb = patternScan(store, b, encode)
+        val common = sa.columns.intersect(sb.columns).toSeq
+        stats.measure(key, sa.join(sb, common, "inner"))
       }
     val measured = stats.load().map { case (k, (rows, _)) => k -> rows }
     plan(store, q, measured)

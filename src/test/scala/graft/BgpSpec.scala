@@ -262,6 +262,31 @@ class BgpSpec extends AnyFunSuite {
       Set(("stud:0", "prof:0"), ("stud:0", "stud:0"), ("prof:0", "prof:0")))
   }
 
+  test("pair-measured join cardinalities override single-pattern chain order") {
+    val pats = Seq(
+      TriplePattern(Var("x"), Const("p0"), Var("y")),
+      TriplePattern(Var("y"), Const("p1"), Var("z")),
+      TriplePattern(Var("x"), Const("p2"), Var("w")))
+    val cost = (_: Int) => 1000L // singles indistinguishable
+    // joining 0⋈1 explodes, 0⋈2 collapses — measured, not guessed
+    val pairCost = (i: Int, j: Int) => Set(i, j) match {
+      case s if s == Set(0, 1) => Some(50000L)
+      case s if s == Set(0, 2) => Some(3L)
+      case _ => None
+    }
+    assert(BgpPlanner.chainOrder(pats, cost, pairCost) == Seq(0, 2, 1))
+    // without pair measurements the tie breaks by index instead
+    assert(BgpPlanner.chainOrder(pats, cost) == Seq(0, 1, 2))
+    // pair keys normalize variables jointly: shared-var and
+    // disconnected pairs must not collide
+    val shared = BgpPlanner.pairKey(pats(0), pats(1))
+    val disjoint = BgpPlanner.pairKey(pats(0),
+      TriplePattern(Var("a"), Const("p1"), Var("b")))
+    assert(shared != disjoint)
+    // symmetric: argument order never changes the key
+    assert(BgpPlanner.pairKey(pats(1), pats(0)) == shared)
+  }
+
   test("ASK reduces to one boolean row; SELECT * projects all bound vars") {
     assert(BgpPlanner.ask(tinyStore,
       "ask where { ?S advisor ?A }").collect()(0).getBoolean(0))
@@ -364,11 +389,13 @@ class BgpSpec extends AnyFunSuite {
       .createTempDirectory("coststats").resolve("stats.tsv").toString
     val stats = new graft.tools.CostStats(statsPath)
     val q = "select ?A ?N where { ?A worksFor dept:99 . ?A name ?N }"
-    // first run measures both patterns; dept:99 is empty → −1 marker
+    // first run measures both patterns AND their pair subquery;
+    // dept:99 is empty → −1 markers
     val first = BgpPlanner.queryMeasured(tinyStore, q, stats)
     assert(first.count() == 0)
     val recorded = stats.load()
-    assert(recorded.size == 2)
+    assert(recorded.size == 3)
+    assert(recorded.keys.count(_.contains("|><|")) == 1)
     assert(stats.knownEmpty(
       BgpPlanner.patternKey(Sparql.parse(q).patterns.head)))
     // second run plans from the cache: the empty pattern short-circuits
