@@ -26,6 +26,24 @@ object OracleNum {
   /** Order-independent mean of a double expression (DoubleType). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** Engine-proof round-half-up of a row-level double to `digits`
+    * decimals. Built-in `round()` disagrees between engines when the
+    * true binary value sits at a decimal half (Spark rounds the
+    * shortest decimal representation, DuckDB the binary value — one
+    * cent off on ~1/1000 money rows, first seen at sf0.1 in q02);
+    * floor(x·10^d + 0.5) applies identical IEEE ops everywhere.
+    */
+  def dround(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    (floor(c * p + 0.5) / p).cast("double")
+  }
+
+  /** DuckDB spelling of [[dround]]. */
+  def droundSql(e: String, digits: Int): String = {
+    val p = BigInt(10).pow(digits)
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
   /** DuckDB spelling of [[dsum]]. */
   def dsumSql(e: String): String = s"sum(floor(($e) * 10000 + 0.5)) / 10000"
 

@@ -71,10 +71,11 @@ object RelationalQueries {
           .filter($"l_shipdate" >= lit("2000-01-01").cast("timestamp") && $"l_quantity" > 45)
           .select(
             $"l_orderkey", $"l_linenumber", $"l_quantity",
-            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("disc_price"))
+            OracleNum.dround($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2)
+              .as("disc_price"))
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
-             |  round(l_extendedprice * (1.0 - l_discount), 2) AS disc_price
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  ${OracleNum.droundSql("l_extendedprice * (1.0 - l_discount)", 2)} AS disc_price
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45""".stripMargin)),
 
@@ -270,9 +271,9 @@ object RelationalQueries {
         val avgBal = cust.agg(avg($"c_acctbal").as("ab"))
         cust.crossJoin(broadcast(avgBal))
           .filter($"c_acctbal" > $"ab")
-          .select($"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+          .select($"c_custkey", OracleNum.dround($"c_acctbal", 2).as("acctbal"))
       },
-      Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+      Some(s"""SELECT c_custkey, ${OracleNum.droundSql("c_acctbal", 2)} AS acctbal
              |FROM customer
              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)),
 
@@ -286,15 +287,15 @@ object RelationalQueries {
           .agg(
             countDistinct($"l_orderkey").as("n_orders"),
             countDistinct($"l_partkey").as("n_parts"),
-            round(min($"l_extendedprice"), 2).as("min_price"),
-            round(max($"l_extendedprice"), 2).as("max_price"),
+            OracleNum.dround(min($"l_extendedprice"), 2).as("min_price"),
+            OracleNum.dround(max($"l_extendedprice"), 2).as("max_price"),
             count(lit(1)).as("n_rows"))
       },
-      Some("""SELECT l_returnflag,
+      Some(s"""SELECT l_returnflag,
              |  count(DISTINCT l_orderkey) AS n_orders,
              |  count(DISTINCT l_partkey) AS n_parts,
-             |  round(min(l_extendedprice), 2) AS min_price,
-             |  round(max(l_extendedprice), 2) AS max_price,
+             |  ${OracleNum.droundSql("min(l_extendedprice)", 2)} AS min_price,
+             |  ${OracleNum.droundSql("max(l_extendedprice)", 2)} AS max_price,
              |  count(*) AS n_rows
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 

@@ -86,15 +86,15 @@ object ScalarQueries {
           .filter($"l_orderkey" % 100 === 0)
           .select(
             $"l_orderkey", $"l_linenumber",
-            round(abs($"l_extendedprice" - lit(30000.0)), 2).as("abs_diff"),
+            OracleNum.dround(abs($"l_extendedprice" - lit(30000.0)), 2).as("abs_diff"),
             floor($"l_quantity" / 10).cast("long").as("qty_bucket"),
             ceil($"l_discount" * 100).cast("long").as("disc_pct"),
             round(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
             round(log($"l_extendedprice" + 1.0), 4).as("price_ln"),
             round(pow($"l_quantity", 2.0), 1).as("qty_sq"))
       },
-      Some("""SELECT l_orderkey, l_linenumber,
-             |  round(abs(l_extendedprice - 30000.0), 2) AS abs_diff,
+      Some(s"""SELECT l_orderkey, l_linenumber,
+             |  ${OracleNum.droundSql("abs(l_extendedprice - 30000.0)", 2)} AS abs_diff,
              |  CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
              |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
              |  round(sqrt(l_extendedprice), 4) AS price_sqrt,

@@ -27,10 +27,10 @@ object WindowQueries {
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 3)
           .select($"c_nationkey", $"rk".cast("long").as("rk"), $"c_custkey",
-            round($"c_acctbal", 2).as("acctbal"))
+            OracleNum.dround($"c_acctbal", 2).as("acctbal"))
       },
-      Some("""SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey,
-             |  round(c_acctbal, 2) AS acctbal
+      Some(s"""SELECT c_nationkey, CAST(rk AS BIGINT) AS rk, c_custkey,
+             |  ${OracleNum.droundSql("c_acctbal", 2)} AS acctbal
              |FROM (SELECT *, row_number() OVER
              |        (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
              |      FROM customer)

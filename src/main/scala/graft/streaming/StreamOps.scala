@@ -105,6 +105,31 @@ object StreamOps {
       .withWatermark("ts", allowed)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming arm of the composed training pipeline (batch q58): a
+    * document stream is quality-filtered FIRST (a stateless predicate
+    * — at 100 TB/day most rows die here without touching state), then
+    * exact-deduped on the content fingerprint within the watermark
+    * horizon, then folded into per-language tumbling-window corpus
+    * stats. Two stateful operators (dedup + windowed agg), both
+    * watermark-bounded, chained in append mode — the shape a
+    * continuously-ingesting curation pipeline runs for weeks.
+    */
+  def trainingPipelineStream(docs: DataFrame, width: String = "1 hour",
+      allowed: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("quality",
+        size(array_distinct(col("w"))) * lit(1.0) / size(col("w")))
+      .filter(col("quality") >= 0.3)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", allowed)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .groupBy(window(col("ts"), width), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w"))).cast("long").as("total_tokens"))
+      .select(col("window.start").as("win_start"), col("lang"),
+        col("n_docs"), col("total_tokens"))
+
   /** Custom-state sessionizer: flatMapGroupsWithState keyed by user,
     * emitting a [[Session]] when the 30-min gap elapses (event-time
     * timeout) or a later event implies the previous session closed.

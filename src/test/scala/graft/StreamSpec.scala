@@ -44,6 +44,36 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming training pipeline filters, dedups, and windows documents") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val docs = src.toDF().toDF("doc_id", "ts", "lang", "text")
+    val q = StreamOps.trainingPipelineStream(docs)
+      .writeStream.format("memory").queryName("trainstream")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, ts("2024-01-01 10:05:00"), "en", "the quick brown fox jumps"),
+        (2L, ts("2024-01-01 10:10:00"), "en", "the quick brown fox jumps"), // dup
+        (3L, ts("2024-01-01 10:20:00"), "en", "a a a a a a a a"), // low quality
+        (4L, ts("2024-01-01 10:30:00"), "de", "der schnelle braune fuchs"),
+        (5L, ts("2024-01-01 11:10:00"), "en", "an entirely different doc"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      src.addData((6L, ts("2024-01-01 14:00:00"), "en", "late closer doc"))
+      q.processAllAvailable()
+      val rows = spark.table("trainstream")
+        .select($"win_start".cast("string"), $"lang", $"n_docs", $"total_tokens")
+        .as[(String, String, Long, Long)].collect().toSet
+      // dup 2 dropped by fingerprint, low-quality 3 dropped pre-state
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "en", 1L, 5L),
+        ("2024-01-01 10:00:00", "de", 1L, 4L),
+        ("2024-01-01 11:00:00", "en", 1L, 4L)))
+    } finally q.stop()
+  }
+
   test("sessionAggs (native session_window) merges events under the gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
