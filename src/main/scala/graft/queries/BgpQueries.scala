@@ -30,12 +30,46 @@ object BgpQueries {
     new graft.tools.BoundedMemo[(SparkSession, String, Boolean), TripleStore](
       8, st => st.dict.foreach(_.unpersist()))
 
+  /** Bump when `TripleStore.fromStarSchema`/`encode` or any persisted
+    * layout changes shape — a mismatched marker wipes and rebuilds the
+    * dataset's layouts instead of silently serving stale derivations.
+    */
+  private val StoreFormatVersion = 1
+
+  private def invalidateStale(s: SparkSession, tag: String,
+      tables: Seq[String]): Unit = {
+    val marker = java.nio.file.Paths.get(s"$pstoreRoot/$tag.version")
+    val current =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker)).trim
+      else ""
+    if (current != StoreFormatVersion.toString) {
+      val root = java.nio.file.Paths.get(pstoreRoot)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(root).iterator().asScala
+          .filter(_.getFileName.toString.startsWith(tag)).toSeq
+          .foreach { p =>
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+      }
+      tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker,
+        StoreFormatVersion.toString.getBytes)
+    }
+  }
+
   private def store(s: SparkSession, dir: String, encoded: Boolean): TripleStore =
     storeCache.getOrElseUpdate((s, dir, encoded), {
         val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
         val pdir = s"$pstoreRoot/$tag"
         val bdir = s"$pstoreRoot/${tag}_sbuckets"
         val table = s"graft_spo_$tag"
+        invalidateStale(s, tag, Seq(table, s"graft_dict_$tag"))
         if (!new java.io.File(pdir, "_SUCCESS").exists())
           TripleStore.writePartitioned(TripleStore.fromStarSchema(s, dir), pdir)
         val pstore = TripleStore.fromPartitionedParquet(s, pdir)
