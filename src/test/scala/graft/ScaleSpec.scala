@@ -136,6 +136,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("VALUES restriction reaches the parquet scan as a pushed IN filter") {
+    val df = SparkEntry.queries("q90_bgp_values")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the OR-of-equalities folds to an In() and pushes into the scan
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(o,") || plan.contains("Or(EqualTo(o,")),
+      s"expected the VALUES IN filter pushed into the scan in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("SPARQL aggregates plan as partial-aggregated groupBy") {
+    val df = SparkEntry.queries("q76_bgp_aggregate")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // partial functions below the exchange = map-side combine (string
+    // min plans as SortAggregate, so match the functions, not the node)
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"expected map-side partial aggregation in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("headline plans push filters into the parquet scan") {
     val df = SparkEntry.queries("q03_shipping_priority")(
       spark, "/root/testdata/sf0.001")
