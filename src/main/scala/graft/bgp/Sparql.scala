@@ -216,13 +216,30 @@ object Sparql {
       case other =>
         throw new IllegalArgumentException(s"unsupported FILTER: $other")
     }
-    // DNF: || separates disjuncts, && separates comparisons inside one
-    val filters = filterRe.findAllMatchIn(bodyFull).map { m =>
+    // FILTER scope: a clause inside an OPTIONAL/MINUS/UNION block
+    // restricts that block only — hoisting it to a top-level
+    // conjunctive filter would silently change semantics (e.g. drop
+    // the left-outer null rows of an OPTIONAL). Until scoped filters
+    // are supported, reject them rather than mis-evaluate.
+    val filterWordRe = "(?i)\\bfilter\\b".r
+    optionalRe.findAllMatchIn(bodyFull).foreach(m =>
+      require(filterWordRe.findFirstIn(m.group(1)).isEmpty,
+        s"FILTER inside an OPTIONAL block is not supported: $query"))
+    minusRe.findAllMatchIn(body0b).foreach(m =>
+      require(filterWordRe.findFirstIn(m.group(1)).isEmpty,
+        s"FILTER inside a MINUS block is not supported: $query"))
+    unionChainRe.findAllIn(body1).foreach(chain =>
+      require(filterWordRe.findFirstIn(chain).isEmpty,
+        s"FILTER inside a UNION branch is not supported: $query"))
+    // DNF: || separates disjuncts, && separates comparisons inside one.
+    // Matched against the block-STRIPPED body only, so only top-level
+    // conjunctive filters are picked up.
+    val bodyStripped = unionChainRe.replaceAllIn(body1, "")
+    val filters = filterRe.findAllMatchIn(bodyStripped).map { m =>
       FilterClause(m.group(1).split("\\|\\|").toSeq
         .map(_.split("&&").toSeq.map(parseComparison)))
     }.toSeq
-    val body = filterRe.replaceAllIn(
-      unionChainRe.replaceAllIn(body1, ""), "").trim
+    val body = filterRe.replaceAllIn(bodyStripped, "").trim
 
     val patterns = parsePatterns(body)
     require(patterns.nonEmpty || unions.nonEmpty, s"empty BGP: $query")

@@ -138,14 +138,18 @@ final case class AsOfJoinExec(
           } else {
             // advance the right side through every row at-or-before
             // (lByV, lOnV); the last same-group row seen is the match
-            // (sorted by tie, so the largest tie wins among equal `on`)
+            // (sorted by tie, so the largest tie wins among equal `on`).
+            // Null-`on` rows sort at the HEAD of their group (ascending
+            // nulls-first) and can never match — consume them like
+            // earlier-group rows or they'd block the cursor for the
+            // whole group.
             var advancing = true
             while (advancing && rCurr != null) {
               val rByV = rBy.eval(rCurr)
               val rOnV = rOn.eval(rCurr)
               val byCmp = if (rByV == null) -1 else byOrd.compare(rByV, lByV)
-              if (byCmp < 0 ||
-                  (byCmp == 0 && rOnV != null && onOrd.compare(rOnV, lOnV) <= 0)) {
+              if (byCmp < 0 || (byCmp == 0 && rOnV == null) ||
+                  (byCmp == 0 && onOrd.compare(rOnV, lOnV) <= 0)) {
                 if (byCmp == 0 && rOnV != null) best = rCurr
                 rCurr = if (rIter.hasNext) rIter.next().copy() else null
               } else advancing = false

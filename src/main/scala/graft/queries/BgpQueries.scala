@@ -36,19 +36,25 @@ object BgpQueries {
     */
   private val StoreFormatVersion = 1
 
-  private def invalidateStale(s: SparkSession, tag: String,
-      tables: Seq[String]): Unit = {
-    val marker = java.nio.file.Paths.get(s"$pstoreRoot/$tag.version")
+  private[graft] def invalidateStale(s: SparkSession, tag: String,
+      tables: Seq[String], root0: String = pstoreRoot): Unit = {
+    val marker = java.nio.file.Paths.get(s"$root0/$tag.version")
     val current =
       if (java.nio.file.Files.exists(marker))
         new String(java.nio.file.Files.readAllBytes(marker)).trim
       else ""
     if (current != StoreFormatVersion.toString) {
-      val root = java.nio.file.Paths.get(pstoreRoot)
+      val root = java.nio.file.Paths.get(root0)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
+        // exact per-dataset entries only: a startsWith(tag) match would
+        // wipe a sibling dataset whose tag extends this one (data_sf1
+        // vs data_sf10). The measured-cost cache is derived from the
+        // same slice derivations, so it invalidates with them.
+        val mine = Set(tag, s"${tag}_sbuckets", s"${tag}_enc",
+          s"${tag}_dict", s"$tag.version", s"stats_$tag.tsv")
         java.nio.file.Files.list(root).iterator().asScala
-          .filter(_.getFileName.toString.startsWith(tag)).toSeq
+          .filter(p => mine.contains(p.getFileName.toString)).toSeq
           .foreach { p =>
             java.nio.file.Files.walk(p)
               .sorted(java.util.Comparator.reverseOrder())

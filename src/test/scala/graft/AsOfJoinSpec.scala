@@ -39,8 +39,12 @@ class AsOfJoinSpec extends AnyFunSuite {
       val nKeys = 1 + rnd.nextInt(4)
       val lefts = Seq.tabulate(3 + rnd.nextInt(20))(i =>
         (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong))
+      // ~1 in 5 right rows carries a null `on` timestamp: they sort at
+      // the head of their group and must be skipped, never matched
       val rights = Seq.tabulate(rnd.nextInt(25))(i =>
-        (i.toLong + 1000, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong,
+        (i.toLong + 1000, s"k${rnd.nextInt(nKeys)}",
+          if (rnd.nextInt(5) == 0) Option.empty[Long]
+          else Some(rnd.nextInt(40).toLong),
           rnd.nextInt(5).toLong))
       val l = lefts.toDF("lid", "lby", "lon")
       val r = rights.toDF("rid", "rby", "ron", "tie")
@@ -68,6 +72,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     // purchase 2 (u1, ts 20) ← click 3 (ts 15, the latest ≤ 20);
     // purchase 4 (u2, ts 5) has no click at or before it
     assert(out == Set((2L, 3L), (4L, -1L)))
+  }
+
+  test("null-`on` right rows at the group head do not block later matches") {
+    // ascending nulls-first puts the null-ron row FIRST in group "a";
+    // the cursor must consume it and still find ron=5 for lon=10
+    val l = Seq((1L, "a", 10L), (2L, "a", 3L), (3L, "b", 7L))
+      .toDF("lid", "lby", "lon")
+    val r = Seq(
+      (100L, "a", Option.empty[Long], 0L),
+      (101L, "a", Some(5L), 1L),
+      (102L, "b", Option.empty[Long], 2L)
+    ).toDF("rid", "rby", "ron", "tie")
+    val out = viaNative(l, r).collect().map(row =>
+      (row.getLong(0), if (row.isNullAt(3)) -1L else row.getLong(3))).toSet
+    // lid 1 (a,10) → rid 101 (ron 5); lid 2 (a,3) predates every valid
+    // right row; lid 3 (b,7) sees only a null-ron row — both unmatched
+    assert(out == Set((1L, 101L), (2L, -1L), (3L, -1L)))
   }
 
   test("plan contains the merge exec and no Window or nested-loop join") {

@@ -115,6 +115,21 @@ class BgpSpec extends AnyFunSuite {
     assert(ord.collect().map(_.getString(1)).toSet == Set("FullProfessor1"))
   }
 
+  test("FILTER inside OPTIONAL/UNION/MINUS blocks is rejected, not hoisted") {
+    // hoisting a block-scoped FILTER to a top-level conjunct would
+    // silently drop OPTIONAL's left-outer null rows — reject instead
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E . FILTER (?E = "x") } }"""))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A worksFor ?D . MINUS { ?A email ?E . FILTER (?E = "x") } }"""))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { { ?A worksFor dept:0 . FILTER (?A = "p") } UNION { ?A memberOf dept:0 } }"""))
+    // a top-level FILTER alongside an OPTIONAL still parses
+    val ok = Sparql.parse(
+      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E } . FILTER (?A = "prof:0") }""")
+    assert(ok.filters.length == 1 && ok.optionals.length == 1)
+  }
+
   test("FILTER equality works on the dictionary-encoded store") {
     val enc = TripleStore.encode(tinyStore)
     val out = BgpPlanner.query(enc,
