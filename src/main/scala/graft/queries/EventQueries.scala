@@ -165,6 +165,35 @@ object EventQueries {
              |WHERE s.event_type = 'signup'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // the same interval semantics through the NATIVE operator (custom
+    // LogicalPlan + SparkStrategy + sliding-buffer merge SparkPlan,
+    // plans/RangeJoin.scala): two exchanges + two sorts, one pass per
+    // partition — no per-user candidate-pair blow-up. Same oracle as
+    // q37.
+    GQuery(
+      "q93_range_native",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"event_id".as("signup_id"), $"user_id",
+            unix_micros($"ts").as("sts"),
+            (unix_micros($"ts") + 3600L * 1000000L).as("sts_hi"))
+        val follow = ev.select($"user_id".as("fu"), $"event_id".as("fid"),
+          unix_micros($"ts").as("fts"))
+        graft.plans.RangeJoin
+          .range(signups, follow, "sts", "sts_hi", "user_id", "fu", "fts")
+          .groupBy($"signup_id", $"user_id")
+          .agg(count($"fid").as("n_follow"))
+      },
+      Some("""SELECT s.event_id AS signup_id, s.user_id, count(f.event_id) AS n_follow
+             |FROM events s
+             |LEFT JOIN events f ON f.user_id = s.user_id
+             |  AND epoch_us(f.ts) > epoch_us(s.ts)
+             |  AND epoch_us(f.ts) <= epoch_us(s.ts) + CAST(3600 AS BIGINT) * 1000000
+             |WHERE s.event_type = 'signup'
+             |GROUP BY 1, 2""".stripMargin)),
+
     // native session_window sessionization (the declarative/streaming
     // path — same operator StreamOps.sessionAggs runs under Structured
     // Streaming; Spark merges sessions while consecutive events are

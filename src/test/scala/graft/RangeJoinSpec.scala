@@ -1,0 +1,85 @@
+package graft
+
+import graft.plans.RangeJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The native range join operator versus the composable spelling
+  * (equi-join on the key + two non-equi time conjuncts): same rows on
+  * random data — variable window widths included, which stress the
+  * sliding buffer's "rows past hi stay alive for wider later windows"
+  * path — and the plan shape an interval join should have (one merge
+  * operator, no broadcast-nested-loop, no candidate-pair hash join).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  /** Reference spelling: left-outer join with lo < on <= hi. */
+  private def viaJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) =
+    left.join(right,
+        $"lby" === $"rby" && $"ron" > $"lo" && $"ron" <= $"hi", "left_outer")
+      .select($"lid", $"lby", $"lo", $"hi", $"rid", $"ron")
+
+  private def viaNative(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) =
+    RangeJoin.range(left, right, "lo", "hi", "lby", "rby", "ron")
+      .select($"lid", $"lby", $"lo", $"hi", $"rid", $"ron")
+
+  test("native range join equals the join spelling on 15 random datasets") {
+    val rnd = new Random(20260812L)
+    for (round <- 0 until 15) {
+      val nKeys = 1 + rnd.nextInt(4)
+      // variable widths (0..15) — some windows nest inside others; and
+      // duplicate lo values within one key
+      val lefts = Seq.tabulate(3 + rnd.nextInt(20)) { i =>
+        val lo = rnd.nextInt(40).toLong
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", lo, lo + rnd.nextInt(16).toLong)
+      }
+      // ~1 in 5 right rows carries a null `on`: skipped, never matched
+      val rights = Seq.tabulate(rnd.nextInt(30))(i =>
+        (i.toLong + 1000, s"k${rnd.nextInt(nKeys)}",
+          if (rnd.nextInt(5) == 0) Option.empty[Long]
+          else Some(rnd.nextInt(40).toLong)))
+      val l = lefts.toDF("lid", "lby", "lo", "hi")
+      val r = rights.toDF("rid", "rby", "ron")
+      val got = viaNative(l, r).collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val want = viaJoin(l, r).collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(got.sortBy(_.toString) == want.sortBy(_.toString),
+        s"round $round: lefts=$lefts rights=$rights\n" +
+          s"got=${got.sortBy(_.toString).mkString("\n")}\n" +
+          s"want=${want.sortBy(_.toString).mkString("\n")}")
+    }
+  }
+
+  test("narrow window after a wide one still sees buffered rows past its hi") {
+    // L1 (lo 0, hi 20) buffers ron 5 and 15; L2 (lo 1, hi 6) must match
+    // ONLY ron 5 — ron 15 stays buffered, not emitted
+    val l = Seq((1L, "a", 0L, 20L), (2L, "a", 1L, 6L)).toDF("lid", "lby", "lo", "hi")
+    val r = Seq((100L, "a", 5L), (101L, "a", 15L)).toDF("rid", "rby", "ron")
+    val got = viaNative(l, r).collect()
+      .map(x => (x.getLong(0), x.getLong(4))).toSet
+    assert(got == Set((1L, 100L), (1L, 101L), (2L, 100L)))
+  }
+
+  test("unmatched lefts and null keys emit exactly one null-extended row") {
+    val l = Seq((1L, "a", 0L, 2L), (2L, "zzz", 0L, 99L)).toDF("lid", "lby", "lo", "hi")
+    val r = Seq((100L, "a", 50L)).toDF("rid", "rby", "ron")
+    val got = viaNative(l, r).collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(4)) -1L else x.getLong(4))).toSeq
+    assert(got.sorted == Seq((1L, -1L), (2L, -1L)))
+  }
+
+  test("plan contains the merge exec and no nested-loop or hash join") {
+    val l = Seq((1L, "a", 0L, 9L)).toDF("lid", "lby", "lo", "hi")
+    val r = Seq((9L, "a", 2L)).toDF("rid", "rby", "ron")
+    val plan = viaNative(l, r).queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), s"expected RangeJoin exec in:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"unexpected nested loop in:\n$plan")
+    assert(!plan.contains("HashJoin"), s"unexpected hash join in:\n$plan")
+  }
+}
