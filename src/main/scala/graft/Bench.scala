@@ -19,6 +19,8 @@ object Bench {
     // cost).
     try graft.queries.BgpQueries.prewarm(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.queries.DedupQueries.prewarm(spark, sfDir)
+    catch { case _: Throwable => () }
     headline.headOption.foreach { q =>
       try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
     }

@@ -113,6 +113,17 @@ object BgpQueries {
       s: SparkSession, dir: String): DataFrame =
     BgpPlanner.query(store(s, dir, encoded), sparql)
 
+  val triangleQuery: String =
+    """select ?o ?p ?s where {
+      | ?o contains ?p .
+      | ?o suppliedby ?s .
+      | ?s supplies ?p .
+      | ?o status "F" }""".stripMargin
+
+  /** Scratch-only A/B: the triangle through the encoded store. */
+  def triangleEncoded: (SparkSession, String) => DataFrame =
+    bgp(triangleQuery, encoded = true)
+
   val starQuery: String =
     """select ?c ?seg ?nm where {
       | ?c rdf:type "Customer" .
@@ -137,11 +148,7 @@ object BgpQueries {
     // LUBM Q2 analog: cyclic (triangle) join over lineitem-derived edges
     GQuery(
       "q31_bgp_triangle",
-      bgp("""select ?o ?p ?s where {
-            | ?o contains ?p .
-            | ?o suppliedby ?s .
-            | ?s supplies ?p .
-            | ?o status "F" }""".stripMargin),
+      bgp(triangleQuery),
       Some("""WITH cont AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
              |  supb AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
              |  supp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),

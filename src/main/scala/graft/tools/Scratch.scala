@@ -5,7 +5,8 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val qs = graft.SparkEntry.queries
+    val qs = graft.SparkEntry.queries +
+      ("q31x_triangle_enc" -> graft.queries.BgpQueries.triangleEncoded)
     for (name <- args) {
       val t0 = System.nanoTime()
       val df = qs(name)(spark, sfDir)
