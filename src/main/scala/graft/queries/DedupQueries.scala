@@ -359,6 +359,44 @@ object DedupQueries {
               |SELECT src AS doc_id, min(dst) AS canonical
               |FROM reach GROUP BY src""".stripMargin)),
 
+    // eval-set decontamination: the train/eval cousin of near-dup
+    // detection — flag training docs sharing any (doc-freq-capped)
+    // 5-token shingle with a held-out eval doc. The split is a
+    // deterministic md5 bucket (~10% eval), so both engines agree on
+    // membership; candidates come from the same banded shingle join as
+    // q44 (shuffle on 8-byte hash keys, never train × eval all-pairs).
+    GQuery(
+      "q94_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sb = shingleBand(s, dir)
+        val split = t(s, dir, "documents")
+          .select($"doc_id",
+            (h32(concat($"doc_id".cast("string"), lit(":eval"))) % 10 === 0)
+              .as("is_eval"))
+        val tagged = sb.join(split, Seq("doc_id"))
+        val ev = tagged.filter($"is_eval")
+          .select($"k", $"doc_id".as("eval_id"))
+        val tr = tagged.filter(!$"is_eval").select($"k", $"doc_id")
+        tr.join(ev, Seq("k"))
+          .groupBy($"doc_id")
+          .agg(countDistinct($"eval_id").as("n_eval_docs"),
+            countDistinct($"k").as("n_shared_shingles"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |sp AS (SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':eval')), 1, 8)) AS BIGINT) % 10 = 0 AS is_eval
+              |       FROM documents),
+              |ev AS (SELECT shf.s, shf.doc_id AS eval_id
+              |       FROM shf JOIN sp USING (doc_id) WHERE is_eval),
+              |tr AS (SELECT shf.s, shf.doc_id
+              |       FROM shf JOIN sp USING (doc_id) WHERE NOT is_eval)
+              |SELECT tr.doc_id, count(DISTINCT eval_id) AS n_eval_docs,
+              |  count(DISTINCT tr.s) AS n_shared_shingles
+              |FROM tr JOIN ev ON tr.s = ev.s
+              |GROUP BY 1""".stripMargin)),
+
     // fuzzy (edit-distance) dedup: banded candidates verified by
     // Levenshtein over 64-char prefixes. The O(n·m) distance runs ONLY
     // on candidate pairs from the shingle band join, and the fixed

@@ -370,6 +370,53 @@ object SimilarityQueries {
            |SELECT a.c AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, min(c2.cv) AS c0
            |FROM a2 a JOIN c2 ON c2.c = a.c AND c2.d = 0
            |GROUP BY a.c""".stripMargin
-      })
+      }),
+
+    // centroid-distance outlier scoring: the 5 vectors farthest from
+    // their own label's centroid — the embedding-space mislabel/noise
+    // filter of a curation pipeline. Exactness: distances to the mean
+    // are cross-multiplied by the group count (x·c − Σx, all BIGINT) so
+    // no division happens before the compare; ties break by vec_id. At
+    // 100 TB group counts would overflow the cross-multiplied form —
+    // production uses a double mean there; the integer form is the
+    // oracle-exact harness (same discipline as q81). Scale shape: one
+    // groupBy for centroids (k·dim rows, broadcast back), one
+    // per-vector aggregate, and Spark 4's WindowGroupLimit caps the
+    // top-5-per-label shuffle.
+    GQuery(
+      "q96_embedding_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val q = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", posexplode($"embedding").as(Seq("d", "e")))
+          .select($"vec_id", $"label", $"d",
+            floor($"e".cast("double") * 10000 + 0.5).cast("long").as("x"))
+        val cent = q.groupBy($"label", $"d")
+          .agg(sum($"x").as("sx"), count(lit(1)).as("c"))
+        val dist = q.join(broadcast(cent), Seq("label", "d"))
+          .groupBy($"vec_id", $"label")
+          .agg(sum(($"x" * $"c" - $"sx") * ($"x" * $"c" - $"sx"))
+            .cast("long").as("sqdist"))
+        dist
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"label").orderBy($"sqdist".desc, $"vec_id")))
+          .filter($"rk" <= 5)
+          .select($"vec_id", $"label".cast("long").as("label"), $"sqdist",
+            $"rk".cast("long").as("rk"))
+      },
+      Some("""WITH q AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+             |  FROM embeddings),
+             |cent AS (SELECT label, d, CAST(sum(x) AS BIGINT) AS sx,
+             |           count(*) AS c
+             |         FROM q GROUP BY 1, 2),
+             |dist AS (SELECT q.vec_id, q.label,
+             |    CAST(sum((q.x * c.c - c.sx) * (q.x * c.c - c.sx)) AS BIGINT) AS sqdist
+             |  FROM q JOIN cent c ON q.label = c.label AND q.d = c.d
+             |  GROUP BY 1, 2)
+             |SELECT vec_id, CAST(label AS BIGINT) AS label, sqdist,
+             |  CAST(row_number() OVER (PARTITION BY label
+             |    ORDER BY sqdist DESC, vec_id) AS BIGINT) AS rk
+             |FROM dist QUALIFY rk <= 5""".stripMargin))
   )
 }

@@ -273,6 +273,111 @@ object TextQueries {
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
              |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
              |      FROM documents)
-             |GROUP BY tk HAVING count(*) >= 50""".stripMargin))
+             |GROUP BY tk HAVING count(*) >= 50""".stripMargin)),
+
+    // concat-and-chunk sequence packing: documents concatenated in
+    // doc_id order, chunk boundaries every 512 tokens — each doc maps
+    // to the [first, last] chunk index it lands in (the GPT-style
+    // training-sequence prep). Scale shape: a GLOBAL running sum would
+    // put every row in one window partition, so the prefix sum is
+    // two-phase — per-block partial sums (tiny: one row per 100 docs),
+    // a block-level prefix over that small relation, then a
+    // block-partitioned within-block cumsum. Every data-sized window
+    // stays partitioned; the only global pass is over block sums.
+    GQuery(
+      "q95_sequence_pack",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+          .withColumn("b", expr("doc_id div 100"))
+        val bsums = docs.groupBy($"b").agg(sum($"n").as("bn"))
+        val wb = Window.orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bpre = bsums
+          .withColumn("bpre", coalesce(sum($"bn").over(wb), lit(0L)))
+          .select($"b", $"bpre")
+        val wi = Window.partitionBy($"b").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.join(broadcast(bpre), Seq("b"))
+          .withColumn("cb", $"bpre" + coalesce(sum($"n").over(wi), lit(0L)))
+          .select($"doc_id", $"n".as("n_tokens"),
+            floor($"cb" / lit(512.0)).cast("long").as("chunk_first"),
+            floor(($"cb" + $"n" - 1) / lit(512.0)).cast("long").as("chunk_last"))
+          .withColumn("n_chunks", $"chunk_last" - $"chunk_first" + lit(1L))
+      },
+      Some("""SELECT doc_id, n AS n_tokens,
+             |  CAST(floor(cb / 512.0) AS BIGINT) AS chunk_first,
+             |  CAST(floor((cb + n - 1) / 512.0) AS BIGINT) AS chunk_last,
+             |  CAST(floor((cb + n - 1) / 512.0) - floor(cb / 512.0) + 1 AS BIGINT) AS n_chunks
+             |FROM (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS n,
+             |    coalesce(sum(len(string_split(text, ' '))) OVER (
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM documents)""".stripMargin)),
+
+    // repetition-ratio quality signal: the most frequent bigram's share
+    // of all bigrams per document — high ratio = boilerplate/looping
+    // text, the n-gram-repetition filter of a web-scale pipeline. One
+    // explode + per-doc groupBy; ratios divide exact integer counts.
+    GQuery(
+      "q97_repetition_ratio",
+      (s, dir) => {
+        import s.implicits._
+        val bi = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+        bi.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("cnt"))
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").cast("long").as("n_bigrams"),
+            max($"cnt").as("top_rep"))
+          .withColumn("rep_ratio", $"top_rep" * lit(1.0) / $"n_bigrams")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+             |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             |             FROM toks WHERE len(w) >= 2)),
+             |c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             |  CAST(max(cnt) AS BIGINT) AS top_rep,
+             |  max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS rep_ratio
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // domain mixing: deterministically downsample every language to the
+    // smallest language's share (uniform target mix). The keep decision
+    // is pure integer arithmetic on an md5 bucket — `bucket/1e6 <
+    // min_cnt/cnt` cross-multiplied to avoid any float — so membership
+    // is reproducible, engine-independent, and needs no global sort or
+    // reservoir state: one count aggregate, one broadcast, one scan.
+    GQuery(
+      "q98_domain_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            (conv(substring(md5(concat($"doc_id".cast("string"), lit(":mix"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 1000000L)
+              .as("bucket"))
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+        val minc = counts.agg(min($"cnt").as("mn"))
+        docs.join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(minc))
+          .filter($"bucket" * $"cnt" < $"mn" * lit(1000000L))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), max($"cnt").as("n_total"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8)) AS BIGINT) % 1000000 AS bucket
+             |  FROM documents),
+             |c AS (SELECT lang, count(*) AS cnt FROM d GROUP BY 1),
+             |m AS (SELECT min(cnt) AS mn FROM c)
+             |SELECT lang, count(*) AS n_kept, CAST(max(cnt) AS BIGINT) AS n_total
+             |FROM d JOIN c USING (lang) CROSS JOIN m
+             |WHERE bucket * cnt < mn * 1000000
+             |GROUP BY lang""".stripMargin))
   )
 }
