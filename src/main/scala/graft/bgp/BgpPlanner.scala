@@ -279,11 +279,51 @@ object BgpPlanner {
         else joined.crossJoin(u)
     }
 
+    // FILTER leaf translation, shared by top-level clauses and
+    // OPTIONAL-scoped clauses. Equality ops work on the encoded store
+    // by encoding the literal (var-vs-var compares columns directly);
+    // ordering comparisons and regex need lexical values, so they
+    // require a string-form store.
+    def leafCond(f: FilterExpr): Column = {
+      val c = col(f.variable)
+      if (f.op == "regex") {
+        require(!store.encoded,
+          "FILTER regex needs lexical values; decode the store first")
+        return c.rlike(f.value)
+      }
+      val rhs: Column =
+        if (f.rhsVar) col(f.value)
+        else if (f.op == "=" || f.op == "!=") encode(f.value)
+        else if (f.numeric) lit(f.value.toDouble)
+        else lit(f.value)
+      f.op match {
+        case "=" => c === rhs
+        case "!=" => c =!= rhs
+        case op =>
+          require(!store.encoded,
+            s"FILTER $op needs lexical values; decode the store first")
+          val l = if (f.numeric && !f.rhsVar) c.cast("double") else c
+          op match {
+            case ">" => l > rhs
+            case ">=" => l >= rhs
+            case "<" => l < rhs
+            case "<=" => l <= rhs
+          }
+      }
+    }
+    def applyFilters(df: DataFrame, fcs: Seq[FilterClause]): DataFrame =
+      fcs.foldLeft(df)((d, fc) => d.filter(
+        fc.disjuncts.map(_.map(leafCond).reduce(_ && _)).reduce(_ || _)))
+
     // OPTIONAL blocks: each is its own sub-chain, left-outer joined on
-    // the shared variables (standard SPARQL OPTIONAL ≡ left join)
-    for (block <- q.optionals) {
-      val sub = chain(block,
-        block.map(patternScan(store, _, encode, measured)), measured)
+    // the shared variables (standard SPARQL OPTIONAL ≡ left join).
+    // Block-scoped FILTERs restrict the sub-chain BEFORE the join, so
+    // a failing filter nulls the block's bindings instead of dropping
+    // the outer row.
+    val optFilters = q.optionalFilters.padTo(q.optionals.length, Nil)
+    for ((block, bfs) <- q.optionals.zip(optFilters)) {
+      val sub = applyFilters(chain(block,
+        block.map(patternScan(store, _, encode, measured)), measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(sub, common, "left_outer")
@@ -321,35 +361,9 @@ object BgpPlanner {
       }
     }
 
-    // FILTER clauses (DNF: OR of AND-groups), applied post-join.
-    // Equality ops work on the encoded store by encoding the literal
-    // (var-vs-var compares columns directly); ordering comparisons need
-    // lexical values, so they require a string-form store.
-    def leafCond(f: FilterExpr): Column = {
-      val c = col(f.variable)
-      val rhs: Column =
-        if (f.rhsVar) col(f.value)
-        else if (f.op == "=" || f.op == "!=") encode(f.value)
-        else if (f.numeric) lit(f.value.toDouble)
-        else lit(f.value)
-      f.op match {
-        case "=" => c === rhs
-        case "!=" => c =!= rhs
-        case op =>
-          require(!store.encoded,
-            s"FILTER $op needs lexical values; decode the store first")
-          val l = if (f.numeric && !f.rhsVar) c.cast("double") else c
-          op match {
-            case ">" => l > rhs
-            case ">=" => l >= rhs
-            case "<" => l < rhs
-            case "<=" => l <= rhs
-          }
-      }
-    }
-    for (fc <- q.filters)
-      joined = joined.filter(
-        fc.disjuncts.map(_.map(leafCond).reduce(_ && _)).reduce(_ || _))
+    // top-level FILTER clauses (DNF: OR of AND-groups), applied
+    // post-join
+    joined = applyFilters(joined, q.filters)
 
     // Decode the given columns in ONE pass over the dictionary: unpivot
     // (rid, var, id), join the dict once, pivot back. Per-column joins

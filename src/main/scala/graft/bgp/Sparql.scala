@@ -43,7 +43,8 @@ object Sparql {
   /** A value-level restriction: `FILTER (?v op value)` or
     * `FILTER (?v op ?w)` (`rhsVar` = true → `value` names the right
     * variable). `numeric` = the literal parsed as a number, so compare
-    * numerically.
+    * numerically. `op` may also be `"regex"` (from
+    * `FILTER regex(?v, "pattern")`), where `value` holds the pattern.
     */
   final case class FilterExpr(variable: String, op: String, value: String,
       numeric: Boolean, rhsVar: Boolean = false)
@@ -88,7 +89,11 @@ object Sparql {
       groupBy: Seq[String] = Nil,
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None,
-      offset: Option[Int] = None)
+      offset: Option[Int] = None,
+      // index-aligned with `optionals`: FILTER clauses written INSIDE
+      // the i-th OPTIONAL block, applied to that block's sub-chain
+      // before the left join (SPARQL scoped-filter semantics)
+      optionalFilters: Seq[Seq[FilterClause]] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
@@ -99,6 +104,11 @@ object Sparql {
   // comparisons chained with && / || — the lazy [^()]* stops at the
   // clause's closing paren
   private val filterRe = "(?is)filter\\s*\\(([^()]*)\\)".r
+  // `FILTER regex(?v, "pattern")` — parens-free form only, so the
+  // nested parens never confuse the comparison-filter regex above
+  // (whose [^()]* cannot match a parenthesized regex call)
+  private val filterRegexRe =
+    "(?is)filter\\s+regex\\s*\\(\\s*\\?(\\w+)\\s*,\\s*\"([^\"]*)\"\\s*\\)".r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
   // SELECT items: an aggregate `(AGG(?v|*) AS ?alias)` or a plain ?var
@@ -174,12 +184,56 @@ object Sparql {
     require(tailLeft.isEmpty,
       s"unrecognized text after the WHERE block: '$tailLeft'")
 
+    def parseComparison(s: String): FilterExpr = s.trim match {
+      case filterExprRe(v, op, raw) =>
+        term(raw.trim) match {
+          case Var(w) => FilterExpr(v, op, w, numeric = false, rhsVar = true)
+          case Const(c) => FilterExpr(v, op, c, numberRe.matches(raw.trim))
+          case other =>
+            throw new IllegalArgumentException(
+              s"FILTER right side must be a constant or variable, got $other")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported FILTER: $other")
+    }
+    // pull every FILTER clause out of one body chunk: regex filters
+    // first (their nested parens are invisible to filterRe), then
+    // comparison clauses in DNF (|| separates disjuncts, && separates
+    // comparisons inside one)
+    def extractFilters(chunk: String): (String, Seq[FilterClause]) = {
+      val regexClauses = filterRegexRe.findAllMatchIn(chunk).map(m =>
+        FilterClause(Seq(Seq(
+          FilterExpr(m.group(1), "regex", m.group(2), numeric = false))))).toSeq
+      val rest = filterRegexRe.replaceAllIn(chunk, "")
+      val cmpClauses = filterRe.findAllMatchIn(rest).map { m =>
+        FilterClause(m.group(1).split("\\|\\|").toSeq
+          .map(_.split("&&").toSeq.map(parseComparison)))
+      }.toSeq
+      (filterRe.replaceAllIn(rest, ""), cmpClauses ++ regexClauses)
+    }
+
     // pull extension clauses out first; the remainder is the
     // reference's plain dot-separated pattern list. OPTIONAL blocks go
     // first so a `{...}` following the keyword is never misread as a
-    // UNION branch.
-    val optionals = optionalRe.findAllMatchIn(bodyFull)
-      .map(m => parsePatterns(m.group(1))).toSeq
+    // UNION branch. A FILTER inside an OPTIONAL block scopes to that
+    // block: it restricts the block's sub-chain BEFORE the left join,
+    // never the outer solution.
+    val optionalBlocks = optionalRe.findAllMatchIn(bodyFull).map { m =>
+      val (rest, fs) = extractFilters(m.group(1))
+      (parsePatterns(rest), fs)
+    }.toSeq
+    val optionals = optionalBlocks.map(_._1)
+    val optionalFilters = optionalBlocks.map(_._2)
+    optionalBlocks.foreach { case (pats, fs) =>
+      val bound = pats.flatMap(_.vars).toSet
+      fs.flatMap(_.disjuncts.flatten).foreach { f =>
+        require(bound.contains(f.variable),
+          s"OPTIONAL-scoped FILTER var ?${f.variable} must be bound inside the block: $query")
+        if (f.rhsVar)
+          require(bound.contains(f.value),
+            s"OPTIONAL-scoped FILTER var ?${f.value} must be bound inside the block: $query")
+      }
+    }
     val body0a = optionalRe.replaceAllIn(bodyFull, "")
     // VALUES ?v { c1 c2 ... }: inline constant bindings for one var
     val valuesBinds = valuesRe.findAllMatchIn(body0a).map { m =>
@@ -204,42 +258,23 @@ object Sparql {
       require(varSets.distinct.size == 1,
         s"UNION branches must bind the same variables, got: $varSets")
     }
-    def parseComparison(s: String): FilterExpr = s.trim match {
-      case filterExprRe(v, op, raw) =>
-        term(raw.trim) match {
-          case Var(w) => FilterExpr(v, op, w, numeric = false, rhsVar = true)
-          case Const(c) => FilterExpr(v, op, c, numberRe.matches(raw.trim))
-          case other =>
-            throw new IllegalArgumentException(
-              s"FILTER right side must be a constant or variable, got $other")
-        }
-      case other =>
-        throw new IllegalArgumentException(s"unsupported FILTER: $other")
-    }
-    // FILTER scope: a clause inside an OPTIONAL/MINUS/UNION block
-    // restricts that block only — hoisting it to a top-level
-    // conjunctive filter would silently change semantics (e.g. drop
-    // the left-outer null rows of an OPTIONAL). Until scoped filters
-    // are supported, reject them rather than mis-evaluate.
+    // FILTER scope: OPTIONAL-scoped filters are handled above; a
+    // clause inside a MINUS/UNION block would also restrict that block
+    // only — hoisting it to a top-level conjunctive filter silently
+    // changes semantics, so reject until scoped there too.
     val filterWordRe = "(?i)\\bfilter\\b".r
-    optionalRe.findAllMatchIn(bodyFull).foreach(m =>
-      require(filterWordRe.findFirstIn(m.group(1)).isEmpty,
-        s"FILTER inside an OPTIONAL block is not supported: $query"))
     minusRe.findAllMatchIn(body0b).foreach(m =>
       require(filterWordRe.findFirstIn(m.group(1)).isEmpty,
         s"FILTER inside a MINUS block is not supported: $query"))
     unionChainRe.findAllIn(body1).foreach(chain =>
       require(filterWordRe.findFirstIn(chain).isEmpty,
         s"FILTER inside a UNION branch is not supported: $query"))
-    // DNF: || separates disjuncts, && separates comparisons inside one.
-    // Matched against the block-STRIPPED body only, so only top-level
-    // conjunctive filters are picked up.
+    // top-level FILTERs, matched against the block-STRIPPED body only
     val bodyStripped = unionChainRe.replaceAllIn(body1, "")
-    val filters = filterRe.findAllMatchIn(bodyStripped).map { m =>
-      FilterClause(m.group(1).split("\\|\\|").toSeq
-        .map(_.split("&&").toSeq.map(parseComparison)))
-    }.toSeq
-    val body = filterRe.replaceAllIn(bodyStripped, "").trim
+    val (body, filters) = {
+      val (b, fs) = extractFilters(bodyStripped)
+      (b.trim, fs)
+    }
 
     val patterns = parsePatterns(body)
     require(patterns.nonEmpty || unions.nonEmpty, s"empty BGP: $query")
@@ -294,7 +329,8 @@ object Sparql {
         s"ORDER BY var ?${k.variable} not available after projection"))
 
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
-      minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN)
+      minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
+      optionalFilters)
   }
 
   private val askRe = "(?is)^\\s*ask\\s*(where.*)$".r

@@ -371,6 +371,35 @@ object BgpQueries {
              |UNION ALL
              |SELECT concat('supplier:', s_suppkey), 'rdf:type', 'Located' FROM supplier""".stripMargin)),
 
+    // grammar extension: OPTIONAL-scoped FILTER — restricts the block's
+    // sub-chain BEFORE the left join (failing rows null the block's
+    // bindings; a hoisted filter would drop the outer row)
+    GQuery(
+      "q99_bgp_optional_filter",
+      bgp("""select ?n ?rn ?s where {
+            | ?n rdf:type "Nation" .
+            | ?n regionkey ?r .
+            | ?r name ?rn .
+            | OPTIONAL { ?s nationkey ?n . ?s rdf:type "Supplier" .
+            |   FILTER (?s < "supplier:2") } }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, r_name AS rn,
+             |  'supplier:' || s_suppkey AS s
+             |FROM nation
+             |JOIN region ON n_regionkey = r_regionkey
+             |LEFT JOIN supplier ON s_nationkey = n_nationkey
+             |  AND 'supplier:' || s_suppkey < 'supplier:2'""".stripMargin)),
+
+    // grammar extension: FILTER regex(?v, "pattern") — rlike on the
+    // lexical store; both engines match unanchored
+    GQuery(
+      "q100_bgp_regex",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER regex(?nm, "NATION_1[0-9]") }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE regexp_matches(n_name, 'NATION_1[0-9]')""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

@@ -115,11 +115,9 @@ class BgpSpec extends AnyFunSuite {
     assert(ord.collect().map(_.getString(1)).toSet == Set("FullProfessor1"))
   }
 
-  test("FILTER inside OPTIONAL/UNION/MINUS blocks is rejected, not hoisted") {
+  test("FILTER inside UNION/MINUS blocks is rejected, not hoisted") {
     // hoisting a block-scoped FILTER to a top-level conjunct would
-    // silently drop OPTIONAL's left-outer null rows — reject instead
-    intercept[IllegalArgumentException](Sparql.parse(
-      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E . FILTER (?E = "x") } }"""))
+    // silently change semantics — reject until scoped there too
     intercept[IllegalArgumentException](Sparql.parse(
       """select ?A where { ?A worksFor ?D . MINUS { ?A email ?E . FILTER (?E = "x") } }"""))
     intercept[IllegalArgumentException](Sparql.parse(
@@ -128,6 +126,34 @@ class BgpSpec extends AnyFunSuite {
     val ok = Sparql.parse(
       """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E } . FILTER (?A = "prof:0") }""")
     assert(ok.filters.length == 1 && ok.optionals.length == 1)
+    assert(ok.optionalFilters == Seq(Nil))
+  }
+
+  test("OPTIONAL-scoped FILTER nulls the block, never drops the outer row") {
+    val q = Sparql.parse(
+      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E . FILTER (?E != "p0@u.edu") } }""")
+    assert(q.optionals.length == 1 && q.optionalFilters.head.length == 1)
+    assert(q.filters.isEmpty, "block filter must not hoist to top level")
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E . FILTER (?E != "p0@u.edu") } }""")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // prof:0's email fails the scoped filter -> null binding, row kept
+    // (a hoisted filter would DROP prof:0 and prof:2 entirely)
+    assert(rows == Set(
+      ("prof:0", null), ("prof:1", "p1@u.edu"), ("prof:2", null)))
+    // a filter var unbound inside the block is rejected
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E . FILTER (?D = "x") } }"""))
+  }
+
+  test("FILTER regex restricts by Java-compatible pattern") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?N where { ?A name ?N . FILTER regex(?N, "Professor[01]") }""")
+    assert(out.collect().map(_.getString(1)).toSet ==
+      Set("FullProfessor0", "FullProfessor1"))
+    val none = BgpPlanner.query(tinyStore,
+      """select ?A ?N where { ?A name ?N . FILTER regex(?N, "^Assistant") }""")
+    assert(none.count() == 0)
   }
 
   test("FILTER equality works on the dictionary-encoded store") {
