@@ -43,13 +43,34 @@ class BgpPropertySpec extends AnyFunSuite {
       ps.foldLeft(envs)((es, p) =>
         es.flatMap(env => triples.flatMap(t => matches(t, p, env))))
 
+    def leafHolds(env: Map[String, String], f: Sparql.FilterExpr): Boolean = {
+      val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
+      (env.get(f.variable), rhs) match {
+        case (Some(v), Some(r)) => f.op match {
+          case "=" => v == r
+          case "!=" => v != r
+          case ">" => v > r
+          case ">=" => v >= r
+          case "<" => v < r
+          case "<=" => v <= r
+          case "regex" => java.util.regex.Pattern.compile(r).matcher(v).find()
+        }
+        case _ => false
+      }
+    }
+    def clausesHold(env: Map[String, String], fcs: Seq[Sparql.FilterClause]): Boolean =
+      fcs.forall(fc => fc.disjuncts.exists(_.forall(leafHolds(env, _))))
+
     var envs = expand(Set(Map.empty[String, String]), q.patterns)
     for (group <- q.unions)
       envs = envs.flatMap(env =>
         group.flatMap(branch => expand(Set(env), branch)))
-    for (block <- q.optionals)
+    // scoped filters restrict the block's own solutions BEFORE the
+    // keep-env-if-no-extension decision (SPARQL left-join semantics)
+    for ((block, bfs) <- q.optionals.zip(
+        q.optionalFilters.padTo(q.optionals.length, Nil)))
       envs = envs.flatMap { env =>
-        val ext = expand(Set(env), block)
+        val ext = expand(Set(env), block).filter(clausesHold(_, bfs))
         if (ext.nonEmpty) ext else Set(env)
       }
     for (block <- q.minuses) {
@@ -61,24 +82,7 @@ class BgpPropertySpec extends AnyFunSuite {
         else expand(Set(env), block).isEmpty
       }
     }
-    def leafHolds(env: Map[String, String], f: Sparql.FilterExpr): Boolean = {
-      val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
-      (env.get(f.variable), rhs) match {
-        case (Some(v), Some(r)) => f.op match {
-          case "=" => v == r
-          case "!=" => v != r
-          case ">" => v > r
-          case ">=" => v >= r
-          case "<" => v < r
-          case "<=" => v <= r
-        }
-        case _ => false
-      }
-    }
-    envs = envs.filter { env =>
-      q.filters.forall(fc =>
-        fc.disjuncts.exists(_.forall(leafHolds(env, _))))
-    }
+    envs = envs.filter(clausesHold(_, q.filters))
     envs.map(env => q.select.distinct.sorted.map(env.getOrElse(_, null)))
   }
 
@@ -378,6 +382,56 @@ class BgpPropertySpec extends AnyFunSuite {
           assert(got == want,
             s"round $round pass $pass: $patterns select=$select store=$triples")
         }
+      }
+    }
+  }
+
+  test("planner equals brute-force with OPTIONAL-scoped FILTERs (30 random)") {
+    import spark.implicits._
+    import graft.bgp.Sparql.{FilterClause, FilterExpr}
+    val rnd = new Random(616161L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    for (round <- 0 until 30) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val required = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val block = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      val reqVars = required.flatMap(_.vars).distinct
+      val blockVars = block.flatMap(_.vars).distinct
+      if (reqVars.nonEmpty && blockVars.nonEmpty) {
+        // scoped filter vars must be bound INSIDE the block (parser
+        // contract); compare vs a constant or another block var
+        def randLeaf(): FilterExpr = {
+          val op = Vector("=", "!=", "<", ">=")(rnd.nextInt(4))
+          val lhs = blockVars(rnd.nextInt(blockVars.size))
+          if (rnd.nextBoolean() && blockVars.size > 1)
+            FilterExpr(lhs, op, blockVars(rnd.nextInt(blockVars.size)),
+              numeric = false, rhsVar = true)
+          else FilterExpr(lhs, op, ents(rnd.nextInt(ents.size)),
+            numeric = false)
+        }
+        val bfs = Seq(FilterClause(Seq.fill(1 + rnd.nextInt(2))(
+          Seq.fill(1 + rnd.nextInt(2))(randLeaf()))))
+        val allVars = (reqVars ++ blockVars).distinct
+        val select = rnd.shuffle(allVars).take(1 + rnd.nextInt(allVars.size))
+        val q = BgpQuery(select, required, optionals = Seq(block),
+          optionalFilters = Seq(bfs))
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want,
+          s"round $round: req=$required opt=$block scoped=$bfs " +
+            s"select=$select store=$triples\ngot=${got.size} want=${want.size}")
       }
     }
   }

@@ -165,4 +165,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull"),
       "expected parquet-level pushed filters")
   }
+
+  test("native range join plans as the merge exec, no candidate-pair join") {
+    val df = SparkEntry.queries("q93_range_native")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), s"expected RangeJoin exec in:\n$plan")
+    // the composed spelling's shape: an equi hash join whose per-key
+    // candidate pairs are post-filtered on the time bounds
+    assert(!plan.contains("HashJoin"), s"unexpected hash join in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("sequence packing keeps every data-sized window partitioned") {
+    val df = SparkEntry.queries("q95_sequence_pack")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-block cumsum partitions by block; the only global-order
+    // window runs over block SUMS (one row per 100 docs). A data-sized
+    // global window would show a single-partition Exchange feeding a
+    // Window over the documents scan.
+    val windowSpecs = "Window \\[".r.findAllIn(plan).size
+    assert(windowSpecs == 2, s"expected exactly 2 Window nodes in:\n$plan")
+    assert(plan.contains("windowspecdefinition(b#"),
+      s"expected the within-block window partitioned by block in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("embedding outlier top-k bounds the window shuffle (WindowGroupLimit)") {
+    val df = SparkEntry.queries("q96_embedding_outliers")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-limiting the top-5 in:\n$plan")
+    assert(df.count() > 0)
+  }
 }
