@@ -343,6 +343,21 @@ object BgpPlanner {
         joined = joined.join(sub, common, "left_anti")
     }
 
+    // FILTER [NOT] EXISTS blocks: semi/anti join on the shared
+    // variables. Var-disjoint blocks are the uncorrelated case — the
+    // solution survives iff the block has (no) solutions at all, which
+    // a constant-true semi/anti join against the block's first row
+    // decides without materializing it (`limit(1)` bounds the probe).
+    for ((negated, block) <- q.existsFilters) {
+      val sub = chain(block,
+        block.map(patternScan(store, _, encode, measured)), measured)
+      val common = sub.columns.filter(joined.columns.toSet).toSeq
+      val joinType = if (negated) "left_anti" else "left_semi"
+      joined =
+        if (common.nonEmpty) joined.join(sub, common, joinType)
+        else joined.join(sub.limit(1), lit(true), joinType)
+    }
+
     // VALUES blocks: inline constant bindings. A var the chain already
     // binds gets an IN restriction (constant-foldable, pushable); an
     // unbound var joins the inline relation (SPARQL VALUES ≡ join with
@@ -400,6 +415,13 @@ object BgpPlanner {
             case ("avg", Some(v)) => avg(col(v).cast("double")).as(a.alias)
             case ("min", Some(v)) => min(col(v)).as(a.alias)
             case ("max", Some(v)) => max(col(v)).as(a.alias)
+            // GROUP_CONCAT: SPARQL leaves the order implementation-
+            // defined; sorting the collected bag makes it deterministic
+            // (bag semantics kept — duplicates survive)
+            case ("group_concat", Some(v)) =>
+              array_join(array_sort(collect_list(col(v))), " ").as(a.alias)
+            // SAMPLE: any member is valid — the minimum is deterministic
+            case ("sample", Some(v)) => min(col(v)).as(a.alias)
           }
         }
         q.groupBy.distinct.sorted match {
@@ -416,12 +438,26 @@ object BgpPlanner {
         decode(projected, keep)
       }
 
+    // HAVING: numeric conjuncts over aggregate aliases, post-agg
+    val havingApplied = q.having.foldLeft(result) { (df, h) =>
+      val c = col(h.variable)
+      val r = lit(h.value.toDouble)
+      df.filter(h.op match {
+        case "=" => c === r
+        case "!=" => c =!= r
+        case ">" => c > r
+        case ">=" => c >= r
+        case "<" => c < r
+        case "<=" => c <= r
+      })
+    }
+
     val outCols =
       (if (q.aggregates.nonEmpty) q.select ++ q.aggregates.map(_.alias)
        else q.select).distinct.sorted
     val ordered =
-      if (q.orderBy.isEmpty) result
-      else result.orderBy(q.orderBy.map(k =>
+      if (q.orderBy.isEmpty) havingApplied
+      else havingApplied.orderBy(q.orderBy.map(k =>
         if (k.asc) col(k.variable).asc else col(k.variable).desc): _*)
     val withOffset = q.offset.fold(ordered)(ordered.offset)
     val withLimit = q.limit.fold(withOffset)(withOffset.limit)

@@ -93,7 +93,16 @@ object Sparql {
       // index-aligned with `optionals`: FILTER clauses written INSIDE
       // the i-th OPTIONAL block, applied to that block's sub-chain
       // before the left join (SPARQL scoped-filter semantics)
-      optionalFilters: Seq[Seq[FilterClause]] = Nil)
+      optionalFilters: Seq[Seq[FilterClause]] = Nil,
+      // `FILTER [NOT] EXISTS { ... }` blocks: (negated, patterns).
+      // EXISTS keeps solutions with ≥1 block match (semi join on the
+      // shared vars), NOT EXISTS drops them (anti join). Unlike MINUS,
+      // a var-disjoint NOT EXISTS drops EVERYTHING when the block has
+      // any solution (SPARQL 1.1 §8.1.1 vs §8.3 difference).
+      existsFilters: Seq[(Boolean, Seq[TriplePattern])] = Nil,
+      // `HAVING (?aggAlias op number)` conjuncts, applied after the
+      // aggregation
+      having: Seq[FilterExpr] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
@@ -113,8 +122,13 @@ object Sparql {
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
   // SELECT items: an aggregate `(AGG(?v|*) AS ?alias)` or a plain ?var
   private val selectItemRe =
-    ("(?is)\\(\\s*(count|sum|min|max|avg)\\s*\\(\\s*(\\*|\\?\\w+)\\s*\\)" +
+    ("(?is)\\(\\s*(count|sum|min|max|avg|group_concat|sample)\\s*\\(\\s*(\\*|\\?\\w+)\\s*\\)" +
       "\\s+as\\s+\\?(\\w+)\\s*\\)|\\?(\\w+)").r
+  // FILTER [NOT] EXISTS { patterns } — extracted before UNION chains so
+  // the braced block is never misread as a UNION branch
+  private val existsRe = "(?is)filter\\s+(not\\s+)?exists\\s*\\{([^}]*)\\}".r
+  private val havingRe =
+    "(?is)having\\s*\\(\\s*\\?(\\w+)\\s*(>=|<=|!=|=|>|<)\\s*(-?\\d+(?:\\.\\d+)?)\\s*\\)".r
   private val groupByRe = "(?is)group\\s+by((?:\\s+\\?\\w+)+)".r
   private val orderByRe =
     "(?is)order\\s+by((?:\\s+(?:(?:asc|desc)\\s*\\(\\s*\\?\\w+\\s*\\)|\\?\\w+))+)".r
@@ -179,7 +193,9 @@ object Sparql {
       })
     val limitN = limitRe.findFirstMatchIn(tail).map(_.group(1).toInt)
     val offsetN = offsetRe.findFirstMatchIn(tail).map(_.group(1).toInt)
-    val tailLeft = Seq(groupByRe, orderByRe, limitRe, offsetRe)
+    val havingExprs = havingRe.findAllMatchIn(tail).map(m =>
+      FilterExpr(m.group(1), m.group(2), m.group(3), numeric = true)).toSeq
+    val tailLeft = Seq(havingRe, groupByRe, orderByRe, limitRe, offsetRe)
       .foldLeft(tail)((t, re) => re.replaceAllIn(t, " ")).trim
     require(tailLeft.isEmpty,
       s"unrecognized text after the WHERE block: '$tailLeft'")
@@ -234,7 +250,14 @@ object Sparql {
             s"OPTIONAL-scoped FILTER var ?${f.value} must be bound inside the block: $query")
       }
     }
-    val body0a = optionalRe.replaceAllIn(bodyFull, "")
+    val body0ex = optionalRe.replaceAllIn(bodyFull, "")
+    // FILTER [NOT] EXISTS blocks — pulled before VALUES/MINUS/UNION so
+    // their braces are never misread downstream
+    val existsFilters = existsRe.findAllMatchIn(body0ex).map(m =>
+      (m.group(1) != null, parsePatterns(m.group(2)))).toSeq
+    existsFilters.foreach { case (_, pats) =>
+      require(pats.nonEmpty, s"empty EXISTS block: $query") }
+    val body0a = existsRe.replaceAllIn(body0ex, "")
     // VALUES ?v { c1 c2 ... }: inline constant bindings for one var
     val valuesBinds = valuesRe.findAllMatchIn(body0a).map { m =>
       val consts = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(m.group(2)).toSeq
@@ -279,7 +302,8 @@ object Sparql {
     val patterns = parsePatterns(body)
     require(patterns.nonEmpty || unions.nonEmpty, s"empty BGP: $query")
     val allPatterns =
-      patterns ++ optionals.flatten ++ unions.flatten.flatten ++ minuses.flatten
+      patterns ++ optionals.flatten ++ unions.flatten.flatten ++
+        minuses.flatten ++ existsFilters.flatMap(_._2)
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
@@ -308,6 +332,9 @@ object Sparql {
     // with aggregates every plain SELECT var must be a group key; ORDER
     // BY may reference solution vars, group keys, or agg aliases)
     val aliases = aggregates.map(_.alias)
+    havingExprs.foreach(h =>
+      require(aliases.contains(h.variable),
+        s"HAVING var ?${h.variable} must be an aggregate alias: $query"))
     require(aliases.distinct.size == aliases.size,
       s"duplicate aggregate alias: $query")
     groupVars.foreach(v =>
@@ -330,7 +357,7 @@ object Sparql {
 
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
-      optionalFilters)
+      optionalFilters, existsFilters, havingExprs)
   }
 
   private val askRe = "(?is)^\\s*ask\\s*(where.*)$".r

@@ -400,6 +400,52 @@ object BgpQueries {
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
              |FROM nation WHERE regexp_matches(n_name, 'NATION_1[0-9]')""".stripMargin)),
 
+    // grammar extension: FILTER NOT EXISTS ≡ anti join on shared vars
+    // (the correlated-negation spelling; MINUS-equivalent here because
+    // the block shares ?c, but NOT EXISTS drops everything when a
+    // var-disjoint block matches — q75's MINUS would keep everything)
+    GQuery(
+      "q101_bgp_not_exists",
+      bgp("""select ?c where {
+            | ?c rdf:type "Customer" .
+            | FILTER NOT EXISTS { ?o custkey ?c . ?o status "P" } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c FROM customer
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |   AND o_orderstatus = 'P')""".stripMargin)),
+
+    // grammar extension: FILTER EXISTS ≡ semi join on shared vars
+    GQuery(
+      "q102_bgp_exists",
+      bgp("""select ?c ?seg where {
+            | ?c mktsegment ?seg .
+            | FILTER EXISTS { ?o custkey ?c . ?o status "F" } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c, c_mktsegment AS seg
+             |FROM customer
+             |WHERE EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |   AND o_orderstatus = 'F')""".stripMargin)),
+
+    // grammar extension: GROUP_CONCAT + SAMPLE aggregates and HAVING —
+    // the collected bag sorts before joining (SPARQL leaves the order
+    // implementation-defined; sorting makes it engine-independent), and
+    // HAVING filters on an aggregate alias post-agg. The ≥55 threshold
+    // genuinely filters at sf0.01 (≈60 customers per nation).
+    GQuery(
+      "q103_bgp_group_concat",
+      bgp("""select ?nm (count(?c) as ?nc) (group_concat(?seg) as ?segs)
+            |  (sample(?seg) as ?aseg) where {
+            | ?c rdf:type "Customer" .
+            | ?c nationkey ?n .
+            | ?c mktsegment ?seg .
+            | ?n name ?nm }
+            |group by ?nm having (?nc >= 55)""".stripMargin),
+      Some("""SELECT n_name AS nm, count(*) AS nc,
+             |  string_agg(c_mktsegment, ' ' ORDER BY c_mktsegment) AS segs,
+             |  min(c_mktsegment) AS aseg
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name HAVING count(*) >= 55""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

@@ -82,6 +82,10 @@ class BgpPropertySpec extends AnyFunSuite {
         else expand(Set(env), block).isEmpty
       }
     }
+    // EXISTS keeps envs whose block extension is non-empty; NOT EXISTS
+    // the complement. No dom-disjoint exemption (unlike MINUS).
+    for ((negated, block) <- q.existsFilters)
+      envs = envs.filter(env => expand(Set(env), block).nonEmpty != negated)
     envs = envs.filter(clausesHold(_, q.filters))
     envs.map(env => q.select.distinct.sorted.map(env.getOrElse(_, null)))
   }
@@ -220,6 +224,42 @@ class BgpPropertySpec extends AnyFunSuite {
         val want = naive(triples, q)
         assert(got == want,
           s"round $round: req=$required minus=$minuses select=$select " +
+            s"store=$triples\ngot=${got.size} want=${want.size}")
+      }
+    }
+  }
+
+  test("planner equals brute-force with FILTER [NOT] EXISTS (25 random)") {
+    import spark.implicits._
+    val rnd = new Random(8888L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+    def randPattern(): TriplePattern = {
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      TriplePattern(pos(), Const(preds(rnd.nextInt(preds.size))), pos())
+    }
+    for (round <- 0 until 25) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val required = Seq.fill(1 + rnd.nextInt(2))(randPattern())
+      // var-disjoint blocks occur naturally (all-const or disjoint-var
+      // patterns), exercising the uncorrelated limit(1) probe path
+      val exists = Seq.fill(1 + rnd.nextInt(2))(
+        (rnd.nextBoolean(), Seq.fill(1)(randPattern())))
+      val reqVars = required.flatMap(_.vars).distinct
+      if (reqVars.nonEmpty) {
+        val select = rnd.shuffle(reqVars).take(1 + rnd.nextInt(reqVars.size))
+        val q = BgpQuery(select, required, existsFilters = exists)
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.plan(store, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want,
+          s"round $round: req=$required exists=$exists select=$select " +
             s"store=$triples\ngot=${got.size} want=${want.size}")
       }
     }

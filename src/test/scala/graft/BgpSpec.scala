@@ -146,6 +146,44 @@ class BgpSpec extends AnyFunSuite {
       """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E . FILTER (?D = "x") } }"""))
   }
 
+  test("FILTER [NOT] EXISTS: correlated semi/anti; var-disjoint differs from MINUS") {
+    // correlated: profs with/without an email triple
+    val yes = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D . FILTER EXISTS { ?A email ?E } }""")
+    assert(yes.collect().map(_.getString(0)).toSet == Set("prof:0", "prof:1"))
+    val no = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D . FILTER NOT EXISTS { ?A email ?E } }""")
+    assert(no.collect().map(_.getString(0)).toSet == Set("prof:2"))
+    // var-disjoint: NOT EXISTS over any matching block drops EVERYTHING
+    // — the same block as MINUS would remove nothing (SPARQL §8.1.1 vs
+    // §8.3)
+    val dropAll = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D . FILTER NOT EXISTS { ?X email ?Y } }""")
+    assert(dropAll.count() == 0)
+    val minusKeeps = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D . MINUS { ?X email ?Y } }""")
+    assert(minusKeeps.count() > 0)
+  }
+
+  test("GROUP_CONCAT/SAMPLE aggregates and HAVING modifier") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?D (count(?A) as ?n) (group_concat(?A) as ?who)
+        |  (sample(?A) as ?one) where {
+        | ?A worksFor ?D }
+        |group by ?D having (?n >= 2)""".stripMargin)
+    // dept:0 has prof:0+prof:1; dept:1 (1 prof) fails HAVING
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // columns sort lexicographically: D, n, one, who
+    assert(r.getString(0) == "dept:0" && r.getLong(1) == 2L &&
+      r.getString(2) == "prof:0" && r.getString(3) == "prof:0 prof:1")
+    // HAVING on a non-alias is rejected
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?D (count(?A) as ?n) where { ?A worksFor ?D }
+        |group by ?D having (?X >= 2)""".stripMargin))
+  }
+
   test("FILTER regex restricts by Java-compatible pattern") {
     val out = BgpPlanner.query(tinyStore,
       """select ?A ?N where { ?A name ?N . FILTER regex(?N, "Professor[01]") }""")
