@@ -252,38 +252,11 @@ object BgpPlanner {
     val encode: String => Column =
       if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
 
-    val mainChain =
-      if (q.patterns.nonEmpty)
-        Some(chain(q.patterns,
-          q.patterns.map(patternScan(store, _, encode, measured)), measured))
-      else None
-
-    // UNION groups: each branch is its own sub-chain; branches combine
-    // as a bag union (reference U1 semantics — never dedups), and the
-    // group joins the main chain on whatever variables they share.
-    val unionDfs = q.unions.map { branches =>
-      branches.map(b =>
-        chain(b, b.map(patternScan(store, _, encode, measured)), measured))
-        .reduce(_ unionByName _)
-    }
-
-    var joined = (mainChain, unionDfs) match {
-      case (Some(m), _) => m
-      case (None, u +: _) => u
-      case (None, _) => throw new IllegalArgumentException("empty BGP")
-    }
-    for (u <- if (mainChain.isDefined) unionDfs else unionDfs.drop(1)) {
-      val common = u.columns.filter(joined.columns.toSet).toSeq
-      joined =
-        if (common.nonEmpty) joined.join(u, common, "inner")
-        else joined.crossJoin(u)
-    }
-
-    // FILTER leaf translation, shared by top-level clauses and
-    // OPTIONAL-scoped clauses. Equality ops work on the encoded store
-    // by encoding the literal (var-vs-var compares columns directly);
-    // ordering comparisons and regex need lexical values, so they
-    // require a string-form store.
+    // FILTER leaf translation, shared by top-level clauses and the
+    // block-scoped clauses (OPTIONAL/MINUS/UNION). Equality ops work
+    // on the encoded store by encoding the literal (var-vs-var
+    // compares columns directly); ordering comparisons and regex need
+    // lexical values, so they require a string-form store.
     def leafCond(f: FilterExpr): Column = {
       val c = col(f.variable)
       if (f.op == "regex") {
@@ -315,6 +288,36 @@ object BgpPlanner {
       fcs.foldLeft(df)((d, fc) => d.filter(
         fc.disjuncts.map(_.map(leafCond).reduce(_ && _)).reduce(_ || _)))
 
+    val mainChain =
+      if (q.patterns.nonEmpty)
+        Some(chain(q.patterns,
+          q.patterns.map(patternScan(store, _, encode, measured)), measured))
+      else None
+
+    // UNION groups: each branch is its own sub-chain (branch-scoped
+    // FILTERs restrict it before the union); branches combine as a bag
+    // union (reference U1 semantics — never dedups), and the group
+    // joins the main chain on whatever variables they share.
+    val unionFilterGroups = q.unionFilters.padTo(q.unions.length, Nil)
+    val unionDfs = q.unions.zip(unionFilterGroups).map { case (branches, gfs) =>
+      branches.zip(gfs.padTo(branches.length, Nil)).map { case (b, fs) =>
+        applyFilters(
+          chain(b, b.map(patternScan(store, _, encode, measured)), measured), fs)
+      }.reduce(_ unionByName _)
+    }
+
+    var joined = (mainChain, unionDfs) match {
+      case (Some(m), _) => m
+      case (None, u +: _) => u
+      case (None, _) => throw new IllegalArgumentException("empty BGP")
+    }
+    for (u <- if (mainChain.isDefined) unionDfs else unionDfs.drop(1)) {
+      val common = u.columns.filter(joined.columns.toSet).toSeq
+      joined =
+        if (common.nonEmpty) joined.join(u, common, "inner")
+        else joined.crossJoin(u)
+    }
+
     // OPTIONAL blocks: each is its own sub-chain, left-outer joined on
     // the shared variables (standard SPARQL OPTIONAL ≡ left join).
     // Block-scoped FILTERs restrict the sub-chain BEFORE the join, so
@@ -333,11 +336,13 @@ object BgpPlanner {
     }
 
     // MINUS blocks: SPARQL negation ≡ left-anti join on the shared
-    // variables. A block sharing no variable with the main chain is
-    // dom-disjoint and removes nothing (SPARQL MINUS semantics).
-    for (block <- q.minuses) {
-      val sub = chain(block,
-        block.map(patternScan(store, _, encode, measured)), measured)
+    // variables; block-scoped FILTERs restrict which solutions remove.
+    // A block sharing no variable with the main chain is dom-disjoint
+    // and removes nothing (SPARQL MINUS semantics).
+    val minusFilters = q.minusFilters.padTo(q.minuses.length, Nil)
+    for ((block, bfs) <- q.minuses.zip(minusFilters)) {
+      val sub = applyFilters(chain(block,
+        block.map(patternScan(store, _, encode, measured)), measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       if (common.nonEmpty)
         joined = joined.join(sub, common, "left_anti")

@@ -102,7 +102,12 @@ object Sparql {
       existsFilters: Seq[(Boolean, Seq[TriplePattern])] = Nil,
       // `HAVING (?aggAlias op number)` conjuncts, applied after the
       // aggregation
-      having: Seq[FilterExpr] = Nil)
+      having: Seq[FilterExpr] = Nil,
+      // index-aligned with `minuses`: FILTER clauses written INSIDE the
+      // i-th MINUS block, restricting which block solutions remove
+      minusFilters: Seq[Seq[FilterClause]] = Nil,
+      // aligned with `unions`: per-group, per-branch scoped FILTERs
+      unionFilters: Seq[Seq[Seq[FilterClause]]] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
@@ -270,29 +275,40 @@ object Sparql {
       m.group(1) -> consts
     }.toSeq
     val body0b = valuesRe.replaceAllIn(body0a, "")
-    val minuses = minusRe.findAllMatchIn(body0b)
-      .map(m => parsePatterns(m.group(1))).toSeq
+    val minusBlocks = minusRe.findAllMatchIn(body0b).map { m =>
+      val (rest, fs) = extractFilters(m.group(1))
+      (parsePatterns(rest), fs)
+    }.toSeq
+    val minuses = minusBlocks.map(_._1)
+    val minusFilters = minusBlocks.map(_._2)
     val body1 = minusRe.replaceAllIn(body0b, "")
-    val unions = unionChainRe.findAllIn(body1).toSeq
-      .map(chain => braceBlockRe.findAllMatchIn(chain)
-        .map(m => parsePatterns(m.group(1))).toSeq)
+    val unionGroups = unionChainRe.findAllIn(body1).toSeq
+      .map(chain => braceBlockRe.findAllMatchIn(chain).map { m =>
+        val (rest, fs) = extractFilters(m.group(1))
+        (parsePatterns(rest), fs)
+      }.toSeq)
+    val unions = unionGroups.map(_.map(_._1))
+    val unionFilters = unionGroups.map(_.map(_._2))
     unions.foreach { branches =>
       val varSets = branches.map(_.flatMap(_.vars).toSet)
       require(varSets.distinct.size == 1,
         s"UNION branches must bind the same variables, got: $varSets")
     }
-    // FILTER scope: OPTIONAL-scoped filters are handled above; a
-    // clause inside a MINUS/UNION block would also restrict that block
-    // only — hoisting it to a top-level conjunctive filter silently
-    // changes semantics, so reject until scoped there too.
-    val filterWordRe = "(?i)\\bfilter\\b".r
-    minusRe.findAllMatchIn(body0b).foreach(m =>
-      require(filterWordRe.findFirstIn(m.group(1)).isEmpty,
-        s"FILTER inside a MINUS block is not supported: $query"))
-    unionChainRe.findAllIn(body1).foreach(chain =>
-      require(filterWordRe.findFirstIn(chain).isEmpty,
-        s"FILTER inside a UNION branch is not supported: $query"))
+    // scoped-filter vars must be bound inside their own block/branch
+    // (same contract as OPTIONAL-scoped filters)
+    (minusBlocks ++ unionGroups.flatten).foreach { case (pats, fs) =>
+      val bound = pats.flatMap(_.vars).toSet
+      fs.flatMap(_.disjuncts.flatten).foreach { f =>
+        require(bound.contains(f.variable),
+          s"block-scoped FILTER var ?${f.variable} must be bound inside the block: $query")
+        if (f.rhsVar)
+          require(bound.contains(f.value),
+            s"block-scoped FILTER var ?${f.value} must be bound inside the block: $query")
+      }
+    }
     // top-level FILTERs, matched against the block-STRIPPED body only
+    // (OPTIONAL/MINUS/UNION-scoped clauses are extracted with their
+    // blocks above and never hoisted here)
     val bodyStripped = unionChainRe.replaceAllIn(body1, "")
     val (body, filters) = {
       val (b, fs) = extractFilters(bodyStripped)
@@ -357,7 +373,7 @@ object Sparql {
 
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
-      optionalFilters, existsFilters, havingExprs)
+      optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters)
   }
 
   private val askRe = "(?is)^\\s*ask\\s*(where.*)$".r

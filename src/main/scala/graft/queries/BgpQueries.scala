@@ -446,6 +446,33 @@ object BgpQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name HAVING count(*) >= 55""".stripMargin)),
 
+    // grammar extension: UNION branch-scoped FILTER — restricts only
+    // its branch before the bag union
+    GQuery(
+      "q104_bgp_union_filter",
+      bgp("""select ?x ?nm where {
+            | { ?x rdf:type "Customer" . ?x name ?nm .
+            |   FILTER (?nm < "Customer#000000500") }
+            | UNION
+            | { ?x rdf:type "Supplier" . ?x name ?nm } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS x, c_name AS nm
+             |FROM customer WHERE c_name < 'Customer#000000500'
+             |UNION ALL
+             |SELECT concat('supplier:', s_suppkey), s_name FROM supplier""".stripMargin)),
+
+    // grammar extension: MINUS-scoped FILTER — restricts which block
+    // solutions remove (only high-keyed P orders disqualify here)
+    GQuery(
+      "q105_bgp_minus_filter",
+      bgp("""select ?c where {
+            | ?c rdf:type "Customer" .
+            | MINUS { ?o custkey ?c . ?o status "P" .
+            |   FILTER (?o >= "order:5") } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c FROM customer
+             |WHERE c_custkey NOT IN
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+             |   AND 'order:' || o_orderkey >= 'order:5')""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

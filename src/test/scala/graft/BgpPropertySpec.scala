@@ -62,9 +62,12 @@ class BgpPropertySpec extends AnyFunSuite {
       fcs.forall(fc => fc.disjuncts.exists(_.forall(leafHolds(env, _))))
 
     var envs = expand(Set(Map.empty[String, String]), q.patterns)
-    for (group <- q.unions)
+    for ((group, gfs) <- q.unions.zip(
+        q.unionFilters.padTo(q.unions.length, Nil)))
       envs = envs.flatMap(env =>
-        group.flatMap(branch => expand(Set(env), branch)))
+        group.zip(gfs.padTo(group.length, Nil)).flatMap { case (branch, fs) =>
+          expand(Set(env), branch).filter(clausesHold(_, fs))
+        })
     // scoped filters restrict the block's own solutions BEFORE the
     // keep-env-if-no-extension decision (SPARQL left-join semantics)
     for ((block, bfs) <- q.optionals.zip(
@@ -73,13 +76,14 @@ class BgpPropertySpec extends AnyFunSuite {
         val ext = expand(Set(env), block).filter(clausesHold(_, bfs))
         if (ext.nonEmpty) ext else Set(env)
       }
-    for (block <- q.minuses) {
+    for ((block, bfs) <- q.minuses.zip(
+        q.minusFilters.padTo(q.minuses.length, Nil))) {
       val blockVars = block.flatMap(_.vars).toSet
       envs = envs.filter { env =>
         // dom-disjoint MINUS removes nothing; else drop env if any
-        // block solution agrees on the shared vars
+        // (scope-filtered) block solution agrees on the shared vars
         if (env.keySet.intersect(blockVars).isEmpty) true
-        else expand(Set(env), block).isEmpty
+        else expand(Set(env), block).filter(clausesHold(_, bfs)).isEmpty
       }
     }
     // EXISTS keeps envs whose block extension is non-empty; NOT EXISTS
@@ -184,7 +188,17 @@ class BgpPropertySpec extends AnyFunSuite {
       val allVars = (required ++ b1).flatMap(_.vars).distinct
       if (allVars.nonEmpty && b1.flatMap(_.vars).nonEmpty) {
         val select = rnd.shuffle(allVars).take(1 + rnd.nextInt(allVars.size))
-        val q = BgpQuery(select, required, unions = Seq(Seq(b1, b2)))
+        // ~half the rounds scope a filter to one branch (vars bound in
+        // the branch itself, per the parser contract)
+        val bVars = b1.flatMap(_.vars).distinct
+        def branchFilter(): Seq[Sparql.FilterClause] =
+          if (rnd.nextBoolean()) Nil
+          else Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
+            bVars(rnd.nextInt(bVars.size)),
+            Vector("=", "!=", "<")(rnd.nextInt(3)),
+            ents(rnd.nextInt(ents.size)), numeric = false)))))
+        val q = BgpQuery(select, required, unions = Seq(Seq(b1, b2)),
+          unionFilters = Seq(Seq(branchFilter(), branchFilter())))
         val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
         val got = BgpPlanner.plan(store, q).collect()
           .map(_.toSeq.map(_.asInstanceOf[String])).toSet
@@ -217,7 +231,17 @@ class BgpPropertySpec extends AnyFunSuite {
       val reqVars = required.flatMap(_.vars).distinct
       if (reqVars.nonEmpty) {
         val select = rnd.shuffle(reqVars).take(1 + rnd.nextInt(reqVars.size))
-        val q = BgpQuery(select, required, minuses = minuses)
+        // ~half the rounds scope a filter inside each MINUS block
+        val minusFs = minuses.map { block =>
+          val bVars = block.flatMap(_.vars).distinct
+          if (bVars.isEmpty || rnd.nextBoolean()) Nil
+          else Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
+            bVars(rnd.nextInt(bVars.size)),
+            Vector("=", "!=", "<")(rnd.nextInt(3)),
+            ents(rnd.nextInt(ents.size)), numeric = false)))))
+        }
+        val q = BgpQuery(select, required, minuses = minuses,
+          minusFilters = minusFs)
         val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
         val got = BgpPlanner.plan(store, q).collect()
           .map(_.toSeq.map(_.asInstanceOf[String])).toSet

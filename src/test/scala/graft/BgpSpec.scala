@@ -115,18 +115,42 @@ class BgpSpec extends AnyFunSuite {
     assert(ord.collect().map(_.getString(1)).toSet == Set("FullProfessor1"))
   }
 
-  test("FILTER inside UNION/MINUS blocks is rejected, not hoisted") {
-    // hoisting a block-scoped FILTER to a top-level conjunct would
-    // silently change semantics — reject until scoped there too
+  test("block-scoped FILTERs parse with their block, never hoist to top level") {
+    val m = Sparql.parse(
+      """select ?A where { ?A worksFor ?D . MINUS { ?A email ?E . FILTER (?E = "x") } }""")
+    assert(m.filters.isEmpty && m.minusFilters.head.length == 1)
+    val u = Sparql.parse(
+      """select ?A where { { ?A worksFor ?D . FILTER (?A = "prof:0") } UNION { ?A memberOf ?D } }""")
+    assert(u.filters.isEmpty && u.unionFilters.head.head.length == 1 &&
+      u.unionFilters.head(1).isEmpty)
+    // a scoped-filter var unbound in its own block is rejected
     intercept[IllegalArgumentException](Sparql.parse(
-      """select ?A where { ?A worksFor ?D . MINUS { ?A email ?E . FILTER (?E = "x") } }"""))
-    intercept[IllegalArgumentException](Sparql.parse(
-      """select ?A where { { ?A worksFor dept:0 . FILTER (?A = "p") } UNION { ?A memberOf dept:0 } }"""))
+      """select ?A where { ?A worksFor ?D . MINUS { ?A email ?E . FILTER (?D = "x") } }"""))
     // a top-level FILTER alongside an OPTIONAL still parses
     val ok = Sparql.parse(
       """select ?A ?E where { ?A worksFor ?D . OPTIONAL { ?A email ?E } . FILTER (?A = "prof:0") }""")
     assert(ok.filters.length == 1 && ok.optionals.length == 1)
     assert(ok.optionalFilters == Seq(Nil))
+  }
+
+  test("MINUS-scoped FILTER restricts which solutions remove") {
+    // MINUS of everyone with an email EXCEPT p1's — removes only prof:0
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D .
+        | MINUS { ?A email ?E . FILTER (?E != "p1@u.edu") } }""".stripMargin)
+    assert(out.collect().map(_.getString(0)).toSet == Set("prof:1", "prof:2"))
+  }
+
+  test("UNION branch-scoped FILTER restricts only its branch") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?N where {
+        | { ?A name ?N . FILTER (?N = "FullProfessor0") }
+        | UNION
+        | { ?A name ?N } }""".stripMargin)
+    // branch 1 contributes only prof:0; branch 2 everyone — bag union
+    val names = out.collect().map(_.getString(1)).toSeq.sorted
+    assert(names.count(_ == "FullProfessor0") == 2 &&
+      names.count(_ == "FullProfessor1") == 1)
   }
 
   test("OPTIONAL-scoped FILTER nulls the block, never drops the outer row") {
