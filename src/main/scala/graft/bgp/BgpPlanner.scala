@@ -84,6 +84,7 @@ object BgpPlanner {
       case PathOpt(p) => s"$p?"
       case PathInverse(p) => s"^$p"
       case PathAlt(ps) => ps.mkString("|")
+      case PathRepeat(p, lo, hi) => s"$p{$lo,$hi}"
     }
     pats.map(p => s"${t(p.s)} ${t(p.p)} ${t(p.o)}").mkString(" |><| ")
   }
@@ -149,6 +150,24 @@ object BgpPlanner {
       case PathAlt(ps) =>
         // alternation p1|p2|…: bag union of the predicate slices
         (ps.map(slice).reduce(_ unionByName _),
+          Seq("s" -> pat.s, "o" -> pat.o))
+      case PathRepeat(p, lo, hi) =>
+        // counted repetition p{lo,hi}: union of the k-hop compositions
+        // for k in [lo, hi] (set semantics; the parser caps hi at 8, so
+        // this is a bounded chain of self-joins, each a hash join on
+        // the slice's join key — never an unbounded iteration). k = 0
+        // is identity over the slice's vertex set, as for p*.
+        val sl = slice(p)
+        def kHops(k: Int): DataFrame =
+          if (k == 0)
+            sl.select(col("s")).unionByName(sl.select(col("o").as("s")))
+              .distinct().select(col("s"), col("s").as("o"))
+          else (1 until k).foldLeft(sl) { (acc, _) =>
+            acc.select(col("s"), col("o").as("__m"))
+              .join(sl.select(col("s").as("__m"), col("o")), "__m")
+              .select(col("s"), col("o"))
+          }
+        ((lo to hi).map(kHops).reduce(_ unionByName _).distinct(),
           Seq("s" -> pat.s, "o" -> pat.o))
       case Var(_) =>
         (store.variableView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))

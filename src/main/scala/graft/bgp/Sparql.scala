@@ -34,6 +34,11 @@ object Sparql {
     * slices. Only valid at the predicate position.
     */
   final case class PathAlt(predicates: Seq[String]) extends Term
+  /** Counted repetition `p{n}` / `p{n,m}` (property-paths draft;
+    * engines like Jena/Virtuoso keep it) — between `lo` and `hi` hops,
+    * set semantics. Only valid at the predicate position.
+    */
+  final case class PathRepeat(predicate: String, lo: Int, hi: Int) extends Term
 
   /** One triple pattern (reference `Condition`, Structs.h:41-48). */
   final case class TriplePattern(s: Term, p: Term, o: Term) {
@@ -417,8 +422,22 @@ object Sparql {
         TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
       }
 
+  private val repeatRe = "^(.+)\\{(\\d+)(?:,(\\d+))?\\}$".r
+
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))
+    else if (repeatRe.matches(tok)) tok match {
+      case repeatRe(inner, loS, hiS) =>
+        val lo = loS.toInt
+        val hi = if (hiS == null) lo else hiS.toInt
+        require(lo <= hi, s"path repeat needs lo <= hi: $tok")
+        require(hi <= 8, s"path repeat bound is capped at 8 hops: $tok")
+        term(inner) match {
+          case Const(p) => PathRepeat(p, lo, hi)
+          case other => throw new IllegalArgumentException(
+            s"counted repetition applies to plain predicates, got $other in $tok")
+        }
+    }
     else if (tok.endsWith("+") && tok.length > 1) term(tok.dropRight(1)) match {
       case Const(p) => PathPlus(p)
       case other => other

@@ -96,7 +96,18 @@ object TripleStore {
       "status" -> so(ord, uri("order", col("o_orderkey")), col("o_orderstatus")),
       "contains" -> so(li, uri("order", col("l_orderkey")), uri("part", col("l_partkey"))),
       "suppliedby" -> so(li, uri("order", col("l_orderkey")), uri("supplier", col("l_suppkey"))),
-      "supplies" -> so(li, uri("supplier", col("l_suppkey")), uri("part", col("l_partkey"))))
+      "supplies" -> so(li, uri("supplier", col("l_suppkey")), uri("part", col("l_partkey"))),
+      // temporal successor edges: each order → the customer's next
+      // order by date (the one predicate with genuine multi-hop chains,
+      // so p+/p*/p{n,m} path queries traverse something real)
+      "nextorder" -> {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        so(ord.withColumn("__nk", lead(col("o_orderkey"), 1).over(w))
+            .filter(col("__nk").isNotNull),
+          uri("order", col("o_orderkey")), uri("order", col("__nk")))
+      })
 
     val needsDedup = Set("contains", "suppliedby", "supplies")
     val slices = parts.groupBy(_._1).map { case (p, xs) =>

@@ -34,7 +34,7 @@ object BgpQueries {
     * layout changes shape — a mismatched marker wipes and rebuilds the
     * dataset's layouts instead of silently serving stale derivations.
     */
-  private val StoreFormatVersion = 1
+  private val StoreFormatVersion = 2 // v2: added the nextorder slice
 
   private[graft] def invalidateStale(s: SparkSession, tag: String,
       tables: Seq[String], root0: String = pstoreRoot): Unit = {
@@ -472,6 +472,24 @@ object BgpQueries {
              |WHERE c_custkey NOT IN
              |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
              |   AND 'order:' || o_orderkey >= 'order:5')""".stripMargin)),
+
+    // grammar extension: counted path repetition p{n,m} over the
+    // temporal successor predicate (orders 2-3 ahead in the same
+    // customer's timeline) — bounded chain of hash self-joins, set
+    // semantics
+    GQuery(
+      "q106_bgp_path_repeat",
+      bgp("select ?a ?b where { ?a nextorder{2,3} ?b }"),
+      Some("""WITH seq AS (SELECT o_orderkey AS k,
+             |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS nk
+             |  FROM orders),
+             |e AS (SELECT concat('order:', k) AS s, concat('order:', nk) AS o
+             |      FROM seq WHERE nk IS NOT NULL),
+             |e2 AS (SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
+             |e3 AS (SELECT a.s, b.o FROM e2 a JOIN e b ON a.o = b.s)
+             |SELECT s AS a, o AS b FROM e2
+             |UNION SELECT s, o FROM e3""".stripMargin)),
 
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by

@@ -208,6 +208,27 @@ class BgpSpec extends AnyFunSuite {
         |group by ?D having (?X >= 2)""".stripMargin))
   }
 
+  test("counted path repetition p{n} / p{n,m} composes bounded hops") {
+    val chain = TripleStore.fromTriples(Seq(
+      ("a", "next", "b"), ("b", "next", "c"), ("c", "next", "d")
+    ).toDF("s", "p", "o"))
+    def rows(q: String): Set[(String, String)] =
+      BgpPlanner.query(chain, q).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows("select ?x ?y where { ?x next{2} ?y }") ==
+      Set(("a", "c"), ("b", "d")))
+    assert(rows("select ?x ?y where { ?x next{2,3} ?y }") ==
+      Set(("a", "c"), ("b", "d"), ("a", "d")))
+    // zero-hop lower bound adds identity over the slice's vertex set
+    assert(rows("select ?x ?y where { ?x next{0,1} ?y }") ==
+      Set("a", "b", "c", "d").map(v => (v, v)) ++
+        Set(("a", "b"), ("b", "c"), ("c", "d")))
+    intercept[IllegalArgumentException](
+      Sparql.parse("select ?x ?y where { ?x next{3,2} ?y }"))
+    intercept[IllegalArgumentException](
+      Sparql.parse("select ?x ?y where { ?x next{1,99} ?y }"))
+  }
+
   test("FILTER regex restricts by Java-compatible pattern") {
     val out = BgpPlanner.query(tinyStore,
       """select ?A ?N where { ?A name ?N . FILTER regex(?N, "Professor[01]") }""")
