@@ -347,6 +347,55 @@ object TextQueries {
              |  max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS rep_ratio
              |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // collocation scoring: corpus-wide bigram lift — the log-free PMI
+    // form `P(ab) / (P(a)·P(b)) = n_ab·T² / (B·n_a·n_b)` (phrase-mining
+    // / tokenizer-merge-candidate step). Numerator and denominator stay
+    // exact BIGINTs (all counts < 2^53 headroom at bench scales), so the
+    // single divide is bit-identical across engines — the rational
+    // discipline that replaces non-portable log() PMI. One explode +
+    // three hash aggregates + two broadcast joins; min-count 20 keeps
+    // the output phrase-sized.
+    GQuery(
+      "q107_bigram_lift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(explode(split($"text", " ")).as("tk"))
+        val bi = docs.select(split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+            .as("p"))
+          .select($"p.a".as("a"), $"p.b".as("b"))
+        val na = toks.groupBy($"tk").agg(count(lit(1)).as("n"))
+        val totals = toks.agg(count(lit(1)).as("tt"))
+          .crossJoin(bi.agg(count(lit(1)).as("bb")))
+        bi.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 20)
+          .join(broadcast(na.select($"tk".as("a"), $"n".as("n_a"))), Seq("a"))
+          .join(broadcast(na.select($"tk".as("b"), $"n".as("n_b"))), Seq("b"))
+          .crossJoin(broadcast(totals))
+          .select($"a", $"b", $"n_ab",
+            (($"n_ab" * $"tt" * $"tt").cast("double") /
+              ($"bb" * $"n_a" * $"n_b").cast("double")).as("lift"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+             |w AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |bi AS (SELECT w[i] AS a, w[i+1] AS b
+             |       FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+             |             FROM w WHERE len(w) >= 2)),
+             |na AS (SELECT tk, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM toks),
+             |btot AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bi),
+             |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+             |        FROM bi GROUP BY 1, 2 HAVING count(*) >= 20)
+             |SELECT a, b, n_ab,
+             |  CAST(n_ab * tt * tt AS DOUBLE) / CAST(bb * x.n * y.n AS DOUBLE) AS lift
+             |FROM nab
+             |JOIN na x ON x.tk = a
+             |JOIN na y ON y.tk = b
+             |CROSS JOIN tot CROSS JOIN btot""".stripMargin)),
+
     // domain mixing: deterministically downsample every language to the
     // smallest language's share (uniform target mix). The keep decision
     // is pure integer arithmetic on an md5 bucket — `bucket/1e6 <
