@@ -85,6 +85,9 @@ object BgpPlanner {
       case PathInverse(p) => s"^$p"
       case PathAlt(ps) => ps.mkString("|")
       case PathRepeat(p, lo, hi) => s"$p{$lo,$hi}"
+      case PathNeg(ps) => s"!(${ps.mkString("|")})"
+      case PathSeq(_) => throw new IllegalStateException(
+        "sequence paths are desugared at parse time and never planned")
     }
     pats.map(p => s"${t(p.s)} ${t(p.p)} ${t(p.o)}").mkString(" |><| ")
   }
@@ -169,6 +172,17 @@ object BgpPlanner {
           }
         ((lo to hi).map(kHops).reduce(_ unionByName _).distinct(),
           Seq("s" -> pat.s, "o" -> pat.o))
+      case PathNeg(ps) =>
+        // negated property set !(p1|p2): one scan of the variable view
+        // with the exclusion pushed into it — a filter on the (few)
+        // predicate values, not an (N−k)-way union of slices; with the
+        // p-partitioned parquet store this is partition pruning
+        (store.variableView
+           .filter(ps.map(p => col("p") =!= encode(p)).reduce(_ && _))
+           .select(col("s"), col("o")),
+          Seq("s" -> pat.s, "o" -> pat.o))
+      case PathSeq(_) => throw new IllegalStateException(
+        "sequence paths are desugared at parse time and never planned")
       case Var(_) =>
         (store.variableView, Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
     }
@@ -320,8 +334,13 @@ object BgpPlanner {
     val unionFilterGroups = q.unionFilters.padTo(q.unions.length, Nil)
     val unionDfs = q.unions.zip(unionFilterGroups).map { case (branches, gfs) =>
       branches.zip(gfs.padTo(branches.length, Nil)).map { case (b, fs) =>
-        applyFilters(
+        val branch = applyFilters(
           chain(b, b.map(patternScan(store, _, encode, measured)), measured), fs)
+        // project away branch-local sequence-path intermediates: the
+        // branches' VISIBLE var sets match, their desugared columns
+        // don't (bag projection — multiplicity survives)
+        branch.select(branch.columns.filterNot(_.startsWith(SeqVarPrefix))
+          .sorted.map(col).toSeq: _*)
       }.reduce(_ unionByName _)
     }
 

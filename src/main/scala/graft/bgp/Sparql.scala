@@ -39,6 +39,24 @@ object Sparql {
     * set semantics. Only valid at the predicate position.
     */
   final case class PathRepeat(predicate: String, lo: Int, hi: Int) extends Term
+  /** Sequence path `p1/p2/...` (SPARQL 1.1 §9.1). Exists only between
+    * `term` and `parsePatterns`: the parser desugars `?s p1/p2 ?o` into
+    * `?s p1 ?_sqN . ?_sqN p2 ?o` with fresh intermediate variables (the
+    * spec's own Join translation, §18.2.2.3), so the planner never sees
+    * it. Each step may itself be any single-predicate path form.
+    */
+  final case class PathSeq(steps: Seq[Term]) extends Term
+  /** Negated property set `!p` / `!(p1|p2)` (SPARQL 1.1 §9.1): any
+    * predicate EXCEPT those listed. Only valid at the predicate
+    * position; forward predicates only (no `!^p`).
+    */
+  final case class PathNeg(predicates: Seq[String]) extends Term
+
+  /** Reserved prefix for desugared sequence-path intermediates; user
+    * variables may not start with it, and `SELECT *` / UNION var-set
+    * checks ignore it.
+    */
+  val SeqVarPrefix = "_sq"
 
   /** One triple pattern (reference `Condition`, Structs.h:41-48). */
   final case class TriplePattern(s: Term, p: Term, o: Term) {
@@ -150,6 +168,13 @@ object Sparql {
     * IllegalArgumentException on queries outside the grammar.
     */
   def parse(query: String): BgpQuery = {
+    // query-global counter for sequence-path intermediates; the prefix
+    // is reserved so desugared vars can be told apart from user vars
+    val fresh = new java.util.concurrent.atomic.AtomicInteger(0)
+    def parsePatterns(body: String): Seq[TriplePattern] =
+      Sparql.parsePatterns(body, fresh)
+    require(!query.contains(s"?$SeqVarPrefix"),
+      s"variable prefix ?$SeqVarPrefix is reserved for sequence paths: $query")
     val lower = query.trim
     val selIdx = indexOfWord(lower, "select")
     val whereIdx = indexOfWord(lower, "where")
@@ -295,7 +320,10 @@ object Sparql {
     val unions = unionGroups.map(_.map(_._1))
     val unionFilters = unionGroups.map(_.map(_._2))
     unions.foreach { branches =>
-      val varSets = branches.map(_.flatMap(_.vars).toSet)
+      // sequence-path intermediates are branch-local, not part of the
+      // branch's visible binding set
+      val varSets = branches.map(
+        _.flatMap(_.vars).filterNot(_.startsWith(SeqVarPrefix)).toSet)
       require(varSets.distinct.size == 1,
         s"UNION branches must bind the same variables, got: $varSets")
     }
@@ -338,8 +366,11 @@ object Sparql {
         .flatMap(_.vars).toSet ++ valuesBinds.map(_._1)
     val selectVars =
       if (selectStar) {
-        require(known.nonEmpty, s"SELECT * needs at least one variable: $query")
-        known.toSeq.sorted
+        // SELECT * projects user variables only — sequence-path
+        // intermediates are existential (SPARQL 1.1 §18.2.2.3)
+        val visible = known.filterNot(_.startsWith(SeqVarPrefix))
+        require(visible.nonEmpty, s"SELECT * needs at least one variable: $query")
+        visible.toSeq.sorted
       } else selectVars0
     selectVars.foreach(v =>
       require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
@@ -399,7 +430,10 @@ object Sparql {
   def parseConstruct(query: String): (Seq[TriplePattern], BgpQuery) =
     query match {
       case constructRe(template, rest) =>
-        val templates = parsePatterns(template)
+        val templates =
+          parsePatterns(template, new java.util.concurrent.atomic.AtomicInteger)
+        require(!templates.flatMap(_.vars).exists(_.startsWith(SeqVarPrefix)),
+          s"sequence paths are not allowed in CONSTRUCT templates: $query")
         templates.foreach(t => Seq(t.s, t.p, t.o).foreach(term =>
           require(term.isInstanceOf[Var] || term.isInstanceOf[Const],
             s"CONSTRUCT templates allow only vars and constants: $t")))
@@ -410,22 +444,66 @@ object Sparql {
     }
 
   /** Dot-separated triple patterns; a '.' only separates when it
-    * stands alone (URIs and literals may contain dots).
+    * stands alone (URIs and literals may contain dots). Sequence paths
+    * desugar here into chained patterns over fresh `_sqN` intermediate
+    * variables — `fresh` is query-global so intermediates from
+    * different blocks never collide (or accidentally join).
     */
-  private def parsePatterns(body: String): Seq[TriplePattern] =
+  private def parsePatterns(body: String,
+      fresh: java.util.concurrent.atomic.AtomicInteger): Seq[TriplePattern] =
     body.split("\\s+\\.\\s+|\\s+\\.$|^\\.\\s+").toSeq
       .map(_.trim).filter(s => s.nonEmpty && s != ".")
-      .map { pat =>
+      .flatMap { pat =>
         // tokens: <uri> | "literal" (may contain spaces) | bare word
         val toks = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(pat).toSeq
         require(toks.length == 3, s"triple pattern needs 3 terms, got '${pat}'")
-        TriplePattern(term(toks(0)), term(toks(1)), term(toks(2)))
+        val (s, p, o) = (term(toks(0)), term(toks(1)), term(toks(2)))
+        p match {
+          case PathSeq(steps) =>
+            // ?s p1/p2 ?o  ⇒  ?s p1 ?m . ?m p2 ?o  (SPARQL 1.1
+            // §18.2.2.3 Join translation; intermediates stay in the
+            // solution frame for multiplicity but are never projected)
+            val mids = steps.init.map(_ =>
+              Var(s"$SeqVarPrefix${fresh.getAndIncrement()}"))
+            val froms = s +: mids
+            val tos = mids :+ o
+            froms.lazyZip(steps).lazyZip(tos).map(TriplePattern(_, _, _)).toSeq
+          case _ => Seq(TriplePattern(s, p, o))
+        }
       }
 
   private val repeatRe = "^(.+)\\{(\\d+)(?:,(\\d+))?\\}$".r
 
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))
+    // negated property set: !p or !(p1|p2) — bare predicates only
+    else if (tok.startsWith("!") && tok.length > 1) {
+      val inner0 = tok.drop(1)
+      val inner =
+        if (inner0.startsWith("(") && inner0.endsWith(")"))
+          inner0.drop(1).dropRight(1)
+        else inner0
+      PathNeg(inner.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty).map(t =>
+        term(t) match {
+          case Const(p) => p
+          case other => throw new IllegalArgumentException(
+            s"negated property sets list plain predicates, got $other in $tok")
+        }))
+    }
+    // sequence path p1/p2/...: bare-token paths only (URIs and quoted
+    // literals containing '/' stay constants); each step may be any
+    // single-predicate path form (a+, ^a, a?, ...)
+    else if (tok.contains("/") && !tok.startsWith("<") && !tok.startsWith("\"")
+        && tok.length > 1) {
+      val steps = tok.split("/").toSeq.map(_.trim)
+      require(steps.forall(_.nonEmpty), s"empty sequence-path step: $tok")
+      PathSeq(steps.map(term).map {
+        case s @ (Const(_) | PathPlus(_) | PathStar(_) | PathOpt(_) |
+                  PathInverse(_) | PathAlt(_) | PathRepeat(_, _, _)) => s
+        case other => throw new IllegalArgumentException(
+          s"sequence-path steps must be predicate paths, got $other in $tok")
+      })
+    }
     else if (repeatRe.matches(tok)) tok match {
       case repeatRe(inner, loS, hiS) =>
         val lo = loS.toInt

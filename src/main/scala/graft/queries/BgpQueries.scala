@@ -491,6 +491,39 @@ object BgpQueries {
              |SELECT s AS a, o AS b FROM e2
              |UNION SELECT s, o FROM e3""".stripMargin)),
 
+    // grammar extension: sequence path p1/p2/p3 (SPARQL 1.1 §9.1) —
+    // desugared at parse time into chained patterns over fresh
+    // intermediate vars (the spec's own Join translation), so the
+    // planner's measured-cost chain order and pushed constant filters
+    // apply to the hops like any hand-written chain
+    GQuery(
+      "q108_bgp_seq_path",
+      bgp("""select ?o ?nm where {
+            | ?o status "F" .
+            | ?o custkey/nationkey/name ?nm }""".stripMargin),
+      Some("""SELECT concat('order:', o_orderkey) AS o, n_name AS nm
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    // grammar extension: negated property set !(p1|p2) — one scan of
+    // the variable view with the exclusion pushed into it (partition
+    // pruning on the p-partitioned store), not an (N−k)-way slice union
+    GQuery(
+      "q109_bgp_neg_path",
+      bgp("""select ?o ?x where {
+            | ?o rdf:type "Order" .
+            | ?o !(custkey|rdf:type|nextorder) ?x }""".stripMargin),
+      Some("""SELECT concat('order:', o_orderkey) AS o, o_orderstatus AS x
+             |FROM orders
+             |UNION ALL
+             |SELECT DISTINCT concat('order:', l_orderkey),
+             |  concat('part:', l_partkey) FROM lineitem
+             |UNION ALL
+             |SELECT DISTINCT concat('order:', l_orderkey),
+             |  concat('supplier:', l_suppkey) FROM lineitem""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

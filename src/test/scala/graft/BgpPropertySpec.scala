@@ -1,7 +1,7 @@
 package graft
 
 import graft.bgp.{BgpPlanner, Sparql, TripleStore}
-import graft.bgp.Sparql.{BgpQuery, Const, Term, TriplePattern, Var}
+import graft.bgp.Sparql.{BgpQuery, Const, PathNeg, Term, TriplePattern, Var}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
@@ -27,6 +27,7 @@ class BgpPropertySpec extends AnyFunSuite {
       def unify(term: Term, v: String, e: Map[String, String]): Option[Map[String, String]] =
         term match {
           case Const(c) => if (c == v) Some(e) else None
+          case PathNeg(ps) => if (!ps.contains(v)) Some(e) else None
           case Var(n) => e.get(n) match {
             case Some(bound) => if (bound == v) Some(e) else None
             case None => Some(e + (n -> v))
@@ -156,6 +157,39 @@ class BgpPropertySpec extends AnyFunSuite {
         val want = naive(triples, q)
         assert(got == want, s"round $round: $patterns over $triples")
       }
+    }
+  }
+
+  test("sequence paths and negated sets equal brute force (30 random)") {
+    import spark.implicits._
+    val rnd = new Random(1080912L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+
+    for (round <- 0 until 30) {
+      val triples = Seq.fill(4 + rnd.nextInt(14))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      // through the parser so sequence desugaring (fresh _sq vars) and
+      // the reserved-prefix hiding are both exercised
+      val qs =
+        if (rnd.nextBoolean()) {
+          val steps = Seq.fill(2 + rnd.nextInt(2))(
+            preds(rnd.nextInt(preds.size))).mkString("/")
+          s"select ?X ?Y where { ?X $steps ?Y }"
+        } else {
+          val k = 1 + rnd.nextInt(2)
+          val out = rnd.shuffle(preds).take(k).mkString("|")
+          s"select ?X ?Y where { ?X !($out) ?Y }"
+        }
+      val q = Sparql.parse(qs)
+      val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      val got = BgpPlanner.plan(store, q).collect()
+        .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+      val want = naive(triples, q)
+      assert(got == want,
+        s"round $round: query=$qs store=$triples\n" +
+          s"got ${got.size} rows, want ${want.size}")
     }
   }
 

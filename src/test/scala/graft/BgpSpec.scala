@@ -386,6 +386,49 @@ class BgpSpec extends AnyFunSuite {
       Set(("stud:0", "prof:0"), ("stud:0", "stud:0"), ("prof:0", "prof:0")))
   }
 
+  test("sequence path p1/p2 chains hops through a fresh intermediate") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?S ?D where { ?S advisor/worksFor ?D }")
+    assert(out.collect().map(r =>
+        (r.getAs[String]("S"), r.getAs[String]("D"))).toSet ==
+      Set(("stud:0", "dept:0")))
+    // steps may themselves be path forms: advisor/worksFor? adds the
+    // zero-step identity on the second hop
+    val opt = BgpPlanner.query(tinyStore,
+      "select ?S ?D where { ?S advisor/worksFor? ?D }")
+    assert(opt.collect().map(r =>
+        (r.getAs[String]("S"), r.getAs[String]("D"))).toSet ==
+      Set(("stud:0", "prof:0"), ("stud:0", "dept:0")))
+  }
+
+  test("sequence-path intermediates are hidden from SELECT * and reserved") {
+    val q = Sparql.parse("select * where { ?S advisor/worksFor ?D }")
+    assert(q.select == Seq("D", "S"))
+    assert(q.patterns.length == 2)
+    intercept[IllegalArgumentException] {
+      Sparql.parse("select ?_sq0 where { ?_sq0 advisor ?X }")
+    }
+  }
+
+  test("sequence paths in UNION branches union on visible vars only") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?S ?D where {
+        | { ?S advisor/worksFor ?D } UNION { ?S memberOf ?D } }""".stripMargin)
+    // bag union: stud:0→dept:0 arrives via both branches
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("S"), r.getAs[String]("D"))).toSeq
+    assert(rows.sorted == Seq(("stud:0", "dept:0"), ("stud:0", "dept:0")))
+  }
+
+  test("negated property set matches every predicate except those listed") {
+    val out = BgpPlanner.query(tinyStore,
+      "select ?S ?O where { ?S !(name|email) ?O }")
+    assert(out.collect().map(r =>
+        (r.getAs[String]("S"), r.getAs[String]("O"))).toSet ==
+      Set(("prof:0", "dept:0"), ("prof:1", "dept:0"), ("prof:2", "dept:1"),
+        ("stud:0", "dept:0"), ("stud:0", "prof:0")))
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
