@@ -419,6 +419,28 @@ object BgpPlanner {
       }
     }
 
+    // BIND clauses: sequential projections (SPARQL §10.1) — a
+    // withColumn chain stays inside whole-stage codegen, no shuffle.
+    // Expressions need lexical values, so encoded stores decode first.
+    if (q.binds.nonEmpty)
+      require(!store.encoded, "BIND needs lexical values; decode the store first")
+    def bindCol(e: BindExpr): Column = e match {
+      case BVar(n) => col(n)
+      case BLit(v, true) => lit(v.toDouble)
+      case BLit(v, false) => lit(v)
+      case BConcat(args) => concat(args.map(a => bindCol(a).cast("string")): _*)
+      case BStrlen(a) => length(bindCol(a).cast("string")).cast("long")
+      case BArith(op, l, r) =>
+        val (lc, rc) = (bindCol(l).cast("double"), bindCol(r).cast("double"))
+        op match {
+          case "+" => lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => lc / rc
+        }
+    }
+    for (b <- q.binds) joined = joined.withColumn(b.alias, bindCol(b.expr))
+
     // top-level FILTER clauses (DNF: OR of AND-groups), applied
     // post-join
     joined = applyFilters(joined, q.filters)

@@ -80,6 +80,31 @@ object Sparql {
     */
   final case class FilterClause(disjuncts: Seq[Seq[FilterExpr]])
 
+  /** BIND expression language (SPARQL 1.1 §10.1, bounded to the forms
+    * the engine's string-valued store makes meaningful): variables,
+    * literals, CONCAT, STRLEN, and binary arithmetic. Later BINDs may
+    * reference earlier aliases (sequence scoping).
+    */
+  sealed trait BindExpr
+  final case class BVar(name: String) extends BindExpr
+  final case class BLit(value: String, numeric: Boolean) extends BindExpr
+  final case class BConcat(args: Seq[BindExpr]) extends BindExpr
+  final case class BStrlen(arg: BindExpr) extends BindExpr
+  final case class BArith(op: String, l: BindExpr, r: BindExpr) extends BindExpr
+  /** One `BIND (expr AS ?alias)` clause. */
+  final case class Bind(alias: String, expr: BindExpr) {
+    def refs: Seq[String] = {
+      def go(e: BindExpr): Seq[String] = e match {
+        case BVar(n) => Seq(n)
+        case BConcat(as) => as.flatMap(go)
+        case BStrlen(a) => go(a)
+        case BArith(_, l, r) => go(l) ++ go(r)
+        case _ => Nil
+      }
+      go(expr)
+    }
+  }
+
   /** One aggregate in the SELECT clause:
     * `(COUNT(?v) AS ?alias)` / `(COUNT(*) AS ?alias)` /
     * `(SUM|MIN|MAX|AVG(?v) AS ?alias)`. `variable` = None for `*`.
@@ -130,7 +155,11 @@ object Sparql {
       // i-th MINUS block, restricting which block solutions remove
       minusFilters: Seq[Seq[FilterClause]] = Nil,
       // aligned with `unions`: per-group, per-branch scoped FILTERs
-      unionFilters: Seq[Seq[Seq[FilterClause]]] = Nil)
+      unionFilters: Seq[Seq[Seq[FilterClause]]] = Nil,
+      // `BIND (expr AS ?alias)` clauses in textual order; aliases are
+      // visible to FILTER / SELECT / GROUP BY / ORDER BY and to later
+      // BINDs (SPARQL sequence scoping)
+      binds: Seq[Bind] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
@@ -155,6 +184,12 @@ object Sparql {
   // FILTER [NOT] EXISTS { patterns } — extracted before UNION chains so
   // the braced block is never misread as a UNION branch
   private val existsRe = "(?is)filter\\s+(not\\s+)?exists\\s*\\{([^}]*)\\}".r
+  // BIND (expr AS ?alias) — the expr may nest one level of parens
+  // (CONCAT/STRLEN calls)
+  private val bindRe =
+    "(?is)bind\\s*\\(((?:[^()]|\\([^()]*\\))*?)\\s+as\\s+\\?(\\w+)\\s*\\)".r
+  private val bindArithRe =
+    "^(\\?\\w+|-?\\d+(?:\\.\\d+)?)\\s*([-+*/])\\s*(\\?\\w+|-?\\d+(?:\\.\\d+)?)$".r
   private val havingRe =
     "(?is)having\\s*\\(\\s*\\?(\\w+)\\s*(>=|<=|!=|=|>|<)\\s*(-?\\d+(?:\\.\\d+)?)\\s*\\)".r
   private val groupByRe = "(?is)group\\s+by((?:\\s+\\?\\w+)+)".r
@@ -343,8 +378,12 @@ object Sparql {
     // (OPTIONAL/MINUS/UNION-scoped clauses are extracted with their
     // blocks above and never hoisted here)
     val bodyStripped = unionChainRe.replaceAllIn(body1, "")
+    // BIND clauses, in textual order (later BINDs see earlier aliases)
+    val binds = bindRe.findAllMatchIn(bodyStripped).map(m =>
+      Bind(m.group(2), parseBindExpr(m.group(1)))).toSeq
+    val bodyNoBinds = bindRe.replaceAllIn(bodyStripped, " ")
     val (body, filters) = {
-      val (b, fs) = extractFilters(bodyStripped)
+      val (b, fs) = extractFilters(bodyNoBinds)
       (b.trim, fs)
     }
 
@@ -364,20 +403,30 @@ object Sparql {
     val known =
       (patterns ++ optionals.flatten ++ unions.flatten.flatten)
         .flatMap(_.vars).toSet ++ valuesBinds.map(_._1)
+    // BIND aliases must be fresh and their refs bound before use
+    // (sequence scoping: an earlier alias is visible to a later BIND)
+    binds.foldLeft(known) { (scope, b) =>
+      require(!scope.contains(b.alias),
+        s"BIND alias ?${b.alias} is already bound: $query")
+      b.refs.foreach(v => require(scope.contains(v),
+        s"BIND var ?$v not bound before use: $query"))
+      scope + b.alias
+    }
+    val knownAll = known ++ binds.map(_.alias)
     val selectVars =
       if (selectStar) {
-        // SELECT * projects user variables only — sequence-path
-        // intermediates are existential (SPARQL 1.1 §18.2.2.3)
-        val visible = known.filterNot(_.startsWith(SeqVarPrefix))
+        // SELECT * projects user variables (BIND aliases included) —
+        // sequence-path intermediates are existential (§18.2.2.3)
+        val visible = knownAll.filterNot(_.startsWith(SeqVarPrefix))
         require(visible.nonEmpty, s"SELECT * needs at least one variable: $query")
         visible.toSeq.sorted
       } else selectVars0
     selectVars.foreach(v =>
-      require(known.contains(v), s"SELECT var ?$v not bound in any pattern"))
+      require(knownAll.contains(v), s"SELECT var ?$v not bound in any pattern"))
     filters.flatMap(_.disjuncts.flatten).foreach { f =>
-      require(known.contains(f.variable), s"FILTER var ?${f.variable} not bound")
+      require(knownAll.contains(f.variable), s"FILTER var ?${f.variable} not bound")
       if (f.rhsVar)
-        require(known.contains(f.value), s"FILTER var ?${f.value} not bound")
+        require(knownAll.contains(f.value), s"FILTER var ?${f.value} not bound")
     }
 
     // aggregate/modifier validation (SPARQL 1.1 §18.2.4-18.2.5 shape:
@@ -390,9 +439,9 @@ object Sparql {
     require(aliases.distinct.size == aliases.size,
       s"duplicate aggregate alias: $query")
     groupVars.foreach(v =>
-      require(known.contains(v), s"GROUP BY var ?$v not bound"))
+      require(knownAll.contains(v), s"GROUP BY var ?$v not bound"))
     aggregates.flatMap(_.variable).foreach(v =>
-      require(known.contains(v), s"aggregate var ?$v not bound"))
+      require(knownAll.contains(v), s"aggregate var ?$v not bound"))
     if (aggregates.nonEmpty)
       selectVars.foreach(v =>
         require(groupVars.contains(v),
@@ -402,14 +451,50 @@ object Sparql {
     val outVars =
       if (aggregates.nonEmpty) (selectVars ++ groupVars ++ aliases).toSet
       else if (isDistinct) selectVars.toSet
-      else known
+      else knownAll
     orderKeys.foreach(k =>
       require(outVars.contains(k.variable),
         s"ORDER BY var ?${k.variable} not available after projection"))
 
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
-      optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters)
+      optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
+      binds)
+  }
+
+  /** Parse one BIND body: CONCAT(...), STRLEN(?v), binary arithmetic,
+    * or a bare variable / literal.
+    */
+  private def parseBindExpr(raw: String): BindExpr = {
+    val s = raw.trim
+    val low = s.toLowerCase
+    def operand(t: String): BindExpr =
+      if (t.startsWith("?")) BVar(t.drop(1))
+      else BLit(t, numberRe.matches(t))
+    if (low.startsWith("concat(") && s.endsWith(")")) {
+      val inner = s.substring(s.indexOf('(') + 1, s.length - 1)
+      val args = inner.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+        if (a.startsWith("?")) BVar(a.drop(1)): BindExpr
+        else if (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2)
+          BLit(a.drop(1).dropRight(1), numeric = false)
+        else throw new IllegalArgumentException(
+          s"CONCAT args must be variables or string literals, got: $a")
+      }
+      require(args.nonEmpty, s"empty CONCAT: $raw")
+      BConcat(args)
+    } else if (low.startsWith("strlen(") && s.endsWith(")")) {
+      val inner = s.substring(s.indexOf('(') + 1, s.length - 1).trim
+      require(inner.startsWith("?"), s"STRLEN takes a variable: $raw")
+      BStrlen(BVar(inner.drop(1)))
+    } else s match {
+      case bindArithRe(l, op, r) => BArith(op, operand(l), operand(r))
+      case t if t.startsWith("?") => BVar(t.drop(1))
+      case t if t.startsWith("\"") && t.endsWith("\"") && t.length >= 2 =>
+        BLit(t.drop(1).dropRight(1), numeric = false)
+      case t if numberRe.matches(t) => BLit(t, numeric = true)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported BIND expression: $other")
+    }
   }
 
   private val askRe = "(?is)^\\s*ask\\s*(where.*)$".r

@@ -524,6 +524,25 @@ object BgpQueries {
              |SELECT DISTINCT concat('order:', l_orderkey),
              |  concat('supplier:', l_suppkey) FROM lineitem""".stripMargin)),
 
+    // grammar extension: BIND (expr AS ?alias) — CONCAT/STRLEN/
+    // arithmetic as sequential withColumn projections (stay inside
+    // whole-stage codegen); aliases visible to FILTER and SELECT
+    GQuery(
+      "q110_bgp_bind",
+      bgp("""select ?n ?tag ?len where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | ?n regionkey ?r .
+            | ?r name ?rn .
+            | BIND (concat(?nm, "@", ?rn) AS ?tag) .
+            | BIND (strlen(?nm) AS ?len) .
+            | FILTER (?len > 8) }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat(n_name, '@', r_name) AS tag,
+             |  CAST(strlen(n_name) AS BIGINT) AS len
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE strlen(n_name) > 8""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

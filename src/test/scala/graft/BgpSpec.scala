@@ -429,6 +429,27 @@ class BgpSpec extends AnyFunSuite {
         ("stud:0", "dept:0"), ("stud:0", "prof:0")))
   }
 
+  test("BIND projects concat/strlen/arithmetic; later BINDs see earlier aliases") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?T ?L2 where { ?A name ?N .
+        | BIND (concat(?N, "!") AS ?T) .
+        | BIND (strlen(?N) AS ?L) .
+        | BIND (?L * 2 AS ?L2) .
+        | FILTER (?L2 > 0) }""".stripMargin)
+    assert(out.collect().map(r => (r.getAs[String]("A"), r.getAs[String]("T"),
+        r.getAs[Double]("L2"))).toSet ==
+      Set(("prof:0", "FullProfessor0!", 28.0), ("prof:1", "FullProfessor1!", 28.0)))
+  }
+
+  test("BIND validation: fresh alias, bound refs, supported expressions") {
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A name ?N . BIND (strlen(?N) AS ?N) }"""))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A name ?N . BIND (strlen(?Z) AS ?L) }"""))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A name ?N . BIND (md5(?N) AS ?H) }"""))
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
