@@ -344,12 +344,19 @@ object BgpPlanner {
       }.reduce(_ unionByName _)
     }
 
-    var joined = (mainChain, unionDfs) match {
-      case (Some(m), _) => m
-      case (None, u +: _) => u
-      case (None, _) => throw new IllegalArgumentException("empty BGP")
+    // sub-SELECTs (SPARQL 1.1 §12): each plans independently — its own
+    // aggregation/modifiers run bottom-up — and exports exactly its
+    // projection, natural-joined into the outer solution below
+    val subDfs = q.subqueries.map { sq =>
+      require(!store.encoded,
+        "subqueries need lexical values; decode the store first")
+      plan(store, sq)
     }
-    for (u <- if (mainChain.isDefined) unionDfs else unionDfs.drop(1)) {
+
+    val rels = mainChain.toSeq ++ unionDfs ++ subDfs
+    require(rels.nonEmpty, "empty BGP")
+    var joined = rels.head
+    for (u <- rels.tail) {
       val common = u.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(u, common, "inner")

@@ -159,7 +159,11 @@ object Sparql {
       // `BIND (expr AS ?alias)` clauses in textual order; aliases are
       // visible to FILTER / SELECT / GROUP BY / ORDER BY and to later
       // BINDs (SPARQL sequence scoping)
-      binds: Seq[Bind] = Nil)
+      binds: Seq[Bind] = Nil,
+      // nested `{ SELECT ... }` sub-SELECTs (SPARQL 1.1 §12): each is
+      // evaluated independently and natural-joined into the outer
+      // solution on its projected variables
+      subqueries: Seq[BgpQuery] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
@@ -251,8 +255,14 @@ object Sparql {
     // block's own braces nest, the modifier tail never contains one)
     val closeIdx = body0.lastIndexOf("}")
     require(closeIdx > 0, s"where clause must be braced: $query")
-    val bodyFull = body0.substring(1, closeIdx).trim
+    val bodyFull0 = body0.substring(1, closeIdx).trim
     val tail = body0.substring(closeIdx + 1)
+
+    // nested sub-SELECTs: balanced-brace blocks whose first token is
+    // SELECT, extracted before the [^}]-based block regexes can
+    // misread their inner braces; each recursively parses with the
+    // full grammar (its own aggregates, modifiers, even subqueries)
+    val (bodyFull, subqueries) = extractSubqueries(bodyFull0)
 
     val groupVars = groupByRe.findFirstMatchIn(tail).toSeq
       .flatMap(_.group(1).split("\\s+").filter(_.nonEmpty).map(_.drop(1)))
@@ -388,7 +398,8 @@ object Sparql {
     }
 
     val patterns = parsePatterns(body)
-    require(patterns.nonEmpty || unions.nonEmpty, s"empty BGP: $query")
+    require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty,
+      s"empty BGP: $query")
     val allPatterns =
       patterns ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ existsFilters.flatMap(_._2)
@@ -402,7 +413,10 @@ object Sparql {
     // from the positive patterns (or a VALUES block, which DOES bind)
     val known =
       (patterns ++ optionals.flatten ++ unions.flatten.flatten)
-        .flatMap(_.vars).toSet ++ valuesBinds.map(_._1)
+        .flatMap(_.vars).toSet ++ valuesBinds.map(_._1) ++
+        // a subquery exports exactly its projection (group keys and
+        // aggregate aliases included) to the outer scope
+        subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
     // BIND aliases must be fresh and their refs bound before use
     // (sequence scoping: an earlier alias is visible to a later BIND)
     binds.foldLeft(known) { (scope, b) =>
@@ -459,7 +473,42 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
-      binds)
+      binds, subqueries)
+  }
+
+  /** Scan for `{ SELECT ... }` blocks with balanced-brace matching;
+    * returns the body with the blocks blanked out plus the recursively
+    * parsed subqueries.
+    */
+  private def extractSubqueries(body: String): (String, Seq[BgpQuery]) = {
+    val sb = new StringBuilder
+    val subs = scala.collection.mutable.Buffer.empty[BgpQuery]
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      val isSub = c == '{' && {
+        var k = i + 1
+        while (k < body.length && body.charAt(k).isWhitespace) k += 1
+        body.regionMatches(true, k, "select", 0, "select".length)
+      }
+      if (isSub) {
+        var depth = 1
+        var j = i + 1
+        while (j < body.length && depth > 0) {
+          if (body.charAt(j) == '{') depth += 1
+          else if (body.charAt(j) == '}') depth -= 1
+          j += 1
+        }
+        require(depth == 0, s"unbalanced braces in subquery: $body")
+        subs += parse(body.substring(i + 1, j - 1))
+        sb.append(' ')
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    (sb.toString, subs.toSeq)
   }
 
   /** Parse one BIND body: CONCAT(...), STRLEN(?v), binary arithmetic,

@@ -543,6 +543,24 @@ object BgpQueries {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |WHERE strlen(n_name) > 8""".stripMargin)),
 
+    // grammar extension: nested sub-SELECT (SPARQL 1.1 §12) — the
+    // inner aggregation plans bottom-up (partial-combine groupBy) and
+    // its result-sized projection joins the outer chain, where AQE
+    // broadcasts it
+    GQuery(
+      "q111_bgp_subquery",
+      bgp("""select ?nm ?cnt where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | { select ?n (count(?s) as ?cnt) where {
+            |     ?s nationkey ?n . ?s rdf:type "Supplier" }
+            |   group by ?n } }""".stripMargin),
+      Some("""SELECT n_name AS nm, CAST(sub.cnt AS BIGINT) AS cnt
+             |FROM nation
+             |JOIN (SELECT s_nationkey AS k, count(*) AS cnt
+             |      FROM supplier GROUP BY 1) sub
+             |  ON n_nationkey = sub.k""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

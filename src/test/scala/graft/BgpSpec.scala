@@ -450,6 +450,18 @@ class BgpSpec extends AnyFunSuite {
       """select ?A where { ?A name ?N . BIND (md5(?N) AS ?H) }"""))
   }
 
+  test("sub-SELECT aggregates bottom-up and joins the outer solution") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?D ?n where { ?S memberOf ?D .
+        | { select ?D (count(?P) as ?n) where { ?P worksFor ?D } group by ?D } }""".stripMargin)
+    assert(out.collect().map(r =>
+        (r.getAs[String]("D"), r.getAs[Long]("n"))).toSeq == Seq(("dept:0", 2L)))
+    // subquery-only body is a valid group pattern
+    val solo = BgpPlanner.query(tinyStore,
+      """select ?n where { { select (count(?P) as ?n) where { ?P worksFor ?D } } }""")
+    assert(solo.collect().map(_.getAs[Long]("n")).toSeq == Seq(3L))
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
