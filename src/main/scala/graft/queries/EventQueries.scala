@@ -242,6 +242,30 @@ object EventQueries {
       },
       Some("""SELECT day, n, CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta
              |FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
-             |      FROM events GROUP BY 1)""".stripMargin))
+             |      FROM events GROUP BY 1)""".stripMargin)),
+
+    // hot/cold split join (SkewOps.skewSplitJoin): keys above the
+    // frequency threshold route through a salted (key, salt) shuffle —
+    // only THEY pay the replication — cold keys take the plain shuffle
+    // join; the union is exactly the plain join, which is what the
+    // oracle asserts
+    GQuery(
+      "q112_skew_split_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val dim = ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("user_events"))
+        graft.scale.SkewOps
+          .skewSplitJoin(ev, dim, "user_id", hotThreshold = 60, salts = 8)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"user_events").as("total"))
+      },
+      Some("""WITH d AS (SELECT user_id, count(*) AS user_events
+             |           FROM events GROUP BY 1)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(user_events) AS BIGINT) AS total
+             |FROM events JOIN d USING (user_id)
+             |GROUP BY 1""".stripMargin))
   )
 }

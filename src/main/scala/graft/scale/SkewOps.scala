@@ -47,6 +47,30 @@ object SkewOps {
     }
   }
 
+  /** Hot/cold split join — the production skew pattern when the right
+    * side is too large to replicate wholesale: ONLY the hot keys pay
+    * the `salts`× replication. One counting pass over the left finds
+    * keys above `hotThreshold` (by construction a small set, so it
+    * broadcasts); hot rows route through [[saltedJoin]], cold rows
+    * through a plain shuffle join, and the two branches union.
+    * Equivalent to `left.join(right, key)` for any threshold.
+    */
+  def skewSplitJoin(left: DataFrame, right: DataFrame, key: String,
+      hotThreshold: Long, salts: Int = 16): DataFrame = {
+    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__f"))
+      .filter(col("__f") > hotThreshold)
+      .select(col(key))
+      // consulted by all four routing joins below: materialize once
+      // (key-set sized, never data sized)
+      .localCheckpoint()
+    val lHot = left.join(broadcast(hot), Seq(key), "left_semi")
+    val lCold = left.join(broadcast(hot), Seq(key), "left_anti")
+    val rHot = right.join(broadcast(hot), Seq(key), "left_semi")
+    val rCold = right.join(broadcast(hot), Seq(key), "left_anti")
+    lCold.join(rCold, Seq(key))
+      .unionByName(saltedJoin(lHot, rHot, key, salts))
+  }
+
   /** Pre-aggregate a skewed groupBy: partial aggregation on
     * (key, salt), then final on key. Spark's hash aggregate already
     * does map-side partials, but when one grouping key dominates, the

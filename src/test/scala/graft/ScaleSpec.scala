@@ -40,6 +40,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(rows == Set(("a", "r1"), ("b", null), ("c", null)))
   }
 
+  test("skewSplitJoin equals plain join with both hot and cold paths populated") {
+    import spark.implicits._
+    // key 1 is hot (5k rows), keys 2..51 are cold (20 rows each)
+    val left = spark.range(5000).select(lit(1L).as("k"), $"id".as("lv"))
+      .unionByName(spark.range(1000)
+        .select(($"id" % 50 + 2).as("k"), $"id".as("lv")))
+    val right = spark.range(60).select($"id".as("k"),
+      concat(lit("r"), $"id").as("rv"))
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+      .collect().map(_.toSeq).toSeq
+    val split = SkewOps.skewSplitJoin(left, right, "k",
+        hotThreshold = 100, salts = 8)
+      .select("k", "lv", "rv").orderBy("k", "lv")
+      .collect().map(_.toSeq).toSeq
+    assert(split == plain)
+    // degenerate thresholds still agree: all-hot and all-cold
+    for (th <- Seq(0L, 1000000L)) {
+      val d = SkewOps.skewSplitJoin(left, right, "k", th, salts = 4)
+        .select("k", "lv", "rv").orderBy("k", "lv")
+        .collect().map(_.toSeq).toSeq
+      assert(d == plain, s"threshold $th")
+    }
+  }
+
   test("saltedAgg equals plain aggregation") {
     import spark.implicits._
     val df = spark.range(10000)
