@@ -297,6 +297,10 @@ object BgpPlanner {
           "FILTER regex needs lexical values; decode the store first")
         return c.rlike(f.value)
       }
+      // BOUND works on either store form: an unmatched OPTIONAL var is
+      // a SQL null regardless of encoding
+      if (f.op == "bound") return c.isNotNull
+      if (f.op == "!bound") return c.isNull
       val rhs: Column =
         if (f.rhsVar) col(f.value)
         else if (f.op == "=" || f.op == "!=") encode(f.value)
@@ -436,6 +440,7 @@ object BgpPlanner {
       case BLit(v, true) => lit(v.toDouble)
       case BLit(v, false) => lit(v)
       case BConcat(args) => concat(args.map(a => bindCol(a).cast("string")): _*)
+      case BCoalesce(args) => coalesce(args.map(bindCol): _*)
       case BStrlen(a) => length(bindCol(a).cast("string")).cast("long")
       case BArith(op, l, r) =>
         val (lc, rc) = (bindCol(l).cast("double"), bindCol(r).cast("double"))

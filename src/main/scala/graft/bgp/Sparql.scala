@@ -89,6 +89,7 @@ object Sparql {
   final case class BVar(name: String) extends BindExpr
   final case class BLit(value: String, numeric: Boolean) extends BindExpr
   final case class BConcat(args: Seq[BindExpr]) extends BindExpr
+  final case class BCoalesce(args: Seq[BindExpr]) extends BindExpr
   final case class BStrlen(arg: BindExpr) extends BindExpr
   final case class BArith(op: String, l: BindExpr, r: BindExpr) extends BindExpr
   /** One `BIND (expr AS ?alias)` clause. */
@@ -97,6 +98,7 @@ object Sparql {
       def go(e: BindExpr): Seq[String] = e match {
         case BVar(n) => Seq(n)
         case BConcat(as) => as.flatMap(go)
+        case BCoalesce(as) => as.flatMap(go)
         case BStrlen(a) => go(a)
         case BArith(_, l, r) => go(l) ++ go(r)
         case _ => Nil
@@ -179,6 +181,11 @@ object Sparql {
   // (whose [^()]* cannot match a parenthesized regex call)
   private val filterRegexRe =
     "(?is)filter\\s+regex\\s*\\(\\s*\\?(\\w+)\\s*,\\s*\"([^\"]*)\"\\s*\\)".r
+  // `FILTER (BOUND(?v))` / `FILTER (!BOUND(?v))` — the OPTIONAL
+  // companion (negation by failure); standalone clause form only, like
+  // regex, so its nested parens never confuse filterRe
+  private val filterBoundRe =
+    "(?is)filter\\s*\\(\\s*(!?)\\s*bound\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*\\)".r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
   // SELECT items: an aggregate `(AGG(?v|*) AS ?alias)` or a plain ?var
@@ -297,15 +304,20 @@ object Sparql {
     // comparison clauses in DNF (|| separates disjuncts, && separates
     // comparisons inside one)
     def extractFilters(chunk: String): (String, Seq[FilterClause]) = {
-      val regexClauses = filterRegexRe.findAllMatchIn(chunk).map(m =>
+      val boundClauses = filterBoundRe.findAllMatchIn(chunk).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(2),
+          if (m.group(1).isEmpty) "bound" else "!bound", "",
+          numeric = false))))).toSeq
+      val rest0 = filterBoundRe.replaceAllIn(chunk, "")
+      val regexClauses = filterRegexRe.findAllMatchIn(rest0).map(m =>
         FilterClause(Seq(Seq(
           FilterExpr(m.group(1), "regex", m.group(2), numeric = false))))).toSeq
-      val rest = filterRegexRe.replaceAllIn(chunk, "")
+      val rest = filterRegexRe.replaceAllIn(rest0, "")
       val cmpClauses = filterRe.findAllMatchIn(rest).map { m =>
         FilterClause(m.group(1).split("\\|\\|").toSeq
           .map(_.split("&&").toSeq.map(parseComparison)))
       }.toSeq
-      (filterRe.replaceAllIn(rest, ""), cmpClauses ++ regexClauses)
+      (filterRe.replaceAllIn(rest, ""), cmpClauses ++ regexClauses ++ boundClauses)
     }
 
     // pull extension clauses out first; the remainder is the
@@ -520,18 +532,23 @@ object Sparql {
     def operand(t: String): BindExpr =
       if (t.startsWith("?")) BVar(t.drop(1))
       else BLit(t, numberRe.matches(t))
-    if (low.startsWith("concat(") && s.endsWith(")")) {
+    def argList(fn: String): Seq[BindExpr] = {
       val inner = s.substring(s.indexOf('(') + 1, s.length - 1)
       val args = inner.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
         if (a.startsWith("?")) BVar(a.drop(1)): BindExpr
         else if (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2)
           BLit(a.drop(1).dropRight(1), numeric = false)
         else throw new IllegalArgumentException(
-          s"CONCAT args must be variables or string literals, got: $a")
+          s"$fn args must be variables or string literals, got: $a")
       }
-      require(args.nonEmpty, s"empty CONCAT: $raw")
-      BConcat(args)
-    } else if (low.startsWith("strlen(") && s.endsWith(")")) {
+      require(args.nonEmpty, s"empty $fn: $raw")
+      args
+    }
+    if (low.startsWith("concat(") && s.endsWith(")"))
+      BConcat(argList("CONCAT"))
+    else if (low.startsWith("coalesce(") && s.endsWith(")"))
+      BCoalesce(argList("COALESCE"))
+    else if (low.startsWith("strlen(") && s.endsWith(")")) {
       val inner = s.substring(s.indexOf('(') + 1, s.length - 1).trim
       require(inner.startsWith("?"), s"STRLEN takes a variable: $raw")
       BStrlen(BVar(inner.drop(1)))

@@ -561,6 +561,37 @@ object BgpQueries {
              |      FROM supplier GROUP BY 1) sub
              |  ON n_nationkey = sub.k""".stripMargin)),
 
+    // grammar extension: FILTER (!BOUND(?v)) — negation by failure over
+    // an OPTIONAL (the pre-1.1 SPARQL idiom for NOT EXISTS): each
+    // customer's LAST order has no temporal successor edge
+    GQuery(
+      "q114_bgp_bound",
+      bgp("""select ?o where {
+            | ?o rdf:type "Order" .
+            | OPTIONAL { ?o nextorder ?nx } .
+            | FILTER (!BOUND(?nx)) }""".stripMargin),
+      Some("""WITH s AS (SELECT o_orderkey AS k,
+             |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS nk
+             |  FROM orders)
+             |SELECT concat('order:', k) AS o FROM s WHERE nk IS NULL""".stripMargin)),
+
+    // grammar extension: BIND (COALESCE(?v, "default") AS ?x) — default
+    // a null OPTIONAL binding (null-safe projection, stays in codegen)
+    GQuery(
+      "q115_bgp_coalesce",
+      bgp("""select ?o ?nx2 where {
+            | ?o status "P" .
+            | OPTIONAL { ?o nextorder ?nx } .
+            | BIND (coalesce(?nx, "none") AS ?nx2) }""".stripMargin),
+      Some("""WITH s AS (SELECT o_orderkey AS k, o_orderstatus,
+             |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS nk
+             |  FROM orders)
+             |SELECT concat('order:', k) AS o,
+             |  coalesce('order:' || nk, 'none') AS nx2
+             |FROM s WHERE o_orderstatus = 'P'""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

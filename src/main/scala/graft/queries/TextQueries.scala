@@ -396,6 +396,55 @@ object TextQueries {
              |JOIN na y ON y.tk = b
              |CROSS JOIN tot CROSS JOIN btot""".stripMargin)),
 
+    // cross-document boilerplate removal (the CCNet/RefinedWeb line-
+    // dedup step, over fixed 2-token chunks since the synthetic corpus
+    // has no newlines): a chunk appearing in more than F distinct docs
+    // is boilerplate; per-doc output counts surviving content. Shape:
+    // one explode, one distinct-count aggregate, and a broadcast of the
+    // (threshold-bounded) boilerplate set back onto the chunk stream —
+    // at real scale the chunk key would be xxhash64'd to an 8-byte
+    // join key, exactly as the shingle dedup family does.
+    GQuery(
+      "q113_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) div 2), i -> " +
+              "concat_ws(' ', element_at(w, CAST((i-1)*2+1 AS INT)), " +
+              "element_at(w, CAST(i*2 AS INT))))"))
+            .as("chunk"))
+        val boiler = chunks.groupBy($"chunk")
+          .agg(countDistinct($"doc_id").as("df"))
+          .filter($"df" > 10)
+          .select($"chunk", lit(1).as("__b"))
+        chunks.join(broadcast(boiler), Seq("chunk"), "left_outer")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"__b".isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+            (lit(2L) * sum(when($"__b".isNotNull, 0L).otherwise(1L)))
+              .as("kept_tokens"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |c AS (SELECT doc_id,
+             |        list_aggregate(w[(i-1)*2+1:i*2], 'string_agg', ' ') AS chunk
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) // 2)) AS i
+             |            FROM w WHERE len(w) >= 2)),
+             |b AS (SELECT chunk FROM c GROUP BY chunk
+             |      HAVING count(DISTINCT doc_id) > 10)
+             |SELECT c.doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_boiler,
+             |  CAST(2 * sum(CASE WHEN b.chunk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS kept_tokens
+             |FROM c LEFT JOIN b USING (chunk)
+             |GROUP BY 1""".stripMargin)),
+
     // domain mixing: deterministically downsample every language to the
     // smallest language's share (uniform target mix). The keep decision
     // is pure integer arithmetic on an md5 bucket — `bucket/1e6 <

@@ -45,6 +45,8 @@ class BgpPropertySpec extends AnyFunSuite {
         es.flatMap(env => triples.flatMap(t => matches(t, p, env))))
 
     def leafHolds(env: Map[String, String], f: Sparql.FilterExpr): Boolean = {
+      if (f.op == "bound") return env.contains(f.variable)
+      if (f.op == "!bound") return !env.contains(f.variable)
       val rhs = if (f.rhsVar) env.get(f.value) else Some(f.value)
       (env.get(f.variable), rhs) match {
         case (Some(v), Some(r)) => f.op match {

@@ -462,6 +462,25 @@ class BgpSpec extends AnyFunSuite {
     assert(solo.collect().map(_.getAs[Long]("n")).toSeq == Seq(3L))
   }
 
+  test("BOUND filters and COALESCE defaults over OPTIONAL nulls") {
+    // profs without email: prof:2 (negation by failure)
+    val unbound = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D .
+        | OPTIONAL { ?A email ?E } . FILTER (!BOUND(?E)) }""".stripMargin)
+    assert(unbound.collect().map(_.getString(0)).toSet == Set("prof:2"))
+    val bound = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A worksFor ?D .
+        | OPTIONAL { ?A email ?E } . FILTER (BOUND(?E)) }""".stripMargin)
+    assert(bound.collect().map(_.getString(0)).toSet == Set("prof:0", "prof:1"))
+    val coal = BgpPlanner.query(tinyStore,
+      """select ?A ?E2 where { ?A worksFor ?D .
+        | OPTIONAL { ?A email ?E } .
+        | BIND (coalesce(?E, "none") AS ?E2) }""".stripMargin)
+    assert(coal.collect().map(r =>
+        (r.getAs[String]("A"), r.getAs[String]("E2"))).toSet ==
+      Set(("prof:0", "p0@u.edu"), ("prof:1", "p1@u.edu"), ("prof:2", "none")))
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
