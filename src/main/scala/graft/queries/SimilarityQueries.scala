@@ -134,6 +134,84 @@ object SimilarityQueries {
               |  FROM scored)
               |WHERE rank <= 3""".stripMargin)),
 
+    // IVF multi-probe (the real IVF search shape): rank the coarse
+    // cells by query→centroid similarity and search the best TWO, not
+    // just the query's own cell — recall recovers for queries near a
+    // cell boundary while the scan stays bucket-pruned. Centroids are
+    // componentwise integer sums (exact, order-independent), so the
+    // probe ranking is cross-engine deterministic; probe sets are
+    // query-count-sized and broadcast.
+    GQuery(
+      "q117_ivf_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val flat = e.select($"vec_id", $"label",
+            posexplode($"v").as(Seq("i", "x")))
+        val cs = flat.groupBy($"label", $"i").agg(sum($"x").as("cx"))
+        val csn = cs.groupBy($"label")
+          .agg(sum($"cx" * $"cx").as("cnrm"))
+        val qset = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+        val pd = flat.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"i", $"x")
+          .join(cs, Seq("i"))
+          .groupBy($"qid", $"label")
+          .agg(sum($"x" * $"cx").as("cdot"))
+        val ps = pd
+          .join(qset.select($"qid", $"qn"), Seq("qid"))
+          .join(csn, Seq("label"))
+          .select($"qid", $"label",
+            cosine($"cdot", $"qn", $"cnrm").as("cscore"))
+        val pw = Window.partitionBy($"qid").orderBy($"cscore".desc, $"label".asc)
+        val probes = ps.withColumn("pr", row_number().over(pw))
+          .filter($"pr" <= 2).select($"qid", $"label")
+        val c = e.select($"vec_id".as("cid"), $"label", $"v".as("cv"),
+          $"nrm".as("cn"))
+        val scored = c
+          .join(broadcast(probes.join(qset, Seq("qid"))), Seq("label"))
+          .filter($"cid" =!= $"qid")
+          .select($"qid", $"cid",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+      },
+      Some(s"""WITH $quantizedSql,
+              |cs AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS cx
+              |       FROM flat GROUP BY 1, 2),
+              |csn AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS cnrm
+              |        FROM cs GROUP BY 1),
+              |pd AS (SELECT f.vec_id AS qid, cs.label,
+              |         CAST(sum(f.x * cs.cx) AS BIGINT) AS cdot
+              |       FROM flat f JOIN cs ON cs.i = f.i
+              |       WHERE f.vec_id < 20 GROUP BY 1, 2),
+              |ps AS (SELECT qid, pd.label,
+              |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(csn.cnrm AS DOUBLE))) AS cscore
+              |  FROM pd JOIN nrm nq ON nq.vec_id = qid
+              |  JOIN csn ON csn.label = pd.label),
+              |probes AS (SELECT qid, label FROM (
+              |    SELECT qid, label,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr
+              |    FROM ps)
+              |  WHERE pr <= 2),
+              |dots AS (SELECT p.qid, c.vec_id AS cid,
+              |           CAST(sum(qf.x * c.x) AS BIGINT) AS dot
+              |         FROM probes p
+              |         JOIN flat c ON c.label = p.label
+              |         JOIN flat qf ON qf.vec_id = p.qid AND qf.i = c.i
+              |         WHERE c.vec_id <> p.qid
+              |         GROUP BY 1, 2),
+              |scored AS (SELECT qid, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+              |  JOIN nrm nc ON nc.vec_id = cid)
+              |SELECT qid, cid, cos_sim, rank FROM (
+              |  SELECT qid, cid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+              |  FROM scored)
+              |WHERE rank <= 3""".stripMargin)),
+
     // embedding-cosine near-dup scan: candidates = same-cluster pairs
     // (bucket join, never all-pairs); emit each vector's closest
     // neighbor — a dedup pipeline thresholds this output, but the

@@ -445,6 +445,39 @@ object TextQueries {
              |FROM c LEFT JOIN b USING (chunk)
              |GROUP BY 1""".stripMargin)),
 
+    // sliding-window chunking (context-window prep): overlapping
+    // 20-token windows at stride 10 per document, deterministic chunk
+    // ids — one explode per doc, no shuffle until the caller's next
+    // op. Chunk count = ceil((n-20)/10)+1 (min 1); the final window
+    // may run short (slice truncates at the document end), so every
+    // token lands in at least one chunk and none repeat beyond the
+    // designed overlap.
+    GQuery(
+      "q116_chunking",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, (greatest(size(w) - 20, 0) + 9) div 10), " +
+              "i -> struct(CAST(i AS INT) AS cid, " +
+              "slice(w, CAST(i * 10 + 1 AS INT), 20) AS toks))"))
+            .as("c"))
+          .select($"doc_id", $"c.cid".as("chunk_id"),
+            size($"c.toks").cast("long").as("chunk_len"),
+            element_at($"c.toks", 1).as("first_tok"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |c AS (SELECT doc_id, w,
+             |        unnest(generate_series(0,
+             |          (greatest(len(w) - 20, 0) + 9) // 10)) AS i
+             |      FROM w)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             |  CAST(len(w[i*10+1:i*10+20]) AS BIGINT) AS chunk_len,
+             |  w[i*10+1] AS first_tok
+             |FROM c""".stripMargin)),
+
     // domain mixing: deterministically downsample every language to the
     // smallest language's share (uniform target mix). The keep decision
     // is pure integer arithmetic on an md5 bucket — `bucket/1e6 <
