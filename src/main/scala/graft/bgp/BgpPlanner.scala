@@ -487,8 +487,15 @@ object BgpPlanner {
         val aggCols = q.aggregates.map { a =>
           ((a.op, a.variable): @unchecked) match {
             case ("count", None) => count(lit(1)).as(a.alias)
+            case ("count", Some(v)) if a.distinct =>
+              countDistinct(col(v)).as(a.alias)
             case ("count", Some(v)) => count(col(v)).as(a.alias)
+            case ("sum", Some(v)) if a.distinct =>
+              sum_distinct(col(v).cast("double")).as(a.alias)
             case ("sum", Some(v)) => sum(col(v).cast("double")).as(a.alias)
+            case ("avg", Some(v)) if a.distinct =>
+              (sum_distinct(col(v).cast("double")) /
+                countDistinct(col(v))).as(a.alias)
             case ("avg", Some(v)) => avg(col(v).cast("double")).as(a.alias)
             case ("min", Some(v)) => min(col(v)).as(a.alias)
             case ("max", Some(v)) => max(col(v)).as(a.alias)

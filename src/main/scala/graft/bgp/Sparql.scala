@@ -109,9 +109,11 @@ object Sparql {
 
   /** One aggregate in the SELECT clause:
     * `(COUNT(?v) AS ?alias)` / `(COUNT(*) AS ?alias)` /
-    * `(SUM|MIN|MAX|AVG(?v) AS ?alias)`. `variable` = None for `*`.
+    * `(SUM|MIN|MAX|AVG([DISTINCT] ?v) AS ?alias)`. `variable` = None
+    * for `*`; `distinct` = the SPARQL 1.1 set-form aggregate.
     */
-  final case class AggExpr(op: String, variable: Option[String], alias: String)
+  final case class AggExpr(op: String, variable: Option[String], alias: String,
+      distinct: Boolean = false)
 
   /** One `ORDER BY` key: `?v` / `ASC(?v)` (ascending) or `DESC(?v)`. */
   final case class OrderKey(variable: String, asc: Boolean)
@@ -188,9 +190,11 @@ object Sparql {
     "(?is)filter\\s*\\(\\s*(!?)\\s*bound\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*\\)".r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
-  // SELECT items: an aggregate `(AGG(?v|*) AS ?alias)` or a plain ?var
+  // SELECT items: an aggregate `(AGG([DISTINCT] ?v|*) AS ?alias)` or a
+  // plain ?var
   private val selectItemRe =
-    ("(?is)\\(\\s*(count|sum|min|max|avg|group_concat|sample)\\s*\\(\\s*(\\*|\\?\\w+)\\s*\\)" +
+    ("(?is)\\(\\s*(count|sum|min|max|avg|group_concat|sample)\\s*\\(\\s*" +
+      "(distinct\\s+)?(\\*|\\?\\w+)\\s*\\)" +
       "\\s+as\\s+\\?(\\w+)\\s*\\)|\\?(\\w+)").r
   // FILTER [NOT] EXISTS { patterns } — extracted before UNION chains so
   // the braced block is never misread as a UNION branch
@@ -243,15 +247,19 @@ object Sparql {
     val items =
       if (selectStar) Nil else selectItemRe.findAllMatchIn(selSection).toSeq
     val selectVars0 = items.collect {
-      case m if m.group(4) != null => m.group(4)
+      case m if m.group(5) != null => m.group(5)
     }
     val aggregates = items.collect {
       case m if m.group(1) != null =>
-        val arg = m.group(2)
+        val arg = m.group(3)
         val v = if (arg == "*") None else Some(arg.drop(1))
         val op = m.group(1).toLowerCase
         require(v.nonEmpty || op == "count", s"only COUNT accepts *: $query")
-        AggExpr(op, v, m.group(3))
+        val dist = m.group(2) != null
+        require(!dist || Set("count", "sum", "avg").contains(op),
+          s"DISTINCT is supported for COUNT/SUM/AVG aggregates: $query")
+        require(!dist || v.nonEmpty, s"COUNT(DISTINCT *) is not supported: $query")
+        AggExpr(op, v, m.group(4), dist)
     }
     require(selectStar || selectVars0.nonEmpty || aggregates.nonEmpty,
       s"empty SELECT clause: $query")

@@ -592,6 +592,19 @@ object BgpQueries {
              |  coalesce('order:' || nk, 'none') AS nx2
              |FROM s WHERE o_orderstatus = 'P'""".stripMargin)),
 
+    // grammar extension: COUNT(DISTINCT ?v) (SPARQL 1.1 set-form
+    // aggregate) — Spark plans the two-phase expand+aggregate
+    GQuery(
+      "q118_bgp_count_distinct",
+      bgp("""select ?n (count(distinct ?seg) as ?nseg)
+            |  (count(?c) as ?ncust)
+            |where { ?c nationkey ?n . ?c mktsegment ?seg }
+            |group by ?n""".stripMargin),
+      Some("""SELECT concat('nation:', c_nationkey) AS n,
+             |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nseg,
+             |  CAST(count(*) AS BIGINT) AS ncust
+             |FROM customer GROUP BY 1""".stripMargin)),
+
     // DREAM's measure-then-plan loop end-to-end: pattern cardinalities
     // measured once into the CostStats cache, the join chain ordered by
     // the measurements (Optimizer.cpp:63-103) — observationally

@@ -481,6 +481,18 @@ class BgpSpec extends AnyFunSuite {
       Set(("prof:0", "p0@u.edu"), ("prof:1", "p1@u.edu"), ("prof:2", "none")))
   }
 
+  test("COUNT(DISTINCT ?v) collapses duplicates; plain COUNT keeps the bag") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?D (count(distinct ?D2) as ?nd) (count(?P) as ?np)
+        |where { ?P worksFor ?D . ?P worksFor ?D2 } group by ?D""".stripMargin)
+    val rows = out.collect().map(r => (r.getAs[String]("D"),
+      r.getAs[Long]("nd"), r.getAs[Long]("np"))).toSet
+    // dept:0 has 2 profs, each worksFor 1 dept ⇒ nd=1, np=2
+    assert(rows == Set(("dept:0", 1L, 2L), ("dept:1", 1L, 1L)))
+    intercept[IllegalArgumentException](Sparql.parse(
+      "select (min(distinct ?X) as ?m) where { ?X worksFor ?D }"))
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
