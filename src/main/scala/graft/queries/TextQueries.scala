@@ -408,6 +408,9 @@ object TextQueries {
       "q113_boilerplate",
       (s, dir) => {
         import s.implicits._
+        // the chunk relation feeds BOTH the df aggregate and the
+        // rejoin; materialize it once instead of exploding twice
+        // (the q58 shingle lesson)
         val chunks = t(s, dir, "documents")
           .select($"doc_id", split($"text", " ").as("w"))
           .filter(size($"w") >= 2)
@@ -416,6 +419,7 @@ object TextQueries {
               "concat_ws(' ', element_at(w, CAST((i-1)*2+1 AS INT)), " +
               "element_at(w, CAST(i*2 AS INT))))"))
             .as("chunk"))
+          .localCheckpoint()
         val boiler = chunks.groupBy($"chunk")
           .agg(countDistinct($"doc_id").as("df"))
           .filter($"df" > 10)
