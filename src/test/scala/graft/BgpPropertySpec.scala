@@ -65,6 +65,17 @@ class BgpPropertySpec extends AnyFunSuite {
       fcs.forall(fc => fc.disjuncts.exists(_.forall(leafHolds(env, _))))
 
     var envs = expand(Set(Map.empty[String, String]), q.patterns)
+    // subqueries: evaluate recursively, project to the sub-SELECT, and
+    // merge env-compatibly (natural join semantics)
+    for (sq <- q.subqueries) {
+      val cols = sq.select.distinct.sorted
+      val subEnvs = naive(triples, sq)
+        .map(row => cols.zip(row).filter(_._2 != null).toMap)
+      envs = envs.flatMap(env => subEnvs.collect {
+        case se if se.forall { case (k, v) => env.get(k).forall(_ == v) } =>
+          env ++ se
+      })
+    }
     for ((group, gfs) <- q.unions.zip(
         q.unionFilters.padTo(q.unions.length, Nil)))
       envs = envs.flatMap(env =>
@@ -93,6 +104,24 @@ class BgpPropertySpec extends AnyFunSuite {
     // the complement. No dom-disjoint exemption (unlike MINUS).
     for ((negated, block) <- q.existsFilters)
       envs = envs.filter(env => expand(Set(env), block).nonEmpty != negated)
+    // BINDs evaluate in sequence before the top-level filters (string
+    // forms only — concat/coalesce/literals; the numeric forms aren't
+    // differential-comparable through the string projection)
+    def evalBind(env: Map[String, String], e: Sparql.BindExpr): Option[String] =
+      e match {
+        case Sparql.BVar(n) => env.get(n)
+        case Sparql.BLit(v, _) => Some(v)
+        case Sparql.BConcat(args) =>
+          val vs = args.map(evalBind(env, _))
+          if (vs.forall(_.isDefined)) Some(vs.flatten.mkString) else None
+        case Sparql.BCoalesce(args) =>
+          args.iterator.map(evalBind(env, _)).collectFirst { case Some(v) => v }
+        case other => throw new IllegalArgumentException(
+          s"naive evaluator supports string BINDs only, got $other")
+      }
+    for (b <- q.binds)
+      envs = envs.map(env => evalBind(env, b.expr)
+        .map(v => env + (b.alias -> v)).getOrElse(env))
     envs = envs.filter(clausesHold(_, q.filters))
     envs.map(env => q.select.distinct.sorted.map(env.getOrElse(_, null)))
   }
@@ -183,6 +212,42 @@ class BgpPropertySpec extends AnyFunSuite {
           val k = 1 + rnd.nextInt(2)
           val out = rnd.shuffle(preds).take(k).mkString("|")
           s"select ?X ?Y where { ?X !($out) ?Y }"
+        }
+      val q = Sparql.parse(qs)
+      val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      val got = BgpPlanner.plan(store, q).collect()
+        .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+      val want = naive(triples, q)
+      assert(got == want,
+        s"round $round: query=$qs store=$triples\n" +
+          s"got ${got.size} rows, want ${want.size}")
+    }
+  }
+
+  test("BINDs and sub-SELECTs equal brute force (25 random)") {
+    import spark.implicits._
+    val rnd = new Random(1180912L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1", "p2")
+
+    for (round <- 0 until 25) {
+      val triples = Seq.fill(4 + rnd.nextInt(14))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val (pa, pb) = (preds(rnd.nextInt(preds.size)),
+        preds(rnd.nextInt(preds.size)))
+      val qs =
+        if (rnd.nextBoolean()) {
+          // concat BIND, optionally filtered on the alias
+          val lit = ents(rnd.nextInt(ents.size))
+          val f = if (rnd.nextBoolean())
+            s""" . FILTER (?T != "$lit-$lit")""" else ""
+          s"""select ?X ?Y ?T where { ?X $pa ?Y .
+             | BIND (concat(?X, "-", ?Y) AS ?T)$f }""".stripMargin
+        } else {
+          // plain sub-SELECT natural-joined on the shared var
+          s"""select ?X ?Z where { ?X $pa ?Y .
+             | { select ?Y ?Z where { ?Y $pb ?Z } } }""".stripMargin
         }
       val q = Sparql.parse(qs)
       val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))

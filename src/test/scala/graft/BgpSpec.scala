@@ -493,6 +493,22 @@ class BgpSpec extends AnyFunSuite {
       "select (min(distinct ?X) as ?m) where { ?X worksFor ?D }"))
   }
 
+  test("sequence paths inside OPTIONAL and MINUS blocks stay block-local") {
+    // OPTIONAL { ?A advisor/worksFor ?D2 }: only stud:0 matches; others
+    // keep a null ?D2
+    val opt = BgpPlanner.query(tinyStore,
+      """select ?A ?D2 where { ?A memberOf ?D .
+        | OPTIONAL { ?A advisor/worksFor ?D2 } }""".stripMargin)
+    assert(opt.collect().map(r =>
+        (r.getAs[String]("A"), r.getAs[String]("D2"))).toSet ==
+      Set(("stud:0", "dept:0")))
+    // MINUS { ?A advisor/worksFor ?D }: removes stud:0's dept:0 row
+    val minus = BgpPlanner.query(tinyStore,
+      """select ?A ?D where { ?A memberOf ?D .
+        | MINUS { ?A advisor/worksFor ?D } }""".stripMargin)
+    assert(minus.collect().isEmpty)
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
