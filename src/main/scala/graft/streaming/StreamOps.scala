@@ -130,6 +130,37 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("lang"),
         col("n_docs"), col("total_tokens"))
 
+  /** Stream–static enrichment join (the one join shape the pipeline
+    * ops above don't cover): a streaming document feed joined to a
+    * STATIC, periodically-recomputed reference relation — here the
+    * boilerplate chunk set of batch q113 — then chunk-filtered and
+    * window-counted. The static side is broadcast to every micro-batch
+    * (no state store involvement at all), which is how a 100 TB/day
+    * stream consults a curation dictionary without shuffling it.
+    * `boilerplate` must be a batch (non-streaming) DataFrame with a
+    * `chunk` column.
+    */
+  def boilerplateFilterStream(docs: DataFrame, boilerplate: DataFrame,
+      width: String = "1 hour", allowed: String = "1 hour"): DataFrame = {
+    val chunks = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("ts"), col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) div 2), i -> " +
+          "concat_ws(' ', element_at(w, CAST((i-1)*2+1 AS INT)), " +
+          "element_at(w, CAST(i*2 AS INT))))"))
+        .as("chunk"))
+    chunks
+      .join(broadcast(boilerplate.select(col("chunk"), lit(1).as("__b"))),
+        Seq("chunk"), "left_outer")
+      .filter(col("__b").isNull)
+      .withWatermark("ts", allowed)
+      .groupBy(window(col("ts"), width), col("doc_id"))
+      .agg(count(lit(1)).as("kept_chunks"))
+      .select(col("window.start").as("win_start"), col("doc_id"),
+        col("kept_chunks"))
+  }
+
   /** Custom-state sessionizer: flatMapGroupsWithState keyed by user,
     * emitting a [[Session]] when the 30-min gap elapses (event-time
     * timeout) or a later event implies the previous session closed.

@@ -509,6 +509,17 @@ class BgpSpec extends AnyFunSuite {
     assert(minus.collect().isEmpty)
   }
 
+  test("encoded stores reject lexical-value features with clear errors") {
+    val enc = TripleStore.encode(tinyStore)
+    val bindQ = """select ?A ?T where { ?A name ?N . BIND (concat(?N, "!") AS ?T) }"""
+    val be = intercept[IllegalArgumentException](BgpPlanner.query(enc, bindQ))
+    assert(be.getMessage.contains("decode the store first"))
+    val subQ = """select ?A where { ?A worksFor ?D .
+      | { select ?D where { ?X memberOf ?D } } }""".stripMargin
+    val se = intercept[IllegalArgumentException](BgpPlanner.query(enc, subQ))
+    assert(se.getMessage.contains("decode the store first"))
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),

@@ -74,6 +74,33 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static boilerplate join filters chunks against the batch set") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = src.toDF().toDF("doc_id", "ts", "text")
+    val boiler = Seq("b b", "c c").toDF("chunk") // static reference set
+    val q = StreamOps.boilerplateFilterStream(docs, boiler)
+      .writeStream.format("memory").queryName("boilstream")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, ts("2024-01-01 10:05:00"), "a a b b d d"), // drops "b b"
+        (2L, ts("2024-01-01 10:10:00"), "c c c c"),     // all boilerplate
+        (3L, ts("2024-01-01 10:20:00"), "x y z w"))
+      q.processAllAvailable()
+      src.addData((4L, ts("2024-01-01 14:00:00"), "late closer")) // close window
+      q.processAllAvailable()
+      val rows = spark.table("boilstream")
+        .select($"win_start".cast("string"), $"doc_id", $"kept_chunks")
+        .as[(String, Long, Long)].collect().toSet
+      // doc 2 vanishes entirely (every chunk boilerplate)
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", 1L, 2L),
+        ("2024-01-01 10:00:00", 3L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionAggs (native session_window) merges events under the gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
