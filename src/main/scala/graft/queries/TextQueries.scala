@@ -347,6 +347,41 @@ object TextQueries {
              |  max(cnt) * 1.0 / CAST(sum(cnt) AS BIGINT) AS rep_ratio
              |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // within-doc repetition REMOVAL (the transformation q97's ratio
+    // only detects): over the same non-overlapping 2-token chunk grid
+    // as q113, keep the first occurrence of each chunk per document —
+    // dedup is per-doc (partial aggregation collapses everything
+    // map-side when docs are partition-local; no cross-doc shuffle of
+    // chunk text, only of per-doc counts)
+    GQuery(
+      "q119_repetition_removal",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) div 2), i -> " +
+              "concat_ws(' ', element_at(w, CAST((i-1)*2+1 AS INT)), " +
+              "element_at(w, CAST(i*2 AS INT))))"))
+            .as("chunk"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct($"chunk").as("kept_chunks"),
+            (count(lit(1)) - countDistinct($"chunk")).as("dropped_chunks"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |c AS (SELECT doc_id,
+             |        list_aggregate(w[(i-1)*2+1:i*2], 'string_agg', ' ') AS chunk
+             |      FROM (SELECT doc_id, w,
+             |              unnest(generate_series(1, len(w) // 2)) AS i
+             |            FROM w WHERE len(w) >= 2))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(count(DISTINCT chunk) AS BIGINT) AS kept_chunks,
+             |  CAST(count(*) - count(DISTINCT chunk) AS BIGINT) AS dropped_chunks
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // collocation scoring: corpus-wide bigram lift — the log-free PMI
     // form `P(ab) / (P(a)·P(b)) = n_ab·T² / (B·n_a·n_b)` (phrase-mining
     // / tokenizer-merge-candidate step). Numerator and denominator stay
