@@ -260,6 +260,48 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property paths equal a naive closure (30 random graphs)") {
+    import spark.implicits._
+    val rnd = new Random(1280912L)
+    val ents = Vector("e0", "e1", "e2", "e3", "e4")
+    val preds = Vector("p0", "p1")
+
+    // naive k-hop composition over one predicate's edge set
+    def hops(edges: Set[(String, String)], k: Int): Set[(String, String)] =
+      if (k == 0) {
+        val verts = edges.flatMap(e => Set(e._1, e._2))
+        verts.map(v => (v, v))
+      } else
+        (1 until k).foldLeft(edges)((acc, _) =>
+          for ((a, m) <- acc; (m2, b) <- edges if m == m2) yield (a, b))
+
+    for (round <- 0 until 30) {
+      val triples = Seq.fill(4 + rnd.nextInt(12))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val p = preds(rnd.nextInt(preds.size))
+      val edges = triples.collect { case (s, `p`, o) => (s, o) }.toSet
+      if (edges.nonEmpty) {
+        val maxHops = ents.size // closure converges within |V| hops
+        val (path, want) = rnd.nextInt(5) match {
+          case 0 => (s"$p+", (1 to maxHops).flatMap(hops(edges, _)).toSet)
+          case 1 => (s"$p*", (0 to maxHops).flatMap(hops(edges, _)).toSet)
+          case 2 => (s"$p?", hops(edges, 0) ++ edges)
+          case 3 => (s"^$p", edges.map(_.swap))
+          case 4 =>
+            val (lo, hi) = (1 + rnd.nextInt(2), 2 + rnd.nextInt(2))
+            (s"$p{$lo,$hi}", (lo to hi).flatMap(hops(edges, _)).toSet)
+        }
+        val q = s"select ?X ?Y where { ?X $path ?Y }"
+        val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val got = BgpPlanner.query(store, q).collect()
+          .map(r => (r.getAs[String]("X"), r.getAs[String]("Y"))).toSet
+        assert(got == want,
+          s"round $round: $q over $triples\ngot ${got.size}, want ${want.size}")
+      }
+    }
+  }
+
   test("planner equals brute-force with UNION groups (20 random)") {
     import spark.implicits._
     val rnd = new Random(31337L)
