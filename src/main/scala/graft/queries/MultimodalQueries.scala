@@ -83,6 +83,41 @@ object MultimodalQueries {
              |  CAST(coalesce(list_sum(list_transform(
              |    range(CAST(n * 15 // 16 AS BIGINT) + 1, n + 1),
              |    j -> ord(substr(text, CAST(j AS INT), 1)))), 0) AS BIGINT) AS s_last
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // metadata-pruned resize end-to-end: only rows whose metadata dims
+    // exceed the bound pay the codec (the filter never touches
+    // payloads); the oracle recomputes the deterministic resized
+    // payload length (max(w*h/64, 1)) from the same metadata formulas
+    GQuery(
+      "q120_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = MultimodalOps.mediaFromDocuments(t(s, dir, "documents"))
+        val out = MultimodalOps.resizeTo(media, maxW = 256, maxH = 256)
+        val flags = media.toDF().select($"media_id",
+          ($"width" > 256 || $"height" > 256).cast("long").as("resized"))
+        out.toDF().join(flags, Seq("media_id"))
+          .groupBy($"kind")
+          .agg(sum($"resized").as("n_resized"),
+            count(lit(1)).as("n_media"),
+            sum(octet_length($"payload")).cast("long").as("total_bytes"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    CAST(strlen(text) AS BIGINT) AS nbytes,
+             |    CAST((doc_id * 37) % 512 AS BIGINT) + 16 AS w0,
+             |    CAST((doc_id * 53) % 512 AS BIGINT) + 16 AS h0
+             |  FROM documents),
+             |r AS (SELECT kind,
+             |    CASE WHEN w0 <= 256 AND h0 <= 256 THEN 0 ELSE 1 END AS resized,
+             |    CASE WHEN w0 <= 256 AND h0 <= 256 THEN nbytes
+             |         ELSE greatest(least(w0, 256) * least(h0, 256) // 64, 1)
+             |    END AS outb
+             |  FROM m)
+             |SELECT kind, CAST(sum(resized) AS BIGINT) AS n_resized,
+             |  CAST(count(*) AS BIGINT) AS n_media,
+             |  CAST(sum(outb) AS BIGINT) AS total_bytes
+             |FROM r GROUP BY kind""".stripMargin))
   )
 }
