@@ -160,6 +160,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("negated property set pushes Not(EqualTo) filters into the scan") {
+    val df = SparkEntry.queries("q109_bgp_neg_path")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // one scan of the variable view with the exclusion pushed down —
+    // NOT an (N−k)-way union of the remaining predicate slices
+    assert(plan.contains("Not(EqualTo(p,custkey))") &&
+      plan.contains("Not(EqualTo(p,nextorder))"),
+      s"expected the predicate exclusion pushed into the scan in:\n$plan")
+    assert(!plan.contains("Union"),
+      s"negated set must not plan as a slice union:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("IVF multi-probe bounds the top-k with WindowGroupLimit and broadcasts probes") {
+    val df = SparkEntry.queries("q117_ivf_multiprobe")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected per-partition top-k pre-limit in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the probe set broadcast onto the corpus in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("VALUES restriction reaches the parquet scan as a pushed IN filter") {
     val df = SparkEntry.queries("q90_bgp_values")(
       spark, "/root/testdata/sf0.001")
