@@ -517,6 +517,42 @@ object TextQueries {
              |  w[i*10+1] AS first_tok
              |FROM c""".stripMargin)),
 
+    // adaptive quality threshold: keep each language's above-median
+    // half by distinct-token ratio — the data-dependent cousin of a
+    // fixed quality cutoff. The median is EXACT rank arithmetic
+    // (rank·2 > count), not approx_percentile, so it is cross-engine
+    // deterministic and still one window pass per language partition;
+    // the ratio itself is a single IEEE divide of exact integers.
+    GQuery(
+      "q121_adaptive_quality",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"lang", split($"text", " ").as("w"))
+          .select($"doc_id", $"lang",
+            (size(array_distinct($"w")).cast("double") / size($"w")).as("q"))
+        val rw = Window.partitionBy($"lang").orderBy($"q".asc, $"doc_id".asc)
+        val cw = Window.partitionBy($"lang")
+        docs.withColumn("rk", row_number().over(rw))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .filter($"rk" * 2 > $"cnt")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), min($"q").as("min_q"),
+            max($"q").as("max_q"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |      / len(string_split(text, ' ')) AS q
+             |  FROM documents),
+             |r AS (SELECT lang, q,
+             |    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS cnt
+             |  FROM d)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             |  min(q) AS min_q, max(q) AS max_q
+             |FROM r WHERE rk * 2 > cnt GROUP BY lang""".stripMargin)),
+
     // domain mixing: deterministically downsample every language to the
     // smallest language's share (uniform target mix). The keep decision
     // is pure integer arithmetic on an md5 bucket — `bucket/1e6 <
