@@ -244,6 +244,51 @@ object EventQueries {
              |FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
              |      FROM events GROUP BY 1)""".stripMargin)),
 
+    // funnel analysis: view → first click within 24h → first purchase
+    // within 24h of that click, per user. Each stage is an equi+range
+    // join on (user, interval) with a min-aggregate picking the
+    // earliest successor — the composed spelling of the as-of shape
+    // (q36/q89 native path), shuffling only on user_id; integer
+    // microsecond arithmetic keeps both engines exact.
+    GQuery(
+      "q122_event_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val hourUs = 24L * 3600L * 1000000L
+        val ev = t(s, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+        def stage(name: String) =
+          ev.filter($"event_type" === name).drop("event_type")
+        val firstClick = stage("view").select($"user_id", $"tus".as("vts"))
+          .join(stage("click").select($"user_id", $"tus".as("cts")),
+            Seq("user_id"))
+          .filter($"cts" > $"vts" && $"cts" <= $"vts" + hourUs)
+          .groupBy($"user_id", $"vts").agg(min($"cts").as("cts"))
+        firstClick
+          .join(stage("purchase").select($"user_id", $"tus".as("pts")),
+            Seq("user_id"))
+          .filter($"pts" > $"cts" && $"pts" <= $"cts" + hourUs)
+          .groupBy($"user_id", $"vts").agg(min($"pts").as("pts"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_funnels"))
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS vts FROM events
+             |           WHERE event_type = 'view'),
+             |c AS (SELECT user_id, epoch_us(ts) AS cts FROM events
+             |      WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_us(ts) AS pts FROM events
+             |      WHERE event_type = 'purchase'),
+             |fc AS (SELECT v.user_id, vts, min(cts) AS cts
+             |       FROM v JOIN c ON c.user_id = v.user_id
+             |         AND cts > vts AND cts <= vts + CAST(86400 AS BIGINT) * 1000000
+             |       GROUP BY 1, 2),
+             |fp AS (SELECT fc.user_id, vts, min(pts) AS pts
+             |       FROM fc JOIN p ON p.user_id = fc.user_id
+             |         AND pts > cts AND pts <= cts + CAST(86400 AS BIGINT) * 1000000
+             |       GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_funnels
+             |FROM fp GROUP BY 1""".stripMargin)),
+
     // hot/cold split join (SkewOps.skewSplitJoin): keys above the
     // frequency threshold route through a salted (key, salt) shuffle —
     // only THEY pay the replication — cold keys take the plain shuffle
