@@ -289,6 +289,33 @@ object EventQueries {
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_funnels
              |FROM fp GROUP BY 1""".stripMargin)),
 
+    // cohort retention: users grouped by first-seen day, activity
+    // counted per (cohort, week offset) — the self-derived dimension
+    // join every product-analytics stack runs. Integer date arithmetic
+    // only (date difference in days, floor-divided to weeks), so both
+    // engines agree exactly; the cohort relation is user-count-sized
+    // and broadcast.
+    GQuery(
+      "q123_cohort_retention",
+      (s, dir) => {
+        import s.implicits._
+        val act = t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("day")).distinct()
+        val cohort = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        act.join(broadcast(cohort), Seq("user_id"))
+          .select($"user_id", $"cohort_day",
+            expr("datediff(day, cohort_day) div 7").as("week_off"))
+          .groupBy($"cohort_day", $"week_off")
+          .agg(countDistinct($"user_id").as("n_active"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |           FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+             |SELECT cohort_day, CAST((day - cohort_day) // 7 AS BIGINT) AS week_off,
+             |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+             |FROM a JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // hot/cold split join (SkewOps.skewSplitJoin): keys above the
     // frequency threshold route through a salted (key, salt) shuffle —
     // only THEY pay the replication — cold keys take the plain shuffle
