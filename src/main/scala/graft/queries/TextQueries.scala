@@ -553,6 +553,42 @@ object TextQueries {
              |  min(q) AS min_q, max(q) AS max_q
              |FROM r WHERE rk * 2 > cnt GROUP BY lang""".stripMargin)),
 
+    // keyword extraction: top-3 terms per document ranked by term
+    // frequency, tie-broken by corpus rarity (ascending document
+    // frequency) then term — the rank-by-integers form of tf-idf that
+    // needs no log() (non-portable across engines). The df relation is
+    // vocabulary-sized and broadcast; the per-doc window never shuffles
+    // more than the tf rows.
+    GQuery(
+      "q124_keywords",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+        val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"tf".desc, $"df".asc, $"term".asc)
+        tf.join(broadcast(dfreq), Seq("term"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"term", $"tf", $"df")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |              FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
+             |SELECT doc_id, rank, term, tf, df FROM (
+             |  SELECT doc_id, term, tf, df,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf DESC, df, term) AS rank
+             |  FROM tf JOIN df USING (term))
+             |WHERE rank <= 3""".stripMargin)),
+
     // domain mixing: deterministically downsample every language to the
     // smallest language's share (uniform target mix). The keep decision
     // is pure integer arithmetic on an md5 bucket — `bucket/1e6 <
