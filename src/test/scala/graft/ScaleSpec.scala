@@ -64,6 +64,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("salting splits a hot key into balanced (key, salt) groups") {
+    import spark.implicits._
+    // 32k rows of one hot key: unsalted, one reducer gets all 32k;
+    // salted over 16 buckets, no (key, salt) group should exceed ~3×
+    // the ideal 2k share (rand is uniform, the bound is generous)
+    val left = spark.range(32000).select(lit(1L).as("k"), $"id".as("lv"))
+    val salted = left.withColumn("__salt",
+      (rand(seed = 42) * 16).cast("int"))
+    val sizes = salted.groupBy("k", "__salt").count()
+      .agg(max("count").as("mx"), count(lit(1)).as("groups"))
+      .as[(Long, Long)].head()
+    assert(sizes._2 == 16L, s"expected 16 salt groups, got ${sizes._2}")
+    assert(sizes._1 <= 6000L,
+      s"hot key not spread: max (key,salt) group = ${sizes._1}")
+  }
+
   test("saltedAgg equals plain aggregation") {
     import spark.implicits._
     val df = spark.range(10000)
