@@ -161,6 +161,69 @@ object StreamOps {
         col("kept_chunks"))
   }
 
+  /** Per-user funnel state: current stage (1 = viewed, 2 = clicked)
+    * and its timestamps. Public — private case classes break the
+    * generated encoder constructors.
+    */
+  final case class FunnelState(stage: Int, viewUs: Long, stageUs: Long)
+  /** One completed view→click→purchase funnel. */
+  final case class FunnelHit(user_id: Long, view_us: Long, purchase_us: Long)
+
+  /** Streaming funnel detector (the stateful arm of batch q122): a
+    * per-user stage machine over view → click → purchase, each step
+    * within `windowUs` of the previous. State is ONE fixed-size record
+    * per user — not a buffer of events — so memory is user-count
+    * bounded; events are applied in event-time order within each
+    * micro-batch, and an event-time timeout clears users whose funnel
+    * went stale past the window.
+    */
+  def funnelStream(events: Dataset[Event],
+      windowUs: Long = 24L * 3600L * 1000000L): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            val hits = Seq.newBuilder[FunnelHit]
+            for (e <- sorted) {
+              val t = us(e.ts)
+              // a stale stage never advances: drop it before matching
+              if (cur.exists(s => t - s.stageUs > windowUs)) cur = None
+              e.event_type match {
+                case "view" => cur = Some(FunnelState(1, t, t))
+                case "click" =>
+                  cur = cur.collect {
+                    case s if s.stage >= 1 => FunnelState(2, s.viewUs, t)
+                  }.orElse(cur)
+                case "purchase" =>
+                  cur.filter(_.stage == 2).foreach { s =>
+                    hits += FunnelHit(userId, s.viewUs, t)
+                    cur = None
+                  }
+                case _ => ()
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.stageUs / 1000L + windowUs / 1000L)
+              case None => if (state.exists) state.remove()
+            }
+            hits.result().iterator
+          }
+      }
+  }
+
   /** Custom-state sessionizer: flatMapGroupsWithState keyed by user,
     * emitting a [[Session]] when the 30-min gap elapses (event-time
     * timeout) or a later event implies the previous session closed.

@@ -101,6 +101,38 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream emits completed view-click-purchase funnels only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.funnelStream(src.toDS(),
+        windowUs = 3600L * 1000000L) // 1h steps for the test
+      .writeStream.format("memory").queryName("funnels")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        // user 1: full funnel inside the window → one hit
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:20:00", 1, "click"),
+        ev(3, "2024-01-01 10:40:00", 1, "purchase"),
+        // user 2: no click stage → no hit
+        ev(4, "2024-01-01 10:00:00", 2, "view"),
+        ev(5, "2024-01-01 10:30:00", 2, "purchase"))
+      q.processAllAvailable()
+      src.addData(
+        // user 1 again: click arrives past the window → stage dropped
+        ev(6, "2024-01-01 12:00:00", 1, "view"),
+        ev(7, "2024-01-01 13:30:00", 1, "click"),
+        ev(8, "2024-01-01 13:40:00", 1, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnels")
+        .as[StreamOps.FunnelHit].collect().toSet
+      assert(rows == Set(StreamOps.FunnelHit(1L,
+        ts("2024-01-01 10:00:00").getTime * 1000L,
+        ts("2024-01-01 10:40:00").getTime * 1000L)))
+    } finally q.stop()
+  }
+
   test("sessionAggs (native session_window) merges events under the gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
