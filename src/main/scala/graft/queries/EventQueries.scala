@@ -316,6 +316,77 @@ object EventQueries {
              |FROM a JOIN c USING (user_id)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // interval×interval OVERLAP join (distinct from the point-in-range
+    // joins q37/q93): user activity sessions crossed with global error
+    // "outage" windows, overlap iff sstart <= oend && ostart <= send.
+    // The outage side is error-burst-sized and broadcast, so the
+    // session side never shuffles for the join. (The outage
+    // sessionization's global window IS single-partition — correct
+    // here because error events are sparse; a data-sized interval set
+    // would sessionize per shard key instead.)
+    GQuery(
+      "q125_overlap_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val gapO = 600L * 1000000L   // 10-min error gap → one outage
+        val gapS = 1800L * 1000000L  // q35's 30-min session gap
+        val wo = Window.orderBy($"t", $"event_id")
+        val outages = ev.filter($"event_type" === "error")
+          .select($"event_id", unix_micros($"ts").as("t"))
+          .withColumn("prev", lag($"t", 1).over(wo))
+          .withColumn("nw",
+            when($"prev".isNull || $"t" - $"prev" > gapO, 1L).otherwise(0L))
+          .withColumn("oid", sum($"nw").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"oid")
+          .agg(min($"t").as("ostart"), max($"t").as("oend"))
+        val ws = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+        val sessions = ev
+          .select($"user_id", $"event_id", unix_micros($"ts").as("t"))
+          .withColumn("prev", lag($"t", 1).over(ws))
+          .withColumn("nw",
+            when($"prev".isNull || $"t" - $"prev" > gapS, 1L).otherwise(0L))
+          .withColumn("sid", sum($"nw").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"t").as("sstart"), max($"t").as("send"))
+        sessions
+          .join(broadcast(outages),
+            $"sstart" <= $"oend" && $"ostart" <= $"send")
+          .groupBy($"user_id")
+          .agg(countDistinct($"oid").as("n_outages_hit"),
+            count(lit(1)).as("n_overlaps"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events
+             |           WHERE event_type = 'error'),
+             |og AS (SELECT event_id, t, CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w > 600 * 1000000
+             |         THEN 1 ELSE 0 END AS nw
+             |       FROM e WINDOW w AS (ORDER BY t, event_id)),
+             |oid AS (SELECT t, sum(nw) OVER (ORDER BY t, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS oid
+             |        FROM og),
+             |outage AS (SELECT oid, min(t) AS ostart, max(t) AS oend
+             |           FROM oid GROUP BY 1),
+             |se AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+             |sg AS (SELECT user_id, event_id, t, CASE WHEN lag(t) OVER w IS NULL
+             |           OR t - lag(t) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS nw
+             |       FROM se WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |sid AS (SELECT user_id, t, sum(nw) OVER (PARTITION BY user_id
+             |          ORDER BY t, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |        FROM sg),
+             |sess AS (SELECT user_id, sid, min(t) AS sstart, max(t) AS send
+             |         FROM sid GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(count(DISTINCT oid) AS BIGINT) AS n_outages_hit,
+             |  CAST(count(*) AS BIGINT) AS n_overlaps
+             |FROM sess JOIN outage
+             |  ON sstart <= oend AND ostart <= send
+             |GROUP BY 1""".stripMargin)),
+
     // hot/cold split join (SkewOps.skewSplitJoin): keys above the
     // frequency threshold route through a salted (key, salt) shuffle —
     // only THEY pay the replication — cold keys take the plain shuffle
