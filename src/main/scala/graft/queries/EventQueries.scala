@@ -245,29 +245,38 @@ object EventQueries {
              |      FROM events GROUP BY 1)""".stripMargin)),
 
     // funnel analysis: view → first click within 24h → first purchase
-    // within 24h of that click, per user. Each stage is an equi+range
-    // join on (user, interval) with a min-aggregate picking the
-    // earliest successor — the composed spelling of the as-of shape
-    // (q36/q89 native path), shuffling only on user_id; integer
-    // microsecond arithmetic keeps both engines exact.
+    // within 24h of that click, per user. Both stages run through the
+    // NATIVE RangeJoin operator (plans/RangeJoin.scala): each stage is
+    // one co-partitioned sort-merge pass with a sliding right-row
+    // buffer, so a hot user with V views and C clicks never
+    // materializes V×C candidate pairs the way the composable
+    // hash-join + post-filter spelling would — the exact blow-up the
+    // operator's scaladoc names. RangeJoin is left-outer, so unmatched
+    // stage rows carry a null successor and are dropped before the
+    // min-aggregate (inner funnel semantics). Shuffles only on
+    // user_id; integer microsecond arithmetic keeps both engines
+    // exact.
     GQuery(
       "q122_event_funnel",
       (s, dir) => {
         import s.implicits._
-        val hourUs = 24L * 3600L * 1000000L
+        val dayUs = 24L * 3600L * 1000000L
         val ev = t(s, dir, "events")
           .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
         def stage(name: String) =
           ev.filter($"event_type" === name).drop("event_type")
-        val firstClick = stage("view").select($"user_id", $"tus".as("vts"))
-          .join(stage("click").select($"user_id", $"tus".as("cts")),
-            Seq("user_id"))
-          .filter($"cts" > $"vts" && $"cts" <= $"vts" + hourUs)
+        val views = stage("view").select($"user_id", $"tus".as("vts"),
+          ($"tus" + dayUs).as("vhi"))
+        val clicks = stage("click").select($"user_id".as("cu"), $"tus".as("cts"))
+        val firstClick = graft.plans.RangeJoin
+          .range(views, clicks, "vts", "vhi", "user_id", "cu", "cts")
+          .filter($"cts".isNotNull)
           .groupBy($"user_id", $"vts").agg(min($"cts").as("cts"))
-        firstClick
-          .join(stage("purchase").select($"user_id", $"tus".as("pts")),
-            Seq("user_id"))
-          .filter($"pts" > $"cts" && $"pts" <= $"cts" + hourUs)
+          .withColumn("chi", $"cts" + dayUs)
+        val purch = stage("purchase").select($"user_id".as("pu"), $"tus".as("pts"))
+        graft.plans.RangeJoin
+          .range(firstClick, purch, "cts", "chi", "user_id", "pu", "pts")
+          .filter($"pts".isNotNull)
           .groupBy($"user_id", $"vts").agg(min($"pts").as("pts"))
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_funnels"))
@@ -320,10 +329,19 @@ object EventQueries {
     // joins q37/q93): user activity sessions crossed with global error
     // "outage" windows, overlap iff sstart <= oend && ostart <= send.
     // The outage side is error-burst-sized and broadcast, so the
-    // session side never shuffles for the join. (The outage
-    // sessionization's global window IS single-partition — correct
-    // here because error events are sparse; a data-sized interval set
-    // would sessionize per shard key instead.)
+    // session side never shuffles for the join.
+    //
+    // The outage derivation has NO global event-sized window: errors
+    // sessionize per day-shard (partitioned window), and sessions that
+    // cross midnight are stitched by linking each shard's last session
+    // to the next shard's first (the only cross-shard pair that can be
+    // within the gap — any other pair is > a day apart) and closing
+    // the link chains with the distributed path-doubling closure. The
+    // per-shard session count is bounded by day/gap ≈ 145 regardless
+    // of event volume (k sessions need k−1 gaps > 10 min inside one
+    // day), so the stitch graph is calendar-sized — at 100× the event
+    // rate the windowed stage still scales out and the stitch work is
+    // unchanged.
     GQuery(
       "q125_overlap_join",
       (s, dir) => {
@@ -331,16 +349,38 @@ object EventQueries {
         val ev = t(s, dir, "events")
         val gapO = 600L * 1000000L   // 10-min error gap → one outage
         val gapS = 1800L * 1000000L  // q35's 30-min session gap
-        val wo = Window.orderBy($"t", $"event_id")
-        val outages = ev.filter($"event_type" === "error")
+        val dayUs = 86400L * 1000000L
+        val wo = Window.partitionBy($"shard").orderBy($"t", $"event_id")
+        val shardSess = ev.filter($"event_type" === "error")
           .select($"event_id", unix_micros($"ts").as("t"))
+          .withColumn("shard", expr(s"t div ${dayUs}L"))
           .withColumn("prev", lag($"t", 1).over(wo))
           .withColumn("nw",
             when($"prev".isNull || $"t" - $"prev" > gapO, 1L).otherwise(0L))
-          .withColumn("oid", sum($"nw").over(
+          .withColumn("sid", sum($"nw").over(
             wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"oid")
+          .groupBy($"shard", $"sid")
           .agg(min($"t").as("ostart"), max($"t").as("oend"))
+          // sid ≤ 145 < 1024, so (shard, sid) packs into one long key
+          .withColumn("skey", $"shard" * 1024L + $"sid")
+          .withColumn("mx", max($"sid").over(Window.partitionBy($"shard")))
+        val links = shardSess.filter($"sid" === $"mx")
+          .select(($"shard" + 1L).as("shard"), $"skey".as("src"), $"oend".as("pend"))
+          .join(shardSess.filter($"sid" === 1L)
+            .select($"shard", $"skey".as("dst"), $"ostart".as("nstart")),
+            Seq("shard"))
+          .filter($"nstart" - $"pend" <= gapO)
+          .select($"src", $"dst")
+        val und = links.unionByName(
+          links.select($"dst".as("src"), $"src".as("dst")))
+        val reach = graft.graph.PathOps.transitiveClosure(und)
+        val outages = shardSess
+          .join(reach, $"skey" === reach("src"), "left_outer")
+          .groupBy($"skey", $"ostart", $"oend")
+          .agg(min($"dst").as("mdst"))
+          .withColumn("oid", least(coalesce($"mdst", $"skey"), $"skey"))
+          .groupBy($"oid")
+          .agg(min($"ostart").as("ostart"), max($"oend").as("oend"))
         val ws = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
         val sessions = ev
           .select($"user_id", $"event_id", unix_micros($"ts").as("t"))

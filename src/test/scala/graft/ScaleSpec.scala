@@ -257,6 +257,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("funnel stages run through the native RangeJoin, no candidate-pair join") {
+    val df = SparkEntry.queries("q122_event_funnel")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // both funnel stages are the O(n+m) merge exec — the composable
+    // hash-join + time-filter spelling would materialize V×C pairs
+    // per hot user before the min-aggregate
+    assert("RangeJoin".r.findAllIn(plan).size >= 2,
+      s"expected both funnel stages as RangeJoin execs in:\n$plan")
+    assert(!plan.contains("HashJoin") && !plan.contains("SortMergeJoin"),
+      s"unexpected candidate-pair join in:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("overlap-join outage derivation has no partition-less data window") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q125_overlap_join")(
+      spark, "/root/testdata/sf0.001")
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w }
+    // error sessionization is sharded by day, user sessionization by
+    // user — a global Window.orderBy would sort ALL events on one
+    // reducer and becomes the straggler at a constant error RATE
+    assert(wins.nonEmpty, "expected window nodes in the overlap join")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"partition-less window over data-sized input:\n$w")
+    }
+    assert(df.count() > 0)
+  }
+
   test("embedding outlier top-k bounds the window shuffle (WindowGroupLimit)") {
     val df = SparkEntry.queries("q96_embedding_outliers")(
       spark, "/root/testdata/sf0.001")
