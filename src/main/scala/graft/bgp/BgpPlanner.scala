@@ -165,10 +165,14 @@ object BgpPlanner {
           if (k == 0)
             sl.select(col("s")).unionByName(sl.select(col("o").as("s")))
               .distinct().select(col("s"), col("s").as("o"))
+          // dedup each intermediate composition: the result is
+          // set-valued anyway, and on cyclic/dense slices bag
+          // multiplicities would otherwise grow exponentially with k
+          // while the distinct row count stays bounded by |V|²
           else (1 until k).foldLeft(sl) { (acc, _) =>
             acc.select(col("s"), col("o").as("__m"))
               .join(sl.select(col("s").as("__m"), col("o")), "__m")
-              .select(col("s"), col("o"))
+              .select(col("s"), col("o")).distinct()
           }
         ((lo to hi).map(kHops).reduce(_ unionByName _).distinct(),
           Seq("s" -> pat.s, "o" -> pat.o))
@@ -285,45 +289,90 @@ object BgpPlanner {
     val encode: String => Column =
       if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
 
-    // FILTER leaf translation, shared by top-level clauses and the
-    // block-scoped clauses (OPTIONAL/MINUS/UNION). Equality ops work
-    // on the encoded store by encoding the literal (var-vs-var
-    // compares columns directly); ordering comparisons and regex need
-    // lexical values, so they require a string-form store.
-    def leafCond(f: FilterExpr): Column = {
-      val c = col(f.variable)
-      if (f.op == "regex") {
-        require(!store.encoded,
-          "FILTER regex needs lexical values; decode the store first")
-        return c.rlike(f.value)
+    // ---- decode-on-demand for lexical-value features on the encoded
+    // store. DREAM runs everything over uint64 IDs and decodes only at
+    // the output edge (Proxy.c:211-224, Worker.c:95-103); here a
+    // mid-plan expression that needs lexical values (regex, ordering
+    // comparisons, BIND arithmetic) decodes JUST the columns it
+    // touches — one targeted dict join per column, applied immediately
+    // before the expression and dropped immediately after, so the rest
+    // of the plan keeps flowing 8-byte IDs. `lexical` tracks columns
+    // that already hold computed values (BIND aliases, subquery
+    // aggregate outputs): they never decode and pass through the final
+    // edge decode untouched.
+    val lexical = scala.collection.mutable.Set.empty[String]
+    def lexName(v: String) = s"__lex_$v"
+    def decodeVars(df: DataFrame, vars: Seq[String])
+        : (DataFrame, Map[String, Column]) = store.dict match {
+      case Some(dict) if vars.nonEmpty =>
+        val out = vars.foldLeft(df) { (d, v) =>
+          d.join(dict.select(col("id").as(s"__did_$v"),
+              col("value").as(lexName(v))),
+            d(v) === col(s"__did_$v"), "left_outer").drop(s"__did_$v")
+        }
+        (out, vars.map(v => v -> col(lexName(v))).toMap)
+      case _ => (df, Map.empty)
+    }
+
+    val orderingOps = Set(">", ">=", "<", "<=")
+    // which variables a filter leaf needs in lexical form
+    def lexNeeds(f: FilterExpr): Seq[String] =
+      if (!store.encoded) Nil
+      else f.op match {
+        case "regex" => Seq(f.variable).filterNot(lexical)
+        case op if orderingOps(op) =>
+          (Seq(f.variable) ++ (if (f.rhsVar) Seq(f.value) else Nil))
+            .filterNot(lexical)
+        case "=" | "!=" if f.rhsVar && lexical(f.variable) != lexical(f.value) =>
+          Seq(if (lexical(f.variable)) f.value else f.variable)
+        case _ => Nil
       }
-      // BOUND works on either store form: an unmatched OPTIONAL var is
-      // a SQL null regardless of encoding
-      if (f.op == "bound") return c.isNotNull
-      if (f.op == "!bound") return c.isNull
-      val rhs: Column =
-        if (f.rhsVar) col(f.value)
-        else if (f.op == "=" || f.op == "!=") encode(f.value)
-        else if (f.numeric) lit(f.value.toDouble)
-        else lit(f.value)
+
+    // FILTER leaf translation, shared by top-level clauses and the
+    // block-scoped clauses (OPTIONAL/MINUS/UNION). Equality stays in
+    // id space on the encoded store (ids are the values' hashes, so id
+    // equality IS value equality); ordering comparisons and regex read
+    // the decoded column from `lex`.
+    def leafCond(f: FilterExpr, lex: Map[String, Column]): Column = {
+      def lexOf(v: String): Column = lex.getOrElse(v, col(v))
+      val c = col(f.variable)
       f.op match {
-        case "=" => c === rhs
-        case "!=" => c =!= rhs
+        // BOUND works on either store form: an unmatched OPTIONAL var
+        // is a SQL null regardless of encoding
+        case "bound" => c.isNotNull
+        case "!bound" => c.isNull
+        case "regex" => lexOf(f.variable).rlike(f.value)
+        case "=" | "!=" =>
+          val idEq = store.encoded && !lexical(f.variable) &&
+            (if (f.rhsVar) !lexical(f.value) else true)
+          val (l, r) =
+            if (f.rhsVar) (lexOf(f.variable), lexOf(f.value))
+            else if (idEq) (c, encode(f.value))
+            else (lexOf(f.variable), lit(f.value))
+          if (f.op == "=") l === r else l =!= r
         case op =>
-          require(!store.encoded,
-            s"FILTER $op needs lexical values; decode the store first")
-          val l = if (f.numeric && !f.rhsVar) c.cast("double") else c
+          val l0 = lexOf(f.variable)
+          val l = if (f.numeric && !f.rhsVar) l0.cast("double") else l0
+          val r: Column =
+            if (f.rhsVar) lexOf(f.value)
+            else if (f.numeric) lit(f.value.toDouble)
+            else lit(f.value)
           op match {
-            case ">" => l > rhs
-            case ">=" => l >= rhs
-            case "<" => l < rhs
-            case "<=" => l <= rhs
+            case ">" => l > r
+            case ">=" => l >= r
+            case "<" => l < r
+            case "<=" => l <= r
           }
       }
     }
     def applyFilters(df: DataFrame, fcs: Seq[FilterClause]): DataFrame =
-      fcs.foldLeft(df)((d, fc) => d.filter(
-        fc.disjuncts.map(_.map(leafCond).reduce(_ && _)).reduce(_ || _)))
+      fcs.foldLeft(df) { (d, fc) =>
+        val need = fc.disjuncts.flatten.flatMap(lexNeeds).distinct
+        val (dd, lex) = decodeVars(d, need)
+        dd.filter(fc.disjuncts.map(_.map(leafCond(_, lex)).reduce(_ && _))
+            .reduce(_ || _))
+          .drop(need.map(lexName): _*)
+      }
 
     val mainChain =
       if (q.patterns.nonEmpty)
@@ -350,11 +399,22 @@ object BgpPlanner {
 
     // sub-SELECTs (SPARQL 1.1 §12): each plans independently — its own
     // aggregation/modifiers run bottom-up — and exports exactly its
-    // projection, natural-joined into the outer solution below
+    // projection, natural-joined into the outer solution below. On the
+    // encoded store the sub-plan decoded its projection at its own
+    // edge; re-encoding the pattern vars reproduces the store's ids
+    // exactly (ids ARE the values' xxhash64), restoring the id-space
+    // natural join, while aggregate outputs stay as computed values.
     val subDfs = q.subqueries.map { sq =>
-      require(!store.encoded,
-        "subqueries need lexical values; decode the store first")
-      plan(store, sq)
+      val sub = plan(store, sq)
+      if (!store.encoded) sub
+      else {
+        val aggAliases = sq.aggregates.map(_.alias).toSet
+        lexical ++= aggAliases
+        sub.select(sub.columns.toIndexedSeq.map { c =>
+          if (aggAliases(c)) col(c)
+          else when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
+        }: _*)
+      }
     }
 
     val rels = mainChain.toSeq ++ unionDfs ++ subDfs
@@ -417,9 +477,13 @@ object BgpPlanner {
     // unbound var joins the inline relation (SPARQL VALUES ≡ join with
     // a constant table).
     for ((v, consts) <- q.values) {
-      if (joined.columns.contains(v))
+      if (joined.columns.contains(v)) {
+        // a computed (lexical) column restricts on the literal itself
+        val rhs: String => Column =
+          if (lexical(v)) c => lit(c) else encode
         joined = joined.filter(
-          consts.map(c => col(v) === encode(c)).reduce(_ || _))
+          consts.map(c => col(v) === rhs(c)).reduce(_ || _))
+      }
       else {
         val spark = joined.sparkSession
         import spark.implicits._
@@ -432,18 +496,21 @@ object BgpPlanner {
 
     // BIND clauses: sequential projections (SPARQL §10.1) — a
     // withColumn chain stays inside whole-stage codegen, no shuffle.
-    // Expressions need lexical values, so encoded stores decode first.
-    if (q.binds.nonEmpty)
-      require(!store.encoded, "BIND needs lexical values; decode the store first")
-    def bindCol(e: BindExpr): Column = e match {
-      case BVar(n) => col(n)
+    // On the encoded store the referenced vars decode on demand (one
+    // dict join each), the expression computes on lexical values, and
+    // the alias is marked lexical so later filters / the edge decode
+    // treat it as a computed value.
+    def bindCol(e: BindExpr, lex: Map[String, Column]): Column = e match {
+      case BVar(n) => lex.getOrElse(n, col(n))
       case BLit(v, true) => lit(v.toDouble)
       case BLit(v, false) => lit(v)
-      case BConcat(args) => concat(args.map(a => bindCol(a).cast("string")): _*)
-      case BCoalesce(args) => coalesce(args.map(bindCol): _*)
-      case BStrlen(a) => length(bindCol(a).cast("string")).cast("long")
+      case BConcat(args) =>
+        concat(args.map(a => bindCol(a, lex).cast("string")): _*)
+      case BCoalesce(args) => coalesce(args.map(bindCol(_, lex)): _*)
+      case BStrlen(a) => length(bindCol(a, lex).cast("string")).cast("long")
       case BArith(op, l, r) =>
-        val (lc, rc) = (bindCol(l).cast("double"), bindCol(r).cast("double"))
+        val (lc, rc) =
+          (bindCol(l, lex).cast("double"), bindCol(r, lex).cast("double"))
         op match {
           case "+" => lc + rc
           case "-" => lc - rc
@@ -451,7 +518,14 @@ object BgpPlanner {
           case "/" => lc / rc
         }
     }
-    for (b <- q.binds) joined = joined.withColumn(b.alias, bindCol(b.expr))
+    for (b <- q.binds) {
+      val refs =
+        if (store.encoded) b.refs.distinct.filterNot(lexical) else Nil
+      val (d2, lex) = decodeVars(joined, refs)
+      joined = d2.withColumn(b.alias, bindCol(b.expr, lex))
+        .drop(refs.map(lexName): _*)
+      lexical += b.alias
+    }
 
     // top-level FILTER clauses (DNF: OR of AND-groups), applied
     // post-join
@@ -466,14 +540,25 @@ object BgpPlanner {
     def decode(df: DataFrame, sel: Seq[String]): DataFrame = store.dict match {
       case None => df
       case Some(dict) =>
-        val withId = df.withColumn("__rid", monotonically_increasing_id())
-        val kvs = sel.flatMap(v => Seq(lit(v): Column, col(v)))
-        val long = withId.select(col("__rid"),
-          explode(map(kvs: _*)).as(Seq("__var", "__id")))
-        long.join(dict, long("__id") === dict("id"))
-          .select(col("__rid"), col("__var"), col("value"))
-          .groupBy("__rid").pivot("__var", sel).agg(first(col("value")))
-          .select(sel.map(col): _*)
+        // computed columns (BIND aliases, subquery aggregates) hold
+        // values, not ids — they bypass the dict and rejoin by rid
+        val toDec = sel.filterNot(lexical)
+        if (toDec.isEmpty) df.select(sel.map(col): _*)
+        else {
+          val withId = df.withColumn("__rid", monotonically_increasing_id())
+          val kvs = toDec.flatMap(v => Seq(lit(v): Column, col(v)))
+          val long = withId.select(col("__rid"),
+            explode(map(kvs: _*)).as(Seq("__var", "__id")))
+          val dec = long.join(dict, long("__id") === dict("id"))
+            .select(col("__rid"), col("__var"), col("value"))
+            .groupBy("__rid").pivot("__var", toDec).agg(first(col("value")))
+          val passThrough = sel.filter(lexical)
+          val out =
+            if (passThrough.isEmpty) dec
+            else dec.join(
+              withId.select(col("__rid") +: passThrough.map(col): _*), "__rid")
+          out.select(sel.map(col): _*)
+        }
     }
 
     val orderVars = q.orderBy.map(_.variable)
@@ -493,9 +578,13 @@ object BgpPlanner {
             case ("sum", Some(v)) if a.distinct =>
               sum_distinct(col(v).cast("double")).as(a.alias)
             case ("sum", Some(v)) => sum(col(v).cast("double")).as(a.alias)
+            // numerator and denominator dedup the SAME projection:
+            // deduping raw strings would count "1" and "1.0" (or a
+            // non-numeric value casting to null) differently from the
+            // double-cast numerator
             case ("avg", Some(v)) if a.distinct =>
               (sum_distinct(col(v).cast("double")) /
-                countDistinct(col(v))).as(a.alias)
+                countDistinct(col(v).cast("double"))).as(a.alias)
             case ("avg", Some(v)) => avg(col(v).cast("double")).as(a.alias)
             case ("min", Some(v)) => min(col(v)).as(a.alias)
             case ("max", Some(v)) => max(col(v)).as(a.alias)

@@ -504,6 +504,9 @@ object Sparql {
     val sb = new StringBuilder
     val subs = scala.collection.mutable.Buffer.empty[BgpQuery]
     var i = 0
+    // depth of NON-subquery braces (OPTIONAL/MINUS/UNION blocks, still
+    // unextracted at this stage of the parse)
+    var blockDepth = 0
     while (i < body.length) {
       val c = body.charAt(i)
       val isSub = c == '{' && {
@@ -511,6 +514,12 @@ object Sparql {
         while (k < body.length && body.charAt(k).isWhitespace) k += 1
         body.regionMatches(true, k, "select", 0, "select".length)
       }
+      // a sub-SELECT inside a block has block-scoped semantics (e.g.
+      // OPTIONAL's left join) this planner doesn't implement — hoisting
+      // it would silently turn the left join into an inner join, so
+      // reject rather than reinterpret
+      require(!(isSub && blockDepth > 0),
+        s"sub-SELECT nested inside an OPTIONAL/MINUS/UNION block is not supported: $body")
       if (isSub) {
         var depth = 1
         var j = i + 1
@@ -524,6 +533,8 @@ object Sparql {
         sb.append(' ')
         i = j
       } else {
+        if (c == '{') blockDepth += 1
+        else if (c == '}') blockDepth -= 1
         sb.append(c)
         i += 1
       }

@@ -617,6 +617,79 @@ object BgpQueries {
         val stats = new graft.tools.CostStats(s"$pstoreRoot/stats_$tag.tsv")
         BgpPlanner.queryMeasured(store(s, dir, encoded = false), starQuery, stats)
       },
-      Some(starOracle))
+      Some(starOracle)),
+
+    // ---- lexical-value features over the DICTIONARY-ENCODED store
+    // (decode-on-demand: the plan flows 8-byte ids; regex / ordering /
+    // BIND decode just the columns they touch via a targeted dict join
+    // and drop the lexical column right after — DREAM's decode-only-
+    // at-the-edge, Proxy.c:211-224, relaxed per-expression). Each is
+    // the exact query text of its string-store twin with the same
+    // oracle, so a hash match proves the encoded path end to end. ----
+
+    // twin of q100: FILTER regex on the encoded store
+    GQuery(
+      "q126_bgp_regex_encoded",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER regex(?nm, "NATION_1[0-9]") }""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE regexp_matches(n_name, 'NATION_1[0-9]')""".stripMargin)),
+
+    // twin of q110: BIND arithmetic/CONCAT + a filter over a computed
+    // alias on the encoded store (the alias never re-decodes)
+    GQuery(
+      "q127_bgp_bind_encoded",
+      bgp("""select ?n ?tag ?len where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | ?n regionkey ?r .
+            | ?r name ?rn .
+            | BIND (concat(?nm, "@", ?rn) AS ?tag) .
+            | BIND (strlen(?nm) AS ?len) .
+            | FILTER (?len > 8) }""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat(n_name, '@', r_name) AS tag,
+             |  CAST(strlen(n_name) AS BIGINT) AS len
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE strlen(n_name) > 8""".stripMargin)),
+
+    // twin of q111: sub-SELECT on the encoded store — the sub-plan
+    // decodes at its own edge and its join vars re-encode to id space
+    // (ids are the values' hashes), so the outer natural join stays on
+    // 8-byte keys
+    GQuery(
+      "q128_bgp_subquery_encoded",
+      bgp("""select ?nm ?cnt where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | { select ?n (count(?s) as ?cnt) where {
+            |     ?s nationkey ?n . ?s rdf:type "Supplier" }
+            |   group by ?n } }""".stripMargin,
+        encoded = true),
+      Some("""SELECT n_name AS nm, CAST(sub.cnt AS BIGINT) AS cnt
+             |FROM nation
+             |JOIN (SELECT s_nationkey AS k, count(*) AS cnt
+             |      FROM supplier GROUP BY 1) sub
+             |  ON n_nationkey = sub.k""".stripMargin)),
+
+    // twin of q74: var-vs-var ordering FILTER on the encoded store —
+    // BOTH sides decode for the lexical comparison, the output
+    // projection decodes once more at the edge
+    GQuery(
+      "q129_bgp_order_filter_encoded",
+      bgp("""select ?n1 ?n2 where {
+            | ?a regionkey ?r .
+            | ?b regionkey ?r .
+            | ?a name ?n1 .
+            | ?b name ?n2 .
+            | FILTER (?n1 < ?n2) }""".stripMargin,
+        encoded = true),
+      Some("""SELECT a.n_name AS n1, b.n_name AS n2
+             |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+             |WHERE a.n_name < b.n_name""".stripMargin))
   )
 }

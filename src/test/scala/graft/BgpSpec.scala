@@ -509,15 +509,42 @@ class BgpSpec extends AnyFunSuite {
     assert(minus.collect().isEmpty)
   }
 
-  test("encoded stores reject lexical-value features with clear errors") {
+  test("lexical-value features decode on demand over the encoded store") {
+    // every feature that used to reject encoded stores now decodes
+    // just the columns its expression touches and must match the
+    // string-form store exactly (differential)
     val enc = TripleStore.encode(tinyStore)
-    val bindQ = """select ?A ?T where { ?A name ?N . BIND (concat(?N, "!") AS ?T) }"""
-    val be = intercept[IllegalArgumentException](BgpPlanner.query(enc, bindQ))
-    assert(be.getMessage.contains("decode the store first"))
-    val subQ = """select ?A where { ?A worksFor ?D .
-      | { select ?D where { ?X memberOf ?D } } }""".stripMargin
-    val se = intercept[IllegalArgumentException](BgpPlanner.query(enc, subQ))
-    assert(se.getMessage.contains("decode the store first"))
+    def both(q: String): Set[Seq[Any]] = {
+      val a = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet
+      val b = BgpPlanner.query(enc, q).collect().map(_.toSeq).toSet
+      assert(a == b, s"string vs encoded store diverged for:\n$q\n$a\n$b")
+      a
+    }
+    // BIND over decoded values, FILTER over the computed alias
+    assert(both("""select ?A ?T where { ?A name ?N .
+      | BIND (concat(?N, "!") AS ?T) . FILTER (?T != "FullProfessor1!") }"""
+      .stripMargin) == Set(Seq("prof:0", "FullProfessor0!")))
+    // sub-SELECT: inner plan decodes at its edge, join vars re-encode
+    assert(both("""select ?A where { ?A worksFor ?D .
+      | { select ?D where { ?X memberOf ?D } } }""".stripMargin)
+      == Set(Seq("prof:0"), Seq("prof:1")))
+    // regex and ordering comparisons decode per-clause
+    assert(both("""select ?A ?N where { ?A name ?N .
+      | FILTER regex(?N, "essor0") }""".stripMargin)
+      == Set(Seq("prof:0", "FullProfessor0")))
+    assert(both("""select ?N1 ?N2 where { ?A name ?N1 . ?B name ?N2 .
+      | FILTER (?N1 < ?N2) }""".stripMargin)
+      == Set(Seq("FullProfessor0", "FullProfessor1")))
+  }
+
+  test("sub-SELECT nested inside a block rejects rather than reinterprets") {
+    // hoisting a { SELECT } out of an OPTIONAL would silently turn the
+    // left join into an inner join
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A ?D where { ?A memberOf ?D .
+        | OPTIONAL { ?A advisor ?P . { select ?P where { ?P worksFor ?D2 } } } }"""
+        .stripMargin))
+    assert(e.getMessage.contains("nested inside"))
   }
 
   test("pair-measured join cardinalities override single-pattern chain order") {
