@@ -17,9 +17,12 @@ object ScalarQueries {
 
     // sketch aggregates: HyperLogLog++ distinct counts and t-digest-
     // style approximate percentiles — the sublinear-memory path for
-    // 100 TB cardinality/quantile questions. Estimates are engine-
-    // specific (rows-only check); SketchSpec bounds their error
-    // against the exact answers
+    // 100 TB cardinality/quantile questions. The estimates themselves
+    // are engine-specific, so the oracle-checked output carries the
+    // EXACT answers plus boolean error-bound assertions (|err| within
+    // the sketch's guarantee); DuckDB emits literal TRUE, so a sketch
+    // drifting out of bounds hash-fails the gate. SketchSpec asserts
+    // the same bounds with the raw estimates.
     GQuery(
       "q67_sketch_aggregates",
       (s, dir) => {
@@ -31,8 +34,17 @@ object ScalarQueries {
             countDistinct($"l_orderkey").as("exact_orders"),
             percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median"),
             expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+          .select($"l_returnflag", $"exact_orders", $"exact_median",
+            (abs($"approx_orders" - $"exact_orders") <=
+              $"exact_orders" * 0.05).as("hll_ok"),
+            (abs($"approx_median" - $"exact_median") <=
+              $"exact_median" * 0.01).as("tdigest_ok"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
+             |  TRUE AS hll_ok, TRUE AS tdigest_ok
+             |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // string functions: substring / upper / lower / concat / length / trim / replace
     GQuery(

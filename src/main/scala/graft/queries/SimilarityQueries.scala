@@ -248,8 +248,13 @@ object SimilarityQueries {
 
     // raw-float brute-force top-k through the native codegen'd
     // cosine_sim Expression (GraftExtensions) — the production fast
-    // path; float math is engine-specific so this registers rows-only,
-    // with FunctionsSpec proving bit-parity against the composed form
+    // path. The expression widens each float to double BEFORE the
+    // multiply-accumulate (CosineSimilarity.doGenCode), so a
+    // double-math oracle over the same float column agrees to ~1e-15;
+    // the exported score quantizes to 6 decimals (OracleNum
+    // discipline), far above the summation-order noise floor, making
+    // the whole result hashable. FunctionsSpec additionally proves
+    // bit-parity against the composed zip_with/aggregate form.
     GQuery(
       "q56_cosine_topk_native",
       (s, dir) => {
@@ -263,8 +268,22 @@ object SimilarityQueries {
         val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .filter($"rank" <= 5)
+          .select($"qid", $"cid", $"rank",
+            (floor($"cos_sim" * 1000000d + 0.5d) / 1000000d).as("q_sim"))
       },
-      None),
+      Some("""WITH p AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+             |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cs
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id < 20 AND c.vec_id != q.vec_id),
+             |r AS (
+             |  SELECT qid, cid, cs, CAST(row_number() OVER (
+             |      PARTITION BY qid ORDER BY cs DESC, cid) AS BIGINT) AS rank
+             |  FROM p)
+             |SELECT qid, cid, rank, floor(cs * 1000000 + 0.5) / 1000000 AS q_sim
+             |FROM r WHERE rank <= 5""".stripMargin)),
 
     // SRP-LSH (signed random projection): bucket = sign bits of dot
     // products with 8 md5-derived ±1 hyperplanes; candidates share the

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Sketch aggregates have no cross-engine oracle (estimates are
-  * engine-specific), so this spec bounds their error against the
-  * exact answers computed in the same query.
+/** Sketch estimates are engine-specific, so q67 ships exact answers
+  * plus boolean error-bound columns the DuckDB oracle checks as
+  * literal TRUE; this spec asserts the same bounds hold and that the
+  * exact side is sane.
   */
 class SketchSpec extends AnyFunSuite {
 
@@ -16,14 +17,12 @@ class SketchSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approxN = r.getAs[Long]("approx_orders").toDouble
-      val exactN = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approxN - exactN) / exactN < 0.05,
-        s"HLL off by ${math.abs(approxN - exactN) / exactN}")
-      val approxM = r.getAs[Double]("approx_median")
-      val exactM = r.getAs[Double]("exact_median")
-      assert(math.abs(approxM - exactM) / exactM < 0.01,
-        s"median off by ${math.abs(approxM - exactM) / exactM}")
+      assert(r.getAs[Boolean]("hll_ok"),
+        s"HLL out of its 5% bound for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Boolean]("tdigest_ok"),
+        s"approx median out of its 1% bound for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Long]("exact_orders") > 0)
+      assert(r.getAs[Double]("exact_median") > 0)
     }
   }
 }
