@@ -311,7 +311,7 @@ object EventQueries {
         val act = t(s, dir, "events")
           .select($"user_id", to_date($"ts").as("day")).distinct()
         val cohort = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-        act.join(broadcast(cohort), Seq("user_id"))
+        act.join(graft.scale.GuardedBroadcast.maybe(cohort), Seq("user_id"))
           .select($"user_id", $"cohort_day",
             expr("datediff(day, cohort_day) div 7").as("week_off"))
           .groupBy($"cohort_day", $"week_off")

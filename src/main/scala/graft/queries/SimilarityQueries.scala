@@ -168,8 +168,12 @@ object SimilarityQueries {
           .filter($"pr" <= 2).select($"qid", $"label")
         val c = e.select($"vec_id".as("cid"), $"label", $"v".as("cv"),
           $"nrm".as("cn"))
+        // probe set is (queries × probes)-sized by construction; the
+        // guard still measures it and shuffle-joins if a caller ever
+        // widens the probe fan-out past the broadcast threshold
         val scored = c
-          .join(broadcast(probes.join(qset, Seq("qid"))), Seq("label"))
+          .join(graft.scale.GuardedBroadcast.maybe(probes.join(qset, Seq("qid"))),
+            Seq("label"))
           .filter($"cid" =!= $"qid")
           .select($"qid", $"cid",
             cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))

@@ -459,7 +459,11 @@ object TextQueries {
           .agg(countDistinct($"doc_id").as("df"))
           .filter($"df" > 10)
           .select($"chunk", lit(1).as("__b"))
-        chunks.join(broadcast(boiler), Seq("chunk"), "left_outer")
+        // df-thresholded ⇒ boilerplate-sized, but the bound is an
+        // argument, not a guarantee: the guard measures the set and
+        // falls back to a shuffle join if it outgrows the threshold
+        chunks.join(graft.scale.GuardedBroadcast.maybe(boiler),
+            Seq("chunk"), "left_outer")
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_chunks"),
             sum(when($"__b".isNotNull, 1L).otherwise(0L)).as("n_boiler"),
