@@ -171,11 +171,21 @@ object StreamOps {
 
   /** Streaming funnel detector (the stateful arm of batch q122): a
     * per-user stage machine over view → click → purchase, each step
-    * within `windowUs` of the previous. State is ONE fixed-size record
-    * per user — not a buffer of events — so memory is user-count
-    * bounded; events are applied in event-time order within each
-    * micro-batch, and an event-time timeout clears users whose funnel
-    * went stale past the window.
+    * strictly after and within `windowUs` of the previous. State is
+    * ONE fixed-size record per user — not a buffer of events — so
+    * memory is user-count bounded; events are applied in event-time
+    * order within each micro-batch, and an event-time timeout clears
+    * users whose funnel went stale past the window.
+    *
+    * Matches q122's earliest-successor semantics: once at stage 2 a
+    * later click does NOT extend the purchase window (the earliest
+    * click per view wins, as in q122's min-aggregate). The one
+    * documented divergence is OVERLAPPING funnels: batch counts per
+    * view (a purchase can complete several views' funnels), while the
+    * single-record state machine counts sequential non-overlapping
+    * funnels — the streaming-native choice, since tracking every open
+    * view would make state per-user-event-sized. StreamSpec's
+    * differential pins the equivalence on non-overlapping fixtures.
     */
   def funnelStream(events: Dataset[Event],
       windowUs: Long = 24L * 3600L * 1000000L): Dataset[FunnelHit] = {
@@ -202,11 +212,14 @@ object StreamOps {
               e.event_type match {
                 case "view" => cur = Some(FunnelState(1, t, t))
                 case "click" =>
+                  // advances 1 → 2 only: at stage 2 the EARLIEST click
+                  // keeps the purchase window (q122's min-aggregate)
                   cur = cur.collect {
-                    case s if s.stage >= 1 => FunnelState(2, s.viewUs, t)
+                    case s if s.stage == 1 && t > s.stageUs =>
+                      FunnelState(2, s.viewUs, t)
                   }.orElse(cur)
                 case "purchase" =>
-                  cur.filter(_.stage == 2).foreach { s =>
+                  cur.filter(s => s.stage == 2 && t > s.stageUs).foreach { s =>
                     hits += FunnelHit(userId, s.viewUs, t)
                     cur = None
                   }

@@ -133,6 +133,57 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream matches batch q122 counts on a shared fixture") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // 24h window (q122's) with non-overlapping funnels — the regime
+    // where the per-view batch count and the single-state-machine
+    // stream count provably coincide
+    val evs = Seq(
+      // user 1: two complete sequential funnels
+      ev(1, "2024-01-01 08:00:00", 1, "view"),
+      ev(2, "2024-01-01 09:00:00", 1, "click"),
+      ev(3, "2024-01-01 10:00:00", 1, "purchase"),
+      ev(4, "2024-01-03 08:00:00", 1, "view"),
+      ev(5, "2024-01-03 12:00:00", 1, "click"),
+      ev(6, "2024-01-04 06:00:00", 1, "purchase"),
+      // user 2: view with no click → no funnel
+      ev(7, "2024-01-01 08:00:00", 2, "view"),
+      ev(8, "2024-01-01 09:00:00", 2, "purchase"),
+      // user 3: the earliest-click tie-breaker — a SECOND click must
+      // NOT extend the purchase window (old overwrite semantics would
+      // count this; q122's min-aggregate does not: the purchase lands
+      // 28h after the first click)
+      ev(9, "2024-01-01 00:00:00", 3, "view"),
+      ev(10, "2024-01-01 01:00:00", 3, "click"),
+      ev(11, "2024-01-01 20:00:00", 3, "click"),
+      ev(12, "2024-01-02 05:00:00", 3, "purchase"),
+      // user 4: click past the 24h view window → stage never advances
+      ev(13, "2024-01-01 00:00:00", 4, "view"),
+      ev(14, "2024-01-02 01:00:00", 4, "click"),
+      ev(15, "2024-01-02 02:00:00", 4, "purchase"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    evs.toDS().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("q122_event_funnel")(spark, dir)
+      .select($"user_id", $"n_funnels").as[(Long, Long)].collect().toMap
+
+    val src = MemoryStream[Event]
+    val q = StreamOps.funnelStream(src.toDS())
+      .writeStream.format("memory").queryName("funnels_diff")
+      .outputMode("append").start()
+    try {
+      src.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnels_diff")
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        s"stream $streamed diverged from batch $batch")
+      assert(batch == Map(1L -> 2L)) // and the fixture is non-trivial
+    } finally q.stop()
+  }
+
   test("sessionAggs (native session_window) merges events under the gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
