@@ -232,13 +232,36 @@ object BgpPlanner {
     * any pattern already in the chain (DREAM's subquery measurements),
     * falling back to its own scan cardinality when no pair has been
     * measured.
+    *
+    * Pattern MERGING (DREAM's vertex merging, Optimizer.cpp:470-566 /
+    * set enumeration 207-241): when some measured pair's join output
+    * is smaller than EVERY single pattern's scan, the chain seeds with
+    * that merged pair — the two patterns evaluate as one combined
+    * subquery before anything else joins in — which a
+    * one-pattern-at-a-time greedy seed can never discover (it must
+    * start at the cheapest single even when a pair collapses to a
+    * handful of rows).
     */
   def chainOrder(patterns: Seq[TriplePattern], cost: Int => Long,
       pairCost: (Int, Int) => Option[Long]): Seq[Int] = {
     val varsOf = patterns.map(_.vars.toSet)
-    val order = scala.collection.mutable.ArrayBuffer(
-      patterns.indices.minBy(cost))
-    var cols = varsOf(order.head)
+    val mergedSeed = (for {
+      i <- patterns.indices
+      j <- (i + 1) until patterns.size
+      if varsOf(i).exists(varsOf(j))
+      m <- pairCost(i, j)
+    } yield (m, i, j)).minByOption(_._1)
+      .filter { case (m, _, _) => m < cost(patterns.indices.minBy(cost)) }
+    val order = mergedSeed match {
+      case Some((_, i, j)) =>
+        // cheaper side first (it seeds the fold; the pair joins
+        // immediately either way)
+        val (a, b) = if (cost(i) <= cost(j)) (i, j) else (j, i)
+        scala.collection.mutable.ArrayBuffer(a, b)
+      case None =>
+        scala.collection.mutable.ArrayBuffer(patterns.indices.minBy(cost))
+    }
+    var cols: Set[String] = order.iterator.map(varsOf).reduce(_ ++ _)
     while (order.size < patterns.size) {
       val remaining = patterns.indices.filterNot(order.contains)
       val connected = remaining.filter(i => varsOf(i).exists(cols))

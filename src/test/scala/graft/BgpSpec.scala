@@ -547,6 +547,42 @@ class BgpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nested inside"))
   }
 
+  test("measured pair merging seeds the chain with the merged subquery") {
+    // DREAM's vertex merging (Optimizer.cpp:470-566): patterns 1⋈2
+    // measure to 2 rows while the cheapest SINGLE is pattern 0 at 10 —
+    // the merged pair must seed the chain, which one-at-a-time greedy
+    // can never do
+    val pats = Seq(
+      TriplePattern(Var("a"), Const("p0"), Var("b")),
+      TriplePattern(Var("b"), Const("p1"), Var("c")),
+      TriplePattern(Var("c"), Const("p2"), Var("d")))
+    val cost = (i: Int) => if (i == 0) 10L else 1000L
+    val pairCost = (i: Int, j: Int) =>
+      if (Set(i, j) == Set(1, 2)) Some(2L) else None
+    assert(BgpPlanner.chainOrder(pats, cost, pairCost) == Seq(1, 2, 0))
+    // merged pair NOT under the cheapest single → classic cheapest seed
+    val bigPair = (i: Int, j: Int) =>
+      if (Set(i, j) == Set(1, 2)) Some(50L) else None
+    assert(BgpPlanner.chainOrder(pats, cost, bigPair) == Seq(0, 1, 2))
+  }
+
+  test("merged-seed plan stays differentially equal to the unmeasured plan") {
+    val q = Sparql.parse(
+      """select ?P ?D ?N where {
+        | ?P worksFor ?D . ?P name ?N . ?S advisor ?P }""".stripMargin)
+    // force the (worksFor, name) pair to seed as a merged subquery
+    val measured = Map(
+      BgpPlanner.pairKey(q.patterns(0), q.patterns(1)) -> 1L,
+      BgpPlanner.patternKey(q.patterns(0)) -> 500L,
+      BgpPlanner.patternKey(q.patterns(1)) -> 500L,
+      BgpPlanner.patternKey(q.patterns(2)) -> 500L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val plain = rows(BgpPlanner.plan(tinyStore, q))
+    val merged = rows(BgpPlanner.plan(tinyStore, q, measured))
+    assert(plain == merged && plain.nonEmpty)
+  }
+
   test("pair-measured join cardinalities override single-pattern chain order") {
     val pats = Seq(
       TriplePattern(Var("x"), Const("p0"), Var("y")),
