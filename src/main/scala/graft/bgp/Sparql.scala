@@ -214,10 +214,72 @@ object Sparql {
   private val limitRe = "(?is)limit\\s+(\\d+)".r
   private val offsetRe = "(?is)offset\\s+(\\d+)".r
 
+  private val prefixDeclRe =
+    "(?is)^\\s*prefix\\s+([A-Za-z][A-Za-z0-9_\\-]*):\\s*<([^>]*)>\\s*".r
+
+  /** SPARQL 1.1 prologue: strip leading `PREFIX ns: <iri>` declarations
+    * and expand every DECLARED prefixed name `ns:local` in the query
+    * body to the full `<iri‖local>` constant. Expansion skips quoted
+    * literals and existing `<...>` IRIs; colon tokens with no matching
+    * declaration stay opaque (the reference's grammar is prefix-free —
+    * QueryPlanner.c:933-999 — and the fixture stores key predicates
+    * like `rdf:type` verbatim, so back-compat matters). Idempotent on
+    * declaration-free queries.
+    */
+  def expandPrefixes(query: String): String = {
+    var rest = query
+    val decls = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var scanning = true
+    while (scanning) prefixDeclRe.findPrefixMatchOf(rest) match {
+      case Some(m) =>
+        decls += (m.group(1) -> m.group(2)); rest = rest.substring(m.end)
+      case None => scanning = false
+    }
+    if (decls.isEmpty) return query
+    val nameRe = ("(?<![\\w?<\\-])(" +
+      decls.keys.map(java.util.regex.Pattern.quote).mkString("|") +
+      "):([A-Za-z0-9_.\\-]+)").r
+    val sb = new StringBuilder
+    var i = 0
+    val n = rest.length
+    while (i < n) {
+      val c = rest.charAt(i)
+      // a '<' opens an IRI only when a whitespace-free '>' follows;
+      // otherwise it is the comparison operator and stays plain text
+      val iriClose =
+        if (c != '<') -1
+        else {
+          val close = rest.indexOf('>', i + 1)
+          if (close >= 0 && !rest.substring(i + 1, close).exists(_.isWhitespace))
+            close
+          else -1
+        }
+      if (c == '"' || iriClose >= 0) {
+        // copy the quoted literal / IRI verbatim
+        val close = if (c == '"') rest.indexOf('"', i + 1) else iriClose
+        val end = if (close < 0) n - 1 else close
+        sb.append(rest.substring(i, end + 1))
+        i = end + 1
+      } else if (c == '<') {
+        sb.append(c)
+        i += 1
+      } else {
+        val candidates = Seq(rest.indexOf('"', i), rest.indexOf('<', i))
+        val end = candidates.filter(_ >= 0).minOption.getOrElse(n)
+        sb.append(nameRe.replaceAllIn(rest.substring(i, end), m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"<${decls(m.group(1))}${m.group(2)}>")))
+        i = end
+      }
+    }
+    sb.toString
+  }
+
   /** Parse the reference subset + extensions. Throws
     * IllegalArgumentException on queries outside the grammar.
     */
-  def parse(query: String): BgpQuery = {
+  def parse(query0: String): BgpQuery = {
+    val query = expandPrefixes(query0)
     // query-global counter for sequence-path intermediates; the prefix
     // is reserved so desugared vars can be told apart from user vars
     val fresh = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -589,7 +651,7 @@ object Sparql {
     * body (so the full grammar applies); the planner reduces it to one
     * boolean row.
     */
-  def parseAsk(query: String): BgpQuery = query match {
+  def parseAsk(query: String): BgpQuery = expandPrefixes(query) match {
     case askRe(rest) => parse(s"select * $rest")
     case _ => throw new IllegalArgumentException(s"not an ASK query: $query")
   }
@@ -598,7 +660,7 @@ object Sparql {
     * triples plus the underlying SELECT over the template's variables.
     */
   def parseConstruct(query: String): (Seq[TriplePattern], BgpQuery) =
-    query match {
+    expandPrefixes(query) match {
       case constructRe(template, rest) =>
         val templates =
           parsePatterns(template, new java.util.concurrent.atomic.AtomicInteger)

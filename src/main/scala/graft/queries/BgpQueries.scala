@@ -685,6 +685,24 @@ object BgpQueries {
              |      FROM supplier GROUP BY 1) sub
              |  ON n_nationkey = sub.k""".stripMargin)),
 
+    // SPARQL 1.1 prologue: PREFIX declarations expand to full-IRI
+    // constants before parsing (Sparql.expandPrefixes). The star
+    // query spelled with prefixed names — `r:type` expands to
+    // `<rdf:type>` = the store's verbatim predicate token — must match
+    // q30's oracle exactly.
+    GQuery(
+      "q130_bgp_prefix",
+      bgp("""PREFIX rdf: <rdf:>
+            |PREFIX t: <>
+            |select ?c ?seg ?nm where {
+            | ?c rdf:type "Customer" .
+            | ?c t:mktsegment ?seg .
+            | ?c t:nationkey ?n .
+            | ?n t:name ?nm .
+            | ?n t:regionkey ?r .
+            | ?r t:name "ASIA" }""".stripMargin),
+      Some(starOracle)),
+
     // twin of q74: var-vs-var ordering FILTER on the encoded store —
     // BOTH sides decode for the lexical comparison, the output
     // projection decodes once more at the edge

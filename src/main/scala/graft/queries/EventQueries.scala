@@ -35,6 +35,24 @@ object EventQueries {
              |FROM events GROUP BY 1, 2""".stripMargin),
       headline = true),
 
+    // distinct aggregation per tumbling window: hourly active users —
+    // Spark plans COUNT(DISTINCT) as the two-phase expand/partial-agg
+    // (dedup shuffles on (window, user), final count on window), so no
+    // window's user set ever materializes on one node
+    GQuery(
+      "q132_window_distinct_users",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").getField("start").as("win_start"))
+          .agg(countDistinct($"user_id").as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  count(*) AS n_events
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // sessionization: 30-min-gap sessions per user (gaps-and-islands)
     GQuery(
       "q35_events_sessionize",

@@ -624,6 +624,30 @@ object TextQueries {
              |SELECT lang, count(*) AS n_kept, CAST(max(cnt) AS BIGINT) AS n_total
              |FROM d JOIN c USING (lang) CROSS JOIN m
              |WHERE bucket * cnt < mn * 1000000
-             |GROUP BY lang""".stripMargin))
+             |GROUP BY lang""".stripMargin)),
+
+    // per-source corpus curation report: the provenance-level view a
+    // crawl pipeline triages by — volume, language spread, exact-dup
+    // rate (md5 fingerprints), and total characters per source. One
+    // hash aggregate; at 100 TB the fingerprint is the same 8-byte-ish
+    // shuffle key every dedup op here uses, and source cardinality is
+    // tiny (output is source-count-sized).
+    GQuery(
+      "q131_source_mix",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("fp", md5($"text".cast("binary")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"lang").as("n_langs"),
+            (count(lit(1)) - countDistinct($"fp")).as("n_exact_dups"),
+            sum($"n_chars").as("total_chars"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY 1""".stripMargin))
   )
 }

@@ -537,6 +537,34 @@ class BgpSpec extends AnyFunSuite {
       == Set(Seq("FullProfessor0", "FullProfessor1")))
   }
 
+  test("PREFIX declarations expand declared names and leave the rest opaque") {
+    // declared prefix → full IRI constant
+    val q = Sparql.parse(
+      """PREFIX x: <http://x#>
+        |select ?A where { ?A x:worksFor <http://dept0> }""".stripMargin)
+    assert(q.patterns.head.p == Const("http://x#worksFor"))
+    assert(q.patterns.head.o == Const("http://dept0"))
+    // undeclared colon tokens stay verbatim (reference grammar parity)
+    val bare = Sparql.parse("select ?A where { ?A rdf:type ?B }")
+    assert(bare.patterns.head.p == Const("rdf:type"))
+    // quoted literals never expand; '<' as comparison survives the scan
+    val mixed = Sparql.parse(
+      """PREFIX a: <urn:>
+        |select ?X ?N where { ?X a:name ?N . ?X a:alias "a:b" .
+        | FILTER (?N < ?X) }""".stripMargin)
+    assert(mixed.patterns.map(_.p).toSet ==
+      Set(Const("urn:name"), Const("urn:alias")))
+    assert(mixed.patterns.exists(_.o == Const("a:b")))
+    assert(mixed.filters.nonEmpty)
+    // end-to-end: empty-base prefix resolves to the store's tokens
+    val out = BgpPlanner.query(tinyStore,
+      """PREFIX g: <>
+        |select ?A ?B where { ?A g:worksFor ?B }""".stripMargin)
+    assert(out.collect().map(_.toSeq).toSet ==
+      BgpPlanner.query(tinyStore,
+        "select ?A ?B where { ?A worksFor ?B }").collect().map(_.toSeq).toSet)
+  }
+
   test("sub-SELECT nested inside a block rejects rather than reinterprets") {
     // hoisting a { SELECT } out of an OPTIONAL would silently turn the
     // left join into an inner join
