@@ -572,7 +572,10 @@ object BgpPlanner {
           val kvs = toDec.flatMap(v => Seq(lit(v): Column, col(v)))
           val long = withId.select(col("__rid"),
             explode(map(kvs: _*)).as(Seq("__var", "__id")))
-          val dec = long.join(dict, long("__id") === dict("id"))
+          // left_outer: a null id (unmatched OPTIONAL) or an id missing
+          // from the dict decodes to null — an inner join would DROP a
+          // row whose decoded columns are all null
+          val dec = long.join(dict, long("__id") === dict("id"), "left_outer")
             .select(col("__rid"), col("__var"), col("value"))
             .groupBy("__rid").pivot("__var", toDec).agg(first(col("value")))
           val passThrough = sel.filter(lexical)

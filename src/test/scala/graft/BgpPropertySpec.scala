@@ -191,6 +191,51 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("encoded decode-on-demand equals the string store (30 random lexical features)") {
+    import spark.implicits._
+    // the string-store planner is brute-force-verified above, so
+    // cross-store equality transitively verifies the encoded path's
+    // targeted dict joins for ordering filters, regex, and BINDs
+    val rnd = new Random(424242L)
+    val ents = Vector("aa", "ab", "bb", "bc", "cd")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 30) {
+      val triples = Seq.fill(4 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val vars = Vector("X", "Y", "Z")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      val patterns = Seq.fill(1 + rnd.nextInt(2))(TriplePattern(
+        pos(), Const(preds(rnd.nextInt(preds.size))), pos()))
+      val qVars = patterns.flatMap(_.vars).distinct
+      if (qVars.nonEmpty) {
+        val v = qVars(rnd.nextInt(qVars.size))
+        val (filters, binds) = rnd.nextInt(3) match {
+          case 0 => (Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
+            v, Seq(">", "<", ">=", "<=")(rnd.nextInt(4)),
+            ents(rnd.nextInt(ents.size)), numeric = false))))), Nil)
+          case 1 => (Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
+            v, "regex", "[ab]b?", numeric = false))))), Nil)
+          case _ => (Nil, Seq(Sparql.Bind("B", Sparql.BConcat(Seq(
+            Sparql.BVar(v), Sparql.BLit("!", numeric = false))))))
+        }
+        val q = BgpQuery((qVars ++ binds.map(_.alias)).distinct, patterns,
+          filters = filters, binds = binds)
+        val str = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+        val enc = TripleStore.encode(str)
+        def run(st: TripleStore): Seq[Seq[Any]] =
+          BgpPlanner.plan(st, q).collect().map(_.toSeq).toSeq
+            .sortBy(_.mkString("|"))
+        val a = run(str)
+        val b = run(enc)
+        assert(a == b,
+          s"round $round: $patterns filters=$filters binds=$binds over $triples\n$a\nvs\n$b")
+      }
+    }
+  }
+
   test("sequence paths and negated sets equal brute force (30 random)") {
     import spark.implicits._
     val rnd = new Random(1080912L)
