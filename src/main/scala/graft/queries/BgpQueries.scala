@@ -685,6 +685,21 @@ object BgpQueries {
              |      FROM supplier GROUP BY 1) sub
              |  ON n_nationkey = sub.k""".stripMargin)),
 
+    // twin of q77: ORDER BY + LIMIT/OFFSET on the encoded store — the
+    // projection decodes at the edge BEFORE the sort, so ordering is
+    // lexical (never id-space) and the limit applies to decoded rows
+    GQuery(
+      "q133_bgp_order_encoded",
+      bgp("""select ?o ?c where {
+            | ?o custkey ?c .
+            | ?o status "F" }
+            |ORDER BY ?o LIMIT 20 OFFSET 5""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('order:', o_orderkey) AS o,
+             |       concat('customer:', o_custkey) AS c
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY concat('order:', o_orderkey) LIMIT 20 OFFSET 5""".stripMargin)),
+
     // SPARQL 1.1 prologue: PREFIX declarations expand to full-IRI
     // constants before parsing (Sparql.expandPrefixes). The star
     // query spelled with prefixed names — `r:type` expands to
