@@ -388,13 +388,53 @@ object BgpPlanner {
           }
       }
     }
+    // A single-conjunct lexical leaf (regex / ordering vs a constant)
+    // on an encoded var plans better as dict-filter + SEMI-join: the
+    // predicate evaluates during the dict scan and the main relation
+    // joins on 8-byte ids without ever materializing strings — the
+    // 100 TB shape. OR-groups and var-vs-var leaves keep the
+    // decode-then-filter path (a semi join can't express them).
+    def semiJoinable(f: FilterExpr): Boolean =
+      store.encoded && !f.rhsVar && !lexical(f.variable) &&
+        (f.op == "regex" || orderingOps(f.op))
+    def dictPred(f: FilterExpr): Column = {
+      val v = col("value")
+      f.op match {
+        case "regex" => v.rlike(f.value)
+        case op =>
+          val l = if (f.numeric) v.cast("double") else v
+          val r: Column =
+            if (f.numeric) lit(f.value.toDouble) else lit(f.value)
+          op match {
+            case ">" => l > r
+            case ">=" => l >= r
+            case "<" => l < r
+            case "<=" => l <= r
+          }
+      }
+    }
     def applyFilters(df: DataFrame, fcs: Seq[FilterClause]): DataFrame =
       fcs.foldLeft(df) { (d, fc) =>
-        val need = fc.disjuncts.flatten.flatMap(lexNeeds).distinct
-        val (dd, lex) = decodeVars(d, need)
-        dd.filter(fc.disjuncts.map(_.map(leafCond(_, lex)).reduce(_ && _))
-            .reduce(_ || _))
-          .drop(need.map(lexName): _*)
+        fc.disjuncts match {
+          case Seq(conjs) if conjs.exists(semiJoinable) =>
+            // conjuncts distribute over sequential filters
+            conjs.foldLeft(d) { (dd, f) =>
+              if (semiJoinable(f)) {
+                val ids = store.dict.get.filter(dictPred(f)).select(col("id"))
+                dd.join(ids, dd(f.variable) === ids("id"), "left_semi")
+              } else {
+                val need = lexNeeds(f)
+                val (d2, lex) = decodeVars(dd, need)
+                d2.filter(leafCond(f, lex)).drop(need.map(lexName): _*)
+              }
+            }
+          case _ =>
+            val need = fc.disjuncts.flatten.flatMap(lexNeeds).distinct
+            val (dd, lex) = decodeVars(d, need)
+            dd.filter(fc.disjuncts.map(_.map(leafCond(_, lex)).reduce(_ && _))
+                .reduce(_ || _))
+              .drop(need.map(lexName): _*)
+        }
       }
 
     val mainChain =

@@ -535,6 +535,11 @@ class BgpSpec extends AnyFunSuite {
     assert(both("""select ?N1 ?N2 where { ?A name ?N1 . ?B name ?N2 .
       | FILTER (?N1 < ?N2) }""".stripMargin)
       == Set(Seq("FullProfessor0", "FullProfessor1")))
+    // OPTIONAL null bindings survive the edge decode (left_outer dict
+    // join — an inner join would drop a row whose decoded columns are
+    // all null); prof:2 has no email
+    assert(both("""select ?E where { ?A worksFor dept:1 .
+      | OPTIONAL { ?A email ?E } }""".stripMargin) == Set(Seq(null)))
   }
 
   test("PREFIX declarations expand declared names and leave the rest opaque") {

@@ -257,6 +257,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("encoded-store regex filter plans as dict-filter + semi join") {
+    val df = SparkEntry.queries("q126_bgp_regex_encoded")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate evaluates during the dict scan; the solution side
+    // joins on 8-byte ids and never materializes the filtered strings
+    assert(plan.contains("LeftSemi"),
+      s"expected the lexical filter as a dict semi join in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("guarded broadcast measures the set and falls back to shuffle join") {
     import spark.implicits._
     val dim = spark.range(500)
