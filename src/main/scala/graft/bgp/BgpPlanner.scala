@@ -550,11 +550,42 @@ object BgpPlanner {
       else {
         val spark = joined.sparkSession
         import spark.implicits._
-        val inline = consts.toDF("__raw")
-          .select((if (store.encoded) xxhash64(col("__raw"))
-                   else col("__raw")).as(v))
+        // an unbound VALUES var binds constants that may not be store
+        // terms: keep them lexical and skip the edge decode
+        lexical += v
+        val inline = consts.toDF("__raw").select(col("__raw").as(v))
         joined = joined.crossJoin(inline)
       }
+    }
+
+    // multi-variable VALUES (SPARQL §10.2): an inline constant TABLE
+    // joined on whatever vars the solution already binds (restriction)
+    // while unbound vars bind from the table. The table is
+    // row-count-sized — Catalyst folds it to a LocalRelation and
+    // broadcasts the join.
+    for ((vs, rows) <- q.valuesTables) {
+      val spark = joined.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(vs.map(v =>
+        org.apache.spark.sql.types.StructField(v,
+          org.apache.spark.sql.types.StringType)))
+      import scala.jdk.CollectionConverters._
+      val inline0 = spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+      val common = vs.filter(joined.columns.toSet)
+      // encoded store: JOIN columns encode to id space; unbound
+      // columns keep their lexical constants (they may not be store
+      // terms at all) and are marked computed so the edge decode
+      // passes them through
+      val inline =
+        if (store.encoded) {
+          val commonSet = common.toSet
+          lexical ++= vs.filterNot(commonSet)
+          inline0.select(vs.map(v =>
+            if (commonSet(v)) xxhash64(col(v)).as(v) else col(v)): _*)
+        } else inline0
+      joined =
+        if (common.nonEmpty) joined.join(inline, common, "inner")
+        else joined.crossJoin(inline)
     }
 
     // BIND clauses: sequential projections (SPARQL §10.1) — a

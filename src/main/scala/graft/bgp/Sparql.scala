@@ -167,11 +167,17 @@ object Sparql {
       // nested `{ SELECT ... }` sub-SELECTs (SPARQL 1.1 §12): each is
       // evaluated independently and natural-joined into the outer
       // solution on its projected variables
-      subqueries: Seq[BgpQuery] = Nil)
+      subqueries: Seq[BgpQuery] = Nil,
+      // multi-variable `VALUES (?a ?b) { (c1 c2) ... }` inline tables
+      // (SPARQL 1.1 §10.2): each is (vars, rows); bound vars restrict,
+      // unbound vars bind via the join
+      valuesTables: Seq[(Seq[String], Seq[Seq[String]])] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
+  private val valuesTupleRe =
+    "(?is)values\\s*\\(((?:\\s*\\?\\w+)+)\\s*\\)\\s*\\{([^}]*)\\}".r
   private val unionChainRe = "(?is)\\{[^{}]*\\}(?:\\s*union\\s*\\{[^{}]*\\})+".r
   private val braceBlockRe = "(?s)\\{([^{}]*)\\}".r
   // a FILTER body may contain one level of aggregate-free parens-less
@@ -420,8 +426,28 @@ object Sparql {
     existsFilters.foreach { case (_, pats) =>
       require(pats.nonEmpty, s"empty EXISTS block: $query") }
     val body0a = existsRe.replaceAllIn(body0ex, "")
+    // VALUES (?a ?b) { (c1 c2) ... }: inline constant TABLES — must
+    // extract before the single-var form (whose regex would not match
+    // the parenthesized var list but could misread the row braces)
+    val valuesTables = valuesTupleRe.findAllMatchIn(body0a).map { m =>
+      val vs = "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      val rows = "\\(([^()]*)\\)".r.findAllMatchIn(m.group(2)).map { r =>
+        val consts = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(r.group(1)).toSeq
+          .map(term).map {
+            case Const(c) => c
+            case other => throw new IllegalArgumentException(
+              s"VALUES entries must be constants, got $other")
+          }
+        require(consts.size == vs.size,
+          s"VALUES row arity ${consts.size} != ${vs.size} vars: $query")
+        consts
+      }.toSeq
+      require(rows.nonEmpty, s"empty VALUES block: $query")
+      (vs, rows)
+    }.toSeq
+    val body0av = valuesTupleRe.replaceAllIn(body0a, "")
     // VALUES ?v { c1 c2 ... }: inline constant bindings for one var
-    val valuesBinds = valuesRe.findAllMatchIn(body0a).map { m =>
+    val valuesBinds = valuesRe.findAllMatchIn(body0av).map { m =>
       val consts = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(m.group(2)).toSeq
         .map(term).map {
           case Const(c) => c
@@ -431,7 +457,7 @@ object Sparql {
       require(consts.nonEmpty, s"empty VALUES block: $query")
       m.group(1) -> consts
     }.toSeq
-    val body0b = valuesRe.replaceAllIn(body0a, "")
+    val body0b = valuesRe.replaceAllIn(body0av, "")
     val minusBlocks = minusRe.findAllMatchIn(body0b).map { m =>
       val (rest, fs) = extractFilters(m.group(1))
       (parsePatterns(rest), fs)
@@ -496,6 +522,7 @@ object Sparql {
     val known =
       (patterns ++ optionals.flatten ++ unions.flatten.flatten)
         .flatMap(_.vars).toSet ++ valuesBinds.map(_._1) ++
+        valuesTables.flatMap(_._1) ++
         // a subquery exports exactly its projection (group keys and
         // aggregate aliases included) to the outer scope
         subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
@@ -555,7 +582,7 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
-      binds, subqueries)
+      binds, subqueries, valuesTables)
   }
 
   /** Scan for `{ SELECT ... }` blocks with balanced-brace matching;

@@ -685,6 +685,24 @@ object BgpQueries {
              |      FROM supplier GROUP BY 1) sub
              |  ON n_nationkey = sub.k""".stripMargin)),
 
+    // multi-variable VALUES (SPARQL 1.1 §10.2): an inline constant
+    // table — the bound var (?nm) restricts the chain, the unbound var
+    // (?cap) binds from the table; a row naming a nonexistent nation
+    // simply doesn't join
+    GQuery(
+      "q134_bgp_values_table",
+      bgp("""select ?n ?nm ?cap where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | VALUES (?nm ?cap) {
+            |   ("NATION_3" "C3") ("NATION_7" "C7") ("NATION_31" "C31") } }"""
+        .stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm, cap
+             |FROM nation
+             |JOIN (VALUES ('NATION_3', 'C3'), ('NATION_7', 'C7'),
+             |      ('NATION_31', 'C31')) AS v(nm, cap)
+             |  ON n_name = v.nm""".stripMargin)),
+
     // twin of q77: ORDER BY + LIMIT/OFFSET on the encoded store — the
     // projection decodes at the edge BEFORE the sort, so ordering is
     // lexical (never id-space) and the limit applies to decoded rows

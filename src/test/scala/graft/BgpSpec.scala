@@ -570,6 +570,27 @@ class BgpSpec extends AnyFunSuite {
         "select ?A ?B where { ?A worksFor ?B }").collect().map(_.toSeq).toSet)
   }
 
+  test("multi-variable VALUES joins bound vars and binds unbound ones") {
+    // ?D bound by the pattern (restricts), ?T unbound (binds)
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?D ?T where { ?A worksFor ?D .
+        | VALUES (?D ?T) { ("dept:0" "eng") ("dept:9" "ghost") } }"""
+        .stripMargin)
+    assert(out.collect().map(_.toSeq).toSet == Set(
+      Seq("prof:0", "dept:0", "eng"), Seq("prof:1", "dept:0", "eng")))
+    // the encoded store joins the same table in id space
+    val enc = BgpPlanner.query(TripleStore.encode(tinyStore),
+      """select ?A ?D ?T where { ?A worksFor ?D .
+        | VALUES (?D ?T) { ("dept:0" "eng") ("dept:9" "ghost") } }"""
+        .stripMargin)
+    assert(enc.collect().map(_.toSeq).toSet == Set(
+      Seq("prof:0", "dept:0", "eng"), Seq("prof:1", "dept:0", "eng")))
+    // arity mismatch rejects
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A worksFor ?D .
+        | VALUES (?D ?T) { ("dept:0") } }""".stripMargin))
+  }
+
   test("sub-SELECT nested inside a block rejects rather than reinterprets") {
     // hoisting a { SELECT } out of an OPTIONAL would silently turn the
     // left join into an inner join
