@@ -53,6 +53,28 @@ object EventQueries {
              |  count(*) AS n_events
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // the stream-STREAM interval join (StreamOps.attributionJoin) run
+    // over the batch table — the SAME transform backs the Structured
+    // Streaming path (symmetric-hash-join state, watermark-bounded on
+    // both sides; StreamSpec drives it through two MemoryStreams),
+    // here DuckDB-verified as a plain interval join
+    GQuery(
+      "q135_stream_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        graft.streaming.StreamOps.attributionJoin(ev, ev)
+          .select($"user_id", $"view_id", $"click_id",
+            (unix_micros($"cts") - unix_micros($"vts")).as("gap_us"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+             |FROM events v JOIN events c
+             |  ON c.user_id = v.user_id AND c.event_type = 'click'
+             |  AND epoch_us(c.ts) > epoch_us(v.ts)
+             |  AND epoch_us(c.ts) <= epoch_us(v.ts) + CAST(3600 AS BIGINT) * 1000000
+             |WHERE v.event_type = 'view'""".stripMargin)),
+
     // sessionization: 30-min-gap sessions per user (gaps-and-islands)
     GQuery(
       "q35_events_sessionize",

@@ -161,6 +161,38 @@ object StreamOps {
         col("kept_chunks"))
   }
 
+  /** Stream-STREAM interval join (click attribution): each view joins
+    * the clicks of the same user landing in `(vts, vts + window]` —
+    * both sides are unbounded streams, so this exercises Spark's
+    * symmetric-hash-join state store, not the broadcast path of the
+    * stream-static join above. The watermarks plus the time-range
+    * conjunct give the state store an eviction bound on BOTH sides: a
+    * buffered view can be dropped once the click watermark passes
+    * `vts + window`, a buffered click once the view watermark passes
+    * its `cts` (Structured Streaming derives these bounds from the
+    * join condition — state is O(in-flight window), not O(stream)).
+    * `joinType` "inner" emits matches as they arrive; "leftOuter"
+    * additionally emits null-extended views once their window is
+    * provably closed by the watermark.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      window: String = "1 hour", allowed: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+      .withWatermark("vts", allowed)
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", allowed)
+    v.join(c,
+      expr(s"user_id = cu AND cts > vts AND cts <= vts + interval $window"),
+      joinType)
+      .select(col("user_id"), col("view_id"), col("vts"),
+        col("click_id"), col("cts"))
+  }
+
   /** Per-user funnel state: current stage (1 = viewed, 2 = clicked)
     * and its timestamps. Public — private case classes break the
     * generated encoder constructors.

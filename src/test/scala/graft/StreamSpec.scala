@@ -184,6 +184,58 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionJoin joins two streams within the interval (symmetric state)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val vs = MemoryStream[Event]
+    val cs = MemoryStream[Event]
+    val q = StreamOps.attributionJoin(vs.toDF(), cs.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      vs.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:00:00", 2, "view"))
+      cs.addData(
+        // user 1: one click inside the hour, one outside
+        ev(10, "2024-01-01 10:30:00", 1, "click"),
+        ev(11, "2024-01-01 12:30:00", 1, "click"),
+        // user 3: click with no view
+        ev(12, "2024-01-01 10:15:00", 3, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select($"user_id", $"view_id", $"click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("attributionJoin leftOuter emits unmatched views after the watermark closes them") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val vs = MemoryStream[Event]
+    val cs = MemoryStream[Event]
+    val q = StreamOps.attributionJoin(vs.toDF(), cs.toDF(),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      vs.addData(ev(1, "2024-01-01 10:00:00", 1, "view"))
+      cs.addData(ev(10, "2024-01-01 10:30:00", 2, "click"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past vts + window + allowed so the
+      // unmatched view's join window provably closed
+      vs.addData(ev(2, "2024-01-01 20:00:00", 9, "view"))
+      cs.addData(ev(11, "2024-01-01 20:00:00", 9, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select($"view_id", $"click_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, None)),
+        s"expected the null-extended view after watermark close, got $rows")
+    } finally q.stop()
+  }
+
   test("sessionAggs (native session_window) merges events under the gap") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
