@@ -321,7 +321,8 @@ object EventQueries {
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_funnels"))
       },
-      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS vts FROM events
+      headline = true,
+      oracle = Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS vts FROM events
              |           WHERE event_type = 'view'),
              |c AS (SELECT user_id, epoch_us(ts) AS cts FROM events
              |      WHERE event_type = 'click'),
