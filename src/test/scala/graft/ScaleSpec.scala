@@ -269,30 +269,30 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("guarded broadcast measures the set and falls back to shuffle join") {
-    import spark.implicits._
-    val dim = spark.range(500)
+    // isolated session: the threshold flips must not race suites that
+    // share the cached session
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val dim = s2.range(500)
       .select($"id".as("k"), concat(lit("v"), $"id").as("v"))
-    val fact = spark.range(5000).select(($"id" % 500).as("k"))
+    val fact = s2.range(5000).select(($"id" % 500).as("k"))
     val key = "spark.sql.autoBroadcastJoinThreshold"
-    val old = spark.conf.get(key)
-    try {
-      // generous threshold: the measured set fits, hint applies
-      spark.conf.set(key, "10MB")
-      val wide = fact.join(graft.scale.GuardedBroadcast.maybe(dim), Seq("k"))
-      assert(wide.queryExecution.executedPlan.toString.contains("Broadcast"),
-        "expected the broadcast hint under a generous threshold")
-      // 1-byte threshold: nothing fits — the guard withholds the hint
-      // and the SAME query runs as a shuffle join with equal results
-      spark.conf.set(key, "1")
-      val narrow = fact.join(graft.scale.GuardedBroadcast.maybe(dim), Seq("k"))
-      assert(!narrow.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
-        "expected the guard to withhold the broadcast hint")
-      val a = wide.groupBy($"k").count().collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val b = narrow.groupBy($"k").count().collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(a == b && a.size == 500)
-    } finally spark.conf.set(key, old)
+    // generous threshold: the measured set fits, hint applies
+    s2.conf.set(key, "10MB")
+    val wide = fact.join(graft.scale.GuardedBroadcast.maybe(dim), Seq("k"))
+    assert(wide.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "expected the broadcast hint under a generous threshold")
+    // 1-byte threshold: nothing fits — the guard withholds the hint
+    // and the SAME query runs as a shuffle join with equal results
+    s2.conf.set(key, "1")
+    val narrow = fact.join(graft.scale.GuardedBroadcast.maybe(dim), Seq("k"))
+    assert(!narrow.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected the guard to withhold the broadcast hint")
+    val a = wide.groupBy($"k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = narrow.groupBy($"k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.size == 500)
   }
 
   test("funnel stages run through the native RangeJoin, no candidate-pair join") {
