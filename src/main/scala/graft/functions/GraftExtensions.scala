@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planner strategies
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    // optimizer-side interval-join detection: the composable inner
+    // spelling (key equi + strict lower + inclusive upper bound)
+    // plans as the native merge exec without the explicit API
+    ext.injectPlannerStrategy(_ => graft.plans.RangeJoinAutoStrategy)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
