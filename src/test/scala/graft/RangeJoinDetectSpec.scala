@@ -100,6 +100,32 @@ class RangeJoinDetectSpec extends AnyFunSuite {
       expected(left, right).filterNot(_.last == "r2"))
   }
 
+  test("auto-detected merge equals the hash join on random data (10 rounds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    for (round <- 0 until 10) {
+      def maybeNull(v: Long): java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else Long.box(v)
+      val l = Seq.fill(30 + rnd.nextInt(40))(
+        (maybeNull(rnd.nextInt(6).toLong), maybeNull(rnd.nextInt(1000).toLong)))
+        .zipWithIndex.map { case ((k, lo), i) => (k, lo, i.toLong) }
+        .toDF("k", "lo", "lid")
+      val r = Seq.fill(30 + rnd.nextInt(40))(
+        (maybeNull(rnd.nextInt(6).toLong), maybeNull(rnd.nextInt(1200).toLong)))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("rk", "t", "rid")
+      val w = 50L + rnd.nextInt(300)
+      val cond = col("k") === col("rk") && col("t") > col("lo") &&
+        col("t") <= col("lo") + lit(w)
+      val auto = l.join(r, cond)
+      assert(auto.queryExecution.executedPlan.toString.contains("RangeJoin"))
+      val base = l.join(broadcast(r), cond) // hint disables detection
+      val a = auto.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val b = base.select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(a == b, s"round $round (w=$w): ${a.diff(b)} vs ${b.diff(a)}")
+    }
+  }
+
   test("the spelled q37 shape (inner variant) goes native end to end") {
     import spark.implicits._
     val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
