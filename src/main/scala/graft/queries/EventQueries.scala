@@ -75,6 +75,33 @@ object EventQueries {
              |  AND epoch_us(c.ts) <= epoch_us(v.ts) + CAST(3600 AS BIGINT) * 1000000
              |WHERE v.event_type = 'view'""".stripMargin)),
 
+    // the same interval join through the SQL FRONT DOOR: plain
+    // `spark.sql` text over a temp view — the planner-strategy
+    // detection acts on the logical plan, so SQL text reaches the
+    // native RangeJoinExec exactly like the DataFrame spelling
+    // (RangeJoinDetectSpec asserts the plan; same oracle as q135)
+    GQuery(
+      "q136_sql_interval_native",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_v")
+        s.sql("""
+          SELECT v.user_id, v.view_id, c.click_id, c.cts - v.vts AS gap_us
+          FROM (SELECT user_id, event_id AS view_id, unix_micros(ts) AS vts
+                FROM events_v WHERE event_type = 'view') v
+          JOIN (SELECT user_id AS cu, event_id AS click_id,
+                  unix_micros(ts) AS cts
+                FROM events_v WHERE event_type = 'click') c
+            ON v.user_id = c.cu
+            AND c.cts > v.vts AND c.cts <= v.vts + 3600000000""")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+             |FROM events v JOIN events c
+             |  ON c.user_id = v.user_id AND c.event_type = 'click'
+             |  AND epoch_us(c.ts) > epoch_us(v.ts)
+             |  AND epoch_us(c.ts) <= epoch_us(v.ts) + CAST(3600 AS BIGINT) * 1000000
+             |WHERE v.event_type = 'view'""".stripMargin)),
+
     // sessionization: 30-min-gap sessions per user (gaps-and-islands)
     GQuery(
       "q35_events_sessionize",

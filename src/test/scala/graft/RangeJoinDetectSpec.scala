@@ -126,6 +126,14 @@ class RangeJoinDetectSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-text interval joins reach the native exec (q136)") {
+    val df = SparkEntry.queries("q136_sql_interval_native")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"),
+      s"expected the SQL front door to auto-detect in:\n$plan")
+  }
+
   test("the spelled q37 shape (inner variant) goes native end to end") {
     import spark.implicits._
     val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
