@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SparkPlan, SparkStrategy}
 
@@ -52,6 +52,20 @@ object RangeJoinAutoStrategy extends SparkStrategy with PredicateHelper {
               inner) :: Nil
           else inner :: Nil
         case None => Nil
+      }
+    // the LEFT-OUTER spelling maps onto the exec DIRECTLY (it IS a
+    // left-outer merge): unmatched lefts null-extend, exactly SQL's
+    // left-join semantics. Only the unswapped orientation applies —
+    // the outer side must be the bounds side.
+    case Join(left, right, LeftOuter, Some(cond), hint)
+        if hint.leftHint.isEmpty && hint.rightHint.isEmpty &&
+          !left.isStreaming && !right.isStreaming =>
+      detect(left, right, cond) match {
+        case Some((boundsKey, onKey, lo, hi, on, false)) =>
+          RangeJoinExec(planLater(left), planLater(right),
+            lo, hi, boundsKey, onKey, on,
+            left.output ++ right.output.map(_.withNullability(true))) :: Nil
+        case _ => Nil
       }
     case _ => Nil
   }

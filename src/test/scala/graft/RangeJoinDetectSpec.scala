@@ -79,11 +79,12 @@ class RangeJoinDetectSpec extends AnyFunSuite {
       col("k") === col("rk") && col("t") > col("lo") &&
         col("t") < col("lo") + lit(100L))
     assert(!strict.queryExecution.executedPlan.toString.contains("RangeJoin"))
-    // left-outer spelling keeps the explicit API path
-    val outer = left.join(right,
+    // swapped left-outer (bounds on the inner side) can't be a merge
+    // left-outer — stays on the built-in planner
+    val outerSwapped = right.join(left,
       col("k") === col("rk") && col("t") > col("lo") &&
         col("t") <= col("lo") + lit(100L), "left_outer")
-    assert(!outer.queryExecution.executedPlan.toString.contains("RangeJoin"))
+    assert(!outerSwapped.queryExecution.executedPlan.toString.contains("RangeJoin"))
     // an extra TWO-SIDED conjunct can't be pushed out of the join
     // condition, so the shape no longer matches (a single-side extra
     // predicate, by contrast, pushes into the child and detection
@@ -124,6 +125,20 @@ class RangeJoinDetectSpec extends AnyFunSuite {
       val b = base.select($"lid", $"rid").as[(Long, Long)].collect().toSet
       assert(a == b, s"round $round (w=$w): ${a.diff(b)} vs ${b.diff(a)}")
     }
+  }
+
+  test("the left-outer spelling maps onto the exec directly") {
+    val (left, right) = sides
+    val cond = col("k") === col("rk") && col("t") > col("lo") &&
+      col("t") <= col("lo") + lit(100L)
+    val outer = left.join(right, cond, "left_outer")
+    val plan = outer.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"),
+      s"expected the left-outer spelling to go native in:\n$plan")
+    val base = left.join(broadcast(right), cond, "left_outer")
+    assert(!base.queryExecution.executedPlan.toString.contains("RangeJoin"))
+    assert(outer.collect().map(_.toSeq.toVector: Seq[Any]).toSet ==
+      base.collect().map(_.toSeq.toVector: Seq[Any]).toSet)
   }
 
   test("SQL-text interval joins reach the native exec (q136)") {
