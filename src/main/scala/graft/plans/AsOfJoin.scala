@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Pro
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.DataType
 
@@ -99,7 +100,12 @@ final case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val byOrd = ordFor(leftBy.dataType)
@@ -160,6 +166,7 @@ final case class AsOfJoinExec(
             }
             joined(lRow, if (matched) best else nullRight)
           }
+          numOutputRows += 1
           project(joined)
         }
       }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Pro
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.DataType
 
@@ -98,7 +99,12 @@ final case class RangeJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val byOrd = ordFor(leftBy.dataType)
@@ -194,7 +200,9 @@ final case class RangeJoinExec(
         }
       }
 
-      lIter.flatMap(l => expand(l.copy()))
+      lIter.flatMap(l => expand(l.copy())).map { row =>
+        numOutputRows += 1; row
+      }
     }
   }
 
