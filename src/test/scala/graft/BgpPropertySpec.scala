@@ -236,6 +236,36 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("VALUES tables equal across string and encoded stores (20 random)") {
+    import spark.implicits._
+    // bound columns restrict in id space, unbound columns bind
+    // lexically — the two stores must agree exactly
+    val rnd = new Random(31337L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 20) {
+      val triples = Seq.fill(4 + rnd.nextInt(8))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val pat = TriplePattern(Var("X"), Const(preds(rnd.nextInt(preds.size))),
+        Var("Y"))
+      // rows over a bound var (X) and a fresh var (T); some rows name
+      // entities absent from the store
+      val rows = Seq.fill(1 + rnd.nextInt(3))(Seq(
+        if (rnd.nextBoolean()) ents(rnd.nextInt(ents.size)) else s"ghost$round",
+        s"tag${rnd.nextInt(3)}"))
+      val q = BgpQuery(Seq("X", "Y", "T"), Seq(pat),
+        valuesTables = Seq((Seq("X", "T"), rows)))
+      val str = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      def run(st: TripleStore): Seq[Seq[Any]] =
+        BgpPlanner.plan(st, q).collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+      val a = run(str)
+      val b = run(TripleStore.encode(str))
+      assert(a == b, s"round $round: rows=$rows over $triples\n$a\nvs\n$b")
+    }
+  }
+
   test("sequence paths and negated sets equal brute force (30 random)") {
     import spark.implicits._
     val rnd = new Random(1080912L)
