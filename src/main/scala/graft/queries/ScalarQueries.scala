@@ -46,6 +46,52 @@ object ScalarQueries {
              |  TRUE AS hll_ok, TRUE AS tdigest_ok
              |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // Bloom-filter semi-join pruning — the runtime-filter pattern a
+    // distributed engine uses to pre-filter a fact scan against a dim
+    // predicate without shuffling the dim. Spark keeps
+    // BloomFilterAggregate/BloomFilterMightContain internal (it
+    // injects them itself for runtime filtering); here they are
+    // reused directly as catalyst expressions — native codegen'd
+    // machinery, no UDF. The sketch is bits-sized and collected once
+    // to the driver (exactly how a runtime filter broadcasts), then
+    // probes the fact side as a constant. Bloom guarantees NO false
+    // negatives (hard assertion) and the sized-for-10× bit budget
+    // makes the false-positive allowance generous; like q67, the
+    // oracle checks exact values plus boolean bounds pinned to TRUE.
+    GQuery(
+      "q137_bloom_prune",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graftshim.GraftShim
+        val rich = t(s, dir, "customer")
+          .filter($"c_acctbal" > 5000).select($"c_custkey")
+        val sketch = GraftShim.column(new BloomFilterAggregate(
+          UnresolvedAttribute("c_custkey"), Literal(200000L), Literal(1600000L))
+          .toAggregateExpression())
+        val bytes = rich.agg(sketch.as("f")).head.getAs[Array[Byte]]("f")
+        val probe = GraftShim.column(BloomFilterMightContain(
+          Literal(bytes), UnresolvedAttribute("o_custkey")))
+        t(s, dir, "orders").select($"o_custkey", probe.as("h"))
+          .join(rich.select($"c_custkey".as("o_custkey"), lit(1L).as("m")),
+            Seq("o_custkey"), "left_outer")
+          .agg(
+            sum(when($"m".isNotNull, 1L).otherwise(0L)).as("exact_in"),
+            (sum(when($"m".isNotNull && !$"h", 1L).otherwise(0L)) === 0L)
+              .as("no_false_negatives"),
+            (sum(when($"h", 1L).otherwise(0L)) <=
+              sum(when($"m".isNotNull, 1L).otherwise(0L)) +
+                count(lit(1)) * 0.01 + 10).as("fp_within_bound"))
+      },
+      Some("""SELECT CAST(count(CASE WHEN c_custkey IS NOT NULL THEN 1 END) AS BIGINT)
+             |    AS exact_in,
+             |  TRUE AS no_false_negatives, TRUE AS fp_within_bound
+             |FROM orders LEFT JOIN
+             |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) r
+             |  ON o_custkey = r.c_custkey""".stripMargin)),
+
     // string functions: substring / upper / lower / concat / length / trim / replace
     GQuery(
       "q19_string_funcs",

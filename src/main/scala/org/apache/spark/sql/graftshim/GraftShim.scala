@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Wrap a catalyst Expression as a user-facing Column (the `Column`
+    * constructor is `private[sql]`).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
