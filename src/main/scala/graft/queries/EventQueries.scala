@@ -206,7 +206,11 @@ object EventQueries {
              |  WHERE p.event_type = 'purchase')
              |WHERE rn = 1""".stripMargin)),
 
-    // range (interval) join: activity in the hour after each signup
+    // range (interval) join: activity in the hour after each signup.
+    // Spelled composably (left-outer equi + time bounds) — since round
+    // 4 the RangeJoinAutoStrategy detects this shape and plans the
+    // native merge exec anyway (RangeJoinDetectSpec pins it), so the
+    // spelled and native (q93) variants share one physical plan.
     GQuery(
       "q37_events_range_join",
       (s, dir) => {
