@@ -95,6 +95,11 @@ final case class RangeJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // the merge emits left rows in their sorted order (flatMap preserves
+  // it), so downstream sorts on (by, lo) can be elided
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftLo, Ascending))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
