@@ -397,6 +397,50 @@ object DedupQueries {
               |FROM tr JOIN ev ON tr.s = ev.s
               |GROUP BY 1""".stripMargin)),
 
+    // contamination attribution: q94's eval-overlap detection rolled
+    // up to the SOURCE dimension — "which crawl feeds leak eval data",
+    // the report that decides whether a source is quarantined. Same
+    // banded candidate join (only shuffle), then a doc-level flag
+    // aggregated per source; output is source-count-sized.
+    GQuery(
+      "q138_contamination_by_source",
+      (s, dir) => {
+        import s.implicits._
+        val sb = shingleBand(s, dir)
+        val split = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            (h32(concat($"doc_id".cast("string"), lit(":eval"))) % 10 === 0)
+              .as("is_eval"))
+        val tagged = sb.join(split.select($"doc_id", $"is_eval"), Seq("doc_id"))
+        val evalKeys = tagged.filter($"is_eval").select($"k").distinct()
+        val contaminated = tagged.filter(!$"is_eval")
+          .join(evalKeys, Seq("k"))
+          .select($"doc_id").distinct()
+          .withColumn("c", lit(1L))
+        split.filter(!$"is_eval")
+          .join(contaminated, Seq("doc_id"), "left_outer")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(when($"c".isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |sp AS (SELECT d.doc_id, d.source,
+              |         CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':eval')), 1, 8)) AS BIGINT) % 10 = 0 AS is_eval
+              |       FROM documents d),
+              |evk AS (SELECT DISTINCT shf.s FROM shf JOIN sp USING (doc_id)
+              |        WHERE is_eval),
+              |cont AS (SELECT DISTINCT shf.doc_id FROM shf
+              |         JOIN sp USING (doc_id)
+              |         JOIN evk ON shf.s = evk.s
+              |         WHERE NOT is_eval)
+              |SELECT source, count(*) AS n_train,
+              |  CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_contaminated
+              |FROM sp LEFT JOIN cont USING (doc_id)
+              |WHERE NOT is_eval
+              |GROUP BY 1""".stripMargin)),
+
     // fuzzy (edit-distance) dedup: banded candidates verified by
     // Levenshtein over 64-char prefixes. The O(n·m) distance runs ONLY
     // on candidate pairs from the shingle band join, and the fixed
