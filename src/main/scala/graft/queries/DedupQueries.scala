@@ -441,6 +441,43 @@ object DedupQueries {
               |WHERE NOT is_eval
               |GROUP BY 1""".stripMargin)),
 
+    // cross-source mirroring: which pairs of feeds carry NEAR-duplicate
+    // content — the "these two crawls mirror each other" report that
+    // triggers source-level dedup policy. Candidates come from the
+    // df-capped shingle band join (the family's only shuffle; never
+    // all-pairs), doc pairs need ≥ 3 shared banded shingles to count
+    // as a mirror, and the rollup is source-pair-sized.
+    GQuery(
+      "q139_source_mirrors",
+      (s, dir) => {
+        import s.implicits._
+        val src = t(s, dir, "documents").select($"doc_id", $"source")
+        val tagged = shingleBand(s, dir).join(src, Seq("doc_id"))
+        tagged.as("a").join(tagged.as("b"),
+            col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 3)
+          .groupBy($"src_a", $"src_b")
+          .agg(count(lit(1)).as("n_doc_pairs"),
+            max($"shared").as("max_shared_shingles"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |tg AS (SELECT shf.s, shf.doc_id, d.source
+              |       FROM shf JOIN documents d USING (doc_id)),
+              |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+              |            a.source AS src_a, b.source AS src_b,
+              |            count(*) AS shared
+              |          FROM tg a JOIN tg b
+              |            ON a.s = b.s AND a.source < b.source
+              |          GROUP BY 1, 2, 3, 4
+              |          HAVING count(*) >= 3)
+              |SELECT src_a, src_b, count(*) AS n_doc_pairs,
+              |  CAST(max(shared) AS BIGINT) AS max_shared_shingles
+              |FROM pairs GROUP BY 1, 2""".stripMargin)),
+
     // fuzzy (edit-distance) dedup: banded candidates verified by
     // Levenshtein over 64-char prefixes. The O(n·m) distance runs ONLY
     // on candidate pairs from the shingle band join, and the fixed
