@@ -685,6 +685,26 @@ object BgpQueries {
              |      FROM supplier GROUP BY 1) sub
              |  ON n_nationkey = sub.k""".stripMargin)),
 
+    // twin of q103: aggregates over DECODED values on the encoded
+    // store — group keys and aggregate inputs decode before the
+    // partial aggregation (ids would GROUP_CONCAT/SAMPLE wrongly),
+    // HAVING applies after; same oracle as q103
+    GQuery(
+      "q140_bgp_group_concat_encoded",
+      bgp("""select ?nm (count(?c) as ?nc) (group_concat(?seg) as ?segs)
+            |  (sample(?seg) as ?aseg) where {
+            | ?c rdf:type "Customer" .
+            | ?c nationkey ?n .
+            | ?c mktsegment ?seg .
+            | ?n name ?nm }
+            |group by ?nm having (?nc >= 55)""".stripMargin,
+        encoded = true),
+      Some("""SELECT n_name AS nm, count(*) AS nc,
+             |  string_agg(c_mktsegment, ' ' ORDER BY c_mktsegment) AS segs,
+             |  min(c_mktsegment) AS aseg
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name HAVING count(*) >= 55""".stripMargin)),
+
     // multi-variable VALUES (SPARQL 1.1 §10.2): an inline constant
     // table — the bound var (?nm) restricts the chain, the unbound var
     // (?cap) binds from the table; a row naming a nonexistent nation

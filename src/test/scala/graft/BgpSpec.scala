@@ -540,6 +540,13 @@ class BgpSpec extends AnyFunSuite {
     // all null); prof:2 has no email
     assert(both("""select ?E where { ?A worksFor dept:1 .
       | OPTIONAL { ?A email ?E } }""".stripMargin) == Set(Seq(null)))
+    // a multi-conjunct single-disjunct clause folds each leaf through
+    // its own route: the var-constant ordering leaf semi-joins the
+    // filtered dict, the var-var leaf decodes both sides
+    assert(both("""select ?N ?E where { ?A name ?N . ?A email ?E .
+      | FILTER (?E > ?N && ?E <= "q") }""".stripMargin)
+      == Set(Seq("p0@u.edu", "FullProfessor0"), // (E, N): lexicographic canon
+             Seq("p1@u.edu", "FullProfessor1")))
   }
 
   test("PREFIX declarations expand declared names and leave the rest opaque") {
