@@ -104,20 +104,28 @@ final case class AsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
       "number of output rows"))
 
+  /** UnsafeRow-tight merge: each side's (by, on) keys evaluate through
+    * ONE generated [[UnsafeProjection]] (codegen, not interpreted
+    * `eval`), comparisons are primitive field-wise [[FieldCmp]] ops
+    * with no boxing, the best-match row keeps its extracted key row so
+    * nothing is ever re-evaluated, and left rows are never copied (the
+    * output projection consumes them before the iterator advances).
+    */
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
-    val byOrd = ordFor(leftBy.dataType)
-    val onOrd = ordFor(leftOn.dataType)
+    val byDt = leftBy.dataType
+    val onDt = leftOn.dataType
     val outAttrs = output
     val (lOnE, lByE) = (leftOn, leftBy)
     val (rOnE, rByE) = (rightOn, rightBy)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lOn = BindReferences.bindReference(lOnE, lOut)
-      val lBy = BindReferences.bindReference(lByE, lOut)
-      val rOn = BindReferences.bindReference(rOnE, rOut)
-      val rBy = BindReferences.bindReference(rByE, rOut)
+      // key layout, both sides: (by=0, on=1)
+      val lKeys = UnsafeProjection.create(Seq(lByE, lOnE), lOut)
+      val rKeys = UnsafeProjection.create(Seq(rByE, rOnE), rOut)
+      val byCmp = FieldCmp(byDt)
+      val onCmp = FieldCmp(onDt)
       // the right input binds as NULLABLE: unmatched left rows read the
       // all-null row, and a non-nullable BoundReference would skip the
       // null check and read field zeros instead
@@ -127,44 +135,51 @@ final case class AsOfJoinExec(
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // single-row merge state: the lookahead right row (copied — the
-        // shuffle reuses row buffers) and the best match so far
-        private var rCurr: InternalRow =
-          if (rIter.hasNext) rIter.next().copy() else null
-        private var best: InternalRow = null
+        // single-row merge state: the lookahead right row and the best
+        // match so far, each alongside its extracted keys (copied — the
+        // shuffle reuses row buffers, the projection its result row)
+        private var rCurrRow: InternalRow = null
+        private var rCurrKeys: UnsafeRow = null
+        private var bestRow: InternalRow = null
+        private var bestKeys: UnsafeRow = null
+        private def fetchRight(): Unit =
+          if (rIter.hasNext) {
+            rCurrRow = rIter.next().copy()
+            rCurrKeys = rKeys(rCurrRow).copy()
+          } else { rCurrRow = null; rCurrKeys = null }
+        fetchRight()
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val lByV = lBy.eval(lRow)
-          val lOnV = lOn.eval(lRow)
-          if (lByV == null || lOnV == null) {
+          val lk = lKeys(lRow)
+          if (lk.isNullAt(0) || lk.isNullAt(1)) {
             joined(lRow, nullRight)
           } else {
             // advance the right side through every row at-or-before
-            // (lByV, lOnV); the last same-group row seen is the match
+            // (by, on); the last same-group row seen is the match
             // (sorted by tie, so the largest tie wins among equal `on`).
             // Null-`on` rows sort at the HEAD of their group (ascending
             // nulls-first) and can never match — consume them like
             // earlier-group rows or they'd block the cursor for the
             // whole group.
             var advancing = true
-            while (advancing && rCurr != null) {
-              val rByV = rBy.eval(rCurr)
-              val rOnV = rOn.eval(rCurr)
-              val byCmp = if (rByV == null) -1 else byOrd.compare(rByV, lByV)
-              if (byCmp < 0 || (byCmp == 0 && rOnV == null) ||
-                  (byCmp == 0 && onOrd.compare(rOnV, lOnV) <= 0)) {
-                if (byCmp == 0 && rOnV != null) best = rCurr
-                rCurr = if (rIter.hasNext) rIter.next().copy() else null
+            while (advancing && rCurrRow != null) {
+              val onNull = rCurrKeys.isNullAt(1)
+              val byC =
+                if (rCurrKeys.isNullAt(0)) -1 else byCmp(rCurrKeys, 0, lk, 0)
+              if (byC < 0 || (byC == 0 &&
+                  (onNull || onCmp(rCurrKeys, 1, lk, 1) <= 0))) {
+                if (byC == 0 && !onNull) {
+                  bestRow = rCurrRow; bestKeys = rCurrKeys
+                }
+                fetchRight()
               } else advancing = false
             }
-            val matched = best != null && {
-              val bByV = rBy.eval(best)
-              bByV != null && byOrd.compare(bByV, lByV) == 0
-            }
-            joined(lRow, if (matched) best else nullRight)
+            val matched = bestRow != null && !bestKeys.isNullAt(0) &&
+              byCmp(bestKeys, 0, lk, 0) == 0
+            joined(lRow, if (matched) bestRow else nullRight)
           }
           numOutputRows += 1
           project(joined)
@@ -172,9 +187,6 @@ final case class AsOfJoinExec(
       }
     }
   }
-
-  private def ordFor(dt: DataType): Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(dt)
 }
 
 /** Planner strategy mapping the logical node onto the exec — injected

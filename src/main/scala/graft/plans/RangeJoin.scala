@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.SparkException
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
@@ -10,14 +11,44 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types._
+
+/** Null-free field comparator between two rows' ordinals, specialized
+  * for the temporal/key types a time-series merge actually sees so the
+  * per-pair compare is one primitive op with no boxing; exotic types
+  * fall back to the interpreted ordering. Shared by [[RangeJoinExec]]
+  * and [[AsOfJoinExec]] — the tight inner loop of both merges.
+  */
+private[plans] object FieldCmp {
+  def apply(dt: DataType): (InternalRow, Int, InternalRow, Int) => Int =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (a, i, b, j) => java.lang.Long.compare(a.getLong(i), b.getLong(j))
+      case IntegerType | DateType =>
+        (a, i, b, j) => java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+      case DoubleType =>
+        (a, i, b, j) => java.lang.Double.compare(a.getDouble(i), b.getDouble(j))
+      case FloatType =>
+        (a, i, b, j) => java.lang.Float.compare(a.getFloat(i), b.getFloat(j))
+      case ShortType =>
+        (a, i, b, j) => java.lang.Short.compare(a.getShort(i), b.getShort(j))
+      case StringType =>
+        (a, i, b, j) => a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      case _ =>
+        val ord = TypeUtils.getInterpretedOrdering(dt)
+        (a, i, b, j) => ord.compare(a.get(i, dt), b.get(j, dt))
+    }
+}
 
 /** Native range (interval) join — the generalization of [[AsOfJoin]]
   * from "latest right row at-or-before" to "ALL right rows inside the
   * left row's interval": for every left row, every right row of the
-  * same `by` group with `lo < rightOn <= hi`, or one null-extended row
-  * when none match — LEFT-OUTER interval semantics (the shape of
-  * "activity within the hour after each signup", q37).
+  * same `by` group inside the window, or one null-extended row when
+  * none match — LEFT-OUTER interval semantics (the shape of "activity
+  * within the hour after each signup", q37). The window's endpoint
+  * inclusivity is parameterized: the default `(lo, hi]` is q37's
+  * convention, and the auto-detection maps all four SQL spellings
+  * (`>`/`>=` lower × `<`/`<=` upper) onto the flags.
   *
   * Spark plans the composable spelling (equi-join on `by` plus two
   * non-equi time conjuncts) as a hash join on `by` that post-filters
@@ -27,13 +58,22 @@ import org.apache.spark.sql.types.DataType
   * hash-partition on `by` and sort within partitions ONCE — then a
   * single merge pass per partition emits matches from a sliding
   * buffer of right rows. Because lefts arrive in ascending `lo`
-  * order, a right row can be dropped permanently once `rightOn <= lo`
-  * (no later left can reach back to it), so the buffer holds only the
-  * rows inside the widest still-active window — O(n + m + output)
-  * time, O(max concurrent window rows) memory, immune to the per-key
-  * quadratic blow-up at 100 TB.
+  * order, a right row can be dropped permanently once it falls
+  * at-or-before `lo` (no later left can reach back to it), so the
+  * buffer holds only the rows inside the widest still-active window —
+  * O(n + m + output) time, O(max concurrent window rows) memory,
+  * immune to the per-key quadratic blow-up at 100 TB.
   */
 object RangeJoin {
+
+  /** Session conf key: hard cap on the per-partition sliding buffer.
+    * The buffer's size is the algorithmic minimum (rows concurrently
+    * inside one key's widest active window), but a pathological
+    * window ≫ gap input could grow it without bound; past the cap the
+    * task fails loudly instead of OOMing silently.
+    */
+  val MaxBufferRowsKey = "spark.graft.rangeJoin.maxBufferRows"
+  val MaxBufferRowsDefault: Long = 16L * 1024 * 1024
 
   /** Left-outer range join by column NAME (names resolve against each
     * side's analyzed output). Matches `lo < rightOn <= hi` — the
@@ -78,13 +118,25 @@ final case class RangeJoinPlan(
   * inserts the exchanges/sorts exactly as for a SortMergeJoin — then
   * merges each co-partition pair in one pass over a sliding right-row
   * buffer kept sorted by `on`.
+  *
+  * The merge is UnsafeRow-tight: each side's key expressions evaluate
+  * through ONE generated [[UnsafeProjection]] (codegen, not
+  * interpreted `eval`), every comparison is a primitive field-wise
+  * [[FieldCmp]] with no boxing, buffered rows carry their extracted
+  * key row so `on` is never re-evaluated per pair, and left rows are
+  * never copied (the expand iterator drains before the next row
+  * arrives). The only per-right-row costs are two small UnsafeRow
+  * memcpys (row + 2-field key), paid once per right row, never per
+  * emitted pair.
   */
 final case class RangeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftLo: Expression, leftHi: Expression,
     leftBy: Expression, rightBy: Expression,
     rightOn: Expression,
-    output: Seq[Attribute]) extends BinaryExecNode {
+    output: Seq[Attribute],
+    loInclusive: Boolean = false,
+    hiInclusive: Boolean = true) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
@@ -106,23 +158,35 @@ final case class RangeJoinExec(
 
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
-      "number of output rows"))
+      "number of output rows"),
+    "peakBufferRows" -> SQLMetrics.createMetric(sparkContext,
+      "sum of per-task peak buffer rows"))
+
+  /** One buffered right row: the copied data row plus its copied
+    * (by, on) key row, so the merge never re-evaluates `on`.
+    */
+  private final class Entry(val keys: UnsafeRow, val row: InternalRow)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val peakBufferRows = longMetric("peakBufferRows")
+    val maxBufferRows = conf.getConfString(RangeJoin.MaxBufferRowsKey,
+      RangeJoin.MaxBufferRowsDefault.toString).toLong
     val lOut = left.output
     val rOut = right.output
-    val byOrd = ordFor(leftBy.dataType)
-    val onOrd = ordFor(rightOn.dataType)
     val outAttrs = output
     val (lLoE, lHiE, lByE) = (leftLo, leftHi, leftBy)
     val (rOnE, rByE) = (rightOn, rightBy)
+    val (loIncl, hiIncl) = (loInclusive, hiInclusive)
+    val byDt = leftBy.dataType
+    val onDt = rightOn.dataType
+    val byDesc = leftBy.sql
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lLo = BindReferences.bindReference(lLoE, lOut)
-      val lHi = BindReferences.bindReference(lHiE, lOut)
-      val lBy = BindReferences.bindReference(lByE, lOut)
-      val rOn = BindReferences.bindReference(rOnE, rOut)
-      val rBy = BindReferences.bindReference(rByE, rOut)
+      // key layout: left (by=0, lo=1, hi=2); right (by=0, on=1)
+      val lKeys = UnsafeProjection.create(Seq(lByE, lLoE, lHiE), lOut)
+      val rKeys = UnsafeProjection.create(Seq(rByE, rOnE), rOut)
+      val byCmp = FieldCmp(byDt)
+      val onCmp = FieldCmp(onDt)
       // the right input binds as NULLABLE: unmatched left rows read the
       // all-null row, and a non-nullable BoundReference would skip the
       // null check and read field zeros instead
@@ -132,47 +196,75 @@ final case class RangeJoinExec(
       val joined = new JoinedRow
 
       // sliding merge state shared across left rows: buffered right
-      // rows of the CURRENT left group, ascending `on`, every one past
-      // the current left's `lo`; plus the one lookahead row (rows are
-      // copied — the shuffle reuses buffers)
-      val buf = new java.util.ArrayDeque[InternalRow]()
-      var bufBy: Any = null // group the buffer belongs to
-      var rCurr: InternalRow =
-        if (rIter.hasNext) rIter.next().copy() else null
+      // rows of the CURRENT left group, ascending `on`, every one
+      // inside the current left's window's past edge; plus the one
+      // lookahead row (rows are copied — the shuffle reuses buffers)
+      val buf = new java.util.ArrayDeque[Entry]()
+      var groupKeys: UnsafeRow = null // by (field 0) of the buffer's group
+      var taskPeak = 0L
+      var rCurrRow: InternalRow = null
+      var rCurrKeys: UnsafeRow = null
+      def fetchRight(): Unit =
+        if (rIter.hasNext) {
+          rCurrRow = rIter.next().copy()
+          rCurrKeys = rKeys(rCurrRow).copy()
+        } else { rCurrRow = null; rCurrKeys = null }
+      fetchRight()
+
+      // is a right `on` (keys field 1) past the left `lo` (lk field 1)?
+      def pastLo(rk: UnsafeRow, lk: UnsafeRow): Boolean = {
+        val c = onCmp(rk, 1, lk, 1)
+        c > 0 || (loIncl && c == 0)
+      }
+      // is it within the left `hi` (lk field 2)?
+      def withinHi(rk: UnsafeRow, lk: UnsafeRow): Boolean = {
+        val c = onCmp(rk, 1, lk, 2)
+        c < 0 || (hiIncl && c == 0)
+      }
 
       /** Output rows for one left row: each buffered match, or the one
-        * null-extended row. The returned iterator reads `buf` directly
-        * and is always fully consumed before the next expand (flatMap
-        * drains it), so the later mutation is safe.
+        * null-extended row. The returned iterator reads `buf` and the
+        * reused `lk` projection row directly and is always fully
+        * consumed before the next expand (flatMap drains it), so the
+        * later mutation is safe.
         */
       def expand(lRow: InternalRow): Iterator[InternalRow] = {
-        val lByV = lBy.eval(lRow)
-        val loV = lLo.eval(lRow)
-        val hiV = lHi.eval(lRow)
+        val lk = lKeys(lRow)
         // no key or no window: LEFT-OUTER still emits the row once
-        if (lByV == null || loV == null || hiV == null)
+        if (lk.isNullAt(0) || lk.isNullAt(1) || lk.isNullAt(2))
           return Iterator.single(project(joined(lRow, nullRight)))
         // new group: the previous group's buffer can never match again
-        if (bufBy == null || byOrd.compare(bufBy, lByV) != 0) buf.clear()
-        bufBy = lByV
-        // evict head rows at-or-before lo — later lefts of this group
-        // have lo' >= lo, so these can never match again
-        while (!buf.isEmpty && onOrd.compare(rOn.eval(buf.peekFirst()), loV) <= 0)
+        if (groupKeys == null || byCmp(groupKeys, 0, lk, 0) != 0) {
+          buf.clear()
+          groupKeys = lk.copy()
+        }
+        // evict head rows at the window's past edge — later lefts of
+        // this group have lo' >= lo, so these can never match again
+        while (!buf.isEmpty && !pastLo(buf.peekFirst().keys, lk))
           buf.pollFirst()
         // advance the lookahead: skip earlier groups, null-`on` rows,
-        // and rows at-or-before lo; buffer rows inside (lo, hi]; stop
-        // at the first row past hi or past this group
+        // and rows at-or-before the past edge; buffer rows up to hi;
+        // stop at the first row past hi or past this group
         var advancing = true
-        while (advancing && rCurr != null) {
-          val rByV = rBy.eval(rCurr)
-          val rOnV = rOn.eval(rCurr)
-          val byCmp = if (rByV == null) -1 else byOrd.compare(rByV, lByV)
-          if (byCmp < 0 || (byCmp == 0 && rOnV == null) ||
-              (byCmp == 0 && onOrd.compare(rOnV, loV) <= 0)) {
-            rCurr = if (rIter.hasNext) rIter.next().copy() else null
-          } else if (byCmp == 0 && onOrd.compare(rOnV, hiV) <= 0) {
-            buf.addLast(rCurr)
-            rCurr = if (rIter.hasNext) rIter.next().copy() else null
+        while (advancing && rCurrRow != null) {
+          val byC =
+            if (rCurrKeys.isNullAt(0)) -1 else byCmp(rCurrKeys, 0, lk, 0)
+          if (byC < 0 || (byC == 0 &&
+              (rCurrKeys.isNullAt(1) || !pastLo(rCurrKeys, lk)))) {
+            fetchRight()
+          } else if (byC == 0 && onCmp(rCurrKeys, 1, lk, 2) <= 0) {
+            buf.addLast(new Entry(rCurrKeys, rCurrRow))
+            if (buf.size > maxBufferRows) throw new SparkException(
+              s"range-join buffer exceeded ${RangeJoin.MaxBufferRowsKey}=" +
+                s"$maxBufferRows rows inside one '$byDesc' group: the window " +
+                "spans far more rows than the gap between consecutive window " +
+                "starts. Narrow the window, pre-aggregate the right side, or " +
+                "raise the cap.")
+            if (buf.size > taskPeak) {
+              peakBufferRows += buf.size - taskPeak
+              taskPeak = buf.size
+            }
+            fetchRight()
           } else advancing = false
         }
         // matches are a PREFIX of the on-ascending buffer (rows past hi
@@ -185,8 +277,8 @@ final case class RangeJoinExec(
           private def fetch(): Unit = {
             if (nextR != null || exhausted) return
             if (bufIt.hasNext) {
-              val r = bufIt.next()
-              if (onOrd.compare(rOn.eval(r), hiV) <= 0) { nextR = r; return }
+              val e = bufIt.next()
+              if (withinHi(e.keys, lk)) { nextR = e.row; return }
             }
             exhausted = true
           }
@@ -205,14 +297,10 @@ final case class RangeJoinExec(
         }
       }
 
-      lIter.flatMap(l => expand(l.copy())).map { row =>
-        numOutputRows += 1; row
-      }
+      // no left-row copy: expand's iterator drains before the next row
+      lIter.flatMap(expand).map { row => numOutputRows += 1; row }
     }
   }
-
-  private def ordFor(dt: DataType): Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(dt)
 }
 
 /** Planner strategy mapping the logical node onto the exec — injected

@@ -102,6 +102,33 @@ object EventQueries {
              |  AND epoch_us(c.ts) <= epoch_us(v.ts) + CAST(3600 AS BIGINT) * 1000000
              |WHERE v.event_type = 'view'""".stripMargin)),
 
+    // the same SQL front door in the CLOSED-OPEN convention — `>= lo
+    // AND < hi`, how most users write "within the hour" — which the
+    // detection maps onto the exec's inclusivity flags; without
+    // convention-complete classification this spelling would silently
+    // fall back to the E²-per-hot-key hash-join-plus-filter plan
+    GQuery(
+      "q141_sql_interval_closed_open",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_v")
+        s.sql("""
+          SELECT v.user_id, v.view_id, c.click_id, c.cts - v.vts AS gap_us
+          FROM (SELECT user_id, event_id AS view_id, unix_micros(ts) AS vts
+                FROM events_v WHERE event_type = 'view') v
+          JOIN (SELECT user_id AS cu, event_id AS click_id,
+                  unix_micros(ts) AS cts
+                FROM events_v WHERE event_type = 'click') c
+            ON v.user_id = c.cu
+            AND c.cts >= v.vts AND c.cts < v.vts + 3600000000""")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+             |FROM events v JOIN events c
+             |  ON c.user_id = v.user_id AND c.event_type = 'click'
+             |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+             |  AND epoch_us(c.ts) < epoch_us(v.ts) + CAST(3600 AS BIGINT) * 1000000
+             |WHERE v.event_type = 'view'""".stripMargin)),
+
     // sessionization: 30-min-gap sessions per user (gaps-and-islands)
     GQuery(
       "q35_events_sessionize",
@@ -463,8 +490,10 @@ object EventQueries {
             ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy($"user_id", $"sid")
           .agg(min($"t").as("sstart"), max($"t").as("send"))
+        // calendar-bounded by construction (≤ ~sessions-per-day ×
+        // day-shards), but the engine owns a measuring guard — use it
         sessions
-          .join(broadcast(outages),
+          .join(graft.scale.GuardedBroadcast.maybe(outages),
             $"sstart" <= $"oend" && $"ostart" <= $"send")
           .groupBy($"user_id")
           .agg(countDistinct($"oid").as("n_outages_hit"),

@@ -82,4 +82,51 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), s"unexpected nested loop in:\n$plan")
     assert(!plan.contains("HashJoin"), s"unexpected hash join in:\n$plan")
   }
+
+  private def rangeExecs(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.plans.RangeJoinExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case r: graft.plans.RangeJoinExec => Seq(r); case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    here ++ kids.flatMap(rangeExecs)
+  }
+
+  test("the sliding buffer reports its peak through a SQL metric") {
+    // one wide window (0, 20] over 10 right rows: the buffer must grow
+    // to 10 and the per-task peak lands in the metric
+    val l = Seq((1L, "a", 0L, 20L)).toDF("lid", "lby", "lo", "hi")
+    val r = Seq.tabulate(10)(i => (100L + i, "a", i.toLong + 1))
+      .toDF("rid", "rby", "ron")
+    val df = viaNative(l, r)
+    // materialize THIS dataset (count() would plan a separate query
+    // whose metrics live on a different exec instance)
+    assert(df.collect().length == 10)
+    val peaks = rangeExecs(df.queryExecution.executedPlan)
+      .map(_.metrics("peakBufferRows").value)
+    assert(peaks.nonEmpty && peaks.max >= 10L,
+      s"expected a recorded buffer peak >= 10, got $peaks")
+  }
+
+  test("window >> gap past the configured cap fails loudly, not silently") {
+    val key = graft.plans.RangeJoin.MaxBufferRowsKey
+    spark.conf.set(key, "4")
+    try {
+      val l = Seq((1L, "a", 0L, 1000L), (2L, "a", 1L, 1000L))
+        .toDF("lid", "lby", "lo", "hi")
+      val r = Seq.tabulate(50)(i => (100L + i, "a", i.toLong + 2))
+        .toDF("rid", "rby", "ron")
+      val e = intercept[Exception] { viaNative(l, r).count() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("maxBufferRows")),
+        s"expected the buffer-cap error, got: $e")
+    } finally spark.conf.unset(key)
+  }
 }
