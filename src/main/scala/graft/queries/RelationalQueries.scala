@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.scale.GuardedBroadcast
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.functions._
 import OracleNum.{dsum, davg}
@@ -164,7 +165,7 @@ object RelationalQueries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          .join(GuardedBroadcast.maybe(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand")
           .agg(
             dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
@@ -193,8 +194,8 @@ object RelationalQueries {
         cust.join(ord, $"c_custkey" === $"o_custkey")
           .join(li, $"o_orderkey" === $"l_orderkey")
           .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
-          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .join(GuardedBroadcast.maybe(nat), $"s_nationkey" === $"n_nationkey")
+          .join(GuardedBroadcast.maybe(reg), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
           .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       },
@@ -269,7 +270,7 @@ object RelationalQueries {
         import s.implicits._
         val cust = t(s, dir, "customer")
         val avgBal = cust.agg(avg($"c_acctbal").as("ab"))
-        cust.crossJoin(broadcast(avgBal))
+        cust.crossJoin(GuardedBroadcast.maybe(avgBal))
           .filter($"c_acctbal" > $"ab")
           .select($"c_custkey", OracleNum.dround($"c_acctbal", 2).as("acctbal"))
       },

@@ -27,16 +27,21 @@ object ScalarQueries {
       "q67_sketch_aggregates",
       (s, dir) => {
         import s.implicits._
+        // the rsd is a STANDARD error, not a bound: assert at 5 sigma
+        // (derived from the configured rsd, so the two can't drift), a
+        // tolerance a correct sketch essentially never exceeds at any
+        // scale factor, while a broken one blows through it
+        val rsd = 0.01
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            approx_count_distinct($"l_orderkey", rsd = 0.01).as("approx_orders"),
+            approx_count_distinct($"l_orderkey", rsd = rsd).as("approx_orders"),
             countDistinct($"l_orderkey").as("exact_orders"),
             percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median"),
             expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
           .select($"l_returnflag", $"exact_orders", $"exact_median",
             (abs($"approx_orders" - $"exact_orders") <=
-              $"exact_orders" * 0.05).as("hll_ok"),
+              $"exact_orders" * (5 * rsd)).as("hll_ok"),
             (abs($"approx_median" - $"exact_median") <=
               $"exact_median" * 0.01).as("tdigest_ok"))
       },

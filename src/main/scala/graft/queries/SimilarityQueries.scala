@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.scale.GuardedBroadcast
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -78,7 +79,7 @@ object SimilarityQueries {
         val q = e.filter($"vec_id" < 20)
           .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
         val c = e.select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cn"))
-        val scored = c.join(broadcast(q), $"cid" =!= $"qid")
+        val scored = c.join(GuardedBroadcast.maybe(q), $"cid" =!= $"qid")
           .select($"qid", $"cid", cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
         val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -110,7 +111,7 @@ object SimilarityQueries {
         val q = e.filter($"vec_id" < 20)
           .select($"vec_id".as("qid"), $"label", $"v".as("qv"), $"nrm".as("qn"))
         val c = e.select($"vec_id".as("cid"), $"label", $"v".as("cv"), $"nrm".as("cn"))
-        val scored = c.join(broadcast(q), Seq("label"))
+        val scored = c.join(GuardedBroadcast.maybe(q), Seq("label"))
           .filter($"cid" =!= $"qid")
           .select($"qid", $"label", $"cid",
             cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
@@ -267,7 +268,7 @@ object SimilarityQueries {
         val q = e.filter($"vec_id" < 20)
           .select($"vec_id".as("qid"), $"embedding".as("qv"))
         val c = e.select($"vec_id".as("cid"), $"embedding".as("cv"))
-        val scored = c.join(broadcast(q), $"cid" =!= $"qid")
+        val scored = c.join(GuardedBroadcast.maybe(q), $"cid" =!= $"qid")
           .select($"qid", $"cid", expr("cosine_sim(qv, cv)").as("cos_sim"))
         val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -316,7 +317,7 @@ object SimilarityQueries {
         val q = bucketed.filter($"vec_id" < 20)
           .select($"vec_id".as("qid"), $"bucket", $"v".as("qv"), $"nrm".as("qn"))
         val c = bucketed.select($"vec_id".as("cid"), $"bucket", $"v".as("cv"), $"nrm".as("cn"))
-        val scored = c.join(broadcast(q), Seq("bucket"))
+        val scored = c.join(GuardedBroadcast.maybe(q), Seq("bucket"))
           .filter($"cid" =!= $"qid")
           .select($"qid", $"bucket", $"cid",
             cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
@@ -431,7 +432,7 @@ object SimilarityQueries {
         val c0 = q.filter($"vec_id" < 8)
           .select($"vec_id".as("c"), $"d", $"qv".as("cv"))
         def assign(cent: DataFrame): DataFrame =
-          q.join(broadcast(cent), Seq("d"))
+          q.join(GuardedBroadcast.maybe(cent), Seq("d"))
             .groupBy($"vec_id", $"c")
             .agg(sum(($"qv" - $"cv") * ($"qv" - $"cv")).as("dist"))
             .withColumn("rn", row_number().over(
@@ -494,7 +495,7 @@ object SimilarityQueries {
             floor($"e".cast("double") * 10000 + 0.5).cast("long").as("x"))
         val cent = q.groupBy($"label", $"d")
           .agg(sum($"x").as("sx"), count(lit(1)).as("c"))
-        val dist = q.join(broadcast(cent), Seq("label", "d"))
+        val dist = q.join(GuardedBroadcast.maybe(cent), Seq("label", "d"))
           .groupBy($"vec_id", $"label")
           .agg(sum(($"x" * $"c" - $"sx") * ($"x" * $"c" - $"sx"))
             .cast("long").as("sqdist"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.scale.GuardedBroadcast
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.functions._
 
@@ -205,7 +206,7 @@ object TextQueries {
             ((tf * lit(2.2)) /
               (tf + lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl" / $"avgdl"))))
         }
-        docs.crossJoin(broadcast(stats))
+        docs.crossJoin(GuardedBroadcast.maybe(stats))
           .filter($"tf0" + $"tf1" + $"tf2" > 0)
           .select($"doc_id",
             floor((score(0) + score(1) + score(2)) * 10000 + 0.5)
@@ -300,7 +301,7 @@ object TextQueries {
           .select($"b", $"bpre")
         val wi = Window.partitionBy($"b").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        docs.join(broadcast(bpre), Seq("b"))
+        docs.join(GuardedBroadcast.maybe(bpre), Seq("b"))
           .withColumn("cb", $"bpre" + coalesce(sum($"n").over(wi), lit(0L)))
           .select($"doc_id", $"n".as("n_tokens"),
             floor($"cb" / lit(512.0)).cast("long").as("chunk_first"),
@@ -407,9 +408,9 @@ object TextQueries {
           .crossJoin(bi.agg(count(lit(1)).as("bb")))
         bi.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
           .filter($"n_ab" >= 20)
-          .join(broadcast(na.select($"tk".as("a"), $"n".as("n_a"))), Seq("a"))
-          .join(broadcast(na.select($"tk".as("b"), $"n".as("n_b"))), Seq("b"))
-          .crossJoin(broadcast(totals))
+          .join(GuardedBroadcast.maybe(na.select($"tk".as("a"), $"n".as("n_a"))), Seq("a"))
+          .join(GuardedBroadcast.maybe(na.select($"tk".as("b"), $"n".as("n_b"))), Seq("b"))
+          .crossJoin(GuardedBroadcast.maybe(totals))
           .select($"a", $"b", $"n_ab",
             (($"n_ab" * $"tt" * $"tt").cast("double") /
               ($"bb" * $"n_a" * $"n_b").cast("double")).as("lift"))
@@ -575,7 +576,7 @@ object TextQueries {
           .groupBy($"term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy($"doc_id")
           .orderBy($"tf".desc, $"df".asc, $"term".asc)
-        tf.join(broadcast(dfreq), Seq("term"))
+        tf.join(GuardedBroadcast.maybe(dfreq), Seq("term"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter($"rank" <= 3)
           .select($"doc_id", $"rank", $"term", $"tf", $"df")
@@ -610,8 +611,8 @@ object TextQueries {
               .as("bucket"))
         val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
         val minc = counts.agg(min($"cnt").as("mn"))
-        docs.join(broadcast(counts), Seq("lang"))
-          .crossJoin(broadcast(minc))
+        docs.join(GuardedBroadcast.maybe(counts), Seq("lang"))
+          .crossJoin(GuardedBroadcast.maybe(minc))
           .filter($"bucket" * $"cnt" < $"mn" * lit(1000000L))
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_kept"), max($"cnt").as("n_total"))

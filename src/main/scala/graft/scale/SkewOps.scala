@@ -63,10 +63,11 @@ object SkewOps {
       // consulted by all four routing joins below: materialize once
       // (key-set sized, never data sized)
       .localCheckpoint()
-    val lHot = left.join(broadcast(hot), Seq(key), "left_semi")
-    val lCold = left.join(broadcast(hot), Seq(key), "left_anti")
-    val rHot = right.join(broadcast(hot), Seq(key), "left_semi")
-    val rCold = right.join(broadcast(hot), Seq(key), "left_anti")
+    val hotB = GuardedBroadcast.maybe(hot)
+    val lHot = left.join(hotB, Seq(key), "left_semi")
+    val lCold = left.join(hotB, Seq(key), "left_anti")
+    val rHot = right.join(hotB, Seq(key), "left_semi")
+    val rCold = right.join(hotB, Seq(key), "left_anti")
     lCold.join(rCold, Seq(key))
       .unionByName(saltedJoin(lHot, rHot, key, salts))
   }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.scale.GuardedBroadcast
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -151,7 +152,7 @@ object StreamOps {
           "element_at(w, CAST(i*2 AS INT))))"))
         .as("chunk"))
     chunks
-      .join(broadcast(boilerplate.select(col("chunk"), lit(1).as("__b"))),
+      .join(GuardedBroadcast.maybe(boilerplate.select(col("chunk"), lit(1).as("__b"))),
         Seq("chunk"), "left_outer")
       .filter(col("__b").isNull)
       .withWatermark("ts", allowed)

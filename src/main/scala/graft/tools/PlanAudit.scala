@@ -1,8 +1,41 @@
 package graft.tools
 
-/** Ad-hoc audit: which registry queries plan a native RangeJoin/AsOfJoin. */
+/** Ad-hoc audit: which registry queries plan a native RangeJoin/AsOfJoin,
+  * plus a source-level scan for raw `broadcast(` hints — every
+  * broadcast in query code must route through GuardedBroadcast.maybe
+  * so a broken "this is small" assumption degrades to a shuffle join
+  * instead of an executor OOM. [[rawBroadcastHints]] returns the
+  * offending file:line list (empty = clean); ToolsSpec pins it empty.
+  */
 object PlanAudit {
+
+  /** `file:line` for every raw broadcast( hint in main sources outside
+    * the guard itself.
+    */
+  def rawBroadcastHints(root: String = "src/main/scala/graft"): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.toString.endsWith("GuardedBroadcast.scala") &&
+        !p.toString.endsWith("PlanAudit.scala")) // the auditor's own docs
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          // strip the guard's own qualified calls before matching
+          case (line, i)
+              if line.replace("GuardedBroadcast.maybe(", "")
+                .matches(".*\\bbroadcast\\(.*") =>
+            s"$p:${i + 1}"
+        }
+      }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
+    val hints = rawBroadcastHints()
+    if (hints.nonEmpty)
+      println(s"[audit] RAW broadcast( hints (route through " +
+        s"GuardedBroadcast.maybe): ${hints.mkString(", ")}")
+    else println("[audit] no raw broadcast( hints outside GuardedBroadcast")
     val spark = graft.GraftSession.local("8")
     val dir = "/root/testdata/sf0.001"
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ToolsSpec extends AnyFunSuite {
 
+  test("no raw broadcast( hints outside GuardedBroadcast (registry audit)") {
+    val hints = graft.tools.PlanAudit.rawBroadcastHints()
+    assert(hints.isEmpty,
+      s"route these through GuardedBroadcast.maybe: ${hints.mkString(", ")}")
+  }
+
   test("BoundedMemo evicts least-recently-USED, not first-inserted") {
     val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
     val memo = new BoundedMemo[Int, String](2, evicted += _)
