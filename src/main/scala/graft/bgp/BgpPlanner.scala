@@ -86,6 +86,8 @@ object BgpPlanner {
       case PathAlt(ps) => ps.mkString("|")
       case PathRepeat(p, lo, hi) => s"$p{$lo,$hi}"
       case PathNeg(ps) => s"!(${ps.mkString("|")})"
+      case PathGroupRepeat(ps, star) =>
+        s"(${ps.mkString("/")})${if (star) "*" else "+"}"
       case PathSeq(_) => throw new IllegalStateException(
         "sequence paths are desugared at parse time and never planned")
     }
@@ -176,6 +178,33 @@ object BgpPlanner {
           }
         ((lo to hi).map(kHops).reduce(_ unionByName _).distinct(),
           Seq("s" -> pat.s, "o" -> pat.o))
+      case PathGroupRepeat(ps, star) =>
+        // grouped path (p1/p2)+: the sequence composes into ONE derived
+        // edge relation (s —p1→ m —p2→ o collapses to s→o), which then
+        // reuses the same distributed closure as p+ — the group is just
+        // an edge relation the store doesn't materialize. Each
+        // composition step is a hash join on the mid vertex; dedup
+        // keeps the relation set-valued before the closure iterates.
+        val edges = ps.map(slice).reduce { (a, b) =>
+          a.select(col("s"), col("o").as("__m"))
+            .join(b.select(col("s").as("__m"), col("o")), "__m")
+            .select(col("s"), col("o"))
+        }.distinct()
+        val closed = graft.graph.PathOps
+          .transitiveClosure(edges.toDF("src", "dst"))
+          .toDF("s", "o")
+        val out =
+          if (!star) closed
+          else {
+            // zero-length arm scoped to the derived relation's vertex
+            // set, mirroring PathStar
+            val identity = edges.select(col("s"))
+              .unionByName(edges.select(col("o").as("s")))
+              .distinct()
+              .select(col("s"), col("s").as("o"))
+            closed.unionByName(identity).distinct()
+          }
+        (out, Seq("s" -> pat.s, "o" -> pat.o))
       case PathNeg(ps) =>
         // negated property set !(p1|p2): one scan of the variable view
         // with the exclusion pushed into it — a filter on the (few)
@@ -480,7 +509,50 @@ object BgpPlanner {
       }
     }
 
-    val rels = mainChain.toSeq ++ unionDfs ++ subDfs
+    // GRAPH blocks (SPARQL 1.1 §13.3): each block's patterns scan the
+    // quad relation restricted to its graph. A constant graph term
+    // prunes the scan (partition pruning on a (g, p)-partitioned
+    // layout); a variable term binds the graph from the quad's `g`
+    // column, and because every scan of the block keeps that column,
+    // the block's natural joins implicitly require all patterns to
+    // match within the SAME graph.
+    val graphDfs = q.graphBlocks.map { case (gterm, pats) =>
+      val quads = store.quads.getOrElse(throw new IllegalArgumentException(
+        "query uses GRAPH but the store has no named graphs"))
+      val scans = pats.map { tp =>
+        val pName = tp.p match {
+          case Const(c) => c
+          case other => throw new IllegalArgumentException(
+            s"GRAPH block patterns need a constant predicate, got $other")
+        }
+        val base = quads.filter(col("p") === lit(pName))
+        val (scoped, pos) = gterm match {
+          case Const(g) =>
+            (base.filter(col("g") === encode(g)),
+              Seq("s" -> tp.s, "o" -> tp.o))
+          case v: Var =>
+            (base, Seq("g" -> (v: Term), "s" -> tp.s, "o" -> tp.o))
+          case other => throw new IllegalArgumentException(
+            s"GRAPH term must be a variable or constant, got $other")
+        }
+        // constants filter, variables project/rename, duplicate vars
+        // equate — the same contract as patternScan
+        val constF = pos.collect { case (c, Const(v)) => col(c) === encode(v) }
+        val filtered = constF.foldLeft(scoped)((d, f) => d.filter(f))
+        val varPos = pos.collect { case (c, Var(n)) => (c, n) }
+        val dupFilters = varPos.groupBy(_._2).values.filter(_.size > 1)
+          .map(g => g.tail.map(x => col(g.head._1) === col(x._1)).reduce(_ && _))
+        val selfEq = dupFilters.foldLeft(filtered)((d, f) => d.filter(f))
+        val firstPos = varPos.groupBy(_._2).map { case (n, xs) => xs.head._1 -> n }
+        selfEq.select(firstPos.toSeq.map { case (c, n) => col(c).as(n) }: _*)
+      }
+      scans.reduce { (a, b) =>
+        val common = b.columns.filter(a.columns.toSet).toSeq
+        if (common.nonEmpty) a.join(b, common, "inner") else a.crossJoin(b)
+      }
+    }
+
+    val rels = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs
     require(rels.nonEmpty, "empty BGP")
     var joined = rels.head
     for (u <- rels.tail) {
@@ -639,22 +711,28 @@ object BgpPlanner {
         val toDec = sel.filterNot(lexical)
         if (toDec.isEmpty) df.select(sel.map(col): _*)
         else {
+          // computed (pass-through) columns ride the exploded rows and
+          // re-enter through the pivot's grouping keys: ONE lineage, so
+          // the nondeterministic rid never has to match itself across a
+          // self-join — two evaluations of monotonically_increasing_id
+          // on opposite sides of a shuffle can disagree on row order in
+          // a multi-executor run and attach values to the wrong rows
+          val passThrough = sel.filter(lexical)
           val withId = df.withColumn("__rid", monotonically_increasing_id())
           val kvs = toDec.flatMap(v => Seq(lit(v): Column, col(v)))
-          val long = withId.select(col("__rid"),
-            explode(map(kvs: _*)).as(Seq("__var", "__id")))
+          // dict columns re-aliased: a BIND alias named `value`/`id`
+          // must not collide with the dictionary's schema
+          val d = dict.select(col("id").as("__did"), col("value").as("__dval"))
+          val long = withId.select(
+            (col("__rid") +: passThrough.map(col)) :+
+              explode(map(kvs: _*)).as(Seq("__var", "__id")): _*)
           // left_outer: a null id (unmatched OPTIONAL) or an id missing
           // from the dict decodes to null — an inner join would DROP a
           // row whose decoded columns are all null
-          val dec = long.join(dict, long("__id") === dict("id"), "left_outer")
-            .select(col("__rid"), col("__var"), col("value"))
-            .groupBy("__rid").pivot("__var", toDec).agg(first(col("value")))
-          val passThrough = sel.filter(lexical)
-          val out =
-            if (passThrough.isEmpty) dec
-            else dec.join(
-              withId.select(col("__rid") +: passThrough.map(col): _*), "__rid")
-          out.select(sel.map(col): _*)
+          val dec = long.join(d, long("__id") === d("__did"), "left_outer")
+            .groupBy(col("__rid") +: passThrough.map(col): _*)
+            .pivot("__var", toDec).agg(first(col("__dval")))
+          dec.select(sel.map(col): _*)
         }
     }
 
@@ -763,6 +841,49 @@ object BgpPlanner {
     templates.map(t => sol.select(
         termCol(t.s).as("s"), termCol(t.p).as("p"), termCol(t.o).as("o")))
       .reduce(_ unionByName _)
+  }
+
+  /** `DESCRIBE ?v … WHERE {...}` / `DESCRIBE <node>`: all triples
+    * incident to the described resources (the common implementation of
+    * SPARQL 1.1 §16.4's open-ended description). The node set is
+    * result-sized — solution distinct, guarded-broadcast — and each
+    * predicate slice contributes its incident rows through one semi
+    * join, so the cost is one pruned scan per slice, never a
+    * data-sized shuffle. Encoded stores decode the edge (s/o via the
+    * dict; p names are already strings).
+    */
+  def describe(store: TripleStore, sparql: String): DataFrame = {
+    val spark = store.slices.values.head.sparkSession
+    val nodes: DataFrame = Sparql.parseDescribe(sparql) match {
+      case Left(c) =>
+        import spark.implicits._
+        val raw = Seq(c).toDF("__n")
+        if (store.encoded) raw.select(xxhash64(col("__n")).as("__n")) else raw
+      case Right((vars, bq)) =>
+        // plan() decodes at its edge; re-encoding reproduces the
+        // store's ids exactly (ids ARE the values' xxhash64)
+        val sol = plan(store, bq)
+        val u = vars.map(v => sol.select(col(v).as("__n")))
+          .reduce(_ unionByName _)
+          .na.drop().distinct()
+        if (store.encoded) u.select(xxhash64(col("__n")).as("__n")) else u
+    }
+    val nodesB = graft.scale.GuardedBroadcast.maybe(nodes)
+    val triples = store.slices.toSeq.sortBy(_._1).map { case (p, sl) =>
+      sl.join(nodesB,
+          sl("s") === nodesB("__n") || sl("o") === nodesB("__n"), "left_semi")
+        .select(col("s"), lit(p).as("p"), col("o"))
+    }.reduce(_ unionByName _)
+    store.dict match {
+      case None => triples
+      case Some(dict) =>
+        val d1 = dict.select(col("id").as("__i1"), col("value").as("__v1"))
+        val d2 = dict.select(col("id").as("__i2"), col("value").as("__v2"))
+        triples
+          .join(d1, triples("s") === d1("__i1"), "left_outer")
+          .join(d2, triples("o") === d2("__i2"), "left_outer")
+          .select(col("__v1").as("s"), col("p"), col("__v2").as("o"))
+    }
   }
 
   /** DREAM's enumerate–measure–merge loop (Optimizer.cpp:63-103) over

@@ -51,6 +51,13 @@ object Sparql {
     * position; forward predicates only (no `!^p`).
     */
   final case class PathNeg(predicates: Seq[String]) extends Term
+  /** Grouped sequence under repetition `(p1/p2)+` / `(p1/p2)*`
+    * (SPARQL 1.1 §9.1 grouped paths): the sequence composes into one
+    * derived edge relation, which then closes transitively — plain
+    * predicates per step. Only valid at the predicate position.
+    */
+  final case class PathGroupRepeat(steps: Seq[String], star: Boolean)
+      extends Term
 
   /** Reserved prefix for desugared sequence-path intermediates; user
     * variables may not start with it, and `SELECT *` / UNION var-set
@@ -171,9 +178,16 @@ object Sparql {
       // multi-variable `VALUES (?a ?b) { (c1 c2) ... }` inline tables
       // (SPARQL 1.1 §10.2): each is (vars, rows); bound vars restrict,
       // unbound vars bind via the join
-      valuesTables: Seq[(Seq[String], Seq[Seq[String]])] = Nil)
+      valuesTables: Seq[(Seq[String], Seq[Seq[String]])] = Nil,
+      // `GRAPH <g> { patterns }` / `GRAPH ?g { patterns }` blocks
+      // (SPARQL 1.1 §13.3): patterns scoped to one named graph. A
+      // constant term names the graph; a variable term binds it from
+      // the store's quads, and every pattern of one block matches
+      // within the SAME graph.
+      graphBlocks: Seq[(Term, Seq[TriplePattern])] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
+  private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
   private val valuesTupleRe =
@@ -250,22 +264,40 @@ object Sparql {
     val n = rest.length
     while (i < n) {
       val c = rest.charAt(i)
-      // a '<' opens an IRI only when a whitespace-free '>' follows;
-      // otherwise it is the comparison operator and stays plain text
+      // a '<' opens an IRI only when a whitespace-free '>' follows AND
+      // the span looks like an IRI: not starting with '?'/'=' (that is
+      // `?a<?b` / `a<=b`, the comparison operator) and containing no
+      // parens (an expression like `(?a<?b)/?c>` must not be swallowed)
       val iriClose =
         if (c != '<') -1
         else {
           val close = rest.indexOf('>', i + 1)
-          if (close >= 0 && !rest.substring(i + 1, close).exists(_.isWhitespace))
-            close
+          if (close >= 0 && {
+            val span = rest.substring(i + 1, close)
+            span.nonEmpty && span.charAt(0) != '?' && span.charAt(0) != '=' &&
+              !span.exists(ch =>
+                ch.isWhitespace || ch == '(' || ch == ')' || ch == '"')
+          }) close
           else -1
         }
       if (c == '"' || iriClose >= 0) {
-        // copy the quoted literal / IRI verbatim
-        val close = if (c == '"') rest.indexOf('"', i + 1) else iriClose
-        val end = if (close < 0) n - 1 else close
-        sb.append(rest.substring(i, end + 1))
-        i = end + 1
+        // copy the quoted literal / IRI verbatim, honoring backslash
+        // escapes inside the literal; an unterminated quote is a
+        // malformed query, not silent copy-to-end
+        val close =
+          if (c != '"') iriClose
+          else {
+            var j = i + 1
+            while (j < n && rest.charAt(j) != '"') {
+              if (rest.charAt(j) == '\\') j += 1 // skip the escaped char
+              j += 1
+            }
+            if (j >= n) throw new IllegalArgumentException(
+              s"unterminated string literal at offset $i: ${rest.substring(i).take(40)}")
+            j
+          }
+        sb.append(rest.substring(i, close + 1))
+        i = close + 1
       } else if (c == '<') {
         sb.append(c)
         i += 1
@@ -345,7 +377,23 @@ object Sparql {
     // SELECT, extracted before the [^}]-based block regexes can
     // misread their inner braces; each recursively parses with the
     // full grammar (its own aggregates, modifiers, even subqueries)
-    val (bodyFull, subqueries) = extractSubqueries(bodyFull0)
+    val (bodyFullS, subqueries) = extractSubqueries(bodyFull0)
+
+    // GRAPH blocks — pulled before OPTIONAL/UNION so their braces are
+    // never misread as a UNION branch; plain constant-predicate
+    // patterns only (paths/variable predicates stay default-graph
+    // features)
+    val graphBlocks = graphRe.findAllMatchIn(bodyFullS).map { m =>
+      val gterm = term(m.group(1))
+      require(gterm.isInstanceOf[Var] || gterm.isInstanceOf[Const],
+        s"GRAPH term must be a variable or constant, got $gterm: $query")
+      val pats = parsePatterns(m.group(2))
+      require(pats.nonEmpty, s"empty GRAPH block: $query")
+      pats.foreach(tp => require(tp.p.isInstanceOf[Const],
+        s"GRAPH block patterns need a constant predicate: $tp in $query"))
+      (gterm, pats)
+    }.toSeq
+    val bodyFull = graphRe.replaceAllIn(bodyFullS, "")
 
     val groupVars = groupByRe.findFirstMatchIn(tail).toSeq
       .flatMap(_.group(1).split("\\s+").filter(_.nonEmpty).map(_.drop(1)))
@@ -506,11 +554,13 @@ object Sparql {
     }
 
     val patterns = parsePatterns(body)
-    require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty,
+    require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty ||
+        graphBlocks.nonEmpty,
       s"empty BGP: $query")
     val allPatterns =
       patterns ++ optionals.flatten ++ unions.flatten.flatten ++
-        minuses.flatten ++ existsFilters.flatMap(_._2)
+        minuses.flatten ++ existsFilters.flatMap(_._2) ++
+        graphBlocks.flatMap(_._2)
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
@@ -525,7 +575,12 @@ object Sparql {
         valuesTables.flatMap(_._1) ++
         // a subquery exports exactly its projection (group keys and
         // aggregate aliases included) to the outer scope
-        subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
+        subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
+        // GRAPH blocks bind their pattern vars and (var form) the graph
+        graphBlocks.flatMap { case (g, pats) =>
+          pats.flatMap(_.vars) ++
+            (g match { case Var(n) => Seq(n); case _ => Nil })
+        }
     // BIND aliases must be fresh and their refs bound before use
     // (sequence scoping: an earlier alias is visible to a later BIND)
     binds.foldLeft(known) { (scope, b) =>
@@ -582,7 +637,7 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
-      binds, subqueries, valuesTables)
+      binds, subqueries, valuesTables, graphBlocks)
   }
 
   /** Scan for `{ SELECT ... }` blocks with balanced-brace matching;
@@ -683,6 +738,33 @@ object Sparql {
     case _ => throw new IllegalArgumentException(s"not an ASK query: $query")
   }
 
+  private val describeVarRe =
+    "(?is)^\\s*describe((?:\\s+\\?\\w+)+)\\s*(where.*)$".r
+  private val describeConstRe = "(?is)^\\s*describe\\s+(\\S+)\\s*$".r
+
+  /** `DESCRIBE ?v [?w …] WHERE { ... }` (resources bound by the
+    * pattern) or `DESCRIBE <node>` (one directly named resource) —
+    * SPARQL 1.1 §16.4, with the common "all triples incident to the
+    * resource" description (the spec leaves the shape to the
+    * implementation). Returns the described constant, or the vars plus
+    * the underlying SELECT that binds them.
+    */
+  def parseDescribe(query: String)
+      : Either[String, (Seq[String], BgpQuery)] =
+    expandPrefixes(query) match {
+      case describeVarRe(vs, rest) =>
+        val vars = "\\?(\\w+)".r.findAllMatchIn(vs).map(_.group(1)).toSeq
+        Right((vars,
+          parse(s"select ${vars.map("?" + _).mkString(" ")} $rest")))
+      case describeConstRe(tok) => term(tok) match {
+        case Const(c) => Left(c)
+        case other => throw new IllegalArgumentException(
+          s"DESCRIBE takes ?vars + WHERE or one constant, got $other: $query")
+      }
+      case _ =>
+        throw new IllegalArgumentException(s"not a DESCRIBE query: $query")
+    }
+
   /** `CONSTRUCT { template } WHERE { ... }` — returns the template
     * triples plus the underlying SELECT over the template's variables.
     */
@@ -732,6 +814,7 @@ object Sparql {
       }
 
   private val repeatRe = "^(.+)\\{(\\d+)(?:,(\\d+))?\\}$".r
+  private val groupRepeatRe = "^\\(([^()]+)\\)([+*])$".r
 
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))
@@ -748,6 +831,20 @@ object Sparql {
           case other => throw new IllegalArgumentException(
             s"negated property sets list plain predicates, got $other in $tok")
         }))
+    }
+    // grouped sequence under repetition (p1/p2)+ / (p1/p2)* — matched
+    // BEFORE the plain sequence branch, whose '/'-split would tear the
+    // parenthesized group apart
+    else if (groupRepeatRe.matches(tok)) tok match {
+      case groupRepeatRe(inner, mod) =>
+        val steps = inner.split("/").toSeq.map(_.trim)
+        require(steps.nonEmpty && steps.forall(_.nonEmpty),
+          s"empty grouped-path step: $tok")
+        PathGroupRepeat(steps.map(t => term(t) match {
+          case Const(p) => p
+          case other => throw new IllegalArgumentException(
+            s"grouped-path steps must be plain predicates, got $other in $tok")
+        }), star = mod == "*")
     }
     // sequence path p1/p2/...: bare-token paths only (URIs and quoted
     // literals containing '/' stay constants); each step may be any

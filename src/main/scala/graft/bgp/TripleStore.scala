@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
 final case class TripleStore(
     slices: Map[String, DataFrame],
     dict: Option[DataFrame],
-    sBucketed: Option[DataFrame] = None) {
+    sBucketed: Option[DataFrame] = None,
+    // named graphs as a quad relation (g, s, p, o): g/s/o in store form
+    // (strings, or xxhash64 ids on the encoded store), p ALWAYS the
+    // string predicate name (dispatch is by name). On disk the layout
+    // analog is parquet partitioned by (g, p) — a constant graph term
+    // plus constant predicate is double partition pruning.
+    quads: Option[DataFrame] = None) {
 
   def encoded: Boolean = dict.isDefined
 
@@ -117,14 +123,27 @@ object TripleStore {
     TripleStore(slices, None)
   }
 
+  /** Hard cap on the predicate inventory: vertical partitioning
+    * assumes predicates are schema-sized, not data-sized. Past the cap
+    * the build fails loudly instead of collecting an unbounded set to
+    * the driver.
+    */
+  val MaxPredicates = 10000
+
   /** Build a store from a generic `(s, p, o)` string DataFrame (e.g.
     * an N-Triples load). The predicate inventory is schema-sized, not
     * data-sized, so the distinct-predicate collect is a metadata
     * operation — the same assumption vertical partitioning always
-    * makes.
+    * makes, enforced by [[MaxPredicates]]: the collect is limit-bounded
+    * and over-cap input is an error, never an unbounded driver set.
     */
   def fromTriples(df: DataFrame): TripleStore = {
-    val preds = df.select(col("p")).distinct().collect().map(_.getString(0))
+    val preds = df.select(col("p")).distinct().limit(MaxPredicates + 1)
+      .collect().map(_.getString(0))
+    require(preds.length <= MaxPredicates,
+      s"more than $MaxPredicates distinct predicates: this data is not " +
+        "vertically partitionable by predicate — use the p-partitioned " +
+        "parquet layout and a predicate column instead")
     val slices = preds.map { p =>
       p -> df.filter(col("p") === p).select(col("s"), col("o")).distinct()
     }.toMap
@@ -140,14 +159,24 @@ object TripleStore {
     store.unionView.write.mode("overwrite").partitionBy("p").parquet(path)
 
   /** Load a store from the partitioned layout. The predicate inventory
-    * comes from the partition directory names (a metadata-only query —
-    * no data files are read), and each slice is a filter on the
-    * partition column that Catalyst turns into `PartitionFilters` on
-    * the scan: touching one predicate reads one directory.
+    * IS the partition-directory listing — one filesystem metadata read,
+    * no parquet data scanned (ScaleSpec asserts zero records read) —
+    * and each slice is a filter on the partition column that Catalyst
+    * turns into `PartitionFilters` on the scan: touching one predicate
+    * reads one directory. Predicate names round-trip through Hive-style
+    * path escaping (`rdf:type` ↔ `p=rdf%3Atype`).
     */
   def fromPartitionedParquet(spark: SparkSession, path: String): TripleStore = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val preds = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("p="))
+      .map(st => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getName.stripPrefix("p=")))
+    require(preds.nonEmpty, s"no p=... partition directories under $path")
+    require(preds.length <= MaxPredicates,
+      s"more than $MaxPredicates predicate partitions under $path")
     val df = spark.read.parquet(path)
-    val preds = df.select(col("p")).distinct().collect().map(_.getString(0))
     val slices = preds.map { p =>
       p -> df.filter(col("p") === p).select(col("s"), col("o"))
     }.toMap

@@ -69,6 +69,33 @@ object BgpQueries {
     }
   }
 
+  /** Named-graph quads (g, s, p, o) derived from the star schema: each
+    * region URI names a graph holding its nations' `name`/`rdf:type`
+    * edges — provenance-by-region, the classic named-graph use. Every
+    * g/s/o value already appears in the string store (so the encoded
+    * form needs no dictionary additions), and the relation is a narrow
+    * projection of the nation scan — region-count graphs, never
+    * data-sized.
+    */
+  private def quadsFor(s: SparkSession, dir: String,
+      encoded: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.Tables.t
+    val nat = t(s, dir, "nation")
+    def uri(prefix: String, c: org.apache.spark.sql.Column) =
+      concat(lit(prefix), lit(":"), c.cast("string"))
+    val g = uri("region", col("n_regionkey")).as("g")
+    val subj = uri("nation", col("n_nationkey")).as("s")
+    val base = nat.select(g, subj, lit("name").as("p"),
+        col("n_name").cast("string").as("o"))
+      .unionByName(nat.select(g, subj, lit("rdf:type").as("p"),
+        lit("Nation").as("o")))
+    if (encoded)
+      base.select(xxhash64(col("g")).as("g"), xxhash64(col("s")).as("s"),
+        col("p"), xxhash64(col("o")).as("o"))
+    else base
+  }
+
   private def store(s: SparkSession, dir: String, encoded: Boolean): TripleStore =
     storeCache.getOrElseUpdate((s, dir, encoded), {
         val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
@@ -99,8 +126,9 @@ object BgpQueries {
             TripleStore.writeDict(enc.dict.get, ddir, dtable)
           }
           TripleStore.fromPartitionedParquet(s, edir)
-            .copy(dict = Some(TripleStore.registerDict(s, ddir, dtable)))
-        } else base
+            .copy(dict = Some(TripleStore.registerDict(s, ddir, dtable)),
+              quads = Some(quadsFor(s, dir, encoded = true)))
+        } else base.copy(quads = Some(quadsFor(s, dir, encoded = false)))
       })
 
   /** Materialize the persisted layouts for a scale dir ahead of timing
@@ -770,6 +798,86 @@ object BgpQueries {
         encoded = true),
       Some("""SELECT a.n_name AS n1, b.n_name AS n2
              |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
-             |WHERE a.n_name < b.n_name""".stripMargin))
+             |WHERE a.n_name < b.n_name""".stripMargin)),
+
+    // SPARQL 1.1 §13.3 GRAPH with a VARIABLE graph term: ?g binds the
+    // named graph each solution came from (provenance-by-region
+    // quads); both block patterns must match within the SAME graph —
+    // the quad scans keep the g column and the block's natural join
+    // enforces it
+    GQuery(
+      "q142_bgp_graph_var",
+      bgp("""select ?g ?n ?nm where {
+            | GRAPH ?g { ?n name ?nm . ?n rdf:type "Nation" } }""".stripMargin),
+      Some("""SELECT concat('region:', n_regionkey) AS g,
+             |       concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation""".stripMargin)),
+
+    // GRAPH with a CONSTANT graph term on the ENCODED store: the quad
+    // scan prunes to one graph in id space (partition pruning on a
+    // (g, p)-partitioned layout), and the solution decodes at the edge
+    GQuery(
+      "q143_bgp_graph_const_encoded",
+      bgp("""select ?n ?nm where {
+            | GRAPH region:2 { ?n name ?nm } }""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey = 2""".stripMargin)),
+
+    // SPARQL 1.1 §16.4 DESCRIBE: all triples incident to the resources
+    // the WHERE clause binds — result-sized node set, one semi join
+    // per predicate slice
+    GQuery(
+      "q144_bgp_describe",
+      (s, dir) => BgpPlanner.describe(store(s, dir, encoded = false),
+        """describe ?n where { ?n name "NATION_7" . ?n rdf:type "Nation" }"""),
+      Some("""WITH n AS (SELECT n_nationkey AS k, n_name, n_regionkey
+             |           FROM nation WHERE n_name = 'NATION_7')
+             |SELECT concat('nation:', k) AS s, 'rdf:type' AS p, 'Nation' AS o FROM n
+             |UNION ALL SELECT concat('nation:', k), 'name', n_name FROM n
+             |UNION ALL SELECT concat('nation:', k), 'regionkey',
+             |  concat('region:', n_regionkey) FROM n
+             |UNION ALL SELECT concat('customer:', c_custkey), 'nationkey',
+             |  concat('nation:', c_nationkey) FROM customer JOIN n ON c_nationkey = k
+             |UNION ALL SELECT concat('supplier:', s_suppkey), 'nationkey',
+             |  concat('nation:', s_nationkey) FROM supplier JOIN n ON s_nationkey = k"""
+        .stripMargin)),
+
+    // DESCRIBE twin on the encoded store: nodes re-encode to ids for
+    // the slice semi joins, the described triples decode at the edge
+    GQuery(
+      "q145_bgp_describe_encoded",
+      (s, dir) => BgpPlanner.describe(store(s, dir, encoded = true),
+        """describe ?n where { ?n name "NATION_7" . ?n rdf:type "Nation" }"""),
+      Some("""WITH n AS (SELECT n_nationkey AS k, n_name, n_regionkey
+             |           FROM nation WHERE n_name = 'NATION_7')
+             |SELECT concat('nation:', k) AS s, 'rdf:type' AS p, 'Nation' AS o FROM n
+             |UNION ALL SELECT concat('nation:', k), 'name', n_name FROM n
+             |UNION ALL SELECT concat('nation:', k), 'regionkey',
+             |  concat('region:', n_regionkey) FROM n
+             |UNION ALL SELECT concat('customer:', c_custkey), 'nationkey',
+             |  concat('nation:', c_nationkey) FROM customer JOIN n ON c_nationkey = k
+             |UNION ALL SELECT concat('supplier:', s_suppkey), 'nationkey',
+             |  concat('nation:', s_nationkey) FROM supplier JOIN n ON s_nationkey = k"""
+        .stripMargin)),
+
+    // grouped path under repetition (p1/p2)+ (SPARQL 1.1 §9.1): the
+    // sequence composes into one derived edge relation (2-hop
+    // order-successor), then closes transitively — even-hop
+    // reachability along each customer's order chain, the
+    // WITH RECURSIVE twin in DuckDB
+    GQuery(
+      "q146_bgp_grouped_path",
+      bgp("select ?a ?b where { ?a (nextorder/nextorder)+ ?b }"),
+      Some("""WITH RECURSIVE seq AS (SELECT o_orderkey AS k,
+             |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS nk
+             |  FROM orders),
+             |e AS (SELECT concat('order:', k) AS s, concat('order:', nk) AS o
+             |      FROM seq WHERE nk IS NOT NULL),
+             |e2 AS (SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
+             |r AS (SELECT s, o FROM e2
+             |      UNION SELECT r.s, e2.o FROM r JOIN e2 ON r.o = e2.s)
+             |SELECT s AS a, o AS b FROM r""".stripMargin))
   )
 }

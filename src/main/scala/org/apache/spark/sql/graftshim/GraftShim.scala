@@ -20,4 +20,10 @@ object GraftShim {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Drain the listener bus (`private[spark]`) — lets tests assert on
+    * listener-observed metrics deterministically instead of sleeping.
+    */
+  def waitListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

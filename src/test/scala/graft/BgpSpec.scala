@@ -789,4 +789,91 @@ class BgpSpec extends AnyFunSuite {
     assert(second.count() == 0)
     assert(second.columns.toSeq == Seq("A", "N"))
   }
+
+  /** tinyStore plus two named graphs: gA holds dept:0's employment
+    * edges, gB dept:1's.
+    */
+  private def quadStore: TripleStore = tinyStore.copy(quads = Some(
+    Seq(
+      ("gA", "prof:0", "worksFor", "dept:0"),
+      ("gA", "prof:1", "worksFor", "dept:0"),
+      ("gB", "prof:2", "worksFor", "dept:1"),
+      ("gA", "prof:0", "name", "FullProfessor0"),
+      ("gB", "prof:2", "name", "FullProfessor2")
+    ).toDF("g", "s", "p", "o")))
+
+  test("GRAPH with a constant term scopes patterns to one named graph") {
+    val out = BgpPlanner.query(quadStore,
+      """select ?A where { GRAPH gA { ?A worksFor dept:0 } }""")
+    assert(out.collect().map(_.getString(0)).toSet == Set("prof:0", "prof:1"))
+    // the same pattern in gB matches nothing
+    val empty = BgpPlanner.query(quadStore,
+      """select ?A where { GRAPH gB { ?A worksFor dept:0 } }""")
+    assert(empty.count() == 0)
+  }
+
+  test("GRAPH with a variable term binds the graph; block joins stay same-graph") {
+    val out = BgpPlanner.query(quadStore,
+      """select ?G ?A ?N where { GRAPH ?G { ?A worksFor ?D . ?A name ?N } }""")
+    // prof:1 has worksFor in gA but no name there — only same-graph
+    // combinations survive
+    assert(out.collect().map(r => (r.getAs[String]("G"),
+        r.getAs[String]("A"), r.getAs[String]("N"))).toSet ==
+      Set(("gA", "prof:0", "FullProfessor0"),
+        ("gB", "prof:2", "FullProfessor2")))
+    // GRAPH composes with the default-graph chain on shared vars
+    val mixed = BgpPlanner.query(quadStore,
+      """select ?G ?A ?E where {
+        | ?A email ?E .
+        | GRAPH ?G { ?A name ?N } }""".stripMargin)
+    assert(mixed.collect().map(r =>
+        (r.getAs[String]("G"), r.getAs[String]("A"))).toSet ==
+      Set(("gA", "prof:0")))
+  }
+
+  test("GRAPH on a store without quads fails loudly") {
+    intercept[IllegalArgumentException] {
+      BgpPlanner.query(tinyStore,
+        """select ?A where { GRAPH gA { ?A worksFor dept:0 } }""").collect()
+    }
+  }
+
+  test("DESCRIBE returns every triple incident to the described resources") {
+    val out = BgpPlanner.describe(tinyStore,
+      """describe ?P where { ?P name "FullProfessor0" }""")
+    assert(out.columns.toSeq == Seq("s", "p", "o"))
+    assert(out.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(
+        ("prof:0", "worksFor", "dept:0"),
+        ("prof:0", "name", "FullProfessor0"),
+        ("prof:0", "email", "p0@u.edu"),
+        ("stud:0", "advisor", "prof:0"))) // incoming edge included
+    // the constant form describes the named node directly
+    val direct = BgpPlanner.describe(tinyStore, "describe <dept:1>")
+    assert(direct.collect().map(_.toSeq).toSet ==
+      Set(Seq("prof:2", "worksFor", "dept:1")))
+  }
+
+  test("grouped path (p1/p2)+ closes over the composed edge relation") {
+    val st = TripleStore.fromTriples(Seq(
+      ("a", "x", "m1"), ("m1", "y", "b"),
+      ("b", "x", "m2"), ("m2", "y", "c"),
+      ("c", "x", "m3"), ("m3", "y", "d"),
+      ("q", "x", "m4") // dangling x without y: no composed edge
+    ).toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st,
+      "select ?A ?B where { ?A (x/y)+ ?B }")
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")))
+    // the * form adds the zero-length arm over the composed relation's
+    // vertex set
+    val star = BgpPlanner.query(st,
+      "select ?A ?B where { ?A (x/y)* ?B }")
+    assert(star.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")))
+  }
 }
