@@ -649,6 +649,116 @@ object TextQueries {
              |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
              |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-             |FROM documents GROUP BY 1""".stripMargin))
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // PII detection + redaction — a training-data pipeline MUST strip
+    // emails/phone numbers before the corpus ships. The synthetic docs
+    // carry no PII, so a deterministic injection (mirrored exactly in
+    // the oracle) plants emails on every 7th doc and phone numbers on
+    // every 11th; the operator then counts matches per pattern and
+    // measures the redaction delta, aggregated per source. Everything
+    // is codegen'd regexp_count/regexp_replace over one scan — no UDF,
+    // no shuffle beyond the source-count-sized final aggregate.
+    GQuery(
+      "q147_pii_redaction",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        val injected = t(s, dir, "documents")
+          .withColumn("t1", when($"doc_id" % 7 === 0,
+            concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+              lit("@mail.example.com now"))).otherwise($"text"))
+          .withColumn("t2", when($"doc_id" % 11 === 0,
+            concat($"t1", lit(" call 555-"),
+              lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise($"t1"))
+        injected.select($"source",
+            regexp_count($"t2", lit(emailRe)).as("ne"),
+            regexp_count($"t2", lit(phoneRe)).as("np"),
+            (length($"t2") - length(
+              regexp_replace(regexp_replace($"t2", emailRe, "<EMAIL>"),
+                phoneRe, "<PHONE>"))).cast("long").as("delta"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"ne" + $"np" > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+            sum($"ne").cast("long").as("n_emails"),
+            sum($"np").cast("long").as("n_phones"),
+            sum($"delta").as("chars_redacted"))
+      },
+      Some("""WITH p AS (SELECT source, doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id
+             |      || '@mail.example.com now' ELSE text END AS t1
+             |  FROM documents),
+             |p2 AS (SELECT source,
+             |    CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-'
+             |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+             |      ELSE t1 END AS t2
+             |  FROM p),
+             |c AS (SELECT source,
+             |    len(regexp_extract_all(t2,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+             |    len(regexp_extract_all(t2, '\d{3}-\d{3}-\d{4}')) AS np,
+             |    length(t2) - length(regexp_replace(regexp_replace(t2,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS delta
+             |  FROM p2)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS docs_with_pii,
+             |  CAST(sum(ne) AS BIGINT) AS n_emails,
+             |  CAST(sum(np) AS BIGINT) AS n_phones,
+             |  CAST(sum(delta) AS BIGINT) AS chars_redacted
+             |FROM c GROUP BY 1""".stripMargin)),
+
+    // HTML/markup stripping — crawl text arrives wrapped in markup a
+    // pipeline must remove before tokenization. Deterministic markup
+    // injection (every 5th doc gains tags, every 10th an inline
+    // script block), then the cleaner drops script blocks FIRST
+    // (content and all), then remaining tags, and reports per-source
+    // how much was stripped. Same one-scan regexp shape as q147.
+    GQuery(
+      "q148_markup_strip",
+      (s, dir) => {
+        import s.implicits._
+        val scriptRe = "<script>.*?</script>"
+        val tagRe = "<[^>]+>"
+        val injected = t(s, dir, "documents")
+          .withColumn("t1", when($"doc_id" % 5 === 0,
+            concat(lit("<html><p class=\"a\">"), $"text", lit("</p></html>")))
+            .otherwise($"text"))
+          .withColumn("t2", when($"doc_id" % 10 === 0,
+            concat($"t1", lit("<script>var x=1;</script>"))).otherwise($"t1"))
+        injected.select($"source",
+            regexp_count($"t2", lit(tagRe)).as("n_tags"),
+            length($"t2").as("raw_len"),
+            length(regexp_replace(regexp_replace($"t2", scriptRe, " "),
+              tagRe, "")).as("clean_len"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tags").cast("long").as("n_tags"),
+            sum($"raw_len").cast("long").as("raw_chars"),
+            sum($"clean_len").cast("long").as("clean_chars"))
+      },
+      Some("""WITH p AS (SELECT source, doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN '<html><p class="a">' || text
+             |      || '</p></html>' ELSE text END AS t1
+             |  FROM documents),
+             |p2 AS (SELECT source,
+             |    CASE WHEN doc_id % 10 = 0 THEN t1 || '<script>var x=1;</script>'
+             |      ELSE t1 END AS t2
+             |  FROM p),
+             |c AS (SELECT source,
+             |    len(regexp_extract_all(t2, '<[^>]+>')) AS n_tags,
+             |    length(t2) AS raw_len,
+             |    length(regexp_replace(regexp_replace(t2,
+             |      '<script>.*?</script>', ' ', 'g'), '<[^>]+>', '', 'g'))
+             |      AS clean_len
+             |  FROM p2)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_tags) AS BIGINT) AS n_tags,
+             |  CAST(sum(raw_len) AS BIGINT) AS raw_chars,
+             |  CAST(sum(clean_len) AS BIGINT) AS clean_chars
+             |FROM c GROUP BY 1""".stripMargin))
   )
 }
