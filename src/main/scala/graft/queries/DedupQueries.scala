@@ -508,6 +508,151 @@ object DedupQueries {
               |FROM cand
               |JOIN pre p1 ON p1.doc_id = d1
               |JOIN pre p2 ON p2.doc_id = d2
-              |WHERE levenshtein(p1.p, p2.p) <= 20""".stripMargin))
+              |WHERE levenshtein(p1.p, p2.p) <= 20""".stripMargin)),
+
+    // exact substring-span dedup (the span-level complement of the
+    // doc-level families above): find every 5-token window whose text
+    // occurs ≥2 times ANYWHERE in the corpus (cross-doc or repeated
+    // within one doc), merge per-doc overlapping/adjacent duplicated
+    // windows into maximal spans, and report per-doc span count +
+    // covered-token coverage — the "cut these spans out of the
+    // training set" report of Lee et al.'s exact-substring dedup.
+    // Scale: occurrences aggregate by 8-byte xxhash64 (one shuffle on
+    // a high-entropy key, no pair join anywhere — a boilerplate
+    // shingle with F occurrences costs F linear rows, never F²), and
+    // the island-merge windows partition per doc_id, bounded by
+    // document length.
+    GQuery(
+      "q149_substring_spans",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val occ = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 5)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 4), " +
+              "i -> struct(i AS i, xxhash64(array_join(slice(w, i, 5), ' ')) AS k))"))
+            .as("x"))
+          .select($"doc_id", $"x.i".as("i"), $"x.k".as("k"))
+        val dup = occ.groupBy($"k").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" >= 2).select($"k")
+        val dp = occ.join(dup, Seq("k")).select($"doc_id", $"i")
+        val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy($"doc_id").orderBy($"i")
+        val spans = dp
+          .withColumn("pmax", max($"i" + 5).over(wPrev))
+          .withColumn("brk",
+            when($"pmax".isNull || $"i" > $"pmax", 1).otherwise(0))
+          .withColumn("isl", sum($"brk").over(wRun))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"i").as("lo"), (max($"i") + 5).as("hi"))
+        val perDoc = spans.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum($"hi" - $"lo").cast("long").as("covered_tokens"))
+        perDoc.join(
+            t(s, dir, "documents").select($"doc_id",
+              size(split($"text", " ")).cast("long").as("n_tokens")),
+            Seq("doc_id"))
+          .select($"doc_id", $"n_spans", $"covered_tokens", $"n_tokens",
+            ($"covered_tokens" * lit(1.0) / $"n_tokens").as("dup_frac"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+             |        FROM toks WHERE len(w) >= 5),
+             |occ AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS s FROM idx),
+             |dup AS (SELECT s FROM occ GROUP BY s HAVING count(*) >= 2),
+             |dp AS (SELECT doc_id, i FROM occ JOIN dup USING (s)),
+             |isl AS (SELECT doc_id, i,
+             |          max(i + 5) OVER (PARTITION BY doc_id ORDER BY i
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |        FROM dp),
+             |isl2 AS (SELECT doc_id, i,
+             |           sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+             |             OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             |         FROM isl),
+             |spans AS (SELECT doc_id, isl, min(i) AS lo, max(i) + 5 AS hi
+             |          FROM isl2 GROUP BY 1, 2),
+             |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+             |              CAST(sum(hi - lo) AS BIGINT) AS covered_tokens
+             |            FROM spans GROUP BY 1)
+             |SELECT p.doc_id, p.n_spans, p.covered_tokens,
+             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             |  p.covered_tokens * 1.0 / len(string_split(d.text, ' ')) AS dup_frac
+             |FROM per_doc p JOIN documents d USING (doc_id)""".stripMargin)),
+
+    // canonical-representative retention: q83's near-dup clusters with
+    // a QUALITY-based keep policy (largest n_chars wins, lowest doc_id
+    // breaks ties — "keep the fullest copy", not "keep the oldest"),
+    // rolled up into the per-source retention report a curation run
+    // emits: how many docs each feed keeps/loses to dedup and how many
+    // characters the dropped copies held. Scale: identical candidate
+    // plumbing to q83 (banded pair join + path-doubling closure); the
+    // winner-election window partitions per cluster (bounded by
+    // cluster size, itself bounded by the doc-freq cap), and the
+    // report is source-count-sized.
+    GQuery(
+      "q150_canonical_keep",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sh = shingleBand(s, dir)
+        val card = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(card.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+          .join(card.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+          .filter($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter") >= 0.6)
+          .select($"d1", $"d2")
+        val und = pairs.select($"d1".as("src"), $"d2".as("dst"))
+          .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        val reach = graft.graph.PathOps.transitiveClosure(und)
+          .unionByName(und.select($"src").distinct()
+            .select($"src", $"src".as("dst")))
+        val comp = reach.groupBy($"src".as("doc_id")).agg(min($"dst").as("canonical"))
+        val docs = t(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+        val keepM = docs.join(comp, Seq("doc_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"canonical").orderBy($"n_chars".desc, $"doc_id")))
+          .select($"doc_id", ($"rn" === 1).as("keep"))
+        docs.join(keepM, Seq("doc_id"), "left")
+          .select($"source", coalesce($"keep", lit(true)).as("keep"), $"n_chars")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!$"keep", 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!$"keep", $"n_chars").otherwise(0L)).cast("long")
+              .as("chars_dropped"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |$shingleBandSql,
+              |card AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS (SELECT d1, d2 FROM inter
+              |          JOIN card c1 ON c1.doc_id = d1
+              |          JOIN card c2 ON c2.doc_id = d2
+              |          WHERE inter * 1.0 / (c1.n + c2.n - inter) >= 0.6),
+              |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              |        UNION SELECT d2, d1 FROM pairs),
+              |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
+              |          UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+              |comp AS (SELECT src AS doc_id, min(dst) AS canonical FROM reach GROUP BY src),
+              |member AS (SELECT d.doc_id,
+              |             row_number() OVER (PARTITION BY c.canonical
+              |               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+              |           FROM documents d JOIN comp c USING (doc_id)),
+              |flags AS (SELECT d.source, d.n_chars,
+              |            coalesce(m.rn = 1, TRUE) AS keep
+              |          FROM documents d LEFT JOIN member m USING (doc_id))
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+              |  CAST(sum(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT) AS chars_dropped
+              |FROM flags GROUP BY 1""".stripMargin))
   )
 }

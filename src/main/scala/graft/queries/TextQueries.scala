@@ -759,6 +759,86 @@ object TextQueries {
              |  CAST(sum(n_tags) AS BIGINT) AS n_tags,
              |  CAST(sum(raw_len) AS BIGINT) AS raw_chars,
              |  CAST(sum(clean_len) AS BIGINT) AS clean_chars
-             |FROM c GROUP BY 1""".stripMargin))
+             |FROM c GROUP BY 1""".stripMargin)),
+
+    // data-mixture realization: given per-language target sampling
+    // weights (the DoReMi/Pile-style mixture spec a training run is
+    // configured with), compute each language's natural token mass,
+    // the repeat factor (epochs) needed to realize its target share of
+    // the total budget, and the effective token count it contributes.
+    // One scan + a language-count-sized aggregate; the window that
+    // totals the 5-row aggregate is partition-less BY DESIGN over a
+    // lang-cardinality relation, never data-sized. Doubles are exact
+    // integer ratios — identical in both engines.
+    GQuery(
+      "q151_mixture_realization",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Seq(("en", 40L), ("fr", 15L), ("es", 15L), ("zh", 20L),
+          ("de", 10L)).toDF("lang", "target_w")
+        val nat = t(s, dir, "documents")
+          .select($"lang", size(split($"text", " ")).cast("long").as("tk"))
+          .groupBy($"lang").agg(sum($"tk").as("natural_tokens"))
+        nat.join(w, Seq("lang"))
+          .withColumn("total_tokens",
+            sum($"natural_tokens").over(Window.partitionBy()))
+          .select($"lang", $"natural_tokens", $"target_w",
+            ($"target_w" * $"total_tokens" * lit(1.0)
+              / (lit(100) * $"natural_tokens")).as("repeat_factor"),
+            ($"target_w" * $"total_tokens" * lit(1.0) / 100)
+              .as("effective_tokens"))
+      },
+      Some("""WITH w(lang, target_w) AS (VALUES ('en', 40), ('fr', 15),
+             |    ('es', 15), ('zh', 20), ('de', 10)),
+             |nat AS (SELECT lang,
+             |          CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |            AS natural_tokens
+             |        FROM documents GROUP BY 1),
+             |j AS (SELECT n.lang, natural_tokens, target_w,
+             |        sum(natural_tokens) OVER () AS total_tokens
+             |      FROM nat n JOIN w USING (lang))
+             |SELECT lang, natural_tokens,
+             |  CAST(target_w AS BIGINT) AS target_w,
+             |  target_w * total_tokens * 1.0 / (100 * natural_tokens)
+             |    AS repeat_factor,
+             |  target_w * total_tokens * 1.0 / 100 AS effective_tokens
+             |FROM j""".stripMargin)),
+
+    // shard-manifest assignment: the final step of a corpus build —
+    // deterministically hash-assign every doc to one of 16 output
+    // shards and report per-shard doc/token mass plus its balance
+    // ratio against the ideal 1/16 share (the "are my training shards
+    // even" check before a run starts). The md5-derived bucket is
+    // uniform and reproducible across engines; one scan, one
+    // shard-count-sized aggregate, and the totalling window runs over
+    // 16 rows.
+    GQuery(
+      "q152_shard_manifest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sh = t(s, dir, "documents")
+          .select(
+            (conv(substring(md5(concat($"doc_id".cast("string"), lit(":shard"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 16).as("shard"),
+            size(split($"text", " ")).cast("long").as("tk"))
+        sh.groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
+          .withColumn("total", sum($"n_tokens").over(Window.partitionBy()))
+          .select($"shard", $"n_docs", $"n_tokens",
+            ($"n_tokens" * lit(16.0) / $"total").as("balance"))
+      },
+      Some("""WITH sh AS (SELECT
+             |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+             |      ':shard')), 1, 8)) AS BIGINT) % 16 AS shard,
+             |    len(string_split(text, ' ')) AS tk
+             |  FROM documents),
+             |agg AS (SELECT shard, count(*) AS n_docs,
+             |          CAST(sum(tk) AS BIGINT) AS n_tokens
+             |        FROM sh GROUP BY 1)
+             |SELECT shard, n_docs, n_tokens,
+             |  n_tokens * 16.0 / sum(n_tokens) OVER () AS balance
+             |FROM agg""".stripMargin))
   )
 }

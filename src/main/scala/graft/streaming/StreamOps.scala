@@ -162,6 +162,38 @@ object StreamOps {
         col("kept_chunks"))
   }
 
+  /** Streaming arm of the batch PII scrub (q147): redact emails and
+    * phone numbers in-flight with the same codegen'd regexes, then
+    * fold PII incidence into per-source tumbling-window stats — the
+    * "is some feed suddenly leaking contact data" monitor a
+    * continuously-ingesting pipeline alarms on. The redaction itself
+    * is STATELESS (most rows pay only a regex scan, no state store
+    * touch); the only stateful operator is the watermark-bounded
+    * window aggregate, keyed (window, source) — state is
+    * O(sources × open windows), never O(stream).
+    */
+  def piiRedactStream(docs: DataFrame, width: String = "1 hour",
+      allowed: String = "1 hour"): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    docs
+      .withColumn("ne", regexp_count(col("text"), lit(emailRe)))
+      .withColumn("np", regexp_count(col("text"), lit(phoneRe)))
+      .withColumn("clean", regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+      .withWatermark("ts", allowed)
+      .groupBy(window(col("ts"), width), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("ne") + col("np")).cast("long").as("n_redactions"),
+        sum(length(col("text")) - length(col("clean"))).cast("long")
+          .as("chars_delta"))
+      .select(col("window.start").as("win_start"), col("source"),
+        col("n_docs"), col("docs_with_pii"), col("n_redactions"),
+        col("chars_delta"))
+  }
+
   /** Stream-STREAM interval join (click attribution): each view joins
     * the clicks of the same user landing in `(vts, vts + window]` —
     * both sides are unbounded streams, so this exercises Spark's

@@ -74,6 +74,35 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("piiRedactStream redacts in-flight and windows PII incidence per source") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val docs = src.toDF().toDF("doc_id", "ts", "source", "text")
+    val q = StreamOps.piiRedactStream(docs)
+      .writeStream.format("memory").queryName("piistream")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, ts("2024-01-01 10:05:00"), "web", "reach me at bob@mail.example.com ok"),
+        (2L, ts("2024-01-01 10:10:00"), "web", "call 555-867-5309 or 555-867-5310"),
+        (3L, ts("2024-01-01 10:20:00"), "web", "nothing sensitive here"),
+        (4L, ts("2024-01-01 10:30:00"), "books", "clean prose all the way"))
+      q.processAllAvailable()
+      src.addData((5L, ts("2024-01-01 14:00:00"), "web", "late closer"))
+      q.processAllAvailable()
+      val rows = spark.table("piistream")
+        .select($"win_start".cast("string"), $"source", $"n_docs",
+          $"docs_with_pii", $"n_redactions", $"chars_delta")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      // doc1: one email (20 chars -> <EMAIL> 7, delta 13); doc2: two
+      // phones (12 chars -> <PHONE> 7, delta 5 each); docs 3/4 clean
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "web", 3L, 2L, 3L, 23L),
+        ("2024-01-01 10:00:00", "books", 1L, 0L, 0L, 0L)))
+    } finally q.stop()
+  }
+
   test("stream-static boilerplate join filters chunks against the batch set") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
