@@ -550,6 +550,52 @@ object EventQueries {
              |SELECT event_type, count(*) AS n,
              |  CAST(sum(user_events) AS BIGINT) AS total
              |FROM events JOIN d USING (user_id)
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // time-grid gap filling + last-observation-carried-forward: the
+    // time-series regularization step monitoring/feature pipelines
+    // need — materialize the full hour × event-type grid over the
+    // stream's span, mark empty cells, and carry the last observed
+    // hourly count forward into gaps. The grid is CALENDAR-sized
+    // (hours × types), never data-sized, so the cross join is
+    // metadata-scale; the LOCF window partitions per type and the
+    // only data shuffle is the hourly pre-aggregate.
+    GQuery(
+      "q155_time_grid_locf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .select(date_trunc("hour", $"ts").as("hr"), $"event_type")
+        val hourly = ev.groupBy($"hr", $"event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val grid = ev.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+        val full = grid.crossJoin(ev.select($"event_type").distinct())
+        val w = Window.partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        full.join(hourly, Seq("hr", "event_type"), "left")
+          .select($"hr", $"event_type",
+            coalesce($"cnt", lit(0L)).as("cnt"),
+            $"cnt".isNull.as("is_gap"),
+            coalesce(last($"cnt", ignoreNulls = true).over(w), lit(0L))
+              .as("locf_cnt"))
+      },
+      Some("""WITH ev AS (SELECT date_trunc('hour', ts) AS hr, event_type FROM events),
+             |hourly AS (SELECT hr, event_type, count(*) AS cnt FROM ev GROUP BY 1, 2),
+             |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM ev),
+             |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+             |full_g AS (SELECT g.hr, t.event_type
+             |           FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+             |j AS (SELECT f.hr, f.event_type, h.cnt
+             |      FROM full_g f LEFT JOIN hourly h USING (hr, event_type))
+             |SELECT hr, event_type,
+             |  CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+             |  cnt IS NULL AS is_gap,
+             |  CAST(coalesce(last_value(cnt IGNORE NULLS) OVER (
+             |    PARTITION BY event_type ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+             |    AS locf_cnt
+             |FROM j""".stripMargin))
   )
 }

@@ -201,6 +201,46 @@ object ScalarQueries {
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |  count(*) AS n_events
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // Count-Min-Sketch heavy hitters: the third sublinear sketch of
+    // the family (q67 HLL/t-digest, q137 Bloom) — one aggregate pass
+    // builds a fixed-seed CMS over lineitem supplier keys, the exact
+    // top-10 is computed distributively, and the driver probes the
+    // bits-sized sketch (the same collect-once pattern as q137's
+    // runtime filter) for each winner. CMS guarantees estimate ≥ exact
+    // (hard assertion) and overcount ≤ ε·N with 99% confidence per
+    // key; the oracle pins the exact counts plus both bounds at TRUE
+    // (asserted at 2× the ε·N allowance so a correct sketch never
+    // flips at a new scale factor, like q67's 5σ).
+    GQuery(
+      "q153_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val eps = 0.001
+        val agg = t(s, dir, "lineitem").agg(
+          expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("n")).head
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("cms")))
+        val allowance = 2 * eps * agg.getAs[Long]("n")
+        // orderBy+limit plans as TakeOrderedAndProject — per-partition
+        // top-10 then a 10-row driver merge, no single-partition window
+        val top = t(s, dir, "lineitem")
+          .groupBy($"l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy($"exact_cnt".desc, $"l_suppkey").limit(10)
+          .as[(Long, Long)].collect()
+        top.map { case (k, exact) =>
+          val est = cms.estimateCount(k)
+          (k, exact, est >= exact, est <= exact + allowance)
+        }.toSeq.toDF("l_suppkey", "exact_cnt", "cms_no_undercount",
+          "cms_within_bound")
+      },
+      Some("""SELECT l_suppkey, exact_cnt,
+             |  TRUE AS cms_no_undercount, TRUE AS cms_within_bound
+             |FROM (SELECT l_suppkey, count(*) AS exact_cnt,
+             |        row_number() OVER (ORDER BY count(*) DESC, l_suppkey) AS rn
+             |      FROM lineitem GROUP BY 1)
+             |WHERE rn <= 10""".stripMargin))
   )
 }

@@ -191,6 +191,33 @@ object WindowQueries {
              |  CAST(count(*) OVER (PARTITION BY o_custkey
              |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
              |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing30
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // distribution-rank window functions (the remaining trio the
+    // family above doesn't cover): quartile bucketing via ntile,
+    // percent_rank ((rank−1)/(n−1)) and cume_dist (rank/n) per nation,
+    // ordered with a unique tiebreak so both engines see one total
+    // order. The doubles are integer-ratio divisions — bit-identical
+    // cross-engine; the window partitions by nation key (bounded
+    // per-partition work at any scale).
+    GQuery(
+      "q154_rank_distributions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"c_nationkey")
+          .orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey",
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  ntile(4) OVER w AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin))
   )
 }
