@@ -674,6 +674,33 @@ object BgpPlanner {
         concat(args.map(a => bindCol(a, lex).cast("string")): _*)
       case BCoalesce(args) => coalesce(args.map(bindCol(_, lex)): _*)
       case BStrlen(a) => length(bindCol(a, lex).cast("string")).cast("long")
+      case BFunc1("ucase", a) => upper(bindCol(a, lex).cast("string"))
+      case BFunc1("lcase", a) => lower(bindCol(a, lex).cast("string"))
+      case BFunc1(other, _) =>
+        throw new IllegalArgumentException(s"unknown BIND function: $other")
+      case BSubstr(a, st, ln) => bindCol(a, lex).cast("string")
+        .substr(lit(st), lit(ln.getOrElse(Int.MaxValue)))
+      case BReplace(a, p, r) =>
+        regexp_replace(bindCol(a, lex).cast("string"), p, r)
+      case BIf(l, op, r, t, e) =>
+        // numeric comparison when either side is a numeric literal,
+        // lexical otherwise (SPARQL operand typing, bounded like FILTER)
+        val numeric = (l, r) match {
+          case (BLit(_, true), _) | (_, BLit(_, true)) => true
+          case _ => false
+        }
+        val (lc, rc) =
+          if (numeric) (bindCol(l, lex).cast("double"), bindCol(r, lex).cast("double"))
+          else (bindCol(l, lex).cast("string"), bindCol(r, lex).cast("string"))
+        val cond = op match {
+          case "=" => lc === rc
+          case "!=" => lc =!= rc
+          case ">" => lc > rc
+          case "<" => lc < rc
+          case ">=" => lc >= rc
+          case "<=" => lc <= rc
+        }
+        when(cond, bindCol(t, lex)).otherwise(bindCol(e, lex))
       case BArith(op, l, r) =>
         val (lc, rc) =
           (bindCol(l, lex).cast("double"), bindCol(r, lex).cast("double"))

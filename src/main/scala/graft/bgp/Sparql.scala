@@ -99,6 +99,17 @@ object Sparql {
   final case class BCoalesce(args: Seq[BindExpr]) extends BindExpr
   final case class BStrlen(arg: BindExpr) extends BindExpr
   final case class BArith(op: String, l: BindExpr, r: BindExpr) extends BindExpr
+  /** UCASE/LCASE (SPARQL 1.1 §17.4.3). */
+  final case class BFunc1(fn: String, arg: BindExpr) extends BindExpr
+  /** SUBSTR(?v, start[, len]) — 1-based, like the spec and SQL. */
+  final case class BSubstr(arg: BindExpr, start: Int, len: Option[Int])
+      extends BindExpr
+  /** REPLACE(?v, "pattern", "replacement") — regex, global. */
+  final case class BReplace(arg: BindExpr, pattern: String,
+      replacement: String) extends BindExpr
+  /** IF(l op r, then, else) — the condition is one comparison. */
+  final case class BIf(condL: BindExpr, op: String, condR: BindExpr,
+      thenE: BindExpr, elseE: BindExpr) extends BindExpr
   /** One `BIND (expr AS ?alias)` clause. */
   final case class Bind(alias: String, expr: BindExpr) {
     def refs: Seq[String] = {
@@ -108,6 +119,10 @@ object Sparql {
         case BCoalesce(as) => as.flatMap(go)
         case BStrlen(a) => go(a)
         case BArith(_, l, r) => go(l) ++ go(r)
+        case BFunc1(_, a) => go(a)
+        case BSubstr(a, _, _) => go(a)
+        case BReplace(a, _, _) => go(a)
+        case BIf(l, _, r, t, e) => go(l) ++ go(r) ++ go(t) ++ go(e)
         case _ => Nil
       }
       go(expr)
@@ -707,11 +722,52 @@ object Sparql {
       require(args.nonEmpty, s"empty $fn: $raw")
       args
     }
+    // split a call's argument list on commas OUTSIDE string literals
+    def splitArgs(inner: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+      var inQ = false
+      for (c <- inner) {
+        if (c == '"') { inQ = !inQ; out.last.append(c) }
+        else if (c == ',' && !inQ) out += new StringBuilder
+        else out.last.append(c)
+      }
+      out.map(_.toString.trim).filter(_.nonEmpty).toSeq
+    }
+    def inner0 = s.substring(s.indexOf('(') + 1, s.length - 1)
+    def strLit(t: String): String = {
+      require(t.startsWith("\"") && t.endsWith("\"") && t.length >= 2,
+        s"expected a string literal, got: $t")
+      t.drop(1).dropRight(1)
+    }
     if (low.startsWith("concat(") && s.endsWith(")"))
       BConcat(argList("CONCAT"))
     else if (low.startsWith("coalesce(") && s.endsWith(")"))
       BCoalesce(argList("COALESCE"))
-    else if (low.startsWith("strlen(") && s.endsWith(")")) {
+    else if (low.startsWith("ucase(") && s.endsWith(")"))
+      BFunc1("ucase", parseBindExpr(inner0))
+    else if (low.startsWith("lcase(") && s.endsWith(")"))
+      BFunc1("lcase", parseBindExpr(inner0))
+    else if (low.startsWith("substr(") && s.endsWith(")")) {
+      val as = splitArgs(inner0)
+      require(as.size == 2 || as.size == 3, s"SUBSTR takes 2-3 args: $raw")
+      BSubstr(parseBindExpr(as.head), as(1).toInt,
+        if (as.size == 3) Some(as(2).toInt) else None)
+    } else if (low.startsWith("replace(") && s.endsWith(")")) {
+      val as = splitArgs(inner0)
+      require(as.size == 3, s"REPLACE takes 3 args: $raw")
+      BReplace(parseBindExpr(as.head), strLit(as(1)), strLit(as(2)))
+    } else if (low.startsWith("if(") && s.endsWith(")")) {
+      val as = splitArgs(inner0)
+      require(as.size == 3, s"IF takes 3 args: $raw")
+      val condRe = "^(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
+      as.head match {
+        case condRe(l, op, r) =>
+          BIf(parseBindExpr(l), op, parseBindExpr(r),
+            parseBindExpr(as(1)), parseBindExpr(as(2)))
+        case other => throw new IllegalArgumentException(
+          s"IF condition must be one comparison: $other")
+      }
+    } else if (low.startsWith("strlen(") && s.endsWith(")")) {
       val inner = s.substring(s.indexOf('(') + 1, s.length - 1).trim
       require(inner.startsWith("?"), s"STRLEN takes a variable: $raw")
       BStrlen(BVar(inner.drop(1)))

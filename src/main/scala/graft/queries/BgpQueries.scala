@@ -878,6 +878,57 @@ object BgpQueries {
              |e2 AS (SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
              |r AS (SELECT s, o FROM e2
              |      UNION SELECT r.s, e2.o FROM r JOIN e2 ON r.o = e2.s)
-             |SELECT s AS a, o AS b FROM r""".stripMargin))
+             |SELECT s AS a, o AS b FROM r""".stripMargin)),
+
+    // BIND string-function surface (SPARQL 1.1 §17.4.3): UCASE /
+    // LCASE / SUBSTR / REPLACE as sequential codegen'd projections —
+    // the everyday string toolkit a SPARQL user reaches for first
+    GQuery(
+      "q156_bgp_string_funcs",
+      bgp("""select ?n ?u ?l ?pfx ?fix where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (ucase(?nm) AS ?u) .
+            | BIND (lcase(?nm) AS ?l) .
+            | BIND (substr(?nm, 1, 6) AS ?pfx) .
+            | BIND (replace(?nm, "_", "-") AS ?fix) }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  upper(n_name) AS u, lower(n_name) AS l,
+             |  substr(n_name, 1, 6) AS pfx,
+             |  regexp_replace(n_name, '_', '-', 'g') AS fix
+             |FROM nation""".stripMargin)),
+
+    // BIND IF(cond, then, else) (§17.4.1): conditional projection over
+    // a previously-bound alias (sequence scoping) plus a string-typed
+    // comparison on a stored literal
+    GQuery(
+      "q157_bgp_if",
+      bgp("""select ?o ?cls ?sz where {
+            | ?o rdf:type "Order" .
+            | ?o status ?st .
+            | BIND (if(?st = "F", "closed", "open") AS ?cls) .
+            | BIND (strlen(?o) AS ?len) .
+            | BIND (if(?len > 8, "long-id", "short-id") AS ?sz) }""".stripMargin),
+      Some("""SELECT concat('order:', o_orderkey) AS o,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'closed' ELSE 'open' END AS cls,
+             |  CASE WHEN strlen(concat('order:', o_orderkey)) > 8
+             |    THEN 'long-id' ELSE 'short-id' END AS sz
+             |FROM orders""".stripMargin)),
+
+    // encoded-store twin of q156/q157: the new BIND functions compute
+    // on decode-on-demand lexical values and the aliases stay lexical
+    GQuery(
+      "q158_bgp_string_funcs_encoded",
+      bgp("""select ?n ?u ?pfx ?cls where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (ucase(?nm) AS ?u) .
+            | BIND (substr(?nm, 1, 6) AS ?pfx) .
+            | BIND (if(?nm = "NATION_7", "seven", "other") AS ?cls) }"""
+        .stripMargin, encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  upper(n_name) AS u, substr(n_name, 1, 6) AS pfx,
+             |  CASE WHEN n_name = 'NATION_7' THEN 'seven' ELSE 'other' END AS cls
+             |FROM nation""".stripMargin))
   )
 }

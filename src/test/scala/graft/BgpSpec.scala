@@ -441,6 +441,30 @@ class BgpSpec extends AnyFunSuite {
       Set(("prof:0", "FullProfessor0!", 28.0), ("prof:1", "FullProfessor1!", 28.0)))
   }
 
+  test("BIND string functions: UCASE/LCASE/SUBSTR/REPLACE/IF") {
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?U ?L ?P ?R ?C where { ?A name ?N .
+        | BIND (ucase(?N) AS ?U) .
+        | BIND (lcase(?N) AS ?L) .
+        | BIND (substr(?N, 1, 4) AS ?P) .
+        | BIND (replace(?N, "Full", "Assoc") AS ?R) .
+        | BIND (if(?N = "FullProfessor0", "zero", "other") AS ?C) }""".stripMargin)
+    assert(out.collect().map(r => (r.getAs[String]("A"), r.getAs[String]("U"),
+        r.getAs[String]("L"), r.getAs[String]("P"), r.getAs[String]("R"),
+        r.getAs[String]("C"))).toSet ==
+      Set(
+        ("prof:0", "FULLPROFESSOR0", "fullprofessor0", "Full", "AssocProfessor0", "zero"),
+        ("prof:1", "FULLPROFESSOR1", "fullprofessor1", "Full", "AssocProfessor1", "other")))
+    // numeric IF over a previously-bound alias; SUBSTR without a length
+    val num = BgpPlanner.query(tinyStore,
+      """select ?A ?S ?T where { ?A name ?N .
+        | BIND (strlen(?N) AS ?Len) .
+        | BIND (if(?Len > 10, "long", "short") AS ?S) .
+        | BIND (substr(?N, 5) AS ?T) }""".stripMargin)
+    assert(num.collect().map(r => (r.getAs[String]("S"), r.getAs[String]("T")))
+      .toSet == Set(("long", "Professor0"), ("long", "Professor1")))
+  }
+
   test("BIND validation: fresh alias, bound refs, supported expressions") {
     intercept[IllegalArgumentException](Sparql.parse(
       """select ?A where { ?A name ?N . BIND (strlen(?N) AS ?N) }"""))
