@@ -371,7 +371,8 @@ object BgpPlanner {
     def lexNeeds(f: FilterExpr): Seq[String] =
       if (!store.encoded) Nil
       else f.op match {
-        case "regex" => Seq(f.variable).filterNot(lexical)
+        case "regex" | "strstarts" | "strends" | "contains" =>
+          Seq(f.variable).filterNot(lexical)
         case op if orderingOps(op) =>
           (Seq(f.variable) ++ (if (f.rhsVar) Seq(f.value) else Nil))
             .filterNot(lexical)
@@ -394,6 +395,9 @@ object BgpPlanner {
         case "bound" => c.isNotNull
         case "!bound" => c.isNull
         case "regex" => lexOf(f.variable).rlike(f.value)
+        case "strstarts" => lexOf(f.variable).startsWith(f.value)
+        case "strends" => lexOf(f.variable).endsWith(f.value)
+        case "contains" => lexOf(f.variable).contains(f.value)
         case "=" | "!=" =>
           val idEq = store.encoded && !lexical(f.variable) &&
             (if (f.rhsVar) !lexical(f.value) else true)
@@ -425,11 +429,15 @@ object BgpPlanner {
     // decode-then-filter path (a semi join can't express them).
     def semiJoinable(f: FilterExpr): Boolean =
       store.encoded && !f.rhsVar && !lexical(f.variable) &&
-        (f.op == "regex" || orderingOps(f.op))
+        (f.op == "regex" || f.op == "strstarts" || f.op == "strends" ||
+          f.op == "contains" || orderingOps(f.op))
     def dictPred(f: FilterExpr): Column = {
       val v = col("value")
       f.op match {
         case "regex" => v.rlike(f.value)
+        case "strstarts" => v.startsWith(f.value)
+        case "strends" => v.endsWith(f.value)
+        case "contains" => v.contains(f.value)
         case op =>
           val l = if (f.numeric) v.cast("double") else v
           val r: Column =

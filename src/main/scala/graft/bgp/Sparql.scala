@@ -218,6 +218,14 @@ object Sparql {
   // (whose [^()]* cannot match a parenthesized regex call)
   private val filterRegexRe =
     "(?is)filter\\s+regex\\s*\\(\\s*\\?(\\w+)\\s*,\\s*\"([^\"]*)\"\\s*\\)".r
+  // `FILTER [(]STRSTARTS|STRENDS|CONTAINS(?v, "lit")[)]` — SPARQL 1.1
+  // §17.4.3 string predicates; both the bare and outer-paren spellings
+  private val filterStrFnRe =
+    ("(?is)filter\\s*\\(?\\s*(strstarts|strends|contains)\\s*\\(\\s*" +
+      "\\?(\\w+)\\s*,\\s*\"([^\"]*)\"\\s*\\)\\s*\\)?").r
+  // `FILTER (?v IN (lit, ...))` — desugars to one disjunct per element
+  private val filterInRe =
+    "(?is)filter\\s*\\(\\s*\\?(\\w+)\\s+in\\s*\\(([^()]*)\\)\\s*\\)".r
   // `FILTER (BOUND(?v))` / `FILTER (!BOUND(?v))` — the OPTIONAL
   // companion (negation by failure); standalone clause form only, like
   // regex, so its nested parens never confuse filterRe
@@ -451,12 +459,32 @@ object Sparql {
       val regexClauses = filterRegexRe.findAllMatchIn(rest0).map(m =>
         FilterClause(Seq(Seq(
           FilterExpr(m.group(1), "regex", m.group(2), numeric = false))))).toSeq
-      val rest = filterRegexRe.replaceAllIn(rest0, "")
+      val rest1 = filterRegexRe.replaceAllIn(rest0, "")
+      val strFnClauses = filterStrFnRe.findAllMatchIn(rest1).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(2),
+          m.group(1).toLowerCase, m.group(3), numeric = false))))).toSeq
+      val rest2 = filterStrFnRe.replaceAllIn(rest1, "")
+      val inClauses = filterInRe.findAllMatchIn(rest2).map { m =>
+        val elems = m.group(2).split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map { e =>
+            if (e.startsWith("\"") && e.endsWith("\"") && e.length >= 2)
+              FilterExpr(m.group(1), "=", e.drop(1).dropRight(1),
+                numeric = false)
+            else if (numberRe.matches(e))
+              FilterExpr(m.group(1), "=", e, numeric = true)
+            else throw new IllegalArgumentException(
+              s"IN elements must be literals, got: $e")
+          }
+        require(elems.nonEmpty, s"empty IN list in: $chunk")
+        FilterClause(elems.map(Seq(_)))
+      }.toSeq
+      val rest = filterInRe.replaceAllIn(rest2, "")
       val cmpClauses = filterRe.findAllMatchIn(rest).map { m =>
         FilterClause(m.group(1).split("\\|\\|").toSeq
           .map(_.split("&&").toSeq.map(parseComparison)))
       }.toSeq
-      (filterRe.replaceAllIn(rest, ""), cmpClauses ++ regexClauses ++ boundClauses)
+      (filterRe.replaceAllIn(rest, ""),
+        cmpClauses ++ regexClauses ++ strFnClauses ++ inClauses ++ boundClauses)
     }
 
     // pull extension clauses out first; the remainder is the

@@ -929,6 +929,45 @@ object BgpQueries {
       Some("""SELECT concat('nation:', n_nationkey) AS n,
              |  upper(n_name) AS u, substr(n_name, 1, 6) AS pfx,
              |  CASE WHEN n_name = 'NATION_7' THEN 'seven' ELSE 'other' END AS cls
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // FILTER string predicates (§17.4.3) + IN-lists (§17.4.1.9):
+    // STRSTARTS/STRENDS/CONTAINS as pushed-down predicates, IN
+    // desugared at parse time to a disjunct per element (so the
+    // encoded store compares ids, never strings)
+    GQuery(
+      "q159_bgp_str_predicates",
+      bgp("""select ?c ?seg ?nn where {
+            | ?c rdf:type "Customer" .
+            | ?c mktsegment ?seg .
+            | ?c nationkey ?n .
+            | ?n name ?nn .
+            | FILTER (?seg IN ("BUILDING", "MACHINERY")) .
+            | FILTER (CONTAINS(?nn, "_1")) .
+            | FILTER (STRENDS(?nn, "5")) }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  c_mktsegment AS seg, n_name AS nn
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |  AND contains(n_name, '_1') AND n_name LIKE '%5'""".stripMargin)),
+
+    // encoded twin: the constant string predicates evaluate during the
+    // dictionary scan and SEMI-join back on 8-byte ids (the dict-filter
+    // path regex/ordering already take); IN stays pure id equality
+    GQuery(
+      "q160_bgp_str_predicates_encoded",
+      bgp("""select ?c ?seg ?nn where {
+            | ?c rdf:type "Customer" .
+            | ?c mktsegment ?seg .
+            | ?c nationkey ?n .
+            | ?n name ?nn .
+            | FILTER (STRSTARTS(?seg, "BUILD")) .
+            | FILTER (CONTAINS(?nn, "_2")) }""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  c_mktsegment AS seg, n_name AS nn
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment LIKE 'BUILD%' AND contains(n_name, '_2')"""
+        .stripMargin))
   )
 }

@@ -465,6 +465,28 @@ class BgpSpec extends AnyFunSuite {
       .toSet == Set(("long", "Professor0"), ("long", "Professor1")))
   }
 
+  test("FILTER STRSTARTS/STRENDS/CONTAINS and IN-lists") {
+    val starts = BgpPlanner.query(tinyStore,
+      """select ?A ?N where { ?A name ?N . FILTER (STRSTARTS(?N, "FullP")) }""")
+    assert(starts.collect().map(_.getAs[String]("A")).toSet ==
+      Set("prof:0", "prof:1"))
+    val ends = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A name ?N . FILTER STRENDS(?N, "0") }""")
+    assert(ends.collect().map(_.getAs[String]("A")).toSet == Set("prof:0"))
+    val contains = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A name ?N . FILTER (CONTAINS(?N, "Professor")) }""")
+    assert(contains.collect().map(_.getAs[String]("A")).toSet ==
+      Set("prof:0", "prof:1"))
+    // IN desugars to an equality disjunct per element
+    val in = Sparql.parse(
+      """select ?A where { ?A name ?N . FILTER (?N IN ("FullProfessor0", "x")) }""")
+    assert(in.filters.head.disjuncts.map(_.head.value).toSet ==
+      Set("FullProfessor0", "x"))
+    val inOut = BgpPlanner.query(tinyStore,
+      """select ?A where { ?A name ?N . FILTER (?N IN ("FullProfessor0", "x")) }""")
+    assert(inOut.collect().map(_.getAs[String]("A")).toSet == Set("prof:0"))
+  }
+
   test("BIND validation: fresh alias, bound refs, supported expressions") {
     intercept[IllegalArgumentException](Sparql.parse(
       """select ?A where { ?A name ?N . BIND (strlen(?N) AS ?N) }"""))
