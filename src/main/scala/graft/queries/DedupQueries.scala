@@ -535,9 +535,15 @@ object DedupQueries {
               "i -> struct(i AS i, xxhash64(array_join(slice(w, i, 5), ' ')) AS k))"))
             .as("x"))
           .select($"doc_id", $"x.i".as("i"), $"x.k".as("k"))
-        val dup = occ.groupBy($"k").agg(count(lit(1)).as("cnt"))
-          .filter($"cnt" >= 2).select($"k")
-        val dp = occ.join(dup, Seq("k")).select($"doc_id", $"i")
+        // one exchange on k: the occurrence count is a window over the
+        // hash partition (the shingleBand doc-freq trick), so the
+        // position relation is computed once — no self-join, no
+        // recompute of the text parse on a second lineage
+        val dp = occ
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy($"k")))
+          .filter($"cnt" >= 2)
+          .select($"doc_id", $"i")
         val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
           .rowsBetween(Window.unboundedPreceding, -1)
         val wRun = Window.partitionBy($"doc_id").orderBy($"i")
