@@ -51,4 +51,39 @@ object PathOps {
     }
     closure
   }
+
+  /** Min-hop distance for every connected (src, dst) pair (BFS depth,
+    * all sources at once) — min-plus path doubling: each round joins
+    * the distance relation with itself, adds the two legs, and keeps
+    * the per-pair minimum, so after k rounds every distance up to 2^k
+    * hops is exact. Same ⌈log₂ d⌉ round count and localCheckpoint
+    * lineage hygiene as [[transitiveClosure]]; the fixpoint test
+    * compares (pair count, total distance) so a round that only
+    * SHORTENS known pairs still registers as change.
+    */
+  def shortestHops(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    def snap(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var dist = edges.select(col("src"), col("dst")).distinct()
+      .withColumn("d", lit(1L))
+      .localCheckpoint(eager = true)
+    var state = snap(dist)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val doubled = dist.toDF("a", "mid", "d1")
+        .join(dist.toDF("mid", "c", "d2"), "mid")
+        .select(col("a").as("src"), col("c").as("dst"),
+          (col("d1") + col("d2")).as("d"))
+        .unionByName(dist)
+        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = true)
+      val ns = snap(doubled)
+      if (ns == state) done = true
+      else { dist = doubled; state = ns; iter += 1 }
+    }
+    dist
+  }
 }

@@ -345,6 +345,41 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
              |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM customer JOIN orders ON c_custkey = o_custkey
-             |GROUP BY c_nationkey""".stripMargin))
+             |GROUP BY c_nationkey""".stripMargin)),
+
+    // all-pairs min-hop distance along each customer's order chain —
+    // PathOps.shortestHops (min-plus path doubling, ⌈log₂ d⌉ rounds,
+    // one delta-sized shuffle per round) cross-validated against an
+    // independent WITH RECURSIVE derivation in the oracle. Chains are
+    // simple paths, so every pair has exactly one distance; the
+    // operator itself takes the min over multiple paths (GraphSpec's
+    // diamond fixture pins that semantics).
+    GQuery(
+      "q161_chain_depth",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val e = t(s, dir, "orders")
+          .withColumn("nk", lead($"o_orderkey", 1).over(w))
+          .filter($"nk".isNotNull)
+          .select(concat(lit("order:"), $"o_orderkey").as("src"),
+            concat(lit("order:"), $"nk").as("dst"))
+        graft.graph.PathOps.shortestHops(e)
+          .select($"src".as("a"), $"dst".as("b"),
+            $"d".cast("long").as("hops"))
+      },
+      Some("""WITH RECURSIVE seq AS (SELECT o_orderkey AS k,
+             |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate, o_orderkey) AS nk
+             |  FROM orders),
+             |e AS (SELECT concat('order:', k) AS s, concat('order:', nk) AS o
+             |      FROM seq WHERE nk IS NOT NULL),
+             |r AS (SELECT s, o, 1 AS hops FROM e
+             |      UNION SELECT r.s, e.o, r.hops + 1
+             |            FROM r JOIN e ON r.o = e.s)
+             |SELECT s AS a, o AS b, CAST(hops AS BIGINT) AS hops FROM r"""
+        .stripMargin))
   )
 }

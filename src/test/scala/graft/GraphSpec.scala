@@ -60,6 +60,22 @@ class GraphSpec extends AnyFunSuite {
     assert(cy == Set(("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")))
   }
 
+  test("shortestHops takes the minimum over multiple paths and terminates on cycles") {
+    import spark.implicits._
+    import graft.graph.PathOps
+    // diamond: a->d directly (1 hop) and via b->c (3 hops) — min wins
+    val diamond = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    val hops = PathOps.shortestHops(diamond)
+      .as[(String, String, Long)].collect().toSet
+    assert(hops == Set(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 1L), ("a", "c", 2L), ("b", "d", 2L)))
+    // cycle: distances stabilize at the shortest loop lengths
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ch = PathOps.shortestHops(cyc).as[(String, String, Long)].collect().toSet
+    assert(ch == Set(("a", "b", 1L), ("b", "a", 1L), ("a", "a", 2L), ("b", "b", 2L)))
+  }
+
   test("corpus degree query matches a relational recount") {
     val q = SparkEntry.queries("q53_entity_degrees")(spark, "/root/testdata/sf0.001")
     import spark.implicits._
