@@ -659,6 +659,64 @@ object DedupQueries {
               |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
               |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
               |  CAST(sum(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT) AS chars_dropped
-              |FROM flags GROUP BY 1""".stripMargin))
+              |FROM flags GROUP BY 1""".stripMargin)),
+
+    // incremental-ingest dedup: the DAILY shape of the family — a new
+    // batch (deterministic ~10% md5 split) checked against the
+    // standing corpus, never against itself. Exact dups via a
+    // fingerprint semi-join (at 100 TB the corpus fingerprint set is a
+    // pre-built index this join probes), near-dups via the banded
+    // shingle join restricted to batch×corpus pairs (≥3 shared banded
+    // shingles). Per batch doc: both flags plus the keep verdict the
+    // ingest run acts on. Candidates stay band-generated — a new batch
+    // never pays an all-pairs check against petabytes of corpus.
+    GQuery(
+      "q162_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val split = t(s, dir, "documents")
+          .select($"doc_id", md5($"text".cast("binary")).as("fp"),
+            (h32(concat($"doc_id".cast("string"), lit(":batch"))) % 10 === 0)
+              .as("is_batch"))
+        val batch = split.filter($"is_batch").select($"doc_id", $"fp")
+        val corpus = split.filter(!$"is_batch").select($"fp").distinct()
+        val exact = batch.join(corpus, Seq("fp"), "left_semi")
+          .select($"doc_id", lit(true).as("exact_dup"))
+        val sb = split.select($"doc_id", $"is_batch")
+          .join(shingleBand(s, dir), Seq("doc_id"))
+        val near = sb.filter($"is_batch").as("b")
+          .join(sb.filter(!$"is_batch").as("c"), col("b.k") === col("c.k"))
+          .groupBy(col("b.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("shared"))
+          .filter($"shared" >= 3)
+          .select($"doc_id", lit(true).as("near_dup"))
+        batch.select($"doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"exact_dup", lit(false)).as("exact_dup"),
+            coalesce($"near_dup", lit(false)).as("near_dup"),
+            (coalesce($"exact_dup", lit(false)) ||
+              coalesce($"near_dup", lit(false))).as("drop"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |sp AS (SELECT doc_id, md5(text) AS fp,
+              |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':batch')), 1, 8)) AS BIGINT) % 10 = 0 AS is_batch
+              |       FROM documents),
+              |ex AS (SELECT b.doc_id FROM sp b
+              |       WHERE b.is_batch AND EXISTS (SELECT 1 FROM sp c
+              |         WHERE NOT c.is_batch AND c.fp = b.fp)),
+              |sb AS (SELECT shf.doc_id, shf.s, sp.is_batch
+              |       FROM shf JOIN sp USING (doc_id)),
+              |nr AS (SELECT b.doc_id FROM sb b JOIN sb c
+              |         ON b.s = c.s AND b.is_batch AND NOT c.is_batch
+              |       GROUP BY 1 HAVING count(*) >= 3)
+              |SELECT sp.doc_id,
+              |  sp.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+              |  sp.doc_id IN (SELECT doc_id FROM nr) AS near_dup,
+              |  sp.doc_id IN (SELECT doc_id FROM ex)
+              |    OR sp.doc_id IN (SELECT doc_id FROM nr) AS "drop"
+              |FROM sp WHERE sp.is_batch""".stripMargin))
   )
 }

@@ -839,6 +839,36 @@ object TextQueries {
              |        FROM sh GROUP BY 1)
              |SELECT shard, n_docs, n_tokens,
              |  n_tokens * 16.0 / sum(n_tokens) OVER () AS balance
+             |FROM agg""".stripMargin)),
+
+    // length-distribution histogram: fixed-width 100-char buckets per
+    // source, with each source's share of its bucket row — the
+    // "did this feed's length profile shift" report a curation run
+    // diffs between snapshots. Pure integer bucket arithmetic
+    // (identical both engines), one scan, one bucket×source-sized
+    // aggregate.
+    GQuery(
+      "q163_length_histogram",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "documents")
+          .select($"source",
+            least(floor($"n_chars" / 100), lit(19)).cast("long").as("bucket"))
+          .groupBy($"source", $"bucket")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("source_share",
+            $"n_docs" * lit(1.0) / sum($"n_docs").over(
+              Window.partitionBy($"source")))
+      },
+      Some("""WITH b AS (SELECT source,
+             |    least(CAST(floor(n_chars / 100) AS BIGINT), 19) AS bucket
+             |  FROM documents),
+             |agg AS (SELECT source, bucket, count(*) AS n_docs
+             |        FROM b GROUP BY 1, 2)
+             |SELECT source, bucket, n_docs,
+             |  n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)
+             |    AS source_share
              |FROM agg""".stripMargin))
   )
 }
