@@ -802,7 +802,8 @@ object BgpPlanner {
             // defined; sorting the collected bag makes it deterministic
             // (bag semantics kept — duplicates survive)
             case ("group_concat", Some(v)) =>
-              array_join(array_sort(collect_list(col(v))), " ").as(a.alias)
+              array_join(array_sort(collect_list(col(v))),
+                a.sep.getOrElse(" ")).as(a.alias)
             // SAMPLE: any member is valid — the minimum is deterministic
             case ("sample", Some(v)) => min(col(v)).as(a.alias)
           }

@@ -135,7 +135,7 @@ object Sparql {
     * for `*`; `distinct` = the SPARQL 1.1 set-form aggregate.
     */
   final case class AggExpr(op: String, variable: Option[String], alias: String,
-      distinct: Boolean = false)
+      distinct: Boolean = false, sep: Option[String] = None)
 
   /** One `ORDER BY` key: `?v` / `ASC(?v)` (ascending) or `DESC(?v)`. */
   final case class OrderKey(variable: String, asc: Boolean)
@@ -237,7 +237,8 @@ object Sparql {
   // plain ?var
   private val selectItemRe =
     ("(?is)\\(\\s*(count|sum|min|max|avg|group_concat|sample)\\s*\\(\\s*" +
-      "(distinct\\s+)?(\\*|\\?\\w+)\\s*\\)" +
+      "(distinct\\s+)?(\\*|\\?\\w+)\\s*" +
+      "(?:;\\s*separator\\s*=\\s*\"([^\"]*)\"\\s*)?\\)" +
       "\\s+as\\s+\\?(\\w+)\\s*\\)|\\?(\\w+)").r
   // FILTER [NOT] EXISTS { patterns } — extracted before UNION chains so
   // the braced block is never misread as a UNION branch
@@ -370,7 +371,7 @@ object Sparql {
     val items =
       if (selectStar) Nil else selectItemRe.findAllMatchIn(selSection).toSeq
     val selectVars0 = items.collect {
-      case m if m.group(5) != null => m.group(5)
+      case m if m.group(6) != null => m.group(6)
     }
     val aggregates = items.collect {
       case m if m.group(1) != null =>
@@ -382,7 +383,10 @@ object Sparql {
         require(!dist || Set("count", "sum", "avg").contains(op),
           s"DISTINCT is supported for COUNT/SUM/AVG aggregates: $query")
         require(!dist || v.nonEmpty, s"COUNT(DISTINCT *) is not supported: $query")
-        AggExpr(op, v, m.group(4), dist)
+        val sep = Option(m.group(4))
+        require(sep.isEmpty || op == "group_concat",
+          s"SEPARATOR applies only to GROUP_CONCAT: $query")
+        AggExpr(op, v, m.group(5), dist, sep)
     }
     require(selectStar || selectVars0.nonEmpty || aggregates.nonEmpty,
       s"empty SELECT clause: $query")

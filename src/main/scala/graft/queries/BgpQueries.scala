@@ -968,6 +968,23 @@ object BgpQueries {
              |  c_mktsegment AS seg, n_name AS nn
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_mktsegment LIKE 'BUILD%' AND contains(n_name, '_2')"""
-        .stripMargin))
+        .stripMargin)),
+
+    // GROUP_CONCAT with an explicit SEPARATOR (SPARQL 1.1 §18.5.1.7's
+    // scalar argument) — the collected bag still sorts first so both
+    // engines agree on the order
+    GQuery(
+      "q164_bgp_group_concat_sep",
+      bgp("""select ?nm (group_concat(?seg; separator=", ") as ?segs)
+            |where {
+            | ?c rdf:type "Customer" .
+            | ?c nationkey ?n .
+            | ?c mktsegment ?seg .
+            | ?n name ?nm }
+            |group by ?nm""".stripMargin),
+      Some("""SELECT n_name AS nm,
+             |  string_agg(c_mktsegment, ', ' ORDER BY c_mktsegment) AS segs
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin))
   )
 }

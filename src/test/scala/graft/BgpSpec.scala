@@ -465,6 +465,22 @@ class BgpSpec extends AnyFunSuite {
       .toSet == Set(("long", "Professor0"), ("long", "Professor1")))
   }
 
+  test("GROUP_CONCAT parses an explicit SEPARATOR and rejects it elsewhere") {
+    val q = Sparql.parse(
+      """select ?D (group_concat(?P; separator="|") as ?ps)
+        |where { ?P worksFor ?D } group by ?D""".stripMargin)
+    assert(q.aggregates.head.sep.contains("|"))
+    val out = BgpPlanner.query(tinyStore,
+      """select ?D (group_concat(?P; separator="|") as ?ps)
+        |where { ?P worksFor ?D } group by ?D""".stripMargin)
+    assert(out.collect().map(r =>
+      (r.getAs[String]("D"), r.getAs[String]("ps"))).toSet ==
+      Set(("dept:0", "prof:0|prof:1"), ("dept:1", "prof:2")))
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?D (count(?P; separator="|") as ?n)
+        |where { ?P worksFor ?D } group by ?D""".stripMargin))
+  }
+
   test("FILTER STRSTARTS/STRENDS/CONTAINS and IN-lists") {
     val starts = BgpPlanner.query(tinyStore,
       """select ?A ?N where { ?A name ?N . FILTER (STRSTARTS(?N, "FullP")) }""")
