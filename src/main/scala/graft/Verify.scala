@@ -7,10 +7,17 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Driver passes (sfDir, outDir); a third arg is a local-only
+    // comma-separated name filter for spot-checking new queries.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Set.empty[String])
+      case Array(s, o, f) => (s, o, f.split(',').toSet)
+    }
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -596,6 +596,59 @@ object EventQueries {
              |    PARTITION BY event_type ORDER BY hr
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
              |    AS locf_cnt
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // hourly value quantiles: exact p50/p95 of the event value per
+    // hour×type cell — the latency-dashboard aggregate. Exact
+    // percentile uses the same linear interpolation on sorted values
+    // in both engines (the q67 exact-median precedent), and each
+    // cell's sort is bounded by the cell's row count — the shuffle is
+    // the groupBy, never a global sort.
+    GQuery(
+      "q165_hourly_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hr, event_type,
+             |  count(*) AS n,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.95) AS p95
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // event-transition matrix: per-user consecutive event-type pairs
+    // (first-order Markov transitions) with the per-source-state
+    // probability — the behavioral-model input and the funnel
+    // sanity check. The lead window partitions per user (bounded by a
+    // user's history); the matrix itself is typeset-squared-sized.
+    GQuery(
+      "q166_event_transitions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"),
+            lead($"event_type", 1).over(w).as("to_type"))
+          .filter($"to_type".isNotNull)
+          .groupBy($"from_type", $"to_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            $"n" * lit(1.0) / sum($"n").over(
+              Window.partitionBy($"from_type")))
+      },
+      Some("""WITH tr AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |agg AS (SELECT from_type, to_type, count(*) AS n
+             |        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  n * 1.0 / sum(n) OVER (PARTITION BY from_type) AS p
+             |FROM agg""".stripMargin))
   )
 }
