@@ -649,6 +649,41 @@ object EventQueries {
              |        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
              |SELECT from_type, to_type, n,
              |  n * 1.0 / sum(n) OVER (PARTITION BY from_type) AS p
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // hourly anomaly flags: per hour×type counts tested against the
+    // type's own hourly distribution at 2 sigma. The test is the
+    // integer cross-product form of (c-mean)^2 > 4*var_pop —
+    // (c*n - S)^2 > 4*(n*S2 - S^2) with n/S/S2 the type's hour
+    // count / sum / sum-of-squares — so both engines compare exact
+    // BIGINTs and the hash can't flip on float summation order. The
+    // per-type stats relation is type-count-sized and joins back
+    // through the measuring broadcast guard.
+    GQuery(
+      "q168_hourly_anomalies",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+          .agg(count(lit(1)).as("c"))
+        val stats = c.groupBy($"event_type".as("st_type"))
+          .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+            sum($"c" * $"c").as("s2"))
+        c.join(graft.scale.GuardedBroadcast.maybe(stats),
+            $"event_type" === $"st_type")
+          .select($"hr", $"event_type", $"c",
+            (($"c" * $"n" - $"s") * ($"c" * $"n" - $"s") >
+              ($"n" * $"s2" - $"s" * $"s") * 4).as("is_anomaly"))
+      },
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type AS st_type, count(*) AS n,
+             |    sum(c) AS s, sum(c * c) AS s2
+             |  FROM c GROUP BY 1)
+             |SELECT hr, event_type, c,
+             |  (c * n - s) * (c * n - s) > (n * s2 - s * s) * 4
+             |    AS is_anomaly
+             |FROM c JOIN st ON event_type = st_type""".stripMargin))
   )
 }

@@ -869,6 +869,54 @@ object TextQueries {
              |SELECT source, bucket, n_docs,
              |  n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)
              |    AS source_share
+             |FROM agg""".stripMargin)),
+
+    // filter-cascade audit: every curation pipeline runs an ordered
+    // rule list, and the operational question is "which rule kills
+    // how much of each feed" — attribution goes to the FIRST failing
+    // rule so the per-source shares sum to 1 and rule order changes
+    // are diffable. All thresholds are integer cross-products (no
+    // float ratios), one scan, a source×verdict-sized aggregate.
+    GQuery(
+      "q167_filter_cascade",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val b = t(s, dir, "documents")
+          .select($"doc_id", $"source", split($"text", " ").as("w"))
+          .select($"doc_id", $"source",
+            size($"w").cast("long").as("n"),
+            size(array_distinct($"w")).cast("long").as("nu"),
+            expr("size(filter(w, t -> t IN ('the', 'a')))")
+              .cast("long").as("stop"))
+        b.withColumn("verdict",
+            when($"n" < 5, "too_short")
+              .when($"nu" * 10 < $"n" * 3, "low_uniq")
+              .when($"stop" * 5 > $"n", "stop_heavy")
+              .otherwise("pass"))
+          .groupBy($"source", $"verdict")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("source_share",
+            $"n_docs" * lit(1.0) / sum($"n_docs").over(
+              Window.partitionBy($"source")))
+      },
+      Some("""WITH b AS (SELECT doc_id, source,
+             |    len(string_split(text, ' ')) AS n,
+             |    len(list_distinct(string_split(text, ' '))) AS nu,
+             |    len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('the', 'a'))) AS stop
+             |  FROM documents),
+             |v AS (SELECT source,
+             |    CASE WHEN n < 5 THEN 'too_short'
+             |         WHEN nu * 10 < n * 3 THEN 'low_uniq'
+             |         WHEN stop * 5 > n THEN 'stop_heavy'
+             |         ELSE 'pass' END AS verdict
+             |  FROM b),
+             |agg AS (SELECT source, verdict, count(*) AS n_docs
+             |        FROM v GROUP BY 1, 2)
+             |SELECT source, verdict, n_docs,
+             |  n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)
+             |    AS source_share
              |FROM agg""".stripMargin))
   )
 }
