@@ -717,6 +717,31 @@ object DedupQueries {
               |  sp.doc_id IN (SELECT doc_id FROM nr) AS near_dup,
               |  sp.doc_id IN (SELECT doc_id FROM ex)
               |    OR sp.doc_id IN (SELECT doc_id FROM nr) AS "drop"
-              |FROM sp WHERE sp.is_batch""".stripMargin))
+              |FROM sp WHERE sp.is_batch""".stripMargin)),
+
+    // per-source duplication profile: docs vs distinct exact texts,
+    // the duplication factor, and the largest duplicate cluster — the
+    // "which feed is pasting the same page" triage report. Two-level
+    // hash aggregation ((source,fp) then source), both shuffles on
+    // 8-byte-hash-plus-source keys, output source-count-sized.
+    GQuery(
+      "q171_dup_factor",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .groupBy($"source", md5($"text".cast("binary")).as("fp"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"source")
+          .agg(sum($"c").as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            max($"c").as("max_cluster"))
+          .withColumn("dup_factor", $"n_docs" * lit(1.0) / $"n_distinct")
+      },
+      Some("""WITH g AS (SELECT source, md5(text) AS fp, count(*) AS c
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT source, sum(c) AS n_docs, count(*) AS n_distinct,
+             |  max(c) AS max_cluster,
+             |  sum(c) * 1.0 / count(*) AS dup_factor
+             |FROM g GROUP BY source""".stripMargin))
   )
 }

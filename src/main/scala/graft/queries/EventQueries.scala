@@ -684,6 +684,40 @@ object EventQueries {
              |SELECT hr, event_type, c,
              |  (c * n - s) * (c * n - s) > (n * s2 - s * s) * 4
              |    AS is_anomaly
-             |FROM c JOIN st ON event_type = st_type""".stripMargin))
+             |FROM c JOIN st ON event_type = st_type""".stripMargin)),
+
+    // winsorization report: per-type p01/p99 value bounds (exact
+    // linear-interpolated percentile, the q165 precedent — the
+    // interpolation is bit-identical in both engines, so strict
+    // comparisons against the bounds are deterministic) and the
+    // clip counts a preprocessing pass would apply. The bounds
+    // relation is type-count-sized and joins back through the
+    // measuring broadcast guard.
+    GQuery(
+      "q170_value_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val bounds = ev.groupBy($"event_type".as("b_type"))
+          .agg(expr("percentile(value, 0.01)").as("p01"),
+            expr("percentile(value, 0.99)").as("p99"))
+        ev.join(graft.scale.GuardedBroadcast.maybe(bounds),
+            $"event_type" === $"b_type")
+          .groupBy($"event_type")
+          .agg(first($"p01").as("p01"), first($"p99").as("p99"),
+            count(lit(1)).as("n_total"),
+            count(when($"value" < $"p01", 1)).as("n_below"),
+            count(when($"value" > $"p99", 1)).as("n_above"))
+      },
+      Some("""WITH b AS (SELECT event_type AS b_type,
+             |    quantile_cont(value, 0.01) AS p01,
+             |    quantile_cont(value, 0.99) AS p99
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, any_value(p01) AS p01,
+             |  any_value(p99) AS p99, count(*) AS n_total,
+             |  count(CASE WHEN value < p01 THEN 1 END) AS n_below,
+             |  count(CASE WHEN value > p99 THEN 1 END) AS n_above
+             |FROM events JOIN b ON event_type = b_type
+             |GROUP BY event_type""".stripMargin))
   )
 }

@@ -917,6 +917,39 @@ object TextQueries {
              |SELECT source, verdict, n_docs,
              |  n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)
              |    AS source_share
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // tokenizer OOV rate: share of token occurrences per source whose
+    // token falls outside the corpus vocabulary (q88's freq>=50 rule
+    // — a threshold, not a top-N, so no global sort anywhere). The
+    // vocab is a derived aggregate joined back through the measuring
+    // broadcast guard; a left join + flag count keeps the data-sized
+    // side a single pass.
+    GQuery(
+      "q169_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"source", explode(split($"text", " ")).as("tk"))
+        val vocab = toks.groupBy($"tk".as("v_tk"))
+          .agg(count(lit(1)).as("freq"))
+          .filter($"freq" >= 50)
+          .select($"v_tk")
+        toks.join(GuardedBroadcast.maybe(vocab), $"tk" === $"v_tk", "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when($"v_tk".isNull, 1)).as("n_oov"))
+          .withColumn("oov_rate", $"n_oov" * lit(1.0) / $"n_tokens")
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    unnest(string_split(text, ' ')) AS tk FROM documents),
+             |vocab AS (SELECT tk AS v_tk FROM toks
+             |          GROUP BY 1 HAVING count(*) >= 50)
+             |SELECT source, count(*) AS n_tokens,
+             |  count(CASE WHEN v_tk IS NULL THEN 1 END) AS n_oov,
+             |  count(CASE WHEN v_tk IS NULL THEN 1 END) * 1.0 / count(*)
+             |    AS oov_rate
+             |FROM toks LEFT JOIN vocab ON tk = v_tk
+             |GROUP BY source""".stripMargin))
   )
 }
