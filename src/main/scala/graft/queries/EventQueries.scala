@@ -718,6 +718,72 @@ object EventQueries {
              |  count(CASE WHEN value < p01 THEN 1 END) AS n_below,
              |  count(CASE WHEN value > p99 THEN 1 END) AS n_above
              |FROM events JOIN b ON event_type = b_type
-             |GROUP BY event_type""".stripMargin))
+             |GROUP BY event_type""".stripMargin)),
+
+    // session-basket lift: which event types co-occur in the SAME
+    // session more than chance (association mining; q166 covers only
+    // adjacent pairs). Sessions reuse q35's 30-minute-gap rule; the
+    // per-session type set is bounded by the type inventory, so the
+    // self-join on (user, session) emits at most |types|^2 candidates
+    // per session — never a data-sized cross product. lift =
+    // n_ab * n_sessions / (n_a * n_b), one integer product per side
+    // of a single division, so the double is engine-identical.
+    GQuery(
+      "q172_session_basket_lift",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_sess",
+            when($"prev_us".isNull ||
+              unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum($"new_sess").over(wRun))
+          .select($"user_id", $"sess_id", $"event_type")
+          .distinct()
+        val totals = sess.select($"user_id", $"sess_id").distinct()
+          .agg(count(lit(1)).as("n_sess"))
+        val singles = sess.groupBy($"event_type".as("tb")).agg(count(lit(1)).as("n_b"))
+        val pairs = sess.as("a")
+          .join(sess.as("b"),
+            $"a.user_id" === $"b.user_id" && $"a.sess_id" === $"b.sess_id" &&
+              $"a.event_type" < $"b.event_type")
+          .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(graft.scale.GuardedBroadcast.maybe(
+            singles.select($"tb".as("ta"), $"n_b".as("n_a"))), $"type_a" === $"ta")
+          .join(graft.scale.GuardedBroadcast.maybe(singles), $"type_b" === $"tb")
+          .crossJoin(graft.scale.GuardedBroadcast.maybe(totals))
+          .select($"type_a", $"type_b", $"n_ab",
+            ($"n_ab" * lit(1.0) * $"n_sess" / ($"n_a" * $"n_b")).as("lift"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT DISTINCT user_id, event_type,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM g),
+             |tot AS (SELECT count(*) AS n_sess FROM
+             |        (SELECT DISTINCT user_id, sess_id FROM sess)),
+             |singles AS (SELECT event_type, count(*) AS n FROM sess GROUP BY 1),
+             |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    count(*) AS n_ab
+             |  FROM sess a JOIN sess b ON a.user_id = b.user_id
+             |    AND a.sess_id = b.sess_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_ab,
+             |  n_ab * 1.0 * tot.n_sess / (sa.n * sb.n) AS lift
+             |FROM pairs CROSS JOIN tot
+             |JOIN singles sa ON sa.event_type = type_a
+             |JOIN singles sb ON sb.event_type = type_b""".stripMargin))
   )
 }

