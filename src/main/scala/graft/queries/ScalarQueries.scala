@@ -241,6 +241,42 @@ object ScalarQueries {
              |FROM (SELECT l_suppkey, count(*) AS exact_cnt,
              |        row_number() OVER (ORDER BY count(*) DESC, l_suppkey) AS rn
              |      FROM lineitem GROUP BY 1)
-             |WHERE rn <= 10""".stripMargin))
+             |WHERE rn <= 10""".stripMargin)),
+
+    // mergeable HLL sketch rollup — the pattern that actually runs at
+    // 100 TB: each shard (here: source) builds a DataSketches HLL of
+    // its fingerprints, and the GLOBAL distinct count comes from
+    // unioning the bits-sized sketches, never re-scanning data. This
+    // is a different capability from q67's one-shot
+    // approx_count_distinct: the union-of-sketches estimate must agree
+    // with the exact distinct of the union (mergeability). Bounds at
+    // 5 sigma of lgK=12's ~1.6% standard error, pinned TRUE by the
+    // oracle like q67/q137/q153.
+    GQuery(
+      "q173_hll_shard_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .select($"source", md5($"text".cast("binary")).as("fp"))
+        val per = d.groupBy($"source")
+          .agg(hll_sketch_agg($"fp").as("sk"),
+            countDistinct($"fp").as("exact_fp"))
+        val perOut = per.select($"source", $"exact_fp",
+          (abs(hll_sketch_estimate($"sk") - $"exact_fp") <=
+            $"exact_fp" * 0.08).as("hll_ok"))
+        val totOut = per.agg(hll_union_agg($"sk").as("sk"))
+          .crossJoin(d.agg(countDistinct($"fp").as("exact_fp")))
+          .select(lit("__ALL__").as("source"), $"exact_fp",
+            (abs(hll_sketch_estimate($"sk") - $"exact_fp") <=
+              $"exact_fp" * 0.08).as("hll_ok"))
+        perOut.unionByName(totOut)
+      },
+      Some("""SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT)
+             |    AS exact_fp, TRUE AS hll_ok
+             |FROM documents GROUP BY 1
+             |UNION ALL
+             |SELECT '__ALL__', CAST(count(DISTINCT md5(text)) AS BIGINT),
+             |  TRUE
+             |FROM documents""".stripMargin))
   )
 }
