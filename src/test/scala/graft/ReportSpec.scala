@@ -73,6 +73,24 @@ class ReportSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q172 basket self-join is keyed, never a cartesian product") {
+    val plan = run("q172_session_basket_lift")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the (user, session) equi-keys must reach the join, only the " +
+        "1-row totals relation may cross-join (as a broadcast loop)")
+  }
+
+  test("q168/q170 derived stats relations come back as broadcast joins") {
+    for (name <- Seq("q168_hourly_anomalies", "q170_value_winsorize")) {
+      val plan = run(name).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: the type-sized stats side must broadcast, got:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: no data-sized shuffle join expected")
+    }
+  }
+
   test("q172 pair support never exceeds either side's session support") {
     import spark.implicits._
     val pairs = run("q172_session_basket_lift").cache()
