@@ -36,11 +36,29 @@ object AsOfJoin {
     * side's analyzed output, so the API needs no Column internals).
     * The right side is re-aliased to fresh expression ids, making
     * self-joins (same source on both sides) safe.
+    *
+    * `direction`: "backward" (default) attaches the LATEST right row
+    * with `rightOn <= leftOn` (ties broken by the largest `rightTie`);
+    * "forward" attaches the EARLIEST right row with
+    * `rightOn >= leftOn` (ties by the smallest tie — closest-first in
+    * both directions). `tolerance` (in the on-column's native long
+    * units — micros for timestamps, raw for integer types) nulls the
+    * match when |leftOn - rightOn| exceeds it; since the as-of match
+    * is the closest candidate, a match outside tolerance proves no
+    * candidate within it exists.
     */
   def asof(left: DataFrame, right: DataFrame,
       leftOn: String, rightOn: String,
       leftBy: String, rightBy: String,
-      rightTie: String): DataFrame = {
+      rightTie: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward, got $other")
+    }
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
@@ -48,10 +66,15 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val lOn = res(lp, leftOn)
+    if (tolerance.isDefined && FieldCmp.diff(lOn.dataType).isEmpty)
+      throw new IllegalArgumentException(
+        s"tolerance unsupported for on-type ${lOn.dataType}")
     GraftShim.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp,
-        res(lp, leftOn), res(rp, rightOn),
-        res(lp, leftBy), res(rp, rightBy), res(rp, rightTie)))
+        lOn, res(rp, rightOn),
+        res(lp, leftBy), res(rp, rightBy), res(rp, rightTie),
+        forward, tolerance))
   }
 }
 
@@ -63,7 +86,9 @@ final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftOn: Expression, rightOn: Expression,
     leftBy: Expression, rightBy: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,6 +107,8 @@ final case class AsOfJoinExec(
     leftOn: Expression, rightOn: Expression,
     leftBy: Expression, rightBy: Expression,
     rightTie: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
     output: Seq[Attribute]) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -120,12 +147,15 @@ final case class AsOfJoinExec(
     val outAttrs = output
     val (lOnE, lByE) = (leftOn, leftBy)
     val (rOnE, rByE) = (rightOn, rightBy)
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // key layout, both sides: (by=0, on=1)
       val lKeys = UnsafeProjection.create(Seq(lByE, lOnE), lOut)
       val rKeys = UnsafeProjection.create(Seq(rByE, rOnE), rOut)
       val byCmp = FieldCmp(byDt)
       val onCmp = FieldCmp(onDt)
+      val onDiff = tol.map(_ => FieldCmp.diff(onDt).get)
       // the right input binds as NULLABLE: unmatched left rows read the
       // all-null row, and a non-nullable BoundReference would skip the
       // null check and read field zeros instead
@@ -156,14 +186,14 @@ final case class AsOfJoinExec(
           val lk = lKeys(lRow)
           if (lk.isNullAt(0) || lk.isNullAt(1)) {
             joined(lRow, nullRight)
-          } else {
-            // advance the right side through every row at-or-before
-            // (by, on); the last same-group row seen is the match
-            // (sorted by tie, so the largest tie wins among equal `on`).
-            // Null-`on` rows sort at the HEAD of their group (ascending
-            // nulls-first) and can never match — consume them like
-            // earlier-group rows or they'd block the cursor for the
-            // whole group.
+          } else if (!fwd) {
+            // BACKWARD: advance the right side through every row
+            // at-or-before (by, on); the last same-group row seen is
+            // the match (sorted by tie, so the largest tie wins among
+            // equal `on`). Null-`on` rows sort at the HEAD of their
+            // group (ascending nulls-first) and can never match —
+            // consume them like earlier-group rows or they'd block the
+            // cursor for the whole group.
             var advancing = true
             while (advancing && rCurrRow != null) {
               val onNull = rCurrKeys.isNullAt(1)
@@ -178,8 +208,32 @@ final case class AsOfJoinExec(
               } else advancing = false
             }
             val matched = bestRow != null && !bestKeys.isNullAt(0) &&
-              byCmp(bestKeys, 0, lk, 0) == 0
+              byCmp(bestKeys, 0, lk, 0) == 0 &&
+              // latest-at-or-before is the CLOSEST candidate: if it
+              // breaks tolerance, nothing within tolerance exists
+              (onDiff.isEmpty || onDiff.get(lk, 1, bestKeys, 1) <= tol.get)
             joined(lRow, if (matched) bestRow else nullRight)
+          } else {
+            // FORWARD: advance past every row strictly before (by, on)
+            // — the cursor then rests on the earliest at-or-after row
+            // (smallest tie first under the (on, tie) sort), which may
+            // serve several left rows, so it is NOT consumed. Null-`on`
+            // rows sort at the group head and are consumed the same
+            // way as earlier-group rows.
+            var advancing = true
+            while (advancing && rCurrRow != null) {
+              val onNull = rCurrKeys.isNullAt(1)
+              val byC =
+                if (rCurrKeys.isNullAt(0)) -1 else byCmp(rCurrKeys, 0, lk, 0)
+              if (byC < 0 || (byC == 0 &&
+                  (onNull || onCmp(rCurrKeys, 1, lk, 1) < 0))) {
+                fetchRight()
+              } else advancing = false
+            }
+            val matched = rCurrRow != null && !rCurrKeys.isNullAt(0) &&
+              byCmp(rCurrKeys, 0, lk, 0) == 0 &&
+              (onDiff.isEmpty || onDiff.get(rCurrKeys, 1, lk, 1) <= tol.get)
+            joined(lRow, if (matched) rCurrRow else nullRight)
           }
           numOutputRows += 1
           project(joined)
@@ -196,7 +250,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
-        p.leftOn, p.rightOn, p.leftBy, p.rightBy, p.rightTie, p.output) :: Nil
+        p.leftOn, p.rightOn, p.leftBy, p.rightBy, p.rightTie,
+        p.forward, p.tolerance, p.output) :: Nil
     case _ => Nil
   }
 }

@@ -38,6 +38,22 @@ private[plans] object FieldCmp {
         val ord = TypeUtils.getInterpretedOrdering(dt)
         (a, i, b, j) => ord.compare(a.get(i, dt), b.get(j, dt))
     }
+
+  /** Signed long difference (a - b) for long-backed field types —
+    * timestamps are epoch micros inside UnsafeRow, so an as-of
+    * tolerance in the column's native units needs no conversion.
+    * None for types with no meaningful fixed-unit difference.
+    */
+  def diff(dt: DataType): Option[(InternalRow, Int, InternalRow, Int) => Long] =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some((a, i, b, j) => a.getLong(i) - b.getLong(j))
+      case IntegerType | DateType =>
+        Some((a, i, b, j) => a.getInt(i).toLong - b.getInt(j).toLong)
+      case ShortType =>
+        Some((a, i, b, j) => a.getShort(i).toLong - b.getShort(j).toLong)
+      case _ => None
+    }
 }
 
 /** Native range (interval) join — the generalization of [[AsOfJoin]]

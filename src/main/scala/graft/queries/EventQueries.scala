@@ -784,6 +784,42 @@ object EventQueries {
              |  n_ab * 1.0 * tot.n_sess / (sa.n * sb.n) AS lift
              |FROM pairs CROSS JOIN tot
              |JOIN singles sa ON sa.event_type = type_a
-             |JOIN singles sb ON sb.event_type = type_b""".stripMargin))
+             |JOIN singles sb ON sb.event_type = type_b""".stripMargin)),
+
+    // forward as-of with tolerance: for each click, the NEXT purchase
+    // by the same user within one hour — time-to-convert, the mirror
+    // of q89's backward attribution. Same native O(n+m) merge exec
+    // (direction flag flips the cursor rule, tolerance checks the key
+    // diff in epoch micros); ties at equal purchase time break on the
+    // SMALLEST event_id (closest-first in both directions).
+    GQuery(
+      "q174_asof_forward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id",
+            unix_micros($"ts").as("cts"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("pu"), $"event_id".as("purchase_id"),
+            unix_micros($"ts").as("pts"))
+        graft.plans.AsOfJoin
+          .asof(clicks, purch, "cts", "pts", "user_id", "pu", "purchase_id",
+            direction = "forward", tolerance = Some(3600L * 1000000L))
+          .select($"click_id", $"user_id", $"purchase_id",
+            ($"pts" - $"cts").as("wait_us"))
+      },
+      Some("""SELECT click_id, user_id, purchase_id, wait_us FROM (
+             |  SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+             |    epoch_us(p.ts) - epoch_us(c.ts) AS wait_us,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |      ORDER BY epoch_us(p.ts) ASC NULLS LAST, p.event_id ASC NULLS LAST) AS rn
+             |  FROM events c
+             |  LEFT JOIN events p ON p.user_id = c.user_id
+             |    AND p.event_type = 'purchase'
+             |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+             |    AND epoch_us(p.ts) - epoch_us(c.ts) <= CAST(3600 AS BIGINT) * 1000000
+             |  WHERE c.event_type = 'click')
+             |WHERE rn = 1""".stripMargin))
   )
 }

@@ -56,6 +56,62 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** Forward reference spelling: earliest right at-or-after, smallest
+    * tie first, optional tolerance on (ron - lon).
+    */
+  private def viaWindowFwd(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, tol: Option[Long]) = {
+    val w = Window.partitionBy($"lid")
+      .orderBy($"ron".asc_nulls_last, $"tie".asc_nulls_last)
+    val base = $"lby" === $"rby" && $"ron" >= $"lon"
+    val cond = tol.map(t => base && $"ron" - $"lon" <= t).getOrElse(base)
+    left.join(right, cond, "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"lby", $"lon", $"rid", $"ron", $"tie")
+  }
+
+  test("forward as-of (with and without tolerance) equals the window spelling") {
+    val rnd = new Random(20260813L)
+    for (round <- 0 until 15) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val tol = if (round % 3 == 0) None else Some(rnd.nextInt(12).toLong)
+      val lefts = Seq.tabulate(3 + rnd.nextInt(20))(i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong))
+      // unique ties: with duplicate (ron, tie) pairs the window
+      // spelling's row_number picks arbitrarily among full ties and
+      // the differential would compare two valid answers
+      val rights = Seq.tabulate(rnd.nextInt(25))(i =>
+        (i.toLong + 1000, s"k${rnd.nextInt(nKeys)}",
+          if (rnd.nextInt(5) == 0) Option.empty[Long]
+          else Some(rnd.nextInt(40).toLong),
+          i.toLong))
+      val l = lefts.toDF("lid", "lby", "lon")
+      val r = rights.toDF("rid", "rby", "ron", "tie")
+      val got = AsOfJoin.asof(l, r, "lon", "ron", "lby", "rby", "tie",
+          direction = "forward", tolerance = tol)
+        .select($"lid", $"lby", $"lon", $"rid", $"ron", $"tie")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val want = viaWindowFwd(l, r, tol)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(got.sortBy(_.toString) == want.sortBy(_.toString),
+        s"round $round tol=$tol: lefts=$lefts rights=$rights\n" +
+          s"got=${got.sortBy(_.toString)}\nwant=${want.sortBy(_.toString)}")
+    }
+  }
+
+  test("backward tolerance nulls matches farther than the bound") {
+    val l = Seq((1L, "a", 10L), (2L, "a", 30L)).toDF("lid", "lby", "lon")
+    val r = Seq((100L, "a", Some(8L), 0L)).toDF("rid", "rby", "ron", "tie")
+    val out = AsOfJoin.asof(l, r, "lon", "ron", "lby", "rby", "tie",
+        tolerance = Some(5L))
+      .select($"lid", $"rid").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toSet
+    // lon=10 is 2 units past ron=8 (within 5); lon=30 is 22 past (nulled)
+    assert(out == Set((1L, 100L), (2L, -1L)))
+  }
+
   test("as-of self-join (same source both sides) resolves and matches") {
     val ev = Seq(
       (1L, "u1", 10L, "click"), (2L, "u1", 20L, "purchase"),
