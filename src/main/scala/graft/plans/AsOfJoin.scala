@@ -41,11 +41,15 @@ object AsOfJoin {
     * with `rightOn <= leftOn` (ties broken by the largest `rightTie`);
     * "forward" attaches the EARLIEST right row with
     * `rightOn >= leftOn` (ties by the smallest tie — closest-first in
-    * both directions). `tolerance` (in the on-column's native long
-    * units — micros for timestamps, raw for integer types) nulls the
-    * match when |leftOn - rightOn| exceeds it; since the as-of match
-    * is the closest candidate, a match outside tolerance proves no
-    * candidate within it exists.
+    * both directions); "nearest" attaches whichever of those two
+    * candidates is closer by |leftOn - rightOn| (equidistant → the
+    * backward one, matching the at-or-before default). `tolerance`
+    * (in the on-column's native long units — micros for timestamps,
+    * raw for integer types) nulls the match when |leftOn - rightOn|
+    * exceeds it; since the as-of match is the closest candidate in
+    * its direction, a match outside tolerance proves no candidate
+    * within it exists. "nearest" requires a long-backed on-type
+    * (the distance itself must be computable).
     */
   def asof(left: DataFrame, right: DataFrame,
       leftOn: String, rightOn: String,
@@ -53,12 +57,9 @@ object AsOfJoin {
       rightTie: String,
       direction: String = "backward",
       tolerance: Option[Long] = None): DataFrame = {
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
-      case other => throw new IllegalArgumentException(
-        s"direction must be backward|forward, got $other")
-    }
+    if (!Set("backward", "forward", "nearest")(direction))
+      throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got $direction")
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
@@ -67,14 +68,15 @@ object AsOfJoin {
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
     val lOn = res(lp, leftOn)
-    if (tolerance.isDefined && FieldCmp.diff(lOn.dataType).isEmpty)
+    if ((tolerance.isDefined || direction == "nearest") &&
+        FieldCmp.diff(lOn.dataType).isEmpty)
       throw new IllegalArgumentException(
-        s"tolerance unsupported for on-type ${lOn.dataType}")
+        s"$direction/tolerance unsupported for on-type ${lOn.dataType}")
     GraftShim.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp,
         lOn, res(rp, rightOn),
         res(lp, leftBy), res(rp, rightBy), res(rp, rightTie),
-        forward, tolerance))
+        direction, tolerance))
   }
 }
 
@@ -87,7 +89,7 @@ final case class AsOfJoinPlan(
     leftOn: Expression, rightOn: Expression,
     leftBy: Expression, rightBy: Expression,
     rightTie: Expression,
-    forward: Boolean = false,
+    direction: String = "backward",
     tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -107,7 +109,7 @@ final case class AsOfJoinExec(
     leftOn: Expression, rightOn: Expression,
     leftBy: Expression, rightBy: Expression,
     rightTie: Expression,
-    forward: Boolean,
+    direction: String,
     tolerance: Option[Long],
     output: Seq[Attribute]) extends BinaryExecNode {
 
@@ -147,7 +149,7 @@ final case class AsOfJoinExec(
     val outAttrs = output
     val (lOnE, lByE) = (leftOn, leftBy)
     val (rOnE, rByE) = (rightOn, rightBy)
-    val fwd = forward
+    val dir = direction
     val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // key layout, both sides: (by=0, on=1)
@@ -155,7 +157,9 @@ final case class AsOfJoinExec(
       val rKeys = UnsafeProjection.create(Seq(rByE, rOnE), rOut)
       val byCmp = FieldCmp(byDt)
       val onCmp = FieldCmp(onDt)
-      val onDiff = tol.map(_ => FieldCmp.diff(onDt).get)
+      val onDiff =
+        if (tol.isDefined || dir == "nearest") Some(FieldCmp.diff(onDt).get)
+        else None
       // the right input binds as NULLABLE: unmatched left rows read the
       // all-null row, and a non-nullable BoundReference would skip the
       // null check and read field zeros instead
@@ -186,7 +190,7 @@ final case class AsOfJoinExec(
           val lk = lKeys(lRow)
           if (lk.isNullAt(0) || lk.isNullAt(1)) {
             joined(lRow, nullRight)
-          } else if (!fwd) {
+          } else if (dir == "backward") {
             // BACKWARD: advance the right side through every row
             // at-or-before (by, on); the last same-group row seen is
             // the match (sorted by tie, so the largest tie wins among
@@ -214,12 +218,15 @@ final case class AsOfJoinExec(
               (onDiff.isEmpty || onDiff.get(lk, 1, bestKeys, 1) <= tol.get)
             joined(lRow, if (matched) bestRow else nullRight)
           } else {
-            // FORWARD: advance past every row strictly before (by, on)
-            // — the cursor then rests on the earliest at-or-after row
-            // (smallest tie first under the (on, tie) sort), which may
-            // serve several left rows, so it is NOT consumed. Null-`on`
-            // rows sort at the group head and are consumed the same
-            // way as earlier-group rows.
+            // FORWARD / NEAREST: advance past every row strictly
+            // before (by, on) — the cursor then rests on the earliest
+            // at-or-after row (smallest tie first under the (on, tie)
+            // sort), which may serve several left rows, so it is NOT
+            // consumed. Null-`on` rows sort at the group head and are
+            // consumed the same way as earlier-group rows. NEAREST
+            // additionally remembers the last strictly-before row
+            // while consuming (the backward candidate) and picks the
+            // closer of the two; equidistant prefers backward.
             var advancing = true
             while (advancing && rCurrRow != null) {
               val onNull = rCurrKeys.isNullAt(1)
@@ -227,13 +234,32 @@ final case class AsOfJoinExec(
                 if (rCurrKeys.isNullAt(0)) -1 else byCmp(rCurrKeys, 0, lk, 0)
               if (byC < 0 || (byC == 0 &&
                   (onNull || onCmp(rCurrKeys, 1, lk, 1) < 0))) {
+                if (byC == 0 && !onNull) {
+                  bestRow = rCurrRow; bestKeys = rCurrKeys
+                }
                 fetchRight()
               } else advancing = false
             }
-            val matched = rCurrRow != null && !rCurrKeys.isNullAt(0) &&
-              byCmp(rCurrKeys, 0, lk, 0) == 0 &&
-              (onDiff.isEmpty || onDiff.get(rCurrKeys, 1, lk, 1) <= tol.get)
-            joined(lRow, if (matched) rCurrRow else nullRight)
+            val fwdOk = rCurrRow != null && !rCurrKeys.isNullAt(0) &&
+              byCmp(rCurrKeys, 0, lk, 0) == 0
+            if (dir == "forward") {
+              val matched = fwdOk &&
+                (onDiff.isEmpty || onDiff.get(rCurrKeys, 1, lk, 1) <= tol.get)
+              joined(lRow, if (matched) rCurrRow else nullRight)
+            } else { // nearest
+              val diff = onDiff.get
+              val bwdOk = bestRow != null && !bestKeys.isNullAt(0) &&
+                byCmp(bestKeys, 0, lk, 0) == 0
+              val bDist = if (bwdOk) diff(lk, 1, bestKeys, 1) else Long.MaxValue
+              val fDist = if (fwdOk) diff(rCurrKeys, 1, lk, 1) else Long.MaxValue
+              val useBwd = bwdOk && bDist <= fDist
+              val dist = if (useBwd) bDist else fDist
+              val matched = (bwdOk || fwdOk) &&
+                tol.forall(dist <= _)
+              joined(lRow,
+                if (!matched) nullRight
+                else if (useBwd) bestRow else rCurrRow)
+            }
           }
           numOutputRows += 1
           project(joined)
@@ -251,7 +277,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right),
         p.leftOn, p.rightOn, p.leftBy, p.rightBy, p.rightTie,
-        p.forward, p.tolerance, p.output) :: Nil
+        p.direction, p.tolerance, p.output) :: Nil
     case _ => Nil
   }
 }

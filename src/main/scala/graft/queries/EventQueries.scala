@@ -820,6 +820,47 @@ object EventQueries {
              |    AND epoch_us(p.ts) >= epoch_us(c.ts)
              |    AND epoch_us(p.ts) - epoch_us(c.ts) <= CAST(3600 AS BIGINT) * 1000000
              |  WHERE c.event_type = 'click')
+             |WHERE rn = 1""".stripMargin)),
+
+    // nearest as-of: each purchase attributed to the temporally
+    // CLOSEST click by the same user within two hours, either side —
+    // pandas merge_asof's third direction, completing the trio on the
+    // same O(n+m) merge (the exec tracks the last strictly-before row
+    // while the cursor rests at-or-after, and picks the closer;
+    // equidistant prefers backward, equal-time rows count as forward
+    // with smallest-id ties).
+    GQuery(
+      "q175_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id",
+            unix_micros($"ts").as("pts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("cu"), $"event_id".as("click_id"),
+            unix_micros($"ts").as("cts"))
+        graft.plans.AsOfJoin
+          .asof(purch, clicks, "pts", "cts", "user_id", "cu", "click_id",
+            direction = "nearest", tolerance = Some(7200L * 1000000L))
+          .select($"purchase_id", $"user_id", $"click_id",
+            abs($"cts" - $"pts").as("dist_us"))
+      },
+      Some("""SELECT purchase_id, user_id, click_id, dist_us FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |    c.event_id AS click_id,
+             |    abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us,
+             |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+             |      abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+             |      CASE WHEN epoch_us(c.ts) < epoch_us(p.ts) THEN 0 ELSE 1 END ASC,
+             |      CASE WHEN epoch_us(c.ts) < epoch_us(p.ts) THEN -c.event_id
+             |           ELSE c.event_id END ASC NULLS LAST) AS rn
+             |  FROM events p
+             |  LEFT JOIN events c ON c.user_id = p.user_id
+             |    AND c.event_type = 'click'
+             |    AND abs(epoch_us(c.ts) - epoch_us(p.ts))
+             |        <= CAST(7200 AS BIGINT) * 1000000
+             |  WHERE p.event_type = 'purchase')
              |WHERE rn = 1""".stripMargin))
   )
 }

@@ -100,6 +100,53 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** Nearest reference spelling: rank all same-key rows by |ron-lon|,
+    * preferring strictly-backward (ron < lon) on equal nonzero
+    * distance, then the direction's own tie rule (backward: largest
+    * tie; forward/equal-on: smallest — equal-on rows are the forward
+    * cursor's), with unique ties making the answer total.
+    */
+  private def viaWindowNearest(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, tol: Option[Long]) = {
+    val dist = abs($"ron" - $"lon")
+    val isStrictBwd = ($"ron" < $"lon").cast("int")
+    val w = Window.partitionBy($"lid").orderBy(
+      dist.asc_nulls_last, isStrictBwd.desc_nulls_last,
+      when($"ron" < $"lon", -$"tie").otherwise($"tie").asc_nulls_last)
+    val base = $"lby" === $"rby" && $"ron".isNotNull
+    val cond = tol.map(t => base && dist <= t).getOrElse(base)
+    left.join(right, cond, "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lid", $"lby", $"lon", $"rid", $"ron", $"tie")
+  }
+
+  test("nearest as-of (with and without tolerance) equals the window spelling") {
+    val rnd = new Random(20260814L)
+    for (round <- 0 until 15) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val tol = if (round % 3 == 0) None else Some(rnd.nextInt(12).toLong)
+      val lefts = Seq.tabulate(3 + rnd.nextInt(20))(i =>
+        (i.toLong, s"k${rnd.nextInt(nKeys)}", rnd.nextInt(40).toLong))
+      val rights = Seq.tabulate(rnd.nextInt(25))(i =>
+        (i.toLong + 1000, s"k${rnd.nextInt(nKeys)}",
+          if (rnd.nextInt(5) == 0) Option.empty[Long]
+          else Some(rnd.nextInt(40).toLong),
+          i.toLong))
+      val l = lefts.toDF("lid", "lby", "lon")
+      val r = rights.toDF("rid", "rby", "ron", "tie")
+      val got = AsOfJoin.asof(l, r, "lon", "ron", "lby", "rby", "tie",
+          direction = "nearest", tolerance = tol)
+        .select($"lid", $"lby", $"lon", $"rid", $"ron", $"tie")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val want = viaWindowNearest(l, r, tol)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(got.sortBy(_.toString) == want.sortBy(_.toString),
+        s"round $round tol=$tol: lefts=$lefts rights=$rights\n" +
+          s"got=${got.sortBy(_.toString)}\nwant=${want.sortBy(_.toString)}")
+    }
+  }
+
   test("backward tolerance nulls matches farther than the bound") {
     val l = Seq((1L, "a", 10L), (2L, "a", 30L)).toDF("lid", "lby", "lon")
     val r = Seq((100L, "a", Some(8L), 0L)).toDF("rid", "rby", "ron", "tie")
