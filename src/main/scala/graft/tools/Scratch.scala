@@ -7,13 +7,22 @@ object Scratch {
     val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val qs = graft.SparkEntry.queries +
       ("q31x_triangle_enc" -> graft.queries.BgpQueries.triangleEncoded)
-    for (name <- args) {
+    // "all" sweeps the whole registry (alphabetical) and ends with the
+    // ten slowest — the outlier hunt after a batch of new operators
+    val names =
+      if (args.sameElements(Array("all"))) qs.keys.toSeq.sorted else args.toSeq
+    val timed = names.map { name =>
       val t0 = System.nanoTime()
       val df = qs(name)(spark, sfDir)
       val n = df.count()
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name: $sec%.2f s, $n rows")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      name -> sec
     }
+    if (names.size > 10)
+      println("[scratch] slowest: " + timed.sortBy(-_._2).take(10)
+        .map { case (n, s) => f"$n=$s%.2f" }.mkString(", "))
     spark.stop()
   }
 }
