@@ -194,6 +194,25 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Set((1L, 101L), (2L, -1L), (3L, -1L)))
   }
 
+  test("tolerance and nearest reject on-types without a fixed-unit difference") {
+    val l = Seq((1L, "a", "x")).toDF("lid", "lby", "lon")
+    val r = Seq((9L, "a", "y", 0L)).toDF("rid", "rby", "ron", "tie")
+    // string `on` supports ordering (backward works) but has no long
+    // difference — tolerance and nearest must fail loudly at plan time
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "lon", "ron", "lby", "rby", "tie",
+        tolerance = Some(5L))
+    }
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "lon", "ron", "lby", "rby", "tie",
+        direction = "nearest")
+    }
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, "lon", "ron", "lby", "rby", "tie",
+        direction = "sideways")
+    }
+  }
+
   test("plan contains the merge exec and no Window or nested-loop join") {
     val l = Seq((1L, "a", 3L)).toDF("lid", "lby", "lon")
     val r = Seq((9L, "a", 2L, 0L)).toDF("rid", "rby", "ron", "tie")
