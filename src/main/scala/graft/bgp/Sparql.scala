@@ -213,11 +213,28 @@ object Sparql {
   // comparisons chained with && / || — the lazy [^()]* stops at the
   // clause's closing paren
   private val filterRe = "(?is)filter\\s*\\(([^()]*)\\)".r
-  // `FILTER regex(?v, "pattern")` — parens-free form only, so the
-  // nested parens never confuse the comparison-filter regex above
-  // (whose [^()]* cannot match a parenthesized regex call)
+  // `FILTER regex(?v, "pattern"[, "flags"])` — parens-free form only,
+  // so the nested parens never confuse the comparison-filter regex
+  // above (whose [^()]* cannot match a parenthesized regex call).
+  // Flags desugar at parse time to a Java/RE2-portable inline prefix
+  // ((?i) etc.), so the planner sees a plain pattern.
   private val filterRegexRe =
-    "(?is)filter\\s+regex\\s*\\(\\s*\\?(\\w+)\\s*,\\s*\"([^\"]*)\"\\s*\\)".r
+    ("(?is)filter\\s+regex\\s*\\(\\s*\\?(\\w+)\\s*,\\s*\"([^\"]*)\"" +
+      "(?:\\s*,\\s*\"([a-z]*)\")?\\s*\\)").r
+
+  /** SPARQL §17.4.3.14 flags → inline modifier prefix; `i` `s` `m`
+    * only (the intersection that Spark and common oracles evaluate
+    * identically); anything else is a loud error, not a silent drop.
+    */
+  private def regexWithFlags(pattern: String, flags: String): String = {
+    if (flags == null || flags.isEmpty) pattern
+    else {
+      val bad = flags.filterNot("ism".contains(_))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"unsupported REGEX flags '$bad' (supported: i, s, m)")
+      s"(?$flags)$pattern"
+    }
+  }
   // `FILTER [(]STRSTARTS|STRENDS|CONTAINS(?v, "lit")[)]` — SPARQL 1.1
   // §17.4.3 string predicates; both the bare and outer-paren spellings
   private val filterStrFnRe =
@@ -462,7 +479,8 @@ object Sparql {
       val rest0 = filterBoundRe.replaceAllIn(chunk, "")
       val regexClauses = filterRegexRe.findAllMatchIn(rest0).map(m =>
         FilterClause(Seq(Seq(
-          FilterExpr(m.group(1), "regex", m.group(2), numeric = false))))).toSeq
+          FilterExpr(m.group(1), "regex",
+            regexWithFlags(m.group(2), m.group(3)), numeric = false))))).toSeq
       val rest1 = filterRegexRe.replaceAllIn(rest0, "")
       val strFnClauses = filterStrFnRe.findAllMatchIn(rest1).map(m =>
         FilterClause(Seq(Seq(FilterExpr(m.group(2),

@@ -985,6 +985,33 @@ object BgpQueries {
       Some("""SELECT n_name AS nm,
              |  string_agg(c_mktsegment, ', ' ORDER BY c_mktsegment) AS segs
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    // grammar extension: REGEX's optional flags argument (SPARQL
+    // §17.4.3.14) — flags desugar at parse time to an inline (?i)
+    // prefix, so the planner and both engines see one plain pattern;
+    // unsupported flags error loudly (SparqlSpec)
+    GQuery(
+      "q176_bgp_regex_flags",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER regex(?nm, "nation_1[0-9]", "i") }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation
+             |WHERE regexp_matches(n_name, 'nation_1[0-9]', 'i')""".stripMargin)),
+
+    // same flagged regex over the dictionary-encoded store — the
+    // decode-on-demand route (q126) must carry the desugared pattern
+    GQuery(
+      "q177_bgp_regex_flags_encoded",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER regex(?nm, "nation_1[0-9]", "i") }""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation
+             |WHERE regexp_matches(n_name, 'nation_1[0-9]', 'i')""".stripMargin))
   )
 }

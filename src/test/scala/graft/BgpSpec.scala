@@ -38,6 +38,15 @@ class BgpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sparql.parse("select ?Z where { ?A b c }"))
   }
 
+  test("REGEX flags desugar to an inline prefix; unsupported flags error") {
+    val q = Sparql.parse(
+      """select ?a where { ?a name ?n . FILTER regex(?n, "x[0-9]", "i") }""")
+    val rx = q.filters.flatMap(_.disjuncts.flatten).find(_.op == "regex").get
+    assert(rx.value == "(?i)x[0-9]")
+    intercept[IllegalArgumentException](Sparql.parse(
+      """select ?a where { ?a name ?n . FILTER regex(?n, "x", "q") }"""))
+  }
+
   test("query graph identifies join vertices by degree (ref QueryPlanner.c:226-239)") {
     // LUBM Q4 shape: star on ?A
     val q = Sparql.parse(
