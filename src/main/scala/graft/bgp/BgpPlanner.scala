@@ -367,11 +367,22 @@ object BgpPlanner {
     }
 
     val orderingOps = Set(">", ">=", "<", "<=")
+    // "strlen>" etc: compare the decoded value's length to an int
+    def strlenCmp(op: String, l: Column, n: Int): Column = op match {
+      case "strlen>" => l > n
+      case "strlen>=" => l >= n
+      case "strlen<" => l < n
+      case "strlen<=" => l <= n
+      case "strlen=" => l === n
+      case "strlen!=" => l =!= n
+    }
     // which variables a filter leaf needs in lexical form
     def lexNeeds(f: FilterExpr): Seq[String] =
       if (!store.encoded) Nil
       else f.op match {
         case "regex" | "strstarts" | "strends" | "contains" =>
+          Seq(f.variable).filterNot(lexical)
+        case op if op.startsWith("strlen") =>
           Seq(f.variable).filterNot(lexical)
         case op if orderingOps(op) =>
           (Seq(f.variable) ++ (if (f.rhsVar) Seq(f.value) else Nil))
@@ -398,6 +409,8 @@ object BgpPlanner {
         case "strstarts" => lexOf(f.variable).startsWith(f.value)
         case "strends" => lexOf(f.variable).endsWith(f.value)
         case "contains" => lexOf(f.variable).contains(f.value)
+        case op if op.startsWith("strlen") =>
+          strlenCmp(op, length(lexOf(f.variable)), f.value.toInt)
         case "=" | "!=" =>
           val idEq = store.encoded && !lexical(f.variable) &&
             (if (f.rhsVar) !lexical(f.value) else true)
@@ -430,7 +443,8 @@ object BgpPlanner {
     def semiJoinable(f: FilterExpr): Boolean =
       store.encoded && !f.rhsVar && !lexical(f.variable) &&
         (f.op == "regex" || f.op == "strstarts" || f.op == "strends" ||
-          f.op == "contains" || orderingOps(f.op))
+          f.op == "contains" || f.op.startsWith("strlen") ||
+          orderingOps(f.op))
     def dictPred(f: FilterExpr): Column = {
       val v = col("value")
       f.op match {
@@ -438,6 +452,8 @@ object BgpPlanner {
         case "strstarts" => v.startsWith(f.value)
         case "strends" => v.endsWith(f.value)
         case "contains" => v.contains(f.value)
+        case op if op.startsWith("strlen") =>
+          strlenCmp(op, length(v), f.value.toInt)
         case op =>
           val l = if (f.numeric) v.cast("double") else v
           val r: Column =

@@ -243,6 +243,12 @@ object Sparql {
   // `FILTER (?v IN (lit, ...))` — desugars to one disjunct per element
   private val filterInRe =
     "(?is)filter\\s*\\(\\s*\\?(\\w+)\\s+in\\s*\\(([^()]*)\\)\\s*\\)".r
+  // `FILTER (STRLEN(?v) op n)` — SPARQL §17.4.3.2; the op composes
+  // into the FilterExpr op field as "strlen<op>" so the planner's
+  // dict-filter + semi-join route applies like any string predicate
+  private val filterStrlenRe =
+    ("(?is)filter\\s*\\(\\s*strlen\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*" +
+      "(>=|<=|!=|=|>|<)\\s*(\\d+)\\s*\\)").r
   // `FILTER (BOUND(?v))` / `FILTER (!BOUND(?v))` — the OPTIONAL
   // companion (negation by failure); standalone clause form only, like
   // regex, so its nested parens never confuse filterRe
@@ -481,7 +487,11 @@ object Sparql {
         FilterClause(Seq(Seq(
           FilterExpr(m.group(1), "regex",
             regexWithFlags(m.group(2), m.group(3)), numeric = false))))).toSeq
-      val rest1 = filterRegexRe.replaceAllIn(rest0, "")
+      val rest1a = filterRegexRe.replaceAllIn(rest0, "")
+      val strlenClauses = filterStrlenRe.findAllMatchIn(rest1a).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(1),
+          "strlen" + m.group(2), m.group(3), numeric = false))))).toSeq
+      val rest1 = filterStrlenRe.replaceAllIn(rest1a, "")
       val strFnClauses = filterStrFnRe.findAllMatchIn(rest1).map(m =>
         FilterClause(Seq(Seq(FilterExpr(m.group(2),
           m.group(1).toLowerCase, m.group(3), numeric = false))))).toSeq
@@ -506,7 +516,8 @@ object Sparql {
           .map(_.split("&&").toSeq.map(parseComparison)))
       }.toSeq
       (filterRe.replaceAllIn(rest, ""),
-        cmpClauses ++ regexClauses ++ strFnClauses ++ inClauses ++ boundClauses)
+        cmpClauses ++ regexClauses ++ strlenClauses ++ strFnClauses ++
+          inClauses ++ boundClauses)
     }
 
     // pull extension clauses out first; the remainder is the

@@ -1012,6 +1012,29 @@ object BgpQueries {
         encoded = true),
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
              |FROM nation
-             |WHERE regexp_matches(n_name, 'nation_1[0-9]', 'i')""".stripMargin))
+             |WHERE regexp_matches(n_name, 'nation_1[0-9]', 'i')""".stripMargin)),
+
+    // grammar extension: FILTER (STRLEN(?v) op n) — on the string
+    // store a plain length() filter; on the encoded store (q179) it
+    // rides the dict-filter + semi-join route like every constant
+    // string predicate
+    GQuery(
+      "q178_bgp_strlen",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER (STRLEN(?nm) > 8) }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE length(n_name) > 8""".stripMargin)),
+
+    GQuery(
+      "q179_bgp_strlen_encoded",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER (STRLEN(?nm) > 8) }""".stripMargin,
+        encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE length(n_name) > 8""".stripMargin))
   )
 }

@@ -38,6 +38,14 @@ class BgpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sparql.parse("select ?Z where { ?A b c }"))
   }
 
+  test("STRLEN filter parses into a composite strlen op") {
+    val q = Sparql.parse(
+      """select ?a where { ?a name ?n . FILTER (STRLEN(?n) >= 12) }""")
+    val f = q.filters.flatMap(_.disjuncts.flatten)
+      .find(_.op.startsWith("strlen")).get
+    assert(f.op == "strlen>=" && f.value == "12" && f.variable == "n")
+  }
+
   test("REGEX flags desugar to an inline prefix; unsupported flags error") {
     val q = Sparql.parse(
       """select ?a where { ?a name ?n . FILTER regex(?n, "x[0-9]", "i") }""")
