@@ -212,12 +212,17 @@ class BgpPropertySpec extends AnyFunSuite {
       val qVars = patterns.flatMap(_.vars).distinct
       if (qVars.nonEmpty) {
         val v = qVars(rnd.nextInt(qVars.size))
-        val (filters, binds) = rnd.nextInt(3) match {
+        val (filters, binds) = rnd.nextInt(5) match {
           case 0 => (Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
             v, Seq(">", "<", ">=", "<=")(rnd.nextInt(4)),
             ents(rnd.nextInt(ents.size)), numeric = false))))), Nil)
           case 1 => (Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
             v, "regex", "[ab]b?", numeric = false))))), Nil)
+          case 2 => (Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
+            v, "regex", "(?i)[AB]B?", numeric = false))))), Nil)
+          case 3 => (Seq(Sparql.FilterClause(Seq(Seq(Sparql.FilterExpr(
+            v, "strlen" + Seq(">", "<", "=", "!=")(rnd.nextInt(4)),
+            (1 + rnd.nextInt(3)).toString, numeric = false))))), Nil)
           case _ => (Nil, Seq(Sparql.Bind("B", Sparql.BConcat(Seq(
             Sparql.BVar(v), Sparql.BLit("!", numeric = false))))))
         }
