@@ -950,6 +950,25 @@ object TextQueries {
              |  count(CASE WHEN v_tk IS NULL THEN 1 END) * 1.0 / count(*)
              |    AS oov_rate
              |FROM toks LEFT JOIN vocab ON tk = v_tk
-             |GROUP BY source""".stripMargin))
+             |GROUP BY source""".stripMargin)),
+
+    // JSONL ingestion audit — drives the DocIO source through the
+    // DRIVER gate, not just a spec: the corpus round-trips through
+    // write+read (explicit schema, corrupt isolation) and the per-
+    // source counts must survive unchanged with zero corrupt lines
+    // (the oracle pins n_corrupt = 0 from the parquet side).
+    GQuery(
+      "q180_jsonl_ingest_audit",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"target/tmp/q180_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.sources.DocIO.writeJsonl(t(s, dir, "documents"), out)
+        val (good, bad) = graft.sources.DocIO.readJsonl(s, out)
+        good.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_corrupt")))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(0 AS BIGINT) AS n_corrupt
+             |FROM documents GROUP BY source""".stripMargin))
   )
 }
