@@ -1058,6 +1058,36 @@ object BgpQueries {
           graft.bgp.Sparql.parse("select ?n ?nm where { ?n name ?nm }"))
       },
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // S5 result sink through the driver gate: a populated result and
+    // an empty one each write through the text sink (tab-separated,
+    // name-sorted columns; the reference's `<empty result>` sentinel
+    // for zero rows — Proxy.c:79, Result-Q2:1), then the files are
+    // read back distributed and audited. The oracle pins line counts
+    // and sentinel presence from the parquet side.
+    GQuery(
+      "q182_result_sink_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val hex = java.lang.Integer.toHexString(dir.hashCode)
+        val nation = graft.Tables.t(s, dir, "nation")
+          .select(col("n_name").as("nm"), col("n_nationkey").as("k"))
+        val outFull = s"target/tmp/q182_full_$hex"
+        val outEmpty = s"target/tmp/q182_empty_$hex"
+        graft.sources.RdfIO.writeResult(nation, outFull)
+        graft.sources.RdfIO.writeResult(nation.filter(col("k") < 0), outEmpty)
+        def audit(path: String, name: String) =
+          s.read.text(path).agg(
+            lit(name).as("sink"),
+            count(lit(1)).as("n_lines"),
+            max((col("value") === "<empty result>").cast("int"))
+              .cast("boolean").as("has_sentinel"))
+        audit(outFull, "full").unionByName(audit(outEmpty, "empty"))
+      },
+      Some("""SELECT 'full' AS sink, count(*) AS n_lines,
+             |  FALSE AS has_sentinel FROM nation
+             |UNION ALL
+             |SELECT 'empty', 1, TRUE""".stripMargin))
   )
 }
