@@ -1088,6 +1088,27 @@ object BgpQueries {
       Some("""SELECT 'full' AS sink, count(*) AS n_lines,
              |  FALSE AS has_sentinel FROM nation
              |UNION ALL
-             |SELECT 'empty', 1, TRUE""".stripMargin))
+             |SELECT 'empty', 1, TRUE""".stripMargin)),
+
+    // S1 query-file source through the driver gate: the SPARQL text
+    // itself round-trips through a file (the reference's client sends
+    // a query FILE path — Client.c:7-25), is read back by the S1
+    // reader, and executes over the star-schema store. With q180-q182
+    // this closes the last spec-only surface from round 4's table.
+    GQuery(
+      "q183_query_file",
+      (s, dir) => {
+        val p = java.nio.file.Paths.get(
+          s"target/tmp/q183_${java.lang.Integer.toHexString(dir.hashCode)}.rq")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p,
+          """select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | FILTER (STRLEN(?nm) > 8) }""".stripMargin)
+        bgp(graft.sources.RdfIO.readQuery(p.toString))(s, dir)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE length(n_name) > 8""".stripMargin))
   )
 }
