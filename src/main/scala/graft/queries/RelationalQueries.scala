@@ -380,6 +380,54 @@ object RelationalQueries {
              |      UNION SELECT r.s, e.o, r.hops + 1
              |            FROM r JOIN e ON r.o = e.s)
              |SELECT s AS a, o AS b, CAST(hops AS BIGINT) AS hops FROM r"""
-        .stripMargin))
+        .stripMargin)),
+
+    // empty-input aggregation semantics — a classic cross-engine
+    // divergence point pinned through the oracle: a GLOBAL aggregate
+    // over zero rows returns exactly one row (count 0, null sum/max),
+    // while a GROUPED aggregate over zero rows returns zero groups.
+    GQuery(
+      "q184_empty_agg_semantics",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "lineitem").filter(lit(false))
+        e.agg(count(lit(1)).as("cnt"), sum($"l_quantity").as("sum_q"),
+            max($"l_shipdate").as("max_d"))
+          .crossJoin(e.groupBy($"l_returnflag")
+            .agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_groups")))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM lineitem WHERE 1=0) AS cnt,
+             |  (SELECT sum(l_quantity) FROM lineitem WHERE 1=0) AS sum_q,
+             |  (SELECT max(l_shipdate) FROM lineitem WHERE 1=0) AS max_d,
+             |  (SELECT count(*) FROM
+             |    (SELECT l_returnflag FROM lineitem WHERE 1=0 GROUP BY 1))
+             |    AS n_groups""".stripMargin)),
+
+    // null-join-key semantics: SQL three-valued logic says a NULL key
+    // matches nothing — inner joins drop those rows, never pair them.
+    // Both sides derive a nullable key (nullif) so the engines' null
+    // handling, not the data, decides the row count.
+    GQuery(
+      "q185_null_join_keys",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select(nullif($"o_custkey" % 7, lit(0)).as("k"),
+            $"o_orderkey")
+        val c = t(s, dir, "customer")
+          .select(nullif($"c_custkey" % 7, lit(0)).as("ck"),
+            $"c_custkey")
+        o.join(c, $"k" === $"ck")
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH o AS (SELECT nullif(o_custkey % 7, 0) AS k, o_orderkey
+             |          FROM orders),
+             |c AS (SELECT nullif(c_custkey % 7, 0) AS ck, c_custkey
+             |      FROM customer)
+             |SELECT k, count(*) AS n_pairs
+             |FROM o JOIN c ON k = ck GROUP BY k""".stripMargin))
   )
 }
