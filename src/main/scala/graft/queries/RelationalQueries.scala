@@ -428,6 +428,34 @@ object RelationalQueries {
              |c AS (SELECT nullif(c_custkey % 7, 0) AS ck, c_custkey
              |      FROM customer)
              |SELECT k, count(*) AS n_pairs
-             |FROM o JOIN c ON k = ck GROUP BY k""".stripMargin))
+             |FROM o JOIN c ON k = ck GROUP BY k""".stripMargin)),
+
+    // null-SAFE equality (`<=>` / IS NOT DISTINCT FROM): the dual of
+    // q185 — NULL keys DO pair with each other, exactly once per
+    // null×null combination. Keys are nulled on the tiny nation/region
+    // dims so the null×null block stays O(1); at scale a null-safe
+    // join on a high-null column must instead split the null stratum
+    // out (it is one hash bucket — a guaranteed skew key).
+    GQuery(
+      "q186_null_safe_join",
+      (s, dir) => {
+        import s.implicits._
+        val n = t(s, dir, "nation")
+          .select(nullif($"n_regionkey", lit(0)).as("k"), $"n_nationkey")
+        val r = t(s, dir, "region")
+          .select(nullif($"r_regionkey", lit(0)).as("rk"), $"r_name")
+        n.join(r, $"k" <=> $"rk")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_nations"),
+            sum(when($"k".isNull, 1).otherwise(0)).as("n_null_pairs"))
+      },
+      Some("""WITH n AS (SELECT nullif(n_regionkey, 0) AS k, n_nationkey
+             |          FROM nation),
+             |r AS (SELECT nullif(r_regionkey, 0) AS rk, r_name FROM region)
+             |SELECT r_name, count(*) AS n_nations,
+             |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null_pairs
+             |FROM n JOIN r ON k IS NOT DISTINCT FROM rk
+             |GROUP BY r_name""".stripMargin))
   )
 }

@@ -969,6 +969,53 @@ object TextQueries {
       },
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(0 AS BIGINT) AS n_corrupt
-             |FROM documents GROUP BY source""".stripMargin))
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // ORC round-trip audit — same driver-gate treatment for the ORC
+    // source/sink: the corpus survives write+schema-enforced-read with
+    // per-source doc and char mass unchanged (the oracle computes the
+    // same masses from the parquet original).
+    GQuery(
+      "q187_orc_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"target/tmp/q187_orc_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.sources.DocIO.writeOrc(t(s, dir, "documents"), out)
+        graft.sources.DocIO.readOrc(s, out, graft.sources.DocIO.docSchema)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // sharded-corpus WRITE path — q152 plans the shard layout, this
+    // drives it: hash-shard the corpus, write one directory per shard
+    // (repartition → one task per shard, sortWithinPartitions → files
+    // clustered by doc_id), then read the layout back and prove the
+    // per-shard masses match what the manifest promised (the oracle
+    // recomputes them straight from the source table).
+    GQuery(
+      "q188_corpus_shard_write",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"target/tmp/q188_shards_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val sh = t(s, dir, "documents").select(
+          (conv(substring(md5(concat($"doc_id".cast("string"), lit(":shard"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 16).as("shard"),
+          $"doc_id", $"n_chars")
+        graft.sources.DocIO.writeShardedCorpus(sh, out, "shard", "doc_id")
+        s.read.parquet(out)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      },
+      Some("""WITH sh AS (SELECT
+             |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+             |      ':shard')), 1, 8)) AS BIGINT) % 16 AS shard,
+             |    n_chars
+             |  FROM documents)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM sh GROUP BY shard""".stripMargin))
   )
 }

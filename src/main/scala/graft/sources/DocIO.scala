@@ -69,4 +69,34 @@ object DocIO {
     */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC round-trip for warehouses standardized on ORC rather than
+    * parquet. Spark's native vectorized ORC reader/writer gives the
+    * same predicate-pushdown + column-pruning contract as parquet;
+    * the read enforces the contract schema rather than trusting file
+    * footers (a snapshot written with a widened type would otherwise
+    * leak the widening downstream).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Sharded corpus writer — the output side of the q152 shard
+    * manifest: `repartition(shardCol)` makes each shard exactly one
+    * task's output (no tiny-file explosion from every task writing
+    * every shard), `sortWithinPartitions` clusters rows by `sortCol`
+    * inside each file so downstream range scans and parquet min/max
+    * row-group pruning work, and `partitionBy` encodes the shard in
+    * the directory layout so a consumer reads one shard without
+    * listing the rest. At 100 TB the repartition is one full shuffle
+    * — the price of bounded file counts — and shard count should be
+    * sized so a shard ≈ a few GB, not fixed at 16.
+    */
+  def writeShardedCorpus(df: DataFrame, path: String, shardCol: String,
+      sortCol: String): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(sortCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
 }

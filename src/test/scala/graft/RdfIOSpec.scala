@@ -107,4 +107,30 @@ class RdfIOSpec extends AnyFunSuite {
         .agg(sum("h")).collect().head.getLong(0)
     assert(sig(back) == sig(docs))
   }
+
+  test("sharded corpus write clusters each file by the sort key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = tmp("shards")
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select((col("doc_id") % 4).as("shard"), col("doc_id"), col("n_chars"))
+    graft.sources.DocIO.writeShardedCorpus(docs, out, "shard", "doc_id")
+    // directory layout: one shard=<v> dir per shard value
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    // nothing lost, and the partition column round-trips
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // within every physical file, doc_id must be non-decreasing —
+    // the clustering contract that makes row-group min/max pruning
+    // work downstream
+    val unsorted = back
+      .select(input_file_name().as("f"), col("doc_id"))
+      .withColumn("prev", lag("doc_id", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("doc_id"))
+    assert(unsorted.count() == 0)
+  }
 }
