@@ -706,6 +706,19 @@ object BgpPlanner {
         .substr(lit(st), lit(ln.getOrElse(Int.MaxValue)))
       case BReplace(a, p, r) =>
         regexp_replace(bindCol(a, lex).cast("string"), p, r)
+      case BStr2(fn, a, needle) =>
+        // first-occurrence split; SPARQL returns "" (not NULL) when
+        // the needle is absent. Pure codegen'd string ops — instr +
+        // dynamic-bound substr — no regex engine involved.
+        val sc = bindCol(a, lex).cast("string")
+        val pos = instr(sc, needle)
+        fn match {
+          case "strbefore" =>
+            when(pos > 0, sc.substr(lit(1), pos - 1)).otherwise(lit(""))
+          case "strafter" =>
+            when(pos > 0, sc.substr(pos + lit(needle.length), length(sc)))
+              .otherwise(lit(""))
+        }
       case BIf(l, op, r, t, e) =>
         // numeric comparison when either side is a numeric literal,
         // lexical otherwise (SPARQL operand typing, bounded like FILTER)

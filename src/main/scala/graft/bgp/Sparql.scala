@@ -107,6 +107,12 @@ object Sparql {
   /** REPLACE(?v, "pattern", "replacement") — regex, global. */
   final case class BReplace(arg: BindExpr, pattern: String,
       replacement: String) extends BindExpr
+  /** STRBEFORE/STRAFTER(?v, "needle") (SPARQL 1.1 §17.4.3.4-5):
+    * the prefix/suffix around the FIRST occurrence of the needle;
+    * "" when the needle does not occur.
+    */
+  final case class BStr2(fn: String, arg: BindExpr, needle: String)
+      extends BindExpr
   /** IF(l op r, then, else) — the condition is one comparison. */
   final case class BIf(condL: BindExpr, op: String, condR: BindExpr,
       thenE: BindExpr, elseE: BindExpr) extends BindExpr
@@ -122,6 +128,7 @@ object Sparql {
         case BFunc1(_, a) => go(a)
         case BSubstr(a, _, _) => go(a)
         case BReplace(a, _, _) => go(a)
+        case BStr2(_, a, _) => go(a)
         case BIf(l, _, r, t, e) => go(l) ++ go(r) ++ go(t) ++ go(e)
         case _ => Nil
       }
@@ -817,6 +824,12 @@ object Sparql {
       val as = splitArgs(inner0)
       require(as.size == 3, s"REPLACE takes 3 args: $raw")
       BReplace(parseBindExpr(as.head), strLit(as(1)), strLit(as(2)))
+    } else if ((low.startsWith("strbefore(") || low.startsWith("strafter("))
+        && s.endsWith(")")) {
+      val fn = if (low.startsWith("strbefore(")) "strbefore" else "strafter"
+      val as = splitArgs(inner0)
+      require(as.size == 2, s"${fn.toUpperCase} takes 2 args: $raw")
+      BStr2(fn, parseBindExpr(as.head), strLit(as(1)))
     } else if (low.startsWith("if(") && s.endsWith(")")) {
       val as = splitArgs(inner0)
       require(as.size == 3, s"IF takes 3 args: $raw")

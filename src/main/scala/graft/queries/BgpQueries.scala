@@ -931,6 +931,47 @@ object BgpQueries {
              |  CASE WHEN n_name = 'NATION_7' THEN 'seven' ELSE 'other' END AS cls
              |FROM nation""".stripMargin)),
 
+    // STRBEFORE/STRAFTER (§17.4.3.4-5): first-occurrence prefix/suffix
+    // split, with the spec's ""-on-absent-needle semantics pinned by a
+    // needle that never occurs ("#")
+    GQuery(
+      "q189_bgp_strbefore_after",
+      bgp("""select ?n ?stem ?num ?none where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (strbefore(?nm, "_") AS ?stem) .
+            | BIND (strafter(?nm, "_") AS ?num) .
+            | BIND (strbefore(?nm, "#") AS ?none) }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  CASE WHEN strpos(n_name, '_') > 0
+             |    THEN substr(n_name, 1, strpos(n_name, '_') - 1)
+             |    ELSE '' END AS stem,
+             |  CASE WHEN strpos(n_name, '_') > 0
+             |    THEN substr(n_name, strpos(n_name, '_') + 1)
+             |    ELSE '' END AS num,
+             |  '' AS none
+             |FROM nation""".stripMargin)),
+
+    // encoded twin: the split computes on decode-on-demand lexical
+    // values and composes with a later numeric-typed IF on the result
+    GQuery(
+      "q190_bgp_strbefore_after_encoded",
+      bgp("""select ?n ?num ?band where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (strafter(?nm, "_") AS ?num) .
+            | BIND (if(?num >= 10, "high", "low") AS ?band) }"""
+        .stripMargin, encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  CASE WHEN strpos(n_name, '_') > 0
+             |    THEN substr(n_name, strpos(n_name, '_') + 1)
+             |    ELSE '' END AS num,
+             |  CASE WHEN CAST(CASE WHEN strpos(n_name, '_') > 0
+             |      THEN substr(n_name, strpos(n_name, '_') + 1)
+             |      ELSE '' END AS DOUBLE) >= 10
+             |    THEN 'high' ELSE 'low' END AS band
+             |FROM nation""".stripMargin)),
+
     // FILTER string predicates (§17.4.3) + IN-lists (§17.4.1.9):
     // STRSTARTS/STRENDS/CONTAINS as pushed-down predicates, IN
     // desugared at parse time to a disjunct per element (so the

@@ -955,4 +955,24 @@ class BgpSpec extends AnyFunSuite {
         ("b", "c"), ("b", "d"), ("c", "d"),
         ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")))
   }
+
+  test("STRBEFORE/STRAFTER split on first occurrence; absent needle gives \"\"") {
+    val st = TripleStore.fromTriples(Seq(
+      ("d:1", "title", "alpha_beta_gamma"),
+      ("d:2", "title", "nodelimiter")
+    ).toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st,
+      """select ?S ?pre ?post where { ?S title ?T .
+        | BIND (strbefore(?T, "_") AS ?pre) .
+        | BIND (strafter(?T, "_") AS ?post) }""".stripMargin)
+    // columns come back name-canonicalized — read by name
+    val rows = out.collect().map(r =>
+      (r.getString(r.fieldIndex("S")), r.getString(r.fieldIndex("pre")),
+        r.getString(r.fieldIndex("post")))).toSet
+    // first occurrence only: post keeps the remaining delimiters;
+    // absent needle yields empty string on both sides, never NULL
+    assert(rows == Set(
+      ("d:1", "alpha", "beta_gamma"),
+      ("d:2", "", "")))
+  }
 }
