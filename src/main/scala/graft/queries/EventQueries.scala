@@ -861,6 +861,80 @@ object EventQueries {
              |    AND abs(epoch_us(c.ts) - epoch_us(p.ts))
              |        <= CAST(7200 AS BIGINT) * 1000000
              |  WHERE p.event_type = 'purchase')
-             |WHERE rn = 1""".stripMargin))
+             |WHERE rn = 1""".stripMargin)),
+
+    // linear interpolation onto the hourly grid — the gap-filling
+    // companion to q155's LOCF: missing hours take the straight line
+    // between the neighboring sampled hours; ends clamp to the nearest
+    // sample. Hourly means use the order-independent davg pattern and
+    // the interpolation itself is the same IEEE expression in both
+    // engines (integer hour distances, one multiply, one divide), so
+    // the hash compare is stable. Scale: two partitioned windows per
+    // type — never a global sort — and the grid is hours × types,
+    // metadata-sized next to the event scan that feeds it.
+    GQuery(
+      "q191_time_interpolate",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select(date_trunc("hour", $"ts").as("hr"), $"event_type", $"value")
+        val hourly = ev.groupBy($"hr", $"event_type")
+          .agg(OracleNum.davg($"value").as("v"))
+        val grid = ev.agg(min($"hr").as("lo"), max($"hr").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+        val full = grid.crossJoin(ev.select($"event_type").distinct())
+        val back = Window.partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val j = full.join(hourly, Seq("hr", "event_type"), "left")
+          .select($"hr", $"event_type", $"v",
+            last($"v", ignoreNulls = true).over(back).as("pv"),
+            last(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(back).as("pt"),
+            first($"v", ignoreNulls = true).over(fwd).as("nv"),
+            first(when($"v".isNotNull, $"hr"), ignoreNulls = true).over(fwd).as("nt"))
+        j.select($"hr", $"event_type", $"v".isNull.as("is_filled"),
+          OracleNum.dround(
+            when($"v".isNotNull, $"v")
+              .when($"pv".isNull, $"nv")
+              .when($"nv".isNull, $"pv")
+              .otherwise($"pv" + ($"nv" - $"pv") *
+                (unix_micros($"hr") - unix_micros($"pt")).cast("double") /
+                (unix_micros($"nt") - unix_micros($"pt")).cast("double")),
+            6).as("v_interp"))
+      },
+      Some(s"""WITH ev AS (SELECT date_trunc('hour', ts) AS hr, event_type, value
+             |            FROM events),
+             |hourly AS (SELECT hr, event_type,
+             |             ${OracleNum.davgSql("value")} AS v
+             |           FROM ev GROUP BY 1, 2),
+             |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM ev),
+             |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+             |full_g AS (SELECT g.hr, t.event_type
+             |           FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+             |j AS (SELECT f.hr, f.event_type, h.v,
+             |        last_value(h.v IGNORE NULLS) OVER (
+             |          PARTITION BY f.event_type ORDER BY f.hr
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |        last_value(CASE WHEN h.v IS NOT NULL THEN f.hr END IGNORE NULLS)
+             |          OVER (PARTITION BY f.event_type ORDER BY f.hr
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             |        first_value(h.v IGNORE NULLS) OVER (
+             |          PARTITION BY f.event_type ORDER BY f.hr
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |        first_value(CASE WHEN h.v IS NOT NULL THEN f.hr END IGNORE NULLS)
+             |          OVER (PARTITION BY f.event_type ORDER BY f.hr
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+             |      FROM full_g f LEFT JOIN hourly h USING (hr, event_type))
+             |SELECT hr, event_type, v IS NULL AS is_filled,
+             |  ${OracleNum.droundSql(
+                   """CASE WHEN v IS NOT NULL THEN v
+                     |    WHEN pv IS NULL THEN nv
+                     |    WHEN nv IS NULL THEN pv
+                     |    ELSE pv + (nv - pv) *
+                     |      CAST(epoch_us(hr) - epoch_us(pt) AS DOUBLE) /
+                     |      CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)
+                     |    END""".stripMargin, 6)} AS v_interp
+             |FROM j""".stripMargin))
   )
 }
