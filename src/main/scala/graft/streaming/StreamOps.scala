@@ -349,4 +349,32 @@ object StreamOps {
           }
       }
   }
+
+  /** Idempotent micro-batch parquet sink for `foreachBatch`.
+    *
+    * Structured Streaming's foreachBatch gives at-least-once batch
+    * delivery: a crash between the write and the checkpoint commit
+    * replays the SAME batchId after restart. Keying the output layout
+    * by `batch_id=<id>` and writing with DYNAMIC partition overwrite
+    * makes the replay overwrite its own partition instead of appending
+    * a duplicate copy — effectively-once output on a plain
+    * non-transactional store, the standard recipe when no table format
+    * with atomic commits is available. Only partitions present in the
+    * incoming batch are touched, so concurrent history is preserved.
+    */
+  def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val prev = batch.sparkSession.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+      finally prev match {
+        case Some(v) => batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => batch.sparkSession.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
 }
