@@ -519,6 +519,110 @@ object SimilarityQueries {
              |SELECT vec_id, CAST(label AS BIGINT) AS label, sqdist,
              |  CAST(row_number() OVER (PARTITION BY label
              |    ORDER BY sqdist DESC, vec_id) AS BIGINT) AS rk
-             |FROM dist QUALIFY rk <= 5""".stripMargin))
+             |FROM dist QUALIFY rk <= 5""".stripMargin)),
+
+    // IVF-PQ asymmetric-distance search — the memory-bounded ANN scale
+    // path. The corpus is stored as M=4 one-byte sub-codes per vector
+    // (vs 64 floats: 64× compression), each sub-code the nearest
+    // codebook entry of its 16-dim subspace by exact integer L2 (ties
+    // → lowest code). Search never touches corpus vectors: each query
+    // precomputes a lookup table dot(q_m, codebook[m][k]) — (queries ×
+    // M × K) rows, broadcast — and a candidate's approximate dot is M
+    // table lookups summed; its norm is the reconstructed-codeword
+    // norm. Coarse IVF cell (label) prunes candidates to the query's
+    // own cell, as q48. Real PQ trains per-subspace k-means; the
+    // codebook here is sampled from fixed anchor vectors (vec_id
+    // 100..115) so the structure and search are identical while
+    // assignment stays cross-engine exact. All arithmetic is integer
+    // until one IEEE divide/sqrt; ranking ties break on cid.
+    // Scale shape: encode = one broadcast join (codebook is M·K rows)
+    // + partial-agg argmin over the corpus; search = one broadcast-LUT
+    // hash join over the codes table. No full-vector reads at query
+    // time, no shuffle wider than (qid, cid) partial aggregates.
+    GQuery(
+      "q192_ivfpq_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val sub = e.select($"vec_id", $"label",
+            explode(expr(
+              "transform(sequence(0, 3), m -> named_struct(" +
+                "'m', cast(m as bigint), 'sv', slice(v, m*16 + 1, 16)))")).as("t"))
+          .select($"vec_id", $"label", $"t.m".as("m"), $"t.sv".as("sv"))
+        val cb = sub.filter($"vec_id" >= 100 && $"vec_id" < 116)
+          .select(($"vec_id" - 100).as("code"), $"m", $"sv".as("cb"))
+          .withColumn("cbn",
+            expr("aggregate(transform(cb, x -> x*x), cast(0 as bigint), (a,x) -> a + x)"))
+        val enc = sub.join(GuardedBroadcast.maybe(cb), Seq("m"))
+          .select($"vec_id", $"label", $"m", $"code", $"cbn",
+            expr("aggregate(zip_with(sv, cb, (a,b) -> (a-b)*(a-b)), cast(0 as bigint), (a,x) -> a + x)")
+              .as("l2"))
+          .groupBy($"vec_id", $"label", $"m")
+          .agg(min(struct($"l2", $"code", $"cbn")).as("best"))
+          .select($"vec_id".as("cid"), $"label", $"m",
+            $"best.code".as("code"), $"best.cbn".as("cbn"))
+        val lut = sub.filter($"vec_id" < 20)
+          .join(GuardedBroadcast.maybe(cb), Seq("m"))
+          .select($"vec_id".as("qid"), $"m", $"code",
+            expr("dot_i64(sv, cb)").as("pdot"))
+        val qset = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"label", $"nrm".as("qn"))
+        val probe = lut.join(qset, Seq("qid"))
+        val sc = enc
+          .join(GuardedBroadcast.maybe(probe), Seq("label", "m", "code"))
+          .filter($"cid" =!= $"qid")
+          .groupBy($"qid", $"cid")
+          .agg(sum($"pdot").cast("long").as("adot"),
+            sum($"cbn").cast("long").as("rnrm"),
+            max($"qn").as("qn"))
+          .withColumn("approx_cos",
+            cosine($"adot", $"qn", $"rnrm"))
+        val w = Window.partitionBy($"qid").orderBy($"approx_cos".desc, $"cid".asc)
+        sc.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"qid", $"cid", $"approx_cos", $"rank")
+      },
+      Some(s"""WITH $quantizedSql,
+              |sub AS (SELECT vec_id, label, CAST((i - 1) // 16 AS BIGINT) AS m, i, x
+              |        FROM flat),
+              |cb AS (SELECT vec_id - 100 AS code, m, i, x AS cbx
+              |       FROM sub WHERE vec_id BETWEEN 100 AND 115),
+              |cbn AS (SELECT m, code, CAST(sum(cbx * cbx) AS BIGINT) AS cbn
+              |        FROM cb GROUP BY 1, 2),
+              |l2 AS (SELECT s.vec_id, s.label, s.m, c.code,
+              |         CAST(sum((s.x - c.cbx) * (s.x - c.cbx)) AS BIGINT) AS l2
+              |       FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
+              |       GROUP BY 1, 2, 3, 4),
+              |enc AS (SELECT vec_id AS cid, label, m, code, cbn FROM (
+              |          SELECT l2.*, cbn.cbn,
+              |            row_number() OVER (PARTITION BY l2.vec_id, l2.m
+              |              ORDER BY l2.l2, l2.code) AS rk
+              |          FROM l2 JOIN cbn ON cbn.m = l2.m AND cbn.code = l2.code)
+              |        WHERE rk = 1),
+              |lut AS (SELECT s.vec_id AS qid, s.m, c.code,
+              |          CAST(sum(s.x * c.cbx) AS BIGINT) AS pdot
+              |        FROM sub s JOIN cb c ON c.m = s.m AND c.i = s.i
+              |        WHERE s.vec_id < 20 GROUP BY 1, 2, 3),
+              |qset AS (SELECT e.vec_id AS qid, e.label, n.nrm AS qn
+              |         FROM e JOIN nrm n ON n.vec_id = e.vec_id
+              |         WHERE e.vec_id < 20),
+              |sc AS (SELECT q.qid, enc.cid,
+              |         CAST(sum(l.pdot) AS BIGINT) AS adot,
+              |         CAST(sum(enc.cbn) AS BIGINT) AS rnrm,
+              |         max(q.qn) AS qn
+              |       FROM enc
+              |         JOIN qset q ON q.label = enc.label
+              |         JOIN lut l ON l.qid = q.qid AND l.m = enc.m
+              |           AND l.code = enc.code
+              |       WHERE enc.cid <> q.qid
+              |       GROUP BY 1, 2)
+              |SELECT qid, cid, approx_cos, rank FROM (
+              |  SELECT qid, cid,
+              |    CAST(adot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rnrm AS DOUBLE))) AS approx_cos,
+              |    CAST(row_number() OVER (PARTITION BY qid ORDER BY
+              |      CAST(adot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rnrm AS DOUBLE))) DESC,
+              |      cid) AS BIGINT) AS rank
+              |  FROM sc)
+              |WHERE rank <= 3""".stripMargin))
   )
 }
