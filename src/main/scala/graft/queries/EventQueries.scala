@@ -935,6 +935,37 @@ object EventQueries {
                      |      CAST(epoch_us(hr) - epoch_us(pt) AS DOUBLE) /
                      |      CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE)
                      |    END""".stripMargin, 6)} AS v_interp
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // Z-order clustered layout + 2-D box query: events are rewritten
+    // z-clustered on (user_id, day) via scale/ZOrder — every file then
+    // covers a narrow square of both dimensions, so the box predicate
+    // below prunes files/row groups on BOTH axes instead of just a
+    // leading sort key (ZOrderSpec asserts the per-file narrowness and
+    // the box's file-overlap count). The registered result proves the
+    // layout round-trips: the box aggregation over the clustered
+    // readback must equal the oracle's straight scan of the source
+    // table. Scale: the rewrite is one range-repartition by z-value
+    // (sampled boundaries, contiguous slices — q188's shard sizing
+    // applies); the query side is an ordinary pruned parquet scan.
+    GQuery(
+      "q193_zorder_box",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"target/tmp/q193_z_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val src = t(s, dir, "events").select($"event_id", $"user_id",
+          dayofmonth($"ts").cast("long").as("d"), $"event_type")
+        graft.scale.ZOrder.writeZClustered(src, "user_id", "d", 8, out, 16)
+        s.read.parquet(out)
+          .filter($"user_id".between(4, 60) && $"d".between(5, 20))
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_events"), sum($"event_id").as("id_sum"))
+      },
+      Some("""SELECT CAST(date_part('day', ts) AS BIGINT) AS d,
+             |  count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events
+             |WHERE user_id BETWEEN 4 AND 60
+             |  AND date_part('day', ts) BETWEEN 5 AND 20
+             |GROUP BY 1""".stripMargin))
   )
 }
