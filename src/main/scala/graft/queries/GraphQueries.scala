@@ -163,6 +163,69 @@ object GraphQueries {
              |  SELECT src, dst FROM edges
              |  UNION
              |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
-             |SELECT src, dst FROM closure""".stripMargin))
+             |SELECT src, dst FROM closure""".stripMargin)),
+
+    // triangle counting with degree orientation (Schank–Wagner /
+    // "forward" algorithm): each undirected edge is directed from its
+    // lower-(degree, id) endpoint to the higher, which caps every
+    // node's out-degree at O(√m) — the wedge join (the only
+    // super-linear step, Σ C(outdeg, 2)) is then minimized, and a hot
+    // hub generates no wedges at all because all its edges point IN.
+    // Wedge pairs are ordered by the same global rank, so the closing
+    // edge of a triangle is exactly one oriented (x→y) row — an
+    // equality-keyed LEFT SEMI hash join, no OR-condition nested loop.
+    // Result: one row (n_wedges, n_triangles) — the wedge count pins
+    // the bounded intermediate, the triangle count the answer.
+    GQuery(
+      "q194_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val store = TripleStore.fromStarSchema(s, dir)
+        val ed = entityPreds.flatMap(store.slices.get)
+          .map(_.select($"s", $"o"))
+          .reduce(_ unionByName _)
+        val und = ed.filter($"s" =!= $"o")
+          .select(least($"s", $"o").as("u"), greatest($"s", $"o").as("v"))
+          .distinct()
+        val deg = und.select($"u".as("n")).unionByName(und.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("d"))
+        val ranked = und
+          .join(deg.select($"n".as("u"), $"d".as("du")), Seq("u"))
+          .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
+        // und has u < v by construction, so the tie-break never needs id
+        val uFirst = $"du" < $"dv" || ($"du" === $"dv")
+        val ornt = ranked.select(
+          when(uFirst, $"u").otherwise($"v").as("a"),
+          when(uFirst, $"v").otherwise($"u").as("b"),
+          when(uFirst, $"dv").otherwise($"du").as("db"))
+        val wedges = ornt.as("e1").join(ornt.as("e2"),
+            col("e1.a") === col("e2.a") &&
+              (col("e1.db") < col("e2.db") ||
+                (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
+          .select(col("e1.b").as("x"), col("e2.b").as("y"))
+        val tri = wedges.join(ornt,
+          $"x" === $"a" && $"y" === $"b", "left_semi")
+        wedges.agg(count(lit(1)).as("n_wedges"))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      },
+      Some(s"""WITH $edgesSql,
+              |und AS (SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v
+              |        FROM edges WHERE s <> o),
+              |deg AS (SELECT n, count(*) AS d FROM (
+              |          SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+              |        GROUP BY 1),
+              |ornt AS (SELECT
+              |    CASE WHEN du.d <= dv.d THEN u.u ELSE u.v END AS a,
+              |    CASE WHEN du.d <= dv.d THEN u.v ELSE u.u END AS b,
+              |    CASE WHEN du.d <= dv.d THEN dv.d ELSE du.d END AS db
+              |  FROM und u JOIN deg du ON du.n = u.u
+              |    JOIN deg dv ON dv.n = u.v),
+              |wedges AS (SELECT e1.b AS x, e2.b AS y
+              |           FROM ornt e1 JOIN ornt e2 ON e1.a = e2.a
+              |             AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))),
+              |tri AS (SELECT x, y FROM wedges
+              |        WHERE EXISTS (SELECT 1 FROM ornt WHERE a = x AND b = y))
+              |SELECT (SELECT count(*) FROM wedges) AS n_wedges,
+              |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin))
   )
 }
