@@ -277,6 +277,65 @@ object ScalarQueries {
              |UNION ALL
              |SELECT '__ALL__', CAST(count(DISTINCT md5(text)) AS BIGINT),
              |  TRUE
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // mergeable quantile sketch via fixed-bin histograms — q173's
+    // pattern for quantiles. Each shard reduces to a fixed-size vector
+    // of 64 bin counts over the fixed domain [0, 512) (bin width 8);
+    // vectors merge by elementwise add (`zip_with`), and any quantile
+    // reads off the merged vector with guaranteed error ≤ one bin
+    // width (SketchSpec asserts the bound against exact quantiles).
+    // This is the shape that replaces a global sort at 100 TB: the
+    // shuffle carries shard-count × 64 longs, not the data; the merge
+    // fold runs over a shard-count-sized collect_list. Approximate
+    // answers are bin upper edges — exact integers, so the DuckDB
+    // oracle (same binning via a windowed cumsum) matches bit-for-bit.
+    GQuery(
+      "q195_histogram_quantile_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val binned = t(s, dir, "events").select(
+          ($"user_id" % 8).cast("string").as("shard"),
+          least(floor($"value" / 8.0), lit(63.0)).cast("int").as("bin"))
+        val perShard = binned.groupBy($"shard", $"bin")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"shard")
+          .agg(map_from_entries(collect_list(struct($"bin", $"c"))).as("m"),
+            sum($"c").as("n"))
+          .select($"shard", $"n",
+            expr("transform(sequence(0, 63), i -> coalesce(m[i], cast(0 as bigint)))")
+              .as("vec"))
+        def qsel(p: Int) = expr(
+          s"""cast(8 * (1 + filter(sequence(0, 63),
+             |  b -> aggregate(slice(vec, 1, b + 1), cast(0 as bigint),
+             |         (a, x) -> a + x)
+             |    >= cast(ceil(n * $p / 100.0) as bigint))[0]) as bigint)""".stripMargin)
+          .as(s"p$p")
+        val shardRows = perShard.select($"shard", $"n", qsel(50), qsel(90), qsel(99))
+        val merged = perShard
+          .agg(collect_list($"vec").as("vecs"), sum($"n").as("n"))
+          .select(lit("__ALL__").as("shard"), $"n",
+            expr("""aggregate(vecs,
+                   |  transform(sequence(0, 63), i -> cast(0 as bigint)),
+                   |  (acc, v) -> zip_with(acc, v, (a, b) -> a + b))""".stripMargin)
+              .as("vec"))
+        shardRows.unionByName(
+          merged.select($"shard", $"n", qsel(50), qsel(90), qsel(99)))
+      },
+      Some("""WITH base AS (SELECT CAST(user_id % 8 AS VARCHAR) AS shard,
+             |    CAST(least(floor(value / 8.0), 63) AS BIGINT) AS bin
+             |  FROM events),
+             |lab AS (SELECT shard, bin FROM base
+             |        UNION ALL SELECT '__ALL__', bin FROM base),
+             |h AS (SELECT shard, bin, count(*) AS c FROM lab GROUP BY 1, 2),
+             |c AS (SELECT shard, bin,
+             |        sum(c) OVER (PARTITION BY shard ORDER BY bin) AS cum,
+             |        sum(c) OVER (PARTITION BY shard) AS n
+             |      FROM h)
+             |SELECT shard, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(min(CASE WHEN cum >= ceil(n * 50 / 100.0) THEN 8 * (bin + 1) END) AS BIGINT) AS p50,
+             |  CAST(min(CASE WHEN cum >= ceil(n * 90 / 100.0) THEN 8 * (bin + 1) END) AS BIGINT) AS p90,
+             |  CAST(min(CASE WHEN cum >= ceil(n * 99 / 100.0) THEN 8 * (bin + 1) END) AS BIGINT) AS p99
+             |FROM c GROUP BY shard""".stripMargin))
   )
 }

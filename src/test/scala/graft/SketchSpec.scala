@@ -25,4 +25,22 @@ class SketchSpec extends AnyFunSuite {
       assert(r.getAs[Double]("exact_median") > 0)
     }
   }
+
+  test("histogram-rollup quantiles are within one bin width of exact") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q195_histogram_quantile_rollup")(spark, dir)
+      .filter($"shard" === "__ALL__").collect().head
+    val vals = graft.Tables.t(spark, dir, "events")
+      .select($"value").orderBy($"value").collect().map(_.getDouble(0))
+    def exact(p: Int): Double =
+      vals(math.ceil(vals.length * p / 100.0).toInt - 1)
+    for (p <- Seq(50, 90, 99)) {
+      val a = approx.getAs[Long](s"p$p").toDouble
+      val e = exact(p)
+      // approx is the upper edge of exact's bin: 0 < a - e <= 8
+      assert(a - e > 0 && a - e <= 8.0,
+        s"p$p approx $a vs exact $e — outside one bin width")
+    }
+  }
 }
