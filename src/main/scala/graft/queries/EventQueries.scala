@@ -966,6 +966,85 @@ object EventQueries {
              |FROM events
              |WHERE user_id BETWEEN 4 AND 60
              |  AND date_part('day', ts) BETWEEN 5 AND 20
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // incremental rollup maintenance: the standing per-(day, type)
+    // aggregate is materialized once (here: days < 25, written to
+    // parquet — the "yesterday's rollup" table), then a new batch
+    // (days ≥ 25) folds in WITHOUT rescanning history: delta-aggregate
+    // the batch, full-outer merge on the group key with coalesced
+    // counts/sums and recombined min/max. At 100 TB the update cost is
+    // O(batch + rollup), never O(corpus) — the q162 incremental-dedup
+    // discipline applied to aggregates. All measures are exact-integer
+    // (cents = floor(value·100 + ½), bigint sums), so the merged
+    // result must hash-match the oracle's one-shot GROUP BY over the
+    // full table — which is exactly the invariant that makes
+    // incremental maintenance trustworthy.
+    GQuery(
+      "q196_incremental_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select(
+          dayofmonth($"ts").cast("long").as("d"), $"event_type",
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+        val base = ev.filter($"d" < 25)
+          .groupBy($"d", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"),
+            min($"cents").as("min_c"), max($"cents").as("max_c"))
+        val out = s"target/tmp/q196_rollup_${java.lang.Integer.toHexString(dir.hashCode)}"
+        base.write.mode("overwrite").parquet(out)
+        val standing = s.read.parquet(out)
+        val delta = ev.filter($"d" >= 25)
+          .groupBy($"d", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents"),
+            min($"cents").as("min_c"), max($"cents").as("max_c"))
+        standing.as("b").join(delta.as("x"),
+            col("b.d") === col("x.d") &&
+              col("b.event_type") === col("x.event_type"), "full_outer")
+          .select(
+            coalesce(col("b.d"), col("x.d")).as("d"),
+            coalesce(col("b.event_type"), col("x.event_type")).as("event_type"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("x.n"), lit(0L))).as("n"),
+            (coalesce(col("b.cents"), lit(0L)) +
+              coalesce(col("x.cents"), lit(0L))).as("cents"),
+            least(col("b.min_c"), col("x.min_c")).as("min_c"),
+            greatest(col("b.max_c"), col("x.max_c")).as("max_c"))
+      },
+      Some("""SELECT CAST(date_part('day', ts) AS BIGINT) AS d, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents,
+             |  CAST(min(floor(value * 100 + 0.5)) AS BIGINT) AS min_c,
+             |  CAST(max(floor(value * 100 + 0.5)) AS BIGINT) AS max_c
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // small-file compaction as table maintenance: fragment the events
+    // table into 64 tiny files (what a streaming sink or per-batch
+    // writer leaves behind), then bin-pack them back to ~64 KB outputs
+    // via scale/Compaction — the plan comes from the file LISTING
+    // (metadata-sized), one shuffle routes rows to bins, and
+    // CompactionSpec asserts the file count actually shrinks. The
+    // registered result re-aggregates the compacted table and must
+    // hash-match the oracle's scan of the source — compaction moves
+    // bytes, never rows.
+    GQuery(
+      "q197_compaction",
+      (s, dir) => {
+        import s.implicits._
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val frag = s"target/tmp/q197_frag_$tag"
+        val out = s"target/tmp/q197_compact_$tag"
+        val ev = t(s, dir, "events").select($"event_id", $"event_type",
+          floor($"value" * 100 + 0.5).cast("long").as("cents"))
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+        graft.scale.Compaction.compact(s, frag, out, targetBytes = 64L * 1024)
+        s.read.parquet(out)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"),
+            sum($"cents").as("cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }
