@@ -456,6 +456,62 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_null_pairs
              |FROM n JOIN r ON k IS NOT DISTINCT FROM rk
-             |GROUP BY r_name""".stripMargin))
+             |GROUP BY r_name""".stripMargin)),
+
+    // Deequ-style data-quality constraint audit: uniqueness of the
+    // customer PK, referential integrity orders→customer (left-anti
+    // count), domain and cross-field checks on lineitem, completeness
+    // of o_orderdate — one row per constraint with its violation count
+    // and pass flag. Scale hygiene: per-TABLE single-pass aggregates
+    // (all lineitem checks ride ONE scan as conditional sums), and the
+    // RI check is an anti join on the join key — at 100 TB each
+    // constraint family costs one scan, never one scan per constraint.
+    GQuery(
+      "q198_constraint_audit",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val pkDups = cust.agg(
+          (count(lit(1)) - countDistinct($"c_custkey")).as("metric"))
+          .select(lit("customer_pk_unique").as("constraint"), $"metric")
+        val ri = ord.join(cust, $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("metric"))
+          .select(lit("orders_custkey_ri").as("constraint"), $"metric")
+        val liChecks = li.agg(
+            sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("qty_nonpos"),
+            sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L))
+              .as("disc_bad"))
+          .select(expr(
+            "stack(2, 'lineitem_quantity_positive', qty_nonpos, " +
+              "'lineitem_discount_in_unit_range', disc_bad) " +
+              "as (constraint, metric)"))
+        val complete = ord.agg(
+          sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("metric"))
+          .select(lit("orders_orderdate_complete").as("constraint"), $"metric")
+        pkDups.unionByName(ri).unionByName(liChecks).unionByName(complete)
+          .select($"constraint", $"metric".cast("long").as("metric"),
+            ($"metric" === 0).as("ok"))
+      },
+      Some("""SELECT 'customer_pk_unique' AS constraint,
+             |  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS metric,
+             |  count(*) = count(DISTINCT c_custkey) AS ok FROM customer
+             |UNION ALL
+             |SELECT 'orders_custkey_ri',
+             |  CAST(count(*) AS BIGINT), count(*) = 0
+             |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |UNION ALL
+             |SELECT 'lineitem_quantity_positive',
+             |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 0 FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem_discount_in_unit_range',
+             |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) = 0 FROM lineitem
+             |UNION ALL
+             |SELECT 'orders_orderdate_complete',
+             |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders""".stripMargin))
   )
 }
