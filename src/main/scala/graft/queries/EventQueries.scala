@@ -1045,6 +1045,39 @@ object EventQueries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(sum(event_id) AS BIGINT) AS id_sum,
              |  CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
-             |FROM events GROUP BY 1""".stripMargin))
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // k-anonymity audit (k=5) over the quasi-identifier tuple
+    // (event_type, day, value bucket): any equivalence class smaller
+    // than k re-identifies its members, so a release pipeline must
+    // suppress or generalize those rows. Reports, per event_type, the
+    // class count, the risky-class count, and the rows suppression
+    // would remove — the aggregate-privacy complement of q147's
+    // field-level PII redaction. Scale: one groupBy over the quasi-id
+    // tuple (the class table is bounded by the id-tuple domain, far
+    // smaller than the data), then a class-table-sized rollup.
+    GQuery(
+      "q199_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val classes = t(s, dir, "events").select($"event_type",
+            dayofmonth($"ts").cast("long").as("d"),
+            floor($"value" / 50.0).cast("long").as("vb"))
+          .groupBy($"event_type", $"d", $"vb")
+          .agg(count(lit(1)).as("n"))
+        classes.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when($"n" < 5, 1L).otherwise(0L)).as("n_risky"),
+            sum(when($"n" < 5, $"n").otherwise(0L)).as("n_suppressed"))
+      },
+      Some("""WITH classes AS (SELECT event_type,
+             |    CAST(date_part('day', ts) AS BIGINT) AS d,
+             |    CAST(floor(value / 50.0) AS BIGINT) AS vb,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT event_type, count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed
+             |FROM classes GROUP BY 1""".stripMargin))
   )
 }
