@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents`: exact, n-gram Jaccard,
@@ -742,6 +743,127 @@ object DedupQueries {
              |SELECT source, sum(c) AS n_docs, count(*) AS n_distinct,
              |  max(c) AS max_cluster,
              |  sum(c) * 1.0 / count(*) AS dup_factor
-             |FROM g GROUP BY source""".stripMargin))
+             |FROM g GROUP BY source""".stripMargin)),
+
+    // ——— q200: the flagship end-to-end RELEASE pipeline ———
+    // Composes the round's curation stages into one run with FULL
+    // accounting: every document lands in exactly ONE bucket, so the
+    // manifest's doc counts sum to the corpus size (the invariant a
+    // release audit actually needs). Stage order and semantics reuse
+    // the already-verified pieces verbatim: q167's quality cascade →
+    // q94's eval split (withheld as 'rej:eval_set') → q43's exact
+    // dedup (min doc_id per fingerprint among releasable docs) →
+    // q94's banded-shingle decontamination → q147's PII counting →
+    // q188-style hash sharding. Scale shape: one corpus scan builds
+    // every per-doc flag; the only joins are the df-capped shingle
+    // band (8-byte keys) and a doc_id-keyed label join; output is
+    // bucket-count-sized. Measures: docs, whitespace tokens, PII hits.
+    GQuery(
+      "q200_release_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+        val base = t(s, dir, "documents")
+          .select($"doc_id", $"text", split($"text", " ").as("w"))
+          .select($"doc_id", $"text",
+            size($"w").cast("long").as("n"),
+            size(array_distinct($"w")).cast("long").as("nu"),
+            expr("size(filter(w, t -> t IN ('the', 'a')))")
+              .cast("long").as("stop"))
+          .withColumn("qp",
+            $"n" >= 5 && $"nu" * 10 >= $"n" * 3 && $"stop" * 5 <= $"n")
+          .withColumn("is_eval",
+            h32(concat($"doc_id".cast("string"), lit(":eval"))) % 10 === 0)
+          .withColumn("fp", md5($"text".cast("binary")))
+          .withColumn("t1", when($"doc_id" % 7 === 0,
+            concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+              lit("@mail.example.com now"))).otherwise($"text"))
+          .withColumn("t2", when($"doc_id" % 11 === 0,
+            concat($"t1", lit(" call 555-"),
+              lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+              lit("-0199"))).otherwise($"t1"))
+          .withColumn("n_pii",
+            (regexp_count($"t2", lit(emailRe)) +
+              regexp_count($"t2", lit(phoneRe))).cast("long"))
+          .select($"doc_id", $"n", $"qp", $"is_eval", $"fp", $"n_pii")
+        val keepers = base.filter($"qp" && !$"is_eval")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"fp").orderBy($"doc_id")))
+          .select($"doc_id", $"rn")
+        val sb = shingleBand(s, dir)
+        val evalKeys = sb
+          .join(base.filter($"is_eval").select($"doc_id"), Seq("doc_id"))
+          .select($"k").distinct()
+        val contam = sb
+          .join(keepers.filter($"rn" === 1).select($"doc_id"), Seq("doc_id"))
+          .join(evalKeys, Seq("k"))
+          .select($"doc_id").distinct()
+          .withColumn("is_contam", lit(true))
+        val labeled = base
+          .join(keepers, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("bucket",
+            when(!$"qp", "rej:quality")
+              .when($"is_eval", "rej:eval_set")
+              .when($"rn" =!= 1, "rej:dup")
+              .when($"is_contam", "rej:contaminated")
+              .otherwise(concat(lit("shard:"),
+                (h32(concat($"doc_id".cast("string"), lit(":shard"))) % 4)
+                  .cast("string"))))
+        labeled.groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n").as("n_tokens"),
+            sum($"n_pii").as("n_pii"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |base AS (SELECT doc_id, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      t -> t IN ('the', 'a'))) AS BIGINT) AS stop,
+              |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              |      ':eval')), 1, 8)) AS BIGINT) % 10 = 0 AS is_eval,
+              |    md5(text) AS fp
+              |  FROM documents),
+              |q AS (SELECT *, (n >= 5 AND nu * 10 >= n * 3 AND stop * 5 <= n) AS qp
+              |      FROM base),
+              |pii AS (SELECT doc_id,
+              |    CAST(len(regexp_extract_all(t2,
+              |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              |      + len(regexp_extract_all(t2, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
+              |      AS n_pii
+              |  FROM (SELECT doc_id,
+              |      CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-'
+              |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+              |        ELSE t1 END AS t2
+              |    FROM (SELECT doc_id,
+              |        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+              |          || doc_id || '@mail.example.com now' ELSE text END AS t1
+              |      FROM documents))),
+              |k AS (SELECT doc_id,
+              |        row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |      FROM q WHERE qp AND NOT is_eval),
+              |ev_keys AS (SELECT DISTINCT s FROM shf
+              |            JOIN q USING (doc_id) WHERE is_eval),
+              |contam AS (SELECT DISTINCT shf.doc_id FROM shf
+              |           JOIN ev_keys USING (s)
+              |           WHERE shf.doc_id IN (SELECT doc_id FROM k WHERE rn = 1)),
+              |lab AS (SELECT q.doc_id, q.n,
+              |    CASE WHEN NOT q.qp THEN 'rej:quality'
+              |         WHEN q.is_eval THEN 'rej:eval_set'
+              |         WHEN k.rn <> 1 THEN 'rej:dup'
+              |         WHEN q.doc_id IN (SELECT doc_id FROM contam)
+              |           THEN 'rej:contaminated'
+              |         ELSE 'shard:' || CAST(CAST(concat('0x',
+              |           substr(md5(concat(CAST(q.doc_id AS VARCHAR), ':shard')),
+              |             1, 8)) AS BIGINT) % 4 AS VARCHAR) END AS bucket
+              |  FROM q LEFT JOIN k ON k.doc_id = q.doc_id)
+              |SELECT bucket, count(*) AS n_docs,
+              |  CAST(sum(lab.n) AS BIGINT) AS n_tokens,
+              |  CAST(sum(pii.n_pii) AS BIGINT) AS n_pii
+              |FROM lab JOIN pii USING (doc_id)
+              |GROUP BY 1""".stripMargin))
   )
 }
