@@ -512,6 +512,57 @@ object RelationalQueries {
              |UNION ALL
              |SELECT 'orders_orderdate_complete',
              |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders""".stripMargin))
+             |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 FROM orders""".stripMargin)),
+
+    // snapshot diff between two table versions — the lakehouse "what
+    // changed since yesterday" audit. Two deterministic versions of
+    // orders (v1 lacks every 97th key; v2 lacks every 89th and bumps
+    // every 13th price), PK full-outer join, rows classified
+    // added/removed/changed/unchanged with a net cents delta (added
+    // counts +v2, removed −v1, changed v2−v1 — the ledger a finance
+    // reconciliation wants). Full accounting: Σ n = |v1 ∪ v2|. Scale:
+    // one shuffle on the PK; at 100 TB both versions would be
+    // bucketed on the PK and the join co-located, and the cents
+    // comparison is exact-integer so "changed" can't flap on float
+    // noise.
+    GQuery(
+      "q201_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val ord = t(s, dir, "orders")
+          .select($"o_orderkey".as("k"),
+            floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        val v1 = ord.filter($"k" % 97 =!= 0)
+          .select($"k".as("k1"), $"cents".as("c1"))
+        val v2 = ord.filter($"k" % 89 =!= 0)
+          .select($"k".as("k2"),
+            when($"k" % 13 === 0, $"cents" + 1000L).otherwise($"cents").as("c2"))
+        v1.join(v2, $"k1" === $"k2", "full_outer")
+          .withColumn("change_type",
+            when($"k1".isNull, "added")
+              .when($"k2".isNull, "removed")
+              .when($"c1" =!= $"c2", "changed")
+              .otherwise("unchanged"))
+          .groupBy($"change_type")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce($"c2", lit(0L)) - coalesce($"c1", lit(0L)))
+              .as("cents_delta"))
+      },
+      Some("""WITH ord AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (SELECT k AS k1, cents AS c1 FROM ord WHERE k % 97 <> 0),
+             |v2 AS (SELECT k AS k2,
+             |         CASE WHEN k % 13 = 0 THEN cents + 1000 ELSE cents END AS c2
+             |       FROM ord WHERE k % 89 <> 0),
+             |d AS (SELECT CASE WHEN k1 IS NULL THEN 'added'
+             |          WHEN k2 IS NULL THEN 'removed'
+             |          WHEN c1 <> c2 THEN 'changed'
+             |          ELSE 'unchanged' END AS change_type,
+             |        coalesce(c2, 0) - coalesce(c1, 0) AS delta
+             |      FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+             |SELECT change_type, count(*) AS n,
+             |  CAST(sum(delta) AS BIGINT) AS cents_delta
+             |FROM d GROUP BY 1""".stripMargin))
   )
 }
