@@ -563,6 +563,79 @@ object RelationalQueries {
              |      FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
              |SELECT change_type, count(*) AS n,
              |  CAST(sum(delta) AS BIGINT) AS cents_delta
-             |FROM d GROUP BY 1""".stripMargin))
+             |FROM d GROUP BY 1""".stripMargin)),
+
+    // CDC merge — apply an insert/update/delete changelog onto a base
+    // table with latest-wins semantics (the MERGE INTO a lakehouse
+    // runs every sync). Deterministic changelog from orders: seq-10
+    // updates (every 5th key, +500 cents), seq-20 deletes (every 7th),
+    // seq-30 updates (every 11th, +700), seq-5 inserts (fresh keys
+    // k+10M for every 13th). Latest op per key wins (row_number over
+    // seq desc), then one PK full-outer merge classifies every key:
+    // kept / updated / deleted / inserted, with the surviving cents
+    // summed. Scale: changelog collapse is a partitioned window on
+    // the PK and the merge is one PK shuffle — at 100 TB base and
+    // changelog would be bucketed on the PK (co-located, zero extra
+    // shuffle), and cost is O(base + changelog), never a rewrite of
+    // untouched partitions' content. Exact-integer cents keep the
+    // classification replay-stable.
+    GQuery(
+      "q202_cdc_merge",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ord = t(s, dir, "orders")
+          .select($"o_orderkey".as("k"),
+            floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        val base = ord.select($"k".as("bk"), $"cents".as("bc"))
+        val changes = ord.filter($"k" % 5 === 0)
+          .select($"k", lit("U").as("op"), ($"cents" + 500L).as("nc"), lit(10L).as("seq"))
+          .unionAll(ord.filter($"k" % 7 === 0)
+            .select($"k", lit("D").as("op"), lit(null).cast("long").as("nc"), lit(20L).as("seq")))
+          .unionAll(ord.filter($"k" % 11 === 0)
+            .select($"k", lit("U").as("op"), ($"cents" + 700L).as("nc"), lit(30L).as("seq")))
+          .unionAll(ord.filter($"k" % 13 === 0)
+            .select(($"k" + 10000000L).as("k"), lit("I").as("op"),
+              ($"cents" + 1L).as("nc"), lit(5L).as("seq")))
+        val latest = changes
+          .withColumn("rn", row_number().over(Window.partitionBy($"k").orderBy($"seq".desc)))
+          .filter($"rn" === 1).drop("rn")
+        base.join(latest, $"bk" === $"k", "full_outer")
+          .withColumn("outcome",
+            when($"op".isNull, "kept")
+              .when($"bk".isNull, "inserted")
+              .when($"op" === "D", "deleted")
+              .otherwise("updated"))
+          .withColumn("fc",
+            when($"op" === "D", lit(null).cast("long"))
+              .otherwise(coalesce($"nc", $"bc")))
+          .groupBy($"outcome")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce($"fc", lit(0L))).as("cents_final"))
+      },
+      Some("""WITH ord AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (SELECT k AS bk, cents AS bc FROM ord),
+             |changes AS (
+             |  SELECT k, 'U' AS op, cents + 500 AS nc, 10 AS seq FROM ord WHERE k % 5 = 0
+             |  UNION ALL
+             |  SELECT k, 'D', NULL, 20 FROM ord WHERE k % 7 = 0
+             |  UNION ALL
+             |  SELECT k, 'U', cents + 700, 30 FROM ord WHERE k % 11 = 0
+             |  UNION ALL
+             |  SELECT k + 10000000, 'I', cents + 1, 5 FROM ord WHERE k % 13 = 0),
+             |latest AS (SELECT * FROM (SELECT k, op, nc,
+             |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             |  FROM changes) WHERE rn = 1),
+             |m AS (SELECT CASE WHEN op IS NULL THEN 'kept'
+             |          WHEN bk IS NULL THEN 'inserted'
+             |          WHEN op = 'D' THEN 'deleted'
+             |          ELSE 'updated' END AS outcome,
+             |        CASE WHEN op = 'D' THEN NULL ELSE coalesce(nc, bc) END AS fc
+             |      FROM base FULL OUTER JOIN latest ON bk = k)
+             |SELECT outcome, count(*) AS n,
+             |  CAST(sum(coalesce(fc, 0)) AS BIGINT) AS cents_final
+             |FROM m GROUP BY 1""".stripMargin))
   )
 }
