@@ -636,6 +636,63 @@ object RelationalQueries {
              |      FROM base FULL OUTER JOIN latest ON bk = k)
              |SELECT outcome, count(*) AS n,
              |  CAST(sum(coalesce(fc, 0)) AS BIGINT) AS cents_final
-             |FROM m GROUP BY 1""".stripMargin))
+             |FROM m GROUP BY 1""".stripMargin)),
+
+    // SCD type-2 history from a snapshot stack — turn three full
+    // snapshots of orders (v1 base cents; v2 bumps every 13th key
+    // +1000; v3 additionally bumps every 17th +500) into
+    // validity-interval history rows: keep only CHANGE POINTS (value
+    // differs from the previous snapshot, lag over the PK), then
+    // valid_to = the next change point's version (lead over the
+    // filtered set; NULL = current). Rolled up by (valid_from,
+    // valid_to) with exact-cents totals so the result is
+    // interval-count-sized. Scale: S snapshot scans union into ONE
+    // shuffle on the PK; both windows (lag for detection, lead for
+    // interval close) reuse that partitioning, and history size is
+    // the number of real changes — never snapshots × keys.
+    GQuery(
+      "q203_scd2_history",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ord = t(s, dir, "orders")
+          .select($"o_orderkey".as("k"),
+            floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+        val v1 = ord.select($"k", $"cents", lit(1L).as("v"))
+        val v2 = ord.select($"k",
+          when($"k" % 13 === 0, $"cents" + 1000L).otherwise($"cents").as("cents"),
+          lit(2L).as("v"))
+        val v3 = ord.select($"k",
+          (when($"k" % 13 === 0, $"cents" + 1000L).otherwise($"cents")
+            + when($"k" % 17 === 0, 500L).otherwise(0L)).as("cents"),
+          lit(3L).as("v"))
+        val byKey = Window.partitionBy($"k").orderBy($"v")
+        val hist = v1.unionAll(v2).unionAll(v3)
+          .withColumn("prev", lag($"cents", 1).over(byKey))
+          .filter($"prev".isNull || $"cents" =!= $"prev")
+          .withColumn("valid_to", lead($"v", 1).over(byKey))
+        hist.groupBy($"v".as("valid_from"), $"valid_to")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("cents_total"))
+      },
+      Some("""WITH ord AS (SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |snaps AS (
+             |  SELECT k, cents, 1 AS v FROM ord
+             |  UNION ALL
+             |  SELECT k, CASE WHEN k % 13 = 0 THEN cents + 1000 ELSE cents END, 2 FROM ord
+             |  UNION ALL
+             |  SELECT k, CASE WHEN k % 13 = 0 THEN cents + 1000 ELSE cents END
+             |         + CASE WHEN k % 17 = 0 THEN 500 ELSE 0 END, 3 FROM ord),
+             |chg AS (SELECT * FROM (SELECT k, cents, v,
+             |    lag(cents) OVER (PARTITION BY k ORDER BY v) AS prev
+             |  FROM snaps) WHERE prev IS NULL OR cents <> prev),
+             |hist AS (SELECT k, cents, v,
+             |    lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
+             |  FROM chg)
+             |SELECT CAST(v AS BIGINT) AS valid_from,
+             |  CAST(valid_to AS BIGINT) AS valid_to,
+             |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_total
+             |FROM hist GROUP BY 1, 2""".stripMargin))
   )
 }
