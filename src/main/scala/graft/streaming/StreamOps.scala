@@ -42,6 +42,16 @@ object StreamOps {
   // public: Catalyst's generated code must reach the accessors
   final case class SessState(startUs: Long, lastUs: Long, n: Long)
 
+  /** One CDC change record (the streaming input of a MERGE). */
+  final case class CdcChange(k: Long, op: String, value: Long, seq: Long)
+
+  /** Materialized upsert view row: the net state of a key after the
+    * latest-wins collapse (`deleted` = tombstone).
+    */
+  final case class CdcUpsert(k: Long, deleted: Boolean, value: Long, seq: Long)
+
+  final case class CdcState(seq: Long, op: String, value: Long)
+
   /** Tumbling event-time window counts/sums. With a streaming source,
     * the watermark lets Spark finalize and drop window state `allowed`
     * behind the max seen event time.
@@ -346,6 +356,43 @@ object StreamOps {
               state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60000L)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming CDC upsert — the streaming arm of q202's batch MERGE.
+    *
+    * Maintains one latest-wins record per key via
+    * flatMapGroupsWithState: a change only applies if its `seq` is
+    * newer than the stored one, so out-of-order and replayed ops are
+    * ignored (idempotent by sequence number, the Debezium/Kafka
+    * compaction contract). Emits the key's NET row (value or
+    * tombstone) once per micro-batch in which it actually changed —
+    * downstream sees an upsert changelog it can apply blindly.
+    *
+    * Scale: state is one fixed-size record per LIVE key — the
+    * materialized table itself, which is the algorithmic minimum for
+    * a streaming MERGE view; at cluster scale this lives in the
+    * RocksDB state store, partitioned by key, and each micro-batch
+    * touches only arriving keys. Update output mode: emissions are
+    * per-key replacements, not append rows, matching upsert sinks.
+    */
+  def cdcUpsertStream(changes: Dataset[CdcChange]): Dataset[CdcUpsert] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CdcState, CdcUpsert](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          val newest = it.foldLeft(state.getOption) { (cur, c) =>
+            if (cur.forall(_.seq < c.seq)) Some(CdcState(c.seq, c.op, c.value))
+            else cur
+          }
+          newest match {
+            case Some(s) if !state.getOption.contains(s) =>
+              state.update(s)
+              Iterator(CdcUpsert(key, s.op == "D", if (s.op == "D") 0L else s.value, s.seq))
+            case _ => Iterator.empty // only stale (or no) arrivals
           }
       }
   }

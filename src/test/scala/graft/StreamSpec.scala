@@ -421,4 +421,47 @@ class StreamSpec extends AnyFunSuite {
     // and batch 0's history was untouched by the replay
     assert(afterReplay.filter($"batch_id" === 0L).count() == 2)
   }
+
+  test("cdcUpsertStream applies latest-wins ops, drops stale ones, and is replay-idempotent") {
+    import spark.implicits._
+    import StreamOps.{CdcChange, CdcUpsert}
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[CdcChange]
+    val q = StreamOps.cdcUpsertStream(src.toDS())
+      .writeStream.format("memory").queryName("cdc_upserts")
+      .outputMode("update").start()
+    try {
+      src.addData(
+        CdcChange(1, "I", 100, 1), CdcChange(2, "I", 200, 1), CdcChange(3, "I", 300, 1))
+      q.processAllAvailable()
+      val b1 = spark.table("cdc_upserts").as[CdcUpsert].collect().toSet
+      assert(b1 == Set(
+        CdcUpsert(1, deleted = false, 100, 1),
+        CdcUpsert(2, deleted = false, 200, 1),
+        CdcUpsert(3, deleted = false, 300, 1)))
+
+      // one batch carrying: an out-of-order D/U conflict on k=1 (the
+      // higher-seq U must win), a tombstone for k=2, a STALE update
+      // for k=3 (seq 0 < stored 1 → no emission), and an upsert of a
+      // never-seen key k=4
+      src.addData(
+        CdcChange(1, "D", 0, 2), CdcChange(1, "U", 150, 3),
+        CdcChange(2, "D", 0, 2),
+        CdcChange(3, "U", 999, 0),
+        CdcChange(4, "U", 400, 5))
+      q.processAllAvailable()
+      val b2 = spark.table("cdc_upserts").as[CdcUpsert].collect().toSet -- b1
+      assert(b2 == Set(
+        CdcUpsert(1, deleted = false, 150, 3),
+        CdcUpsert(2, deleted = true, 0, 2),
+        CdcUpsert(4, deleted = false, 400, 5)))
+
+      // exact replay of an already-applied change: state unchanged,
+      // nothing emitted
+      val before = spark.table("cdc_upserts").count()
+      src.addData(CdcChange(1, "U", 150, 3))
+      q.processAllAvailable()
+      assert(spark.table("cdc_upserts").count() == before)
+    } finally q.stop()
+  }
 }
