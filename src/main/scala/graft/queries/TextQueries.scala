@@ -1016,6 +1016,30 @@ object TextQueries {
              |  FROM documents)
              |SELECT shard, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS n_chars
-             |FROM sh GROUP BY shard""".stripMargin))
+             |FROM sh GROUP BY shard""".stripMargin)),
+
+    // CSV ingestion audit — the last interchange format in the DocIO
+    // family (JSONL q180, ORC q187) driven through the driver gate:
+    // corpus → headered/quoted CSV → line-based schema-enforced read
+    // with corrupt isolation; per-source doc counts and char mass
+    // must survive unchanged and the corrupt side must be empty (the
+    // oracle pins n_corrupt = 0 from the parquet original). The read
+    // is a plain text scan + codegen'd from_csv — splittable and
+    // parallel, no multiLine single-task trap.
+    GQuery(
+      "q204_csv_ingest_audit",
+      (s, dir) => {
+        import s.implicits._
+        val out = s"target/tmp/q204_csv_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.sources.DocIO.writeCsv(t(s, dir, "documents"), out)
+        val (good, bad) = graft.sources.DocIO.readCsv(s, out)
+        good.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_corrupt")))
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  CAST(0 AS BIGINT) AS n_corrupt
+             |FROM documents GROUP BY source""".stripMargin))
   )
 }

@@ -70,6 +70,19 @@ object DocIO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** CSV writer paired with [[readCsv]]: header line, quote-when-
+    * needed with doubled-quote escaping (the options readCsv parses
+    * with), so fields containing the delimiter or quotes survive the
+    * round trip. CSV stays line-per-record — embedded newlines are
+    * the caller's contract to strip (readCsv is a line-based scan by
+    * design: splittable and parallel at 100 TB, which multiLine CSV
+    * is not).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(path)
+
   /** ORC round-trip for warehouses standardized on ORC rather than
     * parquet. Spark's native vectorized ORC reader/writer gives the
     * same predicate-pushdown + column-pruning contract as parquet;

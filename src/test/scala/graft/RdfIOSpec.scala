@@ -92,6 +92,32 @@ class RdfIOSpec extends AnyFunSuite {
       .collect().head.getString(0) == "a, quoted text")
   }
 
+  test("CSV round-trip survives delimiters and embedded quotes") {
+    import spark.implicits._
+    val out = tmp("csv-roundtrip")
+    // adversarial fields: the delimiter, doubled quotes, a quote at
+    // each end — everything the writer's quote/escape options must
+    // protect for the line-based reader to reassemble
+    val docs = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "comma, separated, text", "en", "web", 22L),
+      (3L, "she said \"hi\" twice", "en", "books", 19L),
+      (4L, "\"leading and trailing\"", "fr", "web", 22L),
+      (5L, "mix: a,\"b\",c", "de", "code", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.sources.DocIO.writeCsv(docs, out)
+    val (back, bad) = graft.sources.DocIO.readCsv(spark, out)
+    assert(bad.count() == 0)
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "plain text",
+      2L -> "comma, separated, text",
+      3L -> "she said \"hi\" twice",
+      4L -> "\"leading and trailing\"",
+      5L -> "mix: a,\"b\",c"))
+  }
+
   test("JSONL round-trip preserves the corpus") {
     val out = tmp("roundtrip")
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
