@@ -1040,6 +1040,68 @@ object TextQueries {
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS chars,
              |  CAST(0 AS BIGINT) AS n_corrupt
-             |FROM documents GROUP BY source""".stripMargin))
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // token-budget corpus fill — the selection step after q151 sets
+    // mixture targets: per language, keep the highest-quality docs
+    // (unique-token count desc, doc_id tiebreak) until a budget of
+    // 60% of the language's natural token mass is full, and report
+    // the fill. The greedy prefix is an exact cumulative sum — but a
+    // naive `Window.partitionBy(lang)` puts ALL of a dominant
+    // language in one task at 100 TB, so the running sum is
+    // two-phase like q95: within-(lang, uniqueness-band) local sums
+    // plus band prefix offsets computed on the band-count-sized
+    // relation (band = n_uniq div 32 is monotone in the sort key, so
+    // banded order == global order). Budgets and offsets rejoin via
+    // GuardedBroadcast; the ratio divides exact integers.
+    GQuery(
+      "q205_token_budget_fill",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+          .select($"lang", $"doc_id",
+            size(array_distinct(split($"text", " "))).cast("long").as("n_uniq"),
+            size(split($"text", " ")).cast("long").as("tk"))
+          .withColumn("band", expr("n_uniq div 32"))
+        val wb = Window.partitionBy($"lang").orderBy($"band".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bands = d.groupBy($"lang", $"band").agg(sum($"tk").as("btk"))
+          .withColumn("off", coalesce(sum($"btk").over(wb), lit(0L)))
+          .select($"lang", $"band", $"off")
+        val budget = d.groupBy($"lang")
+          .agg(sum($"tk").as("nat"))
+          .select($"lang", expr("nat * 6 div 10").as("budget"))
+        val wi = Window.partitionBy($"lang", $"band")
+          .orderBy($"n_uniq".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.join(GuardedBroadcast.maybe(bands), Seq("lang", "band"))
+          .withColumn("cum", $"off" + sum($"tk").over(wi))
+          .join(GuardedBroadcast.maybe(budget), Seq("lang"))
+          .groupBy($"lang", $"budget")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"cum" <= $"budget", 1L).otherwise(0L)).as("n_kept"),
+            sum(when($"cum" <= $"budget", $"tk").otherwise(0L)).as("kept_tokens"))
+          .select($"lang", $"n_total", $"n_kept", $"kept_tokens", $"budget",
+            ($"kept_tokens" * lit(1.0) / $"budget").as("utilization"))
+      },
+      Some("""WITH d AS (SELECT lang, doc_id,
+             |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             |    len(string_split(text, ' ')) AS tk
+             |  FROM documents),
+             |b AS (SELECT lang, CAST(sum(tk) AS BIGINT) * 6 // 10 AS budget
+             |      FROM d GROUP BY 1),
+             |c AS (SELECT lang, tk,
+             |    sum(tk) OVER (PARTITION BY lang ORDER BY n_uniq DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d)
+             |SELECT c.lang, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN cum <= budget THEN tk ELSE 0 END) AS BIGINT) AS kept_tokens,
+             |  budget,
+             |  CAST(sum(CASE WHEN cum <= budget THEN tk ELSE 0 END) AS BIGINT) * 1.0 / budget
+             |    AS utilization
+             |FROM c JOIN b USING (lang)
+             |GROUP BY c.lang, budget""".stripMargin))
   )
 }

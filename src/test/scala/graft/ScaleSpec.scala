@@ -358,4 +358,24 @@ class ScaleSpec extends AnyFunSuite {
       s"expected WindowGroupLimit pre-limiting the top-5 in:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("token-budget fill bands its per-language running sum") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = SparkEntry.queries("q205_token_budget_fill")(
+      spark, "/root/testdata/sf0.001")
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w }
+    // a naive greedy fill windows on lang alone, putting ALL of a
+    // dominant language in one task; the two-phase spelling's only
+    // data-sized window partitions on (lang, band), and the
+    // lang-only window runs over the band-count-sized aggregate
+    assert(wins.nonEmpty, "expected window nodes in the budget fill")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"partition-less window over data-sized input:\n$w")
+    }
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "expected the data-sized running sum partitioned by (lang, band)")
+    assert(df.count() > 0)
+  }
 }
