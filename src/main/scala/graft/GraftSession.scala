@@ -40,6 +40,12 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
       // read as Long and let Tables.t normalize to a µs timestamp.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive (isAdjustedToUTC=false) parquet timestamps read as plain
+      // TIMESTAMP, not TIMESTAMP_NTZ: the oracle (DuckDB) treats naive
+      // values as-is and the session tz is pinned UTC above, so both
+      // engines see identical epoch micros — while NTZ would reject
+      // unix_micros() and streaming watermarks outright
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

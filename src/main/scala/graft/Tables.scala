@@ -28,7 +28,16 @@ object Tables {
     * streaming readers of the same files can apply it too.
     */
   def normalizeEvents(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      // a session without GraftSession's inferTimestampNTZ=false reads
+      // naive parquet micros as NTZ; cast to TIMESTAMP (session tz is
+      // UTC) so unix_micros/watermarks work and epochs match the oracle
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }
