@@ -740,9 +740,9 @@ object DedupQueries {
       },
       Some("""WITH g AS (SELECT source, md5(text) AS fp, count(*) AS c
              |  FROM documents GROUP BY 1, 2)
-             |SELECT source, sum(c) AS n_docs, count(*) AS n_distinct,
-             |  max(c) AS max_cluster,
-             |  sum(c) * 1.0 / count(*) AS dup_factor
+             |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             |  count(*) AS n_distinct, max(c) AS max_cluster,
+             |  CAST(sum(c) AS BIGINT) * 1.0 / count(*) AS dup_factor
              |FROM g GROUP BY source""".stripMargin)),
 
     // ——— q200: the flagship end-to-end RELEASE pipeline ———

@@ -648,7 +648,8 @@ object EventQueries {
              |agg AS (SELECT from_type, to_type, count(*) AS n
              |        FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
              |SELECT from_type, to_type, n,
-             |  n * 1.0 / sum(n) OVER (PARTITION BY from_type) AS p
+             |  n * 1.0 / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+             |    AS p
              |FROM agg""".stripMargin)),
 
     // hourly anomaly flags: per hour×type counts tested against the

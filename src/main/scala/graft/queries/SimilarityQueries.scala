@@ -378,8 +378,10 @@ object SimilarityQueries {
       },
       Some("""SELECT label, count(*) AS n_docs,
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-             |  sum(len(list_distinct(string_split(text, ' ')))) * 1.0
-             |    / sum(len(string_split(text, ' '))) AS uniq_ratio
+             |  CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT)
+             |    * 1.0
+             |    / CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             |    AS uniq_ratio
              |FROM documents JOIN embeddings ON vec_id = doc_id
              |GROUP BY label""".stripMargin)),
 

@@ -796,7 +796,8 @@ object TextQueries {
              |            AS natural_tokens
              |        FROM documents GROUP BY 1),
              |j AS (SELECT n.lang, natural_tokens, target_w,
-             |        sum(natural_tokens) OVER () AS total_tokens
+             |        CAST(sum(natural_tokens) OVER () AS BIGINT)
+             |          AS total_tokens
              |      FROM nat n JOIN w USING (lang))
              |SELECT lang, natural_tokens,
              |  CAST(target_w AS BIGINT) AS target_w,
@@ -838,7 +839,8 @@ object TextQueries {
              |          CAST(sum(tk) AS BIGINT) AS n_tokens
              |        FROM sh GROUP BY 1)
              |SELECT shard, n_docs, n_tokens,
-             |  n_tokens * 16.0 / sum(n_tokens) OVER () AS balance
+             |  n_tokens * 16.0 / CAST(sum(n_tokens) OVER () AS BIGINT)
+             |    AS balance
              |FROM agg""".stripMargin)),
 
     // length-distribution histogram: fixed-width 100-char buckets per
@@ -867,7 +869,8 @@ object TextQueries {
              |agg AS (SELECT source, bucket, count(*) AS n_docs
              |        FROM b GROUP BY 1, 2)
              |SELECT source, bucket, n_docs,
-             |  n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)
+             |  n_docs * 1.0
+             |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
              |    AS source_share
              |FROM agg""".stripMargin)),
 
@@ -915,7 +918,8 @@ object TextQueries {
              |agg AS (SELECT source, verdict, count(*) AS n_docs
              |        FROM v GROUP BY 1, 2)
              |SELECT source, verdict, n_docs,
-             |  n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source)
+             |  n_docs * 1.0
+             |    / CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
              |    AS source_share
              |FROM agg""".stripMargin)),
 
