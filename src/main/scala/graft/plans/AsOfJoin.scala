@@ -4,13 +4,16 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.GraftShim
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Native as-of join — the whole-operator extension rung of the ladder
   * (custom LogicalPlan + SparkStrategy + SparkPlan, registered through
@@ -111,7 +114,7 @@ final case class AsOfJoinExec(
     rightTie: Expression,
     direction: String,
     tolerance: Option[Long],
-    output: Seq[Attribute]) extends BinaryExecNode {
+    output: Seq[Attribute]) extends BinaryExecNode with CodegenSupport {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
@@ -266,6 +269,216 @@ final case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ——— whole-stage codegen (SortMergeJoinExec-style produce leaf) ———
+  //
+  // The merge loop is generated into the WholeStageCodegen stage, so
+  // downstream operators (filters, projections, partial aggregates)
+  // fuse with it — no iterator boundary and no output-row
+  // materialization above the join. Like SortMergeJoinExec, the two
+  // children feed the generated class as plain row iterators
+  // (`inputRDDs`), so each child's sort still terminates its own
+  // stage; what this removes is the boundary ABOVE the join that the
+  // interpreted path (wrapped in InputAdapter) pays. The generated
+  // merge mirrors doExecute() line for line: one copied lookahead
+  // right row, one remembered backward candidate, direction-specific
+  // advance — with the direction and tolerance baked in as constants
+  // at generation time, so only the branch this query needs is
+  // emitted.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the buffered right-row copy and the reused
+  // left iterator row; a blocking parent must copy
+  override def needCopyResult: Boolean = true
+
+  // the merge consumes its children as iterators (inputRDDs), not via
+  // produce, so like SortMergeJoinExec it is a valid place to check
+  // the limit-not-reached condition
+  override def canCheckLimitNotReached: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];")
+
+    val byDt = leftBy.dataType
+    val onDt = leftOn.dataType
+    val byJt = CodeGenerator.javaType(byDt)
+    val onJt = CodeGenerator.javaType(onDt)
+
+    // lookahead right row (copied — the sorter reuses row buffers)
+    // plus its extracted keys; the backward candidate likewise
+    val rCurr = ctx.addMutableState("InternalRow", "rCurr")
+    val rBy = ctx.addMutableState(byJt, "rBy")
+    val rByNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rByNull")
+    val rOn = ctx.addMutableState(onJt, "rOn")
+    val rOnNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rOnNull")
+    val best = ctx.addMutableState("InternalRow", "bestRow")
+    val bestBy = ctx.addMutableState(byJt, "bestBy")
+    val bestOn = ctx.addMutableState(onJt, "bestOn")
+    val inited = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "inited")
+
+    val savedRow = ctx.INPUT_ROW
+    val savedVars = ctx.currentVars
+
+    // fetchRight(): copy the next right row and extract (by, on)
+    val rRow = ctx.freshName("rRow")
+    ctx.INPUT_ROW = rRow
+    ctx.currentVars = null
+    val rByEv = bindReference[Expression](rightBy, right.output).genCode(ctx)
+    val rOnEv = bindReference[Expression](rightOn, right.output).genCode(ctx)
+    val fetchRight = ctx.addNewFunction("asofFetchRight",
+      s"""
+         |private void asofFetchRight() {
+         |  if ($rightInput.hasNext()) {
+         |    InternalRow $rRow = ((InternalRow) $rightInput.next()).copy();
+         |    ${rByEv.code}
+         |    ${rOnEv.code}
+         |    $rCurr = $rRow;
+         |    $rByNull = ${rByEv.isNull};
+         |    $rBy = ${rByEv.value};
+         |    $rOnNull = ${rOnEv.isNull};
+         |    $rOn = ${rOnEv.value};
+         |  } else {
+         |    $rCurr = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    // left keys, evaluated once per left row
+    val leftRow = ctx.freshName("leftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lByEv = bindReference[Expression](leftBy, left.output).genCode(ctx)
+    val lOnEv = bindReference[Expression](leftOn, left.output).genCode(ctx)
+
+    // left output columns ride the left row (consume defers what the
+    // parent doesn't use); right columns null-guard on the match row
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matchRow = ctx.freshName("matchRow")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("rColNull")
+      val value = ctx.freshName("rColVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val cd =
+        code"""
+          |boolean $isNull = true;
+          |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+          |if ($matchRow != null) {
+          |  $isNull = $matchRow.isNullAt($i);
+          |  if (!$isNull) {
+          |    $value = ${CodeGenerator.getValue(matchRow, a.dataType, i.toString)};
+          |  }
+          |}""".stripMargin
+      ExprCode(cd, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    ctx.INPUT_ROW = savedRow
+    ctx.currentVars = savedVars
+
+    // tolerance distances in the on-column's native long units — the
+    // API guards that tolerance/nearest imply a long-backed on-type
+    def asLong(v: String): String = onDt match {
+      case LongType | TimestampType | TimestampNTZType => v
+      case _ => s"(long) $v"
+    }
+    val lOn = lOnEv.value.code
+    val lBy = lByEv.value.code
+
+    val directionCode = direction match {
+      case "backward" =>
+        val tolOk = tolerance
+          .map(t => s"(${asLong(lOn)} - ${asLong(bestOn)}) <= ${t}L")
+          .getOrElse("true")
+        s"""
+           |boolean advancing = true;
+           |while (advancing && $rCurr != null) {
+           |  int byC = $rByNull ? -1 : (${ctx.genComp(byDt, rBy, lBy)});
+           |  if (byC < 0 || (byC == 0 &&
+           |      ($rOnNull || (${ctx.genComp(onDt, rOn, lOn)}) <= 0))) {
+           |    if (byC == 0 && !$rOnNull) {
+           |      $best = $rCurr; $bestBy = $rBy; $bestOn = $rOn;
+           |    }
+           |    $fetchRight();
+           |  } else {
+           |    advancing = false;
+           |  }
+           |}
+           |if ($best != null && (${ctx.genComp(byDt, bestBy, lBy)}) == 0 &&
+           |    $tolOk) {
+           |  $matchRow = $best;
+           |}
+         """.stripMargin
+      case _ => // forward / nearest share the strictly-before advance
+        val fwdTolOk = tolerance
+          .map(t => s"(${asLong(rOn)} - ${asLong(lOn)}) <= ${t}L")
+          .getOrElse("true")
+        val pick =
+          if (direction == "forward")
+            s"""
+               |if (fwdOk && $fwdTolOk) { $matchRow = $rCurr; }
+             """.stripMargin
+          else {
+            val tolOk = tolerance.map(t => s"dist <= ${t}L").getOrElse("true")
+            s"""
+               |boolean bwdOk = $best != null &&
+               |  (${ctx.genComp(byDt, bestBy, lBy)}) == 0;
+               |long bDist = bwdOk ?
+               |  (${asLong(lOn)} - ${asLong(bestOn)}) : Long.MAX_VALUE;
+               |long fDist = fwdOk ?
+               |  (${asLong(rOn)} - ${asLong(lOn)}) : Long.MAX_VALUE;
+               |boolean useBwd = bwdOk && bDist <= fDist;
+               |long dist = useBwd ? bDist : fDist;
+               |if ((bwdOk || fwdOk) && $tolOk) {
+               |  $matchRow = useBwd ? $best : $rCurr;
+               |}
+             """.stripMargin
+          }
+        s"""
+           |boolean advancing = true;
+           |while (advancing && $rCurr != null) {
+           |  int byC = $rByNull ? -1 : (${ctx.genComp(byDt, rBy, lBy)});
+           |  if (byC < 0 || (byC == 0 &&
+           |      ($rOnNull || (${ctx.genComp(onDt, rOn, lOn)}) < 0))) {
+           |    if (byC == 0 && !$rOnNull) {
+           |      $best = $rCurr; $bestBy = $rBy; $bestOn = $rOn;
+           |    }
+           |    $fetchRight();
+           |  } else {
+           |    advancing = false;
+           |  }
+           |}
+           |boolean fwdOk = $rCurr != null && !$rByNull &&
+           |  (${ctx.genComp(byDt, rBy, lBy)}) == 0;
+           |$pick
+         """.stripMargin
+    }
+
+    s"""
+       |if (!$inited) {
+       |  $inited = true;
+       |  $fetchRight();
+       |}
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lByEv.code}
+       |  ${lOnEv.code}
+       |  InternalRow $matchRow = null;
+       |  if (!(${lByEv.isNull} || ${lOnEv.isNull})) {
+       |    ${directionCode.trim}
+       |  }
+       |  $numOutput.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars).trim}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }
 

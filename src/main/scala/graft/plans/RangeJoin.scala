@@ -5,10 +5,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types._
@@ -152,7 +155,7 @@ final case class RangeJoinExec(
     rightOn: Expression,
     output: Seq[Attribute],
     loInclusive: Boolean = false,
-    hiInclusive: Boolean = true) extends BinaryExecNode {
+    hiInclusive: Boolean = true) extends BinaryExecNode with CodegenSupport {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
@@ -316,6 +319,255 @@ final case class RangeJoinExec(
       // no left-row copy: expand's iterator drains before the next row
       lIter.flatMap(expand).map { row => numOutputRows += 1; row }
     }
+  }
+
+  // ——— whole-stage codegen (SortMergeJoinExec-style produce leaf) ———
+  //
+  // Same structure as [[AsOfJoinExec]]'s codegen: the children feed the
+  // generated class as row iterators and the merge loop itself is
+  // generated, so downstream operators fuse with it — no iterator
+  // boundary or output materialization above the join. The one extra
+  // wrinkle over as-of is that a left row emits MANY rows (its buffer
+  // prefix), and `shouldStop()` can suspend the loop after any of
+  // them; all merge state (current left row, its extracted keys, the
+  // buffer's live iterator, the matched flag) therefore lives in
+  // mutable fields, making the produce loop a resumable state machine
+  // rather than nested loops with stack state.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override def canCheckLimitNotReached: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val peakMetric = metricTerm(ctx, "peakBufferRows")
+    val maxBufferRows = conf.getConfString(RangeJoin.MaxBufferRowsKey,
+      RangeJoin.MaxBufferRowsDefault.toString).toLong
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];")
+
+    val byDt = leftBy.dataType
+    val onDt = rightOn.dataType
+    val byJt = CodeGenerator.javaType(byDt)
+    val onJt = CodeGenerator.javaType(onDt)
+    val loJt = CodeGenerator.javaType(leftLo.dataType)
+    val hiJt = CodeGenerator.javaType(leftHi.dataType)
+
+    // lookahead right row (copied) + extracted keys
+    val rCurr = ctx.addMutableState("InternalRow", "rCurr")
+    val rBy = ctx.addMutableState(byJt, "rBy")
+    val rByNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rByNull")
+    val rOn = ctx.addMutableState(onJt, "rOn")
+    val rOnNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "rOnNull")
+    // resumable per-left-row state
+    val lRow = ctx.addMutableState("InternalRow", "lRow")
+    val lBy = ctx.addMutableState(byJt, "lBy")
+    val lLo = ctx.addMutableState(loJt, "lLo")
+    val lHi = ctx.addMutableState(hiJt, "lHi")
+    val bufIt = ctx.addMutableState("java.util.Iterator", "bufIt")
+    val matchedAny = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "matchedAny")
+    // sliding buffer of the current group's candidate right rows
+    val buf = ctx.addMutableState("java.util.ArrayDeque", "buf",
+      v => s"$v = new java.util.ArrayDeque();")
+    val groupSet = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "groupSet")
+    val groupBy = ctx.addMutableState(byJt, "groupBy")
+    val taskPeak = ctx.addMutableState(CodeGenerator.JAVA_LONG, "taskPeak")
+    val inited = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "inited")
+
+    val savedRow = ctx.INPUT_ROW
+    val savedVars = ctx.currentVars
+
+    // fetchRight(): copy the next right row and extract (by, on)
+    val rRow = ctx.freshName("rRow")
+    ctx.INPUT_ROW = rRow
+    ctx.currentVars = null
+    val rByEv = bindReference[Expression](rightBy, right.output).genCode(ctx)
+    val rOnEv = bindReference[Expression](rightOn, right.output).genCode(ctx)
+    val fetchRight = ctx.addNewFunction("rangeFetchRight",
+      s"""
+         |private void rangeFetchRight() {
+         |  if ($rightInput.hasNext()) {
+         |    InternalRow $rRow = ((InternalRow) $rightInput.next()).copy();
+         |    ${rByEv.code}
+         |    ${rOnEv.code}
+         |    $rCurr = $rRow;
+         |    $rByNull = ${rByEv.isNull};
+         |    $rBy = ${rByEv.value};
+         |    $rOnNull = ${rOnEv.isNull};
+         |    $rOn = ${rOnEv.value};
+         |  } else {
+         |    $rCurr = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    // on-value of a buffered row (buffered rows never carry a null on)
+    val bRowTerm = ctx.freshName("bRow")
+    ctx.INPUT_ROW = bRowTerm
+    ctx.currentVars = null
+    val bOnEv = bindReference[Expression](rightOn, right.output).genCode(ctx)
+    val bufOnBody =
+      s"""
+         |${bOnEv.code}
+         |return ${bOnEv.value};
+       """.stripMargin
+    val bufOn = ctx.addNewFunction("rangeBufOn",
+      s"""
+         |private $onJt rangeBufOn(InternalRow $bRowTerm) {
+         |  ${bufOnBody.trim}
+         |}
+       """.stripMargin)
+
+    // left keys, evaluated when a left row is loaded
+    val lRowLocal = ctx.freshName("leftRow")
+    ctx.INPUT_ROW = lRowLocal
+    ctx.currentVars = null
+    val lByEv = bindReference[Expression](leftBy, left.output).genCode(ctx)
+    val lLoEv = bindReference[Expression](leftLo, left.output).genCode(ctx)
+    val lHiEv = bindReference[Expression](leftHi, left.output).genCode(ctx)
+
+    // left columns read the persisted lRow; right columns null-guard
+    ctx.INPUT_ROW = lRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matchRow = ctx.freshName("matchRow")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("rColNull")
+      val value = ctx.freshName("rColVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val cd =
+        code"""
+          |boolean $isNull = true;
+          |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+          |if ($matchRow != null) {
+          |  $isNull = $matchRow.isNullAt($i);
+          |  if (!$isNull) {
+          |    $value = ${CodeGenerator.getValue(matchRow, a.dataType, i.toString)};
+          |  }
+          |}""".stripMargin
+      ExprCode(cd, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    ctx.INPUT_ROW = savedRow
+    ctx.currentVars = savedVars
+
+    // group key must outlive the left iterator row it came from
+    val copyBy = byDt match {
+      case StringType => s"$lBy.clone()"
+      case BinaryType => s"(byte[]) $lBy.clone()"
+      case _ => lBy
+    }
+    // endpoint tests, with the convention flags baked in as constants
+    def pastLo(c: String) =
+      if (loInclusive) s"($c) >= 0" else s"($c) > 0"
+    def withinHi(c: String) =
+      if (hiInclusive) s"($c) <= 0" else s"($c) < 0"
+    val byDesc = leftBy.sql.replace("\\", "\\\\").replace("\"", "\\\"")
+
+    s"""
+       |if (!$inited) {
+       |  $inited = true;
+       |  $fetchRight();
+       |}
+       |while (true) {
+       |  InternalRow $matchRow = null;
+       |  boolean emit = false;
+       |  if ($bufIt == null) {
+       |    // load the next left row, or finish the partition
+       |    if (!($limitNotReachedCond $leftInput.hasNext())) return;
+       |    $lRow = (InternalRow) $leftInput.next();
+       |    InternalRow $lRowLocal = $lRow;
+       |    ${lByEv.code}
+       |    ${lLoEv.code}
+       |    ${lHiEv.code}
+       |    if (${lByEv.isNull} || ${lLoEv.isNull} || ${lHiEv.isNull}) {
+       |      emit = true; // LEFT-OUTER: no key or window still emits once
+       |    } else {
+       |      $lBy = ${lByEv.value};
+       |      $lLo = ${lLoEv.value};
+       |      $lHi = ${lHiEv.value};
+       |      // new group: the old buffer can never match again
+       |      if (!$groupSet || (${ctx.genComp(byDt, groupBy, lBy)}) != 0) {
+       |        $buf.clear();
+       |        $groupBy = $copyBy;
+       |        $groupSet = true;
+       |      }
+       |      // evict head rows at the window's past edge
+       |      while (!$buf.isEmpty()) {
+       |        $onJt hOn = $bufOn((InternalRow) $buf.peekFirst());
+       |        if (${pastLo(ctx.genComp(onDt, "hOn", lLo))}) break;
+       |        $buf.pollFirst();
+       |      }
+       |      // advance the lookahead: skip earlier groups / null-on /
+       |      // at-or-before the past edge; buffer rows up to hi
+       |      boolean advancing = true;
+       |      while (advancing && $rCurr != null) {
+       |        int byC = $rByNull ? -1 : (${ctx.genComp(byDt, rBy, lBy)});
+       |        if (byC < 0 || (byC == 0 && ($rOnNull ||
+       |            !(${pastLo(ctx.genComp(onDt, rOn, lLo))})))) {
+       |          $fetchRight();
+       |        } else if (byC == 0 &&
+       |            (${ctx.genComp(onDt, rOn, lHi)}) <= 0) {
+       |          $buf.addLast($rCurr);
+       |          if ($buf.size() > ${maxBufferRows}L) {
+       |            throw new RuntimeException(
+       |              "range-join buffer exceeded ${RangeJoin.MaxBufferRowsKey}=" +
+       |              "$maxBufferRows rows inside one '$byDesc' group: the " +
+       |              "window spans far more rows than the gap between " +
+       |              "consecutive window starts. Narrow the window, " +
+       |              "pre-aggregate the right side, or raise the cap.");
+       |          }
+       |          if ($buf.size() > $taskPeak) {
+       |            $peakMetric.add($buf.size() - $taskPeak);
+       |            $taskPeak = $buf.size();
+       |          }
+       |          $fetchRight();
+       |        } else {
+       |          advancing = false;
+       |        }
+       |      }
+       |      $matchedAny = false;
+       |      $bufIt = $buf.iterator();
+       |    }
+       |  }
+       |  if (!emit) {
+       |    // matches are a PREFIX of the on-ascending buffer
+       |    boolean exhausted = false;
+       |    while ($matchRow == null && !exhausted) {
+       |      if ($bufIt.hasNext()) {
+       |        InternalRow cand = (InternalRow) $bufIt.next();
+       |        $onJt cOn = $bufOn(cand);
+       |        if (${withinHi(ctx.genComp(onDt, "cOn", lHi))}) {
+       |          $matchRow = cand;
+       |        } else {
+       |          exhausted = true;
+       |        }
+       |      } else {
+       |        exhausted = true;
+       |      }
+       |    }
+       |    if ($matchRow != null) {
+       |      $matchedAny = true;
+       |      emit = true;
+       |    } else {
+       |      $bufIt = null; // this left row is done
+       |      if (!$matchedAny) emit = true; // LEFT-OUTER null extension
+       |    }
+       |  }
+       |  if (emit) {
+       |    $numOutput.add(1);
+       |    ${consume(ctx, leftVars ++ rightVars).trim}
+       |    if (shouldStop()) return;
+       |  }
+       |}
+     """.stripMargin
   }
 }
 

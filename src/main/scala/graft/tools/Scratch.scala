@@ -18,6 +18,10 @@ object Scratch {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scratch] $name: $sec%.2f s, $n rows")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("SPARK_GRAFT_PLAN_TREE")) {
+        df.collect() // materialize THIS plan so AQE finalizes its stages
+        println(df.queryExecution.executedPlan.toString)
+      }
       name -> sec
     }
     if (names.size > 10)

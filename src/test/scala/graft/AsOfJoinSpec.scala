@@ -213,6 +213,54 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("generated merge fuses into WholeStageCodegen and matches the " +
+      "interpreted path, all directions (no fallback)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // s2 runs the generated path and turns fallback OFF so a broken
+    // generated class throws instead of silently reverting; s3 forces
+    // the interpreted doExecute path as the reference
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.codegen.wholeStage", "false")
+    val rnd = new Random(20260815L)
+    val lefts = Seq.tabulate(40)(i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+    val rights = Seq.tabulate(30)(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(3)}",
+        if (rnd.nextInt(5) == 0) Option.empty[Long]
+        else Some(rnd.nextInt(40).toLong),
+        i.toLong))
+    def frames(s: SparkSession) = {
+      import s.implicits._
+      (lefts.toDF("lid", "lby", "lon"), rights.toDF("rid", "rby", "ron", "tie"))
+    }
+    val (l2, r2) = frames(s2)
+    val (l3, r3) = frames(s3)
+    val cases = Seq(
+      ("backward", None), ("backward", Some(6L)),
+      ("forward", None), ("forward", Some(6L)),
+      ("nearest", None), ("nearest", Some(6L)))
+    for ((d, tol) <- cases) {
+      val gen = AsOfJoin.asof(l2, r2, "lon", "ron", "lby", "rby", "tie",
+        direction = d, tolerance = tol)
+      val plan = gen.queryExecution.executedPlan
+      assert(plan.exists {
+        case w: WholeStageCodegenExec =>
+          w.exists(_.isInstanceOf[graft.plans.AsOfJoinExec])
+        case _ => false
+      }, s"$d tol=$tol: AsOfJoin not inside WholeStageCodegen:\n$plan")
+      val got = gen.select("lid", "rid", "ron")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.toString)
+      val want = AsOfJoin.asof(l3, r3, "lon", "ron", "lby", "rby", "tie",
+          direction = d, tolerance = tol)
+        .select("lid", "rid", "ron")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.toString)
+      assert(got == want, s"$d tol=$tol:\ngot=$got\nwant=$want")
+    }
+  }
+
   test("plan contains the merge exec and no Window or nested-loop join") {
     val l = Seq((1L, "a", 3L)).toDF("lid", "lby", "lon")
     val r = Seq((9L, "a", 2L, 0L)).toDF("rid", "rby", "ron", "tie")

@@ -113,6 +113,46 @@ class RangeJoinSpec extends AnyFunSuite {
       s"expected a recorded buffer peak >= 10, got $peaks")
   }
 
+  test("generated merge fuses into WholeStageCodegen and matches the " +
+      "interpreted path (no fallback)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // s2 runs the generated path with fallback OFF (a broken generated
+    // class throws); s3 forces the interpreted doExecute path
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.codegen.wholeStage", "false")
+    val rnd = new Random(20260815L)
+    val lefts = Seq.tabulate(40) { i =>
+      val lo = rnd.nextInt(40).toLong
+      (i.toLong, s"k${rnd.nextInt(3)}", lo, lo + rnd.nextInt(16).toLong)
+    }
+    val rights = Seq.tabulate(35)(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(3)}",
+        if (rnd.nextInt(5) == 0) Option.empty[Long]
+        else Some(rnd.nextInt(40).toLong)))
+    def frames(s: SparkSession) = {
+      import s.implicits._
+      (lefts.toDF("lid", "lby", "lo", "hi"), rights.toDF("rid", "rby", "ron"))
+    }
+    val (l2, r2) = frames(s2)
+    val (l3, r3) = frames(s3)
+    val gen = RangeJoin.range(l2, r2, "lo", "hi", "lby", "rby", "ron")
+    val plan = gen.queryExecution.executedPlan
+    assert(plan.exists {
+      case w: WholeStageCodegenExec =>
+        w.exists(_.isInstanceOf[graft.plans.RangeJoinExec])
+      case _ => false
+    }, s"RangeJoin not inside WholeStageCodegen:\n$plan")
+    val got = gen.select("lid", "rid", "ron")
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.toString)
+    val want = RangeJoin.range(l3, r3, "lo", "hi", "lby", "rby", "ron")
+      .select("lid", "rid", "ron")
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.toString)
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("window >> gap past the configured cap fails loudly, not silently") {
     val key = graft.plans.RangeJoin.MaxBufferRowsKey
     spark.conf.set(key, "4")
