@@ -14,8 +14,56 @@ object Bench {
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** 1-minute load average, or -1 where /proc is unavailable. */
+  private def loadavg1: Double = scala.util.Try {
+    scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+  }.getOrElse(-1.0)
+
+  /** (totalJiffies, busyJiffies, selfJiffies) from /proc — the deltas
+    * over a window give machine CPU vs this JVM's own CPU, so the
+    * co-tenant share is measurable instead of guessed.
+    */
+  private def cpuSample(): (Long, Long, Long) = scala.util.Try {
+    val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    val idle = f(3) + f.lift(4).getOrElse(0L) // idle + iowait
+    val s = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
+    (f.sum, f.sum - idle, s(13).toLong + s(14).toLong)
+  }.getOrElse((0L, 0L, 0L))
+
+  /** Co-tenant CPU use in cores over a ~1 s window (machine busy minus
+    * this JVM), or -1 where unmeasurable.
+    */
+  private def cotenantCores(nCpus: Int): Double = {
+    val (t1, b1, s1) = cpuSample()
+    Thread.sleep(1000)
+    val (t2, b2, s2) = cpuSample()
+    if (t2 == t1) -1.0
+    else math.max(0.0, (b2 - b1) - (s2 - s1)).toDouble / (t2 - t1) * nCpus
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    // Load-gate BEFORE any Spark work (round-5 postmortem: a loaded
+    // window poisoned all three reps of the min-of-3 protocol, twice
+    // misstating the engine by >4x). Wait while OTHER tenants burn
+    // more than the threshold's worth of cores, up to a bounded number
+    // of tries, and record what was measured either way — the artifact
+    // then carries its own validity evidence.
+    val maxCotenant = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "8.0").toDouble
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_TRIES", "6").toInt
+    var waits = 0
+    var cotenantStart = cotenantCores(nCpus)
+    while (cotenantStart > maxCotenant && waits < maxWaits) {
+      System.err.println(
+        f"[bench] co-tenant load $cotenantStart%.1f cores > $maxCotenant; waiting 30 s")
+      Thread.sleep(30000)
+      waits += 1
+      cotenantStart = cotenantCores(nCpus)
+    }
+    val load1mStart = loadavg1
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     val headline = SparkEntry.registry.filter(_.headline)
@@ -36,22 +84,34 @@ object Bench {
     // spread makes the noise visible instead of baked into the gate
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.map { q =>
+      // per-query 1-min load: which query windows were loaded is then
+      // visible in the artifact instead of inferred from the spread
+      val loadBefore = loadavg1
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      (q.name, times.min, times.max)
+      (q.name, times.min, times.max, loadBefore)
     }
-    val qs = results.map { case (k, mn, _) => "\"" + k + "\":" + mn }
+    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, mn, mx) => "\"" + k + "\":[" + mn + "," + mx + "]" }
+      .map { case (k, mn, mx, _) => "\"" + k + "\":[" + mn + "," + mx + "]" }
+      .mkString("{", ",", "}")
+    val qLoad = results
+      .map { case (k, _, _, ld) => "\"" + k + "\":" + ld }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val load = f"""{"loadavg_1m_start":$load1mStart%.2f,""" +
+      f""""loadavg_1m_end":${loadavg1}%.2f,""" +
+      f""""cotenant_cores_start":$cotenantStart%.2f,""" +
+      s""""load_waits":$waits,"max_cotenant_cores":$maxCotenant,""" +
+      s""""loadavg_1m_per_query":$qLoad}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_spread":$spread,"reps":$reps,""" +
-      s""""protocol":"per-query min of $reps reps in one warm JVM","sf":"$sfDir"}"""
+      s""""queries_spread":$spread,"reps":$reps,"load":$load,""" +
+      s""""protocol":"per-query min of $reps reps in one warm JVM, """ +
+      s"""load-gated at $maxCotenant co-tenant cores","sf":"$sfDir"}"""
     println(json)
     // stdout is wrapped in sbt's [info] prefix; also write a bare file so
     // the line stays machine-readable (round-1 BENCH had "parsed": null).

@@ -5,6 +5,11 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // ad-hoc session overrides, e.g. SPARK_GRAFT_CONF="spark.sql.codegen.wholeStage=false"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     val qs = graft.SparkEntry.queries +
       ("q31x_triangle_enc" -> graft.queries.BgpQueries.triangleEncoded)
     // "all" sweeps the whole registry (alphabetical) and ends with the
