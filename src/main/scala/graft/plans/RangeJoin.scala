@@ -85,14 +85,27 @@ private[plans] object FieldCmp {
   */
 object RangeJoin {
 
-  /** Session conf key: hard cap on the per-partition sliding buffer.
-    * The buffer's size is the algorithmic minimum (rows concurrently
-    * inside one key's widest active window), but a pathological
-    * window ≫ gap input could grow it without bound; past the cap the
-    * task fails loudly instead of OOMing silently.
+  /** Session conf key: in-memory rows in the per-partition sliding
+    * buffer. The buffer's size is the algorithmic minimum (rows
+    * concurrently inside one key's widest active window); a
+    * pathological window ≫ gap input that exceeds the cap migrates to
+    * a disk-spillable array (slower, completes) instead of growing
+    * without bound — see [[org.apache.spark.sql.graftshim.SlidingRowBuffer]].
     */
   val MaxBufferRowsKey = "spark.graft.rangeJoin.maxBufferRows"
   val MaxBufferRowsDefault: Long = 16L * 1024 * 1024
+
+  /** Session conf key: the final loud backstop — one join-key group
+    * holding more buffered rows than this (per partition) fails the
+    * task instead of silently filling the disk.
+    */
+  val HardMaxBufferRowsKey = "spark.graft.rangeJoin.hardMaxBufferRows"
+  val HardMaxBufferRowsDefault: Long = 1L << 33
+
+  private[plans] def capHint: String =
+    s"The window spans far more rows than the gap between consecutive " +
+      s"window starts. Narrow the window, pre-aggregate the right side, " +
+      s"or raise $HardMaxBufferRowsKey."
 
   /** Left-outer range join by column NAME (names resolve against each
     * side's analyzed output). Matches `lo < rightOn <= hi` — the
@@ -179,18 +192,29 @@ final case class RangeJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
       "number of output rows"),
     "peakBufferRows" -> SQLMetrics.createMetric(sparkContext,
-      "sum of per-task peak buffer rows"))
+      "sum of per-task peak buffer rows"),
+    "bufferSpills" -> SQLMetrics.createMetric(sparkContext,
+      "buffer migrations to the spillable array"))
 
-  /** One buffered right row: the copied data row plus its copied
-    * (by, on) key row, so the merge never re-evaluates `on`.
+  /** Ordinal of `on` in the right row when it is a plain column —
+    * buffered rows are then compared by one direct field read, no key
+    * row and no re-evaluation; -1 for computed `on` expressions, which
+    * fall back to a per-visit projection.
     */
-  private final class Entry(val keys: UnsafeRow, val row: InternalRow)
+  private def rightOnOrdinal: Int = rightOn match {
+    case a: Attribute => right.output.indexWhere(_.exprId == a.exprId)
+    case _ => -1
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val peakBufferRows = longMetric("peakBufferRows")
+    val bufferSpills = longMetric("bufferSpills")
     val maxBufferRows = conf.getConfString(RangeJoin.MaxBufferRowsKey,
       RangeJoin.MaxBufferRowsDefault.toString).toLong
+    val hardMaxBufferRows = conf.getConfString(RangeJoin.HardMaxBufferRowsKey,
+      RangeJoin.HardMaxBufferRowsDefault.toString).toLong
+    val onOrd = rightOnOrdinal
     val lOut = left.output
     val rOut = right.output
     val outAttrs = output
@@ -218,9 +242,11 @@ final case class RangeJoinExec(
       // rows of the CURRENT left group, ascending `on`, every one
       // inside the current left's window's past edge; plus the one
       // lookahead row (rows are copied — the shuffle reuses buffers)
-      val buf = new java.util.ArrayDeque[Entry]()
+      val buf = new org.apache.spark.sql.graftshim.SlidingRowBuffer(
+        maxBufferRows, hardMaxBufferRows, RangeJoin.capHint)
       var groupKeys: UnsafeRow = null // by (field 0) of the buffer's group
       var taskPeak = 0L
+      var taskSpills = 0L
       var rCurrRow: InternalRow = null
       var rCurrKeys: UnsafeRow = null
       def fetchRight(): Unit =
@@ -230,14 +256,25 @@ final case class RangeJoinExec(
         } else { rCurrRow = null; rCurrKeys = null }
       fetchRight()
 
+      // `on` of a buffered row: a direct field read when `on` is a
+      // plain column (the API always resolves one), else a projection
+      val visitKeys: InternalRow => InternalRow =
+        if (onOrd >= 0) identity
+        else { val p = UnsafeProjection.create(Seq(rByE, rOnE), rOut); p(_) }
+      val visitOrd = if (onOrd >= 0) onOrd else 1
+
       // is a right `on` (keys field 1) past the left `lo` (lk field 1)?
       def pastLo(rk: UnsafeRow, lk: UnsafeRow): Boolean = {
         val c = onCmp(rk, 1, lk, 1)
         c > 0 || (loIncl && c == 0)
       }
-      // is it within the left `hi` (lk field 2)?
-      def withinHi(rk: UnsafeRow, lk: UnsafeRow): Boolean = {
-        val c = onCmp(rk, 1, lk, 2)
+      // buffered-row variants read `on` straight off the data row
+      def pastLoRow(row: InternalRow, lk: UnsafeRow): Boolean = {
+        val c = onCmp(visitKeys(row), visitOrd, lk, 1)
+        c > 0 || (loIncl && c == 0)
+      }
+      def withinHiRow(row: InternalRow, lk: UnsafeRow): Boolean = {
+        val c = onCmp(visitKeys(row), visitOrd, lk, 2)
         c < 0 || (hiIncl && c == 0)
       }
 
@@ -259,7 +296,7 @@ final case class RangeJoinExec(
         }
         // evict head rows at the window's past edge — later lefts of
         // this group have lo' >= lo, so these can never match again
-        while (!buf.isEmpty && !pastLo(buf.peekFirst().keys, lk))
+        while (!buf.isEmpty && !pastLoRow(buf.peekFirst(), lk))
           buf.pollFirst()
         // advance the lookahead: skip earlier groups, null-`on` rows,
         // and rows at-or-before the past edge; buffer rows up to hi;
@@ -272,16 +309,14 @@ final case class RangeJoinExec(
               (rCurrKeys.isNullAt(1) || !pastLo(rCurrKeys, lk)))) {
             fetchRight()
           } else if (byC == 0 && onCmp(rCurrKeys, 1, lk, 2) <= 0) {
-            buf.addLast(new Entry(rCurrKeys, rCurrRow))
-            if (buf.size > maxBufferRows) throw new SparkException(
-              s"range-join buffer exceeded ${RangeJoin.MaxBufferRowsKey}=" +
-                s"$maxBufferRows rows inside one '$byDesc' group: the window " +
-                "spans far more rows than the gap between consecutive window " +
-                "starts. Narrow the window, pre-aggregate the right side, or " +
-                "raise the cap.")
+            buf.addLast(rCurrRow)
             if (buf.size > taskPeak) {
               peakBufferRows += buf.size - taskPeak
               taskPeak = buf.size
+            }
+            if (buf.spills > taskSpills) {
+              bufferSpills += buf.spills - taskSpills
+              taskSpills = buf.spills
             }
             fetchRight()
           } else advancing = false
@@ -296,8 +331,8 @@ final case class RangeJoinExec(
           private def fetch(): Unit = {
             if (nextR != null || exhausted) return
             if (bufIt.hasNext) {
-              val e = bufIt.next()
-              if (withinHi(e.keys, lk)) { nextR = e.row; return }
+              val row = bufIt.next()
+              if (withinHiRow(row, lk)) { nextR = row; return }
             }
             exhausted = true
           }
@@ -344,8 +379,11 @@ final case class RangeJoinExec(
   protected override def doProduce(ctx: CodegenContext): String = {
     val numOutput = metricTerm(ctx, "numOutputRows")
     val peakMetric = metricTerm(ctx, "peakBufferRows")
+    val spillMetric = metricTerm(ctx, "bufferSpills")
     val maxBufferRows = conf.getConfString(RangeJoin.MaxBufferRowsKey,
       RangeJoin.MaxBufferRowsDefault.toString).toLong
+    val hardMaxBufferRows = conf.getConfString(RangeJoin.HardMaxBufferRowsKey,
+      RangeJoin.HardMaxBufferRowsDefault.toString).toLong
     val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
       v => s"$v = inputs[0];")
     val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
@@ -371,12 +409,17 @@ final case class RangeJoinExec(
     val lHi = ctx.addMutableState(hiJt, "lHi")
     val bufIt = ctx.addMutableState("java.util.Iterator", "bufIt")
     val matchedAny = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "matchedAny")
-    // sliding buffer of the current group's candidate right rows
-    val buf = ctx.addMutableState("java.util.ArrayDeque", "buf",
-      v => s"$v = new java.util.ArrayDeque();")
+    // sliding buffer of the current group's candidate right rows —
+    // in-memory deque under the cap, disk-spillable array past it
+    val hint = RangeJoin.capHint.replace("\\", "\\\\").replace("\"", "\\\"")
+    val buf = ctx.addMutableState(
+      "org.apache.spark.sql.graftshim.SlidingRowBuffer", "buf",
+      v => s"""$v = new org.apache.spark.sql.graftshim.SlidingRowBuffer(
+         |  ${maxBufferRows}L, ${hardMaxBufferRows}L, "$hint");""".stripMargin)
     val groupSet = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "groupSet")
     val groupBy = ctx.addMutableState(byJt, "groupBy")
     val taskPeak = ctx.addMutableState(CodeGenerator.JAVA_LONG, "taskPeak")
+    val taskSpills = ctx.addMutableState(CodeGenerator.JAVA_LONG, "taskSpills")
     val inited = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "inited")
 
     val savedRow = ctx.INPUT_ROW
@@ -516,17 +559,13 @@ final case class RangeJoinExec(
        |        } else if (byC == 0 &&
        |            (${ctx.genComp(onDt, rOn, lHi)}) <= 0) {
        |          $buf.addLast($rCurr);
-       |          if ($buf.size() > ${maxBufferRows}L) {
-       |            throw new RuntimeException(
-       |              "range-join buffer exceeded ${RangeJoin.MaxBufferRowsKey}=" +
-       |              "$maxBufferRows rows inside one '$byDesc' group: the " +
-       |              "window spans far more rows than the gap between " +
-       |              "consecutive window starts. Narrow the window, " +
-       |              "pre-aggregate the right side, or raise the cap.");
-       |          }
        |          if ($buf.size() > $taskPeak) {
        |            $peakMetric.add($buf.size() - $taskPeak);
        |            $taskPeak = $buf.size();
+       |          }
+       |          if ($buf.spills() > $taskSpills) {
+       |            $spillMetric.add($buf.spills() - $taskSpills);
+       |            $taskSpills = $buf.spills();
        |          }
        |          $fetchRight();
        |        } else {

@@ -153,20 +153,76 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
-  test("window >> gap past the configured cap fails loudly, not silently") {
+  test("window >> gap past the in-memory cap spills and completes " +
+      "with the metric showing it") {
     val key = graft.plans.RangeJoin.MaxBufferRowsKey
     spark.conf.set(key, "4")
     try {
+      // every left window covers all 50 right rows — the buffer must
+      // hold 50 rows, 12x the in-memory cap, so it migrates to the
+      // spillable array and still produces every pair
       val l = Seq((1L, "a", 0L, 1000L), (2L, "a", 1L, 1000L))
         .toDF("lid", "lby", "lo", "hi")
       val r = Seq.tabulate(50)(i => (100L + i, "a", i.toLong + 2))
         .toDF("rid", "rby", "ron")
-      val e = intercept[Exception] { viaNative(l, r).count() }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Nil
-        else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("maxBufferRows")),
-        s"expected the buffer-cap error, got: $e")
+      val df = viaNative(l, r)
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(4))).toSet
+      val want = viaJoin(l, r).collect()
+        .map(x => (x.getLong(0), x.getLong(4))).toSet
+      assert(got == want && got.size == 100, s"got ${got.size} pairs")
+      val spills = rangeExecs(df.queryExecution.executedPlan)
+        .map(_.metrics("bufferSpills").value)
+      assert(spills.nonEmpty && spills.max >= 1L,
+        s"expected a recorded buffer spill, got $spills")
     } finally spark.conf.unset(key)
+  }
+
+  test("spilled and in-memory merges agree row for row (both exec paths)") {
+    // s2: generated path, spilling (cap 3), fallback off; s3:
+    // interpreted path, spilling; both must equal the in-memory run
+    val s2 = spark.newSession()
+    s2.conf.set(graft.plans.RangeJoin.MaxBufferRowsKey, "3")
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val s3 = spark.newSession()
+    s3.conf.set(graft.plans.RangeJoin.MaxBufferRowsKey, "3")
+    s3.conf.set("spark.sql.codegen.wholeStage", "false")
+    val rnd = new Random(20260816L)
+    val lefts = Seq.tabulate(30) { i =>
+      val lo = rnd.nextInt(30).toLong
+      (i.toLong, s"k${rnd.nextInt(2)}", lo, lo + 5 + rnd.nextInt(25).toLong)
+    }
+    val rights = Seq.tabulate(60)(i =>
+      (i.toLong + 1000, s"k${rnd.nextInt(2)}",
+        if (rnd.nextInt(6) == 0) Option.empty[Long]
+        else Some(rnd.nextInt(30).toLong)))
+    def run(s: SparkSession) = {
+      import s.implicits._
+      val l = lefts.toDF("lid", "lby", "lo", "hi")
+      val r = rights.toDF("rid", "rby", "ron")
+      RangeJoin.range(l, r, "lo", "hi", "lby", "rby", "ron")
+        .select("lid", "rid", "ron")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.toString)
+    }
+    val inMem = run(spark)
+    assert(run(s2) == inMem, "generated spilled path diverged")
+    assert(run(s3) == inMem, "interpreted spilled path diverged")
+  }
+
+  test("one group past the hard cap fails loudly, not by filling the disk") {
+    val s2 = spark.newSession()
+    s2.conf.set(graft.plans.RangeJoin.MaxBufferRowsKey, "4")
+    s2.conf.set(graft.plans.RangeJoin.HardMaxBufferRowsKey, "16")
+    import s2.implicits._
+    val l = Seq((1L, "a", 0L, 1000L)).toDF("lid", "lby", "lo", "hi")
+    val r = Seq.tabulate(50)(i => (100L + i, "a", i.toLong + 2))
+      .toDF("rid", "rby", "ron")
+    val e = intercept[Exception] {
+      RangeJoin.range(l, r, "lo", "hi", "lby", "rby", "ron").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("hard cap")),
+      s"expected the hard-cap error, got: $e")
   }
 }
