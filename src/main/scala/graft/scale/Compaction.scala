@@ -35,14 +35,49 @@ object Compaction {
     out.result()
   }
 
-  /** Compact `inPath` (parquet) into `outPath` with ~targetBytes files. */
+  /** Compact `inPath` (parquet) into `outPath` with ~targetBytes files.
+    *
+    * Hive-layout partitioned tables (`k=v` subdirectories, the layout
+    * SCALE.md recommends for date-partitioned facts) are handled by
+    * recursing to each leaf partition directory and bin-packing it IN
+    * PLACE in the output tree — the partition layout is preserved
+    * verbatim, so partition pruning on the compacted table works
+    * unchanged. Discovery stays metadata-sized (a directory walk; one
+    * entry per file); each partition compacts as its own distributed
+    * job, so driver memory never holds more than one partition's file
+    * listing and a failed partition can be re-run alone.
+    */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): Unit = {
-    val hadoopPath = new Path(inPath)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(hadoopPath).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.getName, s.getLen))
+    val root = new Path(inPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // leaf directories holding parquet files, keyed by their relative
+    // k=v/... path ("" = unpartitioned root)
+    def walk(dir: Path, rel: String): Seq[(String, Seq[(String, Long)])] = {
+      val entries = fs.listStatus(dir).toSeq
+      val here = entries
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen))
+      val subs = entries
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { d =>
+          val name = d.getPath.getName
+          walk(d.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        }
+      (if (here.nonEmpty) Seq(rel -> here) else Nil) ++ subs
+    }
+    val leaves = walk(root, "")
+    require(leaves.nonEmpty, s"no parquet files under $inPath")
+    leaves.foreach { case (rel, files) =>
+      val in = if (rel.isEmpty) inPath else s"$inPath/$rel"
+      val out = if (rel.isEmpty) outPath else s"$outPath/$rel"
+      compactDir(spark, in, out, files, targetBytes)
+    }
+  }
+
+  /** Compact ONE directory's files (no recursion) into `outPath`. */
+  private def compactDir(spark: SparkSession, inPath: String,
+      outPath: String, files: Seq[(String, Long)], targetBytes: Long): Unit = {
     val bins = planBins(files, targetBytes)
     val nBins = bins.values.max + 1
     // file→bin as a broadcast join on the basename (no UDF, and no

@@ -41,4 +41,38 @@ class CompactionSpec extends AnyFunSuite {
       .collect().head.toSeq
     assert(a == b, "compaction changed the data")
   }
+
+  test("partitioned tables compact per partition, layout preserved") {
+    import spark.implicits._
+    val in = "target/tmp/compaction_spec_part_in"
+    val out = "target/tmp/compaction_spec_part_out"
+    spark.range(9000)
+      .select($"id", ($"id" % 3).as("day"), ($"id" % 11).as("v"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("day").parquet(in)
+    Compaction.compact(spark, in, out, targetBytes = 1L << 20)
+    // layout preserved: the same day=N directories, discoverable as a
+    // partition column on read
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outDirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(outDirs == Set("day=0", "day=1", "day=2"), s"layout: $outDirs")
+    // fewer files per partition (8 fragments -> packed)
+    def nFiles(p: String) = spark.read.parquet(p)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles(in) == 24, s"fixture should start at 24 files, got ${nFiles(in)}")
+    assert(nFiles(out) < 24, s"expected fewer files, got ${nFiles(out)}")
+    // zero row change, per partition
+    def agg(p: String) = spark.read.parquet(p)
+      .groupBy($"day").agg(count(lit(1)), sum($"id"), sum($"v"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sortBy(_.toString)
+    assert(agg(in) == agg(out), "partitioned compaction changed the data")
+    // partition pruning still works on the compacted tree
+    val pruned = spark.read.parquet(out).filter($"day" === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition pruning in:\n$scan")
+    assert(pruned.count() == 3000)
+  }
 }
