@@ -21,8 +21,27 @@ object GraftSession {
 
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Streaming state-store provider: the HDFS-backed default keeps
+    * every key in executor heap (fine locally and for the spec
+    * fixtures); `SPARK_GRAFT_STATESTORE=rocksdb` switches to the
+    * RocksDB provider, whose off-heap + disk-backed state is the
+    * 100 TB deployment choice for the stateful streams (CDC upsert,
+    * sessionizer, dedup) whose live-key set outgrows the heap.
+    * Config-only by design — StreamSpec runs the stateful suites
+    * against BOTH providers to prove no operator depends on the
+    * provider's semantics.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATESTORE").map {
+      case "rocksdb" => RocksDbProvider
+      case other => other // a full provider class name passes through
+    }
+
   def local(nCpus: String = cpus): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$nCpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", nCpus)
@@ -47,7 +66,9 @@ object GraftSession {
       // unix_micros() and streaming watermarks outright
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder = stateStoreProvider.foldLeft(builder0)((b, p) =>
+      b.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -16,6 +16,17 @@ class StreamSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local("4")
 
+  /** Same context, RocksDB state store — the stateful suites run
+    * against BOTH providers to prove the operators are config-only
+    * portable to the 100 TB deployment choice (GraftSession scaladoc).
+    */
+  lazy val rocksSpark: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      GraftSession.RocksDbProvider)
+    s
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s)
 
@@ -130,13 +141,13 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("funnelStream emits completed view-click-purchase funnels only") {
-    import spark.implicits._
-    implicit val sql = spark.sqlContext
+  private def runFunnelSuite(s: SparkSession, sink: String): Unit = {
+    import s.implicits._
+    implicit val sql = s.sqlContext
     val src = MemoryStream[Event]
     val q = StreamOps.funnelStream(src.toDS(),
         windowUs = 3600L * 1000000L) // 1h steps for the test
-      .writeStream.format("memory").queryName("funnels")
+      .writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
       src.addData(
@@ -154,12 +165,20 @@ class StreamSpec extends AnyFunSuite {
         ev(7, "2024-01-01 13:30:00", 1, "click"),
         ev(8, "2024-01-01 13:40:00", 1, "purchase"))
       q.processAllAvailable()
-      val rows = spark.table("funnels")
+      val rows = s.table(sink)
         .as[StreamOps.FunnelHit].collect().toSet
       assert(rows == Set(StreamOps.FunnelHit(1L,
         ts("2024-01-01 10:00:00").getTime * 1000L,
         ts("2024-01-01 10:40:00").getTime * 1000L)))
     } finally q.stop()
+  }
+
+  test("funnelStream emits completed view-click-purchase funnels only") {
+    runFunnelSuite(spark, "funnels")
+  }
+
+  test("funnelStream state survives the RocksDB provider unchanged") {
+    runFunnelSuite(rocksSpark, "funnels_rocks")
   }
 
   test("funnelStream matches batch q122 counts on a shared fixture") {
@@ -422,19 +441,19 @@ class StreamSpec extends AnyFunSuite {
     assert(afterReplay.filter($"batch_id" === 0L).count() == 2)
   }
 
-  test("cdcUpsertStream applies latest-wins ops, drops stale ones, and is replay-idempotent") {
-    import spark.implicits._
+  private def runCdcUpsertSuite(s: SparkSession, sink: String): Unit = {
+    import s.implicits._
     import StreamOps.{CdcChange, CdcUpsert}
-    implicit val sql = spark.sqlContext
+    implicit val sql = s.sqlContext
     val src = MemoryStream[CdcChange]
     val q = StreamOps.cdcUpsertStream(src.toDS())
-      .writeStream.format("memory").queryName("cdc_upserts")
+      .writeStream.format("memory").queryName(sink)
       .outputMode("update").start()
     try {
       src.addData(
         CdcChange(1, "I", 100, 1), CdcChange(2, "I", 200, 1), CdcChange(3, "I", 300, 1))
       q.processAllAvailable()
-      val b1 = spark.table("cdc_upserts").as[CdcUpsert].collect().toSet
+      val b1 = s.table(sink).as[CdcUpsert].collect().toSet
       assert(b1 == Set(
         CdcUpsert(1, deleted = false, 100, 1),
         CdcUpsert(2, deleted = false, 200, 1),
@@ -450,7 +469,7 @@ class StreamSpec extends AnyFunSuite {
         CdcChange(3, "U", 999, 0),
         CdcChange(4, "U", 400, 5))
       q.processAllAvailable()
-      val b2 = spark.table("cdc_upserts").as[CdcUpsert].collect().toSet -- b1
+      val b2 = s.table(sink).as[CdcUpsert].collect().toSet -- b1
       assert(b2 == Set(
         CdcUpsert(1, deleted = false, 150, 3),
         CdcUpsert(2, deleted = true, 0, 2),
@@ -458,10 +477,22 @@ class StreamSpec extends AnyFunSuite {
 
       // exact replay of an already-applied change: state unchanged,
       // nothing emitted
-      val before = spark.table("cdc_upserts").count()
+      val before = s.table(sink).count()
       src.addData(CdcChange(1, "U", 150, 3))
       q.processAllAvailable()
-      assert(spark.table("cdc_upserts").count() == before)
+      assert(s.table(sink).count() == before)
     } finally q.stop()
+  }
+
+  test("cdcUpsertStream applies latest-wins ops, drops stale ones, and is replay-idempotent") {
+    runCdcUpsertSuite(spark, "cdc_upserts")
+  }
+
+  test("cdcUpsertStream semantics survive the RocksDB provider unchanged") {
+    // config-only portability claim: same ops, same emissions, with
+    // the state in RocksDB instead of the executor heap
+    assert(rocksSpark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+    runCdcUpsertSuite(rocksSpark, "cdc_upserts_rocks")
   }
 }
