@@ -411,6 +411,12 @@ object BgpPlanner {
         case "contains" => lexOf(f.variable).contains(f.value)
         case op if op.startsWith("strlen") =>
           strlenCmp(op, length(lexOf(f.variable)), f.value.toInt)
+        // typed-literal accessors (RDF 1.1 lexical forms): evaluated on
+        // the decoded string, canonical decorated spelling
+        case "lang" => RdfLex.lang(lexOf(f.variable)) === f.value
+        case "!lang" => RdfLex.lang(lexOf(f.variable)) =!= f.value
+        case "datatype" => RdfLex.datatype(lexOf(f.variable)) === f.value
+        case "!datatype" => RdfLex.datatype(lexOf(f.variable)) =!= f.value
         case "=" | "!=" =>
           val idEq = store.encoded && !lexical(f.variable) &&
             (if (f.rhsVar) !lexical(f.value) else true)
@@ -421,7 +427,9 @@ object BgpPlanner {
           if (f.op == "=") l === r else l =!= r
         case op =>
           val l0 = lexOf(f.variable)
-          val l = if (f.numeric && !f.rhsVar) l0.cast("double") else l0
+          // datatype-driven numeric compare strips a typed literal's
+          // decoration before the ANSI-safe cast ("5"^^<…integer> → 5)
+          val l = if (f.numeric && !f.rhsVar) RdfLex.numeric(l0) else l0
           val r: Column =
             if (f.rhsVar) lexOf(f.value)
             else if (f.numeric) lit(f.value.toDouble)
@@ -444,6 +452,8 @@ object BgpPlanner {
       store.encoded && !f.rhsVar && !lexical(f.variable) &&
         (f.op == "regex" || f.op == "strstarts" || f.op == "strends" ||
           f.op == "contains" || f.op.startsWith("strlen") ||
+          f.op == "lang" || f.op == "!lang" ||
+          f.op == "datatype" || f.op == "!datatype" ||
           orderingOps(f.op))
     def dictPred(f: FilterExpr): Column = {
       val v = col("value")
@@ -454,8 +464,15 @@ object BgpPlanner {
         case "contains" => v.contains(f.value)
         case op if op.startsWith("strlen") =>
           strlenCmp(op, length(v), f.value.toInt)
+        // the dict CARRIES datatype/language metadata columns (encode
+        // derives them once) — a LANG/DATATYPE filter is a plain
+        // column predicate during the dict scan, no regex per query
+        case "lang" => col("lang") === f.value
+        case "!lang" => col("lang") =!= f.value
+        case "datatype" => col("dt") === f.value
+        case "!datatype" => col("dt") =!= f.value
         case op =>
-          val l = if (f.numeric) v.cast("double") else v
+          val l = if (f.numeric) RdfLex.numeric(v) else v
           val r: Column =
             if (f.numeric) lit(f.value.toDouble) else lit(f.value)
           op match {

@@ -13,6 +13,58 @@ object Sparql {
   sealed trait Term
   final case class Var(name: String) extends Term
   final case class Const(value: String) extends Term
+
+  // ——— RDF 1.1 lexical forms (typed literals, language tags, blank
+  // nodes) — parity-plus: the reference grammar (QueryPlanner.c:933-999)
+  // tokenizes only <uri> / "literal" / ?var, but any real RDF dataset
+  // (LUBM's full form included) carries these ———
+
+  val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+  val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  /** Query-pattern blank nodes (`_:b`) are non-selectable variables
+    * scoped to the query (SPARQL 1.1 §4.1.4) — they desugar to vars
+    * under this reserved prefix, like sequence-path intermediates.
+    */
+  val BNodeVarPrefix = "__bn_"
+
+  private val NumericXsd = Set(
+    "integer", "decimal", "double", "float", "long", "int", "short",
+    "byte", "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+    "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte")
+
+  private[bgp] val typedLitRe =
+    "^\"([^\"]*)\"\\^\\^(?:<([^>]*)>|([A-Za-z][\\w.-]*:[\\w.-]+))$".r
+  private[bgp] val langLitRe =
+    "^\"([^\"]*)\"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$".r
+
+  /** Canonical datatype IRI: the well-known `xsd:` prefix expands even
+    * without a PREFIX declaration; full IRIs and other CURIEs pass
+    * through (declared prefixes were expanded before the tokenizer).
+    */
+  def datatypeUri(raw: String): String =
+    if (raw.startsWith("xsd:")) XsdNs + raw.drop(4) else raw
+
+  def isNumericDatatype(uri: String): Boolean =
+    uri.startsWith(XsdNs) && NumericXsd(uri.stripPrefix(XsdNs))
+
+  /** Canonical stored/matched form of a typed literal: `xsd:string`
+    * collapses to the plain lexical (RDF 1.1 literal identity); every
+    * other datatype keeps the decorated N-Triples surface form with
+    * the datatype expanded, so query constants and ingested data meet
+    * on one spelling.
+    */
+  def canonTyped(lex: String, dtRaw: String): String = {
+    val dt = datatypeUri(dtRaw)
+    if (dt == XsdNs + "string") lex else "\"" + lex + "\"^^<" + dt + ">"
+  }
+
+  /** Canonical language-tagged form; tags compare case-insensitively
+    * (BCP 47), so they canonicalize to lowercase.
+    */
+  def canonLang(lex: String, lang: String): String =
+    "\"" + lex + "\"@" + lang.toLowerCase
   /** One-or-more property path `p+` (SPARQL 1.1) — only valid at the
     * predicate position; the planner evaluates the slice's transitive
     * closure.
@@ -261,6 +313,15 @@ object Sparql {
   // regex, so its nested parens never confuse filterRe
   private val filterBoundRe =
     "(?is)filter\\s*\\(\\s*(!?)\\s*bound\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*\\)".r
+  // `FILTER (LANG(?v) = "fr")` — SPARQL §17.4.4.3; the empty tag ""
+  // selects plain (untagged) literals per spec
+  private val filterLangRe =
+    ("(?is)filter\\s*\\(\\s*lang\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*" +
+      "(!?=)\\s*\"([A-Za-z0-9-]*)\"\\s*\\)").r
+  // `FILTER (DATATYPE(?v) = xsd:integer|<uri>)` — SPARQL §17.4.2.7
+  private val filterDatatypeRe =
+    ("(?is)filter\\s*\\(\\s*datatype\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*" +
+      "(!?=)\\s*(<[^>]*>|[A-Za-z][\\w.-]*:[\\w.-]+)\\s*\\)").r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
   // SELECT items: an aggregate `(AGG([DISTINCT] ?v|*) AS ?alias)` or a
@@ -379,6 +440,8 @@ object Sparql {
       Sparql.parsePatterns(body, fresh)
     require(!query.contains(s"?$SeqVarPrefix"),
       s"variable prefix ?$SeqVarPrefix is reserved for sequence paths: $query")
+    require(!query.contains(s"?$BNodeVarPrefix"),
+      s"variable prefix ?$BNodeVarPrefix is reserved for blank nodes: $query")
     val lower = query.trim
     val selIdx = indexOfWord(lower, "select")
     val whereIdx = indexOfWord(lower, "where")
@@ -472,7 +535,19 @@ object Sparql {
       case filterExprRe(v, op, raw) =>
         term(raw.trim) match {
           case Var(w) => FilterExpr(v, op, w, numeric = false, rhsVar = true)
-          case Const(c) => FilterExpr(v, op, c, numberRe.matches(raw.trim))
+          case Const(c) =>
+            raw.trim match {
+              // datatype-driven ORDERING: a numeric-typed literal
+              // compares numerically on its lexical value. Equality
+              // stays canonical-form identity (id-space on the encoded
+              // store), which the canonical spelling makes exact.
+              case typedLitRe(lex, uri, curie)
+                  if op != "=" && op != "!=" &&
+                    isNumericDatatype(
+                      datatypeUri(if (uri != null) uri else curie)) =>
+                FilterExpr(v, op, lex, numeric = true)
+              case _ => FilterExpr(v, op, c, numberRe.matches(raw.trim))
+            }
           case other =>
             throw new IllegalArgumentException(
               s"FILTER right side must be a constant or variable, got $other")
@@ -489,7 +564,21 @@ object Sparql {
         FilterClause(Seq(Seq(FilterExpr(m.group(2),
           if (m.group(1).isEmpty) "bound" else "!bound", "",
           numeric = false))))).toSeq
-      val rest0 = filterBoundRe.replaceAllIn(chunk, "")
+      val rest0a = filterBoundRe.replaceAllIn(chunk, "")
+      val langClauses = filterLangRe.findAllMatchIn(rest0a).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(1),
+          if (m.group(2) == "=") "lang" else "!lang",
+          m.group(3).toLowerCase, numeric = false))))).toSeq
+      val rest0b = filterLangRe.replaceAllIn(rest0a, "")
+      val datatypeClauses = filterDatatypeRe.findAllMatchIn(rest0b).map { m =>
+        val raw = m.group(3)
+        val uri = datatypeUri(
+          if (raw.startsWith("<")) raw.drop(1).dropRight(1) else raw)
+        FilterClause(Seq(Seq(FilterExpr(m.group(1),
+          if (m.group(2) == "=") "datatype" else "!datatype",
+          uri, numeric = false))))
+      }.toSeq
+      val rest0 = filterDatatypeRe.replaceAllIn(rest0b, "")
       val regexClauses = filterRegexRe.findAllMatchIn(rest0).map(m =>
         FilterClause(Seq(Seq(
           FilterExpr(m.group(1), "regex",
@@ -524,7 +613,7 @@ object Sparql {
       }.toSeq
       (filterRe.replaceAllIn(rest, ""),
         cmpClauses ++ regexClauses ++ strlenClauses ++ strFnClauses ++
-          inClauses ++ boundClauses)
+          inClauses ++ boundClauses ++ langClauses ++ datatypeClauses)
     }
 
     // pull extension clauses out first; the remainder is the
@@ -604,10 +693,11 @@ object Sparql {
     val unions = unionGroups.map(_.map(_._1))
     val unionFilters = unionGroups.map(_.map(_._2))
     unions.foreach { branches =>
-      // sequence-path intermediates are branch-local, not part of the
-      // branch's visible binding set
-      val varSets = branches.map(
-        _.flatMap(_.vars).filterNot(_.startsWith(SeqVarPrefix)).toSet)
+      // sequence-path intermediates and blank nodes are branch-local,
+      // not part of the branch's visible binding set (§4.1.4: a blank
+      // node label cannot span basic graph patterns)
+      val varSets = branches.map(_.flatMap(_.vars).filterNot(v =>
+        v.startsWith(SeqVarPrefix) || v.startsWith(BNodeVarPrefix)).toSet)
       require(varSets.distinct.size == 1,
         s"UNION branches must bind the same variables, got: $varSets")
     }
@@ -677,8 +767,10 @@ object Sparql {
     val selectVars =
       if (selectStar) {
         // SELECT * projects user variables (BIND aliases included) —
-        // sequence-path intermediates are existential (§18.2.2.3)
-        val visible = knownAll.filterNot(_.startsWith(SeqVarPrefix))
+        // sequence-path intermediates and pattern blank nodes are
+        // existential (§18.2.2.3, §4.1.4)
+        val visible = knownAll.filterNot(v =>
+          v.startsWith(SeqVarPrefix) || v.startsWith(BNodeVarPrefix))
         require(visible.nonEmpty, s"SELECT * needs at least one variable: $query")
         visible.toSeq.sorted
       } else selectVars0
@@ -925,8 +1017,10 @@ object Sparql {
     body.split("\\s+\\.\\s+|\\s+\\.$|^\\.\\s+").toSeq
       .map(_.trim).filter(s => s.nonEmpty && s != ".")
       .flatMap { pat =>
-        // tokens: <uri> | "literal" (may contain spaces) | bare word
-        val toks = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(pat).toSeq
+        // tokens: "literal" with an optional ^^datatype / @lang suffix
+        // (may contain spaces) | <uri> | bare word
+        val toks = ("\"[^\"]*\"(?:\\^\\^<[^>]*>|\\^\\^[A-Za-z][\\w.-]*:[\\w.-]+" +
+          "|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?|<[^>]*>|\\S+").r.findAllIn(pat).toSeq
         require(toks.length == 3, s"triple pattern needs 3 terms, got '${pat}'")
         val (s, p, o) = (term(toks(0)), term(toks(1)), term(toks(2)))
         p match {
@@ -948,6 +1042,18 @@ object Sparql {
 
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))
+    // blank node in a pattern = a non-selectable query-scoped variable
+    else if (tok.startsWith("_:") && tok.length > 2)
+      Var(BNodeVarPrefix + tok.drop(2))
+    // typed literal "lex"^^<uri> / "lex"^^pfx:local → canonical form
+    else if (typedLitRe.matches(tok)) tok match {
+      case typedLitRe(lex, uri, curie) =>
+        Const(canonTyped(lex, if (uri != null) uri else curie))
+    }
+    // language-tagged literal "lex"@tag → canonical lowercase tag
+    else if (langLitRe.matches(tok)) tok match {
+      case langLitRe(lex, lang) => Const(canonLang(lex, lang))
+    }
     // negated property set: !p or !(p1|p2) — bare predicates only
     else if (tok.startsWith("!") && tok.length > 1) {
       val inner0 = tok.drop(1)

@@ -239,7 +239,8 @@ object TripleStore {
       buckets: Int = 16): DataFrame = {
     if (!spark.catalog.tableExists(table))
       spark.sql(
-        s"""CREATE TABLE $table (id BIGINT, value STRING)
+        s"""CREATE TABLE $table (id BIGINT, value STRING,
+           |  dt STRING, lang STRING)
            |USING parquet
            |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
            |LOCATION '$path'""".stripMargin)
@@ -257,8 +258,12 @@ object TripleStore {
       .write.mode("overwrite").partitionBy("p").parquet(path)
 
   /** Dictionary-encode a string-form store: slice values → xxhash64
-    * IDs, dict → (id, value) over the union of all s/o positions — one
-    * distinct over the data, no driver collect.
+    * IDs, dict → (id, value, dt, lang) over the union of all s/o
+    * positions — one distinct over the data, no driver collect. The
+    * `dt`/`lang` columns are the RDF 1.1 datatype/language METADATA of
+    * each value, derived once from its canonical spelling
+    * ([[graft.bgp.RdfLex]]), so typed-value filters on the encoded
+    * store are plain column predicates during the dict scan.
     */
   def encode(store: TripleStore): TripleStore = {
     val spark = store.slices.values.head.sparkSession
@@ -271,7 +276,9 @@ object TripleStore {
       :+ predNames)
       .reduce(_ unionByName _)
       .distinct()
-      .select(xxhash64(col("value")).as("id"), col("value"))
+      .select(xxhash64(col("value")).as("id"), col("value"),
+        RdfLex.datatype(col("value")).as("dt"),
+        RdfLex.lang(col("value")).as("lang"))
     val enc = store.slices.map { case (p, df) =>
       p -> df.select(xxhash64(col("s")).as("s"), xxhash64(col("o")).as("o"))
     }

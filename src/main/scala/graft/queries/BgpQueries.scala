@@ -34,7 +34,8 @@ object BgpQueries {
     * layout changes shape — a mismatched marker wipes and rebuilds the
     * dataset's layouts instead of silently serving stale derivations.
     */
-  private val StoreFormatVersion = 2 // v2: added the nextorder slice
+  // v2: added the nextorder slice; v3: dict carries dt/lang metadata
+  private val StoreFormatVersion = 3
 
   private[graft] def invalidateStale(s: SparkSession, tag: String,
       tables: Seq[String], root0: String = pstoreRoot): Unit = {
@@ -1150,6 +1151,104 @@ object BgpQueries {
         bgp(graft.sources.RdfIO.readQuery(p.toString))(s, dir)
       },
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
-             |FROM nation WHERE length(n_name) > 8""".stripMargin))
+             |FROM nation WHERE length(n_name) > 8""".stripMargin)),
+
+    // ——— RDF 1.1 lexical forms through the driver gate (round 6):
+    // typed literals, language tags, and blank nodes — parity-plus
+    // over the reference grammar (QueryPlanner.c:933-999), which any
+    // real RDF dataset (LUBM's full form included) needs ———
+
+    // typed-literal FILTER, string store: customer keys ingest as
+    // "K"^^xsd:integer via N-Triples and the comparison is DATATYPE-
+    // DRIVEN — numeric on the lexical value, where a string compare
+    // would wrongly admit "1000" < "750". The blank-node object in the
+    // second pattern is a query-scoped variable (SPARQL §4.1.4): it
+    // requires every kept customer to have a name edge without
+    // binding a projected column.
+    GQuery(
+      "q206_bgp_typed_filter",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q206_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val cust = graft.Tables.t(s, dir, "customer")
+        cust.select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <key> \""), col("c_custkey"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> .")).as("value"))
+          .unionByName(cust.select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <name> \""), col("c_name"), lit("\" .")).as("value")))
+          .write.mode("overwrite").text(out)
+        val store = graft.sources.RdfIO.readNTriples(s, out)
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?c ?k where {
+            | ?c key ?k .
+            | ?c name _:n .
+            | FILTER (?k < "750"^^xsd:integer) }""".stripMargin))
+      },
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  concat('"', c_custkey,
+             |    '"^^<http://www.w3.org/2001/XMLSchema#integer>') AS k
+             |FROM customer WHERE c_custkey < 750""".stripMargin)),
+
+    // language-tag FILTER, encoded store: every nation labels @en and
+    // the even-keyed ones ALSO label @de with the SAME lexical value,
+    // so only the tag discriminates. On the encoded store the LANG
+    // predicate evaluates on the dictionary's `lang` METADATA column
+    // during the dict scan (no per-row regex) and the main relation
+    // semi-joins on 8-byte ids.
+    GQuery(
+      "q207_bgp_lang_filter_encoded",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q207_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val nat = graft.Tables.t(s, dir, "nation")
+        nat.select(concat(lit("<nation:"), col("n_nationkey"),
+            lit("> <label> \""), col("n_name"), lit("\"@en .")).as("value"))
+          .unionByName(nat.filter(col("n_nationkey") % 2 === 0)
+            .select(concat(lit("<nation:"), col("n_nationkey"),
+              lit("> <label> \""), col("n_name"), lit("\"@de .")).as("value")))
+          .write.mode("overwrite").text(out)
+        val store = graft.bgp.TripleStore.encode(
+          graft.sources.RdfIO.readNTriples(s, out))
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?n ?l where {
+            | ?n label ?l .
+            | FILTER (LANG(?l) = "de") }""".stripMargin))
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('"', n_name, '"@de') AS l
+             |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin)),
+
+    // DATATYPE + typed ordering, encoded store: one predicate carries
+    // BOTH integer-typed and plain-string objects; DATATYPE() selects
+    // the typed ones off the dict's `dt` metadata column and the
+    // ordering filter compares numerically on the lexical value —
+    // both ride the dict-filter + semi-join path.
+    GQuery(
+      "q208_bgp_datatype_filter_encoded",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q208_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val cust = graft.Tables.t(s, dir, "customer")
+        cust.select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <attr> \""), col("c_custkey"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> .")).as("value"))
+          .unionByName(cust.select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <attr> \""), col("c_name"), lit("\" .")).as("value")))
+          .write.mode("overwrite").text(out)
+        val store = graft.bgp.TripleStore.encode(
+          graft.sources.RdfIO.readNTriples(s, out))
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?c ?v where {
+            | ?c attr ?v .
+            | FILTER (DATATYPE(?v) = xsd:integer)
+            | FILTER (?v >= "1200"^^xsd:integer) }""".stripMargin))
+      },
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  concat('"', c_custkey,
+             |    '"^^<http://www.w3.org/2001/XMLSchema#integer>') AS v
+             |FROM customer WHERE c_custkey >= 1200""".stripMargin))
   )
 }

@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
 object RdfIO {
 
   /** Parse one N-Triples line → (s, p, o); tolerates `<uri>` terms,
-    * `"literal"` objects, and trailing `.`. Returns null for comments/
-    * blank lines (filtered by the caller).
+    * `"literal"` objects — with an optional `^^<datatype>` or `@lang`
+    * suffix, preserved in the store's canonical spelling
+    * ([[graft.bgp.Sparql.canonTyped]]/[[graft.bgp.Sparql.canonLang]]) —
+    * blank nodes (`_:b`, kept as opaque node ids), and trailing `.`.
+    * Returns null for comments/blank lines (filtered by the caller).
     */
   private val ntLine =
-    """^\s*(?:<([^>]*)>|(\S+))\s+(?:<([^>]*)>|(\S+))\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"\S*|(\S+))\s*\.\s*$""".r
+    ("""^\s*(?:<([^>]*)>|(\S+))\s+(?:<([^>]*)>|(\S+))\s+(?:<([^>]*)>""" +
+      """|"((?:[^"\\]|\\.)*)"(\^\^<[^>]*>|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?""" +
+      """|(\S+))\s*\.\s*$""").r
 
   /** Read an N-Triples file into a (vertically partitioned) triple
     * store. The parse is a per-line map over a distributed text scan —
@@ -36,10 +41,18 @@ object RdfIO {
     val rows = spark.read.textFile(path)
       .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
       .flatMap {
-        case ntLine(su, sb, pu, pb, ou, olit, ob) =>
+        case ntLine(su, sb, pu, pb, ou, olit, odeco, ob) =>
           val s = if (su != null) su else sb
           val p = if (pu != null) pu else pb
-          val o = if (ou != null) ou else if (olit != null) olit else ob
+          val o =
+            if (ou != null) ou
+            else if (olit != null) {
+              if (odeco == null) olit
+              else if (odeco.startsWith("^^<"))
+                graft.bgp.Sparql.canonTyped(olit, odeco.drop(3).dropRight(1))
+              else graft.bgp.Sparql.canonLang(olit, odeco.drop(1))
+            }
+            else ob
           Some((s, p, o))
         case _ => None
       }

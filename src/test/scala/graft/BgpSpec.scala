@@ -38,6 +38,83 @@ class BgpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sparql.parse("select ?Z where { ?A b c }"))
   }
 
+  test("typed literals, language tags, and blank nodes tokenize (RDF 1.1)") {
+    // typed literal: canonical decorated form, xsd: expands without a
+    // PREFIX declaration; xsd:string collapses to the plain lexical
+    val q = Sparql.parse(
+      """select ?a where { ?a age "5"^^xsd:integer . ?a tag "x"@EN .
+        | ?a name "n"^^xsd:string }""".stripMargin)
+    assert(q.patterns(0).o ==
+      Const("\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+    // language tags canonicalize lowercase (BCP 47 case-insensitivity)
+    assert(q.patterns(1).o == Const("\"x\"@en"))
+    assert(q.patterns(2).o == Const("n"))
+    // a full-IRI datatype stays as written
+    val q2 = Sparql.parse(
+      """select ?a where { ?a v "p"^^<http://ex/t> }""")
+    assert(q2.patterns.head.o == Const("\"p\"^^<http://ex/t>"))
+  }
+
+  test("a pattern blank node is a query-scoped, non-projected variable") {
+    val q = Sparql.parse(
+      "select ?a where { ?a advisor _:x . _:x worksFor dept:0 }")
+    // both _:x occurrences desugar to the SAME reserved variable,
+    // joining the two patterns without being selectable
+    val bnodeVars = q.patterns.flatMap(_.vars)
+      .filter(_.startsWith(Sparql.BNodeVarPrefix)).distinct
+    assert(bnodeVars == Seq(Sparql.BNodeVarPrefix + "x"))
+    // SELECT * projects user vars only
+    val qStar = Sparql.parse("select * where { ?a advisor _:x }")
+    assert(qStar.select == Seq("a"))
+    // the reserved prefix is rejected as a user variable
+    intercept[IllegalArgumentException](Sparql.parse(
+      s"select ?${Sparql.BNodeVarPrefix}x where { ?${Sparql.BNodeVarPrefix}x b c }"))
+    // and the blank-node join evaluates: stud:0's advisor prof:0
+    // works for dept:0
+    val rows = BgpPlanner.plan(tinyStore, q).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("stud:0"))
+  }
+
+  test("numeric-typed FILTER literals drive numeric comparison; " +
+      "equality stays canonical") {
+    val q = Sparql.parse(
+      """select ?a where { ?a age ?n . FILTER (?n < "750"^^xsd:integer) }""")
+    val f = q.filters.flatMap(_.disjuncts.flatten).head
+    assert(f.numeric && f.value == "750" && f.op == "<")
+    // equality keeps the decorated canonical (id-space on encoded)
+    val qe = Sparql.parse(
+      """select ?a where { ?a age ?n . FILTER (?n = "5"^^xsd:integer) }""")
+    val fe = qe.filters.flatMap(_.disjuncts.flatten).head
+    assert(!fe.numeric &&
+      fe.value == "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+  }
+
+  test("LANG and DATATYPE filters parse and evaluate over both encodings") {
+    import org.apache.spark.sql.functions.col
+    val data = Seq(
+      ("b:1", "label", "\"five\"@en"),
+      ("b:2", "label", "\"five\"@de"),
+      ("b:3", "label", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("b:4", "label", "plain")
+    ).toDF("s", "p", "o")
+    val plain = TripleStore.fromTriples(data)
+    val lang = Sparql.parse(
+      """select ?s where { ?s label ?l . FILTER (LANG(?l) = "de") }""")
+    val dt = Sparql.parse(
+      """select ?s where { ?s label ?l .
+        | FILTER (DATATYPE(?l) = xsd:integer) }""".stripMargin)
+    val noTag = Sparql.parse(
+      """select ?s where { ?s label ?l . FILTER (LANG(?l) = "") }""")
+    for (store <- Seq(plain, TripleStore.encode(plain))) {
+      def run(q: Sparql.BgpQuery) = BgpPlanner.plan(store, q)
+        .select(col("s")).collect().map(_.getString(0)).toSeq.sorted
+      assert(run(lang) == Seq("b:2"), s"encoded=${store.encoded}")
+      assert(run(dt) == Seq("b:3"), s"encoded=${store.encoded}")
+      // the spec's LANG("") selects untagged terms — typed AND plain
+      assert(run(noTag) == Seq("b:3", "b:4"), s"encoded=${store.encoded}")
+    }
+  }
+
   test("STRLEN filter parses into a composite strlen op") {
     val q = Sparql.parse(
       """select ?a where { ?a name ?n . FILTER (STRLEN(?n) >= 12) }""")

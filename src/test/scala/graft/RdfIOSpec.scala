@@ -52,15 +52,30 @@ class RdfIOSpec extends AnyFunSuite {
     assert(spark.read.textFile(sink).collect().toSeq == Seq("<empty result>"))
   }
 
-  test("literal objects with escapes and datatype suffixes parse") {
+  test("literal objects with escapes, datatype/lang suffixes, and " +
+      "blank nodes parse") {
     val nt = tmp("lit.nt")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(nt),
       """<s:1> <label> "a \"quoted\" value" .
         |<s:1> <age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<s:1> <tag> "chat"@FR .
+        |<s:1> <str> "plain"^^<http://www.w3.org/2001/XMLSchema#string> .
+        |_:b0 <label> "anon" .
         |""".stripMargin)
     val store = RdfIO.readNTriples(spark, nt)
-    assert(store.slices("age").collect().head.getString(1) == "42")
-    assert(store.slices("label").collect().head.getString(1) == "a \\\"quoted\\\" value")
+    // typed literals keep the canonical decorated spelling (round 6:
+    // datatype metadata survives ingest instead of being stripped)
+    assert(store.slices("age").collect().head.getString(1) ==
+      "\"42\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    // language tags canonicalize lowercase
+    assert(store.slices("tag").collect().head.getString(1) == "\"chat\"@fr")
+    // xsd:string collapses to the plain lexical (RDF 1.1 identity)
+    assert(store.slices("str").collect().head.getString(1) == "plain")
+    assert(store.slices("label").collect().map(_.getString(1)).toSet ==
+      Set("a \\\"quoted\\\" value", "anon"))
+    // data-side blank nodes are opaque node ids
+    assert(store.slices("label").collect().map(_.getString(0)).toSet ==
+      Set("s:1", "_:b0"))
   }
 
   test("JSONL document ingestion isolates corrupt lines, never drops or fails") {
