@@ -831,17 +831,21 @@ object BgpPlanner {
             case ("count", Some(v)) if a.distinct =>
               countDistinct(col(v)).as(a.alias)
             case ("count", Some(v)) => count(col(v)).as(a.alias)
+            // SUM/AVG are datatype-driven like FILTER ordering: a
+            // typed literal aggregates on its lexical value through
+            // the ANSI-safe guarded cast (a plain cast would fail the
+            // stage on the first non-numeric binding)
             case ("sum", Some(v)) if a.distinct =>
-              sum_distinct(col(v).cast("double")).as(a.alias)
-            case ("sum", Some(v)) => sum(col(v).cast("double")).as(a.alias)
+              sum_distinct(RdfLex.numeric(col(v))).as(a.alias)
+            case ("sum", Some(v)) => sum(RdfLex.numeric(col(v))).as(a.alias)
             // numerator and denominator dedup the SAME projection:
             // deduping raw strings would count "1" and "1.0" (or a
             // non-numeric value casting to null) differently from the
             // double-cast numerator
             case ("avg", Some(v)) if a.distinct =>
-              (sum_distinct(col(v).cast("double")) /
-                countDistinct(col(v).cast("double"))).as(a.alias)
-            case ("avg", Some(v)) => avg(col(v).cast("double")).as(a.alias)
+              (sum_distinct(RdfLex.numeric(col(v))) /
+                countDistinct(RdfLex.numeric(col(v)))).as(a.alias)
+            case ("avg", Some(v)) => avg(RdfLex.numeric(col(v))).as(a.alias)
             case ("min", Some(v)) => min(col(v)).as(a.alias)
             case ("max", Some(v)) => max(col(v)).as(a.alias)
             // GROUP_CONCAT: SPARQL leaves the order implementation-

@@ -1249,6 +1249,36 @@ object BgpQueries {
       Some("""SELECT concat('customer:', c_custkey) AS c,
              |  concat('"', c_custkey,
              |    '"^^<http://www.w3.org/2001/XMLSchema#integer>') AS v
-             |FROM customer WHERE c_custkey >= 1200""".stripMargin))
+             |FROM customer WHERE c_custkey >= 1200""".stripMargin)),
+
+    // datatype-driven AGGREGATION, encoded store: SUM/AVG over
+    // integer-typed literals aggregate on the lexical value (decode →
+    // strip decoration → ANSI-safe numeric), grouped by a plain-string
+    // segment edge. Key sums are integer-exact in a double (< 2^53),
+    // so the hash compare cannot flap on summation order.
+    GQuery(
+      "q209_bgp_typed_agg_encoded",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q209_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val cust = graft.Tables.t(s, dir, "customer")
+        cust.select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <key> \""), col("c_custkey"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> .")).as("value"))
+          .unionByName(cust.select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <segment> \""), col("c_mktsegment"), lit("\" .")).as("value")))
+          .write.mode("overwrite").text(out)
+        val store = graft.bgp.TripleStore.encode(
+          graft.sources.RdfIO.readNTriples(s, out))
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?s (SUM(?k) AS ?total) (COUNT(?k) AS ?n)
+            |where { ?c key ?k . ?c segment ?s }
+            |group by ?s""".stripMargin))
+      },
+      Some("""SELECT c_mktsegment AS s,
+             |  CAST(CAST(sum(c_custkey) AS BIGINT) AS DOUBLE) AS total,
+             |  count(*) AS n
+             |FROM customer GROUP BY 1""".stripMargin))
   )
 }

@@ -625,6 +625,83 @@ object SimilarityQueries {
               |      CAST(adot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rnrm AS DOUBLE))) DESC,
               |      cid) AS BIGINT) AS rank
               |  FROM sc)
-              |WHERE rank <= 3""".stripMargin))
+              |WHERE rank <= 3""".stripMargin)),
+
+    // incremental IVF assignment: route a NEW vector batch onto the
+    // corpus's FROZEN coarse cells — the embedding-side analog of
+    // q162's incremental dedup (daily batches never re-cluster the
+    // corpus). Centroids are per-cell dimension-wise integer SUMS of
+    // the non-batch vectors: cosine is scale-invariant, so the sum
+    // stands in for the mean with exact integer math end to end, and
+    // both engines rank identical IEEE doubles. Scale shape: centroids
+    // are cells x dims (k x 32 — broadcast), the batch cross-scores
+    // against k cells (batch x k rows, never corpus x corpus), and the
+    // report is cell-count-sized. The drift column (assigned cell !=
+    // stored label) is the retrain signal an embedding pipeline
+    // actually monitors.
+    GQuery(
+      "q211_incremental_ivf_assign",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir).withColumn("is_batch",
+          conv(substring(md5(concat($"vec_id".cast("string"), lit(":ivfb"))
+            .cast("binary")), 1, 8), 16, 10).cast("long") % 10 === 0)
+        // frozen centroids: dim-wise sums over the corpus side
+        val cent = e.filter(!$"is_batch")
+          .select($"label".as("cell"), posexplode($"v").as(Seq("i", "x")))
+          .groupBy($"cell", $"i").agg(sum($"x").as("sx"))
+          .groupBy($"cell")
+          .agg(expr("transform(array_sort(collect_list(struct(i, sx))), " +
+            "p -> p.sx)").as("cv"))
+          .withColumn("cn",
+            expr("aggregate(transform(cv, x -> x * x), " +
+              "cast(0 as bigint), (a, x) -> a + x)"))
+        val batch = e.filter($"is_batch")
+          .select($"vec_id".as("qid"), $"label", $"v".as("qv"), $"nrm".as("qn"))
+        val scored = batch.join(GuardedBroadcast.maybe(cent))
+          .select($"qid", $"label", $"cell",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cos_sim".desc, $"cell".asc)
+        scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_assigned"),
+            expr("count_if(cell != label)").as("n_drift"),
+            max($"cos_sim").as("max_sim"))
+      },
+      Some(s"""WITH $quantizedSql,
+              |b AS (SELECT vec_id,
+              |        CAST(concat('0x', substr(md5(concat(
+              |          CAST(vec_id AS VARCHAR), ':ivfb')), 1, 8)) AS BIGINT)
+              |          % 10 = 0 AS is_batch
+              |      FROM e),
+              |cent AS (SELECT f.label AS cell, f.i, CAST(sum(f.x) AS BIGINT) AS sx
+              |         FROM flat f JOIN b ON b.vec_id = f.vec_id
+              |         WHERE NOT b.is_batch GROUP BY 1, 2),
+              |cn AS (SELECT cell, CAST(sum(sx * sx) AS BIGINT) AS cn
+              |       FROM cent GROUP BY 1),
+              |dots AS (SELECT f.vec_id AS qid, c.cell,
+              |           CAST(sum(f.x * c.sx) AS BIGINT) AS dot
+              |         FROM flat f JOIN b ON b.vec_id = f.vec_id
+              |           JOIN cent c ON c.i = f.i
+              |         WHERE b.is_batch GROUP BY 1, 2),
+              |sc AS (SELECT d.qid, e.label, d.cell,
+              |         CAST(d.dot AS DOUBLE)
+              |           / (sqrt(CAST(n.nrm AS DOUBLE))
+              |              * sqrt(CAST(cn.cn AS DOUBLE))) AS cos_sim
+              |       FROM dots d
+              |         JOIN nrm n ON n.vec_id = d.qid
+              |         JOIN cn ON cn.cell = d.cell
+              |         JOIN e ON e.vec_id = d.qid),
+              |best AS (SELECT qid, label, cell, cos_sim FROM (
+              |    SELECT qid, label, cell, cos_sim,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY cos_sim DESC, cell) AS rk
+              |    FROM sc) WHERE rk = 1)
+              |SELECT cell, count(*) AS n_assigned,
+              |  CAST(count(*) FILTER (WHERE cell != label) AS BIGINT)
+              |    AS n_drift,
+              |  max(cos_sim) AS max_sim
+              |FROM best GROUP BY 1""".stripMargin))
   )
 }

@@ -1106,6 +1106,63 @@ object TextQueries {
              |  CAST(sum(CASE WHEN cum <= budget THEN tk ELSE 0 END) AS BIGINT) * 1.0 / budget
              |    AS utilization
              |FROM c JOIN b USING (lang)
-             |GROUP BY c.lang, budget""".stripMargin))
+             |GROUP BY c.lang, budget""".stripMargin)),
+
+    // split-aware packing manifest: the SEQUENCE-side view of q95's
+    // doc→chunk spans — each doc's token interval is exploded onto the
+    // 512-token sequences it touches, and the per-sequence rollup is
+    // what a training loader actually reads: how many docs land in the
+    // sequence, how full it is (512 everywhere except the tail), and
+    // how many of its docs are boundary-crossing fragments. Scale
+    // shape: the global token offset is q95's banded two-phase prefix
+    // sum (per-block partials, a block-count-sized global window, a
+    // block-partitioned within-block window — the corpus never sorts
+    // in one task); the explode fans out to ceil(tokens/512) rows per
+    // doc (bounded by doc length) and the rollup shuffles on seq_id.
+    GQuery(
+      "q210_sequence_pack_split",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+          .withColumn("b", expr("doc_id div 100"))
+        val bsums = docs.groupBy($"b").agg(sum($"n").as("bn"))
+        val wb = Window.orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bpre = bsums
+          .withColumn("bpre", coalesce(sum($"bn").over(wb), lit(0L)))
+          .select($"b", $"bpre")
+        val wi = Window.partitionBy($"b").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.join(GuardedBroadcast.maybe(bpre), Seq("b"))
+          .withColumn("cb", $"bpre" + coalesce(sum($"n").over(wi), lit(0L)))
+          .filter($"n" > 0)
+          .withColumn("seq_id", explode(sequence(
+            expr("cb div 512"), expr("(cb + n - 1) div 512"))))
+          .withColumn("frag",
+            least(($"seq_id" + 1) * 512, $"cb" + $"n") -
+              greatest($"seq_id" * 512, $"cb"))
+          .groupBy($"seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"frag").as("n_tokens"),
+            expr("count_if(frag < n)").as("n_split_docs"))
+      },
+      Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+             |    coalesce(sum(len(string_split(text, ' '))) OVER (
+             |      ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM documents),
+             |x AS (SELECT d.doc_id, d.n, d.cb, u.seq_id
+             |      FROM d, LATERAL (SELECT unnest(generate_series(
+             |          CAST(d.cb AS BIGINT) // 512,
+             |          (CAST(d.cb AS BIGINT) + d.n - 1) // 512)) AS seq_id) u
+             |      WHERE d.n > 0)
+             |SELECT seq_id, count(*) AS n_docs,
+             |  CAST(sum(least((seq_id + 1) * 512, cb + n)
+             |    - greatest(seq_id * 512, cb)) AS BIGINT) AS n_tokens,
+             |  CAST(count(*) FILTER (WHERE least((seq_id + 1) * 512, cb + n)
+             |    - greatest(seq_id * 512, cb) < n) AS BIGINT) AS n_split_docs
+             |FROM x GROUP BY 1""".stripMargin))
   )
 }
