@@ -1163,6 +1163,106 @@ object TextQueries {
              |    - greatest(seq_id * 512, cb)) AS BIGINT) AS n_tokens,
              |  CAST(count(*) FILTER (WHERE least((seq_id + 1) * 512, cb + n)
              |    - greatest(seq_id * 512, cb) < n) AS BIGINT) AS n_split_docs
-             |FROM x GROUP BY 1""".stripMargin))
+             |FROM x GROUP BY 1""".stripMargin)),
+
+    // distribution-drift audit: does an incoming batch's length
+    // distribution match the reference corpus, per source? The batch
+    // is hash-selected (the q162 convention), histograms share q163's
+    // fixed 100-char buckets, and the drift test is the integer
+    // cross-product form of |rate_batch - rate_ref| > 0.1 —
+    // |c_b*n_ref - c_ref*n_b|*10 > n_ref*n_b — so both engines compare
+    // exact BIGINTs and the gate can't flap on float division. One
+    // scan, a source x bucket aggregate, a source-partitioned window
+    // over report-sized rows.
+    GQuery(
+      "q212_distribution_drift",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+          .select($"source",
+            least(expr("n_chars div 100"), lit(19L)).as("bucket"),
+            (conv(substring(md5(concat($"doc_id".cast("string"), lit(":drift"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 10 === 0)
+              .as("is_batch"))
+        val w = Window.partitionBy($"source")
+        d.groupBy($"source", $"bucket")
+          .agg(sum(when($"is_batch", 1L).otherwise(0L)).as("c_batch"),
+            sum(when(!$"is_batch", 1L).otherwise(0L)).as("c_ref"))
+          .withColumn("n_batch", sum($"c_batch").over(w))
+          .withColumn("n_ref", sum($"c_ref").over(w))
+          .select($"source", $"bucket", $"c_ref", $"c_batch",
+            (abs($"c_batch" * $"n_ref" - $"c_ref" * $"n_batch") * 10 >
+              $"n_ref" * $"n_batch").as("drifted"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |    least(n_chars // 100, 19) AS bucket,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':drift')), 1, 8)) AS BIGINT)
+             |      % 10 = 0 AS is_batch
+             |  FROM documents),
+             |h AS (SELECT source, bucket,
+             |        CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT)
+             |          AS c_batch,
+             |        CAST(sum(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT)
+             |          AS c_ref
+             |      FROM d GROUP BY 1, 2),
+             |tot AS (SELECT source, bucket, c_ref, c_batch,
+             |          CAST(sum(c_batch) OVER (PARTITION BY source) AS BIGINT)
+             |            AS n_batch,
+             |          CAST(sum(c_ref) OVER (PARTITION BY source) AS BIGINT)
+             |            AS n_ref
+             |        FROM h)
+             |SELECT source, bucket, c_ref, c_batch,
+             |  abs(c_batch * n_ref - c_ref * n_batch) * 10 > n_ref * n_batch
+             |    AS drifted
+             |FROM tot""".stripMargin)),
+
+    // exact stratified split: deterministic train/val/test assignment
+    // with EXACT 8/1/1 proportions per source (largest-prefix integer
+    // rule over a hash ordering: rank*10 <= n*8 -> train,
+    // rank*10 <= n*9 -> val, else test), so a re-run on the same
+    // corpus reproduces the same membership and the per-source counts
+    // are off by at most the integer rounding — the property a
+    // "no eval leakage" audit needs. Hash ordering is md5-derived
+    // (engine-portable); the rank is a source-partitioned window, the
+    // report a source x split aggregate.
+    GQuery(
+      "q213_stratified_split",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(split($"text", " ")).cast("long").as("tk"),
+            conv(substring(md5(concat($"doc_id".cast("string"), lit(":split"))
+              .cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+        val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+        val n = Window.partitionBy($"source")
+        d.withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(n))
+          .withColumn("split",
+            when($"rk" * 10 <= $"n" * 8, "train")
+              .when($"rk" * 10 <= $"n" * 9, "val")
+              .otherwise("test"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |    len(string_split(text, ' ')) AS tk,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':split')), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |r AS (SELECT source, tk,
+             |        CAST(row_number() OVER (PARTITION BY source
+             |          ORDER BY h, doc_id) AS BIGINT) AS rk,
+             |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             |      FROM d)
+             |SELECT source,
+             |  CASE WHEN rk * 10 <= n * 8 THEN 'train'
+             |       WHEN rk * 10 <= n * 9 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
+             |FROM r GROUP BY 1, 2""".stripMargin))
   )
 }
