@@ -380,9 +380,10 @@ object BgpPlanner {
     def lexNeeds(f: FilterExpr): Seq[String] =
       if (!store.encoded) Nil
       else f.op match {
-        case "regex" | "strstarts" | "strends" | "contains" =>
+        case "regex" | "strstarts" | "strends" | "contains" |
+             "lang" | "!lang" | "datatype" | "!datatype" | "langmatches" =>
           Seq(f.variable).filterNot(lexical)
-        case op if op.startsWith("strlen") =>
+        case op if op.startsWith("strlen") || op.startsWith("lex") =>
           Seq(f.variable).filterNot(lexical)
         case op if orderingOps(op) =>
           (Seq(f.variable) ++ (if (f.rhsVar) Seq(f.value) else Nil))
@@ -417,6 +418,25 @@ object BgpPlanner {
         case "!lang" => RdfLex.lang(lexOf(f.variable)) =!= f.value
         case "datatype" => RdfLex.datatype(lexOf(f.variable)) === f.value
         case "!datatype" => RdfLex.datatype(lexOf(f.variable)) =!= f.value
+        // LANGMATCHES basic filtering: "*" = any tagged literal; a
+        // range matches the tag or its BCP 47 extensions (fr, fr-be)
+        case "langmatches" =>
+          val l = RdfLex.lang(lexOf(f.variable))
+          if (f.value == "*") l =!= ""
+          else l === f.value || l.startsWith(f.value + "-")
+        // STR(?v) comparisons: decoration stripped, then the plain
+        // string comparison
+        case op if op.startsWith("lex") =>
+          val l = RdfLex.lex(lexOf(f.variable))
+          val r = lit(f.value)
+          op.drop(3) match {
+            case "=" => l === r
+            case "!=" => l =!= r
+            case ">" => l > r
+            case ">=" => l >= r
+            case "<" => l < r
+            case "<=" => l <= r
+          }
         case "=" | "!=" =>
           val idEq = store.encoded && !lexical(f.variable) &&
             (if (f.rhsVar) !lexical(f.value) else true)
@@ -454,6 +474,7 @@ object BgpPlanner {
           f.op == "contains" || f.op.startsWith("strlen") ||
           f.op == "lang" || f.op == "!lang" ||
           f.op == "datatype" || f.op == "!datatype" ||
+          f.op == "langmatches" || f.op.startsWith("lex") ||
           orderingOps(f.op))
     def dictPred(f: FilterExpr): Column = {
       val v = col("value")
@@ -471,6 +492,21 @@ object BgpPlanner {
         case "!lang" => col("lang") =!= f.value
         case "datatype" => col("dt") === f.value
         case "!datatype" => col("dt") =!= f.value
+        case "langmatches" =>
+          if (f.value == "*") col("lang") =!= ""
+          else col("lang") === f.value ||
+            col("lang").startsWith(f.value + "-")
+        case op if op.startsWith("lex") =>
+          val l = RdfLex.lex(v)
+          val r = lit(f.value)
+          op.drop(3) match {
+            case "=" => l === r
+            case "!=" => l =!= r
+            case ">" => l > r
+            case ">=" => l >= r
+            case "<" => l < r
+            case "<=" => l <= r
+          }
         case op =>
           val l = if (f.numeric) RdfLex.numeric(v) else v
           val r: Column =
@@ -891,8 +927,19 @@ object BgpPlanner {
        else q.select).distinct.sorted
     val ordered =
       if (q.orderBy.isEmpty) havingApplied
-      else havingApplied.orderBy(q.orderBy.map(k =>
-        if (k.asc) col(k.variable).asc else col(k.variable).desc): _*)
+      else havingApplied.orderBy(q.orderBy.flatMap { k =>
+        // SPARQL §15.1: typed numerics order by VALUE; plain literals
+        // and IRIs keep codepoint order. The composite key puts typed
+        // numerics first (by value), everything else after (by its
+        // string form) — plain-string-only columns sort exactly as
+        // before (the numeric key is uniformly null)
+        val v = col(k.variable)
+        val typedNum = when(
+          RdfLex.datatype(v).startsWith(Sparql.XsdNs) &&
+            v.startsWith("\""), RdfLex.numeric(v))
+        val keys = Seq(typedNum.isNull, typedNum, v)
+        if (k.asc) keys.map(_.asc) else keys.map(_.desc)
+      }: _*)
     val withOffset = q.offset.fold(ordered)(ordered.offset)
     val withLimit = q.limit.fold(withOffset)(withOffset.limit)
     withLimit.select(outCols.map(col): _*)

@@ -322,6 +322,18 @@ object Sparql {
   private val filterDatatypeRe =
     ("(?is)filter\\s*\\(\\s*datatype\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*" +
       "(!?=)\\s*(<[^>]*>|[A-Za-z][\\w.-]*:[\\w.-]+)\\s*\\)").r
+  // `FILTER langMatches(LANG(?v), "fr"|"*")` — SPARQL §17.4.4.2 basic
+  // filtering: "*" matches any tagged literal, a range matches the tag
+  // or any of its BCP 47 extensions (fr matches fr and fr-be)
+  private val filterLangMatchesRe =
+    ("(?is)filter\\s*\\(?\\s*langmatches\\s*\\(\\s*lang\\s*\\(\\s*" +
+      "\\?(\\w+)\\s*\\)\\s*,\\s*\"([A-Za-z0-9*-]+)\"\\s*\\)\\s*\\)?").r
+  // `FILTER (STR(?v) op "lit")` — SPARQL §17.4.2.5: comparison on the
+  // lexical form, decoration stripped; composes to a "lex<op>" op so
+  // the dict-filter + semi-join route applies
+  private val filterStrCastRe =
+    ("(?is)filter\\s*\\(\\s*str\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*" +
+      "(>=|<=|!=|=|>|<)\\s*\"([^\"]*)\"\\s*\\)").r
   private val filterExprRe = "^\\?(\\S+)\\s*(>=|<=|!=|=|>|<)\\s*(.+)$".r
   private val numberRe = "^-?\\d+(\\.\\d+)?$".r
   // SELECT items: an aggregate `(AGG([DISTINCT] ?v|*) AS ?alias)` or a
@@ -578,7 +590,15 @@ object Sparql {
           if (m.group(2) == "=") "datatype" else "!datatype",
           uri, numeric = false))))
       }.toSeq
-      val rest0 = filterDatatypeRe.replaceAllIn(rest0b, "")
+      val rest0c = filterDatatypeRe.replaceAllIn(rest0b, "")
+      val langMatchClauses = filterLangMatchesRe.findAllMatchIn(rest0c).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(1), "langmatches",
+          m.group(2).toLowerCase, numeric = false))))).toSeq
+      val rest0d = filterLangMatchesRe.replaceAllIn(rest0c, "")
+      val strCastClauses = filterStrCastRe.findAllMatchIn(rest0d).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(1), "lex" + m.group(2),
+          m.group(3), numeric = false))))).toSeq
+      val rest0 = filterStrCastRe.replaceAllIn(rest0d, "")
       val regexClauses = filterRegexRe.findAllMatchIn(rest0).map(m =>
         FilterClause(Seq(Seq(
           FilterExpr(m.group(1), "regex",
@@ -613,7 +633,8 @@ object Sparql {
       }.toSeq
       (filterRe.replaceAllIn(rest, ""),
         cmpClauses ++ regexClauses ++ strlenClauses ++ strFnClauses ++
-          inClauses ++ boundClauses ++ langClauses ++ datatypeClauses)
+          inClauses ++ boundClauses ++ langClauses ++ datatypeClauses ++
+          langMatchClauses ++ strCastClauses)
     }
 
     // pull extension clauses out first; the remainder is the

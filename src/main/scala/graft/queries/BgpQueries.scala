@@ -1279,6 +1279,62 @@ object BgpQueries {
       Some("""SELECT c_mktsegment AS s,
              |  CAST(CAST(sum(c_custkey) AS BIGINT) AS DOUBLE) AS total,
              |  count(*) AS n
-             |FROM customer GROUP BY 1""".stripMargin))
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // datatype-aware ORDER BY, encoded store: integer-typed keys sort
+    // by VALUE (SPARQL §15.1), so the DESC LIMIT 20 membership is the
+    // numeric top-20 — a codepoint sort would instead put "999" above
+    // "1500" and the hash gate would catch it. The composite sort key
+    // leaves plain-string columns ordering exactly as before.
+    GQuery(
+      "q214_bgp_typed_order_encoded",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q214_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.Tables.t(s, dir, "customer")
+          .select(concat(lit("<customer:"), col("c_custkey"),
+            lit("> <key> \""), col("c_custkey"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer> .")).as("value"))
+          .write.mode("overwrite").text(out)
+        val store = graft.bgp.TripleStore.encode(
+          graft.sources.RdfIO.readNTriples(s, out))
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?c ?k where { ?c key ?k }
+            |order by desc(?k) limit 20""".stripMargin))
+      },
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  concat('"', c_custkey,
+             |    '"^^<http://www.w3.org/2001/XMLSchema#integer>') AS k
+             |FROM customer ORDER BY c_custkey DESC LIMIT 20""".stripMargin)),
+
+    // LANGMATCHES range filtering + STR comparison, string store: the
+    // fr range must match the fr-be extension (BCP 47 basic
+    // filtering), and STR strips the decoration before the lexical
+    // comparison — both SPARQL 1.1 §17.4 accessors the tokenizer round
+    // made expressible.
+    GQuery(
+      "q215_bgp_langmatches_str",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q215_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val nat = graft.Tables.t(s, dir, "nation")
+        nat.select(concat(lit("<nation:"), col("n_nationkey"),
+            lit("> <label> \""), col("n_name"), lit("\"@en .")).as("value"))
+          .unionByName(nat.filter(col("n_regionkey") === 1)
+            .select(concat(lit("<nation:"), col("n_nationkey"),
+              lit("> <label> \""), col("n_name"), lit("\"@fr-BE .")).as("value")))
+          .write.mode("overwrite").text(out)
+        val store = graft.sources.RdfIO.readNTriples(s, out)
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?n ?l where {
+            | ?n label ?l .
+            | FILTER langMatches(LANG(?l), "fr") .
+            | FILTER (STR(?l) >= "K") }""".stripMargin))
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('"', n_name, '"@fr-be') AS l
+             |FROM nation WHERE n_regionkey = 1 AND n_name >= 'K'""".stripMargin))
   )
 }

@@ -115,6 +115,39 @@ class BgpSpec extends AnyFunSuite {
     }
   }
 
+  test("LANGMATCHES ranges, STR comparisons, and typed ORDER BY " +
+      "evaluate over both encodings") {
+    import org.apache.spark.sql.functions.col
+    val data = Seq(
+      ("b:1", "v", "\"alpha\"@fr"),
+      ("b:2", "v", "\"beta\"@fr-be"),
+      ("b:3", "v", "\"gamma\"@de"),
+      ("b:4", "v", "\"9\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("b:5", "v", "\"10\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("b:6", "v", "plain")
+    ).toDF("s", "p", "o")
+    val plain = TripleStore.fromTriples(data)
+    val fr = Sparql.parse(
+      """select ?s where { ?s v ?l . FILTER langMatches(LANG(?l), "fr") }""")
+    val any = Sparql.parse(
+      """select ?s where { ?s v ?l . FILTER langMatches(LANG(?l), "*") }""")
+    val strGe = Sparql.parse(
+      """select ?s where { ?s v ?l . FILTER (STR(?l) >= "b") }""")
+    // typed numerics order by value: 9 < 10 even though "9" > "10"
+    val ord = Sparql.parse(
+      """select ?s where { ?s v ?l . FILTER (DATATYPE(?l) = xsd:integer) }
+        |order by desc(?l) limit 1""".stripMargin)
+    for (store <- Seq(plain, TripleStore.encode(plain))) {
+      def run(q: Sparql.BgpQuery) = BgpPlanner.plan(store, q)
+        .select(col("s")).collect().map(_.getString(0)).toSeq.sorted
+      assert(run(fr) == Seq("b:1", "b:2"), s"encoded=${store.encoded}")
+      assert(run(any) == Seq("b:1", "b:2", "b:3"), s"encoded=${store.encoded}")
+      // STR strips decoration: beta, gamma, plain >= "b"; alpha, 10, 9 not
+      assert(run(strGe) == Seq("b:2", "b:3", "b:6"), s"encoded=${store.encoded}")
+      assert(run(ord) == Seq("b:5"), s"encoded=${store.encoded}")
+    }
+  }
+
   test("STRLEN filter parses into a composite strlen op") {
     val q = Sparql.parse(
       """select ?a where { ?a name ?n . FILTER (STRLEN(?n) >= 12) }""")
