@@ -745,6 +745,102 @@ object DedupQueries {
              |  CAST(sum(c) AS BIGINT) * 1.0 / count(*) AS dup_factor
              |FROM g GROUP BY source""".stripMargin)),
 
+    // span-level decontamination: q94 drops whole documents that share
+    // eval shingles; the higher-recall curation move is to REMOVE just
+    // the contaminated spans and keep the rest of the doc. Combines
+    // q94's hash eval-split with q149's gaps-and-islands span merge:
+    // training-doc positions whose 5-gram also occurs in ANY eval doc
+    // merge into maximal spans, and the report is the per-source
+    // accounting a release audit needs (docs touched, spans cut,
+    // tokens removed vs kept — all exact integers). Scale shape: one
+    // position relation, the eval-shingle set joins as a banded
+    // equi-join on 8-byte keys (never doc x doc), islands are
+    // doc-partitioned windows, output is source-count-sized.
+    GQuery(
+      "q216_span_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sp = t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            size(split($"text", " ")).cast("long").as("n"),
+            (h32(concat($"doc_id".cast("string"), lit(":eval"))) % 10 === 0)
+              .as("is_eval"))
+        val occ = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 5)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(w) - 4), " +
+              "i -> struct(i AS i, xxhash64(array_join(slice(w, i, 5), ' ')) AS k))"))
+            .as("x"))
+          .select($"doc_id", $"x.i".as("i"), $"x.k".as("k"))
+          .join(sp.select($"doc_id", $"is_eval"), Seq("doc_id"))
+        val evalK = occ.filter($"is_eval").select($"k").distinct()
+        val dp = occ.filter(!$"is_eval")
+          .join(evalK, Seq("k"), "left_semi")
+          .select($"doc_id", $"i")
+        val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy($"doc_id").orderBy($"i")
+        val perDoc = dp
+          .withColumn("pmax", max($"i" + 5).over(wPrev))
+          .withColumn("brk",
+            when($"pmax".isNull || $"i" > $"pmax", 1).otherwise(0))
+          .withColumn("isl", sum($"brk").over(wRun))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"i").as("lo"), (max($"i") + 5).as("hi"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum($"hi" - $"lo").cast("long").as("removed"))
+        sp.filter(!$"is_eval")
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_train_docs"),
+            count($"n_spans").as("n_affected"),
+            coalesce(sum($"n_spans"), lit(0L)).as("n_spans"),
+            coalesce(sum($"removed"), lit(0L)).as("tokens_removed"),
+            (sum($"n") - coalesce(sum($"removed"), lit(0L)))
+              .as("tokens_kept"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+             |        FROM toks WHERE len(w) >= 5),
+             |occ AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS s FROM idx),
+             |sp AS (SELECT doc_id, source,
+             |         len(string_split(text, ' ')) AS n,
+             |         CAST(concat('0x', substr(md5(concat(
+             |           CAST(doc_id AS VARCHAR), ':eval')), 1, 8)) AS BIGINT)
+             |           % 10 = 0 AS is_eval
+             |       FROM documents),
+             |evk AS (SELECT DISTINCT o.s FROM occ o
+             |        JOIN sp USING (doc_id) WHERE is_eval),
+             |dp AS (SELECT o.doc_id, o.i FROM occ o
+             |       JOIN sp USING (doc_id)
+             |       JOIN evk USING (s)
+             |       WHERE NOT is_eval),
+             |isl AS (SELECT doc_id, i,
+             |          max(i + 5) OVER (PARTITION BY doc_id ORDER BY i
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |        FROM dp),
+             |isl2 AS (SELECT doc_id, i,
+             |           sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+             |             OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             |         FROM isl),
+             |spans AS (SELECT doc_id, isl, min(i) AS lo, max(i) + 5 AS hi
+             |          FROM isl2 GROUP BY 1, 2),
+             |per_doc AS (SELECT doc_id, count(*) AS n_spans,
+             |              CAST(sum(hi - lo) AS BIGINT) AS removed
+             |            FROM spans GROUP BY 1)
+             |SELECT source, count(*) AS n_train_docs,
+             |  count(p.doc_id) AS n_affected,
+             |  CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(sum(p.removed), 0) AS BIGINT) AS tokens_removed,
+             |  CAST(CAST(sum(sp.n) AS BIGINT)
+             |    - coalesce(sum(p.removed), 0) AS BIGINT) AS tokens_kept
+             |FROM sp LEFT JOIN per_doc p USING (doc_id)
+             |WHERE NOT sp.is_eval GROUP BY 1""".stripMargin)),
+
     // ——— q200: the flagship end-to-end RELEASE pipeline ———
     // Composes the round's curation stages into one run with FULL
     // accounting: every document lands in exactly ONE bucket, so the
