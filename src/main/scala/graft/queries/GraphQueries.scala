@@ -194,15 +194,25 @@ object GraphQueries {
           .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
         // und has u < v by construction, so the tie-break never needs id
         val uFirst = $"du" < $"dv" || ($"du" === $"dv")
+        // ornt feeds three consumers (both wedge sides + the closing
+        // semi-join) and wedges two (its count + the semi-join) —
+        // persisted, or Spark re-derives the whole star-schema edge
+        // lineage per consumer (the registry sweep's #1 hotspot: the
+        // same distinct+degree joins rebuilt ~4x). The persisted sets
+        // are exactly the rows the joins must shuffle anyway: edges
+        // for ornt, the O(sum deg_ornt^2) wedge list the algorithm
+        // enumerates by design.
         val ornt = ranked.select(
           when(uFirst, $"u").otherwise($"v").as("a"),
           when(uFirst, $"v").otherwise($"u").as("b"),
           when(uFirst, $"dv").otherwise($"du").as("db"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wedges = ornt.as("e1").join(ornt.as("e2"),
             col("e1.a") === col("e2.a") &&
               (col("e1.db") < col("e2.db") ||
                 (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
           .select(col("e1.b").as("x"), col("e2.b").as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tri = wedges.join(ornt,
           $"x" === $"a" && $"y" === $"b", "left_semi")
         wedges.agg(count(lit(1)).as("n_wedges"))

@@ -301,13 +301,18 @@ object SimilarityQueries {
       (s, dir) => {
         import s.implicits._
         val e = quantized(s, dir)
-        // plane j, dim i sign = +1 if md5("j:i") first hex nibble even
-        val signsCol = expr(
-          """transform(sequence(0, 7), j ->
-            |  transform(sequence(0, 63), i ->
-            |    CASE WHEN conv(substring(md5(cast(concat(j, ':', i) as binary)), 1, 1), 16, 10) % 2 = 0
-            |         THEN 1 ELSE -1 END))""".stripMargin)
-        val bucketed = e.withColumn("planes", signsCol)
+        // plane j, dim i sign = +1 if md5("j:i") first hex nibble even.
+        // The 8x64 sign matrix is a CONSTANT — computed once on the
+        // driver (512 md5 calls, metadata-sized) and embedded as a
+        // literal, instead of the round-5 spelling that re-derived all
+        // 512 md5s per ROW (the registry sweep's #2 hotspot: ~10M md5
+        // calls at sf0.1 for an unchanging matrix)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val signs: Seq[Seq[Int]] = (0 to 7).map(j => (0 to 63).map { i =>
+          val d = md.digest(s"$j:$i".getBytes("UTF-8"))
+          if (((d(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+        })
+        val bucketed = e.withColumn("planes", typedLit(signs))
           .withColumn("bucket",
             expr("""aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
                    |  acc * 2 + CASE WHEN aggregate(zip_with(v, element_at(planes, j + 1),
