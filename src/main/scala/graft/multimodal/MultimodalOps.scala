@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §7.3).
   *
   * ==STUB boundary==
-  * This container ships no image/audio codecs, so [[FakeCodec]] is a
-  * clearly-marked deterministic stand-in: it "decodes" payload bytes
-  * by chunk-averaging them into a fixed-dim float vector. A real
-  * deployment swaps FakeCodec for javax.imageio / ffmpeg bindings
-  * without touching any Spark-side code — schema, partitioning, and
-  * batch shape are identical.
+  * This container ships no image/audio codec LIBRARIES, so
+  * [[FakeCodec]] is a clearly-marked deterministic stand-in: it
+  * "decodes" payload bytes by chunk-averaging them into a fixed-dim
+  * float vector. A real deployment swaps FakeCodec for
+  * javax.imageio / ffmpeg bindings without touching any Spark-side
+  * code — schema, partitioning, and batch shape are identical.
+  * [[PpmCodec]] proves that claim with a REAL dependency-free codec
+  * (P6 pixmap: genuine header parse, pixel-plane decode,
+  * nearest-neighbor resize on decoded pixels) running through the
+  * same mapPartitions plumbing, driver-gated by q217.
   */
 object MultimodalOps {
 

@@ -118,6 +118,75 @@ object MultimodalQueries {
              |SELECT kind, CAST(sum(resized) AS BIGINT) AS n_resized,
              |  CAST(count(*) AS BIGINT) AS n_media,
              |  CAST(sum(outb) AS BIGINT) AS total_bytes
-             |FROM r GROUP BY kind""".stripMargin))
+             |FROM r GROUP BY kind""".stripMargin)),
+
+    // REAL image decode through the driver gate (round 6): every doc
+    // becomes a genuine P6/PPM payload (formula-valued pixels), and
+    // the executor-side codec parses the ACTUAL bytes — header, dims,
+    // pixel planes — then nearest-neighbor-resizes the decoded pixels
+    // to 4x4 and re-decodes its own output. The oracle never sees the
+    // bytes: it recomputes the same exact-integer channel sums from
+    // the generative formula and the resize's integer source-index
+    // convention, so the two engines agree only if the byte-level
+    // decode/resize math is right. This upgrades the multimodal
+    // plumbing from the declared FakeCodec stand-in to a real codec in
+    // the same mapPartitions batch shape (one pass, no driver bytes).
+    GQuery(
+      "q217_ppm_decode_audit",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select($"doc_id".as("id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (8 + id % 16).toInt
+              val h = (8 + id % 8).toInt
+              val payload = graft.multimodal.PpmCodec.encode(w, h, (x, y) => (
+                ((id * 31 + x * 7 + y * 13) % 256).toInt,
+                ((id * 17 + x * 3 + y * 5) % 256).toInt,
+                ((id * 11 + x + y * 2) % 256).toInt))
+              val img = graft.multimodal.PpmCodec.decode(payload)
+              val (sr, sg, sb) = graft.multimodal.PpmCodec.channelSums(img)
+              val rimg = graft.multimodal.PpmCodec.decode(
+                graft.multimodal.PpmCodec.resize(img, 4, 4))
+              val (rr, rg, rb) = graft.multimodal.PpmCodec.channelSums(rimg)
+              (img.width.toLong, img.height.toLong,
+                sr, sg, sb, rr + rg + rb)
+            }
+          }
+          .toDF("w", "h", "sr", "sg", "sb", "rsum")
+        rows.groupBy($"w", $"h")
+          .agg(count(lit(1)).as("n_images"),
+            sum($"sr").as("sum_r"), sum($"sg").as("sum_g"),
+            sum($"sb").as("sum_b"),
+            sum($"rsum").as("resized_sum"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS id,
+             |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+             |    CAST(8 + doc_id % 8 AS BIGINT) AS h
+             |  FROM documents),
+             |px AS (SELECT id, w, h, xx.x, yy.y FROM m,
+             |    LATERAL (SELECT unnest(generate_series(0, m.w - 1)) AS x) xx,
+             |    LATERAL (SELECT unnest(generate_series(0, m.h - 1)) AS y) yy),
+             |fs AS (SELECT id, w, h,
+             |    CAST(sum((id*31 + x*7 + y*13) % 256) AS BIGINT) AS sr,
+             |    CAST(sum((id*17 + x*3 + y*5) % 256) AS BIGINT) AS sg,
+             |    CAST(sum((id*11 + x + y*2) % 256) AS BIGINT) AS sb
+             |  FROM px GROUP BY 1, 2, 3),
+             |rx AS (SELECT id, (x2.x2 * w) // 4 AS sx, (y2.y2 * h) // 4 AS sy
+             |  FROM m,
+             |    LATERAL (SELECT unnest(generate_series(0, 3)) AS x2) x2,
+             |    LATERAL (SELECT unnest(generate_series(0, 3)) AS y2) y2),
+             |rs AS (SELECT id,
+             |    CAST(sum((id*31 + sx*7 + sy*13) % 256
+             |      + (id*17 + sx*3 + sy*5) % 256
+             |      + (id*11 + sx + sy*2) % 256) AS BIGINT) AS rsum
+             |  FROM rx GROUP BY 1)
+             |SELECT w, h, count(*) AS n_images,
+             |  CAST(sum(sr) AS BIGINT) AS sum_r,
+             |  CAST(sum(sg) AS BIGINT) AS sum_g,
+             |  CAST(sum(sb) AS BIGINT) AS sum_b,
+             |  CAST(sum(rsum) AS BIGINT) AS resized_sum
+             |FROM fs JOIN rs USING (id) GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -70,4 +70,37 @@ class MultimodalSpec extends AnyFunSuite {
     val one = FakeCodec.features(Array[Byte](127), 4, new Array[Float](4))
     assert(one(0) == 127f / 256f)
   }
+
+  test("PpmCodec round-trips P6 bytes, honors comments, rejects corruption") {
+    import graft.multimodal.PpmCodec
+    val img0 = PpmCodec.decode(PpmCodec.encode(3, 2,
+      (x, y) => (x * 10, y * 20, x + y)))
+    assert(img0.width == 3 && img0.height == 2)
+    assert(img0.r(2, 0) == 20 && img0.g(1, 1) == 20 && img0.b(2, 1) == 3)
+    // a header comment (the format allows them) parses
+    val withComment =
+      "P6\n# generated\n2 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3, 4, 5, 6)
+    val img1 = PpmCodec.decode(withComment)
+    assert(img1.width == 2 && img1.r(1, 0) == 4)
+    // corruption fails loudly, never decodes to garbage
+    intercept[IllegalArgumentException](
+      PpmCodec.decode("P5\n1 1\n255\n ".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      PpmCodec.decode("P6\n4 4\n255\nxx".getBytes("US-ASCII")))
+  }
+
+  test("PpmCodec resize resamples decoded pixels nearest-neighbor") {
+    import graft.multimodal.PpmCodec
+    // 4x4 image whose red channel encodes the source x coordinate
+    val img = PpmCodec.decode(PpmCodec.encode(4, 4, (x, y) => (x, y, 0)))
+    val half = PpmCodec.decode(PpmCodec.resize(img, 2, 2))
+    // target (x2, y2) samples source (x2*4/2, y2*4/2) = (2*x2, 2*y2)
+    assert(half.width == 2 && half.height == 2)
+    assert(half.r(0, 0) == 0 && half.r(1, 0) == 2)
+    assert(half.g(0, 1) == 2 && half.g(1, 1) == 2)
+    // upscale repeats source pixels (8/4 -> each source twice)
+    val up = PpmCodec.decode(PpmCodec.resize(img, 8, 8))
+    assert(up.r(0, 0) == 0 && up.r(1, 0) == 0 && up.r(2, 0) == 1)
+  }
 }
