@@ -187,6 +187,68 @@ object MultimodalQueries {
              |  CAST(sum(sg) AS BIGINT) AS sum_g,
              |  CAST(sum(sb) AS BIGINT) AS sum_b,
              |  CAST(sum(rsum) AS BIGINT) AS resized_sum
-             |FROM fs JOIN rs USING (id) GROUP BY 1, 2""".stripMargin))
+             |FROM fs JOIN rs USING (id) GROUP BY 1, 2""".stripMargin)),
+
+    // REAL audio decode through the driver gate: the audio twin of
+    // q217 — every doc becomes a genuine RIFF/WAVE 16-bit-PCM payload
+    // with formula-valued samples, executors walk the ACTUAL container
+    // (chunk ids, fmt validation, little-endian sample plane), then
+    // decimate the decoded samples 4:1 and re-decode their own output.
+    // The oracle recomputes the same exact-integer |sample| sums and
+    // peaks from the formula and the stride convention.
+    GQuery(
+      "q218_wav_decode_audit",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select($"doc_id".as("id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (64 + id % 64).toInt
+              val rate = (8000 + (id % 4) * 4000).toInt
+              val samples = Array.tabulate(n)(i =>
+                (((id * 7 + i.toLong * 13) % 2048) - 1024).toShort)
+              val payload = graft.multimodal.WavCodec.encode(rate, samples)
+              val audio = graft.multimodal.WavCodec.decode(payload)
+              val (sum, peak) = graft.multimodal.WavCodec.absStats(audio)
+              val dec = graft.multimodal.WavCodec.decode(
+                graft.multimodal.WavCodec.decimate(audio, 4))
+              val (dsum, _) = graft.multimodal.WavCodec.absStats(dec)
+              (audio.sampleRate.toLong, audio.samples.length.toLong,
+                sum, peak, dec.samples.length.toLong, dsum)
+            }
+          }
+          .toDF("rate", "n_samples", "abs_sum", "peak", "dec_samples", "dec_sum")
+        rows.groupBy($"rate")
+          .agg(count(lit(1)).as("n_clips"),
+            sum($"n_samples").as("total_samples"),
+            sum($"abs_sum").as("total_abs"),
+            max($"peak").as("max_peak"),
+            sum($"dec_samples").as("total_dec_samples"),
+            sum($"dec_sum").as("total_dec_abs"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS id,
+             |    CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+             |    CAST(64 + doc_id % 64 AS BIGINT) AS n
+             |  FROM documents),
+             |sx AS (SELECT id, rate, n, ii.i,
+             |         abs((id * 7 + ii.i * 13) % 2048 - 1024) AS v
+             |       FROM m,
+             |         LATERAL (SELECT unnest(generate_series(0, m.n - 1)) AS i) ii),
+             |fs AS (SELECT id, rate, n,
+             |         CAST(sum(v) AS BIGINT) AS abs_sum,
+             |         CAST(max(v) AS BIGINT) AS peak,
+             |         CAST(sum(CASE WHEN i % 4 = 0 THEN v ELSE 0 END) AS BIGINT)
+             |           AS dec_sum,
+             |         CAST(sum(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS dec_n
+             |       FROM sx GROUP BY 1, 2, 3)
+             |SELECT rate, count(*) AS n_clips,
+             |  CAST(sum(n) AS BIGINT) AS total_samples,
+             |  CAST(sum(abs_sum) AS BIGINT) AS total_abs,
+             |  max(peak) AS max_peak,
+             |  CAST(sum(dec_n) AS BIGINT) AS total_dec_samples,
+             |  CAST(sum(dec_sum) AS BIGINT) AS total_dec_abs
+             |FROM fs GROUP BY 1""".stripMargin))
   )
 }

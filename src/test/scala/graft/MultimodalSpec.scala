@@ -103,4 +103,31 @@ class MultimodalSpec extends AnyFunSuite {
     val up = PpmCodec.decode(PpmCodec.resize(img, 8, 8))
     assert(up.r(0, 0) == 0 && up.r(1, 0) == 0 && up.r(2, 0) == 1)
   }
+
+  test("WavCodec round-trips PCM, skips unknown chunks, rejects corruption") {
+    import graft.multimodal.WavCodec
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val a = WavCodec.decode(WavCodec.encode(44100, samples))
+    assert(a.sampleRate == 44100 && a.samples.toSeq == samples.toSeq)
+    val (sum, peak) = WavCodec.absStats(a)
+    assert(sum == 0L + 100 + 100 + 32767 + 32768 + 7 && peak == 32768)
+    // an unknown chunk before fmt/data is skipped per the RIFF spec
+    val enc = WavCodec.encode(8000, samples)
+    val extra = java.nio.ByteBuffer.allocate(enc.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(enc, 0, 12) // RIFF header + WAVE
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    extra.put(enc, 12, enc.length - 12)
+    val b = WavCodec.decode(extra.array())
+    assert(b.sampleRate == 8000 && b.samples.length == samples.length)
+    // decimation keeps every k-th decoded sample at the reduced rate
+    val d = WavCodec.decode(WavCodec.decimate(a, 2))
+    assert(d.samples.toSeq == Seq[Short](0, -100, -32768) &&
+      d.sampleRate == 22050)
+    intercept[IllegalArgumentException](
+      WavCodec.decode("RIFX1234WAVE".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      WavCodec.decode(WavCodec.encode(8000, samples).take(20)))
+  }
 }
