@@ -381,7 +381,8 @@ object BgpPlanner {
       if (!store.encoded) Nil
       else f.op match {
         case "regex" | "strstarts" | "strends" | "contains" |
-             "lang" | "!lang" | "datatype" | "!datatype" | "langmatches" =>
+             "lang" | "!lang" | "datatype" | "!datatype" | "langmatches" |
+             "isblank" | "!isblank" =>
           Seq(f.variable).filterNot(lexical)
         case op if op.startsWith("strlen") || op.startsWith("lex") =>
           Seq(f.variable).filterNot(lexical)
@@ -418,6 +419,9 @@ object BgpPlanner {
         case "!lang" => RdfLex.lang(lexOf(f.variable)) =!= f.value
         case "datatype" => RdfLex.datatype(lexOf(f.variable)) === f.value
         case "!datatype" => RdfLex.datatype(lexOf(f.variable)) =!= f.value
+        // blank-node test: data blank nodes are `_:` node ids
+        case "isblank" => lexOf(f.variable).startsWith("_:")
+        case "!isblank" => !lexOf(f.variable).startsWith("_:")
         // LANGMATCHES basic filtering: "*" = any tagged literal; a
         // range matches the tag or its BCP 47 extensions (fr, fr-be)
         case "langmatches" =>
@@ -475,6 +479,7 @@ object BgpPlanner {
           f.op == "lang" || f.op == "!lang" ||
           f.op == "datatype" || f.op == "!datatype" ||
           f.op == "langmatches" || f.op.startsWith("lex") ||
+          f.op == "isblank" || f.op == "!isblank" ||
           orderingOps(f.op))
     def dictPred(f: FilterExpr): Column = {
       val v = col("value")
@@ -496,6 +501,8 @@ object BgpPlanner {
           if (f.value == "*") col("lang") =!= ""
           else col("lang") === f.value ||
             col("lang").startsWith(f.value + "-")
+        case "isblank" => v.startsWith("_:")
+        case "!isblank" => !v.startsWith("_:")
         case op if op.startsWith("lex") =>
           val l = RdfLex.lex(v)
           val r = lit(f.value)

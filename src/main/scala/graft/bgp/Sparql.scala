@@ -299,9 +299,19 @@ object Sparql {
   private val filterStrFnRe =
     ("(?is)filter\\s*\\(?\\s*(strstarts|strends|contains)\\s*\\(\\s*" +
       "\\?(\\w+)\\s*,\\s*\"([^\"]*)\"\\s*\\)\\s*\\)?").r
-  // `FILTER (?v IN (lit, ...))` — desugars to one disjunct per element
+  // `FILTER (?v [NOT] IN (lit, ...))` — IN desugars to one equality
+  // disjunct per element; NOT IN to one all-different conjunct
   private val filterInRe =
-    "(?is)filter\\s*\\(\\s*\\?(\\w+)\\s+in\\s*\\(([^()]*)\\)\\s*\\)".r
+    "(?is)filter\\s*\\(\\s*\\?(\\w+)\\s+(not\\s+)?in\\s*\\(([^()]*)\\)\\s*\\)".r
+  // `FILTER ([!]isBlank(?v))` — SPARQL §17.4.2.2; data blank nodes are
+  // `_:` node ids in the store, so the test is honest
+  private val filterIsBlankRe =
+    "(?is)filter\\s*\\(\\s*(!?)\\s*isblank\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*\\)".r
+  // `FILTER (sameTerm(?a, ?b))` — §17.4.1.8; with one canonical
+  // spelling per term, sameTerm IS equality
+  private val filterSameTermRe =
+    ("(?is)filter\\s*\\(?\\s*sameterm\\s*\\(\\s*\\?(\\w+)\\s*,\\s*" +
+      "\\?(\\w+)\\s*\\)\\s*\\)?").r
   // `FILTER (STRLEN(?v) op n)` — SPARQL §17.4.3.2; the op composes
   // into the FilterExpr op field as "strlen<op>" so the planner's
   // dict-filter + semi-join route applies like any string predicate
@@ -613,20 +623,33 @@ object Sparql {
           m.group(1).toLowerCase, m.group(3), numeric = false))))).toSeq
       val rest2 = filterStrFnRe.replaceAllIn(rest1, "")
       val inClauses = filterInRe.findAllMatchIn(rest2).map { m =>
-        val elems = m.group(2).split(",").toSeq.map(_.trim)
+        val negated = m.group(2) != null
+        val elems = m.group(3).split(",").toSeq.map(_.trim)
           .filter(_.nonEmpty).map { e =>
+            val op = if (negated) "!=" else "="
             if (e.startsWith("\"") && e.endsWith("\"") && e.length >= 2)
-              FilterExpr(m.group(1), "=", e.drop(1).dropRight(1),
+              FilterExpr(m.group(1), op, e.drop(1).dropRight(1),
                 numeric = false)
             else if (numberRe.matches(e))
-              FilterExpr(m.group(1), "=", e, numeric = true)
+              FilterExpr(m.group(1), op, e, numeric = true)
             else throw new IllegalArgumentException(
               s"IN elements must be literals, got: $e")
           }
         require(elems.nonEmpty, s"empty IN list in: $chunk")
-        FilterClause(elems.map(Seq(_)))
+        // IN = any-equal (disjuncts); NOT IN = all-different (conjunct)
+        if (negated) FilterClause(Seq(elems))
+        else FilterClause(elems.map(Seq(_)))
       }.toSeq
-      val rest = filterInRe.replaceAllIn(rest2, "")
+      val rest2b = filterInRe.replaceAllIn(rest2, "")
+      val isBlankClauses = filterIsBlankRe.findAllMatchIn(rest2b).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(2),
+          if (m.group(1).isEmpty) "isblank" else "!isblank", "",
+          numeric = false))))).toSeq
+      val rest2c = filterIsBlankRe.replaceAllIn(rest2b, "")
+      val sameTermClauses = filterSameTermRe.findAllMatchIn(rest2c).map(m =>
+        FilterClause(Seq(Seq(FilterExpr(m.group(1), "=", m.group(2),
+          numeric = false, rhsVar = true))))).toSeq
+      val rest = filterSameTermRe.replaceAllIn(rest2c, "")
       val cmpClauses = filterRe.findAllMatchIn(rest).map { m =>
         FilterClause(m.group(1).split("\\|\\|").toSeq
           .map(_.split("&&").toSeq.map(parseComparison)))
@@ -634,7 +657,8 @@ object Sparql {
       (filterRe.replaceAllIn(rest, ""),
         cmpClauses ++ regexClauses ++ strlenClauses ++ strFnClauses ++
           inClauses ++ boundClauses ++ langClauses ++ datatypeClauses ++
-          langMatchClauses ++ strCastClauses)
+          langMatchClauses ++ strCastClauses ++ isBlankClauses ++
+          sameTermClauses)
     }
 
     // pull extension clauses out first; the remainder is the

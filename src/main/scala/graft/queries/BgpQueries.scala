@@ -1335,6 +1335,37 @@ object BgpQueries {
       },
       Some("""SELECT concat('nation:', n_nationkey) AS n,
              |  concat('"', n_name, '"@fr-be') AS l
-             |FROM nation WHERE n_regionkey = 1 AND n_name >= 'K'""".stripMargin))
+             |FROM nation WHERE n_regionkey = 1 AND n_name >= 'K'""".stripMargin)),
+
+    // isBlank + NOT IN over ingested blank-node SUBJECTS: even-keyed
+    // nations ingest as `_:` anonymous nodes, odd-keyed as named IRIs;
+    // isBlank(?s) selects the anonymous ones honestly (data blank
+    // nodes are `_:` node ids in the store) and the NOT IN conjunct
+    // carves two names out — the §17.4.2.2 + §17.4.1.9 surface the
+    // round's grammar work completes.
+    GQuery(
+      "q219_bgp_isblank_notin",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out =
+          s"target/tmp/q219_nt_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val nat = graft.Tables.t(s, dir, "nation")
+        nat.select(concat(
+            when(col("n_nationkey") % 2 === 0,
+              concat(lit("_:n"), col("n_nationkey")))
+              .otherwise(concat(lit("<nation:"), col("n_nationkey"), lit(">"))),
+            lit(" <label> \""), col("n_name"), lit("\" .")).as("value"))
+          .write.mode("overwrite").text(out)
+        val store = graft.sources.RdfIO.readNTriples(s, out)
+        graft.bgp.BgpPlanner.plan(store, graft.bgp.Sparql.parse(
+          """select ?s ?l where {
+            | ?s label ?l .
+            | FILTER (isBlank(?s)) .
+            | FILTER (?l NOT IN ("ALGERIA", "CHINA")) }""".stripMargin))
+      },
+      Some("""SELECT concat('_:n', n_nationkey) AS s, n_name AS l
+             |FROM nation
+             |WHERE n_nationkey % 2 = 0
+             |  AND n_name NOT IN ('ALGERIA', 'CHINA')""".stripMargin))
   )
 }

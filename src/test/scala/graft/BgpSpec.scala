@@ -148,6 +148,35 @@ class BgpSpec extends AnyFunSuite {
     }
   }
 
+  test("NOT IN, isBlank, and sameTerm filters parse and evaluate") {
+    import org.apache.spark.sql.functions.col
+    val data = Seq(
+      ("_:b0", "v", "x"), ("n:1", "v", "y"), ("n:2", "v", "z")
+    ).toDF("s", "p", "o")
+    val store = TripleStore.fromTriples(data)
+    // NOT IN = all-different conjunct
+    val ni = Sparql.parse(
+      """select ?s where { ?s v ?o . FILTER (?o NOT IN ("x", "z")) }""")
+    assert(BgpPlanner.plan(store, ni).collect().map(_.getString(0)).toSeq
+      == Seq("n:1"))
+    // isBlank selects data blank nodes; !isBlank the rest
+    val ib = Sparql.parse(
+      "select ?o where { ?s v ?o . FILTER (isBlank(?s)) }")
+    assert(BgpPlanner.plan(store, ib).collect().map(_.getString(0)).toSeq
+      == Seq("x"))
+    val nib = Sparql.parse(
+      "select ?o where { ?s v ?o . FILTER (!isBlank(?s)) }")
+    assert(BgpPlanner.plan(store, nib)
+      .collect().map(_.getString(0)).toSeq.sorted == Seq("y", "z"))
+    // sameTerm is equality under the canonical spelling
+    val st = Sparql.parse(
+      """select ?a where { ?a v ?x . ?a v ?y .
+        | FILTER sameTerm(?x, ?y) }""".stripMargin)
+    val f = st.filters.flatMap(_.disjuncts.flatten).head
+    assert(f.op == "=" && f.rhsVar && f.variable == "x" && f.value == "y")
+    assert(BgpPlanner.plan(store, st).select(col("a")).collect().length == 3)
+  }
+
   test("STRLEN filter parses into a composite strlen op") {
     val q = Sparql.parse(
       """select ?a where { ?a name ?n . FILTER (STRLEN(?n) >= 12) }""")
