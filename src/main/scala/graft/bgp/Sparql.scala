@@ -39,6 +39,14 @@ object Sparql {
   private[bgp] val langLitRe =
     "^\"([^\"]*)\"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$".r
 
+  /** Term tokenization shared by triple patterns and VALUES blocks:
+    * a quoted literal with an optional `^^datatype` / `@lang` suffix
+    * (spaces allowed inside the quotes), a `<uri>`, or a bare word.
+    */
+  private[bgp] val termTokenRe =
+    ("\"[^\"]*\"(?:\\^\\^<[^>]*>|\\^\\^[A-Za-z][\\w.-]*:[\\w.-]+" +
+      "|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?|<[^>]*>|\\S+").r
+
   /** Canonical datatype IRI: the well-known `xsd:` prefix expands even
     * without a PREFIX declaration; full IRIs and other CURIEs pass
     * through (declared prefixes were expanded before the tokenizer).
@@ -697,7 +705,7 @@ object Sparql {
     val valuesTables = valuesTupleRe.findAllMatchIn(body0a).map { m =>
       val vs = "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
       val rows = "\\(([^()]*)\\)".r.findAllMatchIn(m.group(2)).map { r =>
-        val consts = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(r.group(1)).toSeq
+        val consts = termTokenRe.findAllIn(r.group(1)).toSeq
           .map(term).map {
             case Const(c) => c
             case other => throw new IllegalArgumentException(
@@ -713,7 +721,7 @@ object Sparql {
     val body0av = valuesTupleRe.replaceAllIn(body0a, "")
     // VALUES ?v { c1 c2 ... }: inline constant bindings for one var
     val valuesBinds = valuesRe.findAllMatchIn(body0av).map { m =>
-      val consts = "\"[^\"]*\"|<[^>]*>|\\S+".r.findAllIn(m.group(2)).toSeq
+      val consts = termTokenRe.findAllIn(m.group(2)).toSeq
         .map(term).map {
           case Const(c) => c
           case other => throw new IllegalArgumentException(
@@ -1062,10 +1070,7 @@ object Sparql {
     body.split("\\s+\\.\\s+|\\s+\\.$|^\\.\\s+").toSeq
       .map(_.trim).filter(s => s.nonEmpty && s != ".")
       .flatMap { pat =>
-        // tokens: "literal" with an optional ^^datatype / @lang suffix
-        // (may contain spaces) | <uri> | bare word
-        val toks = ("\"[^\"]*\"(?:\\^\\^<[^>]*>|\\^\\^[A-Za-z][\\w.-]*:[\\w.-]+" +
-          "|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?|<[^>]*>|\\S+").r.findAllIn(pat).toSeq
+        val toks = termTokenRe.findAllIn(pat).toSeq
         require(toks.length == 3, s"triple pattern needs 3 terms, got '${pat}'")
         val (s, p, o) = (term(toks(0)), term(toks(1)), term(toks(2)))
         p match {

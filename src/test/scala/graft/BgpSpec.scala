@@ -148,6 +148,20 @@ class BgpSpec extends AnyFunSuite {
     }
   }
 
+  test("VALUES blocks accept typed and language-tagged literals") {
+    val q = Sparql.parse(
+      """select ?s where { ?s v ?o .
+        | VALUES ?o { "5"^^xsd:integer "x"@EN plain } }""".stripMargin)
+    assert(q.values == Seq("o" -> Seq(
+      "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>", "\"x\"@en",
+      "plain")))
+    val qt = Sparql.parse(
+      """select ?a ?b where { ?s v ?a . ?s v ?b .
+        | VALUES (?a ?b) { ("1"^^xsd:integer "y"@fr) } }""".stripMargin)
+    assert(qt.valuesTables == Seq((Seq("a", "b"), Seq(Seq(
+      "\"1\"^^<http://www.w3.org/2001/XMLSchema#integer>", "\"y\"@fr")))))
+  }
+
   test("NOT IN, isBlank, and sameTerm filters parse and evaluate") {
     import org.apache.spark.sql.functions.col
     val data = Seq(
