@@ -37,5 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_i64 expects 2 arguments, got ${children.length}")
         DotProductLong(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize expects 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"strip_accents expects 1 argument, got ${children.length}")
+        StripAccents(children.head)
+      }))
   }
 }

@@ -1263,6 +1263,94 @@ object TextQueries {
              |       WHEN rk * 10 <= n * 9 THEN 'val'
              |       ELSE 'test' END AS split,
              |  count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
-             |FROM r GROUP BY 1, 2""".stripMargin))
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // unigram-LM pseudo-perplexity (the CCNet/Wikipedia-LM quality
+    // signal, reduced to its order-0 form): train a unigram model on
+    // the corpus itself — p(w) = count(w)/total — and score every doc
+    // by its mean per-token information content in bits,
+    // bits/token = avg over tokens of (log2 total − log2 count(w)).
+    // Low = repetitive boilerplate, high = rare-token noise; the
+    // middle band is what a curation pass keeps. Scale shape: one
+    // explode, one vocabulary-sized groupBy (map-side partial counts),
+    // and the LM rejoins the token stream via GuardedBroadcast —
+    // vocabulary outgrowing the broadcast cap falls back to a shuffle
+    // hash join on the word key, never a driver collect. Per-token
+    // bits are integerized to milli-bits (floor(x·10⁴+0.5), the
+    // OracleNum pattern) so the per-doc sum is an exact integer —
+    // order-independent across Spark's partial aggregates and DuckDB's
+    // sequential scan — and the only float ops are one identical
+    // subtract/floor per vocab entry and one final division chain.
+    GQuery(
+      "q220_unigram_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val w = t(s, dir, "documents")
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+        val counts = w.groupBy($"word").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum($"c").as("total"))
+        val lm = counts.crossJoin(GuardedBroadcast.maybe(total))
+          .select($"word",
+            floor((log2($"total") - log2($"c")) * 10000 + 0.5)
+              .cast("long").as("mb"))
+        w.join(GuardedBroadcast.maybe(lm), Seq("word"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"), sum($"mb").as("smb"))
+          .select($"doc_id", $"lang", $"n_tokens",
+            ($"smb" * lit(1.0) / lit(10000) / $"n_tokens").as("bits_per_token"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+             |lm AS (SELECT word,
+             |    CAST(floor((log2(total) - log2(c)) * 10000 + 0.5) AS BIGINT) AS mb
+             |  FROM c, tot)
+             |SELECT doc_id, lang, count(*) AS n_tokens,
+             |  CAST(sum(mb) AS BIGINT) * 1.0 / 10000 / count(*) AS bits_per_token
+             |FROM w JOIN lm USING (word)
+             |GROUP BY doc_id, lang""".stripMargin)),
+
+    // Unicode normalization audit — exercises the native codegen
+    // expressions nfc_normalize / strip_accents (GraftExtensions;
+    // DuckDB twins of the same names). The corpus is ASCII, so the
+    // query first synthesizes the hazard deterministically in BOTH
+    // engines: translate a→á / e→é (precomposed), then decompose é
+    // into e+U+0301. NFC must recompose back to the precomposed form,
+    // and strip_accents must recover the original ASCII text —
+    // byte-identical, pinned by the md5 fingerprint column. This is
+    // the dedup-prerequisite in real corpora: visually-identical
+    // strings with different codepoint sequences hash apart until
+    // normalized. Scale shape: per-row codegen'd string kernels over
+    // one scan, no shuffle at all.
+    GQuery(
+      "q221_unicode_normalize",
+      (s, dir) => {
+        import s.implicits._
+        // unicode via escapes so tooling can never re-normalize the
+        // source: \u00e1=a-acute, \u00e9=e-acute, \u0301=combining acute
+        t(s, dir, "documents")
+          .select($"doc_id", $"text",
+            translate($"text", "ae", "\u00e1\u00e9").as("t1"))
+          .withColumn("dx", replace($"t1", lit("\u00e9"), lit("e\u0301")))
+          .select($"doc_id",
+            length($"dx").as("n_decomposed"),
+            length(expr("nfc_normalize(dx)")).as("n_nfc"),
+            (expr("nfc_normalize(dx)") === $"t1").as("nfc_recomposes"),
+            (expr("strip_accents(dx)") === $"text").as("strip_recovers"),
+            md5(expr("strip_accents(nfc_normalize(dx))").cast("binary"))
+              .as("norm_fp"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    translate(text, 'ae', 'áé') AS t1 FROM documents),
+             |x AS (SELECT doc_id, text, t1,
+             |    replace(t1, 'é', 'e' || chr(769)) AS dx FROM d)
+             |SELECT doc_id,
+             |  length(dx) AS n_decomposed,
+             |  length(nfc_normalize(dx)) AS n_nfc,
+             |  nfc_normalize(dx) = t1 AS nfc_recomposes,
+             |  strip_accents(dx) = text AS strip_recovers,
+             |  md5(strip_accents(nfc_normalize(dx))) AS norm_fp
+             |FROM x""".stripMargin))
   )
 }

@@ -84,4 +84,36 @@ class FunctionsSpec extends AnyFunSuite {
     val nulls = Seq((Some(Array(1L)), None: Option[Array[Long]])).toDF("a", "b")
     assert(nulls.select(expr("dot_i64(a, b)")).collect()(0).isNullAt(0))
   }
+
+  test("nfc_normalize composes and strip_accents recovers the base letters") {
+    import spark.implicits._
+    // decomposed e+U+0301 vs precomposed \u00e9; ASCII passthrough;
+    // standalone non-mark letters survive stripping; null propagates
+    val df = Seq(
+      Some("e\u0301cole"),   // decomposed
+      Some("\u00e9cole"),    // precomposed
+      Some("plain ascii"),
+      Some("na\u00efve \u00f1o\u00f1o M\u00fcller"),
+      Some("\u00f8 \u0111"), // letters, not combining marks
+      None).toDF("s")
+    val rows = df.select(
+        expr("nfc_normalize(s)").as("nfc"),
+        expr("strip_accents(s)").as("bare"),
+        length(expr("nfc_normalize(s)")).as("n"))
+      .collect()
+    assert(rows(0).getString(0) == "\u00e9cole" && rows(0).getInt(2) == 5)
+    assert(rows(1).getString(0) == "\u00e9cole")
+    assert(rows(0).getString(1) == "ecole" && rows(1).getString(1) == "ecole")
+    assert(rows(2).getString(0) == "plain ascii" &&
+      rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "naive nono Muller")
+    assert(rows(4).getString(1) == "\u00f8 \u0111")
+    assert(rows(5).isNullAt(0) && rows(5).isNullAt(1))
+    // the interpreted kernel must agree with what codegen calls
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.UnicodeNorm
+      .nfc(UTF8String.fromString("e\u0301")).toString == "\u00e9")
+    assert(graft.functions.UnicodeNorm
+      .stripAccents(UTF8String.fromString("\u00e9")).toString == "e")
+  }
 }

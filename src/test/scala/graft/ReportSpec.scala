@@ -105,4 +105,24 @@ class ReportSpec extends AnyFunSuite {
     assert(twins.count() == 0)
     pairs.unpersist()
   }
+
+  test("q220 perplexity covers every doc and bits/token sits in [0, log2 N]") {
+    import spark.implicits._
+    val scored = run("q220_unigram_perplexity").cache()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(scored.count() == docs.count(),
+      "every document must be scored exactly once")
+    // total token mass must reconcile with an independent tokenization
+    val nTok = scored.agg(sum($"n_tokens")).first().getLong(0)
+    val direct = docs.select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).first().getLong(0)
+    assert(nTok == direct, "token accounting must match a direct count")
+    // information bound: a token's bits is log2(total/count) with
+    // count >= 1, so 0 <= bits/token <= log2(total tokens); the
+    // milli-bit integerization can overshoot by at most 5e-5
+    val lim = math.log(direct.toDouble) / math.log(2.0) + 1e-4
+    assert(scored.filter($"bits_per_token" < 0.0 ||
+      $"bits_per_token" > lim).count() == 0)
+    scored.unpersist()
+  }
 }
