@@ -1079,6 +1079,33 @@ object EventQueries {
              |SELECT event_type, count(*) AS n_classes,
              |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky,
              |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed
-             |FROM classes GROUP BY 1""".stripMargin))
+             |FROM classes GROUP BY 1""".stripMargin)),
+
+    // sliding (hopping) windows — 1-hour windows every 15 minutes, the
+    // overlapping complement of q34's tumbling hour. Spark assigns each
+    // event to width/slide = 4 epoch-aligned windows inside the window()
+    // expression (a generate, not a self-join); the oracle spells the
+    // same fan-out as an explicit 4-row range unnest. Scale shape: the
+    // 4x row expansion happens map-side inside the scan stage, then one
+    // shuffle on (window, type) with map-side partial aggregates —
+    // identical shape to the tumbling case, just 4x the aggregate input.
+    // The streaming twin is StreamOps.slidingCounts (StreamSpec).
+    GQuery(
+      "q222_sliding_window",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(
+            window($"ts", "1 hour", "15 minutes").getField("start")
+              .as("win_start"),
+            $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      },
+      Some("""WITH g AS (SELECT unnest(range(4)) AS k)
+             |SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+             |         - k * INTERVAL '15 minutes' AS TIMESTAMP) AS win_start,
+             |  event_type, count(*) AS n,
+             |  sum(floor((value) * 10000 + 0.5)) / 10000 AS total_value
+             |FROM events, g GROUP BY 1, 2""".stripMargin))
   )
 }

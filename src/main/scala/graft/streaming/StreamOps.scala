@@ -64,6 +64,22 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Sliding (hopping) event-time windows: `width`-long windows every
+    * `slide`. Each event enters width/slide windows — the expansion is
+    * a generate inside the window() expression, map-side, and the
+    * watermark drops a window's state once it is `allowed` behind the
+    * max event time, exactly as for tumbling windows (the state is
+    * width/slide times larger, the algorithmic minimum for overlap).
+    * Batch twin with DuckDB oracle: q222_sliding_window.
+    */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", allowed: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", allowed)
+      .groupBy(window(col("ts"), width, slide).getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
   /** Declarative sessionization via the native session_window operator:
     * a session extends while consecutive events are < gap apart. This
     * is the preferred (codegen'd, state-store-backed) path; the

@@ -55,6 +55,40 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts assigns each event to width/slide hopping windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.slidingCounts(src.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      src.addData(
+        ev(1, "2024-01-01 10:05:00", 1),  // windows 09:30 and 10:00
+        ev(2, "2024-01-01 10:40:00", 1))  // windows 10:00 and 10:30
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .select($"win_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 09:30:00", "click", 1L),
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 10:30:00", "click", 1L)))
+      // the streaming result must agree with the batch twin's engine
+      // (same window() expression drives q222_sliding_window)
+      val batch = Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), "click"))
+        .toDF("ts", "event_type")
+        .groupBy(window($"ts", "1 hour", "30 minutes").getField("start")
+          .as("win_start"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"win_start".cast("string"), $"event_type", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("streaming training pipeline filters, dedups, and windows documents") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
