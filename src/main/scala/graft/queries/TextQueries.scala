@@ -1351,6 +1351,51 @@ object TextQueries {
              |  nfc_normalize(dx) = t1 AS nfc_recomposes,
              |  strip_accents(dx) = text AS strip_recovers,
              |  md5(strip_accents(nfc_normalize(dx))) AS norm_fp
-             |FROM x""".stripMargin))
+             |FROM x""".stripMargin)),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // per language, draw 25 docs with inclusion odds proportional to
+    // length — the length-debiased complement of q82's uniform hash
+    // sample. Each doc gets a deterministic uniform u from md5 (seeded,
+    // reproducible across engines and reruns) and priority ln(u)/w;
+    // the top-k priorities per stratum are exactly a w-weighted draw
+    // without replacement. The priority is integerized to 1e-6 (the
+    // OracleNum idea) so a last-ulp ln() difference between engines
+    // can't flip an ordering: a micro-unit collision falls to the
+    // doc_id tiebreak, identical on both sides. Scale shape: per-row
+    // hash + log over one scan, then a per-stratum top-k — Spark plans
+    // the rank filter as WindowGroupLimit, so each partition keeps
+    // only k rows before the (lang)-keyed shuffle.
+    GQuery(
+      "q223_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+          .select($"lang", $"doc_id", $"n_chars",
+            conv(substring(md5(concat($"doc_id".cast("string"), lit(":wrs"))
+              .cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+          .withColumn("u", ($"h" + 0.5) / 4294967296.0)
+          .withColumn("pri",
+            floor(log($"u") / $"n_chars" * 1000000).cast("long"))
+        val w = Window.partitionBy($"lang").orderBy($"pri".desc, $"doc_id")
+        d.withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 25)
+          .select($"lang", $"rank", $"doc_id", $"n_chars")
+      },
+      Some("""WITH d AS (SELECT lang, doc_id, n_chars,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':wrs')), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |p AS (SELECT lang, doc_id, n_chars,
+             |    CAST(floor(ln((h + 0.5) / 4294967296.0) / n_chars * 1000000)
+             |      AS BIGINT) AS pri
+             |  FROM d)
+             |SELECT lang, rank, doc_id, n_chars FROM (
+             |  SELECT lang, doc_id, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY pri DESC, doc_id) AS BIGINT) AS rank
+             |  FROM p)
+             |WHERE rank <= 25""".stripMargin))
   )
 }

@@ -125,4 +125,43 @@ class ReportSpec extends AnyFunSuite {
       $"bits_per_token" > lim).count() == 0)
     scored.unpersist()
   }
+
+  test("q223 weighted sample is per-stratum top-k, deterministic, length-biased") {
+    import spark.implicits._
+    // sf0.01: strata (~100 docs/lang) comfortably exceed k=25, so the
+    // length-bias property is observable, not vacuous
+    val sf = "/root/testdata/sf0.01"
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    val sample = run("q223_weighted_sample").cache()
+    val docs = Tables.t(spark, sf, "documents").cache()
+    // exactly min(25, stratum size) rows per lang, contiguous ranks
+    val strata = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = sample.groupBy($"lang")
+      .agg(count(lit(1)).as("k"), max($"rank").as("maxr"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (lang, k, maxr) =>
+      assert(k == math.min(25L, strata(lang)) && maxr == k,
+        s"$lang: k=$k maxr=$maxr stratum=${strata(lang)}") }
+    // reruns are identical (hash-seeded, no rand())
+    val again = run("q223_weighted_sample")
+    assert(sample.except(again).count() == 0 &&
+      again.except(sample).count() == 0)
+    // w ∝ n_chars must overrepresent long docs vs the uniform mean
+    // in any stratum the sample doesn't fully exhaust
+    val partial = got.collect { case (l, k, _) if strata(l) > 3 * k => l }.toSet
+    if (partial.nonEmpty) {
+      val sMean = sample.filter($"lang".isin(partial.toSeq: _*))
+        .agg(avg($"n_chars")).first().getDouble(0)
+      val cMean = docs.filter($"lang".isin(partial.toSeq: _*))
+        .agg(avg($"n_chars")).first().getDouble(0)
+      assert(sMean > cMean,
+        s"length-weighted draw must skew long: sample=$sMean corpus=$cMean")
+    }
+    // the rank filter must plan as a group-limit, not a full sort
+    val plan = run("q223_weighted_sample").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-stratum top-k should push a WindowGroupLimit")
+    sample.unpersist(); docs.unpersist()
+  }
 }
