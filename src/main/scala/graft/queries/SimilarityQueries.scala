@@ -707,6 +707,73 @@ object SimilarityQueries {
               |  CAST(count(*) FILTER (WHERE cell != label) AS BIGINT)
               |    AS n_drift,
               |  max(cos_sim) AS max_sim
-              |FROM best GROUP BY 1""".stripMargin))
+              |FROM best GROUP BY 1""".stripMargin)),
+
+    // ANN quality audit: recall@3 of the IVF bucket search (q48's
+    // same-cell candidate rule) against the exact brute-force top-3 —
+    // the measurement every approximate index needs before it replaces
+    // the exact path in production. One broadcast pass scores all
+    // (query, candidate) pairs; the exact and IVF rankings are two
+    // windows over that single relation (the IVF one restricted to
+    // same-label candidates), and the per-query hit count is a
+    // (qid, cid)-keyed semi-intersection. Queries whose bucket misses
+    // true neighbors surface as recall < 1 — never silently. Scale
+    // shape: identical to q47 (the corpus is scanned once against a
+    // broadcast query set); everything after is query-count-sized.
+    GQuery(
+      "q224_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"v".as("qv"), $"nrm".as("qn"))
+        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"),
+          $"v".as("cv"), $"nrm".as("cn"))
+        val scored = c.join(GuardedBroadcast.maybe(q), $"cid" =!= $"qid")
+          .select($"qid", $"qlabel", $"cid", $"clabel",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        val exact = scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3).select($"qid", $"cid")
+        val ivf = scored.filter($"clabel" === $"qlabel")
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3).select($"qid", $"cid")
+        val hits = ivf.join(exact, Seq("qid", "cid"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("n"))
+        q.select($"qid").join(hits, Seq("qid"), "left_outer")
+          .select($"qid",
+            coalesce($"n", lit(0L)).as("n_hits"),
+            (coalesce($"n", lit(0L)) * lit(1.0) / lit(3)).as("recall_at_3"))
+      },
+      Some(s"""WITH $quantizedSql,
+              |lbl AS (SELECT vec_id, label FROM embeddings),
+              |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |           CAST(sum(q.x * c.x) AS BIGINT) AS dot
+              |         FROM flat q JOIN flat c
+              |           ON c.i = q.i AND c.vec_id <> q.vec_id
+              |         WHERE q.vec_id < 20 GROUP BY 1, 2),
+              |scored AS (SELECT qid, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE))
+              |      * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+              |    JOIN nrm nc ON nc.vec_id = cid),
+              |exact AS (SELECT qid, cid FROM (
+              |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              |      ORDER BY cos_sim DESC, cid) AS r FROM scored) WHERE r <= 3),
+              |ivf AS (SELECT qid, cid FROM (
+              |    SELECT s.qid, s.cid, row_number() OVER (PARTITION BY s.qid
+              |      ORDER BY s.cos_sim DESC, s.cid) AS r
+              |    FROM scored s
+              |      JOIN lbl lq ON lq.vec_id = s.qid
+              |      JOIN lbl lc ON lc.vec_id = s.cid AND lc.label = lq.label)
+              |  WHERE r <= 3),
+              |h AS (SELECT i.qid, count(*) AS n FROM ivf i
+              |      JOIN exact e2 ON e2.qid = i.qid AND e2.cid = i.cid
+              |      GROUP BY 1),
+              |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20)
+              |SELECT qs.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+              |  coalesce(h.n, 0) * 1.0 / 3 AS recall_at_3
+              |FROM qs LEFT JOIN h ON h.qid = qs.qid""".stripMargin))
   )
 }
