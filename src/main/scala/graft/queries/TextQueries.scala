@@ -1396,6 +1396,59 @@ object TextQueries {
              |    CAST(row_number() OVER (PARTITION BY lang
              |      ORDER BY pri DESC, doc_id) AS BIGINT) AS rank
              |  FROM p)
-             |WHERE rank <= 25""".stripMargin))
+             |WHERE rank <= 25""".stripMargin)),
+
+    // bigram-LM perplexity (order-1 upgrade of q220): score each doc
+    // by mean conditional information -log2 p(w2|w1), with
+    // p(w2|w1) = c(w1,w2)/c(w1,·) trained on the corpus itself. Unlike
+    // the unigram signal, this catches locally-incoherent text (high
+    // bits) and copy-pasted runs (near-zero bits) even when the word
+    // mix looks normal. The bigram stream is built map-side from each
+    // doc's token array (transform over an index sequence — no
+    // position self-join, which would be a data-sized join at 100 TB);
+    // counts are one bigram-vocabulary-sized groupBy; context counts
+    // roll up FROM the bigram counts (vocab-sized input, not corpus);
+    // the LM rejoins via GuardedBroadcast with shuffle fallback. Same
+    // milli-bit integerization as q220 for cross-engine exact sums.
+    GQuery(
+      "q225_bigram_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .select($"doc_id", $"lang", split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+        val bb = d.select($"doc_id", $"lang", explode(expr(
+            "transform(sequence(1, size(w)-1), i -> named_struct('w1', w[i-1], 'w2', w[i]))"))
+            .as("p"))
+          .select($"doc_id", $"lang", $"p.w1".as("w1"), $"p.w2".as("w2"))
+        val c2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+        val lm = c2.join(c1, Seq("w1"))
+          .select($"w1", $"w2",
+            floor((log2($"c1") - log2($"c2")) * 10000 + 0.5)
+              .cast("long").as("mb"))
+        bb.join(GuardedBroadcast.maybe(lm), Seq("w1", "w2"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"mb").as("smb"))
+          .select($"doc_id", $"lang", $"n_bigrams",
+            ($"smb" * lit(1.0) / lit(10000) / $"n_bigrams")
+              .as("bits_per_bigram"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |bb AS (SELECT doc_id, lang,
+             |    unnest(list_transform(range(2, len(w) + 1),
+             |      i -> {'w1': w[i-1], 'w2': w[i]})) AS p
+             |  FROM d),
+             |b2 AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM bb),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+             |lm AS (SELECT w1, w2,
+             |    CAST(floor((log2(c1) - log2(c2)) * 10000 + 0.5) AS BIGINT) AS mb
+             |  FROM c2 JOIN c1 USING (w1))
+             |SELECT doc_id, lang, count(*) AS n_bigrams,
+             |  CAST(sum(mb) AS BIGINT) * 1.0 / 10000 / count(*) AS bits_per_bigram
+             |FROM b2 JOIN lm USING (w1, w2)
+             |GROUP BY doc_id, lang""".stripMargin))
   )
 }

@@ -126,6 +126,33 @@ class ReportSpec extends AnyFunSuite {
     scored.unpersist()
   }
 
+  test("q225 bigram bits are bounded and conditioning beats the unigram model") {
+    import spark.implicits._
+    val bi = run("q225_bigram_perplexity").cache()
+    val docs = Tables.t(spark, sf, "documents")
+    // coverage: every doc with >= 2 tokens scores exactly once
+    val eligible = docs.filter(size(split($"text", " ")) >= 2).count()
+    assert(bi.count() == eligible)
+    val nBi = bi.agg(sum($"n_bigrams")).first().getLong(0)
+    val lim = math.log(nBi.toDouble) / math.log(2.0) + 1e-4
+    assert(bi.filter($"bits_per_bigram" < 0.0 ||
+      $"bits_per_bigram" > lim).count() == 0)
+    // Gibbs: the per-context MLE must beat the context-free model on
+    // its own training corpus (token-weighted means; the unigram mean
+    // includes each doc's first token, a sub-percent position skew
+    // absorbed by the 0.1-bit slack)
+    val uni = run("q220_unigram_perplexity")
+    val uniMean = uni.agg(
+      sum($"bits_per_token" * $"n_tokens") / sum($"n_tokens"))
+      .first().getDouble(0)
+    val biMean = bi.agg(
+      sum($"bits_per_bigram" * $"n_bigrams") / sum($"n_bigrams"))
+      .first().getDouble(0)
+    assert(biMean < uniMean + 0.1,
+      s"conditional MLE must not lose to unigram: bi=$biMean uni=$uniMean")
+    bi.unpersist()
+  }
+
   test("q223 weighted sample is per-stratum top-k, deterministic, length-biased") {
     import spark.implicits._
     // sf0.01: strata (~100 docs/lang) comfortably exceed k=25, so the
