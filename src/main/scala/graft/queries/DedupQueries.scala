@@ -960,6 +960,98 @@ object DedupQueries {
               |  CAST(sum(lab.n) AS BIGINT) AS n_tokens,
               |  CAST(sum(pii.n_pii) AS BIGINT) AS n_pii
               |FROM lab JOIN pii USING (doc_id)
-              |GROUP BY 1""".stripMargin))
+              |GROUP BY 1""".stripMargin)),
+
+    // LSH quality audit: recall and candidate-precision of the
+    // 16-permutation MinHash rule (q45's candidate generator) against
+    // exact shingle Jaccard (q44's banded ground truth), at three
+    // similarity thresholds — the dedup twin of q224's ANN recall
+    // audit, and the number that decides how many permutations/bands a
+    // production dedup pass needs. All threshold tests are integer
+    // cross-multiplications (inter·1000 ≥ thr·union), so no float
+    // compare sits on a boundary. Scale shape: both pair relations are
+    // the banded equi-joins the underlying queries already use (df-
+    // capped — never all-pairs); the audit adds one (d1,d2) full-outer
+    // join and a 3-row threshold cross, both pair-count-sized.
+    GQuery(
+      "q226_lsh_recall_audit",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleBand(s, dir)
+        val card = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val exact = sh.as("a").join(sh.as("b"),
+            col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(card.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+          .join(card.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+          .select($"d1", $"d2", $"inter", ($"n1" + $"n2" - $"inter").as("uni"))
+        val mh = shingles(s, dir)
+          .select($"doc_id", $"s", explode(sequence(lit(0), lit(15))).as("j"))
+          .select($"doc_id", $"j",
+            h32(concat($"j".cast("string"), lit(":"), $"s")).as("h"))
+          .groupBy($"doc_id", $"j").agg(min($"h").as("h"))
+        val cand = mh.as("a").join(mh.as("b"),
+            col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct().withColumn("det", lit(1L))
+        val pairs = exact.join(cand, Seq("d1", "d2"), "full_outer")
+          .select(coalesce($"inter", lit(0L)).as("inter"),
+            coalesce($"uni", lit(1L)).as("uni"),
+            coalesce($"det", lit(0L)).as("det"))
+        val thr = Seq(300L, 500L, 700L).toDF("thr_milli")
+        pairs.crossJoin(thr).groupBy($"thr_milli")
+          .agg(
+            sum(when($"inter" * 1000 >= $"thr_milli" * $"uni", 1L)
+              .otherwise(0L)).as("n_true"),
+            sum(when($"inter" * 1000 >= $"thr_milli" * $"uni" &&
+              $"det" === 1L, 1L).otherwise(0L)).as("n_hit"),
+            sum($"det").as("n_cand"))
+          .select($"thr_milli", $"n_true", $"n_hit", $"n_cand",
+            when($"n_true" > 0, $"n_hit" * lit(1.0) / $"n_true").as("recall"),
+            when($"n_cand" > 0, $"n_hit" * lit(1.0) / $"n_cand")
+              .as("cand_precision"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |card AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+              |exact AS (SELECT d1, d2, inter, c1.n + c2.n - inter AS uni FROM (
+              |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |    FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+              |    GROUP BY 1, 2) i
+              |  JOIN card c1 ON c1.doc_id = d1
+              |  JOIN card c2 ON c2.doc_id = d2),
+              |hs AS (SELECT doc_id, s, unnest(generate_series(0, 15)) AS j FROM sh),
+              |mh AS (SELECT doc_id, j,
+              |         min(CAST(concat('0x', substr(md5(concat(j, ':', s)), 1, 8)) AS BIGINT)) AS h
+              |       FROM hs GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |         FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h
+              |           AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT coalesce(e.inter, 0) AS inter,
+              |    coalesce(e.uni, 1) AS uni,
+              |    CASE WHEN c.d1 IS NULL THEN 0 ELSE 1 END AS det
+              |  FROM exact e FULL OUTER JOIN cand c
+              |    ON c.d1 = e.d1 AND c.d2 = e.d2),
+              |t AS (SELECT unnest([300, 500, 700]) AS thr_milli)
+              |SELECT CAST(thr_milli AS BIGINT) AS thr_milli,
+              |  CAST(sum(CASE WHEN inter * 1000 >= thr_milli * uni
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+              |  CAST(sum(CASE WHEN inter * 1000 >= thr_milli * uni AND det = 1
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+              |  CAST(sum(det) AS BIGINT) AS n_cand,
+              |  CASE WHEN sum(CASE WHEN inter * 1000 >= thr_milli * uni
+              |      THEN 1 ELSE 0 END) > 0
+              |    THEN CAST(sum(CASE WHEN inter * 1000 >= thr_milli * uni AND det = 1
+              |      THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+              |      / CAST(sum(CASE WHEN inter * 1000 >= thr_milli * uni
+              |        THEN 1 ELSE 0 END) AS BIGINT)
+              |    ELSE NULL END AS recall,
+              |  CASE WHEN sum(det) > 0
+              |    THEN CAST(sum(CASE WHEN inter * 1000 >= thr_milli * uni AND det = 1
+              |      THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / CAST(sum(det) AS BIGINT)
+              |    ELSE NULL END AS cand_precision
+              |FROM pairs, t GROUP BY 1""".stripMargin))
   )
 }
