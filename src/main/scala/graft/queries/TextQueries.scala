@@ -1449,6 +1449,54 @@ object TextQueries {
              |SELECT doc_id, lang, count(*) AS n_bigrams,
              |  CAST(sum(mb) AS BIGINT) * 1.0 / 10000 / count(*) AS bits_per_bigram
              |FROM b2 JOIN lm USING (w1, w2)
-             |GROUP BY doc_id, lang""".stripMargin))
+             |GROUP BY doc_id, lang""".stripMargin)),
+
+    // per-source token-distribution skew: KL(source ‖ corpus) in bits
+    // over word frequencies — the information-theoretic upgrade of
+    // q212's length-histogram drift, and the number that says WHICH
+    // feed's language actually diverges from the mix (dedup siblings
+    // and templated feeds score near 0; a topical feed scores high).
+    // Every source's support is a subset of the corpus support, so the
+    // MLE KL needs no smoothing. Exactness: the per-(source,word) term
+    // c_sw·(log2 c_sw − log2 T_s − log2 c_w + log2 T_c) integerizes
+    // its log factor to milli-bits, making the weighted sum an exact
+    // integer; two final divides. Scale shape: one (source,word)
+    // groupBy (vocab × sources, sublinear in tokens), corpus counts
+    // rejoin via GuardedBroadcast, output is source-count-sized.
+    GQuery(
+      "q227_source_kl_divergence",
+      (s, dir) => {
+        import s.implicits._
+        val w = t(s, dir, "documents")
+          .select($"source", explode(split($"text", " ")).as("word"))
+        val sw = w.groupBy($"source", $"word").agg(count(lit(1)).as("csw"))
+        val st = sw.groupBy($"source").agg(sum($"csw").as("ts"))
+        val cw = sw.groupBy($"word").agg(sum($"csw").as("c"))
+        val tot = cw.agg(sum($"c").as("tc"))
+        sw.join(GuardedBroadcast.maybe(cw), Seq("word"))
+          .join(GuardedBroadcast.maybe(st), Seq("source"))
+          .crossJoin(GuardedBroadcast.maybe(tot))
+          .select($"source", $"csw", $"ts",
+            floor((log2($"csw") - log2($"ts") - log2($"c") + log2($"tc"))
+              * 10000 + 0.5).cast("long").as("mb"))
+          .groupBy($"source")
+          .agg(max($"ts").as("n_tokens"), sum($"csw" * $"mb").as("smb"))
+          .select($"source", $"n_tokens",
+            ($"smb" * lit(1.0) / $"n_tokens" / lit(10000))
+              .as("kl_bits"))
+      },
+      Some("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |sw AS (SELECT source, word, count(*) AS csw FROM w GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(sum(csw) AS BIGINT) AS ts FROM sw GROUP BY 1),
+             |cw AS (SELECT word, CAST(sum(csw) AS BIGINT) AS c FROM sw GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM cw),
+             |terms AS (SELECT sw.source, sw.csw, st.ts,
+             |    CAST(floor((log2(csw) - log2(ts) - log2(c) + log2(tc))
+             |      * 10000 + 0.5) AS BIGINT) AS mb
+             |  FROM sw JOIN cw USING (word) JOIN st USING (source), tot)
+             |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+             |  CAST(sum(csw * mb) AS BIGINT) * 1.0 / max(ts) / 10000 AS kl_bits
+             |FROM terms GROUP BY source""".stripMargin))
   )
 }
