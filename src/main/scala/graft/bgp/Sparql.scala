@@ -458,11 +458,56 @@ object Sparql {
     sb.toString
   }
 
+  // a SELECT item of the form `(expr AS ?alias)` whose head is NOT an
+  // aggregate keyword — SPARQL 1.1 §16.1 projection expressions; expr
+  // may nest one paren level (CONCAT/STRLEN/IF calls), like bindRe
+  private val selectExprRe =
+    "(?is)\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s+as\\s+\\?(\\w+)\\s*\\)".r
+
+  /** SPARQL 1.1 §16.1 projection expressions, as sugar: rewrite
+    * `SELECT (expr AS ?x)` to `SELECT ?x` + a trailing
+    * `BIND(expr AS ?x)` inside the WHERE block. For a non-aggregating
+    * query the algebra is identical (§18.2.4 evaluates SELECT
+    * expressions by Extend over the group pattern's solutions — the
+    * same operation as a final BIND); expressions OVER aggregate
+    * aliases would need post-grouping Extend and are rejected rather
+    * than silently mis-scoped. Idempotent on queries without the form.
+    */
+  def desugarSelectExprs(query: String): String = {
+    val selIdx = indexOfWord(query.trim, "select")
+    val whereIdx = indexOfWord(query.trim, "where")
+    if (selIdx != 0 || whereIdx < 0) return query
+    val q = query.trim
+    val sel = q.substring(0, whereIdx)
+    val rest = q.substring(whereIdx)
+    // an item is a plain aggregate iff the WHOLE `(AGG(...) AS ?x)`
+    // form matches the aggregate item grammar — `(sum(?a)/count(?a)
+    // AS ?m)` starts with an aggregate keyword but is an expression,
+    // and must reach the reject below, not linger unparsed
+    val exprs = selectExprRe.findAllMatchIn(sel).toSeq
+      .filter(m => !selectItemRe.pattern.matcher(m.matched).matches())
+    if (exprs.isEmpty) return query
+    require(!exprs.exists(m => aggFnRe.findFirstIn(m.group(1)).nonEmpty),
+      s"projection expressions over aggregates are not supported: $query")
+    var newSel = sel
+    val binds = exprs.map { m =>
+      newSel = newSel.replace(m.matched, s" ?${m.group(2)} ")
+      s"BIND (${m.group(1).trim} AS ?${m.group(2)})"
+    }
+    val closeIdx = rest.lastIndexOf("}")
+    require(closeIdx > 0, s"where clause must be braced: $query")
+    newSel + rest.substring(0, closeIdx) + " " +
+      binds.mkString(" . ") + " " + rest.substring(closeIdx)
+  }
+
+  private val aggFnRe =
+    "(?is)\\b(count|sum|min|max|avg|group_concat|sample)\\s*\\(".r
+
   /** Parse the reference subset + extensions. Throws
     * IllegalArgumentException on queries outside the grammar.
     */
   def parse(query0: String): BgpQuery = {
-    val query = expandPrefixes(query0)
+    val query = desugarSelectExprs(expandPrefixes(query0))
     // query-global counter for sequence-path intermediates; the prefix
     // is reserved so desugared vars can be told apart from user vars
     val fresh = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -1366,6 +1366,39 @@ object BgpQueries {
       Some("""SELECT concat('_:n', n_nationkey) AS s, n_name AS l
              |FROM nation
              |WHERE n_nationkey % 2 = 0
-             |  AND n_name NOT IN ('ALGERIA', 'CHINA')""".stripMargin))
+             |  AND n_name NOT IN ('ALGERIA', 'CHINA')""".stripMargin)),
+
+    // SPARQL 1.1 §16.1 projection expressions: `SELECT (expr AS ?x)`
+    // desugars at parse time to a trailing BIND (§18.2.4's Extend over
+    // the group pattern — the identical algebra for non-aggregating
+    // queries), so computed projections ride the existing BIND
+    // machinery, including decode-on-demand on the encoded store.
+    GQuery(
+      "q228_bgp_select_expr",
+      bgp("""select ?n (concat(?nm, "#", ?rn) AS ?tag)
+            |       (strlen(?nm) AS ?len) where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | ?n regionkey ?r .
+            | ?r name ?rn }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat(n_name, '#', r_name) AS tag,
+             |  CAST(strlen(n_name) AS BIGINT) AS len
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // encoded-store twin: the desugared BIND's CONCAT/STRLEN touch
+    // only the lexical columns they need via the targeted dict join
+    GQuery(
+      "q229_bgp_select_expr_encoded",
+      bgp("""select ?n (concat(?nm, "#", ?rn) AS ?tag)
+            |       (strlen(?nm) AS ?len) where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | ?n regionkey ?r .
+            | ?r name ?rn }""".stripMargin, encoded = true),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat(n_name, '#', r_name) AS tag,
+             |  CAST(strlen(n_name) AS BIGINT) AS len
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin))
   )
 }

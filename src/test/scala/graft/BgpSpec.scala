@@ -1128,4 +1128,30 @@ class BgpSpec extends AnyFunSuite {
       ("d:1", "alpha", "beta_gamma"),
       ("d:2", "", "")))
   }
+
+  test("SELECT (expr AS ?x) projection expressions desugar to a trailing BIND") {
+    val st = TripleStore.fromTriples(Seq(
+      ("d:1", "title", "alpha"),
+      ("d:2", "title", "lengthier")
+    ).toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st,
+      """select ?S (concat(?T, "!") AS ?bang) (strlen(?T) AS ?n)
+        |where { ?S title ?T }""".stripMargin)
+    val rows = out.collect().map(r =>
+      (r.getString(r.fieldIndex("S")), r.getString(r.fieldIndex("bang")),
+        r.getLong(r.fieldIndex("n")))).toSet
+    assert(rows == Set(("d:1", "alpha!", 5L), ("d:2", "lengthier!", 9L)))
+    // the desugar must leave aggregate items alone...
+    val agg = BgpPlanner.query(st,
+      "select (count(?T) as ?c) where { ?S title ?T }")
+    assert(agg.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // ...and reject expressions OVER aggregates instead of mis-scoping
+    val err = intercept[IllegalArgumentException] {
+      Sparql.parse("select (sum(?T) / count(?T) AS ?m) where { ?S title ?T }")
+    }
+    assert(err.getMessage.contains("projection expressions over aggregates"))
+    // idempotent on queries without the form
+    val q = "select ?S where { ?S title ?T }"
+    assert(Sparql.desugarSelectExprs(q) == q)
+  }
 }
