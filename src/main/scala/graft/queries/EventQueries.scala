@@ -1106,6 +1106,46 @@ object EventQueries {
              |         - k * INTERVAL '15 minutes' AS TIMESTAMP) AS win_start,
              |  event_type, count(*) AS n,
              |  sum(floor((value) * 10000 + 0.5)) / 10000 AS total_value
-             |FROM events, g GROUP BY 1, 2""".stripMargin))
+             |FROM events, g GROUP BY 1, 2""".stripMargin)),
+
+    // per-type daily OHLC bars (open/high/low/close): the argmin/argmax
+    // aggregate surface. Spark spells open/close as min_by/max_by over
+    // the unique (epoch-us, event_id) ordering key — ONE hash aggregate
+    // with map-side partials, no sort-window anywhere, which is the
+    // shape that survives 100x: first/last-in-group via row_number
+    // would sort every partition; min_by carries exactly one candidate
+    // row per group through the shuffle. The ordering key is unique
+    // (event_id tiebreak), so ties cannot make the answer
+    // engine-dependent. high/low/open/close are raw stored doubles —
+    // no float arithmetic, both engines hash identical bits. The
+    // oracle spells the same bars with ordered window functions
+    // (DuckDB 1.0's arg_max can't take a composite key).
+    GQuery(
+      "q232_event_ohlc",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events")
+          .select($"event_type", to_date($"ts").as("day"), $"value",
+            struct(unix_micros($"ts"), $"event_id").as("ord"))
+        e.groupBy($"event_type", $"day")
+          .agg(
+            min_by($"value", $"ord").as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max_by($"value", $"ord").as("close"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+             |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |      ORDER BY epoch_us(ts), event_id) AS rf,
+             |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+             |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rl
+             |  FROM events)
+             |SELECT event_type, day,
+             |  max(CASE WHEN rf = 1 THEN value END) AS open,
+             |  max(value) AS high, min(value) AS low,
+             |  max(CASE WHEN rl = 1 THEN value END) AS close,
+             |  count(*) AS n
+             |FROM e GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -774,6 +774,105 @@ object SimilarityQueries {
               |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20)
               |SELECT qs.qid, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
               |  coalesce(h.n, 0) * 1.0 / 3 AS recall_at_3
-              |FROM qs LEFT JOIN h ON h.qid = qs.qid""".stripMargin))
+              |FROM qs LEFT JOIN h ON h.qid = qs.qid""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // within each coarse cluster, a vector is dropped when a LOWER-id
+    // vector sits within cosine > tau of it — the deterministic,
+    // order-free variant of the paper's greedy keep-one rule (the
+    // min-id "coverer" plays the kept exemplar; no sequential sweep, so
+    // the rule parallelizes). Candidates are same-cluster pairs only
+    // (bucket join, never all-pairs) and the exact-integer cosine makes
+    // the tau test identical in both engines. Output is a per-cluster
+    // retention report: corpus curation reads "cluster 3 is 40%
+    // semantic duplicates" straight off it. Scale shape: the pair join
+    // is bounded by cluster size (the coarse quantizer's job); the
+    // dropped-set dedup and the accounting shuffle on (label, vec_id) —
+    // aggregate-sized output.
+    GQuery(
+      "q230_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val a = e.select($"label", $"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"))
+        val b = e.select($"label", $"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"))
+        val dropped = a.join(b, Seq("label"))
+          .filter($"d1" < $"d2")
+          .filter(cosine(dot("v1", "v2"), $"n1", $"n2") > 0.30)
+          .select($"label", $"d2").distinct()
+          .groupBy($"label").agg(count(lit(1)).as("n_dropped"))
+        e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+          .join(dropped, Seq("label"), "left_outer")
+          .select($"label", $"n_vecs",
+            coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+            ($"n_vecs" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+      },
+      Some(s"""WITH $quantizedSql,
+              |dots AS (SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+              |           CAST(sum(a.x * b.x) AS BIGINT) AS dot
+              |         FROM flat a JOIN flat b
+              |           ON b.i = a.i AND b.label = a.label AND a.vec_id < b.vec_id
+              |         GROUP BY 1, 2, 3),
+              |drp AS (SELECT label, count(DISTINCT d2) AS n_dropped FROM (
+              |    SELECT d.label, d.d2 FROM dots d
+              |      JOIN nrm n1 ON n1.vec_id = d.d1
+              |      JOIN nrm n2 ON n2.vec_id = d.d2
+              |    WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nrm AS DOUBLE))
+              |      * sqrt(CAST(n2.nrm AS DOUBLE))) > 0.30)
+              |  GROUP BY 1),
+              |base AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1)
+              |SELECT base.label, base.n_vecs,
+              |  CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+              |  CAST(base.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
+              |FROM base LEFT JOIN drp ON drp.label = base.label""".stripMargin)),
+
+    // diversified top-k retrieval: global top-5 per query under a
+    // per-cluster cap of 2 — the window-composable core of MMR-style
+    // diversity (a result list shouldn't be five paraphrases from one
+    // cluster). Two stacked rankings over ONE scored relation: rank
+    // within (query, cluster), keep <= 2, re-rank survivors globally.
+    // Both windows plan as WindowGroupLimit, so the shuffle carries at
+    // most 2 rows per (query, cluster) past the first rank — the cap
+    // does the pruning, not a post-filter. Scale shape: identical to
+    // q47's broadcast scoring pass; everything downstream is
+    // query-count-sized.
+    GQuery(
+      "q231_diversified_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+        val c = e.select($"vec_id".as("cid"), $"label", $"v".as("cv"), $"nrm".as("cn"))
+        val scored = c.join(GuardedBroadcast.maybe(q), $"cid" =!= $"qid")
+          .select($"qid", $"cid", $"label",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val wc = Window.partitionBy($"qid", $"label")
+          .orderBy($"cos_sim".desc, $"cid".asc)
+        val wg = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        scored.withColumn("cr", row_number().over(wc)).filter($"cr" <= 2)
+          .withColumn("rank", row_number().over(wg).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"qid", $"cid", $"label", $"cos_sim", $"rank")
+      },
+      Some(s"""WITH $quantizedSql,
+              |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+              |           CAST(sum(q.x * c.x) AS BIGINT) AS dot
+              |         FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+              |         WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
+              |scored AS (SELECT qid, cid, label,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE))
+              |      * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+              |    JOIN nrm nc ON nc.vec_id = cid),
+              |capped AS (SELECT qid, cid, label, cos_sim FROM (
+              |    SELECT qid, cid, label, cos_sim, row_number() OVER (
+              |        PARTITION BY qid, label ORDER BY cos_sim DESC, cid) AS cr
+              |    FROM scored) WHERE cr <= 2)
+              |SELECT qid, cid, label, cos_sim, rank FROM (
+              |  SELECT qid, cid, label, cos_sim, CAST(row_number() OVER (
+              |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+              |  FROM capped)
+              |WHERE rank <= 5""".stripMargin))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.scale.GuardedBroadcast
 import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token stats,
@@ -1497,6 +1498,58 @@ object TextQueries {
              |  FROM sw JOIN cw USING (word) JOIN st USING (source), tot)
              |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
              |  CAST(sum(csw * mb) AS BIGINT) * 1.0 / max(ts) / 10000 AS kl_bits
-             |FROM terms GROUP BY source""".stripMargin))
+             |FROM terms GROUP BY source""".stripMargin)),
+
+    // curriculum shard manifest: every doc gets an exact global
+    // difficulty decile (n_chars as the difficulty proxy) plus a
+    // deterministic hash shard and an easy-to-hard reading position
+    // within its shard — the writer-side plan for curriculum training
+    // (each shard sees the full difficulty mix; within a shard the
+    // loader reads easy docs first). The decile is EXACT without a
+    // global sort: global rank = (docs with a smaller length, from a
+    // length-histogram prefix sum — histogram is value-domain-sized
+    // and broadcast) + (row_number among same-length docs by doc_id).
+    // The only partition-less window runs over that histogram, never
+    // over docs; the per-shard position window partitions by shard
+    // (shard count is the scale knob, sized to the writer fleet).
+    GQuery(
+      "q233_curriculum_shards",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select($"doc_id", $"n_chars")
+          .withColumn("h",
+            conv(substring(md5(concat($"doc_id".cast("string"), lit(":cur"))
+              .cast("binary")), 1, 8), 16, 10).cast("long"))
+        val hist = d.groupBy($"n_chars").agg(count(lit(1)).as("c"))
+        val wl = Window.orderBy($"n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = hist.select($"n_chars",
+          coalesce(sum($"c").over(wl), lit(0L)).as("below"))
+        val tot = hist.agg(sum($"c").as("total"))
+        val wn = Window.partitionBy($"n_chars").orderBy($"doc_id")
+        val wp = Window.partitionBy($"shard")
+          .orderBy($"decile", $"h", $"doc_id")
+        d.join(GuardedBroadcast.maybe(cum), Seq("n_chars"))
+          .withColumn("grank", $"below" + row_number().over(wn))
+          .crossJoin(GuardedBroadcast.maybe(tot))
+          .select($"doc_id", ($"h" % 8).as("shard"),
+            expr("(grank - 1) * 10 DIV total").as("decile"), $"h")
+          .withColumn("pos", row_number().over(wp).cast("long"))
+          .drop("h")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':cur')), 1, 8)) AS BIGINT) AS h,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+             |    count(*) OVER () AS total
+             |  FROM documents),
+             |dd AS (SELECT doc_id, h % 8 AS shard,
+             |    (grank - 1) * 10 // total AS decile, h
+             |  FROM d)
+             |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+             |  CAST(decile AS BIGINT) AS decile,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY decile, h, doc_id) AS BIGINT) AS pos
+             |FROM dd""".stripMargin))
   )
 }

@@ -191,4 +191,108 @@ class ReportSpec extends AnyFunSuite {
       "per-stratum top-k should push a WindowGroupLimit")
     sample.unpersist(); docs.unpersist()
   }
+
+  test("q230 semdedup accounting partitions each cluster; pairs stay keyed") {
+    import spark.implicits._
+    val df = run("q230_semdedup").cache()
+    // kept + dropped = cluster size, dropped strictly below cluster size
+    // (the min-id coverer itself can never be covered by a smaller id)
+    assert(df.filter($"n_kept" + $"n_dropped" =!= $"n_vecs").count() == 0)
+    assert(df.filter($"n_dropped" >= $"n_vecs" && $"n_vecs" > 0).count() == 0)
+    // every cluster is reported, sizes sum to the corpus
+    val total = df.agg(sum($"n_vecs")).first().getLong(0)
+    assert(total == Tables.t(spark, sf, "embeddings").count())
+    // the pair generator must be an equi-join on the cluster label —
+    // a nested-loop here is the all-pairs scan the design forbids
+    val plan = run("q230_semdedup").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "semdedup candidates must come from the label equi-join")
+    df.unpersist()
+  }
+
+  test("q231 diversified top-k honors both the global k and the cluster cap") {
+    import spark.implicits._
+    val df = run("q231_diversified_topk").cache()
+    val perQ = df.groupBy($"qid").agg(count(lit(1)).as("n"),
+      max($"rank").as("maxr"))
+    assert(perQ.filter($"n" > 5 || $"maxr" > 5).count() == 0)
+    val perCluster = df.groupBy($"qid", $"label").agg(count(lit(1)).as("n"))
+    assert(perCluster.filter($"n" > 2).count() == 0,
+      "no query may take more than 2 results from one cluster")
+    // the capped list is a subset of the scored relation ranked by
+    // cos_sim: ranks are contiguous from 1 and scores non-increasing
+    val nonMono = df.as[(Long, Long, Long, Double, Long)].collect()
+      .groupBy(_._1).values.exists { rows =>
+        val sorted = rows.toSeq.sortBy(_._5)
+        sorted.map(_._5) != (1L to sorted.length.toLong) ||
+          sorted.sliding(2).exists(p =>
+            p.length == 2 && p(0)._4 < p(1)._4)
+      }
+    assert(!nonMono, "ranks must be contiguous with non-increasing scores")
+    // both rankings plan as group-limits
+    val plan = run("q231_diversified_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    df.unpersist()
+  }
+
+  test("q232 OHLC agrees with the window spelling and never plans a sort-window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = run("q232_event_ohlc").cache()
+    // independent window-function spelling of the same bars
+    val e = Tables.t(spark, sf, "events")
+      .select($"event_type", to_date($"ts").as("day"), $"value",
+        struct(unix_micros($"ts"), $"event_id").as("ord"))
+    val w = Window.partitionBy($"event_type", $"day").orderBy($"ord")
+    val twin = e
+      .withColumn("open", first($"value").over(w
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("close", last($"value").over(w
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy($"event_type", $"day")
+      .agg(first($"open").as("open"), max($"value").as("high"),
+        min($"value").as("low"), first($"close").as("close"),
+        count(lit(1)).as("n"))
+    assert(df.except(twin).count() == 0 && twin.except(df).count() == 0)
+    // the min_by/max_by form is ONE hash aggregate — no Window, no Sort
+    // feeding it (that's the point vs the row_number spelling)
+    val plan = run("q232_event_ohlc").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "argmin/argmax bars must not fall back to a sort-window")
+    assert(df.filter($"high" < $"low" || $"open" > $"high" ||
+      $"open" < $"low" || $"close" > $"high" || $"close" < $"low")
+      .count() == 0, "bar invariant: low <= open, close <= high")
+    df.unpersist()
+  }
+
+  test("q233 curriculum deciles are exact and shards interleave the mix") {
+    import spark.implicits._
+    val df = run("q233_curriculum_shards").cache()
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(df.count() == n, "every doc gets a slot")
+    // exact deciles: each holds floor/ceil(n/10) docs
+    val sizes = df.groupBy($"decile").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (0L to 9L).toSet)
+    assert(sizes.values.forall(c => c == n / 10 || c == n / 10 + 1),
+      s"decile sizes must be n/10 +- 1: $sizes")
+    // decile is monotone in difficulty: max length of decile d never
+    // exceeds min length of decile d+2 (d+1 may straddle one length)
+    val docs = Tables.t(spark, sf, "documents").select($"doc_id", $"n_chars")
+    val rng = df.join(docs, "doc_id").groupBy($"decile")
+      .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    rng.sliding(3).foreach { t =>
+      if (t.length == 3) assert(t(0)._3 <= t(2)._2,
+        s"decile ${t(0)._1} overlaps decile ${t(2)._1}") }
+    // positions are contiguous per shard, and every shard sees
+    // every decile (the interleaving property curriculum needs)
+    val pos = df.groupBy($"shard").agg(count(lit(1)).as("c"),
+      max($"pos").as("maxp"))
+    assert(pos.filter($"c" =!= $"maxp").count() == 0)
+    assert(df.select($"shard", $"decile").distinct().count() == 8 * 10,
+      "each of the 8 shards must carry all 10 deciles")
+    df.unpersist()
+  }
 }
