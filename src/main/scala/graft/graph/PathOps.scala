@@ -86,4 +86,39 @@ object PathOps {
     }
     dist
   }
+
+  /** Vertices of the k-core (maximal subgraph where every vertex keeps
+    * degree ≥ k) — iterative peeling to the fixpoint. `edges` must be
+    * the SYMMETRIZED distinct edge set (both directions present), so
+    * degree = count of rows per src.
+    *
+    * The k-core is order-independent (the fixpoint is unique no matter
+    * which low-degree vertex peels first), which is what makes a
+    * distributed bulk peel correct: each round drops EVERY vertex
+    * currently under degree k at once — one aggregation + two
+    * semi-joins, all keyed on the vertex — and converges in at most
+    * the peel depth of the graph (rounds are a data property, ≤4 on
+    * the test corpus; degeneracy-bounded, not size-bounded, at 100×).
+    * Same localCheckpoint lineage hygiene as [[transitiveClosure]].
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    var ed = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var m = ed.count()
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val alive = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src"))
+      val pruned = ed
+        .join(alive, Seq("src"), "left_semi")
+        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+      val m2 = pruned.count()
+      if (m2 == m) done = true
+      else { ed = pruned; m = m2; iter += 1 }
+    }
+    ed.select(col("src").as("v")).distinct()
+  }
 }

@@ -236,6 +236,58 @@ object GraphQueries {
               |tri AS (SELECT x, y FROM wedges
               |        WHERE EXISTS (SELECT 1 FROM ornt WHERE a = x AND b = y))
               |SELECT (SELECT count(*) FROM wedges) AS n_wedges,
-              |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin))
+              |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin)),
+
+    // 5-core of the entity graph (iterative peeling to the unique
+    // fixpoint — PathOps.kCore): which entity types survive when every
+    // member must keep >= 5 graph neighbors. The density screen a
+    // graph-sampling pipeline runs before walking: peripheral
+    // single-link entities (most parts' suppliers, sub-5-item orders)
+    // peel away, the dense order/customer/part center remains. Peel
+    // rounds are bounded by the graph's degeneracy ordering depth (a
+    // data property — 4 on this corpus, verified at 3 SFs), not its
+    // size. Oracle: monotone removed-set recursion — each round
+    // re-emits the FULL removed set tagged with a new round number
+    // (UNION ALL keeps the working table = the whole set), so the
+    // next round can compute residual degrees; the round < 8 guard
+    // terminates the recursion two rounds past the observed fixpoint,
+    // and any insufficiency surfaces as a hash mismatch, never
+    // silently.
+    GQuery(
+      "q234_kcore",
+      (s, dir) => {
+        import s.implicits._
+        val store = TripleStore.fromStarSchema(s, dir)
+        val e0 = entityPreds.flatMap(store.slices.get)
+          .map(_.select($"s", $"o"))
+          .reduce(_ unionByName _)
+          .distinct()
+        val und = e0.select($"s".as("src"), $"o".as("dst"))
+          .unionByName(e0.select($"o".as("src"), $"s".as("dst")))
+          .distinct()
+        graft.graph.PathOps.kCore(und, 5)
+          .select(substring_index($"v", ":", 1).as("etype"))
+          .groupBy($"etype").agg(count(lit(1)).as("n_core"))
+      },
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |e1 AS (SELECT DISTINCT s, o FROM edges),
+              |ed AS (SELECT s AS a, o AS b FROM e1
+              |       UNION SELECT o, s FROM e1),
+              |deg0 AS (SELECT a AS v, count(*) AS d FROM ed GROUP BY 1),
+              |rem AS (
+              |  SELECT 0 AS round, v FROM deg0 WHERE d < 5
+              |  UNION ALL
+              |  SELECT (SELECT max(round) FROM rem) + 1 AS round, d0.v
+              |  FROM deg0 d0
+              |  LEFT JOIN (SELECT ed.a AS v, count(*) AS rd
+              |             FROM ed JOIN rem ON rem.v = ed.b GROUP BY 1) rn
+              |    ON rn.v = d0.v
+              |  WHERE d0.d - coalesce(rn.rd, 0) < 5
+              |    AND (SELECT max(round) FROM rem) < 8),
+              |removed AS (SELECT DISTINCT v FROM rem),
+              |core AS (SELECT d0.v FROM deg0 d0
+              |         ANTI JOIN removed r ON r.v = d0.v)
+              |SELECT split_part(v, ':', 1) AS etype, count(*) AS n_core
+              |FROM core GROUP BY 1""".stripMargin))
   )
 }

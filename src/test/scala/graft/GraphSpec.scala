@@ -90,4 +90,30 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(viaGraph == expected)
   }
+
+  test("kCore peels to the unique fixpoint, including cascade rounds") {
+    import spark.implicits._
+    import graft.graph.PathOps
+    // K4 {a,b,c,d} plus a chain d-e-f hanging off it. 2-core = the
+    // clique: e and f peel, but f (degree 1) must go FIRST and only
+    // then does e drop under 2 — the cascade that proves the loop
+    // iterates rather than filtering once.
+    val cliq = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e", "e" -> "f")
+    val und = cliq.toDF("src", "dst")
+      .unionByName(cliq.map(_.swap).toDF("src", "dst"))
+    val core2 = PathOps.kCore(und, 2).as[String].collect().toSet
+    assert(core2 == Set("a", "b", "c", "d"))
+    // 3-core keeps the clique too (every clique vertex has 3 clique
+    // neighbors); 4-core is empty — peeling must drain fully, not stop
+    // at a nonempty under-degree remnant
+    assert(PathOps.kCore(und, 3).as[String].collect().toSet ==
+      Set("a", "b", "c", "d"))
+    assert(PathOps.kCore(und, 4).count() == 0)
+    // corpus query: the 5-core report is a partition of a subset of
+    // the vertex inventory, never larger than it
+    val rep = SparkEntry.queries("q234_kcore")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toMap
+    assert(rep.values.forall(_ > 0) && rep.keySet.contains("order"))
+  }
 }
