@@ -873,6 +873,68 @@ object SimilarityQueries {
               |  SELECT qid, cid, label, cos_sim, CAST(row_number() OVER (
               |      PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
               |  FROM capped)
-              |WHERE rank <= 5""".stripMargin))
+              |WHERE rank <= 5""".stripMargin)),
+
+    // hard-negative triplet mining for contrastive training: per
+    // anchor, the positive is its most-cosine-similar SAME-label
+    // vector and the negatives are the 2 most-similar OTHER-label
+    // vectors — the "hardest" negatives, the ones a contrastive loss
+    // learns most from (easy random negatives quickly contribute ~0
+    // gradient). One broadcast scoring pass (q47's shape) feeds both
+    // rankings; each is a WindowGroupLimit over the same relation, so
+    // the only data-sized work is the single corpus scan. The margin
+    // column (pos_sim - neg_sim) is the curriculum signal: triplets
+    // with small or negative margin are the valuable ones.
+    GQuery(
+      "q235_triplet_mining",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"v".as("qv"), $"nrm".as("qn"))
+        val c = e.select($"vec_id".as("cid"), $"label".as("clabel"),
+          $"v".as("cv"), $"nrm".as("cn"))
+        val scored = c.join(GuardedBroadcast.maybe(q), $"cid" =!= $"qid")
+          .select($"qid", $"qlabel", $"cid", $"clabel",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_sim"))
+        val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid".asc)
+        val pos = scored.filter($"clabel" === $"qlabel")
+          .withColumn("pr", row_number().over(w)).filter($"pr" === 1)
+          .select($"qid", $"cid".as("pos_id"), $"cos_sim".as("pos_sim"))
+        val neg = scored.filter($"clabel" =!= $"qlabel")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 2)
+          .select($"qid", $"cid".as("neg_id"), $"cos_sim".as("neg_sim"),
+            $"rank")
+        pos.join(neg, Seq("qid"))
+          .select($"qid", $"pos_id", $"neg_id", $"rank",
+            $"pos_sim", $"neg_sim",
+            ($"pos_sim" - $"neg_sim").as("margin"))
+      },
+      Some(s"""WITH $quantizedSql,
+              |lbl AS (SELECT vec_id, label FROM embeddings),
+              |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |           CAST(sum(q.x * c.x) AS BIGINT) AS dot
+              |         FROM flat q JOIN flat c ON c.i = q.i AND c.vec_id <> q.vec_id
+              |         WHERE q.vec_id < 20 GROUP BY 1, 2),
+              |scored AS (SELECT qid, cid, lq.label AS qlabel, lc.label AS clabel,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE))
+              |      * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+              |    JOIN nrm nc ON nc.vec_id = cid
+              |    JOIN lbl lq ON lq.vec_id = qid
+              |    JOIN lbl lc ON lc.vec_id = cid),
+              |pos AS (SELECT qid, cid AS pos_id, cos_sim AS pos_sim FROM (
+              |    SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid
+              |      ORDER BY cos_sim DESC, cid) AS pr
+              |    FROM scored WHERE clabel = qlabel) WHERE pr = 1),
+              |neg AS (SELECT qid, cid AS neg_id, cos_sim AS neg_sim, rank FROM (
+              |    SELECT qid, cid, cos_sim, CAST(row_number() OVER (
+              |        PARTITION BY qid ORDER BY cos_sim DESC, cid) AS BIGINT) AS rank
+              |    FROM scored WHERE clabel <> qlabel) WHERE rank <= 2)
+              |SELECT pos.qid, pos_id, neg_id, rank, pos_sim, neg_sim,
+              |  pos_sim - neg_sim AS margin
+              |FROM pos JOIN neg ON neg.qid = pos.qid""".stripMargin))
   )
 }

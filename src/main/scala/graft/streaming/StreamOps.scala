@@ -80,6 +80,27 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Daily OHLC bars per event type (open/high/low/close), streaming:
+    * min_by/max_by over the unique (epoch-us, event_id) key are plain
+    * declarative aggregates, so the window state is ONE candidate row
+    * per (type, day) — the watermark finalizes a day's bar `allowed`
+    * behind the max event time, identical state discipline to
+    * tumblingCounts. Batch twin with DuckDB oracle: q232_event_ohlc.
+    */
+  def ohlcBars(events: DataFrame, allowed: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", allowed)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day_start"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"),
+          struct(unix_micros(col("ts")), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"),
+          struct(unix_micros(col("ts")), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+
   /** Declarative sessionization via the native session_window operator:
     * a session extends while consecutive events are < gap apart. This
     * is the preferred (codegen'd, state-store-backed) path; the

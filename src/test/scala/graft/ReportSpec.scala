@@ -266,6 +266,32 @@ class ReportSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q235 triplets pair each anchor's best positive with other-label hard negatives") {
+    import spark.implicits._
+    val df = run("q235_triplet_mining").cache()
+    // exactly 2 negatives (ranks 1,2) per anchor that has a positive
+    val perQ = df.groupBy($"qid")
+      .agg(count(lit(1)).as("n"), countDistinct($"pos_id").as("np"))
+    assert(perQ.filter($"n" =!= 2 || $"np" =!= 1).count() == 0)
+    // negatives really are other-label; the positive same-label
+    val lbl = Tables.t(spark, sf, "embeddings").select($"vec_id", $"label")
+    val bad = df
+      .join(lbl.select($"vec_id".as("qid"), $"label".as("ql")), "qid")
+      .join(lbl.select($"vec_id".as("pos_id"), $"label".as("pl")), "pos_id")
+      .join(lbl.select($"vec_id".as("neg_id"), $"label".as("nl")), "neg_id")
+      .filter($"pl" =!= $"ql" || $"nl" === $"ql")
+    assert(bad.count() == 0)
+    assert(df.filter(abs($"margin" - ($"pos_sim" - $"neg_sim")) > 1e-12)
+      .count() == 0)
+    // hard negatives: rank-1 neg_sim >= rank-2 neg_sim per anchor
+    val mono = df.groupBy($"qid").pivot("rank", Seq("1", "2"))
+      .agg(first($"neg_sim"))
+    assert(mono.filter($"1" < $"2").count() == 0)
+    val plan = run("q235_triplet_mining").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    df.unpersist()
+  }
+
   test("q233 curriculum deciles are exact and shards interleave the mix") {
     import spark.implicits._
     val df = run("q233_curriculum_shards").cache()

@@ -89,6 +89,40 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ohlcBars picks open/close by arrival order within the day bar") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = StreamOps.ohlcBars(src.toDF())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    try {
+      // out-of-order arrival: the 09:00 event arrives LAST but is the
+      // day's open; the 23:00 event is the close despite low value
+      src.addData(
+        ev(2, "2024-01-01 12:00:00", 1, v = 9.0),
+        ev(3, "2024-01-01 23:00:00", 1, v = 2.0),
+        ev(1, "2024-01-01 09:00:00", 1, v = 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ohlc")
+        .select($"day_start".cast("string"), $"event_type",
+          $"open", $"high", $"low", $"close", $"n")
+        .as[(String, String, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "click", 5.0, 9.0, 2.0, 2.0, 3L)))
+      // same-timestamp tie falls to event_id: id=4 < id=5 so 4 opens
+      src.addData(
+        ev(5, "2024-01-02 08:00:00", 1, v = 7.0),
+        ev(4, "2024-01-02 08:00:00", 1, v = 3.0))
+      q.processAllAvailable()
+      val d2 = spark.table("ohlc")
+        .filter($"day_start".cast("string").startsWith("2024-01-02"))
+        .select($"open", $"close").as[(Double, Double)].collect().toSet
+      assert(d2 == Set((3.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming training pipeline filters, dedups, and windows documents") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
