@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.scale.GuardedBroadcast
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1146,6 +1147,115 @@ object EventQueries {
              |  max(value) AS high, min(value) AS low,
              |  max(CASE WHEN rl = 1 THEN value END) AS close,
              |  count(*) AS n
-             |FROM e GROUP BY 1, 2""".stripMargin))
+             |FROM e GROUP BY 1, 2""".stripMargin)),
+
+    // per-type OLS value trend (least-squares slope over event time):
+    // the regression-aggregate surface, spelled scale- and
+    // determinism-safe. Naive regr_slope sums double products in
+    // shuffle order — not reproducible across engines or runs. Here
+    // every regression sum (n, Σx, Σy, Σxy, Σx²) is an EXACT int64:
+    // x = minutes since the type's first event (centering keeps
+    // Σx² ≤ ~6e14 at sf1 — a fixed epoch would overflow), y = value
+    // in 1e-4 units. The closed-form slope then runs an identical
+    // IEEE double formula over identical integers in both engines —
+    // bit-equal, no rounding discipline needed. Scale shape: one scan,
+    // per-type min rejoined via GuardedBroadcast, one partial-agg
+    // shuffle; output is type-count-sized.
+    GQuery(
+      "q236_trend_slopes",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "events").select($"event_type",
+          expr("unix_micros(ts) DIV 60000000").as("xm"),
+          expr("cast(floor(value * 10000 + 0.5) as bigint)").as("vi"))
+        val mn = e.groupBy($"event_type").agg(min($"xm").as("mnx"))
+        val sums = e.join(GuardedBroadcast.maybe(mn), Seq("event_type"))
+          .select($"event_type", ($"xm" - $"mnx").as("x"), $"vi")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"vi").as("sy"), sum($"x" * $"vi").as("sxy"),
+            sum($"x" * $"x").as("sxx"))
+        val nd = $"n".cast("double"); val sxd = $"sx".cast("double")
+        val syd = $"sy".cast("double"); val sxyd = $"sxy".cast("double")
+        val sxxd = $"sxx".cast("double")
+        sums.select($"event_type", $"n",
+          ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) / lit(10000.0))
+            .as("slope_per_min"),
+          (syd / nd / lit(10000.0)).as("mean_value"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_us(ts) // 60000000 AS xm,
+             |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+             |  FROM events),
+             |mn AS (SELECT event_type, min(xm) AS mnx FROM e GROUP BY 1),
+             |sums AS (SELECT e.event_type, count(*) AS n,
+             |    CAST(sum(xm - mnx) AS BIGINT) AS sx,
+             |    CAST(sum(vi) AS BIGINT) AS sy,
+             |    CAST(sum((xm - mnx) * vi) AS BIGINT) AS sxy,
+             |    CAST(sum((xm - mnx) * (xm - mnx)) AS BIGINT) AS sxx
+             |  FROM e JOIN mn ON mn.event_type = e.event_type
+             |  GROUP BY 1)
+             |SELECT event_type, n,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |  / 10000.0 AS slope_per_min,
+             |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean_value
+             |FROM sums""".stripMargin)),
+
+    // CUSUM change-point per event type: the hour where the cumulative
+    // deviation of hourly counts from the type's mean rate peaks — the
+    // classic "when did the rate shift" detector over a metric series.
+    // Exactness: S_i = Σ_{j<=i}(c_j − total/n) is kept as the INTEGER
+    // n·S_i = n·prefix_i − i·total (no float mean anywhere); the peak
+    // argmax and its sign are decided on integers, and only the
+    // reported magnitude divides once into double. Scale shape: hourly
+    // counts are aggregate-sized (hours × types), so the per-type
+    // ordered prefix window runs over a tiny relation; everything
+    // data-sized is the one groupBy scan.
+    GQuery(
+      "q237_cusum_changepoint",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val wtot = Window.partitionBy($"event_type")
+        val word = Window.partitionBy($"event_type").orderBy($"hr")
+        val cum = c
+          .withColumn("total", sum($"c").over(wtot))
+          .withColumn("n", count(lit(1)).over(wtot))
+          .withColumn("pref", sum($"c").over(
+            word.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("i", row_number().over(word).cast("long"))
+          .withColumn("sn", $"n" * $"pref" - $"i" * $"total")
+        val wpk = Window.partitionBy($"event_type")
+          .orderBy(abs($"sn").desc, $"hr".asc)
+        cum.withColumn("rk", row_number().over(wpk)).filter($"rk" === 1)
+          .select($"event_type", $"hr".as("change_hr"),
+            ($"sn".cast("double") / $"n".cast("double")).as("cusum_peak"),
+            $"n".as("n_hours"))
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |cum AS (SELECT event_type, hr,
+             |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY hr
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+             |      AS BIGINT) AS i
+             |  FROM c),
+             |s AS (SELECT event_type, hr, n,
+             |    n * pref - i * total AS sn FROM cum)
+             |SELECT event_type, hr AS change_hr,
+             |  CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_peak,
+             |  n AS n_hours
+             |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+             |    ORDER BY abs(sn) DESC, hr) AS rk FROM s)
+             |WHERE rk = 1""".stripMargin))
   )
 }

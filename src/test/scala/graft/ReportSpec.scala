@@ -292,6 +292,46 @@ class ReportSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q236 integer-sum OLS agrees with the native regr_slope to float noise") {
+    import spark.implicits._
+    val df = run("q236_trend_slopes")
+    // independent floating-point spelling over the same (x, y) pairs
+    val e = Tables.t(spark, sf, "events").select($"event_type",
+      expr("unix_micros(ts) DIV 60000000").as("xm"), $"value")
+    val mn = e.groupBy($"event_type").agg(min($"xm").as("mnx"))
+    val float = e.join(mn, Seq("event_type"))
+      .groupBy($"event_type")
+      .agg(expr("regr_slope(value, xm - mnx)").as("fslope"),
+        avg($"value").as("fmean"))
+    val j = df.join(float, Seq("event_type"))
+    assert(j.filter(abs($"slope_per_min" - $"fslope") > 1e-6 ||
+      abs($"mean_value" - $"fmean") > 1e-6).count() == 0)
+    assert(j.count() == 5)
+  }
+
+  test("q237 CUSUM peak is the argmax of the float cumulative deviation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = run("q237_cusum_changepoint")
+    val c = Tables.t(spark, sf, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val wt = Window.partitionBy($"event_type")
+    val wo = Window.partitionBy($"event_type").orderBy($"hr")
+    val s = c.withColumn("mean", avg($"c").over(wt))
+      .withColumn("s", sum($"c" - $"mean").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = s.withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy(abs($"s").desc, $"hr".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type", $"hr".as("f_hr"), $"s".as("f_peak"))
+    val j = df.join(peak, Seq("event_type"))
+    assert(j.filter($"change_hr" =!= $"f_hr").count() == 0,
+      "integer argmax must pick the same hour as the float cumsum")
+    assert(j.filter(abs($"cusum_peak" - $"f_peak") > 1e-6).count() == 0)
+    assert(df.filter($"n_hours" > 24 * 31).count() == 0)
+  }
+
   test("q233 curriculum deciles are exact and shards interleave the mix") {
     import spark.implicits._
     val df = run("q233_curriculum_shards").cache()
