@@ -1085,11 +1085,19 @@ object Sparql {
         throw new IllegalArgumentException(s"not a DESCRIBE query: $query")
     }
 
+  // `CONSTRUCT WHERE { ... }` shorthand (SPARQL 1.1 §10.2.3): the
+  // template IS the pattern. The spec restricts the body to plain
+  // triple patterns; anything else fails template validation below.
+  private val constructWhereRe =
+    "(?is)^\\s*construct\\s+where\\s*\\{(.*)\\}\\s*$".r
+
   /** `CONSTRUCT { template } WHERE { ... }` — returns the template
     * triples plus the underlying SELECT over the template's variables.
     */
   def parseConstruct(query: String): (Seq[TriplePattern], BgpQuery) =
     expandPrefixes(query) match {
+      case constructWhereRe(body) =>
+        parseConstruct(s"construct { $body } where { $body }")
       case constructRe(template, rest) =>
         val templates =
           parsePatterns(template, new java.util.concurrent.atomic.AtomicInteger)

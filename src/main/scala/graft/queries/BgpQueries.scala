@@ -409,6 +409,22 @@ object BgpQueries {
              |UNION ALL
              |SELECT concat('supplier:', s_suppkey), 'rdf:type', 'Located' FROM supplier""".stripMargin)),
 
+    // `CONSTRUCT WHERE { ... }` shorthand (SPARQL 1.1 §10.2.3): the
+    // template is the pattern itself — desugared at parse time to the
+    // explicit form, so evaluation (bag union per template triple per
+    // solution) is shared with q92. One solution per (nation, region)
+    // pair, each emitting both template triples.
+    GQuery(
+      "q238_bgp_construct_where",
+      (s, dir) => BgpPlanner.construct(store(s, dir, encoded = false),
+        "construct where { ?n regionkey ?r . ?r name ?nm }"),
+      Some("""SELECT concat('nation:', n_nationkey) AS s, 'regionkey' AS p,
+             |  concat('region:', n_regionkey) AS o
+             |FROM nation
+             |UNION ALL
+             |SELECT concat('region:', r_regionkey), 'name', r_name
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // grammar extension: OPTIONAL-scoped FILTER — restricts the block's
     // sub-chain BEFORE the left join (failing rows null the block's
     // bindings; a hoisted filter would drop the outer row)

@@ -923,6 +923,22 @@ class BgpSpec extends AnyFunSuite {
     assert(out.count() == 6) // 3 solutions × 2 templates, bag semantics
   }
 
+  test("CONSTRUCT WHERE shorthand desugars to template = pattern") {
+    val short = BgpPlanner.construct(tinyStore,
+      "construct where { ?A worksFor ?D }")
+    val full = BgpPlanner.construct(tinyStore,
+      "construct { ?A worksFor ?D } where { ?A worksFor ?D }")
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(canon(short) == canon(full))
+    assert(short.count() == 3)
+    // the spec restricts the shorthand body to plain triple patterns:
+    // a FILTER in the body must be rejected, not silently dropped
+    intercept[IllegalArgumentException](Sparql.parseConstruct(
+      """construct where { ?A worksFor ?D . FILTER (?A = "prof:0") }"""))
+  }
+
   test("VALUES restricts a bound var and binds an unbound one") {
     val out = BgpPlanner.query(tinyStore,
       """select ?A where { ?A worksFor ?D . VALUES ?A { prof:0 prof:2 } }""")
