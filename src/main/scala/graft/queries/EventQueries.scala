@@ -1256,6 +1256,39 @@ object EventQueries {
              |  n AS n_hours
              |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
              |    ORDER BY abs(sn) DESC, hr) AS rk FROM s)
-             |WHERE rk = 1""".stripMargin))
+             |WHERE rk = 1""".stripMargin)),
+
+    // top user-day event paths (path mining): the full type sequence
+    // per (user, day), ranked by frequency — the funnel-DISCOVERY step
+    // that precedes q122's fixed-funnel counting (you learn WHICH
+    // sequences dominate before you hard-code one). Determinism: the
+    // order inside a path is the unique (epoch-us, event_id) key, so
+    // collect_list + array_sort rebuilds exactly the oracle's ordered
+    // string_agg. Scale shape: one shuffle on (user, day) — session
+    // grain, the same key the data naturally clusters on; paths then
+    // aggregate to a path-count relation (vocabulary-sized) and the
+    // top-10 is a TakeOrderedAndProject (per-partition heads + one
+    // driver merge), never a global sort.
+    GQuery(
+      "q239_session_paths",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("day"),
+            struct(unix_micros($"ts").as("u"), $"event_id".as("e"),
+              $"event_type".as("t")).as("ev"))
+          .groupBy($"user_id", $"day")
+          .agg(expr("array_join(transform(array_sort(collect_list(ev))," +
+            " x -> x.t), '>')").as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path".asc)
+          .limit(10)
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id)
+             |      AS path
+             |  FROM events GROUP BY 1, 2)
+             |SELECT path, count(*) AS n FROM p GROUP BY 1
+             |ORDER BY n DESC, path LIMIT 10""".stripMargin))
   )
 }

@@ -1550,6 +1550,46 @@ object TextQueries {
              |  CAST(decile AS BIGINT) AS decile,
              |  CAST(row_number() OVER (PARTITION BY shard
              |    ORDER BY decile, h, doc_id) AS BIGINT) AS pos
-             |FROM dd""".stripMargin))
+             |FROM dd""".stripMargin)),
+
+    // per-doc character-level Shannon entropy (bits/char): the
+    // model-free complement of q220's LM perplexity — near-zero
+    // entropy catches padding/repeated-char junk that a corpus LM
+    // scores as "fluent" if the junk is frequent corpus-wide.
+    // H = log2 n − (1/n)·Σ c·log2 c over the doc's char counts;
+    // q227's milli-bit discipline makes it cross-engine exact: both
+    // log2 factors integerize to 1e-4 bits, the weighted sum
+    // n·mb(n) − Σ c·mb(c) is an exact int64, one divide at output.
+    // Scale shape: the char explode is map-side inside the scan
+    // stage; one (doc, char) groupBy (keys ≤ 256·docs), then a
+    // doc-keyed rollup — no joins, no windows.
+    GQuery(
+      "q240_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val mb = (c: org.apache.spark.sql.Column) =>
+          floor(log2(c) * 10000 + 0.5).cast("long")
+        t(s, dir, "documents")
+          .filter(length($"text") > 0)
+          .select($"doc_id", explode(split($"text", "")).as("ch"))
+          .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n"), sum($"c" * mb($"c")).as("smb"))
+          .select($"doc_id", $"n",
+            (($"n" * mb($"n") - $"smb") * lit(1.0) / $"n" / lit(10000))
+              .as("entropy_bits"))
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+             |    unnest(string_split(text, '')) AS ch
+             |  FROM documents WHERE length(text) > 0),
+             |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+             |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(c * CAST(floor(log2(c) * 10000 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS smb
+             |  FROM cc GROUP BY 1)
+             |SELECT doc_id, n,
+             |  (n * CAST(floor(log2(n) * 10000 + 0.5) AS BIGINT) - smb)
+             |    * 1.0 / n / 10000 AS entropy_bits
+             |FROM d""".stripMargin))
   )
 }

@@ -332,6 +332,46 @@ class ReportSpec extends AnyFunSuite {
     assert(df.filter($"n_hours" > 24 * 31).count() == 0)
   }
 
+  test("q239 top paths plan a bounded top-k and cover real user-days") {
+    import spark.implicits._
+    val df = run("q239_session_paths").cache()
+    assert(df.count() <= 10)
+    // every path is a '>'-chain of real event types
+    val types = Tables.t(spark, sf, "events")
+      .select($"event_type").distinct().as[String].collect().toSet
+    val badTok = df.as[(String, Long)].collect()
+      .flatMap(_._1.split(">")).filterNot(types.contains)
+    assert(badTok.isEmpty, s"unknown event types in paths: ${badTok.toSet}")
+    // path frequencies can't exceed the user-day universe
+    val userDays = Tables.t(spark, sf, "events")
+      .select($"user_id", to_date($"ts")).distinct().count()
+    assert(df.agg(sum($"n")).first().getLong(0) <= userDays)
+    // top-10 must plan as TakeOrderedAndProject, not a global sort
+    val plan = run("q239_session_paths").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT should collapse to a bounded top-k")
+    df.unpersist()
+  }
+
+  test("q240 char entropy respects the information-theoretic bounds") {
+    import spark.implicits._
+    val df = run("q240_char_entropy").cache()
+    val docs = Tables.t(spark, sf, "documents").filter(length($"text") > 0)
+    assert(df.count() == docs.count())
+    // 0 <= H <= log2(distinct chars in the doc); milli-bit floors can
+    // undershoot each log2 by <= 1e-4, so allow that much slack
+    val dist = docs
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .groupBy($"doc_id").agg(countDistinct($"ch").as("k"))
+    val j = df.join(dist, "doc_id")
+    assert(j.filter($"entropy_bits" < -1e-4 ||
+      $"entropy_bits" > log2($"k") + 1e-4).count() == 0)
+    // single-char docs would score exactly 0; real prose must not
+    assert(df.filter($"entropy_bits" < 1.0).count() == 0,
+      "every corpus doc mixes chars; entropy under 1 bit means a bug")
+    df.unpersist()
+  }
+
   test("q233 curriculum deciles are exact and shards interleave the mix") {
     import spark.implicits._
     val df = run("q233_curriculum_shards").cache()
