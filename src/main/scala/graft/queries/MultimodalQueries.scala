@@ -249,6 +249,75 @@ object MultimodalQueries {
              |  max(peak) AS max_peak,
              |  CAST(sum(dec_n) AS BIGINT) AS total_dec_samples,
              |  CAST(sum(dec_sum) AS BIGINT) AS total_dec_abs
-             |FROM fs GROUP BY 1""".stripMargin))
+             |FROM fs GROUP BY 1""".stripMargin)),
+
+    // perceptual aHash image fingerprint over REAL decoded bytes: each
+    // doc becomes a 16x16 P6 payload (q217's pixel formula), the
+    // executor-side codec decodes the actual bytes, and the hash is
+    // the classic average-hash — 8x8 block grid, bit = "block
+    // brightness above the image mean". All integer: gray = r+g+b,
+    // the threshold compares bsum*64 > total (equal-size blocks), and
+    // the fingerprint is the 64-char bit string, so both engines agree
+    // exactly. Near-dup images (re-encodes, small edits) collide on
+    // this hash, making image dedup a hash groupBy — the same shape
+    // as q43's text dedup, no pixel-space pair joins. The popcount
+    // histogram + distinct-hash count audit the fingerprint's spread.
+    GQuery(
+      "q241_image_ahash",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select($"doc_id".as("id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val payload = graft.multimodal.PpmCodec.encode(16, 16,
+                (x, y) => (
+                  ((id * 31 + x * 7 + y * 13) % 256).toInt,
+                  ((id * 17 + x * 3 + y * 5) % 256).toInt,
+                  ((id * 11 + x + y * 2) % 256).toInt))
+              val img = graft.multimodal.PpmCodec.decode(payload)
+              val bsum = Array.ofDim[Long](64)
+              var total = 0L
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val g = (img.r(x, y) + img.g(x, y) + img.b(x, y)).toLong
+                  bsum((y / 2) * 8 + x / 2) += g
+                  total += g
+                  x += 1
+                }
+                y += 1
+              }
+              val bits = bsum.map(s => if (s * 64 > total) '1' else '0')
+              (new String(bits), bits.count(_ == '1').toLong)
+            }
+          }
+          .toDF("hash", "pop")
+        rows.groupBy($"pop")
+          .agg(count(lit(1)).as("n_images"),
+            countDistinct($"hash").as("n_hashes"))
+      },
+      Some("""WITH px AS (SELECT doc_id AS id, xx.x, yy.y,
+             |    (doc_id*31 + xx.x*7 + yy.y*13) % 256
+             |      + (doc_id*17 + xx.x*3 + yy.y*5) % 256
+             |      + (doc_id*11 + xx.x + yy.y*2) % 256 AS g
+             |  FROM documents,
+             |    LATERAL (SELECT unnest(generate_series(0, 15)) AS x) xx,
+             |    LATERAL (SELECT unnest(generate_series(0, 15)) AS y) yy),
+             |blk AS (SELECT id, (y // 2) * 8 + (x // 2) AS b,
+             |    CAST(sum(g) AS BIGINT) AS bsum
+             |  FROM px GROUP BY 1, 2),
+             |tot AS (SELECT id, CAST(sum(bsum) AS BIGINT) AS total
+             |  FROM blk GROUP BY 1),
+             |h AS (SELECT blk.id,
+             |    string_agg(CASE WHEN bsum * 64 > total THEN '1' ELSE '0' END,
+             |      '' ORDER BY b) AS hash,
+             |    CAST(sum(CASE WHEN bsum * 64 > total THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS pop
+             |  FROM blk JOIN tot ON tot.id = blk.id GROUP BY 1)
+             |SELECT pop, count(*) AS n_images,
+             |  count(DISTINCT hash) AS n_hashes
+             |FROM h GROUP BY 1""".stripMargin))
   )
 }

@@ -130,4 +130,33 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       WavCodec.decode(WavCodec.encode(8000, samples).take(20)))
   }
+
+  test("aHash is stable under re-encode and uniform brightness shift") {
+    import graft.multimodal.PpmCodec
+    def ahash(px: (Int, Int) => (Int, Int, Int)): String = {
+      val img = PpmCodec.decode(PpmCodec.encode(16, 16, px))
+      val bsum = Array.ofDim[Long](64)
+      var total = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = (img.r(x, y) + img.g(x, y) + img.b(x, y)).toLong
+        bsum((y / 2) * 8 + x / 2) += g; total += g
+      }
+      new String(bsum.map(s => if (s * 64 > total) '1' else '0'))
+    }
+    val base = (x: Int, y: Int) =>
+      ((x * 7 + y * 13) % 200, (x * 3 + y * 5) % 200, (x + y * 2) % 200)
+    // byte-identical re-encode → identical hash
+    assert(ahash(base) == ahash(base))
+    // +10 uniform brightness (no clamping at <=209): every block sum
+    // and the mean shift equally, so all threshold bits survive — the
+    // robustness that makes aHash a near-dup key, not an exact hash
+    val brighter = (x: Int, y: Int) => {
+      val (r, g, b) = base(x, y); (r + 10, g + 10, b + 10)
+    }
+    assert(ahash(base) == ahash(brighter))
+    // structural change flips bits: transposing the gradient must not
+    // produce the same fingerprint
+    val transposed = (x: Int, y: Int) => base(y, x)
+    assert(ahash(base) != ahash(transposed))
+  }
 }
