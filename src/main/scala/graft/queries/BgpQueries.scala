@@ -1415,6 +1415,22 @@ object BgpQueries {
       Some("""SELECT concat('nation:', n_nationkey) AS n,
              |  concat(n_name, '#', r_name) AS tag,
              |  CAST(strlen(n_name) AS BIGINT) AS len
-             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin))
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // SPARQL 1.1 §8.3.3 semantics pin: MINUS with a block sharing NO
+    // variable with the outer pattern is domain-disjoint and removes
+    // NOTHING (every μ2 is vacuously compatible-free) — the subtle
+    // divergence from NOT EXISTS, which WOULD empty this result since
+    // the inner block has solutions. The planner's shared-variable
+    // guard (BgpPlanner minus loop) implements exactly this; the
+    // oracle is the unfiltered outer pattern.
+    GQuery(
+      "q249_bgp_minus_disjoint",
+      bgp("""select ?n ?nm where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | MINUS { ?x regionkey ?y } }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation""".stripMargin))
   )
 }

@@ -1289,6 +1289,208 @@ object EventQueries {
              |      AS path
              |  FROM events GROUP BY 1, 2)
              |SELECT path, count(*) AS n FROM p GROUP BY 1
-             |ORDER BY n DESC, path LIMIT 10""".stripMargin))
+             |ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // exponentially-weighted moving average of the daily mean value per
+    // event type (α = 1/2, y_n = x_n/2 + y_{n-1}/2) — the smoothing
+    // step every ops dashboard runs before alerting. Bit-exact across
+    // engines by construction: α = 1/2 makes every weight a power of
+    // two, so after quantizing the daily mean to 2 decimals (floor
+    // half-up — identical IEEE op), the weighted terms q·2^(i-1) are
+    // integral doubles whose prefix sum is EXACT in any accumulation
+    // order (no float-summation drift between Spark's window and
+    // DuckDB's segment tree), and the single final division by
+    // 2^n·100 is one identical IEEE op. Magnitude bound: q ≤ 1e5 and
+    // the series is day-grained, so the prefix stays under 2^53 for
+    // series up to ~45 days (the events table spans 30); longer
+    // horizons would restart the recurrence per 45-day block.
+    // Scale shape: one shuffle to (type, day) grain — output is
+    // days×types-sized — then a per-type window over ≤45 rows.
+    GQuery(
+      "q242_ewma_daily",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        t(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg((dsum($"value") / count(lit(1))).as("avg_raw"))
+          .withColumn("q", floor($"avg_raw" * 100 + 0.5))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("u", $"q" *
+            when($"rn" === 1, lit(2L))
+              .otherwise(expr("shiftleft(cast(1 as bigint), cast(rn - 1 as int))")))
+          .withColumn("psum", sum($"u").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"event_type", $"day",
+            ($"psum" / (expr("shiftleft(cast(1 as bigint), cast(rn as int))") * lit(100.0)))
+              .cast("double").as("ewma"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    floor((sum(floor(value * 10000 + 0.5)) / 10000 / count(*))
+             |          * 100 + 0.5) AS q
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, day, q,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+             |  FROM d),
+             |u AS (SELECT event_type, day, rn,
+             |    q * (CASE WHEN rn = 1 THEN 2
+             |              ELSE (CAST(1 AS BIGINT) << (rn - 1)) END) AS u
+             |  FROM r)
+             |SELECT event_type, day,
+             |  CAST(sum(u) OVER (PARTITION BY event_type ORDER BY day
+             |         ROWS UNBOUNDED PRECEDING)
+             |       / ((CAST(1 AS BIGINT) << rn) * 100.0) AS DOUBLE) AS ewma
+             |FROM u""".stripMargin)),
+
+    // robust per-type outlier count via exact median + MAD (the
+    // z-score's heavy-tail-safe replacement). Exact medians are
+    // computed by construction — row_number over (value, event_id)
+    // picks the middle one or two rows and averages them — instead of
+    // percentile_cont, whose interpolation arithmetic differs between
+    // engines; the two-element average (a+b)/2 and every comparison
+    // below run the same IEEE ops on identical doubles. Scale shape:
+    // two sort-shuffles on (event_type) — the per-type sort is the
+    // algorithmic floor for an exact median — plus one broadcast-sized
+    // join per pass (one row per type); at 100 TB the same plan holds
+    // with a range-partitioned sort, or swap in a two-pass exact
+    // selection if a single type exceeds a partition.
+    GQuery(
+      "q248_median_mad",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select($"event_type", $"value", $"event_id")
+        def medianOf(df: org.apache.spark.sql.DataFrame, col: String, out: String) = {
+          val w = Window.partitionBy($"event_type").orderBy(df(col), $"event_id")
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+            .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+            .groupBy($"event_type").agg((sum(df(col)) / count(lit(1))).as(out))
+        }
+        val med = medianOf(ev, "value", "med")
+        val dev = ev.join(med, "event_type")
+          .withColumn("dev", abs($"value" - $"med"))
+        val mad = medianOf(dev.select($"event_type", $"dev", $"event_id"), "dev", "mad")
+        dev.join(mad, "event_type")
+          .groupBy($"event_type")
+          .agg(first($"med").as("median"), first($"mad").as("mad"),
+            sum(when($"dev" > $"mad" * lit(1.4826) * lit(3.0), 1L).otherwise(0L))
+              .as("n_outliers"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (SELECT event_type, value, event_id FROM events),
+             |r1 AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY value, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+             |med AS (SELECT event_type, sum(value) / count(*) AS med FROM r1
+             |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+             |d AS (SELECT e.event_type, e.event_id,
+             |    abs(e.value - med.med) AS dev, med.med
+             |  FROM e JOIN med USING (event_type)),
+             |r2 AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY dev, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+             |mad AS (SELECT event_type, sum(dev) / count(*) AS mad FROM r2
+             |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+             |SELECT d.event_type, min(d.med) AS median, min(mad.mad) AS mad,
+             |  CAST(sum(CASE WHEN d.dev > mad.mad * 1.4826 * 3.0
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  count(*) AS n
+             |FROM d JOIN mad USING (event_type)
+             |GROUP BY 1""".stripMargin)),
+
+    // inter-arrival-time profile per event type: gaps between
+    // consecutive events in exact epoch microseconds (lag over the
+    // unique (ts, event_id) order), reported as count / mean / max /
+    // interpolated p50 — the arrival-process characterization behind
+    // capacity planning and anomaly thresholds. All gap arithmetic is
+    // int64; the mean is one bigint-sum divide and the percentile
+    // rides the q165-proven interpolation parity. Scale shape: one
+    // sort-shuffle on event_type (the per-type ordering is the
+    // algorithmic floor), aggregate output type-sized. At 100 TB the
+    // type partitions skew — the production layout buckets by
+    // (type, day) and computes per-day gaps with a day-boundary merge.
+    GQuery(
+      "q253_interarrival",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"us".asc, $"event_id".asc)
+        t(s, dir, "events")
+          .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+          .filter($"gap_us".isNotNull)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            (sum($"gap_us") * lit(1.0) / count(lit(1))).as("mean_gap_us"),
+            max($"gap_us").as("max_gap_us"),
+            expr("percentile(gap_us, 0.5)").as("p50_gap_us"))
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |      PARTITION BY event_type
+             |      ORDER BY epoch_us(ts), event_id) AS gap_us
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_gaps,
+             |  CAST(sum(gap_us) AS BIGINT) * 1.0 / count(*) AS mean_gap_us,
+             |  max(gap_us) AS max_gap_us,
+             |  quantile_cont(gap_us, 0.5) AS p50_gap_us
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY 1""".stripMargin)),
+
+    // RFM segmentation (recency / frequency / monetary quintiles per
+    // user — the marketing-analytics workhorse): per-user recency in
+    // whole days from the corpus max timestamp, event count, and
+    // monetary total in integer cents; each scored 1–5 by ntile over
+    // a total order with the unique user_id tiebreak (deterministic —
+    // both engines define ntile by the same bucket formula), then
+    // segments reported with exact-cents means. Scale shape: one
+    // user-grain aggregate (map-side partials), three user-sized
+    // ntile windows (single ORDER BY each — at 100 TB these become
+    // range-partitioned sorts over user-count rows, not event rows),
+    // output 125-segment-sized.
+    GQuery(
+      "q254_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val perUser = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(max(unix_micros($"ts")).as("last_us"),
+            count(lit(1)).as("freq"),
+            sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+        val maxUs = perUser.agg(max($"last_us").as("corpus_max_us"))
+        val scored = perUser
+          .crossJoin(GuardedBroadcast.maybe(maxUs))
+          .withColumn("recency_days",
+            expr("(corpus_max_us - last_us) div 86400000000"))
+          .withColumn("r", ntile(5).over(
+            Window.orderBy($"recency_days".asc, $"user_id".asc)).cast("long"))
+          .withColumn("f", ntile(5).over(
+            Window.orderBy($"freq".desc, $"user_id".asc)).cast("long"))
+          .withColumn("m", ntile(5).over(
+            Window.orderBy($"cents".desc, $"user_id".asc)).cast("long"))
+        scored.groupBy(concat($"r", $"f", $"m").as("segment"))
+          .agg(count(lit(1)).as("n_users"),
+            (sum($"cents") * lit(1.0) / count(lit(1))).as("avg_cents"))
+      },
+      Some("""WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+             |    count(*) AS freq,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS cents
+             |  FROM events GROUP BY 1),
+             |mx AS (SELECT max(last_us) AS corpus_max_us FROM pu),
+             |sc AS (SELECT user_id, cents,
+             |    CAST((corpus_max_us - last_us) // 86400000000 AS BIGINT)
+             |      AS recency_days,
+             |    freq FROM pu, mx),
+             |nt AS (SELECT cents,
+             |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+             |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
+             |    CAST(ntile(5) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m
+             |  FROM sc)
+             |SELECT concat(r, f, m) AS segment, count(*) AS n_users,
+             |  CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS avg_cents
+             |FROM nt GROUP BY 1""".stripMargin))
   )
 }

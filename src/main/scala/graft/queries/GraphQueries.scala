@@ -288,6 +288,79 @@ object GraphQueries {
               |core AS (SELECT d0.v FROM deg0 d0
               |         ANTI JOIN removed r ON r.v = d0.v)
               |SELECT split_part(v, ':', 1) AS etype, count(*) AS n_core
-              |FROM core GROUP BY 1""".stripMargin))
+              |FROM core GROUP BY 1""".stripMargin)),
+
+    // label-propagation communities (2 synchronous rounds): every node
+    // starts labeled with its own name; each round it adopts the MODE
+    // of its neighbors' labels (tie → lexicographically smallest).
+    // Unlike q54's connected components (where one label floods each
+    // component), mode-propagation finds dense local communities in a
+    // graph that is globally one component. Fixed round count +
+    // deterministic tie-break make the fixpoint-free algorithm
+    // oracle-checkable by unrolling. Scale shape per round: one join
+    // of edges against the node-sized label relation (both shuffled on
+    // node id, degree-bounded fan-out) + a (node,label) count — the
+    // textbook LPA data layout; rounds are a constant, never data-sized.
+    GQuery(
+      "q244_label_prop",
+      (s, dir) => {
+        import s.implicits._
+        val c = graft.Tables.t(s, dir, "customer")
+        val sup = graft.Tables.t(s, dir, "supplier")
+        val n = graft.Tables.t(s, dir, "nation")
+        val o = graft.Tables.t(s, dir, "orders")
+        val l = graft.Tables.t(s, dir, "lineitem")
+        val edges = Seq(
+          c.select(concat(lit("customer:"), $"c_custkey").as("s"),
+            concat(lit("nation:"), $"c_nationkey").as("o")),
+          sup.select(concat(lit("supplier:"), $"s_suppkey").as("s"),
+            concat(lit("nation:"), $"s_nationkey").as("o")),
+          n.select(concat(lit("nation:"), $"n_nationkey").as("s"),
+            concat(lit("region:"), $"n_regionkey").as("o")),
+          o.select(concat(lit("order:"), $"o_orderkey").as("s"),
+            concat(lit("customer:"), $"o_custkey").as("o")),
+          l.select(concat(lit("order:"), $"l_orderkey").as("s"),
+            concat(lit("part:"), $"l_partkey").as("o")),
+          l.select(concat(lit("order:"), $"l_orderkey").as("s"),
+            concat(lit("supplier:"), $"l_suppkey").as("o")),
+          l.select(concat(lit("supplier:"), $"l_suppkey").as("s"),
+            concat(lit("part:"), $"l_partkey").as("o")))
+          .map(_.distinct()).reduce(_ unionByName _)
+        val und = edges.select($"s".as("v"), $"o".as("w"))
+          .unionByName(edges.select($"o".as("v"), $"s".as("w")))
+          .distinct()
+        var lbl = und.select($"v").distinct().withColumn("lbl", $"v")
+        for (_ <- 1 to 2) {
+          val byLbl = org.apache.spark.sql.expressions.Window
+            .partitionBy($"v").orderBy($"c".desc, $"lbl".asc)
+          lbl = und.join(lbl.withColumnRenamed("v", "w"), "w")
+            .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
+            .withColumn("rk", row_number().over(byLbl))
+            .filter($"rk" === 1).select($"v", $"lbl")
+        }
+        lbl.groupBy($"lbl".as("community"))
+          .agg(count(lit(1)).as("n_members"))
+      },
+      Some(s"""WITH $edgesSql,
+              |e1 AS (SELECT DISTINCT s, o FROM edges),
+              |und AS (SELECT s AS v, o AS w FROM e1
+              |        UNION SELECT o, s FROM e1),
+              |l0 AS (SELECT v, v AS lbl FROM (
+              |    SELECT DISTINCT v FROM (SELECT v FROM und
+              |                            UNION SELECT w FROM und))),
+              |n1 AS (SELECT u.v, l.lbl, count(*) AS c
+              |       FROM und u JOIN l0 l ON u.w = l.v GROUP BY 1, 2),
+              |l1 AS (SELECT v, lbl FROM (
+              |    SELECT v, lbl, row_number() OVER (
+              |        PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n1)
+              |  WHERE rk = 1),
+              |n2 AS (SELECT u.v, l.lbl, count(*) AS c
+              |       FROM und u JOIN l1 l ON u.w = l.v GROUP BY 1, 2),
+              |l2 AS (SELECT v, lbl FROM (
+              |    SELECT v, lbl, row_number() OVER (
+              |        PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n2)
+              |  WHERE rk = 1)
+              |SELECT lbl AS community, count(*) AS n_members
+              |FROM l2 GROUP BY 1""".stripMargin))
   )
 }

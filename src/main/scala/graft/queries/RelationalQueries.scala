@@ -3,6 +3,7 @@ package graft.queries
 import graft.scale.GuardedBroadcast
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import OracleNum.{dsum, davg}
 
 /** Core relational operator surface: scan, filter/project, the join
@@ -693,6 +694,136 @@ object RelationalQueries {
              |SELECT CAST(v AS BIGINT) AS valid_from,
              |  CAST(valid_to AS BIGINT) AS valid_to,
              |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_total
-             |FROM hist GROUP BY 1, 2""".stripMargin))
+             |FROM hist GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q2 shape (min-cost supplier): for every small part, the
+    // supplier quoting the lowest observed unit price (integer cents,
+    // tie → smallest suppkey), decorated with supplier + nation names.
+    // The correlated-min subquery becomes one (part,supplier) aggregate
+    // + a per-part WindowGroupLimit rank — no re-scan of the fact for
+    // the min, no correlated loop; dims join via GuardedBroadcast.
+    // Scale shape: one lineitem shuffle on (partkey, suppkey), then a
+    // part-sized window; the plan a 100 TB Q2 wants.
+    GQuery(
+      "q250_min_cost_supplier",
+      (s, dir) => {
+        import s.implicits._
+        val quotes = t(s, dir, "lineitem")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(min(floor($"l_extendedprice" * 100 + 0.5).cast("long"))
+            .as("min_cents"))
+        val byPart = Window.partitionBy($"l_partkey")
+          .orderBy($"min_cents".asc, $"l_suppkey".asc)
+        val best = quotes.withColumn("rk", row_number().over(byPart))
+          .filter($"rk" === 1)
+        best
+          .join(GuardedBroadcast.maybe(t(s, dir, "part").filter($"p_size" < 10)), $"l_partkey" === $"p_partkey")
+          .join(GuardedBroadcast.maybe(t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .join(GuardedBroadcast.maybe(t(s, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"p_partkey".as("partkey"), $"p_name".as("part_name"),
+            $"s_name".as("supp_name"), $"n_name".as("nation"),
+            $"min_cents")
+      },
+      Some("""WITH q AS (SELECT l_partkey, l_suppkey,
+             |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |      AS min_cents
+             |  FROM lineitem GROUP BY 1, 2),
+             |best AS (SELECT * FROM (SELECT *, row_number() OVER (
+             |      PARTITION BY l_partkey
+             |      ORDER BY min_cents, l_suppkey) AS rk FROM q)
+             |  WHERE rk = 1)
+             |SELECT p_partkey AS partkey, p_name AS part_name,
+             |  s_name AS supp_name, n_name AS nation, min_cents
+             |FROM best
+             |JOIN part ON l_partkey = p_partkey AND p_size < 10
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): lineitems
+    // shipped > 45 days after order placement, in orders where some
+    // OTHER supplier also participated (EXISTS) but no other supplier
+    // was late (NOT EXISTS) — the classic double-correlated same-table
+    // negation. Both correlations compile to semi/anti joins on
+    // l_orderkey with the "other supplier" inequality as a residual —
+    // no correlated re-execution; the fact shuffles on orderkey once
+    // per arm and AQE dedups the exchange. Top 10 keeps output fixed.
+    GQuery(
+      "q251_waiting_suppliers",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+            $"l_orderkey" === $"o_orderkey")
+          .withColumn("late",
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 45 DAYS"))
+        val l1 = li.filter($"late")
+          .select($"l_orderkey".as("k"), $"l_suppkey".as("sk"))
+        val others = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("sk2"))
+        val lateOthers = li.filter($"late")
+          .select($"l_orderkey".as("k3"), $"l_suppkey".as("sk3"))
+        l1
+          .join(others, $"k" === $"k2" && $"sk" =!= $"sk2", "left_semi")
+          .join(lateOthers, $"k" === $"k3" && $"sk" =!= $"sk3", "left_anti")
+          .groupBy($"sk")
+          .agg(count(lit(1)).as("n_waiting"))
+          .join(GuardedBroadcast.maybe(t(s, dir, "supplier")),
+            $"sk" === $"s_suppkey")
+          .select($"s_name".as("supp_name"), $"n_waiting")
+          .orderBy($"n_waiting".desc, $"supp_name".asc)
+          .limit(10)
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey,
+             |    l_shipdate > o_orderdate + INTERVAL 45 DAY AS late
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT s_name AS supp_name, count(*) AS n_waiting
+             |FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE l1.late
+             |  AND EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = l1.l_orderkey
+             |              AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM li l3
+             |              WHERE l3.l_orderkey = l1.l_orderkey
+             |              AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+             |GROUP BY 1 ORDER BY n_waiting DESC, supp_name LIMIT 10""".stripMargin)),
+
+    // TPC-H Q22 shape (global prospects): customers with an account
+    // balance above the average POSITIVE balance with no RECENT order,
+    // reported per nation. The scalar subquery is a 1-row aggregate
+    // broadcast into the filter (integer cents so the threshold
+    // compare is exact); "no recent order" is a left-anti join on
+    // custkey — never a NOT IN re-scan. Scale shape: one customer
+    // scan + one orders anti-join shuffle; output nation-sized.
+    GQuery(
+      "q252_prospects",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+          .withColumn("cents", floor($"c_acctbal" * 100 + 0.5).cast("long"))
+        val thresh = cust.filter($"cents" > 0)
+          .agg((sum($"cents") * lit(1.0) / count(lit(1))).as("avg_cents"))
+        cust.crossJoin(GuardedBroadcast.maybe(thresh))
+          .filter($"cents" > $"avg_cents")
+          .join(t(s, dir, "orders")
+            .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+            .select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("n_prospects"),
+            sum($"cents").as("cents_total"))
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_nationkey,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM customer),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) * 1.0 / count(*)
+             |        AS avg_cents
+             |      FROM cust WHERE cents > 0)
+             |SELECT c_nationkey AS nationkey, count(*) AS n_prospects,
+             |  CAST(sum(cents) AS BIGINT) AS cents_total
+             |FROM cust, t
+             |WHERE cents > avg_cents
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+             |GROUP BY 1""".stripMargin))
   )
 }

@@ -935,6 +935,111 @@ object SimilarityQueries {
               |    FROM scored WHERE clabel <> qlabel) WHERE rank <= 2)
               |SELECT pos.qid, pos_id, neg_id, rank, pos_sim, neg_sim,
               |  pos_sim - neg_sim AS margin
-              |FROM pos JOIN neg ON neg.qid = pos.qid""".stripMargin))
+              |FROM pos JOIN neg ON neg.qid = pos.qid""".stripMargin)),
+
+    // top correlated embedding-dimension pairs (Pearson r) — the
+    // redundancy audit run before dimensionality reduction / PQ
+    // sub-space assignment: highly correlated dims waste quantization
+    // budget. Per-row pair products are generated INSIDE the row by a
+    // codegen'd nested-sequence transform (64 dims → 2016 pairs, a
+    // constant factor — no self-join, no shuffle of the corpus), then
+    // partial-aggregated to a 2016-row (d1,d2) relation; all sums use
+    // the order-independent 4-decimal dsum so Spark's map-side combine
+    // and DuckDB's sequential scan agree bit-for-bit, and r is
+    // assembled from those exact sums with identical scalar IEEE ops.
+    // At 100 TB the shuffle is still 2016 rows × partitions.
+    GQuery(
+      "q245_dim_correlation",
+      (s, dir) => {
+        import s.implicits._
+        import OracleNum._
+        val v = t(s, dir, "embeddings")
+          .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val dims = v.select($"vec_id",
+          posexplode($"v").as(Seq("d", "x")))
+        val st = dims.groupBy($"d").agg(
+          dsum($"x").as("sx"), dsum($"x" * $"x").as("sxx"),
+          count(lit(1)).as("n"))
+        val sxy = v.select(explode(expr(
+            """flatten(transform(sequence(0, size(v) - 2), i ->
+              |  transform(sequence(i + 1, size(v) - 1), j ->
+              |    struct(i AS d1, j AS d2,
+              |      element_at(v, i + 1) * element_at(v, j + 1) AS xy))))"""
+              .stripMargin)).as("p"))
+          .select($"p.d1", $"p.d2", $"p.xy")
+          .groupBy($"d1", $"d2").agg(dsum($"xy").as("sxy"))
+        sxy
+          .join(st.select($"d".as("d1"), $"sx".as("sx1"), $"sxx".as("sxx1"),
+            $"n"), "d1")
+          .join(st.select($"d".as("d2"), $"sx".as("sx2"), $"sxx".as("sxx2")),
+            "d2")
+          .select($"d1", $"d2",
+            (($"n" * $"sxy" - $"sx1" * $"sx2")
+              / sqrt(($"n" * $"sxx1" - $"sx1" * $"sx1")
+                * ($"n" * $"sxx2" - $"sx2" * $"sx2"))).as("r"))
+          .orderBy(abs($"r").desc, $"d1".asc, $"d2".asc)
+          .limit(20)
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |dims AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+              |    unnest(v) AS x FROM v),
+              |st AS (SELECT d, ${OracleNum.dsumSql("x")} AS sx, ${OracleNum.dsumSql("x * x")} AS sxx,
+              |    count(*) AS n FROM dims GROUP BY 1),
+              |sxy AS (SELECT a.d AS d1, b.d AS d2, ${OracleNum.dsumSql("a.x * b.x")} AS sxy
+              |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d < b.d
+              |  GROUP BY 1, 2)
+              |SELECT d1, d2,
+              |  (n * sxy - sx1 * sx2)
+              |    / sqrt((n * sxx1 - sx1 * sx1) * (n * sxx2 - sx2 * sx2)) AS r
+              |FROM (SELECT sxy.d1, sxy.d2, sxy.sxy, a.sx AS sx1, a.sxx AS sxx1,
+              |        a.n, b.sx AS sx2, b.sxx AS sxx2
+              |      FROM sxy JOIN st a ON sxy.d1 = a.d JOIN st b ON sxy.d2 = b.d)
+              |ORDER BY abs(r) DESC, d1, d2 LIMIT 20""".stripMargin)),
+
+    // int8 scalar-quantization audit: symmetric per-dimension max-abs
+    // scaling (the faiss/SQ8 convention), with the reconstruction-error
+    // report a serving team reads before shipping quantized vectors.
+    // floor(x·127/m + 0.5) is the engine-proof half-up rounding (both
+    // engines' round() disagree at binary halves); max(abs(x)) over
+    // identical doubles and the one guarded division are deterministic.
+    // Scale shape: the per-dim scales are a 64-row aggregate joined
+    // back broadcast-style; everything else is one scan, output
+    // label-count-sized.
+    GQuery(
+      "q246_int8_quantize",
+      (s, dir) => {
+        import s.implicits._
+        import OracleNum._
+        val dims = t(s, dir, "embeddings")
+          .select($"vec_id", $"label", posexplode(
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("d", "x")))
+        val scales = dims.groupBy($"d").agg(max(abs($"x")).as("m"))
+        dims.join(scales, "d")
+          .withColumn("qv", when($"m" > 0,
+            floor($"x" * 127.0 / $"m" + 0.5)).otherwise(lit(0.0)))
+          .withColumn("err", when($"m" > 0,
+            $"x" - $"qv" * $"m" / 127.0).otherwise(lit(0.0)))
+          .groupBy($"label")
+          .agg(davg(abs($"err")).as("mean_abs_err"),
+            max(abs($"err")).as("max_abs_err"),
+            davg($"err" * $"err").as("mse"),
+            count(lit(1)).as("n_vals"))
+      },
+      Some(s"""WITH dims AS (SELECT vec_id, label,
+              |    generate_subscripts(embedding, 1) - 1 AS d,
+              |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+              |sc AS (SELECT d, max(abs(x)) AS m FROM dims GROUP BY 1),
+              |q AS (SELECT label,
+              |    CASE WHEN m > 0 THEN floor(x * 127.0 / m + 0.5) ELSE 0.0 END AS qv,
+              |    x, m FROM dims JOIN sc USING (d)),
+              |e AS (SELECT label,
+              |    CASE WHEN m > 0 THEN x - qv * m / 127.0 ELSE 0.0 END AS err
+              |  FROM q)
+              |SELECT label, ${OracleNum.davgSql("abs(err)")} AS mean_abs_err,
+              |  max(abs(err)) AS max_abs_err, ${OracleNum.davgSql("err * err")} AS mse,
+              |  count(*) AS n_vals
+              |FROM e GROUP BY label""".stripMargin))
   )
 }

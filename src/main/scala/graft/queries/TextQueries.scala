@@ -1590,6 +1590,90 @@ object TextQueries {
              |SELECT doc_id, n,
              |  (n * CAST(floor(log2(n) * 10000 + 0.5) AS BIGINT) - smb)
              |    * 1.0 / n / 10000 AS entropy_bits
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // Flesch reading-ease per source (readability filter): syllables
+    // via the standard vowel-group heuristic (runs of [aeiouy] after
+    // lowercasing), sentences via terminal-punctuation runs, words via
+    // the repo-wide whitespace split. All three are integer counts
+    // from the same regex dialect in both engines, so the per-doc
+    // score 206.835 − 1.015·(W/S) − 84.6·(Syl/W) is identical IEEE
+    // arithmetic; the per-source mean uses the order-independent
+    // 4-decimal dsum. Scale shape: one corpus scan, per-row regex in
+    // codegen, output source-count-sized.
+    GQuery(
+      "q243_readability",
+      (s, dir) => {
+        import s.implicits._
+        import OracleNum._
+        val b = t(s, dir, "documents").select($"doc_id", $"source",
+          size(split($"text", " ")).cast("double").as("w"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("double").as("syl"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+            .cast("double").as("sent"))
+        b.select($"source",
+            (lit(206.835) - lit(1.015) * ($"w" / $"sent")
+              - lit(84.6) * ($"syl" / $"w")).as("flesch"))
+          .groupBy($"source")
+          .agg(davg($"flesch").as("avg_flesch"),
+            min($"flesch").as("min_flesch"),
+            max($"flesch").as("max_flesch"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+              |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              |         AS DOUBLE) AS syl,
+              |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              |         AS DOUBLE) AS sent
+              |  FROM documents),
+              |f AS (SELECT source,
+              |    CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (w / sent)
+              |      - CAST(84.6 AS DOUBLE) * (syl / w) AS flesch
+              |  FROM b)
+              |SELECT source, ${OracleNum.davgSql("flesch")} AS avg_flesch,
+              |  min(flesch) AS min_flesch, max(flesch) AS max_flesch,
+              |  count(*) AS n_docs
+              |FROM f GROUP BY source""".stripMargin)),
+
+    // vocabulary-growth curve by ingest batch (doc_id div 25 = the
+    // arrival order a crawl would have): bigram types are attributed
+    // to the batch where they FIRST appear, giving new-type counts and
+    // the cumulative vocabulary size — the saturation diagnostic that
+    // tells a data-collection effort when a source stops contributing
+    // novelty (bigrams, not unigrams, because a tiny closed word set
+    // saturates instantly while its combinations keep growing — same
+    // reason dedup shingles are n-grams). Scale shape: one bigram
+    // explode + groupBy type (vocabulary-sized shuffle with map-side
+    // combine), then a batch-count-sized aggregate; the only
+    // single-partition window runs over batch rows, never the corpus.
+    GQuery(
+      "q247_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(expr("doc_id div 25").as("batch"), split($"text", " ").as("w"))
+          .select($"batch", explode(expr(
+            """transform(sequence(0, size(w) - 2), i ->
+              |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
+              .stripMargin)).as("token"))
+          .groupBy($"token").agg(min($"batch").as("first_batch"))
+          .groupBy($"first_batch").agg(count(lit(1)).as("new_types"))
+          .withColumn("vocab_size", sum($"new_types").over(
+            Window.orderBy($"first_batch")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some("""WITH w AS (SELECT doc_id // 25 AS batch,
+             |    string_split(text, ' ') AS w FROM documents),
+             |tok AS (SELECT batch,
+             |    unnest(list_transform(generate_series(1, len(w) - 1),
+             |      i -> concat(w[i], ' ', w[i + 1]))) AS token FROM w),
+             |f AS (SELECT token, min(batch) AS first_batch FROM tok GROUP BY 1),
+             |g AS (SELECT first_batch, count(*) AS new_types FROM f GROUP BY 1)
+             |SELECT first_batch, new_types,
+             |  CAST(sum(new_types) OVER (ORDER BY first_batch
+             |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+             |FROM g""".stripMargin))
   )
 }

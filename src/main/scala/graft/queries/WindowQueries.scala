@@ -218,6 +218,49 @@ object WindowQueries {
              |  percent_rank() OVER w AS pr,
              |  cume_dist() OVER w AS cd
              |FROM customer
-             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin))
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin)),
+
+    // explicit-frame window surface: first_value / last_value /
+    // nth_value and a 3-row sliding sum over per-type DAILY cents
+    // series (aggregated first so the windows run over ~30 rows per
+    // type, not the event stream). last_value needs the full-partition
+    // frame spelled out (the default frame ends at CURRENT ROW — a
+    // classic silent-wrong-answer both engines define identically);
+    // the sliding sum is over integer cents so the 3-row frame is
+    // exact in any order. Scale shape: one (type, day) aggregate
+    // shuffle, then type-partitioned windows over day-count rows.
+    GQuery(
+      "q255_frame_surface",
+      (s, dir) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val trail3 = w.rowsBetween(-2, Window.currentRow)
+        daily.select($"event_type", $"day", $"cents",
+          first($"cents").over(w).as("first_cents"),
+          last($"cents").over(full).as("last_cents"),
+          nth_value($"cents", 2).over(full).as("second_day_cents"),
+          sum($"cents").over(trail3).as("cents_3d"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, cents,
+             |  first_value(cents) OVER w AS first_cents,
+             |  last_value(cents) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS last_cents,
+             |  nth_value(cents, 2) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS second_day_cents,
+             |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS cents_3d
+             |FROM d
+             |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin))
   )
 }

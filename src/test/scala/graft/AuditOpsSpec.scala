@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-6 audit operators (q242–q248) that
+  * the value-level oracle can't distinguish from coincidence: the EWMA
+  * closed form agreeing with the textbook recurrence, exact medians
+  * splitting their partitions, label propagation conserving nodes,
+  * Pearson r staying in [-1, 1], quantization error respecting the
+  * half-step bound, and the vocabulary curve being a monotone partition
+  * of the bigram vocabulary.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("4")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q242 EWMA matches the y_n = x_n/2 + y_{n-1}/2 recurrence per type") {
+    import spark.implicits._
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(avg($"value").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2.toString).map(_._3) }
+    val expect = daily.toSeq.flatMap { case (t, xs) =>
+      xs.scanLeft(Option.empty[Double]) {
+        case (None, x)       => Some(x)
+        case (Some(prev), x) => Some(x / 2 + prev / 2)
+      }.flatten.zipWithIndex.map { case (y, i) => (t, i) -> y }
+    }.toMap
+    val got = run("q242_ewma_daily").collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (t, rows) =>
+        rows.sortBy(_._2.toString).map(_._3).zipWithIndex
+          .map { case (y, i) => (t, i) -> y }
+      }.toMap
+    assert(got.keySet == expect.keySet)
+    // the engine quantizes daily means to 2 decimals before the exact
+    // power-of-two recurrence, so agreement is to the quantization step
+    got.foreach { case (k, y) => assert(math.abs(y - expect(k)) < 0.02, k) }
+  }
+
+  test("q248 median splits its partition and MAD outliers match a direct count") {
+    import spark.implicits._
+    val res = run("q248_median_mad").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val vals = Tables.t(spark, sf, "events")
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2) }
+    vals.foreach { case (t, xs) =>
+      val (med, mad, nOut, n) = res(t)
+      assert(n == xs.length)
+      // exact median: at most half strictly below, at most half strictly above
+      assert(xs.count(_ < med) <= xs.length / 2)
+      assert(xs.count(_ > med) <= xs.length / 2)
+      assert(nOut == xs.count(x => math.abs(x - med) > mad * 1.4826 * 3.0))
+    }
+  }
+
+  test("q244 label propagation conserves nodes and labels are node names") {
+    import spark.implicits._
+    val df = run("q244_label_prop").cache()
+    val nodes = run("q53_entity_degrees").count()
+    assert(df.agg(sum($"n_members")).first().getLong(0) == nodes,
+      "every node keeps exactly one community label")
+    // mode-propagation labels are drawn from the node-name space
+    assert(df.filter(!$"community".rlike("^[a-z]+:[0-9]+$")).count() == 0)
+    // denser than components: strictly more than one community
+    assert(df.count() > 1)
+    df.unpersist()
+  }
+
+  test("q245 Pearson r is bounded and pairs are canonical d1 < d2") {
+    import spark.implicits._
+    val df = run("q245_dim_correlation").cache()
+    assert(df.count() == 20)
+    assert(df.filter($"d1" >= $"d2").count() == 0)
+    assert(df.filter(abs($"r") > 1.0 + 1e-9).count() == 0)
+    df.unpersist()
+  }
+
+  test("q246 reconstruction error respects the half-step bound per dim") {
+    import spark.implicits._
+    // |x - q·m/127| <= m/254 for the max-abs dim scale m; the global
+    // max_abs_err is bounded by the largest per-dim half step
+    val maxScale = Tables.t(spark, sf, "embeddings")
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as(Seq("d", "x")))
+      .groupBy($"d").agg(max(abs($"x")).as("m"))
+      .agg(max($"m")).first().getDouble(0)
+    val worst = run("q246_int8_quantize")
+      .agg(max($"max_abs_err")).first().getDouble(0)
+    assert(worst <= maxScale / 254.0 + 1e-12)
+  }
+
+  test("q247 vocabulary curve is monotone and ends at the full bigram vocabulary") {
+    import spark.implicits._
+    val rows = run("q247_vocab_growth").orderBy($"first_batch").collect()
+    val sizes = rows.map(_.getLong(2))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b })
+    assert(sizes.last == rows.map(_.getLong(1)).sum)
+    val vocab = Tables.t(spark, sf, "documents")
+      .select(explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 2), i ->
+          |  concat(element_at(split(text, ' '), i + 1), ' ',
+          |         element_at(split(text, ' '), i + 2)))""".stripMargin))
+        .as("b"))
+      .agg(countDistinct($"b")).first().getLong(0)
+    assert(sizes.last == vocab)
+  }
+
+  test("q250 chosen supplier quotes the true per-part minimum") {
+    import spark.implicits._
+    val best = run("q250_min_cost_supplier")
+      .select($"partkey", $"min_cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueMin = Tables.t(spark, sf, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(min(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best.nonEmpty)
+    best.foreach { case (p, c) => assert(c == trueMin(p), s"part $p") }
+  }
+
+  test("q251 waiting suppliers are the sole late supplier in shared orders") {
+    import spark.implicits._
+    val li = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 45 DAYS")).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = li.groupBy(_._1)
+    val expect = li.filter(_._3).filter { case (k, sk, _) =>
+      val rows = byOrder(k)
+      rows.exists(r => r._2 != sk) && !rows.exists(r => r._2 != sk && r._3)
+    }.groupBy(_._2).map { case (sk, rs) => sk -> rs.length.toLong }
+    val names = Tables.t(spark, sf, "supplier").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val got = run("q251_waiting_suppliers").collect()
+      .map(r => names(r.getString(0)) -> r.getLong(1)).toMap
+    got.foreach { case (sk, n) => assert(expect(sk) == n, s"supplier $sk") }
+    assert(got.nonEmpty)
+  }
+
+  test("q254 RFM segments partition the user base with valid 1-5 scores") {
+    import spark.implicits._
+    val df = run("q254_rfm_segments").cache()
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(df.agg(sum($"n_users")).first().getLong(0) == users)
+    assert(df.filter(!$"segment".rlike("^[1-5]{3}$")).count() == 0)
+    df.unpersist()
+  }
+
+  test("q253 inter-arrival gaps account for every event minus one per type") {
+    import spark.implicits._
+    val df = run("q253_interarrival").cache()
+    val events = Tables.t(spark, sf, "events").count()
+    val types = df.count()
+    assert(df.agg(sum($"n_gaps")).first().getLong(0) == events - types)
+    assert(df.filter($"mean_gap_us" > $"max_gap_us").count() == 0)
+    df.unpersist()
+  }
+
+  test("q255 full-partition frames agree with a direct per-type reduction") {
+    import spark.implicits._
+    val df = run("q255_frame_surface").cache()
+    // last_value over the unbounded frame is constant per type and
+    // equals the cents of the latest day
+    val byType = df.groupBy($"event_type")
+      .agg(countDistinct($"last_cents").as("nlast"),
+        max(struct($"day", $"cents")).as("latest"))
+    assert(byType.filter($"nlast" =!= 1).count() == 0)
+    val bad = df.join(byType, "event_type")
+      .filter($"last_cents" =!= $"latest.cents")
+    assert(bad.count() == 0)
+    // the 3-day sliding sum equals cents on each type's first day
+    val firstDays = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")))
+      .filter($"rn" === 1)
+    assert(firstDays.filter($"cents_3d" =!= $"cents").count() == 0)
+    df.unpersist()
+  }
+
+  test("q243 Flesch score matches a hand computation on one document") {
+    import spark.implicits._
+    val doc = Tables.t(spark, sf, "documents")
+      .orderBy($"doc_id").select($"text", $"source").first()
+    val text = doc.getString(0)
+    val w = text.split(" ", -1).length.toDouble
+    val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toDouble
+    val sent = math.max("[.!?]+".r.findAllIn(text).length, 1).toDouble
+    val flesch = 206.835 - 1.015 * (w / sent) - 84.6 * (syl / w)
+    val row = run("q243_readability")
+      .filter($"source" === doc.getString(1)).first()
+    assert(row.getDouble(2) - 1e-9 <= flesch && flesch <= row.getDouble(3) + 1e-9,
+      "hand-computed doc score must lie within its source's [min, max]")
+  }
+}
