@@ -1052,6 +1052,50 @@ object DedupQueries {
               |    THEN CAST(sum(CASE WHEN inter * 1000 >= thr_milli * uni AND det = 1
               |      THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / CAST(sum(det) AS BIGINT)
               |    ELSE NULL END AS cand_precision
-              |FROM pairs, t GROUP BY 1""".stripMargin))
+              |FROM pairs, t GROUP BY 1""".stripMargin)),
+
+    // entity-resolution blocking audit: candidate pairs come ONLY from
+    // within a block (here nationkey — the standard cheap-key
+    // blocking), scored by exact Levenshtein distance on the entity
+    // name, with the per-block report a record-linkage team reads:
+    // block size, candidate pairs vs the n·(n−1)/2 full product, and
+    // close matches (distance ≤ 2). The scale argument IS the
+    // operator: pair generation is an equi-join on the block key, so
+    // the cost is Σ_b n_b² (bounded by the largest block, monitored
+    // by this very report) instead of N² — at 100 TB an oversized
+    // block would be re-blocked on (nationkey, name prefix), a
+    // change confined to the groupBy key. Levenshtein is an exact
+    // integer in both engines.
+    GQuery(
+      "q257_entity_blocks",
+      (s, dir) => {
+        import s.implicits._
+        val ents = t(s, dir, "customer")
+          .select($"c_nationkey".as("block"), $"c_custkey".as("id"),
+            $"c_name".as("nm"))
+        val pairs = ents.as("a")
+          .join(ents.as("b"), $"a.block" === $"b.block" && $"a.id" < $"b.id")
+          .select($"a.block".as("block"),
+            levenshtein($"a.nm", $"b.nm").cast("long").as("dist"))
+        pairs.groupBy($"block")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"dist" <= 2, 1L).otherwise(0L)).as("n_close"),
+            min($"dist").as("min_dist"))
+          .join(ents.groupBy($"block").agg(count(lit(1)).as("n_entities")),
+            Seq("block"))
+          .select($"block", $"n_entities", $"n_pairs", $"n_close", $"min_dist")
+      },
+      Some("""WITH e AS (SELECT c_nationkey AS block, c_custkey AS id,
+             |    c_name AS nm FROM customer),
+             |p AS (SELECT a.block,
+             |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+             |  FROM e a JOIN e b ON a.block = b.block AND a.id < b.id),
+             |agg AS (SELECT block, count(*) AS n_pairs,
+             |    CAST(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_close,
+             |    min(dist) AS min_dist FROM p GROUP BY 1),
+             |sz AS (SELECT block, count(*) AS n_entities FROM e GROUP BY 1)
+             |SELECT block, n_entities, n_pairs, n_close, min_dist
+             |FROM agg JOIN sz USING (block)""".stripMargin))
   )
 }

@@ -305,27 +305,7 @@ object GraphQueries {
       "q244_label_prop",
       (s, dir) => {
         import s.implicits._
-        val c = graft.Tables.t(s, dir, "customer")
-        val sup = graft.Tables.t(s, dir, "supplier")
-        val n = graft.Tables.t(s, dir, "nation")
-        val o = graft.Tables.t(s, dir, "orders")
-        val l = graft.Tables.t(s, dir, "lineitem")
-        val edges = Seq(
-          c.select(concat(lit("customer:"), $"c_custkey").as("s"),
-            concat(lit("nation:"), $"c_nationkey").as("o")),
-          sup.select(concat(lit("supplier:"), $"s_suppkey").as("s"),
-            concat(lit("nation:"), $"s_nationkey").as("o")),
-          n.select(concat(lit("nation:"), $"n_nationkey").as("s"),
-            concat(lit("region:"), $"n_regionkey").as("o")),
-          o.select(concat(lit("order:"), $"o_orderkey").as("s"),
-            concat(lit("customer:"), $"o_custkey").as("o")),
-          l.select(concat(lit("order:"), $"l_orderkey").as("s"),
-            concat(lit("part:"), $"l_partkey").as("o")),
-          l.select(concat(lit("order:"), $"l_orderkey").as("s"),
-            concat(lit("supplier:"), $"l_suppkey").as("o")),
-          l.select(concat(lit("supplier:"), $"l_suppkey").as("s"),
-            concat(lit("part:"), $"l_partkey").as("o")))
-          .map(_.distinct()).reduce(_ unionByName _)
+        val edges = edgesDf(s, dir)
         val und = edges.select($"s".as("v"), $"o".as("w"))
           .unionByName(edges.select($"o".as("v"), $"s".as("w")))
           .distinct()
@@ -361,6 +341,130 @@ object GraphQueries {
               |        PARTITION BY v ORDER BY c DESC, lbl) AS rk FROM n2)
               |  WHERE rk = 1)
               |SELECT lbl AS community, count(*) AS n_members
-              |FROM l2 GROUP BY 1""".stripMargin))
+              |FROM l2 GROUP BY 1""".stripMargin)),
+
+    // HITS hubs & authorities, 2 unnormalized iterations over the
+    // DIRECTED entity edges (h₀=a₀=1, aₖ(v)=Σ_{u→v}hₖ₋₁(u),
+    // hₖ(u)=Σ_{u→v}aₖ(v)): every score is an exact int64 (sums of
+    // degree products — normalization is a presentation step, not
+    // needed for the ranking, and skipping it keeps the iteration
+    // oracle-checkable to the bit). Top-20 by authority with the
+    // entity name tiebreak. Scale shape per iteration: one edge↔score
+    // join + groupBy on node ids (degree-bounded fan-out, map-side
+    // combine) — the Pregel data layout without the framework; the
+    // iteration count is constant. Complements q55's PageRank (GraphX,
+    // rows-only) with a driver-gated iterative-linear-algebra check.
+    GQuery(
+      "q256_hits",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = edgesDf(s, dir)
+        val a1 = e0.groupBy($"o".as("v")).agg(count(lit(1)).as("a1"))
+        val h1 = e0.join(a1, $"o" === $"v")
+          .groupBy($"s".as("u")).agg(sum($"a1").as("h1"))
+        val a2 = e0.join(h1, $"s" === $"u")
+          .groupBy($"o".as("v2")).agg(sum($"h1").as("auth"))
+        val h2 = e0.join(a2, $"o" === $"v2")
+          .groupBy($"s".as("u2")).agg(sum($"auth").as("hub"))
+        a2.select($"v2".as("entity"), $"auth")
+          .join(h2.select($"u2".as("entity"), $"hub"), Seq("entity"), "full_outer")
+          .select($"entity", coalesce($"auth", lit(0L)).as("auth"),
+            coalesce($"hub", lit(0L)).as("hub"))
+          .orderBy($"auth".desc, $"entity".asc)
+          .limit(20)
+      },
+      Some(s"""WITH $edgesSql,
+              |e1 AS (SELECT DISTINCT s, o FROM edges),
+              |a1 AS (SELECT o AS v, count(*) AS a1 FROM e1 GROUP BY 1),
+              |h1 AS (SELECT s AS u, CAST(sum(a1) AS BIGINT) AS h1
+              |       FROM e1 JOIN a1 ON e1.o = a1.v GROUP BY 1),
+              |a2 AS (SELECT o AS v2, CAST(sum(h1) AS BIGINT) AS auth
+              |       FROM e1 JOIN h1 ON e1.s = h1.u GROUP BY 1),
+              |h2 AS (SELECT s AS u2, CAST(sum(auth) AS BIGINT) AS hub
+              |       FROM e1 JOIN a2 ON e1.o = a2.v2 GROUP BY 1)
+              |SELECT coalesce(a2.v2, h2.u2) AS entity,
+              |  coalesce(auth, 0) AS auth, coalesce(hub, 0) AS hub
+              |FROM a2 FULL JOIN h2 ON a2.v2 = h2.u2
+              |ORDER BY auth DESC, entity LIMIT 20""".stripMargin)),
+
+    // two-hop neighborhood Jaccard between nations (co-citation): two
+    // nations are similar when the same PARTS flow from their
+    // suppliers — the graph-similarity primitive behind "related
+    // items" and link-prediction features, over the supplier→part and
+    // supplier→nation edge sets (direct nation neighborhoods are
+    // disjoint by construction — every entity has one nation — so the
+    // informative similarity lives one hop out). |A∩B| comes from a
+    // shared-part self-join; fan-out per part is its nation-degree
+    // (≤ nation count, capped by re-blocking hot parts at scale),
+    // never |V|². |A∪B| = dA + dB − |A∩B| from the degree relation;
+    // the ratio is one exact integer divide. Top-20 pairs by overlap.
+    GQuery(
+      "q260_nation_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = edgesDf(s, dir)
+        val supNation = e0.filter($"s".startsWith("supplier:")
+            && $"o".startsWith("nation:"))
+          .select($"s".as("sup"), $"o".as("n"))
+        val supPart = e0.filter($"s".startsWith("supplier:")
+            && $"o".startsWith("part:"))
+          .select($"s".as("sup"), $"o".as("p"))
+        val tn = supPart.join(supNation, "sup")
+          .select($"p", $"n").distinct()
+        val deg = tn.groupBy($"n").agg(count(lit(1)).as("d"))
+        val inter = tn.as("a")
+          .join(tn.as("b"), $"a.p" === $"b.p" && $"a.n" < $"b.n")
+          .groupBy($"a.n".as("n1"), $"b.n".as("n2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(deg.select($"n".as("n1"), $"d".as("d1")), "n1")
+          .join(deg.select($"n".as("n2"), $"d".as("d2")), "n2")
+          .select($"n1", $"n2", $"inter",
+            ($"inter" * lit(1.0) / ($"d1" + $"d2" - $"inter")).as("jaccard"))
+          .orderBy($"inter".desc, $"n1".asc, $"n2".asc)
+          .limit(20)
+      },
+      Some(s"""WITH $edgesSql,
+              |sn AS (SELECT DISTINCT s AS sup, o AS n FROM edges
+              |       WHERE s LIKE 'supplier:%' AND o LIKE 'nation:%'),
+              |sp AS (SELECT DISTINCT s AS sup, o AS p FROM edges
+              |       WHERE s LIKE 'supplier:%' AND o LIKE 'part:%'),
+              |tn AS (SELECT DISTINCT p, n FROM sp JOIN sn USING (sup)),
+              |deg AS (SELECT n, count(*) AS d FROM tn GROUP BY 1),
+              |i AS (SELECT a.n AS n1, b.n AS n2, count(*) AS inter
+              |      FROM tn a JOIN tn b ON a.p = b.p AND a.n < b.n
+              |      GROUP BY 1, 2)
+              |SELECT n1, n2, inter,
+              |  inter * 1.0 / (d1.d + d2.d - inter) AS jaccard
+              |FROM i JOIN deg d1 ON i.n1 = d1.n JOIN deg d2 ON i.n2 = d2.n
+              |ORDER BY inter DESC, n1, n2 LIMIT 20""".stripMargin))
   )
+
+  /** The q53 edge list as a DataFrame (relational mirror of
+    * [[edgesSql]], shared by the driver-gated iterative queries).
+    */
+  private def edgesDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = graft.Tables.t(s, dir, "customer")
+    val sup = graft.Tables.t(s, dir, "supplier")
+    val n = graft.Tables.t(s, dir, "nation")
+    val o = graft.Tables.t(s, dir, "orders")
+    val l = graft.Tables.t(s, dir, "lineitem")
+    Seq(
+      c.select(concat(lit("customer:"), $"c_custkey").as("s"),
+        concat(lit("nation:"), $"c_nationkey").as("o")),
+      sup.select(concat(lit("supplier:"), $"s_suppkey").as("s"),
+        concat(lit("nation:"), $"s_nationkey").as("o")),
+      n.select(concat(lit("nation:"), $"n_nationkey").as("s"),
+        concat(lit("region:"), $"n_regionkey").as("o")),
+      o.select(concat(lit("order:"), $"o_orderkey").as("s"),
+        concat(lit("customer:"), $"o_custkey").as("o")),
+      l.select(concat(lit("order:"), $"l_orderkey").as("s"),
+        concat(lit("part:"), $"l_partkey").as("o")),
+      l.select(concat(lit("order:"), $"l_orderkey").as("s"),
+        concat(lit("supplier:"), $"l_suppkey").as("o")),
+      l.select(concat(lit("supplier:"), $"l_suppkey").as("s"),
+        concat(lit("part:"), $"l_partkey").as("o")))
+      .map(_.distinct()).reduce(_ unionByName _)
+  }
 }

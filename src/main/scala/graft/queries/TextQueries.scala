@@ -1674,6 +1674,89 @@ object TextQueries {
              |SELECT first_batch, new_types,
              |  CAST(sum(new_types) OVER (ORDER BY first_batch
              |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
-             |FROM g""".stripMargin))
+             |FROM g""".stripMargin)),
+
+    // Zipf rank-frequency slope per language: the log₂-log₂ OLS slope
+    // over the top-100 token ranks (natural text ≈ −1; a flat or
+    // cliff-shaped slope flags templated/generated text — a corpus
+    // forensic). Reuses q240's milli-bit integerization: log₂ of the
+    // exact integer rank/count is floored to 1e-4 bits, so all four
+    // OLS sums are exact int64 and the closed-form slope is one
+    // identical IEEE division. Scale shape: token counts are a
+    // vocabulary-sized groupBy; the per-lang top-100 is a
+    // WindowGroupLimit (per-partition heads, k rows per map side),
+    // and the regression runs over 100-row groups.
+    GQuery(
+      "q258_zipf_slope",
+      (s, dir) => {
+        import s.implicits._
+        val mb = (c: org.apache.spark.sql.Column) =>
+          floor(log2(c) * 10000 + 0.5).cast("long")
+        val byLang = Window.partitionBy($"lang")
+          .orderBy($"c".desc, $"token".asc)
+        val ranked = t(s, dir, "documents")
+          .select($"lang", explode(split($"text", " ")).as("token"))
+          .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+          .withColumn("rank", row_number().over(byLang))
+          .filter($"rank" <= 100)
+          .select($"lang", mb($"rank").as("x"), mb($"c").as("y"))
+        ranked.groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .select($"lang", $"n",
+            (($"n" * $"sxy" - $"sx" * $"sy") * lit(1.0)
+              / ($"n" * $"sxx" - $"sx" * $"sx")).as("zipf_slope"))
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |tc AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+             |rk AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+             |    ORDER BY c DESC, token) AS rank FROM tc),
+             |xy AS (SELECT lang,
+             |    CAST(floor(log2(rank) * 10000 + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(log2(c) * 10000 + 0.5) AS BIGINT) AS y
+             |  FROM rk WHERE rank <= 100),
+             |s AS (SELECT lang, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM xy GROUP BY 1)
+             |SELECT lang, n,
+             |  (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS zipf_slope
+             |FROM s""".stripMargin)),
+
+    // keyword-in-context (KWIC) span extraction: per-document match
+    // count and the ±16-char window around the FIRST occurrence of a
+    // term — the snippet surface behind search previews and targeted
+    // span audits (q216 removes spans; this one reads them). Match
+    // counting uses a word-boundary regex (identical in Java regex
+    // and RE2), position/substring are 1-based in both engines.
+    // Scale shape: one corpus scan, per-row codegen'd string ops,
+    // output = matching docs only.
+    GQuery(
+      "q259_kwic",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(expr("regexp_extract_all(text, '\\\\bdata\\\\b', 0)"))
+              .cast("long").as("n_matches"),
+            locate("data", $"text").cast("long").as("first_pos"),
+            $"text")
+          .filter($"n_matches" > 0)
+          .select($"doc_id", $"n_matches", $"first_pos",
+            substring_index(
+              expr("substring(text, greatest(1, first_pos - 16), 36)"), "\n", 1)
+              .as("snippet"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\bdata\b')) AS BIGINT)
+             |      AS n_matches,
+             |    CAST(strpos(text, 'data') AS BIGINT) AS first_pos, text
+             |  FROM documents)
+             |SELECT doc_id, n_matches, first_pos,
+             |  split_part(substring(text, greatest(1, first_pos - 16), 36),
+             |             chr(10), 1) AS snippet
+             |FROM m WHERE n_matches > 0""".stripMargin))
   )
 }

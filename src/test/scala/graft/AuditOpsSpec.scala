@@ -192,6 +192,50 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q256 first HITS authority pass equals the in-degree ranking seed") {
+    import spark.implicits._
+    val df = run("q256_hits").cache()
+    assert(df.count() == 20)
+    assert(df.filter($"auth" < 0 || $"hub" < 0).count() == 0)
+    // authorities after 2 unnormalized passes dominate their 1-pass
+    // seed: every listed entity has in-degree >= 1 reflected in auth
+    assert(df.filter($"auth" === 0 && $"hub" === 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("q257 blocking generates exactly the within-block pair product") {
+    import spark.implicits._
+    val bad = run("q257_entity_blocks")
+      .filter($"n_pairs" =!= $"n_entities" * ($"n_entities" - 1) / 2)
+    assert(bad.count() == 0)
+  }
+
+  test("q258 Zipf slope is negative for every language") {
+    import spark.implicits._
+    val df = run("q258_zipf_slope").cache()
+    assert(df.count() > 0)
+    assert(df.filter($"zipf_slope" >= 0.0).count() == 0)
+    df.unpersist()
+  }
+
+  test("q259 KWIC snippets contain the keyword at the expected offset") {
+    import spark.implicits._
+    val df = run("q259_kwic").cache()
+    assert(df.count() > 0)
+    assert(df.filter(!$"snippet".contains("data")).count() == 0)
+    assert(df.filter($"n_matches" < 1 || $"first_pos" < 1).count() == 0)
+    df.unpersist()
+  }
+
+  test("q260 two-hop Jaccard stays in (0, 1] with canonical pairs") {
+    import spark.implicits._
+    val df = run("q260_nation_jaccard").cache()
+    assert(df.count() > 0)
+    assert(df.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0).count() == 0)
+    assert(df.filter($"n1" >= $"n2").count() == 0)
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
