@@ -1491,6 +1491,160 @@ object EventQueries {
              |  FROM sc)
              |SELECT concat(r, f, m) AS segment, count(*) AS n_users,
              |  CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS avg_cents
-             |FROM nt GROUP BY 1""".stripMargin))
+             |FROM nt GROUP BY 1""".stripMargin)),
+
+    // seasonality heatmap: day-of-week × hour-of-day traffic profile
+    // per event type with each cell's share of its type — the load
+    // pattern behind capacity planning and anomaly baselines (a cell
+    // is anomalous relative to ITS weekday-hour, not the global
+    // mean). Integer counts, one exact share divide; ISO weekday
+    // numbering spelled explicitly (dayofweek is Sunday=1 in Spark,
+    // isodow Monday=1 in DuckDB — pinned here to ISO in both).
+    // Scale shape: one scan, (type, dow, hr) aggregate with map-side
+    // partials — 7×24×types output, no window over the stream.
+    GQuery(
+      "q261_seasonality",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+        t(s, dir, "events")
+          .groupBy($"event_type",
+            expr("(dayofweek(ts) + 5) % 7 + 1").as("iso_dow"),
+            hour($"ts").cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("type_share", $"n" * lit(1.0) / sum($"n").over(w))
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |    CAST(isodow(ts) AS BIGINT) AS iso_dow,
+             |    CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3)
+             |SELECT event_type, iso_dow, hr, n,
+             |  n * 1.0 / CAST(sum(n) OVER (PARTITION BY event_type)
+             |            AS BIGINT) AS type_share
+             |FROM c""".stripMargin)),
+
+    // time-weighted average value (TWAP) per type and day: each
+    // observation holds until the next one, so its weight is the
+    // exact microsecond duration to the successor (lead over the
+    // unique time key; the day's last observation carries to
+    // midnight). Duration×cents products stay within int64 by ~35×
+    // margin at the 30-day span (bound stated, not assumed), so both
+    // sums are exact and the TWAP is one IEEE divide — the
+    // irregular-sampling average that plain avg() gets wrong when
+    // observations cluster. Scale shape: one (type, day)-keyed sort
+    // for the lead, aggregate output (type × day)-sized.
+    GQuery(
+      "q262_twap",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type", $"day")
+          .orderBy($"us".asc, $"event_id".asc)
+        t(s, dir, "events")
+          .select($"event_type", to_date($"ts").as("day"),
+            unix_micros($"ts").as("us"), $"event_id",
+            floor($"value" * 100 + 0.5).cast("long").as("cents"))
+          .withColumn("next_us", lead($"us", 1).over(w))
+          .withColumn("dur", coalesce($"next_us",
+            (unix_micros(date_add($"day", 1).cast("timestamp")))) - $"us")
+          .groupBy($"event_type", $"day")
+          .agg((sum($"cents" * $"dur") * lit(1.0) / sum($"dur") / 100.0)
+            .as("twap"),
+            count(lit(1)).as("n_obs"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    epoch_us(ts) AS us, event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |d AS (SELECT event_type, day, cents,
+             |    coalesce(lead(us) OVER (PARTITION BY event_type, day
+             |        ORDER BY us, event_id),
+             |      epoch_us(CAST(day + 1 AS TIMESTAMP))) - us AS dur
+             |  FROM e)
+             |SELECT event_type, day,
+             |  CAST(sum(cents * dur) AS BIGINT) * 1.0
+             |    / CAST(sum(dur) AS BIGINT) / 100.0 AS twap,
+             |  count(*) AS n_obs
+             |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // Gini coefficient of per-user value concentration per event
+    // type — "does one user dominate the revenue" in one number.
+    // Exact formula on cents sorted ascending with the unique
+    // user_id tiebreak: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx); every
+    // sum is int64 on integers, so the only float op is the final
+    // divide. Scale shape: user-grain aggregate, then ONE per-type
+    // sort for the rank — the exact-Gini floor (the streaming
+    // alternative bins into a histogram first, q163's layout).
+    GQuery(
+      "q263_gini",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"cents".asc, $"user_id".asc)
+        t(s, dir, "events")
+          .groupBy($"event_type", $"user_id")
+          .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_users"), sum($"cents").as("total_cents"),
+            sum($"i" * $"cents").as("wsum"))
+          .select($"event_type", $"n_users", $"total_cents",
+            ((lit(2L) * $"wsum" - ($"n_users" + 1) * $"total_cents") * lit(1.0)
+              / ($"n_users" * $"total_cents")).as("gini"))
+      },
+      Some("""WITH u AS (SELECT event_type, user_id,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, cents, CAST(row_number() OVER (
+             |      PARTITION BY event_type ORDER BY cents, user_id)
+             |    AS BIGINT) AS i FROM u),
+             |g AS (SELECT event_type, count(*) AS n_users,
+             |    CAST(sum(cents) AS BIGINT) AS total_cents,
+             |    CAST(sum(i * cents) AS BIGINT) AS wsum
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, n_users, total_cents,
+             |  (2 * wsum - (n_users + 1) * total_cents) * 1.0
+             |    / (n_users * total_cents) AS gini
+             |FROM g""".stripMargin)),
+
+    // churn cohorts: users grouped by first-activity day, reporting
+    // cohort size and how many went silent before the final week of
+    // the observation window — the retention summary behind every
+    // growth dashboard (q123's cohort_retention tracks week-over-week
+    // activity; this is the terminal churn cut). All integer date
+    // arithmetic on epoch days. Scale shape: one user-grain
+    // aggregate (min/max day), then a week-sized rollup.
+    GQuery(
+      "q264_churn_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val days = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(min(datediff($"ts".cast("date"), lit("2024-01-01").cast("date")))
+            .as("first_day"),
+            max(datediff($"ts".cast("date"), lit("2024-01-01").cast("date")))
+              .as("last_day"))
+        val horizon = days.agg(max($"last_day").as("max_day"))
+        days.crossJoin(GuardedBroadcast.maybe(horizon))
+          .select($"first_day".as("cohort_day"),
+            ($"last_day" < $"max_day" - 6).cast("long").as("churned"))
+          .groupBy($"cohort_day")
+          .agg(count(lit(1)).as("n_users"), sum($"churned").as("n_churned"),
+            (sum($"churned") * lit(1.0) / count(lit(1))).as("churn_rate"))
+      },
+      Some("""WITH d AS (SELECT user_id,
+             |    min(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+             |      AS first_day,
+             |    max(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+             |      AS last_day
+             |  FROM events GROUP BY 1),
+             |mx AS (SELECT max(last_day) AS max_day FROM d),
+             |c AS (SELECT first_day AS cohort_day,
+             |    CASE WHEN last_day < max_day - 6 THEN 1 ELSE 0 END AS churned
+             |  FROM d, mx)
+             |SELECT cohort_day, count(*) AS n_users,
+             |  CAST(sum(churned) AS BIGINT) AS n_churned,
+             |  CAST(sum(churned) AS BIGINT) * 1.0 / count(*) AS churn_rate
+             |FROM c GROUP BY 1""".stripMargin))
   )
 }

@@ -1757,6 +1757,52 @@ object TextQueries {
              |SELECT doc_id, n_matches, first_pos,
              |  split_part(substring(text, greatest(1, first_pos - 16), 36),
              |             chr(10), 1) AS snippet
-             |FROM m WHERE n_matches > 0""".stripMargin))
+             |FROM m WHERE n_matches > 0""".stripMargin)),
+
+    // source-pair vocabulary Jaccard: how much two feeds' BIGRAM
+    // vocabularies overlap — the redundancy signal for source
+    // selection that q139's doc-level mirror detection can't see
+    // (mirrors share documents; these share only phrasing). Overlap
+    // from a shared-type self-join whose fan-out per type is its
+    // source-degree (≤ source count — the df-cap argument from q44
+    // applies if sources proliferate), union by inclusion-exclusion,
+    // one exact integer divide. Scale shape: distinct (source, type)
+    // relation is vocabulary-sized; the pair join shuffles 8-byte-ish
+    // keys, output source-pair-sized.
+    GQuery(
+      "q265_source_vocab_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sv = t(s, dir, "documents")
+          .select($"source", split($"text", " ").as("w"))
+          .select($"source", explode(expr(
+            """transform(sequence(0, size(w) - 2), i ->
+              |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
+              .stripMargin)).as("tok"))
+          .distinct()
+        val deg = sv.groupBy($"source").agg(count(lit(1)).as("d"))
+        sv.as("a").join(sv.as("b"),
+            $"a.tok" === $"b.tok" && $"a.source" < $"b.source")
+          .groupBy($"a.source".as("s1"), $"b.source".as("s2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(deg.select($"source".as("s1"), $"d".as("d1")), "s1")
+          .join(deg.select($"source".as("s2"), $"d".as("d2")), "s2")
+          .select($"s1", $"s2", $"inter",
+            ($"inter" * lit(1.0) / ($"d1" + $"d2" - $"inter")).as("jaccard"))
+      },
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS w
+             |  FROM documents),
+             |sv AS (SELECT DISTINCT source,
+             |    unnest(list_transform(generate_series(1, len(w) - 1),
+             |      i -> concat(w[i], ' ', w[i + 1]))) AS tok FROM w),
+             |deg AS (SELECT source, count(*) AS d FROM sv GROUP BY 1),
+             |i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+             |      FROM sv a JOIN sv b
+             |        ON a.tok = b.tok AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT s1, s2, inter,
+             |  inter * 1.0 / (d1.d + d2.d - inter) AS jaccard
+             |FROM i JOIN deg d1 ON i.s1 = d1.source
+             |       JOIN deg d2 ON i.s2 = d2.source""".stripMargin))
   )
 }

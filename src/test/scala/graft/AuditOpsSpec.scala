@@ -236,6 +236,65 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q261 seasonality shares form a distribution per type") {
+    import spark.implicits._
+    val df = run("q261_seasonality").cache()
+    val bad = df.groupBy($"event_type").agg(sum($"type_share").as("tot"))
+      .filter(abs($"tot" - 1.0) > 1e-9)
+    assert(bad.count() == 0)
+    assert(df.filter($"iso_dow" < 1 || $"iso_dow" > 7 ||
+      $"hr" < 0 || $"hr" > 23).count() == 0)
+    df.unpersist()
+  }
+
+  test("q262 TWAP lies within each day's value range") {
+    import spark.implicits._
+    val rng = Tables.t(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(min($"value").as("lo"), max($"value").as("hi"))
+    val bad = run("q262_twap").join(rng, Seq("event_type", "day"))
+      .filter($"twap" < $"lo" - 0.01 || $"twap" > $"hi" + 0.01)
+    assert(bad.count() == 0)
+  }
+
+  test("q263 Gini agrees with a direct mean-absolute-difference computation") {
+    import spark.implicits._
+    val got = run("q263_gini").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val cents = Tables.t(spark, sf, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2) }
+    cents.foreach { case (t, xs) =>
+      val n = xs.length.toDouble
+      val mu = xs.map(_.toDouble).sum / n
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b).toDouble)
+        .sum / (n * n)
+      val direct = mad / (2 * mu)
+      assert(math.abs(got(t) - direct) < 1e-9, t)
+    }
+  }
+
+  test("q264 churn cohorts partition the user base") {
+    import spark.implicits._
+    val df = run("q264_churn_cohorts").cache()
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(df.agg(sum($"n_users")).first().getLong(0) == users)
+    assert(df.filter($"n_churned" > $"n_users").count() == 0)
+    df.unpersist()
+  }
+
+  test("q265 vocabulary Jaccard is symmetric-canonical and bounded") {
+    import spark.implicits._
+    val df = run("q265_source_vocab_jaccard").cache()
+    assert(df.count() > 0)
+    assert(df.filter($"s1" >= $"s2").count() == 0)
+    assert(df.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0).count() == 0)
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
