@@ -1645,6 +1645,101 @@ object EventQueries {
              |SELECT cohort_day, count(*) AS n_users,
              |  CAST(sum(churned) AS BIGINT) AS n_churned,
              |  CAST(sum(churned) AS BIGINT) * 1.0 / count(*) AS churn_rate
-             |FROM c GROUP BY 1""".stripMargin))
+             |FROM c GROUP BY 1""".stripMargin)),
+
+    // maximum drawdown per type over the daily cents series: the
+    // largest peak-to-trough drop of the running cumulative value —
+    // the risk metric that a mean or variance cannot see (order
+    // matters). Running peak via a window max, drawdown = peak −
+    // cumulative, argmax with the deterministic (drawdown desc, day)
+    // tiebreak; everything is exact int64 prefix sums of cents.
+    // Scale shape: (type, day) aggregate, then per-type windows over
+    // day-count rows — never the event stream.
+    GQuery(
+      "q266_drawdown",
+      (s, dir) => {
+        import s.implicits._
+        val byDay = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rk = Window.partitionBy($"event_type")
+          .orderBy($"dd".desc, $"day".asc)
+        t(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+          .withColumn("cum", sum($"cents").over(byDay))
+          .withColumn("peak", max($"cum").over(byDay))
+          .withColumn("dd", $"peak" - $"cum")
+          .withColumn("rk", row_number().over(rk))
+          .filter($"rk" === 1)
+          .select($"event_type", $"day".as("trough_day"),
+            $"dd".as("max_drawdown_cents"), $"peak".as("peak_cents"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |cm AS (SELECT event_type, day,
+             |    CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+             |c AS (SELECT event_type, day, cum,
+             |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak FROM cm),
+             |r AS (SELECT event_type, day, peak - cum AS dd, peak,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY peak - cum DESC, day) AS rk FROM c)
+             |SELECT event_type, day AS trough_day,
+             |  dd AS max_drawdown_cents, peak AS peak_cents
+             |FROM r WHERE rk = 1""".stripMargin)),
+
+    // burstiness (index of dispersion / Fano factor) of hourly
+    // arrivals per type: variance-to-mean of the hourly count series
+    // — 1 ≈ Poisson, ≫1 = bursty traffic. Computed entirely from the
+    // three integer sums (n, Σc, Σc²) with identical scalar op order,
+    // the one float stage being the output arithmetic; hours with no
+    // arrivals count as zeros via the dense (type × hour-grid) frame
+    // so the statistic matches its definition, not just the observed
+    // hours. Scale shape: (type, hour) aggregate + a type-sized
+    // reduction; the hour grid is generated, never scanned.
+    GQuery(
+      "q268_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        val counts = t(s, dir, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val span = t(s, dir, "events")
+          .agg(unix_micros(date_trunc("hour", min($"ts"))).as("lo"),
+            unix_micros(date_trunc("hour", max($"ts"))).as("hi"))
+        val grid = span.select($"lo", $"hi",
+            explode(expr("sequence(lo, hi, 3600000000)")).as("hus"))
+          .select(timestamp_micros($"hus").as("hr"))
+          .crossJoin(counts.select($"event_type").distinct())
+        grid.join(counts, Seq("event_type", "hr"), "left_outer")
+          .withColumn("c", coalesce($"c", lit(0L)))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_hours"), sum($"c").as("total"),
+            sum($"c" * $"c").as("sq"))
+          .select($"event_type", $"n_hours", $"total",
+            ((($"sq" * $"n_hours" - $"total" * $"total") * lit(1.0))
+              / ($"n_hours" * $"total")).as("fano"))
+      },
+      Some("""WITH cnt AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             |    count(*) AS c FROM events GROUP BY 1, 2),
+             |span AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             |    date_trunc('hour', max(ts)) AS hi FROM events),
+             |grid AS (SELECT t.event_type, g.hr
+             |  FROM (SELECT DISTINCT event_type FROM events) t,
+             |       (SELECT unnest(generate_series(lo, hi,
+             |          INTERVAL 1 HOUR)) AS hr FROM span) g),
+             |f AS (SELECT grid.event_type, coalesce(c, 0) AS c
+             |  FROM grid LEFT JOIN cnt ON grid.event_type = cnt.event_type
+             |    AND grid.hr = cnt.hr),
+             |s AS (SELECT event_type, count(*) AS n_hours,
+             |    CAST(sum(c) AS BIGINT) AS total,
+             |    CAST(sum(c * c) AS BIGINT) AS sq
+             |  FROM f GROUP BY 1)
+             |SELECT event_type, n_hours, total,
+             |  (sq * n_hours - total * total) * 1.0 / (n_hours * total) AS fano
+             |FROM s""".stripMargin))
   )
 }

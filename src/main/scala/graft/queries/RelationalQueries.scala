@@ -824,6 +824,69 @@ object RelationalQueries {
              |WHERE cents > avg_cents
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
              |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // generic column profiler (the first thing run against ANY new
+    // table): per-column null count and exact distinct cardinality
+    // over orders — the schema-agnostic loop builds one aggregate per
+    // column from the DataFrame schema, so the same code profiles any
+    // table; counts are integers, so the report is engine-exact
+    // without representation games (min/max would need cross-engine
+    // value formatting — deliberately out of scope). Scale shape: ONE
+    // scan computing every column's aggregates together (count_
+    // distinct compiles to expand + partial aggregation — k columns
+    // cost one pass, not k); output column-count-sized.
+    GQuery(
+      "q267_column_profile",
+      (s, dir) => {
+        import s.implicits._
+        val df = t(s, dir, "orders")
+        val aggs = df.columns.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))
+        }
+        val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+        val stacked = df.columns.map { c =>
+          one.select(lit(c).as("column"), col(s"nn_$c").as("n_null"),
+            col(s"nd_$c").as("n_distinct"))
+        }.reduce(_ unionByName _)
+        stacked.crossJoin(df.agg(count(lit(1)).as("n_rows")))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_rows FROM orders)
+             |SELECT 'o_orderkey' AS column,
+             |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_null,
+             |  count(DISTINCT o_orderkey) AS n_distinct, n_rows
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_custkey',
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT),
+             |  count(DISTINCT o_custkey), n_rows
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_orderstatus',
+             |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT),
+             |  count(DISTINCT o_orderstatus), n_rows
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_totalprice',
+             |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT),
+             |  count(DISTINCT o_totalprice), n_rows
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_orderdate',
+             |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT),
+             |  count(DISTINCT o_orderdate), n_rows
+             |FROM orders, n GROUP BY n_rows
+             |UNION ALL
+             |SELECT 'o_orderpriority',
+             |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT),
+             |  count(DISTINCT o_orderpriority), n_rows
+             |FROM orders, n GROUP BY n_rows""".stripMargin))
   )
 }

@@ -295,6 +295,48 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q266 drawdown matches a sequential scan of the daily series") {
+    import spark.implicits._
+    val daily = Tables.t(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    val expect = daily.map { case (t, rows) =>
+      var cum = 0L; var peak = Long.MinValue; var dd = Long.MinValue
+      rows.sortBy(_._2).foreach { case (_, _, c) =>
+        cum += c; peak = math.max(peak, cum); dd = math.max(dd, peak - cum)
+      }
+      t -> dd
+    }
+    run("q266_drawdown").collect().foreach { r =>
+      assert(r.getLong(2) == expect(r.getString(0)), r.getString(0))
+    }
+  }
+
+  test("q267 profiler covers every column with sane cardinalities") {
+    import spark.implicits._
+    val df = run("q267_column_profile").cache()
+    val cols = Tables.t(spark, sf, "orders").columns.toSet
+    assert(df.collect().map(_.getString(0)).toSet == cols)
+    assert(df.filter($"n_distinct" + $"n_null" > $"n_rows" * 2).count() == 0)
+    assert(df.filter($"column" === "o_orderkey")
+      .filter($"n_distinct" =!= $"n_rows").count() == 0,
+      "primary key must be fully distinct")
+    df.unpersist()
+  }
+
+  test("q268 Fano factor covers the dense hour grid including silent hours") {
+    import spark.implicits._
+    val df = run("q268_burstiness").cache()
+    // all types share one global grid → identical n_hours
+    assert(df.select($"n_hours").distinct().count() == 1)
+    assert(df.filter($"fano" < 0.0).count() == 0)
+    val events = Tables.t(spark, sf, "events").count()
+    assert(df.agg(sum($"total")).first().getLong(0) == events)
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
