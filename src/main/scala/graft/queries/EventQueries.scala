@@ -1363,7 +1363,7 @@ object EventQueries {
           val w = Window.partitionBy($"event_type").orderBy(df(col), $"event_id")
           df.withColumn("rn", row_number().over(w))
             .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-            .filter($"rn" === expr("(n + 1) div 2") || $"rn" === expr("(n + 2) div 2"))
+            .filter($"rn" === expr("cast((n + 1) div 2 as int)") || $"rn" === expr("cast((n + 2) div 2 as int)"))
             .groupBy($"event_type").agg((sum(df(col)) / count(lit(1))).as(out))
         }
         val med = medianOf(ev, "value", "med")
@@ -1740,6 +1740,143 @@ object EventQueries {
              |  FROM f GROUP BY 1)
              |SELECT event_type, n_hours, total,
              |  (sq * n_hours - total * total) * 1.0 / (n_hours * total) AS fano
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // Hampel filter: rolling-window robust outlier flags on the daily
+    // cents series — each day is judged against the MEDIAN and MAD of
+    // its ±3-day neighborhood (the despiking filter that a rolling
+    // mean cannot provide: one spike drags a mean, never a median).
+    // The 7-row frame is materialized per row (collect_list over
+    // ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING — constant-bounded,
+    // NOT a data-sized array), sorted, and the exact middle taken;
+    // the deviations array reuses the same sorted-middle trick. All
+    // values are integer cents, so medians are exact halves at worst
+    // and every comparison is identical IEEE. Scale shape: one
+    // (type, day) aggregate, then type-partitioned windows over day
+    // rows with O(w log w) per-row work, w = 7.
+    GQuery(
+      "q269_hampel",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+          .rowsBetween(-3, 3)
+        t(s, dir, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+          .withColumn("nb", collect_list($"cents").over(w))
+          .withColumn("srt", array_sort($"nb"))
+          .withColumn("n", size($"srt"))
+          .withColumn("med", (element_at($"srt", expr("cast((n + 1) div 2 as int)"))
+            + element_at($"srt", expr("cast((n + 2) div 2 as int)"))) * lit(1.0) / 2)
+          .withColumn("devs", expr(
+            "array_sort(transform(nb, x -> abs(x - med)))"))
+          .withColumn("mad", (element_at($"devs", expr("cast((n + 1) div 2 as int)"))
+            + element_at($"devs", expr("cast((n + 2) div 2 as int)"))) * lit(1.0) / 2)
+          .withColumn("is_spike",
+            abs($"cents" - $"med") > $"mad" * lit(3.0) && $"mad" > 0)
+          .select($"event_type", $"day", $"cents", $"med".as("roll_median"),
+            $"mad".as("roll_mad"), $"is_spike")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2),
+             |nbx AS (SELECT event_type, day, cents,
+             |    list_sort(list(cents) OVER (PARTITION BY event_type
+             |      ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+             |      AS srt
+             |  FROM d),
+             |m AS (SELECT *, len(srt) AS n,
+             |    (srt[(n + 1) // 2] + srt[(n + 2) // 2]) * 1.0 / 2 AS med
+             |  FROM nbx),
+             |mm AS (SELECT *, list_sort(list_transform(srt,
+             |      x -> abs(x - med))) AS devs FROM m),
+             |f AS (SELECT event_type, day, cents, med,
+             |    (devs[(n + 1) // 2] + devs[(n + 2) // 2]) * 1.0 / 2 AS mad
+             |  FROM mm)
+             |SELECT event_type, day, cents, med AS roll_median,
+             |  mad AS roll_mad,
+             |  abs(cents - med) > mad * 3.0 AND mad > 0 AS is_spike
+             |FROM f""".stripMargin)),
+
+    // peak concurrency per day: the maximum number of simultaneously
+    // open 30-minute-gap sessions (q35's sessionization grain) at any
+    // instant, via the sweep line — +1 at session start, −1 after
+    // end, running sum over the time-ordered deltas, max per day.
+    // Ties are ordered (us, delta asc) so a session ending exactly
+    // when another starts never double-counts (ends apply first).
+    // Exact integers throughout. Scale shape: sessions are a (user)-
+    // keyed window (the q35 shuffle), the sweep is a day-partitioned
+    // running sum over 2×sessions-per-day rows — the q125 day-shard
+    // argument: no partition-less global window.
+    GQuery(
+      "q270_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id")
+          .orderBy($"us".asc, $"event_id".asc)
+        val sessions = t(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("prev", lag($"us", 1).over(byUser))
+          .withColumn("new_s",
+            ($"prev".isNull || $"us" - $"prev" > 1800L * 1000000L)
+              .cast("long"))
+          .withColumn("sid", sum($"new_s").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"us").as("s_us"), max($"us").as("e_us"))
+        val deltas = sessions
+          .select($"s_us".as("us"), lit(1L).as("delta"))
+          .unionByName(sessions.select($"e_us".as("us"), lit(-1L).as("delta")))
+        // two-phase sweep (q205's banded prefix-sum shape): a running
+        // sum WITHIN each day plus a day-level carry-in for sessions
+        // still open at midnight — the global instant-ordered window a
+        // naive sweep needs never materializes.
+        val inDay = Window.partitionBy($"day")
+          .orderBy($"us".asc, $"delta".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dayOrder = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = deltas
+          .withColumn("day", to_date(timestamp_micros($"us")))
+          .withColumn("open_local", sum($"delta").over(inDay))
+        val carry = local.groupBy($"day")
+          .agg(sum($"delta").as("day_total"))
+          .withColumn("carry_in",
+            coalesce(sum($"day_total").over(dayOrder), lit(0L)))
+        local.join(carry.select($"day", $"carry_in"), "day")
+          .groupBy($"day")
+          .agg(max($"carry_in" + $"open_local").as("peak_concurrency"),
+            (sum(when($"delta" === 1, 1L).otherwise(0L))).as("n_sessions"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+             |  FROM events),
+             |g AS (SELECT user_id, us, event_id,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |           OR us - lag(us) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sid AS (SELECT user_id, us,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g),
+             |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+             |  FROM sid GROUP BY 1, 2),
+             |del AS (SELECT s_us AS us, 1 AS delta FROM sess
+             |        UNION ALL SELECT e_us, -1 FROM sess),
+             |sw AS (SELECT CAST(make_timestamp(us) AS DATE) AS day, delta,
+             |    CAST(sum(delta) OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+             |      ORDER BY us, delta ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS open_local
+             |  FROM del),
+             |ci AS (SELECT day, coalesce(CAST(sum(sum(delta)) OVER (
+             |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |      1 PRECEDING) AS BIGINT), 0) AS carry_in
+             |  FROM (SELECT CAST(make_timestamp(us) AS DATE) AS day, delta
+             |        FROM del) GROUP BY day)
+             |SELECT sw.day, max(carry_in + open_local) AS peak_concurrency,
+             |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sessions
+             |FROM sw JOIN ci ON sw.day = ci.day GROUP BY 1""".stripMargin))
   )
 }

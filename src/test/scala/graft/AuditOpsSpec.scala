@@ -337,6 +337,75 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q269 Hampel rolling stats match a direct sliding recomputation") {
+    import spark.implicits._
+    val series = Tables.t(spark, sf, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).map { case (t, v) => t -> v.sortBy(_._2).map(_._3) }
+    def mid(xs: Array[Double]) = {
+      val s = xs.sorted; val n = s.length
+      (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2
+    }
+    val expect = series.flatMap { case (t, xs) =>
+      xs.indices.map { i =>
+        val w = xs.slice(math.max(0, i - 3), math.min(xs.length, i + 4))
+          .map(_.toDouble)
+        val med = mid(w)
+        val mad = mid(w.map(x => math.abs(x - med)))
+        (t, i) -> (med, mad)
+      }
+    }
+    val got = run("q269_hampel").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1).toSeq.flatMap { case (t, v) =>
+        v.sortBy(_._2).zipWithIndex.map { case (row, i) =>
+          (t, i) -> ((row._3, row._4))
+        }
+      }.toMap
+    expect.foreach { case (k, (med, mad)) =>
+      assert(got(k) == ((med, mad)), k)
+    }
+  }
+
+  test("q270 two-phase sweep equals a single global sweep") {
+    import spark.implicits._
+    // rebuild sessions directly, run the naive one-ordering sweep,
+    // and compare per-day peaks against the day-sharded carry-in plan
+    val evs = Tables.t(spark, sf, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val sessions = evs.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var s0 = -1L; var prev = -1L
+      sorted.foreach { case (_, us, _) =>
+        if (s0 < 0 || us - prev > 1800L * 1000000L) {
+          if (s0 >= 0) out += ((s0, prev)); s0 = us
+        }
+        prev = us
+      }
+      if (s0 >= 0) out += ((s0, prev))
+      out
+    }.toSeq
+    val deltas = (sessions.map(s => (s._1, 1L)) ++ sessions.map(s => (s._2, -1L)))
+      .sortBy(d => (d._1, d._2))
+    var open = 0L
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    deltas.foreach { case (us, d) =>
+      open += d
+      val day = java.time.Instant.ofEpochSecond(us / 1000000L)
+        .toString.substring(0, 10)
+      peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), open)
+    }
+    run("q270_concurrency").collect().foreach { r =>
+      assert(r.getLong(1) == peaks(r.getDate(0).toString), r.getDate(0))
+    }
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
