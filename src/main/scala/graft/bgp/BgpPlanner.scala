@@ -760,6 +760,22 @@ object BgpPlanner {
       case BStrlen(a) => length(bindCol(a, lex).cast("string")).cast("long")
       case BFunc1("ucase", a) => upper(bindCol(a, lex).cast("string"))
       case BFunc1("lcase", a) => lower(bindCol(a, lex).cast("string"))
+      // numeric functions (SPARQL 1.1 §17.4.4): operate on the
+      // xsd-numeric reading of the lexical value, results stay double.
+      case BFunc1("abs", a) => abs(bindCol(a, lex).cast("double"))
+      case BFunc1("ceil", a) =>
+        ceil(bindCol(a, lex).cast("double")).cast("double")
+      case BFunc1("floor", a) =>
+        floor(bindCol(a, lex).cast("double")).cast("double")
+      // fn:round ties go toward +INF (NOT half-away-from-zero — Spark's
+      // round() would return −3 for −2.5 where the spec wants −2);
+      // floor(x + 0.5) is the spec semantics and one identical IEEE op
+      case BFunc1("round", a) =>
+        floor(bindCol(a, lex).cast("double") + 0.5).cast("double")
+      // hash functions (§17.4.6): lowercase hex over the UTF-8 lexical
+      // form, matching both engines' md5()/sha256()
+      case BFunc1("md5", a) => md5(bindCol(a, lex).cast("string"))
+      case BFunc1("sha256", a) => sha2(bindCol(a, lex).cast("string"), 256)
       case BFunc1(other, _) =>
         throw new IllegalArgumentException(s"unknown BIND function: $other")
       case BSubstr(a, st, ln) => bindCol(a, lex).cast("string")

@@ -1005,6 +1005,18 @@ object Sparql {
       BFunc1("ucase", parseBindExpr(inner0))
     else if (low.startsWith("lcase(") && s.endsWith(")"))
       BFunc1("lcase", parseBindExpr(inner0))
+    else if (low.startsWith("abs(") && s.endsWith(")"))
+      BFunc1("abs", parseBindExpr(inner0))
+    else if (low.startsWith("ceil(") && s.endsWith(")"))
+      BFunc1("ceil", parseBindExpr(inner0))
+    else if (low.startsWith("floor(") && s.endsWith(")"))
+      BFunc1("floor", parseBindExpr(inner0))
+    else if (low.startsWith("round(") && s.endsWith(")"))
+      BFunc1("round", parseBindExpr(inner0))
+    else if (low.startsWith("md5(") && s.endsWith(")"))
+      BFunc1("md5", parseBindExpr(inner0))
+    else if (low.startsWith("sha256(") && s.endsWith(")"))
+      BFunc1("sha256", parseBindExpr(inner0))
     else if (low.startsWith("substr(") && s.endsWith(")")) {
       val as = splitArgs(inner0)
       require(as.size == 2 || as.size == 3, s"SUBSTR takes 2-3 args: $raw")

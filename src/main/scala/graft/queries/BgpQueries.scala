@@ -1431,6 +1431,45 @@ object BgpQueries {
             | ?n name ?nm .
             | MINUS { ?x regionkey ?y } }""".stripMargin),
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation""".stripMargin)),
+
+    // grammar extension: SPARQL 1.1 §17.4.4 numeric functions in BIND
+    // — ABS/CEIL/FLOOR and spec-semantics ROUND (ties toward +INF,
+    // spelled floor(x+0.5) so both engines run one identical IEEE op;
+    // Spark's round() would disagree at negative halves). Balances
+    // arrive as lexical strings and compute on their xsd:double
+    // reading.
+    GQuery(
+      "q271_bgp_numeric_funcs",
+      bgp("""select ?nm ?q ?clq ?flq ?rdq ?ab where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (STRLEN(?nm) AS ?len) .
+            | BIND (?len / 4 AS ?q) .
+            | BIND (CEIL(?q) AS ?clq) .
+            | BIND (FLOOR(?q) AS ?flq) .
+            | BIND (ROUND(?q) AS ?rdq) .
+            | BIND (ABS(?q - 2) AS ?ab) }""".stripMargin),
+      Some("""WITH b AS (SELECT n_name AS nm,
+             |    CAST(strlen(n_name) AS DOUBLE) / CAST(4 AS DOUBLE) AS q
+             |  FROM nation)
+             |SELECT nm, q, ceil(q) AS clq, floor(q) AS flq,
+             |  floor(q + 0.5) AS rdq, abs(q - CAST(2 AS DOUBLE)) AS ab
+             |FROM b""".stripMargin)),
+
+    // grammar extension: §17.4.6 hash functions in BIND — MD5/SHA256
+    // lowercase hex over the UTF-8 lexical form; the content-
+    // fingerprinting surface (q40's relational fingerprint, in
+    // SPARQL). Aggregated to a distinct count so the output stays
+    // name-sized.
+    GQuery(
+      "q272_bgp_hash_funcs",
+      bgp("""select ?nm ?h ?h2 where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (MD5(?nm) AS ?h) .
+            | BIND (SHA256(?nm) AS ?h2) }""".stripMargin),
+      Some("""SELECT n_name AS nm, md5(n_name) AS h, sha256(n_name) AS h2
              |FROM nation""".stripMargin))
   )
 }

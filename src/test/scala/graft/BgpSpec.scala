@@ -678,8 +678,10 @@ class BgpSpec extends AnyFunSuite {
       """select ?A where { ?A name ?N . BIND (strlen(?N) AS ?N) }"""))
     intercept[IllegalArgumentException](Sparql.parse(
       """select ?A where { ?A name ?N . BIND (strlen(?Z) AS ?L) }"""))
+    // md5/sha256 became supported BIND functions; sha1 remains outside
+    // the surface (no DuckDB twin to oracle it against)
     intercept[IllegalArgumentException](Sparql.parse(
-      """select ?A where { ?A name ?N . BIND (md5(?N) AS ?H) }"""))
+      """select ?A where { ?A name ?N . BIND (sha1(?N) AS ?H) }"""))
   }
 
   test("sub-SELECT aggregates bottom-up and joins the outer solution") {
@@ -1169,5 +1171,37 @@ class BgpSpec extends AnyFunSuite {
     // idempotent on queries without the form
     val q = "select ?S where { ?S title ?T }"
     assert(Sparql.desugarSelectExprs(q) == q)
+  }
+
+  test("numeric BIND functions follow fn:round tie semantics and hash " +
+      "functions emit lowercase hex") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val data = Seq(("x:1", "val", "-5"), ("x:2", "val", "5"),
+      ("x:3", "val", "7")).toDF("s", "p", "o")
+    val st = TripleStore.fromTriples(data)
+    val rows = BgpPlanner.query(st,
+      """select ?s ?r ?c ?f ?a where {
+        | ?s val ?v .
+        | BIND (?v / 2 AS ?h) .
+        | BIND (ROUND(?h) AS ?r) .
+        | BIND (CEIL(?h) AS ?c) .
+        | BIND (FLOOR(?h) AS ?f) .
+        | BIND (ABS(?h) AS ?a) }""".stripMargin)
+      .collect().map(r => r.getAs[String]("s") ->
+        (r.getAs[Double]("r"), r.getAs[Double]("c"),
+          r.getAs[Double]("f"), r.getAs[Double]("a")))
+      .toMap
+    // fn:round: ties toward +INF — round(-2.5) = -2, NOT -3
+    assert(rows("x:1") == ((-2.0, -2.0, -3.0, 2.5)))
+    assert(rows("x:2") == ((3.0, 3.0, 2.0, 2.5)))
+    assert(rows("x:3") == ((4.0, 4.0, 3.0, 3.5)))
+    val h = BgpPlanner.query(st,
+      """select ?s ?m where {
+        | ?s val ?v . BIND (MD5(?v) AS ?m) }""".stripMargin)
+      .collect().map(r => r.getAs[String]("s") -> r.getAs[String]("m")).toMap
+    assert(h("x:3") ==
+      java.security.MessageDigest.getInstance("MD5").digest("7".getBytes)
+        .map("%02x".format(_)).mkString)
   }
 }
