@@ -367,6 +367,11 @@ object BgpPlanner {
     }
 
     val orderingOps = Set(">", ">=", "<", "<=")
+    // §17.4.2 isIRI on the store's term model: node ids are the only
+    // bare `scheme:local` terms (blank `_:` fails the leading-letter
+    // class; decorated literals start with a quote)
+    def termIsIri(c: Column): Column =
+      c.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
     // "strlen>" etc: compare the decoded value's length to an int
     def strlenCmp(op: String, l: Column, n: Int): Column = op match {
       case "strlen>" => l > n
@@ -382,7 +387,8 @@ object BgpPlanner {
       else f.op match {
         case "regex" | "strstarts" | "strends" | "contains" |
              "lang" | "!lang" | "datatype" | "!datatype" | "langmatches" |
-             "isblank" | "!isblank" =>
+             "isblank" | "!isblank" | "isiri" | "!isiri" |
+             "isliteral" | "!isliteral" | "isnumeric" | "!isnumeric" =>
           Seq(f.variable).filterNot(lexical)
         case op if op.startsWith("strlen") || op.startsWith("lex") =>
           Seq(f.variable).filterNot(lexical)
@@ -419,9 +425,19 @@ object BgpPlanner {
         case "!lang" => RdfLex.lang(lexOf(f.variable)) =!= f.value
         case "datatype" => RdfLex.datatype(lexOf(f.variable)) === f.value
         case "!datatype" => RdfLex.datatype(lexOf(f.variable)) =!= f.value
-        // blank-node test: data blank nodes are `_:` node ids
+        // term tests (§17.4.2): blank = `_:` ids, IRI = the store's
+        // scheme:local node ids (the only bare colon-bearing terms),
+        // literal = neither, numeric = the lexical typing comparisons use
         case "isblank" => lexOf(f.variable).startsWith("_:")
         case "!isblank" => !lexOf(f.variable).startsWith("_:")
+        case "isiri" => termIsIri(lexOf(f.variable))
+        case "!isiri" => !termIsIri(lexOf(f.variable))
+        case "isliteral" =>
+          !termIsIri(lexOf(f.variable)) && !lexOf(f.variable).startsWith("_:")
+        case "!isliteral" =>
+          termIsIri(lexOf(f.variable)) || lexOf(f.variable).startsWith("_:")
+        case "isnumeric" => RdfLex.numeric(lexOf(f.variable)).isNotNull
+        case "!isnumeric" => RdfLex.numeric(lexOf(f.variable)).isNull
         // LANGMATCHES basic filtering: "*" = any tagged literal; a
         // range matches the tag or its BCP 47 extensions (fr, fr-be)
         case "langmatches" =>
@@ -480,6 +496,9 @@ object BgpPlanner {
           f.op == "datatype" || f.op == "!datatype" ||
           f.op == "langmatches" || f.op.startsWith("lex") ||
           f.op == "isblank" || f.op == "!isblank" ||
+          f.op == "isiri" || f.op == "!isiri" ||
+          f.op == "isliteral" || f.op == "!isliteral" ||
+          f.op == "isnumeric" || f.op == "!isnumeric" ||
           orderingOps(f.op))
     def dictPred(f: FilterExpr): Column = {
       val v = col("value")
@@ -503,6 +522,12 @@ object BgpPlanner {
             col("lang").startsWith(f.value + "-")
         case "isblank" => v.startsWith("_:")
         case "!isblank" => !v.startsWith("_:")
+        case "isiri" => termIsIri(v)
+        case "!isiri" => !termIsIri(v)
+        case "isliteral" => !termIsIri(v) && !v.startsWith("_:")
+        case "!isliteral" => termIsIri(v) || v.startsWith("_:")
+        case "isnumeric" => RdfLex.numeric(v).isNotNull
+        case "!isnumeric" => RdfLex.numeric(v).isNull
         case op if op.startsWith("lex") =>
           val l = RdfLex.lex(v)
           val r = lit(f.value)

@@ -311,10 +311,15 @@ object Sparql {
   // disjunct per element; NOT IN to one all-different conjunct
   private val filterInRe =
     "(?is)filter\\s*\\(\\s*\\?(\\w+)\\s+(not\\s+)?in\\s*\\(([^()]*)\\)\\s*\\)".r
-  // `FILTER ([!]isBlank(?v))` — SPARQL §17.4.2.2; data blank nodes are
-  // `_:` node ids in the store, so the test is honest
+  // `FILTER ([!]isBlank|isIRI|isURI|isLiteral|isNumeric(?v))` — the
+  // §17.4.2 term tests. Blank nodes are `_:` ids; IRIs are the
+  // store's `scheme:local` node ids (the only bare colon-bearing
+  // terms); literals are everything else; numeric follows the same
+  // lexical typing FILTER comparisons use (RdfLex.numeric).
   private val filterIsBlankRe =
-    "(?is)filter\\s*\\(\\s*(!?)\\s*isblank\\s*\\(\\s*\\?(\\w+)\\s*\\)\\s*\\)".r
+    ("(?is)filter\\s*\\(\\s*(!?)\\s*" +
+      "(isblank|isiri|isuri|isliteral|isnumeric)\\s*" +
+      "\\(\\s*\\?(\\w+)\\s*\\)\\s*\\)").r
   // `FILTER (sameTerm(?a, ?b))` — §17.4.1.8; with one canonical
   // spelling per term, sameTerm IS equality
   private val filterSameTermRe =
@@ -694,10 +699,14 @@ object Sparql {
         else FilterClause(elems.map(Seq(_)))
       }.toSeq
       val rest2b = filterInRe.replaceAllIn(rest2, "")
-      val isBlankClauses = filterIsBlankRe.findAllMatchIn(rest2b).map(m =>
-        FilterClause(Seq(Seq(FilterExpr(m.group(2),
-          if (m.group(1).isEmpty) "isblank" else "!isblank", "",
-          numeric = false))))).toSeq
+      val isBlankClauses = filterIsBlankRe.findAllMatchIn(rest2b).map { m =>
+        val fn = m.group(2).toLowerCase match {
+          case "isuri" => "isiri" // §17.4.2.1: isURI is an alias
+          case other   => other
+        }
+        FilterClause(Seq(Seq(FilterExpr(m.group(3),
+          m.group(1) + fn, "", numeric = false))))
+      }.toSeq
       val rest2c = filterIsBlankRe.replaceAllIn(rest2b, "")
       val sameTermClauses = filterSameTermRe.findAllMatchIn(rest2c).map(m =>
         FilterClause(Seq(Seq(FilterExpr(m.group(1), "=", m.group(2),

@@ -1470,6 +1470,29 @@ object BgpQueries {
             | BIND (MD5(?nm) AS ?h) .
             | BIND (SHA256(?nm) AS ?h2) }""".stripMargin),
       Some("""SELECT n_name AS nm, md5(n_name) AS h, sha256(n_name) AS h2
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // grammar extension: §17.4.2 term tests over a mixed-kind object
+    // column — the union binds ?o to literals (mktsegment) in one
+    // branch and IRIs (nation node ids) in the other; isIRI keeps only
+    // the IRI bindings, the dual isLiteral branch only the segments.
+    // Both ride the branch-scoped filter path (dict-filter + semi-join
+    // on the encoded store).
+    GQuery(
+      "q273_bgp_term_tests",
+      bgp("""select ?c ?o where {
+            | { ?c mktsegment ?o . FILTER (isLiteral(?o)) }
+            | UNION
+            | { ?c nationkey ?o . FILTER (isIRI(?o)) } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c, c_mktsegment AS o
+             |FROM customer
+             |UNION ALL
+             |SELECT concat('customer:', c_custkey),
+             |       concat('nation:', c_nationkey)
+             |FROM customer
+             |UNION ALL
+             |SELECT concat('supplier:', s_suppkey),
+             |       concat('nation:', s_nationkey)
+             |FROM supplier""".stripMargin))
   )
 }

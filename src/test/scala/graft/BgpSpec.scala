@@ -1204,4 +1204,33 @@ class BgpSpec extends AnyFunSuite {
       java.security.MessageDigest.getInstance("MD5").digest("7".getBytes)
         .map("%02x".format(_)).mkString)
   }
+
+  test("term tests classify IRIs, blanks, literals, and numerics over " +
+      "both encodings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val data = Seq(
+      ("t:1", "p", "nation:7"),                                    // IRI
+      ("t:2", "p", "_:b0"),                                        // blank
+      ("t:3", "p", "plain words"),                                 // literal
+      ("t:4", "p", "42"),                                          // numeric
+      ("t:5", "p", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("t:6", "p", "\"bonjour\"@fr")                               // tagged
+    ).toDF("s", "p", "o")
+    val plain = TripleStore.fromTriples(data)
+    def q(test: String) = Sparql.parse(
+      s"select ?s where { ?s p ?o . FILTER ($test(?o)) }")
+    for (store <- Seq(plain, TripleStore.encode(plain))) {
+      def run(query: Sparql.BgpQuery) = BgpPlanner.plan(store, query)
+        .select(col("s")).collect().map(_.getString(0)).toSeq.sorted
+      val tag = s"encoded=${store.encoded}"
+      assert(run(q("isIRI")) == Seq("t:1"), tag)
+      assert(run(q("isBlank")) == Seq("t:2"), tag)
+      // literals: everything that is neither an IRI nor a blank node
+      assert(run(q("isLiteral")) == Seq("t:3", "t:4", "t:5", "t:6"), tag)
+      // numeric: lexical-typing reading (bare and typed numeric forms)
+      assert(run(q("isNumeric")) == Seq("t:4", "t:5"), tag)
+      assert(run(q("!isNumeric")) == Seq("t:1", "t:2", "t:3", "t:6"), tag)
+    }
+  }
 }
