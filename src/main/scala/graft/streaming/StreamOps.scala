@@ -434,6 +434,52 @@ object StreamOps {
       }
   }
 
+  /** An anomaly alert: an event whose value deviated more than
+    * `sigmas` from its type's running mean at the moment it arrived.
+    */
+  final case class Anomaly(event_id: Long, event_type: String,
+      value: Double, mean_before: Double, n_before: Long)
+
+  final case class RunStats(n: Long, sum: Double, sumSq: Double)
+
+  /** Streaming anomaly detector: per-type running mean/variance kept
+    * in state (Welford-style via the three power sums), each event
+    * judged against the statistics BEFORE its own batch — the online
+    * z-score monitor that the batch twins (q168's integer z-test,
+    * q248's median/MAD) snapshot after the fact. Events inside one
+    * micro-batch are processed in the deterministic (ts, event_id)
+    * order. State per type is three numbers — the algorithmic minimum
+    * for a running second moment; no window buffer, no event
+    * retention. The first `warmup` events of a type only train.
+    */
+  def anomalyStream(events: Dataset[Event], sigmas: Double = 3.0,
+      warmup: Long = 30): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RunStats, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[Event], state: GroupState[RunStats]) =>
+          var st = state.getOption.getOrElse(RunStats(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          for (e <- it.toSeq.sortBy(x => (us(x.ts), x.event_id))) {
+            if (st.n >= warmup) {
+              val mean = st.sum / st.n
+              val variance = math.max(0.0, st.sumSq / st.n - mean * mean)
+              val dev = math.abs(e.value - mean)
+              if (dev * dev > variance * sigmas * sigmas)
+                out += Anomaly(e.event_id, etype, e.value, mean, st.n)
+            }
+            st = RunStats(st.n + 1, st.sum + e.value,
+              st.sumSq + e.value * e.value)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Idempotent micro-batch parquet sink for `foreachBatch`.
     *
     * Structured Streaming's foreachBatch gives at-least-once batch

@@ -563,4 +563,40 @@ class StreamSpec extends AnyFunSuite {
       .contains("RocksDB"))
     runCdcUpsertSuite(rocksSpark, "cdc_upserts_rocks")
   }
+
+  test("anomalyStream flags deviants against pre-batch state only") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Event]
+    // warmup=4: the first four events of a type only train the stats
+    val q = StreamOps.anomalyStream(src.toDS(), sigmas = 3.0, warmup = 4)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      // batch 1: four calm training events (mean 10, tight variance)
+      src.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "m", 10.0),
+        ev(2, "2024-01-01 10:01:00", 1, "m", 10.2),
+        ev(3, "2024-01-01 10:02:00", 1, "m", 9.8),
+        ev(4, "2024-01-01 10:03:00", 1, "m", 10.0))
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 0, "warmup only trains")
+      // batch 2: a wild spike, then a calm event AFTER it in the same
+      // batch — the spike must flag; the calm one must not, and the
+      // spike must already be inside the stats the calm event sees
+      src.addData(
+        ev(5, "2024-01-01 10:04:00", 1, "m", 500.0),
+        ev(6, "2024-01-01 10:05:00", 1, "m", 10.1))
+      q.processAllAvailable()
+      val flagged = spark.table("anomalies")
+        .select($"event_id", $"n_before").as[(Long, Long)].collect().toSet
+      assert(flagged == Set((5L, 4L)), "only the spike, judged on n=4 state")
+      // batch 3: after the spike inflated the variance, a moderate
+      // deviation no longer flags — state really carried across batches
+      src.addData(ev(7, "2024-01-01 10:06:00", 1, "m", 60.0))
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 1,
+        "variance inflated by the spike absorbs the moderate deviation")
+    } finally q.stop()
+  }
 }
