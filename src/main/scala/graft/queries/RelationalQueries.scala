@@ -887,6 +887,72 @@ object RelationalQueries {
              |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
              |       AS BIGINT),
              |  count(DISTINCT o_orderpriority), n_rows
-             |FROM orders, n GROUP BY n_rows""".stripMargin))
+             |FROM orders, n GROUP BY n_rows""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total
+    // lineitem quantity clears a threshold, decorated with the
+    // customer — the classic HAVING-driven semi join. The aggregate
+    // runs FIRST (orderkey grain, map-side partials), the threshold
+    // prunes it to a small relation, and only then do orders/customer
+    // join — never a fact×fact join followed by a filter. Quantities
+    // are exact integers (the synthetic corpus uses whole quantities;
+    // the floor spelling keeps the sum integer-exact regardless).
+    GQuery(
+      "q274_large_orders",
+      (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum(floor($"l_quantity" + 0.5).cast("long")).as("total_qty"))
+          .filter($"total_qty" > 300)
+        big
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"o_orderkey".as("orderkey"),
+            $"o_orderdate".as("orderdate"), $"total_qty")
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+             |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS total_qty
+             |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+             |SELECT c_name, o_orderkey AS orderkey,
+             |  o_orderdate AS orderdate, total_qty
+             |FROM big JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // TPC-H Q19 shape (disjunctive predicate revenue): an OR of AND
+    // groups mixing part attributes and lineitem ranges — the plan
+    // test for disjunctive pushdown: Catalyst distributes the common
+    // join key, evaluates the residual OR after the join, and the
+    // part side still prunes its scan to the brands in ANY branch.
+    // Revenue in integer cents.
+    GQuery(
+      "q275_disjunctive_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        li.join(GuardedBroadcast.maybe(p), $"l_partkey" === $"p_partkey")
+          .filter(
+            ($"p_brand" === "Brand#1" && $"p_size".between(1, 15)
+              && $"l_quantity".between(1, 20)) ||
+            ($"p_brand" === "Brand#7" && $"p_size".between(10, 30)
+              && $"l_quantity".between(10, 40)) ||
+            ($"p_brand" === "Brand#13" && $"p_size".between(20, 50)
+              && $"l_quantity".between(20, 50)))
+          .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
+            * 100 + 0.5).cast("long")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+             |       AND l_quantity BETWEEN 10 AND 40)
+             |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+             |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin))
   )
 }
