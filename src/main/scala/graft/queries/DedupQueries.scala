@@ -1096,6 +1096,83 @@ object DedupQueries {
              |    min(dist) AS min_dist FROM p GROUP BY 1),
              |sz AS (SELECT block, count(*) AS n_entities FROM e GROUP BY 1)
              |SELECT block, n_entities, n_pairs, n_close, min_dist
-             |FROM agg JOIN sz USING (block)""".stripMargin))
+             |FROM agg JOIN sz USING (block)""".stripMargin)),
+
+    // prefix-filtered set-similarity join (PPJoin's filtering
+    // principle): docs as distinct-token sets, candidates generated
+    // ONLY from shared PREFIX tokens — each doc's tokens sorted by
+    // ascending global frequency, prefix length l − ⌈τ·l⌉ + 1 (any
+    // pair with Jaccard ≥ τ must share a prefix token, so the join
+    // keys on the RAREST bigrams and fan-out stays tiny — the exact
+    // complement of q45's MinHash banding: deterministic filtering,
+    // no probabilistic recall loss). ⌈0.5·l⌉ is spelled in integer
+    // arithmetic ((5l+9) div 10) because decimal-vs-double ceil
+    // diverges at exact products. Candidates then verify with the
+    // exact token-intersection Jaccard. Scale shape: token-frequency
+    // rank is one vocabulary-sized window; the candidate join keys on
+    // rare tokens; verification joins are candidate-bounded.
+    GQuery(
+      "q276_prefix_filter_join",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """array_distinct(transform(sequence(0, size(w) - 2), i ->
+              |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))"""
+              .stripMargin)).as("tok"))
+        val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val ranked = toks.join(freq, "tok")
+          .withColumn("rk", row_number().over(Window.partitionBy($"doc_id")
+            .orderBy($"df".asc, $"tok".asc)))
+          .withColumn("len", count(lit(1)).over(Window.partitionBy($"doc_id")))
+        val prefix = ranked
+          .filter($"rk" <= $"len" - expr("(5 * len + 9) div 10") + 1)
+          .select($"doc_id", $"tok", $"len")
+        val cands = prefix.as("a")
+          .join(prefix.as("b"), $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+            $"a.len".as("l1"), $"b.len".as("l2"))
+          .distinct()
+        val inter = cands
+          .join(toks.select($"doc_id".as("d1"), $"tok".as("t1")), Seq("d1"))
+          .join(toks.select($"doc_id".as("d2"), $"tok".as("t2")), Seq("d2"))
+          .filter($"t1" === $"t2")
+          .groupBy($"d1", $"d2", $"l1", $"l2")
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .withColumn("jaccard",
+            $"inter" * lit(1.0) / ($"l1" + $"l2" - $"inter"))
+          .filter($"jaccard" * 10 >= 5.0)
+          .select($"d1", $"d2", $"inter", $"l1", $"l2", $"jaccard")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |toks AS (SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(generate_series(1, len(w) - 1),
+             |        i -> concat(w[i], ' ', w[i + 1]))) AS tok
+             |    FROM w)),
+             |freq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+             |ranked AS (SELECT doc_id, tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY df, tok)
+             |      AS rk,
+             |    count(*) OVER (PARTITION BY doc_id) AS len
+             |  FROM toks JOIN freq USING (tok)),
+             |pfx AS (SELECT doc_id, tok, len FROM ranked
+             |  WHERE rk <= len - ((5 * len + 9) // 10) + 1),
+             |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             |    a.len AS l1, b.len AS l2
+             |  FROM pfx a JOIN pfx b
+             |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+             |i AS (SELECT d1, d2, l1, l2, count(*) AS inter
+             |  FROM cands
+             |  JOIN toks ta ON ta.doc_id = d1
+             |  JOIN toks tb ON tb.doc_id = d2 AND ta.tok = tb.tok
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT d1, d2, inter, l1, l2,
+             |  inter * 1.0 / (l1 + l2 - inter) AS jaccard
+             |FROM i WHERE inter * 1.0 / (l1 + l2 - inter) * 10 >= 5.0"""
+        .stripMargin))
   )
 }

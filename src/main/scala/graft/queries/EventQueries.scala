@@ -1877,6 +1877,69 @@ object EventQueries {
              |SELECT sw.day, max(carry_in + open_local) AS peak_concurrency,
              |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_sessions
-             |FROM sw JOIN ci ON sw.day = ci.day GROUP BY 1""".stripMargin))
+             |FROM sw JOIN ci ON sw.day = ci.day GROUP BY 1""".stripMargin)),
+
+    // per-user activity coverage: total in-session time (q35's 30-min
+    // gap sessions) vs the user's observed first-to-last span — the
+    // engagement-intensity metric ("active 2% of their 30-day life")
+    // that raw event counts can't express. Session durations come
+    // from the same gaps-and-islands pass as q35 (one user-keyed
+    // window), all arithmetic exact epoch-microsecond integers with
+    // one ratio divide at output. Bucketed to a permille histogram so
+    // output is distribution-sized, not user-sized.
+    GQuery(
+      "q277_active_time",
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id")
+          .orderBy($"us".asc, $"event_id".asc)
+        val per = t(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("prev", lag($"us", 1).over(byUser))
+          .withColumn("new_s",
+            ($"prev".isNull || $"us" - $"prev" > 1800L * 1000000L)
+              .cast("long"))
+          .withColumn("sid", sum($"new_s").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"us").as("s_us"), max($"us").as("e_us"))
+          .groupBy($"user_id")
+          .agg(sum($"e_us" - $"s_us").as("active_us"),
+            (max($"e_us") - min($"s_us")).as("span_us"),
+            count(lit(1)).as("n_sessions"))
+        per
+          .select(when($"span_us" > 0,
+            expr("active_us * 1000 div span_us")).otherwise(0L)
+            .as("permille_bucket"),
+            $"n_sessions")
+          .groupBy($"permille_bucket")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"n_sessions").as("total_sessions"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+             |  FROM events),
+             |g AS (SELECT user_id, us, event_id,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |           OR us - lag(us) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sid AS (SELECT user_id, us,
+             |    CAST(sum(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS sid
+             |  FROM g),
+             |sess AS (SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+             |  FROM sid GROUP BY 1, 2),
+             |per AS (SELECT user_id,
+             |    CAST(sum(e_us - s_us) AS BIGINT) AS active_us,
+             |    max(e_us) - min(s_us) AS span_us,
+             |    count(*) AS n_sessions
+             |  FROM sess GROUP BY 1)
+             |SELECT CASE WHEN span_us > 0
+             |         THEN active_us * 1000 // span_us ELSE 0 END
+             |         AS permille_bucket,
+             |  count(*) AS n_users,
+             |  CAST(sum(n_sessions) AS BIGINT) AS total_sessions
+             |FROM per GROUP BY 1""".stripMargin))
   )
 }

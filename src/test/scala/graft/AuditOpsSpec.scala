@@ -406,6 +406,42 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q276 prefix filtering loses no pair against the exhaustive join") {
+    import spark.implicits._
+    // exhaustive ground truth: ALL bigram-set pairs with Jaccard >= 0.5
+    val toks = Tables.t(spark, sf, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(w) - 2), i ->
+          |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))"""
+          .stripMargin)).as("tok"))
+    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("l"))
+    val truth = toks.as("a")
+      .join(toks.as("b"), $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(lens.select($"doc_id".as("d1"), $"l".as("l1")), "d1")
+      .join(lens.select($"doc_id".as("d2"), $"l".as("l2")), "d2")
+      .filter($"inter" * 10 >= ($"l1" + $"l2" - $"inter") * 5)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = run("q276_prefix_filter_join")
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == truth, "prefix filtering must be lossless at tau")
+  }
+
+  test("q277 coverage buckets partition users and stay in [0, 1000]") {
+    import spark.implicits._
+    val df = run("q277_active_time").cache()
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(df.agg(sum($"n_users")).first().getLong(0) == users)
+    assert(df.filter($"permille_bucket" < 0 || $"permille_bucket" > 1000)
+      .count() == 0)
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
