@@ -953,6 +953,55 @@ object RelationalQueries {
              |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
              |       AND l_quantity BETWEEN 10 AND 40)
              |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
-             |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin))
+             |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin)),
+
+    // ABC / Pareto analysis: parts classed by cumulative revenue share
+    // (A = the head covering ≤70%, B = to 90%, C = the tail) — the
+    // inventory-prioritization classic. Revenue in exact cents; the
+    // cumulative share is a single ordered window over the PART
+    // dimension (bounded — parts are schema-scale, not fact-scale;
+    // were the ranked relation fact-sized this would use q205's
+    // banded two-phase prefix sum instead), with the unique partkey
+    // tiebreak. Class edges compare integer cum·100 against total·k
+    // so no float threshold wobbles the cut.
+    GQuery(
+      "q279_abc_pareto",
+      (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
+            * 100 + 0.5).cast("long")).as("cents"))
+        val tot = rev.agg(sum($"cents").as("total"))
+        val w = Window.orderBy($"cents".desc, $"l_partkey".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.crossJoin(GuardedBroadcast.maybe(tot))
+          .withColumn("cum", sum($"cents").over(w))
+          .withColumn("abc_class",
+            when($"cum" * 100 <= $"total" * 70, "A")
+              .when($"cum" * 100 <= $"total" * 90, "B")
+              .otherwise("C"))
+          .groupBy($"abc_class")
+          .agg(count(lit(1)).as("n_parts"), sum($"cents").as("class_cents"),
+            (sum($"cents") * lit(1.0) / first($"total")).as("class_share"))
+      },
+      Some("""WITH rev AS (SELECT l_partkey,
+             |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             |      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+             |c AS (SELECT cents, total,
+             |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM rev, t),
+             |k AS (SELECT cents, total,
+             |    CASE WHEN cum * 100 <= total * 70 THEN 'A'
+             |         WHEN cum * 100 <= total * 90 THEN 'B'
+             |         ELSE 'C' END AS abc_class
+             |  FROM c)
+             |SELECT abc_class, count(*) AS n_parts,
+             |  CAST(sum(cents) AS BIGINT) AS class_cents,
+             |  CAST(sum(cents) AS BIGINT) * 1.0 / min(total) AS class_share
+             |FROM k GROUP BY 1""".stripMargin))
   )
 }

@@ -1803,6 +1803,73 @@ object TextQueries {
              |SELECT s1, s2, inter,
              |  inter * 1.0 / (d1.d + d2.d - inter) AS jaccard
              |FROM i JOIN deg d1 ON i.s1 = d1.source
-             |       JOIN deg d2 ON i.s2 = d2.source""".stripMargin))
+             |       JOIN deg d2 ON i.s2 = d2.source""".stripMargin)),
+
+    // BPE training, iteration one: count adjacent character pairs
+    // weighted by word frequency and rank the merge candidates — the
+    // distributed step a tokenizer-training pipeline runs repeatedly
+    // (each iteration merges the top pair and recounts; the data
+    // layout is identical every round, so this one step IS the scale
+    // shape). Pair generation happens inside the word row (constant-
+    // bounded by word length); the count shuffle is alphabet²-sized
+    // after map-side combine, and the top-20 is a
+    // TakeOrderedAndProject. Exact integer counts.
+    GQuery(
+      "q278_bpe_merge_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .filter(length($"word") >= 2)
+          .groupBy($"word").agg(count(lit(1)).as("freq"))
+        words
+          .select($"freq", explode(expr(
+            """transform(sequence(1, length(word) - 1), i ->
+              |  struct(substring(word, i, 1) AS a,
+              |         substring(word, i + 1, 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy($"p.a", $"p.b")
+          .agg(sum($"freq").as("pair_count"))
+          .orderBy($"pair_count".desc, $"a".asc, $"b".asc)
+          .limit(20)
+      },
+      Some("""WITH words AS (SELECT word, count(*) AS freq FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) >= 2 GROUP BY 1),
+             |pairs AS (SELECT freq,
+             |    unnest(list_transform(generate_series(1, length(word) - 1),
+             |      i -> {'a': word[i], 'b': word[i + 1]})) AS p
+             |  FROM words)
+             |SELECT p.a AS a, p.b AS b,
+             |  CAST(sum(freq) AS BIGINT) AS pair_count
+             |FROM pairs GROUP BY 1, 2
+             |ORDER BY pair_count DESC, a, b LIMIT 20""".stripMargin)),
+
+    // inverse-frequency class weights per language (the imbalance
+    // correction every classifier-training pipeline computes before
+    // sampling): w_c = N / (k·n_c), plus each class's share — one
+    // aggregate, integer counts, two exact ratio divides spelled in
+    // the same order on both engines.
+    GQuery(
+      "q280_class_weights",
+      (s, dir) => {
+        import s.implicits._
+        val counts = t(s, dir, "documents")
+          .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum($"n_docs").as("total"),
+          count(lit(1)).as("k"))
+        counts.crossJoin(GuardedBroadcast.maybe(tot))
+          .select($"lang", $"n_docs",
+            ($"n_docs" * lit(1.0) / $"total").as("share"),
+            ($"total" * lit(1.0) / ($"k" * $"n_docs")).as("class_weight"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+             |  GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             |    count(*) AS k FROM c)
+             |SELECT lang, n_docs, n_docs * 1.0 / total AS share,
+             |  total * 1.0 / (k * n_docs) AS class_weight
+             |FROM c, t""".stripMargin))
   )
 }

@@ -442,6 +442,48 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q278 BPE pair counts match a direct tally on the word list") {
+    import spark.implicits._
+    val words = Tables.t(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w")).as[String].collect()
+      .filter(_.length >= 2)
+    val tally = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { w =>
+      w.sliding(2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        tally(k) = tally.getOrElse(k, 0L) + 1L
+      }
+    }
+    run("q278_bpe_merge_pairs").collect().foreach { r =>
+      assert(tally((r.getString(0), r.getString(1))) == r.getLong(2),
+        s"${r.getString(0)}${r.getString(1)}")
+    }
+  }
+
+  test("q279 ABC classes partition parts and shares sum to 1") {
+    import spark.implicits._
+    val df = run("q279_abc_pareto").cache()
+    val parts = Tables.t(spark, sf, "lineitem")
+      .select($"l_partkey").distinct().count()
+    assert(df.agg(sum($"n_parts")).first().getLong(0) == parts)
+    assert(math.abs(df.agg(sum($"class_share")).first().getDouble(0) - 1.0)
+      < 1e-9)
+    // the head classes hold higher-revenue parts by construction:
+    // mean per-part cents must be non-increasing A >= B >= C
+    val mean = df.collect()
+      .map(r => r.getString(0) -> r.getLong(2).toDouble / r.getLong(1)).toMap
+    assert(mean("A") >= mean("B") && mean("B") >= mean("C"))
+    df.unpersist()
+  }
+
+  test("q280 class weights invert the share exactly") {
+    import spark.implicits._
+    val k = run("q280_class_weights").count()
+    val bad = run("q280_class_weights")
+      .filter(abs($"class_weight" * $"share" * k - 1.0) > 1e-9)
+    assert(bad.count() == 0, "w_c * share_c * k == 1 by construction")
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
