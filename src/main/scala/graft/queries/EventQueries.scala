@@ -1940,6 +1940,58 @@ object EventQueries {
              |         AS permille_bucket,
              |  count(*) AS n_users,
              |  CAST(sum(n_sessions) AS BIGINT) AS total_sessions
-             |FROM per GROUP BY 1""".stripMargin))
+             |FROM per GROUP BY 1""".stripMargin)),
+
+    // bot-regularity scores: users whose inter-event gaps are TOO
+    // regular — humans are bursty (q268's Fano ≫ 1 per type), scripts
+    // tick (gap dispersion ≈ 0). Per-user gap variance-to-mean from
+    // exact integer second-gaps (n, Σg, Σg² — the q268 sums at user
+    // grain), flagging high-volume users in the lowest dispersion
+    // decile. One user-keyed sort for the lag, user-sized everything
+    // after; output = flagged users.
+    GQuery(
+      "q282_bot_scores",
+      (s, dir) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id")
+          .orderBy($"us".asc, $"event_id".asc)
+        val gaps = t(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+          .withColumn("gap_s",
+            ($"us" - lag($"us", 1).over(byUser)) / lit(1000000L))
+          .filter($"gap_s".isNotNull)
+          .withColumn("g", floor($"gap_s").cast("long"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"g").as("sg"),
+            sum($"g" * $"g").as("sgg"))
+          .filter($"n" >= 20 && $"sg" > 0)
+          .withColumn("dispersion",
+            (($"sgg" * $"n" - $"sg" * $"sg") * lit(1.0)) / ($"n" * $"sg"))
+        val cut = Window.orderBy($"dispersion".asc, $"user_id".asc)
+        gaps
+          .withColumn("rk", row_number().over(cut))
+          .withColumn("total", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .filter($"rk" * 10 <= $"total")
+          .select($"user_id", $"n".as("n_gaps"), $"dispersion")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+             |  FROM events),
+             |g AS (SELECT user_id,
+             |    CAST(floor((us - lag(us) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id)) / 1000000) AS BIGINT) AS g
+             |  FROM e),
+             |s AS (SELECT user_id, count(*) AS n,
+             |    CAST(sum(g) AS BIGINT) AS sg,
+             |    CAST(sum(g * g) AS BIGINT) AS sgg
+             |  FROM g WHERE g IS NOT NULL GROUP BY 1
+             |  HAVING count(*) >= 20 AND sum(g) > 0),
+             |d AS (SELECT user_id, n,
+             |    (sgg * n - sg * sg) * 1.0 / (n * sg) AS dispersion
+             |  FROM s),
+             |r AS (SELECT *, row_number() OVER (ORDER BY dispersion, user_id)
+             |        AS rk, count(*) OVER () AS total FROM d)
+             |SELECT user_id, n AS n_gaps, dispersion
+             |FROM r WHERE rk * 10 <= total""".stripMargin))
   )
 }

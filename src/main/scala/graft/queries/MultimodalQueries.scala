@@ -318,6 +318,70 @@ object MultimodalQueries {
              |  FROM blk JOIN tot ON tot.id = blk.id GROUP BY 1)
              |SELECT pop, count(*) AS n_images,
              |  count(DISTINCT hash) AS n_hashes
-             |FROM h GROUP BY 1""".stripMargin))
+             |FROM h GROUP BY 1""".stripMargin)),
+
+    // zero-crossing rate over REAL decoded PCM samples: the classic
+    // voiced/unvoiced + noisiness audio feature, computed per clip
+    // from the same executor-side WAV round-trip as q218 (encode the
+    // deterministic waveform → RIFF bytes → decode → count strict
+    // sign changes), aggregated per sample rate. The oracle regrows
+    // the identical waveform with generate_series and a lag — so the
+    // byte-level codec path is what's being checked, not a formula
+    // twin. Scale shape: per-row imperative byte work in
+    // mapPartitions (the one sanctioned use), aggregate output
+    // rate-sized; integer crossings, one ratio divide.
+    GQuery(
+      "q281_audio_zcr",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select($"doc_id".as("id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val n = (64 + id % 64).toInt
+              val rate = (8000 + (id % 4) * 4000).toInt
+              val samples = Array.tabulate(n)(i =>
+                (((id * 7 + i.toLong * 13) % 2048) - 1024).toShort)
+              val audio = graft.multimodal.WavCodec.decode(
+                graft.multimodal.WavCodec.encode(rate, samples))
+              var zc = 0L
+              var i = 1
+              while (i < audio.samples.length) {
+                if (audio.samples(i - 1) * audio.samples(i) < 0) zc += 1
+                i += 1
+              }
+              (rate.toLong, audio.samples.length.toLong - 1, zc)
+            }
+          }
+          .toDF("rate", "transitions", "crossings")
+        rows.groupBy($"rate")
+          .agg(count(lit(1)).as("n_clips"),
+            sum($"crossings").as("total_crossings"),
+            sum($"transitions").as("total_transitions"))
+          .withColumn("zcr",
+            $"total_crossings" * lit(1.0) / $"total_transitions")
+      },
+      Some("""WITH m AS (SELECT doc_id AS id,
+             |    CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+             |    CAST(64 + doc_id % 64 AS BIGINT) AS n
+             |  FROM documents),
+             |sx AS (SELECT id, rate, ii.i,
+             |         (id * 7 + ii.i * 13) % 2048 - 1024 AS v
+             |       FROM m,
+             |         LATERAL (SELECT unnest(generate_series(0, m.n - 1)) AS i) ii),
+             |zc AS (SELECT id, rate,
+             |         CAST(sum(CASE WHEN v * prev < 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS crossings,
+             |         count(*) - 1 AS transitions
+             |       FROM (SELECT id, rate, v,
+             |               lag(v) OVER (PARTITION BY id ORDER BY i) AS prev
+             |             FROM sx)
+             |       GROUP BY 1, 2)
+             |SELECT rate, count(*) AS n_clips,
+             |  CAST(sum(crossings) AS BIGINT) AS total_crossings,
+             |  CAST(sum(transitions) AS BIGINT) AS total_transitions,
+             |  CAST(sum(crossings) AS BIGINT) * 1.0
+             |    / CAST(sum(transitions) AS BIGINT) AS zcr
+             |FROM zc GROUP BY 1""".stripMargin))
   )
 }

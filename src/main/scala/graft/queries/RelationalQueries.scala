@@ -1002,6 +1002,45 @@ object RelationalQueries {
              |SELECT abc_class, count(*) AS n_parts,
              |  CAST(sum(cents) AS BIGINT) AS class_cents,
              |  CAST(sum(cents) AS BIGINT) * 1.0 / min(total) AS class_share
-             |FROM k GROUP BY 1""".stripMargin))
+             |FROM k GROUP BY 1""".stripMargin)),
+
+    // order-to-first-ship latency histogram: days from order
+    // placement to the FIRST lineitem shipment, per order, rolled to
+    // a day histogram with the cumulative share an SLA report reads
+    // ("95% ship within N days"). Min-ship is an orderkey-grain
+    // aggregate with map-side partials; the histogram is day-sized
+    // and its cumulative window runs over histogram rows. Integer
+    // day arithmetic.
+    GQuery(
+      "q283_ship_latency",
+      (s, dir) => {
+        import s.implicits._
+        val firstShip = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey").agg(min($"l_shipdate").as("first_ship"))
+        val lat = firstShip
+          .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select(datediff($"first_ship".cast("date"),
+            $"o_orderdate".cast("date")).cast("long").as("days"))
+          .groupBy($"days").agg(count(lit(1)).as("n_orders"))
+        val w = Window.orderBy($"days".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lat
+          .withColumn("cum_orders", sum($"n_orders").over(w))
+          .withColumn("total", sum($"n_orders").over(
+            Window.partitionBy(lit(1))))
+          .select($"days", $"n_orders",
+            ($"cum_orders" * lit(1.0) / $"total").as("cum_share"))
+      },
+      Some("""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship
+             |  FROM lineitem GROUP BY 1),
+             |lat AS (SELECT datediff('day', CAST(o_orderdate AS DATE),
+             |      CAST(first_ship AS DATE)) AS days
+             |  FROM fs JOIN orders ON l_orderkey = o_orderkey),
+             |h AS (SELECT days, count(*) AS n_orders FROM lat GROUP BY 1)
+             |SELECT days, n_orders,
+             |  CAST(sum(n_orders) OVER (ORDER BY days
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * 1.0
+             |    / CAST(sum(n_orders) OVER () AS BIGINT) AS cum_share
+             |FROM h""".stripMargin))
   )
 }

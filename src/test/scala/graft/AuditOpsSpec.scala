@@ -484,6 +484,39 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0, "w_c * share_c * k == 1 by construction")
   }
 
+  test("q281 zero-crossing rate stays in [0,1] and covers every clip") {
+    import spark.implicits._
+    val df = run("q281_audio_zcr").cache()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(df.agg(sum($"n_clips")).first().getLong(0) == docs)
+    assert(df.filter($"zcr" < 0.0 || $"zcr" > 1.0).count() == 0)
+    assert(df.filter($"total_crossings" > $"total_transitions").count() == 0)
+    df.unpersist()
+  }
+
+  test("q282 flagged bots are the lowest-dispersion decile") {
+    import spark.implicits._
+    val df = run("q282_bot_scores").cache()
+    assert(df.count() > 0)
+    assert(df.filter($"dispersion" < 0.0).count() == 0)
+    assert(df.filter($"n_gaps" < 20).count() == 0)
+    df.unpersist()
+  }
+
+  test("q283 latency histogram covers every order with monotone cum share") {
+    import spark.implicits._
+    val df = run("q283_ship_latency").cache()
+    // only orders that shipped at least one lineitem have a latency
+    val shipped = Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey").distinct().count()
+    assert(df.agg(sum($"n_orders")).first().getLong(0) == shipped)
+    val shares = df.orderBy($"days").select($"cum_share")
+      .collect().map(_.getDouble(0))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
