@@ -1992,6 +1992,106 @@ object EventQueries {
              |r AS (SELECT *, row_number() OVER (ORDER BY dispersion, user_id)
              |        AS rk, count(*) OVER () AS total FROM d)
              |SELECT user_id, n AS n_gaps, dispersion
-             |FROM r WHERE rk * 10 <= total""".stripMargin))
+             |FROM r WHERE rk * 10 <= total""".stripMargin)),
+
+    // l-diversity audit (l=3) — k-anonymity's companion: a class can
+    // be size-k yet leak if everyone in it shares the SAME sensitive
+    // value (here event_type as the sensitive attribute over q199's
+    // (day, value-bucket) quasi-identifier). Reports classes whose
+    // distinct-sensitive count < l and the rows they expose. Same
+    // scale shape as q199: one quasi-id groupBy (class table bounded
+    // by the id-tuple domain), then a class-sized rollup.
+    GQuery(
+      "q284_l_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val classes = t(s, dir, "events")
+          .select(dayofmonth($"ts").cast("long").as("d"),
+            floor($"value" / 50.0).cast("long").as("vb"), $"event_type")
+          .groupBy($"d", $"vb")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"event_type").as("n_sensitive"))
+        classes
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when($"n_sensitive" < 3, 1L).otherwise(0L))
+              .as("n_low_diversity"),
+            sum(when($"n_sensitive" < 3, $"n").otherwise(0L))
+              .as("n_exposed_rows"),
+            min($"n_sensitive").as("min_diversity"))
+      },
+      Some("""WITH classes AS (SELECT
+             |    CAST(date_part('day', ts) AS BIGINT) AS d,
+             |    CAST(floor(value / 50.0) AS BIGINT) AS vb,
+             |    count(*) AS n,
+             |    count(DISTINCT event_type) AS n_sensitive
+             |  FROM events GROUP BY 1, 2)
+             |SELECT count(*) AS n_classes,
+             |  CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_low_diversity,
+             |  CAST(sum(CASE WHEN n_sensitive < 3 THEN n ELSE 0 END)
+             |       AS BIGINT) AS n_exposed_rows,
+             |  min(n_sensitive) AS min_diversity
+             |FROM classes""".stripMargin)),
+
+    // survival analysis input table (Kaplan-Meier with censoring):
+    // per-user days from first event to first PURCHASE; users who
+    // never purchase are right-censored at their last observed day.
+    // Output is the discrete KM table — day, number at risk, events,
+    // censored — all exact integers (the estimator itself is a
+    // running product a chart layer applies; emitting the table keeps
+    // the operator engine-exact where a float product would not be).
+    // Scale shape: two user-grain aggregates + a day-sized rollup
+    // with one cumulative window over day rows.
+    GQuery(
+      "q285_survival_table",
+      (s, dir) => {
+        import s.implicits._
+        val per = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(min(unix_micros($"ts")).as("first_us"),
+            max(unix_micros($"ts")).as("last_us"),
+            min(when($"event_type" === "purchase", unix_micros($"ts")))
+              .as("conv_us"))
+          .select(
+            when($"conv_us".isNotNull,
+              expr("(conv_us - first_us) div 86400000000"))
+              .otherwise(expr("(last_us - first_us) div 86400000000"))
+              .as("t_day"),
+            $"conv_us".isNotNull.cast("long").as("converted"))
+        val byDay = per.groupBy($"t_day")
+          .agg(sum($"converted").as("d_events"),
+            sum(lit(1L) - $"converted").as("n_censored"),
+            count(lit(1)).as("n_leaving"))
+        val w = Window.orderBy($"t_day".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDay
+          .withColumn("total", sum($"n_leaving").over(
+            Window.partitionBy(lit(1))))
+          .withColumn("n_at_risk",
+            $"total" - sum($"n_leaving").over(w) + $"n_leaving")
+          .select($"t_day", $"n_at_risk", $"d_events", $"n_censored")
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+             |        END) AS conv_us
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CASE WHEN conv_us IS NOT NULL
+             |        THEN (conv_us - first_us) // 86400000000
+             |        ELSE (last_us - first_us) // 86400000000 END AS t_day,
+             |    CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+             |  FROM per),
+             |d AS (SELECT t_day,
+             |    CAST(sum(converted) AS BIGINT) AS d_events,
+             |    CAST(sum(1 - converted) AS BIGINT) AS n_censored,
+             |    count(*) AS n_leaving
+             |  FROM t GROUP BY 1),
+             |c AS (SELECT *, CAST(sum(n_leaving) OVER (ORDER BY t_day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |    CAST(sum(n_leaving) OVER () AS BIGINT) AS total
+             |  FROM d)
+             |SELECT t_day, total - cum + n_leaving AS n_at_risk,
+             |  d_events, n_censored
+             |FROM c""".stripMargin))
   )
 }

@@ -517,6 +517,33 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q284 exposed rows only come from low-diversity classes") {
+    import spark.implicits._
+    val r = run("q284_l_diversity").first()
+    val (nClasses, nLow, nExposed, minDiv) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nLow <= nClasses)
+    assert(minDiv >= 1)
+    // every low-diversity class contributes at least one row
+    assert(nExposed >= nLow)
+    if (nLow == 0) assert(nExposed == 0)
+  }
+
+  test("q285 survival table conserves users and n_at_risk telescopes") {
+    import spark.implicits._
+    val rows = run("q285_survival_table").orderBy($"t_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.map(r => r._3 + r._4).sum == users,
+      "every user either converts or is censored exactly once")
+    assert(rows.head._2 == users, "all users at risk on the first day")
+    // n_at_risk(t+1) = n_at_risk(t) - leaving(t)
+    rows.zip(rows.tail).foreach { case ((_, ar, d, c), (_, ar2, _, _)) =>
+      assert(ar2 == ar - d - c)
+    }
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
