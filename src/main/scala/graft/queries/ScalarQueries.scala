@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import OracleNum.{dsum, davg}
 
 /** Scalar function surface: string / date / math / conditional / JSON.
@@ -202,6 +203,89 @@ object ScalarQueries {
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |  count(*) AS n_events
              |FROM events GROUP BY 1""".stripMargin)),
+
+    // hashing-trick audit: the (event_type × hour) feature cross
+    // hashed into 32 buckets (md5 prefix — the engine-portable
+    // deterministic hash, q188's shard convention), with the report
+    // an ML-features team reads before committing to a hash width:
+    // buckets used, features per bucket, and how many features
+    // collide. All integers; the cross domain is bounded (types ×
+    // 24), so every relation after the first aggregate is tiny.
+    GQuery(
+      "q286_hashing_trick_audit",
+      (s, dir) => {
+        import s.implicits._
+        val crosses = t(s, dir, "events")
+          .select(concat($"event_type", lit(":"),
+            hour($"ts").cast("string")).as("feature"))
+          .groupBy($"feature").agg(count(lit(1)).as("n_rows"))
+          .withColumn("bucket",
+            expr("CAST(conv(substring(md5(feature), 1, 8), 16, 10) AS BIGINT)" +
+              " % 32"))
+        val perBucket = crosses.groupBy($"bucket")
+          .agg(count(lit(1)).as("n_features"), sum($"n_rows").as("n_rows"))
+        perBucket.agg(
+          count(lit(1)).as("n_buckets_used"),
+          sum($"n_features").as("n_features"),
+          max($"n_features").as("max_bucket_features"),
+          sum(when($"n_features" > 1, $"n_features").otherwise(0L))
+            .as("collided_features"))
+      },
+      Some("""WITH crosses AS (SELECT
+             |    concat(event_type, ':', CAST(hour(ts) AS VARCHAR))
+             |      AS feature,
+             |    count(*) AS n_rows
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT
+             |    CAST(concat('0x', substr(md5(feature), 1, 8)) AS BIGINT)
+             |      % 32 AS bucket,
+             |    count(*) AS n_features, CAST(sum(n_rows) AS BIGINT) AS n_rows
+             |  FROM crosses GROUP BY 1)
+             |SELECT count(*) AS n_buckets_used,
+             |  CAST(sum(n_features) AS BIGINT) AS n_features,
+             |  max(n_features) AS max_bucket_features,
+             |  CAST(sum(CASE WHEN n_features > 1 THEN n_features ELSE 0 END)
+             |       AS BIGINT) AS collided_features
+             |FROM b""".stripMargin)),
+
+    // one-hot encoder manifest: the stable (column, value, index)
+    // dictionary a feature pipeline persists so training and serving
+    // agree on indices — frequency-descending with the value
+    // tiebreak, indexed per column, over three categorical columns
+    // from three tables. Each column's vocabulary is one aggregate;
+    // the rank windows run over vocabulary rows.
+    GQuery(
+      "q287_onehot_vocab",
+      (s, dir) => {
+        import s.implicits._
+        val cats = Seq(
+          t(s, dir, "events").select(lit("event_type").as("col"),
+            $"event_type".as("value")),
+          t(s, dir, "orders").select(lit("o_orderpriority").as("col"),
+            $"o_orderpriority".as("value")),
+          t(s, dir, "customer").select(lit("c_mktsegment").as("col"),
+            $"c_mktsegment".as("value")))
+          .reduce(_ unionByName _)
+          .groupBy($"col", $"value").agg(count(lit(1)).as("freq"))
+        val w = Window.partitionBy($"col")
+          .orderBy($"freq".desc, $"value".asc)
+        cats.withColumn("index", (row_number().over(w) - 1).cast("long"))
+          .select($"col", $"value", $"index", $"freq")
+      },
+      Some("""WITH cats AS (
+             |  SELECT 'event_type' AS col, event_type AS value, count(*)
+             |    AS freq FROM events GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', o_orderpriority, count(*)
+             |  FROM orders GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'c_mktsegment', c_mktsegment, count(*)
+             |  FROM customer GROUP BY 2)
+             |SELECT col, value,
+             |  CAST(row_number() OVER (PARTITION BY col
+             |    ORDER BY freq DESC, value) - 1 AS BIGINT) AS index,
+             |  freq
+             |FROM cats""".stripMargin)),
 
     // Count-Min-Sketch heavy hitters: the third sublinear sketch of
     // the family (q67 HLL/t-digest, q137 Bloom) — one aggregate pass

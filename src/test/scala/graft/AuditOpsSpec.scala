@@ -544,6 +544,32 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q286 hashing-trick accounting is internally consistent") {
+    import spark.implicits._
+    val r = run("q286_hashing_trick_audit").first()
+    val (used, feats, maxb, collided) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(used <= 32 && used >= 1)
+    assert(maxb * used >= feats, "pigeonhole")
+    assert(collided == 0 || collided >= 2, "a collision involves >= 2 features")
+    val trueCrosses = Tables.t(spark, sf, "events")
+      .select(concat($"event_type", lit(":"), hour($"ts"))).distinct().count()
+    assert(feats == trueCrosses)
+  }
+
+  test("q287 one-hot indices are dense, zero-based, frequency-ordered") {
+    import spark.implicits._
+    val df = run("q287_onehot_vocab").cache()
+    df.collect().groupBy(_.getString(0)).foreach { case (c, rows) =>
+      val idx = rows.map(_.getLong(2)).sorted
+      assert(idx.toSeq == (0L until idx.length).toSeq, s"dense in $c")
+      val byIdx = rows.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(byIdx.zip(byIdx.tail).forall { case (a, b) => a >= b },
+        s"frequency-descending in $c")
+    }
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
