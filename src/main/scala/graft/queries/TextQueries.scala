@@ -1846,6 +1846,94 @@ object TextQueries {
              |FROM pairs GROUP BY 1, 2
              |ORDER BY pair_count DESC, a, b LIMIT 20""".stripMargin)),
 
+    // quality-score calibration (reliability diagram input): does
+    // q41's heuristic quality score actually PREDICT duplication? —
+    // score deciles (ntile with the doc_id tiebreak) against the
+    // exact-dup label (md5 cluster size > 1, q43's fingerprint). A
+    // flat curve means the score is noise; the per-decile dup rate is
+    // what a curation team reads before gating on the score. Scale:
+    // one corpus scan computes both signals, the ntile runs over
+    // doc-grain rows, output is 10 rows.
+    GQuery(
+      "q288_quality_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents")
+          .select($"doc_id", md5($"text".cast("binary")).as("fp"),
+            split($"text", " ").as("w"))
+          .select($"doc_id", $"fp",
+            (size(array_distinct($"w")) * lit(1.0) / size($"w"))
+              .as("score"))
+        val dupFp = base.groupBy($"fp").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1).select($"fp")
+        val labeled = base
+          .join(dupFp, Seq("fp"), "left_semi")
+          .select($"doc_id", lit(1L).as("is_dup"))
+          .unionByName(base
+            .join(dupFp, Seq("fp"), "left_anti")
+            .select($"doc_id", lit(0L).as("is_dup")))
+          .join(base.select($"doc_id", $"score"), "doc_id")
+        labeled
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy($"score".asc, $"doc_id".asc)).cast("long"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_docs"), sum($"is_dup").as("n_dups"),
+            (sum($"is_dup") * lit(1.0) / count(lit(1))).as("dup_rate"))
+      },
+      Some("""WITH base AS (SELECT doc_id, md5(text) AS fp,
+             |    len(list_distinct(string_split(text, ' '))) * 1.0
+             |      / len(string_split(text, ' ')) AS score
+             |  FROM documents),
+             |dupfp AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1),
+             |l AS (SELECT doc_id, score,
+             |    CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END
+             |      AS is_dup
+             |  FROM base),
+             |d AS (SELECT is_dup, CAST(ntile(10) OVER (
+             |      ORDER BY score, doc_id) AS BIGINT) AS decile FROM l)
+             |SELECT decile, count(*) AS n_docs,
+             |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+             |  CAST(sum(is_dup) AS BIGINT) * 1.0 / count(*) AS dup_rate
+             |FROM d GROUP BY 1""".stripMargin)),
+
+    // inverse-probability-weighted estimation audit: estimate the
+    // corpus token total from the deterministic 10% md5-bucket sample
+    // (q82's sampler) by weighting each sampled doc 10×, against the
+    // exact total — the estimator-correctness check a sampling
+    // pipeline ships with its sample. Integer sums; the relative
+    // error is one ratio at output. Scale: the sample predicate
+    // pushes into the scan; both aggregates are one-pass.
+    GQuery(
+      "q289_ipw_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("tk"),
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8)," +
+              " 16, 10) AS BIGINT) % 10").as("bucket"))
+        val exact = toks.agg(sum($"tk").as("exact_tokens"),
+          count(lit(1)).as("n_docs"))
+        val est = toks.filter($"bucket" === 0)
+          .agg((sum($"tk") * 10).as("est_tokens"),
+            count(lit(1)).as("n_sampled"))
+        exact.crossJoin(est)
+          .select($"exact_tokens", $"est_tokens", $"n_docs", $"n_sampled",
+            (abs($"est_tokens" - $"exact_tokens") * lit(1.0)
+              / $"exact_tokens").as("rel_err"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 10 AS bucket
+             |  FROM documents),
+             |e AS (SELECT CAST(sum(tk) AS BIGINT) AS exact_tokens,
+             |    count(*) AS n_docs FROM t),
+             |s AS (SELECT CAST(sum(tk) * 10 AS BIGINT) AS est_tokens,
+             |    count(*) AS n_sampled FROM t WHERE bucket = 0)
+             |SELECT exact_tokens, est_tokens, n_docs, n_sampled,
+             |  abs(est_tokens - exact_tokens) * 1.0 / exact_tokens AS rel_err
+             |FROM e, s""".stripMargin)),
+
     // inverse-frequency class weights per language (the imbalance
     // correction every classifier-training pipeline computes before
     // sampling): w_c = N / (k·n_c), plus each class's share — one

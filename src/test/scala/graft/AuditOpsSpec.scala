@@ -570,6 +570,28 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q288 calibration deciles cover the corpus with bounded dup counts") {
+    import spark.implicits._
+    val df = run("q288_quality_calibration").cache()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(df.agg(sum($"n_docs")).first().getLong(0) == docs)
+    assert(df.count() == 10)
+    assert(df.filter($"n_dups" > $"n_docs").count() == 0)
+    df.unpersist()
+  }
+
+  test("q289 IPW estimate is consistent and within a loose sampling bound") {
+    import spark.implicits._
+    val r = run("q289_ipw_estimate").first()
+    val (exact, est, n, ns) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ns > 0 && ns < n)
+    assert(est % 10 == 0, "the 10x weight makes the estimate a multiple of 10")
+    // md5 buckets are uniform: the 10% sample is large enough here that
+    // a >50% relative error would mean a broken sampler, not bad luck
+    assert(math.abs(est - exact).toDouble / exact < 0.5)
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
