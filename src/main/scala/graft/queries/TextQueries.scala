@@ -1846,54 +1846,40 @@ object TextQueries {
              |FROM pairs GROUP BY 1, 2
              |ORDER BY pair_count DESC, a, b LIMIT 20""".stripMargin)),
 
-    // quality-score calibration (reliability diagram input): does
-    // q41's heuristic quality score actually PREDICT duplication? —
-    // score deciles (ntile with the doc_id tiebreak) against the
-    // exact-dup label (md5 cluster size > 1, q43's fingerprint). A
-    // flat curve means the score is noise; the per-decile dup rate is
-    // what a curation team reads before gating on the score. Scale:
-    // one corpus scan computes both signals, the ntile runs over
-    // doc-grain rows, output is 10 rows.
+    // quality-score bias calibration: is q41's heuristic quality
+    // score language-biased? — score deciles (ntile with the doc_id
+    // tiebreak) against the English label. A flat curve means the
+    // score treats languages evenly; a sloped one means gating on it
+    // would silently skew the language mix — the fairness audit a
+    // curation team runs BEFORE thresholding. Scale: one corpus scan
+    // computes both signals, the ntile runs over doc-grain rows,
+    // output is 10 rows.
     GQuery(
       "q288_quality_calibration",
       (s, dir) => {
         import s.implicits._
-        val base = t(s, dir, "documents")
-          .select($"doc_id", md5($"text".cast("binary")).as("fp"),
+        t(s, dir, "documents")
+          .select($"doc_id", ($"lang" === "en").cast("long").as("is_en"),
             split($"text", " ").as("w"))
-          .select($"doc_id", $"fp",
+          .select($"doc_id", $"is_en",
             (size(array_distinct($"w")) * lit(1.0) / size($"w"))
               .as("score"))
-        val dupFp = base.groupBy($"fp").agg(count(lit(1)).as("c"))
-          .filter($"c" > 1).select($"fp")
-        val labeled = base
-          .join(dupFp, Seq("fp"), "left_semi")
-          .select($"doc_id", lit(1L).as("is_dup"))
-          .unionByName(base
-            .join(dupFp, Seq("fp"), "left_anti")
-            .select($"doc_id", lit(0L).as("is_dup")))
-          .join(base.select($"doc_id", $"score"), "doc_id")
-        labeled
           .withColumn("decile", ntile(10).over(
             Window.orderBy($"score".asc, $"doc_id".asc)).cast("long"))
           .groupBy($"decile")
-          .agg(count(lit(1)).as("n_docs"), sum($"is_dup").as("n_dups"),
-            (sum($"is_dup") * lit(1.0) / count(lit(1))).as("dup_rate"))
+          .agg(count(lit(1)).as("n_docs"), sum($"is_en").as("n_en"),
+            (sum($"is_en") * lit(1.0) / count(lit(1))).as("en_rate"))
       },
-      Some("""WITH base AS (SELECT doc_id, md5(text) AS fp,
+      Some("""WITH l AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
              |    len(list_distinct(string_split(text, ' '))) * 1.0
              |      / len(string_split(text, ' ')) AS score
              |  FROM documents),
-             |dupfp AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1),
-             |l AS (SELECT doc_id, score,
-             |    CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END
-             |      AS is_dup
-             |  FROM base),
-             |d AS (SELECT is_dup, CAST(ntile(10) OVER (
+             |d AS (SELECT is_en, CAST(ntile(10) OVER (
              |      ORDER BY score, doc_id) AS BIGINT) AS decile FROM l)
              |SELECT decile, count(*) AS n_docs,
-             |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
-             |  CAST(sum(is_dup) AS BIGINT) * 1.0 / count(*) AS dup_rate
+             |  CAST(sum(is_en) AS BIGINT) AS n_en,
+             |  CAST(sum(is_en) AS BIGINT) * 1.0 / count(*) AS en_rate
              |FROM d GROUP BY 1""".stripMargin)),
 
     // inverse-probability-weighted estimation audit: estimate the
@@ -1933,6 +1919,111 @@ object TextQueries {
              |SELECT exact_tokens, est_tokens, n_docs, n_sampled,
              |  abs(est_tokens - exact_tokens) * 1.0 / exact_tokens AS rel_err
              |FROM e, s""".stripMargin)),
+
+    // chi-square independence test, lang × source: "is the language
+    // mix the same across feeds?" — the contingency-table forensic
+    // behind q227's KL drift. Every cell term (O−E)²/E derives from
+    // exact integer counts with identical scalar ops, and the
+    // cell-term SUM goes through the order-independent dsum so
+    // Spark's partial aggregation and DuckDB's scan order agree;
+    // Cramér's V normalizes to [0,1]. Scale: one (lang, source)
+    // aggregate (domain-bounded), everything after is cell-sized.
+    GQuery(
+      "q290_chi_square",
+      (s, dir) => {
+        import s.implicits._
+        import OracleNum._
+        val cells = t(s, dir, "documents")
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy($"lang").agg(sum($"o").as("r"))
+        val cols = cells.groupBy($"source").agg(sum($"o").as("c"))
+        val n = cells.agg(sum($"o").as("n"),
+          countDistinct($"lang").as("nr"),
+          countDistinct($"source").as("nc"))
+        cells.join(rows, "lang").join(cols, "source")
+          .crossJoin(GuardedBroadcast.maybe(n))
+          .select($"o", $"r", $"c", $"n", $"nr", $"nc",
+            (($"o" * $"n" - $"r" * $"c")
+              * ($"o" * $"n" - $"r" * $"c")
+              * lit(1.0) / ($"n".cast("double") * $"r" * $"c"))
+              .as("term"))
+          .groupBy($"nr", $"nc")
+          .agg(dsum($"term").as("chi2"), first($"n").as("n"))
+          .select(
+            (($"nr" - 1) * ($"nc" - 1)).as("dof"), $"n", $"chi2",
+            sqrt($"chi2" / ($"n" * (least($"nr", $"nc") - 1)))
+              .as("cramers_v"))
+      },
+      Some(s"""WITH cells AS (SELECT lang, source, count(*) AS o
+              |  FROM documents GROUP BY 1, 2),
+              |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells
+              |      GROUP BY 1),
+              |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells
+              |      GROUP BY 1),
+              |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+              |    count(DISTINCT lang) AS nr, count(DISTINCT source) AS nc
+              |  FROM cells),
+              |terms AS (SELECT nr, nc, n,
+              |    (o * n - r.r * c.c) * (o * n - r.r * c.c) * 1.0
+              |      / (CAST(n AS DOUBLE) * r.r * c.c) AS term
+              |  FROM cells JOIN r USING (lang) JOIN c USING (source), t),
+              |agg AS (SELECT nr, nc, n,
+              |    ${OracleNum.dsumSql("term")} AS chi2
+              |  FROM terms GROUP BY 1, 2, 3)
+              |SELECT (nr - 1) * (nc - 1) AS dof, n, chi2,
+              |  sqrt(chi2 / (n * (least(nr, nc) - 1))) AS cramers_v
+              |FROM agg""".stripMargin)),
+
+    // exact ROC AUC of the quality score against the English label
+    // (q288's bias curve, collapsed to the one number a review
+    // reads: 0.5 = language-neutral). Mann-Whitney form with tie
+    // handling:
+    // 2·avgrank of a tie group = min+max row_number (an INTEGER), so
+    // the positive-rank sum stays exact and
+    // AUC = (Σ2r − P(P+1)) / (2·P·N) is integer arithmetic until the
+    // single output divide. One doc-grain sort, everything else
+    // aggregate-sized.
+    GQuery(
+      "q291_score_auc",
+      (s, dir) => {
+        import s.implicits._
+        val labeled = t(s, dir, "documents")
+          .select($"doc_id", ($"lang" === "en").cast("long").as("pos"),
+            split($"text", " ").as("w"))
+          .select($"doc_id", $"pos",
+            (size(array_distinct($"w")) * lit(1.0) / size($"w"))
+              .as("score"))
+        val rn = Window.orderBy($"score".asc, $"doc_id".asc)
+        val tie = Window.partitionBy($"score")
+        labeled
+          .withColumn("r", row_number().over(rn).cast("long"))
+          .withColumn("r2", min($"r").over(tie) + max($"r").over(tie))
+          .agg(sum(when($"pos" === 1, $"r2").otherwise(0L)).as("s2"),
+            sum($"pos").as("p"), count(lit(1)).as("total"))
+          .select($"p".as("n_pos"), ($"total" - $"p").as("n_neg"),
+            (($"s2" - $"p" * ($"p" + 1)) * lit(1.0)
+              / (lit(2L) * $"p" * ($"total" - $"p"))).as("auc"))
+      },
+      Some("""WITH l AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             |    len(list_distinct(string_split(text, ' '))) * 1.0
+             |      / len(string_split(text, ' ')) AS score
+             |  FROM documents),
+             |rk AS (SELECT pos, score,
+             |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+             |      AS r
+             |  FROM l),
+             |t AS (SELECT pos,
+             |    min(r) OVER (PARTITION BY score)
+             |      + max(r) OVER (PARTITION BY score) AS r2
+             |  FROM rk),
+             |agg AS (SELECT
+             |    CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT)
+             |      AS s2,
+             |    CAST(sum(pos) AS BIGINT) AS p, count(*) AS total FROM t)
+             |SELECT p AS n_pos, total - p AS n_neg,
+             |  (s2 - p * (p + 1)) * 1.0 / (2 * p * (total - p)) AS auc
+             |FROM agg""".stripMargin)),
 
     // inverse-frequency class weights per language (the imbalance
     // correction every classifier-training pipeline computes before

@@ -570,14 +570,52 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
-  test("q288 calibration deciles cover the corpus with bounded dup counts") {
+  test("q288 calibration deciles cover the corpus with bounded label counts") {
     import spark.implicits._
     val df = run("q288_quality_calibration").cache()
     val docs = Tables.t(spark, sf, "documents").count()
     assert(df.agg(sum($"n_docs")).first().getLong(0) == docs)
     assert(df.count() == 10)
-    assert(df.filter($"n_dups" > $"n_docs").count() == 0)
+    assert(df.filter($"n_en" > $"n_docs").count() == 0)
+    val en = Tables.t(spark, sf, "documents").filter($"lang" === "en").count()
+    assert(df.agg(sum($"n_en")).first().getLong(0) == en)
     df.unpersist()
+  }
+
+  test("q290 chi-square agrees with a driver-side contingency computation") {
+    import spark.implicits._
+    val cells = Tables.t(spark, sf, "documents")
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rows = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cols = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum.toDouble
+    val chi2 = cells.map { case (l, src, o) =>
+      val e = rows(l) * cols(src) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val r = run("q290_chi_square").first()
+    assert(r.getLong(0) == (rows.size - 1).toLong * (cols.size - 1))
+    // dsum quantizes per-cell terms at 1e-4 — compare to that tolerance
+    assert(math.abs(r.getDouble(2) - chi2) < cells.length * 1e-4 + 1e-6)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+  }
+
+  test("q291 AUC matches a direct Mann-Whitney computation") {
+    import spark.implicits._
+    val data = Tables.t(spark, sf, "documents")
+      .select($"doc_id", ($"lang" === "en").cast("long").as("pos"),
+        (size(array_distinct(split($"text", " "))) * lit(1.0)
+          / size(split($"text", " "))).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pos = data.filter(_._2 == 1).map(_._3)
+    val neg = data.filter(_._2 == 0).map(_._3)
+    var wins = 0.0
+    for (p <- pos; q <- neg)
+      wins += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val direct = wins / (pos.length.toDouble * neg.length)
+    val got = run("q291_score_auc").first().getDouble(2)
+    assert(math.abs(got - direct) < 1e-9, s"$got vs $direct")
   }
 
   test("q289 IPW estimate is consistent and within a loose sampling bound") {
