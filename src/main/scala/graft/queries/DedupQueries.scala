@@ -1173,6 +1173,71 @@ object DedupQueries {
              |SELECT d1, d2, inter, l1, l2,
              |  inter * 1.0 / (l1 + l2 - inter) AS jaccard
              |FROM i WHERE inter * 1.0 / (l1 + l2 - inter) * 10 >= 5.0"""
-        .stripMargin))
+        .stripMargin)),
+
+    // LSH operating curve: the same 16 MinHashes (q45's signatures)
+    // banded at widths r ∈ {1, 2, 4} — 16/8/4 bands — with the
+    // candidate-pair count per configuration. Wider bands demand more
+    // consecutive hash agreement, so candidates shrink monotonically;
+    // this one-pass sweep is how an operator picks the band width
+    // BEFORE committing the expensive verification join to a
+    // threshold (the tuning artifact the S-curve formula only
+    // approximates). Band keys are the j-ordered concatenation of the
+    // band's hashes (deterministic — no order-dependent aggregation),
+    // joined per config on (band, key) exactly like q45; the
+    // signature relation is computed once and reused.
+    GQuery(
+      "q292_lsh_band_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val mh = shingles(s, dir)
+          .select($"doc_id", $"s", explode(sequence(lit(0), lit(15))).as("j"))
+          .select($"doc_id", $"j",
+            h32(concat($"j".cast("string"), lit(":"), $"s")).as("h"))
+          .groupBy($"doc_id", $"j").agg(min($"h").as("h"))
+        val sweeps = Seq(1, 2, 4).map { r =>
+          val keys = mh
+            .withColumn("band", expr(s"j div $r"))
+            .groupBy($"doc_id", $"band")
+            .agg(expr("array_join(transform(array_sort(" +
+              "collect_list(struct(j, h))), x -> CAST(x.h AS STRING)), ':')")
+              .as("key"))
+          keys.as("a").join(keys.as("b"),
+              $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+                $"a.doc_id" < $"b.doc_id")
+            .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+            .distinct()
+            .agg(count(lit(1)).as("n_candidates"))
+            .select(lit(r.toLong).as("band_width"),
+              lit((16 / r).toLong).as("n_bands"), $"n_candidates")
+        }
+        sweeps.reduce(_ unionByName _)
+      },
+      Some(s"""WITH $shinglesSql,
+              |hs AS (SELECT doc_id, s, unnest(generate_series(0, 15)) AS j
+              |       FROM sh),
+              |mh AS (SELECT doc_id, j,
+              |    min(CAST(concat('0x', substr(md5(concat(j, ':', s)), 1, 8))
+              |        AS BIGINT)) AS h
+              |  FROM hs GROUP BY 1, 2),
+              |k1 AS (SELECT doc_id, j // 1 AS band,
+              |    string_agg(h, ':' ORDER BY j) AS key FROM mh GROUP BY 1, 2),
+              |k2 AS (SELECT doc_id, j // 2 AS band,
+              |    string_agg(h, ':' ORDER BY j) AS key FROM mh GROUP BY 1, 2),
+              |k4 AS (SELECT doc_id, j // 4 AS band,
+              |    string_agg(h, ':' ORDER BY j) AS key FROM mh GROUP BY 1, 2),
+              |c1 AS (SELECT count(*) AS n FROM (SELECT DISTINCT a.doc_id, b.doc_id
+              |  FROM k1 a JOIN k1 b ON a.band = b.band AND a.key = b.key
+              |    AND a.doc_id < b.doc_id)),
+              |c2 AS (SELECT count(*) AS n FROM (SELECT DISTINCT a.doc_id, b.doc_id
+              |  FROM k2 a JOIN k2 b ON a.band = b.band AND a.key = b.key
+              |    AND a.doc_id < b.doc_id)),
+              |c4 AS (SELECT count(*) AS n FROM (SELECT DISTINCT a.doc_id, b.doc_id
+              |  FROM k4 a JOIN k4 b ON a.band = b.band AND a.key = b.key
+              |    AND a.doc_id < b.doc_id))
+              |SELECT CAST(1 AS BIGINT) AS band_width, CAST(16 AS BIGINT)
+              |    AS n_bands, CAST(n AS BIGINT) AS n_candidates FROM c1
+              |UNION ALL SELECT 2, 8, CAST(n AS BIGINT) FROM c2
+              |UNION ALL SELECT 4, 4, CAST(n AS BIGINT) FROM c4""".stripMargin))
   )
 }

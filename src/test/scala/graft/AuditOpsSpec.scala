@@ -630,6 +630,17 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(math.abs(est - exact).toDouble / exact < 0.5)
   }
 
+  test("q292 candidates shrink monotonically as bands widen") {
+    import spark.implicits._
+    val rows = run("q292_lsh_band_sweep").orderBy($"band_width")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(rows.forall { case (r, b, _) => r * b == 16 })
+    val counts = rows.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "wider bands demand more agreement, so candidates cannot grow")
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
