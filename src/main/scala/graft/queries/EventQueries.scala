@@ -2092,6 +2092,59 @@ object EventQueries {
              |  FROM d)
              |SELECT t_day, total - cum + n_leaving AS n_at_risk,
              |  d_events, n_censored
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Markov entropy rate of per-user event-type sequences:
+    // H(next | current) over the transition counts q166 tabulates —
+    // how PREDICTABLE behavior is (0 bits = deterministic flows,
+    // log₂(k) = uniform). Exactly integerized via q240's milli-bit
+    // pattern: log₂ p(t|s) = mb(c_st) − mb(c_s) on integer counts, so
+    // H = Σ c_st·(mb(c_s) − mb(c_st)) / N / 10⁴ is integer arithmetic
+    // until the final divides. Scale shape: one user-keyed sort for
+    // the lag (shared with the session family), then a transition-
+    // matrix-sized aggregate (k² rows).
+    GQuery(
+      "q293_markov_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val mb = (c: org.apache.spark.sql.Column) =>
+          floor(log2(c) * 10000 + 0.5).cast("long")
+        val byUser = Window.partitionBy($"user_id")
+          .orderBy($"us".asc, $"event_id".asc)
+        val trans = t(s, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+            $"event_type")
+          .withColumn("next_type", lead($"event_type", 1).over(byUser))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type", $"next_type")
+          .agg(count(lit(1)).as("c_st"))
+        val marg = trans.groupBy($"event_type").agg(sum($"c_st").as("c_s"))
+        trans.join(marg, "event_type")
+          .agg(sum($"c_st").as("n_transitions"),
+            sum($"c_st" * (mb($"c_s") - mb($"c_st"))).as("hsum"))
+          .select($"n_transitions",
+            ($"hsum" * lit(1.0) / $"n_transitions" / lit(10000))
+              .as("entropy_rate_bits"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+             |    event_type FROM events),
+             |tr AS (SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS next_type
+             |  FROM e),
+             |c AS (SELECT event_type, next_type, count(*) AS c_st
+             |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |m AS (SELECT event_type, CAST(sum(c_st) AS BIGINT) AS c_s
+             |  FROM c GROUP BY 1),
+             |h AS (SELECT
+             |    CAST(sum(c_st) AS BIGINT) AS n_transitions,
+             |    CAST(sum(c_st *
+             |      (CAST(floor(log2(c_s) * 10000 + 0.5) AS BIGINT)
+             |       - CAST(floor(log2(c_st) * 10000 + 0.5) AS BIGINT)))
+             |      AS BIGINT) AS hsum
+             |  FROM c JOIN m USING (event_type))
+             |SELECT n_transitions,
+             |  hsum * 1.0 / n_transitions / 10000 AS entropy_rate_bits
+             |FROM h""".stripMargin))
   )
 }

@@ -641,6 +641,17 @@ class AuditOpsSpec extends AnyFunSuite {
       "wider bands demand more agreement, so candidates cannot grow")
   }
 
+  test("q293 entropy rate is bounded by log2 of the type alphabet") {
+    import spark.implicits._
+    val r = run("q293_markov_entropy").first()
+    val k = Tables.t(spark, sf, "events")
+      .select($"event_type").distinct().count()
+    val h = r.getDouble(1)
+    // mb-quantization error is at most 2e-4 bits per term
+    assert(h >= -1e-3 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-3)
+    assert(r.getLong(0) > 0)
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
