@@ -1118,8 +1118,9 @@ object DedupQueries {
         val toks = t(s, dir, "documents")
           .select($"doc_id", split($"text", " ").as("w"))
           .select($"doc_id", explode(expr(
-            """array_distinct(transform(sequence(0, size(w) - 2), i ->
-              |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))"""
+            """array_distinct(transform(sequence(0, size(w) - 4), i ->
+              |  concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2),
+              |    element_at(w, i + 3), element_at(w, i + 4))))"""
               .stripMargin)).as("tok"))
         val freq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
         val ranked = toks.join(freq, "tok")
@@ -1150,8 +1151,9 @@ object DedupQueries {
              |  FROM documents),
              |toks AS (SELECT DISTINCT doc_id, tok FROM (
              |    SELECT doc_id,
-             |      unnest(list_transform(generate_series(1, len(w) - 1),
-             |        i -> concat(w[i], ' ', w[i + 1]))) AS tok
+             |      unnest(list_transform(generate_series(1, len(w) - 3),
+             |        i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2], ' ',
+             |                    w[i + 3]))) AS tok
              |    FROM w)),
              |freq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
              |ranked AS (SELECT doc_id, tok,

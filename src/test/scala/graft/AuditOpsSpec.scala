@@ -408,12 +408,13 @@ class AuditOpsSpec extends AnyFunSuite {
 
   test("q276 prefix filtering loses no pair against the exhaustive join") {
     import spark.implicits._
-    // exhaustive ground truth: ALL bigram-set pairs with Jaccard >= 0.5
+    // exhaustive ground truth: ALL 4-gram-set pairs with Jaccard >= 0.5
     val toks = Tables.t(spark, sf, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(w) - 2), i ->
-          |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2))))"""
+        """array_distinct(transform(sequence(0, size(w) - 4), i ->
+          |  concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2),
+          |    element_at(w, i + 3), element_at(w, i + 4))))"""
           .stripMargin)).as("tok"))
     val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("l"))
     val truth = toks.as("a")
