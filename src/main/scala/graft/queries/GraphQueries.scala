@@ -305,18 +305,16 @@ object GraphQueries {
       "q244_label_prop",
       (s, dir) => {
         import s.implicits._
-        val edges = edgesDf(s, dir)
-        val und = edges.select($"s".as("v"), $"o".as("w"))
-          .unionByName(edges.select($"o".as("v"), $"s".as("w")))
-          .distinct()
+        val und = undirectedDf(s, dir)
         var lbl = und.select($"v").distinct().withColumn("lbl", $"v")
         for (_ <- 1 to 2) {
-          val byLbl = org.apache.spark.sql.expressions.Window
-            .partitionBy($"v").orderBy($"c".desc, $"lbl".asc)
+          // mode with the smallest-label tiebreak as ONE hash aggregate:
+          // argmin over the (-count, label) struct ≡ the rank-1 row of a
+          // (count desc, label asc) window, without the per-round sort
           lbl = und.join(lbl.withColumnRenamed("v", "w"), "w")
             .groupBy($"v", $"lbl").agg(count(lit(1)).as("c"))
-            .withColumn("rk", row_number().over(byLbl))
-            .filter($"rk" === 1).select($"v", $"lbl")
+            .groupBy($"v")
+            .agg(min_by($"lbl", struct((-$"c").as("nc"), $"lbl")).as("lbl"))
         }
         lbl.groupBy($"lbl".as("community"))
           .agg(count(lit(1)).as("n_members"))
@@ -443,7 +441,34 @@ object GraphQueries {
   /** The q53 edge list as a DataFrame (relational mirror of
     * [[edgesSql]], shared by the driver-gated iterative queries).
     */
-  private def edgesDf(s: SparkSession, dir: String): DataFrame = {
+  // memoized + persisted like [[graphCache]]: the iterative queries
+  // (LPA's 2 rounds, HITS' 4 passes, the two-hop projection) each
+  // re-visit the edge relation several times per run — without the
+  // cache every visit re-pays the 7-way distinct-union build.
+  private val edgesDfCache =
+    new graft.tools.BoundedMemo[(SparkSession, String), DataFrame](
+      4, _.unpersist(blocking = false))
+
+  private def edgesDf(s: SparkSession, dir: String): DataFrame =
+    edgesDfCache.getOrElseUpdate((s, dir), buildEdgesDf(s, dir).persist())
+
+  /** Memoized symmetrized edge relation — the per-round probe side of
+    * the label-propagation iterations.
+    */
+  private val undCache =
+    new graft.tools.BoundedMemo[(SparkSession, String), DataFrame](
+      4, _.unpersist(blocking = false))
+
+  private def undirectedDf(s: SparkSession, dir: String): DataFrame =
+    undCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val edges = edgesDf(s, dir)
+      edges.select($"s".as("v"), $"o".as("w"))
+        .unionByName(edges.select($"o".as("v"), $"s".as("w")))
+        .distinct().persist()
+    })
+
+  private def buildEdgesDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = graft.Tables.t(s, dir, "customer")
     val sup = graft.Tables.t(s, dir, "supplier")
