@@ -2145,6 +2145,109 @@ object EventQueries {
              |  FROM c JOIN m USING (event_type))
              |SELECT n_transitions,
              |  hsum * 1.0 / n_transitions / 10000 AS entropy_rate_bits
-             |FROM h""".stripMargin))
+             |FROM h""".stripMargin)),
+
+    // A/B experiment assignment + sample-ratio-mismatch check: users
+    // deterministically hash-bucketed into two arms (md5 prefix, the
+    // portable q188 convention — the ONLY correct way to assign at
+    // scale: no coordination, stable across reruns), with the 1-dof
+    // chi-square SRM statistic every experimentation platform
+    // computes before trusting a readout. Counts are integers; the
+    // statistic is (a−b)²/(a+b) under the 50/50 design — identical
+    // scalar ops both engines. Output one row.
+    GQuery(
+      "q294_ab_srm",
+      (s, dir) => {
+        import s.implicits._
+        val arms = t(s, dir, "events")
+          .select($"user_id").distinct()
+          .withColumn("arm",
+            expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8)," +
+              " 16, 10) AS BIGINT) % 2"))
+          .groupBy($"arm").agg(count(lit(1)).as("n"))
+        arms.agg(
+            sum(when($"arm" === 0, $"n").otherwise(0L)).as("n_control"),
+            sum(when($"arm" === 1, $"n").otherwise(0L)).as("n_treat"))
+          .select($"n_control", $"n_treat",
+            ((($"n_control" - $"n_treat") * ($"n_control" - $"n_treat"))
+              * lit(1.0) / ($"n_control" + $"n_treat")).as("srm_chi2"))
+      },
+      Some("""WITH a AS (SELECT
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 2 AS arm
+             |  FROM (SELECT DISTINCT user_id FROM events)),
+             |c AS (SELECT
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_control,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_treat
+             |  FROM a)
+             |SELECT n_control, n_treat,
+             |  (n_control - n_treat) * (n_control - n_treat) * 1.0
+             |    / (n_control + n_treat) AS srm_chi2
+             |FROM c""".stripMargin)),
+
+    // A/B effect readout: per-arm mean value (integer cents) and the
+    // pooled-variance t-statistic from the five exact power sums —
+    // the two-sample readout computed entirely in integers until the
+    // closed-form scalar assembly (same ops, same order, both
+    // engines). Pairs with q294: first check SRM, then read the
+    // effect. Scale: the user-grain aggregate carries (n, Σ, Σ²) per
+    // arm — three numbers each, any corpus size.
+    GQuery(
+      "q295_ab_effect",
+      (s, dir) => {
+        import s.implicits._
+        val per = t(s, dir, "events")
+          .withColumn("arm",
+            expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8)," +
+              " 16, 10) AS BIGINT) % 2"))
+          .withColumn("cents", floor($"value" * 100 + 0.5).cast("long"))
+          .groupBy($"arm")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+            sum($"cents" * $"cents").as("sxx"))
+        per.agg(
+            sum(when($"arm" === 0, $"n").otherwise(0L)).as("n0"),
+            sum(when($"arm" === 0, $"sx").otherwise(0L)).as("sx0"),
+            sum(when($"arm" === 0, $"sxx").otherwise(0L)).as("sxx0"),
+            sum(when($"arm" === 1, $"n").otherwise(0L)).as("n1"),
+            sum(when($"arm" === 1, $"sx").otherwise(0L)).as("sx1"),
+            sum(when($"arm" === 1, $"sxx").otherwise(0L)).as("sxx1"))
+          .select($"n0", $"n1",
+            ($"sx0" * lit(1.0) / $"n0" / 100.0).as("mean_control"),
+            ($"sx1" * lit(1.0) / $"n1" / 100.0).as("mean_treat"),
+            (($"sx1" * lit(1.0) / $"n1" - $"sx0" * lit(1.0) / $"n0") / 100.0)
+              .as("effect"),
+            sqrt((($"sxx0" - $"sx0" * ($"sx0" * lit(1.0) / $"n0"))
+              + ($"sxx1" - $"sx1" * ($"sx1" * lit(1.0) / $"n1")))
+              / ($"n0" + $"n1" - 2)
+              * (lit(1.0) / $"n0" + lit(1.0) / $"n1")).as("se_cents"))
+      },
+      Some("""WITH e AS (SELECT
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 2 AS arm,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |p AS (SELECT arm, count(*) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS sx,
+             |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+             |  FROM e GROUP BY 1),
+             |w AS (SELECT
+             |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN arm = 0 THEN sx ELSE 0 END) AS BIGINT) AS sx0,
+             |    CAST(sum(CASE WHEN arm = 0 THEN sxx ELSE 0 END) AS BIGINT) AS sxx0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN arm = 1 THEN sx ELSE 0 END) AS BIGINT) AS sx1,
+             |    CAST(sum(CASE WHEN arm = 1 THEN sxx ELSE 0 END) AS BIGINT) AS sxx1
+             |  FROM p)
+             |SELECT n0, n1,
+             |  sx0 * 1.0 / n0 / 100.0 AS mean_control,
+             |  sx1 * 1.0 / n1 / 100.0 AS mean_treat,
+             |  (sx1 * 1.0 / n1 - sx0 * 1.0 / n0) / 100.0 AS effect,
+             |  sqrt(((sxx0 - sx0 * (sx0 * 1.0 / n0))
+             |      + (sxx1 - sx1 * (sx1 * 1.0 / n1)))
+             |    / (n0 + n1 - 2)
+             |    * (1.0 / n0 + 1.0 / n1)) AS se_cents
+             |FROM w""".stripMargin))
   )
 }

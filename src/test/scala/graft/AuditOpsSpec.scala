@@ -653,6 +653,21 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) > 0)
   }
 
+  test("q294/q295 arms partition users and the effect matches the means") {
+    import spark.implicits._
+    val srm = run("q294_ab_srm").first()
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(srm.getLong(0) + srm.getLong(1) == users)
+    assert(srm.getDouble(2) >= 0.0)
+    val eff = run("q295_ab_effect").first()
+    val events = Tables.t(spark, sf, "events").count()
+    assert(eff.getLong(0) + eff.getLong(1) == events)
+    assert(math.abs(eff.getDouble(4)
+      - (eff.getDouble(3) - eff.getDouble(2))) < 1e-9)
+    assert(eff.getDouble(5) > 0.0, "pooled standard error is positive")
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
