@@ -2248,6 +2248,133 @@ object EventQueries {
              |      + (sxx1 - sx1 * (sx1 * 1.0 / n1)))
              |    / (n0 + n1 - 2)
              |    * (1.0 / n0 + 1.0 / n1)) AS se_cents
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // A/B funnel readout: view→purchase conversion per arm (q294's
+    // assignment × q122's funnel outcome) with the absolute lift — a
+    // binary-metric experiment readout. "Converted" = the user has a
+    // purchase strictly after some view (the funnel's first-and-last
+    // stages; order checked on the exact time key). Integer counts,
+    // two ratio divides in identical order. Scale: two user-grain
+    // aggregates + arm-sized rollup.
+    GQuery(
+      "q296_ab_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val per = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", unix_micros($"ts")))
+            .as("first_view"),
+            max(when($"event_type" === "purchase", unix_micros($"ts")))
+              .as("last_purchase"))
+          .select($"user_id",
+            ($"first_view".isNotNull && $"last_purchase".isNotNull &&
+              $"last_purchase" > $"first_view").cast("long").as("converted"))
+          .withColumn("arm",
+            expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8)," +
+              " 16, 10) AS BIGINT) % 2"))
+        val arms = per.groupBy($"arm")
+          .agg(count(lit(1)).as("n"), sum($"converted").as("conv"))
+        arms.agg(
+            sum(when($"arm" === 0, $"n").otherwise(0L)).as("n0"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("c0"),
+            sum(when($"arm" === 1, $"n").otherwise(0L)).as("n1"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("c1"))
+          .select($"n0", $"c0", $"n1", $"c1",
+            ($"c0" * lit(1.0) / $"n0").as("cr_control"),
+            ($"c1" * lit(1.0) / $"n1").as("cr_treat"),
+            ($"c1" * lit(1.0) / $"n1" - $"c0" * lit(1.0) / $"n0")
+              .as("abs_lift"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+             |      AS fv,
+             |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             |      AS lp
+             |  FROM events GROUP BY 1),
+             |lab AS (SELECT
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 2 AS arm,
+             |    CASE WHEN fv IS NOT NULL AND lp IS NOT NULL AND lp > fv
+             |         THEN 1 ELSE 0 END AS converted
+             |  FROM per),
+             |w AS (SELECT
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+             |         AS BIGINT) AS c0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+             |         AS BIGINT) AS c1
+             |  FROM lab)
+             |SELECT n0, c0, n1, c1,
+             |  c0 * 1.0 / n0 AS cr_control, c1 * 1.0 / n1 AS cr_treat,
+             |  c1 * 1.0 / n1 - c0 * 1.0 / n0 AS abs_lift
+             |FROM w""".stripMargin)),
+
+    // CUPED variance reduction: per-user pre-period covariate (first
+    // 15 days' value, whole units so the int64 moment sums stay under
+    // 2^53 at any plausible SF) against the experiment-period metric;
+    // θ = cov(X,Y)/var(X) from five exact integer power sums, then
+    // the variance-reduction ratio 1 − ρ² the platform quotes as
+    // "CUPED bought us N% smaller confidence intervals". The scalar
+    // assembly casts each exact sum to double FIRST (n·sxy would
+    // overflow int64) — bigint→double is exact below 2^53, and the
+    // remaining ops are identical IEEE on both engines. Scale: one
+    // user-grain aggregate carrying five sums.
+    GQuery(
+      "q297_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val mid = lit("2024-01-16").cast("timestamp")
+        val per = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(sum(when($"ts" < mid,
+            floor($"value" + 0.5).cast("long")).otherwise(0L)).as("x"),
+            sum(when($"ts" >= mid,
+              floor($"value" + 0.5).cast("long")).otherwise(0L)).as("y"))
+        val m = per.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+            sum($"x" * $"y").as("sxy"), sum($"y" * $"y").as("syy"))
+          .select($"n",
+            $"n".cast("double").as("nd"), $"sx".cast("double").as("sxd"),
+            $"sy".cast("double").as("syd"), $"sxx".cast("double").as("sxxd"),
+            $"sxy".cast("double").as("sxyd"), $"syy".cast("double").as("syyd"))
+        m.select($"n",
+            (($"nd" * $"sxyd" - $"sxd" * $"syd")
+              / ($"nd" * $"sxxd" - $"sxd" * $"sxd")).as("theta"),
+            ((($"nd" * $"sxyd" - $"sxd" * $"syd")
+              * ($"nd" * $"sxyd" - $"sxd" * $"syd"))
+              / (($"nd" * $"sxxd" - $"sxd" * $"sxd")
+                * ($"nd" * $"syyd" - $"syd" * $"syd"))).as("rho2"),
+            (lit(1.0) - (($"nd" * $"sxyd" - $"sxd" * $"syd")
+              * ($"nd" * $"sxyd" - $"sxd" * $"syd"))
+              / (($"nd" * $"sxxd" - $"sxd" * $"sxd")
+                * ($"nd" * $"syyd" - $"syd" * $"syd")))
+              .as("variance_ratio"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value + 0.5) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value + 0.5) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT count(*) AS n,
+             |    CAST(count(*) AS DOUBLE) AS nd,
+             |    CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+             |    CAST(sum(x * x) AS DOUBLE) AS sxxd,
+             |    CAST(sum(x * y) AS DOUBLE) AS sxyd,
+             |    CAST(sum(y * y) AS DOUBLE) AS syyd
+             |  FROM per)
+             |SELECT n,
+             |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS theta,
+             |  ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+             |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+             |    AS rho2,
+             |  1.0 - ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+             |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+             |    AS variance_ratio
+             |FROM m""".stripMargin))
   )
 }

@@ -668,6 +668,22 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(eff.getDouble(5) > 0.0, "pooled standard error is positive")
   }
 
+  test("q296 conversion rates and q297 CUPED stats stay in their ranges") {
+    import spark.implicits._
+    val f = run("q296_ab_funnel").first()
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(f.getLong(0) + f.getLong(2) == users)
+    assert(f.getLong(1) <= f.getLong(0) && f.getLong(3) <= f.getLong(2))
+    assert(math.abs(f.getDouble(6)
+      - (f.getDouble(5) - f.getDouble(4))) < 1e-12)
+    val c = run("q297_cuped").first()
+    assert(c.getLong(0) == users)
+    assert(c.getDouble(2) >= -1e-9 && c.getDouble(2) <= 1.0 + 1e-9,
+      "rho-squared is a squared correlation")
+    assert(math.abs(c.getDouble(3) - (1.0 - c.getDouble(2))) < 1e-12)
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
