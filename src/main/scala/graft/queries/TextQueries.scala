@@ -1846,6 +1846,41 @@ object TextQueries {
              |FROM pairs GROUP BY 1, 2
              |ORDER BY pair_count DESC, a, b LIMIT 20""".stripMargin)),
 
+    // Simpson diversity per source: D = Σc(c−1)/(N(N−1)) — the
+    // probability two random tokens are the same type. An EXACT
+    // integer companion to the entropy family (q240/q220 need log
+    // quantization; Simpson's index needs none — every sum is int64
+    // and the output is one divide), and the ecology-standard
+    // concentration reading of vocabulary (1/D = effective types).
+    // Scale: token counts are a vocabulary-sized groupBy with
+    // map-side combine; output source-sized.
+    GQuery(
+      "q298_simpson_diversity",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source", explode(split($"text", " ")).as("tok"))
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+          .groupBy($"source")
+          .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+            sum($"c" * ($"c" - 1)).as("coll"))
+          .select($"source", $"n_tokens", $"n_types",
+            // divide twice rather than form n·(n−1): the product would
+            // overflow int64 for billion-token sources
+            ($"coll" * lit(1.0) / $"n_tokens" / ($"n_tokens" - 1))
+              .as("simpson"))
+      },
+      Some("""WITH tc AS (SELECT source, tok, count(*) AS c FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents) GROUP BY 1, 2),
+             |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    count(*) AS n_types,
+             |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+             |  FROM tc GROUP BY 1)
+             |SELECT source, n_tokens, n_types,
+             |  coll * 1.0 / n_tokens / (n_tokens - 1) AS simpson
+             |FROM a""".stripMargin)),
+
     // quality-score bias calibration: is q41's heuristic quality
     // score language-biased? — score deciles (ntile with the doc_id
     // tiebreak) against the English label. A flat curve means the

@@ -684,6 +684,19 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(math.abs(c.getDouble(3) - (1.0 - c.getDouble(2))) < 1e-12)
   }
 
+  test("q298 Simpson index stays in (0,1] and inverts to <= type count") {
+    import spark.implicits._
+    val df = run("q298_simpson_diversity").cache()
+    assert(df.filter($"simpson" <= 0.0 || $"simpson" > 1.0).count() == 0)
+    // convexity floor of the unbiased estimator: with k types over N
+    // tokens, sum c(c-1) >= N^2/k - N, so D >= (N/k - 1)/(N - 1)
+    assert(df.filter($"simpson" <
+      ($"n_tokens" * 1.0 / $"n_types" - 1.0) / ($"n_tokens" - 1) - 1e-12)
+      .count() == 0)
+    assert(df.filter($"n_types" > $"n_tokens").count() == 0)
+    df.unpersist()
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
