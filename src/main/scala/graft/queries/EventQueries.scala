@@ -2375,6 +2375,83 @@ object EventQueries {
              |  1.0 - ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
              |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
              |    AS variance_ratio
+             |FROM m""".stripMargin)),
+
+    // CUPED-adjusted A/B readout — the experimentation family's
+    // capstone: θ fitted on the POOLED pre-period (q297), then the
+    // per-arm adjusted means ȳₐ − θ(x̄ₐ − x̄) compared. Every per-arm
+    // moment is an exact int64 sum over whole units; the scalar
+    // assembly casts to double first (q297's overflow argument) and
+    // runs identically on both engines. The point of the operator:
+    // the RAW and ADJUSTED effects sit side by side, which is how a
+    // platform demonstrates the adjustment changed variance, not the
+    // estimate. One user-grain aggregate, arm-sized everything after.
+    GQuery(
+      "q299_ab_cuped",
+      (s, dir) => {
+        import s.implicits._
+        val mid = lit("2024-01-16").cast("timestamp")
+        val per = t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(sum(when($"ts" < mid,
+            floor($"value" + 0.5).cast("long")).otherwise(0L)).as("x"),
+            sum(when($"ts" >= mid,
+              floor($"value" + 0.5).cast("long")).otherwise(0L)).as("y"))
+          .withColumn("arm",
+            expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8)," +
+              " 16, 10) AS BIGINT) % 2"))
+        val m = per.agg(
+            count(lit(1)).cast("double").as("nd"),
+            sum($"x").cast("double").as("sxd"),
+            sum($"y").cast("double").as("syd"),
+            sum($"x" * $"x").cast("double").as("sxxd"),
+            sum($"x" * $"y").cast("double").as("sxyd"),
+            sum(when($"arm" === 0, 1L).otherwise(0L)).cast("double").as("n0"),
+            sum(when($"arm" === 0, $"x").otherwise(0L)).cast("double").as("x0"),
+            sum(when($"arm" === 0, $"y").otherwise(0L)).cast("double").as("y0"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).cast("double").as("n1"),
+            sum(when($"arm" === 1, $"x").otherwise(0L)).cast("double").as("x1"),
+            sum(when($"arm" === 1, $"y").otherwise(0L)).cast("double").as("y1"))
+        m.select(
+          (($"nd" * $"sxyd" - $"sxd" * $"syd")
+            / ($"nd" * $"sxxd" - $"sxd" * $"sxd")).as("theta"),
+          ($"y1" / $"n1" - $"y0" / $"n0").as("raw_effect"),
+          (($"y1" / $"n1" - ($"nd" * $"sxyd" - $"sxd" * $"syd")
+            / ($"nd" * $"sxxd" - $"sxd" * $"sxd")
+            * ($"x1" / $"n1" - $"sxd" / $"nd"))
+            - ($"y0" / $"n0" - ($"nd" * $"sxyd" - $"sxd" * $"syd")
+            / ($"nd" * $"sxxd" - $"sxd" * $"sxd")
+            * ($"x0" / $"n0" - $"sxd" / $"nd"))).as("cuped_effect"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+             |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 2 AS arm,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END)
+             |      AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT
+             |    CAST(count(*) AS DOUBLE) AS nd,
+             |    CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(y) AS DOUBLE) AS syd,
+             |    CAST(sum(x * x) AS DOUBLE) AS sxxd,
+             |    CAST(sum(x * y) AS DOUBLE) AS sxyd,
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE) AS x0,
+             |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE) AS y0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE) AS x1,
+             |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE) AS y1
+             |  FROM per)
+             |SELECT
+             |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS theta,
+             |  y1 / n1 - y0 / n0 AS raw_effect,
+             |  (y1 / n1 - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+             |    * (x1 / n1 - sxd / nd))
+             |  - (y0 / n0 - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+             |    * (x0 / n0 - sxd / nd)) AS cuped_effect
              |FROM m""".stripMargin))
   )
 }

@@ -1881,6 +1881,58 @@ object TextQueries {
              |  coll * 1.0 / n_tokens / (n_tokens - 1) AS simpson
              |FROM a""".stripMargin)),
 
+    // dataset card: the one-row release summary a corpus ships with —
+    // sizes, vocabulary, language/source breadth, and mean document
+    // length, every figure an exact integer or a single ratio. One
+    // corpus scan feeds the doc-level aggregate; the bigram
+    // vocabulary count is the only second aggregation (vocabulary-
+    // sized). The engine-level point: the card is DERIVED inside the
+    // engine and oracle-gated like any operator, so the numbers a
+    // release quotes are the numbers the engine computed.
+    GQuery(
+      "q300_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source", $"n_chars",
+            size(split($"text", " ")).cast("long").as("tk"),
+            split($"text", " ").as("w"))
+        val card = base.agg(
+          count(lit(1)).as("n_docs"),
+          sum($"tk").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          min($"tk").as("min_doc_tokens"),
+          max($"tk").as("max_doc_tokens"))
+        val vocab = base
+          .select(explode(expr(
+            """transform(sequence(0, size(w) - 2), i ->
+              |  concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"""
+              .stripMargin)).as("b"))
+          .agg(countDistinct($"b").as("bigram_vocab"))
+        card.crossJoin(vocab)
+          .withColumn("mean_doc_tokens",
+            $"n_tokens" * lit(1.0) / $"n_docs")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang, source, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+             |    string_split(text, ' ') AS w
+             |  FROM documents),
+             |card AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(tk) AS BIGINT) AS n_tokens,
+             |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |    count(DISTINCT lang) AS n_langs,
+             |    count(DISTINCT source) AS n_sources,
+             |    min(tk) AS min_doc_tokens, max(tk) AS max_doc_tokens
+             |  FROM b),
+             |v AS (SELECT count(DISTINCT bg) AS bigram_vocab FROM (
+             |    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             |      i -> concat(w[i], ' ', w[i + 1]))) AS bg FROM b))
+             |SELECT card.*, bigram_vocab,
+             |  n_tokens * 1.0 / n_docs AS mean_doc_tokens
+             |FROM card, v""".stripMargin)),
+
     // quality-score bias calibration: is q41's heuristic quality
     // score language-biased? — score deciles (ntile with the doc_id
     // tiebreak) against the English label. A flat curve means the

@@ -697,6 +697,19 @@ class AuditOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q299 CUPED theta matches q297 and q300 card counts the corpus") {
+    import spark.implicits._
+    val adj = run("q299_ab_cuped").first()
+    val fit = run("q297_cuped").first()
+    assert(adj.getDouble(0) == fit.getDouble(1), "same pooled theta")
+    val card = run("q300_dataset_card").first()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(card.getLong(0) == docs)
+    assert(card.getLong(5) <= card.getLong(6), "min <= max doc tokens")
+    assert(math.abs(card.getDouble(8)
+      - card.getLong(1).toDouble / card.getLong(0)) < 1e-9)
+  }
+
   test("q243 Flesch score matches a hand computation on one document") {
     import spark.implicits._
     val doc = Tables.t(spark, sf, "documents")
