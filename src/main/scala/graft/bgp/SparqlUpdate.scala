@@ -1,0 +1,239 @@
+package graft.bgp
+
+import graft.scale.GuardedBroadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SPARQL 1.1 Update — the graph-mutation slice (`INSERT DATA`,
+  * `DELETE DATA`, `DELETE WHERE`), parity-plus: the reference grammar
+  * (QueryPlanner.c:933-999) is read-only, but no user of a real RDF
+  * store runs reads forever. Semantics follow SPARQL 1.1 Update §3.1:
+  * graphs are SETS (inserting an existing triple is a no-op, deleting
+  * an absent one is a no-op), DATA blocks are ground (no variables),
+  * and `DELETE WHERE`'s pattern group is both the match and the
+  * template — every triple instantiated by a solution is removed.
+  *
+  * Updates are functional over the immutable [[TripleStore]]: each op
+  * maps `predicate → DataFrame(s,o)` slices to new slices via
+  * union-distinct (insert) or left-anti join (delete) — the same apply
+  * shapes as the lakehouse CDC merge (q202: latest-wins upsert =
+  * union + anti semantics), per-predicate so an op touches only the
+  * slices it names. Derived layouts (s-bucketed secondary, quads) are
+  * dropped by an update the way a format bump invalidates the
+  * persisted store — they rebuild from the new slices.
+  *
+  * Both encodings are first-class: on the encoded store an insert
+  * hashes the new terms (ids are derivable without a dictionary
+  * join — the whole point of hash ids) and appends their
+  * (id, value, dt, lang) rows to the dict, then re-runs the
+  * store-build collision audit over the grown vocabulary; deletes
+  * hash their ground terms and anti-join in id space. Dict entries of
+  * deleted terms are kept — dictionaries are append-only, as in
+  * RDF-3X's, and an orphaned entry is harmless.
+  */
+object SparqlUpdate {
+
+  sealed trait UpdateOp
+  final case class InsertData(triples: Seq[(String, String, String)])
+      extends UpdateOp
+  final case class DeleteData(triples: Seq[(String, String, String)])
+      extends UpdateOp
+  final case class DeleteWhere(patterns: Seq[Sparql.TriplePattern])
+      extends UpdateOp
+
+  private val insDataRe = "(?is)^\\s*INSERT\\s+DATA\\s*\\{(.*)\\}\\s*$".r
+  private val delDataRe = "(?is)^\\s*DELETE\\s+DATA\\s*\\{(.*)\\}\\s*$".r
+  private val delWhereRe = "(?is)^\\s*DELETE\\s+WHERE\\s*\\{(.*)\\}\\s*$".r
+
+  /** Parse an update request: one or more operations separated by `;`
+    * (brace-depth-aware, so a `;` inside a block or literal is data).
+    */
+  def parse(text: String): Seq[UpdateOp] =
+    splitOps(text).map {
+      case insDataRe(body) => InsertData(groundTriples(body))
+      case delDataRe(body) => DeleteData(groundTriples(body))
+      case delWhereRe(body) =>
+        val pats = patternsOf(body)
+        val isGround = pats.forall(tp =>
+          Seq(tp.s, tp.p, tp.o).forall(_.isInstanceOf[Sparql.Const]))
+        if (isGround)
+          // variable-free DELETE WHERE degenerates to DELETE DATA
+          DeleteData(pats.map(tp => (constOf(tp.s), constOf(tp.p),
+            constOf(tp.o))))
+        else DeleteWhere(pats)
+      case other => throw new IllegalArgumentException(
+        "unsupported update operation (INSERT DATA / DELETE DATA / " +
+          s"DELETE WHERE): '${other.take(80)}'")
+    }
+
+  /** Parse + fold a whole request over a store. */
+  def applyAll(spark: SparkSession, store: TripleStore,
+      text: String): TripleStore =
+    parse(text).foldLeft(store)((st, op) => apply(spark, st, op))
+
+  def apply(spark: SparkSession, store: TripleStore,
+      op: UpdateOp): TripleStore = {
+    import spark.implicits._
+    // store-form s/o term: lexical on the string store, xxhash64 id on
+    // the encoded store (constants re-derive ids hash-side, the same
+    // shortcut BgpPlanner uses)
+    def litTerm(v: String) =
+      if (store.encoded) xxhash64(lit(v)) else lit(v)
+    def pairs(ts: Seq[(String, String, String)], p: String): DataFrame = {
+      val rows = ts.filter(_._2 == p).map(t => (t._1, t._3)).toDF("s", "o")
+      if (store.encoded)
+        rows.select(xxhash64($"s").as("s"), xxhash64($"o").as("o"))
+      else rows
+    }
+    op match {
+      case InsertData(ts) =>
+        val slices = ts.map(_._2).distinct.foldLeft(store.slices) {
+          (sl, p) =>
+            val add = pairs(ts, p)
+            sl.updated(p,
+              sl.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
+        }
+        val dict = store.dict.map { d =>
+          val newTerms = ts.flatMap(t => Seq(t._1, t._3))
+            .distinct.toDF("value")
+            .select(xxhash64($"value").as("id"), $"value",
+              RdfLex.datatype($"value").as("dt"),
+              RdfLex.lang($"value").as("lang"))
+          val grown = d.unionByName(newTerms)
+            .groupBy($"id").agg(
+              first($"value").as("value"), first($"dt").as("dt"),
+              first($"lang").as("lang"),
+              countDistinct($"value").as("_nv"))
+          // the store-build collision audit, re-run over the grown
+          // vocabulary: an insert must not silently alias two terms
+          val clash = grown.filter($"_nv" > 1).take(1)
+          if (clash.nonEmpty) throw new IllegalStateException(
+            s"dictionary id collision on insert (id=${clash.head.get(0)}" +
+              s", one value='${clash.head.get(1)}') — see " +
+              "TripleStore.encode scaladoc")
+          grown.drop("_nv")
+        }
+        TripleStore(slices, dict)
+
+      case DeleteData(ts) =>
+        val slices = ts.map(_._2).distinct.foldLeft(store.slices) {
+          (sl, p) =>
+            sl.get(p) match {
+              case None => sl // deleting from an absent graph: no-op
+              case Some(df) => sl.updated(p,
+                df.join(GuardedBroadcast.maybe(pairs(ts, p)),
+                  Seq("s", "o"), "left_anti"))
+            }
+        }
+        TripleStore(slices, store.dict)
+
+      case DeleteWhere(pats) =>
+        pats.foreach(tp => require(tp.p.isInstanceOf[Sparql.Const],
+          "DELETE WHERE supports constant predicates (the slice " +
+            s"dispatch key); got ${tp.p}"))
+        val vars = pats.flatMap(tp => Seq(tp.s, tp.o))
+          .collect { case Sparql.Var(n) => n }.distinct
+        val bind = BgpPlanner.plan(store,
+          Sparql.BgpQuery(select = vars, patterns = pats))
+        // instantiate every pattern under every solution → the triples
+        // to remove, in store form. The planner DECODES bindings to
+        // lexical values at the result edge, so on the encoded store
+        // the template re-derives ids by hashing them — the same
+        // value→id shortcut constants use.
+        val del = pats.map { tp =>
+          def c(t: Sparql.Term) = t match {
+            case Sparql.Var(n) =>
+              if (store.encoded) xxhash64(col(n)) else col(n)
+            case Sparql.Const(v) => litTerm(v)
+            case other => throw new IllegalArgumentException(
+              s"DELETE WHERE templates are plain triples; got $other")
+          }
+          bind.select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
+            c(tp.o).as("o"))
+        }.reduce(_ unionByName _).distinct()
+        val touched = pats.map(tp => constOf(tp.p)).toSet
+        val slices = store.slices.map {
+          case (p, df) if touched(p) => p ->
+            df.join(GuardedBroadcast.maybe(
+              del.filter($"p" === p).select($"s", $"o")),
+              Seq("s", "o"), "left_anti")
+          case kv => kv
+        }
+        TripleStore(slices, store.dict)
+    }
+  }
+
+  // ——— parsing helpers ———
+
+  /** Split on top-level `;` only — depth-aware over `{}` and quotes. */
+  private def splitOps(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    text.foreach { ch =>
+      if (ch == '"') inQuote = !inQuote
+      if (!inQuote) {
+        if (ch == '{') depth += 1
+        if (ch == '}') depth -= 1
+      }
+      if (ch == ';' && depth == 0 && !inQuote) {
+        out += cur.toString; cur.clear()
+      } else cur += ch
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Ground (variable-free) triples of a DATA block, in the same
+    * canonical term spellings the pattern parser produces.
+    */
+  private def groundTriples(body: String): Seq[(String, String, String)] =
+    triplesOf(body).map { toks =>
+      (groundTerm(toks(0)), groundTerm(toks(1)), groundTerm(toks(2)))
+    }
+
+  private def patternsOf(body: String): Seq[Sparql.TriplePattern] =
+    triplesOf(body).map { toks =>
+      def t(tok: String): Sparql.Term =
+        if (tok.startsWith("?")) Sparql.Var(tok.drop(1))
+        else Sparql.Const(groundTerm(tok))
+      Sparql.TriplePattern(t(toks(0)), t(toks(1)), t(toks(2)))
+    }
+
+  private def triplesOf(body: String): Seq[Seq[String]] =
+    body.split("\\s+\\.\\s+|\\s+\\.\\s*$|^\\s*\\.\\s+").toSeq
+      .map(_.trim).filter(s => s.nonEmpty && s != ".")
+      .map { line =>
+        val toks = Sparql.termTokenRe.findAllIn(line).toSeq
+        require(toks.length == 3,
+          s"a triple needs exactly 3 terms, got '${line}'")
+        toks
+      }
+
+  /** Canonical ground term: `<uri>` strips brackets, literals take the
+    * same RDF 1.1 canonical spellings as query constants (typed via
+    * canonTyped, tagged via canonLang, plain quotes stripped); bare
+    * tokens pass through. Variables are illegal in ground positions.
+    */
+  private def groundTerm(tok: String): String = {
+    require(!tok.startsWith("?"),
+      s"DATA blocks are ground — no variables: $tok")
+    tok match {
+      case Sparql.typedLitRe(lex, uri, curie) =>
+        Sparql.canonTyped(lex, if (uri != null) uri else curie)
+      case Sparql.langLitRe(lex, lang) => Sparql.canonLang(lex, lang)
+      case t if t.startsWith("<") && t.endsWith(">") =>
+        t.drop(1).dropRight(1)
+      case t if t.startsWith("\"") && t.endsWith("\"") && t.length >= 2 =>
+        t.drop(1).dropRight(1)
+      case t => t
+    }
+  }
+
+  private def constOf(t: Sparql.Term): String = t match {
+    case Sparql.Const(v) => v
+    case other => throw new IllegalArgumentException(
+      s"expected a ground term, got $other")
+  }
+}

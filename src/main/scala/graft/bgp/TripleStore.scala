@@ -264,8 +264,29 @@ object TripleStore {
     * each value, derived once from its canonical spelling
     * ([[graft.bgp.RdfLex]]), so typed-value filters on the encoded
     * store are plain column predicates during the dict scan.
+    *
+    * == Id-collision safety ==
+    * Hash ids (rather than RDF-3X's sequential dictionary, the
+    * reference's delegate — `Proxy.c:211-224`) keep the planner able
+    * to RE-DERIVE a constant's id without a dictionary join
+    * (BgpPlanner hashes query constants directly). The price is the
+    * 64-bit birthday bound: past ~10⁹ distinct terms a silent
+    * collision — two terms joining as one — becomes plausible
+    * (p ≈ n²/2⁶⁵; ~5% at 5·10⁹ terms). So `encode` AUDITS: one
+    * vocabulary-sized `groupBy(id)` over the dict it just built, run
+    * eagerly at store-build time, fails loudly with the colliding
+    * lexical forms instead of returning a store that silently merges
+    * terms. The documented escape for the >10⁹-term regime is a true
+    * sequential dictionary (dense ids from a ranked dict build) —
+    * that swaps the planner's hash-a-constant shortcut for one
+    * broadcast dict lookup per query constant, which is exactly what
+    * RDF-3X does; the audit is what tells an operator the swap is
+    * due. `term2id` is overridable for tests to inject synthetic
+    * collisions and pin the failure mode.
     */
-  def encode(store: TripleStore): TripleStore = {
+  def encode(
+      store: TripleStore,
+      term2id: Column => Column = xxhash64(_)): TripleStore = {
     val spark = store.slices.values.head.sparkSession
     import spark.implicits._
     // predicate names participate too: a variable at the p position
@@ -276,11 +297,27 @@ object TripleStore {
       :+ predNames)
       .reduce(_ unionByName _)
       .distinct()
-      .select(xxhash64(col("value")).as("id"), col("value"),
+      .select(term2id(col("value")).as("id"), col("value"),
         RdfLex.datatype(col("value")).as("dt"),
         RdfLex.lang(col("value")).as("lang"))
+    // build-time collision audit (see scaladoc): distinct values
+    // sharing an id would silently join as one term downstream.
+    val clashes = dict.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("a"), max(col("value")).as("b"))
+      .filter(col("n") > 1)
+      .take(3)
+    if (clashes.nonEmpty) {
+      val ex = clashes.map(r => s"id=${r.get(0)}: " +
+        s"'${r.getString(2)}' vs '${r.getString(3)}'").mkString("; ")
+      throw new IllegalStateException(
+        "dictionary id collision — distinct RDF terms map to one id " +
+          s"and would silently join as one ($ex). The hash-id encoding " +
+          "has hit its birthday bound; rebuild this store with a " +
+          "sequential dictionary (see TripleStore.encode scaladoc).")
+    }
     val enc = store.slices.map { case (p, df) =>
-      p -> df.select(xxhash64(col("s")).as("s"), xxhash64(col("o")).as("o"))
+      p -> df.select(term2id(col("s")).as("s"), term2id(col("o")).as("o"))
     }
     TripleStore(enc, Some(dict))
   }

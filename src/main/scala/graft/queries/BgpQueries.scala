@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GQuery
-import graft.bgp.{BgpPlanner, TripleStore}
+import graft.bgp.{BgpPlanner, SparqlUpdate, TripleStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SPARQL BGP queries — the reference's core surface (SURVEY.md §3),
@@ -1493,6 +1493,82 @@ object BgpQueries {
              |UNION ALL
              |SELECT concat('supplier:', s_suppkey),
              |       concat('nation:', s_nationkey)
-             |FROM supplier""".stripMargin))
+             |FROM supplier""".stripMargin)),
+
+    // ——— SPARQL 1.1 Update through the driver gate (§3.1; parity-plus:
+    // the reference grammar QueryPlanner.c:933-999 is read-only). Each
+    // query builds a fresh nation-derived store, applies a parsed
+    // update request via SparqlUpdate (per-predicate union-distinct /
+    // anti-join — the q202 CDC-merge apply shapes), and reads the
+    // post-update graph back through the planner; the oracle recomputes
+    // the post-update state relationally. ———
+
+    // INSERT DATA: new ground triples land in their slices with SET
+    // semantics — the second op re-inserts an existing triple and must
+    // be a no-op (RDF graphs are sets).
+    GQuery(
+      "q301_update_insert_data",
+      (s, dir) => {
+        val st = TripleStore.fromTriples(nationTriples(s, dir))
+        val upd = SparqlUpdate.applyAll(s, st,
+          """INSERT DATA { <nation:900> <name> "NEWLAND" .
+            | <nation:901> <name> "ATLANTIS" } ;
+            |INSERT DATA { <nation:900> <name> "NEWLAND" }""".stripMargin)
+        BgpPlanner.query(upd, "select ?n ?nm where { ?n name ?nm }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation
+             |UNION ALL SELECT 'nation:900', 'NEWLAND'
+             |UNION ALL SELECT 'nation:901', 'ATLANTIS'""".stripMargin)),
+
+    // DELETE WHERE: the pattern group is match AND template — every
+    // solution removes BOTH its instantiated triples (here the
+    // region-0 membership edges and those nations' names).
+    GQuery(
+      "q302_update_delete_where",
+      (s, dir) => {
+        val st = TripleStore.fromTriples(nationTriples(s, dir))
+        val upd = SparqlUpdate.applyAll(s, st,
+          "DELETE WHERE { ?n inregion <region:0> . ?n name ?nm }")
+        BgpPlanner.query(upd, "select ?n ?nm where { ?n name ?nm }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey <> 0""".stripMargin)),
+
+    // the same Update surface over the ENCODED store: inserts hash
+    // their new terms and grow the dict (collision-audited), deletes
+    // apply in id space, DELETE WHERE re-derives ids from decoded
+    // bindings — and the post-update read decodes the inserted term
+    // through the grown dictionary.
+    GQuery(
+      "q303_update_encoded",
+      (s, dir) => {
+        val st = TripleStore.encode(
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        val upd = SparqlUpdate.applyAll(s, st,
+          """INSERT DATA { <nation:990> <name> "NEWLAND" } ;
+            |DELETE DATA { <nation:0> <name> "ALGERIA" } ;
+            |DELETE WHERE { ?n <inregion> <region:1> . ?n <name> ?nm }"""
+            .stripMargin)
+        BgpPlanner.query(upd, "select ?n ?nm where { ?n name ?nm }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation
+             |WHERE n_regionkey <> 1
+             |  AND NOT (n_nationkey = 0 AND n_name = 'ALGERIA')
+             |UNION ALL SELECT 'nation:990', 'NEWLAND'""".stripMargin))
   )
+
+  /** Nation-derived `(s, p, o)` triples for the Update queries: name
+    * and region-membership edges — small, deterministic, and exactly
+    * recomputable on the oracle side.
+    */
+  private def nationTriples(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nat = graft.Tables.t(s, dir, "nation")
+    val subj = concat(lit("nation:"), col("n_nationkey")).as("s")
+    nat.select(subj, lit("name").as("p"), col("n_name").cast("string").as("o"))
+      .unionByName(nat.select(subj, lit("inregion").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+  }
 }

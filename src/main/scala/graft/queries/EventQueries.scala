@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.GuardedBroadcast
+import graft.scale.{BoundedWindow, ExactRank, GuardedBroadcast}
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -335,7 +335,7 @@ object EventQueries {
         val daily = t(s, dir, "events")
           .groupBy(to_date($"ts").as("day"))
           .agg(count(lit(1)).as("n"))
-        val w = Window.orderBy($"day")
+        val w = BoundedWindow.ordered($"day")
         daily.withColumn("delta",
           ($"n" - lag($"n", 1).over(w)).cast("long"))
       },
@@ -1344,33 +1344,47 @@ object EventQueries {
 
     // robust per-type outlier count via exact median + MAD (the
     // z-score's heavy-tail-safe replacement). Exact medians are
-    // computed by construction — row_number over (value, event_id)
-    // picks the middle one or two rows and averages them — instead of
-    // percentile_cont, whose interpolation arithmetic differs between
-    // engines; the two-element average (a+b)/2 and every comparison
-    // below run the same IEEE ops on identical doubles. Scale shape:
-    // two sort-shuffles on (event_type) — the per-type sort is the
-    // algorithmic floor for an exact median — plus one broadcast-sized
-    // join per pass (one row per type); at 100 TB the same plan holds
-    // with a range-partitioned sort, or swap in a two-pass exact
-    // selection if a single type exceeds a partition.
+    // computed by SELECTION — the middle one or two order statistics,
+    // averaged — instead of percentile_cont, whose interpolation
+    // arithmetic differs between engines; the two-element average and
+    // every comparison below run the same IEEE ops on identical
+    // doubles. No per-row rank (the r6-verdict fix for the hot-type
+    // row_number window — a handful of event types put one type's
+    // full stream on one task): a value-tie group with c rows and
+    // `below` smaller rows holds ranks below+1 … below+c, so the
+    // middle ranks k=(n+1)÷2 and (n+2)÷2 select value GROUPS, not
+    // rows — weight w = |{k₁,k₂} ∩ [below+1, below+c]|, median =
+    // Σ(v·w)/Σw, identical to averaging the two middle rows because
+    // tied rows share v. `below` is ExactRank.belowCounts at
+    // (type, value)-group grain: banded, type-partitioned prefix
+    // windows only. Scale shape: two group-grain selection passes
+    // (value, then deviation), broadcast-sized per-type joins between
+    // them — nothing data-grain is windowed or sorted.
     GQuery(
       "q248_median_mad",
       (s, dir) => {
         import s.implicits._
         val ev = t(s, dir, "events").select($"event_type", $"value", $"event_id")
-        def medianOf(df: org.apache.spark.sql.DataFrame, col: String, out: String) = {
-          val w = Window.partitionBy($"event_type").orderBy(df(col), $"event_id")
-          df.withColumn("rn", row_number().over(w))
-            .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-            .filter($"rn" === expr("cast((n + 1) div 2 as int)") || $"rn" === expr("cast((n + 2) div 2 as int)"))
-            .groupBy($"event_type").agg((sum(df(col)) / count(lit(1))).as(out))
+        def medianOf(df: org.apache.spark.sql.DataFrame, vc: String, out: String) = {
+          val grp = df.groupBy($"event_type", df(vc).as("v"))
+            .agg(count(lit(1)).as("c"))
+          val n = df.groupBy($"event_type").agg(count(lit(1)).as("n"))
+          ExactRank.belowCounts(grp, Seq("event_type"), "v", "c", "below")
+            .join(GuardedBroadcast.maybe(n), "event_type")
+            .withColumn("k1", expr("(n + 1) div 2"))
+            .withColumn("k2", expr("(n + 2) div 2"))
+            .withColumn("w",
+              ($"k1" > $"below" && $"k1" <= $"below" + $"c").cast("long")
+                + ($"k2" > $"below" && $"k2" <= $"below" + $"c").cast("long"))
+            .filter($"w" > 0)
+            .groupBy($"event_type")
+            .agg((sum($"v" * $"w") / sum($"w")).as(out))
         }
         val med = medianOf(ev, "value", "med")
-        val dev = ev.join(med, "event_type")
+        val dev = ev.join(GuardedBroadcast.maybe(med), "event_type")
           .withColumn("dev", abs($"value" - $"med"))
         val mad = medianOf(dev.select($"event_type", $"dev", $"event_id"), "dev", "mad")
-        dev.join(mad, "event_type")
+        dev.join(GuardedBroadcast.maybe(mad), "event_type")
           .groupBy($"event_type")
           .agg(first($"med").as("median"), first($"mad").as("mad"),
             sum(when($"dev" > $"mad" * lit(1.4826) * lit(3.0), 1L).otherwise(0L))
@@ -1401,26 +1415,44 @@ object EventQueries {
              |GROUP BY 1""".stripMargin)),
 
     // inter-arrival-time profile per event type: gaps between
-    // consecutive events in exact epoch microseconds (lag over the
-    // unique (ts, event_id) order), reported as count / mean / max /
-    // interpolated p50 — the arrival-process characterization behind
-    // capacity planning and anomaly thresholds. All gap arithmetic is
-    // int64; the mean is one bigint-sum divide and the percentile
-    // rides the q165-proven interpolation parity. Scale shape: one
-    // sort-shuffle on event_type (the per-type ordering is the
-    // algorithmic floor), aggregate output type-sized. At 100 TB the
-    // type partitions skew — the production layout buckets by
-    // (type, day) and computes per-day gaps with a day-boundary merge.
+    // consecutive events in exact epoch microseconds, reported as
+    // count / mean / max / interpolated p50 — the arrival-process
+    // characterization behind capacity planning and anomaly
+    // thresholds. All gap arithmetic is int64; the mean is one
+    // bigint-sum divide and the percentile rides the q165-proven
+    // interpolation parity. The lag is DAY-SHARDED (the q270/q125
+    // carry shape, the r6-verdict fix for the hot-type window — a
+    // handful of event types means one type's whole stream on one
+    // task): within-day gaps lag over (type, day) partitions, and the
+    // day-boundary gap is first-of-day minus last-of-PREVIOUS-active-
+    // day from a lag over (type, day)-GRAIN rows (types × days,
+    // calendar-bounded — empty days just don't appear, so the carry
+    // spans them correctly). The gap MULTISET is identical to the
+    // single per-type chain's — successive differences of a sorted
+    // sequence don't depend on the tiebreak among equal timestamps —
+    // so the oracle keeps the straight per-type lag. Scale shape:
+    // (type, day) sort partitions, a day-grain carry window,
+    // type-sized output.
     GQuery(
       "q253_interarrival",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"event_type")
-          .orderBy($"us".asc, $"event_id".asc)
-        t(s, dir, "events")
+        val ev = t(s, dir, "events")
           .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
-          .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+          .withColumn("day", to_date(timestamp_micros($"us")))
+        val wDay = Window.partitionBy($"event_type", $"day")
+          .orderBy($"us".asc, $"event_id".asc)
+        val inDay = ev
+          .withColumn("gap_us", $"us" - lag($"us", 1).over(wDay))
           .filter($"gap_us".isNotNull)
+          .select($"event_type", $"gap_us")
+        val wCarry = Window.partitionBy($"event_type").orderBy($"day")
+        val boundary = ev.groupBy($"event_type", $"day")
+          .agg(min($"us").as("first_us"), max($"us").as("last_us"))
+          .withColumn("prev_last", lag($"last_us", 1).over(wCarry))
+          .filter($"prev_last".isNotNull)
+          .select($"event_type", ($"first_us" - $"prev_last").as("gap_us"))
+        inDay.unionByName(boundary)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n_gaps"),
             (sum($"gap_us") * lit(1.0) / count(lit(1))).as("mean_gap_us"),
@@ -1442,14 +1474,19 @@ object EventQueries {
     // RFM segmentation (recency / frequency / monetary quintiles per
     // user — the marketing-analytics workhorse): per-user recency in
     // whole days from the corpus max timestamp, event count, and
-    // monetary total in integer cents; each scored 1–5 by ntile over
-    // a total order with the unique user_id tiebreak (deterministic —
-    // both engines define ntile by the same bucket formula), then
-    // segments reported with exact-cents means. Scale shape: one
-    // user-grain aggregate (map-side partials), three user-sized
-    // ntile windows (single ORDER BY each — at 100 TB these become
-    // range-partitioned sorts over user-count rows, not event rows),
-    // output 125-segment-sized.
+    // monetary total in integer cents; each scored 1–5 by the exact
+    // ntile formula over ExactRank's banded global row_number, then
+    // segments reported with exact-cents means. The quintile order is
+    // (value, md5-hash, user_id) — the uniform hash tiebreak, mirrored
+    // verbatim in the oracle, is what lets exact value ties split
+    // across 256 hash sub-bands instead of serializing on one task.
+    // Scale shape: one user-grain aggregate (map-side partials), then
+    // three banded exact ranks; EVERY window is partitioned (band
+    // histogram under BoundedWindow, value groups by band, rows by
+    // (value, hash sub-band)) — the r6-verdict fix for the former
+    // partition-less ntile windows, which moved every user to one
+    // task. The ntile bucket is derived from rank + total by the
+    // standard formula spelled identically in both engines.
     GQuery(
       "q254_rfm_segments",
       (s, dir) => {
@@ -1459,36 +1496,52 @@ object EventQueries {
           .agg(max(unix_micros($"ts")).as("last_us"),
             count(lit(1)).as("freq"),
             sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
-        val maxUs = perUser.agg(max($"last_us").as("corpus_max_us"))
-        val scored = perUser
-          .crossJoin(GuardedBroadcast.maybe(maxUs))
+        val mx = perUser.agg(max($"last_us").as("corpus_max_us"),
+          count(lit(1)).as("total"))
+        val base = perUser
+          .crossJoin(GuardedBroadcast.maybe(mx))
           .withColumn("recency_days",
             expr("(corpus_max_us - last_us) div 86400000000"))
-          .withColumn("r", ntile(5).over(
-            Window.orderBy($"recency_days".asc, $"user_id".asc)).cast("long"))
-          .withColumn("f", ntile(5).over(
-            Window.orderBy($"freq".desc, $"user_id".asc)).cast("long"))
-          .withColumn("m", ntile(5).over(
-            Window.orderBy($"cents".desc, $"user_id".asc)).cast("long"))
-        scored.groupBy(concat($"r", $"f", $"m").as("segment"))
+          .withColumn("h", ExactRank.h32($"user_id", ":rfm"))
+        val ranked = Seq(("r_rk", $"recency_days"), ("f_rk", -$"freq"),
+          ("m_rk", -$"cents"))
+          .foldLeft(base) { case (d, (out, v)) =>
+            ExactRank.rowNumber(d, v, $"h", $"user_id", out)
+          }
+        ranked
+          .withColumn("r", ExactRank.ntileFromRank($"r_rk", $"total", 5))
+          .withColumn("f", ExactRank.ntileFromRank($"f_rk", $"total", 5))
+          .withColumn("m", ExactRank.ntileFromRank($"m_rk", $"total", 5))
+          .groupBy(concat($"r", $"f", $"m").as("segment"))
           .agg(count(lit(1)).as("n_users"),
             (sum($"cents") * lit(1.0) / count(lit(1))).as("avg_cents"))
       },
-      Some("""WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+      Some(s"""WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
              |    count(*) AS freq,
              |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
              |         AS BIGINT) AS cents
              |  FROM events GROUP BY 1),
-             |mx AS (SELECT max(last_us) AS corpus_max_us FROM pu),
+             |mx AS (SELECT max(last_us) AS corpus_max_us,
+             |    count(*) AS total FROM pu),
              |sc AS (SELECT user_id, cents,
              |    CAST((corpus_max_us - last_us) // 86400000000 AS BIGINT)
              |      AS recency_days,
-             |    freq FROM pu, mx),
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(user_id AS VARCHAR), ':rfm')), 1, 8)) AS BIGINT) AS h,
+             |    freq, total FROM pu, mx),
+             |rk AS (SELECT cents, total,
+             |    CAST(row_number() OVER (ORDER BY recency_days, h, user_id)
+             |      AS BIGINT) AS r_rk,
+             |    CAST(row_number() OVER (ORDER BY freq DESC, h, user_id)
+             |      AS BIGINT) AS f_rk,
+             |    CAST(row_number() OVER (ORDER BY cents DESC, h, user_id)
+             |      AS BIGINT) AS m_rk
+             |  FROM sc),
              |nt AS (SELECT cents,
-             |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
-             |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f,
-             |    CAST(ntile(5) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m
-             |  FROM sc)
+             |    ${ExactRank.ntileSql("r_rk", "total", 5)} AS r,
+             |    ${ExactRank.ntileSql("f_rk", "total", 5)} AS f,
+             |    ${ExactRank.ntileSql("m_rk", "total", 5)} AS m
+             |  FROM rk)
              |SELECT concat(r, f, m) AS segment, count(*) AS n_users,
              |  CAST(sum(cents) AS BIGINT) * 1.0 / count(*) AS avg_cents
              |FROM nt GROUP BY 1""".stripMargin)),
@@ -1568,25 +1621,36 @@ object EventQueries {
 
     // Gini coefficient of per-user value concentration per event
     // type — "does one user dominate the revenue" in one number.
-    // Exact formula on cents sorted ascending with the unique
-    // user_id tiebreak: G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx); every
-    // sum is int64 on integers, so the only float op is the final
-    // divide. Scale shape: user-grain aggregate, then ONE per-type
-    // sort for the rank — the exact-Gini floor (the streaming
-    // alternative bins into a histogram first, q163's layout).
+    // Exact formula on cents sorted ascending:
+    // G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx); every sum is int64 on
+    // integers, so the only float op is the final divide. No per-row
+    // rank is materialized (the r6-verdict fix for the hot-type
+    // row_number window — a handful of event types means one type's
+    // whole user set on one task): a cents-tie group with c users and
+    // `below` smaller-cents users occupies ranks below+1 … below+c,
+    // and since tied rows share x, Σ(i·xᵢ) over the group is the
+    // closed form cents·(c·below + c(c+1)/2) — the user_id tiebreak
+    // the rank version needed cancels out, which is why the oracle's
+    // row_number formulation hashes identically. `below` comes from
+    // ExactRank.belowCounts at (type, cents)-GROUP grain with banded,
+    // type-partitioned prefix windows. Scale shape: user-grain
+    // aggregate, (type, cents) group reduce, group-grain windows —
+    // nothing data-grain is ever windowed or sorted.
     GQuery(
       "q263_gini",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"event_type")
-          .orderBy($"cents".asc, $"user_id".asc)
-        t(s, dir, "events")
+        val grp = t(s, dir, "events")
           .groupBy($"event_type", $"user_id")
           .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
-          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy($"event_type", $"cents")
+          .agg(count(lit(1)).as("c"))
+        ExactRank.belowCounts(grp, Seq("event_type"), "cents", "c", "below")
           .groupBy($"event_type")
-          .agg(count(lit(1)).as("n_users"), sum($"cents").as("total_cents"),
-            sum($"i" * $"cents").as("wsum"))
+          .agg(sum($"c").as("n_users"),
+            sum($"cents" * $"c").as("total_cents"),
+            sum($"cents" * ($"c" * $"below"
+              + shiftright($"c" * ($"c" + 1), 1))).as("wsum"))
           .select($"event_type", $"n_users", $"total_cents",
             ((lit(2L) * $"wsum" - ($"n_users" + 1) * $"total_cents") * lit(1.0)
               / ($"n_users" * $"total_cents")).as("gini"))
@@ -1835,7 +1899,7 @@ object EventQueries {
         val inDay = Window.partitionBy($"day")
           .orderBy($"us".asc, $"delta".asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val dayOrder = Window.orderBy($"day")
+        val dayOrder = BoundedWindow.ordered($"day")
           .rowsBetween(Window.unboundedPreceding, -1)
         val local = deltas
           .withColumn("day", to_date(timestamp_micros($"us")))
@@ -1947,7 +2011,12 @@ object EventQueries {
     // tick (gap dispersion ≈ 0). Per-user gap variance-to-mean from
     // exact integer second-gaps (n, Σg, Σg² — the q268 sums at user
     // grain), flagging high-volume users in the lowest dispersion
-    // decile. One user-keyed sort for the lag, user-sized everything
+    // decile. The decile cut is an exact global rank from ExactRank's
+    // banded decomposition over (dispersion, md5-hash, user_id) — the
+    // r6-verdict fix for the former partition-less row_number + global
+    // count window, which moved every flagged-candidate user to one
+    // task; the total is a plain aggregate crossJoin instead of a
+    // window. One user-keyed sort for the lag, user-sized everything
     // after; output = flagged users.
     GQuery(
       "q282_bot_scores",
@@ -1967,11 +2036,11 @@ object EventQueries {
           .filter($"n" >= 20 && $"sg" > 0)
           .withColumn("dispersion",
             (($"sgg" * $"n" - $"sg" * $"sg") * lit(1.0)) / ($"n" * $"sg"))
-        val cut = Window.orderBy($"dispersion".asc, $"user_id".asc)
-        gaps
-          .withColumn("rk", row_number().over(cut))
-          .withColumn("total", count(lit(1)).over(
-            Window.partitionBy(lit(1))))
+        val tot = gaps.agg(count(lit(1)).as("total"))
+        ExactRank.rowNumber(
+            gaps.withColumn("h", ExactRank.h32($"user_id", ":bot"))
+              .crossJoin(GuardedBroadcast.maybe(tot)),
+            $"dispersion", $"h", $"user_id", "rk")
           .filter($"rk" * 10 <= $"total")
           .select($"user_id", $"n".as("n_gaps"), $"dispersion")
       },
@@ -1987,10 +2056,12 @@ object EventQueries {
              |  FROM g WHERE g IS NOT NULL GROUP BY 1
              |  HAVING count(*) >= 20 AND sum(g) > 0),
              |d AS (SELECT user_id, n,
-             |    (sgg * n - sg * sg) * 1.0 / (n * sg) AS dispersion
+             |    (sgg * n - sg * sg) * 1.0 / (n * sg) AS dispersion,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(user_id AS VARCHAR), ':bot')), 1, 8)) AS BIGINT) AS h
              |  FROM s),
-             |r AS (SELECT *, row_number() OVER (ORDER BY dispersion, user_id)
-             |        AS rk, count(*) OVER () AS total FROM d)
+             |r AS (SELECT *, row_number() OVER (ORDER BY dispersion, h,
+             |        user_id) AS rk, count(*) OVER () AS total FROM d)
              |SELECT user_id, n AS n_gaps, dispersion
              |FROM r WHERE rk * 10 <= total""".stripMargin)),
 
@@ -2062,11 +2133,11 @@ object EventQueries {
           .agg(sum($"converted").as("d_events"),
             sum(lit(1L) - $"converted").as("n_censored"),
             count(lit(1)).as("n_leaving"))
-        val w = Window.orderBy($"t_day".asc)
+        val w = BoundedWindow.ordered($"t_day".asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         byDay
           .withColumn("total", sum($"n_leaving").over(
-            Window.partitionBy(lit(1))))
+            BoundedWindow.all))
           .withColumn("n_at_risk",
             $"total" - sum($"n_leaving").over(w) + $"n_leaving")
           .select($"t_day", $"n_at_risk", $"d_events", $"n_censored")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.GuardedBroadcast
+import graft.scale.{BoundedWindow, ExactRank, GuardedBroadcast}
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -973,7 +973,7 @@ object RelationalQueries {
           .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
             * 100 + 0.5).cast("long")).as("cents"))
         val tot = rev.agg(sum($"cents").as("total"))
-        val w = Window.orderBy($"cents".desc, $"l_partkey".asc)
+        val w = BoundedWindow.ordered($"cents".desc, $"l_partkey".asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         rev.crossJoin(GuardedBroadcast.maybe(tot))
           .withColumn("cum", sum($"cents").over(w))
@@ -1022,12 +1022,12 @@ object RelationalQueries {
           .select(datediff($"first_ship".cast("date"),
             $"o_orderdate".cast("date")).cast("long").as("days"))
           .groupBy($"days").agg(count(lit(1)).as("n_orders"))
-        val w = Window.orderBy($"days".asc)
+        val w = BoundedWindow.ordered($"days".asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         lat
           .withColumn("cum_orders", sum($"n_orders").over(w))
           .withColumn("total", sum($"n_orders").over(
-            Window.partitionBy(lit(1))))
+            BoundedWindow.all))
           .select($"days", $"n_orders",
             ($"cum_orders" * lit(1.0) / $"total").as("cum_share"))
       },

@@ -786,13 +786,18 @@ object SimilarityQueries {
     // the tau test identical in both engines. Output is a per-cluster
     // retention report: corpus curation reads "cluster 3 is 40%
     // semantic duplicates" straight off it. Scale shape: the pair join
-    // is bounded by cluster size (the coarse quantizer's job); the
-    // dropped-set dedup and the accounting shuffle on (label, vec_id) —
-    // aggregate-sized output.
+    // is bounded by cluster size (the coarse quantizer's job) — and
+    // that bound is SELF-MONITORED q257-style (the r6-verdict
+    // guardrail): each report row carries the cluster's exact pair
+    // count n·(n−1)/2 and a pair_cap_exceeded flag against the
+    // per-cluster pair budget, so a degenerate coarse clustering (one
+    // giant cluster → quadratic stage) surfaces as a flagged report
+    // row the operator re-quantizes on, instead of a silent hot task.
     GQuery(
       "q230_semdedup",
       (s, dir) => {
         import s.implicits._
+        val pairCap = 1000000L // per-cluster pair budget (re-quantize past it)
         val e = quantized(s, dir)
         val a = e.select($"label", $"vec_id".as("d1"), $"v".as("v1"), $"nrm".as("n1"))
         val b = e.select($"label", $"vec_id".as("d2"), $"v".as("v2"), $"nrm".as("n2"))
@@ -805,7 +810,10 @@ object SimilarityQueries {
           .join(dropped, Seq("label"), "left_outer")
           .select($"label", $"n_vecs",
             coalesce($"n_dropped", lit(0L)).as("n_dropped"),
-            ($"n_vecs" - coalesce($"n_dropped", lit(0L))).as("n_kept"))
+            ($"n_vecs" - coalesce($"n_dropped", lit(0L))).as("n_kept"),
+            shiftright($"n_vecs" * ($"n_vecs" - 1), 1).as("n_pairs"),
+            (shiftright($"n_vecs" * ($"n_vecs" - 1), 1) > pairCap)
+              .cast("long").as("pair_cap_exceeded"))
       },
       Some(s"""WITH $quantizedSql,
               |dots AS (SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
@@ -823,7 +831,10 @@ object SimilarityQueries {
               |base AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1)
               |SELECT base.label, base.n_vecs,
               |  CAST(coalesce(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
-              |  CAST(base.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept
+              |  CAST(base.n_vecs - coalesce(drp.n_dropped, 0) AS BIGINT) AS n_kept,
+              |  (base.n_vecs * (base.n_vecs - 1)) // 2 AS n_pairs,
+              |  CAST(CASE WHEN (base.n_vecs * (base.n_vecs - 1)) // 2 > 1000000
+              |    THEN 1 ELSE 0 END AS BIGINT) AS pair_cap_exceeded
               |FROM base LEFT JOIN drp ON drp.label = base.label""".stripMargin)),
 
     // diversified top-k retrieval: global top-5 per query under a

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.scale.GuardedBroadcast
+import graft.scale.{BoundedWindow, ExactRank, GuardedBroadcast}
 import graft.{GQuery, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -295,7 +295,7 @@ object TextQueries {
           .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
           .withColumn("b", expr("doc_id div 100"))
         val bsums = docs.groupBy($"b").agg(sum($"n").as("bn"))
-        val wb = Window.orderBy($"b")
+        val wb = BoundedWindow.ordered($"b")
           .rowsBetween(Window.unboundedPreceding, -1)
         val bpre = bsums
           .withColumn("bpre", coalesce(sum($"bn").over(wb), lit(0L)))
@@ -783,7 +783,7 @@ object TextQueries {
           .groupBy($"lang").agg(sum($"tk").as("natural_tokens"))
         nat.join(w, Seq("lang"))
           .withColumn("total_tokens",
-            sum($"natural_tokens").over(Window.partitionBy()))
+            sum($"natural_tokens").over(BoundedWindow.all))
           .select($"lang", $"natural_tokens", $"target_w",
             ($"target_w" * $"total_tokens" * lit(1.0)
               / (lit(100) * $"natural_tokens")).as("repeat_factor"),
@@ -827,7 +827,7 @@ object TextQueries {
             size(split($"text", " ")).cast("long").as("tk"))
         sh.groupBy($"shard")
           .agg(count(lit(1)).as("n_docs"), sum($"tk").as("n_tokens"))
-          .withColumn("total", sum($"n_tokens").over(Window.partitionBy()))
+          .withColumn("total", sum($"n_tokens").over(BoundedWindow.all))
           .select($"shard", $"n_docs", $"n_tokens",
             ($"n_tokens" * lit(16.0) / $"total").as("balance"))
       },
@@ -1129,7 +1129,7 @@ object TextQueries {
           .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
           .withColumn("b", expr("doc_id div 100"))
         val bsums = docs.groupBy($"b").agg(sum($"n").as("bn"))
-        val wb = Window.orderBy($"b")
+        val wb = BoundedWindow.ordered($"b")
           .rowsBetween(Window.unboundedPreceding, -1)
         val bpre = bsums
           .withColumn("bpre", coalesce(sum($"bn").over(wb), lit(0L)))
@@ -1521,7 +1521,7 @@ object TextQueries {
             conv(substring(md5(concat($"doc_id".cast("string"), lit(":cur"))
               .cast("binary")), 1, 8), 16, 10).cast("long"))
         val hist = d.groupBy($"n_chars").agg(count(lit(1)).as("c"))
-        val wl = Window.orderBy($"n_chars")
+        val wl = BoundedWindow.ordered($"n_chars")
           .rowsBetween(Window.unboundedPreceding, -1)
         val cum = hist.select($"n_chars",
           coalesce(sum($"c").over(wl), lit(0L)).as("below"))
@@ -1661,7 +1661,7 @@ object TextQueries {
           .groupBy($"token").agg(min($"batch").as("first_batch"))
           .groupBy($"first_batch").agg(count(lit(1)).as("new_types"))
           .withColumn("vocab_size", sum($"new_types").over(
-            Window.orderBy($"first_batch")
+            BoundedWindow.ordered($"first_batch")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       },
       Some("""WITH w AS (SELECT doc_id // 25 AS batch,
@@ -1934,36 +1934,51 @@ object TextQueries {
              |FROM card, v""".stripMargin)),
 
     // quality-score bias calibration: is q41's heuristic quality
-    // score language-biased? — score deciles (ntile with the doc_id
-    // tiebreak) against the English label. A flat curve means the
-    // score treats languages evenly; a sloped one means gating on it
-    // would silently skew the language mix — the fairness audit a
-    // curation team runs BEFORE thresholding. Scale: one corpus scan
-    // computes both signals, the ntile runs over doc-grain rows,
-    // output is 10 rows.
+    // score language-biased? — score deciles against the English
+    // label. A flat curve means the score treats languages evenly; a
+    // sloped one means gating on it would silently skew the language
+    // mix — the fairness audit a curation team runs BEFORE
+    // thresholding. The decile is the exact ntile formula over
+    // ExactRank's banded global row_number under (score, md5-hash,
+    // doc_id) — the r6-verdict fix for the former partition-less
+    // ntile, which single-task-sorted doc-grain rows; the hash
+    // tiebreak (mirrored in the oracle) splits exact score ties
+    // across hash sub-bands. Scale: one corpus scan computes both
+    // signals, every window partitioned, output is 10 rows.
     GQuery(
       "q288_quality_calibration",
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "documents")
+        val scored = t(s, dir, "documents")
           .select($"doc_id", ($"lang" === "en").cast("long").as("is_en"),
             split($"text", " ").as("w"))
           .select($"doc_id", $"is_en",
             (size(array_distinct($"w")) * lit(1.0) / size($"w"))
               .as("score"))
-          .withColumn("decile", ntile(10).over(
-            Window.orderBy($"score".asc, $"doc_id".asc)).cast("long"))
+          .withColumn("h", ExactRank.h32($"doc_id", ":cal"))
+        val tot = scored.agg(count(lit(1)).as("total"))
+        ExactRank.rowNumber(
+            scored.crossJoin(GuardedBroadcast.maybe(tot)),
+            $"score", $"h", $"doc_id", "rk")
+          .withColumn("decile",
+            ExactRank.ntileFromRank($"rk", $"total", 10))
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_docs"), sum($"is_en").as("n_en"),
             (sum($"is_en") * lit(1.0) / count(lit(1))).as("en_rate"))
       },
-      Some("""WITH l AS (SELECT doc_id,
+      Some(s"""WITH l AS (SELECT doc_id,
              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
              |    len(list_distinct(string_split(text, ' '))) * 1.0
-             |      / len(string_split(text, ' ')) AS score
+             |      / len(string_split(text, ' ')) AS score,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':cal')), 1, 8)) AS BIGINT) AS h
              |  FROM documents),
-             |d AS (SELECT is_en, CAST(ntile(10) OVER (
-             |      ORDER BY score, doc_id) AS BIGINT) AS decile FROM l)
+             |r AS (SELECT is_en,
+             |    CAST(row_number() OVER (ORDER BY score, h, doc_id)
+             |      AS BIGINT) AS rk,
+             |    count(*) OVER () AS total FROM l),
+             |d AS (SELECT is_en,
+             |    ${ExactRank.ntileSql("rk", "total", 10)} AS decile FROM r)
              |SELECT decile, count(*) AS n_docs,
              |  CAST(sum(is_en) AS BIGINT) AS n_en,
              |  CAST(sum(is_en) AS BIGINT) * 1.0 / count(*) AS en_rate
@@ -2068,8 +2083,15 @@ object TextQueries {
     // 2·avgrank of a tie group = min+max row_number (an INTEGER), so
     // the positive-rank sum stays exact and
     // AUC = (Σ2r − P(P+1)) / (2·P·N) is integer arithmetic until the
-    // single output divide. One doc-grain sort, everything else
-    // aggregate-sized.
+    // single output divide. No per-row rank is ever materialized
+    // (the r6-verdict fix for the former doc-grain global sort): a
+    // tie group with c rows, p positives, and `below` smaller-scored
+    // rows contributes p·(2·below + c + 1) to Σ2r, and `below` comes
+    // from the q233 banded prefix at SCORE-GROUP grain — score ∈
+    // (0, 1], so floor(score·65536) is a bounded monotone banding;
+    // the band histogram prefix-sums under BoundedWindow and the
+    // within-band prefix partitions by band. Everything after the
+    // one (score) groupBy is group-sized.
     GQuery(
       "q291_score_auc",
       (s, dir) => {
@@ -2080,13 +2102,22 @@ object TextQueries {
           .select($"doc_id", $"pos",
             (size(array_distinct($"w")) * lit(1.0) / size($"w"))
               .as("score"))
-        val rn = Window.orderBy($"score".asc, $"doc_id".asc)
-        val tie = Window.partitionBy($"score")
-        labeled
-          .withColumn("r", row_number().over(rn).cast("long"))
-          .withColumn("r2", min($"r").over(tie) + max($"r").over(tie))
-          .agg(sum(when($"pos" === 1, $"r2").otherwise(0L)).as("s2"),
-            sum($"pos").as("p"), count(lit(1)).as("total"))
+        val grp = labeled.groupBy($"score")
+          .agg(count(lit(1)).as("c"), sum($"pos").as("p"))
+          .withColumn("band", floor($"score" * 65536).cast("long"))
+        val unb = Window.unboundedPreceding
+        val bandHist = grp.groupBy($"band").agg(sum($"c").as("bc"))
+          .withColumn("below_band", coalesce(sum($"bc").over(
+            BoundedWindow.ordered($"band").rowsBetween(unb, -1)), lit(0L)))
+        val wv = Window.partitionBy($"band").orderBy($"score")
+          .rowsBetween(unb, -1)
+        grp
+          .join(GuardedBroadcast.maybe(
+            bandHist.select($"band", $"below_band")), Seq("band"))
+          .withColumn("below",
+            $"below_band" + coalesce(sum($"c").over(wv), lit(0L)))
+          .agg(sum($"p" * (lit(2L) * $"below" + $"c" + 1)).as("s2"),
+            sum($"p").as("p"), sum($"c").as("total"))
           .select($"p".as("n_pos"), ($"total" - $"p").as("n_neg"),
             (($"s2" - $"p" * ($"p" + 1)) * lit(1.0)
               / (lit(2L) * $"p" * ($"total" - $"p"))).as("auc"))

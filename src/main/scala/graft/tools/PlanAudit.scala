@@ -30,6 +30,28 @@ object PlanAudit {
       }.toSeq
   }
 
+  /** `file:line` for every raw `Window.orderBy(` (the accidental
+    * partition-less window form — Spark plans it as a single-task
+    * global sort) in main sources. Bounded relations go through
+    * BoundedWindow.ordered, data-grain ranking through ExactRank;
+    * ToolsSpec pins this empty and EntrySpec plan-walks the registry
+    * for any empty-spec window that slips through another spelling.
+    */
+  def rawGlobalWindows(root: String = "src/main/scala/graft"): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.toString.endsWith("BoundedWindow.scala") && // the idiom's docs
+        !p.toString.endsWith("PlanAudit.scala")) // the auditor's own docs
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if line.contains("Window.orderBy(") =>
+            s"$p:${i + 1}"
+        }
+      }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val hints = rawBroadcastHints()
     if (hints.nonEmpty)

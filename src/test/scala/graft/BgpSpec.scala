@@ -23,6 +23,86 @@ class BgpSpec extends AnyFunSuite {
       ("stud:0", "advisor", "prof:0")
     ).toDF("s", "p", "o"))
 
+  test("encode fails loudly on a dictionary id collision (birthday-bound audit)") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    // test-only id fn: hash mod 2 — guaranteed collisions on the tiny
+    // vocabulary. The audit must name colliding lexical forms, not
+    // return a store that silently joins distinct terms as one.
+    val e = intercept[IllegalStateException](
+      TripleStore.encode(tinyStore, v => pmod(xxhash64(v), lit(2L))))
+    assert(e.getMessage.contains("collision"))
+    assert(e.getMessage.contains(" vs "))
+    // and the production hash passes the audit on the same store
+    assert(TripleStore.encode(tinyStore).encoded)
+  }
+
+  test("SPARQL Update: INSERT DATA is set-semantic and creates new slices") {
+    val st0 = tinyStore
+    val upd = SparqlUpdate.applyAll(spark, st0,
+      """INSERT DATA { <prof:9> worksFor <dept:2> .
+        | <prof:9> name "FullProfessor9" } ;
+        |INSERT DATA { <prof:9> worksFor <dept:2> . <prof:0> likes <prof:9> }"""
+        .stripMargin)
+    def rows(st: TripleStore, q: String) =
+      BgpPlanner.query(st, q).collect().map(_.toSeq).toSet
+    // the re-inserted triple is a no-op (RDF graphs are sets)
+    assert(upd.slices("worksFor").filter("s = 'prof:9'").count() == 1)
+    // the new predicate got its own slice and is queryable
+    assert(rows(upd, "select ?x where { prof:0 likes ?x }") ==
+      Set(Seq("prof:9")))
+    assert(rows(upd, "select ?n where { ?p worksFor dept:2 . ?p name ?n }") ==
+      Set(Seq("FullProfessor9")))
+    // the source store is untouched (functional update)
+    assert(st0.slices("worksFor").filter("s = 'prof:9'").count() == 0)
+  }
+
+  test("SPARQL Update: DELETE DATA removes exactly the named triples") {
+    val upd = SparqlUpdate.applyAll(spark, tinyStore,
+      """DELETE DATA { <prof:0> worksFor <dept:0> .
+        | <prof:7> worksFor <dept:0> . <stud:0> ghost <dept:9> }""".stripMargin)
+    assert(upd.slices("worksFor").count() == 2) // prof:1, prof:2 remain
+    // absent triple and absent predicate: both no-ops, no new slices
+    assert(!upd.slices.contains("ghost"))
+  }
+
+  test("SPARQL Update: DELETE WHERE instantiates every pattern per solution") {
+    // remove dept:0 workers AND their names in one group
+    val upd = SparqlUpdate.applyAll(spark, tinyStore,
+      "DELETE WHERE { ?p worksFor <dept:0> . ?p name ?n }")
+    // prof:0/prof:1 (dept:0 + named) lose both triples; prof:2 stays
+    assert(upd.slices("worksFor").collect().map(_.getString(0)).toSeq ==
+      Seq("prof:2"))
+    assert(upd.slices("name").count() == 0)
+    // emails were not in the template → untouched
+    assert(upd.slices("email").count() == 2)
+  }
+
+  test("SPARQL Update on the ENCODED store: id-space apply + dict growth") {
+    val enc = TripleStore.encode(tinyStore)
+    val upd = SparqlUpdate.applyAll(spark, enc,
+      """INSERT DATA { <prof:9> name "FullProfessor9" } ;
+        |DELETE WHERE { ?p worksFor <dept:0> }""".stripMargin)
+    assert(upd.encoded)
+    def rows(q: String) =
+      BgpPlanner.query(upd, q).collect().map(_.toSeq).toSet
+    // the inserted term decodes through the grown dict
+    assert(rows("select ?n where { prof:9 name ?n }") ==
+      Set(Seq("FullProfessor9")))
+    // the deletion matched in id space
+    assert(rows("select ?p where { ?p worksFor ?d }") == Set(Seq("prof:2")))
+  }
+
+  test("SPARQL Update: ground DELETE WHERE degenerates to DELETE DATA") {
+    val ops = SparqlUpdate.parse(
+      "DELETE WHERE { <prof:0> worksFor <dept:0> }")
+    assert(ops == Seq(SparqlUpdate.DeleteData(
+      Seq(("prof:0", "worksFor", "dept:0")))))
+    intercept[IllegalArgumentException](
+      SparqlUpdate.parse("INSERT DATA { ?v worksFor <dept:0> }"))
+    intercept[IllegalArgumentException](
+      SparqlUpdate.parse("CLEAR GRAPH <g>"))
+  }
+
   test("parser handles the reference grammar (vars, URIs, literals)") {
     val q = Sparql.parse(
       """select ?A ?B where { ?A <http://x#worksFor> <http://dept0> . ?A name ?B }""")

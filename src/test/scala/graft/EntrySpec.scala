@@ -25,10 +25,33 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query plans against sf0.001 (analysis errors surface here, not in the driver)") {
+  test("every query plans against sf0.001 with no partition-less window " +
+    "(analysis errors and single-task global sorts surface here, not in the driver)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LWindow, WindowGroupLimit}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").schema
-      catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      // planning errors get the query's name attached…
+      val qe =
+        try fn(spark, "/root/testdata/sf0.001").queryExecution
+        catch { case e: Throwable =>
+          fail(s"$name failed to plan: ${e.getMessage}")
+        }
+      // …and so does the r6-verdict scale gate: a window with an empty
+      // partition spec is Spark's move-everything-to-one-task plan
+      // (the `WindowExec: No Partition Defined` warning). Bounded
+      // relations must route through BoundedWindow.ordered (whose
+      // constant partition key survives optimization), data-grain
+      // ranking through ExactRank — so NO registry query may reach
+      // the optimizer with an empty-spec window.
+      val bad = qe.optimizedPlan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          s"Window(${w.windowExpressions.map(_.name).mkString(",")})"
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
+          "WindowGroupLimit"
+      }
+      assert(bad.isEmpty, s"$name plans partition-less window(s) " +
+        s"${bad.mkString("; ")} — use BoundedWindow.ordered (bounded " +
+        "relation) or ExactRank (data-grain ranking)")
     }
   }
 }

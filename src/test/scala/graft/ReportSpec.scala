@@ -202,6 +202,14 @@ class ReportSpec extends AnyFunSuite {
     // every cluster is reported, sizes sum to the corpus
     val total = df.agg(sum($"n_vecs")).first().getLong(0)
     assert(total == Tables.t(spark, sf, "embeddings").count())
+    // r6-verdict guardrail: the report self-monitors the quadratic
+    // bound — exact per-cluster pair count and a cap flag that is the
+    // re-quantize signal; on the test corpus no cluster may exceed it
+    assert(df.filter(
+      $"n_pairs" =!= ($"n_vecs" * ($"n_vecs" - 1) / 2).cast("long"))
+      .count() == 0, "n_pairs must be the exact n·(n−1)/2")
+    assert(df.filter($"pair_cap_exceeded" =!= 0L).count() == 0,
+      "a degenerate coarse clustering must flag, not pass silently")
     // the pair generator must be an equi-join on the cluster label —
     // a nested-loop here is the all-pairs scan the design forbids
     val plan = run("q230_semdedup").queryExecution.executedPlan.toString

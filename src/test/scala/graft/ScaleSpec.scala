@@ -13,6 +13,36 @@ class ScaleSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local("4")
 
+  test("hot-type windows are day-sharded or rank-free (r6 global-rank fix)") {
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    // q253: the data-grain lag must partition by (event_type, day) —
+    // the day shard that keeps one hot type off one task; the only
+    // single-key type window left is the day-GRAIN boundary carry.
+    val p253 = SparkEntry.queries("q253_interarrival")(spark, dir)
+      .queryExecution.optimizedPlan
+    val lagSpecs = p253.collect {
+      case w: LWindow if w.windowExpressions.exists(
+        _.find(_.getClass.getSimpleName == "Lag").isDefined) =>
+        w.partitionSpec.length
+    }
+    assert(lagSpecs.contains(2),
+      s"q253's event-grain lag must shard by (type, day); specs=$lagSpecs")
+    // q248/q263: selection math over (type, value) groups — no
+    // row_number window may appear anywhere in the plan (the old
+    // shape ranked one type's whole stream on one task).
+    for (name <- Seq("q248_median_mad", "q263_gini")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val rn = plan.collect {
+        case w: LWindow if w.windowExpressions.exists(
+          _.find(_.isInstanceOf[RowNumber]).isDefined) => w
+      }
+      assert(rn.isEmpty, s"$name must not materialize per-row ranks")
+    }
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of hot key 1 + tail

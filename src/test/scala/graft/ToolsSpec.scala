@@ -14,6 +14,13 @@ class ToolsSpec extends AnyFunSuite {
       s"route these through GuardedBroadcast.maybe: ${hints.mkString(", ")}")
   }
 
+  test("no raw Window.orderBy( partition-less windows in main (registry audit)") {
+    val hits = graft.tools.PlanAudit.rawGlobalWindows()
+    assert(hits.isEmpty,
+      "partition-less windows single-task-sort their input — use " +
+        s"BoundedWindow.ordered or ExactRank: ${hits.mkString(", ")}")
+  }
+
   test("BoundedMemo evicts least-recently-USED, not first-inserted") {
     val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
     val memo = new BoundedMemo[Int, String](2, evicted += _)
