@@ -618,6 +618,35 @@ object BgpPlanner {
       }
     }
 
+    // SERVICE blocks (SPARQL 1.1 Federated Query §2): each evaluates
+    // on its endpoint's registered store — the in-process stand-in for
+    // the remote SPARQL endpoint (ServiceRegistry) — and natural-joins
+    // into the outer solution on shared vars (§2.2). The federated
+    // result arrives DECODED (lexical), exactly like a remote
+    // endpoint's response. On an encoded outer store, vars the OUTER
+    // patterns also bind re-encode via xxhash64 (the id-space join,
+    // same shortcut subquery exports use); service-ONLY vars stay
+    // lexical — their values may not exist in the outer dictionary at
+    // all, so they join/project as values and skip the result-edge
+    // decode (the `lexical` mechanism).
+    val serviceDfs = q.services.map { case (endpoint, pats) =>
+      val remote = ServiceRegistry.resolve(endpoint)
+      val vars = pats.flatMap(_.vars).distinct
+      val sub = plan(remote, Sparql.BgpQuery(select = vars, patterns = pats))
+      if (!store.encoded) sub
+      else {
+        val outerBound = (q.patterns ++ q.optionals.flatten ++
+          q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
+          .flatMap(_.vars).toSet ++
+          q.subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
+        sub.select(sub.columns.toIndexedSeq.map { c =>
+          if (outerBound(c))
+            when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
+          else { lexical += c; col(c) }
+        }: _*)
+      }
+    }
+
     // GRAPH blocks (SPARQL 1.1 §13.3): each block's patterns scan the
     // quad relation restricted to its graph. A constant graph term
     // prunes the scan (partition pruning on a (g, p)-partitioned
@@ -661,7 +690,7 @@ object BgpPlanner {
       }
     }
 
-    val rels = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs
+    val rels = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs ++ serviceDfs
     require(rels.nonEmpty, "empty BGP")
     var joined = rels.head
     for (u <- rels.tail) {

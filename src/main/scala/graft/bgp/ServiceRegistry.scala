@@ -1,0 +1,32 @@
+package graft.bgp
+
+/** Endpoint registry for SPARQL 1.1 Federated Query (`SERVICE`).
+  *
+  * A `SERVICE <endpoint> { ... }` block evaluates its patterns against
+  * the store registered under that endpoint URI — in-process
+  * federation over a second [[TripleStore]] standing in for the remote
+  * SPARQL endpoint. This keeps the §2.2 semantics exact (the block
+  * plans independently on the federated store, returns LEXICAL
+  * bindings like a remote endpoint's SPARQL results would, and
+  * natural-joins into the outer solution) while the transport —
+  * in-process here, HTTP on a real deployment — stays behind this one
+  * seam. At cluster scale the registered store is itself a
+  * full partitioned TripleStore, so a federated block is a distributed
+  * subquery, not a driver-side fetch.
+  */
+object ServiceRegistry {
+
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, TripleStore]()
+
+  def register(endpoint: String, store: TripleStore): Unit =
+    stores.put(endpoint, store)
+
+  def resolve(endpoint: String): TripleStore =
+    Option(stores.get(endpoint)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store registered for SERVICE endpoint <$endpoint> — " +
+          "call ServiceRegistry.register first"))
+
+  def clear(): Unit = stores.clear()
+}

@@ -266,9 +266,17 @@ object Sparql {
       // constant term names the graph; a variable term binds it from
       // the store's quads, and every pattern of one block matches
       // within the SAME graph.
-      graphBlocks: Seq[(Term, Seq[TriplePattern])] = Nil)
+      graphBlocks: Seq[(Term, Seq[TriplePattern])] = Nil,
+      // `SERVICE <endpoint> { patterns }` blocks (SPARQL 1.1 Federated
+      // Query §2): each block evaluates against the endpoint's
+      // registered store (ServiceRegistry — a second TripleStore
+      // standing in for the remote SPARQL endpoint) and natural-joins
+      // into the outer solution on its shared variables (§2.2).
+      services: Seq[(String, Seq[TriplePattern])] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
+  private val serviceRe =
+    "(?is)service\\s+(<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
   private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
@@ -579,11 +587,29 @@ object Sparql {
     // full grammar (its own aggregates, modifiers, even subqueries)
     val (bodyFullS, subqueries) = extractSubqueries(bodyFull0)
 
+    // SERVICE blocks — pulled first for the same brace-safety reason;
+    // the endpoint names a registered federated store, patterns are
+    // plain constant-predicate triples (a remote round-trip per path
+    // step is exactly what federation avoids shipping)
+    val services = serviceRe.findAllMatchIn(bodyFullS).map { m =>
+      val ep0 = m.group(1)
+      val endpoint =
+        if (ep0.startsWith("<") && ep0.endsWith(">"))
+          ep0.drop(1).dropRight(1)
+        else ep0
+      val pats = parsePatterns(m.group(2))
+      require(pats.nonEmpty, s"empty SERVICE block: $query")
+      pats.foreach(tp => require(tp.p.isInstanceOf[Const],
+        s"SERVICE block patterns need a constant predicate: $tp in $query"))
+      (endpoint, pats)
+    }.toSeq
+    val bodyFullV = serviceRe.replaceAllIn(bodyFullS, "")
+
     // GRAPH blocks — pulled before OPTIONAL/UNION so their braces are
     // never misread as a UNION branch; plain constant-predicate
     // patterns only (paths/variable predicates stay default-graph
     // features)
-    val graphBlocks = graphRe.findAllMatchIn(bodyFullS).map { m =>
+    val graphBlocks = graphRe.findAllMatchIn(bodyFullV).map { m =>
       val gterm = term(m.group(1))
       require(gterm.isInstanceOf[Var] || gterm.isInstanceOf[Const],
         s"GRAPH term must be a variable or constant, got $gterm: $query")
@@ -593,7 +619,7 @@ object Sparql {
         s"GRAPH block patterns need a constant predicate: $tp in $query"))
       (gterm, pats)
     }.toSeq
-    val bodyFull = graphRe.replaceAllIn(bodyFullS, "")
+    val bodyFull = graphRe.replaceAllIn(bodyFullV, "")
 
     val groupVars = groupByRe.findFirstMatchIn(tail).toSeq
       .flatMap(_.group(1).split("\\s+").filter(_.nonEmpty).map(_.drop(1)))
@@ -835,12 +861,12 @@ object Sparql {
 
     val patterns = parsePatterns(body)
     require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty ||
-        graphBlocks.nonEmpty,
+        graphBlocks.nonEmpty || services.nonEmpty,
       s"empty BGP: $query")
     val allPatterns =
       patterns ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ existsFilters.flatMap(_._2) ++
-        graphBlocks.flatMap(_._2)
+        graphBlocks.flatMap(_._2) ++ services.flatMap(_._2)
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
@@ -860,7 +886,9 @@ object Sparql {
         graphBlocks.flatMap { case (g, pats) =>
           pats.flatMap(_.vars) ++
             (g match { case Var(n) => Seq(n); case _ => Nil })
-        }
+        } ++
+        // SERVICE blocks bind their pattern vars (§2.2 join semantics)
+        services.flatMap(_._2).flatMap(_.vars)
     // BIND aliases must be fresh and their refs bound before use
     // (sequence scoping: an earlier alias is visible to a later BIND)
     binds.foldLeft(known) { (scope, b) =>
@@ -919,7 +947,7 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
-      binds, subqueries, valuesTables, graphBlocks)
+      binds, subqueries, valuesTables, graphBlocks, services)
   }
 
   /** Scan for `{ SELECT ... }` blocks with balanced-brace matching;

@@ -41,9 +41,36 @@ object SparqlUpdate {
   final case class DeleteWhere(patterns: Seq[Sparql.TriplePattern])
       extends UpdateOp
 
+  /** The full §3.1.3 DELETE/INSERT form: `where` binds, `deleteTmpl`
+    * then `insertTmpl` instantiate under every solution (deletes apply
+    * before inserts, both against the ORIGINAL store's bindings).
+    */
+  final case class Modify(
+      deleteTmpl: Seq[Sparql.TriplePattern],
+      insertTmpl: Seq[Sparql.TriplePattern],
+      where: Seq[Sparql.TriplePattern]) extends UpdateOp
+
+  // ——— §3.2 graph management over the store's named-graph quads ———
+  case object ClearDefault extends UpdateOp
+  final case class ClearGraph(g: String) extends UpdateOp
+  /** §3.2.5 ADD/COPY/MOVE between named graphs: COPY replaces the
+    * target's content with the source's, MOVE additionally drops the
+    * source, ADD unions into the target (set semantics).
+    */
+  final case class GraphOp(op: String, from: String, to: String)
+      extends UpdateOp
+
   private val insDataRe = "(?is)^\\s*INSERT\\s+DATA\\s*\\{(.*)\\}\\s*$".r
   private val delDataRe = "(?is)^\\s*DELETE\\s+DATA\\s*\\{(.*)\\}\\s*$".r
   private val delWhereRe = "(?is)^\\s*DELETE\\s+WHERE\\s*\\{(.*)\\}\\s*$".r
+  private val modifyRe =
+    ("(?is)^\\s*(?:DELETE\\s*\\{([^{}]*)\\}\\s*)?" +
+      "(?:INSERT\\s*\\{([^{}]*)\\}\\s*)?WHERE\\s*\\{([^{}]*)\\}\\s*$").r
+  private val clearRe =
+    "(?is)^\\s*CLEAR\\s+(?:DEFAULT|GRAPH\\s+<([^>]*)>)\\s*$".r
+  private val graphOpRe =
+    ("(?is)^\\s*(ADD|COPY|MOVE)\\s+GRAPH\\s+<([^>]*)>" +
+      "\\s+TO\\s+GRAPH\\s+<([^>]*)>\\s*$").r
 
   /** Parse an update request: one or more operations separated by `;`
     * (brace-depth-aware, so a `;` inside a block or literal is data).
@@ -61,9 +88,23 @@ object SparqlUpdate {
           DeleteData(pats.map(tp => (constOf(tp.s), constOf(tp.p),
             constOf(tp.o))))
         else DeleteWhere(pats)
+      case modifyRe(delT, insT, whereT) if delT != null || insT != null =>
+        val del = Option(delT).map(patternsOf).getOrElse(Nil)
+        val ins = Option(insT).map(patternsOf).getOrElse(Nil)
+        val where = patternsOf(whereT)
+        val bound = where.flatMap(tp => Seq(tp.s, tp.o))
+          .collect { case Sparql.Var(n) => n }.toSet
+        (del ++ ins).flatMap(tp => Seq(tp.s, tp.o))
+          .collect { case Sparql.Var(n) => n }
+          .foreach(v => require(bound(v),
+            s"template var ?$v is not bound by the WHERE group"))
+        Modify(del, ins, where)
+      case clearRe(g) => if (g == null) ClearDefault else ClearGraph(g)
+      case graphOpRe(op, from, to) => GraphOp(op.toUpperCase, from, to)
       case other => throw new IllegalArgumentException(
         "unsupported update operation (INSERT DATA / DELETE DATA / " +
-          s"DELETE WHERE): '${other.take(80)}'")
+          "DELETE WHERE / DELETE-INSERT-WHERE / CLEAR / ADD / COPY / " +
+          s"MOVE): '${other.take(80)}'")
     }
 
   /** Parse + fold a whole request over a store. */
@@ -74,11 +115,9 @@ object SparqlUpdate {
   def apply(spark: SparkSession, store: TripleStore,
       op: UpdateOp): TripleStore = {
     import spark.implicits._
-    // store-form s/o term: lexical on the string store, xxhash64 id on
-    // the encoded store (constants re-derive ids hash-side, the same
-    // shortcut BgpPlanner uses)
-    def litTerm(v: String) =
-      if (store.encoded) xxhash64(lit(v)) else lit(v)
+    // store-form (s, o) rows: lexical on the string store, xxhash64
+    // ids on the encoded store (re-derived hash-side, the same
+    // shortcut BgpPlanner uses for constants)
     def pairs(ts: Seq[(String, String, String)], p: String): DataFrame = {
       val rows = ts.filter(_._2 == p).map(t => (t._1, t._3)).toDF("s", "o")
       if (store.encoded)
@@ -93,26 +132,8 @@ object SparqlUpdate {
             sl.updated(p,
               sl.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
         }
-        val dict = store.dict.map { d =>
-          val newTerms = ts.flatMap(t => Seq(t._1, t._3))
-            .distinct.toDF("value")
-            .select(xxhash64($"value").as("id"), $"value",
-              RdfLex.datatype($"value").as("dt"),
-              RdfLex.lang($"value").as("lang"))
-          val grown = d.unionByName(newTerms)
-            .groupBy($"id").agg(
-              first($"value").as("value"), first($"dt").as("dt"),
-              first($"lang").as("lang"),
-              countDistinct($"value").as("_nv"))
-          // the store-build collision audit, re-run over the grown
-          // vocabulary: an insert must not silently alias two terms
-          val clash = grown.filter($"_nv" > 1).take(1)
-          if (clash.nonEmpty) throw new IllegalStateException(
-            s"dictionary id collision on insert (id=${clash.head.get(0)}" +
-              s", one value='${clash.head.get(1)}') — see " +
-              "TripleStore.encode scaladoc")
-          grown.drop("_nv")
-        }
+        val dict = store.dict.map(d =>
+          growDict(spark, d, ts.flatMap(t => Seq(t._1, t._3)).distinct))
         TripleStore(slices, dict)
 
       case DeleteData(ts) =>
@@ -127,40 +148,147 @@ object SparqlUpdate {
         }
         TripleStore(slices, store.dict)
 
-      case DeleteWhere(pats) =>
-        pats.foreach(tp => require(tp.p.isInstanceOf[Sparql.Const],
-          "DELETE WHERE supports constant predicates (the slice " +
-            s"dispatch key); got ${tp.p}"))
-        val vars = pats.flatMap(tp => Seq(tp.s, tp.o))
-          .collect { case Sparql.Var(n) => n }.distinct
-        val bind = BgpPlanner.plan(store,
-          Sparql.BgpQuery(select = vars, patterns = pats))
-        // instantiate every pattern under every solution → the triples
-        // to remove, in store form. The planner DECODES bindings to
-        // lexical values at the result edge, so on the encoded store
-        // the template re-derives ids by hashing them — the same
-        // value→id shortcut constants use.
-        val del = pats.map { tp =>
-          def c(t: Sparql.Term) = t match {
-            case Sparql.Var(n) =>
-              if (store.encoded) xxhash64(col(n)) else col(n)
-            case Sparql.Const(v) => litTerm(v)
-            case other => throw new IllegalArgumentException(
-              s"DELETE WHERE templates are plain triples; got $other")
-          }
-          bind.select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
-            c(tp.o).as("o"))
-        }.reduce(_ unionByName _).distinct()
-        val touched = pats.map(tp => constOf(tp.p)).toSet
-        val slices = store.slices.map {
-          case (p, df) if touched(p) => p ->
-            df.join(GuardedBroadcast.maybe(
-              del.filter($"p" === p).select($"s", $"o")),
-              Seq("s", "o"), "left_anti")
-          case kv => kv
+      // DELETE WHERE is §3.1.3's Modify with the pattern group serving
+      // as both the match and the (only) template
+      case DeleteWhere(pats) => applyModify(spark, store, pats, Nil, pats)
+
+      case Modify(del, ins, where) =>
+        applyModify(spark, store, del, ins, where)
+
+      case ClearDefault =>
+        // empty every slice but keep schemas — a cleared store still
+        // answers queries (with zero rows); derived layouts drop like
+        // on any mutation
+        store.copy(slices = store.slices.map { case (p, df) =>
+          p -> df.limit(0)
+        }, sBucketed = None)
+
+      case ClearGraph(g) =>
+        store.copy(quads = Some(namedGraphs(store, "CLEAR GRAPH")
+          .filter(col("g") =!= gid(store, g))))
+
+      case GraphOp(op, from, to) =>
+        val quads = namedGraphs(store, s"$op GRAPH")
+        val relabeled = quads.filter(col("g") === gid(store, from))
+          .withColumn("g", gid(store, to))
+        val newQuads = op match {
+          // ADD unions (set semantics); COPY replaces the target's
+          // content; MOVE additionally drops the source (§3.2.5)
+          case "ADD" => quads.unionByName(relabeled).distinct()
+          case "COPY" =>
+            quads.filter(col("g") =!= gid(store, to)).unionByName(relabeled)
+          case "MOVE" =>
+            quads.filter(col("g") =!= gid(store, to) &&
+              col("g") =!= gid(store, from)).unionByName(relabeled)
+          case other => throw new IllegalArgumentException(other)
         }
-        TripleStore(slices, store.dict)
+        // a graph op can mint a NEW graph NAME (`to`): on the encoded
+        // store it must decode, so the dict grows by that one term
+        val dict = store.dict.map(d => growDict(spark, d, Seq(to)))
+        store.copy(quads = Some(newQuads), dict = dict)
     }
+  }
+
+  /** Graph name in store form (lexical, or xxhash64 id when encoded). */
+  private def gid(store: TripleStore, g: String) =
+    if (store.encoded) xxhash64(lit(g)) else lit(g)
+
+  private def namedGraphs(store: TripleStore, what: String): DataFrame =
+    store.quads.getOrElse(throw new IllegalArgumentException(
+      s"$what needs a store with named graphs (quads)"))
+
+  /** Shared §3.1.3 evaluation: `where` binds once against the ORIGINAL
+    * store; the delete template applies first (per-slice anti-join),
+    * then the insert template (per-slice union-distinct — new
+    * predicates create new slices). The planner DECODES bindings to
+    * lexical values at its result edge, so on the encoded store the
+    * templates re-derive ids by hashing them — the same value→id
+    * shortcut constants use; insert-template CONSTANTS may be new
+    * vocabulary and grow the dict (audited), while var bindings came
+    * from the store and are already in it.
+    */
+  private def applyModify(
+      spark: SparkSession,
+      store: TripleStore,
+      delTmpl: Seq[Sparql.TriplePattern],
+      insTmpl: Seq[Sparql.TriplePattern],
+      where: Seq[Sparql.TriplePattern]): TripleStore = {
+    import spark.implicits._
+    (delTmpl ++ insTmpl ++ where).foreach(tp =>
+      require(tp.p.isInstanceOf[Sparql.Const],
+        "updates support constant predicates (the slice dispatch " +
+          s"key); got ${tp.p}"))
+    val vars = where.flatMap(tp => Seq(tp.s, tp.o))
+      .collect { case Sparql.Var(n) => n }.distinct
+    require(vars.nonEmpty,
+      "variable-free updates use INSERT DATA / DELETE DATA")
+    val bind = BgpPlanner.plan(store,
+      Sparql.BgpQuery(select = vars, patterns = where))
+    def instantiate(tmpl: Seq[Sparql.TriplePattern]): Option[DataFrame] =
+      if (tmpl.isEmpty) None
+      else Some(tmpl.map { tp =>
+        def c(t: Sparql.Term) = t match {
+          case Sparql.Var(n) =>
+            if (store.encoded) xxhash64(col(n)) else col(n)
+          case Sparql.Const(v) =>
+            if (store.encoded) xxhash64(lit(v)) else lit(v)
+          case other => throw new IllegalArgumentException(
+            s"update templates are plain triples; got $other")
+        }
+        bind.select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
+          c(tp.o).as("o"))
+      }.reduce(_ unionByName _).distinct())
+    var slices = store.slices
+    instantiate(delTmpl).foreach { del =>
+      val touched = delTmpl.map(tp => constOf(tp.p)).toSet
+      slices = slices.map {
+        case (p, df) if touched(p) => p ->
+          df.join(GuardedBroadcast.maybe(
+            del.filter($"p" === p).select($"s", $"o")),
+            Seq("s", "o"), "left_anti")
+        case kv => kv
+      }
+    }
+    instantiate(insTmpl).foreach { insAll =>
+      insTmpl.map(tp => constOf(tp.p)).distinct.foreach { p =>
+        val add = insAll.filter($"p" === p).select($"s", $"o")
+        slices = slices.updated(p,
+          slices.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
+      }
+    }
+    val dict =
+      if (insTmpl.isEmpty) store.dict
+      else store.dict.map { d =>
+        val consts = insTmpl.flatMap(tp => Seq(tp.s, tp.o))
+          .collect { case Sparql.Const(v) => v }.distinct
+        if (consts.isEmpty) d else growDict(spark, d, consts)
+      }
+    TripleStore(slices, dict)
+  }
+
+  /** Append `values`' (id, value, dt, lang) rows to the dict and re-run
+    * the store-build collision audit over the grown vocabulary: an
+    * insert must not silently alias two terms (TripleStore.encode
+    * scaladoc).
+    */
+  private def growDict(spark: SparkSession, d: DataFrame,
+      values: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val newTerms = values.toDF("value")
+      .select(xxhash64($"value").as("id"), $"value",
+        RdfLex.datatype($"value").as("dt"),
+        RdfLex.lang($"value").as("lang"))
+    val grown = d.unionByName(newTerms)
+      .groupBy($"id").agg(
+        first($"value").as("value"), first($"dt").as("dt"),
+        first($"lang").as("lang"),
+        countDistinct($"value").as("_nv"))
+    val clash = grown.filter($"_nv" > 1).take(1)
+    if (clash.nonEmpty) throw new IllegalStateException(
+      s"dictionary id collision on insert (id=${clash.head.get(0)}" +
+        s", one value='${clash.head.get(1)}') — see " +
+        "TripleStore.encode scaladoc")
+    grown.drop("_nv")
   }
 
   // ——— parsing helpers ———

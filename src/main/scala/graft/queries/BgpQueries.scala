@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.GQuery
-import graft.bgp.{BgpPlanner, SparqlUpdate, TripleStore}
+import graft.bgp.{BgpPlanner, ServiceRegistry, SparqlUpdate, TripleStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SPARQL BGP queries — the reference's core surface (SURVEY.md §3),
@@ -1556,7 +1556,86 @@ object BgpQueries {
              |FROM nation
              |WHERE n_regionkey <> 1
              |  AND NOT (n_nationkey = 0 AND n_name = 'ALGERIA')
-             |UNION ALL SELECT 'nation:990', 'NEWLAND'""".stripMargin))
+             |UNION ALL SELECT 'nation:990', 'NEWLAND'""".stripMargin)),
+
+    // the full §3.1.3 DELETE/INSERT form as a schema migration: the
+    // region-membership edge reverses direction and renames in ONE
+    // atomic op (delete template + insert template over one WHERE
+    // binding) — the classic graph refactor an Update surface exists
+    // for. Run over the encoded store: the inserted edges live in id
+    // space, the read-back decodes them.
+    GQuery(
+      "q306_update_modify",
+      (s, dir) => {
+        val st = TripleStore.encode(
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        val upd = SparqlUpdate.applyAll(s, st,
+          """DELETE { ?n inregion ?r } INSERT { ?r hasnation ?n }
+            |WHERE { ?n inregion ?r }""".stripMargin)
+        BgpPlanner.query(upd,
+          "select ?r ?n where { ?r hasnation ?n }")
+      },
+      Some("""SELECT concat('region:', n_regionkey) AS r,
+             |  concat('nation:', n_nationkey) AS n FROM nation"""
+        .stripMargin)),
+
+    // ——— SPARQL 1.1 Federated Query (§2): the outer solution runs on
+    // the star-schema store; the SERVICE block evaluates on a SECOND
+    // nation-derived store registered as an in-process endpoint
+    // (ServiceRegistry — the transport seam a real deployment fills
+    // with HTTP) and natural-joins on the shared ?n. Parity-plus: the
+    // reference grammar has no federation. ———
+    GQuery(
+      "q304_service_federation",
+      (s, dir) => {
+        ServiceRegistry.register("graft://nations",
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        bgp("""select ?c ?nm where {
+              | ?c rdf:type "Customer" .
+              | ?c nationkey ?n .
+              | SERVICE <graft://nations> { ?n name ?nm } }""".stripMargin)(
+          s, dir)
+      },
+      Some("""SELECT concat('customer:', c_custkey) AS c, n_name AS nm
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey"""
+        .stripMargin)),
+
+    // the same federated join with the OUTER store encoded: the shared
+    // ?n re-encodes to ids for the join, the service-only ?nm flows
+    // lexical past the result-edge decode (its values need not exist
+    // in the outer dictionary).
+    GQuery(
+      "q305_service_encoded",
+      (s, dir) => {
+        ServiceRegistry.register("graft://nations",
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        bgp("""select ?c ?nm where {
+              | ?c rdf:type "Customer" .
+              | ?c nationkey ?n .
+              | SERVICE <graft://nations> { ?n name ?nm } }""".stripMargin,
+          encoded = true)(s, dir)
+      },
+      Some("""SELECT concat('customer:', c_custkey) AS c, n_name AS nm
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey"""
+        .stripMargin)),
+
+    // §3.2 graph management: MOVE empties the source region graph into
+    // a backup graph, ADD unions a second region in (set semantics) —
+    // the archival shuffle a quad store runs before dropping a tenant.
+    // The read-back is a GRAPH-scoped BGP over the backup graph;
+    // updates are functional copies, so the session's shared store is
+    // untouched.
+    GQuery(
+      "q307_update_graph_mgmt",
+      (s, dir) => {
+        val st = SparqlUpdate.applyAll(s, store(s, dir, encoded = false),
+          """MOVE GRAPH <region:0> TO GRAPH <region:backup> ;
+            |ADD GRAPH <region:1> TO GRAPH <region:backup>""".stripMargin)
+        BgpPlanner.query(st,
+          "select ?n ?nm where { GRAPH <region:backup> { ?n name ?nm } }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey IN (0, 1)""".stripMargin))
   )
 
   /** Nation-derived `(s, p, o)` triples for the Update queries: name

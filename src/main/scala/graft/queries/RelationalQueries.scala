@@ -166,7 +166,14 @@ object RelationalQueries {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
-          .join(GuardedBroadcast.maybe(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+          // narrow the dim BEFORE the guard: the measurement (and the
+          // persisted broadcast copy) then covers only the two columns
+          // the join uses, stretching the broadcast regime ~10× in SF
+          // before the guard's shuffle fallback kicks in (the sf10
+          // scale step is where the full-width part relation flipped)
+          .join(GuardedBroadcast.maybe(
+            t(s, dir, "part").select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand")
           .agg(
             dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
@@ -958,12 +965,15 @@ object RelationalQueries {
     // ABC / Pareto analysis: parts classed by cumulative revenue share
     // (A = the head covering ≤70%, B = to 90%, C = the tail) — the
     // inventory-prioritization classic. Revenue in exact cents; the
-    // cumulative share is a single ordered window over the PART
-    // dimension (bounded — parts are schema-scale, not fact-scale;
-    // were the ranked relation fact-sized this would use q205's
-    // banded two-phase prefix sum instead), with the unique partkey
-    // tiebreak. Class edges compare integer cum·100 against total·k
-    // so no float threshold wobbles the cut.
+    // cumulative share is computed WITHOUT ordering the part dimension
+    // on one task (parts are dimension-scale but still grow with the
+    // SF): cum(part) decomposes as [total cents of strictly
+    // higher-revenue parts, from ExactRank.belowCounts at revenue-
+    // GROUP grain weighted by each group's cents] + [a partkey-ordered
+    // prefix within the part's exact revenue tie group] — the q233
+    // banded shape with cents as the prefix-summed weight instead of
+    // a row count. Class edges compare integer cum·100 against
+    // total·k so no float threshold wobbles the cut.
     GQuery(
       "q279_abc_pareto",
       (s, dir) => {
@@ -973,10 +983,20 @@ object RelationalQueries {
           .agg(sum(floor($"l_extendedprice" * (lit(1.0) - $"l_discount")
             * 100 + 0.5).cast("long")).as("cents"))
         val tot = rev.agg(sum($"cents").as("total"))
-        val w = BoundedWindow.ordered($"cents".desc, $"l_partkey".asc)
+        // per-revenue-group cents mass, banded prefix over -cents
+        // (descending order), weight = the group's total cents
+        val grp = rev.groupBy($"cents")
+          .agg((count(lit(1)) * $"cents").as("gcents"))
+          .withColumn("neg", -$"cents")
+        val above = graft.scale.ExactRank
+          .belowCounts(grp, Nil, "neg", "gcents", "cents_above")
+          .select($"cents", $"cents_above")
+        val wTie = Window.partitionBy($"cents").orderBy($"l_partkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        rev.crossJoin(GuardedBroadcast.maybe(tot))
-          .withColumn("cum", sum($"cents").over(w))
+        rev
+          .join(GuardedBroadcast.maybe(above), Seq("cents"))
+          .withColumn("cum", $"cents_above" + sum($"cents").over(wTie))
+          .crossJoin(GuardedBroadcast.maybe(tot))
           .withColumn("abc_class",
             when($"cum" * 100 <= $"total" * 70, "A")
               .when($"cum" * 100 <= $"total" * 90, "B")

@@ -92,6 +92,70 @@ class BgpSpec extends AnyFunSuite {
     assert(rows("select ?p where { ?p worksFor ?d }") == Set(Seq("prof:2")))
   }
 
+  test("SPARQL Update: DELETE/INSERT WHERE migrates edges in one op") {
+    val upd = SparqlUpdate.applyAll(spark, tinyStore,
+      """DELETE { ?p worksFor ?d } INSERT { ?d employs ?p }
+        |WHERE { ?p worksFor ?d }""".stripMargin)
+    assert(upd.slices("worksFor").count() == 0)
+    val employs = upd.slices("employs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(employs == Set(("dept:0", "prof:0"), ("dept:0", "prof:1"),
+      ("dept:1", "prof:2")))
+    // deletes bind against the ORIGINAL store even when the insert
+    // writes to a slice the where-group reads — and an unbound
+    // template var is rejected at parse time
+    intercept[IllegalArgumentException](SparqlUpdate.parse(
+      "DELETE { ?p worksFor ?x } WHERE { ?p worksFor ?d }"))
+  }
+
+  test("SPARQL Update: CLEAR / ADD / COPY / MOVE graph management") {
+    import spark.implicits._
+    def quadStore(enc: Boolean): TripleStore = {
+      val base = if (enc) TripleStore.encode(tinyStore) else tinyStore
+      // quad values reuse the tinyStore vocabulary so the encoded
+      // store's dict can decode them (quadsFor's invariant)
+      val q = Seq(("g:a", "prof:0", "name", "FullProfessor0"),
+        ("g:a", "prof:1", "name", "FullProfessor1"),
+        ("g:b", "prof:2", "name", "p1@u.edu")).toDF("g", "s", "p", "o")
+      base.copy(quads = Some(
+        if (enc) q.select(org.apache.spark.sql.functions.xxhash64($"g").as("g"),
+          org.apache.spark.sql.functions.xxhash64($"s").as("s"), $"p",
+          org.apache.spark.sql.functions.xxhash64($"o").as("o"))
+        else q))
+    }
+    for (enc <- Seq(false, true)) {
+      val st = quadStore(enc)
+      def names(st2: TripleStore, g: String) =
+        BgpPlanner.query(st2,
+          s"select ?nm where { GRAPH <$g> { ?p name ?nm } }")
+          .collect().map(_.getString(0)).toSet
+      // MOVE: source emptied, target replaced; the minted graph name
+      // decodes on the encoded store (dict growth)
+      val moved = SparqlUpdate.applyAll(spark, st,
+        "MOVE GRAPH <g:a> TO GRAPH <g:arch>")
+      assert(names(moved, "g:arch") ==
+        Set("FullProfessor0", "FullProfessor1"), s"enc=$enc")
+      assert(names(moved, "g:a").isEmpty, s"enc=$enc")
+      // ADD unions with set semantics (re-adding changes nothing)
+      val added = SparqlUpdate.applyAll(spark, moved,
+        "ADD GRAPH <g:b> TO GRAPH <g:arch> ; ADD GRAPH <g:b> TO GRAPH <g:arch>")
+      assert(names(added, "g:arch") ==
+        Set("FullProfessor0", "FullProfessor1", "p1@u.edu"), s"enc=$enc")
+      assert(added.quads.get.count() == 4, s"enc=$enc") // 3 + 1 copy
+      // COPY replaces the target outright
+      val copied = SparqlUpdate.applyAll(spark, added,
+        "COPY GRAPH <g:b> TO GRAPH <g:arch>")
+      assert(names(copied, "g:arch") == Set("p1@u.edu"), s"enc=$enc")
+      // CLEAR GRAPH drops one graph; CLEAR DEFAULT empties the slices
+      // but leaves named graphs standing
+      val cleared = SparqlUpdate.applyAll(spark, copied,
+        "CLEAR GRAPH <g:b> ; CLEAR DEFAULT")
+      assert(names(cleared, "g:arch") == Set("p1@u.edu"), s"enc=$enc")
+      assert(names(cleared, "g:b").isEmpty, s"enc=$enc")
+      assert(cleared.slices("name").count() == 0, s"enc=$enc")
+    }
+  }
+
   test("SPARQL Update: ground DELETE WHERE degenerates to DELETE DATA") {
     val ops = SparqlUpdate.parse(
       "DELETE WHERE { <prof:0> worksFor <dept:0> }")
@@ -100,7 +164,33 @@ class BgpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SparqlUpdate.parse("INSERT DATA { ?v worksFor <dept:0> }"))
     intercept[IllegalArgumentException](
-      SparqlUpdate.parse("CLEAR GRAPH <g>"))
+      SparqlUpdate.parse("LOAD <http://x.example/data.nt> INTO GRAPH <g>"))
+  }
+
+  test("SERVICE federates to a registered store on both encodings") {
+    import spark.implicits._
+    // the "remote" endpoint: department metadata the main store lacks
+    ServiceRegistry.register("graft://depts", TripleStore.fromTriples(
+      Seq(("dept:0", "deptname", "Mathematics"),
+        ("dept:1", "deptname", "Physics"),
+        ("dept:9", "deptname", "Unstaffed")).toDF("s", "p", "o")))
+    val q =
+      """select ?p ?dn where {
+        | ?p worksFor ?d .
+        | SERVICE <graft://depts> { ?d deptname ?dn } }""".stripMargin
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      val rows = BgpPlanner.query(st, q).select("p", "dn").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(
+        ("prof:0", "Mathematics"), ("prof:1", "Mathematics"),
+        ("prof:2", "Physics")), s"encoded=${st.encoded}")
+    }
+    // service-ONLY values (dept names) never entered the encoded
+    // store's dictionary — the lexical path above is what made the
+    // encoded run return them verbatim. An unregistered endpoint
+    // fails loudly:
+    intercept[IllegalArgumentException](BgpPlanner.query(tinyStore,
+      "select ?x where { SERVICE <graft://nowhere> { ?x deptname ?y } }"))
   }
 
   test("parser handles the reference grammar (vars, URIs, literals)") {

@@ -564,6 +564,45 @@ class StreamSpec extends AnyFunSuite {
     runCdcUpsertSuite(rocksSpark, "cdc_upserts_rocks")
   }
 
+  test("cdcUpsertStream holds 100k live keys under RocksDB (state-scale pin)") {
+    // the r6-verdict load pin for the config-only portability claim:
+    // drive state well past the HDFS provider's in-heap comfort zone
+    // and check the latest-wins semantics stay exact — one fixed-size
+    // record per live key in RocksDB, every key still individually
+    // addressable by a later micro-batch.
+    import rocksSpark.implicits._
+    import StreamOps.{CdcChange, CdcUpsert}
+    implicit val sql = rocksSpark.sqlContext
+    val n = 100000
+    val src = MemoryStream[CdcChange]
+    val q = StreamOps.cdcUpsertStream(src.toDS())
+      .writeStream.format("memory").queryName("cdc_scale_rocks")
+      .outputMode("update").start()
+    try {
+      // batch 1: n inserts → n live keys in the store
+      src.addData((1 to n).map(k => CdcChange(k, "I", k * 10L, 1)))
+      q.processAllAvailable()
+      assert(rocksSpark.table("cdc_scale_rocks").count() == n)
+      // batch 2 against the full live state: every 10th key updated at
+      // a higher seq, one stale replay (must not emit), one tombstone
+      src.addData((10 to n by 10).map(k => CdcChange(k, "U", k * 10L + 1, 2))
+        ++ Seq(CdcChange(1, "I", 999, 0), CdcChange(2, "D", 0, 2)))
+      q.processAllAvailable()
+      val out = rocksSpark.table("cdc_scale_rocks").as[CdcUpsert]
+      // emissions: n inserts + n/10 updates + 1 delete, nothing stale
+      assert(out.count() == n + n / 10 + 1)
+      // latest-wins content survives at scale: spot-check the three
+      // change classes against the full changelog
+      val latest = out.groupByKey(_.k)
+        .reduceGroups((a, b) => if (a.seq >= b.seq) a else b)
+        .map(_._2).collect().map(u => u.k -> u).toMap
+      assert(latest(10L) == CdcUpsert(10, deleted = false, 101, 2))
+      assert(latest(1L) == CdcUpsert(1, deleted = false, 10, 1))
+      assert(latest(2L) == CdcUpsert(2, deleted = true, 0, 2))
+      assert(latest.size == n)
+    } finally q.stop()
+  }
+
   test("anomalyStream flags deviants against pre-batch state only") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
