@@ -2167,6 +2167,91 @@ object TextQueries {
              |    count(*) AS k FROM c)
              |SELECT lang, n_docs, n_docs * 1.0 / total AS share,
              |  total * 1.0 / (k * n_docs) AS class_weight
-             |FROM c, t""".stripMargin))
+             |FROM c, t""".stripMargin)),
+
+    // overlapping chunk manifest (RAG / long-context prep): each doc
+    // splits into token windows of size 64 with stride 48, the last
+    // window pulled back so the tail is always covered and never a
+    // sub-window of its predecessor — K = ceil((n−64)/48) extra
+    // chunks, spelled ((n−17) div 48) in shared integer arithmetic.
+    // Scale shape: the offsets come from `sequence(0, k_max)` +
+    // explode INSIDE the scan stage (map-side, codegen'd) — no join,
+    // no shuffle at all until a downstream consumer groups the
+    // manifest; output is chunk-grain, ~n_tokens/stride per doc.
+    GQuery(
+      "q308_chunk_manifest",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+          .withColumn("k_max",
+            when($"n" > 64, expr("(n - 17) div 48")).otherwise(lit(0L)))
+          .select($"doc_id", $"n",
+            explode(expr("sequence(0L, k_max)")).as("chunk_idx"))
+          .select($"doc_id", $"chunk_idx",
+            ($"chunk_idx" * 48).as("off"),
+            least(lit(64L), $"n" - $"chunk_idx" * 48).as("chunk_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |k AS (SELECT doc_id, n,
+             |    CASE WHEN n > 64 THEN (n - 17) // 48 ELSE 0 END AS k_max
+             |  FROM d),
+             |c AS (SELECT doc_id, n,
+             |    unnest(generate_series(0, k_max)) AS chunk_idx FROM k)
+             |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             |  CAST(chunk_idx * 48 AS BIGINT) AS off,
+             |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS chunk_tokens
+             |FROM c""".stripMargin)),
+
+    // dedup length-bias audit: exact-dedup retention rate per length
+    // decile — does dropping exact duplicates skew the corpus toward
+    // long or short documents? (Short boilerplate duplicates far more
+    // often, so naive dedup quietly reshapes the length mix; this is
+    // the before/after evidence a curation review wants next to q171's
+    // duplication profile.) Keep rule = min doc_id per md5(text), the
+    // q43 canonical-winner convention; deciles via ExactRank's banded
+    // rank over (n_chars, md5-hash, doc_id) — every window
+    // partitioned, the r7 global-rank discipline. Output is 10 rows.
+    GQuery(
+      "q309_dedup_length_bias",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", md5($"text").as("tid"))
+        val keep = docs.groupBy($"tid").agg(min($"doc_id").as("keep_id"))
+        val tot = docs.agg(count(lit(1)).as("total"))
+        val flagged = docs
+          .join(GuardedBroadcast.maybe(keep), Seq("tid"))
+          .withColumn("kept", ($"doc_id" === $"keep_id").cast("long"))
+          .withColumn("h", ExactRank.h32($"doc_id", ":lb"))
+        ExactRank.rowNumber(
+            flagged.crossJoin(GuardedBroadcast.maybe(tot)),
+            $"n_chars", $"h", $"doc_id", "rk")
+          .withColumn("decile", ExactRank.ntileFromRank($"rk", $"total", 10))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_docs"), sum($"kept").as("n_kept"),
+            (sum($"kept") * lit(1.0) / count(lit(1))).as("retention"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars, md5(text) AS tid,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':lb')), 1, 8)) AS BIGINT) AS h
+             |  FROM documents),
+             |k AS (SELECT tid, min(doc_id) AS keep_id FROM d GROUP BY 1),
+             |f AS (SELECT d.doc_id, d.n_chars, d.h,
+             |    CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept
+             |  FROM d JOIN k USING (tid)),
+             |r AS (SELECT kept,
+             |    CAST(row_number() OVER (ORDER BY n_chars, h, doc_id)
+             |      AS BIGINT) AS rk,
+             |    count(*) OVER () AS total FROM f),
+             |x AS (SELECT kept,
+             |    ${graft.scale.ExactRank.ntileSql("rk", "total", 10)}
+             |      AS decile FROM r)
+             |SELECT decile, count(*) AS n_docs,
+             |  CAST(sum(kept) AS BIGINT) AS n_kept,
+             |  CAST(sum(kept) AS BIGINT) * 1.0 / count(*) AS retention
+             |FROM x GROUP BY 1""".stripMargin))
   )
 }
