@@ -60,6 +60,14 @@ object SparqlUpdate {
   final case class GraphOp(op: String, from: String, to: String)
       extends UpdateOp
 
+  /** §3.2.1 LOAD: ingest an N-Triples document into a named graph —
+    * the distributed text parse (RdfIO's S1-grade reader) unioned
+    * into the quads relation with set semantics; on the encoded store
+    * the loaded vocabulary grows the dict (audited, DataFrame-sized —
+    * never collected to the driver).
+    */
+  final case class Load(path: String, graph: String) extends UpdateOp
+
   private val insDataRe = "(?is)^\\s*INSERT\\s+DATA\\s*\\{(.*)\\}\\s*$".r
   private val delDataRe = "(?is)^\\s*DELETE\\s+DATA\\s*\\{(.*)\\}\\s*$".r
   private val delWhereRe = "(?is)^\\s*DELETE\\s+WHERE\\s*\\{(.*)\\}\\s*$".r
@@ -71,6 +79,8 @@ object SparqlUpdate {
   private val graphOpRe =
     ("(?is)^\\s*(ADD|COPY|MOVE)\\s+GRAPH\\s+<([^>]*)>" +
       "\\s+TO\\s+GRAPH\\s+<([^>]*)>\\s*$").r
+  private val loadRe =
+    "(?is)^\\s*LOAD\\s+<([^>]*)>\\s+INTO\\s+GRAPH\\s+<([^>]*)>\\s*$".r
 
   /** Parse an update request: one or more operations separated by `;`
     * (brace-depth-aware, so a `;` inside a block or literal is data).
@@ -101,10 +111,11 @@ object SparqlUpdate {
         Modify(del, ins, where)
       case clearRe(g) => if (g == null) ClearDefault else ClearGraph(g)
       case graphOpRe(op, from, to) => GraphOp(op.toUpperCase, from, to)
+      case loadRe(path, g) => Load(path, g)
       case other => throw new IllegalArgumentException(
         "unsupported update operation (INSERT DATA / DELETE DATA / " +
           "DELETE WHERE / DELETE-INSERT-WHERE / CLEAR / ADD / COPY / " +
-          s"MOVE): '${other.take(80)}'")
+          s"MOVE / LOAD): '${other.take(80)}'")
     }
 
   /** Parse + fold a whole request over a store. */
@@ -186,6 +197,26 @@ object SparqlUpdate {
         // store it must decode, so the dict grows by that one term
         val dict = store.dict.map(d => growDict(spark, d, Seq(to)))
         store.copy(quads = Some(newQuads), dict = dict)
+
+      case Load(path, g) =>
+        import spark.implicits._
+        val triples = graft.sources.RdfIO.ntriplesDF(spark, path)
+        val asQuads = triples.select(gid(store, g).as("g"),
+          (if (store.encoded) xxhash64(col("s")) else col("s")).as("s"),
+          col("p"),
+          (if (store.encoded) xxhash64(col("o")) else col("o")).as("o"))
+        val quads = store.quads match {
+          case Some(q) => q.unionByName(asQuads).distinct()
+          case None => asQuads.distinct() // first named graph of the store
+        }
+        val dict = store.dict.map { d =>
+          val vocab = triples.select(col("s").as("value"))
+            .unionByName(triples.select(col("o").as("value")))
+            .unionByName(Seq(g).toDF("value"))
+            .distinct()
+          growDictDf(spark, d, vocab)
+        }
+        store.copy(quads = Some(quads), dict = dict)
     }
   }
 
@@ -274,7 +305,16 @@ object SparqlUpdate {
   private def growDict(spark: SparkSession, d: DataFrame,
       values: Seq[String]): DataFrame = {
     import spark.implicits._
-    val newTerms = values.toDF("value")
+    growDictDf(spark, d, values.toDF("value"))
+  }
+
+  /** [[growDict]] over a DataFrame vocabulary (a LOAD's term set is
+    * data-sized and never collects to the driver).
+    */
+  private def growDictDf(spark: SparkSession, d: DataFrame,
+      values: DataFrame): DataFrame = {
+    import spark.implicits._
+    val newTerms = values
       .select(xxhash64($"value").as("id"), $"value",
         RdfLex.datatype($"value").as("dt"),
         RdfLex.lang($"value").as("lang"))

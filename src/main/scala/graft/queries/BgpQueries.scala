@@ -1635,7 +1635,31 @@ object BgpQueries {
           "select ?n ?nm where { GRAPH <region:backup> { ?n name ?nm } }")
       },
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
-             |FROM nation WHERE n_regionkey IN (0, 1)""".stripMargin))
+             |FROM nation WHERE n_regionkey IN (0, 1)""".stripMargin)),
+
+    // §3.2.1 LOAD through the driver gate: nation round-trips through
+    // a distributed N-Triples text write, then `LOAD <file> INTO
+    // GRAPH` ingests it into a named graph of the ENCODED star-schema
+    // store — the loaded subjects/objects are new vocabulary, so this
+    // exercises the data-sized (never-collected) dict growth plus the
+    // GRAPH-scoped read-back through the grown dictionary.
+    GQuery(
+      "q311_update_load",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = s"target/tmp/q311_nt_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.Tables.t(s, dir, "nation")
+          .select(concat(lit("<nat:"), col("n_nationkey"),
+            lit("> <callsign> \""), col("n_name"), lit("\" .")).as("value"))
+          .write.mode("overwrite").text(out)
+        val upd = SparqlUpdate.applyAll(s, store(s, dir, encoded = true),
+          s"LOAD <$out> INTO GRAPH <g:loaded>")
+        BgpPlanner.query(upd,
+          "select ?n ?nm where { GRAPH <g:loaded> { ?n callsign ?nm } }")
+      },
+      Some("""SELECT concat('nat:', n_nationkey) AS n, n_name AS nm
+             |FROM nation""".stripMargin))
   )
 
   /** Nation-derived `(s, p, o)` triples for the Update queries: name

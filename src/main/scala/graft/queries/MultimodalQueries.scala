@@ -382,6 +382,108 @@ object MultimodalQueries {
              |  CAST(sum(transitions) AS BIGINT) AS total_transitions,
              |  CAST(sum(crossings) AS BIGINT) * 1.0
              |    / CAST(sum(transitions) AS BIGINT) AS zcr
-             |FROM zc GROUP BY 1""".stripMargin))
+             |FROM zc GROUP BY 1""".stripMargin)),
+
+    // video scene-cut detection over a REAL frame container: each
+    // "video" is id%8+2 concatenated P6 frames (VideoContainer — a
+    // genuine demux that parses every frame header for its extent),
+    // frames before/after the midpoint drawn from two deterministic
+    // scenes; the executor decodes EVERY demuxed frame with the real
+    // codec, aHashes it (q241's 8×8 block arithmetic), and counts
+    // consecutive-hash changes — the temporal-dedup / shot-boundary
+    // primitive of video curation (near-identical neighboring frames
+    // collapse, a cut is a hash change). The oracle regrows the
+    // identical pixel integers with generate_series, so what's gated
+    // is the container demux + per-frame decode path, not a formula
+    // twin. Scale shape: per-row imperative byte work in mapPartitions
+    // (the sanctioned codec seam), output frame-count-grain (≤ 8 rows).
+    GQuery(
+      "q310_video_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents").select($"doc_id".as("id"))
+          .as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val nf = (id % 8).toInt + 2
+              val container = graft.multimodal.VideoContainer.encode(
+                (0 until nf).map { f =>
+                  val sc = if (f >= nf / 2) 1 else 0
+                  graft.multimodal.PpmCodec.encode(16, 16, (x, y) => (
+                    ((id * 31 + sc * 97 + x * 7 + y * 13) % 256).toInt,
+                    ((id * 17 + sc * 53 + x * 3 + y * 5) % 256).toInt,
+                    ((id * 11 + sc * 29 + x + y * 2) % 256).toInt))
+                })
+              val frames = graft.multimodal.VideoContainer.split(container)
+              val hashes = frames.map { payload =>
+                val img = graft.multimodal.PpmCodec.decode(payload)
+                val bsum = Array.ofDim[Long](64)
+                var total = 0L
+                var y = 0
+                while (y < 16) {
+                  var x = 0
+                  while (x < 16) {
+                    val g = (img.r(x, y) + img.g(x, y) + img.b(x, y)).toLong
+                    bsum((y / 2) * 8 + x / 2) += g
+                    total += g
+                    x += 1
+                  }
+                  y += 1
+                }
+                new String(bsum.map(s => if (s * 64 > total) '1' else '0'))
+              }
+              val cuts = hashes.sliding(2).count {
+                case Seq(a, b) => a != b
+                case _ => false
+              }
+              (nf.toLong, 1L + cuts, hashes.distinct.size.toLong)
+            }
+          }
+          .toDF("n_frames", "n_scenes", "n_hashes")
+        rows.groupBy($"n_frames")
+          .agg(count(lit(1)).as("n_videos"),
+            sum($"n_scenes").as("total_scenes"),
+            sum(when($"n_scenes" === 1, 1L).otherwise(0L))
+              .as("n_single_scene"),
+            sum($"n_hashes").as("total_distinct_hashes"))
+      },
+      Some("""WITH v AS (SELECT doc_id AS id,
+             |    CAST(doc_id % 8 AS BIGINT) + 2 AS nf FROM documents),
+             |fr AS (SELECT id, nf, unnest(generate_series(0, nf - 1)) AS f
+             |  FROM v),
+             |px AS (SELECT id, nf, f,
+             |    CASE WHEN f >= nf // 2 THEN 1 ELSE 0 END AS sc,
+             |    xx.x, yy.y
+             |  FROM fr,
+             |    LATERAL (SELECT unnest(generate_series(0, 15)) AS x) xx,
+             |    LATERAL (SELECT unnest(generate_series(0, 15)) AS y) yy),
+             |g AS (SELECT id, nf, f, x, y,
+             |    (id*31 + sc*97 + x*7 + y*13) % 256
+             |      + (id*17 + sc*53 + x*3 + y*5) % 256
+             |      + (id*11 + sc*29 + x + y*2) % 256 AS g
+             |  FROM px),
+             |blk AS (SELECT id, nf, f, (y // 2) * 8 + (x // 2) AS b,
+             |    CAST(sum(g) AS BIGINT) AS bsum
+             |  FROM g GROUP BY 1, 2, 3, 4),
+             |tot AS (SELECT id, f, CAST(sum(bsum) AS BIGINT) AS total
+             |  FROM blk GROUP BY 1, 2),
+             |h AS (SELECT blk.id, blk.nf, blk.f,
+             |    string_agg(CASE WHEN bsum * 64 > total THEN '1' ELSE '0' END,
+             |      '' ORDER BY b) AS hash
+             |  FROM blk JOIN tot ON tot.id = blk.id AND tot.f = blk.f
+             |  GROUP BY 1, 2, 3),
+             |sq AS (SELECT id, nf, hash,
+             |    lag(hash) OVER (PARTITION BY id ORDER BY f) AS ph FROM h),
+             |agg AS (SELECT id, max(nf) AS n_frames,
+             |    1 + CAST(sum(CASE WHEN ph IS NOT NULL AND hash <> ph
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+             |    count(DISTINCT hash) AS n_hashes
+             |  FROM sq GROUP BY 1)
+             |SELECT n_frames, count(*) AS n_videos,
+             |  CAST(sum(n_scenes) AS BIGINT) AS total_scenes,
+             |  CAST(sum(CASE WHEN n_scenes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_single_scene,
+             |  CAST(sum(n_hashes) AS BIGINT) AS total_distinct_hashes
+             |FROM agg GROUP BY 1""".stripMargin))
   )
 }

@@ -36,9 +36,16 @@ object RdfIO {
     * no driver-side work; malformed lines are dropped (count them via
     * the returned store if strictness is needed).
     */
-  def readNTriples(spark: SparkSession, path: String): TripleStore = {
+  def readNTriples(spark: SparkSession, path: String): TripleStore =
+    TripleStore.fromTriples(ntriplesDF(spark, path))
+
+  /** The parsed `(s, p, o)` relation of an N-Triples file — the store
+    * build above and SPARQL Update's `LOAD` share this one parser.
+    */
+  def ntriplesDF(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val rows = spark.read.textFile(path)
+    spark.read.textFile(path)
       .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
       .flatMap {
         case ntLine(su, sb, pu, pb, ou, olit, odeco, ob) =>
@@ -57,7 +64,6 @@ object RdfIO {
         case _ => None
       }
       .toDF("s", "p", "o")
-    TripleStore.fromTriples(rows)
   }
 
   /** S1: read a SPARQL query file (driver-side — query text is tiny). */

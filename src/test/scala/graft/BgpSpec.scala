@@ -156,6 +156,29 @@ class BgpSpec extends AnyFunSuite {
     }
   }
 
+  test("SPARQL Update: LOAD ingests an N-Triples file into a named graph") {
+    val dir = java.nio.file.Files.createTempDirectory("upd_load")
+    val nt = dir.resolve("data.nt")
+    java.nio.file.Files.writeString(nt,
+      "<prof:9> <name> \"FullProfessor0\" .\n" +
+        "<prof:9> <name> \"FullProfessor0\" .\n" + // dup line: set semantics
+        "<prof:8> <name> \"FullProfessor1\" .\n")
+    for (enc <- Seq(false, true)) {
+      val base = if (enc) TripleStore.encode(tinyStore) else tinyStore
+      val upd = SparqlUpdate.applyAll(spark, base,
+        s"LOAD <$nt> INTO GRAPH <g:loaded>")
+      val got = BgpPlanner.query(upd,
+        "select ?p ?nm where { GRAPH <g:loaded> { ?p name ?nm } }")
+        .select("p", "nm").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("prof:9", "FullProfessor0"),
+        ("prof:8", "FullProfessor1")), s"enc=$enc")
+      // loaded SUBJECTS are new vocabulary: on the encoded store they
+      // decode only because LOAD grew the dict
+      assert(upd.quads.get.count() == 2, s"enc=$enc")
+    }
+  }
+
   test("SPARQL Update: ground DELETE WHERE degenerates to DELETE DATA") {
     val ops = SparqlUpdate.parse(
       "DELETE WHERE { <prof:0> worksFor <dept:0> }")
@@ -164,7 +187,7 @@ class BgpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SparqlUpdate.parse("INSERT DATA { ?v worksFor <dept:0> }"))
     intercept[IllegalArgumentException](
-      SparqlUpdate.parse("LOAD <http://x.example/data.nt> INTO GRAPH <g>"))
+      SparqlUpdate.parse("COPY DEFAULT TO GRAPH <g>"))
   }
 
   test("SERVICE federates to a registered store on both encodings") {
