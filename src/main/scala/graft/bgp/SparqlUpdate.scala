@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * union-distinct (insert) or left-anti join (delete) — the same apply
   * shapes as the lakehouse CDC merge (q202: latest-wins upsert =
   * union + anti semantics), per-predicate so an op touches only the
-  * slices it names. Derived layouts (s-bucketed secondary, quads) are
-  * dropped by an update the way a format bump invalidates the
-  * persisted store — they rebuild from the new slices.
+  * slices it names. The DERIVED s-bucketed secondary layout is
+  * dropped by a default-graph update the way a format bump invalidates
+  * the persisted store — it rebuilds from the new slices; the quads
+  * relation is separate GRAPH data (not derived), so default-graph
+  * updates leave named graphs standing, exactly as §3.1 scopes them.
   *
   * Both encodings are first-class: on the encoded store an insert
   * hashes the new terms (ids are derivable without a dictionary
@@ -145,7 +147,7 @@ object SparqlUpdate {
         }
         val dict = store.dict.map(d =>
           growDict(spark, d, ts.flatMap(t => Seq(t._1, t._3)).distinct))
-        TripleStore(slices, dict)
+        store.copy(slices = slices, dict = dict, sBucketed = None)
 
       case DeleteData(ts) =>
         val slices = ts.map(_._2).distinct.foldLeft(store.slices) {
@@ -157,7 +159,7 @@ object SparqlUpdate {
                   Seq("s", "o"), "left_anti"))
             }
         }
-        TripleStore(slices, store.dict)
+        store.copy(slices = slices, sBucketed = None)
 
       // DELETE WHERE is §3.1.3's Modify with the pattern group serving
       // as both the match and the (only) template
@@ -294,7 +296,7 @@ object SparqlUpdate {
           .collect { case Sparql.Const(v) => v }.distinct
         if (consts.isEmpty) d else growDict(spark, d, consts)
       }
-    TripleStore(slices, dict)
+    store.copy(slices = slices, dict = dict, sBucketed = None)
   }
 
   /** Append `values`' (id, value, dt, lang) rows to the dict and re-run

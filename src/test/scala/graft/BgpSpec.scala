@@ -54,6 +54,15 @@ class BgpSpec extends AnyFunSuite {
       Set(Seq("FullProfessor9")))
     // the source store is untouched (functional update)
     assert(st0.slices("worksFor").filter("s = 'prof:9'").count() == 0)
+    // a default-graph update must leave NAMED graphs standing (§3.1
+    // scope): quads are graph data, not a derived layout
+    import spark.implicits._
+    val withQuads = tinyStore.copy(quads = Some(
+      Seq(("g:x", "prof:0", "name", "FullProfessor0")).toDF("g", "s", "p", "o")))
+    val upd2 = SparqlUpdate.applyAll(spark, withQuads,
+      "INSERT DATA { <prof:9> worksFor <dept:2> } ; " +
+        "DELETE DATA { <prof:0> worksFor <dept:0> }")
+    assert(upd2.quads.isDefined && upd2.quads.get.count() == 1)
   }
 
   test("SPARQL Update: DELETE DATA removes exactly the named triples") {

@@ -86,6 +86,33 @@ class ExactRankSpec extends AnyFunSuite {
     assert(ExactRank.rowNumber(empty, $"v", $"h", $"id", "rk").count() == 0)
   }
 
+  test("property: banded rank matches the reference on generated tie-heavy data") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, rng}
+    // a handful of seeded shapes: tiny domains (all ties), wide
+    // domains (no ties), negative values, single row
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      domain <- Gen.oneOf(1L, 2L, 5L, 1000000L)
+      shift <- Gen.oneOf(-500L, 0L, 7L)
+    } yield (n, domain, shift)
+    val seed0 = rng.Seed(20260814L)
+    val cases = Iterator.iterate(seed0)(_.next)
+      .map(s => gen.apply(Gen.Parameters.default, s))
+      .collect { case Some(c) => c }.take(8).toSeq
+    cases.foreach { case (n, domain, shift) =>
+      val df = (1 to n).map { i =>
+        (i.toLong, (i.toLong * 2654435761L % domain) + shift)
+      }.toDF("id", "v").withColumn("h", ExactRank.h32($"id", ":pr"))
+      val got = ExactRank.rowNumber(df, $"v", $"h", $"id", "rk", bands = 8)
+      val want = df.withColumn("rk2", row_number().over(
+        BoundedWindow.ordered($"v", $"h", $"id")).cast("long"))
+      val bad = got.join(want.select($"id", $"rk2"), "id")
+        .filter($"rk" =!= $"rk2").count()
+      assert(bad == 0, s"case n=$n domain=$domain shift=$shift")
+    }
+  }
+
   test("no partition-less window in the ExactRank plan itself") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
