@@ -2252,6 +2252,66 @@ object TextQueries {
              |SELECT decile, count(*) AS n_docs,
              |  CAST(sum(kept) AS BIGINT) AS n_kept,
              |  CAST(sum(kept) AS BIGINT) * 1.0 / count(*) AS retention
-             |FROM x GROUP BY 1""".stripMargin))
+             |FROM x GROUP BY 1""".stripMargin)),
+
+    // split-contamination matrix: after the standard 80/10/10
+    // hash-bucket split, how many of each split's exact fingerprints
+    // ALSO occur in a lower-precedence split (train < val < test)? —
+    // the leakage audit between a model's own splits, the sibling of
+    // q94/q216's corpus-vs-eval decontamination (those check against
+    // an external eval set; this checks the split boundary itself —
+    // a duplicated document that lands in both train and test inflates
+    // eval silently). Per-split row: docs, distinct fingerprints, and
+    // fingerprints leaked from lower splits. Scale shape: fingerprint-
+    // grain distinct + one fingerprint-keyed semi join; no doc-pair
+    // join anywhere.
+    GQuery(
+      "q312_split_contamination",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents")
+          .select($"doc_id", md5($"text").as("fp"),
+            (ExactRank.h32($"doc_id", ":sp") % 10).as("bucket"))
+          .withColumn("split",
+            when($"bucket" < 8, "train")
+              .when($"bucket" === 8, "val").otherwise("test"))
+          .withColumn("r",
+            when($"split" === "train", 0)
+              .when($"split" === "val", 1).otherwise(2))
+        val fps = d.select($"split", $"r", $"fp").distinct()
+        val leaked = fps.as("a")
+          .join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("b.r") < col("a.r"),
+            "left_semi")
+          .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+        d.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"fp").as("n_fingerprints"))
+          .join(leaked, Seq("split"), "left_outer")
+          .select($"split", $"n_docs", $"n_fingerprints",
+            coalesce($"n_leaked", lit(0L)).as("n_leaked"))
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS fp,
+             |    CAST(concat('0x', substr(md5(concat(
+             |      CAST(doc_id AS VARCHAR), ':sp')), 1, 8)) AS BIGINT) % 10
+             |      AS bucket
+             |  FROM documents),
+             |sp AS (SELECT doc_id, fp,
+             |    CASE WHEN bucket < 8 THEN 'train'
+             |         WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+             |    CASE WHEN bucket < 8 THEN 0
+             |         WHEN bucket = 8 THEN 1 ELSE 2 END AS r
+             |  FROM d),
+             |fps AS (SELECT DISTINCT split, r, fp FROM sp),
+             |lk AS (SELECT a.split, count(*) AS n_leaked FROM fps a
+             |  WHERE EXISTS (SELECT 1 FROM fps b
+             |    WHERE b.fp = a.fp AND b.r < a.r)
+             |  GROUP BY 1),
+             |base AS (SELECT split, count(*) AS n_docs,
+             |    count(DISTINCT fp) AS n_fingerprints FROM sp GROUP BY 1)
+             |SELECT base.split, n_docs, n_fingerprints,
+             |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked
+             |FROM base LEFT JOIN lk ON lk.split = base.split"""
+        .stripMargin))
   )
 }

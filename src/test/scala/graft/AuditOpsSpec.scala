@@ -724,4 +724,66 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(row.getDouble(2) - 1e-9 <= flesch && flesch <= row.getDouble(3) + 1e-9,
       "hand-computed doc score must lie within its source's [min, max]")
   }
+
+  test("q308 chunk manifest tiles every doc: tail covered, strides exact") {
+    import spark.implicits._
+    val m = run("q308_chunk_manifest").cache()
+    val docs = Tables.t(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    // per doc: chunk 0 exists, offsets stride by 48, the LAST chunk
+    // reaches exactly the doc's token count, and no chunk overruns
+    val per = m.groupBy($"doc_id")
+      .agg(min($"chunk_idx").as("c0"), max($"chunk_idx").as("cmax"),
+        count(lit(1)).as("nc"), max($"off" + $"chunk_tokens").as("covered"))
+      .join(docs, "doc_id")
+    assert(per.filter($"c0" =!= 0 || $"nc" =!= $"cmax" + 1).count() == 0,
+      "chunk indices must be contiguous from 0")
+    assert(per.filter($"covered" =!= $"n").count() == 0,
+      "the last chunk must end exactly at the doc's token count")
+    assert(m.filter($"off" =!= $"chunk_idx" * 48).count() == 0)
+    assert(m.filter($"chunk_tokens" < 1 || $"chunk_tokens" > 64).count() == 0)
+    m.unpersist()
+  }
+
+  test("q309 dedup length-bias accounting: deciles partition, kept = distinct texts") {
+    import spark.implicits._
+    val d = run("q309_dedup_length_bias").cache()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(d.agg(sum($"n_docs")).first().getLong(0) == docs.count())
+    assert(d.agg(sum($"n_kept")).first().getLong(0) ==
+      docs.select(md5($"text")).distinct().count(),
+      "exactly one survivor per distinct text across all deciles")
+    assert(d.filter($"n_kept" > $"n_docs" || $"n_kept" < 0).count() == 0)
+    assert(d.count() == 10)
+    d.unpersist()
+  }
+
+  test("q310 video scene counts: bounded by frames, single-scene needs one hash") {
+    import spark.implicits._
+    val v = run("q310_video_scene_cuts").cache()
+    // scenes per video ∈ [1, n_frames] → totals bounded by counts
+    assert(v.filter($"total_scenes" < $"n_videos" ||
+      $"total_scenes" > $"n_videos" * $"n_frames").count() == 0)
+    // distinct hashes per video are also ∈ [1, n_frames], and a video
+    // counted single-scene contributes exactly one distinct hash, so
+    // totals obey: distinct ≥ singles + 2·(videos − singles) is NOT
+    // guaranteed (scenes may reuse a hash) — but distinct ≤ scenes
+    // IS: a new scene is exactly a hash CHANGE, so the distinct count
+    // can never exceed the scene count per video
+    assert(v.filter($"total_distinct_hashes" > $"total_scenes").count() == 0)
+    assert(v.filter($"n_frames" < 2 || $"n_frames" > 9).count() == 0)
+    v.unpersist()
+  }
+
+  test("q312 split contamination: train leaks nothing, leaks bounded by fingerprints") {
+    import spark.implicits._
+    val c = run("q312_split_contamination").cache()
+    assert(c.count() == 3)
+    // train is the lowest-precedence split: nothing can leak INTO it
+    assert(c.filter($"split" === "train" && $"n_leaked" =!= 0).count() == 0)
+    assert(c.filter($"n_leaked" > $"n_fingerprints").count() == 0)
+    assert(c.agg(sum($"n_docs")).first().getLong(0) ==
+      Tables.t(spark, sf, "documents").count())
+    c.unpersist()
+  }
 }
