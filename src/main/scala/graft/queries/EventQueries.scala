@@ -1503,6 +1503,13 @@ object EventQueries {
           .withColumn("recency_days",
             expr("(corpus_max_us - last_us) div 86400000000"))
           .withColumn("h", ExactRank.h32($"user_id", ":rfm"))
+        // deliberately UNPINNED: measured at sf0.1, caching the base or
+        // the ranked intermediates is 1.3-2.7x SLOWER than recomputing
+        // them — the user-grain chain is cheap to rebuild from the
+        // parquet scan, and columnar cache serialization plus lost
+        // codegen fusion across the cache boundary cost more than the
+        // recompute they save (single-pass doc-grain callers like
+        // q288/q309 DO win from pinning their input; see those)
         val ranked = Seq(("r_rk", $"recency_days"), ("f_rk", -$"freq"),
           ("m_rk", -$"cents"))
           .foldLeft(base) { case (d, (out, v)) =>

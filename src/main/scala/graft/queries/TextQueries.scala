@@ -1958,7 +1958,8 @@ object TextQueries {
           .withColumn("h", ExactRank.h32($"doc_id", ":cal"))
         val tot = scored.agg(count(lit(1)).as("total"))
         ExactRank.rowNumber(
-            scored.crossJoin(GuardedBroadcast.maybe(tot)),
+            GuardedBroadcast.pin(
+              scored.crossJoin(GuardedBroadcast.maybe(tot))),
             $"score", $"h", $"doc_id", "rk")
           .withColumn("decile",
             ExactRank.ntileFromRank($"rk", $"total", 10))
@@ -2227,7 +2228,8 @@ object TextQueries {
           .withColumn("kept", ($"doc_id" === $"keep_id").cast("long"))
           .withColumn("h", ExactRank.h32($"doc_id", ":lb"))
         ExactRank.rowNumber(
-            flagged.crossJoin(GuardedBroadcast.maybe(tot)),
+            GuardedBroadcast.pin(
+              flagged.crossJoin(GuardedBroadcast.maybe(tot))),
             $"n_chars", $"h", $"doc_id", "rk")
           .withColumn("decile", ExactRank.ntileFromRank($"rk", $"total", 10))
           .groupBy($"decile")

@@ -159,6 +159,12 @@ object ExactRank {
       tie: Column,
       out: String,
       bands: Int = 256): DataFrame = {
+    // NOT pinned here: a caller chaining several ranks (q254) would
+    // pin each growing intermediate and blow the guard memo's LRU cap
+    // into eviction thrash (measured: 2.4x slower than no caching).
+    // Callers with an expensive upstream pin their INPUT once
+    // (GuardedBroadcast.pin) — every pass then recomputes only the
+    // cheap column adds below over the cached relation.
     val base = df
       .withColumn("_erk_v", value)
       .withColumn("_erk_h", h)

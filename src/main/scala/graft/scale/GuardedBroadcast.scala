@@ -39,7 +39,7 @@ object GuardedBroadcast {
   // the same relation must not share a cached handle.
   private val memo =
     new BoundedMemo[(SparkSession, Seq[String], LogicalPlan), (DataFrame, Long)](
-      16, { case (df, _) => df.unpersist() })
+      32, { case (df, _) => df.unpersist() })
 
   /** Fixed on-heap width for types whose payload the schema fully
     * determines; None for variable or nested types.
@@ -101,6 +101,24 @@ object GuardedBroadcast {
         })
         if (measured <= thresholdBytes) broadcast(cached) else cached
     }
+  }
+
+  /** Persist-and-memoize WITHOUT the broadcast hint: the caching half
+    * of [[maybe]] for a relation a multi-pass operator re-reads
+    * several times in one plan family (ExactRank's percentile probe,
+    * histogram aggregates, and final joins all scan the same ranked
+    * input — unpinned, each pass would recompute the whole upstream
+    * chain). Shares the same bounded memo (so eviction unpersists),
+    * keyed by the same canonicalized plan; the sentinel size keeps a
+    * later [[maybe]] on the identical plan from ever broadcasting the
+    * pinned copy — conservative, never wrong.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val key = (df.sparkSession, df.schema.fieldNames.toSeq,
+      df.queryExecution.analyzed.canonicalized)
+    val (cached, _) = memo.getOrElseUpdate(key,
+      (df.persist(StorageLevel.MEMORY_AND_DISK), Long.MaxValue))
+    cached
   }
 
   /** Visible for tests: current number of memoized guard relations. */
