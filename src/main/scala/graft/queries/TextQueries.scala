@@ -2314,6 +2314,62 @@ object TextQueries {
              |SELECT base.split, n_docs, n_fingerprints,
              |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked
              |FROM base LEFT JOIN lk ON lk.split = base.split"""
-        .stripMargin))
+        .stripMargin)),
+
+    // perplexity-gating audit (the CCNet filtering recipe, Wenzek et
+    // al. 2020, arXiv:1911.00359 — keep documents an LM scores as
+    // fluent): per-language retention at three bits-per-token gates
+    // over q220's unigram LM. The gate compares EXACT integers —
+    // doc passes threshold T bits/token iff Σmb ≤ T·10⁴·n_tokens
+    // (mb is the milli-bit-integerized word surprisal) — so no
+    // per-doc float divide enters the decision. This is the
+    // language-bias readout a team checks BEFORE applying the filter:
+    // an LM fit on the majority language scores minority-language
+    // text as "non-fluent", and a sloped retention column here is
+    // that bias made visible. Scale shape: vocabulary-sized LM
+    // broadcast-joined to the token stream (the q220 shape), doc-grain
+    // aggregate, ×3 thresholds at doc grain, output 3×langs rows.
+    GQuery(
+      "q313_perplexity_gate",
+      (s, dir) => {
+        import s.implicits._
+        val w = t(s, dir, "documents")
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+        val counts = w.groupBy($"word").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum($"c").as("total"))
+        val lm = counts.crossJoin(GuardedBroadcast.maybe(total))
+          .select($"word",
+            floor((log2($"total") - log2($"c")) * 10000 + 0.5)
+              .cast("long").as("mb"))
+        val perDoc = w.join(GuardedBroadcast.maybe(lm), Seq("word"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"), sum($"mb").as("smb"))
+        val thr = Seq(9L, 11L, 13L).toDF("thr_bits")
+        perDoc.crossJoin(GuardedBroadcast.maybe(thr))
+          .groupBy($"thr_bits", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"smb" <= $"thr_bits" * 10000 * $"n_tokens").cast("long"))
+              .as("n_kept"),
+            sum(when($"smb" <= $"thr_bits" * 10000 * $"n_tokens",
+              $"n_tokens").otherwise(0L)).as("kept_tokens"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang,
+             |    unnest(string_split(text, ' ')) AS word FROM documents),
+             |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+             |lm AS (SELECT word,
+             |    CAST(floor((log2(total) - log2(c)) * 10000 + 0.5)
+             |      AS BIGINT) AS mb
+             |  FROM c, tot),
+             |pd AS (SELECT doc_id, lang, count(*) AS n_tokens,
+             |    CAST(sum(mb) AS BIGINT) AS smb
+             |  FROM w JOIN lm USING (word) GROUP BY 1, 2),
+             |t AS (SELECT CAST(unnest([9, 11, 13]) AS BIGINT) AS thr_bits)
+             |SELECT thr_bits, lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN smb <= thr_bits * 10000 * n_tokens
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN smb <= thr_bits * 10000 * n_tokens
+             |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+             |FROM pd, t GROUP BY 1, 2""".stripMargin))
   )
 }
