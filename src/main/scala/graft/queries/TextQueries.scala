@@ -2370,6 +2370,41 @@ object TextQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(sum(CASE WHEN smb <= thr_bits * 10000 * n_tokens
              |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
-             |FROM pd, t GROUP BY 1, 2""".stripMargin))
+             |FROM pd, t GROUP BY 1, 2""".stripMargin)),
+
+    // cross-source syndication matrix: for every ordered source pair,
+    // how many LEDE fingerprints (md5 of the first 8 tokens — outlets
+    // syndicate a wire lede and edit the tail, so whole-text hashing
+    // misses exactly the duplication that matters) appear in BOTH —
+    // the mirror/syndication detector; curation then dedups across
+    // the pair or drops the mirror. Complements q131 (within-source
+    // dup rate) and q312 (split leakage): fingerprint machinery at
+    // source×source scope. Scale shape: (source, fp) distinct, then a
+    // fingerprint-keyed self-join whose fan-out per fingerprint is
+    // bounded by the SOURCE count, never by doc count — output
+    // ≤ sources² rows.
+    GQuery(
+      "q314_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val fps = t(s, dir, "documents")
+          .select($"source",
+            md5(concat_ws(" ", slice(split($"text", " "), 1, 8))).as("fp"))
+          .distinct()
+        fps.as("a")
+          .join(fps.as("b"),
+            col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some("""WITH f AS (SELECT DISTINCT source,
+             |    md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+             |      AS fp
+             |  FROM documents)
+             |SELECT a.source AS source_a, b.source AS source_b,
+             |  count(*) AS n_shared
+             |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin))
   )
 }
