@@ -143,7 +143,11 @@ object ExactRank {
     val wv = Window.partitionBy((gCols :+ col("_erk_band")): _*)
       .orderBy(col(value)).rowsBetween(unb, -1)
     banded
-      .join(GuardedBroadcast.maybe(bandHist), grp :+ "_erk_band")
+      // unhinted on purpose: bandHist is ≤ `bands` (× group) rows BY
+      // CONSTRUCTION, so AQE broadcasts it from its measured shuffle
+      // size — a GuardedBroadcast here would spend a persist+measure
+      // job per call to learn what the bound already guarantees
+      .join(bandHist, grp :+ "_erk_band")
       .withColumn(out,
         col("_erk_below_band") + coalesce(sum(col(cnt)).over(wv), lit(0L)))
       .drop("_erk_band", "_erk_below_band")
