@@ -332,12 +332,47 @@ object BgpPlanner {
   def plan(store: TripleStore, q: BgpQuery): DataFrame =
     plan(store, q, Map.empty[String, Long])
 
+  /** SPARQL §13.2: when a query carries FROM / FROM NAMED, its dataset
+    * is EXACTLY what the clauses name. FROM graphs' union (RDF merge —
+    * per-slice distinct via TripleStore.fromTriples) becomes the
+    * default graph; `fromNamed` restricts the quads a GRAPH block may
+    * range over. One-sided clauses empty the other side: FROM-only ⇒
+    * no named graphs, FROM NAMED-only ⇒ empty default graph (schemas
+    * kept, zero rows). The s-bucketed secondary describes the STORE's
+    * default graph, not this query-scoped one, so it drops here.
+    */
+  private def datasetStore(store: TripleStore, q: BgpQuery): TripleStore = {
+    val enc: String => Column =
+      if (store.encoded) g => xxhash64(lit(g)) else g => lit(g)
+    val emptied = store.slices.map { case (p, df) => p -> df.limit(0) }
+    val defSlices =
+      if (q.fromGraphs.isEmpty) emptied
+      else {
+        val quads = store.quads.getOrElse(throw new IllegalArgumentException(
+          "FROM names a graph but the store has no named graphs"))
+        val sel = q.fromGraphs.map(g => col("g") === enc(g)).reduce(_ || _)
+        val sub = TripleStore.fromTriples(
+          quads.filter(sel).select(col("s"), col("p"), col("o")))
+        if (sub.slices.isEmpty) emptied else sub.slices
+      }
+    val namedQuads = store.quads.map { qd =>
+      if (q.fromNamed.isEmpty) qd.filter(lit(false))
+      else qd.filter(q.fromNamed.map(g => col("g") === enc(g)).reduce(_ || _))
+    }
+    store.copy(slices = defSlices, sBucketed = None, quads = namedQuads)
+  }
+
   /** Plan with measured per-pattern cardinalities (rows; −1 = measured
     * empty). Measurements order the join chain and short-circuit
     * provably-empty patterns without touching data.
     */
-  def plan(store: TripleStore, q: BgpQuery,
+  def plan(store0: TripleStore, q: BgpQuery,
       measured: Map[String, Long]): DataFrame = {
+    // §13.2 dataset clause: rebind the store BEFORE any scan is built;
+    // subqueries and GRAPH blocks below see the rescoped dataset
+    val store =
+      if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store0
+      else datasetStore(store0, q)
     val encode: String => Column =
       if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
 
@@ -717,6 +752,34 @@ object BgpPlanner {
         else joined.join(sub, lit(true), "left_outer")
     }
 
+    // Semi/anti join of an ID-SPACE sub-relation (a pattern chain on
+    // the encoded store) against the running solution. A shared var the
+    // solution holds LEXICALLY (a SERVICE-only binding, a subquery
+    // export) re-enters id space by hashing the solution side inside
+    // the join condition — ids ARE the values' xxhash64, so the equality
+    // is exact and the solution's column stays lexical for the result
+    // edge (the alternative — re-encoding the solution column — would
+    // decode through the OUTER dict at the edge and NULL out remote
+    // values the outer store never saw). Without this, a var shared
+    // only between e.g. SERVICE and MINUS compared string-to-bigint
+    // and the negation silently removed nothing.
+    def idSpaceSemiJoin(left: DataFrame, sub: DataFrame,
+        common: Seq[String], joinType: String): DataFrame = {
+      if (!store.encoded || !common.exists(lexical))
+        left.join(sub, common, joinType)
+      else {
+        val subR = sub.select(common.map(c => col(c).as("__sub_" + c)): _*)
+        val cond = common.map { c =>
+          val l =
+            if (lexical(c))
+              when(left(c).isNull, lit(null)).otherwise(xxhash64(left(c)))
+            else left(c)
+          l === subR("__sub_" + c)
+        }.reduce(_ && _)
+        left.join(subR, cond, joinType)
+      }
+    }
+
     // MINUS blocks: SPARQL negation ≡ left-anti join on the shared
     // variables; block-scoped FILTERs restrict which solutions remove.
     // A block sharing no variable with the main chain is dom-disjoint
@@ -727,7 +790,7 @@ object BgpPlanner {
         block.map(patternScan(store, _, encode, measured)), measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       if (common.nonEmpty)
-        joined = joined.join(sub, common, "left_anti")
+        joined = idSpaceSemiJoin(joined, sub, common, "left_anti")
     }
 
     // FILTER [NOT] EXISTS blocks: semi/anti join on the shared
@@ -741,7 +804,7 @@ object BgpPlanner {
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       val joinType = if (negated) "left_anti" else "left_semi"
       joined =
-        if (common.nonEmpty) joined.join(sub, common, joinType)
+        if (common.nonEmpty) idSpaceSemiJoin(joined, sub, common, joinType)
         else joined.join(sub.limit(1), lit(true), joinType)
     }
 
@@ -790,8 +853,13 @@ object BgpPlanner {
         if (store.encoded) {
           val commonSet = common.toSet
           lexical ++= vs.filterNot(commonSet)
+          // a common column the solution holds LEXICALLY (service-only
+          // binding) joins on the literal itself — encoding only the
+          // inline side would compare string to bigint and silently
+          // match nothing
           inline0.select(vs.map(v =>
-            if (commonSet(v)) xxhash64(col(v)).as(v) else col(v)): _*)
+            if (commonSet(v) && !lexical(v)) xxhash64(col(v)).as(v)
+            else col(v)): _*)
         } else inline0
       joined =
         if (common.nonEmpty) joined.join(inline, common, "inner")

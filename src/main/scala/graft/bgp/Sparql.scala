@@ -34,17 +34,43 @@ object Sparql {
     "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
     "unsignedByte")
 
+  // the quoted-lexical arm accepts backslash escapes (`\"`, `\\`) per
+  // SPARQL grammar rule [145] — captured raw, unescaped by unescapeLit
   private[bgp] val typedLitRe =
-    "^\"([^\"]*)\"\\^\\^(?:<([^>]*)>|([A-Za-z][\\w.-]*:[\\w.-]+))$".r
+    "^\"((?:[^\"\\\\]|\\\\.)*)\"\\^\\^(?:<([^>]*)>|([A-Za-z][\\w.-]*:[\\w.-]+))$".r
   private[bgp] val langLitRe =
-    "^\"([^\"]*)\"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$".r
+    "^\"((?:[^\"\\\\]|\\\\.)*)\"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$".r
+
+  /** Undo literal backslash escapes (`\"` `\\` `\n` `\t`) — applied
+    * once at parse time so stored/compared lexical forms hold the
+    * actual characters; identity for escape-free strings.
+    */
+  private[bgp] def unescapeLit(s: String): String =
+    if (!s.contains('\\')) s
+    else {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          b += (s.charAt(i + 1) match {
+            case 'n' => '\n'
+            case 't' => '\t'
+            case 'r' => '\r'
+            case other => other
+          })
+          i += 2
+        } else { b += c; i += 1 }
+      }
+      b.toString
+    }
 
   /** Term tokenization shared by triple patterns and VALUES blocks:
     * a quoted literal with an optional `^^datatype` / `@lang` suffix
     * (spaces allowed inside the quotes), a `<uri>`, or a bare word.
     */
   private[bgp] val termTokenRe =
-    ("\"[^\"]*\"(?:\\^\\^<[^>]*>|\\^\\^[A-Za-z][\\w.-]*:[\\w.-]+" +
+    ("\"(?:[^\"\\\\]|\\\\.)*\"(?:\\^\\^<[^>]*>|\\^\\^[A-Za-z][\\w.-]*:[\\w.-]+" +
       "|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?|<[^>]*>|\\S+").r
 
   /** Canonical datatype IRI: the well-known `xsd:` prefix expands even
@@ -63,7 +89,8 @@ object Sparql {
     * the datatype expanded, so query constants and ingested data meet
     * on one spelling.
     */
-  def canonTyped(lex: String, dtRaw: String): String = {
+  def canonTyped(lex0: String, dtRaw: String): String = {
+    val lex = unescapeLit(lex0)
     val dt = datatypeUri(dtRaw)
     if (dt == XsdNs + "string") lex else "\"" + lex + "\"^^<" + dt + ">"
   }
@@ -72,7 +99,7 @@ object Sparql {
     * (BCP 47), so they canonicalize to lowercase.
     */
   def canonLang(lex: String, lang: String): String =
-    "\"" + lex + "\"@" + lang.toLowerCase
+    "\"" + unescapeLit(lex) + "\"@" + lang.toLowerCase
   /** One-or-more property path `p+` (SPARQL 1.1) — only valid at the
     * predicate position; the planner evaluates the slice's transitive
     * closure.
@@ -272,7 +299,14 @@ object Sparql {
       // registered store (ServiceRegistry — a second TripleStore
       // standing in for the remote SPARQL endpoint) and natural-joins
       // into the outer solution on its shared variables (§2.2).
-      services: Seq[(String, Seq[TriplePattern])] = Nil)
+      services: Seq[(String, Seq[TriplePattern])] = Nil,
+      // `FROM <g>` / `FROM NAMED <g>` dataset clauses (SPARQL §13.2):
+      // when either is present the query's dataset is EXACTLY what the
+      // clauses name — `fromGraphs`' union (RDF merge) becomes the
+      // default graph, `fromNamed` the named-graph set a GRAPH block
+      // may range over. Both empty = the store's own dataset.
+      fromGraphs: Seq[String] = Nil,
+      fromNamed: Seq[String] = Nil)
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val serviceRe =
@@ -536,7 +570,14 @@ object Sparql {
     require(selIdx == 0, s"query must start with 'select': $query")
     require(whereIdx > 0, s"query must contain 'where': $query")
 
-    val selSection0 = lower.substring("select".length, whereIdx).trim
+    val selSectionF = lower.substring("select".length, whereIdx).trim
+    // dataset clauses sit between the projection and WHERE (§13.2):
+    // pulled out before SELECT-item matching
+    val fromRe = "(?is)\\bfrom\\s+(named\\s+)?<([^>]*)>".r
+    val fromClauses = fromRe.findAllMatchIn(selSectionF).toSeq
+    val fromGraphs = fromClauses.filter(_.group(1) == null).map(_.group(2))
+    val fromNamed = fromClauses.filter(_.group(1) != null).map(_.group(2))
+    val selSection0 = fromRe.replaceAllIn(selSectionF, " ").trim
     val isDistinct = selSection0.toLowerCase.startsWith("distinct")
     val selSection =
       if (isDistinct) selSection0.drop("distinct".length) else selSection0
@@ -947,7 +988,8 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
-      binds, subqueries, valuesTables, graphBlocks, services)
+      binds, subqueries, valuesTables, graphBlocks, services,
+      fromGraphs, fromNamed)
   }
 
   /** Scan for `{ SELECT ... }` blocks with balanced-brace matching;
@@ -1287,7 +1329,7 @@ object Sparql {
       }))
     else if (tok.startsWith("<") && tok.endsWith(">")) Const(tok.drop(1).dropRight(1))
     else if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2)
-      Const(tok.drop(1).dropRight(1))
+      Const(unescapeLit(tok.drop(1).dropRight(1)))
     else Const(tok)
 
   private def indexOfWord(s: String, w: String): Int = {

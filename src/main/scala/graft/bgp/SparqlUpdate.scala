@@ -43,14 +43,46 @@ object SparqlUpdate {
   final case class DeleteWhere(patterns: Seq[Sparql.TriplePattern])
       extends UpdateOp
 
+  /** §3.1.1/§3.1.2 QuadData: a `GRAPH <g> { … }` block inside a DATA
+    * op — ground triples landing in (or leaving) one NAMED graph of
+    * the quads relation instead of the default-graph slices.
+    */
+  final case class InsertDataGraph(graph: String,
+      triples: Seq[(String, String, String)]) extends UpdateOp
+  final case class DeleteDataGraph(graph: String,
+      triples: Seq[(String, String, String)]) extends UpdateOp
+
+  /** §3.2.2/§3.2.3 explicit graph lifecycle. This store records no
+    * EMPTY graphs (a graph exists iff it holds a quad — the freedom
+    * §3.2.2 grants such stores), so CREATE is a validated no-op and
+    * DROP GRAPH ≡ remove the graph's quads; non-SILENT forms still
+    * fail loudly on the exists/absent conflicts the spec names.
+    * `graph = None` means `DROP DEFAULT`.
+    */
+  final case class CreateGraph(graph: String, silent: Boolean)
+      extends UpdateOp
+  final case class DropGraph(graph: Option[String], silent: Boolean)
+      extends UpdateOp
+
   /** The full §3.1.3 DELETE/INSERT form: `where` binds, `deleteTmpl`
     * then `insertTmpl` instantiate under every solution (deletes apply
     * before inserts, both against the ORIGINAL store's bindings).
+    * Round-8 extensions: `deleteQuadTmpl`/`insertQuadTmpl` carry
+    * GRAPH-scoped template entries (instantiated into the quads
+    * relation); `whereGraphs` is the WHERE clause's dataset — the
+    * union of the named graphs a `WITH <g>` / `USING <g>` clause
+    * selects (empty = the default-graph slices). A `WITH` graph also
+    * rescopes UNSCOPED template entries to that graph at parse time,
+    * and `USING` overrides `WITH` for the WHERE dataset, both per
+    * §3.1.3.
     */
   final case class Modify(
       deleteTmpl: Seq[Sparql.TriplePattern],
       insertTmpl: Seq[Sparql.TriplePattern],
-      where: Seq[Sparql.TriplePattern]) extends UpdateOp
+      where: Seq[Sparql.TriplePattern],
+      deleteQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
+      insertQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
+      whereGraphs: Seq[String] = Nil) extends UpdateOp
 
   // ——— §3.2 graph management over the store's named-graph quads ———
   case object ClearDefault extends UpdateOp
@@ -73,9 +105,6 @@ object SparqlUpdate {
   private val insDataRe = "(?is)^\\s*INSERT\\s+DATA\\s*\\{(.*)\\}\\s*$".r
   private val delDataRe = "(?is)^\\s*DELETE\\s+DATA\\s*\\{(.*)\\}\\s*$".r
   private val delWhereRe = "(?is)^\\s*DELETE\\s+WHERE\\s*\\{(.*)\\}\\s*$".r
-  private val modifyRe =
-    ("(?is)^\\s*(?:DELETE\\s*\\{([^{}]*)\\}\\s*)?" +
-      "(?:INSERT\\s*\\{([^{}]*)\\}\\s*)?WHERE\\s*\\{([^{}]*)\\}\\s*$").r
   private val clearRe =
     "(?is)^\\s*CLEAR\\s+(?:DEFAULT|GRAPH\\s+<([^>]*)>)\\s*$".r
   private val graphOpRe =
@@ -83,42 +112,182 @@ object SparqlUpdate {
       "\\s+TO\\s+GRAPH\\s+<([^>]*)>\\s*$").r
   private val loadRe =
     "(?is)^\\s*LOAD\\s+<([^>]*)>\\s+INTO\\s+GRAPH\\s+<([^>]*)>\\s*$".r
+  private val createRe =
+    "(?is)^\\s*CREATE\\s+(SILENT\\s+)?GRAPH\\s+<([^>]*)>\\s*$".r
+  private val dropRe =
+    "(?is)^\\s*DROP\\s+(SILENT\\s+)?(?:(DEFAULT)|GRAPH\\s+<([^>]*)>)\\s*$".r
+  private val withRe = "(?is)^\\s*WITH\\s+<([^>]*)>".r
+  private val usingRe = "(?is)^\\s*USING\\s+(NAMED\\s+)?<([^>]*)>".r
 
   /** Parse an update request: one or more operations separated by `;`
     * (brace-depth-aware, so a `;` inside a block or literal is data).
+    * A DATA op containing `GRAPH <g> { … }` chunks yields one op per
+    * chunk plus (when present) one for its default-graph remainder.
     */
   def parse(text: String): Seq[UpdateOp] =
-    splitOps(text).map {
-      case insDataRe(body) => InsertData(groundTriples(body))
-      case delDataRe(body) => DeleteData(groundTriples(body))
+    splitOps(text).flatMap {
+      case insDataRe(body) =>
+        val (chunks, rest) = graphChunks(body)
+        val defaults = groundTriples(rest)
+        (if (defaults.nonEmpty || chunks.isEmpty)
+          Seq(InsertData(defaults)) else Nil) ++
+          chunks.map { case (g, b) => InsertDataGraph(g, groundTriples(b)) }
+      case delDataRe(body) =>
+        val (chunks, rest) = graphChunks(body)
+        val defaults = groundTriples(rest)
+        (if (defaults.nonEmpty || chunks.isEmpty)
+          Seq(DeleteData(defaults)) else Nil) ++
+          chunks.map { case (g, b) => DeleteDataGraph(g, groundTriples(b)) }
       case delWhereRe(body) =>
         val pats = patternsOf(body)
         val isGround = pats.forall(tp =>
           Seq(tp.s, tp.p, tp.o).forall(_.isInstanceOf[Sparql.Const]))
         if (isGround)
           // variable-free DELETE WHERE degenerates to DELETE DATA
-          DeleteData(pats.map(tp => (constOf(tp.s), constOf(tp.p),
-            constOf(tp.o))))
-        else DeleteWhere(pats)
-      case modifyRe(delT, insT, whereT) if delT != null || insT != null =>
-        val del = Option(delT).map(patternsOf).getOrElse(Nil)
-        val ins = Option(insT).map(patternsOf).getOrElse(Nil)
-        val where = patternsOf(whereT)
-        val bound = where.flatMap(tp => Seq(tp.s, tp.o))
-          .collect { case Sparql.Var(n) => n }.toSet
-        (del ++ ins).flatMap(tp => Seq(tp.s, tp.o))
-          .collect { case Sparql.Var(n) => n }
-          .foreach(v => require(bound(v),
-            s"template var ?$v is not bound by the WHERE group"))
-        Modify(del, ins, where)
-      case clearRe(g) => if (g == null) ClearDefault else ClearGraph(g)
-      case graphOpRe(op, from, to) => GraphOp(op.toUpperCase, from, to)
-      case loadRe(path, g) => Load(path, g)
-      case other => throw new IllegalArgumentException(
-        "unsupported update operation (INSERT DATA / DELETE DATA / " +
-          "DELETE WHERE / DELETE-INSERT-WHERE / CLEAR / ADD / COPY / " +
-          s"MOVE / LOAD): '${other.take(80)}'")
+          Seq(DeleteData(pats.map(tp => (constOf(tp.s), constOf(tp.p),
+            constOf(tp.o)))))
+        else Seq(DeleteWhere(pats))
+      case clearRe(g) =>
+        Seq(if (g == null) ClearDefault else ClearGraph(g))
+      case graphOpRe(op, from, to) => Seq(GraphOp(op.toUpperCase, from, to))
+      case loadRe(path, g) => Seq(Load(path, g))
+      case createRe(silent, g) => Seq(CreateGraph(g, silent != null))
+      case dropRe(silent, dflt, g) =>
+        Seq(DropGraph(if (dflt != null) None else Some(g), silent != null))
+      case other => Seq(parseModify(other).getOrElse(
+        throw new IllegalArgumentException(
+          "unsupported update operation (INSERT DATA / DELETE DATA / " +
+            "DELETE WHERE / [WITH] DELETE-INSERT-USING-WHERE / CLEAR / " +
+            "ADD / COPY / MOVE / LOAD / CREATE / DROP): " +
+            s"'${other.take(80)}'")))
     }
+
+  /** Structural parser for the §3.1.3 form —
+    * `[WITH <g>] [DELETE { t }] [INSERT { t }] (USING [NAMED] <g>)*
+    * WHERE { pats }` — with brace-matched (possibly GRAPH-nested)
+    * template bodies the old flat regex could not see into. Returns
+    * None when the text is not a modify at all (so the caller reports
+    * the generic unsupported-op error).
+    */
+  private def parseModify(text: String): Option[Modify] = {
+    var s = text
+    var withG: Option[String] = None
+    withRe.findFirstMatchIn(s).foreach { m =>
+      withG = Some(m.group(1)); s = s.substring(m.end)
+    }
+    def block(kw: String): Option[String] =
+      s"(?is)^\\s*$kw\\s*\\{".r.findFirstMatchIn(s).map { m =>
+        val (body, after) = braceBlock(s, m.end - 1)
+        s = s.substring(after)
+        body
+      }
+    val delB = block("DELETE")
+    val insB = block("INSERT")
+    if (delB.isEmpty && insB.isEmpty) return None
+    val usings = Seq.newBuilder[(Boolean, String)]
+    var more = true
+    while (more) usingRe.findFirstMatchIn(s) match {
+      case Some(m) =>
+        usings += ((m.group(1) != null, m.group(2))); s = s.substring(m.end)
+      case None => more = false
+    }
+    val whereB = block("WHERE")
+    require(whereB.isDefined,
+      s"DELETE/INSERT templates need a WHERE clause: '${text.take(80)}'")
+    require(s.trim.isEmpty,
+      s"trailing text after WHERE clause: '${s.trim.take(80)}'")
+    // template bodies: GRAPH chunks + default-graph remainder; a WITH
+    // graph rescopes the UNSCOPED entries (§3.1.3)
+    def tmpl(b: Option[String])
+        : (Seq[Sparql.TriplePattern], Seq[(String, Sparql.TriplePattern)]) =
+      b match {
+        case None => (Nil, Nil)
+        case Some(body) =>
+          val (chunks, rest) = graphChunks(body)
+          val plain = patternsOf(rest)
+          val quads = chunks.flatMap { case (g, cb) =>
+            patternsOf(cb).map(g -> _)
+          }
+          withG match {
+            case Some(g) => (Nil, plain.map(g -> _) ++ quads)
+            case None => (plain, quads)
+          }
+      }
+    val (del, delQ) = tmpl(delB)
+    val (ins, insQ) = tmpl(insB)
+    val where = patternsOf(whereB.get)
+    // WHERE dataset: USING (non-named) graphs win over WITH; USING
+    // NAMED only scopes GRAPH blocks, which update WHERE groups do not
+    // support — with no GRAPH block to scope it is vacuous (§13.2)
+    val usingList = usings.result()
+    val whereGraphs = {
+      val plain = usingList.collect { case (false, g) => g }
+      if (plain.nonEmpty) plain else withG.toList
+    }
+    val bound = where.flatMap(tp => Seq(tp.s, tp.o))
+      .collect { case Sparql.Var(n) => n }.toSet
+    (del ++ ins ++ (delQ ++ insQ).map(_._2))
+      .flatMap(tp => Seq(tp.s, tp.o))
+      .collect { case Sparql.Var(n) => n }
+      .foreach(v => require(bound(v),
+        s"template var ?$v is not bound by the WHERE group"))
+    Some(Modify(del, ins, where, delQ, insQ, whereGraphs))
+  }
+
+  /** Pull `GRAPH <g> { … }` chunks out of a DATA/template body:
+    * returns (chunks as graph→body, remainder with the chunks cut
+    * out). Brace matching is quote/IRI aware ([[braceBlock]]).
+    */
+  private def graphChunks(body: String)
+      : (Seq[(String, String)], String) = {
+    val gRe = "(?is)\\bGRAPH\\s+<([^>]*)>\\s*\\{".r
+    val out = Seq.newBuilder[(String, String)]
+    val rem = new StringBuilder
+    var rest = body
+    var more = true
+    while (more) gRe.findFirstMatchIn(rest) match {
+      case Some(m) =>
+        val (inner, after) = braceBlock(rest, m.end - 1)
+        out += (m.group(1) -> inner)
+        rem.append(rest.substring(0, m.start)).append(' ')
+        rest = rest.substring(after)
+      case None => more = false
+    }
+    rem.append(rest)
+    (out.result(), rem.toString)
+  }
+
+  /** Matched-brace extraction: `from` indexes the opening `{`; returns
+    * (inner body, index just past the closing `}`). Quote and `<...>`
+    * IRI aware, like [[splitTop]].
+    */
+  private def braceBlock(s: String, from: Int): (String, Int) = {
+    require(from < s.length && s.charAt(from) == '{',
+      s"expected '{' at $from in '${s.take(80)}'")
+    var depth = 0
+    var inQuote = false
+    var inAngle = false
+    var i = from
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQuote) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inQuote = false
+      } else ch match {
+        case '"' => inQuote = true
+        case '<' => inAngle = true
+        case '>' => inAngle = false
+        case '{' if !inAngle => depth += 1
+        case '}' if !inAngle =>
+          depth -= 1
+          if (depth == 0) return (s.substring(from + 1, i), i + 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced braces in update text: '${s.drop(from).take(80)}'")
+  }
 
   /** Parse + fold a whole request over a store. */
   def applyAll(spark: SparkSession, store: TripleStore,
@@ -145,8 +314,13 @@ object SparqlUpdate {
             sl.updated(p,
               sl.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
         }
+        // the dict vocabulary includes PREDICATE names, mirroring
+        // TripleStore.encode's predNames union: a variable at the p
+        // position decodes through the dict (unionView emits
+        // xxhash64(p)), so an inserted predicate without a dict row
+        // would silently decode to NULL
         val dict = store.dict.map(d =>
-          growDict(spark, d, ts.flatMap(t => Seq(t._1, t._3)).distinct))
+          growDict(spark, d, ts.flatMap(t => Seq(t._1, t._2, t._3)).distinct))
         store.copy(slices = slices, dict = dict, sBucketed = None)
 
       case DeleteData(ts) =>
@@ -165,8 +339,55 @@ object SparqlUpdate {
       // as both the match and the (only) template
       case DeleteWhere(pats) => applyModify(spark, store, pats, Nil, pats)
 
-      case Modify(del, ins, where) =>
-        applyModify(spark, store, del, ins, where)
+      case Modify(del, ins, where, delQ, insQ, whereGs) =>
+        applyModify(spark, store, del, ins, where, delQ, insQ, whereGs)
+
+      case InsertDataGraph(g, ts) =>
+        val rows = ts.toDF("s", "p", "o")
+        val asQuads = rows.select(gid(store, g).as("g"),
+          (if (store.encoded) xxhash64($"s") else $"s").as("s"), $"p",
+          (if (store.encoded) xxhash64($"o") else $"o").as("o"))
+        val quads = store.quads match {
+          case Some(q) => q.unionByName(asQuads).distinct()
+          case None => asQuads.distinct()
+        }
+        val dict = store.dict.map(d => growDict(spark, d,
+          (ts.flatMap(t => Seq(t._1, t._2, t._3)) :+ g).distinct))
+        store.copy(quads = Some(quads), dict = dict)
+
+      case DeleteDataGraph(g, ts) =>
+        store.quads match {
+          case None => store // no named graphs at all: no-op (§3.1.2)
+          case Some(q) =>
+            val rows = ts.toDF("s", "p", "o")
+            val del = rows.select(gid(store, g).as("g"),
+              (if (store.encoded) xxhash64($"s") else $"s").as("s"), $"p",
+              (if (store.encoded) xxhash64($"o") else $"o").as("o"))
+            store.copy(quads = Some(q.join(GuardedBroadcast.maybe(del),
+              Seq("g", "s", "p", "o"), "left_anti")))
+        }
+
+      case CreateGraph(g, silent) =>
+        // no empty-graph bookkeeping (§3.2.2 lets such stores treat
+        // CREATE as a no-op) — but the spec's already-exists conflict
+        // still fails loudly in the non-SILENT form
+        if (!silent && graphExists(store, g))
+          throw new IllegalStateException(
+            s"CREATE GRAPH <$g>: graph already exists (CREATE SILENT " +
+              "to ignore)")
+        store
+
+      case DropGraph(None, _) =>
+        // DROP DEFAULT ≡ CLEAR DEFAULT on a store without empty-graph
+        // bookkeeping: the default graph always "exists"
+        apply(spark, store, ClearDefault)
+
+      case DropGraph(Some(g), silent) =>
+        if (!silent && !graphExists(store, g))
+          throw new IllegalStateException(
+            s"DROP GRAPH <$g>: no such graph (DROP SILENT to ignore)")
+        store.copy(quads =
+          store.quads.map(_.filter(col("g") =!= gid(store, g))))
 
       case ClearDefault =>
         // empty every slice but keep schemas — a cleared store still
@@ -214,6 +435,8 @@ object SparqlUpdate {
         val dict = store.dict.map { d =>
           val vocab = triples.select(col("s").as("value"))
             .unionByName(triples.select(col("o").as("value")))
+            // loaded predicate names too (encode's predNames rule)
+            .unionByName(triples.select(col("p").as("value")))
             .unionByName(Seq(g).toDF("value"))
             .distinct()
           growDictDf(spark, d, vocab)
@@ -230,6 +453,28 @@ object SparqlUpdate {
     store.quads.getOrElse(throw new IllegalArgumentException(
       s"$what needs a store with named graphs (quads)"))
 
+  /** A graph exists iff it holds ≥1 quad (no empty-graph bookkeeping,
+    * §3.2.2) — a limit-1 probe, never a count.
+    */
+  private def graphExists(store: TripleStore, g: String): Boolean =
+    store.quads.exists(q =>
+      !q.filter(col("g") === gid(store, g)).isEmpty)
+
+  /** The WHERE dataset of a WITH/USING clause: a slices view over the
+    * union ("RDF merge" — per-slice distinct) of the named graphs
+    * `gs`, carrying the store's dict so encoded evaluation and the
+    * result-edge decode work unchanged. Predicate inventory rides
+    * TripleStore.fromTriples' bounded distinct-collect (schema-sized
+    * by the MaxPredicates contract).
+    */
+  private def scopedStore(store: TripleStore, gs: Seq[String]): TripleStore = {
+    val quads = namedGraphs(store, "WITH/USING")
+    val sel = gs.map(g => col("g") === gid(store, g)).reduce(_ || _)
+    TripleStore.fromTriples(
+      quads.filter(sel).select(col("s"), col("p"), col("o")))
+      .copy(dict = store.dict)
+  }
+
   /** Shared §3.1.3 evaluation: `where` binds once against the ORIGINAL
     * store; the delete template applies first (per-slice anti-join),
     * then the insert template (per-slice union-distinct — new
@@ -245,17 +490,25 @@ object SparqlUpdate {
       store: TripleStore,
       delTmpl: Seq[Sparql.TriplePattern],
       insTmpl: Seq[Sparql.TriplePattern],
-      where: Seq[Sparql.TriplePattern]): TripleStore = {
+      where: Seq[Sparql.TriplePattern],
+      delQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
+      insQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
+      whereGraphs: Seq[String] = Nil): TripleStore = {
     import spark.implicits._
-    (delTmpl ++ insTmpl ++ where).foreach(tp =>
-      require(tp.p.isInstanceOf[Sparql.Const],
-        "updates support constant predicates (the slice dispatch " +
-          s"key); got ${tp.p}"))
+    (delTmpl ++ insTmpl ++ (delQuadTmpl ++ insQuadTmpl).map(_._2) ++ where)
+      .foreach(tp =>
+        require(tp.p.isInstanceOf[Sparql.Const],
+          "updates support constant predicates (the slice dispatch " +
+            s"key); got ${tp.p}"))
     val vars = where.flatMap(tp => Seq(tp.s, tp.o))
       .collect { case Sparql.Var(n) => n }.distinct
     require(vars.nonEmpty,
       "variable-free updates use INSERT DATA / DELETE DATA")
-    val bind = BgpPlanner.plan(store,
+    // WITH/USING dataset: the WHERE group binds against the selected
+    // named graphs' union instead of the default-graph slices
+    val whereStore =
+      if (whereGraphs.isEmpty) store else scopedStore(store, whereGraphs)
+    val bind = BgpPlanner.plan(whereStore,
       Sparql.BgpQuery(select = vars, patterns = where))
     def instantiate(tmpl: Seq[Sparql.TriplePattern]): Option[DataFrame] =
       if (tmpl.isEmpty) None
@@ -289,14 +542,49 @@ object SparqlUpdate {
           slices.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
       }
     }
+    // GRAPH-scoped templates instantiate into the quads relation:
+    // deletes anti-join on the full (g, s, p, o), inserts union with
+    // set semantics — same apply shapes as the slice path, quad-grain
+    def instantiateQuads(
+        tmpl: Seq[(String, Sparql.TriplePattern)]): Option[DataFrame] =
+      if (tmpl.isEmpty) None
+      else Some(tmpl.map { case (g, tp) =>
+        def c(t: Sparql.Term) = t match {
+          case Sparql.Var(n) =>
+            if (store.encoded) xxhash64(col(n)) else col(n)
+          case Sparql.Const(v) =>
+            if (store.encoded) xxhash64(lit(v)) else lit(v)
+          case other => throw new IllegalArgumentException(
+            s"update templates are plain triples; got $other")
+        }
+        bind.select(gid(store, g).as("g"), c(tp.s).as("s"),
+          lit(constOf(tp.p)).as("p"), c(tp.o).as("o"))
+      }.reduce(_ unionByName _).distinct())
+    var quads = store.quads
+    instantiateQuads(delQuadTmpl).foreach { del =>
+      quads = quads.map(_.join(GuardedBroadcast.maybe(del),
+        Seq("g", "s", "p", "o"), "left_anti"))
+    }
+    instantiateQuads(insQuadTmpl).foreach { ins =>
+      quads = Some(quads match {
+        case Some(q) => q.unionByName(ins).distinct()
+        case None => ins
+      })
+    }
+    val newVocab =
+      insTmpl.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case Sparql.Const(v) => v } ++
+        insQuadTmpl.flatMap { case (g, tp) =>
+          g +: Seq(tp.s, tp.p, tp.o).collect { case Sparql.Const(v) => v }
+        }
     val dict =
-      if (insTmpl.isEmpty) store.dict
-      else store.dict.map { d =>
-        val consts = insTmpl.flatMap(tp => Seq(tp.s, tp.o))
-          .collect { case Sparql.Const(v) => v }.distinct
-        if (consts.isEmpty) d else growDict(spark, d, consts)
-      }
-    store.copy(slices = slices, dict = dict, sBucketed = None)
+      if (newVocab.isEmpty) store.dict
+      else store.dict.map(d => growDict(spark, d, newVocab.distinct))
+    store.copy(slices = slices, dict = dict, quads = quads,
+      // the s-bucketed secondary derives from the default graph only —
+      // keep it when this op touched nothing but named graphs
+      sBucketed =
+        if (delTmpl.isEmpty && insTmpl.isEmpty) store.sBucketed else None)
   }
 
   /** Append `values`' (id, value, dt, lang) rows to the dict and re-run
@@ -312,44 +600,93 @@ object SparqlUpdate {
 
   /** [[growDict]] over a DataFrame vocabulary (a LOAD's term set is
     * data-sized and never collects to the driver).
+    *
+    * The collision audit is DELTA-SCOPED (r7 advice: a high-frequency
+    * update stream must pay O(batch), not O(vocabulary), per op — the
+    * q162/q202 incremental discipline): the batch left-joins the
+    * standing dict on id once (AQE broadcasts the batch side), a
+    * value mismatch against a standing row OR between two batch terms
+    * fails loudly exactly like the build-time audit, and only
+    * genuinely NEW ids append. Terms already in the dict cost one
+    * probe, never a vocabulary-wide groupBy.
     */
   private def growDictDf(spark: SparkSession, d: DataFrame,
       values: DataFrame): DataFrame = {
     import spark.implicits._
-    val newTerms = values
+    val newTerms = values.distinct()
       .select(xxhash64($"value").as("id"), $"value",
         RdfLex.datatype($"value").as("dt"),
         RdfLex.lang($"value").as("lang"))
-    val grown = d.unionByName(newTerms)
-      .groupBy($"id").agg(
-        first($"value").as("value"), first($"dt").as("dt"),
-        first($"lang").as("lang"),
-        countDistinct($"value").as("_nv"))
-    val clash = grown.filter($"_nv" > 1).take(1)
+    // intra-batch: two distinct new values sharing an id
+    val dup = newTerms.groupBy($"id")
+      .agg(countDistinct($"value").as("_nv"), min($"value").as("_a"),
+        max($"value").as("_b"))
+      .filter($"_nv" > 1).take(1)
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"dictionary id collision on insert (id=${dup.head.get(0)}: " +
+        s"'${dup.head.get(2)}' vs '${dup.head.get(3)}') — see " +
+        "TripleStore.encode scaladoc")
+    // batch-vs-standing: same id, different lexical value
+    val joined = newTerms
+      .join(d.select($"id", $"value".as("_old")), Seq("id"), "left_outer")
+    val clash = joined.filter($"_old".isNotNull && $"_old" =!= $"value")
+      .take(1)
     if (clash.nonEmpty) throw new IllegalStateException(
       s"dictionary id collision on insert (id=${clash.head.get(0)}" +
-        s", one value='${clash.head.get(1)}') — see " +
+        s", '${clash.head.getString(1)}' vs standing " +
+        s"'${clash.head.getAs[String]("_old")}') — see " +
         "TripleStore.encode scaladoc")
-    grown.drop("_nv")
+    d.unionByName(joined.filter($"_old".isNull)
+      .select($"id", $"value", $"dt", $"lang"))
   }
 
   // ——— parsing helpers ———
 
   /** Split on top-level `;` only — depth-aware over `{}` and quotes. */
-  private def splitOps(text: String): Seq[String] = {
+  private def splitOps(text: String): Seq[String] = splitTop(text, ';')
+
+  /** One scanner for every update-text split: breaks on `sep` at brace
+    * depth 0, outside double-quoted literals (backslash escapes
+    * honored — `"a\";b"` is one literal), and outside `<...>` IRIs
+    * (an IRI may contain `.` or `;`). A `.` separator additionally
+    * must stand alone (whitespace or an end on both sides) so bare
+    * numeric tokens like `3.14` are never split — the same contract
+    * the old `\s+\.\s+` regex enforced, now quote-aware.
+    */
+  private def splitTop(text: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var inQuote = false
-    text.foreach { ch =>
-      if (ch == '"') inQuote = !inQuote
-      if (!inQuote) {
-        if (ch == '{') depth += 1
-        if (ch == '}') depth -= 1
+    var inAngle = false
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inQuote) {
+        if (ch == '\\' && i + 1 < text.length) {
+          cur += ch; cur += text.charAt(i + 1); i += 2
+        } else {
+          if (ch == '"') inQuote = false
+          cur += ch; i += 1
+        }
+      } else {
+        var consumed = false
+        if (ch == sep && depth == 0 && !inAngle &&
+            (sep != '.' ||
+              ((i == 0 || text.charAt(i - 1).isWhitespace) &&
+                (i + 1 == text.length || text.charAt(i + 1).isWhitespace)))) {
+          out += cur.toString; cur.clear(); consumed = true
+        } else ch match {
+          case '"' => inQuote = true
+          case '<' => inAngle = true
+          case '>' => inAngle = false
+          case '{' if !inAngle => depth += 1
+          case '}' if !inAngle => depth -= 1
+          case _ => ()
+        }
+        if (!consumed) cur += ch
+        i += 1
       }
-      if (ch == ';' && depth == 0 && !inQuote) {
-        out += cur.toString; cur.clear()
-      } else cur += ch
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -372,8 +709,7 @@ object SparqlUpdate {
     }
 
   private def triplesOf(body: String): Seq[Seq[String]] =
-    body.split("\\s+\\.\\s+|\\s+\\.\\s*$|^\\s*\\.\\s+").toSeq
-      .map(_.trim).filter(s => s.nonEmpty && s != ".")
+    splitTop(body, '.').filter(_ != ".")
       .map { line =>
         val toks = Sparql.termTokenRe.findAllIn(line).toSeq
         require(toks.length == 3,
@@ -396,7 +732,7 @@ object SparqlUpdate {
       case t if t.startsWith("<") && t.endsWith(">") =>
         t.drop(1).dropRight(1)
       case t if t.startsWith("\"") && t.endsWith("\"") && t.length >= 2 =>
-        t.drop(1).dropRight(1)
+        Sparql.unescapeLit(t.drop(1).dropRight(1))
       case t => t
     }
   }

@@ -1659,7 +1659,86 @@ object BgpQueries {
           "select ?n ?nm where { GRAPH <g:loaded> { ?n callsign ?nm } }")
       },
       Some("""SELECT concat('nat:', n_nationkey) AS n, n_name AS nm
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // ——— round 8: Update completeness (§3.1.3 GRAPH templates,
+    // WITH/USING dataset clauses) + query dataset clauses (§13.2) ———
+
+    // GRAPH-scoped INSERT template + multi-USING WHERE dataset: the
+    // WHERE group binds against the UNION of two region graphs (not
+    // the default slices), and the template instantiates into a NEW
+    // named graph of the quads relation. The oracle recomputes the
+    // post-update backup graph relationally.
+    GQuery(
+      "q315_update_graph_template",
+      (s, dir) => {
+        val upd = SparqlUpdate.applyAll(s, store(s, dir, encoded = false),
+          """INSERT { GRAPH <g:backup> { ?n name ?nm } }
+            |USING <region:0> USING <region:2>
+            |WHERE { ?n name ?nm }""".stripMargin)
+        BgpPlanner.query(upd,
+          "select ?n ?nm where { GRAPH <g:backup> { ?n name ?nm } }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey IN (0, 2)""".stripMargin)),
+
+    // WITH on the ENCODED store: one op deletes region-1's name edges
+    // inside their graph (WITH scopes BOTH the unscoped delete
+    // template and the WHERE dataset) and re-inserts them under a new
+    // predicate into a fresh graph — the insert's predicate, graph
+    // name, and re-derived ids all grow the dict (delta-audited), and
+    // the read-back decodes through it.
+    GQuery(
+      "q316_update_with_encoded",
+      (s, dir) => {
+        val upd = SparqlUpdate.applyAll(s, store(s, dir, encoded = true),
+          """WITH <region:1>
+            |DELETE { ?n name ?nm }
+            |INSERT { GRAPH <g:renamed> { ?n wasnamed ?nm } }
+            |WHERE { ?n name ?nm }""".stripMargin)
+        BgpPlanner.query(upd,
+          "select ?n ?nm where { GRAPH <g:renamed> { ?n wasnamed ?nm } }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey = 1""".stripMargin)),
+
+    // §3.2.2-3 explicit lifecycle on the encoded store: DROP removes a
+    // region graph's quads (id-space filter on g), CREATE is the
+    // validated no-op of a store without empty-graph bookkeeping; the
+    // variable-graph read-back shows exactly the surviving graphs.
+    GQuery(
+      "q317_update_drop_graph",
+      (s, dir) => {
+        val upd = SparqlUpdate.applyAll(s, store(s, dir, encoded = true),
+          "DROP GRAPH <region:3> ; CREATE SILENT GRAPH <region:3>")
+        BgpPlanner.query(upd,
+          "select ?g ?n ?nm where { GRAPH ?g { ?n name ?nm } }")
+      },
+      Some("""SELECT concat('region:', n_regionkey) AS g,
+             |  concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey <> 3""".stripMargin)),
+
+    // §13.2 FROM: the query's default graph becomes the RDF merge of
+    // the named region graphs — the store's own (all-nation) default
+    // slices are NOT part of the dataset, which is exactly what the
+    // row set shows.
+    GQuery(
+      "q318_bgp_from",
+      bgp("""select ?n ?nm FROM <region:0> FROM <region:1> where {
+            | ?n name ?nm . ?n rdf:type "Nation" }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey IN (0, 1)""".stripMargin)),
+
+    // §13.2 FROM NAMED on the encoded store: GRAPH ranges over only
+    // the named set (one region graph here); ids prune in the quad
+    // scan, the graph name and solution decode at the edge.
+    GQuery(
+      "q319_bgp_from_named_encoded",
+      bgp("""select ?g ?n ?nm FROM NAMED <region:2> where {
+            | GRAPH ?g { ?n name ?nm } }""".stripMargin, encoded = true),
+      Some("""SELECT concat('region:', n_regionkey) AS g,
+             |  concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey = 2""".stripMargin))
   )
 
   /** Nation-derived `(s, p, o)` triples for the Update queries: name

@@ -2171,10 +2171,11 @@ object TextQueries {
              |FROM c, t""".stripMargin)),
 
     // overlapping chunk manifest (RAG / long-context prep): each doc
-    // splits into token windows of size 64 with stride 48, the last
-    // window pulled back so the tail is always covered and never a
-    // sub-window of its predecessor — K = ceil((n−64)/48) extra
-    // chunks, spelled ((n−17) div 48) in shared integer arithmetic.
+    // splits into token windows of size 64 with stride 48; the tail
+    // window keeps its stride-aligned offset k*48 and TRUNCATES to the
+    // remaining n − k*48 tokens (17..64 by construction — k_max =
+    // (n−17) div 48 guarantees every tail holds more than the 16-token
+    // overlap, so it is never a sub-window of its predecessor).
     // Scale shape: the offsets come from `sequence(0, k_max)` +
     // explode INSIDE the scan stage (map-side, codegen'd) — no join,
     // no shuffle at all until a downstream consumer groups the

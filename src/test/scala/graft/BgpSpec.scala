@@ -225,6 +225,194 @@ class BgpSpec extends AnyFunSuite {
       "select ?x where { SERVICE <graft://nowhere> { ?x deptname ?y } }"))
   }
 
+  test("SERVICE-only vars survive MINUS / NOT EXISTS / VALUES on the encoded store") {
+    import spark.implicits._
+    // remote binds ?d AND a service-only ?dn; the negations share ?d
+    // with the service block ONLY (no outer pattern binds ?d to the
+    // planner's eye inside the negation) — on the encoded store the
+    // sub-relations are id-space and the service columns are lexical,
+    // so the join must hash the lexical side or silently no-op
+    ServiceRegistry.register("graft://depts2", TripleStore.fromTriples(
+      Seq(("dept:0", "deptname", "Mathematics"),
+        ("dept:1", "deptname", "Physics")).toDF("s", "p", "o")))
+    val base =
+      """select ?p ?d ?dn where {
+        | ?p worksFor ?x .
+        | SERVICE <graft://depts2> { ?d deptname ?dn } """.stripMargin
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      // MINUS removes dept:0 solutions (stud:0 is a member of dept:0)
+      val m = BgpPlanner.query(st,
+          base + "MINUS { stud:0 memberOf ?d } }")
+        .select("d").distinct().collect().map(_.getString(0)).toSet
+      assert(m == Set("dept:1"), s"MINUS encoded=${st.encoded}")
+      // NOT EXISTS: same shape through the semi/anti path
+      val ne = BgpPlanner.query(st,
+          base + "FILTER NOT EXISTS { stud:0 memberOf ?d } }")
+        .select("d").distinct().collect().map(_.getString(0)).toSet
+      assert(ne == Set("dept:1"), s"NOT EXISTS encoded=${st.encoded}")
+      // multi-var VALUES restricting a service-only lexical var joins
+      // on the literal, not a mismatched hash
+      val vt = BgpPlanner.query(st,
+          base + "VALUES (?dn) { (\"Physics\") } }")
+        .select("d", "dn").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(vt == Set(("dept:1", "Physics")), s"VALUES encoded=${st.encoded}")
+    }
+  }
+
+  test("encoded INSERT DATA: a NEW predicate decodes under a variable-predicate read") {
+    val upd = SparqlUpdate.applyAll(spark, TripleStore.encode(tinyStore),
+      "INSERT DATA { <prof:9> mentors <stud:0> }")
+    // ?p at the predicate position binds xxhash64('mentors') from the
+    // union view and must decode through the grown dict — before the
+    // fix the dict grew only s/o terms and ?p decoded to NULL
+    val rows = BgpPlanner.query(upd,
+        "select ?p ?o where { prof:9 ?p ?o }")
+      .collect().map(r => (r.getAs[String]("p"), r.getAs[String]("o"))).toSet
+    assert(rows == Set(("mentors", "stud:0")))
+    // same through the Modify path: the insert template's predicate is
+    // new vocabulary
+    val upd2 = SparqlUpdate.applyAll(spark, TripleStore.encode(tinyStore),
+      "INSERT { ?d staffs ?p } WHERE { ?p worksFor ?d }")
+    val rows2 = BgpPlanner.query(upd2,
+        "select ?q where { dept:1 ?q prof:2 }")
+      .collect().map(_.getString(0)).toSet
+    assert(rows2 == Set("staffs"))
+  }
+
+  test("GRAPH-scoped DATA updates target the quads relation (both encodings)") {
+    for (enc <- Seq(false, true)) {
+      val base = if (enc) TripleStore.encode(tinyStore) else tinyStore
+      val st = SparqlUpdate.applyAll(spark, base,
+        """INSERT DATA { GRAPH <g:a> { <prof:5> role "dean" .
+          |  <prof:6> role "chair" } <prof:5> likes <prof:6> } ;
+          |DELETE DATA { GRAPH <g:a> { <prof:6> role "chair" } }"""
+          .stripMargin)
+      def rows(q: String) =
+        BgpPlanner.query(st, q).collect().map(_.toSeq).toSet
+      // named-graph triples live in quads; the re-read decodes the
+      // inserted vocabulary (incl. the graph name) on the encoded store
+      assert(rows("select ?p ?r where { GRAPH <g:a> { ?p role ?r } }") ==
+        Set(Seq("prof:5", "dean")), s"encoded=$enc")
+      // the mixed DATA block's unscoped triple landed in the default
+      // graph's slices, not the quads
+      assert(rows("select ?x where { prof:5 likes ?x }") ==
+        Set(Seq("prof:6")), s"encoded=$enc")
+    }
+  }
+
+  test("GRAPH-scoped templates, WITH, and USING scope §3.1.3 updates") {
+    def rows(st: TripleStore, q: String) =
+      BgpPlanner.query(st, q).select("p", "d").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // archive the default graph's worksFor edges into a named graph
+    val st1 = SparqlUpdate.applyAll(spark, tinyStore,
+      "INSERT { GRAPH <g:arch> { ?p worksFor ?d } } WHERE { ?p worksFor ?d }")
+    assert(rows(st1,
+      "select ?p ?d where { GRAPH <g:arch> { ?p worksFor ?d } }") ==
+      Set(("prof:0", "dept:0"), ("prof:1", "dept:0"),
+        ("prof:2", "dept:1")))
+    // USING: the WHERE group reads the named graph; the unscoped insert
+    // template writes the DEFAULT graph
+    val st2 = SparqlUpdate.applyAll(spark, st1,
+      "INSERT { ?d staff ?p } USING <g:arch> WHERE { ?p worksFor ?d }")
+    assert(rows(st2, "select ?d ?p where { ?d staff ?p }") ==
+      Set(("prof:0", "dept:0"), ("prof:1", "dept:0"),
+        ("prof:2", "dept:1")))
+    // WITH: both the template and the WHERE scope to the graph — this
+    // empties g:arch without touching the default worksFor slice
+    val st3 = SparqlUpdate.applyAll(spark, st1,
+      "WITH <g:arch> DELETE { ?p worksFor ?d } WHERE { ?p worksFor ?d }")
+    assert(BgpPlanner.query(st3,
+      "select ?p where { GRAPH <g:arch> { ?p worksFor ?d } }").count() == 0)
+    assert(BgpPlanner.query(st3,
+      "select ?p where { ?p worksFor ?d }").count() == 3)
+    // rejection: templates with unbalanced GRAPH nesting fail loudly
+    intercept[IllegalArgumentException](SparqlUpdate.parse(
+      "INSERT { GRAPH <g:x> { ?p worksFor ?d } WHERE { ?p worksFor ?d }"))
+    // WITH pairs with DELETE/INSERT templates, not DELETE WHERE
+    intercept[IllegalArgumentException](SparqlUpdate.parse(
+      "WITH <g:x> DELETE WHERE { ?p worksFor ?d }"))
+  }
+
+  test("CREATE / DROP GRAPH follow §3.2.2-3 with no empty-graph bookkeeping") {
+    val st1 = SparqlUpdate.applyAll(spark, tinyStore,
+      "INSERT DATA { GRAPH <g:a> { <prof:5> role \"dean\" } }")
+    // DROP removes the graph's quads; a repeat DROP without SILENT is
+    // the spec's no-such-graph conflict
+    val st2 = SparqlUpdate.applyAll(spark, st1, "DROP GRAPH <g:a>")
+    assert(BgpPlanner.query(st2,
+      "select ?p where { GRAPH <g:a> { ?p role ?r } }").count() == 0)
+    val e1 = intercept[IllegalStateException](
+      SparqlUpdate.applyAll(spark, st2, "DROP GRAPH <g:a>"))
+    assert(e1.getMessage.contains("no such graph"))
+    SparqlUpdate.applyAll(spark, st2, "DROP SILENT GRAPH <g:a>") // no-op
+    // CREATE of an existing (non-empty) graph conflicts; SILENT and
+    // fresh names pass (as validated no-ops — no empty-graph records)
+    val e2 = intercept[IllegalStateException](
+      SparqlUpdate.applyAll(spark, st1, "CREATE GRAPH <g:a>"))
+    assert(e2.getMessage.contains("already exists"))
+    SparqlUpdate.applyAll(spark, st1, "CREATE SILENT GRAPH <g:a>")
+    SparqlUpdate.applyAll(spark, st1, "CREATE GRAPH <g:fresh>")
+    // DROP DEFAULT empties the default graph, named graphs stand (§3.2.3)
+    val st4 = SparqlUpdate.applyAll(spark, st1, "DROP DEFAULT")
+    assert(BgpPlanner.query(st4, "select ?p where { ?p worksFor ?d }")
+      .count() == 0)
+    assert(BgpPlanner.query(st4,
+      "select ?p where { GRAPH <g:a> { ?p role ?r } }").count() == 1)
+  }
+
+  test("FROM / FROM NAMED dataset clauses scope the query (§13.2, both encodings)") {
+    for (enc <- Seq(false, true)) {
+      val base = if (enc) TripleStore.encode(tinyStore) else tinyStore
+      val st = SparqlUpdate.applyAll(spark, base,
+        """INSERT DATA { GRAPH <g:a> { <prof:0> worksFor <dept:0> }
+          | GRAPH <g:b> { <prof:9> worksFor <dept:9> } }""".stripMargin)
+      def rows(q: String) =
+        BgpPlanner.query(st, q).collect().map(_.toSeq).toSet
+      // FROM replaces the default graph — the store's own slices are
+      // NOT part of the dataset (prof:1/prof:2 disappear)
+      assert(rows("select ?p FROM <g:b> where { ?p worksFor ?d }") ==
+        Set(Seq("prof:9")), s"encoded=$enc")
+      assert(rows(
+        "select ?p FROM <g:a> FROM <g:b> where { ?p worksFor ?d }") ==
+        Set(Seq("prof:0"), Seq("prof:9")), s"encoded=$enc")
+      // FROM-only ⇒ no named graphs: a GRAPH block matches nothing
+      assert(rows(
+        "select ?p FROM <g:a> where { GRAPH ?g { ?p worksFor ?d } }")
+        .isEmpty, s"encoded=$enc")
+      // FROM NAMED restricts which graphs GRAPH ranges over…
+      assert(BgpPlanner.query(st, "select ?p ?g FROM NAMED <g:a> where " +
+        "{ GRAPH ?g { ?p worksFor ?d } }").select("p", "g").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("prof:0", "g:a")), s"encoded=$enc")
+      // …including constant graph terms outside the set
+      assert(rows("select ?p FROM NAMED <g:a> where " +
+        "{ GRAPH <g:b> { ?p worksFor ?d } }").isEmpty, s"encoded=$enc")
+      // FROM NAMED-only ⇒ the default graph is EMPTY
+      assert(rows("select ?p FROM NAMED <g:a> where { ?p worksFor ?d }")
+        .isEmpty, s"encoded=$enc")
+    }
+  }
+
+  test("update text parsing is quote-aware (dots, semicolons, escapes in literals)") {
+    val upd = SparqlUpdate.applyAll(spark, tinyStore,
+      """INSERT DATA { <prof:9> motto "a . b ; c" .
+        | <prof:9> quip "say \"hi\" . now" }""".stripMargin)
+    def rows(q: String) =
+      BgpPlanner.query(upd, q).collect().map(_.toSeq).toSet
+    assert(upd.slices("motto").count() == 1)
+    assert(rows("select ?m where { prof:9 motto ?m }") ==
+      Set(Seq("a . b ; c")))
+    // the escaped quote unescapes to a raw quote in the stored lexical
+    assert(rows("select ?m where { prof:9 quip ?m }") ==
+      Set(Seq("say \"hi\" . now")))
+    // an IRI containing a dot never splits a triple
+    val upd2 = SparqlUpdate.applyAll(spark, tinyStore,
+      "INSERT DATA { <http://u.edu/p9> homepage <http://u.edu/p9/index.html> }")
+    assert(upd2.slices("homepage").count() == 1)
+  }
+
   test("parser handles the reference grammar (vars, URIs, literals)") {
     val q = Sparql.parse(
       """select ?A ?B where { ?A <http://x#worksFor> <http://dept0> . ?A name ?B }""")
