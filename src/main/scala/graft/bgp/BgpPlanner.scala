@@ -342,8 +342,7 @@ object BgpPlanner {
     * default graph, not this query-scoped one, so it drops here.
     */
   private def datasetStore(store: TripleStore, q: BgpQuery): TripleStore = {
-    val enc: String => Column =
-      if (store.encoded) g => xxhash64(lit(g)) else g => lit(g)
+    val enc: String => Column = constEncoder(store)
     val emptied = store.slices.map { case (p, df) => p -> df.limit(0) }
     val defSlices =
       if (q.fromGraphs.isEmpty) emptied
@@ -367,14 +366,54 @@ object BgpPlanner {
     * provably-empty patterns without touching data.
     */
   def plan(store0: TripleStore, q: BgpQuery,
-      measured: Map[String, Long]): DataFrame = {
+      measured: Map[String, Long]): DataFrame =
+    plan(store0, q, measured, None)
+
+  /** Planner entry with an optional BOUND-JOIN seed (federation §2.4
+    * style): `seed` is a distinct relation of var bindings (already in
+    * THIS store's term form) that semi-join-restricts every pattern
+    * scan sharing one of its columns BEFORE the chain's own joins —
+    * the in-process spelling of injecting the outer solutions as a
+    * VALUES constraint into a remote endpoint's query, so a selective
+    * outer pattern never pulls the full remote relation.
+    */
+  /** Store-form encoding of a query CONSTANT: lexical on string
+    * stores, xxhash64 on hash-id stores, and on SEQUENTIAL stores one
+    * bounded dict probe per distinct constant at plan time (cached —
+    * RDF-3X's constant-resolution discipline; an absent constant
+    * resolves to id 0, which no dense id ever matches, so the pattern
+    * correctly matches nothing).
+    */
+  private[bgp] def constEncoder(store: TripleStore): String => Column =
+    if (!store.encoded) { v => lit(v) }
+    else if (!store.sequential) { v => xxhash64(lit(v)) }
+    else {
+      val dict = store.dict.get
+      val cache = scala.collection.mutable.Map.empty[String, Long]
+      v => lit(cache.getOrElseUpdate(v, {
+        val r = dict.filter(col("value") === v).select(col("id")).take(1)
+        if (r.isEmpty) 0L else r.head.getLong(0)
+      }))
+    }
+
+  private[graft] def plan(store0: TripleStore, q: BgpQuery,
+      measured: Map[String, Long],
+      seed: Option[DataFrame]): DataFrame = {
     // §13.2 dataset clause: rebind the store BEFORE any scan is built;
     // subqueries and GRAPH blocks below see the rescoped dataset
     val store =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store0
       else datasetStore(store0, q)
-    val encode: String => Column =
-      if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
+    // the sequential-id store carries the core BGP surface; features
+    // that re-encode computed COLUMNS (a value→id join, not an
+    // expression) stay on the hash-id store and fail loudly here
+    if (store.sequential)
+      require(q.subqueries.isEmpty && q.services.isEmpty &&
+        q.valuesTables.isEmpty,
+        "sequential-id stores support the core BGP surface " +
+          "(patterns/FILTER/OPTIONAL/UNION/MINUS/VALUES); subqueries, " +
+          "SERVICE, and multi-var VALUES need the hash-id store")
+    val encode: String => Column = constEncoder(store)
 
     // ---- decode-on-demand for lexical-value features on the encoded
     // store. DREAM runs everything over uint64 IDs and decodes only at
@@ -610,10 +649,23 @@ object BgpPlanner {
         }
       }
 
+    // bound-join seed (federation): each scan sharing a seed column is
+    // semi-join-restricted BEFORE the chain joins — the seed is
+    // binding-sized and AQE broadcasts it, so the restriction is the
+    // scan-side filter a VALUES-injected remote query would apply
+    def seeded(df: DataFrame): DataFrame = seed match {
+      case Some(sd) =>
+        val common = df.columns.filter(sd.columns.toSet).toSeq
+        if (common.isEmpty) df
+        else df.join(sd.select(common.map(col): _*).distinct(),
+          common, "left_semi")
+      case None => df
+    }
     val mainChain =
       if (q.patterns.nonEmpty)
         Some(chain(q.patterns,
-          q.patterns.map(patternScan(store, _, encode, measured)), measured))
+          q.patterns.map(tp => seeded(patternScan(store, tp, encode, measured))),
+          measured))
       else None
 
     // UNION groups: each branch is its own sub-chain (branch-scoped
@@ -664,21 +716,55 @@ object BgpPlanner {
     // lexical — their values may not exist in the outer dictionary at
     // all, so they join/project as values and skip the result-edge
     // decode (the `lexical` mechanism).
-    val serviceDfs = q.services.map { case (endpoint, pats) =>
-      val remote = ServiceRegistry.resolve(endpoint)
-      val vars = pats.flatMap(_.vars).distinct
-      val sub = plan(remote, Sparql.BgpQuery(select = vars, patterns = pats))
-      if (!store.encoded) sub
-      else {
-        val outerBound = (q.patterns ++ q.optionals.flatten ++
-          q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
-          .flatMap(_.vars).toSet ++
-          q.subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
-        sub.select(sub.columns.toIndexedSeq.map { c =>
-          if (outerBound(c))
-            when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
-          else { lexical += c; col(c) }
-        }: _*)
+    val serviceDfs = q.services.flatMap { case (endpoint, silent, pats) =>
+      // SILENT (§2.3): an unreachable endpoint yields the single empty
+      // solution — the block simply stops restricting the outer
+      // solutions, so it contributes no relation at all
+      val remoteOpt =
+        try Some(ServiceRegistry.resolve(endpoint))
+        catch { case e: IllegalArgumentException =>
+          if (silent) None else throw e
+        }
+      remoteOpt.map { remote =>
+        val vars = pats.flatMap(_.vars).distinct
+        // Bound join (§2.4 guidance; DREAM's ship-auxiliary-data-only
+        // principle): project the outer chain's DISTINCT bindings of
+        // the shared vars, decode them to lexical (the wire format a
+        // remote endpoint would receive — binding-sized dict joins),
+        // re-encode into the REMOTE store's term form, and seed the
+        // remote plan so its scans are VALUES-restricted instead of
+        // materializing the full remote relation and joining after.
+        val remoteSeed = mainChain.flatMap { mc =>
+          val shared = vars.filter(mc.columns.toSet)
+          if (shared.isEmpty) None
+          else {
+            val raw = mc.select(shared.map(col): _*).distinct()
+            val lex =
+              if (!store.encoded) raw
+              else {
+                val (dec, lexMap) = decodeVars(raw, shared)
+                dec.select(shared.map(v => lexMap(v).as(v)): _*)
+              }
+            Some(
+              if (remote.encoded)
+                lex.select(shared.map(v => xxhash64(col(v)).as(v)): _*)
+              else lex)
+          }
+        }
+        val sub = plan(remote, Sparql.BgpQuery(select = vars, patterns = pats),
+          Map.empty[String, Long], remoteSeed)
+        if (!store.encoded) sub
+        else {
+          val outerBound = (q.patterns ++ q.optionals.flatten ++
+            q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
+            .flatMap(_.vars).toSet ++
+            q.subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
+          sub.select(sub.columns.toIndexedSeq.map { c =>
+            if (outerBound(c))
+              when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
+            else { lexical += c; col(c) }
+          }: _*)
+        }
       }
     }
 
@@ -725,8 +811,21 @@ object BgpPlanner {
       }
     }
 
-    val rels = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs ++ serviceDfs
-    require(rels.nonEmpty, "empty BGP")
+    val rels0 = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs ++ serviceDfs
+    // every relation was a SILENT-failed SERVICE block: the result is
+    // the single empty solution (§2.3) — its projected vars are
+    // unbound, i.e. one all-null row (computed values, skip the edge
+    // decode)
+    val rels =
+      if (rels0.nonEmpty) rels0
+      else {
+        require(q.services.nonEmpty, "empty BGP")
+        val spark = store.slices.values.head.sparkSession
+        val vars = q.services.flatMap(_._3).flatMap(_.vars).distinct
+        lexical ++= vars
+        Seq(spark.range(1).select(
+          vars.map(v => lit(null).cast("string").as(v)): _*))
+      }
     var joined = rels.head
     for (u <- rels.tail) {
       val common = u.columns.filter(joined.columns.toSet).toSeq
@@ -1132,19 +1231,26 @@ object BgpPlanner {
     */
   def describe(store: TripleStore, sparql: String): DataFrame = {
     val spark = store.slices.values.head.sparkSession
+    // node set → store ids: an expression on hash-id stores (ids ARE
+    // the values' xxhash64); a value→id dict join on sequential stores
+    // (the node set is result-sized, AQE broadcasts it)
+    def toIds(df: DataFrame): DataFrame =
+      if (!store.encoded) df
+      else if (!store.sequential)
+        df.select(xxhash64(col("__n")).as("__n"))
+      else df.join(store.dict.get, df("__n") === col("value"))
+        .select(col("id").as("__n"))
     val nodes: DataFrame = Sparql.parseDescribe(sparql) match {
       case Left(c) =>
         import spark.implicits._
-        val raw = Seq(c).toDF("__n")
-        if (store.encoded) raw.select(xxhash64(col("__n")).as("__n")) else raw
+        toIds(Seq(c).toDF("__n"))
       case Right((vars, bq)) =>
         // plan() decodes at its edge; re-encoding reproduces the
-        // store's ids exactly (ids ARE the values' xxhash64)
+        // store's ids exactly
         val sol = plan(store, bq)
-        val u = vars.map(v => sol.select(col(v).as("__n")))
+        toIds(vars.map(v => sol.select(col(v).as("__n")))
           .reduce(_ unionByName _)
-          .na.drop().distinct()
-        if (store.encoded) u.select(xxhash64(col("__n")).as("__n")) else u
+          .na.drop().distinct())
     }
     val nodesB = graft.scale.GuardedBroadcast.maybe(nodes)
     val triples = store.slices.toSeq.sortBy(_._1).map { case (p, sl) =>
@@ -1174,8 +1280,7 @@ object BgpPlanner {
     */
   def measureAndPlan(store: TripleStore, q: BgpQuery,
       stats: graft.tools.CostStats): DataFrame = {
-    val encode: String => Column =
-      if (store.encoded) v => xxhash64(lit(v)) else v => lit(v)
+    val encode: String => Column = constEncoder(store)
     val allPatterns =
       (q.patterns ++ q.optionals.flatten ++ q.unions.flatten.flatten
         ++ q.minuses.flatten)

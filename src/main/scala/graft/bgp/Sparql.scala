@@ -294,12 +294,15 @@ object Sparql {
       // the store's quads, and every pattern of one block matches
       // within the SAME graph.
       graphBlocks: Seq[(Term, Seq[TriplePattern])] = Nil,
-      // `SERVICE <endpoint> { patterns }` blocks (SPARQL 1.1 Federated
-      // Query §2): each block evaluates against the endpoint's
-      // registered store (ServiceRegistry — a second TripleStore
-      // standing in for the remote SPARQL endpoint) and natural-joins
-      // into the outer solution on its shared variables (§2.2).
-      services: Seq[(String, Seq[TriplePattern])] = Nil,
+      // `SERVICE [SILENT] <endpoint> { patterns }` blocks (SPARQL 1.1
+      // Federated Query §2): (endpoint, silent, patterns). Each block
+      // evaluates against the endpoint's registered store
+      // (ServiceRegistry — a second TripleStore standing in for the
+      // remote SPARQL endpoint) and natural-joins into the outer
+      // solution on its shared variables (§2.2). SILENT turns an
+      // endpoint failure into the single empty solution (the block
+      // stops restricting) instead of an error (§2.3).
+      services: Seq[(String, Boolean, Seq[TriplePattern])] = Nil,
       // `FROM <g>` / `FROM NAMED <g>` dataset clauses (SPARQL §13.2):
       // when either is present the query's dataset is EXACTLY what the
       // clauses name — `fromGraphs`' union (RDF merge) becomes the
@@ -310,7 +313,7 @@ object Sparql {
 
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
   private val serviceRe =
-    "(?is)service\\s+(<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
+    "(?is)service\\s+(silent\\s+)?(<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
   private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
@@ -633,16 +636,16 @@ object Sparql {
     // plain constant-predicate triples (a remote round-trip per path
     // step is exactly what federation avoids shipping)
     val services = serviceRe.findAllMatchIn(bodyFullS).map { m =>
-      val ep0 = m.group(1)
+      val ep0 = m.group(2)
       val endpoint =
         if (ep0.startsWith("<") && ep0.endsWith(">"))
           ep0.drop(1).dropRight(1)
         else ep0
-      val pats = parsePatterns(m.group(2))
+      val pats = parsePatterns(m.group(3))
       require(pats.nonEmpty, s"empty SERVICE block: $query")
       pats.foreach(tp => require(tp.p.isInstanceOf[Const],
         s"SERVICE block patterns need a constant predicate: $tp in $query"))
-      (endpoint, pats)
+      (endpoint, m.group(1) != null, pats)
     }.toSeq
     val bodyFullV = serviceRe.replaceAllIn(bodyFullS, "")
 
@@ -907,7 +910,7 @@ object Sparql {
     val allPatterns =
       patterns ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ existsFilters.flatMap(_._2) ++
-        graphBlocks.flatMap(_._2) ++ services.flatMap(_._2)
+        graphBlocks.flatMap(_._2) ++ services.flatMap(_._3)
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
@@ -929,7 +932,7 @@ object Sparql {
             (g match { case Var(n) => Seq(n); case _ => Nil })
         } ++
         // SERVICE blocks bind their pattern vars (§2.2 join semantics)
-        services.flatMap(_._2).flatMap(_.vars)
+        services.flatMap(_._3).flatMap(_.vars)
     // BIND aliases must be fresh and their refs bound before use
     // (sequence scoping: an earlier alias is visible to a later BIND)
     binds.foldLeft(known) { (scope, b) =>

@@ -297,6 +297,13 @@ object SparqlUpdate {
   def apply(spark: SparkSession, store: TripleStore,
       op: UpdateOp): TripleStore = {
     import spark.implicits._
+    // every encoded-apply shape below re-derives ids by HASHING values
+    // — invalid on dense sequential ids, where a new term's id is the
+    // next counter value, not a function of the term
+    require(!store.sequential,
+      "updates on a sequential-id store are unsupported: ids are dense " +
+        "counters, not value-derived — update the hash-id store, or " +
+        "rebuild the sequential store from it")
     // store-form (s, o) rows: lexical on the string store, xxhash64
     // ids on the encoded store (re-derived hash-side, the same
     // shortcut BgpPlanner uses for constants)

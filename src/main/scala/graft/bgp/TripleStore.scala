@@ -34,7 +34,13 @@ final case class TripleStore(
     // string predicate name (dispatch is by name). On disk the layout
     // analog is parquet partitioned by (g, p) — a constant graph term
     // plus constant predicate is double partition pruning.
-    quads: Option[DataFrame] = None) {
+    quads: Option[DataFrame] = None,
+    // ids are DENSE sequential (encodeSequential) rather than xxhash64
+    // of the value: the >10⁹-term regime's escape from the birthday
+    // bound. The planner then resolves each query constant with one
+    // dict probe instead of hashing it (RDF-3X's discipline,
+    // Proxy.c:211-224).
+    sequential: Boolean = false) {
 
   def encoded: Boolean = dict.isDefined
 
@@ -320,5 +326,83 @@ object TripleStore {
       p -> df.select(term2id(col("s")).as("s"), term2id(col("o")).as("o"))
     }
     TripleStore(enc, Some(dict))
+  }
+
+  /** [[encode]], falling back to the SEQUENTIAL dictionary when the
+    * hash ids hit their birthday bound: the collision audit that
+    * previously dead-ended a >10⁹-term corpus now selects the
+    * supported escape automatically. `term2id` stays injectable so
+    * tests can force the collision.
+    */
+  def encodeAuto(
+      store: TripleStore,
+      term2id: Column => Column = xxhash64(_)): TripleStore =
+    try encode(store, term2id)
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("collision") =>
+        encodeSequential(store)
+    }
+
+  /** Dictionary-encode with DENSE SEQUENTIAL ids — the RDF-3X-style
+    * build (`Proxy.c:211-224`) for the regime past xxhash64's birthday
+    * bound (~10⁹ distinct terms), where hash ids would silently alias
+    * terms. Collision-free by construction, so there is no audit.
+    *
+    * Id assignment is the q205 banded two-phase prefix sum — nothing
+    * data-sized ever reaches the driver and no single-partition
+    * zipWithIndex/global sort appears: terms hash into `bands`
+    * sub-vocabularies, the band histogram (≤ `bands` rows,
+    * schema-sized) prefix-sums into band offsets on the driver, and
+    * each band assigns `offset + row_number` under a PARTITIONED
+    * window (per-band sort ≈ |vocab|/bands rows). Slices then encode
+    * through two value→id joins — the one-time dictionary-build
+    * shuffle every dense-id store pays at load.
+    *
+    * The price of dense ids is the planner's constant shortcut: a
+    * query constant's id is no longer derivable by hashing, so
+    * BgpPlanner resolves each constant with one bounded dict probe at
+    * plan time (schema-sized; cached per plan). Column-level
+    * re-encodes (subquery exports, federation, inline VALUES tables)
+    * would each need a value→id join instead of an expression — those
+    * surfaces stay on the hash-id store and fail loudly here.
+    */
+  def encodeSequential(store: TripleStore, bands: Int = 256): TripleStore = {
+    val spark = store.slices.values.head.sparkSession
+    import spark.implicits._
+    val predNames = store.slices.keySet.toSeq.toDF("value")
+    val vocab = (store.slices.values.toSeq
+      .flatMap(df => Seq(df.select(col("s").as("value")),
+        df.select(col("o").as("value"))))
+      :+ predNames)
+      .reduce(_ unionByName _)
+      .distinct()
+      .withColumn("__band", pmod(xxhash64(col("value")), lit(bands.toLong)))
+    // band histogram: ≤ bands rows — the offsets collect is
+    // schema-sized, the same discipline as the predicate inventory
+    val hist = vocab.groupBy(col("__band")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // running offset per band: cumulative count of all earlier bands
+    var acc = 0L
+    val offRows = hist.map { case (b, n) =>
+      val r = (b, acc); acc += n; r
+    }
+    // bands-sized LocalRelation: Catalyst sizes it below the broadcast
+    // threshold on its own — no hint needed
+    val offDf = offRows.toSeq.toDF("__band", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band")).orderBy(col("value"))
+    val dict = vocab.join(offDf, "__band")
+      .withColumn("id",
+        row_number().over(w).cast("long") + col("__off"))
+      .select(col("id"), col("value"),
+        RdfLex.datatype(col("value")).as("dt"),
+        RdfLex.lang(col("value")).as("lang"))
+    val s2id = dict.select(col("value").as("s"), col("id").as("__sid"))
+    val o2id = dict.select(col("value").as("o"), col("id").as("__oid"))
+    val enc = store.slices.map { case (p, df) =>
+      p -> df.join(s2id, "s").join(o2id, "o")
+        .select(col("__sid").as("s"), col("__oid").as("o"))
+    }
+    TripleStore(enc, Some(dict), sequential = true)
   }
 }

@@ -30,6 +30,13 @@ object BgpQueries {
     new graft.tools.BoundedMemo[(SparkSession, String, Boolean), TripleStore](
       8, st => st.dict.foreach(_.unpersist()))
 
+  // sequential-dictionary stores (q320): built from the persisted
+  // string store, cached per (session, dataset) like storeCache — the
+  // dense-id build is a load-time cost, not a per-query one
+  private val seqStoreCache =
+    new graft.tools.BoundedMemo[(SparkSession, String), TripleStore](
+      4, _ => ())
+
   /** Bump when `TripleStore.fromStarSchema`/`encode` or any persisted
     * layout changes shape — a mismatched marker wipes and rebuilds the
     * dataset's layouts instead of silently serving stale derivations.
@@ -1738,7 +1745,22 @@ object BgpQueries {
             | GRAPH ?g { ?n name ?nm } }""".stripMargin, encoded = true),
       Some("""SELECT concat('region:', n_regionkey) AS g,
              |  concat('nation:', n_nationkey) AS n, n_name AS nm
-             |FROM nation WHERE n_regionkey = 2""".stripMargin))
+             |FROM nation WHERE n_regionkey = 2""".stripMargin)),
+
+    // the >10⁹-term escape hatch as a first-class build: q33's star
+    // BGP over the SEQUENTIAL dictionary (dense ids via the banded
+    // prefix-sum assignment — no zipWithIndex, no global sort; query
+    // constants resolve through bounded plan-time dict probes, the
+    // RDF-3X discipline). Same oracle as q30/q33: the id regime is an
+    // implementation detail the results must not see.
+    GQuery(
+      "q320_bgp_sequential_dict",
+      (s, dir) => {
+        val st = seqStoreCache.getOrElseUpdate((s, dir),
+          TripleStore.encodeSequential(store(s, dir, encoded = false)))
+        BgpPlanner.query(st, starQuery)
+      },
+      Some(starOracle))
   )
 
   /** Nation-derived `(s, p, o)` triples for the Update queries: name

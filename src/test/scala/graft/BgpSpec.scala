@@ -36,6 +36,69 @@ class BgpSpec extends AnyFunSuite {
     assert(TripleStore.encode(tinyStore).encoded)
   }
 
+  test("sequential dictionary: dense ids, probe-resolved constants, differential results") {
+    val seq = TripleStore.encodeSequential(tinyStore, bands = 8)
+    assert(seq.encoded && seq.sequential)
+    // dense 1..N, collision-free by construction
+    val ids = seq.dict.get.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 1L && ids.last == ids.length.toLong &&
+      ids.distinct.length == ids.length)
+    // differential vs the string store across the core surface
+    val qs = Seq(
+      "select ?p ?d where { ?p worksFor ?d . ?p name ?n }",
+      "select ?p where { ?p worksFor dept:0 . OPTIONAL { ?s advisor ?p } }",
+      "select ?p where { ?p worksFor ?d MINUS { ?p email \"p0@u.edu\" } }",
+      "select ?p where { ?p worksFor ?d . FILTER (?d = dept:1) }")
+    for (q <- qs) {
+      val want = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet
+      val got = BgpPlanner.query(seq, q).collect().map(_.toSeq).toSet
+      assert(got == want, q)
+    }
+    // a constant the dict has never seen matches nothing (id-0 probe)
+    assert(BgpPlanner.query(seq,
+      "select ?p where { ?p worksFor dept:404 }").count() == 0)
+    // surfaces that would re-encode computed columns fail loudly…
+    intercept[IllegalArgumentException](BgpPlanner.query(seq,
+      "select ?p ?x where { ?p worksFor ?d . " +
+        "SERVICE <graft://depts> { ?d deptname ?x } }"))
+    // …and so do updates (dense ids are counters, not value hashes)
+    intercept[IllegalArgumentException](SparqlUpdate.applyAll(spark, seq,
+      "INSERT DATA { <prof:9> worksFor <dept:2> }"))
+  }
+
+  test("encoded-insert collision audit fails loudly through the delta path") {
+    import org.apache.spark.sql.functions._
+    val enc = TripleStore.encode(tinyStore)
+    // poison the standing dict: the id of the about-to-be-inserted term
+    // already maps to a DIFFERENT lexical value — the delta-scoped
+    // audit (one id-probe join, not a vocabulary groupBy) must refuse
+    val poisoned = enc.copy(dict = Some(enc.dict.get.unionByName(
+      spark.range(1).select(xxhash64(lit("prof:9")).as("id"),
+        lit("someone-else").as("value"),
+        lit(null).cast("string").as("dt"),
+        lit(null).cast("string").as("lang")))))
+    val e = intercept[IllegalStateException](SparqlUpdate.applyAll(
+      spark, poisoned, "INSERT DATA { <prof:9> worksFor <dept:2> }"))
+    assert(e.getMessage.contains("collision"))
+    // the non-colliding insert on the clean store still passes
+    assert(SparqlUpdate.applyAll(spark, enc,
+      "INSERT DATA { <prof:9> worksFor <dept:2> }").encoded)
+  }
+
+  test("encodeAuto escapes to the sequential dictionary on hash collision") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    // the colliding hash that makes encode() throw now selects the
+    // sequential build instead of dead-ending
+    val st = TripleStore.encodeAuto(tinyStore,
+      v => pmod(xxhash64(v), lit(2L)))
+    assert(st.sequential, "expected the sequential fallback")
+    val q = "select ?n where { prof:0 name ?n }"
+    assert(BgpPlanner.query(st, q).collect().map(_.getString(0)).toSet ==
+      Set("FullProfessor0"))
+    // and with the production hash encodeAuto stays on hash ids
+    assert(!TripleStore.encodeAuto(tinyStore).sequential)
+  }
+
   test("SPARQL Update: INSERT DATA is set-semantic and creates new slices") {
     val st0 = tinyStore
     val upd = SparqlUpdate.applyAll(spark, st0,
@@ -223,6 +286,54 @@ class BgpSpec extends AnyFunSuite {
     // fails loudly:
     intercept[IllegalArgumentException](BgpPlanner.query(tinyStore,
       "select ?x where { SERVICE <graft://nowhere> { ?x deptname ?y } }"))
+  }
+
+  test("SERVICE SILENT turns endpoint failure into the empty solution (§2.3)") {
+    // outer patterns pass through unrestricted when the SILENT block's
+    // endpoint is unreachable…
+    val q =
+      """select ?p ?d where {
+        | ?p worksFor ?d .
+        | SERVICE SILENT <graft://unreachable> { ?d deptname ?dn } }"""
+        .stripMargin
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      assert(BgpPlanner.query(st, q).count() == 3, s"encoded=${st.encoded}")
+    }
+    // …a standalone SILENT block degenerates to the single empty
+    // solution: one row, all projected vars unbound
+    val alone = BgpPlanner.query(tinyStore,
+      "select ?x ?y where { SERVICE SILENT <graft://unreachable> { ?x deptname ?y } }")
+      .collect()
+    assert(alone.length == 1 && alone.head.isNullAt(0) && alone.head.isNullAt(1))
+    // non-SILENT still fails loudly
+    intercept[IllegalArgumentException](BgpPlanner.query(tinyStore,
+      "select ?x where { SERVICE <graft://unreachable> { ?x deptname ?y } }"))
+  }
+
+  test("federated SERVICE runs as a bound join: remote scans are seed-restricted") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    ServiceRegistry.register("graft://depts3", TripleStore.fromTriples(
+      Seq(("dept:0", "deptname", "Mathematics"),
+        ("dept:1", "deptname", "Physics"),
+        ("dept:9", "deptname", "Unstaffed")).toDF("s", "p", "o")))
+    val df = BgpPlanner.query(tinyStore,
+      """select ?p ?dn where {
+        | ?p worksFor ?d .
+        | SERVICE <graft://depts3> { ?d deptname ?dn } }""".stripMargin)
+    // the remote deptname scan must semi-join the outer ?d bindings
+    // BEFORE the block's result joins back — the VALUES-injection
+    // plan shape (no full remote materialization)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j @ Join(_, _, LeftSemi, _, _) => j
+    }
+    assert(semis.nonEmpty, "expected a bound-join LeftSemi restriction " +
+      "on the service-side scan:\n" + df.queryExecution.optimizedPlan)
+    // and the result is unchanged
+    assert(df.select("p", "dn").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("prof:0", "Mathematics"), ("prof:1", "Mathematics"),
+        ("prof:2", "Physics")))
   }
 
   test("SERVICE-only vars survive MINUS / NOT EXISTS / VALUES on the encoded store") {
