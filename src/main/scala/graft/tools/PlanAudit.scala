@@ -52,6 +52,24 @@ object PlanAudit {
       }.toSeq
   }
 
+  /** Build-artifact / scratch directories sitting inside the SOURCE
+    * tree (an sbt run with the wrong cwd drops `target/` + a
+    * `project/` cache next to the code — untracked, so git-based leak
+    * checks never see them, but their logs can carry environment
+    * details and any `find`-based tooling picks them up). The
+    * WORKTREE is the audit surface here, deliberately not the git
+    * index.
+    */
+  def strayBuildDirs(root: String = "src"): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val junk = Set("target", "project", ".bloop", ".metals",
+      "spark-warehouse", "metastore_db")
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        junk(p.getFileName.toString))
+      .map(_.toString).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val hints = rawBroadcastHints()
     if (hints.nonEmpty)

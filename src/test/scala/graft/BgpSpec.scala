@@ -334,6 +334,28 @@ class BgpSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("prof:0", "Mathematics"), ("prof:1", "Mathematics"),
         ("prof:2", "Physics")))
+    // ENCODED remote endpoint: the seed re-encodes into the remote's
+    // id space (xxhash64 of the decoded bindings) and the restriction
+    // still holds; with an encoded OUTER store the seed additionally
+    // decodes through the outer dict first
+    ServiceRegistry.register("graft://depts3enc", TripleStore.encode(
+      TripleStore.fromTriples(
+        Seq(("dept:0", "deptname", "Mathematics"),
+          ("dept:1", "deptname", "Physics"),
+          ("dept:9", "deptname", "Unstaffed")).toDF("s", "p", "o"))))
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      val df2 = BgpPlanner.query(st,
+        """select ?p ?dn where {
+          | ?p worksFor ?d .
+          | SERVICE <graft://depts3enc> { ?d deptname ?dn } }""".stripMargin)
+      assert(df2.queryExecution.optimizedPlan.collect {
+        case j @ Join(_, _, LeftSemi, _, _) => j
+      }.nonEmpty, s"encoded remote seed missing, outer=${st.encoded}")
+      assert(df2.select("p", "dn").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("prof:0", "Mathematics"), ("prof:1", "Mathematics"),
+          ("prof:2", "Physics")), s"outer encoded=${st.encoded}")
+    }
   }
 
   test("SERVICE-only vars survive MINUS / NOT EXISTS / VALUES on the encoded store") {

@@ -21,6 +21,14 @@ class ToolsSpec extends AnyFunSuite {
         s"BoundedWindow.ordered or ExactRank: ${hits.mkString(", ")}")
   }
 
+  test("no stray build dirs inside the source WORKTREE (hygiene audit)") {
+    val stray = graft.tools.PlanAudit.strayBuildDirs()
+    assert(stray.isEmpty,
+      "build-artifact dirs inside src/ are untracked (git-invisible) " +
+        "leak vectors — delete them and fix the working directory of " +
+        s"whatever created them: ${stray.mkString(", ")}")
+  }
+
   test("BoundedMemo evicts least-recently-USED, not first-inserted") {
     val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
     val memo = new BoundedMemo[Int, String](2, evicted += _)
