@@ -67,22 +67,26 @@ object SparqlUpdate {
   /** The full §3.1.3 DELETE/INSERT form: `where` binds, `deleteTmpl`
     * then `insertTmpl` instantiate under every solution (deletes apply
     * before inserts, both against the ORIGINAL store's bindings).
-    * Round-8 extensions: `deleteQuadTmpl`/`insertQuadTmpl` carry
-    * GRAPH-scoped template entries (instantiated into the quads
-    * relation); `whereGraphs` is the WHERE clause's dataset — the
-    * union of the named graphs a `WITH <g>` / `USING <g>` clause
-    * selects (empty = the default-graph slices). A `WITH` graph also
-    * rescopes UNSCOPED template entries to that graph at parse time,
-    * and `USING` overrides `WITH` for the WHERE dataset, both per
-    * §3.1.3.
+    *
+    * `where` is a FULL query group (round 8): the update WHERE parses
+    * through the query grammar, so FILTER / OPTIONAL / UNION / MINUS /
+    * VALUES / GRAPH blocks all work exactly as they do in SELECT —
+    * one grammar, one planner. `deleteQuadTmpl`/`insertQuadTmpl`
+    * carry GRAPH-scoped template entries (instantiated into the quads
+    * relation). `USING [NAMED]` clauses land in the where-query's own
+    * fromGraphs/fromNamed (§3.1.3 defines USING exactly as §13.2's
+    * FROM), and `withGraph` holds a `WITH <g>` — it rescoped the
+    * UNSCOPED template entries at parse time and scopes the WHERE's
+    * default graph when no USING overrides it, leaving named graphs
+    * visible (unlike USING's exact-dataset semantics).
     */
   final case class Modify(
       deleteTmpl: Seq[Sparql.TriplePattern],
       insertTmpl: Seq[Sparql.TriplePattern],
-      where: Seq[Sparql.TriplePattern],
+      where: Sparql.BgpQuery,
       deleteQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
       insertQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
-      whereGraphs: Seq[String] = Nil) extends UpdateOp
+      withGraph: Option[String] = None) extends UpdateOp
 
   // ——— §3.2 graph management over the store's named-graph quads ———
   case object ClearDefault extends UpdateOp
@@ -215,23 +219,26 @@ object SparqlUpdate {
       }
     val (del, delQ) = tmpl(delB)
     val (ins, insQ) = tmpl(insB)
-    val where = patternsOf(whereB.get)
-    // WHERE dataset: USING (non-named) graphs win over WITH; USING
-    // NAMED only scopes GRAPH blocks, which update WHERE groups do not
-    // support — with no GRAPH block to scope it is vacuous (§13.2)
+    // the WHERE group parses through the FULL query grammar (select *
+    // projects every bound var) — FILTER/OPTIONAL/UNION/MINUS/VALUES/
+    // GRAPH all work in update WHERE exactly as in SELECT
+    val whereQ0 = Sparql.parse("select * where { " + whereB.get + " }")
+    // §3.1.3 dataset: USING ≡ FROM, USING NAMED ≡ FROM NAMED — the
+    // where-query's own dataset-clause machinery evaluates them; a
+    // WITH without USING scopes only the default graph (named graphs
+    // stay visible), handled at apply time via `withGraph`
     val usingList = usings.result()
-    val whereGraphs = {
-      val plain = usingList.collect { case (false, g) => g }
-      if (plain.nonEmpty) plain else withG.toList
-    }
-    val bound = where.flatMap(tp => Seq(tp.s, tp.o))
-      .collect { case Sparql.Var(n) => n }.toSet
+    val whereQ = whereQ0.copy(
+      fromGraphs = usingList.collect { case (false, g) => g },
+      fromNamed = usingList.collect { case (true, g) => g })
+    val bound = whereQ.select.toSet
     (del ++ ins ++ (delQ ++ insQ).map(_._2))
       .flatMap(tp => Seq(tp.s, tp.o))
       .collect { case Sparql.Var(n) => n }
       .foreach(v => require(bound(v),
         s"template var ?$v is not bound by the WHERE group"))
-    Some(Modify(del, ins, where, delQ, insQ, whereGraphs))
+    Some(Modify(del, ins, whereQ, delQ, insQ,
+      if (usingList.isEmpty) withG else None))
   }
 
   /** Pull `GRAPH <g> { … }` chunks out of a DATA/template body:
@@ -344,10 +351,14 @@ object SparqlUpdate {
 
       // DELETE WHERE is §3.1.3's Modify with the pattern group serving
       // as both the match and the (only) template
-      case DeleteWhere(pats) => applyModify(spark, store, pats, Nil, pats)
+      case DeleteWhere(pats) =>
+        val vars = pats.flatMap(tp => Seq(tp.s, tp.o))
+          .collect { case Sparql.Var(n) => n }.distinct
+        applyModify(spark, store, pats, Nil,
+          Sparql.BgpQuery(select = vars, patterns = pats))
 
-      case Modify(del, ins, where, delQ, insQ, whereGs) =>
-        applyModify(spark, store, del, ins, where, delQ, insQ, whereGs)
+      case Modify(del, ins, where, delQ, insQ, withG) =>
+        applyModify(spark, store, del, ins, where, delQ, insQ, withG)
 
       case InsertDataGraph(g, ts) =>
         val rows = ts.toDF("s", "p", "o")
@@ -497,26 +508,33 @@ object SparqlUpdate {
       store: TripleStore,
       delTmpl: Seq[Sparql.TriplePattern],
       insTmpl: Seq[Sparql.TriplePattern],
-      where: Seq[Sparql.TriplePattern],
+      where: Sparql.BgpQuery,
       delQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
       insQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
-      whereGraphs: Seq[String] = Nil): TripleStore = {
+      withGraph: Option[String] = None): TripleStore = {
     import spark.implicits._
-    (delTmpl ++ insTmpl ++ (delQuadTmpl ++ insQuadTmpl).map(_._2) ++ where)
+    (delTmpl ++ insTmpl ++ (delQuadTmpl ++ insQuadTmpl).map(_._2))
       .foreach(tp =>
         require(tp.p.isInstanceOf[Sparql.Const],
-          "updates support constant predicates (the slice dispatch " +
-            s"key); got ${tp.p}"))
-    val vars = where.flatMap(tp => Seq(tp.s, tp.o))
-      .collect { case Sparql.Var(n) => n }.distinct
-    require(vars.nonEmpty,
+          "update templates support constant predicates (the slice " +
+            s"dispatch key); got ${tp.p}"))
+    require(where.select.nonEmpty,
       "variable-free updates use INSERT DATA / DELETE DATA")
-    // WITH/USING dataset: the WHERE group binds against the selected
-    // named graphs' union instead of the default-graph slices
-    val whereStore =
-      if (whereGraphs.isEmpty) store else scopedStore(store, whereGraphs)
-    val bind = BgpPlanner.plan(whereStore,
-      Sparql.BgpQuery(select = vars, patterns = where))
+    // WITH (no USING): the WHERE's DEFAULT graph becomes the named
+    // graph's content while named graphs stay visible — unlike USING,
+    // whose exact-dataset semantics ride the where-query's own
+    // fromGraphs/fromNamed through the planner (§3.1.3 ≡ §13.2)
+    val whereStore = withGraph match {
+      case Some(g) => scopedStore(store, Seq(g)).copy(quads = store.quads)
+      case None => store
+    }
+    val bind = BgpPlanner.plan(whereStore, where)
+    // a solution leaving any of a template triple's vars UNBOUND (an
+    // OPTIONAL miss) instantiates nothing for that triple (§3.1.3) —
+    // filtered per triple, so other templates still instantiate
+    def ground(tp: Sparql.TriplePattern): DataFrame =
+      Seq(tp.s, tp.o).collect { case Sparql.Var(n) => n }
+        .foldLeft(bind)((d, n) => d.filter(col(n).isNotNull))
     def instantiate(tmpl: Seq[Sparql.TriplePattern]): Option[DataFrame] =
       if (tmpl.isEmpty) None
       else Some(tmpl.map { tp =>
@@ -528,7 +546,7 @@ object SparqlUpdate {
           case other => throw new IllegalArgumentException(
             s"update templates are plain triples; got $other")
         }
-        bind.select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
+        ground(tp).select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
           c(tp.o).as("o"))
       }.reduce(_ unionByName _).distinct())
     var slices = store.slices
@@ -564,7 +582,7 @@ object SparqlUpdate {
           case other => throw new IllegalArgumentException(
             s"update templates are plain triples; got $other")
         }
-        bind.select(gid(store, g).as("g"), c(tp.s).as("s"),
+        ground(tp).select(gid(store, g).as("g"), c(tp.s).as("s"),
           lit(constOf(tp.p)).as("p"), c(tp.o).as("o"))
       }.reduce(_ unionByName _).distinct())
     var quads = store.quads

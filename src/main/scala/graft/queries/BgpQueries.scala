@@ -1747,6 +1747,44 @@ object BgpQueries {
              |  concat('nation:', n_nationkey) AS n, n_name AS nm
              |FROM nation WHERE n_regionkey = 2""".stripMargin)),
 
+    // update WHERE as a FULL query group (round 8): FILTER restricts
+    // which solutions the delete+insert templates instantiate under —
+    // one nation's region edge migrates, every other row stands. The
+    // WHERE parses through the query grammar, so this is the planner's
+    // own FILTER path (dict-scan on the encoded store), not a bespoke
+    // update-side predicate.
+    GQuery(
+      "q321_update_where_filter",
+      (s, dir) => {
+        val st = TripleStore.fromTriples(nationTriples(s, dir))
+        val upd = SparqlUpdate.applyAll(s, st,
+          """DELETE { ?n inregion ?r } INSERT { ?n wasregion ?r }
+            |WHERE { ?n inregion ?r . ?n name ?nm .
+            |  FILTER (?nm = "NATION_7") }""".stripMargin)
+        BgpPlanner.query(upd,
+          "select ?n ?r where { ?n wasregion ?r }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('region:', n_regionkey) AS r
+             |FROM nation WHERE n_name = 'NATION_7'""".stripMargin)),
+
+    // GRAPH block in update WHERE + USING NAMED on the ENCODED store:
+    // the WHERE ranges over one region graph of the quads relation
+    // (USING NAMED's exact-dataset semantics through the planner's
+    // FROM NAMED machinery), and the instantiated alias edges land in
+    // the default graph in id space with dict growth for the new
+    // predicate.
+    GQuery(
+      "q322_update_where_graph_encoded",
+      (s, dir) => {
+        val upd = SparqlUpdate.applyAll(s, store(s, dir, encoded = true),
+          """INSERT { ?n alias ?nm } USING NAMED <region:2>
+            |WHERE { GRAPH ?g { ?n name ?nm } }""".stripMargin)
+        BgpPlanner.query(upd, "select ?n ?nm where { ?n alias ?nm }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_regionkey = 2""".stripMargin)),
+
     // the >10⁹-term escape hatch as a first-class build: q33's star
     // BGP over the SEQUENTIAL dictionary (dense ids via the banded
     // prefix-sum assignment — no zipWithIndex, no global sort; query

@@ -468,6 +468,37 @@ class BgpSpec extends AnyFunSuite {
       "WITH <g:x> DELETE WHERE { ?p worksFor ?d }"))
   }
 
+  test("update WHERE is a full query group: FILTER, OPTIONAL, GRAPH, USING NAMED") {
+    // FILTER restricts which solutions the templates instantiate under
+    val st1 = SparqlUpdate.applyAll(spark, tinyStore,
+      "DELETE { ?p worksFor ?d } WHERE { ?p worksFor ?d . FILTER (?d = dept:0) }")
+    assert(st1.slices("worksFor").collect().map(_.getString(0)).toSeq ==
+      Seq("prof:2"))
+    // OPTIONAL: a solution leaving a template var unbound instantiates
+    // NOTHING for that triple — no null-subject rows sneak into slices
+    val st2 = SparqlUpdate.applyAll(spark, tinyStore,
+      """INSERT { ?p hasadvisee ?s }
+        |WHERE { ?p worksFor ?d . OPTIONAL { ?s advisor ?p } }"""
+        .stripMargin)
+    assert(st2.slices("hasadvisee").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("prof:0", "stud:0")))
+    // GRAPH block inside update WHERE + USING NAMED restricting it
+    val seeded = SparqlUpdate.applyAll(spark, tinyStore,
+      """INSERT DATA { GRAPH <g:a> { <prof:0> title "chair" }
+        | GRAPH <g:b> { <prof:1> title "dean" } }""".stripMargin)
+    val st3 = SparqlUpdate.applyAll(spark, seeded,
+      "INSERT { ?p titled ?t } USING NAMED <g:a> WHERE { GRAPH ?g { ?p title ?t } }")
+    assert(st3.slices("titled").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("prof:0", "chair")))
+    // and with both graphs in the named set, both solutions instantiate
+    val st4 = SparqlUpdate.applyAll(spark, seeded,
+      "INSERT { ?p titled ?t } USING NAMED <g:a> USING NAMED <g:b> " +
+        "WHERE { GRAPH ?g { ?p title ?t } }")
+    assert(st4.slices("titled").count() == 2)
+  }
+
   test("CREATE / DROP GRAPH follow §3.2.2-3 with no empty-graph bookkeeping") {
     val st1 = SparqlUpdate.applyAll(spark, tinyStore,
       "INSERT DATA { GRAPH <g:a> { <prof:5> role \"dean\" } }")
