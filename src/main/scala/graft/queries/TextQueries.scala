@@ -2406,6 +2406,78 @@ object TextQueries {
              |SELECT a.source AS source_a, b.source AS source_b,
              |  count(*) AS n_shared
              |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Gopher-style repetition-rule filter card (Rae et al. 2021 §A1.1
+    // analog over the word-stream corpus): per doc, (a) type-token
+    // ratio, (b) duplicate-SEGMENT fraction over non-overlapping
+    // 8-token segments (the duplicate-line rule; this corpus has no
+    // newlines, so the segment grid is the line analog — identical
+    // rule in both engines), (c) length bounds; the card reports per
+    // (source, lang) how much of the corpus each composite gate keeps.
+    // Scale shape: segments come from transform(sequence)+slice INSIDE
+    // the scan projection — higher-order array functions, zero
+    // shuffles before the final name-sized groupBy. The avg columns
+    // ride the OracleNum davg floor-pattern (order-independent).
+    GQuery(
+      "q323_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"source", $"lang", split($"text", " ").as("toks"))
+          .withColumn("n", size($"toks").cast("long"))
+          .withColumn("nseg", expr("n div 8"))
+          .withColumn("segs",
+            when($"nseg" > 0, expr(
+              "transform(sequence(0L, nseg - 1), " +
+                "i -> array_join(slice(toks, int(i)*8 + 1, 8), ' '))"))
+              .otherwise(expr("array()")))
+          .withColumn("ttr",
+            size(array_distinct($"toks")) * lit(1.0) / $"n")
+          .withColumn("dupf",
+            when($"nseg" > 0,
+              lit(1.0) -
+                size(array_distinct($"segs")) * lit(1.0) / $"nseg")
+              .otherwise(lit(0.0)))
+          .withColumn("pass",
+            ($"ttr" >= 0.3 && $"dupf" <= 0.2 &&
+              $"n".between(30, 5000)).cast("long"))
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"pass").as("n_pass"),
+            (sum($"pass") * lit(1.0) / count(lit(1))).as("pass_rate"),
+            OracleNum.davg($"ttr").as("avg_ttr"),
+            OracleNum.davg($"dupf").as("avg_dupf"))
+      },
+      Some("""WITH d AS (SELECT source, lang,
+             |    string_split(text, ' ') AS toks,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |e AS (SELECT source, lang, n,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) * 1.0 / n
+             |      AS ttr,
+             |    n // 8 AS nseg,
+             |    list_transform(range(n // 8), i ->
+             |      array_to_string(toks[i*8+1:i*8+8], ' ')) AS segs
+             |  FROM d),
+             |f AS (SELECT source, lang, n, ttr,
+             |    CASE WHEN nseg > 0 THEN
+             |      1.0 - CAST(len(list_distinct(segs)) AS BIGINT)
+             |        * 1.0 / nseg
+             |    ELSE 0.0 END AS dupf
+             |  FROM e),
+             |g AS (SELECT source, lang, n, ttr, dupf,
+             |    CASE WHEN ttr >= 0.3 AND dupf <= 0.2
+             |      AND n BETWEEN 30 AND 5000 THEN 1 ELSE 0 END AS pass
+             |  FROM f)
+             |SELECT source, lang,
+             |  count(*) AS n_docs,
+             |  CAST(sum(pass) AS BIGINT) AS n_pass,
+             |  CAST(sum(pass) AS BIGINT) * 1.0 / count(*) AS pass_rate,
+             |  CAST(sum(floor(ttr * 10000 + 0.5)) / 10000 / count(*)
+             |    AS DOUBLE) AS avg_ttr,
+             |  CAST(sum(floor(dupf * 10000 + 0.5)) / 10000 / count(*)
+             |    AS DOUBLE) AS avg_dupf
+             |FROM g GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -434,6 +434,73 @@ object StreamOps {
       }
   }
 
+  final case class DocText(doc_id: Long, text: String)
+
+  /** A near-dup CANDIDATE from the streaming LSH band state:
+    * `doc_id` landed in a (band, bucket) that `first_id` — the
+    * earliest-retained document — claimed before it.
+    */
+  final case class NearDupCandidate(band: Int, bucket: Long,
+      first_id: Long, doc_id: Long)
+
+  /** First 8 md5 hex chars of the UTF-8 bytes as an unsigned 32-bit
+    * value — the JVM spelling of the batch queries' `h32` column
+    * (DedupQueries), bit-identical so the stream and batch LSH agree.
+    */
+  private def h32jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Streaming MinHash-LSH near-dup detection — the streaming arm of
+    * q45's batch LSH and q162's incremental batch-vs-corpus dedup.
+    * Each doc maps (statelessly, in the scan) to `perms` (band,
+    * min-hash) bucket keys over its distinct 5-token shingles — the
+    * exact q45 convention (`h32(j + ":" + shingle)`), so stream and
+    * batch candidates are bit-comparable. The keyed state holds ONE
+    * long per live bucket: the first document to claim it. Every
+    * later arrival in the bucket emits a candidate against that
+    * retained first — the star-shaped incremental-dedup contract
+    * (new-vs-corpus, never all-pairs; a doc already flagged against
+    * the retained one needs no pair with its fellow duplicates).
+    * Within a micro-batch, docs process in doc_id order, so the
+    * claimant is deterministic. State is live-bucket bounded (one
+    * int64 per bucket, ~perms per retained distinct doc); production
+    * deployments bound it further with a state TTL, like the
+    * sessionizer's timeout.
+    */
+  def nearDupCandidateStream(docs: Dataset[DocText],
+      perms: Int = 16): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { d =>
+      val w = d.text.split(" ")
+      if (w.length < 5) Iterator.empty
+      else {
+        val shs = w.sliding(5).map(_.mkString(" ")).toSet
+        (0 until perms).iterator.map { j =>
+          (j, shs.iterator.map(s => h32jvm(s"$j:$s")).min, d.doc_id)
+        }
+      }
+    }
+    banded
+      .groupByKey { case (band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState[Long, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, bucket), it, state) =>
+          val ids = it.map(_._3).toArray.sorted
+          val (first, rest) = state.getOption match {
+            case Some(f) => (f, ids.toSeq)
+            case None =>
+              state.update(ids.head)
+              (ids.head, ids.toSeq.tail)
+          }
+          rest.iterator.filter(_ != first)
+            .map(id => NearDupCandidate(band, bucket, first, id))
+      }
+  }
+
   /** An anomaly alert: an event whose value deviated more than
     * `sigmas` from its type's running mean at the moment it arrived.
     */

@@ -638,4 +638,55 @@ class StreamSpec extends AnyFunSuite {
         "variance inflated by the spike absorbs the moderate deviation")
     } finally q.stop()
   }
+
+  test("streaming near-dup candidates match the batch LSH star pairs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // base
+      (2L, "a b c d e f g h"),   // exact dup of 1: every bucket collides
+      (3L, "a b c d e f g X"),   // near dup: shares most shingles with 1
+      (4L, "p q r s t u v w"),   // unrelated vocabulary
+      (5L, "p q r s t u v w y"), // near dup of 4
+      (6L, "z y2 z3 z4"))        // <5 tokens: no shingles, never a candidate
+    val src = MemoryStream[StreamOps.DocText]
+    val q = StreamOps.nearDupCandidateStream(src.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // corpus docs arrive first and claim their buckets...
+      src.addData(StreamOps.DocText(1, docs(0)._2), StreamOps.DocText(4, docs(3)._2))
+      q.processAllAvailable()
+      // ...later batches collide against the RETAINED firsts
+      src.addData(StreamOps.DocText(2, docs(1)._2), StreamOps.DocText(3, docs(2)._2),
+        StreamOps.DocText(5, docs(4)._2), StreamOps.DocText(6, docs(5)._2))
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .as[StreamOps.NearDupCandidate].collect()
+        .map(c => (c.band, c.bucket, c.first_id, c.doc_id)).toSet
+      // batch twin: the q45 signature convention over the whole corpus,
+      // star pairs around the min doc of every (band, bucket)
+      val toks = docs.toDF("doc_id", "text").withColumn("w", split($"text", " "))
+        .filter(size($"w") >= 5)
+      val sh = toks.select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> array_join(slice(w, i, 5), ' '))"))
+        .as("s")).distinct()
+      val mh = sh
+        .select($"doc_id", explode(sequence(lit(0), lit(15))).as("band"), $"s")
+        .select($"doc_id", $"band",
+          conv(substring(md5(concat($"band".cast("string"), lit(":"), $"s")
+            .cast("binary")), 1, 8), 16, 10).cast("long").as("h"))
+        .groupBy($"doc_id", $"band").agg(min($"h").as("bucket"))
+      val want = mh.groupBy($"band", $"bucket")
+        .agg(min($"doc_id").as("first_id"), collect_set($"doc_id").as("ids"))
+        .select($"band", $"bucket", $"first_id", explode($"ids").as("doc_id"))
+        .filter($"doc_id" =!= $"first_id")
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(got == want, "stream star pairs must equal the batch LSH star pairs")
+      // the exact dup collides with its retained first; unrelated
+      // vocabularies never pair
+      assert(got.exists(c => c._3 == 1L && c._4 == 2L))
+      assert(!got.exists(c => Set(c._3, c._4) == Set(1L, 4L)))
+    } finally q.stop()
+  }
 }
