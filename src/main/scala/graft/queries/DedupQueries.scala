@@ -1240,6 +1240,94 @@ object DedupQueries {
               |SELECT CAST(1 AS BIGINT) AS band_width, CAST(16 AS BIGINT)
               |    AS n_bands, CAST(n AS BIGINT) AS n_candidates FROM c1
               |UNION ALL SELECT 2, 8, CAST(n AS BIGINT) FROM c2
-              |UNION ALL SELECT 4, 4, CAST(n AS BIGINT) FROM c4""".stripMargin))
+              |UNION ALL SELECT 4, 4, CAST(n AS BIGINT) FROM c4""".stripMargin)),
+
+    // quality-AWARE cluster retention (round 8): q83's transitive
+    // near-dup clusters, but the kept document is the cluster's
+    // highest-QUALITY member (q41's scoring mix; ties break to the
+    // lower doc_id) rather than the lowest id — the retention policy a
+    // real curation pipeline wants, since the canonical-min rule can
+    // happily keep the worst copy. The winner rank is a window
+    // PARTITIONED by cluster (cluster-grain rows, bounded fan-in);
+    // closure via path doubling (log₂ diameter rounds), never
+    // all-pairs. Quality doubles are pure integer-ratio IEEE ops —
+    // bit-identical across engines, so the ordering (and the winner)
+    // agrees exactly.
+    GQuery(
+      "q324_cluster_retention",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingleBand(s, dir)
+        val card = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(card.select($"doc_id".as("d1"), $"n".as("n1")), Seq("d1"))
+          .join(card.select($"doc_id".as("d2"), $"n".as("n2")), Seq("d2"))
+          .filter($"inter" * lit(1.0) / ($"n1" + $"n2" - $"inter") >= 0.6)
+          .select($"d1", $"d2")
+        val und = pairs.select($"d1".as("src"), $"d2".as("dst"))
+          .unionByName(pairs.select($"d2".as("src"), $"d1".as("dst")))
+        val reach = graft.graph.PathOps.transitiveClosure(und)
+          .unionByName(und.select($"src").distinct()
+            .select($"src", $"src".as("dst")))
+        val clusters = reach.groupBy($"src".as("doc_id"))
+          .agg(min($"dst").as("canonical"))
+        val quality = graft.Tables.t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", size($"w").as("n"),
+            size(array_distinct($"w")).as("nu"),
+            expr("size(filter(w, t -> t IN ('the', 'a')))").as("stop"))
+          .select($"doc_id",
+            ($"nu" * lit(1.0) / $"n" * lit(0.5)
+              + least($"n", lit(50)) * lit(1.0) / lit(50.0) * lit(0.3)
+              + (lit(1.0) - $"stop" * lit(1.0) / $"n") * lit(0.2))
+              .as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"canonical")
+          .orderBy($"quality".desc, $"doc_id".asc)
+        clusters.join(quality, Seq("doc_id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy($"canonical")
+          .agg(count(lit(1)).as("n_members"),
+            max(when($"rk" === 1, $"doc_id")).as("kept_id"),
+            (count(lit(1)) - 1).as("n_dropped"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |$shingleBandSql,
+              |card AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |pairs AS (SELECT d1, d2 FROM inter
+              |          JOIN card c1 ON c1.doc_id = d1
+              |          JOIN card c2 ON c2.doc_id = d2
+              |          WHERE inter * 1.0 / (c1.n + c2.n - inter) >= 0.6),
+              |und AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              |        UNION SELECT d2, d1 FROM pairs),
+              |reach AS (SELECT src, src AS dst FROM (SELECT DISTINCT src FROM und)
+              |          UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+              |clu AS (SELECT src AS doc_id, min(dst) AS canonical
+              |        FROM reach GROUP BY src),
+              |b AS (SELECT doc_id,
+              |    len(string_split(text, ' ')) AS n,
+              |    len(list_distinct(string_split(text, ' '))) AS nu,
+              |    len(list_filter(string_split(text, ' '),
+              |        t -> t IN ('the', 'a'))) AS stop
+              |  FROM documents),
+              |q AS (SELECT doc_id,
+              |    nu * 1.0 / n * 0.5 + least(n, 50) * 1.0 / 50.0 * 0.3
+              |      + (1.0 - stop * 1.0 / n) * 0.2 AS quality
+              |  FROM b),
+              |r AS (SELECT clu.canonical, clu.doc_id, q.quality,
+              |    row_number() OVER (PARTITION BY clu.canonical
+              |      ORDER BY q.quality DESC, clu.doc_id) AS rk
+              |  FROM clu JOIN q USING (doc_id))
+              |SELECT canonical, count(*) AS n_members,
+              |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+              |    AS kept_id,
+              |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+              |FROM r GROUP BY 1""".stripMargin))
   )
 }
