@@ -689,4 +689,37 @@ class StreamSpec extends AnyFunSuite {
       assert(!got.exists(c => Set(c._3, c._4) == Set(1L, 4L)))
     } finally q.stop()
   }
+
+  test("nearDupCandidateStream holds 20k docs x 16 bands under RocksDB (state-scale pin)") {
+    // 320k live (band, bucket) state entries - one retained long each -
+    // then a dup wave against the FULL standing state: every dup must
+    // collide with its retained original in all 16 bands, and fresh
+    // docs must claim fresh buckets silently.
+    import rocksSpark.implicits._
+    implicit val sql = rocksSpark.sqlContext
+    val n = 20000
+    def text(i: Int) = s"w${i}a w${i}b w${i}c w${i}d w${i}e" // 1 shingle
+    val src = MemoryStream[StreamOps.DocText]
+    val q = StreamOps.nearDupCandidateStream(src.toDS())
+      .writeStream.format("memory").queryName("neardup_rocks")
+      .outputMode("append").start()
+    try {
+      src.addData((1 to n).map(i => StreamOps.DocText(i.toLong, text(i))))
+      q.processAllAvailable()
+      assert(rocksSpark.table("neardup_rocks").count() == 0,
+        "distinct-vocabulary docs must claim buckets without colliding")
+      // wave 2: every 10th doc duplicated, plus one fresh doc
+      src.addData((10 to n by 10).map(i =>
+        StreamOps.DocText((n + i).toLong, text(i)))
+        ++ Seq(StreamOps.DocText(900001L, text(900001))))
+      q.processAllAvailable()
+      val cand = rocksSpark.table("neardup_rocks")
+        .as[StreamOps.NearDupCandidate].collect()
+      assert(cand.length == (n / 10) * 16,
+        "each dup collides in all 16 bands, the fresh doc in none")
+      assert(cand.forall(c => c.doc_id == c.first_id + n),
+        "every candidate pairs a dup with its retained original")
+      assert(cand.map(_.band).distinct.sorted.toSeq == (0 until 16))
+    } finally q.stop()
+  }
 }
