@@ -328,6 +328,20 @@ object TripleStore {
     TripleStore(enc, Some(dict))
   }
 
+  /** Detect a persisted dictionary's id regime so a reloaded store
+    * gets the right `sequential` flag (the flag is session state, not
+    * file state — attaching a DENSE dict to a store the planner
+    * treats as hash-id would silently resolve every constant to the
+    * wrong id). Dense sequential ids are exactly 1..N by construction
+    * (`max(id) == count(*) && min(id) == 1`); xxhash64 ids are
+    * 2^64-sparse, where that coincidence is impossible past a handful
+    * of terms. One bounded aggregate over the dict at attach time.
+    */
+  def isSequentialDict(dict: DataFrame): Boolean = {
+    val r = dict.agg(min(col("id")), max(col("id")), count(lit(1))).head()
+    !r.isNullAt(0) && r.getLong(0) == 1L && r.getLong(1) == r.getLong(2)
+  }
+
   /** [[encode]], falling back to the SEQUENTIAL dictionary when the
     * hash ids hit their birthday bound: the collision audit that
     * previously dead-ended a >10⁹-term corpus now selects the
@@ -365,6 +379,11 @@ object TripleStore {
     * re-encodes (subquery exports, federation, inline VALUES tables)
     * would each need a value→id join instead of an expression — those
     * surfaces stay on the hash-id store and fail loudly here.
+    *
+    * Persist/reload: the slices and dict write through the same
+    * [[writeEncodedPartitioned]]/[[writeDict]] layouts as the hash
+    * store; on reattach, derive the `sequential` flag with
+    * [[isSequentialDict]] — it is session state, not file state.
     */
   def encodeSequential(store: TripleStore, bands: Int = 256): TripleStore = {
     val spark = store.slices.values.head.sparkSession

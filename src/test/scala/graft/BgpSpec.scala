@@ -85,6 +85,26 @@ class BgpSpec extends AnyFunSuite {
       "INSERT DATA { <prof:9> worksFor <dept:2> }").encoded)
   }
 
+  test("sequential store persists and reloads with the right id regime") {
+    // the `sequential` flag is session state, not file state: the
+    // reload path re-derives it from the dict's dense-id signature,
+    // because attaching a dense dict as hash-id would silently resolve
+    // every query constant to the wrong id
+    val seq = TripleStore.encodeSequential(tinyStore, bands = 8)
+    val dir = java.nio.file.Files.createTempDirectory("seqstore").toString
+    TripleStore.writeEncodedPartitioned(seq, s"$dir/enc")
+    TripleStore.writeDict(seq.dict.get, s"$dir/dict", "graft_test_seqdict")
+    val dict = TripleStore.registerDict(spark, s"$dir/dict", "graft_test_seqdict")
+    assert(TripleStore.isSequentialDict(dict))
+    assert(!TripleStore.isSequentialDict(TripleStore.encode(tinyStore).dict.get))
+    val reloaded = TripleStore.fromPartitionedParquet(spark, s"$dir/enc")
+      .copy(dict = Some(dict),
+        sequential = TripleStore.isSequentialDict(dict))
+    val q = "select ?p ?d where { ?p worksFor ?d . FILTER (?d = dept:0) }"
+    assert(BgpPlanner.query(reloaded, q).collect().map(_.toSeq).toSet ==
+      BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet)
+  }
+
   test("encodeAuto escapes to the sequential dictionary on hash collision") {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     // the colliding hash that makes encode() throw now selects the
