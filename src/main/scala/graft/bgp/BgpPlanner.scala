@@ -717,42 +717,67 @@ object BgpPlanner {
     // all, so they join/project as values and skip the result-edge
     // decode (the `lexical` mechanism).
     val serviceDfs = q.services.flatMap { case (endpoint, silent, pats) =>
+      val vars = pats.flatMap(_.vars).distinct
+      // Bound join (§2.4 guidance; DREAM's ship-auxiliary-data-only
+      // principle): project the outer chain's DISTINCT bindings of
+      // the shared vars and decode them to lexical — the wire format a
+      // remote endpoint receives (binding-sized dict joins). Both
+      // transport arms consume this: the in-process arm re-encodes it
+      // into the remote store's term form and seeds the remote plan
+      // (LeftSemi-restricted scans); the HTTP arm injects it as a
+      // VALUES clause in the protocol request (SparqlHttp).
+      val lexSeed: Option[(Seq[String], DataFrame)] = mainChain.flatMap { mc =>
+        val shared = vars.filter(mc.columns.toSet)
+        if (shared.isEmpty) None
+        else {
+          val raw = mc.select(shared.map(col): _*).distinct()
+          val lex =
+            if (!store.encoded) raw
+            else {
+              val (dec, lexMap) = decodeVars(raw, shared)
+              dec.select(shared.map(v => lexMap(v).as(v)): _*)
+            }
+          Some((shared, lex))
+        }
+      }
       // SILENT (§2.3): an unreachable endpoint yields the single empty
       // solution — the block simply stops restricting the outer
       // solutions, so it contributes no relation at all
-      val remoteOpt =
-        try Some(ServiceRegistry.resolve(endpoint))
-        catch { case e: IllegalArgumentException =>
-          if (silent) None else throw e
-        }
-      remoteOpt.map { remote =>
-        val vars = pats.flatMap(_.vars).distinct
-        // Bound join (§2.4 guidance; DREAM's ship-auxiliary-data-only
-        // principle): project the outer chain's DISTINCT bindings of
-        // the shared vars, decode them to lexical (the wire format a
-        // remote endpoint would receive — binding-sized dict joins),
-        // re-encode into the REMOTE store's term form, and seed the
-        // remote plan so its scans are VALUES-restricted instead of
-        // materializing the full remote relation and joining after.
-        val remoteSeed = mainChain.flatMap { mc =>
-          val shared = vars.filter(mc.columns.toSet)
-          if (shared.isEmpty) None
-          else {
-            val raw = mc.select(shared.map(col): _*).distinct()
-            val lex =
-              if (!store.encoded) raw
-              else {
-                val (dec, lexMap) = decodeVars(raw, shared)
-                dec.select(shared.map(v => lexMap(v).as(v)): _*)
-              }
-            Some(
+      val subOpt: Option[DataFrame] =
+        if (SparqlHttp.isHttp(endpoint)) {
+          try {
+            val (bv, rows): (Seq[String], Seq[Seq[String]]) =
+              lexSeed.map { case (shared, lex) =>
+                val got = lex.na.drop()
+                  .limit(SparqlHttp.MaxBoundRows + 1).collect()
+                if (got.length > SparqlHttp.MaxBoundRows)
+                  (Seq.empty[String], Seq.empty[Seq[String]])
+                else (shared, got.toSeq.map(r =>
+                  shared.indices.map(r.getString).toSeq))
+              }.getOrElse((Nil, Nil))
+            Some(SparqlHttp.queryDf(
+              store.slices.values.head.sparkSession, endpoint, pats,
+              bv, rows))
+          } catch { case scala.util.control.NonFatal(e) =>
+            if (silent) None else throw e
+          }
+        } else {
+          val remoteOpt =
+            try Some(ServiceRegistry.resolve(endpoint))
+            catch { case e: IllegalArgumentException =>
+              if (silent) None else throw e
+            }
+          remoteOpt.map { remote =>
+            val remoteSeed = lexSeed.map { case (shared, lex) =>
               if (remote.encoded)
                 lex.select(shared.map(v => xxhash64(col(v)).as(v)): _*)
-              else lex)
+              else lex
+            }
+            plan(remote, Sparql.BgpQuery(select = vars, patterns = pats),
+              Map.empty[String, Long], remoteSeed)
           }
         }
-        val sub = plan(remote, Sparql.BgpQuery(select = vars, patterns = pats),
-          Map.empty[String, Long], remoteSeed)
+      subOpt.map { sub =>
         if (!store.encoded) sub
         else {
           val outerBound = (q.patterns ++ q.optionals.flatten ++

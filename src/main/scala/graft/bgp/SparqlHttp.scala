@@ -1,0 +1,141 @@
+package graft.bgp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The HTTP transport arm of `SERVICE` federation — the seam
+  * ServiceRegistry left open (an in-process TripleStore stands in for
+  * the remote endpoint elsewhere; here the endpoint is a real SPARQL
+  * 1.1 Protocol server).
+  *
+  * The block ships as `GET ?query=` with the OUTER solution's distinct
+  * shared-var bindings injected as a `VALUES` clause — the bound-join
+  * optimization ON THE WIRE, so a selective outer pattern never pulls
+  * the full remote relation (DREAM's ship-auxiliary-data-only
+  * principle; the in-process stores get the same shape as a LeftSemi
+  * seed). Responses parse from `application/sparql-results+json`
+  * (jackson rides Spark's own classpath) into the store's canonical
+  * term spellings — plain IRI/literal strings, `canonTyped` /
+  * `canonLang` decorated forms — so downstream joins and filters see
+  * exactly what a local scan would produce.
+  *
+  * Scale note: the response materializes on the driver — that IS the
+  * SPARQL federation protocol (results come over the wire to the
+  * coordinator), and the VALUES restriction is what keeps it
+  * result-sized. The binding batch is capped ([[MaxBoundRows]]); past
+  * the cap the query degrades gracefully to the unrestricted block
+  * (correct, just less communication-optimal), mirroring production
+  * federation engines' bound-join batching.
+  */
+object SparqlHttp {
+
+  /** Bindings above this count stop being injected as VALUES (the
+    * request URL must stay bounded); the block then evaluates
+    * unrestricted and the planner's ordinary join applies the
+    * restriction locally.
+    */
+  val MaxBoundRows = 1000
+
+  def isHttp(endpoint: String): Boolean =
+    endpoint.startsWith("http://") || endpoint.startsWith("https://")
+
+  /** Render a stored-form constant back to SPARQL surface syntax:
+    * decorated literals pass through, IRI-shaped terms re-bracket,
+    * anything else quotes (with escapes).
+    */
+  private[bgp] def term(v: String): String =
+    if (v.startsWith("\"")) v
+    else if (v.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) s"<$v>"
+    else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The block's query text: projected vars, triple patterns, and the
+    * optional bound-join VALUES clause.
+    */
+  private[bgp] def render(
+      pats: Seq[Sparql.TriplePattern],
+      boundVars: Seq[String],
+      boundRows: Seq[Seq[String]]): String = {
+    val vars = pats.flatMap(_.vars).distinct
+    def t(x: Sparql.Term): String = x match {
+      case Sparql.Var(n) => "?" + n
+      case Sparql.Const(v) => term(v)
+      case other => throw new IllegalArgumentException(
+        s"SERVICE blocks ship plain triples; got $other")
+    }
+    val body = pats.map(tp => s"${t(tp.s)} ${t(tp.p)} ${t(tp.o)}")
+      .mkString(" . ")
+    val values =
+      if (boundVars.isEmpty || boundRows.isEmpty) ""
+      else s" VALUES (${boundVars.map("?" + _).mkString(" ")}) { " +
+        boundRows.map(r => "(" + r.map(term).mkString(" ") + ")")
+          .mkString(" ") + " }"
+    s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { $body .$values }"
+  }
+
+  private def fetch(endpoint: String, query: String): String = {
+    val uri = java.net.URI.create(endpoint + "?query=" +
+      java.net.URLEncoder.encode(query, "UTF-8"))
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .header("Accept", "application/sparql-results+json")
+      .timeout(java.time.Duration.ofSeconds(30)).GET().build()
+    val resp = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200) throw new java.io.IOException(
+      s"SPARQL endpoint $endpoint returned HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** `application/sparql-results+json` → (vars, rows) in canonical
+    * stored-form spellings; unbound = null.
+    */
+  private[bgp] def parse(json: String): (Seq[String], Seq[Seq[String]]) = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val vars = root.path("head").path("vars").elements().asScala
+      .map(_.asText()).toSeq
+    val rows = root.path("results").path("bindings").elements().asScala
+      .map { b =>
+        vars.map { v =>
+          val n = b.path(v)
+          if (n.isMissingNode || n.path("value").isMissingNode) null
+          else {
+            val value = n.path("value").asText()
+            n.path("type").asText() match {
+              case "literal" | "typed-literal" =>
+                val dt = n.path("datatype").asText("")
+                val lang = n.path("xml:lang").asText("")
+                if (dt.nonEmpty) Sparql.canonTyped(value, dt)
+                else if (lang.nonEmpty) Sparql.canonLang(value, lang)
+                else value
+              case _ => value // uri / bnode pass through
+            }
+          }
+        }
+      }.toSeq
+    (vars, rows)
+  }
+
+  /** Evaluate a SERVICE block against an HTTP endpoint and return its
+    * solution as a DataFrame over the block's vars (string columns,
+    * null = unbound), exactly the shape the in-process arm produces.
+    */
+  def queryDf(
+      spark: SparkSession,
+      endpoint: String,
+      pats: Seq[Sparql.TriplePattern],
+      boundVars: Seq[String],
+      boundRows: Seq[Seq[String]]): DataFrame = {
+    val want = pats.flatMap(_.vars).distinct
+    val (got, rows) = parse(fetch(endpoint,
+      render(pats, boundVars, boundRows)))
+    val idx = want.map(got.indexOf)
+    idx.zip(want).foreach { case (i, v) => require(i >= 0,
+      s"endpoint $endpoint did not bind ?$v") }
+    val schema = StructType(want.map(v =>
+      StructField(v, StringType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map(r => Row.fromSeq(idx.map(r(_)))).asJava, schema)
+  }
+}

@@ -378,6 +378,62 @@ class BgpSpec extends AnyFunSuite {
     }
   }
 
+  test("SERVICE over HTTP speaks the SPARQL protocol with VALUES bound-join injection") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/sparql", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        received.set(java.net.URLDecoder.decode(
+          ex.getRequestURI.getRawQuery.stripPrefix("query="), "UTF-8"))
+        val json =
+          """{"head":{"vars":["d","dn"]},"results":{"bindings":[
+            |{"d":{"type":"uri","value":"dept:0"},
+            | "dn":{"type":"literal","value":"Mathematics"}},
+            |{"d":{"type":"uri","value":"dept:1"},
+            | "dn":{"type":"literal","value":"Physics"}}]}}""".stripMargin
+        val b = json.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type",
+          "application/sparql-results+json")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      }
+    })
+    server.start()
+    val ep = s"http://localhost:${server.getAddress.getPort}/sparql"
+    try {
+      for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+        val rows = BgpPlanner.query(st,
+          s"""select ?p ?dn where {
+             | ?p worksFor ?d .
+             | SERVICE <$ep> { ?d deptname ?dn } }""".stripMargin)
+          .select("p", "dn").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(rows == Set(
+          ("prof:0", "Mathematics"), ("prof:1", "Mathematics"),
+          ("prof:2", "Physics")), s"encoded=${st.encoded}")
+        // the request that went over the wire carries the block AND the
+        // outer bindings as a VALUES clause — the bound join is in the
+        // protocol, not just the local plan
+        val sent = received.get
+        assert(sent.contains("deptname"), sent)
+        assert(sent.contains("VALUES (?d)"), sent)
+        assert(sent.contains("<dept:0>") && sent.contains("<dept:1>"), sent)
+      }
+      // SILENT on a dead endpoint: outer solutions pass through
+      assert(BgpPlanner.query(tinyStore,
+        "select ?p ?d where { ?p worksFor ?d . " +
+          "SERVICE SILENT <http://localhost:9/sparql> { ?d deptname ?x } }")
+        .count() == 3)
+      // non-SILENT on a dead endpoint fails loudly
+      intercept[Exception](BgpPlanner.query(tinyStore,
+        "select ?p where { ?p worksFor ?d . " +
+          "SERVICE <http://localhost:9/sparql> { ?d deptname ?x } }")
+        .count())
+    } finally server.stop(0)
+  }
+
   test("SERVICE-only vars survive MINUS / NOT EXISTS / VALUES on the encoded store") {
     import spark.implicits._
     // remote binds ?d AND a service-only ?dn; the negations share ?d
