@@ -716,8 +716,9 @@ object BgpPlanner {
     // lexical — their values may not exist in the outer dictionary at
     // all, so they join/project as values and skip the result-edge
     // decode (the `lexical` mechanism).
-    val serviceDfs = q.services.flatMap { case (endpoint, silent, pats) =>
-      val vars = pats.flatMap(_.vars).distinct
+    val serviceDfs = q.services.flatMap {
+        case Sparql.ServiceBlock(endpoint, silent, raw, subQ) =>
+      val vars = subQ.select
       // Bound join (§2.4 guidance; DREAM's ship-auxiliary-data-only
       // principle): project the outer chain's DISTINCT bindings of
       // the shared vars and decode them to lexical — the wire format a
@@ -756,7 +757,7 @@ object BgpPlanner {
                   shared.indices.map(r.getString).toSeq))
               }.getOrElse((Nil, Nil))
             Some(SparqlHttp.queryDf(
-              store.slices.values.head.sparkSession, endpoint, pats,
+              store.slices.values.head.sparkSession, endpoint, vars, raw,
               bv, rows))
           } catch { case scala.util.control.NonFatal(e) =>
             if (silent) None else throw e
@@ -773,8 +774,9 @@ object BgpPlanner {
                 lex.select(shared.map(v => xxhash64(col(v)).as(v)): _*)
               else lex
             }
-            plan(remote, Sparql.BgpQuery(select = vars, patterns = pats),
-              Map.empty[String, Long], remoteSeed)
+            // the block's FULL group (FILTER/OPTIONAL/... included)
+            // plans against the remote store, seed-restricted
+            plan(remote, subQ, Map.empty[String, Long], remoteSeed)
           }
         }
       subOpt.map { sub =>
@@ -846,7 +848,7 @@ object BgpPlanner {
       else {
         require(q.services.nonEmpty, "empty BGP")
         val spark = store.slices.values.head.sparkSession
-        val vars = q.services.flatMap(_._3).flatMap(_.vars).distinct
+        val vars = q.services.flatMap(_.query.select).distinct
         lexical ++= vars
         Seq(spark.range(1).select(
           vars.map(v => lit(null).cast("string").as(v)): _*))

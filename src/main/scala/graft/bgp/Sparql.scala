@@ -294,15 +294,17 @@ object Sparql {
       // the store's quads, and every pattern of one block matches
       // within the SAME graph.
       graphBlocks: Seq[(Term, Seq[TriplePattern])] = Nil,
-      // `SERVICE [SILENT] <endpoint> { patterns }` blocks (SPARQL 1.1
-      // Federated Query §2): (endpoint, silent, patterns). Each block
-      // evaluates against the endpoint's registered store
-      // (ServiceRegistry — a second TripleStore standing in for the
-      // remote SPARQL endpoint) and natural-joins into the outer
-      // solution on its shared variables (§2.2). SILENT turns an
-      // endpoint failure into the single empty solution (the block
-      // stops restricting) instead of an error (§2.3).
-      services: Seq[(String, Boolean, Seq[TriplePattern])] = Nil,
+      // `SERVICE [SILENT] <endpoint> { group }` blocks (SPARQL 1.1
+      // Federated Query §2). The body is a FULL group pattern —
+      // FILTER / OPTIONAL / UNION / MINUS / VALUES work inside the
+      // block (it parses through the query grammar, like update
+      // WHERE). Each block evaluates against the endpoint — an
+      // in-process registered TripleStore (ServiceRegistry) or a real
+      // HTTP SPARQL endpoint (SparqlHttp) — and natural-joins into
+      // the outer solution on its shared variables (§2.2). SILENT
+      // turns an endpoint failure into the single empty solution (the
+      // block stops restricting) instead of an error (§2.3).
+      services: Seq[ServiceBlock] = Nil,
       // `FROM <g>` / `FROM NAMED <g>` dataset clauses (SPARQL §13.2):
       // when either is present the query's dataset is EXACTLY what the
       // clauses name — `fromGraphs`' union (RDF merge) becomes the
@@ -311,9 +313,18 @@ object Sparql {
       fromGraphs: Seq[String] = Nil,
       fromNamed: Seq[String] = Nil)
 
+  /** One SERVICE block: `raw` is the body text exactly as written
+    * (the HTTP transport ships it verbatim, VALUES appended); `query`
+    * is its full-grammar parse (`select *` over the group — the
+    * in-process arm plans it, and `query.select` is the block's
+    * exported variable set).
+    */
+  final case class ServiceBlock(endpoint: String, silent: Boolean,
+      raw: String, query: BgpQuery)
+
   private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
-  private val serviceRe =
-    "(?is)service\\s+(silent\\s+)?(<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
+  private val serviceHeadRe =
+    "(?is)service\\s+(silent\\s+)?(<[^>]*>|[^\\s{]+)\\s*\\{".r
   private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
   private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
@@ -631,23 +642,36 @@ object Sparql {
     // full grammar (its own aggregates, modifiers, even subqueries)
     val (bodyFullS, subqueries) = extractSubqueries(bodyFull0)
 
-    // SERVICE blocks — pulled first for the same brace-safety reason;
-    // the endpoint names a registered federated store, patterns are
-    // plain constant-predicate triples (a remote round-trip per path
-    // step is exactly what federation avoids shipping)
-    val services = serviceRe.findAllMatchIn(bodyFullS).map { m =>
-      val ep0 = m.group(2)
-      val endpoint =
-        if (ep0.startsWith("<") && ep0.endsWith(">"))
-          ep0.drop(1).dropRight(1)
-        else ep0
-      val pats = parsePatterns(m.group(3))
-      require(pats.nonEmpty, s"empty SERVICE block: $query")
-      pats.foreach(tp => require(tp.p.isInstanceOf[Const],
-        s"SERVICE block patterns need a constant predicate: $tp in $query"))
-      (endpoint, m.group(1) != null, pats)
-    }.toSeq
-    val bodyFullV = serviceRe.replaceAllIn(bodyFullS, "")
+    // SERVICE blocks — pulled first for the same brace-safety reason,
+    // with MATCHED braces (the body is a full group pattern that may
+    // nest OPTIONAL/UNION/... braces); the body keeps its raw text
+    // (the HTTP transport ships it verbatim) and parses through the
+    // full query grammar for the in-process arm
+    val (bodyFullV, services) = {
+      val out = Seq.newBuilder[ServiceBlock]
+      val rem = new StringBuilder
+      var rest = bodyFullS
+      var more = true
+      while (more) serviceHeadRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val (inner, after) = braceBlock(rest, m.end - 1)
+          val ep0 = m.group(2)
+          val endpoint =
+            if (ep0.startsWith("<") && ep0.endsWith(">"))
+              ep0.drop(1).dropRight(1)
+            else ep0
+          require(inner.trim.nonEmpty, s"empty SERVICE block: $query")
+          val sub = parse("select * where { " + inner + " }")
+          require(sub.select.nonEmpty,
+            s"SERVICE block binds no variables: $query")
+          out += ServiceBlock(endpoint, m.group(1) != null, inner, sub)
+          rem.append(rest.substring(0, m.start)).append(' ')
+          rest = rest.substring(after)
+        case None => more = false
+      }
+      rem.append(rest)
+      (rem.toString, out.result())
+    }
 
     // GRAPH blocks — pulled before OPTIONAL/UNION so their braces are
     // never misread as a UNION branch; plain constant-predicate
@@ -907,10 +931,11 @@ object Sparql {
     require(patterns.nonEmpty || unions.nonEmpty || subqueries.nonEmpty ||
         graphBlocks.nonEmpty || services.nonEmpty,
       s"empty BGP: $query")
+    // SERVICE bodies validated themselves during their sub-parse
     val allPatterns =
       patterns ++ optionals.flatten ++ unions.flatten.flatten ++
         minuses.flatten ++ existsFilters.flatMap(_._2) ++
-        graphBlocks.flatMap(_._2) ++ services.flatMap(_._3)
+        graphBlocks.flatMap(_._2)
     allPatterns.foreach { p =>
       Seq(p.s, p.o).foreach(t =>
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
@@ -932,7 +957,7 @@ object Sparql {
             (g match { case Var(n) => Seq(n); case _ => Nil })
         } ++
         // SERVICE blocks bind their pattern vars (§2.2 join semantics)
-        services.flatMap(_._3).flatMap(_.vars)
+        services.flatMap(_.query.select)
     // BIND aliases must be fresh and their refs bound before use
     // (sequence scoping: an earlier alias is visible to a later BIND)
     binds.foldLeft(known) { (scope, b) =>
@@ -993,6 +1018,39 @@ object Sparql {
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
       binds, subqueries, valuesTables, graphBlocks, services,
       fromGraphs, fromNamed)
+  }
+
+  /** Matched-brace extraction shared by the SERVICE scanner and the
+    * update parser: `from` indexes the opening `{`; returns (inner
+    * body, index just past the closing `}`). Quote (with backslash
+    * escapes) and `<...>` IRI aware.
+    */
+  private[bgp] def braceBlock(s: String, from: Int): (String, Int) = {
+    require(from < s.length && s.charAt(from) == '{',
+      s"expected '{' at $from in '${s.take(80)}'")
+    var depth = 0
+    var inQuote = false
+    var inAngle = false
+    var i = from
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQuote) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inQuote = false
+      } else ch match {
+        case '"' => inQuote = true
+        case '<' => inAngle = true
+        case '>' => inAngle = false
+        case '{' if !inAngle => depth += 1
+        case '}' if !inAngle =>
+          depth -= 1
+          if (depth == 0) return (s.substring(from + 1, i), i + 1)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced braces: '${s.drop(from).take(80)}'")
   }
 
   /** Scan for `{ SELECT ... }` blocks with balanced-brace matching;

@@ -48,28 +48,24 @@ object SparqlHttp {
     else if (v.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) s"<$v>"
     else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** The block's query text: projected vars, triple patterns, and the
-    * optional bound-join VALUES clause.
+  /** The block's query text: projected vars, the RAW group body
+    * exactly as the user wrote it (FILTER / OPTIONAL / ... ship
+    * through untouched — the remote endpoint owns their semantics),
+    * and the optional bound-join VALUES clause appended inside the
+    * group.
     */
   private[bgp] def render(
-      pats: Seq[Sparql.TriplePattern],
+      selectVars: Seq[String],
+      rawBody: String,
       boundVars: Seq[String],
       boundRows: Seq[Seq[String]]): String = {
-    val vars = pats.flatMap(_.vars).distinct
-    def t(x: Sparql.Term): String = x match {
-      case Sparql.Var(n) => "?" + n
-      case Sparql.Const(v) => term(v)
-      case other => throw new IllegalArgumentException(
-        s"SERVICE blocks ship plain triples; got $other")
-    }
-    val body = pats.map(tp => s"${t(tp.s)} ${t(tp.p)} ${t(tp.o)}")
-      .mkString(" . ")
     val values =
       if (boundVars.isEmpty || boundRows.isEmpty) ""
       else s" VALUES (${boundVars.map("?" + _).mkString(" ")}) { " +
         boundRows.map(r => "(" + r.map(term).mkString(" ") + ")")
           .mkString(" ") + " }"
-    s"SELECT ${vars.map("?" + _).mkString(" ")} WHERE { $body .$values }"
+    s"SELECT ${selectVars.map("?" + _).mkString(" ")} " +
+      s"WHERE { $rawBody $values }"
   }
 
   private def fetch(endpoint: String, query: String): String = {
@@ -123,12 +119,13 @@ object SparqlHttp {
   def queryDf(
       spark: SparkSession,
       endpoint: String,
-      pats: Seq[Sparql.TriplePattern],
+      selectVars: Seq[String],
+      rawBody: String,
       boundVars: Seq[String],
       boundRows: Seq[Seq[String]]): DataFrame = {
-    val want = pats.flatMap(_.vars).distinct
+    val want = selectVars
     val (got, rows) = parse(fetch(endpoint,
-      render(pats, boundVars, boundRows)))
+      render(selectVars, rawBody, boundVars, boundRows)))
     val idx = want.map(got.indexOf)
     idx.zip(want).foreach { case (i, v) => require(i >= 0,
       s"endpoint $endpoint did not bind ?$v") }

@@ -308,6 +308,34 @@ class BgpSpec extends AnyFunSuite {
       "select ?x where { SERVICE <graft://nowhere> { ?x deptname ?y } }"))
   }
 
+  test("SERVICE bodies are full groups: FILTER and OPTIONAL inside the block") {
+    import spark.implicits._
+    ServiceRegistry.register("graft://depts4", TripleStore.fromTriples(
+      Seq(("dept:0", "deptname", "Mathematics"),
+        ("dept:1", "deptname", "Physics"),
+        ("dept:0", "head", "prof:0")).toDF("s", "p", "o")))
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      // FILTER evaluates REMOTELY, inside the block's own plan
+      val f = BgpPlanner.query(st,
+        """select ?p ?dn where {
+          | ?p worksFor ?d .
+          | SERVICE <graft://depts4> { ?d deptname ?dn .
+          |   FILTER (?dn = "Physics") } }""".stripMargin)
+        .select("p").collect().map(_.getString(0)).toSet
+      assert(f == Set("prof:2"), s"encoded=${st.encoded}")
+      // OPTIONAL inside the block: unmatched heads come back unbound
+      val o = BgpPlanner.query(st,
+        """select ?d ?h where {
+          | ?p worksFor ?d .
+          | SERVICE <graft://depts4> { ?d deptname ?dn .
+          |   OPTIONAL { ?d head ?h } } }""".stripMargin)
+        .select("d", "h").distinct().collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(o == Set(("dept:0", Some("prof:0")), ("dept:1", None)),
+        s"encoded=${st.encoded}")
+    }
+  }
+
   test("SERVICE SILENT turns endpoint failure into the empty solution (§2.3)") {
     // outer patterns pass through unrestricted when the SILENT block's
     // endpoint is unreachable…
