@@ -264,37 +264,9 @@ object SparqlUpdate {
     (out.result(), rem.toString)
   }
 
-  /** Matched-brace extraction: `from` indexes the opening `{`; returns
-    * (inner body, index just past the closing `}`). Quote and `<...>`
-    * IRI aware, like [[splitTop]].
-    */
-  private def braceBlock(s: String, from: Int): (String, Int) = {
-    require(from < s.length && s.charAt(from) == '{',
-      s"expected '{' at $from in '${s.take(80)}'")
-    var depth = 0
-    var inQuote = false
-    var inAngle = false
-    var i = from
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inQuote) {
-        if (ch == '\\') i += 1
-        else if (ch == '"') inQuote = false
-      } else ch match {
-        case '"' => inQuote = true
-        case '<' => inAngle = true
-        case '>' => inAngle = false
-        case '{' if !inAngle => depth += 1
-        case '}' if !inAngle =>
-          depth -= 1
-          if (depth == 0) return (s.substring(from + 1, i), i + 1)
-        case _ => ()
-      }
-      i += 1
-    }
-    throw new IllegalArgumentException(
-      s"unbalanced braces in update text: '${s.drop(from).take(80)}'")
-  }
+  /** Matched-brace extraction — shared scanner, see Sparql.braceBlock. */
+  private def braceBlock(s: String, from: Int): (String, Int) =
+    Sparql.braceBlock(s, from)
 
   /** Parse + fold a whole request over a store. */
   def applyAll(spark: SparkSession, store: TripleStore,
