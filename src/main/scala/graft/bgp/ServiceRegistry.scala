@@ -8,11 +8,13 @@ package graft.bgp
   * SPARQL endpoint. This keeps the §2.2 semantics exact (the block
   * plans independently on the federated store, returns LEXICAL
   * bindings like a remote endpoint's SPARQL results would, and
-  * natural-joins into the outer solution) while the transport —
-  * in-process here, HTTP on a real deployment — stays behind this one
-  * seam. At cluster scale the registered store is itself a
-  * full partitioned TripleStore, so a federated block is a distributed
-  * subquery, not a driver-side fetch.
+  * natural-joins into the outer solution) while the transport stays
+  * behind one seam: `http://`/`https://` endpoints take the REAL
+  * SPARQL 1.1 Protocol arm ([[SparqlHttp]] — GET + JSON results +
+  * bound-join VALUES injection over the wire) and every other
+  * endpoint resolves here. At cluster scale a registered store is
+  * itself a full partitioned TripleStore, so an in-process federated
+  * block is a distributed subquery, not a driver-side fetch.
   */
 object ServiceRegistry {
 
