@@ -1051,6 +1051,88 @@ object SimilarityQueries {
               |SELECT label, ${OracleNum.davgSql("abs(err)")} AS mean_abs_err,
               |  max(abs(err)) AS max_abs_err, ${OracleNum.davgSql("err * err")} AS mse,
               |  count(*) AS n_vals
-              |FROM e GROUP BY label""".stripMargin))
+              |FROM e GROUP BY label""".stripMargin)),
+
+    // truncated-dimension retrieval audit (Matryoshka-style, round 8):
+    // score the same probe set with the FULL 64-dim cosine and with
+    // only the first 16 dims, and report per-probe top-3 overlap — the
+    // measurement behind "can we serve retrieval from a prefix slice
+    // and re-rank with full vectors later?". A prefix slice is 4×
+    // less I/O and 4× less dot-product work at serving time; the
+    // overlap column says what that buys costs in rank fidelity.
+    // Same integer-quantized exact math as q224 (both engines
+    // bit-agree), probes broadcast, rankings are probe-partitioned
+    // windows over a candidate join that is probe×corpus, never
+    // corpus×corpus.
+    GQuery(
+      "q325_truncated_dim_audit",
+      (s, dir) => {
+        import s.implicits._
+        val e = quantized(s, dir)
+          .withColumn("vt", expr("slice(v, 1, 16)"))
+          .withColumn("nrmt", expr(
+            "aggregate(transform(vt, x -> x * x), cast(0 as bigint), (a, x) -> a + x)"))
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+            $"vt".as("qvt"), $"nrmt".as("qnt"))
+        val c = e.select($"vec_id".as("cid"), $"v".as("cv"),
+          $"nrm".as("cn"), $"vt".as("cvt"), $"nrmt".as("cnt"))
+        val scored = c.join(GuardedBroadcast.maybe(q), $"cid" =!= $"qid")
+          .select($"qid", $"cid",
+            cosine(dot("qv", "cv"), $"qn", $"cn").as("cos_full"),
+            cosine(dot("qvt", "cvt"), $"qnt", $"cnt").as("cos_trunc"))
+        val wf = Window.partitionBy($"qid")
+          .orderBy($"cos_full".desc, $"cid".asc)
+        val wt = Window.partitionBy($"qid")
+          .orderBy($"cos_trunc".desc, $"cid".asc)
+        val full = scored.withColumn("r", row_number().over(wf))
+          .filter($"r" <= 3).select($"qid", $"cid")
+        val trunc = scored.withColumn("r", row_number().over(wt))
+          .filter($"r" <= 3).select($"qid", $"cid")
+        val hits = trunc.join(full, Seq("qid", "cid"), "left_semi")
+          .groupBy($"qid").agg(count(lit(1)).as("n"))
+        full.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left_outer")
+          .select($"qid", coalesce($"n", lit(0L)).as("n_overlap"),
+            (coalesce($"n", lit(0L)) * lit(1.0) / lit(3))
+              .as("overlap_at_3"))
+      },
+      Some(s"""WITH $quantizedSql,
+              |et AS (SELECT vec_id, v[1:16] AS vt FROM e),
+              |nrmt AS (SELECT vec_id,
+              |    CAST(list_aggregate(list_transform(vt, x -> x * x),
+              |      'sum') AS BIGINT) AS nrmt
+              |  FROM et),
+              |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+              |    CAST(sum(q.x * c.x) AS BIGINT) AS dot,
+              |    CAST(sum(CASE WHEN q.i <= 16 THEN q.x * c.x
+              |      ELSE 0 END) AS BIGINT) AS dott
+              |  FROM flat q JOIN flat c
+              |    ON c.i = q.i AND c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 20 GROUP BY 1, 2),
+              |scored AS (SELECT qid, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE))
+              |      * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_full,
+              |    CAST(dott AS DOUBLE) / (sqrt(CAST(tq.nrmt AS DOUBLE))
+              |      * sqrt(CAST(tc.nrmt AS DOUBLE))) AS cos_trunc
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+              |    JOIN nrm nc ON nc.vec_id = cid
+              |    JOIN nrmt tq ON tq.vec_id = qid
+              |    JOIN nrmt tc ON tc.vec_id = cid),
+              |f AS (SELECT qid, cid FROM (
+              |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              |      ORDER BY cos_full DESC, cid) AS r FROM scored)
+              |  WHERE r <= 3),
+              |tr AS (SELECT qid, cid FROM (
+              |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+              |      ORDER BY cos_trunc DESC, cid) AS r FROM scored)
+              |  WHERE r <= 3),
+              |h AS (SELECT tr.qid, count(*) AS n FROM tr
+              |      JOIN f ON f.qid = tr.qid AND f.cid = tr.cid
+              |      GROUP BY 1)
+              |SELECT q2.qid, coalesce(h.n, 0) AS n_overlap,
+              |  coalesce(h.n, 0) * 1.0 / 3 AS overlap_at_3
+              |FROM (SELECT DISTINCT qid FROM f) q2
+              |LEFT JOIN h ON h.qid = q2.qid""".stripMargin))
   )
 }
