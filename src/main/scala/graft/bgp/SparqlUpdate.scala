@@ -91,12 +91,14 @@ object SparqlUpdate {
   // ——— §3.2 graph management over the store's named-graph quads ———
   case object ClearDefault extends UpdateOp
   final case class ClearGraph(g: String) extends UpdateOp
-  /** §3.2.5 ADD/COPY/MOVE between named graphs: COPY replaces the
-    * target's content with the source's, MOVE additionally drops the
-    * source, ADD unions into the target (set semantics).
+  /** §3.2.5 ADD/COPY/MOVE: COPY replaces the target's content with the
+    * source's, MOVE additionally drops the source, ADD unions into the
+    * target (set semantics). `None` is the DEFAULT graph — the spec
+    * allows it on either side, so these ops cross the slices/quads
+    * boundary in both directions.
     */
-  final case class GraphOp(op: String, from: String, to: String)
-      extends UpdateOp
+  final case class GraphOp(op: String, from: Option[String],
+      to: Option[String]) extends UpdateOp
 
   /** §3.2.1 LOAD: ingest an N-Triples document into a named graph —
     * the distributed text parse (RdfIO's S1-grade reader) unioned
@@ -112,8 +114,8 @@ object SparqlUpdate {
   private val clearRe =
     "(?is)^\\s*CLEAR\\s+(?:DEFAULT|GRAPH\\s+<([^>]*)>)\\s*$".r
   private val graphOpRe =
-    ("(?is)^\\s*(ADD|COPY|MOVE)\\s+GRAPH\\s+<([^>]*)>" +
-      "\\s+TO\\s+GRAPH\\s+<([^>]*)>\\s*$").r
+    ("(?is)^\\s*(ADD|COPY|MOVE)\\s+(?:(DEFAULT)|GRAPH\\s+<([^>]*)>)" +
+      "\\s+TO\\s+(?:(DEFAULT)|GRAPH\\s+<([^>]*)>)\\s*$").r
   private val loadRe =
     "(?is)^\\s*LOAD\\s+<([^>]*)>\\s+INTO\\s+GRAPH\\s+<([^>]*)>\\s*$".r
   private val createRe =
@@ -143,17 +145,42 @@ object SparqlUpdate {
           Seq(DeleteData(defaults)) else Nil) ++
           chunks.map { case (g, b) => DeleteDataGraph(g, groundTriples(b)) }
       case delWhereRe(body) =>
-        val pats = patternsOf(body)
-        val isGround = pats.forall(tp =>
+        val (chunks, rest) = graphChunks(body)
+        def ground(tps: Seq[Sparql.TriplePattern]) = tps.forall(tp =>
           Seq(tp.s, tp.p, tp.o).forall(_.isInstanceOf[Sparql.Const]))
-        if (isGround)
-          // variable-free DELETE WHERE degenerates to DELETE DATA
-          Seq(DeleteData(pats.map(tp => (constOf(tp.s), constOf(tp.p),
-            constOf(tp.o)))))
-        else Seq(DeleteWhere(pats))
+        def asData(tps: Seq[Sparql.TriplePattern]) =
+          tps.map(tp => (constOf(tp.s), constOf(tp.p), constOf(tp.o)))
+        val pats = patternsOf(rest)
+        if (chunks.isEmpty) {
+          if (ground(pats))
+            // variable-free DELETE WHERE degenerates to DELETE DATA
+            Seq(DeleteData(asData(pats)))
+          else Seq(DeleteWhere(pats))
+        } else {
+          // §3.1.3 quad form: GRAPH blocks are BOTH the match and the
+          // (graph-scoped) delete template. Ground quad chunks
+          // degenerate to DeleteDataGraph; anything with a variable
+          // routes through Modify with the whole body — GRAPH blocks
+          // included — as the WHERE group
+          val quadTmpl = chunks.flatMap { case (g, b) =>
+            patternsOf(b).map(g -> _)
+          }
+          if (ground(pats) && ground(quadTmpl.map(_._2)))
+            (if (pats.nonEmpty) Seq(DeleteData(asData(pats))) else Nil) ++
+              chunks.map { case (g, b) =>
+                DeleteDataGraph(g, asData(patternsOf(b)))
+              }
+          else
+            Seq(Modify(pats, Nil,
+              Sparql.parse("select * where { " + body + " }"),
+              quadTmpl, Nil))
+        }
       case clearRe(g) =>
         Seq(if (g == null) ClearDefault else ClearGraph(g))
-      case graphOpRe(op, from, to) => Seq(GraphOp(op.toUpperCase, from, to))
+      case graphOpRe(op, fDef, from, tDef, to) =>
+        Seq(GraphOp(op.toUpperCase,
+          if (fDef != null) None else Some(from),
+          if (tDef != null) None else Some(to)))
       case loadRe(path, g) => Seq(Load(path, g))
       case createRe(silent, g) => Seq(CreateGraph(g, silent != null))
       case dropRe(silent, dflt, g) =>
@@ -391,7 +418,9 @@ object SparqlUpdate {
         store.copy(quads = Some(namedGraphs(store, "CLEAR GRAPH")
           .filter(col("g") =!= gid(store, g))))
 
-      case GraphOp(op, from, to) =>
+      case GraphOp(_, from, to) if from == to => store // same graph: no-op
+
+      case GraphOp(op, Some(from), Some(to)) =>
         val quads = namedGraphs(store, s"$op GRAPH")
         val relabeled = quads.filter(col("g") === gid(store, from))
           .withColumn("g", gid(store, to))
@@ -410,6 +439,57 @@ object SparqlUpdate {
         // store it must decode, so the dict grows by that one term
         val dict = store.dict.map(d => growDict(spark, d, Seq(to)))
         store.copy(quads = Some(newQuads), dict = dict)
+
+      case GraphOp(op, Some(from), None) =>
+        // named graph → DEFAULT: the graph's quads become slices. The
+        // predicate inventory of ONE graph is schema-sized — the same
+        // bounded collect the vertical partitioning always makes
+        val src = namedGraphs(store, s"$op GRAPH")
+          .filter(col("g") === gid(store, from))
+          .select(col("s"), col("p"), col("o"))
+        val preds = src.select(col("p")).distinct()
+          .limit(TripleStore.MaxPredicates + 1).collect().map(_.getString(0))
+        require(preds.length <= TripleStore.MaxPredicates,
+          s"graph <$from> exceeds ${TripleStore.MaxPredicates} predicates")
+        val srcSlices = preds.map(p =>
+          p -> src.filter(col("p") === p).select(col("s"), col("o"))).toMap
+        val slices = op match {
+          // COPY/MOVE REPLACE the default graph's content (§3.2.5)
+          case "COPY" | "MOVE" => srcSlices
+          case "ADD" => srcSlices.foldLeft(store.slices) {
+            case (sl, (p, df)) => sl.updated(p,
+              sl.get(p).map(_.unionByName(df)).getOrElse(df).distinct())
+          }
+          case other => throw new IllegalArgumentException(other)
+        }
+        val quads =
+          if (op == "MOVE")
+            store.quads.map(_.filter(col("g") =!= gid(store, from)))
+          else store.quads
+        store.copy(slices = slices, quads = quads, sBucketed = None)
+
+      case GraphOp(op, None, Some(to)) =>
+        // DEFAULT → named graph: the slices become quads labeled `to`
+        // (p stays the lexical slice key — quads keep string
+        // predicates by contract)
+        val src = store.slices.toSeq.sortBy(_._1).map { case (p, df) =>
+          df.select(gid(store, to).as("g"), col("s"),
+            lit(p).as("p"), col("o"))
+        }.reduce(_ unionByName _)
+        val base = store.quads.getOrElse(src.limit(0))
+        val newQuads = op match {
+          case "ADD" => base.unionByName(src).distinct()
+          case "COPY" | "MOVE" =>
+            base.filter(col("g") =!= gid(store, to)).unionByName(src)
+          case other => throw new IllegalArgumentException(other)
+        }
+        val dict = store.dict.map(d => growDict(spark, d, Seq(to)))
+        val cleared =
+          if (op == "MOVE")
+            store.slices.map { case (p, df) => p -> df.limit(0) }
+          else store.slices
+        store.copy(slices = cleared, quads = Some(newQuads), dict = dict,
+          sBucketed = if (op == "MOVE") None else store.sBucketed)
 
       case Load(path, g) =>
         import spark.implicits._

@@ -1785,6 +1785,26 @@ object BgpQueries {
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
              |FROM nation WHERE n_regionkey = 2""".stripMargin)),
 
+    // §3.2.5 DEFAULT-boundary graph ops + the §3.1.3 quad-form
+    // DELETE WHERE in one lifecycle: archive the whole default graph
+    // into a named graph (slices → quads), prune it in place with a
+    // GRAPH-block DELETE WHERE (match = template, quad grain), and
+    // merge the survivors back (quads → slices, set semantics). The
+    // oracle recomputes the post-roundtrip default graph relationally.
+    GQuery(
+      "q326_update_default_graph_ops",
+      (s, dir) => {
+        val st = TripleStore.fromTriples(nationTriples(s, dir))
+        val upd = SparqlUpdate.applyAll(s, st,
+          """MOVE DEFAULT TO GRAPH <g:arch> ;
+            |DELETE WHERE { GRAPH <g:arch> { ?n inregion <region:0> } } ;
+            |ADD GRAPH <g:arch> TO DEFAULT""".stripMargin)
+        BgpPlanner.query(upd, "select ?n ?r where { ?n inregion ?r }")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('region:', n_regionkey) AS r
+             |FROM nation WHERE n_regionkey <> 0""".stripMargin)),
+
     // the >10⁹-term escape hatch as a first-class build: q33's star
     // BGP over the SEQUENTIAL dictionary (dense ids via the banded
     // prefix-sum assignment — no zipWithIndex, no global sort; query

@@ -278,8 +278,12 @@ class BgpSpec extends AnyFunSuite {
       Seq(("prof:0", "worksFor", "dept:0")))))
     intercept[IllegalArgumentException](
       SparqlUpdate.parse("INSERT DATA { ?v worksFor <dept:0> }"))
+    // DEFAULT is a legal §3.2.5 endpoint since round 8; a malformed
+    // target still rejects
+    assert(SparqlUpdate.parse("COPY DEFAULT TO GRAPH <g>") ==
+      Seq(SparqlUpdate.GraphOp("COPY", None, Some("g"))))
     intercept[IllegalArgumentException](
-      SparqlUpdate.parse("COPY DEFAULT TO GRAPH <g>"))
+      SparqlUpdate.parse("COPY DEFAULT TO NOWHERE"))
   }
 
   test("SERVICE federates to a registered store on both encodings") {
@@ -603,6 +607,36 @@ class BgpSpec extends AnyFunSuite {
     assert(st4.slices("titled").count() == 2)
   }
 
+  test("DELETE WHERE supports the quad form (GRAPH blocks as match + template)") {
+    val seeded = SparqlUpdate.applyAll(spark, tinyStore,
+      """INSERT DATA { GRAPH <g:a> { <prof:0> role "dean" .
+        |  <prof:1> role "chair" } GRAPH <g:b> { <prof:0> role "dean" } }"""
+        .stripMargin)
+    // variable quad pattern: matches and removes inside g:a ONLY
+    val st1 = SparqlUpdate.applyAll(spark, seeded,
+      "DELETE WHERE { GRAPH <g:a> { ?p role ?r } }")
+    assert(BgpPlanner.query(st1,
+      "select ?p where { GRAPH <g:a> { ?p role ?r } }").count() == 0)
+    assert(BgpPlanner.query(st1,
+      "select ?p where { GRAPH <g:b> { ?p role ?r } }").count() == 1)
+    // ground quad form degenerates to DeleteDataGraph
+    val st2 = SparqlUpdate.applyAll(spark, seeded,
+      "DELETE WHERE { GRAPH <g:a> { <prof:1> role \"chair\" } }")
+    assert(BgpPlanner.query(st2,
+      "select ?p where { GRAPH <g:a> { ?p role ?r } }")
+      .collect().map(_.getString(0)).toSet == Set("prof:0"))
+    // mixed: the default-graph pattern and the quad pattern delete
+    // together under one WHERE binding (?p joins across both)
+    val st3 = SparqlUpdate.applyAll(spark, seeded,
+      "DELETE WHERE { ?p worksFor ?d . GRAPH <g:a> { ?p role ?r } }")
+    assert(BgpPlanner.query(st3,
+      "select ?p where { GRAPH <g:a> { ?p role ?r } }").count() == 0)
+    // prof:0/prof:1 lose worksFor (they had g:a roles); prof:2 keeps
+    assert(BgpPlanner.query(st3,
+      "select ?p where { ?p worksFor ?d }")
+      .collect().map(_.getString(0)).toSet == Set("prof:2"))
+  }
+
   test("CREATE / DROP GRAPH follow §3.2.2-3 with no empty-graph bookkeeping") {
     val st1 = SparqlUpdate.applyAll(spark, tinyStore,
       "INSERT DATA { GRAPH <g:a> { <prof:5> role \"dean\" } }")
@@ -628,6 +662,36 @@ class BgpSpec extends AnyFunSuite {
       .count() == 0)
     assert(BgpPlanner.query(st4,
       "select ?p where { GRAPH <g:a> { ?p role ?r } }").count() == 1)
+  }
+
+  test("ADD/COPY/MOVE cross the DEFAULT boundary in both directions (§3.2.5)") {
+    def count(st: TripleStore, q: String) = BgpPlanner.query(st, q).count()
+    // DEFAULT → named graph: MOVE archives the whole default graph
+    val archived = SparqlUpdate.applyAll(spark, tinyStore,
+      "MOVE DEFAULT TO GRAPH <g:arch>")
+    assert(count(archived, "select ?p where { ?p worksFor ?d }") == 0)
+    assert(count(archived,
+      "select ?p where { GRAPH <g:arch> { ?p worksFor ?d } }") == 3)
+    assert(count(archived,
+      "select ?p where { GRAPH <g:arch> { ?p email ?e } }") == 2)
+    // named graph → DEFAULT: ADD merges the archive back (set
+    // semantics — re-adding over the empty default restores counts)
+    val restored = SparqlUpdate.applyAll(spark, archived,
+      "ADD GRAPH <g:arch> TO DEFAULT")
+    assert(count(restored, "select ?p where { ?p worksFor ?d }") == 3)
+    // and the archive still stands (ADD never drops the source)
+    assert(count(restored,
+      "select ?p where { GRAPH <g:arch> { ?p worksFor ?d } }") == 3)
+    // COPY GRAPH TO DEFAULT replaces the default graph's content
+    val replaced = SparqlUpdate.applyAll(spark, restored,
+      """INSERT DATA { GRAPH <g:tiny> { <x:1> note "only" } } ;
+        |COPY GRAPH <g:tiny> TO DEFAULT""".stripMargin)
+    assert(count(replaced, "select ?p where { ?p worksFor ?d }") == 0)
+    assert(count(replaced, "select ?n where { x:1 note ?n }") == 1)
+    // same source and target: no-op
+    assert(count(SparqlUpdate.applyAll(spark, restored,
+      "MOVE DEFAULT TO DEFAULT"),
+      "select ?p where { ?p worksFor ?d }") == 3)
   }
 
   test("FROM / FROM NAMED dataset clauses scope the query (§13.2, both encodings)") {
