@@ -68,12 +68,27 @@ object SparqlHttp {
       s"WHERE { $rawBody $values }"
   }
 
+  /** Queries whose encoded form exceeds this ride the protocol's POST
+    * arm (§2.1.2, `application/x-www-form-urlencoded`) — proxies and
+    * servers commonly cap GET URLs around 8 KB, and a VALUES-heavy
+    * bound join gets there fast.
+    */
+  private val MaxGetQueryBytes = 4096
+
   private def fetch(endpoint: String, query: String): String = {
-    val uri = java.net.URI.create(endpoint + "?query=" +
-      java.net.URLEncoder.encode(query, "UTF-8"))
-    val req = java.net.http.HttpRequest.newBuilder(uri)
+    val enc = java.net.URLEncoder.encode(query, "UTF-8")
+    val builder =
+      if (enc.length <= MaxGetQueryBytes)
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(endpoint + "?query=" + enc)).GET()
+      else
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofString("query=" + enc))
+    val req = builder
       .header("Accept", "application/sparql-results+json")
-      .timeout(java.time.Duration.ofSeconds(30)).GET().build()
+      .timeout(java.time.Duration.ofSeconds(30)).build()
     val resp = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
       .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())

@@ -413,11 +413,17 @@ class BgpSpec extends AnyFunSuite {
   test("SERVICE over HTTP speaks the SPARQL protocol with VALUES bound-join injection") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val received = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val method = new java.util.concurrent.atomic.AtomicReference[String]("")
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
     server.createContext("/sparql", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
+        method.set(ex.getRequestMethod)
+        val raw =
+          if (ex.getRequestMethod == "POST")
+            new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          else ex.getRequestURI.getRawQuery
         received.set(java.net.URLDecoder.decode(
-          ex.getRequestURI.getRawQuery.stripPrefix("query="), "UTF-8"))
+          raw.stripPrefix("query="), "UTF-8"))
         val json =
           """{"head":{"vars":["d","dn"]},"results":{"bindings":[
             |{"d":{"type":"uri","value":"dept:0"},
@@ -453,6 +459,18 @@ class BgpSpec extends AnyFunSuite {
         assert(sent.contains("VALUES (?d)"), sent)
         assert(sent.contains("<dept:0>") && sent.contains("<dept:1>"), sent)
       }
+      assert(method.get == "GET") // small binding sets ride GET
+      // a WIDE binding set exceeds the GET URL cap and rides the
+      // protocol's POST arm (§2.1.2) with the same VALUES injection
+      import spark.implicits._
+      val wide = TripleStore.fromTriples(
+        (0 until 400).map(i => (s"prof:$i", "worksFor", s"dept:$i"))
+          .toDF("s", "p", "o"))
+      BgpPlanner.query(wide,
+        s"select ?p ?dn where { ?p worksFor ?d . " +
+          s"SERVICE <$ep> { ?d deptname ?dn } }").count()
+      assert(method.get == "POST", received.get.take(100))
+      assert(received.get.contains("VALUES (?d)"))
       // SILENT on a dead endpoint: outer solutions pass through
       assert(BgpPlanner.query(tinyStore,
         "select ?p ?d where { ?p worksFor ?d . " +
