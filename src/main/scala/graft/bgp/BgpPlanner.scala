@@ -893,6 +893,13 @@ object BgpPlanner {
         common: Seq[String], joinType: String): DataFrame = {
       if (!store.encoded || !common.exists(lexical))
         left.join(sub, common, joinType)
+      else if (store.sequential)
+        // dense ids are not value hashes — a lexical column (an
+        // unbound VALUES binding) cannot re-enter id space by
+        // expression here; fail loudly rather than no-op the negation
+        throw new IllegalArgumentException(
+          "MINUS/EXISTS over a computed (lexical) column is not " +
+            "supported on a sequential-id store — use the hash-id store")
       else {
         val subR = sub.select(common.map(c => col(c).as("__sub_" + c)): _*)
         val cond = common.map { c =>
