@@ -191,6 +191,39 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SEQUENTIAL-dictionary path equals brute-force on 15 random stores/queries") {
+    import spark.implicits._
+    // the dense-id regime through the same randomized differential the
+    // hash-id store passes: plan-time constant probes, per-band window
+    // id assignment, and the decode edge must all be invisible in the
+    // results — including constants ABSENT from the store (the id-0
+    // probe miss), which the random Const() draws produce naturally
+    val rnd = new Random(4242L)
+    val ents = Vector("e0", "e1", "e2", "e3", "e4")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 15) {
+      val triples = Seq.fill(3 + rnd.nextInt(9))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val vars = Vector("X", "Y")
+      def pos(): Term =
+        if (rnd.nextBoolean()) Var(vars(rnd.nextInt(vars.size)))
+        else Const(ents(rnd.nextInt(ents.size)))
+      val patterns = Seq.fill(1 + rnd.nextInt(2))(TriplePattern(
+        pos(), Const(preds(rnd.nextInt(preds.size))), pos()))
+      val qVars = patterns.flatMap(_.vars).distinct
+      if (qVars.nonEmpty) {
+        val q = BgpQuery(qVars, patterns)
+        val seq = TripleStore.encodeSequential(
+          TripleStore.fromTriples(triples.toDF("s", "p", "o")), bands = 4)
+        val got = BgpPlanner.plan(seq, q).collect()
+          .map(_.toSeq.map(_.asInstanceOf[String])).toSet
+        val want = naive(triples, q)
+        assert(got == want, s"round $round: $patterns over $triples")
+      }
+    }
+  }
+
   test("encoded decode-on-demand equals the string store (30 random lexical features)") {
     import spark.implicits._
     // the string-store planner is brute-force-verified above, so
