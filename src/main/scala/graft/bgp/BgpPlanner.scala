@@ -85,7 +85,8 @@ object BgpPlanner {
       case PathInverse(p) => s"^$p"
       case PathAlt(ps) => ps.mkString("|")
       case PathRepeat(p, lo, hi) => s"$p{$lo,$hi}"
-      case PathNeg(ps) => s"!(${ps.mkString("|")})"
+      case PathNeg(ps, inv) =>
+        s"!(${(ps ++ inv.map("^" + _)).mkString("|")})"
       case PathGroupRepeat(ps, star) =>
         s"(${ps.mkString("/")})${if (star) "*" else "+"}"
       case PathSeq(_) => throw new IllegalStateException(
@@ -205,15 +206,25 @@ object BgpPlanner {
             closed.unionByName(identity).distinct()
           }
         (out, Seq("s" -> pat.s, "o" -> pat.o))
-      case PathNeg(ps) =>
-        // negated property set !(p1|p2): one scan of the variable view
-        // with the exclusion pushed into it — a filter on the (few)
-        // predicate values, not an (N−k)-way union of slices; with the
-        // p-partitioned parquet store this is partition pruning
-        (store.variableView
-           .filter(ps.map(p => col("p") =!= encode(p)).reduce(_ && _))
-           .select(col("s"), col("o")),
-          Seq("s" -> pat.s, "o" -> pat.o))
+      case PathNeg(ps, inv) =>
+        // negated property set !(p1|^p2|…): per arm, one scan of the
+        // variable view with the exclusion pushed into it — a filter
+        // on the (few) predicate values, not an (N−k)-way union of
+        // slices; with the p-partitioned parquet store this is
+        // partition pruning. Inverse members desugar to the same scan
+        // with subject/object swapped, and a mixed set is the BAG
+        // union of its arms (§9.1) — an arm exists only when it has
+        // members
+        val arms = Seq(
+          if (ps.nonEmpty) Some(store.variableView
+            .filter(ps.map(p => col("p") =!= encode(p)).reduce(_ && _))
+            .select(col("s"), col("o")))
+          else None,
+          if (inv.nonEmpty) Some(store.variableView
+            .filter(inv.map(p => col("p") =!= encode(p)).reduce(_ && _))
+            .select(col("o").as("s"), col("s").as("o")))
+          else None).flatten
+        (arms.reduce(_ unionByName _), Seq("s" -> pat.s, "o" -> pat.o))
       case PathSeq(_) => throw new IllegalStateException(
         "sequence paths are desugared at parse time and never planned")
       case Var(_) =>
@@ -396,6 +407,44 @@ object BgpPlanner {
       }))
     }
 
+  /** Re-encode lexical COLUMNS `cols` of `df` into `store`'s term form:
+    * identity on string stores, the xxhash64 expression on hash-id
+    * stores (ids ARE the values' hashes), and a value→id dict join per
+    * column on SEQUENTIAL stores — dense ids are counters, not value
+    * functions, so only the dictionary can map them. The dict-join arm
+    * drops rows holding values the store has never seen (no dense id
+    * exists, so no store row could ever match them) — exactly right
+    * for the restriction/seed relations this feeds: a bound-join seed,
+    * a VALUES table, a subquery export all only ever JOIN against
+    * store-held terms. `df` is binding-sized in every caller, so AQE
+    * broadcasts it against the dict.
+    */
+  private[bgp] def encodeLexCols(store: TripleStore, df: DataFrame,
+      cols: Seq[String], keepMisses: Boolean = false): DataFrame =
+    if (!store.encoded || cols.isEmpty) df
+    else if (!store.sequential)
+      df.select(df.columns.toIndexedSeq.map { c =>
+        if (cols.contains(c))
+          when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
+        else col(c)
+      }: _*)
+    else {
+      // keepMisses (left_outer): a null binding or a value the store
+      // has never seen becomes a null id — which joins/filters exactly
+      // like the hash arm's never-matching id, while preserving the
+      // row (subquery exports with OPTIONAL-missed vars, federation
+      // results carrying remote-only values)
+      val joinType = if (keepMisses) "left_outer" else "inner"
+      val dict = store.dict.get
+      cols.foldLeft(df) { (d, v) =>
+        d.join(dict.select(col("value").as(s"__val_$v"),
+            col("id").as(s"__newid_$v")),
+          d(v) === col(s"__val_$v"), joinType)
+          .drop(v, s"__val_$v")
+          .withColumnRenamed(s"__newid_$v", v)
+      }.select(df.columns.map(col).toIndexedSeq: _*)
+    }
+
   private[graft] def plan(store0: TripleStore, q: BgpQuery,
       measured: Map[String, Long],
       seed: Option[DataFrame]): DataFrame = {
@@ -404,15 +453,6 @@ object BgpPlanner {
     val store =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store0
       else datasetStore(store0, q)
-    // the sequential-id store carries the core BGP surface; features
-    // that re-encode computed COLUMNS (a value→id join, not an
-    // expression) stay on the hash-id store and fail loudly here
-    if (store.sequential)
-      require(q.subqueries.isEmpty && q.services.isEmpty &&
-        q.valuesTables.isEmpty,
-        "sequential-id stores support the core BGP surface " +
-          "(patterns/FILTER/OPTIONAL/UNION/MINUS/VALUES); subqueries, " +
-          "SERVICE, and multi-var VALUES need the hash-id store")
     val encode: String => Column = constEncoder(store)
 
     // ---- decode-on-demand for lexical-value features on the encoded
@@ -698,10 +738,13 @@ object BgpPlanner {
       else {
         val aggAliases = sq.aggregates.map(_.alias).toSet
         lexical ++= aggAliases
-        sub.select(sub.columns.toIndexedSeq.map { c =>
-          if (aggAliases(c)) col(c)
-          else when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
-        }: _*)
+        // pattern vars re-enter id space (hash expression, or the
+        // sequential dict join — their values came FROM the store, so
+        // every one resolves; keepMisses only matters for nulls from
+        // OPTIONAL-missed vars, which must survive); aggregate outputs
+        // stay computed values
+        encodeLexCols(store, sub,
+          sub.columns.toIndexedSeq.filterNot(aggAliases), keepMisses = true)
       }
     }
 
@@ -716,7 +759,15 @@ object BgpPlanner {
     // lexical — their values may not exist in the outer dictionary at
     // all, so they join/project as values and skip the result-edge
     // decode (the `lexical` mechanism).
-    val serviceDfs = q.services.flatMap {
+    // vars bound by the query's NON-service parts — the encoded arm
+    // re-encodes these to id space; the SILENT-failure arm uses the
+    // complement (service-ONLY vars) to build the single-empty-solution
+    // relation of §2.3
+    val outerBoundVars = (q.patterns ++ q.optionals.flatten ++
+      q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
+      .flatMap(_.vars).toSet ++
+      q.subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
+    val serviceResults: Seq[Either[Seq[String], DataFrame]] = q.services.map {
         case Sparql.ServiceBlock(endpoint, silent, raw, subQ) =>
       val vars = subQ.select
       // Bound join (§2.4 guidance; DREAM's ship-auxiliary-data-only
@@ -770,28 +821,48 @@ object BgpPlanner {
             }
           remoteOpt.map { remote =>
             val remoteSeed = lexSeed.map { case (shared, lex) =>
-              if (remote.encoded)
-                lex.select(shared.map(v => xxhash64(col(v)).as(v)): _*)
-              else lex
+              encodeLexCols(remote, lex, shared)
             }
             // the block's FULL group (FILTER/OPTIONAL/... included)
             // plans against the remote store, seed-restricted
             plan(remote, subQ, Map.empty[String, Long], remoteSeed)
           }
         }
-      subOpt.map { sub =>
-        if (!store.encoded) sub
-        else {
-          val outerBound = (q.patterns ++ q.optionals.flatten ++
-            q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
-            .flatMap(_.vars).toSet ++
-            q.subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
-          sub.select(sub.columns.toIndexedSeq.map { c =>
-            if (outerBound(c))
-              when(col(c).isNull, lit(null)).otherwise(xxhash64(col(c))).as(c)
-            else { lexical += c; col(c) }
-          }: _*)
-        }
+      subOpt match {
+        case Some(sub) => Right(
+          if (!store.encoded) sub
+          else {
+            // vars the outer patterns also bind re-enter id space (a
+            // remote-only value the outer store never saw encodes to a
+            // never-matching id — null on the sequential dict-join arm,
+            // a foreign hash otherwise — so the outer join correctly
+            // drops it); service-ONLY vars stay lexical
+            val toEncode = sub.columns.toIndexedSeq.filter(outerBoundVars)
+            sub.columns.filterNot(outerBoundVars).foreach(lexical += _)
+            encodeLexCols(store, sub, toEncode, keepMisses = true)
+          })
+        case None => Left(vars)
+      }
+    }
+    val serviceDfs = serviceResults.collect { case Right(df) => df }
+    // SILENT (§2.3): a failed block contributes the single EMPTY
+    // solution — outer solutions pass through unrestricted and the
+    // block's service-ONLY vars stay UNBOUND. Those vars must still
+    // exist as columns (a projection may name them), so all failed
+    // blocks' only-vars combine into ONE one-row all-null relation
+    // (one, not one per block: two failed blocks sharing a var must not
+    // inner-join null to null). Vars bound elsewhere need no column.
+    val silentFallback: Option[DataFrame] = {
+      val onlyVars = serviceResults.collect { case Left(vs) => vs }
+        .flatten.distinct
+        .filterNot(outerBoundVars)
+        .filterNot(v => serviceDfs.exists(_.columns.contains(v)))
+      if (onlyVars.isEmpty) None
+      else {
+        val spark = store.slices.values.head.sparkSession
+        lexical ++= onlyVars
+        Some(spark.range(1).select(
+          onlyVars.map(v => lit(null).cast("string").as(v)): _*))
       }
     }
 
@@ -838,7 +909,8 @@ object BgpPlanner {
       }
     }
 
-    val rels0 = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs ++ serviceDfs
+    val rels0 = mainChain.toSeq ++ unionDfs ++ subDfs ++ graphDfs ++
+      serviceDfs ++ silentFallback
     // every relation was a SILENT-failed SERVICE block: the result is
     // the single empty solution (§2.3) — its projected vars are
     // unbound, i.e. one all-null row (computed values, skip the edge
@@ -893,14 +965,30 @@ object BgpPlanner {
         common: Seq[String], joinType: String): DataFrame = {
       if (!store.encoded || !common.exists(lexical))
         left.join(sub, common, joinType)
-      else if (store.sequential)
-        // dense ids are not value hashes — a lexical column (an
-        // unbound VALUES binding) cannot re-enter id space by
-        // expression here; fail loudly rather than no-op the negation
-        throw new IllegalArgumentException(
-          "MINUS/EXISTS over a computed (lexical) column is not " +
-            "supported on a sequential-id store — use the hash-id store")
-      else {
+      else if (store.sequential) {
+        // dense ids are not value hashes — the lexical columns re-enter
+        // id space through a value→id dict join into TEMP columns the
+        // semi/anti condition reads (a value the store never saw gets a
+        // null temp id: the condition is false, so semi drops and anti
+        // keeps the row — the same outcome the hash arm's
+        // never-matching foreign id produces). The solution's own
+        // columns stay lexical for the result edge.
+        val dict = store.dict.get
+        val lexCols = common.filter(lexical)
+        val leftEnc = lexCols.foldLeft(left) { (d, c) =>
+          d.join(dict.select(col("value").as(s"__val_$c"),
+              col("id").as(s"__enc_$c")),
+            d(c) === col(s"__val_$c"), "left_outer")
+            .drop(s"__val_$c")
+        }
+        val subR = sub.select(common.map(c => col(c).as("__sub_" + c)): _*)
+        val cond = common.map { c =>
+          val l = if (lexical(c)) leftEnc(s"__enc_$c") else leftEnc(c)
+          l === subR("__sub_" + c)
+        }.reduce(_ && _)
+        leftEnc.join(subR, cond, joinType)
+          .drop(lexCols.map(c => s"__enc_$c"): _*)
+      } else {
         val subR = sub.select(common.map(c => col(c).as("__sub_" + c)): _*)
         val cond = common.map { c =>
           val l =
@@ -989,10 +1077,11 @@ object BgpPlanner {
           // a common column the solution holds LEXICALLY (service-only
           // binding) joins on the literal itself — encoding only the
           // inline side would compare string to bigint and silently
-          // match nothing
-          inline0.select(vs.map(v =>
-            if (commonSet(v) && !lexical(v)) xxhash64(col(v)).as(v)
-            else col(v)): _*)
+          // match nothing. Join columns encode by expression (hash) or
+          // dict join (sequential — an inline constant the store never
+          // saw drops from the table, correctly restricting to nothing)
+          encodeLexCols(store, inline0,
+            vs.filter(v => commonSet(v) && !lexical(v)))
         } else inline0
       joined =
         if (common.nonEmpty) joined.join(inline, common, "inner")

@@ -133,11 +133,16 @@ object Sparql {
     * it. Each step may itself be any single-predicate path form.
     */
   final case class PathSeq(steps: Seq[Term]) extends Term
-  /** Negated property set `!p` / `!(p1|p2)` (SPARQL 1.1 §9.1): any
-    * predicate EXCEPT those listed. Only valid at the predicate
-    * position; forward predicates only (no `!^p`).
+  /** Negated property set `!p` / `!(p1|^p2|…)` (SPARQL 1.1 §9.1, full
+    * grammar incl. mixed direction): the FORWARD arm matches any
+    * forward edge whose predicate is outside `predicates`, the INVERSE
+    * arm any reversed edge whose predicate is outside `inverse`; a set
+    * with both kinds of member is the union of the arms (§9.1), and an
+    * arm exists only when it has members (`!^p` has no forward arm).
+    * Only valid at the predicate position.
     */
-  final case class PathNeg(predicates: Seq[String]) extends Term
+  final case class PathNeg(predicates: Seq[String],
+      inverse: Seq[String] = Nil) extends Term
   /** Grouped sequence under repetition `(p1/p2)+` / `(p1/p2)*`
     * (SPARQL 1.1 §9.1 grouped paths): the sequence composes into one
     * derived edge relation, which then closes transitively — plain
@@ -1025,6 +1030,26 @@ object Sparql {
     * body, index just past the closing `}`). Quote (with backslash
     * escapes) and `<...>` IRI aware.
     */
+  /** Does the `<` at index `i` open an IRI (`<http://…>`) rather than
+    * begin a less-than comparison (`FILTER (?x < ?y)`)? IRIs cannot
+    * contain whitespace, quotes, or braces, so the `<` is an IRI opener
+    * iff a `>` appears before any of those (or end of input). Shared by
+    * every brace/sep scanner — without it a supported `<` comparison
+    * inside a SERVICE body or update text would latch the scanner into
+    * IRI mode and blind it to real braces.
+    */
+  private[bgp] def isIriOpen(s: String, i: Int): Boolean = {
+    var k = i + 1
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '>') return k > i + 1
+      if (c.isWhitespace || c == '"' || c == '{' || c == '}' || c == '<')
+        return false
+      k += 1
+    }
+    false
+  }
+
   private[bgp] def braceBlock(s: String, from: Int): (String, Int) = {
     require(from < s.length && s.charAt(from) == '{',
       s"expected '{' at $from in '${s.take(80)}'")
@@ -1039,7 +1064,7 @@ object Sparql {
         else if (ch == '"') inQuote = false
       } else ch match {
         case '"' => inQuote = true
-        case '<' => inAngle = true
+        case '<' if isIriOpen(s, i) => inAngle = true
         case '>' => inAngle = false
         case '{' if !inAngle => depth += 1
         case '}' if !inAngle =>
@@ -1309,19 +1334,22 @@ object Sparql {
     else if (langLitRe.matches(tok)) tok match {
       case langLitRe(lex, lang) => Const(canonLang(lex, lang))
     }
-    // negated property set: !p or !(p1|p2) — bare predicates only
+    // negated property set: !p, !^p, or !(p1|^p2|…) — bare predicates,
+    // each optionally inverse-marked (§9.1 full grammar)
     else if (tok.startsWith("!") && tok.length > 1) {
       val inner0 = tok.drop(1)
       val inner =
         if (inner0.startsWith("(") && inner0.endsWith(")"))
           inner0.drop(1).dropRight(1)
         else inner0
-      PathNeg(inner.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty).map(t =>
-        term(t) match {
-          case Const(p) => p
-          case other => throw new IllegalArgumentException(
-            s"negated property sets list plain predicates, got $other in $tok")
-        }))
+      def asPred(t: String): String = term(t) match {
+        case Const(p) => p
+        case other => throw new IllegalArgumentException(
+          s"negated property sets list plain predicates, got $other in $tok")
+      }
+      val members = inner.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+      val (invToks, fwdToks) = members.partition(_.startsWith("^"))
+      PathNeg(fwdToks.map(asPred), invToks.map(t => asPred(t.drop(1))))
     }
     // grouped sequence under repetition (p1/p2)+ / (p1/p2)* — matched
     // BEFORE the plain sequence branch, whose '/'-split would tear the

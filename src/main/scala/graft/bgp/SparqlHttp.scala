@@ -75,7 +75,17 @@ object SparqlHttp {
     */
   private val MaxGetQueryBytes = 4096
 
-  private def fetch(endpoint: String, query: String): String = {
+  /** Hard cap on the bytes a federation response may buffer on the
+    * driver (the protocol's materialization point). An unselective
+    * remote block over a huge remote relation fails LOUDLY at the cap
+    * instead of OOMing the coordinator — the remedy is a more
+    * selective block (or a seed under [[MaxBoundRows]], which ships as
+    * the VALUES restriction and keeps the response binding-sized).
+    */
+  val MaxResponseBytes: Long = 64L * 1024 * 1024
+
+  private[graft] def fetch(endpoint: String, query: String,
+      maxBytes: Long = MaxResponseBytes): String = {
     val enc = java.net.URLEncoder.encode(query, "UTF-8")
     val builder =
       if (enc.length <= MaxGetQueryBytes)
@@ -91,10 +101,27 @@ object SparqlHttp {
       .timeout(java.time.Duration.ofSeconds(30)).build()
     val resp = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200) throw new java.io.IOException(
-      s"SPARQL endpoint $endpoint returned HTTP ${resp.statusCode()}")
-    resp.body()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    val in = resp.body()
+    try {
+      if (resp.statusCode() != 200) throw new java.io.IOException(
+        s"SPARQL endpoint $endpoint returned HTTP ${resp.statusCode()}")
+      // STREAM-read under the cap: the response never buffers past
+      // MaxResponseBytes + one chunk, and an oversized one fails
+      // loudly mid-stream rather than after a driver-sized allocation
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > maxBytes) throw new java.io.IOException(
+          s"SPARQL endpoint $endpoint response exceeds the " +
+            s"$maxBytes-byte cap — restrict the SERVICE block " +
+            "(a seed under MaxBoundRows ships as a VALUES restriction)")
+        n = in.read(buf)
+      }
+      out.toString("UTF-8")
+    } finally in.close()
   }
 
   /** `application/sparql-results+json` → (vars, rows) in canonical

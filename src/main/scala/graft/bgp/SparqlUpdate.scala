@@ -1,7 +1,7 @@
 package graft.bgp
 
 import graft.scale.GuardedBroadcast
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SPARQL 1.1 Update — the graph-mutation slice (`INSERT DATA`,
@@ -303,37 +303,37 @@ object SparqlUpdate {
   def apply(spark: SparkSession, store: TripleStore,
       op: UpdateOp): TripleStore = {
     import spark.implicits._
-    // every encoded-apply shape below re-derives ids by HASHING values
-    // — invalid on dense sequential ids, where a new term's id is the
-    // next counter value, not a function of the term
-    require(!store.sequential,
-      "updates on a sequential-id store are unsupported: ids are dense " +
-        "counters, not value-derived — update the hash-id store, or " +
-        "rebuild the sequential store from it")
-    // store-form (s, o) rows: lexical on the string store, xxhash64
-    // ids on the encoded store (re-derived hash-side, the same
-    // shortcut BgpPlanner uses for constants)
-    def pairs(ts: Seq[(String, String, String)], p: String): DataFrame = {
-      val rows = ts.filter(_._2 == p).map(t => (t._1, t._3)).toDF("s", "o")
-      if (store.encoded)
-        rows.select(xxhash64($"s").as("s"), xxhash64($"o").as("o"))
-      else rows
-    }
+    // store-form (s, o) rows: lexical on the string store, encoded via
+    // [[encodeCols]] on the encoded store — the xxhash64 expression on
+    // hash-id stores, a value→id join against `dict` on sequential
+    // stores (dense ids are counters, not value functions — only the
+    // dictionary maps them; insert paths grow the dict FIRST so every
+    // new term has an id, delete paths encode against the standing
+    // dict, where a missing term drops from the batch and the delete
+    // is the spec's no-op)
+    def pairs(ts: Seq[(String, String, String)], p: String,
+        dict: Option[DataFrame]): DataFrame =
+      encodeCols(store, dict,
+        ts.filter(_._2 == p).map(t => (t._1, t._3)).toDF("s", "o"),
+        Seq("s", "o"))
     op match {
       case InsertData(ts) =>
+        // the dict vocabulary includes PREDICATE names, mirroring
+        // TripleStore.encode's predNames union: a variable at the p
+        // position decodes through the dict (unionView emits the
+        // predicate's id), so an inserted predicate without a dict row
+        // would silently decode to NULL. Grown BEFORE the slices
+        // encode — on the sequential store the new terms' dense ids
+        // exist only in the grown dict.
+        val dict = store.dict.map(d =>
+          growDict(spark, store, d,
+            ts.flatMap(t => Seq(t._1, t._2, t._3)).distinct))
         val slices = ts.map(_._2).distinct.foldLeft(store.slices) {
           (sl, p) =>
-            val add = pairs(ts, p)
+            val add = pairs(ts, p, dict)
             sl.updated(p,
               sl.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
         }
-        // the dict vocabulary includes PREDICATE names, mirroring
-        // TripleStore.encode's predNames union: a variable at the p
-        // position decodes through the dict (unionView emits
-        // xxhash64(p)), so an inserted predicate without a dict row
-        // would silently decode to NULL
-        val dict = store.dict.map(d =>
-          growDict(spark, d, ts.flatMap(t => Seq(t._1, t._2, t._3)).distinct))
         store.copy(slices = slices, dict = dict, sBucketed = None)
 
       case DeleteData(ts) =>
@@ -342,7 +342,7 @@ object SparqlUpdate {
             sl.get(p) match {
               case None => sl // deleting from an absent graph: no-op
               case Some(df) => sl.updated(p,
-                df.join(GuardedBroadcast.maybe(pairs(ts, p)),
+                df.join(GuardedBroadcast.maybe(pairs(ts, p, store.dict)),
                   Seq("s", "o"), "left_anti"))
             }
         }
@@ -360,26 +360,28 @@ object SparqlUpdate {
         applyModify(spark, store, del, ins, where, delQ, insQ, withG)
 
       case InsertDataGraph(g, ts) =>
-        val rows = ts.toDF("s", "p", "o")
-        val asQuads = rows.select(gid(store, g).as("g"),
-          (if (store.encoded) xxhash64($"s") else $"s").as("s"), $"p",
-          (if (store.encoded) xxhash64($"o") else $"o").as("o"))
+        // dict grows first: on the sequential store both the quad terms
+        // AND the graph name need dense ids before anything encodes
+        val dict = store.dict.map(d => growDict(spark, store, d,
+          (ts.flatMap(t => Seq(t._1, t._2, t._3)) :+ g).distinct))
+        val rows = encodeCols(store, dict, ts.toDF("s", "p", "o"),
+          Seq("s", "o"))
+        val asQuads = rows.select(gid(store, dict, g).as("g"),
+          $"s", $"p", $"o")
         val quads = store.quads match {
           case Some(q) => q.unionByName(asQuads).distinct()
           case None => asQuads.distinct()
         }
-        val dict = store.dict.map(d => growDict(spark, d,
-          (ts.flatMap(t => Seq(t._1, t._2, t._3)) :+ g).distinct))
         store.copy(quads = Some(quads), dict = dict)
 
       case DeleteDataGraph(g, ts) =>
         store.quads match {
           case None => store // no named graphs at all: no-op (§3.1.2)
           case Some(q) =>
-            val rows = ts.toDF("s", "p", "o")
-            val del = rows.select(gid(store, g).as("g"),
-              (if (store.encoded) xxhash64($"s") else $"s").as("s"), $"p",
-              (if (store.encoded) xxhash64($"o") else $"o").as("o"))
+            val rows = encodeCols(store, store.dict,
+              ts.toDF("s", "p", "o"), Seq("s", "o"))
+            val del = rows.select(gid(store, store.dict, g).as("g"),
+              $"s", $"p", $"o")
             store.copy(quads = Some(q.join(GuardedBroadcast.maybe(del),
               Seq("g", "s", "p", "o"), "left_anti")))
         }
@@ -404,7 +406,7 @@ object SparqlUpdate {
           throw new IllegalStateException(
             s"DROP GRAPH <$g>: no such graph (DROP SILENT to ignore)")
         store.copy(quads =
-          store.quads.map(_.filter(col("g") =!= gid(store, g))))
+          store.quads.map(_.filter(col("g") =!= gid(store, store.dict, g))))
 
       case ClearDefault =>
         // empty every slice but keep schemas — a cleared store still
@@ -416,28 +418,31 @@ object SparqlUpdate {
 
       case ClearGraph(g) =>
         store.copy(quads = Some(namedGraphs(store, "CLEAR GRAPH")
-          .filter(col("g") =!= gid(store, g))))
+          .filter(col("g") =!= gid(store, store.dict, g))))
 
       case GraphOp(_, from, to) if from == to => store // same graph: no-op
 
       case GraphOp(op, Some(from), Some(to)) =>
         val quads = namedGraphs(store, s"$op GRAPH")
-        val relabeled = quads.filter(col("g") === gid(store, from))
-          .withColumn("g", gid(store, to))
+        // a graph op can mint a NEW graph NAME (`to`): on the encoded
+        // store it must decode, so the dict grows by that one term —
+        // FIRST, so the sequential store's dense id exists to label
+        // the relabeled quads with
+        val dict = store.dict.map(d => growDict(spark, store, d, Seq(to)))
+        val relabeled = quads.filter(col("g") === gid(store, store.dict, from))
+          .withColumn("g", gid(store, dict, to))
         val newQuads = op match {
           // ADD unions (set semantics); COPY replaces the target's
           // content; MOVE additionally drops the source (§3.2.5)
           case "ADD" => quads.unionByName(relabeled).distinct()
           case "COPY" =>
-            quads.filter(col("g") =!= gid(store, to)).unionByName(relabeled)
+            quads.filter(col("g") =!= gid(store, dict, to))
+              .unionByName(relabeled)
           case "MOVE" =>
-            quads.filter(col("g") =!= gid(store, to) &&
-              col("g") =!= gid(store, from)).unionByName(relabeled)
+            quads.filter(col("g") =!= gid(store, dict, to) &&
+              col("g") =!= gid(store, store.dict, from)).unionByName(relabeled)
           case other => throw new IllegalArgumentException(other)
         }
-        // a graph op can mint a NEW graph NAME (`to`): on the encoded
-        // store it must decode, so the dict grows by that one term
-        val dict = store.dict.map(d => growDict(spark, d, Seq(to)))
         store.copy(quads = Some(newQuads), dict = dict)
 
       case GraphOp(op, Some(from), None) =>
@@ -445,7 +450,7 @@ object SparqlUpdate {
         // predicate inventory of ONE graph is schema-sized — the same
         // bounded collect the vertical partitioning always makes
         val src = namedGraphs(store, s"$op GRAPH")
-          .filter(col("g") === gid(store, from))
+          .filter(col("g") === gid(store, store.dict, from))
           .select(col("s"), col("p"), col("o"))
         val preds = src.select(col("p")).distinct()
           .limit(TripleStore.MaxPredicates + 1).collect().map(_.getString(0))
@@ -454,7 +459,12 @@ object SparqlUpdate {
         val srcSlices = preds.map(p =>
           p -> src.filter(col("p") === p).select(col("s"), col("o"))).toMap
         val slices = op match {
-          // COPY/MOVE REPLACE the default graph's content (§3.2.5)
+          // COPY/MOVE REPLACE the default graph's content (§3.2.5); an
+          // EMPTY/absent source keeps the standing slice keys at zero
+          // rows (the ClearDefault shape) — replacing with an empty map
+          // would leave a store no planner call can touch
+          case "COPY" | "MOVE" if srcSlices.isEmpty =>
+            store.slices.map { case (p, df) => p -> df.limit(0) }
           case "COPY" | "MOVE" => srcSlices
           case "ADD" => srcSlices.foldLeft(store.slices) {
             case (sl, (p, df)) => sl.updated(p,
@@ -464,26 +474,27 @@ object SparqlUpdate {
         }
         val quads =
           if (op == "MOVE")
-            store.quads.map(_.filter(col("g") =!= gid(store, from)))
+            store.quads.map(_.filter(col("g") =!= gid(store, store.dict, from)))
           else store.quads
         store.copy(slices = slices, quads = quads, sBucketed = None)
 
       case GraphOp(op, None, Some(to)) =>
         // DEFAULT → named graph: the slices become quads labeled `to`
         // (p stays the lexical slice key — quads keep string
-        // predicates by contract)
+        // predicates by contract). The dict grows by the (possibly new)
+        // graph name first so its id exists on the sequential store.
+        val dict = store.dict.map(d => growDict(spark, store, d, Seq(to)))
         val src = store.slices.toSeq.sortBy(_._1).map { case (p, df) =>
-          df.select(gid(store, to).as("g"), col("s"),
+          df.select(gid(store, dict, to).as("g"), col("s"),
             lit(p).as("p"), col("o"))
         }.reduce(_ unionByName _)
         val base = store.quads.getOrElse(src.limit(0))
         val newQuads = op match {
           case "ADD" => base.unionByName(src).distinct()
           case "COPY" | "MOVE" =>
-            base.filter(col("g") =!= gid(store, to)).unionByName(src)
+            base.filter(col("g") =!= gid(store, dict, to)).unionByName(src)
           case other => throw new IllegalArgumentException(other)
         }
-        val dict = store.dict.map(d => growDict(spark, d, Seq(to)))
         val cleared =
           if (op == "MOVE")
             store.slices.map { case (p, df) => p -> df.limit(0) }
@@ -494,14 +505,8 @@ object SparqlUpdate {
       case Load(path, g) =>
         import spark.implicits._
         val triples = graft.sources.RdfIO.ntriplesDF(spark, path)
-        val asQuads = triples.select(gid(store, g).as("g"),
-          (if (store.encoded) xxhash64(col("s")) else col("s")).as("s"),
-          col("p"),
-          (if (store.encoded) xxhash64(col("o")) else col("o")).as("o"))
-        val quads = store.quads match {
-          case Some(q) => q.unionByName(asQuads).distinct()
-          case None => asQuads.distinct() // first named graph of the store
-        }
+        // dict first (data-sized growth, never collected), then the
+        // loaded triples encode against it
         val dict = store.dict.map { d =>
           val vocab = triples.select(col("s").as("value"))
             .unionByName(triples.select(col("o").as("value")))
@@ -509,15 +514,58 @@ object SparqlUpdate {
             .unionByName(triples.select(col("p").as("value")))
             .unionByName(Seq(g).toDF("value"))
             .distinct()
-          growDictDf(spark, d, vocab)
+          growDictDf(spark, store, d, vocab)
+        }
+        val enc = encodeCols(store, dict, triples, Seq("s", "o"))
+        val asQuads = enc.select(gid(store, dict, g).as("g"),
+          col("s"), col("p"), col("o"))
+        val quads = store.quads match {
+          case Some(q) => q.unionByName(asQuads).distinct()
+          case None => asQuads.distinct() // first named graph of the store
         }
         store.copy(quads = Some(quads), dict = dict)
     }
   }
 
-  /** Graph name in store form (lexical, or xxhash64 id when encoded). */
-  private def gid(store: TripleStore, g: String) =
-    if (store.encoded) xxhash64(lit(g)) else lit(g)
+  /** Graph name in store form: lexical on string stores, xxhash64 on
+    * hash-id stores, ONE bounded dict probe on sequential stores (the
+    * given `dict` — callers minting new names pass the GROWN dict so
+    * the fresh id resolves; an absent name probes to id 0, which no
+    * dense id ever equals, so filters correctly match nothing).
+    */
+  private def gid(store: TripleStore, dict: Option[DataFrame],
+      g: String): Column =
+    if (!store.encoded) lit(g)
+    else if (!store.sequential) xxhash64(lit(g))
+    else {
+      val r = dict.get.filter(col("value") === g).select(col("id")).take(1)
+      lit(if (r.isEmpty) 0L else r.head.getLong(0))
+    }
+
+  /** Encode the lexical columns `cols` of `df` into store form: the
+    * xxhash64 expression on hash-id stores; a value→id join against
+    * `dict` per column on sequential stores (INNER — a term absent
+    * from the dict drops from the batch, which is exactly right for
+    * both arms that reach here: insert paths grew the dict first so
+    * nothing is absent, and a delete of a never-seen term is the
+    * spec's no-op).
+    */
+  private def encodeCols(store: TripleStore, dict: Option[DataFrame],
+      df: DataFrame, cols: Seq[String]): DataFrame =
+    if (!store.encoded) df
+    else if (!store.sequential)
+      df.select(df.columns.toIndexedSeq.map(c =>
+        if (cols.contains(c)) xxhash64(col(c)).as(c) else col(c)): _*)
+    else {
+      val d = dict.get
+      cols.foldLeft(df) { (acc, v) =>
+        acc.join(d.select(col("value").as(s"__val_$v"),
+            col("id").as(s"__nid_$v")),
+          acc(v) === col(s"__val_$v"), "inner")
+          .drop(v, s"__val_$v")
+          .withColumnRenamed(s"__nid_$v", v)
+      }.select(df.columns.map(col).toIndexedSeq: _*)
+    }
 
   private def namedGraphs(store: TripleStore, what: String): DataFrame =
     store.quads.getOrElse(throw new IllegalArgumentException(
@@ -528,7 +576,7 @@ object SparqlUpdate {
     */
   private def graphExists(store: TripleStore, g: String): Boolean =
     store.quads.exists(q =>
-      !q.filter(col("g") === gid(store, g)).isEmpty)
+      !q.filter(col("g") === gid(store, store.dict, g)).isEmpty)
 
   /** The WHERE dataset of a WITH/USING clause: a slices view over the
     * union ("RDF merge" — per-slice distinct) of the named graphs
@@ -539,10 +587,13 @@ object SparqlUpdate {
     */
   private def scopedStore(store: TripleStore, gs: Seq[String]): TripleStore = {
     val quads = namedGraphs(store, "WITH/USING")
-    val sel = gs.map(g => col("g") === gid(store, g)).reduce(_ || _)
+    val sel = gs.map(g => col("g") === gid(store, store.dict, g))
+      .reduce(_ || _)
     TripleStore.fromTriples(
       quads.filter(sel).select(col("s"), col("p"), col("o")))
-      .copy(dict = store.dict)
+      // the id REGIME rides along — dropping `sequential` here would
+      // make the planner hash constants against dense ids
+      .copy(dict = store.dict, sequential = store.sequential)
   }
 
   /** Shared §3.1.3 evaluation: `where` binds once against the ORIGINAL
@@ -587,22 +638,55 @@ object SparqlUpdate {
     def ground(tp: Sparql.TriplePattern): DataFrame =
       Seq(tp.s, tp.o).collect { case Sparql.Var(n) => n }
         .foldLeft(bind)((d, n) => d.filter(col(n).isNotNull))
-    def instantiate(tmpl: Seq[Sparql.TriplePattern]): Option[DataFrame] =
+    // ——— dict growth happens BEFORE instantiation so the sequential
+    // store's dense ids exist to encode the insert templates with ———
+    // Insert-template CONSTANTS may be new vocabulary; insert-template
+    // VARIABLES may be bound to COMPUTED lexical values (BIND aliases,
+    // VALUES rows, SERVICE bindings — the full query grammar reaches
+    // them all): both must grow the dict, or read-back decodes the
+    // inserted terms to NULL. Store-held bindings are already in the
+    // dict and cost one probe in growDictDf's delta-scoped audit; only
+    // genuinely new values append.
+    val newVocab =
+      insTmpl.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case Sparql.Const(v) => v } ++
+        insQuadTmpl.flatMap { case (g, tp) =>
+          g +: Seq(tp.s, tp.p, tp.o).collect { case Sparql.Const(v) => v }
+        }
+    val insVarCols = (insTmpl ++ insQuadTmpl.map(_._2))
+      .flatMap(tp => Seq(tp.s, tp.o))
+      .collect { case Sparql.Var(n) => n }.distinct
+    val dict0 =
+      if (insVarCols.isEmpty) store.dict
+      else store.dict.map { d =>
+        val vocab = insVarCols.map(v => bind.select(col(v).as("value")))
+          .reduce(_ unionByName _).na.drop().distinct()
+        growDictDf(spark, store, d, vocab)
+      }
+    val dict =
+      if (newVocab.isEmpty) dict0
+      else dict0.map(d => growDict(spark, store, d, newVocab.distinct))
+    // templates instantiate LEXICALLY (bind's columns are decoded
+    // values), then encode into store form in one step: the xxhash64
+    // expression on hash-id stores, a value→id join on sequential
+    // stores — inserts against the GROWN dict (every term resolves),
+    // deletes against the STANDING dict (a never-seen term drops from
+    // the batch: deleting it is the spec's no-op anyway)
+    def instantiate(tmpl: Seq[Sparql.TriplePattern],
+        encDict: Option[DataFrame]): Option[DataFrame] =
       if (tmpl.isEmpty) None
-      else Some(tmpl.map { tp =>
+      else Some(encodeCols(store, encDict, tmpl.map { tp =>
         def c(t: Sparql.Term) = t match {
-          case Sparql.Var(n) =>
-            if (store.encoded) xxhash64(col(n)) else col(n)
-          case Sparql.Const(v) =>
-            if (store.encoded) xxhash64(lit(v)) else lit(v)
+          case Sparql.Var(n) => col(n)
+          case Sparql.Const(v) => lit(v)
           case other => throw new IllegalArgumentException(
             s"update templates are plain triples; got $other")
         }
         ground(tp).select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
           c(tp.o).as("o"))
-      }.reduce(_ unionByName _).distinct())
+      }.reduce(_ unionByName _), Seq("s", "o")).distinct())
     var slices = store.slices
-    instantiate(delTmpl).foreach { del =>
+    instantiate(delTmpl, store.dict).foreach { del =>
       val touched = delTmpl.map(tp => constOf(tp.p)).toSet
       slices = slices.map {
         case (p, df) if touched(p) => p ->
@@ -612,7 +696,7 @@ object SparqlUpdate {
         case kv => kv
       }
     }
-    instantiate(insTmpl).foreach { insAll =>
+    instantiate(insTmpl, dict).foreach { insAll =>
       insTmpl.map(tp => constOf(tp.p)).distinct.foreach { p =>
         val add = insAll.filter($"p" === p).select($"s", $"o")
         slices = slices.updated(p,
@@ -622,41 +706,32 @@ object SparqlUpdate {
     // GRAPH-scoped templates instantiate into the quads relation:
     // deletes anti-join on the full (g, s, p, o), inserts union with
     // set semantics — same apply shapes as the slice path, quad-grain
-    def instantiateQuads(
-        tmpl: Seq[(String, Sparql.TriplePattern)]): Option[DataFrame] =
+    def instantiateQuads(tmpl: Seq[(String, Sparql.TriplePattern)],
+        encDict: Option[DataFrame]): Option[DataFrame] =
       if (tmpl.isEmpty) None
       else Some(tmpl.map { case (g, tp) =>
         def c(t: Sparql.Term) = t match {
-          case Sparql.Var(n) =>
-            if (store.encoded) xxhash64(col(n)) else col(n)
-          case Sparql.Const(v) =>
-            if (store.encoded) xxhash64(lit(v)) else lit(v)
+          case Sparql.Var(n) => col(n)
+          case Sparql.Const(v) => lit(v)
           case other => throw new IllegalArgumentException(
             s"update templates are plain triples; got $other")
         }
-        ground(tp).select(gid(store, g).as("g"), c(tp.s).as("s"),
-          lit(constOf(tp.p)).as("p"), c(tp.o).as("o"))
+        encodeCols(store, encDict,
+          ground(tp).select(c(tp.s).as("s"),
+            lit(constOf(tp.p)).as("p"), c(tp.o).as("o")), Seq("s", "o"))
+          .select(gid(store, encDict, g).as("g"), $"s", $"p", $"o")
       }.reduce(_ unionByName _).distinct())
     var quads = store.quads
-    instantiateQuads(delQuadTmpl).foreach { del =>
+    instantiateQuads(delQuadTmpl, store.dict).foreach { del =>
       quads = quads.map(_.join(GuardedBroadcast.maybe(del),
         Seq("g", "s", "p", "o"), "left_anti"))
     }
-    instantiateQuads(insQuadTmpl).foreach { ins =>
+    instantiateQuads(insQuadTmpl, dict).foreach { ins =>
       quads = Some(quads match {
         case Some(q) => q.unionByName(ins).distinct()
         case None => ins
       })
     }
-    val newVocab =
-      insTmpl.flatMap(tp => Seq(tp.s, tp.p, tp.o))
-        .collect { case Sparql.Const(v) => v } ++
-        insQuadTmpl.flatMap { case (g, tp) =>
-          g +: Seq(tp.s, tp.p, tp.o).collect { case Sparql.Const(v) => v }
-        }
-    val dict =
-      if (newVocab.isEmpty) store.dict
-      else store.dict.map(d => growDict(spark, d, newVocab.distinct))
     store.copy(slices = slices, dict = dict, quads = quads,
       // the s-bucketed secondary derives from the default graph only —
       // keep it when this op touched nothing but named graphs
@@ -669,10 +744,10 @@ object SparqlUpdate {
     * insert must not silently alias two terms (TripleStore.encode
     * scaladoc).
     */
-  private def growDict(spark: SparkSession, d: DataFrame,
-      values: Seq[String]): DataFrame = {
+  private def growDict(spark: SparkSession, store: TripleStore,
+      d: DataFrame, values: Seq[String]): DataFrame = {
     import spark.implicits._
-    growDictDf(spark, d, values.toDF("value"))
+    growDictDf(spark, store, d, values.toDF("value"))
   }
 
   /** [[growDict]] over a DataFrame vocabulary (a LOAD's term set is
@@ -687,9 +762,14 @@ object SparqlUpdate {
     * genuinely NEW ids append. Terms already in the dict cost one
     * probe, never a vocabulary-wide groupBy.
     */
-  private def growDictDf(spark: SparkSession, d: DataFrame,
-      values: DataFrame): DataFrame = {
+  private def growDictDf(spark: SparkSession, store: TripleStore,
+      d: DataFrame, values: DataFrame): DataFrame = {
     import spark.implicits._
+    // sequential stores: dense-id continuation past max(id) via the
+    // banded prefix sum — collision-free by construction, no audit;
+    // standing terms keep their ids through the anti-join probe
+    if (store.sequential)
+      return TripleStore.growSequentialDict(d, values)
     val newTerms = values.distinct()
       .select(xxhash64($"value").as("id"), $"value",
         RdfLex.datatype($"value").as("dt"),
@@ -755,7 +835,7 @@ object SparqlUpdate {
           out += cur.toString; cur.clear(); consumed = true
         } else ch match {
           case '"' => inQuote = true
-          case '<' => inAngle = true
+          case '<' if Sparql.isIriOpen(text, i) => inAngle = true
           case '>' => inAngle = false
           case '{' if !inAngle => depth += 1
           case '}' if !inAngle => depth -= 1

@@ -49,7 +49,19 @@ final case class TripleStore(
     */
   def unionView: DataFrame = {
     val pCol: String => Column =
-      if (encoded) p => xxhash64(lit(p)) else p => lit(p)
+      if (!encoded) { p => lit(p) }
+      else if (!sequential) { p => xxhash64(lit(p)) }
+      else {
+        // dense ids are not name hashes: resolve the predicate
+        // inventory's ids in ONE bounded dict scan (schema-sized — the
+        // same contract as the inventory itself); an unlisted name
+        // gets the never-matching id 0
+        val names = slices.keySet.toSeq
+        val m = dict.get.filter(col("value").isin(names: _*))
+          .select(col("value"), col("id")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        p => lit(m.getOrElse(p, 0L))
+      }
     slices.map { case (p, df) =>
       df.select(col("s"), pCol(p).as("p"), col("o"))
     }.reduce(_ unionByName _)
@@ -143,7 +155,16 @@ object TripleStore {
     * makes, enforced by [[MaxPredicates]]: the collect is limit-bounded
     * and over-cap input is an error, never an unbounded driver set.
     */
-  def fromTriples(df: DataFrame): TripleStore = {
+  def fromTriples(df0: DataFrame): TripleStore = {
+    // persist the source ONCE: every slice below derives by
+    // filter+distinct from it, so without the cache a k-slice query
+    // re-scans (and for an N-Triples load, re-parses) the raw relation
+    // k times per action. MEMORY_AND_DISK — the predicate-inventory
+    // collect right after materializes it. Stores past fixture/load
+    // scale belong on the persisted layouts ([[writePartitioned]] /
+    // [[fromPartitionedParquet]]), where slice dispatch is partition
+    // pruning and nothing needs executor memory.
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val preds = df.select(col("p")).distinct().limit(MaxPredicates + 1)
       .collect().map(_.getString(0))
     require(preds.length <= MaxPredicates,
@@ -385,6 +406,60 @@ object TripleStore {
     * store; on reattach, derive the `sequential` flag with
     * [[isSequentialDict]] — it is session state, not file state.
     */
+  /** Assign DENSE ids `startAt+1 .. startAt+N` to the distinct `value`
+    * column of `vocab0` via the banded two-phase prefix sum (see
+    * [[encodeSequential]]): nothing data-sized reaches the driver (the
+    * band histogram is ≤ `bands` rows) and every window is PARTITIONED
+    * (per-band sort ≈ |vocab|/bands rows — no single-partition global
+    * sort). `startAt` continues an existing dictionary past its max id
+    * (update-time growth). Returns (id, value, dt, lang) rows.
+    */
+  private[bgp] def assignDenseIds(vocab0: DataFrame, bands: Int,
+      startAt: Long): DataFrame = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val vocab = vocab0.select(col("value")).distinct()
+      .withColumn("__band", pmod(xxhash64(col("value")), lit(bands.toLong)))
+    // band histogram: ≤ bands rows — the offsets collect is
+    // schema-sized, the same discipline as the predicate inventory
+    val hist = vocab.groupBy(col("__band")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // running offset per band: cumulative count of all earlier bands
+    var acc = startAt
+    val offRows = hist.map { case (b, n) =>
+      val r = (b, acc); acc += n; r
+    }
+    // bands-sized LocalRelation: Catalyst sizes it below the broadcast
+    // threshold on its own — no hint needed
+    val offDf = offRows.toSeq.toDF("__band", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__band")).orderBy(col("value"))
+    vocab.join(offDf, "__band")
+      .withColumn("id",
+        row_number().over(w).cast("long") + col("__off"))
+      .select(col("id"), col("value"),
+        RdfLex.datatype(col("value")).as("dt"),
+        RdfLex.lang(col("value")).as("lang"))
+  }
+
+  /** Grow a SEQUENTIAL dictionary with a vocabulary DataFrame: terms
+    * already in the dict keep their ids (one anti-join probe — the
+    * delta-scoped discipline growDictDf's hash arm follows); genuinely
+    * new terms take dense ids continuing past `max(id)` via the same
+    * banded prefix sum as the build. The max(id) read is one bounded
+    * aggregate — update-cadence work, never data-sized on the driver.
+    */
+  private[bgp] def growSequentialDict(dict: DataFrame, values: DataFrame,
+      bands: Int = 256): DataFrame = {
+    val fresh = values.select(col("value")).na.drop().distinct()
+      .join(dict.select(col("value")), Seq("value"), "left_anti")
+    val maxId = dict.agg(max(col("id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    dict.unionByName(assignDenseIds(fresh, bands, maxId))
+  }
+
   def encodeSequential(store: TripleStore, bands: Int = 256): TripleStore = {
     val spark = store.slices.values.head.sparkSession
     import spark.implicits._
@@ -394,28 +469,7 @@ object TripleStore {
         df.select(col("o").as("value"))))
       :+ predNames)
       .reduce(_ unionByName _)
-      .distinct()
-      .withColumn("__band", pmod(xxhash64(col("value")), lit(bands.toLong)))
-    // band histogram: ≤ bands rows — the offsets collect is
-    // schema-sized, the same discipline as the predicate inventory
-    val hist = vocab.groupBy(col("__band")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // running offset per band: cumulative count of all earlier bands
-    var acc = 0L
-    val offRows = hist.map { case (b, n) =>
-      val r = (b, acc); acc += n; r
-    }
-    // bands-sized LocalRelation: Catalyst sizes it below the broadcast
-    // threshold on its own — no hint needed
-    val offDf = offRows.toSeq.toDF("__band", "__off")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__band")).orderBy(col("value"))
-    val dict = vocab.join(offDf, "__band")
-      .withColumn("id",
-        row_number().over(w).cast("long") + col("__off"))
-      .select(col("id"), col("value"),
-        RdfLex.datatype(col("value")).as("dt"),
-        RdfLex.lang(col("value")).as("lang"))
+    val dict = assignDenseIds(vocab, bands, 0L)
     val s2id = dict.select(col("value").as("s"), col("id").as("__sid"))
     val o2id = dict.select(col("value").as("o"), col("id").as("__oid"))
     val enc = store.slices.map { case (p, df) =>

@@ -23,21 +23,34 @@ class BgpPropertySpec extends AnyFunSuite {
   private def naive(triples: Seq[(String, String, String)],
       q: BgpQuery): Set[Seq[String]] = {
     def matches(t: (String, String, String), p: TriplePattern,
-        env: Map[String, String]): Option[Map[String, String]] = {
+        env: Map[String, String]): Iterable[Map[String, String]] = {
       def unify(term: Term, v: String, e: Map[String, String]): Option[Map[String, String]] =
         term match {
           case Const(c) => if (c == v) Some(e) else None
-          case PathNeg(ps) => if (!ps.contains(v)) Some(e) else None
           case Var(n) => e.get(n) match {
             case Some(bound) => if (bound == v) Some(e) else None
             case None => Some(e + (n -> v))
           }
         }
-      for {
-        e1 <- unify(p.s, t._1, env)
-        e2 <- unify(p.p, t._2, e1)
-        e3 <- unify(p.o, t._3, e2)
-      } yield e3
+      p.p match {
+        // mixed-direction NPS (§9.1): an arm exists only when it has
+        // members; the set is the union of its arms
+        case PathNeg(fwd, inv) =>
+          def arm(sv: String, ov: String, excl: Seq[String]) =
+            if (excl.contains(t._2)) None
+            else for {
+              e1 <- unify(p.s, sv, env)
+              e2 <- unify(p.o, ov, e1)
+            } yield e2
+          (if (fwd.nonEmpty) arm(t._1, t._3, fwd) else None) ++
+            (if (inv.nonEmpty) arm(t._3, t._1, inv) else None)
+        case pp =>
+          for {
+            e1 <- unify(p.s, t._1, env)
+            e2 <- unify(pp, t._2, e1)
+            e3 <- unify(p.o, t._3, e2)
+          } yield e3
+      }
     }
     def expand(envs: Set[Map[String, String]],
         ps: Seq[TriplePattern]): Set[Map[String, String]] =
@@ -224,6 +237,51 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sequential-store update scripts equal the string store (12 random scripts)") {
+    import spark.implicits._
+    import graft.bgp.SparqlUpdate
+    // round 9: the dense-id store carries the full update surface.
+    // Random op scripts (ground inserts/deletes incl. NEVER-SEEN terms,
+    // DELETE WHERE, template Modify) apply to BOTH stores; results and
+    // the dense-id invariant must agree — the string-store planner is
+    // brute-force-verified above, so equality transitively verifies
+    // the dict-join re-encode + banded id continuation.
+    val rnd = new Random(9191L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 12) {
+      val triples = Seq.fill(4 + rnd.nextInt(8))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val plain0 = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      val seq0 = TripleStore.encodeSequential(plain0, bands = 4)
+      def ent(): String =
+        if (rnd.nextInt(4) == 0) s"n${round}x${rnd.nextInt(3)}" // new term
+        else ents(rnd.nextInt(ents.size))
+      def p(): String = preds(rnd.nextInt(preds.size))
+      val ops = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(4) match {
+        case 0 => s"INSERT DATA { ${ent()} ${p()} ${ent()} }"
+        case 1 => s"DELETE DATA { ${ent()} ${p()} ${ent()} }"
+        case 2 => s"DELETE WHERE { ?x ${p()} ?y }"
+        case 3 =>
+          val (a, b) = (p(), p())
+          s"DELETE { ?x $a ?y } INSERT { ?x $b ?y } WHERE { ?x $a ?y }"
+      }).mkString(" ;\n")
+      val a = SparqlUpdate.applyAll(spark, plain0, ops)
+      val b = SparqlUpdate.applyAll(spark, seq0, ops)
+      // full-store read-back through a variable-predicate pattern: the
+      // union view's dense predicate ids and the edge decode both show
+      val q = "select ?s ?p ?o where { ?s ?p ?o }"
+      val want = BgpPlanner.query(a, q).collect().map(_.toSeq).toSet
+      val got = BgpPlanner.query(b, q).collect().map(_.toSeq).toSet
+      assert(got == want, s"round $round script:\n$ops")
+      // dense invariant survives growth: distinct ids, contiguous 1..N
+      val ids = b.dict.get.select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.head == 1L && ids.last == ids.length.toLong &&
+        ids.distinct.length == ids.length, s"round $round ids not dense")
+    }
+  }
+
   test("encoded decode-on-demand equals the string store (30 random lexical features)") {
     import spark.implicits._
     // the string-store planner is brute-force-verified above, so
@@ -323,7 +381,10 @@ class BgpPropertySpec extends AnyFunSuite {
           s"select ?X ?Y where { ?X $steps ?Y }"
         } else {
           val k = 1 + rnd.nextInt(2)
-          val out = rnd.shuffle(preds).take(k).mkString("|")
+          // mixed-direction members (§9.1 full grammar): each drawn
+          // predicate is forward or inverse at random
+          val out = rnd.shuffle(preds).take(k)
+            .map(p => if (rnd.nextBoolean()) p else s"^$p").mkString("|")
           s"select ?X ?Y where { ?X !($out) ?Y }"
         }
       val q = Sparql.parse(qs)

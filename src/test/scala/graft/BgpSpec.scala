@@ -57,13 +57,75 @@ class BgpSpec extends AnyFunSuite {
     // a constant the dict has never seen matches nothing (id-0 probe)
     assert(BgpPlanner.query(seq,
       "select ?p where { ?p worksFor dept:404 }").count() == 0)
-    // surfaces that would re-encode computed columns fail loudly…
-    intercept[IllegalArgumentException](BgpPlanner.query(seq,
-      "select ?p ?x where { ?p worksFor ?d . " +
-        "SERVICE <graft://depts> { ?d deptname ?x } }"))
-    // …and so do updates (dense ids are counters, not value hashes)
-    intercept[IllegalArgumentException](SparqlUpdate.applyAll(spark, seq,
-      "INSERT DATA { <prof:9> worksFor <dept:2> }"))
+    // surfaces that re-encode computed columns ride the value→id dict
+    // join (round 9): updates work on the dense-id store, with new
+    // terms taking ids past max(id)
+    val upd = SparqlUpdate.applyAll(spark, seq,
+      "INSERT DATA { <prof:9> worksFor <dept:2> }")
+    assert(upd.sequential)
+    assert(BgpPlanner.query(upd,
+      "select ?p where { ?p worksFor dept:2 }")
+      .collect().map(_.getString(0)).toSeq == Seq("prof:9"))
+    // dense invariant survives the growth: ids stay 1..N distinct
+    val grownIds = upd.dict.get.select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(grownIds.head == 1L &&
+      grownIds.last == grownIds.length.toLong &&
+      grownIds.distinct.length == grownIds.length)
+  }
+
+  test("sequential store carries updates, SERVICE, subqueries, and multi-var VALUES") {
+    val seq = TripleStore.encodeSequential(tinyStore, bands = 8)
+    // DELETE/INSERT with a computed (BIND) template var: the inserted
+    // term gets a fresh dense id and decodes on read-back
+    val st = SparqlUpdate.applyAll(spark, seq,
+      """INSERT { ?p label ?l } WHERE {
+        | ?p name ?n . BIND (CONCAT(?n, "!") AS ?l) }""".stripMargin)
+    assert(BgpPlanner.query(st, "select ?l where { ?p label ?l }")
+      .collect().map(_.getString(0)).toSet ==
+      Set("FullProfessor0!", "FullProfessor1!"))
+    // DELETE WHERE on the sequential store
+    val st2 = SparqlUpdate.applyAll(spark, seq,
+      "DELETE WHERE { ?p email ?e }")
+    assert(BgpPlanner.query(st2, "select ?p ?e where { ?p email ?e }")
+      .count() == 0)
+    // SERVICE federation with the sequential store as the OUTER store
+    ServiceRegistry.register("graft://depts9", TripleStore.fromTriples(
+      Seq(("dept:0", "deptname", "Mathematics"),
+        ("dept:1", "deptname", "Physics")).toDF("s", "p", "o")))
+    assert(BgpPlanner.query(seq,
+      """select ?p ?dn where { ?p worksFor ?d .
+        | SERVICE <graft://depts9> { ?d deptname ?dn } }""".stripMargin)
+      .collect().map(r => (r.getString(1), r.getString(0))).toSet ==
+      Set(("prof:0", "Mathematics"), ("prof:1", "Mathematics"),
+        ("prof:2", "Physics")))
+    // subquery: aggregate joins back into the outer solution
+    val subQ =
+      """select ?d ?n where {
+        | ?p worksFor ?d .
+        | { select ?d (count(?q) as ?n) where { ?q worksFor ?d }
+        |   group by ?d } }""".stripMargin
+    assert(BgpPlanner.query(seq, subQ).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      BgpPlanner.query(tinyStore, subQ).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+    // multi-var VALUES restricts via the dict join (unknown rows drop)
+    val mv =
+      """select ?p ?d where { ?p worksFor ?d .
+        | VALUES (?p ?d) { (prof:0 dept:0) (prof:7 dept:7) } }"""
+        .stripMargin
+    assert(BgpPlanner.query(seq, mv).collect()
+      .map(r => (r.getString(1), r.getString(0))).toSet ==
+      Set(("prof:0", "dept:0")))
+    // MINUS over a lexical (service-only) column re-enters id space
+    // through the dict — the r8 guard is now a working path
+    val minusQ =
+      """select ?p ?d ?dn where {
+        | ?p worksFor ?x .
+        | SERVICE <graft://depts9> { ?d deptname ?dn }
+        | MINUS { ?z worksFor ?d } }""".stripMargin
+    assert(BgpPlanner.query(seq, minusQ).count() ==
+      BgpPlanner.query(tinyStore, minusQ).count())
   }
 
   test("encoded-insert collision audit fails loudly through the delta path") {
@@ -1972,5 +2034,205 @@ class BgpSpec extends AnyFunSuite {
       assert(run(q("isNumeric")) == Seq("t:4", "t:5"), tag)
       assert(run(q("!isNumeric")) == Seq("t:1", "t:2", "t:3", "t:6"), tag)
     }
+  }
+
+  test("'<' comparisons inside SERVICE bodies and update scripts parse (not IRI openers)") {
+    // a less-than FILTER inside a SERVICE block: braceBlock must not
+    // latch into IRI mode on the comparison's '<'
+    ServiceRegistry.register("graft://ages", TripleStore.fromTriples(
+      Seq(("prof:0", "age", "45"), ("prof:1", "age", "61"))
+        .toDF("s", "p", "o")))
+    val rows = BgpPlanner.query(tinyStore,
+      """select ?p ?a where {
+        | ?p worksFor ?d .
+        | SERVICE <graft://ages> { ?p age ?a . FILTER (?a < 50) } }"""
+        .stripMargin).collect().map(r => (r.getString(1), r.getString(0)))
+    assert(rows.toSet == Set(("prof:0", "45")))
+    // and the no-space spelling
+    assert(BgpPlanner.query(tinyStore,
+      "select ?p where { ?p worksFor ?d . " +
+        "SERVICE <graft://ages> { ?p age ?a . FILTER (?a<50) } }")
+      .collect().map(_.getString(0)).toSeq == Seq("prof:0"))
+    // a multi-op update script whose first op carries a '<' comparison
+    // must still split on the top-level ';' (splitTop shares the fix)
+    val st = SparqlUpdate.applyAll(spark, tinyStore,
+      """DELETE { ?p email ?e } WHERE { ?p email ?e . ?p age2 ?a .
+        | FILTER (?a < 50) } ;
+        |INSERT DATA { prof:9 email "p9@u.edu" }""".stripMargin)
+    assert(BgpPlanner.query(st, "select ?p ?e where { ?p email ?e }")
+      .count() == 3) // nothing deleted (no age2 slice), one inserted
+  }
+
+  test("SERVICE SILENT failure leaves service-only vars unbound, not missing (§2.3)") {
+    // projecting a service-ONLY var of a failed SILENT block must give
+    // unbound (null), not an AnalysisException on a missing column
+    val q =
+      """select ?p ?dn where {
+        | ?p worksFor ?d .
+        | SERVICE SILENT <graft://unreachable> { ?d deptname ?dn } }"""
+        .stripMargin
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      // output columns canonicalize to (dn, p) — dn is index 0
+      val rows = BgpPlanner.query(st, q).collect()
+      assert(rows.length == 3 && rows.forall(_.isNullAt(0)),
+        s"encoded=${st.encoded}")
+    }
+    // the dead-HTTP-endpoint arm takes the same shape
+    val rows2 = BgpPlanner.query(tinyStore,
+      "select ?p ?dn where { ?p worksFor ?d . " +
+        "SERVICE SILENT <http://localhost:9/sparql> { ?d deptname ?dn } }")
+      .collect()
+    assert(rows2.length == 3 && rows2.forall(_.isNullAt(0)))
+  }
+
+  test("bound-join seed re-encodes via dict join on a SEQUENTIAL remote store") {
+    // a sequential remote's ids are dense counters: the xxhash64 seed
+    // would match nothing and silently empty the block — the dict-join
+    // seed must restore the results
+    ServiceRegistry.register("graft://deptsseq", TripleStore.encodeSequential(
+      TripleStore.fromTriples(
+        Seq(("dept:0", "deptname", "Mathematics"),
+          ("dept:1", "deptname", "Physics"),
+          ("dept:9", "deptname", "Unstaffed")).toDF("s", "p", "o")),
+      bands = 4))
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      val rows = BgpPlanner.query(st,
+        """select ?p ?dn where {
+          | ?p worksFor ?d .
+          | SERVICE <graft://deptsseq> { ?d deptname ?dn } }""".stripMargin)
+        .select("p", "dn").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("prof:0", "Mathematics"),
+        ("prof:1", "Mathematics"), ("prof:2", "Physics")),
+        s"outer encoded=${st.encoded}")
+    }
+  }
+
+  test("encoded Modify grows the dict for template vars bound to computed values") {
+    // ?t binds from VALUES — a value the store has never seen; the
+    // inserted term must decode on read-back, not NULL out
+    val enc = TripleStore.encode(tinyStore)
+    val st = SparqlUpdate.applyAll(spark, enc,
+      """INSERT { ?p tag ?t } WHERE {
+        | ?p worksFor dept:0 . VALUES ?t { "hot" } }""".stripMargin)
+    val rows = BgpPlanner.query(st, "select ?p ?t where { ?p tag ?t }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("prof:0", "hot"), ("prof:1", "hot")))
+    // BIND-computed values take the same path
+    val st2 = SparqlUpdate.applyAll(spark, enc,
+      """INSERT { ?p label ?l } WHERE {
+        | ?p name ?n . BIND (CONCAT(?n, "!") AS ?l) }""".stripMargin)
+    val rows2 = BgpPlanner.query(st2, "select ?l where { ?p label ?l }")
+      .collect().map(_.getString(0)).toSet
+    assert(rows2 == Set("FullProfessor0!", "FullProfessor1!"))
+  }
+
+  test("fromTriples slices read the persisted source, not a re-derivation per slice") {
+    // a multi-slice query over an in-memory store must scan the CACHED
+    // triple relation (InMemoryTableScan), not re-derive each slice
+    // from the raw source per action
+    val df = BgpPlanner.query(tinyStore,
+      "select ?p ?d ?n where { ?p worksFor ?d . ?p name ?n }")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(scans.nonEmpty,
+      "expected InMemoryTableScan under the slice scans:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("graft federates graft: SERVICE against our own SPARQL Protocol server") {
+    // the reference's client/proxy request-response loop over the real
+    // transport: SparqlServer exposes a store, SparqlHttp consumes it —
+    // for every remote id regime (string, hash, sequential)
+    val remoteData = Seq(
+      ("dept:0", "deptname", "Mathematics"),
+      ("dept:1", "deptname", "Physics"),
+      ("dept:9", "deptname", "Unstaffed")).toDF("s", "p", "o")
+    val plain = TripleStore.fromTriples(remoteData)
+    for (remote <- Seq(plain, TripleStore.encode(plain),
+        TripleStore.encodeSequential(plain, bands = 4))) {
+      val h = SparqlServer.serve(remote)
+      try {
+        for (outer <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+          val rows = BgpPlanner.query(outer,
+            s"""select ?p ?dn where {
+               | ?p worksFor ?d .
+               | SERVICE <${h.endpoint}> { ?d deptname ?dn } }"""
+              .stripMargin)
+            .select("p", "dn").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+          assert(rows == Set(("prof:0", "Mathematics"),
+            ("prof:1", "Mathematics"), ("prof:2", "Physics")),
+            s"remote seq=${remote.sequential} enc=${remote.encoded} " +
+              s"outer enc=${outer.encoded}")
+        }
+      } finally h.stop()
+    }
+    // typed/tagged literals survive the JSON round-trip losslessly
+    val typed = TripleStore.fromTriples(Seq(
+      ("t:1", "val", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("t:2", "val", "\"bonjour\"@fr"),
+      ("t:3", "val", "plain words")).toDF("s", "p", "o"))
+    val h2 = SparqlServer.serve(typed)
+    try {
+      val got = BgpPlanner.query(tinyStore,
+        s"select ?s ?v where { SERVICE <${h2.endpoint}> { ?s val ?v } }")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(
+        ("t:1", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+        ("t:2", "\"bonjour\"@fr"), ("t:3", "plain words")))
+    } finally h2.stop()
+  }
+
+  test("federation responses are bounded: oversized bodies fail loudly, never buffer") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // server-side row cap: the protocol's materialization point refuses
+    // past maxRows instead of buffering an unbounded response
+    intercept[IllegalStateException](
+      SparqlServer.answer(tinyStore,
+        "select ?s ?o where { ?s worksFor ?o }", maxRows = 1))
+    // client-side byte cap: a mock endpoint streaming more than the cap
+    // trips the loud IOException mid-stream
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/sparql", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val big = ("{\"head\":{\"vars\":[\"x\"]},\"results\":{\"bindings\":[" +
+          "{\"x\":{\"type\":\"literal\",\"value\":\"" + "y" * 4000 +
+          "\"}}]}}").getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type",
+          "application/sparql-results+json")
+        ex.sendResponseHeaders(200, big.length)
+        ex.getResponseBody.write(big)
+        ex.close()
+      }
+    })
+    server.start()
+    val ep = s"http://localhost:${server.getAddress.getPort}/sparql"
+    try {
+      val e = intercept[java.io.IOException](
+        SparqlHttp.fetch(ep, "select ?x where { ?x p ?y }",
+          maxBytes = 1024))
+      assert(e.getMessage.contains("cap"))
+      // and under the cap the same fetch parses fine
+      assert(SparqlHttp.fetch(ep, "select ?x where { ?x p ?y }")
+        .contains("bindings"))
+    } finally server.stop(0)
+  }
+
+  test("COPY/MOVE of an empty source graph to DEFAULT keeps slice schemas") {
+    val withQuads = SparqlUpdate.applyAll(spark, tinyStore,
+      "INSERT DATA { GRAPH <g:a> { x:1 p:q x:2 } }")
+    // the source graph names nothing: COPY must clear the default graph
+    // (ClearDefault shape), leaving a store the planner can still plan
+    val st = SparqlUpdate.apply(spark, withQuads,
+      SparqlUpdate.GraphOp("COPY", Some("g:none"), None))
+    assert(st.slices.nonEmpty)
+    assert(BgpPlanner.query(st,
+      "select ?p ?d where { ?p worksFor ?d }").count() == 0)
+    val st2 = SparqlUpdate.apply(spark, withQuads,
+      SparqlUpdate.GraphOp("MOVE", Some("g:none"), None))
+    assert(BgpPlanner.query(st2,
+      "select ?p where { ?p worksFor ?d }").count() == 0)
   }
 }
