@@ -55,6 +55,12 @@ object GraftSession {
       // triples, id-bucketed dict); auto-disabling bucketed scans would
       // also forfeit bucket-filter pruning (constant-subject patterns)
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // the primary triple layout writes exactly one sorted file per
+      // (partition, bucket) — exposing the per-bucket sort order lets
+      // the subject-join merge chain skip its sorts entirely (the scan
+      // is already HashPartitioning(s)+sorted; see
+      // TripleStore.writePartitionedBucketed)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
       // read as Long and let Tables.t normalize to a µs timestamp.

@@ -194,6 +194,21 @@ object TripleStore {
     * path escaping (`rdf:type` ↔ `p=rdf%3Atype`).
     */
   def fromPartitionedParquet(spark: SparkSession, path: String): TripleStore = {
+    val preds = listPredicatePartitions(spark, path)
+    val df = spark.read.parquet(path)
+    val slices = preds.map { p =>
+      p -> df.filter(col("p") === p).select(col("s"), col("o"))
+    }.toMap
+    TripleStore(slices, None)
+  }
+
+  /** Predicate inventory of a p-partitioned layout: the partition-
+    * directory listing — one filesystem metadata read, no parquet data
+    * scanned. Names round-trip Hive path escaping
+    * (`rdf:type` ↔ `p=rdf%3Atype`).
+    */
+  private def listPredicatePartitions(
+      spark: SparkSession, path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val preds = fs.listStatus(root).toSeq
@@ -203,11 +218,92 @@ object TripleStore {
     require(preds.nonEmpty, s"no p=... partition directories under $path")
     require(preds.length <= MaxPredicates,
       s"more than $MaxPredicates predicate partitions under $path")
-    val df = spark.read.parquet(path)
+    preds
+  }
+
+  /** Persist a store as the PRIMARY at-scale layout: a catalog table
+    * partitioned by predicate AND hash-bucketed + sorted by subject.
+    * This is one layout carrying both of RDF-3X's access-path roles:
+    *
+    *  - a constant-predicate pattern prunes to one `p=...` partition
+    *    directory (the POS analog — `PartitionFilters` on the scan);
+    *  - two such scans joined on their subjects are co-partitioned
+    *    (`HashPartitioning(s, buckets)` from the bucket spec) AND
+    *    per-bucket sorted, so the subject–subject joins that dominate
+    *    BGP shapes (stars, the triangle's `?o` chain) run with ZERO
+    *    exchange and zero sort — at 100 TB the shuffle of two
+    *    data-sized relations is the bottleneck this removes;
+    *  - a constant-subject variable-predicate probe prunes to one
+    *    bucket per partition (the SOP analog, `SelectedBucketsCount`).
+    *
+    * The pre-write `repartition(buckets, s)` uses the same
+    * `pmod(murmur3(s), buckets)` function as the bucket spec, so each
+    * writer task holds exactly one bucket's rows → ONE file per
+    * (partition, bucket), which is what lets the scan report
+    * per-bucket sortedness (multi-file buckets lose `outputOrdering`).
+    * Encoded stores write the same shape with BIGINT s/o; partition
+    * directories always carry the STRING predicate name (dispatch is
+    * by name on every store form).
+    */
+  def writePartitionedBucketed(store: TripleStore, path: String,
+      table: String, buckets: Int = DefaultBuckets): Unit = {
+    val spark = store.slices.values.head.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    store.slices.map { case (p, df) =>
+      df.select(col("s"), col("o"), lit(p).as("p"))
+    }.reduce(_ unionByName _)
+      .repartition(buckets, col("s"))
+      .write.mode("overwrite")
+      .partitionBy("p")
+      .bucketBy(buckets, "s").sortBy("s")
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Default bucket count for the primary layout — matches the local
+    * harness's cores/shuffle partitions; on a real cluster size it to
+    * the target parallelism (buckets are the join parallelism for the
+    * exchange-free path).
+    */
+  val DefaultBuckets = 32
+
+  /** Re-register a persisted partitioned+bucketed primary layout in
+    * this session's catalog (bucket + partition metadata is catalog
+    * state, not file state; `MSCK REPAIR` re-discovers the partition
+    * directories) and return the bucket-aware table.
+    */
+  def registerPartitionedBucketed(spark: SparkSession, path: String,
+      table: String, buckets: Int = DefaultBuckets,
+      idType: String = "STRING"): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      spark.sql(
+        s"""CREATE TABLE $table (s $idType, o $idType, p STRING)
+           |USING parquet
+           |PARTITIONED BY (p)
+           |CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      spark.sql(s"MSCK REPAIR TABLE $table")
+    }
+    spark.table(table)
+  }
+
+  /** Load a store from the primary partitioned+bucketed layout. Each
+    * slice is a partition-pruned, bucket-aware scan of the table; the
+    * string form also exposes the table as the variable-predicate view
+    * (its `p` column is the string name the planner's exclusion
+    * filters compare against — the encoded form keeps the union view,
+    * whose `p` is the encoded id).
+    */
+  def fromBucketedTable(spark: SparkSession, path: String, table: String,
+      buckets: Int = DefaultBuckets, idType: String = "STRING"): TripleStore = {
+    val preds = listPredicatePartitions(spark, path)
+    val t = registerPartitionedBucketed(spark, path, table, buckets, idType)
     val slices = preds.map { p =>
-      p -> df.filter(col("p") === p).select(col("s"), col("o"))
+      p -> t.filter(col("p") === p).select(col("s"), col("o"))
     }.toMap
-    TripleStore(slices, None)
+    TripleStore(slices, None,
+      sBucketed = if (idType == "STRING") Some(t) else None)
   }
 
   /** Persist the s-bucketed secondary layout (the SOP-index analog):

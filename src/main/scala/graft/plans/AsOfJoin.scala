@@ -476,7 +476,7 @@ final case class AsOfJoinExec(
        |  }
        |  $numOutput.add(1);
        |  ${consume(ctx, leftVars ++ rightVars).trim}
-       |  if (shouldStop()) return;
+       |  $shouldStopCheckCode
        |}
      """.stripMargin
   }

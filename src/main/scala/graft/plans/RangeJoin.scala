@@ -514,17 +514,24 @@ final case class RangeJoinExec(
       if (hiInclusive) s"($c) <= 0" else s"($c) < 0"
     val byDesc = leftBy.sql.replace("\\", "\\\\").replace("\"", "\\\"")
 
+    // the loop must terminate by falling through (flag, not `return`):
+    // under an aggregate parent this whole block lands inside
+    // doAggregateWithoutKey(), where an infinite `while (true)` makes
+    // the code emitted after it unreachable — Janino rejects the stage
+    // and Spark silently falls back to interpreted execution
+    val done = ctx.freshName("rangeDone")
     s"""
        |if (!$inited) {
        |  $inited = true;
        |  $fetchRight();
        |}
-       |while (true) {
+       |boolean $done = false;
+       |while (!$done) {
        |  InternalRow $matchRow = null;
        |  boolean emit = false;
        |  if ($bufIt == null) {
        |    // load the next left row, or finish the partition
-       |    if (!($limitNotReachedCond $leftInput.hasNext())) return;
+       |    if (!($limitNotReachedCond $leftInput.hasNext())) { $done = true; continue; }
        |    $lRow = (InternalRow) $leftInput.next();
        |    InternalRow $lRowLocal = $lRow;
        |    ${lByEv.code}
@@ -603,7 +610,7 @@ final case class RangeJoinExec(
        |  if (emit) {
        |    $numOutput.add(1);
        |    ${consume(ctx, leftVars ++ rightVars).trim}
-       |    if (shouldStop()) return;
+       |    $shouldStopCheckCode
        |  }
        |}
      """.stripMargin

@@ -41,8 +41,11 @@ object BgpQueries {
     * layout changes shape — a mismatched marker wipes and rebuilds the
     * dataset's layouts instead of silently serving stale derivations.
     */
-  // v2: added the nextorder slice; v3: dict carries dt/lang metadata
-  private val StoreFormatVersion = 3
+  // v2: added the nextorder slice; v3: dict carries dt/lang metadata;
+  // v4: primary layout is p-partitioned + s-bucketed/sorted (subject
+  // joins exchange-free), replacing the plain p-partitioned parquet +
+  // separate s-bucketed secondary
+  private val StoreFormatVersion = 4
 
   private[graft] def invalidateStale(s: SparkSession, tag: String,
       tables: Seq[String], root0: String = pstoreRoot): Unit = {
@@ -108,32 +111,31 @@ object BgpQueries {
     storeCache.getOrElseUpdate((s, dir, encoded), {
         val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
         val pdir = s"$pstoreRoot/$tag"
-        val bdir = s"$pstoreRoot/${tag}_sbuckets"
         val table = s"graft_spo_$tag"
-        invalidateStale(s, tag, Seq(table, s"graft_dict_$tag"))
+        invalidateStale(s, tag,
+          Seq(table, s"graft_spo_enc_$tag", s"graft_dict_$tag"))
         if (!new java.io.File(pdir, "_SUCCESS").exists())
-          TripleStore.writePartitioned(TripleStore.fromStarSchema(s, dir), pdir)
-        val pstore = TripleStore.fromPartitionedParquet(s, pdir)
-        if (!new java.io.File(bdir, "_SUCCESS").exists())
-          TripleStore.writeSBucketed(pstore, bdir, table)
-        val base = pstore.copy(
-          sBucketed = Some(TripleStore.registerSBucketed(s, bdir, table)))
+          TripleStore.writePartitionedBucketed(
+            TripleStore.fromStarSchema(s, dir), pdir, table)
+        val base = TripleStore.fromBucketedTable(s, pdir, table)
         if (encoded) {
           // the dictionary and the encoded slices are the derived
           // artifacts a real engine keeps materialized on disk (RDF-3X
-          // does exactly this): encoded triples p-partitioned like the
-          // string store, dict as an id-bucketed table — neither is
-          // re-derived per session
+          // does exactly this): encoded triples in the same
+          // partitioned+bucketed primary layout as the string store,
+          // dict as an id-bucketed table — neither is re-derived per
+          // session
           val edir = s"$pstoreRoot/${tag}_enc"
           val ddir = s"$pstoreRoot/${tag}_dict"
+          val etable = s"graft_spo_enc_$tag"
           val dtable = s"graft_dict_$tag"
           if (!new java.io.File(edir, "_SUCCESS").exists() ||
               !new java.io.File(ddir, "_SUCCESS").exists()) {
             val enc = TripleStore.encode(base)
-            TripleStore.writeEncodedPartitioned(enc, edir)
+            TripleStore.writePartitionedBucketed(enc, edir, etable)
             TripleStore.writeDict(enc.dict.get, ddir, dtable)
           }
-          TripleStore.fromPartitionedParquet(s, edir)
+          TripleStore.fromBucketedTable(s, edir, etable, idType = "BIGINT")
             .copy(dict = Some(TripleStore.registerDict(s, ddir, dtable)),
               quads = Some(quadsFor(s, dir, encoded = true)))
         } else base.copy(quads = Some(quadsFor(s, dir, encoded = false)))

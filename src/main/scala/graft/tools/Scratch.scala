@@ -16,12 +16,25 @@ object Scratch {
     // ten slowest — the outlier hunt after a batch of new operators
     val names =
       if (args.sameElements(Array("all"))) qs.keys.toSeq.sorted else args.toSeq
+    // SPARK_GRAFT_NOOP=1 materializes through the noop sink exactly
+    // like Bench (count() lets Spark prune non-predicate columns, so
+    // its times are not comparable with BENCH artifacts); REPS>1 times
+    // each query that many times in the warm JVM and reports the min.
+    val noop = sys.env.contains("SPARK_GRAFT_NOOP")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val timed = names.map { name =>
-      val t0 = System.nanoTime()
+      var n = -1L
+      val secs = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        val df = qs(name)(spark, sfDir)
+        if (noop) df.write.format("noop").mode("overwrite").save()
+        else n = df.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = secs.min
       val df = qs(name)(spark, sfDir)
-      val n = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] $name: $sec%.2f s, $n rows")
+      println(f"[scratch] $name: $sec%.2f s (reps=$reps: " +
+        secs.map(s => f"$s%.2f").mkString(",") + s"), $n rows")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
       if (sys.env.contains("SPARK_GRAFT_PLAN_TREE")) {
         df.collect() // materialize THIS plan so AQE finalizes its stages

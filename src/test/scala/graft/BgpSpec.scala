@@ -2133,12 +2133,11 @@ class BgpSpec extends AnyFunSuite {
     // from the raw source per action
     val df = BgpPlanner.query(tinyStore,
       "select ?p ?d ?n where { ?p worksFor ?d . ?p name ?n }")
-    val scans = df.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
-    }
-    assert(scans.nonEmpty,
-      "expected InMemoryTableScan under the slice scans:\n" +
-        df.queryExecution.executedPlan)
+    // string-match: AQE wraps the physical plan, so node-collect misses
+    // InMemoryTableScanExec under the AdaptiveSparkPlan boundary
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected InMemoryTableScan under the slice scans:\n$plan")
   }
 
   test("graft federates graft: SERVICE against our own SPARQL Protocol server") {

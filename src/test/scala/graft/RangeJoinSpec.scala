@@ -153,6 +153,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("merge loop fused under an aggregate parent still compiles " +
+      "(no unreachable-statement fallback)") {
+    // under HashAggregate-without-keys the produce loop lands inside
+    // doAggregateWithoutKey(); an infinite while(true) there makes the
+    // aggregate's trailing code unreachable and Janino rejects the
+    // stage — fallback OFF turns that silent interpreted-mode
+    // degradation into a test failure
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    import s2.implicits._
+    val l = Seq((1L, "a", 0L, 10L), (2L, "a", 3L, 7L), (3L, "b", 1L, 4L))
+      .toDF("lid", "lby", "lo", "hi")
+    val r = Seq((100L, "a", 2L), (101L, "a", 5L), (102L, "b", 2L),
+      (103L, "b", 9L)).toDF("rid", "rby", "ron")
+    val n = RangeJoin.range(l, r, "lo", "hi", "lby", "rby", "ron")
+      .where($"rid".isNotNull).select("lid", "rid").distinct().count()
+    // [0,10]a ⊇ {2,5}; [3,7]a ⊇ {5}; [1,4]b ⊇ {2}
+    assert(n == 4L, s"expected 4 distinct in-window pairs, got $n")
+  }
+
   test("window >> gap past the in-memory cap spills and completes " +
       "with the metric showing it") {
     val key = graft.plans.RangeJoin.MaxBufferRowsKey
