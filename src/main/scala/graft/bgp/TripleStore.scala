@@ -289,11 +289,17 @@ object TripleStore {
   }
 
   /** Load a store from the primary partitioned+bucketed layout. Each
-    * slice is a partition-pruned, bucket-aware scan of the table; the
-    * string form also exposes the table as the variable-predicate view
-    * (its `p` column is the string name the planner's exclusion
-    * filters compare against — the encoded form keeps the union view,
-    * whose `p` is the encoded id).
+    * slice is a partition-pruned, bucket-aware scan of the table, and
+    * BOTH forms expose the table as the variable-predicate view:
+    *
+    *  - string store: `p` is the partition name itself;
+    *  - encoded store: `p` maps through `xxhash64(p)` — the same id
+    *    the union view derives (persisted encoded stores are hash-id
+    *    by construction; sequential stores are in-memory and never
+    *    load through here). The hash is a deterministic expression
+    *    over a PARTITION column, so the planner's `p = <id>` /
+    *    `p != <id>` comparisons still prune whole directories, and
+    *    constant-subject probes keep `SelectedBucketsCount: 1`.
     */
   def fromBucketedTable(spark: SparkSession, path: String, table: String,
       buckets: Int = DefaultBuckets, idType: String = "STRING"): TripleStore = {
@@ -303,7 +309,9 @@ object TripleStore {
       p -> t.filter(col("p") === p).select(col("s"), col("o"))
     }.toMap
     TripleStore(slices, None,
-      sBucketed = if (idType == "STRING") Some(t) else None)
+      sBucketed =
+        if (idType == "STRING") Some(t)
+        else Some(t.select(col("s"), xxhash64(col("p")).as("p"), col("o"))))
   }
 
   /** Persist the s-bucketed secondary layout (the SOP-index analog):

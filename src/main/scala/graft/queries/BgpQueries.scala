@@ -1937,8 +1937,40 @@ object BgpQueries {
             | ?n rdf:type "Nation" .
             | ?n !(name|rdf:type|^regionkey) ?x }""".stripMargin,
         encoded = true),
-      Some(negMixedOracle))
+      Some(negMixedOracle)),
+
+    // constant-subject variable-predicate probe — the SOP access path
+    // as a registry entry. On the v4 primary layout the variable view
+    // IS the partitioned+bucketed table, so this plans as one scan
+    // with SelectedBucketsCount 1 of N (the bucket holding the
+    // subject's hash) across all predicate partitions — an index
+    // lookup's I/O shape, no slice union (ScaleSpec pins the plan;
+    // this entry pins the VALUES).
+    GQuery(
+      "q334_bgp_subject_probe",
+      bgp("select ?p ?o where { <customer:17> ?p ?o }"),
+      Some(subjectProbeOracle)),
+
+    // the same probe over the ENCODED store: the variable view is the
+    // same bucketed table with `p` mapped through xxhash64(partition
+    // name) — an expression over the partition column, so directory
+    // pruning survives encoding and the subject probe still reads one
+    // bucket; ?p/?o decode through the dict on the way out.
+    GQuery(
+      "q335_bgp_subject_probe_encoded",
+      bgp("select ?p ?o where { <customer:17> ?p ?o }", encoded = true),
+      Some(subjectProbeOracle))
   )
+
+  private val subjectProbeOracle =
+    """SELECT 'rdf:type' AS p, 'Customer' AS o
+      |FROM customer WHERE c_custkey = 17
+      |UNION ALL SELECT 'nationkey', concat('nation:', c_nationkey)
+      |FROM customer WHERE c_custkey = 17
+      |UNION ALL SELECT 'mktsegment', c_mktsegment
+      |FROM customer WHERE c_custkey = 17
+      |UNION ALL SELECT 'name', c_name
+      |FROM customer WHERE c_custkey = 17""".stripMargin
 
   private val negMixedOracle =
     """SELECT concat('nation:', n_nationkey) AS n,

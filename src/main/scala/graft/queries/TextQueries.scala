@@ -2478,6 +2478,64 @@ object TextQueries {
              |    AS DOUBLE) AS avg_ttr,
              |  CAST(sum(floor(dupf * 10000 + 0.5)) / 10000 / count(*)
              |    AS DOUBLE) AS avg_dupf
-             |FROM g GROUP BY 1, 2""".stripMargin))
+             |FROM g GROUP BY 1, 2""".stripMargin)),
+
+    // DSIR-style data selection via hashed importance resampling (Xie
+    // et al. 2023): fit unigram bucket distributions (64 md5 buckets,
+    // add-1 smoothing) over the TARGET slice (lang='en' here — the
+    // "looks like my eval set" proxy) and the RAW corpus, score every
+    // doc by its summed log-likelihood ratio, keep the top 100. Each
+    // bucket's log2 ratio is quantized to an integer once (the q220
+    // millibit discipline) so per-doc sums are exact integers — no
+    // float-order sensitivity. Scale shape: the 64-row model is ONE
+    // tiny aggregate broadcast back over the token stream; the only
+    // data-sized shuffle is the partial-aggregated per-doc sum, and
+    // the ranking is TakeOrderedAndProject (top-k, never a global
+    // sort). Two linear corpus scans total — fit and score — exactly
+    // the two passes the published method needs at 100 TB.
+    GQuery(
+      "q333_dsir_select",
+      (s, dir) => {
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+          .withColumn("b",
+            conv(substring(md5($"w".cast("binary")), 1, 8), 16, 10)
+              .cast("long") % 64)
+        val buckets = toks.groupBy($"b").agg(
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        val totals = buckets.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+        val model = buckets.crossJoin(GuardedBroadcast.maybe(totals))
+          .select($"b",
+            floor((log2(($"ct" + lit(1.0)) / ($"nt" + lit(64.0))) -
+              log2(($"cr" + lit(1.0)) / ($"nr" + lit(64.0)))) * 10000 + 0.5)
+              .cast("long").as("mb"))
+        toks.join(GuardedBroadcast.maybe(model), Seq("b"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"mb").as("w_mb"))
+          .orderBy($"w_mb".desc, $"doc_id")
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(string_split(text, ' ')) AS w
+             |        FROM documents)),
+             |bk AS (SELECT b,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |    CAST(count(*) AS BIGINT) AS cr
+             |  FROM toks GROUP BY b),
+             |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+             |    CAST(sum(cr) AS BIGINT) AS nr FROM bk),
+             |m AS (SELECT b,
+             |    CAST(floor((log2((ct + 1.0) / (nt + 64.0)) -
+             |      log2((cr + 1.0) / (nr + 64.0))) * 10000 + 0.5) AS BIGINT) AS mb
+             |  FROM bk, tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(mb) AS BIGINT) AS w_mb
+             |FROM toks JOIN m USING (b)
+             |GROUP BY doc_id
+             |ORDER BY w_mb DESC, doc_id LIMIT 100""".stripMargin))
   )
 }

@@ -263,6 +263,38 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("v4 encoded store: the variable view keeps bucket pruning — " +
+      "xxhash64 over the partition column, not a slice union") {
+    import graft.bgp.{BgpPlanner, TripleStore}
+    val st = TripleStore.fromStarSchema(spark, "/root/testdata/sf0.001")
+    val enc = TripleStore.encode(st)
+    val wh = java.nio.file.Files.createTempDirectory("graft-v4e").toString
+    TripleStore.writePartitionedBucketed(
+      enc, s"$wh/spo", "graft_spo_spec_v4e", buckets = 8)
+    val onDisk = TripleStore.fromBucketedTable(
+      spark, s"$wh/spo", "graft_spo_spec_v4e", buckets = 8,
+      idType = "BIGINT").copy(dict = enc.dict)
+
+    val q = "select ?p ?o where { <customer:17> ?p ?o }"
+    val probe = BgpPlanner.query(onDisk, q)
+    val plan = probe.queryExecution.executedPlan.toString
+    // one bucket-pruned scan of the table, never the N-way union the
+    // encoded form paid before this round
+    assert("SelectedBucketsCount: 1 out of 8".r.findFirstIn(plan).isDefined,
+      s"expected bucket-pruned encoded probe, got:\n$plan")
+    // ONE scan of the bucketed table, never the N-way slice union the
+    // encoded form paid before this round (the dict's own in-memory
+    // vocab lineage may contain unions — count table scans, not the
+    // Union keyword)
+    assert("graft_spo_spec_v4e".r.findAllIn(plan).size == 1,
+      s"encoded variable view must read the table once, not per slice:\n$plan")
+    // values identical to the in-memory encoded store (both decode
+    // through the same dict)
+    assert(probe.collect().map(_.toSeq).toSet ==
+      BgpPlanner.query(enc, q).collect().map(_.toSeq).toSet)
+    assert(probe.count() == 4)
+  }
+
   test("encoded store reads persisted dict + encoded slices, no per-session re-derivation") {
     val df = SparkEntry.queries("q33_bgp_dict_encoded")(
       spark, "/root/testdata/sf0.001")
