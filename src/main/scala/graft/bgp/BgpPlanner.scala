@@ -111,9 +111,26 @@ object BgpPlanner {
     */
   private def patternScan(store: TripleStore, pat: TriplePattern,
       encode: String => Column,
-      measured: Map[String, Long] = Map.empty): DataFrame = {
+      measured: Map[String, Long] = Map.empty,
+      siblings: Seq[TriplePattern] = Nil): DataFrame = {
     def emptySlice: DataFrame = store.slices.values.head.filter(lit(false))
     def slice(p: String): DataFrame = store.slices.getOrElse(p, emptySlice)
+    // constant-OBJECT probe whose subject joins nothing else in the
+    // block: read the OPS secondary when materialized — the o filter
+    // prunes to one bucket (an index lookup's I/O) and losing the
+    // subject co-partitioning costs nothing because no subject join
+    // consumes it. When the subject IS a join var the s-layout wins:
+    // its co-partitioning removes a data-sized exchange, worth more
+    // than the probe-side scan. Constant subjects already bucket-prune
+    // on the s-layout.
+    def constSlice(p: String): DataFrame = {
+      val opsWins = pat.o.isInstanceOf[Const] && (pat.s match {
+        case v: Var => !siblings.exists(t =>
+          (t ne pat) && Seq(t.s, t.p, t.o).contains(v))
+        case _ => false
+      })
+      if (opsWins) store.oSlice(p).getOrElse(slice(p)) else slice(p)
+    }
     val knownEmpty = measured.get(patternKey(pat)).contains(-1L)
     val (base, pos) = pat.p match {
       case _ if knownEmpty && !pat.p.isInstanceOf[Var] =>
@@ -122,7 +139,7 @@ object BgpPlanner {
         (emptySlice.withColumn("p", col("s")),
           Seq("s" -> pat.s, "p" -> pat.p, "o" -> pat.o))
       case Const(p) =>
-        (slice(p), Seq("s" -> pat.s, "o" -> pat.o))
+        (constSlice(p), Seq("s" -> pat.s, "o" -> pat.o))
       case PathPlus(p) =>
         // property path p+ = transitive closure of the predicate slice
         val closed = graft.graph.PathOps
@@ -369,7 +386,8 @@ object BgpPlanner {
       if (q.fromNamed.isEmpty) qd.filter(lit(false))
       else qd.filter(q.fromNamed.map(g => col("g") === enc(g)).reduce(_ || _))
     }
-    store.copy(slices = defSlices, sBucketed = None, quads = namedQuads)
+    store.copy(slices = defSlices, sBucketed = None, oBucketed = None,
+      quads = namedQuads)
   }
 
   /** Plan with measured per-pattern cardinalities (rows; −1 = measured
@@ -704,7 +722,8 @@ object BgpPlanner {
     val mainChain =
       if (q.patterns.nonEmpty)
         Some(chain(q.patterns,
-          q.patterns.map(tp => seeded(patternScan(store, tp, encode, measured))),
+          q.patterns.map(tp =>
+            seeded(patternScan(store, tp, encode, measured, q.patterns))),
           measured))
       else None
 
@@ -716,7 +735,8 @@ object BgpPlanner {
     val unionDfs = q.unions.zip(unionFilterGroups).map { case (branches, gfs) =>
       branches.zip(gfs.padTo(branches.length, Nil)).map { case (b, fs) =>
         val branch = applyFilters(
-          chain(b, b.map(patternScan(store, _, encode, measured)), measured), fs)
+          chain(b, b.map(tp =>
+            patternScan(store, tp, encode, measured, b)), measured), fs)
         // project away branch-local sequence-path intermediates: the
         // branches' VISIBLE var sets match, their desugared columns
         // don't (bag projection — multiplicity survives)
@@ -941,7 +961,8 @@ object BgpPlanner {
     val optFilters = q.optionalFilters.padTo(q.optionals.length, Nil)
     for ((block, bfs) <- q.optionals.zip(optFilters)) {
       val sub = applyFilters(chain(block,
-        block.map(patternScan(store, _, encode, measured)), measured), bfs)
+        block.map(tp => patternScan(store, tp, encode, measured, block)),
+        measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(sub, common, "left_outer")
@@ -1008,7 +1029,8 @@ object BgpPlanner {
     val minusFilters = q.minusFilters.padTo(q.minuses.length, Nil)
     for ((block, bfs) <- q.minuses.zip(minusFilters)) {
       val sub = applyFilters(chain(block,
-        block.map(patternScan(store, _, encode, measured)), measured), bfs)
+        block.map(tp => patternScan(store, tp, encode, measured, block)),
+        measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       if (common.nonEmpty)
         joined = idSpaceSemiJoin(joined, sub, common, "left_anti")
@@ -1021,7 +1043,8 @@ object BgpPlanner {
     // decides without materializing it (`limit(1)` bounds the probe).
     for ((negated, block) <- q.existsFilters) {
       val sub = chain(block,
-        block.map(patternScan(store, _, encode, measured)), measured)
+        block.map(tp => patternScan(store, tp, encode, measured, block)),
+        measured)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       val joinType = if (negated) "left_anti" else "left_semi"
       joined =

@@ -334,7 +334,8 @@ object SparqlUpdate {
             sl.updated(p,
               sl.get(p).map(_.unionByName(add)).getOrElse(add).distinct())
         }
-        store.copy(slices = slices, dict = dict, sBucketed = None)
+        store.copy(slices = slices, dict = dict,
+          sBucketed = None, oBucketed = None)
 
       case DeleteData(ts) =>
         val slices = ts.map(_._2).distinct.foldLeft(store.slices) {
@@ -346,7 +347,7 @@ object SparqlUpdate {
                   Seq("s", "o"), "left_anti"))
             }
         }
-        store.copy(slices = slices, sBucketed = None)
+        store.copy(slices = slices, sBucketed = None, oBucketed = None)
 
       // DELETE WHERE is §3.1.3's Modify with the pattern group serving
       // as both the match and the (only) template
@@ -414,7 +415,7 @@ object SparqlUpdate {
         // on any mutation
         store.copy(slices = store.slices.map { case (p, df) =>
           p -> df.limit(0)
-        }, sBucketed = None)
+        }, sBucketed = None, oBucketed = None)
 
       case ClearGraph(g) =>
         store.copy(quads = Some(namedGraphs(store, "CLEAR GRAPH")
@@ -476,7 +477,8 @@ object SparqlUpdate {
           if (op == "MOVE")
             store.quads.map(_.filter(col("g") =!= gid(store, store.dict, from)))
           else store.quads
-        store.copy(slices = slices, quads = quads, sBucketed = None)
+        store.copy(slices = slices, quads = quads,
+          sBucketed = None, oBucketed = None)
 
       case GraphOp(op, None, Some(to)) =>
         // DEFAULT → named graph: the slices become quads labeled `to`
@@ -500,7 +502,8 @@ object SparqlUpdate {
             store.slices.map { case (p, df) => p -> df.limit(0) }
           else store.slices
         store.copy(slices = cleared, quads = Some(newQuads), dict = dict,
-          sBucketed = if (op == "MOVE") None else store.sBucketed)
+          sBucketed = if (op == "MOVE") None else store.sBucketed,
+          oBucketed = if (op == "MOVE") None else store.oBucketed)
 
       case Load(path, g) =>
         import spark.implicits._
@@ -734,9 +737,11 @@ object SparqlUpdate {
     }
     store.copy(slices = slices, dict = dict, quads = quads,
       // the s-bucketed secondary derives from the default graph only —
-      // keep it when this op touched nothing but named graphs
+      // keep them when this op touched nothing but named graphs
       sBucketed =
-        if (delTmpl.isEmpty && insTmpl.isEmpty) store.sBucketed else None)
+        if (delTmpl.isEmpty && insTmpl.isEmpty) store.sBucketed else None,
+      oBucketed =
+        if (delTmpl.isEmpty && insTmpl.isEmpty) store.oBucketed else None)
   }
 
   /** Append `values`' (id, value, dt, lang) rows to the dict and re-run

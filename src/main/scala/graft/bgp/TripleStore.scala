@@ -29,6 +29,15 @@ final case class TripleStore(
     slices: Map[String, DataFrame],
     dict: Option[DataFrame],
     sBucketed: Option[DataFrame] = None,
+    // the OPS-permutation secondary (RDF-3X's object-first index
+    // role): the same (s, o, p) rows partitioned by p but bucketed +
+    // sorted by OBJECT, so a constant-object probe (?s nationkey
+    // <nation:7>, every rdf:type restriction) reads one bucket of one
+    // partition instead of scanning the whole predicate slice. `p` is
+    // ALWAYS the string name (dispatch by name on both encodings).
+    // Like sBucketed, this is a persisted-layout handle: every
+    // mutation drops it (the mutated slices are the truth).
+    oBucketed: Option[DataFrame] = None,
     // named graphs as a quad relation (g, s, p, o): g/s/o in store form
     // (strings, or xxhash64 ids on the encoded store), p ALWAYS the
     // string predicate name (dispatch is by name). On disk the layout
@@ -74,6 +83,15 @@ final case class TripleStore(
     * else the union view.
     */
   def variableView: DataFrame = sBucketed.getOrElse(unionView)
+
+  /** The OPS-layout view of one predicate slice, when the secondary is
+    * materialized AND the predicate exists (an unknown predicate must
+    * keep the empty-slice short-circuit, so absence returns None).
+    */
+  def oSlice(p: String): Option[DataFrame] =
+    if (slices.contains(p))
+      oBucketed.map(_.filter(col("p") === p).select(col("s"), col("o")))
+    else None
 }
 
 object TripleStore {
@@ -246,16 +264,17 @@ object TripleStore {
     * by name on every store form).
     */
   def writePartitionedBucketed(store: TripleStore, path: String,
-      table: String, buckets: Int = DefaultBuckets): Unit = {
+      table: String, buckets: Int = DefaultBuckets,
+      bucketCol: String = "s"): Unit = {
     val spark = store.slices.values.head.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     store.slices.map { case (p, df) =>
       df.select(col("s"), col("o"), lit(p).as("p"))
     }.reduce(_ unionByName _)
-      .repartition(buckets, col("s"))
+      .repartition(buckets, col(bucketCol))
       .write.mode("overwrite")
       .partitionBy("p")
-      .bucketBy(buckets, "s").sortBy("s")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
@@ -275,13 +294,14 @@ object TripleStore {
     */
   def registerPartitionedBucketed(spark: SparkSession, path: String,
       table: String, buckets: Int = DefaultBuckets,
-      idType: String = "STRING"): DataFrame = {
+      idType: String = "STRING", bucketCol: String = "s"): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
       spark.sql(
         s"""CREATE TABLE $table (s $idType, o $idType, p STRING)
            |USING parquet
            |PARTITIONED BY (p)
-           |CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+           |INTO $buckets BUCKETS
            |LOCATION '$path'""".stripMargin)
       spark.sql(s"MSCK REPAIR TABLE $table")
     }

@@ -63,7 +63,8 @@ object BgpQueries {
         // vs data_sf10). The measured-cost cache is derived from the
         // same slice derivations, so it invalidates with them.
         val mine = Set(tag, s"${tag}_sbuckets", s"${tag}_enc",
-          s"${tag}_dict", s"$tag.version", s"stats_$tag.tsv")
+          s"${tag}_dict", s"${tag}_ops", s"${tag}_enc_ops",
+          s"$tag.version", s"stats_$tag.tsv")
         java.nio.file.Files.list(root).iterator().asScala
           .filter(p => mine.contains(p.getFileName.toString)).toSeq
           .foreach { p =>
@@ -113,11 +114,23 @@ object BgpQueries {
         val pdir = s"$pstoreRoot/$tag"
         val table = s"graft_spo_$tag"
         invalidateStale(s, tag,
-          Seq(table, s"graft_spo_enc_$tag", s"graft_dict_$tag"))
+          Seq(table, s"graft_spo_enc_$tag", s"graft_dict_$tag",
+            s"graft_ops_$tag", s"graft_ops_enc_$tag"))
         if (!new java.io.File(pdir, "_SUCCESS").exists())
           TripleStore.writePartitionedBucketed(
             TripleStore.fromStarSchema(s, dir), pdir, table)
         val base = TripleStore.fromBucketedTable(s, pdir, table)
+        // the OPS permutation (object-bucketed secondary): derived from
+        // the loaded primary — one extra read+shuffle+write at load
+        // time, the trade every object-first index pays
+        def opsFor(src: TripleStore, odir: String, otable: String,
+            idType: String): org.apache.spark.sql.DataFrame = {
+          if (!new java.io.File(odir, "_SUCCESS").exists())
+            TripleStore.writePartitionedBucketed(
+              src, odir, otable, bucketCol = "o")
+          TripleStore.registerPartitionedBucketed(
+            s, odir, otable, idType = idType, bucketCol = "o")
+        }
         if (encoded) {
           // the dictionary and the encoded slices are the derived
           // artifacts a real engine keeps materialized on disk (RDF-3X
@@ -135,10 +148,16 @@ object BgpQueries {
             TripleStore.writePartitionedBucketed(enc, edir, etable)
             TripleStore.writeDict(enc.dict.get, ddir, dtable)
           }
-          TripleStore.fromBucketedTable(s, edir, etable, idType = "BIGINT")
-            .copy(dict = Some(TripleStore.registerDict(s, ddir, dtable)),
-              quads = Some(quadsFor(s, dir, encoded = true)))
-        } else base.copy(quads = Some(quadsFor(s, dir, encoded = false)))
+          val eBase = TripleStore.fromBucketedTable(
+            s, edir, etable, idType = "BIGINT")
+          eBase.copy(dict = Some(TripleStore.registerDict(s, ddir, dtable)),
+            oBucketed = Some(opsFor(eBase,
+              s"$pstoreRoot/${tag}_enc_ops", s"graft_ops_enc_$tag", "BIGINT")),
+            quads = Some(quadsFor(s, dir, encoded = true)))
+        } else base.copy(
+          oBucketed = Some(opsFor(base,
+            s"$pstoreRoot/${tag}_ops", s"graft_ops_$tag", "STRING")),
+          quads = Some(quadsFor(s, dir, encoded = false)))
       })
 
   /** Materialize the persisted layouts for a scale dir ahead of timing
@@ -1959,8 +1978,29 @@ object BgpQueries {
     GQuery(
       "q335_bgp_subject_probe_encoded",
       bgp("select ?p ?o where { <customer:17> ?p ?o }", encoded = true),
-      Some(subjectProbeOracle))
+      Some(subjectProbeOracle)),
+
+    // constant-OBJECT probe — the OPS access path as a registry entry:
+    // a single-pattern block whose subject joins nothing dispatches to
+    // the object-bucketed secondary, so the o filter prunes to one
+    // bucket of one partition instead of scanning the whole nationkey
+    // slice (ScaleSpec pins the plan; these entries pin the VALUES on
+    // both encodings).
+    GQuery(
+      "q336_bgp_object_probe",
+      bgp("select ?s where { ?s nationkey <nation:7> }"),
+      Some(objectProbeOracle)),
+    GQuery(
+      "q337_bgp_object_probe_encoded",
+      bgp("select ?s where { ?s nationkey <nation:7> }", encoded = true),
+      Some(objectProbeOracle))
   )
+
+  private val objectProbeOracle =
+    """SELECT concat('customer:', c_custkey) AS s
+      |FROM customer WHERE c_nationkey = 7
+      |UNION ALL SELECT concat('supplier:', s_suppkey)
+      |FROM supplier WHERE s_nationkey = 7""".stripMargin
 
   private val subjectProbeOracle =
     """SELECT 'rdf:type' AS p, 'Customer' AS o

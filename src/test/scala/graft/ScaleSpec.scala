@@ -263,6 +263,49 @@ class ScaleSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("OPS secondary: a lone constant-object probe reads one bucket; " +
+      "a joined subject keeps the s-layout's exchange-free path") {
+    import graft.bgp.{BgpPlanner, TripleStore}
+    val st = TripleStore.fromStarSchema(spark, "/root/testdata/sf0.001")
+    val wh = java.nio.file.Files.createTempDirectory("graft-ops").toString
+    TripleStore.writePartitionedBucketed(
+      st, s"$wh/spo", "graft_spo_spec_ops_p", buckets = 8)
+    TripleStore.writePartitionedBucketed(
+      st, s"$wh/ops", "graft_spo_spec_ops_o", buckets = 8, bucketCol = "o")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val onDisk = TripleStore.fromBucketedTable(
+      s2, s"$wh/spo", "graft_spo_spec_ops_p", buckets = 8)
+      .copy(oBucketed = Some(TripleStore.registerPartitionedBucketed(
+        s2, s"$wh/ops", "graft_spo_spec_ops_o", buckets = 8,
+        bucketCol = "o")))
+
+    // lone o-constant pattern: subject joins nothing -> OPS table,
+    // bucket-pruned on the OBJECT filter
+    val q = "select ?s where { ?s nationkey <nation:7> }"
+    val probe = BgpPlanner.query(onDisk, q)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_spo_spec_ops_o") &&
+      "SelectedBucketsCount: 1 out of 8".r.findFirstIn(plan).isDefined,
+      s"expected a bucket-pruned OPS scan, got:\n$plan")
+    assert(probe.collect().map(_.toSeq).toSet ==
+      BgpPlanner.query(st, q).collect().map(_.toSeq).toSet)
+    assert(probe.count() > 0)
+
+    // the same o-constant pattern whose subject JOINS another pattern:
+    // the s-layout wins (co-partitioned merge join, zero exchange) —
+    // OPS must NOT hijack the scan
+    val qj = "select ?o ?p where { ?o contains ?p . ?o status \"F\" }"
+    val joined = BgpPlanner.query(onDisk, qj)
+    val jplan = joined.queryExecution.executedPlan.toString
+    assert(!jplan.contains("graft_spo_spec_ops_o"),
+      s"joined-subject pattern must stay on the s-layout, got:\n$jplan")
+    assert(!jplan.contains("Exchange hashpartitioning"),
+      s"expected the exchange-free subject join to survive OPS:\n$jplan")
+  }
+
   test("v4 encoded store: the variable view keeps bucket pruning — " +
       "xxhash64 over the partition column, not a slice union") {
     import graft.bgp.{BgpPlanner, TripleStore}
