@@ -29,12 +29,14 @@ final case class TripleStore(
     slices: Map[String, DataFrame],
     dict: Option[DataFrame],
     sBucketed: Option[DataFrame] = None,
-    // the OPS-permutation secondary (RDF-3X's object-first index
-    // role): the same (s, o, p) rows partitioned by p but bucketed +
-    // sorted by OBJECT, so a constant-object probe (?s nationkey
-    // <nation:7>, every rdf:type restriction) reads one bucket of one
-    // partition instead of scanning the whole predicate slice. `p` is
-    // ALWAYS the string name (dispatch by name on both encodings).
+    // the OPS-permutation secondary (the object-first index role of
+    // the reference's RDF-3X backend — databases/RDFDB, Main.c:121-123
+    // — whose permutation set serves constant-object lookups): the
+    // same (s, o, p) rows partitioned by p but bucketed + sorted by
+    // OBJECT, so a constant-object probe (?s nationkey <nation:7>,
+    // every rdf:type restriction) reads one bucket of one partition
+    // instead of scanning the whole predicate slice. `p` is ALWAYS
+    // the string name (dispatch by name on both encodings).
     // Like sBucketed, this is a persisted-layout handle: every
     // mutation drops it (the mutated slices are the truth).
     oBucketed: Option[DataFrame] = None,
