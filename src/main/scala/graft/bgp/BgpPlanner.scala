@@ -112,20 +112,26 @@ object BgpPlanner {
   private def patternScan(store: TripleStore, pat: TriplePattern,
       encode: String => Column,
       measured: Map[String, Long] = Map.empty,
-      siblings: Seq[TriplePattern] = Nil): DataFrame = {
+      siblings: Seq[TriplePattern] = Nil,
+      outerVars: Set[String] = Set.empty): DataFrame = {
     def emptySlice: DataFrame = store.slices.values.head.filter(lit(false))
     def slice(p: String): DataFrame = store.slices.getOrElse(p, emptySlice)
     // constant-OBJECT probe whose subject joins nothing else in the
-    // block: read the OPS secondary when materialized — the o filter
+    // QUERY: read the OPS secondary when materialized — the o filter
     // prunes to one bucket (an index lookup's I/O) and losing the
     // subject co-partitioning costs nothing because no subject join
     // consumes it. When the subject IS a join var the s-layout wins:
     // its co-partitioning removes a data-sized exchange, worth more
-    // than the probe-side scan. Constant subjects already bucket-prune
-    // on the s-layout.
+    // than the probe-side scan. Join-awareness spans the whole query,
+    // not just the pattern's own block: `siblings` covers the block,
+    // `outerVars` the cross-block consumers (OPTIONAL/MINUS/EXISTS/
+    // UNION/GRAPH blocks, sub-SELECT exports, VALUES columns, the
+    // bound-join seed) — dispatching to OPS under any of those would
+    // reintroduce the exchange the s-layout exists to remove.
+    // Constant subjects already bucket-prune on the s-layout.
     def constSlice(p: String): DataFrame = {
       val opsWins = pat.o.isInstanceOf[Const] && (pat.s match {
-        case v: Var => !siblings.exists(t =>
+        case v: Var => !outerVars.contains(v.name) && !siblings.exists(t =>
           (t ne pat) && Seq(t.s, t.p, t.o).contains(v))
         case _ => false
       })
@@ -473,6 +479,27 @@ object BgpPlanner {
       else datasetStore(store0, q)
     val encode: String => Column = constEncoder(store)
 
+    // Cross-block join consumers for constSlice's OPS dispatch: a
+    // pattern's subject var may join nothing in its OWN block yet be
+    // consumed by another block's chain, a sub-SELECT export, a VALUES
+    // column, a SERVICE block's projection, or the bound-join seed.
+    // Each scan call below passes the union of every OTHER block's
+    // vars plus these non-pattern consumers, so the s-layout keeps the
+    // probe whenever any join anywhere consumes its subject.
+    def patVars(ps: Seq[TriplePattern]): Set[String] =
+      ps.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect { case Var(n) => n }.toSet
+    val blockSeqs: Seq[Seq[TriplePattern]] =
+      q.patterns +: (q.optionals ++ q.minuses ++ q.existsFilters.map(_._2)
+        ++ q.unions.flatten ++ q.graphBlocks.map(_._2))
+    val nonPatternConsumers: Set[String] =
+      seed.map(_.columns.toSet).getOrElse(Set.empty) ++
+        q.subqueries.flatMap(_.select) ++ q.values.map(_._1) ++
+        q.valuesTables.flatMap(_._1) ++ q.services.flatMap(_.query.select)
+    def outerVarsFor(block: Seq[TriplePattern]): Set[String] =
+      blockSeqs.filter(_ ne block).flatMap(patVars).toSet ++
+        nonPatternConsumers
+
     // ---- decode-on-demand for lexical-value features on the encoded
     // store. DREAM runs everything over uint64 IDs and decodes only at
     // the output edge (Proxy.c:211-224, Worker.c:95-103); here a
@@ -723,7 +750,8 @@ object BgpPlanner {
       if (q.patterns.nonEmpty)
         Some(chain(q.patterns,
           q.patterns.map(tp =>
-            seeded(patternScan(store, tp, encode, measured, q.patterns))),
+            seeded(patternScan(store, tp, encode, measured, q.patterns,
+              outerVarsFor(q.patterns)))),
           measured))
       else None
 
@@ -736,7 +764,8 @@ object BgpPlanner {
       branches.zip(gfs.padTo(branches.length, Nil)).map { case (b, fs) =>
         val branch = applyFilters(
           chain(b, b.map(tp =>
-            patternScan(store, tp, encode, measured, b)), measured), fs)
+            patternScan(store, tp, encode, measured, b,
+              outerVarsFor(b))), measured), fs)
         // project away branch-local sequence-path intermediates: the
         // branches' VISIBLE var sets match, their desugared columns
         // don't (bag projection — multiplicity survives)
@@ -961,7 +990,8 @@ object BgpPlanner {
     val optFilters = q.optionalFilters.padTo(q.optionals.length, Nil)
     for ((block, bfs) <- q.optionals.zip(optFilters)) {
       val sub = applyFilters(chain(block,
-        block.map(tp => patternScan(store, tp, encode, measured, block)),
+        block.map(tp => patternScan(store, tp, encode, measured, block,
+          outerVarsFor(block))),
         measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
@@ -1029,7 +1059,8 @@ object BgpPlanner {
     val minusFilters = q.minusFilters.padTo(q.minuses.length, Nil)
     for ((block, bfs) <- q.minuses.zip(minusFilters)) {
       val sub = applyFilters(chain(block,
-        block.map(tp => patternScan(store, tp, encode, measured, block)),
+        block.map(tp => patternScan(store, tp, encode, measured, block,
+          outerVarsFor(block))),
         measured), bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       if (common.nonEmpty)
@@ -1043,7 +1074,8 @@ object BgpPlanner {
     // decides without materializing it (`limit(1)` bounds the probe).
     for ((negated, block) <- q.existsFilters) {
       val sub = chain(block,
-        block.map(tp => patternScan(store, tp, encode, measured, block)),
+        block.map(tp => patternScan(store, tp, encode, measured, block,
+          outerVarsFor(block))),
         measured)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       val joinType = if (negated) "left_anti" else "left_semi"

@@ -175,16 +175,35 @@ object TripleStore {
     * makes, enforced by [[MaxPredicates]]: the collect is limit-bounded
     * and over-cap input is an error, never an unbounded driver set.
     */
+  /** Persisted-source memo for [[fromTriples]]. Every WITH/USING
+    * update op rebuilds a scoped store, and registry/server/test
+    * stores route through fromTriples too — an unconditional persist
+    * would pin one cache block per call for the session lifetime.
+    * Keyed by the canonicalized source plan plus output column names
+    * (the [[graft.scale.GuardedBroadcast]] discipline: canonicalization
+    * normalizes aliases away, and two renamings of the same relation
+    * must not share a handle), so rebuilding the same scoped view
+    * reuses the persisted handle and LRU eviction unpersists the
+    * displaced one instead of leaking it.
+    */
+  private val sourceMemo = new graft.tools.BoundedMemo[
+      (SparkSession, Seq[String],
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame](16, _.unpersist())
+
   def fromTriples(df0: DataFrame): TripleStore = {
-    // persist the source ONCE: every slice below derives by
-    // filter+distinct from it, so without the cache a k-slice query
-    // re-scans (and for an N-Triples load, re-parses) the raw relation
-    // k times per action. MEMORY_AND_DISK — the predicate-inventory
-    // collect right after materializes it. Stores past fixture/load
-    // scale belong on the persisted layouts ([[writePartitioned]] /
-    // [[fromPartitionedParquet]]), where slice dispatch is partition
-    // pruning and nothing needs executor memory.
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the source ONCE per distinct plan (via [[sourceMemo]]):
+    // every slice below derives by filter+distinct from it, so without
+    // the cache a k-slice query re-scans (and for an N-Triples load,
+    // re-parses) the raw relation k times per action. MEMORY_AND_DISK —
+    // the predicate-inventory collect right after materializes it.
+    // Stores past fixture/load scale belong on the persisted layouts
+    // ([[writePartitioned]] / [[fromPartitionedParquet]]), where slice
+    // dispatch is partition pruning and nothing needs executor memory.
+    val df = sourceMemo.getOrElseUpdate(
+      (df0.sparkSession, df0.columns.toIndexedSeq,
+        df0.queryExecution.analyzed.canonicalized),
+      df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val preds = df.select(col("p")).distinct().limit(MaxPredicates + 1)
       .collect().map(_.getString(0))
     require(preds.length <= MaxPredicates,

@@ -33,8 +33,9 @@ object Scratch {
       }
       val sec = secs.min
       val df = qs(name)(spark, sfDir)
+      val rowNote = if (noop) "noop sink" else s"$n rows"
       println(f"[scratch] $name: $sec%.2f s (reps=$reps: " +
-        secs.map(s => f"$s%.2f").mkString(",") + s"), $n rows")
+        secs.map(s => f"$s%.2f").mkString(",") + s"), $rowNote")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
       if (sys.env.contains("SPARK_GRAFT_PLAN_TREE")) {
         df.collect() // materialize THIS plan so AQE finalizes its stages

@@ -304,6 +304,20 @@ class ScaleSpec extends AnyFunSuite {
       s"joined-subject pattern must stay on the s-layout, got:\n$jplan")
     assert(!jplan.contains("Exchange hashpartitioning"),
       s"expected the exchange-free subject join to survive OPS:\n$jplan")
+
+    // CROSS-BLOCK consumer: the o-constant pattern is alone in its own
+    // block, but an OPTIONAL block consumes its subject var — the
+    // s-layout must still win (the OPS dispatch's join-awareness spans
+    // the whole query, not just siblings)
+    val qo = "select ?c ?m where { ?c nationkey <nation:7> . " +
+      "optional { ?c mktsegment ?m } }"
+    val opt = BgpPlanner.query(onDisk, qo)
+    val oplan = opt.queryExecution.executedPlan.toString
+    assert(!oplan.contains("graft_spo_spec_ops_o"),
+      s"OPTIONAL-consumed subject must stay on the s-layout, got:\n$oplan")
+    assert(opt.collect().map(_.toSeq).toSet ==
+      BgpPlanner.query(st, qo).collect().map(_.toSeq).toSet)
+    assert(opt.count() > 0)
   }
 
   test("v4 encoded store: the variable view keeps bucket pruning — " +
@@ -540,5 +554,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(wins.exists(_.partitionSpec.size == 2),
       "expected the data-sized running sum partitioned by (lang, band)")
     assert(df.count() > 0)
+  }
+
+  test("fromTriples persist rides a bounded memo: repeated builds reuse " +
+      "one handle, distinct builds evict instead of leaking") {
+    import graft.bgp.TripleStore
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // same plan 5x -> one persisted handle (the memo hit), not five
+    val src = spark.createDataFrame(Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"))).toDF("s", "p", "o")
+    (1 to 5).foreach(_ => TripleStore.fromTriples(src))
+    val afterSame = spark.sparkContext.getPersistentRDDs.size
+    assert(afterSame - before <= 1,
+      s"identical fromTriples sources must share one persisted handle, " +
+        s"grew by ${afterSame - before}")
+    // 24 DISTINCT plans -> the memo cap (16) bounds the pinned blocks;
+    // eviction unpersists, so growth stays at/below the cap
+    (1 to 24).foreach { i =>
+      val d = spark.createDataFrame(Seq((s"s$i", "p", s"o$i")))
+        .toDF("s", "p", "o")
+      TripleStore.fromTriples(d)
+    }
+    val afterMany = spark.sparkContext.getPersistentRDDs.size
+    assert(afterMany - before <= 17,
+      s"fromTriples persists must stay memo-bounded, grew by " +
+        s"${afterMany - before}")
   }
 }
