@@ -1,7 +1,7 @@
 package graft.bgp
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 
 /** The LISTEN side of the SPARQL 1.1 Protocol — the seam that closes
   * the reference's query-in/results-out service loop (Client.c:7-25,
@@ -11,15 +11,22 @@ import java.net.InetSocketAddress
   * transport (SERVICE <http://…> against another engine's endpoint is
   * indistinguishable from SERVICE against this one).
   *
-  * Protocol surface (SPARQL 1.1 Protocol §2.1): query via GET
-  * `?query=`, via POST `application/x-www-form-urlencoded` (`query=`),
-  * or via POST `application/sparql-query` (raw body). Responses are
-  * `application/sparql-results+json` with the store's canonical term
-  * spellings mapped back to protocol typing — `"lex"^^<dt>` → typed
-  * literal, `"lex"@tag` → language-tagged literal, `scheme:local` →
-  * uri, `_:x` → bnode, anything else a plain literal — the exact
-  * inverse of [[SparqlHttp.parse]]'s canonicalization, so a federated
-  * round-trip is lossless.
+  * Protocol surface (SPARQL 1.1 Protocol): query via GET `?query=`,
+  * POST `application/x-www-form-urlencoded` (`query=`), or POST
+  * `application/sparql-query` (§2.1.1-2.1.3); UPDATE via POST
+  * `update=` form or raw `application/sparql-update` body
+  * (§2.2.1-2.2.2 — POST only; the full [[SparqlUpdate]] grammar, 204
+  * on success, and the served store swaps atomically so subsequent
+  * queries read the updated dataset). SELECT responses are
+  * `application/sparql-results+json` by default with Accept-header
+  * negotiation to the SPARQL 1.1 CSV and TSV results formats; ASK
+  * renders the boolean results-JSON form; CONSTRUCT renders
+  * `application/n-triples`. Term spellings map back to protocol
+  * typing — `"lex"^^<dt>` → typed literal, `"lex"@tag` →
+  * language-tagged literal, `scheme:local` → uri, `_:x` → bnode,
+  * anything else a plain literal — the exact inverse of
+  * [[SparqlHttp.parse]]'s canonicalization, so a federated round-trip
+  * is lossless.
   *
   * Scale shape: the RESPONSE is the protocol's driver-side
   * materialization point, so it is CAPPED (`maxRows`) — a request
@@ -37,11 +44,16 @@ object SparqlServer {
     */
   val MaxResponseRows = 100000
 
-  /** A running endpoint; `stop()` releases the port. */
+  /** A running endpoint; `stop()` releases the port. `store` reads the
+    * LIVE store — protocol updates swap it (stores are immutable; the
+    * endpoint's mutable state is exactly this one reference).
+    */
   final class Handle private[SparqlServer] (
-      server: HttpServer, path: String) {
+      server: HttpServer, path: String,
+      ref: java.util.concurrent.atomic.AtomicReference[TripleStore]) {
     def port: Int = server.getAddress.getPort
     def endpoint: String = s"http://localhost:$port$path"
+    def store: TripleStore = ref.get()
     def stop(): Unit = server.stop(0)
   }
 
@@ -100,23 +112,149 @@ object SparqlServer {
     om.writeValueAsString(root)
   }
 
-  /** Pull the query text out of a protocol request (§2.1.1-2.1.3). */
-  private def queryOf(ex: HttpExchange): String = {
-    def fromForm(s: String): String = {
-      val enc = s.split('&').iterator.map(_.split("=", 2))
-        .collectFirst { case Array("query", v) => v }
+  /** Bounded (vars, rows) of one protocol query — the shared collect
+    * behind every result serialization; loud past the cap.
+    */
+  private def solutions(store: TripleStore, query: String, maxRows: Int)
+      : (Seq[String], Array[org.apache.spark.sql.Row]) = {
+    val df = BgpPlanner.query(store, query)
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) throw new IllegalStateException(
+      s"result exceeds the $maxRows-row response cap — restrict the " +
+        "query (federating clients ship their bindings as VALUES)")
+    (df.columns.toSeq, rows)
+  }
+
+  /** SPARQL 1.1 Query Results CSV (§3): bare lexical values — IRIs
+    * unbracketed, literals undecorated — RFC 4180-escaped.
+    */
+  private[graft] def answerCsv(store: TripleStore, query: String,
+      maxRows: Int): String = {
+    def bare(v: String): String = v match {
+      case typedRe(lex, _) => lex
+      case langRe(lex, _) => lex
+      case other => other
+    }
+    def esc(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val (vars, rows) = solutions(store, query, maxRows)
+    (vars.mkString(",") +: rows.toSeq.map(r =>
+      vars.indices.map(i =>
+        if (r.isNullAt(i)) "" else esc(bare(String.valueOf(r.get(i)))))
+        .mkString(","))).mkString("", "\r\n", "\r\n")
+  }
+
+  /** SPARQL 1.1 Query Results TSV (§4): terms in SPARQL surface syntax
+    * (`<iri>`, `"lex"^^<dt>`, `"lex"@tag`, `_:b`), vars `?`-prefixed.
+    */
+  private[graft] def answerTsv(store: TripleStore, query: String,
+      maxRows: Int): String = {
+    val (vars, rows) = solutions(store, query, maxRows)
+    (vars.map("?" + _).mkString("\t") +: rows.toSeq.map(r =>
+      vars.indices.map(i =>
+        if (r.isNullAt(i)) "" else ttlTerm(String.valueOf(r.get(i))))
+        .mkString("\t"))).mkString("", "\n", "\n")
+  }
+
+  /** A stored-form value in SPARQL/N-Triples surface syntax. */
+  private def ttlTerm(v: String): String = v match {
+    case t @ typedRe(_, _) => t // already decorated
+    case t @ langRe(_, _) => t
+    case b if b.startsWith("_:") => b
+    case u if u.matches(iriRe) => s"<$u>"
+    case lit =>
+      "\"" + lit.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\""
+  }
+
+  /** `ASK` over the protocol: the boolean results-JSON form (§ of the
+    * results-JSON spec: `head` + `boolean`, no bindings).
+    */
+  private[graft] def answerAsk(store: TripleStore, query: String): String = {
+    val b = BgpPlanner.ask(store, query).collect()(0).getBoolean(0)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.putObject("head")
+    root.put("boolean", b)
+    om.writeValueAsString(root)
+  }
+
+  /** `CONSTRUCT`/`DESCRIBE` over the protocol: an RDF graph, rendered
+    * N-Triples.
+    */
+  private[graft] def answerGraph(df: org.apache.spark.sql.DataFrame,
+      maxRows: Int): String = {
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) throw new IllegalStateException(
+      s"graph exceeds the $maxRows-row response cap")
+    rows.map(r => s"${ttlTerm(r.getString(0))} ${ttlTerm(r.getString(1))} " +
+      s"${ttlTerm(r.getString(2))} .").mkString("", "\n", "\n")
+  }
+
+  private val askFormRe = "(?is)^\\s*ask\\b.*".r
+  private val constructFormRe = "(?is)^\\s*construct\\b.*".r
+  private val describeFormRe = "(?is)^\\s*describe\\b.*".r
+
+  /** Dispatch one query to its form's evaluator + serialization, with
+    * Accept-header content negotiation on SELECT results (results-JSON
+    * default; CSV/TSV per the SPARQL 1.1 results formats).
+    */
+  private def answerNegotiated(store: TripleStore, query: String,
+      maxRows: Int, accept: String): (String, String) = query match {
+    case q if constructFormRe.pattern.matcher(q).matches() =>
+      (answerGraph(BgpPlanner.construct(store, q), maxRows),
+        "application/n-triples")
+    case q if describeFormRe.pattern.matcher(q).matches() =>
+      (answerGraph(BgpPlanner.describe(store, q), maxRows),
+        "application/n-triples")
+    case q if askFormRe.pattern.matcher(q).matches() =>
+      (answerAsk(store, q), "application/sparql-results+json")
+    case q if accept.contains("text/csv") =>
+      (answerCsv(store, q, maxRows), "text/csv")
+    case q if accept.contains("text/tab-separated-values") =>
+      (answerTsv(store, q, maxRows), "text/tab-separated-values")
+    case q =>
+      (answer(store, q, maxRows), "application/sparql-results+json")
+  }
+
+  /** One parsed protocol request: query text or update text. */
+  private sealed trait Req
+  private final case class QueryReq(text: String) extends Req
+  private final case class UpdateReq(text: String) extends Req
+
+  /** Pull the operation out of a protocol request (query: §2.1.1-2.1.3;
+    * update: §2.2.1-2.2.2 — POST only, `update=` form or raw
+    * `application/sparql-update` body; update-via-GET is rejected per
+    * the protocol).
+    */
+  private def requestOf(ex: HttpExchange): Req = {
+    def fromForm(s: String): Req = {
+      val kv = s.split('&').iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      kv.get("query").map(v =>
+          QueryReq(java.net.URLDecoder.decode(v, "UTF-8")): Req)
+        .orElse(kv.get("update").map(v =>
+          UpdateReq(java.net.URLDecoder.decode(v, "UTF-8"))))
         .getOrElse(throw new IllegalArgumentException(
-          "missing query= parameter"))
-      java.net.URLDecoder.decode(enc, "UTF-8")
+          "missing query=/update= parameter"))
     }
     ex.getRequestMethod match {
-      case "GET" => fromForm(Option(ex.getRequestURI.getRawQuery)
-        .getOrElse(throw new IllegalArgumentException("missing query string")))
+      case "GET" =>
+        fromForm(Option(ex.getRequestURI.getRawQuery)
+          .getOrElse(throw new IllegalArgumentException(
+            "missing query string"))) match {
+          case q: QueryReq => q
+          case _: UpdateReq => throw new IllegalArgumentException(
+            "update requests require POST (SPARQL 1.1 Protocol §2.2)")
+        }
       case "POST" =>
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
           .getOrElse("")
-        if (ct.startsWith("application/sparql-query")) body
+        if (ct.startsWith("application/sparql-query")) QueryReq(body)
+        else if (ct.startsWith("application/sparql-update")) UpdateReq(body)
         else fromForm(body)
       case m => throw new IllegalArgumentException(s"unsupported method $m")
     }
@@ -128,29 +266,55 @@ object SparqlServer {
     * coordinator loop, not executor work).
     */
   def serve(store: TripleStore, port: Int = 0, path: String = "/sparql",
-      maxRows: Int = MaxResponseRows): Handle = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+      maxRows: Int = MaxResponseRows,
+      bindAddress: InetAddress = InetAddress.getLoopbackAddress): Handle = {
+    // loopback by DEFAULT: an unauthenticated endpoint that evaluates
+    // arbitrary queries (including SERVICE blocks that trigger
+    // outbound fetches from this host) must not bind 0.0.0.0 unless
+    // the deployer passes a network address deliberately.
+    val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
+    val ref = new java.util.concurrent.atomic.AtomicReference(store)
+    // updates serialize: SPARQL Update request semantics are
+    // one-at-a-time against the then-current dataset (stores are
+    // immutable; each update swaps the reference queries read)
+    val updateLock = new Object
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val (code, body, ctype) =
           try {
-            val q = queryOf(ex)
-            (200, answer(store, q, maxRows),
-              "application/sparql-results+json")
+            requestOf(ex) match {
+              case UpdateReq(text) =>
+                updateLock.synchronized {
+                  val cur = ref.get()
+                  val spark = cur.slices.values.head.sparkSession
+                  ref.set(SparqlUpdate.applyAll(spark, cur, text))
+                }
+                (204, "", "text/plain")
+              case QueryReq(text) =>
+                val accept = Option(
+                  ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+                val (b, ct) = answerNegotiated(ref.get(), text, maxRows,
+                  accept)
+                (200, b, ct)
+            }
           } catch {
             case e: IllegalArgumentException =>
               (400, s"bad request: ${e.getMessage}", "text/plain")
             case scala.util.control.NonFatal(e) =>
-              (500, s"query failed: ${e.getMessage}", "text/plain")
+              (500, s"request failed: ${e.getMessage}", "text/plain")
           }
-        val bytes = body.getBytes("UTF-8")
-        ex.getResponseHeaders.add("Content-Type", ctype)
-        ex.sendResponseHeaders(code, bytes.length)
-        ex.getResponseBody.write(bytes)
+        if (code == 204) {
+          ex.sendResponseHeaders(204, -1)
+        } else {
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", ctype)
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
         ex.close()
       }
     })
     server.start()
-    new Handle(server, path)
+    new Handle(server, path, ref)
   }
 }

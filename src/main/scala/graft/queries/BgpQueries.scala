@@ -1993,8 +1993,85 @@ object BgpQueries {
     GQuery(
       "q337_bgp_object_probe_encoded",
       bgp("select ?s where { ?s nationkey <nation:7> }", encoded = true),
-      Some(objectProbeOracle))
+      Some(objectProbeOracle)),
+
+    // Turtle source (round 10): the dump format real RDF corpora ship
+    // in, exercised end-to-end — a nation-derived TTL document (prefix
+    // directives, prefixed names, `;` predicate lists) is written as
+    // distributed text, re-read through TurtleIO's statement-chunked
+    // parse, and BGP-queried. The parse is a flatMap over a splittable
+    // delimited-record scan; the directive collect is schema-sized
+    // (TurtleIO.MaxPrefixes) — nothing data-sized touches the driver.
+    GQuery(
+      "q338_turtle_source",
+      (s, dir) => turtleNationQuery(s, dir, encoded = false),
+      Some(turtleOracle)),
+
+    // the same Turtle load composed with dictionary encoding: ingest
+    // is format-independent, so the TTL-loaded store encodes and
+    // queries over ids with the result-edge decode like any other.
+    GQuery(
+      "q339_turtle_source_encoded",
+      (s, dir) => turtleNationQuery(s, dir, encoded = true),
+      Some(turtleOracle)),
+
+    // SPARQL 1.1 Protocol UPDATE arm (round 10): an INSERT DATA +
+    // DELETE DATA request POSTs to the served endpoint as
+    // `application/sparql-update` (§2.2.2), the server folds it
+    // through SparqlUpdate and atomically swaps the served store, and
+    // the query reads the post-update dataset — the protocol's full
+    // read-write loop over the real transport. The HTTP exchange is
+    // coordinator-side and eager; the returned plan evaluates over the
+    // swapped (immutable) store after the endpoint closes.
+    GQuery(
+      "q340_protocol_update",
+      (s, dir) => {
+        val handle = graft.bgp.SparqlServer.serve(
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        try {
+          val conn = new java.net.URL(handle.endpoint).openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "application/sparql-update")
+          val body =
+            """INSERT DATA { <nation:99> <name> "ATLANTIS" } ;
+              |DELETE DATA { <nation:0> <name> "ALGERIA" }""".stripMargin
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+          require(conn.getResponseCode == 204,
+            s"protocol update failed: HTTP ${conn.getResponseCode}")
+          conn.disconnect()
+          BgpPlanner.query(handle.store,
+            "select ?n ?nm where { ?n name ?nm }")
+        } finally handle.stop()
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
+             |FROM nation WHERE n_name <> 'ALGERIA'
+             |UNION ALL SELECT 'nation:99', 'ATLANTIS'""".stripMargin))
   )
+
+  private val turtleOracle =
+    """SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
+      |  concat('region:', n_regionkey) AS r FROM nation""".stripMargin
+
+  private def turtleNationQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String, encoded: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-ttl-q").toString
+    val stmts = graft.Tables.t(s, dir, "nation").select(
+      concat(lit("n:"), col("n_nationkey"),
+        lit(" <name> \""), col("n_name"),
+        lit("\" ;\n  <inregion> r:"), col("n_regionkey"), lit(" ."))
+        .as("value"))
+    val header = s.createDataFrame(Seq(
+      Tuple1("@prefix n: <nation:> ."), Tuple1("@prefix r: <region:> .")))
+      .toDF("value")
+    header.unionByName(stmts).write.mode("overwrite").text(out)
+    val st0 = graft.sources.TurtleIO.readTurtle(s, out)
+    val st = if (encoded) graft.bgp.TripleStore.encode(st0) else st0
+    graft.bgp.BgpPlanner.query(st,
+      "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
+  }
 
   private val objectProbeOracle =
     """SELECT concat('customer:', c_custkey) AS s

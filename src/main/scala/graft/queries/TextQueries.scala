@@ -2536,6 +2536,56 @@ object TextQueries {
              |  CAST(sum(mb) AS BIGINT) AS w_mb
              |FROM toks JOIN m USING (b)
              |GROUP BY doc_id
-             |ORDER BY w_mb DESC, doc_id LIMIT 100""".stripMargin))
+             |ORDER BY w_mb DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // probability-proportional-to-size SYSTEMATIC sampling (round 10):
+    // the sampling-by-token-count pass a mixture realization actually
+    // executes — k equally-spaced thresholds walk the corpus's
+    // cumulative weight, and a doc is drawn once per threshold its
+    // weight interval covers (a doc heavier than the step gets
+    // multiplicity > 1 — true PPS-with-replacement semantics). All
+    // arithmetic is integer (cumsums, `div` thresholds), so membership
+    // is exact and engine-independent — no float keys, no
+    // transcendentals, unlike Efraimidis-Spirakis. Scale shape: the
+    // global cumulative sum is the q95 banded two-phase prefix sum
+    // (per-band partials, a band-count-sized ordered window, a
+    // band-partitioned within-band window — the corpus never sorts in
+    // one task), and the corpus total joins back as a 1-row broadcast.
+    GQuery(
+      "q341_pps_systematic_sample",
+      (s, dir) => {
+        import s.implicits._
+        val k = 20L
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"n_chars".cast("long").as("w"))
+          .withColumn("b", expr("doc_id div 100"))
+        val bsums = docs.groupBy($"b").agg(sum($"w").as("bn"))
+        val wb = BoundedWindow.ordered($"b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bpre = bsums
+          .withColumn("bpre", coalesce(sum($"bn").over(wb), lit(0L)))
+          .select($"b", $"bpre")
+        val step = docs.agg(expr(s"sum(w) div $k").as("step"))
+        val wi = Window.partitionBy($"b").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.join(GuardedBroadcast.maybe(bpre), Seq("b"))
+          .withColumn("cprev", $"bpre" + coalesce(sum($"w").over(wi), lit(0L)))
+          .crossJoin(broadcast(step))
+          .select($"doc_id", $"w",
+            (expr("(cprev + w) div step") - expr("cprev div step"))
+              .as("n_draws"))
+          .filter($"n_draws" > 0)
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             |    coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+             |      ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cprev
+             |  FROM documents),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) // 20 AS step FROM d)
+             |SELECT doc_id, w,
+             |  (cprev + w) // step - cprev // step AS n_draws
+             |FROM d, t
+             |WHERE (cprev + w) // step - cprev // step > 0""".stripMargin))
   )
 }

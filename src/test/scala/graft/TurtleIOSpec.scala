@@ -1,0 +1,125 @@
+package graft
+
+import graft.sources.{RdfIO, TurtleIO}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TurtleIOSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.local("4")
+
+  private def write(name: String, text: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl")
+    val f = dir.resolve(name)
+    java.nio.file.Files.write(f, text.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("turtle subset parses prefixes, a, lists, literals, base, bnodes") {
+    val ttl =
+      """@prefix ex: <http://example.org/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |@base <http://base.org/> .
+        |# a comment line
+        |ex:alice a ex:Person ;
+        |    ex:name "Alice" ;
+        |    ex:age 30 ;
+        |    ex:score 1.5 ;
+        |    ex:mass 6.1e2 ;
+        |    ex:active true ;
+        |    ex:knows ex:bob , _:b1 .
+        |ex:bob ex:label "chat"@EN ;
+        |    ex:id "x7"^^xsd:token .
+        |<rel> ex:knows <http://abs.org/n> .
+        |""".stripMargin
+    val path = write("a.ttl", ttl)
+    val got = TurtleIO.turtleDF(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val ex = "http://example.org/"
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert(got == Set(
+      (s"${ex}alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        s"${ex}Person"),
+      (s"${ex}alice", s"${ex}name", "Alice"),
+      (s"${ex}alice", s"${ex}age", "\"30\"^^<" + xsd + "integer>"),
+      (s"${ex}alice", s"${ex}score", "\"1.5\"^^<" + xsd + "decimal>"),
+      (s"${ex}alice", s"${ex}mass", "\"6.1e2\"^^<" + xsd + "double>"),
+      (s"${ex}alice", s"${ex}active", "\"true\"^^<" + xsd + "boolean>"),
+      (s"${ex}alice", s"${ex}knows", s"${ex}bob"),
+      (s"${ex}alice", s"${ex}knows", "_:b1"),
+      (s"${ex}bob", s"${ex}label", "\"chat\"@en"),
+      (s"${ex}bob", s"${ex}id", "\"x7\"^^<" + xsd + "token>"),
+      ("http://base.org/rel", s"${ex}knows", "http://abs.org/n")))
+  }
+
+  test("turtle load equals the n-triples load of the same graph") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:s ex:p ex:o ; ex:q "v" .
+        |ex:t ex:p ex:o .
+        |""".stripMargin
+    val nt =
+      """<http://x.org/s> <http://x.org/p> <http://x.org/o> .
+        |<http://x.org/s> <http://x.org/q> "v" .
+        |<http://x.org/t> <http://x.org/p> <http://x.org/o> .
+        |""".stripMargin
+    val fromTtl = TurtleIO.turtleDF(spark, write("b.ttl", ttl))
+      .collect().map(_.toSeq).toSet
+    val fromNt = RdfIO.ntriplesDF(spark, write("b.nt", nt))
+      .collect().map(_.toSeq).toSet
+    assert(fromTtl == fromNt && fromTtl.size == 3)
+  }
+
+  test("queries run over a turtle-loaded store") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:a ex:knows ex:b .
+        |ex:b ex:knows ex:c .
+        |""".stripMargin
+    val st = TurtleIO.readTurtle(spark, write("c.ttl", ttl))
+    val rows = graft.bgp.BgpPlanner.query(st,
+      "select ?x ?y where { ?x <http://x.org/knows> ?y }").collect()
+    assert(rows.length == 2)
+  }
+
+  test("mid-document prefix redefinition fails loudly") {
+    val ttl =
+      """@prefix ex: <http://one.org/> .
+        |ex:s ex:p ex:o .
+        |@prefix ex: <http://two.org/> .
+        |ex:s ex:p ex:o .
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      TurtleIO.turtleDF(spark, write("d.ttl", ttl)).collect()
+    }
+    assert(e.getMessage.contains("redefined"))
+  }
+
+  test("out-of-subset forms drop as malformed, the rest of the file loads") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:s ex:p [ ex:q ex:o ] .
+        |ex:t ex:p ex:o .
+        |ex:u ex:p "multi
+        |line is fine inside one chunk" .
+        |""".stripMargin
+    val got = TurtleIO.turtleDF(spark, write("e.ttl", ttl)).collect()
+      .map(r => r.getString(0)).toSet
+    assert(got == Set("http://x.org/t", "http://x.org/u"))
+  }
+
+  test("statement chunking splits on the terminator, not on lines") {
+    // one statement spanning four lines plus unspaced separators
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:s
+        |  ex:p ex:o1,ex:o2;
+        |  ex:q
+        |    ex:o3 .
+        |""".stripMargin
+    val got = TurtleIO.turtleDF(spark, write("f.ttl", ttl)).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://x.org/p", "http://x.org/o1"),
+      ("http://x.org/p", "http://x.org/o2"),
+      ("http://x.org/q", "http://x.org/o3")))
+  }
+}
