@@ -2047,7 +2047,42 @@ object BgpQueries {
       },
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
              |FROM nation WHERE n_name <> 'ALGERIA'
-             |UNION ALL SELECT 'nation:99', 'ATLANTIS'""".stripMargin))
+             |UNION ALL SELECT 'nation:99', 'ATLANTIS'""".stripMargin)),
+
+    // STREAMING RDF ingest into the store layout (round 10): Turtle
+    // dumps land in a directory, TurtleIO.turtleStream parses each
+    // micro-batch, and the parquet sink partitioned by `p` writes the
+    // store's on-disk vertical layout directly — streaming load, then
+    // partition-pruned BGP querying over the exact shape
+    // fromPartitionedParquet serves. AvailableNow makes it a one-shot
+    // incremental loader here; the same pipeline runs continuously on
+    // a live feed.
+    GQuery(
+      "q342_streaming_rdf_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ttl-st")
+          .toString
+        graft.Tables.t(s, dir, "nation").select(
+          concat(lit("n:"), col("n_nationkey"),
+            lit(" <name> \""), col("n_name"),
+            lit("\" ; <inregion> r:"), col("n_regionkey"), lit(" ."))
+            .as("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val q = graft.sources.TurtleIO.turtleStream(s, s"$tmp/in",
+            prefixes = Map("n" -> "nation:", "r" -> "region:"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/store")
+          .option("checkpointLocation", s"$tmp/ck")
+          .partitionBy("p")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val st = TripleStore.fromPartitionedParquet(s, s"$tmp/store")
+        BgpPlanner.query(st,
+          "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
+      },
+      Some(turtleOracle))
   )
 
   private val turtleOracle =

@@ -47,24 +47,43 @@ object RdfIO {
     import spark.implicits._
     spark.read.textFile(path)
       .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
-      .flatMap {
-        case ntLine(su, sb, pu, pb, ou, olit, odeco, ob) =>
-          val s = if (su != null) su else sb
-          val p = if (pu != null) pu else pb
-          val o =
-            if (ou != null) ou
-            else if (olit != null) {
-              if (odeco == null) olit
-              else if (odeco.startsWith("^^<"))
-                graft.bgp.Sparql.canonTyped(olit, odeco.drop(3).dropRight(1))
-              else graft.bgp.Sparql.canonLang(olit, odeco.drop(1))
-            }
-            else ob
-          Some((s, p, o))
-        case _ => None
-      }
+      .flatMap(parseNtLine _)
       .toDF("s", "p", "o")
   }
+
+  /** STREAMING N-Triples ingest: dump files landing in `path` parse
+    * incrementally — the same per-line parser as [[ntriplesDF]], lifted
+    * over `readStream`. Compose with a `p`-partitioned parquet sink for
+    * streaming load into the store's vertical layout (see
+    * [[TurtleIO.turtleStream]] for the pattern).
+    */
+  def ntriplesStream(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.readStream.text(path).as[String]
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .flatMap(parseNtLine _)
+      .toDF("s", "p", "o")
+  }
+
+  /** One N-Triples line's triple, None when malformed/comment. */
+  private def parseNtLine(l: String): Option[(String, String, String)] =
+    l match {
+      case ntLine(su, sb, pu, pb, ou, olit, odeco, ob) =>
+        val s = if (su != null) su else sb
+        val p = if (pu != null) pu else pb
+        val o =
+          if (ou != null) ou
+          else if (olit != null) {
+            if (odeco == null) olit
+            else if (odeco.startsWith("^^<"))
+              graft.bgp.Sparql.canonTyped(olit, odeco.drop(3).dropRight(1))
+            else graft.bgp.Sparql.canonLang(olit, odeco.drop(1))
+          }
+          else ob
+        Some((s, p, o))
+      case _ => None
+    }
 
   /** S1: read a SPARQL query file (driver-side — query text is tiny). */
   def readQuery(path: String): String =

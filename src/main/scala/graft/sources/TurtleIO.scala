@@ -100,6 +100,28 @@ object TurtleIO {
       .toDF("s", "p", "o")
   }
 
+  /** STREAMING Turtle ingest — incremental corpus loading: dump files
+    * land in `path` and each micro-batch parses the new statements
+    * into `(s, p, o)` rows. Directives cannot be collected from an
+    * unbounded stream, so the prefix map and base are PARAMETERS (a
+    * deployment's dump prefixes are fixed configuration); directive
+    * lines inside arriving files are still stripped per chunk. Compose
+    * with a parquet sink partitioned by `p` and the result IS the
+    * store's on-disk vertical layout — streaming load straight into
+    * the shape [[graft.bgp.TripleStore.fromPartitionedParquet]] reads
+    * (the `AvailableNow` trigger makes it a one-shot incremental
+    * loader; a continuous trigger makes it a live feed).
+    */
+  def turtleStream(spark: SparkSession, path: String,
+      prefixes: Map[String, String] = Map.empty,
+      base: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    spark.readStream.option("lineSep", " .\n").text(path)
+      .as[String]
+      .flatMap(chunk => parseChunk(chunk, prefixes, base))
+      .toDF("s", "p", "o")
+  }
+
   /** Parse one terminator-delimited chunk into its triples; malformed
     * chunks yield nothing (the [[RdfIO.ntriplesDF]] discipline — count
     * against the source if strictness is needed).

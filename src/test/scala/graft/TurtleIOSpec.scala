@@ -106,6 +106,47 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == Set("http://x.org/t", "http://x.org/u"))
   }
 
+  test("streaming turtle ingest equals the batch parse of the same dump") {
+    val ttl =
+      """ex:a ex:knows ex:b ; ex:name "A" .
+        |ex:b ex:age 4 .
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-s")
+    java.nio.file.Files.write(dir.resolve("d.ttl"), ttl.getBytes("UTF-8"))
+    val pmap = Map("ex" -> "http://x.org/")
+    val q = TurtleIO.turtleStream(spark, dir.toString, pmap)
+      .writeStream.format("memory").queryName("ttl_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ttl_stream").collect().map(_.toSeq).toSet
+    // batch parse of the same file (no directives: same external map
+    // semantics — the batch reader finds none in-document)
+    val expected = TurtleIO.turtleDF(spark,
+        write("g.ttl", "@prefix ex: <http://x.org/> .\n" + ttl))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == 3)
+  }
+
+  test("streaming n-triples ingest equals the batch parse") {
+    val nt =
+      """<http://x.org/s> <http://x.org/p> "v"@en .
+        |# comment
+        |<http://x.org/t> <http://x.org/p> <http://x.org/o> .
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-nt-s")
+    java.nio.file.Files.write(dir.resolve("d.nt"), nt.getBytes("UTF-8"))
+    val q = RdfIO.ntriplesStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("nt_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("nt_stream").collect().map(_.toSeq).toSet
+    val expected = RdfIO.ntriplesDF(spark, write("h.nt", nt))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.size == 2)
+  }
+
   test("statement chunking splits on the terminator, not on lines") {
     // one statement spanning four lines plus unspaced separators
     val ttl =
