@@ -926,18 +926,36 @@ object BgpPlanner {
       val quads = store.quads.getOrElse(throw new IllegalArgumentException(
         "query uses GRAPH but the store has no named graphs"))
       val scans = pats.map { tp =>
-        val pName = tp.p match {
-          case Const(c) => c
+        val (base, pPos) = tp.p match {
+          case Const(c) => (quads.filter(col("p") === lit(c)),
+            Seq.empty[(String, Term)])
+          case v: Var =>
+            // variable predicate: the quads relation's `p` is LEXICAL
+            // on every encoding (only s/o/g carry ids), so the binding
+            // is marked lexical and skips the result-edge dict decode.
+            // A p-var shared with an id-space position would compare
+            // lexical to id — reject loudly rather than silently match
+            // nothing.
+            if (store.encoded) {
+              val idVars = (Seq(tp.s, tp.o) ++ Seq(gterm))
+                .collect { case Var(n) => n }
+              require(!idVars.contains(v.name),
+                s"GRAPH pattern repeats ?${v.name} across the predicate " +
+                  "and an id-encoded position on an encoded store")
+              lexical += v.name
+            }
+            (quads, Seq("p" -> (v: Term)))
           case other => throw new IllegalArgumentException(
-            s"GRAPH block patterns need a constant predicate, got $other")
+            s"GRAPH block patterns need a constant or variable " +
+              s"predicate, got $other")
         }
-        val base = quads.filter(col("p") === lit(pName))
         val (scoped, pos) = gterm match {
           case Const(g) =>
             (base.filter(col("g") === encode(g)),
-              Seq("s" -> tp.s, "o" -> tp.o))
+              pPos ++ Seq("s" -> tp.s, "o" -> tp.o))
           case v: Var =>
-            (base, Seq("g" -> (v: Term), "s" -> tp.s, "o" -> tp.o))
+            (base, Seq("g" -> (v: Term)) ++ pPos ++
+              Seq("s" -> tp.s, "o" -> tp.o))
           case other => throw new IllegalArgumentException(
             s"GRAPH term must be a variable or constant, got $other")
         }

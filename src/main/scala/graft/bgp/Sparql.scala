@@ -688,8 +688,12 @@ object Sparql {
         s"GRAPH term must be a variable or constant, got $gterm: $query")
       val pats = parsePatterns(m.group(2))
       require(pats.nonEmpty, s"empty GRAPH block: $query")
-      pats.foreach(tp => require(tp.p.isInstanceOf[Const],
-        s"GRAPH block patterns need a constant predicate: $tp in $query"))
+      // constant or variable predicate (path forms are planned over
+      // slices, not the quads relation — unsupported inside GRAPH)
+      pats.foreach(tp => require(
+        tp.p.isInstanceOf[Const] || tp.p.isInstanceOf[Var],
+        s"GRAPH block patterns need a constant or variable predicate: " +
+          s"$tp in $query"))
       (gterm, pats)
     }.toSeq
     val bodyFull = graphRe.replaceAllIn(bodyFullV, "")

@@ -44,6 +44,13 @@ object SparqlServer {
     */
   val MaxResponseRows = 100000
 
+  /** Graph Store Protocol payload cap: a PUT/POST body materializes on
+    * the coordinator (it is request content, not data-at-rest), so it
+    * is byte-capped with a loud 413 — bulk loads belong on `LOAD` /
+    * the streaming ingest arms, not the protocol payload.
+    */
+  val MaxPayloadBytes: Int = 8 * 1024 * 1024
+
   /** A running endpoint; `stop()` releases the port. `store` reads the
     * LIVE store — protocol updates swap it (stores are immutable; the
     * endpoint's mutable state is exactly this one reference).
@@ -89,12 +96,7 @@ object SparqlServer {
     */
   private[graft] def answer(store: TripleStore, query: String,
       maxRows: Int): String = {
-    val df = BgpPlanner.query(store, query)
-    val vars = df.columns.toSeq
-    val rows = df.limit(maxRows + 1).collect()
-    if (rows.length > maxRows) throw new IllegalStateException(
-      s"result exceeds the $maxRows-row response cap — restrict the " +
-        "query (federating clients ship their bindings as VALUES)")
+    val (vars, rows) = solutions(store, query, maxRows)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.createObjectNode()
     val head = root.putObject("head")
@@ -219,10 +221,13 @@ object SparqlServer {
       (answer(store, q, maxRows), "application/sparql-results+json")
   }
 
-  /** One parsed protocol request: query text or update text. */
+  /** One parsed protocol request: query text, update text, or a bare
+    * GET asking for the service description.
+    */
   private sealed trait Req
   private final case class QueryReq(text: String) extends Req
   private final case class UpdateReq(text: String) extends Req
+  private case object DescribeService extends Req
 
   /** Pull the operation out of a protocol request (query: §2.1.1-2.1.3;
     * update: §2.2.1-2.2.2 — POST only, `update=` form or raw
@@ -243,8 +248,7 @@ object SparqlServer {
     ex.getRequestMethod match {
       case "GET" =>
         fromForm(Option(ex.getRequestURI.getRawQuery)
-          .getOrElse(throw new IllegalArgumentException(
-            "missing query string"))) match {
+          .getOrElse(return DescribeService)) match {
           case q: QueryReq => q
           case _: UpdateReq => throw new IllegalArgumentException(
             "update requests require POST (SPARQL 1.1 Protocol §2.2)")
@@ -296,6 +300,12 @@ object SparqlServer {
                 val (b, ct) = answerNegotiated(ref.get(), text, maxRows,
                   accept)
                 (200, b, ct)
+              case DescribeService =>
+                // SPARQL 1.1 Service Description: a bare GET answers
+                // with the discovery graph — endpoint capabilities in
+                // Turtle, the spec's conneg-free default
+                val ep = s"http://localhost:${server.getAddress.getPort}$path"
+                (200, serviceDescription(ep), "text/turtle")
             }
           } catch {
             case e: IllegalArgumentException =>
@@ -314,7 +324,123 @@ object SparqlServer {
         ex.close()
       }
     })
+    // SPARQL 1.1 Graph Store HTTP Protocol (§5) at `<path>/graphs`:
+    // the graph is identified indirectly via `?default` or
+    // `?graph=<iri>`; GET renders it as N-Triples (row-capped), PUT
+    // replaces it with the N-Triples payload, POST merges the payload
+    // in, DELETE removes it (404 on an absent named graph). Payloads
+    // are byte-capped (413) and parse strictly — a malformed line is a
+    // 400, never a silent drop (request content is not a lossy scan).
+    server.createContext(path + "/graphs", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val (code, body, ctype) =
+          try {
+            val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+              .split('&').iterator.filter(_.nonEmpty).map(_.split("=", 2))
+              .map {
+                case Array(k) => k -> ""
+                case Array(k, v) =>
+                  k -> java.net.URLDecoder.decode(v, "UTF-8")
+              }.toMap
+            val target: Option[String] =
+              if (params.contains("default")) None
+              else Some(params.getOrElse("graph",
+                throw new IllegalArgumentException(
+                  "identify the graph with ?default or ?graph=<iri>")))
+            def payload(): Seq[(String, String, String)] = {
+              val bytes = ex.getRequestBody.readNBytes(MaxPayloadBytes + 1)
+              if (bytes.length > MaxPayloadBytes)
+                throw new PayloadTooLarge(
+                  s"payload exceeds the $MaxPayloadBytes-byte cap — bulk " +
+                    "loads belong on LOAD or the streaming ingest arms")
+              new String(bytes, "UTF-8").linesIterator.map(_.trim)
+                .filter(l => l.nonEmpty && !l.startsWith("#"))
+                .map(l => graft.sources.RdfIO.parseNtLine(l).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"malformed N-Triples payload line: $l")))
+                .toSeq
+            }
+            def applyOps(ops: Seq[SparqlUpdate.UpdateOp]): Unit =
+              updateLock.synchronized {
+                val cur = ref.get()
+                val spark = cur.slices.values.head.sparkSession
+                ref.set(ops.foldLeft(cur)(SparqlUpdate.apply(spark, _, _)))
+              }
+            import SparqlUpdate._
+            ex.getRequestMethod match {
+              case "GET" =>
+                val q = target match {
+                  case None => "select ?s ?p ?o where { ?s ?p ?o }"
+                  case Some(g) =>
+                    s"select ?s ?p ?o where { graph <$g> { ?s ?p ?o } }"
+                }
+                (200, answerGraph(BgpPlanner.query(ref.get(), q)
+                  .select("s", "p", "o"), maxRows), "application/n-triples")
+              case "PUT" =>
+                val ts = payload()
+                applyOps(target match {
+                  case None => Seq(ClearDefault, InsertData(ts))
+                  case Some(g) => Seq(DropGraph(Some(g), silent = true),
+                    InsertDataGraph(g, ts))
+                })
+                (204, "", "text/plain")
+              case "POST" =>
+                val ts = payload()
+                applyOps(Seq(target.fold(InsertData(ts): UpdateOp)(
+                  InsertDataGraph(_, ts))))
+                (204, "", "text/plain")
+              case "DELETE" =>
+                applyOps(Seq(target.fold(ClearDefault: UpdateOp)(g =>
+                  DropGraph(Some(g), silent = false))))
+                (204, "", "text/plain")
+              case m => throw new IllegalArgumentException(
+                s"unsupported method $m")
+            }
+          } catch {
+            case e: PayloadTooLarge => (413, e.getMessage, "text/plain")
+            case e: IllegalStateException
+                if e.getMessage != null && e.getMessage.contains("no such graph") =>
+              (404, e.getMessage, "text/plain")
+            case e: IllegalArgumentException =>
+              (400, s"bad request: ${e.getMessage}", "text/plain")
+            case scala.util.control.NonFatal(e) =>
+              (500, s"request failed: ${e.getMessage}", "text/plain")
+          }
+        if (code == 204) {
+          ex.sendResponseHeaders(204, -1)
+        } else {
+          val bytes = body.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", ctype)
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
     server.start()
     new Handle(server, path, ref)
+  }
+
+  private final class PayloadTooLarge(msg: String)
+    extends RuntimeException(msg)
+
+  /** SPARQL 1.1 Service Description (W3C REC sparql11-service-
+    * description): the discovery graph a conformant endpoint answers a
+    * bare dereference with — supported languages, result formats, and
+    * the graph-store service location, in Turtle.
+    */
+  private[graft] def serviceDescription(endpoint: String): String = {
+    val sd = "http://www.w3.org/ns/sparql-service-description#"
+    val fmt = "http://www.w3.org/ns/formats/"
+    s"""@prefix sd: <$sd> .
+       |@prefix formats: <$fmt> .
+       |_:service a sd:Service ;
+       |  sd:endpoint <$endpoint> ;
+       |  sd:supportedLanguage sd:SPARQL11Query , sd:SPARQL11Update ;
+       |  sd:resultFormat formats:SPARQL_Results_JSON ,
+       |    formats:SPARQL_Results_CSV , formats:SPARQL_Results_TSV ,
+       |    formats:N-Triples ;
+       |  sd:feature sd:BasicFederatedQuery .
+       |""".stripMargin
   }
 }

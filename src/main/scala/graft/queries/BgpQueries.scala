@@ -2082,8 +2082,79 @@ object BgpQueries {
         BgpPlanner.query(st,
           "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
       },
-      Some(turtleOracle))
+      Some(turtleOracle)),
+
+    // SPARQL 1.1 Graph Store HTTP Protocol (round 10): region names
+    // arrive as an N-Triples PUT payload at the /graphs service
+    // (indirect graph identification, byte-capped payload, atomic
+    // store swap), then the query joins the standing default graph
+    // against the protocol-loaded named graph — reference data pushed
+    // over the wire into a live endpoint and immediately queryable.
+    GQuery(
+      "q343_graph_store_protocol",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val handle = graft.bgp.SparqlServer.serve(
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        try {
+          // region is TPC-H's constant 5-row dimension: the payload
+          // build is schema-sized, exactly what a protocol PUT is for
+          val payload = graft.Tables.t(s, dir, "region")
+            .select(col("r_regionkey"), col("r_name")).collect()
+            .map(r => s"""<region:${r.get(0)}> <name> "${r.get(1)}" .""")
+            .mkString("", "\n", "\n")
+          val conn = new java.net.URL(handle.endpoint + "/graphs?graph=" +
+              java.net.URLEncoder.encode("g:regions", "UTF-8"))
+            .openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("PUT")
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "application/n-triples")
+          conn.getOutputStream.write(payload.getBytes("UTF-8"))
+          require(conn.getResponseCode == 204,
+            s"graph store PUT failed: HTTP ${conn.getResponseCode}")
+          conn.disconnect()
+          BgpPlanner.query(handle.store,
+            """select ?n ?r ?rn where {
+              | ?n inregion ?r .
+              | graph <g:regions> { ?r <name> ?rn } }""".stripMargin)
+        } finally handle.stop()
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('region:', r_regionkey) AS r, r_name AS rn
+             |FROM nation JOIN region ON r_regionkey = n_regionkey"""
+        .stripMargin)),
+
+    // GRAPH with a VARIABLE predicate (round 10): the quads relation's
+    // lexical `p` column serves variable-predicate dumps of a named
+    // graph directly — `ADD DEFAULT TO GRAPH` stages the data, then
+    // one scan binds (s, p, o) with no per-predicate union. On the
+    // encoded twin the p binding stays lexical past the result-edge
+    // dict decode while s/o decode as ids.
+    GQuery(
+      "q344_graph_var_predicate",
+      (s, dir) => graphVarPredicateQuery(s, dir, encoded = false),
+      Some(graphDumpOracle)),
+    GQuery(
+      "q345_graph_var_predicate_encoded",
+      (s, dir) => graphVarPredicateQuery(s, dir, encoded = true),
+      Some(graphDumpOracle))
   )
+
+  private val graphDumpOracle =
+    """SELECT concat('nation:', n_nationkey) AS s, 'name' AS p,
+      |  n_name AS o FROM nation
+      |UNION ALL SELECT concat('nation:', n_nationkey), 'inregion',
+      |  concat('region:', n_regionkey) FROM nation""".stripMargin
+
+  private def graphVarPredicateQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String, encoded: Boolean): org.apache.spark.sql.DataFrame = {
+    val st0 = TripleStore.fromTriples(nationTriples(s, dir))
+    val st = if (encoded) TripleStore.encode(st0) else st0
+    val staged = graft.bgp.SparqlUpdate.applyAll(s, st,
+      "ADD DEFAULT TO GRAPH <g:n>")
+    BgpPlanner.query(staged,
+      "select ?s ?p ?o where { graph <g:n> { ?s ?p ?o } }")
+  }
 
   private val turtleOracle =
     """SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,

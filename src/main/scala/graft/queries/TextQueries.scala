@@ -2570,7 +2570,7 @@ object TextQueries {
           .rowsBetween(Window.unboundedPreceding, -1)
         docs.join(GuardedBroadcast.maybe(bpre), Seq("b"))
           .withColumn("cprev", $"bpre" + coalesce(sum($"w").over(wi), lit(0L)))
-          .crossJoin(broadcast(step))
+          .crossJoin(GuardedBroadcast.maybe(step))
           .select($"doc_id", $"w",
             (expr("(cprev + w) div step") - expr("cprev div step"))
               .as("n_draws"))

@@ -66,8 +66,11 @@ object RdfIO {
       .toDF("s", "p", "o")
   }
 
-  /** One N-Triples line's triple, None when malformed/comment. */
-  private def parseNtLine(l: String): Option[(String, String, String)] =
+  /** One N-Triples line's triple, None when malformed/comment (also
+    * the Graph Store Protocol's payload parser — see
+    * [[graft.bgp.SparqlServer]]).
+    */
+  private[graft] def parseNtLine(l: String): Option[(String, String, String)] =
     l match {
       case ntLine(su, sb, pu, pb, ou, olit, odeco, ob) =>
         val s = if (su != null) su else sb

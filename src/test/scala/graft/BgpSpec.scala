@@ -2285,6 +2285,53 @@ class BgpSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("graph store protocol: GET/PUT/POST/DELETE on named and default graphs") {
+    val h = SparqlServer.serve(tinyStore)
+    val gsp = h.endpoint + "/graphs"
+    val g = java.net.URLEncoder.encode("g:r", "UTF-8")
+    try {
+      // PUT creates the named graph from an N-Triples payload
+      val (c1, _) = http("PUT", s"$gsp?graph=$g", "application/n-triples",
+        "<dept:0> <rel:deptname> \"Math\" .\n" +
+          "<dept:1> <rel:deptname> \"Physics\" .\n")
+      assert(c1 == 204)
+      // GET renders it back as N-Triples
+      val (c2, nt) = http("GET", s"$gsp?graph=$g")
+      assert(c2 == 200, nt)
+      assert(nt.contains("<dept:0> <rel:deptname> \"Math\" .") &&
+        nt.contains("<dept:1> <rel:deptname> \"Physics\" ."))
+      // the graph is queryable through the SPARQL arm
+      assert(BgpPlanner.query(h.store,
+        "select ?d ?n where { graph <g:r> { ?d <rel:deptname> ?n } }")
+        .count() == 2)
+      // POST merges more triples in
+      val (c3, _) = http("POST", s"$gsp?graph=$g", "application/n-triples",
+        "<dept:2> <rel:deptname> \"Chemistry\" .\n")
+      assert(c3 == 204)
+      assert(http("GET", s"$gsp?graph=$g")._2.linesIterator.size == 3)
+      // PUT REPLACES (not merges)
+      val (c4, _) = http("PUT", s"$gsp?graph=$g", "application/n-triples",
+        "<dept:9> <rel:deptname> \"Solo\" .\n")
+      assert(c4 == 204)
+      val after = http("GET", s"$gsp?graph=$g")._2
+      assert(after.trim == "<dept:9> <rel:deptname> \"Solo\" .")
+      // DELETE drops it; a second DELETE is 404 (absent named graph)
+      assert(http("DELETE", s"$gsp?graph=$g")._1 == 204)
+      assert(http("DELETE", s"$gsp?graph=$g")._1 == 404)
+      // default graph: GET serves the store's triples
+      val (c5, dflt) = http("GET", s"$gsp?default")
+      // tinyStore's bare 'worksFor' predicate is not IRI-shaped, so it
+      // renders as a literal term (the relaxed term model)
+      assert(c5 == 200 && dflt.contains("<prof:0> \"worksFor\" <dept:0> ."))
+      // malformed payload is a loud 400, never a silent drop
+      val (c6, msg) = http("POST", s"$gsp?default", "application/n-triples",
+        "this is not n-triples\n")
+      assert(c6 == 400 && msg.contains("malformed"))
+      // missing graph identification is a 400
+      assert(http("GET", gsp)._1 == 400)
+    } finally h.stop()
+  }
+
   test("protocol result negotiation: CSV, TSV, ASK json, CONSTRUCT n-triples") {
     val typed = TripleStore.fromTriples(Seq(
       ("t:1", "val", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
@@ -2327,6 +2374,18 @@ class BgpSpec extends AnyFunSuite {
       // the fixture's bare 'val' predicate is not IRI-shaped, so it
       // renders as a literal term — the store model is relaxed here
       assert(dc == 200 && dnt.contains("<t:2> \"val\" \"bonjour\"@fr ."))
+      // a bare GET answers with the SPARQL 1.1 Service Description —
+      // and it round-trips through our own Turtle parser
+      val (sc, sdesc) = http("GET", h.endpoint)
+      assert(sc == 200 && sdesc.contains("sd:SPARQL11Update"))
+      val sdDir = java.nio.file.Files.createTempDirectory("graft-sd")
+      java.nio.file.Files.write(sdDir.resolve("sd.ttl"),
+        sdesc.getBytes("UTF-8"))
+      val parsed = graft.sources.TurtleIO.turtleDF(spark, sdDir.toString)
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      assert(parsed.contains(
+        ("http://www.w3.org/ns/sparql-service-description#endpoint",
+          h.endpoint)))
     } finally h.stop()
   }
 }
