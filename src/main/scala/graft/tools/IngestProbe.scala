@@ -1,0 +1,62 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.bgp.TripleStore
+import org.apache.spark.sql.functions._
+
+/** One-off ingest-throughput probe for the RDF sources (SCALE.md
+  * evidence): serializes the sf-dir star-schema triples as Turtle and
+  * as N-Triples, then times the distributed parse of each
+  * (`TurtleIO.turtleDF` / `RdfIO.ntriplesDF` → count). The serialize
+  * step is untimed scaffolding; the timed step is the ingest path a
+  * user runs on a real dump.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.IngestProbe"`
+  */
+object IngestProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val triples = TripleStore.fromStarSchema(spark, sfDir).unionView
+
+    // term rendering: subjects are IRI-shaped by construction; objects
+    // may be plain literals — quote them (escapes included) so the
+    // round trip is exact
+    val iriRe = "^[A-Za-z][A-Za-z0-9+.-]*:"
+    def obj(c: org.apache.spark.sql.Column) =
+      when(c.rlike(iriRe), concat(lit("<"), c, lit(">")))
+        .otherwise(concat(lit("\""),
+          regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\"")))
+    val ttl = triples.select(concat(
+      lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
+      obj(col("o")), lit(" .")).as("value"))
+    val base = "target/ingest_probe"
+    ttl.write.mode("overwrite").text(s"$base/ttl")
+    ttl.write.mode("overwrite").text(s"$base/nt") // same grammar subset
+
+    def du(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm the page cache evenly, then time each parse
+    spark.read.textFile(s"$base/ttl").count()
+    spark.read.textFile(s"$base/nt").count()
+    val bytes = du(s"$base/ttl")
+    val (nTtl, sTtl) = time(
+      graft.sources.TurtleIO.turtleDF(spark, s"$base/ttl").count())
+    val (nNt, sNt) = time(
+      graft.sources.RdfIO.ntriplesDF(spark, s"$base/nt").count())
+    println(f"[ingest-probe] corpus: ${bytes / 1e6}%.1f MB, " +
+      f"turtle: $nTtl rows in $sTtl%.2f s (${bytes / 1e6 / sTtl}%.1f MB/s), " +
+      f"ntriples: $nNt rows in $sNt%.2f s (${bytes / 1e6 / sNt}%.1f MB/s)")
+    require(nTtl == nNt, s"parser row mismatch: turtle $nTtl vs nt $nNt")
+    spark.stop()
+  }
+}
