@@ -140,45 +140,14 @@ object TurtleIO {
       }
       .mkString("\n").trim.stripSuffix(".").trim
     if (body.isEmpty) return Nil
+    // (an anchored-regex fast path for plain one-triple statements was
+    // measured SLOWER than the scanner on the sf0.1 probe — the linear
+    // tokenizer already wins; keep one path)
     val toks = tokenize(body).getOrElse(return Nil)
     if (toks.isEmpty) return Nil
 
-    def term(tok: String, pred: Boolean): Option[String] = tok match {
-      case _ if tok.startsWith("<") && tok.endsWith(">") =>
-        val iri = tok.substring(1, tok.length - 1)
-        Some(if (iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*$")) iri
-        else base.map(_ + iri).getOrElse(iri))
-      case "a" if pred => Some(RdfType)
-      case "true" | "false" if !pred =>
-        Some(Sparql.canonTyped(tok, "xsd:boolean"))
-      case _ if tok.startsWith("_:") => Some(tok)
-      case _ if tok.startsWith("\"") =>
-        val close = closingQuote(tok)
-        if (close < 0) None
-        else {
-          val lex = tok.substring(1, close)
-          val suffix = tok.substring(close + 1)
-          if (suffix.isEmpty) Some(Sparql.canonTyped(lex, "xsd:string"))
-          else if (suffix.startsWith("@"))
-            Some(Sparql.canonLang(lex, suffix.drop(1)))
-          else if (suffix.startsWith("^^"))
-            term(suffix.drop(2), pred = false).map(Sparql.canonTyped(lex, _))
-          else None
-        }
-      case _ if !pred && tok.matches("^[+-]?\\d+$") =>
-        Some(Sparql.canonTyped(tok, "xsd:integer"))
-      case _ if !pred && tok.matches("^[+-]?\\d*\\.\\d+$") =>
-        Some(Sparql.canonTyped(tok, "xsd:decimal"))
-      case _ if !pred &&
-          tok.matches("^[+-]?(\\d+\\.?\\d*|\\.\\d+)[eE][+-]?\\d+$") =>
-        Some(Sparql.canonTyped(tok, "xsd:double"))
-      case _ =>
-        // prefixed name pre:local (pre may be empty)
-        val i = tok.indexOf(':')
-        if (i < 0) None
-        else prefixes.get(tok.substring(0, i)).map(_ + tok.substring(i + 1))
-    }
-
+    def term(tok: String, pred: Boolean): Option[String] =
+      term3(tok, prefixes, base, pred)
     val out = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
     val it = toks.iterator.buffered
     val subj = term(it.next(), pred = false).getOrElse(return Nil)
@@ -198,6 +167,45 @@ object TurtleIO {
       if (it.hasNext && it.next() != ";") return Nil
     }
     out.toList
+  }
+
+  /** Resolve one term token against the prefix map / base. */
+  private def term3(tok: String, prefixes: Map[String, String],
+      base: Option[String], pred: Boolean): Option[String] = tok match {
+    case _ if tok.startsWith("<") && tok.endsWith(">") =>
+      val iri = tok.substring(1, tok.length - 1)
+      Some(if (iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*$")) iri
+      else base.map(_ + iri).getOrElse(iri))
+    case "a" if pred => Some(RdfType)
+    case "true" | "false" if !pred =>
+      Some(Sparql.canonTyped(tok, "xsd:boolean"))
+    case _ if tok.startsWith("_:") => Some(tok)
+    case _ if tok.startsWith("\"") =>
+      val close = closingQuote(tok)
+      if (close < 0) None
+      else {
+        val lex = tok.substring(1, close)
+        val suffix = tok.substring(close + 1)
+        if (suffix.isEmpty) Some(Sparql.canonTyped(lex, "xsd:string"))
+        else if (suffix.startsWith("@"))
+          Some(Sparql.canonLang(lex, suffix.drop(1)))
+        else if (suffix.startsWith("^^"))
+          term3(suffix.drop(2), prefixes, base, pred = false)
+            .map(Sparql.canonTyped(lex, _))
+        else None
+      }
+    case _ if !pred && tok.matches("^[+-]?\\d+$") =>
+      Some(Sparql.canonTyped(tok, "xsd:integer"))
+    case _ if !pred && tok.matches("^[+-]?\\d*\\.\\d+$") =>
+      Some(Sparql.canonTyped(tok, "xsd:decimal"))
+    case _ if !pred &&
+        tok.matches("^[+-]?(\\d+\\.?\\d*|\\.\\d+)[eE][+-]?\\d+$") =>
+      Some(Sparql.canonTyped(tok, "xsd:double"))
+    case _ =>
+      // prefixed name pre:local (pre may be empty)
+      val i = tok.indexOf(':')
+      if (i < 0) None
+      else prefixes.get(tok.substring(0, i)).map(_ + tok.substring(i + 1))
   }
 
   /** Closing-quote index of a literal token (index within the token of
