@@ -1129,36 +1129,60 @@ object BgpPlanner {
     // joined on whatever vars the solution already binds (restriction)
     // while unbound vars bind from the table. The table is
     // row-count-sized — Catalyst folds it to a LocalRelation and
-    // broadcasts the join.
+    // broadcasts the join. §10.2.2 UNDEF (null cells from the parser):
+    // a row restricts only on its BOUND cells, so rows group by their
+    // bound-mask, each group joins on (solution ∩ bound) columns, and
+    // the groups union. A solution var that some rows leave UNDEF
+    // stays in the solution's own space in every branch (no join, no
+    // new column), so encoded id-flow never mixes with lexical.
     for ((vs, rows) <- q.valuesTables) {
       val spark = joined.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(vs.map(v =>
-        org.apache.spark.sql.types.StructField(v,
-          org.apache.spark.sql.types.StringType)))
       import scala.jdk.CollectionConverters._
-      val inline0 = spark.createDataFrame(
-        rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
-      val common = vs.filter(joined.columns.toSet)
-      // encoded store: JOIN columns encode to id space; unbound
-      // columns keep their lexical constants (they may not be store
-      // terms at all) and are marked computed so the edge decode
-      // passes them through
-      val inline =
-        if (store.encoded) {
-          val commonSet = common.toSet
-          lexical ++= vs.filterNot(commonSet)
-          // a common column the solution holds LEXICALLY (service-only
-          // binding) joins on the literal itself — encoding only the
-          // inline side would compare string to bigint and silently
-          // match nothing. Join columns encode by expression (hash) or
-          // dict join (sequential — an inline constant the store never
-          // saw drops from the table, correctly restricting to nothing)
-          encodeLexCols(store, inline0,
-            vs.filter(v => commonSet(v) && !lexical(v)))
-        } else inline0
-      joined =
-        if (common.nonEmpty) joined.join(inline, common, "inner")
-        else joined.crossJoin(inline)
+      val commonSet = vs.filter(joined.columns.toSet).toSet
+      // table-bound-only vars (and UNDEF-null fills) are lexical
+      // constants on the encoded store — the edge decode passes them
+      // through as computed values
+      if (store.encoded) lexical ++= vs.filterNot(commonSet)
+      val branches = rows.groupBy(_.map(_ != null)).toSeq.map {
+        case (mask, rs) =>
+          val bound = vs.zip(mask).collect { case (v, true) => v }
+          val boundIdx = vs.indices.zip(mask).collect { case (i, true) => i }
+          val branch0 =
+            if (bound.isEmpty)
+              // all-UNDEF rows restrict nothing: one unrestricted copy
+              // of the solution per row (bag semantics)
+              joined.crossJoin(spark.range(rs.size.toLong)
+                .toDF("__vdummy")).drop("__vdummy")
+            else {
+              val schema = org.apache.spark.sql.types.StructType(bound.map(
+                v => org.apache.spark.sql.types.StructField(v,
+                  org.apache.spark.sql.types.StringType)))
+              val inline0 = spark.createDataFrame(rs.map(r =>
+                org.apache.spark.sql.Row.fromSeq(boundIdx.map(r))).asJava,
+                schema)
+              // a common column the solution holds LEXICALLY
+              // (service-only binding) joins on the literal itself —
+              // encoding only the inline side would compare string to
+              // bigint and silently match nothing. Join columns encode
+              // by expression (hash) or dict join (sequential — an
+              // inline constant the store never saw drops from the
+              // table, correctly restricting to nothing)
+              val inline =
+                if (store.encoded)
+                  encodeLexCols(store, inline0,
+                    bound.filter(v => commonSet(v) && !lexical(v)))
+                else inline0
+              val joinCols = bound.filter(commonSet)
+              if (joinCols.nonEmpty) joined.join(inline, joinCols, "inner")
+              else joined.crossJoin(inline)
+            }
+          // vars this group leaves UNDEF and the solution never bound:
+          // explicitly unbound (null), so the branches union by name
+          vs.filterNot(bound.toSet).filterNot(joined.columns.toSet)
+            .foldLeft(branch0)((d, v) =>
+              d.withColumn(v, lit(null).cast("string")))
+      }
+      joined = branches.reduce(_ unionByName _)
     }
 
     // BIND clauses: sequential projections (SPARQL §10.1) — a

@@ -863,10 +863,16 @@ object Sparql {
       val vs = "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
       val rows = "\\(([^()]*)\\)".r.findAllMatchIn(m.group(2)).map { r =>
         val consts = termTokenRe.findAllIn(r.group(1)).toSeq
-          .map(term).map {
-            case Const(c) => c
-            case other => throw new IllegalArgumentException(
-              s"VALUES entries must be constants, got $other")
+          .map {
+            // §10.2.2 UNDEF: that variable is unbound in this row —
+            // represented as null; the planner joins each bound-mask
+            // group on its bound columns only
+            case u if u.equalsIgnoreCase("UNDEF") => null
+            case tok => term(tok) match {
+              case Const(c) => c
+              case other => throw new IllegalArgumentException(
+                s"VALUES entries must be constants, got $other")
+            }
           }
         require(consts.size == vs.size,
           s"VALUES row arity ${consts.size} != ${vs.size} vars: $query")

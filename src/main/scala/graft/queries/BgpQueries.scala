@@ -2036,7 +2036,7 @@ object BgpQueries {
           conn.setRequestProperty("Content-Type", "application/sparql-update")
           val body =
             """INSERT DATA { <nation:99> <name> "ATLANTIS" } ;
-              |DELETE DATA { <nation:0> <name> "ALGERIA" }""".stripMargin
+              |DELETE DATA { <nation:0> <name> "NATION_0" }""".stripMargin
           conn.getOutputStream.write(body.getBytes("UTF-8"))
           require(conn.getResponseCode == 204,
             s"protocol update failed: HTTP ${conn.getResponseCode}")
@@ -2046,7 +2046,7 @@ object BgpQueries {
         } finally handle.stop()
       },
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm
-             |FROM nation WHERE n_name <> 'ALGERIA'
+             |FROM nation WHERE n_nationkey <> 0
              |UNION ALL SELECT 'nation:99', 'ATLANTIS'""".stripMargin)),
 
     // STREAMING RDF ingest into the store layout (round 10): Turtle
@@ -2137,7 +2137,42 @@ object BgpQueries {
     GQuery(
       "q345_graph_var_predicate_encoded",
       (s, dir) => graphVarPredicateQuery(s, dir, encoded = true),
-      Some(graphDumpOracle))
+      Some(graphDumpOracle)),
+
+    // VALUES with UNDEF (round 10, §10.2.2): a row restricts only on
+    // its bound cells — rows group by bound-mask, each group joins on
+    // its bound columns, the groups union (bag semantics). One tagged
+    // restriction row plus one UNDEF wildcard row over the nation
+    // names; both encodings share the entry via the string fixture.
+    GQuery(
+      "q346_values_undef",
+      (s, dir) => {
+        val st = TripleStore.fromTriples(nationTriples(s, dir))
+        BgpPlanner.query(st,
+          """select ?n ?nm ?tag where {
+            | ?n name ?nm .
+            | values (?nm ?tag) { ("NATION_0" "first") (UNDEF "all") } }"""
+            .stripMargin)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
+             |  'first' AS tag FROM nation WHERE n_name = 'NATION_0'
+             |UNION ALL SELECT concat('nation:', n_nationkey), n_name,
+             |  'all' FROM nation""".stripMargin)),
+    GQuery(
+      "q347_values_undef_encoded",
+      (s, dir) => {
+        val st = TripleStore.encode(
+          TripleStore.fromTriples(nationTriples(s, dir)))
+        BgpPlanner.query(st,
+          """select ?n ?nm ?tag where {
+            | ?n name ?nm .
+            | values (?nm ?tag) { ("NATION_0" "first") (UNDEF "all") } }"""
+            .stripMargin)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
+             |  'first' AS tag FROM nation WHERE n_name = 'NATION_0'
+             |UNION ALL SELECT concat('nation:', n_nationkey), n_name,
+             |  'all' FROM nation""".stripMargin))
   )
 
   private val graphDumpOracle =

@@ -2285,6 +2285,30 @@ class BgpSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("VALUES UNDEF rows restrict only on their bound cells (§10.2.2)") {
+    for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
+      // UNDEF on a solution var: that row is a wildcard for it
+      val rows = BgpPlanner.query(st,
+        """select ?p ?d ?n where {
+          | ?p worksFor ?d .
+          | values (?d ?n) { (<dept:0> "X") (UNDEF "Y") } }""".stripMargin)
+        .collect().map(r => (r.getAs[String]("p"), r.getAs[String]("d"),
+          r.getAs[String]("n"))).toSet
+      assert(rows == Set(
+        ("prof:0", "dept:0", "X"), ("prof:1", "dept:0", "X"),
+        ("prof:0", "dept:0", "Y"), ("prof:1", "dept:0", "Y"),
+        ("prof:2", "dept:1", "Y")), s"encoded=${st.encoded}")
+      // UNDEF on a table-only var: it stays unbound (null) in that row
+      val nulls = BgpPlanner.query(st,
+        """select ?p ?d ?n where {
+          | ?p worksFor ?d .
+          | values (?d ?n) { (<dept:1> UNDEF) } }""".stripMargin)
+        .collect().map(r => (r.getAs[String]("p"),
+          r.isNullAt(r.fieldIndex("n"))))
+      assert(nulls.toSeq == Seq(("prof:2", true)), s"encoded=${st.encoded}")
+    }
+  }
+
   test("graph store protocol: GET/PUT/POST/DELETE on named and default graphs") {
     val h = SparqlServer.serve(tinyStore)
     val gsp = h.endpoint + "/graphs"
