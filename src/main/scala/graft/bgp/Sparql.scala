@@ -1361,6 +1361,11 @@ object Sparql {
       val (invToks, fwdToks) = members.partition(_.startsWith("^"))
       PathNeg(fwdToks.map(asPred), invToks.map(t => asPred(t.drop(1))))
     }
+    // a fully parenthesized path group with no modifier is the path
+    // itself: (a/b) ≡ a/b, (a|b) ≡ a|b
+    else if (tok.length > 2 && tok.startsWith("(") && tok.endsWith(")") &&
+        parenCloseOf(tok, 0) == tok.length - 1)
+      term(tok.substring(1, tok.length - 1).trim)
     // grouped sequence under repetition (p1/p2)+ / (p1/p2)* — matched
     // BEFORE the plain sequence branch, whose '/'-split would tear the
     // parenthesized group apart
@@ -1377,14 +1382,24 @@ object Sparql {
     }
     // sequence path p1/p2/...: bare-token paths only (URIs and quoted
     // literals containing '/' stay constants); each step may be any
-    // single-predicate path form (a+, ^a, a?, ...)
-    else if (tok.contains("/") && !tok.startsWith("<") && !tok.startsWith("\"")
-        && tok.length > 1) {
-      val steps = tok.split("/").toSeq.map(_.trim)
+    // single-predicate path form (a+, ^a, a?, ...), a parenthesized
+    // group — an alternation step `(a|b)/c` or a nested sequence
+    // `(a/b)/c`, which flattens — or a grouped repetition `(a/b)+`.
+    // The split respects parens, so group members never tear.
+    else if (depth0SlashSplit(tok).length > 1 && !tok.startsWith("<")
+        && !tok.startsWith("\"") && tok.length > 1) {
+      val steps = depth0SlashSplit(tok).map(_.trim)
       require(steps.forall(_.nonEmpty), s"empty sequence-path step: $tok")
-      PathSeq(steps.map(term).map {
+      def stripParens(st: String): String =
+        if (st.length > 2 && st.startsWith("(") && st.endsWith(")") &&
+            parenCloseOf(st, 0) == st.length - 1)
+          st.substring(1, st.length - 1).trim
+        else st
+      PathSeq(steps.map(st => term(stripParens(st))).flatMap {
+        case PathSeq(inner) => inner // nested sequence group flattens
         case s @ (Const(_) | PathPlus(_) | PathStar(_) | PathOpt(_) |
-                  PathInverse(_) | PathAlt(_) | PathRepeat(_, _, _)) => s
+                  PathInverse(_) | PathAlt(_) | PathRepeat(_, _, _) |
+                  PathGroupRepeat(_, _)) => Seq(s)
         case other => throw new IllegalArgumentException(
           s"sequence-path steps must be predicate paths, got $other in $tok")
       })
@@ -1434,5 +1449,37 @@ object Sparql {
   private def indexOfWord(s: String, w: String): Int = {
     val i = s.toLowerCase.indexOf(w)
     i
+  }
+
+  /** Split on '/' at paren depth 0 — sequence-path steps may be
+    * parenthesized groups whose own '/' must not tear.
+    */
+  private def depth0SlashSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var d = 0
+    s.foreach {
+      case '(' => d += 1; cur += '('
+      case ')' => d -= 1; cur += ')'
+      case '/' if d == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Index of the ')' closing the '(' at `open`; -1 when unbalanced. */
+  private def parenCloseOf(s: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 }

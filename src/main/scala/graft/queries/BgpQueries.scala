@@ -2172,8 +2172,36 @@ object BgpQueries {
       Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
              |  'first' AS tag FROM nation WHERE n_name = 'NATION_0'
              |UNION ALL SELECT concat('nation:', n_nationkey), n_name,
-             |  'all' FROM nation""".stripMargin))
+             |  'all' FROM nation""".stripMargin)),
+
+    // parenthesized path groups (round 10): an alternation group as a
+    // sequence step — `(custkey|suppliedby)/nationkey` walks each
+    // order to its customer's OR its suppliers' nation in one path
+    // expression (bag union of the group's arms, then the hop). The
+    // group desugars at parse time: the alternation step scans two
+    // pruned slices, the hop is the usual fresh-intermediate join.
+    GQuery(
+      "q348_bgp_path_group_step",
+      bgp("""select ?o ?n where {
+            | ?o (custkey|suppliedby)/nationkey ?n }""".stripMargin),
+      Some(pathGroupOracle)),
+    GQuery(
+      "q349_bgp_path_group_step_encoded",
+      bgp("""select ?o ?n where {
+            | ?o (custkey|suppliedby)/nationkey ?n }""".stripMargin,
+        encoded = true),
+      Some(pathGroupOracle))
   )
+
+  private val pathGroupOracle =
+    """SELECT concat('order:', o_orderkey) AS o,
+      |  concat('nation:', c_nationkey) AS n
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |UNION ALL
+      |SELECT concat('order:', l_orderkey),
+      |  concat('nation:', s_nationkey)
+      |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |JOIN supplier ON s_suppkey = l_suppkey""".stripMargin
 
   private val graphDumpOracle =
     """SELECT concat('nation:', n_nationkey) AS s, 'name' AS p,

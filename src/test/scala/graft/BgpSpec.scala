@@ -2285,6 +2285,23 @@ class BgpSpec extends AnyFunSuite {
     } finally h.stop()
   }
 
+  test("parenthesized path groups: alternation steps and nested sequences") {
+    // (a|b)/c — an alternation group as a sequence step
+    val alt = BgpPlanner.query(tinyStore,
+      "select ?s ?n where { ?s (advisor|memberOf)/name ?n }")
+      .collect().map(r => (r.getAs[String]("s"), r.getAs[String]("n"))).toSet
+    assert(alt == Set(("stud:0", "FullProfessor0")))
+    // (a/b) — a parenthesized sequence flattens to the sequence
+    val seq = BgpPlanner.query(tinyStore,
+      "select ?s ?d where { ?s (advisor/worksFor) ?d }")
+      .collect().map(r => (r.getAs[String]("s"), r.getAs[String]("d"))).toSet
+    assert(seq == Set(("stud:0", "dept:0")))
+    // nested group inside a longer sequence
+    val nested = BgpPlanner.query(tinyStore,
+      "select ?s ?n where { ?s (advisor/worksFor)/deptname ?n }")
+    assert(nested.count() == 0) // depts have no deptname edges here
+  }
+
   test("VALUES UNDEF rows restrict only on their bound cells (§10.2.2)") {
     for (st <- Seq(tinyStore, TripleStore.encode(tinyStore))) {
       // UNDEF on a solution var: that row is a wildcard for it
