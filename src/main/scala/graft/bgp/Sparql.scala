@@ -882,17 +882,31 @@ object Sparql {
       (vs, rows)
     }.toSeq
     val body0av = valuesTupleRe.replaceAllIn(body0a, "")
-    // VALUES ?v { c1 c2 ... }: inline constant bindings for one var
-    val valuesBinds = valuesRe.findAllMatchIn(body0av).map { m =>
-      val consts = termTokenRe.findAllIn(m.group(2)).toSeq
-        .map(term).map {
-          case Const(c) => c
-          case other => throw new IllegalArgumentException(
-            s"VALUES entries must be constants, got $other")
+    // VALUES ?v { c1 c2 ... }: inline constant bindings for one var.
+    // A block containing UNDEF routes through the TABLE path — the
+    // bound-mask grouping there implements §10.2.2 (an UNDEF row is
+    // the unrestricted wildcard); pure-constant blocks keep the IN-
+    // restriction fast path.
+    val singleBlocks = valuesRe.findAllMatchIn(body0av).map { m =>
+      val entries = termTokenRe.findAllIn(m.group(2)).toSeq
+        .map {
+          case u if u.equalsIgnoreCase("UNDEF") => null
+          case tok => term(tok) match {
+            case Const(c) => c
+            case other => throw new IllegalArgumentException(
+              s"VALUES entries must be constants, got $other")
+          }
         }
-      require(consts.nonEmpty, s"empty VALUES block: $query")
-      m.group(1) -> consts
+      require(entries.nonEmpty, s"empty VALUES block: $query")
+      m.group(1) -> entries
     }.toSeq
+    val valuesBinds = singleBlocks.collect {
+      case (v, es) if !es.contains(null) => v -> es
+    }
+    val undefSingles = singleBlocks.collect {
+      case (v, es) if es.contains(null) =>
+        (Seq(v), es.map(e => Seq(e)))
+    }
     val body0b = valuesRe.replaceAllIn(body0av, "")
     val minusBlocks = minusRe.findAllMatchIn(body0b).map { m =>
       val (rest, fs) = extractFilters(m.group(1))
@@ -962,7 +976,7 @@ object Sparql {
     val known =
       (patterns ++ optionals.flatten ++ unions.flatten.flatten)
         .flatMap(_.vars).toSet ++ valuesBinds.map(_._1) ++
-        valuesTables.flatMap(_._1) ++
+        valuesTables.flatMap(_._1) ++ undefSingles.flatMap(_._1) ++
         // a subquery exports exactly its projection (group keys and
         // aggregate aliases included) to the outer scope
         subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
@@ -1031,7 +1045,7 @@ object Sparql {
     BgpQuery(selectVars, patterns, optionals, filters, isDistinct, unions,
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
-      binds, subqueries, valuesTables, graphBlocks, services,
+      binds, subqueries, valuesTables ++ undefSingles, graphBlocks, services,
       fromGraphs, fromNamed)
   }
 

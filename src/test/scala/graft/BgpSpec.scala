@@ -2323,6 +2323,16 @@ class BgpSpec extends AnyFunSuite {
         .collect().map(r => (r.getAs[String]("p"),
           r.isNullAt(r.fieldIndex("n"))))
       assert(nulls.toSeq == Seq(("prof:2", true)), s"encoded=${st.encoded}")
+      // single-var VALUES with an UNDEF row: the wildcard row passes
+      // every solution, the constant rows restrict (bag union)
+      val single = BgpPlanner.query(st,
+        """select ?p ?d where {
+          | ?p worksFor ?d .
+          | values ?d { <dept:1> UNDEF } }""".stripMargin)
+        .collect().map(_.getAs[String]("p"))
+      assert(single.sorted.toSeq ==
+        Seq("prof:0", "prof:1", "prof:2", "prof:2"),
+        s"encoded=${st.encoded}")
     }
   }
 
