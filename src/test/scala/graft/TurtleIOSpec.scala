@@ -147,6 +147,52 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == expected && got.size == 2)
   }
 
+  test("round-trip: randomized grouped serialization parses back exactly") {
+    // deterministic pseudo-random graph serialized the way a canonical
+    // writer does — subject-grouped with ';' predicate lists and ','
+    // object lists, a mix of IRIs, escaped literals, and typed terms —
+    // must parse back to exactly the source set
+    val rnd = new scala.util.Random(7)
+    val preds = Seq("knows", "likes", "rates")
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val triples = (0 until 300).map { _ =>
+      val s = s"node:${rnd.nextInt(25)}"
+      val p = preds(rnd.nextInt(3))
+      val o = rnd.nextInt(4) match {
+        case 0 => Right(s"node:${rnd.nextInt(25)}") // iri
+        case 1 => Left(s"plain v${rnd.nextInt(8)} text") // literal w/ spaces
+        case 2 => Left(s"""esc "q${rnd.nextInt(4)}" \\ done""") // escapes
+        case 3 => Right("\"" + rnd.nextInt(50) + "\"^^<" + xsd + "integer>")
+      }
+      (s, p, o)
+    }.distinct
+    def lit(v: String) =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val text = "@prefix n: <node:> .\n@prefix xsd: <" + xsd + "> .\n" +
+      triples.groupBy(_._1).map { case (s, ts) =>
+        "n:" + s.stripPrefix("node:") + " " +
+          ts.groupBy(_._2).map { case (p, os) =>
+            s"<$p> " + os.map {
+              case (_, _, Right(o)) if o.startsWith("node:") =>
+                "n:" + o.stripPrefix("node:")
+              case (_, _, Right(typed)) =>
+                // already in decorated form; re-spell via xsd prefix
+                typed.replace("^^<" + xsd, "^^xsd:")
+                  .stripSuffix(">").replace("xsd:integer", "xsd:integer")
+              case (_, _, Left(v)) => lit(v)
+            }.mkString(" , ")
+          }.mkString(" ;\n  ") + " ."
+      }.mkString("\n") + "\n"
+    val got = TurtleIO.turtleDF(spark, write("rt.ttl", text)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expected = triples.map {
+      case (s, p, Right(o)) => (s, p, o)
+      case (s, p, Left(v)) => (s, p, v)
+    }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("statement chunking splits on the terminator, not on lines") {
     // one statement spanning four lines plus unspaced separators
     val ttl =
