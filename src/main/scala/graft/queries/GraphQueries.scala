@@ -180,39 +180,44 @@ object GraphQueries {
       "q194_triangle_count",
       (s, dir) => {
         import s.implicits._
-        val store = TripleStore.fromStarSchema(s, dir)
-        val ed = entityPreds.flatMap(store.slices.get)
-          .map(_.select($"s", $"o"))
-          .reduce(_ unionByName _)
-        val und = ed.filter($"s" =!= $"o")
-          .select(least($"s", $"o").as("u"), greatest($"s", $"o").as("v"))
-          .distinct()
-        val deg = und.select($"u".as("n")).unionByName(und.select($"v".as("n")))
-          .groupBy($"n").agg(count(lit(1)).as("d"))
-        val ranked = und
-          .join(deg.select($"n".as("u"), $"d".as("du")), Seq("u"))
-          .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
-        // und has u < v by construction, so the tie-break never needs id
-        val uFirst = $"du" < $"dv" || ($"du" === $"dv")
-        // ornt feeds three consumers (both wedge sides + the closing
-        // semi-join) and wedges two (its count + the semi-join) —
-        // persisted, or Spark re-derives the whole star-schema edge
-        // lineage per consumer (the registry sweep's #1 hotspot: the
-        // same distinct+degree joins rebuilt ~4x). The persisted sets
-        // are exactly the rows the joins must shuffle anyway: edges
-        // for ornt, the O(sum deg_ornt^2) wedge list the algorithm
-        // enumerates by design.
-        val ornt = ranked.select(
-          when(uFirst, $"u").otherwise($"v").as("a"),
-          when(uFirst, $"v").otherwise($"u").as("b"),
-          when(uFirst, $"dv").otherwise($"du").as("db"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val wedges = ornt.as("e1").join(ornt.as("e2"),
-            col("e1.a") === col("e2.a") &&
-              (col("e1.db") < col("e2.db") ||
-                (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
-          .select(col("e1.b").as("x"), col("e2.b").as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (ornt, wedges) = triMemo.getOrElseUpdate((s, dir), {
+          val store = TripleStore.fromStarSchema(s, dir)
+          val ed = entityPreds.flatMap(store.slices.get)
+            .map(_.select($"s", $"o"))
+            .reduce(_ unionByName _)
+          val und = ed.filter($"s" =!= $"o")
+            .select(least($"s", $"o").as("u"), greatest($"s", $"o").as("v"))
+            .distinct()
+          val deg = und.select($"u".as("n"))
+            .unionByName(und.select($"v".as("n")))
+            .groupBy($"n").agg(count(lit(1)).as("d"))
+          val ranked = und
+            .join(deg.select($"n".as("u"), $"d".as("du")), Seq("u"))
+            .join(deg.select($"n".as("v"), $"d".as("dv")), Seq("v"))
+          // und has u < v by construction: the tie-break never needs id
+          val uFirst = $"du" < $"dv" || ($"du" === $"dv")
+          // ornt feeds three consumers (both wedge sides + the closing
+          // semi-join) and wedges two (its count + the semi-join) —
+          // persisted, or Spark re-derives the whole star-schema edge
+          // lineage per consumer (the registry sweep's #1 hotspot: the
+          // same distinct+degree joins rebuilt ~4x). The persisted sets
+          // are exactly the rows the joins must shuffle anyway; the
+          // handles ride the bounded memo (unpersist on evict) so
+          // repeated invocations in a long-lived session reuse one
+          // pinned pair instead of leaking two blocks per call.
+          val o = ranked.select(
+            when(uFirst, $"u").otherwise($"v").as("a"),
+            when(uFirst, $"v").otherwise($"u").as("b"),
+            when(uFirst, $"dv").otherwise($"du").as("db"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val w = o.as("e1").join(o.as("e2"),
+              col("e1.a") === col("e2.a") &&
+                (col("e1.db") < col("e2.db") ||
+                  (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b"))))
+            .select(col("e1.b").as("x"), col("e2.b").as("y"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (o, w)
+        })
         val tri = wedges.join(ornt,
           $"x" === $"a" && $"y" === $"b", "left_semi")
         wedges.agg(count(lit(1)).as("n_wedges"))
@@ -445,6 +450,13 @@ object GraphQueries {
   // (LPA's 2 rounds, HITS' 4 passes, the two-hop projection) each
   // re-visit the edge relation several times per run — without the
   // cache every visit re-pays the 7-way distinct-union build.
+  // q194's persisted (ornt, wedges) pair, one per (session, dataset):
+  // eviction unpersists both handles
+  private val triMemo = new graft.tools.BoundedMemo[
+      (SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+    2, { case (a, b) => a.unpersist(); b.unpersist() })
+
   private val edgesDfCache =
     new graft.tools.BoundedMemo[(SparkSession, String), DataFrame](
       4, _.unpersist(blocking = false))
