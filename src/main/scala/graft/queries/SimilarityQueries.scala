@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * cosine is a single identical IEEE divide/sqrt on exact integers.
   */
 object SimilarityQueries {
+
+  // q81's persisted long-format embedding relation, one per
+  // (session, dataset): eviction unpersists
+  private val kmeansLongMemo = new graft.tools.BoundedMemo[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](2, _.unpersist())
   import Tables.t
 
   /** Embeddings with 4-decimal integer quantization + integer norm. */
@@ -431,11 +437,15 @@ object SimilarityQueries {
       "q81_kmeans_embed",
       (s, dir) => {
         import s.implicits._
-        val q = t(s, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("d", "e")))
-          .select($"vec_id", $"d",
-            floor($"e".cast("double") * 1000).cast("long").as("qv"))
-          .cache()
+        // the long-format quantized relation feeds every k-means
+        // iteration — memoized per (session, dataset) with
+        // unpersist-on-evict, not leaked per invocation
+        val q = kmeansLongMemo.getOrElseUpdate((s, dir),
+          t(s, dir, "embeddings")
+            .select($"vec_id", posexplode($"embedding").as(Seq("d", "e")))
+            .select($"vec_id", $"d",
+              floor($"e".cast("double") * 1000).cast("long").as("qv"))
+            .cache())
         val c0 = q.filter($"vec_id" < 8)
           .select($"vec_id".as("c"), $"d", $"qv".as("cv"))
         def assign(cent: DataFrame): DataFrame =
