@@ -224,6 +224,38 @@ object TripleStore {
   def writePartitioned(store: TripleStore, path: String): Unit =
     store.unionView.write.mode("overwrite").partitionBy("p").parquet(path)
 
+  /** Persist a store's whole DATASET: the default graph under
+    * `<path>/default` (p-partitioned — [[writePartitioned]]) and the
+    * named-graph quads under `<path>/quads`, parquet partitioned by
+    * `(g, p)` — the on-disk analog the quads relation's scaladoc
+    * promises: a GRAPH block with a constant graph term and constant
+    * predicate is DOUBLE partition pruning (one `g=...`/`p=...`
+    * directory), a variable-predicate dump of one graph prunes to its
+    * `g=...` subtree, and graph management ops (DROP/ADD/COPY/MOVE)
+    * move directory subtrees, not rows.
+    */
+  def writeDataset(store: TripleStore, path: String): Unit = {
+    writePartitioned(store, s"$path/default")
+    store.quads.foreach(q =>
+      q.select(col("s"), col("o"), col("g"), col("p"))
+        .write.mode("overwrite").partitionBy("g", "p")
+        .parquet(s"$path/quads"))
+  }
+
+  /** Load a dataset written by [[writeDataset]]: the default graph's
+    * slices dispatch by partition pruning, and GRAPH blocks filter the
+    * quads relation on its `(g, p)` partition columns — Catalyst turns
+    * both into `PartitionFilters` (ScaleSpec asserts the pruned scan).
+    */
+  def fromDatasetParquet(spark: SparkSession, path: String): TripleStore = {
+    val st = fromPartitionedParquet(spark, s"$path/default")
+    val quadPath = new org.apache.hadoop.fs.Path(s"$path/quads")
+    val fs = quadPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(quadPath)) st
+    else st.copy(quads = Some(spark.read.parquet(s"$path/quads")
+      .select(col("g"), col("s"), col("p"), col("o"))))
+  }
+
   /** Load a store from the partitioned layout. The predicate inventory
     * IS the partition-directory listing — one filesystem metadata read,
     * no parquet data scanned (ScaleSpec asserts zero records read) —

@@ -2190,7 +2190,31 @@ object BgpQueries {
       bgp("""select ?o ?n where {
             | ?o (custkey|suppliedby)/nationkey ?n }""".stripMargin,
         encoded = true),
-      Some(pathGroupOracle))
+      Some(pathGroupOracle)),
+
+    // persisted DATASET layout (round 10): the whole dataset — default
+    // graph p-partitioned, named-graph quads (g, p)-partitioned —
+    // round-trips through writeDataset/fromDatasetParquet, and the
+    // GRAPH query answers by DOUBLE partition pruning (one g=/p=
+    // directory; ScaleSpec pins the PartitionFilters). This is the
+    // at-scale shape of named graphs: graph management is directory
+    // manipulation, never a data-sized scan.
+    GQuery(
+      "q350_dataset_layout",
+      (s, dir) => {
+        val staged = graft.bgp.SparqlUpdate.applyAll(s,
+          TripleStore.fromTriples(nationTriples(s, dir)),
+          "ADD DEFAULT TO GRAPH <g:n>")
+        val out = java.nio.file.Files.createTempDirectory("graft-ds-q")
+          .toString
+        TripleStore.writeDataset(staged, out)
+        val onDisk = TripleStore.fromDatasetParquet(s, out)
+        BgpPlanner.query(onDisk,
+          """select ?n ?nm ?r where {
+            | graph <g:n> { ?n <name> ?nm . ?n <inregion> ?r } }"""
+            .stripMargin)
+      },
+      Some(turtleOracle))
   )
 
   private val pathGroupOracle =

@@ -556,6 +556,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("dataset layout: GRAPH blocks prune the quads scan on (g, p) partitions") {
+    import graft.bgp.{BgpPlanner, SparqlUpdate, TripleStore}
+    val base = TripleStore.fromTriples(spark.createDataFrame(
+      Seq(("a:1", "rel", "a:2"), ("a:2", "rel", "a:3"))).toDF("s", "p", "o"))
+    val withQuads = SparqlUpdate.applyAll(spark, base,
+      "INSERT DATA { GRAPH <g:x> { <b:1> <knows> <b:2> . " +
+        "<b:1> <likes> <b:3> } } ;\n" +
+        "INSERT DATA { GRAPH <g:y> { <b:9> <knows> <b:8> } }")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dataset").toString
+    TripleStore.writeDataset(withQuads, dir)
+    val onDisk = TripleStore.fromDatasetParquet(spark, dir)
+    // constant graph + constant predicate = double partition pruning
+    val df = BgpPlanner.query(onDisk,
+      "select ?s ?o where { graph <g:x> { ?s <knows> ?o } }")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "g#\\d+ = g:x".r.findFirstIn(plan).isDefined &&
+      "p#\\d+ = knows".r.findFirstIn(plan).isDefined,
+      s"expected (g, p) partition pruning on the quads scan:\n$plan")
+    assert(df.collect().map(r =>
+      (r.getAs[String]("s"), r.getAs[String]("o"))).toSet ==
+      Set(("b:1", "b:2")))
+    // the default graph loads alongside and still answers by pruning
+    assert(BgpPlanner.query(onDisk,
+      "select ?s ?o where { ?s <rel> ?o }").count() == 2)
+    // a variable-predicate dump of one graph prunes to its g= subtree
+    val dump = BgpPlanner.query(onDisk,
+      "select ?s ?p ?o where { graph <g:y> { ?s ?p ?o } }")
+    val dplan = dump.queryExecution.executedPlan.toString
+    assert("g#\\d+ = g:y".r.findFirstIn(dplan).isDefined,
+      s"expected g-pruned dump scan:\n$dplan")
+    assert(dump.collect().map(r => (r.getAs[String]("s"),
+      r.getAs[String]("p"), r.getAs[String]("o"))).toSet ==
+      Set(("b:9", "knows", "b:8")))
+  }
+
   test("fromTriples persist rides a bounded memo: repeated builds reuse " +
       "one handle, distinct builds evict instead of leaking") {
     import graft.bgp.TripleStore
