@@ -362,6 +362,48 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("VALUES tables with UNDEF equal a naive evaluator (25 random)") {
+    import spark.implicits._
+    // §10.2.2: a row restricts only on its bound cells; an UNDEF cell
+    // on a solution var is a wildcard, on a table-only var it stays
+    // unbound (null). Compared against a direct set-comprehension
+    // evaluator, over both encodings.
+    val rnd = new Random(90210L)
+    val ents = Vector("e0", "e1", "e2", "e3")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 25) {
+      val triples = Seq.fill(4 + rnd.nextInt(8))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val predName = preds(rnd.nextInt(preds.size))
+      val pat = TriplePattern(Var("X"), Const(predName), Var("Y"))
+      val rows = Seq.fill(1 + rnd.nextInt(4))(Seq(
+        rnd.nextInt(3) match {
+          case 0 => null
+          case 1 => ents(rnd.nextInt(ents.size))
+          case _ => s"ghost$round"
+        },
+        if (rnd.nextBoolean()) null else s"tag${rnd.nextInt(3)}"))
+      val q = BgpQuery(Seq("X", "Y", "T"), Seq(pat),
+        valuesTables = Seq((Seq("X", "T"), rows)))
+      val sols = triples.collect { case (s, p, o) if p == predName => (s, o) }
+      val expected = (for {
+        (x, y) <- sols
+        r <- rows
+        if r(0) == null || r(0) == x
+      } yield Seq[Any](x, y, r(1)))
+        .sortBy(_.mkString("|")).toSeq
+      val str = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      for (st <- Seq(str, TripleStore.encode(str))) {
+        val got = BgpPlanner.plan(st, q).select("X", "Y", "T")
+          .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+        assert(got == expected,
+          s"round $round enc=${st.encoded}: rows=$rows over $triples\n" +
+            s"$got\nvs\n$expected")
+      }
+    }
+  }
+
   test("sequence paths and negated sets equal brute force (30 random)") {
     import spark.implicits._
     val rnd = new Random(1080912L)
