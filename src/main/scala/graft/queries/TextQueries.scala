@@ -2577,14 +2577,14 @@ object TextQueries {
           .filter($"n_draws" > 0)
       },
       Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-             |    coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+             |    CAST(coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
              |      ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS cprev
+             |      AS BIGINT) AS cprev
              |  FROM documents),
              |t AS (SELECT CAST(sum(w) AS BIGINT) // 20 AS step FROM d)
              |SELECT doc_id, w,
-             |  (cprev + w) // step - cprev // step AS n_draws
+             |  CAST((cprev + w) // step - cprev // step AS BIGINT) AS n_draws
              |FROM d, t
              |WHERE (cprev + w) // step - cprev // step > 0""".stripMargin))
   )
