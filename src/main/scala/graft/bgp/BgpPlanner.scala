@@ -412,6 +412,32 @@ object BgpPlanner {
     * VALUES constraint into a remote endpoint's query, so a selective
     * outer pattern never pulls the full remote relation.
     */
+  /** Variables that bind ID-ENCODED columns somewhere in the query on
+    * an encoded store: s/o of every triple pattern (main BGP,
+    * OPTIONAL, UNION branches, MINUS, EXISTS blocks, GRAPH-block
+    * patterns), GRAPH terms, variable-view predicates of non-GRAPH
+    * patterns (the union view's `p` is xxhash64 of the name), and —
+    * recursively — a sub-SELECT's id positions restricted to its
+    * projection. GRAPH-block p-vars are NOT here: they bind the quads
+    * relation's lexical `p`, which is precisely why sharing a name
+    * with any of these positions is a loud error (lexical ⋈ id matches
+    * nothing).
+    */
+  private def idSpaceVars(q: BgpQuery): Set[String] = {
+    val tps = q.patterns ++ q.optionals.flatten ++
+      q.unions.flatten.flatten ++ q.minuses.flatten ++
+      q.existsFilters.flatMap(_._2)
+    val so = (tps ++ q.graphBlocks.flatMap(_._2))
+      .flatMap(tp => Seq(tp.s, tp.o)).collect { case Var(n) => n }
+    val pv = tps.map(_.p).collect { case Var(n) => n }
+    val g = q.graphBlocks.map(_._1).collect { case Var(n) => n }
+    val sub = q.subqueries.flatMap { s =>
+      val ids = idSpaceVars(s)
+      if (s.select.nonEmpty) ids.intersect(s.select.toSet) else ids
+    }
+    (so ++ pv ++ g ++ sub).toSet
+  }
+
   /** Store-form encoding of a query CONSTANT: lexical on string
     * stores, xxhash64 on hash-id stores, and on SEQUENTIAL stores one
     * bounded dict probe per distinct constant at plan time (cached —
@@ -922,6 +948,12 @@ object BgpPlanner {
     // column, and because every scan of the block keeps that column,
     // the block's natural joins implicitly require all patterns to
     // match within the SAME graph.
+    //
+    // On an ENCODED store, every variable below computes against the
+    // guard: quad p-vars bind lexical strings while s/o/g (and main-BGP
+    // variable-view p-vars, which bind xxhash ids) are id-encoded —
+    // [[idSpaceVars]] enumerates the id positions QUERY-WIDE so a
+    // shared name is rejected loudly instead of silently joining empty.
     val graphDfs = q.graphBlocks.map { case (gterm, pats) =>
       val quads = store.quads.getOrElse(throw new IllegalArgumentException(
         "query uses GRAPH but the store has no named graphs"))
@@ -933,15 +965,18 @@ object BgpPlanner {
             // variable predicate: the quads relation's `p` is LEXICAL
             // on every encoding (only s/o/g carry ids), so the binding
             // is marked lexical and skips the result-edge dict decode.
-            // A p-var shared with an id-space position would compare
-            // lexical to id — reject loudly rather than silently match
-            // nothing.
+            // A p-var shared with an id-space position ANYWHERE in the
+            // query — this pattern, a sibling pattern in the same
+            // block, the main BGP, a union branch, a sub-SELECT — would
+            // equi-join lexical strings against id bigints (Spark's
+            // implicit cast silently matches nothing); reject loudly
+            // query-wide instead.
             if (store.encoded) {
-              val idVars = (Seq(tp.s, tp.o) ++ Seq(gterm))
-                .collect { case Var(n) => n }
-              require(!idVars.contains(v.name),
-                s"GRAPH pattern repeats ?${v.name} across the predicate " +
-                  "and an id-encoded position on an encoded store")
+              require(!idSpaceVars(q).contains(v.name),
+                s"GRAPH pattern binds ?${v.name} as a lexical predicate " +
+                  "but the variable also occurs in an id-encoded " +
+                  "position elsewhere in the query — rename one (an " +
+                  "encoded store cannot join lexical predicates to ids)")
               lexical += v.name
             }
             (quads, Seq("p" -> (v: Term)))

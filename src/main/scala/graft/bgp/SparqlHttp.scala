@@ -85,7 +85,8 @@ object SparqlHttp {
   val MaxResponseBytes: Long = 64L * 1024 * 1024
 
   private[graft] def fetch(endpoint: String, query: String,
-      maxBytes: Long = MaxResponseBytes): String = {
+      maxBytes: Long = MaxResponseBytes,
+      accept: String = "application/sparql-results+json"): String = {
     val enc = java.net.URLEncoder.encode(query, "UTF-8")
     val builder =
       if (enc.length <= MaxGetQueryBytes)
@@ -97,7 +98,7 @@ object SparqlHttp {
           .POST(java.net.http.HttpRequest.BodyPublishers
             .ofString("query=" + enc))
     val req = builder
-      .header("Accept", "application/sparql-results+json")
+      .header("Accept", accept)
       .timeout(java.time.Duration.ofSeconds(30)).build()
     val resp = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
@@ -127,7 +128,7 @@ object SparqlHttp {
   /** `application/sparql-results+json` → (vars, rows) in canonical
     * stored-form spellings; unbound = null.
     */
-  private[bgp] def parse(json: String): (Seq[String], Seq[Seq[String]]) = {
+  private[graft] def parse(json: String): (Seq[String], Seq[Seq[String]]) = {
     import scala.jdk.CollectionConverters._
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val vars = root.path("head").path("vars").elements().asScala
@@ -146,11 +147,62 @@ object SparqlHttp {
                 if (dt.nonEmpty) Sparql.canonTyped(value, dt)
                 else if (lang.nonEmpty) Sparql.canonLang(value, lang)
                 else value
-              case _ => value // uri / bnode pass through
+              // the protocol strips the _: prefix from bnode labels;
+              // restore the stored-form spelling
+              case "bnode" => "_:" + value
+              case _ => value // uri passes through
             }
           }
         }
       }.toSeq
+    (vars, rows)
+  }
+
+  /** `application/sparql-results+xml` → (vars, rows) in canonical
+    * stored-form spellings; unbound = null. The symmetric twin of
+    * [[parse]] for endpoints (or clients) that default to the XML
+    * results format — the oldest of the W3C result serializations.
+    */
+  private[graft] def parseXml(xml: String): (Seq[String], Seq[Seq[String]]) = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    def elems(parent: org.w3c.dom.Node, name: String)
+        : Seq[org.w3c.dom.Element] = {
+      val kids = parent.getChildNodes
+      (0 until kids.getLength).map(kids.item).collect {
+        case e: org.w3c.dom.Element if e.getLocalName == name ||
+          e.getTagName == name => e
+      }
+    }
+    val root = doc.getDocumentElement
+    val vars = elems(root, "head").flatMap(elems(_, "variable"))
+      .map(_.getAttribute("name"))
+    val rows = elems(root, "results").flatMap(elems(_, "result")).map { res =>
+      val bound = elems(res, "binding").flatMap { b =>
+        val name = b.getAttribute("name")
+        val kids = b.getChildNodes
+        (0 until kids.getLength).map(kids.item).collectFirst {
+          case e: org.w3c.dom.Element =>
+            val text = e.getTextContent
+            (e.getLocalName match {
+              case null => e.getTagName
+              case ln => ln
+            }) match {
+              case "uri" => name -> text
+              case "bnode" => name -> ("_:" + text)
+              case "literal" =>
+                val dt = e.getAttribute("datatype")
+                val lang = e.getAttribute("xml:lang")
+                if (dt.nonEmpty) name -> Sparql.canonTyped(text, dt)
+                else if (lang.nonEmpty) name -> Sparql.canonLang(text, lang)
+                else name -> text
+              case _ => name -> text
+            }
+        }
+      }.toMap
+      vars.map(bound.getOrElse(_, null))
+    }
     (vars, rows)
   }
 

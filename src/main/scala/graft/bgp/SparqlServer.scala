@@ -56,10 +56,15 @@ object SparqlServer {
     * endpoint's mutable state is exactly this one reference).
     */
   final class Handle private[SparqlServer] (
-      server: HttpServer, path: String,
+      server: HttpServer, advertised: String,
       ref: java.util.concurrent.atomic.AtomicReference[TripleStore]) {
     def port: Int = server.getAddress.getPort
-    def endpoint: String = s"http://localhost:$port$path"
+    /** The dereferenceable endpoint IRI — derived from the actual bind
+      * address (or the deployer's `externalUrl`), never a hardcoded
+      * localhost, so remote clients resolving `sd:endpoint` reach the
+      * server.
+      */
+    def endpoint: String = advertised
     def store: TripleStore = ref.get()
     def stop(): Unit = server.stop(0)
   }
@@ -183,6 +188,67 @@ object SparqlServer {
     om.writeValueAsString(root)
   }
 
+  private def xmlEsc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  /** SPARQL Query Results XML Format (W3C REC rdf-sparql-XMLres) —
+    * the oldest results format and still many clients' default
+    * `Accept`; negotiated alongside JSON/CSV/TSV.
+    */
+  private[graft] def answerXml(store: TripleStore, query: String,
+      maxRows: Int): String = {
+    val (vars, rows) = solutions(store, query, maxRows)
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\"?>\n"
+    sb ++= "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n"
+    sb ++= "  <head>\n"
+    vars.foreach(v => sb ++= s"""    <variable name="${xmlEsc(v)}"/>\n""")
+    sb ++= "  </head>\n  <results>\n"
+    rows.foreach { r =>
+      sb ++= "    <result>\n"
+      vars.zipWithIndex.foreach { case (v, i) =>
+        if (!r.isNullAt(i)) {
+          sb ++= s"""      <binding name="${xmlEsc(v)}">"""
+          String.valueOf(r.get(i)) match {
+            case typedRe(lex, dt) =>
+              sb ++= s"""<literal datatype="${xmlEsc(dt)}">""" +
+                xmlEsc(lex) + "</literal>"
+            case langRe(lex, tag) =>
+              sb ++= s"""<literal xml:lang="${xmlEsc(tag)}">""" +
+                xmlEsc(lex) + "</literal>"
+            case b if b.startsWith("_:") =>
+              sb ++= "<bnode>" + xmlEsc(b.drop(2)) + "</bnode>"
+            case u if u.matches(iriRe) =>
+              sb ++= "<uri>" + xmlEsc(u) + "</uri>"
+            case lit =>
+              sb ++= "<literal>" + xmlEsc(lit) + "</literal>"
+          }
+          sb ++= "</binding>\n"
+        }
+      }
+      sb ++= "    </result>\n"
+    }
+    sb ++= "  </results>\n</sparql>\n"
+    sb.toString
+  }
+
+  /** `ASK` in the XML results format: `<boolean>` replaces
+    * `<results>`.
+    */
+  private[graft] def answerAskXml(store: TripleStore, query: String)
+      : String = {
+    val b = BgpPlanner.ask(store, query).collect()(0).getBoolean(0)
+    "<?xml version=\"1.0\"?>\n" +
+      "<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">\n" +
+      s"  <head/>\n  <boolean>$b</boolean>\n</sparql>\n"
+  }
+
   /** `CONSTRUCT`/`DESCRIBE` over the protocol: an RDF graph, rendered
     * N-Triples.
     */
@@ -212,7 +278,11 @@ object SparqlServer {
       (answerGraph(BgpPlanner.describe(store, q), maxRows),
         "application/n-triples")
     case q if askFormRe.pattern.matcher(q).matches() =>
-      (answerAsk(store, q), "application/sparql-results+json")
+      if (accept.contains("application/sparql-results+xml"))
+        (answerAskXml(store, q), "application/sparql-results+xml")
+      else (answerAsk(store, q), "application/sparql-results+json")
+    case q if accept.contains("application/sparql-results+xml") =>
+      (answerXml(store, q, maxRows), "application/sparql-results+xml")
     case q if accept.contains("text/csv") =>
       (answerCsv(store, q, maxRows), "text/csv")
     case q if accept.contains("text/tab-separated-values") =>
@@ -271,12 +341,26 @@ object SparqlServer {
     */
   def serve(store: TripleStore, port: Int = 0, path: String = "/sparql",
       maxRows: Int = MaxResponseRows,
-      bindAddress: InetAddress = InetAddress.getLoopbackAddress): Handle = {
+      bindAddress: InetAddress = InetAddress.getLoopbackAddress,
+      externalUrl: Option[String] = None): Handle = {
     // loopback by DEFAULT: an unauthenticated endpoint that evaluates
     // arbitrary queries (including SERVICE blocks that trigger
     // outbound fetches from this host) must not bind 0.0.0.0 unless
     // the deployer passes a network address deliberately.
     val server = HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
+    // the ADVERTISED endpoint (Handle.endpoint, sd:endpoint) derives
+    // from the actual bind address — a non-loopback bind advertises an
+    // IRI remote clients can dereference; behind a proxy/DNS the
+    // deployer passes externalUrl and that wins verbatim
+    val advertised = externalUrl.getOrElse {
+      val host =
+        if (bindAddress.isLoopbackAddress) "localhost"
+        else if (bindAddress.isAnyLocalAddress)
+          try InetAddress.getLocalHost.getHostAddress
+          catch { case _: java.net.UnknownHostException => "localhost" }
+        else bindAddress.getHostAddress
+      s"http://$host:${server.getAddress.getPort}$path"
+    }
     val ref = new java.util.concurrent.atomic.AtomicReference(store)
     // updates serialize: SPARQL Update request semantics are
     // one-at-a-time against the then-current dataset (stores are
@@ -304,8 +388,7 @@ object SparqlServer {
                 // SPARQL 1.1 Service Description: a bare GET answers
                 // with the discovery graph — endpoint capabilities in
                 // Turtle, the spec's conneg-free default
-                val ep = s"http://localhost:${server.getAddress.getPort}$path"
-                (200, serviceDescription(ep), "text/turtle")
+                (200, serviceDescription(advertised), "text/turtle")
             }
           } catch {
             case e: IllegalArgumentException =>
@@ -418,7 +501,7 @@ object SparqlServer {
       }
     })
     server.start()
-    new Handle(server, path, ref)
+    new Handle(server, advertised, ref)
   }
 
   private final class PayloadTooLarge(msg: String)
@@ -438,8 +521,8 @@ object SparqlServer {
        |  sd:endpoint <$endpoint> ;
        |  sd:supportedLanguage sd:SPARQL11Query , sd:SPARQL11Update ;
        |  sd:resultFormat formats:SPARQL_Results_JSON ,
-       |    formats:SPARQL_Results_CSV , formats:SPARQL_Results_TSV ,
-       |    formats:N-Triples ;
+       |    formats:SPARQL_Results_XML , formats:SPARQL_Results_CSV ,
+       |    formats:SPARQL_Results_TSV , formats:N-Triples ;
        |  sd:feature sd:BasicFederatedQuery .
        |""".stripMargin
   }

@@ -185,11 +185,27 @@ object TripleStore {
     * must not share a handle), so rebuilding the same scoped view
     * reuses the persisted handle and LRU eviction unpersists the
     * displaced one instead of leaking it.
+    *
+    * Same-path reload semantics: a FILE-BACKED plan's canonicalized
+    * form snapshots the file listing at read time, so re-reading a
+    * path after its files were overwritten produces a NEW key and a
+    * fresh scan (ScaleSpec pins this — no stale serve). Staleness is
+    * only possible when the caller re-submits the IDENTICAL plan
+    * (same DataFrame / same file snapshot), where returning the
+    * persisted rows is the memo working as designed. For explicit
+    * lifecycle control (long sessions, bulk unpersist),
+    * [[invalidateSourceCache]] drops the whole memo.
     */
   private val sourceMemo = new graft.tools.BoundedMemo[
       (SparkSession, Seq[String],
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
       DataFrame](16, _.unpersist())
+
+  /** Invalidate every memoized [[fromTriples]] source persist — the
+    * refresh hook for same-path reloads (files overwritten behind a
+    * previously loaded plan). Unpersists each displaced handle.
+    */
+  def invalidateSourceCache(): Unit = sourceMemo.clear()
 
   def fromTriples(df0: DataFrame): TripleStore = {
     // persist the source ONCE per distinct plan (via [[sourceMemo]]):

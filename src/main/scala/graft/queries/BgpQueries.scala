@@ -2214,6 +2214,141 @@ object BgpQueries {
             | graph <g:n> { ?n <name> ?nm . ?n <inregion> ?r } }"""
             .stripMargin)
       },
+      Some(turtleOracle)),
+
+    // RDF 1.1 Turtle rich forms (round 11): the three forms real dumps
+    // use that round 10's subset dropped — bracket property lists
+    // (desugared to fresh deterministic blank nodes), collections
+    // (rdf:first/rdf:rest chains), and triple-quoted long literals
+    // (here carrying an embedded quote that must round-trip the
+    // store's canonical spelling). The fixture nests each nation's
+    // region membership and label inside a bracket node and its tag
+    // inside a collection; the query walks the desugared structure
+    // back out — blank labels join internally, only IRIs/literals
+    // surface. Parse stays statement-parallel: every desugaring is
+    // chunk-local.
+    GQuery(
+      "q351_turtle_rich_forms",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = java.nio.file.Files.createTempDirectory("graft-ttl-rich")
+          .toString
+        val stmts = graft.Tables.t(s, dir, "nation").select(
+          concat(lit("n:"), col("n_nationkey"),
+            lit(" <meta> [ <inregion> r:"), col("n_regionkey"),
+            lit(" ; <label> \"\"\""), col("n_name"),
+            lit(" \"q\"\"\"\" ] ; <tags> (\"tag"), col("n_nationkey"),
+            lit("\" \"x\") .")).as("value"))
+        val header = s.createDataFrame(Seq(
+          Tuple1("@prefix n: <nation:> ."), Tuple1("@prefix r: <region:> .")))
+          .toDF("value")
+        header.unionByName(stmts).write.mode("overwrite").text(out)
+        val st = graft.sources.TurtleIO.readTurtle(s, out)
+        BgpPlanner.query(st,
+          """select ?n ?r ?nm ?t where {
+            | ?n <meta> ?b .
+            | ?b <inregion> ?r .
+            | ?b <label> ?nm .
+            | ?n <tags> ?c .
+            | ?c <http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?t }"""
+            .stripMargin)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('region:', n_regionkey) AS r,
+             |  concat(n_name, ' "q"') AS nm,
+             |  concat('tag', n_nationkey) AS t FROM nation""".stripMargin)),
+
+    // Turtle ingest AUDIT (round 11): malformed statements are
+    // accounted, not silently dropped — the q180/q204 discipline
+    // (JSONL/CSV corrupt-row isolation) applied to RDF ingest. The
+    // fixture plants three differently broken statements (missing
+    // object, unclosed quote, trailing junk) among the nation
+    // statements; the audit relation carries one quarantine row per
+    // bad statement and the query pins both counts. At 100 TB this
+    // one-row aggregate is the difference between a data-quality
+    // incident and a monitored drop rate.
+    GQuery(
+      "q352_turtle_ingest_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = java.nio.file.Files.createTempDirectory("graft-ttl-aud")
+          .toString
+        val stmts = graft.Tables.t(s, dir, "nation").select(
+          concat(lit("n:"), col("n_nationkey"),
+            lit(" <name> \""), col("n_name"),
+            lit("\" ; <inregion> r:"), col("n_regionkey"), lit(" ."))
+            .as("value"))
+        val bad = s.createDataFrame(Seq(
+          Tuple1("@prefix n: <nation:> ."), Tuple1("@prefix r: <region:> ."),
+          Tuple1("n:900 <name> ."),
+          Tuple1("n:901 <name> \"unclosed ."),
+          Tuple1("n:902 <name> \"ok\" junk ."))).toDF("value")
+        bad.unionByName(stmts).write.mode("overwrite").text(out)
+        graft.sources.TurtleIO.turtleAudit(s, out)
+          .agg(count(when(col("bad").isNull, 1)).as("n_triples"),
+            count(col("bad")).as("n_malformed"))
+      },
+      Some("""SELECT CAST(count(*) * 2 AS BIGINT) AS n_triples,
+             |  CAST(3 AS BIGINT) AS n_malformed FROM nation""".stripMargin)),
+
+    // N-Quads source → persisted dataset layout (round 11): the quad
+    // format real named-graph corpora ship in, read straight into the
+    // dataset shape — default-graph lines build the vertical slices,
+    // graph-labeled lines the quads relation — then round-tripped
+    // through writeDataset/fromDatasetParquet so the GRAPH block
+    // answers by (g, p) double partition pruning. Closes the
+    // one-LOAD-per-graph gap: populating a many-graph dataset is ONE
+    // splittable line scan.
+    GQuery(
+      "q353_nquads_dataset",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-nq")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        val lines = nat.select(
+          concat(lit("<nation:"), col("n_nationkey"),
+            lit("> <name> \""), col("n_name"), lit("\" ."))
+            .as("value"))
+          .unionByName(nat.select(
+            concat(lit("<nation:"), col("n_nationkey"),
+              lit("> <inregion> <region:"), col("n_regionkey"),
+              lit("> <g:r> .")).as("value")))
+        lines.write.mode("overwrite").text(s"$tmp/in")
+        val st = graft.sources.RdfIO.readNQuads(s, s"$tmp/in")
+        TripleStore.writeDataset(st, s"$tmp/ds")
+        val onDisk = TripleStore.fromDatasetParquet(s, s"$tmp/ds")
+        BgpPlanner.query(onDisk,
+          """select ?n ?nm ?r where {
+            | ?n <name> ?nm .
+            | graph <g:r> { ?n <inregion> ?r } }""".stripMargin)
+      },
+      Some(turtleOracle)),
+
+    // CRLF + unspaced-terminator Turtle (round 11): the two dump
+    // spellings the round-10 reader silently zero-rowed on — the
+    // statement terminator is probed from the first file's head bytes
+    // (one bounded read), so a `\r\n` dump with `o.` terminators
+    // splits and parses identically to the canonical `" .\n"` form.
+    GQuery(
+      "q354_turtle_crlf_unspaced",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = java.nio.file.Files.createTempDirectory("graft-ttl-crlf")
+          .toString
+        val stmts = graft.Tables.t(s, dir, "nation").select(
+          concat(lit("n:"), col("n_nationkey"),
+            lit(" <name> \""), col("n_name"),
+            lit("\" ; <inregion> r:"), col("n_regionkey"), lit(".\r"))
+            .as("value"))
+        val header = s.createDataFrame(Seq(
+          Tuple1("@prefix n: <nation:>.\r"),
+          Tuple1("@prefix r: <region:>.\r"))).toDF("value")
+        header.unionByName(stmts).write.mode("overwrite").text(out)
+        val st = graft.sources.TurtleIO.readTurtle(s, out)
+        BgpPlanner.query(st,
+          "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
+      },
       Some(turtleOracle))
   )
 

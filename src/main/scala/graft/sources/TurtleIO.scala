@@ -1,7 +1,9 @@
 package graft.sources
 
 import graft.bgp.{Sparql, TripleStore}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 /** Distributed Turtle (RDF 1.1 TTL) ingest — the dump format real RDF
   * corpora actually ship in (the reference's RDF-3X toolchain loads
@@ -12,12 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale shape (the part that matters at 100 TB):
   *
   *  - STATEMENTS are the unit of distribution, not lines. The text
-  *    scan splits on the statement terminator (`" .\n"` — Hadoop's
-  *    delimited record reader makes this splittable, so a 1 TB dump
-  *    fans out across executors with no driver parsing), and each
-  *    chunk parses independently in a `flatMap`: predicate lists
-  *    (`;`), object lists (`,`), and multi-line statements all stay
-  *    inside one record.
+  *    scan splits on the statement terminator — Hadoop's delimited
+  *    record reader makes this splittable, so a 1 TB dump fans out
+  *    across executors with no driver parsing — and each chunk parses
+  *    independently in a `mapPartitions`: predicate lists (`;`),
+  *    object lists (`,`), bracket property lists, collections, and
+  *    multi-line statements all stay inside one record. The
+  *    terminator spelling (spaced/unspaced dot, LF/CRLF) is probed
+  *    once from the first file's head bytes — a schema-sized read —
+  *    so both `ex:o .` and `ex:o.` dumps split correctly; a chunk
+  *    that still contains interior ` . ` separators (several
+  *    statements on one line) is token-split executor-side.
   *  - DIRECTIVES are schema-sized. `@prefix`/`@base` (and SPARQL-style
   *    `PREFIX`/`BASE`) lines are collected once, bounded by
   *    [[MaxPrefixes]] with a loud over-cap failure — the same
@@ -30,17 +37,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    detectable distributedly without an ordered scan — documented
   *    subset, not silent wrongness: redefinitions are detected at
   *    collect time and fail loudly.
+  *  - MALFORMED statements are ACCOUNTED, not silently dropped:
+  *    [[turtleAudit]] returns the [[DocIO]]-style single relation
+  *    `(s, p, o, bad)` where a good triple carries `bad = null` and a
+  *    malformed statement carries one quarantine row (`bad` = a
+  *    bounded snippet) — the shape survives column pruning, so
+  *    `turtleDF` (which filters to the good rows) costs nothing
+  *    extra, and an ingest audit is one `count` away.
   *
   * Supported surface: prefixed names, `a` → rdf:type, IRIs (resolved
-  * against `@base` when relative), blank-node labels (`_:b`, opaque),
-  * string literals with `^^dt` / `@lang` suffixes (canonicalized via
-  * [[graft.bgp.Sparql.canonTyped]]/[[graft.bgp.Sparql.canonLang]] so
-  * ingested terms and query constants meet on one spelling), bare
-  * numeric / boolean literals (typed per Turtle §2.5.2), and `;`/`,`
-  * lists. Out of scope (documented, dropped as malformed): anonymous
-  * bracket nodes `[...]`, collections `(...)`, and triple-quoted
-  * multi-line literals — canonical dump serializers emit none of
-  * these in the default statement-per-subject layout.
+  * against `@base` per RFC 3986), blank-node labels (`_:b`, opaque),
+  * anonymous bracket nodes `[ p o ; … ]` (desugared to fresh blank
+  * nodes; labels are deterministic per (file, partition, chunk,
+  * statement) so re-evaluation yields identical rows), collections
+  * `( e1 e2 … )` (desugared to rdf:first/rdf:rest chains, `()` →
+  * rdf:nil), string literals in all four quotation forms (`"…"`,
+  * `'…'`, `"""…"""`, `'''…'''`) with `^^dt` / `@lang` suffixes
+  * (canonicalized via [[graft.bgp.Sparql.canonTyped]]/
+  * [[graft.bgp.Sparql.canonLang]] so ingested terms and query
+  * constants meet on one spelling), bare numeric / boolean literals
+  * (typed per Turtle §2.5.2), and `;`/`,` lists. Remaining boundary
+  * (documented, LOUD — the statement lands in the quarantine column,
+  * never a silent drop): a long literal whose CONTENT contains the
+  * probed statement terminator tears its chunk (delimiter-based
+  * splitting cannot see quoting); the torn fragments fail to parse
+  * and are counted.
   */
 object TurtleIO {
 
@@ -49,7 +70,11 @@ object TurtleIO {
     */
   val MaxPrefixes = 10000
 
-  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RdfType = RdfNs + "type"
+  private val RdfFirst = RdfNs + "first"
+  private val RdfRest = RdfNs + "rest"
+  private val RdfNil = RdfNs + "nil"
 
   private val prefixLine =
     """(?i)^\s*(?:@prefix|prefix)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.?\s*$""".r
@@ -60,8 +85,20 @@ object TurtleIO {
   def readTurtle(spark: SparkSession, path: String): TripleStore =
     TripleStore.fromTriples(turtleDF(spark, path))
 
-  /** The parsed `(s, p, o)` relation of a Turtle file. */
-  def turtleDF(spark: SparkSession, path: String): DataFrame = {
+  /** The parsed `(s, p, o)` relation of a Turtle file (malformed
+    * statements dropped — use [[turtleAudit]] when the drop count
+    * matters, which at corpus scale it does).
+    */
+  def turtleDF(spark: SparkSession, path: String): DataFrame =
+    turtleAudit(spark, path).where(col("bad").isNull).select("s", "p", "o")
+
+  /** The audited parse: `(s, p, o, bad)` — triples carry `bad = null`;
+    * each malformed statement carries ONE row with null terms and a
+    * bounded snippet in `bad`. Mirrors [[DocIO]]'s corrupt-row
+    * isolation so RDF ingest surfaces its drop rate like the corpus
+    * readers do.
+    */
+  def turtleAudit(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     // pass 1 — directives: a distributed line scan, collected bounded
     // (they are schema metadata, like the predicate inventory)
@@ -93,80 +130,271 @@ object TurtleIO {
     val pmap = prefixes.toMap
     val baseIri = base
 
-    // pass 2 — statements: split the scan on the statement terminator
-    // and parse each chunk executor-side against the broadcast map
-    spark.read.option("lineSep", " .\n").textFile(path)
-      .flatMap(chunk => parseChunk(chunk, pmap, baseIri))
-      .toDF("s", "p", "o")
+    // pass 2 — statements: split the scan on the probed statement
+    // terminator and parse each chunk executor-side against the
+    // broadcast map
+    chunkedParse(
+      spark.read.option("lineSep", probeSep(spark, path)).text(path),
+      pmap, baseIri)
   }
 
   /** STREAMING Turtle ingest — incremental corpus loading: dump files
     * land in `path` and each micro-batch parses the new statements
     * into `(s, p, o)` rows. Directives cannot be collected from an
     * unbounded stream, so the prefix map and base are PARAMETERS (a
-    * deployment's dump prefixes are fixed configuration); directive
-    * lines inside arriving files are still stripped per chunk. Compose
-    * with a parquet sink partitioned by `p` and the result IS the
-    * store's on-disk vertical layout — streaming load straight into
-    * the shape [[graft.bgp.TripleStore.fromPartitionedParquet]] reads
-    * (the `AvailableNow` trigger makes it a one-shot incremental
-    * loader; a continuous trigger makes it a live feed).
+    * deployment's dump prefixes are fixed configuration), as is the
+    * statement terminator (head-probing is a batch affordance);
+    * directive lines inside arriving files are still stripped per
+    * chunk. Compose with a parquet sink partitioned by `p` and the
+    * result IS the store's on-disk vertical layout — streaming load
+    * straight into the shape
+    * [[graft.bgp.TripleStore.fromPartitionedParquet]] reads (the
+    * `AvailableNow` trigger makes it a one-shot incremental loader; a
+    * continuous trigger makes it a live feed).
     */
   def turtleStream(spark: SparkSession, path: String,
       prefixes: Map[String, String] = Map.empty,
-      base: Option[String] = None): DataFrame = {
+      base: Option[String] = None,
+      lineSep: String = " .\n"): DataFrame =
+    turtleStreamAudit(spark, path, prefixes, base, lineSep)
+      .where(col("bad").isNull).select("s", "p", "o")
+
+  /** The audited streaming parse — same `(s, p, o, bad)` relation as
+    * [[turtleAudit]]; route `bad IS NOT NULL` to a quarantine sink for
+    * live drop-rate monitoring.
+    */
+  def turtleStreamAudit(spark: SparkSession, path: String,
+      prefixes: Map[String, String] = Map.empty,
+      base: Option[String] = None,
+      lineSep: String = " .\n"): DataFrame =
+    chunkedParse(spark.readStream.option("lineSep", lineSep).text(path),
+      prefixes, base)
+
+  /** The shared batch/stream chunk pipeline: blank-node labels derive
+    * from (file, partition, chunk index) — deterministic under
+    * re-evaluation, unique across files and micro-batches.
+    */
+  private def chunkedParse(chunks: DataFrame, pmap: Map[String, String],
+      baseIri: Option[String]): DataFrame = {
+    val spark = chunks.sparkSession
     import spark.implicits._
-    spark.readStream.option("lineSep", " .\n").text(path)
-      .as[String]
-      .flatMap(chunk => parseChunk(chunk, prefixes, base))
-      .toDF("s", "p", "o")
+    chunks.select(col("value"), input_file_name().as("f"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.zipWithIndex.flatMap { case ((chunk, f), i) =>
+          parseChunkAudited(chunk, pmap, baseIri,
+            "f" + java.lang.Long.toHexString(fnv64(f)) + "p" + pid + "c" + i)
+        }
+      }
+      .toDF("s", "p", "o", "bad")
   }
 
-  /** Parse one terminator-delimited chunk into its triples; malformed
-    * chunks yield nothing (the [[RdfIO.ntriplesDF]] discipline — count
-    * against the source if strictness is needed).
+  /** FNV-1a 64-bit over a string — the blank-label file discriminator
+    * (collisions need two distinct file paths hashing equal).
+    */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Probe the head of the first data file for the dump's statement
+    * terminator spelling: spaced (`" ."`) vs unspaced (`"."`) dot,
+    * LF vs CRLF. One bounded read (64 KiB) of one file — serializers
+    * are consistent within a dump, so the head decides for the corpus.
+    * Preference order guards against tearing: a spaced match wins over
+    * unspaced (every `" .\n"` also contains `".\n"`, and the unspaced
+    * split tears long literals on sentence-final line breaks).
+    */
+  private[sources] def probeSep(spark: SparkSession, path: String): String = {
+    val default = " .\n"
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val roots = Option(fs.globStatus(hp)).filter(_.nonEmpty)
+        .getOrElse(Array(fs.getFileStatus(hp)))
+      val file = roots.iterator.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).iterator
+        else Iterator(st)
+      }.find(st => st.isFile && { val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && st.getLen > 0 })
+      file match {
+        case None => default
+        case Some(st) =>
+          val in = fs.open(st.getPath)
+          val buf = new Array[Byte](65536)
+          val n = try {
+            var off = 0
+            var r = 0
+            while (off < buf.length && r >= 0) {
+              r = in.read(buf, off, buf.length - off)
+              if (r > 0) off += r
+            }
+            off
+          } finally in.close()
+          val head = new String(buf, 0, n,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val nl = if (head.contains("\r\n")) "\r\n" else "\n"
+          if (head.contains(" ." + nl)) " ." + nl
+          else if (head.contains("." + nl)) "." + nl
+          else " ." + nl
+      }
+    } catch { case _: Exception => default }
+  }
+
+  /** Legacy single-chunk parse (malformed dropped) — kept for the
+    * spec surface; production paths run [[parseChunkAudited]].
     */
   private[sources] def parseChunk(chunk0: String,
       prefixes: Map[String, String],
-      base: Option[String]): Seq[(String, String, String)] = {
+      base: Option[String]): Seq[(String, String, String)] =
+    parseChunkAudited(chunk0, prefixes, base, "x")
+      .collect { case (s, p, o, null) => (s, p, o) }
+
+  /** Parse one terminator-delimited chunk: good statements yield their
+    * triples with `bad = null`; each malformed statement yields ONE
+    * quarantine row `(null, null, null, snippet)`. A chunk may hold
+    * several statements (unspaced-terminator dumps, ` . ` mid-line);
+    * the token stream splits on top-level `.` before parsing, so one
+    * bad statement never takes down its chunk-mates.
+    */
+  private[sources] def parseChunkAudited(chunk0: String,
+      prefixes: Map[String, String],
+      base: Option[String],
+      key: String): Seq[(String, String, String, String)] = {
     // strip directive lines (their own chunks when dot-terminated;
-    // leading lines of the next chunk for SPARQL-style PREFIX/BASE),
-    // comments, and a trailing " ." the final EOF chunk may keep
+    // leading lines of the next chunk for SPARQL-style PREFIX/BASE)
+    // and comment lines
     val body = chunk0.linesIterator
       .filterNot { l =>
         val t = l.trim
         prefixLine.pattern.matcher(t).matches() ||
           baseLine.pattern.matcher(t).matches() || t.startsWith("#")
       }
-      .mkString("\n").trim.stripSuffix(".").trim
-    if (body.isEmpty) return Nil
-    // (an anchored-regex fast path for plain one-triple statements was
-    // measured SLOWER than the scanner on the sf0.1 probe — the linear
-    // tokenizer already wins; keep one path)
-    val toks = tokenize(body).getOrElse(return Nil)
-    if (toks.isEmpty) return Nil
-
-    def term(tok: String, pred: Boolean): Option[String] =
-      term3(tok, prefixes, base, pred)
-    val out = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
-    val it = toks.iterator.buffered
-    val subj = term(it.next(), pred = false).getOrElse(return Nil)
-    while (it.hasNext) {
-      val p = term(it.next(), pred = true).getOrElse(return Nil)
-      // object list: o1 , o2 , …
-      var more = true
-      while (more) {
-        if (!it.hasNext) return Nil
-        val o = term(it.next(), pred = false).getOrElse(return Nil)
-        out += ((subj, p, o))
-        more = it.hasNext && it.head == ","
-        if (more) it.next()
-      }
-      // predicate group separator; a trailing ';' right before the
-      // terminator is legal Turtle (the outer loop just ends)
-      if (it.hasNext && it.next() != ";") return Nil
+      .mkString("\n").trim
+    if (body.isEmpty || body == ".") return Nil
+    val toks = tokenize(body) match {
+      case None => return Seq((null, null, null, snip(body)))
+      case Some(ts) if ts.isEmpty => return Nil
+      case Some(ts) => ts
     }
-    out.toList
+    // split the token stream into statements on top-level '.'
+    val stmts = scala.collection.mutable.ListBuffer.empty[Vector[String]]
+    val cur = Vector.newBuilder[String]
+    var depth = 0
+    var curN = 0
+    toks.foreach { t =>
+      if (t == "." && depth == 0) {
+        if (curN > 0) { stmts += cur.result(); cur.clear(); curN = 0 }
+      } else {
+        if (t == "[" || t == "(") depth += 1
+        else if (t == "]" || t == ")") depth -= 1
+        cur += t; curN += 1
+      }
+    }
+    if (curN > 0) stmts += cur.result()
+    stmts.zipWithIndex.flatMap { case (st, si) =>
+      try new StmtParser(prefixes, base, s"${key}s$si").parse(st)
+        .map { case (s, p, o) => (s, p, o, null: String) }
+      catch { case Malformed =>
+        Seq((null: String, null: String, null: String,
+          snip(st.mkString(" "))))
+      }
+    }.toList
+  }
+
+  private def snip(s: String): String =
+    if (s.length <= 200) s else s.substring(0, 200)
+
+  /** Statement-local malformedness — control flow only, never escapes
+    * [[parseChunkAudited]].
+    */
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Recursive-descent parse of ONE statement's tokens: subject (IRI /
+    * blank / bracket node / collection), predicate-object list with
+    * `;`/`,`, nested bracket property lists and collections desugared
+    * to fresh deterministic blank nodes.
+    */
+  private final class StmtParser(prefixes: Map[String, String],
+      base: Option[String], key: String) {
+    private val out =
+      scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+    private var n = 0
+    private def fresh(): String = { n += 1; s"_:g${key}n$n" }
+    private def fail(): Nothing = throw Malformed
+
+    def parse(toks: Seq[String]): Seq[(String, String, String)] = {
+      val it = toks.iterator.buffered
+      if (!it.hasNext) return Nil
+      val bracketSubject = it.head == "["
+      val before = out.length
+      val subj = node(it)
+      if (it.hasNext) povList(subj, it, stopAtBracket = false)
+      // `[ p o ] .` stands alone; a bare IRI or `[] .` does not
+      else if (!bracketSubject || out.length == before) fail()
+      if (it.hasNext) fail()
+      out.toList
+    }
+
+    /** One node: resolves a term token, or desugars `[…]` / `(…)`. */
+    private def node(it: BufferedIterator[String]): String = it.next() match {
+      case "[" =>
+        val b = fresh()
+        if (it.hasNext && it.head == "]") it.next()
+        else {
+          povList(b, it, stopAtBracket = true)
+          if (!it.hasNext || it.next() != "]") fail()
+        }
+        b
+      case "(" =>
+        val items = scala.collection.mutable.ListBuffer.empty[String]
+        while (it.hasNext && it.head != ")") items += node(it)
+        if (!it.hasNext) fail()
+        it.next() // ")"
+        if (items.isEmpty) RdfNil
+        else {
+          val cells = items.map(_ => fresh())
+          items.indices.foreach { k =>
+            out += ((cells(k), RdfFirst, items(k)))
+            out += ((cells(k), RdfRest,
+              if (k + 1 < items.size) cells(k + 1) else RdfNil))
+          }
+          cells.head
+        }
+      case "]" | ")" | ";" | "," => fail()
+      case tok =>
+        term3(tok, prefixes, base, pred = false).getOrElse(fail())
+    }
+
+    /** `p1 o1 , o2 ; p2 o3 ; …` — at least one verb; a trailing `;`
+      * before `]` / end is legal Turtle.
+      */
+    private def povList(subj: String, it: BufferedIterator[String],
+        stopAtBracket: Boolean): Unit = {
+      var go = true
+      while (go) {
+        if (!it.hasNext) fail()
+        val p = term3(it.next(), prefixes, base, pred = true)
+          .getOrElse(fail())
+        var more = true
+        while (more) {
+          if (!it.hasNext) fail()
+          out += ((subj, p, node(it)))
+          more = it.hasNext && it.head == ","
+          if (more) it.next()
+        }
+        if (it.hasNext && it.head == ";") {
+          it.next()
+          // trailing ';' right before the end / closing bracket
+          if (!it.hasNext || (stopAtBracket && it.head == "]")) go = false
+        } else go = false
+      }
+    }
   }
 
   /** Resolve one term token against the prefix map / base. */
@@ -175,7 +403,7 @@ object TurtleIO {
     case _ if tok.startsWith("<") && tok.endsWith(">") =>
       val iri = tok.substring(1, tok.length - 1)
       Some(if (iri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*$")) iri
-      else base.map(_ + iri).getOrElse(iri))
+      else base.map(resolveAgainst(_, iri)).getOrElse(iri))
     case "a" if pred => Some(RdfType)
     case "true" | "false" if !pred =>
       Some(Sparql.canonTyped(tok, "xsd:boolean"))
@@ -208,6 +436,19 @@ object TurtleIO {
       else prefixes.get(tok.substring(0, i)).map(_ + tok.substring(i + 1))
   }
 
+  /** RFC 3986 resolution of a relative reference against `@base` —
+    * absolute-path (`</x>`) and dot-segment (`<../x>`) references
+    * resolve properly; opaque bases (e.g. `urn:`) where `resolve`
+    * cannot produce an absolute IRI fall back to concatenation (the
+    * pre-RFC behavior, right for fragment-style bases like
+    * `<nation:>`).
+    */
+  private def resolveAgainst(base: String, rel: String): String =
+    try {
+      val u = new java.net.URI(base).resolve(rel)
+      if (u.isAbsolute) u.toString else base + rel
+    } catch { case _: Exception => base + rel }
+
   /** Closing-quote index of a literal token (index within the token of
     * the `"` that ends the lexical form), honoring backslash escapes.
     */
@@ -223,60 +464,117 @@ object TurtleIO {
     -1
   }
 
-  /** Linear scan of one statement body into tokens: `<iri>` and
-    * `"literal"` (with `^^dt`/`@lang` suffix) are single tokens
-    * regardless of embedded whitespace; `;` and `,` are standalone
-    * tokens even unspaced. Returns None on a form this subset rejects
-    * (triple-quoted literal, bracket node, collection).
+  /** Linear scan of one chunk body into tokens: `<iri>` and literal
+    * tokens (all four quotation forms, normalized to the
+    * double-quoted spelling with embedded quotes escaped, `^^dt` /
+    * `@lang` suffix riding the token) are single tokens regardless of
+    * embedded whitespace; `;` `,` `[` `]` `(` `)` and the statement
+    * terminator `.` are standalone tokens even unspaced. Returns None
+    * only on an unrecoverable scan (unclosed quote/IRI) — grammar
+    * errors surface later, per statement.
     */
   private[sources] def tokenize(s: String): Option[Seq[String]] = {
     val toks = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new java.lang.StringBuilder
     var i = 0
+    // a word/suffixed token ending in '.' carries the terminator:
+    // PN_LOCAL / BLANK_NODE_LABEL / lang tags / numbers cannot END in
+    // an unescaped dot, so split it off as its own token
+    def emit(tok: String): Unit =
+      if (tok.length > 1 && tok.endsWith(".") && !tok.endsWith("\\.") &&
+          !tok.endsWith(">")) {
+        toks += tok.substring(0, tok.length - 1); toks += "."
+      } else toks += tok
     def flush(): Unit =
-      if (cur.length > 0) { toks += cur.toString; cur.setLength(0) }
+      if (cur.length > 0) { emit(cur.toString); cur.setLength(0) }
+    // scan a literal's ^^dt/@lang suffix onto sb
+    def suffix(sb: java.lang.StringBuilder): Boolean = {
+      if (i < s.length && s.charAt(i) == '@') {
+        while (i < s.length && !s.charAt(i).isWhitespace &&
+            ";,])".indexOf(s.charAt(i)) < 0) {
+          sb.append(s.charAt(i)); i += 1
+        }
+      } else if (s.startsWith("^^", i)) {
+        sb.append("^^"); i += 2
+        if (i < s.length && s.charAt(i) == '<') {
+          while (i < s.length && s.charAt(i) != '>') {
+            sb.append(s.charAt(i)); i += 1
+          }
+          if (i >= s.length) return false
+          sb.append('>'); i += 1
+        } else {
+          while (i < s.length && !s.charAt(i).isWhitespace &&
+              ";,])".indexOf(s.charAt(i)) < 0) {
+            sb.append(s.charAt(i)); i += 1
+          }
+        }
+      }
+      true
+    }
     while (i < s.length) {
-      s.charAt(i) match {
-        case '"' if cur.length == 0 =>
-          if (s.startsWith("\"\"\"", i)) return None // multi-line literal
+      val ch = s.charAt(i)
+      ch match {
+        case '"' | '\'' if cur.length == 0 =>
+          val q = ch
+          val long = s.startsWith(s"$q$q$q", i)
           val sb = new java.lang.StringBuilder("\"")
-          i += 1
-          var closed = false
-          while (i < s.length && !closed) {
-            val c = s.charAt(i)
-            sb.append(c)
-            if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
-            else { if (c == '"') closed = true; i += 1 }
-          }
-          if (!closed) return None
-          // suffix: @lang or ^^<dt> / ^^pre:local rides the token
-          if (i < s.length && s.charAt(i) == '@') {
-            while (i < s.length && !s.charAt(i).isWhitespace &&
-                s.charAt(i) != ';' && s.charAt(i) != ',') {
-              sb.append(s.charAt(i)); i += 1
-            }
-          } else if (s.startsWith("^^", i)) {
-            sb.append("^^"); i += 2
-            if (i < s.length && s.charAt(i) == '<') {
-              while (i < s.length && s.charAt(i) != '>') {
-                sb.append(s.charAt(i)); i += 1
+          if (long) {
+            i += 3
+            var closed = false
+            while (i < s.length && !closed) {
+              val c = s.charAt(i)
+              if (c == '\\' && i + 1 < s.length) {
+                sb.append(c).append(s.charAt(i + 1)); i += 2
+              } else if (c == q) {
+                // closing delimiter = the LAST three of a quote run;
+                // shorter runs are content
+                var r = 0
+                while (i + r < s.length && s.charAt(i + r) == q) r += 1
+                if (r >= 3) {
+                  var k = 0
+                  while (k < r - 3) {
+                    sb.append(if (q == '"') "\\\"" else "'"); k += 1
+                  }
+                  i += r; closed = true
+                } else {
+                  var k = 0
+                  while (k < r) {
+                    sb.append(if (q == '"') "\\\"" else "'"); k += 1
+                  }
+                  i += r
+                }
+              } else {
+                if (c == '"') sb.append("\\\"") else sb.append(c)
+                i += 1
               }
-              if (i >= s.length) return None
-              sb.append('>'); i += 1
-            } else {
-              while (i < s.length && !s.charAt(i).isWhitespace &&
-                  s.charAt(i) != ';' && s.charAt(i) != ',') {
-                sb.append(s.charAt(i)); i += 1
+            }
+            if (!closed) return None
+          } else {
+            i += 1
+            var closed = false
+            while (i < s.length && !closed) {
+              val c = s.charAt(i)
+              if (c == '\\' && i + 1 < s.length) {
+                sb.append(c).append(s.charAt(i + 1)); i += 2
+              } else if (c == q) { closed = true; i += 1 }
+              else {
+                // normalize: a raw '"' inside a single-quoted literal
+                // must escape in the double-quoted token spelling
+                if (c == '"') sb.append("\\\"") else sb.append(c)
+                i += 1
               }
             }
+            if (!closed) return None
           }
-          toks += sb.toString
+          sb.append('"')
+          if (!suffix(sb)) return None
+          emit(sb.toString)
         case '<' if cur.length == 0 =>
           val j = s.indexOf('>', i)
           if (j < 0) return None
           toks += s.substring(i, j + 1); i = j + 1
-        case '[' | '(' => return None // bracket node / collection
-        case c @ (';' | ',') => flush(); toks += c.toString; i += 1
+        case '[' | ']' | '(' | ')' | ';' | ',' =>
+          flush(); toks += ch.toString; i += 1
         case c if c.isWhitespace => flush(); i += 1
         case c => cur.append(c); i += 1
       }

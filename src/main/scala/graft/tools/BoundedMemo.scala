@@ -32,4 +32,16 @@ final class BoundedMemo[K, V](cap: Int, onEvict: V => Unit = (_: V) => ()) {
   }
 
   def size: Int = synchronized(m.size)
+
+  /** Evict everything (running `onEvict` on each value) — the
+    * invalidation hook for callers whose keys can go stale behind
+    * their backs (e.g. a file-backed plan whose files were
+    * overwritten).
+    */
+  def clear(): Unit = synchronized {
+    m.valuesIterator.foreach(v => try onEvict(v) catch {
+      case NonFatal(_) => ()
+    })
+    m.clear()
+  }
 }

@@ -1890,6 +1890,30 @@ class BgpSpec extends AnyFunSuite {
     }
   }
 
+  test("encoded GRAPH p-var sharing an id-space position rejects query-wide") {
+    import org.apache.spark.sql.functions.xxhash64
+    val enc = TripleStore.encode(tinyStore).copy(quads = Some(
+      Seq(("gA", "prof:0", "worksFor", "dept:0"))
+        .toDF("g", "s", "p", "o")
+        .select(xxhash64($"g").as("g"), xxhash64($"s").as("s"), $"p",
+          xxhash64($"o").as("o"))))
+    // same-pattern repeat (the round-10 guard's case) still rejects
+    intercept[IllegalArgumentException](BgpPlanner.query(enc,
+      "select ?x where { GRAPH gA { ?x ?x ?b } }"))
+    // the p-var is the SUBJECT of a sibling pattern in the block —
+    // lexical p would join an id column: must reject, not match nothing
+    intercept[IllegalArgumentException](BgpPlanner.query(enc,
+      "select ?a where { GRAPH gA { ?a ?x ?b . ?x ?y ?c } }"))
+    // the p-var is an s/o var of the MAIN BGP outside the block
+    intercept[IllegalArgumentException](BgpPlanner.query(enc,
+      """select ?a where { ?x worksFor ?d .
+        | GRAPH gA { ?a ?x ?b } }""".stripMargin))
+    // a genuinely lexical-only p-var still plans fine on the same store
+    assert(BgpPlanner.query(enc,
+      "select ?a ?x ?b where { GRAPH gA { ?a ?x ?b } }")
+      .collect().map(_.getAs[String]("x")).toSet == Set("worksFor"))
+  }
+
   test("DESCRIBE returns every triple incident to the described resources") {
     val out = BgpPlanner.describe(tinyStore,
       """describe ?P where { ?P name "FullProfessor0" }""")
@@ -2437,6 +2461,41 @@ class BgpSpec extends AnyFunSuite {
       assert(parsed.contains(
         ("http://www.w3.org/ns/sparql-service-description#endpoint",
           h.endpoint)))
+    } finally h.stop()
+  }
+
+  test("XML results negotiation round-trips typed/tagged terms losslessly") {
+    val typed = TripleStore.fromTriples(Seq(
+      ("t:1", "val", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("t:2", "val", "\"bonjour\"@fr"),
+      ("t:3", "val", "plain <&> words"),
+      ("t:4", "val", "_:b9")).toDF("s", "p", "o"))
+    val h = SparqlServer.serve(typed)
+    try {
+      val query = "select ?s ?v where { ?s val ?v }"
+      // over the real transport: Accept xml → the XML serialization,
+      // and the client arm's parseXml recovers the canonical
+      // stored-form spellings — identical to the JSON arm's parse
+      val xml = SparqlHttp.fetch(h.endpoint, query,
+        accept = "application/sparql-results+xml")
+      assert(xml.contains("<sparql xmlns=\"http://www.w3.org/2005/sparql-results#\">"))
+      assert(xml.contains("&lt;&amp;&gt;")) // xml-escaped literal
+      val (xvars, xrows) = SparqlHttp.parseXml(xml)
+      val (jvars, jrows) = SparqlHttp.parse(
+        SparqlHttp.fetch(h.endpoint, query))
+      assert(xvars == jvars)
+      assert(xrows.map(_.toVector).toSet == jrows.map(_.toVector).toSet)
+      assert(xrows.map(_.toVector).toSet == Set(
+        Vector("t:1", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+        Vector("t:2", "\"bonjour\"@fr"),
+        Vector("t:3", "plain <&> words"),
+        Vector("t:4", "_:b9")))
+      // ASK negotiates the XML boolean form
+      val ask = java.net.URLEncoder.encode(
+        "ask where { <t:1> val ?v }", "UTF-8")
+      val (ac, askBody) = http("GET", s"${h.endpoint}?query=$ask",
+        accept = "application/sparql-results+xml")
+      assert(ac == 200 && askBody.contains("<boolean>true</boolean>"))
     } finally h.stop()
   }
 }

@@ -616,4 +616,35 @@ class ScaleSpec extends AnyFunSuite {
       s"fromTriples persists must stay memo-bounded, grew by " +
         s"${afterMany - before}")
   }
+
+  test("same-path reload after overwrite re-scans; invalidate hook " +
+      "unpersists memo handles") {
+    import graft.bgp.{BgpPlanner, TripleStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft-reload")
+      .toString
+    def writeRows(rows: Seq[(String, String, String)]): Unit =
+      spark.createDataFrame(rows).toDF("s", "p", "o")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    def names(st: TripleStore): Set[String] =
+      BgpPlanner.query(st, "select ?n where { ?s name ?n }")
+        .collect().map(_.getString(0)).toSet
+    writeRows(Seq(("x:1", "name", "old")))
+    assert(names(TripleStore.fromTriples(spark.read.parquet(dir))) ==
+      Set("old"))
+    // overwrite the files behind the SAME path: a fresh read's
+    // canonicalized plan snapshots the NEW file listing, so the memo
+    // key differs and the reload re-scans — no stale serve
+    writeRows(Seq(("x:1", "name", "new")))
+    assert(names(TripleStore.fromTriples(spark.read.parquet(dir))) ==
+      Set("new"))
+    // the explicit invalidation hook drops (and unpersists) every
+    // memoized source handle — lifecycle control for long sessions
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TripleStore.invalidateSourceCache()
+    assert(spark.sparkContext.getPersistentRDDs.size < before ||
+      before == 0)
+    // and the next load after invalidation still answers correctly
+    assert(names(TripleStore.fromTriples(spark.read.parquet(dir))) ==
+      Set("new"))
+  }
 }

@@ -93,17 +93,141 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("redefined"))
   }
 
-  test("out-of-subset forms drop as malformed, the rest of the file loads") {
+  test("malformed statements quarantine; the rest of the file loads") {
     val ttl =
       """@prefix ex: <http://x.org/> .
-        |ex:s ex:p [ ex:q ex:o ] .
+        |ex:s ex:p ex:o extra tokens here .
         |ex:t ex:p ex:o .
         |ex:u ex:p "multi
         |line is fine inside one chunk" .
         |""".stripMargin
-    val got = TurtleIO.turtleDF(spark, write("e.ttl", ttl)).collect()
+    val path = write("e.ttl", ttl)
+    val got = TurtleIO.turtleDF(spark, path).collect()
       .map(r => r.getString(0)).toSet
     assert(got == Set("http://x.org/t", "http://x.org/u"))
+    // the drop is ACCOUNTED: one quarantine row carrying the snippet
+    val audit = TurtleIO.turtleAudit(spark, path)
+      .where("bad is not null").collect()
+    assert(audit.length == 1)
+    assert(audit(0).getAs[String]("bad").contains("extra tokens"))
+  }
+
+  test("bracket property lists desugar to fresh blank nodes") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:s ex:meta [ ex:rank 3 ; ex:cat "X" , "Y" ] .
+        |[ ex:note "standalone" ] .
+        |ex:t ex:tag [] .
+        |""".stripMargin
+    val rows = TurtleIO.turtleDF(spark, write("br.ttl", ttl)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val ex = "http://x.org/"
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    // s --meta--> b; b rank 3; b cat X; b cat Y
+    val metaB = rows.collect { case (s, p, o) if p == s"${ex}meta" => o }
+    assert(metaB.length == 1 && metaB(0).startsWith("_:g"))
+    val b = metaB(0)
+    assert(rows.toSet.contains((b, s"${ex}rank",
+      "\"3\"^^<" + xsd + "integer>")))
+    assert(rows.toSet.contains((b, s"${ex}cat", "X")))
+    assert(rows.toSet.contains((b, s"${ex}cat", "Y")))
+    // standalone bracket subject emits its one triple
+    assert(rows.exists { case (s, p, o) =>
+      s.startsWith("_:g") && p == s"${ex}note" && o == "standalone" })
+    // anonymous [] object is a fresh blank node with no properties
+    val tagB = rows.collect { case (s, p, o) if p == s"${ex}tag" => o }
+    assert(tagB.length == 1 && tagB(0).startsWith("_:g"))
+    // all fresh labels distinct
+    val fresh = rows.flatMap(r => Seq(r._1, r._3)).filter(_.startsWith("_:g"))
+    assert(fresh.distinct.length == 3)
+    assert(rows.length == 6)
+  }
+
+  test("collections desugar to rdf:first/rdf:rest chains") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:s ex:tags ("a" "b") .
+        |ex:t ex:tags () .
+        |""".stripMargin
+    val rows = TurtleIO.turtleDF(spark, write("co.ttl", ttl)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val set = rows.toSet
+    val head = rows.collect {
+      case ("http://x.org/s", p, o) if p == "http://x.org/tags" => o }.head
+    val firstA = rows.collect {
+      case (s, p, "a") if p == s"${rdf}first" => s }.head
+    assert(head == firstA)
+    val cell2 = rows.collect {
+      case (s, p, o) if s == head && p == s"${rdf}rest" => o }.head
+    assert(set.contains((cell2, s"${rdf}first", "b")))
+    assert(set.contains((cell2, s"${rdf}rest", s"${rdf}nil")))
+    // the empty collection is rdf:nil itself
+    assert(set.contains(("http://x.org/t", "http://x.org/tags", s"${rdf}nil")))
+    assert(rows.length == 6)
+  }
+
+  test("long and single-quoted literals parse in all four forms") {
+    val ttl = "@prefix ex: <http://x.org/> .\n" +
+      "ex:a ex:p \"\"\"long with \"quote\" and\nnewline\"\"\" .\n" +
+      "ex:b ex:p '''other 'long' form''' .\n" +
+      "ex:c ex:p 'single \"q\" quoted'@en .\n" +
+      "ex:d ex:p \"\"\"typed long\"\"\"^^<http://x.org/dt> .\n"
+    val got = TurtleIO.turtleDF(spark, write("lq.ttl", ttl)).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(got("http://x.org/a") == "long with \"quote\" and\nnewline")
+    assert(got("http://x.org/b") == "other 'long' form")
+    assert(got("http://x.org/c") == "\"single \"q\" quoted\"@en")
+    assert(got("http://x.org/d") ==
+      "\"typed long\"^^<http://x.org/dt>")
+  }
+
+  test("CRLF dumps and unspaced terminators split via the head probe") {
+    val crlf = "@prefix ex: <http://x.org/> .\r\n" +
+      "ex:a ex:p ex:b .\r\nex:b ex:p ex:c .\r\n"
+    val gotCrlf = TurtleIO.turtleDF(spark, write("crlf.ttl", crlf))
+      .collect().map(_.getString(0)).toSet
+    assert(gotCrlf == Set("http://x.org/a", "http://x.org/b"))
+    val unspaced = "@prefix ex: <http://x.org/> .\n" +
+      "ex:a ex:p ex:b.\nex:b ex:p ex:c.\n"
+    val gotUn = TurtleIO.turtleDF(spark, write("un.ttl", unspaced))
+      .collect().map(_.getString(0)).toSet
+    assert(gotUn == Set("http://x.org/a", "http://x.org/b"))
+    // several statements on one line split token-side
+    val inline = "@prefix ex: <http://x.org/> .\n" +
+      "ex:a ex:p ex:b . ex:b ex:p ex:c .\n"
+    val gotIn = TurtleIO.turtleDF(spark, write("in.ttl", inline))
+      .collect().map(_.getString(0)).toSet
+    assert(gotIn == Set("http://x.org/a", "http://x.org/b"))
+  }
+
+  test("@base resolves per RFC 3986: absolute-path and dot-segments") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |@base <http://base.org/dir/sub/> .
+        |<rel> ex:p </abs> .
+        |<../up> ex:p <./here> .
+        |""".stripMargin
+    val got = TurtleIO.turtleDF(spark, write("base.ttl", ttl)).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://base.org/dir/sub/rel", "http://base.org/abs"),
+      ("http://base.org/dir/up", "http://base.org/dir/sub/here")))
+  }
+
+  test("blank-node labels are deterministic across re-evaluation") {
+    val ttl =
+      """@prefix ex: <http://x.org/> .
+        |ex:s ex:meta [ ex:rank 1 ] .
+        |ex:s ex:meta [ ex:rank 1 ] .
+        |""".stripMargin
+    val df = TurtleIO.turtleDF(spark, write("det.ttl", ttl))
+    val a = df.collect().map(_.toSeq).toSet
+    val b = df.collect().map(_.toSeq).toSet // re-evaluates the plan
+    assert(a == b)
+    // the two textually identical statements keep DISTINCT blank nodes
+    assert(a.collect { case Seq(_, p: String, o: String)
+      if p == "http://x.org/meta" => o }.size == 2)
   }
 
   test("streaming turtle ingest equals the batch parse of the same dump") {
