@@ -775,31 +775,7 @@ object SparqlUpdate {
     // standing terms keep their ids through the anti-join probe
     if (store.sequential)
       return TripleStore.growSequentialDict(d, values)
-    val newTerms = values.distinct()
-      .select(xxhash64($"value").as("id"), $"value",
-        RdfLex.datatype($"value").as("dt"),
-        RdfLex.lang($"value").as("lang"))
-    // intra-batch: two distinct new values sharing an id
-    val dup = newTerms.groupBy($"id")
-      .agg(countDistinct($"value").as("_nv"), min($"value").as("_a"),
-        max($"value").as("_b"))
-      .filter($"_nv" > 1).take(1)
-    if (dup.nonEmpty) throw new IllegalStateException(
-      s"dictionary id collision on insert (id=${dup.head.get(0)}: " +
-        s"'${dup.head.get(2)}' vs '${dup.head.get(3)}') — see " +
-        "TripleStore.encode scaladoc")
-    // batch-vs-standing: same id, different lexical value
-    val joined = newTerms
-      .join(d.select($"id", $"value".as("_old")), Seq("id"), "left_outer")
-    val clash = joined.filter($"_old".isNotNull && $"_old" =!= $"value")
-      .take(1)
-    if (clash.nonEmpty) throw new IllegalStateException(
-      s"dictionary id collision on insert (id=${clash.head.get(0)}" +
-        s", '${clash.head.getString(1)}' vs standing " +
-        s"'${clash.head.getAs[String]("_old")}') — see " +
-        "TripleStore.encode scaladoc")
-    d.unionByName(joined.filter($"_old".isNull)
-      .select($"id", $"value", $"dt", $"lang"))
+    d.unionByName(TripleStore.hashDictDelta(d, values))
   }
 
   // ——— parsing helpers ———

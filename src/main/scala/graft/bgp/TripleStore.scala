@@ -542,6 +542,60 @@ object TripleStore {
     TripleStore(enc, Some(dict))
   }
 
+  /** Delta-scoped hash-dict growth: audits the batch vocabulary
+    * intra-batch AND against the standing dict (the same two failure
+    * modes as the build-time audit in [[encode]]), and returns ONLY the
+    * genuinely new `(id, value, dt, lang)` rows. O(batch) per call,
+    * never O(vocabulary) — the incremental discipline shared by
+    * SPARQL Update's insert arm and the streaming encoded-ingest sink
+    * ([[graft.streaming.StreamOps.encodedIngestSink]]).
+    */
+  private[graft] def hashDictDelta(standing: DataFrame,
+      values: DataFrame): DataFrame = {
+    val newTerms = values.distinct()
+      .select(xxhash64(col("value")).as("id"), col("value"),
+        RdfLex.datatype(col("value")).as("dt"),
+        RdfLex.lang(col("value")).as("lang"))
+    // intra-batch: two distinct new values sharing an id
+    val dup = newTerms.groupBy(col("id"))
+      .agg(countDistinct(col("value")).as("_nv"),
+        min(col("value")).as("_a"), max(col("value")).as("_b"))
+      .filter(col("_nv") > 1).take(1)
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"dictionary id collision on insert (id=${dup.head.get(0)}: " +
+        s"'${dup.head.get(2)}' vs '${dup.head.get(3)}') — see " +
+        "TripleStore.encode scaladoc")
+    // batch-vs-standing: same id, different lexical value
+    val joined = newTerms
+      .join(standing.select(col("id"), col("value").as("_old")),
+        Seq("id"), "left_outer")
+    val clash = joined.filter(col("_old").isNotNull &&
+      col("_old") =!= col("value")).take(1)
+    if (clash.nonEmpty) throw new IllegalStateException(
+      s"dictionary id collision on insert (id=${clash.head.get(0)}" +
+        s", '${clash.head.getString(1)}' vs standing " +
+        s"'${clash.head.getAs[String]("_old")}') — see " +
+        "TripleStore.encode scaladoc")
+    joined.filter(col("_old").isNull)
+      .select(col("id"), col("value"), col("dt"), col("lang"))
+  }
+
+  /** Load a store from the streaming encoded-ingest layout
+    * ([[graft.streaming.StreamOps.encodedIngestSink]]):
+    * `<root>/triples` is the (p, batch_id)-partitioned encoded
+    * relation — predicate dispatch is the same partition pruning as
+    * [[fromPartitionedParquet]], the `batch_id` sub-partition is the
+    * sink's exactly-once replay key — and `<root>/dict` the standing
+    * hash dictionary. The dict regime flag attaches per
+    * [[isSequentialDict]].
+    */
+  def fromEncodedIngest(spark: SparkSession, root: String): TripleStore = {
+    val st = fromPartitionedParquet(spark, s"$root/triples")
+    val dict = spark.read.parquet(s"$root/dict")
+      .select(col("id"), col("value"), col("dt"), col("lang"))
+    st.copy(dict = Some(dict), sequential = isSequentialDict(dict))
+  }
+
   /** Detect a persisted dictionary's id regime so a reloaded store
     * gets the right `sequential` flag (the flag is session state, not
     * file state — attaching a DENSE dict to a store the planner

@@ -2349,6 +2349,42 @@ object BgpQueries {
         BgpPlanner.query(st,
           "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
       },
+      Some(turtleOracle)),
+
+    // STREAMING ingest into the ENCODED store layout (round 11): the
+    // q342 pipeline's dictionary-regime twin — each micro-batch grows
+    // the standing on-disk dict via the delta-scoped audited growth
+    // (O(batch) collision checks, the update arm's discipline) and
+    // appends hash-encoded rows to the (p, batch_id)-partitioned
+    // layout; fromEncodedIngest reloads the store and the BGP query
+    // decodes through the dict at the result edge. Closes the gap
+    // where a streaming load fed only the string regime and the
+    // >10⁹-term store needed a batch re-encode afterwards.
+    GQuery(
+      "q355_streaming_encoded_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ttl-enc")
+          .toString
+        graft.Tables.t(s, dir, "nation").select(
+          concat(lit("n:"), col("n_nationkey"),
+            lit(" <name> \""), col("n_name"),
+            lit("\" ; <inregion> r:"), col("n_regionkey"), lit(" ."))
+            .as("value"))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val q = graft.sources.TurtleIO.turtleStream(s, s"$tmp/in",
+            prefixes = Map("n" -> "nation:", "r" -> "region:"))
+          .writeStream
+          .foreachBatch(
+            graft.streaming.StreamOps.encodedIngestSink(s"$tmp/store"))
+          .option("checkpointLocation", s"$tmp/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val st = TripleStore.fromEncodedIngest(s, s"$tmp/store")
+        BgpPlanner.query(st,
+          "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
+      },
       Some(turtleOracle))
   )
 

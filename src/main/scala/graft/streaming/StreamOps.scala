@@ -559,6 +559,79 @@ object StreamOps {
     * with atomic commits is available. Only partitions present in the
     * incoming batch are touched, so concurrent history is preserved.
     */
+  /** Streaming load into the ENCODED store layout — the >10⁹-term
+    * regime's ingest path, closing the gap where a streaming Turtle /
+    * N-Triples load landed only the string-form layout and an encoded
+    * store needed a batch re-encode afterwards. Per micro-batch of
+    * parsed `(s, p, o)` string triples:
+    *
+    *  1. the batch VOCABULARY (s, o, and predicate names — predicate
+    *     ids must decode at the result edge like any term) grows the
+    *     standing on-disk dictionary via the delta-scoped audited
+    *     growth ([[graft.bgp.TripleStore.hashDictDelta]] — O(batch)
+    *     per micro-batch, intra-batch and batch-vs-standing collision
+    *     audits fail the batch loudly, exactly like the update arm);
+    *  2. the hash-encoded rows append to `<root>/triples` partitioned
+    *     by `(p, batch_id)` — the store's vertical layout, with the
+    *     batch_id sub-partition + dynamic partition overwrite making
+    *     replays overwrite themselves (effectively-once, the
+    *     [[idempotentParquetSink]] recipe). The dict append is
+    *     likewise batch_id-partitioned: a replayed batch's new-term
+    *     set recomputes as empty (its terms already stand), so no
+    *     partition is touched and no duplicate dict rows land.
+    *
+    * Compose with `foreachBatch`; load the result with
+    * [[graft.bgp.TripleStore.fromEncodedIngest]]. Batches apply
+    * serially (Structured Streaming's contract), so the
+    * standing-dict read in step 1 always sees every prior batch.
+    */
+  def encodedIngestSink(root: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val dictPath = s"$root/dict"
+      val fs = new org.apache.hadoop.fs.Path(dictPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val standing =
+        if (fs.exists(new org.apache.hadoop.fs.Path(dictPath)))
+          spark.read.parquet(dictPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("dt",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType))))
+      val vocab = batch.select(col("s").as("value"))
+        .unionByName(batch.select(col("o").as("value")))
+        .unionByName(batch.select(col("p").as("value")))
+      val delta = graft.bgp.TripleStore.hashDictDelta(standing, vocab)
+        .withColumn("batch_id", lit(batchId))
+      // dict: APPEND (overwrite would conflict with its own standing
+      // read) — replay-safe because a replayed batch's anti-join vs
+      // the standing dict recomputes its delta as empty
+      delta.write.mode("append").partitionBy("batch_id").parquet(dictPath)
+      // triples: dynamic overwrite of this batch's own (p, batch_id)
+      // sub-partitions — the idempotentParquetSink replay recipe
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try batch.select(xxhash64(col("s")).as("s"), col("p"),
+          xxhash64(col("o")).as("o"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("p", "batch_id")
+        .parquet(s"$root/triples")
+      finally prev match {
+        case Some(v) => spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf
+          .unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+
   def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val prev = batch.sparkSession.conf

@@ -478,6 +478,65 @@ class StreamSpec extends AnyFunSuite {
     assert(out.count() == viaQuery.count())
   }
 
+  test("encodedIngestSink: streaming turtle feeds an encoded store " +
+      "that answers like the batch encode") {
+    import graft.bgp.{BgpPlanner, TripleStore}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-encst")
+      .toString
+    // two dump files landing over two micro-batches: shared vocabulary
+    // across batches exercises the anti-join (no duplicate dict rows)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/in/a.ttl"),
+      "ex:a ex:knows ex:b .\nex:b ex:name \"B\" .\n".getBytes("UTF-8"))
+    val pmap = Map("ex" -> "http://x.org/")
+    def runOnce(): Unit = {
+      val q = graft.sources.TurtleIO.turtleStream(spark, s"$tmp/in", pmap)
+        .writeStream
+        .foreachBatch(StreamOps.encodedIngestSink(s"$tmp/store"))
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    runOnce()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/in/b.ttl"),
+      "ex:c ex:knows ex:b .\nex:b ex:age 4 .\n".getBytes("UTF-8"))
+    runOnce()
+    val st = TripleStore.fromEncodedIngest(spark, s"$tmp/store")
+    assert(st.encoded && !st.sequential)
+    // the loaded encoded store decodes query results exactly like the
+    // in-memory batch encode of the same graph
+    val got = BgpPlanner.query(st,
+      "select ?x ?y where { ?x <http://x.org/knows> ?y }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("http://x.org/a", "http://x.org/b"),
+      ("http://x.org/c", "http://x.org/b")))
+    // typed-literal spelling survives the encode/decode round trip
+    val age = BgpPlanner.query(st,
+      "select ?a where { <http://x.org/b> <http://x.org/age> ?a }")
+      .collect().map(_.getString(0)).toSet
+    assert(age == Set(
+      "\"4\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+    // shared vocabulary never duplicates dict rows across batches
+    val dict = spark.read.parquet(s"$tmp/store/dict")
+    assert(dict.count() == dict.select("id").distinct().count())
+    // the collision audit runs per micro-batch (hashDictDelta is the
+    // sink's audit seam): a standing row occupying the batch term's
+    // hash id under a DIFFERENT lexical value fails the batch loudly
+    import spark.implicits._
+    val standingForged = Seq("termB").toDF("value")
+      .select(org.apache.spark.sql.functions.xxhash64($"value").as("id"),
+        lit("OTHER").as("value"), lit(null: String).as("dt"),
+        lit(null: String).as("lang"))
+    val e = intercept[IllegalStateException](
+      graft.bgp.TripleStore.hashDictDelta(standingForged,
+        Seq("termB").toDF("value")))
+    assert(e.getMessage.contains("collision"))
+  }
+
   test("idempotentParquetSink: a replayed batch overwrites, never duplicates") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
