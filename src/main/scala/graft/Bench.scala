@@ -151,8 +151,25 @@ object Bench {
       f""""cotenant_cores_start":$cotenantStart%.2f,""" +
       s""""load_waits":$waits,"max_cotenant_cores":$maxCotenant,""" +
       s""""loadavg_1m_per_query":$qLoad}"""
+    // cache provenance (r10 judge note: regenerated corpora inflate
+    // cross-round ratios via page-cache warmth): the artifact records
+    // how long ago the corpus files were last written — a freshly
+    // regenerated corpus shows an age of seconds and flags its own
+    // warmth — plus an optional operator-asserted cold/warm flag.
+    val corpusAge = scala.util.Try {
+      def newest(f: java.io.File, depth: Int): Long =
+        if (f.isFile) f.lastModified()
+        else if (depth <= 0) f.lastModified()
+        else (Option(f.listFiles()).getOrElse(Array.empty)
+          .map(newest(_, depth - 1)) :+ f.lastModified()).max
+      (System.currentTimeMillis() - newest(new java.io.File(sfDir), 3)) / 1000
+    }.getOrElse(-1L)
+    val cacheFlag = sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE", "unspecified")
+    val cache =
+      s"""{"corpus_age_sec":$corpusAge,"flag":${jstr(cacheFlag)}}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_spread":$spread,"errors":$errs,"reps":$reps,"load":$load,""" +
+      s""""cache":$cache,""" +
       s""""protocol":"per-query min of $reps reps in one warm JVM, """ +
       s"""load-gated at $maxCotenant co-tenant cores","sf":"$sfDir"}"""
     println(json)

@@ -45,7 +45,7 @@ object Sparql {
     * once at parse time so stored/compared lexical forms hold the
     * actual characters; identity for escape-free strings.
     */
-  private[bgp] def unescapeLit(s: String): String =
+  private[graft] def unescapeLit(s: String): String =
     if (!s.contains('\\')) s
     else {
       val b = new StringBuilder(s.length)

@@ -165,16 +165,12 @@ object SparqlServer {
         .mkString("\t"))).mkString("", "\n", "\n")
   }
 
-  /** A stored-form value in SPARQL/N-Triples surface syntax. */
-  private def ttlTerm(v: String): String = v match {
-    case t @ typedRe(_, _) => t // already decorated
-    case t @ langRe(_, _) => t
-    case b if b.startsWith("_:") => b
-    case u if u.matches(iriRe) => s"<$u>"
-    case lit =>
-      "\"" + lit.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\r", "\\r") + "\""
-  }
+  /** A stored-form value in SPARQL/N-Triples surface syntax — the
+    * shared renderer re-escapes decorated literals' lexical forms
+    * (stored forms hold raw characters), so TSV/graph responses never
+    * tear on an embedded newline.
+    */
+  private def ttlTerm(v: String): String = graft.sources.RdfIO.ntTerm(v)
 
   /** `ASK` over the protocol: the boolean results-JSON form (§ of the
     * results-JSON spec: `head` + `boolean`, no bindings).

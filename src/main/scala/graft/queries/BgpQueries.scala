@@ -2385,6 +2385,67 @@ object BgpQueries {
         BgpPlanner.query(st,
           "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
       },
+      Some(turtleOracle)),
+
+    // DISTRIBUTED N-Triples export round trip (round 11): the sink
+    // twin of the sources — each row renders to one statement line
+    // executor-side (the protocol GET arm is row-capped driver
+    // materialization; a corpus export must be a parallel write). The
+    // fixture plants the adversarial lexical forms: a language-tagged
+    // literal with embedded quotes AND a raw newline, and a typed
+    // literal with backslashes — the writer re-escapes (stored forms
+    // hold raw characters), the line-based format never tears, and
+    // the re-read reproduces the stored spellings exactly.
+    GQuery(
+      "q356_ntriples_export_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-nt-exp")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        val subj = concat(lit("nation:"), col("n_nationkey"))
+        val triples = nat.select(subj.as("s"), lit("name").as("p"),
+            col("n_name").cast("string").as("o"))
+          .unionByName(nat.select(subj.as("s"), lit("says").as("p"),
+            concat(lit("\"he \"quoted\" \n"), col("n_name"),
+              lit("\"@en")).as("o")))
+          .unionByName(nat.select(subj.as("s"), lit("path").as("p"),
+            concat(lit("\"C:\\dir\\"), col("n_name"),
+              lit("\"^^<x:path>")).as("o")))
+        graft.sources.RdfIO.writeNTriples(triples, tmp)
+        graft.sources.RdfIO.ntriplesDF(s, tmp)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS s, 'name' AS p,
+             |  n_name AS o FROM nation
+             |UNION ALL SELECT concat('nation:', n_nationkey), 'says',
+             |  concat('"he "quoted" ', chr(10), n_name, '"@en')
+             |FROM nation
+             |UNION ALL SELECT concat('nation:', n_nationkey), 'path',
+             |  concat('"C:\dir\', n_name, '"^^<x:path>') FROM nation"""
+        .stripMargin)),
+
+    // whole-DATASET N-Quads export from an ENCODED store (round 11):
+    // exportNQuads dumps the default graph through the planner's
+    // variable-predicate path (which decodes ids — export is lexical
+    // by definition) and the named graphs through the quads relation,
+    // one distributed write; readNQuads rebuilds the dataset and the
+    // mixed default+GRAPH query matches the pre-export oracle. The
+    // full escape: encode → stage a named graph → export → re-read.
+    GQuery(
+      "q357_nquads_export_dataset",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-nq-exp")
+          .toString
+        val staged = graft.bgp.SparqlUpdate.applyAll(s,
+          TripleStore.encode(TripleStore.fromTriples(nationTriples(s, dir))),
+          "ADD DEFAULT TO GRAPH <g:n>")
+        graft.sources.RdfIO.exportNQuads(staged, tmp)
+        val back = graft.sources.RdfIO.readNQuads(s, tmp)
+        BgpPlanner.query(back,
+          """select ?n ?nm ?r where {
+            | ?n <name> ?nm .
+            | graph <g:n> { ?n <inregion> ?r } }""".stripMargin)
+      },
       Some(turtleOracle))
   )
 

@@ -133,7 +133,9 @@ object RdfIO {
       val o =
         if (ou != null) ou
         else if (olit != null) {
-          if (odeco == null) olit
+          // plain literals unescape — the store-wide raw-character
+          // convention (see parseNtLine)
+          if (odeco == null) graft.bgp.Sparql.unescapeLit(olit)
           else if (odeco.startsWith("^^<"))
             graft.bgp.Sparql.canonTyped(olit, odeco.drop(3).dropRight(1))
           else graft.bgp.Sparql.canonLang(olit, odeco.drop(1))
@@ -156,7 +158,11 @@ object RdfIO {
         val o =
           if (ou != null) ou
           else if (olit != null) {
-            if (odeco == null) olit
+            // stored lexical forms hold ACTUAL characters (the Turtle
+            // reader's and canonTyped/canonLang's shared convention):
+            // plain literals unescape here too, so both RDF readers —
+            // and the writers' re-escaping — agree on one spelling
+            if (odeco == null) graft.bgp.Sparql.unescapeLit(olit)
             else if (odeco.startsWith("^^<"))
               graft.bgp.Sparql.canonTyped(olit, odeco.drop(3).dropRight(1))
             else graft.bgp.Sparql.canonLang(olit, odeco.drop(1))
@@ -165,6 +171,95 @@ object RdfIO {
         Some((s, p, o))
       case _ => None
     }
+
+  private val typedFormRe = "(?s)^\"(.*)\"\\^\\^<([^<>]*)>$".r
+  private val langFormRe = "(?s)^\"(.*)\"@([A-Za-z0-9-]+)$".r
+  private val iriFormRe = "^[A-Za-z][A-Za-z0-9+.-]*:.*$"
+
+  private def escapeLex(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+
+  /** One stored-form value in N-Triples surface syntax — the exact
+    * inverse of the parse side's canonicalization, INCLUDING
+    * re-escaping: stored lexical forms hold raw characters
+    * ([[graft.bgp.Sparql.unescapeLit]] ran at parse time), so a
+    * decorated literal's lex re-escapes on the way out (a raw newline
+    * inside a typed literal would otherwise tear the line-based
+    * format).
+    */
+  private[graft] def ntTerm(v: String): String = v match {
+    case typedFormRe(lex, dt) => "\"" + escapeLex(lex) + "\"^^<" + dt + ">"
+    case langFormRe(lex, tag) => "\"" + escapeLex(lex) + "\"@" + tag
+    case b if b.startsWith("_:") => b
+    case u if u.matches(iriFormRe) => "<" + u + ">"
+    case lit => "\"" + escapeLex(lit) + "\""
+  }
+
+  /** A RESOURCE position (subject/predicate/graph) in surface syntax:
+    * IRIs bracket, blank nodes pass, and the relaxed store model's
+    * bare tokens (`name`, `worksFor` — resource names, never
+    * whitespace-bearing) stay bare so they round-trip through the
+    * reader's bare-token branch instead of turning into literals.
+    */
+  private def ntRes(v: String): String =
+    if (v.startsWith("_:")) v
+    else if (v.matches(iriFormRe)) s"<$v>"
+    else v
+
+  /** DISTRIBUTED N-Triples sink: each `(s, p, o)` row renders to one
+    * statement line executor-side — the export twin of [[ntriplesDF]]
+    * (the protocol's GET arm is row-capped driver materialization;
+    * a corpus export must be a parallel write). Round-trip exact:
+    * `ntriplesDF(writeNTriples(df))` reproduces the stored forms.
+    */
+  def writeNTriples(df: DataFrame, path: String): Unit = {
+    import df.sparkSession.implicits._
+    df.select(col("s").cast("string"), col("p").cast("string"),
+        col("o").cast("string"))
+      .as[(String, String, String)]
+      .map { case (s, p, o) => s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)} ." }
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** DISTRIBUTED N-Quads sink over a `(g, s, p, o)` relation — null
+    * `g` renders a default-graph (triple) line, so one export carries
+    * a whole dataset; the twin of [[nquadsDF]]/[[readNQuads]].
+    */
+  def writeNQuads(df: DataFrame, path: String): Unit = {
+    import df.sparkSession.implicits._
+    df.select(col("g").cast("string"), col("s").cast("string"),
+        col("p").cast("string"), col("o").cast("string"))
+      .as[(String, String, String, String)]
+      .map { case (g, s, p, o) =>
+        val head = s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)}"
+        if (g == null) s"$head ." else s"$head ${ntRes(g)} ."
+      }
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Export a whole store as N-Quads: the default graph dumps through
+    * the planner's variable-predicate path (which DECODES on encoded
+    * stores — export is lexical by definition), named graphs ride the
+    * quads relation. One distributed write, no driver materialization.
+    */
+  def exportNQuads(store: TripleStore, path: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val dflt = graft.bgp.BgpPlanner.query(store,
+        "select ?s ?p ?o where { ?s ?p ?o }")
+      .select(lit(null).cast("string").as("g"), col("s"), col("p"), col("o"))
+    val named = store.quads.map(_ =>
+      graft.bgp.BgpPlanner.query(store,
+          "select ?g ?s ?p ?o where { graph ?g { ?s ?p ?o } }")
+        .select("g", "s", "p", "o"))
+    writeNQuads(named.fold(dflt)(dflt.unionByName(_)), path)
+  }
 
   /** S1: read a SPARQL query file (driver-side — query text is tiny). */
   def readQuery(path: String): String =

@@ -71,8 +71,12 @@ class RdfIOSpec extends AnyFunSuite {
     assert(store.slices("tag").collect().head.getString(1) == "\"chat\"@fr")
     // xsd:string collapses to the plain lexical (RDF 1.1 identity)
     assert(store.slices("str").collect().head.getString(1) == "plain")
+    // plain literals UNESCAPE at parse (round 11): stored lexical
+    // forms hold actual characters — the convention TurtleIO and
+    // canonTyped/canonLang always used, now shared by both NT readers
+    // (and re-escaped symmetrically by writeNTriples on export)
     assert(store.slices("label").collect().map(_.getString(1)).toSet ==
-      Set("a \\\"quoted\\\" value", "anon"))
+      Set("a \"quoted\" value", "anon"))
     // data-side blank nodes are opaque node ids
     assert(store.slices("label").collect().map(_.getString(0)).toSet ==
       Set("s:1", "_:b0"))

@@ -230,6 +230,34 @@ class TurtleIOSpec extends AnyFunSuite {
       if p == "http://x.org/meta" => o }.size == 2)
   }
 
+  test("N-Triples/N-Quads writers round-trip adversarial stored forms") {
+    import spark.implicits._
+    val rows = Seq(
+      ("ex:s", "ex:p", "plain words"),
+      ("ex:s", "name", "line\nbreak \"q\" \\slash"),
+      ("_:b1", "ex:p", "\"hei \"der\"\n\"@en"),
+      ("ex:s", "ex:p", "\"C:\\x\"^^<x:path>"),
+      ("bare", "alsoBare", "ex:iri"))
+    val df = rows.toDF("s", "p", "o")
+    val out = java.nio.file.Files.createTempDirectory("graft-ntw").toString
+    RdfIO.writeNTriples(df, out)
+    val back = RdfIO.ntriplesDF(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == rows.toSet)
+    // quads: null g = default-graph line; labeled g round-trips
+    val quads = Seq(
+      (null: String, "ex:s", "ex:p", "o1"),
+      ("g:a", "ex:s", "ex:p", "with \"quotes\"")).toDF("g", "s", "p", "o")
+    val out2 = java.nio.file.Files.createTempDirectory("graft-nqw").toString
+    RdfIO.writeNQuads(quads, out2)
+    val back2 = RdfIO.nquadsDF(spark, out2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(back2 == Set(
+      (null, "ex:s", "ex:p", "o1"),
+      ("g:a", "ex:s", "ex:p", "with \"quotes\"")))
+  }
+
   test("streaming turtle ingest equals the batch parse of the same dump") {
     val ttl =
       """ex:a ex:knows ex:b ; ex:name "A" .
