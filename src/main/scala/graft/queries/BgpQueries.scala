@@ -2446,6 +2446,40 @@ object BgpQueries {
             | ?n <name> ?nm .
             | graph <g:n> { ?n <inregion> ?r } }""".stripMargin)
       },
+      Some(turtleOracle)),
+
+    // TriG source (round 11): named-graph Turtle — the dump format
+    // Wikidata actually ships. Chunks split on the BLOCK CLOSE
+    // (`}` + newline), the unit real serializers emit (one block per
+    // entity), so graph context never crosses chunks and the full
+    // Turtle statement grammar works inside blocks. The fixture puts
+    // nation names in the default graph and region membership in a
+    // `<g:r> { … }` block; the query joins across the two.
+    GQuery(
+      "q358_trig_source",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = java.nio.file.Files.createTempDirectory("graft-trig-q")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        val header = s.createDataFrame(Seq(
+          Tuple1("@prefix n: <nation:> ."), Tuple1("@prefix r: <region:> .")))
+          .toDF("value")
+        val names = nat.select(concat(lit("n:"), col("n_nationkey"),
+          lit(" <name> \""), col("n_name"), lit("\" .")).as("value"))
+        val open = s.createDataFrame(Seq(Tuple1("<g:r> {"))).toDF("value")
+        val inregion = nat.select(concat(lit("n:"), col("n_nationkey"),
+          lit(" <inregion> r:"), col("n_regionkey"), lit(" .")).as("value"))
+        val close = s.createDataFrame(Seq(Tuple1("}"))).toDF("value")
+        header.unionByName(names).unionByName(open)
+          .unionByName(inregion).unionByName(close)
+          .coalesce(1).write.mode("overwrite").text(out)
+        val st = graft.sources.TurtleIO.readTrig(s, out)
+        BgpPlanner.query(st,
+          """select ?n ?nm ?r where {
+            | ?n <name> ?nm .
+            | graph <g:r> { ?n <inregion> ?r } }""".stripMargin)
+      },
       Some(turtleOracle))
   )
 

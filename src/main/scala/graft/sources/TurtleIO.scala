@@ -190,6 +190,150 @@ object TurtleIO {
       .toDF("s", "p", "o", "bad")
   }
 
+  /** Read a TriG file (named-graph Turtle — the dump format Wikidata
+    * ships) into a DATASET-shaped store: top-level statements build
+    * the default graph's vertical slices, `<g> { … }` /
+    * `GRAPH <g> { … }` blocks the quads relation. Compose with
+    * [[graft.bgp.TripleStore.writeDataset]] for the persisted
+    * (g, p)-partitioned layout.
+    */
+  def readTrig(spark: SparkSession, path: String): TripleStore = {
+    import org.apache.spark.sql.functions.col
+    val q = trigAudit(spark, path).where(col("bad").isNull)
+    val st = TripleStore.fromTriples(
+      q.where(col("g").isNull).select("s", "p", "o"))
+    st.copy(quads = Some(q.where(col("g").isNotNull)
+      .select("g", "s", "p", "o")))
+  }
+
+  /** The audited TriG parse: `(g, s, p, o, bad)` — `g` null for
+    * default-graph statements, `bad` the malformed-statement
+    * quarantine (same contract as [[turtleAudit]]).
+    *
+    * Scale shape: chunks split on the BLOCK CLOSE (`}` + newline), so
+    * a graph block — the unit real TriG serializers emit, e.g. one
+    * block per Wikidata entity — never crosses a chunk boundary and
+    * the parser carries no cross-chunk state; the grammar inside
+    * blocks is the full Turtle statement surface (bracket nodes,
+    * collections, long literals), via the same tokenizer and
+    * statement parser. Inline `}` on a shared line is handled
+    * token-side, like inline `.` statements.
+    */
+  def trigAudit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val directives = spark.read.textFile(path)
+      .filter(l => {
+        val t = l.trim
+        t.nonEmpty && (t.charAt(0) == '@' ||
+          t.regionMatches(true, 0, "prefix", 0, 6) ||
+          t.regionMatches(true, 0, "base", 0, 4))
+      })
+      .limit(MaxPrefixes + 1).collect()
+    require(directives.length <= MaxPrefixes,
+      s"more than $MaxPrefixes prefix/base directives: not a TriG dump")
+    var base: Option[String] = None
+    val prefixes = scala.collection.mutable.Map.empty[String, String]
+    directives.foreach {
+      case prefixLine(pre, iri) =>
+        val key = if (pre == null) "" else pre
+        require(!prefixes.get(key).exists(_ != iri),
+          s"prefix '$key:' redefined mid-document — one document-wide map")
+        prefixes(key) = iri
+      case baseLine(iri) =>
+        require(base.forall(_ == iri), "@base redefined mid-document")
+        base = Some(iri)
+      case _ => ()
+    }
+    val pmap = prefixes.toMap
+    val baseIri = base
+    spark.read.option("lineSep", "}\n").text(path)
+      .select(col("value"), input_file_name().as("f"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        it.zipWithIndex.flatMap { case ((chunk, f), i) =>
+          parseTrigChunkAudited(chunk, pmap, baseIri,
+            "f" + java.lang.Long.toHexString(fnv64(f)) + "p" + pid + "c" + i)
+        }
+      }
+      .toDF("g", "s", "p", "o", "bad")
+  }
+
+  /** Parse one `}`-delimited TriG chunk: leading top-level statements
+    * are default-graph; a `<g> {` / `GRAPH <g> {` / bare `{` header
+    * opens a block whose statements carry that graph label (the
+    * chunk-final block's `}` was consumed as the record delimiter, so
+    * an open context at end-of-chunk is the normal case); `}` tokens
+    * close inline blocks. Bad statements quarantine per statement.
+    */
+  private[sources] def parseTrigChunkAudited(chunk0: String,
+      prefixes: Map[String, String], base: Option[String], key: String)
+      : Seq[(String, String, String, String, String)] = {
+    val body = chunk0.linesIterator
+      .filterNot { l =>
+        val t = l.trim
+        prefixLine.pattern.matcher(t).matches() ||
+          baseLine.pattern.matcher(t).matches() || t.startsWith("#")
+      }
+      .mkString("\n").trim
+    if (body.isEmpty || body == ".") return Nil
+    val toks = tokenize(body) match {
+      case None =>
+        return Seq((null, null, null, null, snip(body)))
+      case Some(ts) if ts.isEmpty => return Nil
+      case Some(ts) => ts
+    }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(String, String, String, String, String)]
+    var graphCtx: Option[String] = None
+    val cur = Vector.newBuilder[String]
+    var curN = 0
+    var depth = 0
+    var si = 0
+    def flushStmt(): Unit = {
+      val st = cur.result(); cur.clear(); curN = 0
+      if (st.nonEmpty) {
+        val g = graphCtx.orNull
+        try new StmtParser(prefixes, base, s"${key}s$si").parse(st)
+          .foreach { case (s, p, o) => out += ((g, s, p, o, null)) }
+        catch { case Malformed =>
+          out += ((null, null, null, null, snip(st.mkString(" "))))
+        }
+        si += 1
+      }
+    }
+    toks.foreach {
+      case "{" if depth == 0 =>
+        // the tokens accumulated since the last boundary are the block
+        // header: empty = default-graph block; [term] or [GRAPH term]
+        val header = cur.result(); cur.clear(); curN = 0
+        val gTok = header match {
+          case Vector() => None
+          case Vector(t) => Some(t)
+          case Vector(kw, t) if kw.equalsIgnoreCase("graph") => Some(t)
+          case _ =>
+            out += ((null, null, null, null,
+              snip(header.mkString(" ") + " {")))
+            None
+        }
+        graphCtx = gTok.flatMap(t =>
+          if (t.startsWith("_:")) Some(t)
+          else term3(t, prefixes, base, pred = false))
+        if (gTok.isDefined && graphCtx.isEmpty)
+          out += ((null, null, null, null, snip(gTok.get + " {")))
+      case "}" if depth == 0 =>
+        flushStmt() // the final '.' inside a block is optional
+        graphCtx = None
+      case "." if depth == 0 => flushStmt()
+      case t =>
+        if (t == "[" || t == "(") depth += 1
+        else if (t == "]" || t == ")") depth -= 1
+        cur += t; curN += 1
+    }
+    flushStmt()
+    out.toList
+  }
+
   /** FNV-1a 64-bit over a string — the blank-label file discriminator
     * (collisions need two distinct file paths hashing equal).
     */
@@ -573,7 +717,7 @@ object TurtleIO {
           val j = s.indexOf('>', i)
           if (j < 0) return None
           toks += s.substring(i, j + 1); i = j + 1
-        case '[' | ']' | '(' | ')' | ';' | ',' =>
+        case '[' | ']' | '(' | ')' | ';' | ',' | '{' | '}' =>
           flush(); toks += ch.toString; i += 1
         case c if c.isWhitespace => flush(); i += 1
         case c => cur.append(c); i += 1

@@ -230,6 +230,48 @@ class TurtleIOSpec extends AnyFunSuite {
       if p == "http://x.org/meta" => o }.size == 2)
   }
 
+  test("TriG parses default statements, graph blocks, and rich forms") {
+    val trig =
+      """@prefix ex: <http://x.org/> .
+        |ex:a ex:p ex:b .
+        |ex:g1 {
+        |  ex:s ex:q "v" ;
+        |       ex:meta [ ex:rank 1 ] .
+        |  ex:t ex:q "w"
+        |}
+        |GRAPH <http://x.org/g2> { ex:u ex:q "x" . }
+        |{ ex:dflt ex:p ex:c . }
+        |ex:z ex:p ex:d .
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig")
+    java.nio.file.Files.write(dir.resolve("d.trig"), trig.getBytes("UTF-8"))
+    val rows = TurtleIO.trigAudit(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4)))
+    assert(rows.forall(_._5 == null), s"unexpected quarantine: ${
+      rows.filter(_._5 != null).mkString(";")}")
+    val ex = "http://x.org/"
+    val byG = rows.groupBy(_._1)
+    // default graph: top-level statements + the bare { } block
+    assert(byG(null).map(r => (r._2, r._4)).toSet ==
+      Set((s"${ex}a", s"${ex}b"), (s"${ex}dflt", s"${ex}c"),
+        (s"${ex}z", s"${ex}d")))
+    // g1: ';' lists, a bracket node, and an optional final '.'
+    val g1 = byG(s"${ex}g1")
+    assert(g1.length == 4)
+    assert(g1.exists(r => r._2 == s"${ex}t" && r._4 == "w"))
+    assert(g1.exists(r => r._3 == s"${ex}meta" && r._4.startsWith("_:g")))
+    // GRAPH-keyword + inline } form
+    assert(byG(s"${ex}g2").map(r => (r._2, r._4)).toSet ==
+      Set((s"${ex}u", "x")))
+    // a store built from the same file answers a mixed query
+    val st = TurtleIO.readTrig(spark, dir.toString)
+    val got = graft.bgp.BgpPlanner.query(st,
+      s"""select ?s ?v where { graph <${ex}g1> { ?s <${ex}q> ?v } }""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((s"${ex}s", "v"), (s"${ex}t", "w")))
+  }
+
   test("N-Triples/N-Quads writers round-trip adversarial stored forms") {
     import spark.implicits._
     val rows = Seq(
