@@ -2480,6 +2480,30 @@ object BgpQueries {
             | ?n <name> ?nm .
             | graph <g:r> { ?n <inregion> ?r } }""".stripMargin)
       },
+      Some(turtleOracle)),
+
+    // TriG export round trip from an ENCODED store (round 11): the
+    // write half of the TriG surface — per-partition graph blocks
+    // (TriG permits repeated labels; the reader merges), default-graph
+    // statements top-level, decode-on-export through the planner —
+    // re-read by our own block-close-chunked reader and queried across
+    // both graphs. With q353/q357/q358 this closes the format matrix:
+    // Turtle/N-Triples/N-Quads/TriG read, N-Triples/N-Quads/TriG write.
+    GQuery(
+      "q359_trig_export_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-trig-exp")
+          .toString
+        val staged = graft.bgp.SparqlUpdate.applyAll(s,
+          TripleStore.encode(TripleStore.fromTriples(nationTriples(s, dir))),
+          "ADD DEFAULT TO GRAPH <g:n>")
+        graft.sources.RdfIO.exportTrig(staged, tmp)
+        val back = graft.sources.TurtleIO.readTrig(s, tmp)
+        BgpPlanner.query(back,
+          """select ?n ?nm ?r where {
+            | ?n <name> ?nm .
+            | graph <g:n> { ?n <inregion> ?r } }""".stripMargin)
+      },
       Some(turtleOracle))
   )
 

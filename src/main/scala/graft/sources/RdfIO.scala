@@ -124,6 +124,21 @@ object RdfIO {
       .select("g", "s", "p", "o")))
   }
 
+  /** STREAMING N-Quads ingest — the dataset-grain twin of
+    * [[ntriplesStream]]: quad files landing in `path` parse
+    * incrementally into `(g, s, p, o)` rows (null `g` = default
+    * graph); compose with a `(g, p)`-partitioned parquet sink for
+    * streaming load into the dataset layout
+    * ([[graft.bgp.TripleStore.fromDatasetParquet]]'s quads shape).
+    */
+  def nquadsStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.text(path).as[String]
+      .filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .flatMap(parseNqLine _)
+      .toDF("g", "s", "p", "o")
+  }
+
   /** One N-Quads line → (g | null, s, p, o); None when malformed. */
   private[graft] def parseNqLine(l: String)
       : Option[(String, String, String, String)] = l match {
@@ -203,15 +218,17 @@ object RdfIO {
   }
 
   /** A RESOURCE position (subject/predicate/graph) in surface syntax:
-    * IRIs bracket, blank nodes pass, and the relaxed store model's
-    * bare tokens (`name`, `worksFor` — resource names, never
-    * whitespace-bearing) stay bare so they round-trip through the
-    * reader's bare-token branch instead of turning into literals.
+    * blank nodes pass; everything else brackets — including the
+    * relaxed store model's bare resource tokens (`name`, `worksFor`),
+    * which round-trip exactly through BOTH readers (`<name>` comes
+    * back as `name`: the N-Triples reader strips brackets verbatim,
+    * and the Turtle-family reader returns a non-scheme bracketed form
+    * as-is when no `@base` is in scope — our writers emit none).
+    * Rendering them as quoted literals instead would corrupt the
+    * round trip (a re-read literal predicate never matches its slice).
     */
   private def ntRes(v: String): String =
-    if (v.startsWith("_:")) v
-    else if (v.matches(iriFormRe)) s"<$v>"
-    else v
+    if (v.startsWith("_:")) v else s"<$v>"
 
   /** DISTRIBUTED N-Triples sink: each `(s, p, o)` row renders to one
     * statement line executor-side — the export twin of [[ntriplesDF]]
@@ -244,12 +261,12 @@ object RdfIO {
       .write.mode(SaveMode.Overwrite).text(path)
   }
 
-  /** Export a whole store as N-Quads: the default graph dumps through
-    * the planner's variable-predicate path (which DECODES on encoded
-    * stores — export is lexical by definition), named graphs ride the
-    * quads relation. One distributed write, no driver materialization.
+  /** The whole-dataset relation behind the exports: the default graph
+    * dumps through the planner's variable-predicate path (which
+    * DECODES on encoded stores — export is lexical by definition),
+    * named graphs ride the quads relation; `g` null = default graph.
     */
-  def exportNQuads(store: TripleStore, path: String): Unit = {
+  private def datasetRelation(store: TripleStore): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val dflt = graft.bgp.BgpPlanner.query(store,
         "select ?s ?p ?o where { ?s ?p ?o }")
@@ -258,8 +275,55 @@ object RdfIO {
       graft.bgp.BgpPlanner.query(store,
           "select ?g ?s ?p ?o where { graph ?g { ?s ?p ?o } }")
         .select("g", "s", "p", "o"))
-    writeNQuads(named.fold(dflt)(dflt.unionByName(_)), path)
+    named.fold(dflt)(dflt.unionByName(_))
   }
+
+  /** Export a whole store as N-Quads — one distributed write, no
+    * driver materialization.
+    */
+  def exportNQuads(store: TripleStore, path: String): Unit =
+    writeNQuads(datasetRelation(store), path)
+
+  /** DISTRIBUTED TriG sink over a `(g, s, p, o)` relation: each
+    * partition sorts by graph label and emits one `<g> { … }` block
+    * per label run (TriG permits the same label on many blocks — the
+    * graphs merge on read — so blocks parallelize across partitions
+    * with no graph-sized collection anywhere); null-`g` rows render as
+    * top-level default-graph statements, which sort first. The block
+    * close lands on its own line, so the output is exactly the
+    * `}`-delimited chunk shape [[TurtleIO.readTrig]] splits on.
+    */
+  def writeTrig(df: DataFrame, path: String): Unit = {
+    import df.sparkSession.implicits._
+    df.select(col("g").cast("string"), col("s").cast("string"),
+        col("p").cast("string"), col("o").cast("string"))
+      .sortWithinPartitions("g")
+      .as[(String, String, String, String)]
+      .mapPartitions { it =>
+        var cur: Option[String] = None
+        val body = it.flatMap { case (g, s, p, o) =>
+          val line = s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)} ."
+          val gOpt = Option(g)
+          if (gOpt == cur) Iterator(line)
+          else {
+            val close = if (cur.isDefined) Iterator("}") else Iterator.empty
+            cur = gOpt
+            close ++ gOpt.iterator.map(x => s"${ntRes(x)} {") ++
+              Iterator(line)
+          }
+        }
+        body ++ Iterator.single(()).flatMap(_ =>
+          if (cur.isDefined) Iterator("}") else Iterator.empty)
+      }
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Export a whole store as TriG (the compact dataset serialization
+    * [[TurtleIO.readTrig]] reads back) — distributed, decode-on-export
+    * like [[exportNQuads]].
+    */
+  def exportTrig(store: TripleStore, path: String): Unit =
+    writeTrig(datasetRelation(store), path)
 
   /** S1: read a SPARQL query file (driver-side — query text is tiny). */
   def readQuery(path: String): String =

@@ -272,6 +272,29 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == Set((s"${ex}s", "v"), (s"${ex}t", "w")))
   }
 
+  test("TriG writer round-trips a dataset through its own reader") {
+    import spark.implicits._
+    val quads = Seq(
+      (null: String, "ex:a", "ex:p", "top \"level\""),
+      (null: String, "ex:b", "ex:p", "ex:c"),
+      ("g:1", "ex:s", "ex:q", "in\ng1"),
+      ("g:1", "ex:t", "ex:q", "\"5\"^^<x:int>"),
+      ("g:2", "ex:u", "ex:q", "\"hei\"@en")).toDF("g", "s", "p", "o")
+    val out = java.nio.file.Files.createTempDirectory("graft-trigw")
+      .toString
+    RdfIO.writeTrig(quads, out)
+    val back = TurtleIO.trigAudit(spark, out)
+    assert(back.where("bad is not null").count() == 0)
+    val got = back.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (null, "ex:a", "ex:p", "top \"level\""),
+      (null, "ex:b", "ex:p", "ex:c"),
+      ("g:1", "ex:s", "ex:q", "in\ng1"),
+      ("g:1", "ex:t", "ex:q", "\"5\"^^<x:int>"),
+      ("g:2", "ex:u", "ex:q", "\"hei\"@en")))
+  }
+
   test("N-Triples/N-Quads writers round-trip adversarial stored forms") {
     import spark.implicits._
     val rows = Seq(
