@@ -269,19 +269,15 @@ object TurtleIO {
   private[sources] def parseTrigChunkAudited(chunk0: String,
       prefixes: Map[String, String], base: Option[String], key: String)
       : Seq[(String, String, String, String, String)] = {
-    val body = chunk0.linesIterator
-      .filterNot { l =>
-        val t = l.trim
-        prefixLine.pattern.matcher(t).matches() ||
-          baseLine.pattern.matcher(t).matches() || t.startsWith("#")
-      }
-      .mkString("\n").trim
+    val body = chunk0.trim
     if (body.isEmpty || body == ".") return Nil
     val toks = tokenize(body) match {
       case None =>
         return Seq((null, null, null, null, snip(body)))
-      case Some(ts) if ts.isEmpty => return Nil
-      case Some(ts) => ts
+      case Some(ts) => stripDirectiveTokens(ts) match {
+        case Nil => return Nil
+        case ss => ss
+      }
     }
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, String, String, String, String)]
@@ -408,21 +404,18 @@ object TurtleIO {
       prefixes: Map[String, String],
       base: Option[String],
       key: String): Seq[(String, String, String, String)] = {
-    // strip directive lines (their own chunks when dot-terminated;
-    // leading lines of the next chunk for SPARQL-style PREFIX/BASE)
-    // and comment lines
-    val body = chunk0.linesIterator
-      .filterNot { l =>
-        val t = l.trim
-        prefixLine.pattern.matcher(t).matches() ||
-          baseLine.pattern.matcher(t).matches() || t.startsWith("#")
-      }
-      .mkString("\n").trim
+    // comments are consumed by the tokenizer (literal-aware), and
+    // directive runs are dropped token-side by stripDirectiveTokens —
+    // a literal whose CONTENT contains a '#' line or a
+    // directive-looking line survives intact
+    val body = chunk0.trim
     if (body.isEmpty || body == ".") return Nil
     val toks = tokenize(body) match {
       case None => return Seq((null, null, null, snip(body)))
-      case Some(ts) if ts.isEmpty => return Nil
-      case Some(ts) => ts
+      case Some(ts) => stripDirectiveTokens(ts) match {
+        case Nil => return Nil
+        case ss => ss
+      }
     }
     // split the token stream into statements on top-level '.'
     val stmts = scala.collection.mutable.ListBuffer.empty[Vector[String]]
@@ -451,6 +444,40 @@ object TurtleIO {
 
   private def snip(s: String): String =
     if (s.length <= 200) s else s.substring(0, 200)
+
+  /** Drop directive runs (`@prefix pre: <iri> .`, SPARQL-style
+    * `PREFIX pre: <iri>`, `@base <iri> .`, `BASE <iri>`) from a token
+    * stream — token-level, so a LITERAL whose content happens to
+    * contain a directive-looking line is untouched (the old
+    * line-level filter silently corrupted it). Directives are only
+    * recognized at statement starts (after `.`, `{`, `}`, or the
+    * chunk head), where the grammar allows them.
+    */
+  private def stripDirectiveTokens(toks: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    var atStart = true
+    while (i < toks.length) {
+      val t = toks(i)
+      val isPrefixKw = t.equalsIgnoreCase("@prefix") ||
+        t.equalsIgnoreCase("prefix")
+      val isBaseKw = t.equalsIgnoreCase("@base") || t.equalsIgnoreCase("base")
+      if (atStart && isPrefixKw && i + 2 < toks.length &&
+          toks(i + 1).endsWith(":") && toks(i + 2).startsWith("<")) {
+        i += 3
+        if (i < toks.length && toks(i) == ".") i += 1
+      } else if (atStart && isBaseKw && i + 1 < toks.length &&
+          toks(i + 1).startsWith("<")) {
+        i += 2
+        if (i < toks.length && toks(i) == ".") i += 1
+      } else {
+        out += t
+        atStart = t == "." || t == "{" || t == "}"
+        i += 1
+      }
+    }
+    out.toList
+  }
 
   /** Statement-local malformedness — control flow only, never escapes
     * [[parseChunkAudited]].
@@ -635,7 +662,7 @@ object TurtleIO {
     def suffix(sb: java.lang.StringBuilder): Boolean = {
       if (i < s.length && s.charAt(i) == '@') {
         while (i < s.length && !s.charAt(i).isWhitespace &&
-            ";,])".indexOf(s.charAt(i)) < 0) {
+            ";,])#".indexOf(s.charAt(i)) < 0) {
           sb.append(s.charAt(i)); i += 1
         }
       } else if (s.startsWith("^^", i)) {
@@ -648,7 +675,7 @@ object TurtleIO {
           sb.append('>'); i += 1
         } else {
           while (i < s.length && !s.charAt(i).isWhitespace &&
-              ";,])".indexOf(s.charAt(i)) < 0) {
+              ";,])#".indexOf(s.charAt(i)) < 0) {
             sb.append(s.charAt(i)); i += 1
           }
         }
@@ -719,6 +746,12 @@ object TurtleIO {
           toks += s.substring(i, j + 1); i = j + 1
         case '[' | ']' | '(' | ')' | ';' | ',' | '{' | '}' =>
           flush(); toks += ch.toString; i += 1
+        // comments skip to end of line HERE, where literal/IRI state
+        // is known — line-level stripping would tear a long literal
+        // whose content merely contains a '#' line
+        case '#' =>
+          flush()
+          while (i < s.length && s.charAt(i) != '\n') i += 1
         case c if c.isWhitespace => flush(); i += 1
         case c => cur.append(c); i += 1
       }

@@ -230,6 +230,30 @@ class TurtleIOSpec extends AnyFunSuite {
       if p == "http://x.org/meta" => o }.size == 2)
   }
 
+  test("comments and directive-looking lines inside literals survive") {
+    // the round-10 line-level filter would TEAR these literals; the
+    // round-11 tokenizer/token-level handling keeps literal content
+    // byte-exact while still honoring real comments and directives
+    val ttl = "@prefix ex: <http://x.org/> .\n" +
+      "ex:a ex:p \"\"\"body with\n# not a comment\nand\n" +
+      "PREFIX fake: <http://evil/>\nlines\"\"\" .\n" +
+      "ex:b ex:p ex:c . # trailing comment\n" +
+      "# full-line comment\n" +
+      "ex:d ex:p \"x # y\" .\n"
+    val path = write("cmt.ttl", ttl)
+    val audit = TurtleIO.turtleAudit(spark, path)
+    assert(audit.where("bad is not null").count() == 0)
+    val got = audit.collect().map(r => (r.getString(0), r.getString(2)))
+      .toMap
+    assert(got("http://x.org/a") ==
+      "body with\n# not a comment\nand\nPREFIX fake: <http://evil/>\nlines")
+    assert(got("http://x.org/b") == "http://x.org/c")
+    assert(got("http://x.org/d") == "x # y")
+    // the fake prefix inside the literal was NOT collected: ex: still
+    // resolves, fake: would not
+    assert(got.size == 3)
+  }
+
   test("TriG parses default statements, graph blocks, and rich forms") {
     val trig =
       """@prefix ex: <http://x.org/> .
