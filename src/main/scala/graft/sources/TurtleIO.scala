@@ -282,12 +282,12 @@ object TurtleIO {
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, String, String, String, String)]
     var graphCtx: Option[String] = None
-    val cur = Vector.newBuilder[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     var curN = 0
     var depth = 0
     var si = 0
     def flushStmt(): Unit = {
-      val st = cur.result(); cur.clear(); curN = 0
+      val st = cur.toVector; cur.clear(); curN = 0
       if (st.nonEmpty) {
         val g = graphCtx.orNull
         try new StmtParser(prefixes, base, s"${key}s$si").parse(st)
@@ -302,7 +302,7 @@ object TurtleIO {
       case "{" if depth == 0 =>
         // the tokens accumulated since the last boundary are the block
         // header: empty = default-graph block; [term] or [GRAPH term]
-        val header = cur.result(); cur.clear(); curN = 0
+        val header = cur.toVector; cur.clear(); curN = 0
         val gTok = header match {
           case Vector() => None
           case Vector(t) => Some(t)
@@ -419,19 +419,19 @@ object TurtleIO {
     }
     // split the token stream into statements on top-level '.'
     val stmts = scala.collection.mutable.ListBuffer.empty[Vector[String]]
-    val cur = Vector.newBuilder[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var curN = 0
     toks.foreach { t =>
       if (t == "." && depth == 0) {
-        if (curN > 0) { stmts += cur.result(); cur.clear(); curN = 0 }
+        if (curN > 0) { stmts += cur.toVector; cur.clear(); curN = 0 }
       } else {
         if (t == "[" || t == "(") depth += 1
         else if (t == "]" || t == ")") depth -= 1
         cur += t; curN += 1
       }
     }
-    if (curN > 0) stmts += cur.result()
+    if (curN > 0) stmts += cur.toVector
     stmts.zipWithIndex.flatMap { case (st, si) =>
       try new StmtParser(prefixes, base, s"${key}s$si").parse(st)
         .map { case (s, p, o) => (s, p, o, null: String) }
@@ -453,7 +453,11 @@ object TurtleIO {
     * recognized at statement starts (after `.`, `{`, `}`, or the
     * chunk head), where the grammar allows them.
     */
-  private def stripDirectiveTokens(toks: Seq[String]): Seq[String] = {
+  private def stripDirectiveTokens(toks0: Seq[String]): Seq[String] = {
+    // positional indexing below — a List here is O(n²) over a large
+    // chunk's token stream (measured: 87 s on an 80k-token TriG block
+    // vs 0.1 s indexed)
+    val toks = toks0.toIndexedSeq
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var i = 0
     var atStart = true

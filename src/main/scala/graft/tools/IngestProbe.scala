@@ -45,18 +45,40 @@ object IngestProbe {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
+    // N-Quads: the same statements labeled into 8 graphs; TriG: the
+    // same, one block per (graph, partition) via the real writer
+    val nq = triples.select(concat(
+      lit("<"), col("s"), lit("> <"), col("p"), lit("> "),
+      obj(col("o")), lit(" <g:"), pmod(xxhash64(col("s")), lit(8)),
+      lit("> .")).as("value"))
+    nq.write.mode("overwrite").text(s"$base/nq")
+    graft.sources.RdfIO.writeTrig(
+      triples.select(concat(lit("g:"), pmod(xxhash64(col("s")), lit(8)))
+        .as("g"), col("s"), col("p"), col("o")),
+      s"$base/trig")
+
     // warm the page cache evenly, then time each parse
-    spark.read.textFile(s"$base/ttl").count()
-    spark.read.textFile(s"$base/nt").count()
+    Seq("ttl", "nt", "nq", "trig").foreach(d =>
+      spark.read.textFile(s"$base/$d").count())
     val bytes = du(s"$base/ttl")
     val (nTtl, sTtl) = time(
       graft.sources.TurtleIO.turtleDF(spark, s"$base/ttl").count())
     val (nNt, sNt) = time(
       graft.sources.RdfIO.ntriplesDF(spark, s"$base/nt").count())
+    val nqBytes = du(s"$base/nq")
+    val (nNq, sNq) = time(
+      graft.sources.RdfIO.nquadsDF(spark, s"$base/nq").count())
+    val trigBytes = du(s"$base/trig")
+    val (nTrig, sTrig) = time(
+      graft.sources.TurtleIO.trigAudit(spark, s"$base/trig")
+        .where(col("bad").isNull).count())
     println(f"[ingest-probe] corpus: ${bytes / 1e6}%.1f MB, " +
       f"turtle: $nTtl rows in $sTtl%.2f s (${bytes / 1e6 / sTtl}%.1f MB/s), " +
-      f"ntriples: $nNt rows in $sNt%.2f s (${bytes / 1e6 / sNt}%.1f MB/s)")
-    require(nTtl == nNt, s"parser row mismatch: turtle $nTtl vs nt $nNt")
+      f"ntriples: $nNt rows in $sNt%.2f s (${bytes / 1e6 / sNt}%.1f MB/s), " +
+      f"nquads: $nNq rows in $sNq%.2f s (${nqBytes / 1e6 / sNq}%.1f MB/s), " +
+      f"trig: $nTrig rows in $sTrig%.2f s (${trigBytes / 1e6 / sTrig}%.1f MB/s)")
+    require(nTtl == nNt && nNt == nNq && nNq == nTrig,
+      s"parser row mismatch: ttl $nTtl nt $nNt nq $nNq trig $nTrig")
     spark.stop()
   }
 }
