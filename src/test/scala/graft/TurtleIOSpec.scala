@@ -230,6 +230,52 @@ class TurtleIOSpec extends AnyFunSuite {
       if p == "http://x.org/meta" => o }.size == 2)
   }
 
+  test("randomized dataset round-trips through TriG and N-Quads writers") {
+    import spark.implicits._
+    // deterministic pseudo-random dataset: graph labels (incl. the
+    // default graph), IRI/bare/blank resources, and literals drawn
+    // from the adversarial pool (quotes, newlines, tabs, backslashes,
+    // unicode, decorated typed/lang forms)
+    val rnd = new scala.util.Random(11)
+    val lits = IndexedSeq(
+      "plain", "with \"quotes\"", "line\nbreak", "tab\there",
+      "back\\slash", "ünïcôde ✓", "\"5\"^^<x:int>", "\"salut\"@fr",
+      "\"multi\nline \\\"deco\\\"\"@en", "ends with space ")
+    val quads = (0 until 400).map { _ =>
+      val g = rnd.nextInt(4) match {
+        case 0 => null
+        case k => s"g:$k"
+      }
+      val s = if (rnd.nextBoolean()) s"node:${rnd.nextInt(30)}"
+        else s"_:b${rnd.nextInt(10)}"
+      val p = rnd.nextInt(3) match {
+        case 0 => "bareProp"
+        case 1 => "rel:knows"
+        case 2 => "http://x.org/p"
+      }
+      val o = rnd.nextInt(3) match {
+        case 0 => lits(rnd.nextInt(lits.length))
+        case 1 => s"node:${rnd.nextInt(30)}"
+        case 2 => s"_:b${rnd.nextInt(10)}"
+      }
+      (g, s, p, o)
+    }.distinct
+    val df = quads.toDF("g", "s", "p", "o")
+    val trigOut = java.nio.file.Files.createTempDirectory("graft-rt-trig")
+      .toString
+    RdfIO.writeTrig(df, trigOut)
+    val backTrig = TurtleIO.trigAudit(spark, trigOut)
+    assert(backTrig.where("bad is not null").count() == 0)
+    assert(backTrig.select("g", "s", "p", "o").collect()
+      .map(_.toSeq).toSet == quads.map(q => Seq(q._1, q._2, q._3, q._4))
+      .toSet)
+    val nqOut = java.nio.file.Files.createTempDirectory("graft-rt-nq")
+      .toString
+    RdfIO.writeNQuads(df, nqOut)
+    assert(RdfIO.nquadsDF(spark, nqOut).collect().map(_.toSeq).toSet ==
+      quads.map(q => Seq(q._1, q._2, q._3, q._4)).toSet)
+  }
+
   test("comments and directive-looking lines inside literals survive") {
     // the round-10 line-level filter would TEAR these literals; the
     // round-11 tokenizer/token-level handling keeps literal content
