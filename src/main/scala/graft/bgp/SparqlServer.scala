@@ -274,17 +274,32 @@ object SparqlServer {
       (answerGraph(BgpPlanner.describe(store, q), maxRows),
         "application/n-triples")
     case q if askFormRe.pattern.matcher(q).matches() =>
-      if (accept.contains("application/sparql-results+xml"))
+      if (negotiated(accept) == "application/sparql-results+xml")
         (answerAskXml(store, q), "application/sparql-results+xml")
       else (answerAsk(store, q), "application/sparql-results+json")
-    case q if accept.contains("application/sparql-results+xml") =>
-      (answerXml(store, q, maxRows), "application/sparql-results+xml")
-    case q if accept.contains("text/csv") =>
-      (answerCsv(store, q, maxRows), "text/csv")
-    case q if accept.contains("text/tab-separated-values") =>
-      (answerTsv(store, q, maxRows), "text/tab-separated-values")
-    case q =>
-      (answer(store, q, maxRows), "application/sparql-results+json")
+    case q => negotiated(accept) match {
+      case ct @ "application/sparql-results+xml" =>
+        (answerXml(store, q, maxRows), ct)
+      case ct @ "text/csv" => (answerCsv(store, q, maxRows), ct)
+      case ct @ "text/tab-separated-values" =>
+        (answerTsv(store, q, maxRows), ct)
+      case _ =>
+        (answer(store, q, maxRows), "application/sparql-results+json")
+    }
+  }
+
+  /** Pick the FIRST-listed supported results format from the Accept
+    * header (clients order by preference; full q-value weighting is
+    * out of scope — listing order is the de-facto preference signal).
+    * No supported type listed → results-JSON, the modern default.
+    */
+  private def negotiated(accept: String): String = {
+    val supported = Seq("application/sparql-results+json",
+      "application/sparql-results+xml", "text/csv",
+      "text/tab-separated-values")
+    supported.map(t => (accept.indexOf(t), t))
+      .filter(_._1 >= 0).sortBy(_._1).map(_._2).headOption
+      .getOrElse("application/sparql-results+json")
   }
 
   /** One parsed protocol request: query text, update text, or a bare

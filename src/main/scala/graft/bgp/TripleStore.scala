@@ -593,7 +593,14 @@ object TripleStore {
     val st = fromPartitionedParquet(spark, s"$root/triples")
     val dict = spark.read.parquet(s"$root/dict")
       .select(col("id"), col("value"), col("dt"), col("lang"))
-    st.copy(dict = Some(dict), sequential = isSequentialDict(dict))
+    // RDF graphs are sets, and a stream may deliver the same statement
+    // in several micro-batches (distinct batch_id partitions): each
+    // slice dedups at load, matching fromTriples' per-slice distinct —
+    // without it streaming and batch ingest of the same dump would
+    // disagree on multiplicities
+    st.copy(
+      slices = st.slices.map { case (p, df) => p -> df.distinct() },
+      dict = Some(dict), sequential = isSequentialDict(dict))
   }
 
   /** Detect a persisted dictionary's id regime so a reloaded store

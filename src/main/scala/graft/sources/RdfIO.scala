@@ -120,8 +120,10 @@ object RdfIO {
     val q = nquadsDF(spark, path)
     val st = TripleStore.fromTriples(
       q.where(col("g").isNull).select("s", "p", "o"))
+    // RDF graphs are sets: duplicate statements (legal and common in
+    // dumps) collapse — the same distinct fromTriples applies per slice
     st.copy(quads = Some(q.where(col("g").isNotNull)
-      .select("g", "s", "p", "o")))
+      .select("g", "s", "p", "o").distinct()))
   }
 
   /** STREAMING N-Quads ingest — the dataset-grain twin of

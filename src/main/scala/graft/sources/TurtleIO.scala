@@ -76,11 +76,6 @@ object TurtleIO {
   private val RdfRest = RdfNs + "rest"
   private val RdfNil = RdfNs + "nil"
 
-  private val prefixLine =
-    """(?i)^\s*(?:@prefix|prefix)\s+([A-Za-z][\w.-]*)?:\s*<([^>]*)>\s*\.?\s*$""".r
-  private val baseLine =
-    """(?i)^\s*(?:@base|base)\s+<([^>]*)>\s*\.?\s*$""".r
-
   /** Read a Turtle file into a (vertically partitioned) triple store. */
   def readTurtle(spark: SparkSession, path: String): TripleStore =
     TripleStore.fromTriples(turtleDF(spark, path))
@@ -99,43 +94,52 @@ object TurtleIO {
     * readers do.
     */
   def turtleAudit(spark: SparkSession, path: String): DataFrame = {
+    val sep = probeSep(spark, path)
+    // pass 1 — directives (literal-aware, token-level, bounded);
+    // pass 2 — statements: split the scan on the probed terminator and
+    // parse each chunk executor-side against the broadcast map
+    val (pmap, baseIri) = collectDirectives(spark, path, sep, "Turtle")
+    chunkedParse(spark.read.option("lineSep", sep).text(path),
+      pmap, baseIri)
+  }
+
+  /** Pass-1 directive collection, LITERAL-AWARE: chunks tokenize (the
+    * tokenizer knows literal/IRI/comment state — no prefix map needed
+    * to tokenize) and only TOP-LEVEL directive runs count, so a
+    * directive-looking line inside a long literal neither pollutes the
+    * prefix map nor fails a valid document on a phantom redefinition
+    * (the round-10/earlier-round-11 line-based scan did both). Chunks
+    * whose tokenize fails (torn long literals) contribute nothing —
+    * their statements quarantine in pass 2. The collect is bounded by
+    * [[MaxPrefixes]]: directives are schema metadata, like the
+    * predicate inventory.
+    */
+  private def collectDirectives(spark: SparkSession, path: String,
+      lineSep: String, what: String)
+      : (Map[String, String], Option[String]) = {
     import spark.implicits._
-    // pass 1 — directives: a distributed line scan, collected bounded
-    // (they are schema metadata, like the predicate inventory)
-    val directives = spark.read.textFile(path)
-      .filter(l => {
-        val t = l.trim
-        t.nonEmpty && (t.charAt(0) == '@' ||
-          t.regionMatches(true, 0, "prefix", 0, 6) ||
-          t.regionMatches(true, 0, "base", 0, 4))
-      })
+    val runs = spark.read.option("lineSep", lineSep).textFile(path)
+      .mapPartitions { chunks =>
+        chunks.flatMap(c =>
+          tokenize(c.trim).map(ts => scanDirectives(ts)._2).getOrElse(Nil))
+      }
       .limit(MaxPrefixes + 1).collect()
-    require(directives.length <= MaxPrefixes,
-      s"more than $MaxPrefixes prefix/base directives: not a Turtle dump")
+    require(runs.length <= MaxPrefixes,
+      s"more than $MaxPrefixes prefix/base directives: not a $what dump")
     var base: Option[String] = None
     val prefixes = scala.collection.mutable.Map.empty[String, String]
-    directives.foreach {
-      case prefixLine(pre, iri) =>
-        val key = if (pre == null) "" else pre
-        require(!prefixes.get(key).exists(_ != iri),
-          s"prefix '$key:' redefined mid-document ('${prefixes(key)}' vs " +
+    runs.foreach {
+      case ("prefix", pre, iri) =>
+        require(!prefixes.get(pre).exists(_ != iri),
+          s"prefix '$pre:' redefined mid-document ('${prefixes(pre)}' vs " +
             s"'$iri') — this reader applies one document-wide prefix map")
-        prefixes(key) = iri
-      case baseLine(iri) =>
+        prefixes(pre) = iri
+      case (_, _, iri) =>
         require(base.forall(_ == iri),
           s"@base redefined mid-document ('${base.get}' vs '$iri')")
         base = Some(iri)
-      case _ => () // e.g. a statement line that merely starts with BASE…
     }
-    val pmap = prefixes.toMap
-    val baseIri = base
-
-    // pass 2 — statements: split the scan on the probed statement
-    // terminator and parse each chunk executor-side against the
-    // broadcast map
-    chunkedParse(
-      spark.read.option("lineSep", probeSep(spark, path)).text(path),
-      pmap, baseIri)
+    (prefixes.toMap, base)
   }
 
   /** STREAMING Turtle ingest — incremental corpus loading: dump files
@@ -202,8 +206,10 @@ object TurtleIO {
     val q = trigAudit(spark, path).where(col("bad").isNull)
     val st = TripleStore.fromTriples(
       q.where(col("g").isNull).select("s", "p", "o"))
+    // RDF graphs are sets: duplicate statements (legal and common in
+    // dumps) collapse — the same distinct fromTriples applies per slice
     st.copy(quads = Some(q.where(col("g").isNotNull)
-      .select("g", "s", "p", "o")))
+      .select("g", "s", "p", "o").distinct()))
   }
 
   /** The audited TriG parse: `(g, s, p, o, bad)` — `g` null for
@@ -221,31 +227,7 @@ object TurtleIO {
     */
   def trigAudit(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val directives = spark.read.textFile(path)
-      .filter(l => {
-        val t = l.trim
-        t.nonEmpty && (t.charAt(0) == '@' ||
-          t.regionMatches(true, 0, "prefix", 0, 6) ||
-          t.regionMatches(true, 0, "base", 0, 4))
-      })
-      .limit(MaxPrefixes + 1).collect()
-    require(directives.length <= MaxPrefixes,
-      s"more than $MaxPrefixes prefix/base directives: not a TriG dump")
-    var base: Option[String] = None
-    val prefixes = scala.collection.mutable.Map.empty[String, String]
-    directives.foreach {
-      case prefixLine(pre, iri) =>
-        val key = if (pre == null) "" else pre
-        require(!prefixes.get(key).exists(_ != iri),
-          s"prefix '$key:' redefined mid-document — one document-wide map")
-        prefixes(key) = iri
-      case baseLine(iri) =>
-        require(base.forall(_ == iri), "@base redefined mid-document")
-        base = Some(iri)
-      case _ => ()
-    }
-    val pmap = prefixes.toMap
-    val baseIri = base
+    val (pmap, baseIri) = collectDirectives(spark, path, "}\n", "TriG")
     spark.read.option("lineSep", "}\n").text(path)
       .select(col("value"), input_file_name().as("f"))
       .as[(String, String)]
@@ -282,18 +264,25 @@ object TurtleIO {
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, String, String, String, String)]
     var graphCtx: Option[String] = None
+    // a block whose header failed to resolve POISONS its statements:
+    // they quarantine one-by-one instead of silently landing in the
+    // default graph (mis-attribution is worse than a counted drop)
+    var badBlock = false
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
-    var curN = 0
     var depth = 0
     var si = 0
     def flushStmt(): Unit = {
-      val st = cur.toVector; cur.clear(); curN = 0
+      val st = cur.toVector; cur.clear()
       if (st.nonEmpty) {
-        val g = graphCtx.orNull
-        try new StmtParser(prefixes, base, s"${key}s$si").parse(st)
-          .foreach { case (s, p, o) => out += ((g, s, p, o, null)) }
-        catch { case Malformed =>
+        if (badBlock)
           out += ((null, null, null, null, snip(st.mkString(" "))))
+        else {
+          val g = graphCtx.orNull
+          try new StmtParser(prefixes, base, s"${key}s$si").parse(st)
+            .foreach { case (s, p, o) => out += ((g, s, p, o, null)) }
+          catch { case Malformed =>
+            out += ((null, null, null, null, snip(st.mkString(" "))))
+          }
         }
         si += 1
       }
@@ -302,7 +291,7 @@ object TurtleIO {
       case "{" if depth == 0 =>
         // the tokens accumulated since the last boundary are the block
         // header: empty = default-graph block; [term] or [GRAPH term]
-        val header = cur.toVector; cur.clear(); curN = 0
+        val header = cur.toVector; cur.clear()
         val gTok = header match {
           case Vector() => None
           case Vector(t) => Some(t)
@@ -310,21 +299,25 @@ object TurtleIO {
           case _ =>
             out += ((null, null, null, null,
               snip(header.mkString(" ") + " {")))
+            badBlock = true
             None
         }
         graphCtx = gTok.flatMap(t =>
           if (t.startsWith("_:")) Some(t)
           else term3(t, prefixes, base, pred = false))
-        if (gTok.isDefined && graphCtx.isEmpty)
+        if (gTok.isDefined && graphCtx.isEmpty) {
           out += ((null, null, null, null, snip(gTok.get + " {")))
+          badBlock = true
+        }
       case "}" if depth == 0 =>
         flushStmt() // the final '.' inside a block is optional
         graphCtx = None
+        badBlock = false
       case "." if depth == 0 => flushStmt()
       case t =>
         if (t == "[" || t == "(") depth += 1
         else if (t == "]" || t == ")") depth -= 1
-        cur += t; curN += 1
+        cur += t
     }
     flushStmt()
     out.toList
@@ -453,14 +446,30 @@ object TurtleIO {
     * recognized at statement starts (after `.`, `{`, `}`, or the
     * chunk head), where the grammar allows them.
     */
-  private def stripDirectiveTokens(toks0: Seq[String]): Seq[String] = {
+  private def stripDirectiveTokens(toks: Seq[String]): Seq[String] =
+    scanDirectives(toks)._1
+
+  /** One walk serving both directive consumers: returns the token
+    * stream with directive runs removed AND the directives found —
+    * `("prefix", name, iri)` / `("base", "", iri)`. Directives are
+    * only recognized at statement starts (after `.`, `{`, `}`, or the
+    * chunk head), where the grammar allows them.
+    */
+  private def scanDirectives(toks0: Seq[String])
+      : (Seq[String], Seq[(String, String, String)]) = {
     // positional indexing below — a List here is O(n²) over a large
     // chunk's token stream (measured: 87 s on an 80k-token TriG block
     // vs 0.1 s indexed)
     val toks = toks0.toIndexedSeq
     val out = scala.collection.mutable.ListBuffer.empty[String]
+    val dirs =
+      scala.collection.mutable.ListBuffer.empty[(String, String, String)]
     var i = 0
     var atStart = true
+    def iri(tok: String): String =
+      if (tok.startsWith("<") && tok.endsWith(">"))
+        tok.substring(1, tok.length - 1)
+      else tok
     while (i < toks.length) {
       val t = toks(i)
       val isPrefixKw = t.equalsIgnoreCase("@prefix") ||
@@ -468,10 +477,12 @@ object TurtleIO {
       val isBaseKw = t.equalsIgnoreCase("@base") || t.equalsIgnoreCase("base")
       if (atStart && isPrefixKw && i + 2 < toks.length &&
           toks(i + 1).endsWith(":") && toks(i + 2).startsWith("<")) {
+        dirs += (("prefix", toks(i + 1).dropRight(1), iri(toks(i + 2))))
         i += 3
         if (i < toks.length && toks(i) == ".") i += 1
       } else if (atStart && isBaseKw && i + 1 < toks.length &&
           toks(i + 1).startsWith("<")) {
+        dirs += (("base", "", iri(toks(i + 1))))
         i += 2
         if (i < toks.length && toks(i) == ".") i += 1
       } else {
@@ -480,7 +491,7 @@ object TurtleIO {
         i += 1
       }
     }
-    out.toList
+    (out.toList, dirs.toList)
   }
 
   /** Statement-local malformedness — control flow only, never escapes
@@ -564,8 +575,10 @@ object TurtleIO {
           if (more) it.next()
         }
         if (it.hasNext && it.head == ";") {
-          it.next()
-          // trailing ';' right before the end / closing bracket
+          // empty ';' segments are legal Turtle (predicateObjectList
+          // permits ';;'); consume the run, then a trailing ';' right
+          // before the end / closing bracket ends the list
+          while (it.hasNext && it.head == ";") it.next()
           if (!it.hasNext || (stopAtBracket && it.head == "]")) go = false
         } else go = false
       }
@@ -666,7 +679,7 @@ object TurtleIO {
     def suffix(sb: java.lang.StringBuilder): Boolean = {
       if (i < s.length && s.charAt(i) == '@') {
         while (i < s.length && !s.charAt(i).isWhitespace &&
-            ";,])#".indexOf(s.charAt(i)) < 0) {
+            ";,])#{}".indexOf(s.charAt(i)) < 0) {
           sb.append(s.charAt(i)); i += 1
         }
       } else if (s.startsWith("^^", i)) {
@@ -679,7 +692,7 @@ object TurtleIO {
           sb.append('>'); i += 1
         } else {
           while (i < s.length && !s.charAt(i).isWhitespace &&
-              ";,])#".indexOf(s.charAt(i)) < 0) {
+              ";,])#{}".indexOf(s.charAt(i)) < 0) {
             sb.append(s.charAt(i)); i += 1
           }
         }

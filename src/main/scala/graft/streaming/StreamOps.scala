@@ -621,6 +621,9 @@ object StreamOps {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try batch.select(xxhash64(col("s")).as("s"), col("p"),
           xxhash64(col("o")).as("o"))
+        .distinct() // within-batch duplicate statements collapse here;
+        // cross-batch duplicates collapse at load (fromEncodedIngest's
+        // per-slice distinct) — RDF graphs are sets
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("p", "batch_id")
         .parquet(s"$root/triples")

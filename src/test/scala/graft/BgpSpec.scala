@@ -2496,6 +2496,18 @@ class BgpSpec extends AnyFunSuite {
       val (ac, askBody) = http("GET", s"${h.endpoint}?query=$ask",
         accept = "application/sparql-results+xml")
       assert(ac == 200 && askBody.contains("<boolean>true</boolean>"))
+      // Accept-header ORDER wins: a client listing CSV first must get
+      // CSV even though XML also appears (listing order is the
+      // preference signal; adding XML must not regress CSV clients)
+      val q2 = java.net.URLEncoder.encode(query, "UTF-8")
+      val (cc, csvBody) = http("GET", s"${h.endpoint}?query=$q2",
+        accept = "text/csv, application/sparql-results+xml")
+      assert(cc == 200 && csvBody.startsWith("s,v") &&
+        !csvBody.contains("<sparql"))
+      val (jc, jsonBody) = http("GET", s"${h.endpoint}?query=$q2",
+        accept = "application/sparql-results+json, " +
+          "application/sparql-results+xml")
+      assert(jc == 200 && jsonBody.contains("\"bindings\""))
     } finally h.stop()
   }
 }

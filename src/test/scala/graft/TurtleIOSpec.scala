@@ -230,6 +230,74 @@ class TurtleIOSpec extends AnyFunSuite {
       if p == "http://x.org/meta" => o }.size == 2)
   }
 
+  test("literal content can conflict with real directives without failing") {
+    // the literal quotes a Turtle snippet REDEFINING ex: — the
+    // line-based pass-1 used to fail the whole (valid) document on a
+    // phantom redefinition; token-level collection never sees it
+    val ttl = "@prefix ex: <http://x.org/> .\n" +
+      "ex:a ex:p \"\"\"quoted snippet:\nPREFIX ex: <http://other/>\n" +
+      "uses a conflicting binding\"\"\" .\n" +
+      "ex:b ex:p ex:c .\n"
+    val got = TurtleIO.turtleDF(spark, write("conflict.ttl", ttl))
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(got("http://x.org/b") == "http://x.org/c") // ex: = x.org, not other
+    assert(got("http://x.org/a").contains("conflicting"))
+  }
+
+  test("TriG: unresolvable block header poisons its statements loudly") {
+    val trig =
+      """@prefix ex: <http://x.org/> .
+        |nosuch:g {
+        |  ex:s ex:p ex:o .
+        |  ex:t ex:p ex:u .
+        |}
+        |ex:d ex:p ex:e .
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig-bad")
+    java.nio.file.Files.write(dir.resolve("d.trig"), trig.getBytes("UTF-8"))
+    val rows = TurtleIO.trigAudit(spark, dir.toString).collect()
+    // the block's statements are QUARANTINED, never default-graph rows
+    val bad = rows.filter(_.getString(4) != null)
+    assert(bad.length == 3) // header + 2 poisoned statements
+    val good = rows.filter(_.getString(4) == null)
+    assert(good.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set((null, "http://x.org/d")))
+  }
+
+  test("empty ';' segments and inline '}' after suffixed literals parse") {
+    // ';;' is legal Turtle (predicateObjectList permits empty segments)
+    val ttl = "@prefix ex: <http://x.org/> .\n" +
+      "ex:s ex:p ex:o ;; ex:q ex:r .\n"
+    val got = TurtleIO.turtleDF(spark, write("semi.ttl", ttl))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("http://x.org/p", "http://x.org/o"),
+      ("http://x.org/q", "http://x.org/r")))
+    // inline '}' glued to a lang-tagged literal must close the block
+    val trig = "<g:1> { <s:1> <p:1> \"v\"@en} <s:2> <p:2> <o:2> .\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig-in")
+    java.nio.file.Files.write(dir.resolve("d.trig"), trig.getBytes("UTF-8"))
+    val rows = TurtleIO.trigAudit(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3),
+        r.getString(4)))
+    assert(rows.forall(_._4 == null))
+    assert(rows.toSet == Set(
+      ("g:1", "s:1", "\"v\"@en", null),
+      (null, "s:2", "o:2", null)))
+  }
+
+  test("duplicate statements collapse: RDF graphs are sets") {
+    val nq = "<a:1> <p:1> <b:1> <g:1> .\n<a:1> <p:1> <b:1> <g:1> .\n" +
+      "<a:2> <p:1> <b:2> .\n<a:2> <p:1> <b:2> .\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-dupq")
+    java.nio.file.Files.write(dir.resolve("d.nq"), nq.getBytes("UTF-8"))
+    val st = RdfIO.readNQuads(spark, dir.toString)
+    assert(st.quads.get.count() == 1)
+    assert(graft.bgp.BgpPlanner.query(st,
+      "select ?s where { ?s <p:1> ?o }").count() == 1)
+    assert(graft.bgp.BgpPlanner.query(st,
+      "select ?s where { graph <g:1> { ?s <p:1> ?o } }").count() == 1)
+  }
+
   test("randomized dataset round-trips through TriG and N-Quads writers") {
     import spark.implicits._
     // deterministic pseudo-random dataset: graph labels (incl. the
