@@ -114,14 +114,47 @@ object TurtleIO {
     * [[MaxPrefixes]]: directives are schema metadata, like the
     * predicate inventory.
     */
+  /** Cheap pass-1 pre-filters — a chunk that cannot hold a directive
+    * never tokenizes, keeping the literal-aware collection near the
+    * raw-scan cost. Turtle chunks are single statements (directives
+    * sit at the chunk HEAD), so the check is O(1): the first
+    * non-comment word. TriG chunks are whole blocks where a directive
+    * may sit between top-level statements, so the hint is a substring
+    * scan — false positives (URLs containing "base", literals quoting
+    * directives) merely tokenize and find nothing.
+    */
+  private def headDirectiveHint(c: String): Boolean = {
+    var i = 0
+    val n = c.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(c.charAt(i))) i += 1
+      if (i < n && c.charAt(i) == '#') {
+        while (i < n && c.charAt(i) != '\n') i += 1
+      } else {
+        return i < n && (c.regionMatches(true, i, "@prefix", 0, 7) ||
+          c.regionMatches(true, i, "@base", 0, 5) ||
+          c.regionMatches(true, i, "prefix", 0, 6) ||
+          c.regionMatches(true, i, "base", 0, 4))
+      }
+    }
+    false
+  }
+
+  private val directiveHintRe =
+    java.util.regex.Pattern.compile("(?i)prefix|base")
+
   private def collectDirectives(spark: SparkSession, path: String,
       lineSep: String, what: String)
       : (Map[String, String], Option[String]) = {
     import spark.implicits._
+    val headOnly = what == "Turtle"
     val runs = spark.read.option("lineSep", lineSep).textFile(path)
       .mapPartitions { chunks =>
         chunks.flatMap(c =>
-          tokenize(c.trim).map(ts => scanDirectives(ts)._2).getOrElse(Nil))
+          if (if (headOnly) !headDirectiveHint(c)
+              else !directiveHintRe.matcher(c).find()) Nil
+          else tokenize(c.trim).map(ts => scanDirectives(ts)._2)
+            .getOrElse(Nil))
       }
       .limit(MaxPrefixes + 1).collect()
     require(runs.length <= MaxPrefixes,
