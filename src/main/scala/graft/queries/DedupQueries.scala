@@ -50,8 +50,8 @@ object DedupQueries {
     * pays a string materialization:
     *  - band (q44/q58): doc_id, k = xxhash64(shingle) — dedup and all
     *    downstream shuffles on 8-byte longs instead of ~27-byte
-    *    strings; stop-shingles dropped (window doc-freq over k reuses
-    *    the exchange the self-join needs anyway);
+    *    strings; stop-shingles dropped via groupBy doc-freq + broadcast
+    *    anti-join (skew-safe; see [[shingleBand]]);
     *  - all (q45): doc_id, s string shingles — MinHash needs lexical
     *    shingles to hash per permutation.
     */
@@ -66,16 +66,31 @@ object DedupQueries {
       shingleRows(s, dir).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Band-join side: doc_id + xxhash64 shingle key, doc-freq capped. */
+  /** Band-join side: doc_id + xxhash64 shingle key, doc-freq capped.
+    *
+    * Skew note: the doc-frequency cap is computed as a `groupBy(k)`
+    * aggregate, NOT a `count(*) OVER (PARTITION BY k)` window. A window
+    * partitioned by the raw shingle key routes the ENTIRE row set of a
+    * hot key to one task before the filter can drop it — a web-scale
+    * boilerplate 5-gram appearing in 10⁸ documents becomes a
+    * data-sized single-task straggler (spill/OOM class). The groupBy
+    * spelling collapses the hot key map-side (partial aggregation:
+    * each map task emits one partial row per distinct key), the
+    * over-cap key set is tiny by construction (≤ |shingle rows| / cap),
+    * and the exclusion is a guarded-broadcast anti-join — the
+    * data-grain relation is never shuffled by the cap at all.
+    * ScaleSpec pins the plan shape (no Window node, broadcast anti).
+    */
   private def shingleBand(s: SparkSession, dir: String): DataFrame =
     bandMemo.getOrElseUpdate((s, dir), {
       import s.implicits._
-      shingleRows(s, dir)
+      val rows = shingleRows(s, dir)
         .select($"doc_id", xxhash64($"s").as("k"))
         .distinct()
-        .withColumn("df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"k")))
-        .filter($"df" <= MaxShingleDocFreq)
+      val overCap = rows.groupBy($"k").agg(count(lit(1)).as("df"))
+        .filter($"df" > MaxShingleDocFreq)
+        .select($"k")
+      rows.join(graft.scale.GuardedBroadcast.maybe(overCap), Seq("k"), "left_anti")
         .select($"doc_id", $"k")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -536,14 +551,17 @@ object DedupQueries {
               "i -> struct(i AS i, xxhash64(array_join(slice(w, i, 5), ' ')) AS k))"))
             .as("x"))
           .select($"doc_id", $"x.i".as("i"), $"x.k".as("k"))
-        // one exchange on k: the occurrence count is a window over the
-        // hash partition (the shingleBand doc-freq trick), so the
-        // position relation is computed once — no self-join, no
-        // recompute of the text parse on a second lineage
-        val dp = occ
-          .withColumn("cnt", count(lit(1)).over(
-            Window.partitionBy($"k")))
+        // duplicated-shingle keep-set via groupBy + semi-join (the
+        // skew-safe shingleBand spelling): a window partitioned by the
+        // raw shingle key would buffer a hot key's entire occurrence
+        // set on one task; the groupBy collapses it map-side and the
+        // semi-join probe streams — no per-key materialization, and
+        // AQE can skew-split the probe side if a key is still hot
+        val dup = occ.groupBy($"k").agg(count(lit(1)).as("cnt"))
           .filter($"cnt" >= 2)
+          .select($"k")
+        val dp = occ
+          .join(graft.scale.GuardedBroadcast.maybe(dup), Seq("k"), "left_semi")
           .select($"doc_id", $"i")
         val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
           .rowsBetween(Window.unboundedPreceding, -1)

@@ -43,6 +43,30 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle doc-freq cap plans skew-safe: no Window on the shingle grain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    // q44 rides the memoized shingleBand relation. The doc-freq cap
+    // must be a groupBy aggregate + anti-join — a Window partitioned by
+    // the raw shingle key buffers a web-scale boilerplate shingle's
+    // entire row set on ONE task before the filter (r11 verdict).
+    // Look through the persisted relation's cached plan too: that is
+    // exactly where the old window lived.
+    val df = SparkEntry.queries("q44_ngram_jaccard")(spark, dir)
+    val topWindows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(topWindows.isEmpty,
+      s"q44 must not window the shingle relation; found: $topWindows")
+    // the cached (persisted) band relation must not hide one either:
+    // the physical plan prints the InMemoryRelation's cached plan
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window ["),
+      s"no Window exec anywhere (incl. the cached band plan) in:\n$physical")
+    // and the over-cap exclusion rides a broadcast anti-join at this SF
+    assert(physical.contains("LeftAnti"),
+      s"expected the over-cap anti-join in:\n$physical")
+    assert(df.count() > 0)
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of hot key 1 + tail
