@@ -72,13 +72,28 @@ object IngestProbe {
     val (nTrig, sTrig) = time(
       graft.sources.TurtleIO.trigAudit(spark, s"$base/trig")
         .where(col("bad").isNull).count())
+    // compressed-dump path: gzip the Turtle corpus into a handful of
+    // files (the shape real dumps ship in), then time BOTH halves —
+    // the decompress-and-shard rewrite and the sharded parse — against
+    // the direct single-task gzip read they replace
+    ttl.coalesce(4).write.mode("overwrite")
+      .option("compression", "gzip").text(s"$base/ttlgz")
+    val gzBytes = du(s"$base/ttlgz")
+    val (_, sShard) = time(graft.sources.CompressedIngest
+      .decompressAndShard(spark, s"$base/ttlgz", s"$base/ttlgz_shards")
+      .collect())
+    val (nGz, sGzParse) = time(
+      graft.sources.TurtleIO.turtleDF(spark, s"$base/ttlgz_shards").count())
     println(f"[ingest-probe] corpus: ${bytes / 1e6}%.1f MB, " +
       f"turtle: $nTtl rows in $sTtl%.2f s (${bytes / 1e6 / sTtl}%.1f MB/s), " +
       f"ntriples: $nNt rows in $sNt%.2f s (${bytes / 1e6 / sNt}%.1f MB/s), " +
       f"nquads: $nNq rows in $sNq%.2f s (${nqBytes / 1e6 / sNq}%.1f MB/s), " +
-      f"trig: $nTrig rows in $sTrig%.2f s (${trigBytes / 1e6 / sTrig}%.1f MB/s)")
-    require(nTtl == nNt && nNt == nNq && nNq == nTrig,
-      s"parser row mismatch: ttl $nTtl nt $nNt nq $nNq trig $nTrig")
+      f"trig: $nTrig rows in $sTrig%.2f s (${trigBytes / 1e6 / sTrig}%.1f MB/s), " +
+      f"gzip(${gzBytes / 1e6}%.1f MB): shard $sShard%.2f s + parse " +
+      f"$sGzParse%.2f s (${bytes / 1e6 / (sShard + sGzParse)}%.1f MB/s " +
+      f"uncompressed end-to-end)")
+    require(nTtl == nNt && nNt == nNq && nNq == nTrig && nTrig == nGz,
+      s"parser row mismatch: ttl $nTtl nt $nNt nq $nNq trig $nTrig gz $nGz")
     spark.stop()
   }
 }

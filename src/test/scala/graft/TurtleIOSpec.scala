@@ -548,6 +548,70 @@ class TurtleIOSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("gzip dump shards to splittable chunks and parses identically") {
+    import graft.sources.CompressedIngest
+    // a dump big enough to shard at a small target, with multi-line
+    // statements so a mid-statement cut would corrupt the parse
+    val stmts = (0 until 400).map { i =>
+      s"ex:s$i ex:name ${"\"" + ("v" * 40) + i + "\""} ;\n  ex:next ex:s${i + 1} ."
+    }.mkString("@prefix ex: <http://x.org/> .\n", "\n", "\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz")
+    val plain = dir.resolve("d.ttl")
+    java.nio.file.Files.write(plain, stmts.getBytes("UTF-8"))
+    val gz = dir.resolve("d.ttl.gz")
+    val os = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    os.write(stmts.getBytes("UTF-8")); os.close()
+    val shardDir = dir.resolve("shards").toString
+    val manifest = CompressedIngest
+      .decompressAndShard(spark, gz.toString, shardDir, 4096)
+      .collect()
+    assert(manifest.length == 1)
+    val nShards = manifest.head.getInt(1)
+    assert(nShards > 3, s"expected several shards, got $nShards")
+    assert(manifest.head.getLong(2) == stmts.getBytes("UTF-8").length)
+    // sharded parse == direct parse of the uncompressed original
+    val direct = TurtleIO.turtleDF(spark, plain.toString)
+      .collect().map(_.toSeq).toSet
+    val sharded = TurtleIO.turtleDF(spark, shardDir)
+      .collect().map(_.toSeq).toSet
+    assert(sharded == direct && direct.size == 800)
+    // and the sharded scan really fans out: more than one input split
+    val parts = spark.read.text(shardDir).rdd.getNumPartitions
+    assert(parts > 1, s"sharded read got $parts partition(s)")
+  }
+
+  test("compressed shard step probes CRLF/unspaced terminators per file") {
+    import graft.sources.CompressedIngest
+    val stmts = (0 until 200).map { i =>
+      s"<http://x.org/s$i> <http://x.org/p> ${"\"" + ("w" * 50) + i + "\""}."
+    }.mkString("", "\r\n", "\r\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz-crlf")
+    val gz = dir.resolve("c.nt.gz")
+    val os = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    os.write(stmts.getBytes("UTF-8")); os.close()
+    val shardDir = dir.resolve("shards").toString
+    CompressedIngest.decompressAndShard(spark, gz.toString, shardDir, 2048)
+      .collect()
+    // every shard must END with the unspaced CRLF terminator — a cut
+    // anywhere else would tear a statement across shard files
+    val fs = java.nio.file.Files.list(java.nio.file.Paths.get(shardDir))
+    val bad = new java.util.ArrayList[String]()
+    fs.forEach { p =>
+      val name = p.getFileName.toString
+      if (!name.startsWith(".") && !name.startsWith("_")) {
+        val b = java.nio.file.Files.readAllBytes(p)
+        if (b.length > 0 && !new String(b, "UTF-8").endsWith(".\r\n"))
+          bad.add(name)
+      }
+    }
+    fs.close()
+    assert(bad.isEmpty, s"shards not cut at terminator: $bad")
+    val got = TurtleIO.turtleDF(spark, shardDir).count()
+    assert(got == 200)
+  }
+
   test("statement chunking splits on the terminator, not on lines") {
     // one statement spanning four lines plus unspaced separators
     val ttl =
