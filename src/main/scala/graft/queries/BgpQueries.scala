@@ -2545,7 +2545,37 @@ object BgpQueries {
         BgpPlanner.query(st,
           "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
       },
-      Some(turtleOracle))
+      Some(turtleOracle)),
+
+    // terminator-tear salvage (round 12): a long literal whose CONTENT
+    // contains ' .\n' — multi-line abstracts are exactly where these
+    // occur in the wild — tears its record at the delimiter split; the
+    // salvage pass rejoins the fragments and re-parses, so the dump
+    // ingests with ZERO quarantine rows (r11's documented boundary,
+    // closed). Each nation carries an abstract literal with two
+    // embedded terminator sequences; the audit aggregate pins both the
+    // salvaged-triple count and the zero malformed count.
+    GQuery(
+      "q361_turtle_tear_salvage",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = java.nio.file.Files.createTempDirectory("graft-ttl-tear")
+          .toString
+        val stmts = graft.Tables.t(s, dir, "nation").select(
+          concat(lit("n:"), col("n_nationkey"),
+            lit(" <abstract> \"\"\"about "), col("n_name"),
+            lit(" .\nsecond line .\nthird\"\"\" ; <name> \""),
+            col("n_name"), lit("\" .")).as("value"))
+        val header = s.createDataFrame(Seq(Tuple1("@prefix n: <nation:> .")))
+          .toDF("value")
+        header.unionByName(stmts).coalesce(1).write.mode("overwrite")
+          .text(out)
+        graft.sources.TurtleIO.turtleAudit(s, out)
+          .agg(count(when(col("bad").isNull, 1)).as("n_triples"),
+            count(col("bad")).as("n_malformed"))
+      },
+      Some("""SELECT CAST(count(*) * 2 AS BIGINT) AS n_triples,
+             |  CAST(0 AS BIGINT) AS n_malformed FROM nation""".stripMargin))
   )
 
   private val pathGroupOracle =

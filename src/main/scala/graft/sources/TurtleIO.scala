@@ -56,12 +56,13 @@ import org.apache.spark.sql.functions.{col, input_file_name}
   * (canonicalized via [[graft.bgp.Sparql.canonTyped]]/
   * [[graft.bgp.Sparql.canonLang]] so ingested terms and query
   * constants meet on one spelling), bare numeric / boolean literals
-  * (typed per Turtle §2.5.2), and `;`/`,` lists. Remaining boundary
-  * (documented, LOUD — the statement lands in the quarantine column,
-  * never a silent drop): a long literal whose CONTENT contains the
-  * probed statement terminator tears its chunk (delimiter-based
-  * splitting cannot see quoting); the torn fragments fail to parse
-  * and are counted.
+  * (typed per Turtle §2.5.2), and `;`/`,` lists. A long literal whose
+  * CONTENT contains the probed statement terminator tears its record
+  * (delimiter-based splitting cannot see quoting) — the
+  * [[salvagingParse]] pass rejoins the fragments with bounded
+  * lookahead and re-parses, so multi-line abstracts with ` .\n`
+  * sequences ingest intact; only a tear across an input-split
+  * boundary (rare × rare) still quarantines, LOUDLY, never silently.
   */
 object TurtleIO {
 
@@ -100,7 +101,7 @@ object TurtleIO {
     // parse each chunk executor-side against the broadcast map
     val (pmap, baseIri) = collectDirectives(spark, path, sep, "Turtle")
     chunkedParse(spark.read.option("lineSep", sep).text(path),
-      pmap, baseIri)
+      pmap, baseIri, sep)
   }
 
   /** Pass-1 directive collection, LITERAL-AWARE: chunks tokenize (the
@@ -205,26 +206,124 @@ object TurtleIO {
       base: Option[String] = None,
       lineSep: String = " .\n"): DataFrame =
     chunkedParse(spark.readStream.option("lineSep", lineSep).text(path),
-      prefixes, base)
+      prefixes, base, lineSep)
 
   /** The shared batch/stream chunk pipeline: blank-node labels derive
     * from (file, partition, chunk index) — deterministic under
-    * re-evaluation, unique across files and micro-batches.
+    * re-evaluation, unique across files and micro-batches. Chunks run
+    * through the [[salvagingParse]] tear-repair iterator: a long
+    * literal whose CONTENT contains the statement terminator tears its
+    * record; the torn fragments rejoin (bounded lookahead) and re-parse
+    * before anything counts as malformed.
     */
   private def chunkedParse(chunks: DataFrame, pmap: Map[String, String],
-      baseIri: Option[String]): DataFrame = {
+      baseIri: Option[String], sep: String): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks.select(col("value"), input_file_name().as("f"))
       .as[(String, String)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        it.zipWithIndex.flatMap { case ((chunk, f), i) =>
-          parseChunkAudited(chunk, pmap, baseIri,
-            "f" + java.lang.Long.toHexString(fnv64(f)) + "p" + pid + "c" + i)
-        }
+        salvagingParse(it, pmap, baseIri, sep, pid)
       }
       .toDF("s", "p", "o", "bad")
+  }
+
+  /** Tear-salvage bound: how many successor chunks a torn fragment may
+    * absorb before giving up (a literal containing the terminator K
+    * times tears into K+1 fragments — 16 joins covers any sane
+    * abstract; an unclosed-quote data error must not buffer a file).
+    */
+  private val MaxTearJoins = 16
+
+  /** Salvaging chunk parser. The delimiter-based record split cannot
+    * see quoting, so a long literal whose content contains the probed
+    * terminator arrives as several fragments; each fails [[tokenize]]
+    * with the unclosed-literal signature. This iterator buffers such a
+    * fragment and rejoins it with its successors — RE-INSERTING the
+    * separator the record reader consumed — until the reconstruction
+    * tokenizes AND parses clean, then emits the salvaged statements
+    * under the FIRST fragment's chunk key (blank-label determinism).
+    *
+    * Give-up discipline (a genuinely unclosed quote must never swallow
+    * its chunk-mates): past [[MaxTearJoins]] fragments, end of input,
+    * a file boundary, or a reconstruction that tokenizes but does NOT
+    * parse clean, only the HEAD fragment quarantines; the buffered tail
+    * reprocesses from scratch. Salvage is split-local — a tear across
+    * an input-split boundary still quarantines loudly on both sides
+    * (rare: tears are rare and splits are 128 MB).
+    */
+  private[sources] def salvagingParse(it: Iterator[(String, String)],
+      pmap: Map[String, String], baseIri: Option[String], sep: String,
+      pid: Int): Iterator[(String, String, String, String)] = {
+    def mkKey(f: String, i: Long): String =
+      "f" + java.lang.Long.toHexString(fnv64(f)) + "p" + pid + "c" + i
+    val base = it.zipWithIndex.map { case ((c, f), i) => (c, f, i.toLong) }
+    val queue = scala.collection.mutable.Queue.empty[(String, String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def quarantineHeadRequeueTail(): Seq[(String, String, String, String)] = {
+      val (hc, _, _) = buf.remove(0)
+      buf.foreach(queue.enqueue(_))
+      buf.clear()
+      Seq((null, null, null, snip(hc.trim)))
+    }
+    new Iterator[Seq[(String, String, String, String)]] {
+      private var nextBatch: Seq[(String, String, String, String)] = null
+      private var finished = false
+      private def advance(): Unit = {
+        while (nextBatch == null && !finished) {
+          val nxt = if (queue.nonEmpty) Some(queue.dequeue())
+            else if (base.hasNext) Some(base.next()) else None
+          nxt match {
+            case None =>
+              if (buf.nonEmpty) nextBatch = quarantineHeadRequeueTail()
+              else finished = true
+            case Some((c, f, i)) =>
+              if (buf.nonEmpty && f != buf.head._2) {
+                // file boundary: the tear cannot continue — flush, then
+                // reprocess the tail and the new file's chunk in order
+                queue.enqueue((c, f, i))
+                nextBatch = quarantineHeadRequeueTail()
+              } else if (buf.isEmpty) {
+                val body = c.trim
+                if (body.nonEmpty && body != ".") {
+                  tokenize(body) match {
+                    case Some(ts) =>
+                      val rows = parseTokensAudited(ts, pmap, baseIri,
+                        mkKey(f, i))
+                      if (rows.nonEmpty) nextBatch = rows
+                    case None => buf += ((c, f, i))
+                  }
+                }
+              } else {
+                buf += ((c, f, i))
+                val candidate = buf.map(_._1).mkString(sep)
+                tokenize(candidate.trim) match {
+                  case Some(ts) =>
+                    val rows = parseTokensAudited(ts, pmap, baseIri,
+                      mkKey(buf.head._2, buf.head._3))
+                    if (rows.forall(_._4 == null)) {
+                      buf.clear()
+                      if (rows.nonEmpty) nextBatch = rows
+                    } else {
+                      // quote balance closed but the grammar rejects the
+                      // reconstruction: not a tear — never mis-ingest
+                      nextBatch = quarantineHeadRequeueTail()
+                    }
+                  case None =>
+                    if (buf.length > MaxTearJoins)
+                      nextBatch = quarantineHeadRequeueTail()
+                }
+              }
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); !finished && nextBatch != null }
+      def next(): Seq[(String, String, String, String)] = {
+        advance()
+        val b = nextBatch; nextBatch = null; b
+      }
+    }.flatten
   }
 
   /** Read a TriG file (named-graph Turtle — the dump format Wikidata
@@ -436,12 +535,22 @@ object TurtleIO {
     // directive-looking line survives intact
     val body = chunk0.trim
     if (body.isEmpty || body == ".") return Nil
-    val toks = tokenize(body) match {
-      case None => return Seq((null, null, null, snip(body)))
-      case Some(ts) => stripDirectiveTokens(ts) match {
-        case Nil => return Nil
-        case ss => ss
-      }
+    tokenize(body) match {
+      case None => Seq((null, null, null, snip(body)))
+      case Some(ts) => parseTokensAudited(ts, prefixes, base, key)
+    }
+  }
+
+  /** The post-tokenize half of [[parseChunkAudited]] — the salvage
+    * iterator calls this directly so the hot path tokenizes once.
+    */
+  private def parseTokensAudited(toks0: Seq[String],
+      prefixes: Map[String, String],
+      base: Option[String],
+      key: String): Seq[(String, String, String, String)] = {
+    val toks = stripDirectiveTokens(toks0) match {
+      case Nil => return Nil
+      case ss => ss
     }
     // split the token stream into statements on top-level '.'
     val stmts = scala.collection.mutable.ListBuffer.empty[Vector[String]]

@@ -612,6 +612,56 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == 200)
   }
 
+  test("long literal containing the terminator salvages with zero quarantine") {
+    // the r11 documented boundary: ' .\n' INSIDE a long literal tears
+    // the record; the salvage pass must rejoin and re-parse it
+    val ttl =
+      "@prefix ex: <http://x.org/> .\n" +
+      "ex:a ex:name \"A\" .\n" +
+      "ex:b ex:abstract \"\"\"First sentence .\nSecond sentence .\nThird\"\"\" .\n" +
+      "ex:c ex:name \"C\" .\n"
+    val path = write("tear.ttl", ttl)
+    val audit = TurtleIO.turtleAudit(spark, path).collect()
+    val bad = audit.filter(_.getString(3) != null)
+    assert(bad.isEmpty, s"expected full salvage, got quarantine: ${bad.toSeq}")
+    val got = audit.map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://x.org/a", "A"),
+      ("http://x.org/b", "First sentence .\nSecond sentence .\nThird"),
+      ("http://x.org/c", "C")))
+  }
+
+  test("tear salvage spans several terminator hits in one literal") {
+    val inner = (1 to 8).map(i => s"line $i .").mkString("\n")
+    val ttl =
+      "@prefix ex: <http://x.org/> .\n" +
+      s"ex:d ex:body '''$inner''' ;\n  ex:tag \"t\" .\n" +
+      "ex:e ex:name \"E\" .\n"
+    val path = write("tear8.ttl", ttl)
+    val audit = TurtleIO.turtleAudit(spark, path).collect()
+    assert(audit.forall(_.getString(3) == null))
+    val body = audit.find(_.getString(1) == "http://x.org/body").get
+    assert(body.getString(2) == inner)
+    assert(audit.length == 3)
+  }
+
+  test("genuinely unclosed quote quarantines alone, chunk-mates survive") {
+    // the give-up path: an unclosed quote is NOT a tear — it must not
+    // swallow the statements that follow it into one giant quarantine
+    val stmts = (0 until 30).map(i => s"ex:s$i ex:name \"v$i\" .")
+    val ttl = "@prefix ex: <http://x.org/> .\n" +
+      stmts.take(5).mkString("\n") + "\n" +
+      "ex:bad ex:name \"unclosed .\n" +
+      stmts.drop(5).mkString("\n") + "\n"
+    val path = write("unclosed.ttl", ttl)
+    val audit = TurtleIO.turtleAudit(spark, path).collect()
+    val good = audit.filter(_.getString(3) == null)
+    val bad = audit.filter(_.getString(3) != null)
+    assert(good.length == 30, s"good statements lost: ${good.length}/30")
+    assert(bad.length == 1, s"expected ONE quarantine row: ${bad.toSeq}")
+    assert(bad.head.getString(3).contains("unclosed"))
+  }
+
   test("statement chunking splits on the terminator, not on lines") {
     // one statement spanning four lines plus unspaced separators
     val ttl =
