@@ -184,12 +184,21 @@ object SparqlServer {
     om.writeValueAsString(root)
   }
 
+  /** XML 1.0 escaping, INCLUDING the Char production: stored literals
+    * can carry control characters XML 1.0 forbids outright (U+0000–
+    * U+0008, U+000B/0C, U+000E–U+001F) — emitted raw they'd produce a
+    * response no conforming parser (our own [[SparqlHttp.parseXml]]
+    * included) can read. Forbidden characters are replaced with U+FFFD,
+    * the standard lossy-decode marker (a numeric reference would be
+    * equally unparseable: XML 1.0 bans them even as references).
+    */
   private def xmlEsc(s: String): String =
     s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' => "�"
       case c => c.toString
     }
 
@@ -297,7 +306,10 @@ object SparqlServer {
     val supported = Seq("application/sparql-results+json",
       "application/sparql-results+xml", "text/csv",
       "text/tab-separated-values")
-    supported.map(t => (accept.indexOf(t), t))
+    // media types are case-insensitive (RFC 9110 §8.3.1): 'TEXT/CSV'
+    // must match — the supported list is already lowercase
+    val acceptLc = accept.toLowerCase(java.util.Locale.ROOT)
+    supported.map(t => (acceptLc.indexOf(t), t))
       .filter(_._1 >= 0).sortBy(_._1).map(_._2).headOption
       .getOrElse("application/sparql-results+json")
   }

@@ -149,10 +149,28 @@ object TurtleIO {
       : (Map[String, String], Option[String]) = {
     import spark.implicits._
     val headOnly = what == "Turtle"
+    // a Turtle chunk normally holds ONE statement (directives sit at
+    // the head), but inline-separator dumps pack several — a directive
+    // FOLLOWING an inline statement ('ex:a ex:b ex:c . @prefix …')
+    // would be stripped token-side in pass 2 yet never collected here.
+    // When the chunk shows an interior statement boundary, fall back to
+    // the TriG-style substring hint (false positives merely tokenize).
+    def interiorDot(c: String): Boolean = {
+      var i = c.indexOf('.')
+      while (i >= 0 && i + 1 < c.length) {
+        val nx = c.charAt(i + 1)
+        if (nx == ' ' || nx == '\n' || nx == '\r' || nx == '\t' ||
+            nx == '@') return true
+        i = c.indexOf('.', i + 1)
+      }
+      false
+    }
     val runs = spark.read.option("lineSep", lineSep).textFile(path)
       .mapPartitions { chunks =>
         chunks.flatMap(c =>
-          if (if (headOnly) !headDirectiveHint(c)
+          if (if (headOnly)
+                !headDirectiveHint(c) && !(interiorDot(c) &&
+                  directiveHintRe.matcher(c).find())
               else !directiveHintRe.matcher(c).find()) Nil
           else tokenize(c.trim).map(ts => scanDirectives(ts)._2)
             .getOrElse(Nil))
@@ -359,8 +377,12 @@ object TurtleIO {
     */
   def trigAudit(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val (pmap, baseIri) = collectDirectives(spark, path, "}\n", "TriG")
-    spark.read.option("lineSep", "}\n").text(path)
+    // the newline spelling is probed like Turtle's terminator: a CRLF
+    // dump whose blocks close with "}\r\n" would otherwise never match
+    // the delimiter and collapse each file into ONE single-task record
+    val sep = "}" + probeNl(spark, path)
+    val (pmap, baseIri) = collectDirectives(spark, path, sep, "TriG")
+    spark.read.option("lineSep", sep).text(path)
       .select(col("value"), input_file_name().as("f"))
       .as[(String, String)]
       .mapPartitions { it =>
@@ -434,8 +456,13 @@ object TurtleIO {
             badBlock = true
             None
         }
+        // graph labels are IRIs or blank nodes ONLY — a quoted / bare
+        // numeric / boolean literal header is malformed and poisons the
+        // block (term3 would happily resolve it as a literal)
         graphCtx = gTok.flatMap(t =>
           if (t.startsWith("_:")) Some(t)
+          else if (t.startsWith("\"") || t == "true" || t == "false" ||
+              t.matches("^[+-]?(\\d|\\.\\d).*")) None
           else term3(t, prefixes, base, pred = false))
         if (gTok.isDefined && graphCtx.isEmpty) {
           out += ((null, null, null, null, snip(gTok.get + " {")))
@@ -473,8 +500,29 @@ object TurtleIO {
     * unspaced (every `" .\n"` also contains `".\n"`, and the unspaced
     * split tears long literals on sentence-final line breaks).
     */
-  private[sources] def probeSep(spark: SparkSession, path: String): String = {
-    val default = " .\n"
+  private[sources] def probeSep(spark: SparkSession, path: String): String =
+    headText(spark, path) match {
+      case None => " .\n"
+      case Some(head) =>
+        val nl = if (head.contains("\r\n")) "\r\n" else "\n"
+        if (head.contains(" ." + nl)) " ." + nl
+        else if (head.contains("." + nl)) "." + nl
+        else " ." + nl
+    }
+
+  /** Newline spelling of the first data file — the TriG block-close
+    * delimiter shares Turtle's head-probe discipline.
+    */
+  private[sources] def probeNl(spark: SparkSession, path: String): String =
+    headText(spark, path) match {
+      case Some(head) if head.contains("\r\n") => "\r\n"
+      case _ => "\n"
+    }
+
+  /** First 64 KiB of the first data file, decoded UTF-8 — one bounded
+    * schema-sized read shared by the terminator/newline probes.
+    */
+  private def headText(spark: SparkSession, path: String): Option[String] =
     try {
       val hp = new org.apache.hadoop.fs.Path(path)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -485,29 +533,21 @@ object TurtleIO {
         else Iterator(st)
       }.find(st => st.isFile && { val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && st.getLen > 0 })
-      file match {
-        case None => default
-        case Some(st) =>
-          val in = fs.open(st.getPath)
-          val buf = new Array[Byte](65536)
-          val n = try {
-            var off = 0
-            var r = 0
-            while (off < buf.length && r >= 0) {
-              r = in.read(buf, off, buf.length - off)
-              if (r > 0) off += r
-            }
-            off
-          } finally in.close()
-          val head = new String(buf, 0, n,
-            java.nio.charset.StandardCharsets.UTF_8)
-          val nl = if (head.contains("\r\n")) "\r\n" else "\n"
-          if (head.contains(" ." + nl)) " ." + nl
-          else if (head.contains("." + nl)) "." + nl
-          else " ." + nl
+      file.map { st =>
+        val in = fs.open(st.getPath)
+        val buf = new Array[Byte](65536)
+        val n = try {
+          var off = 0
+          var r = 0
+          while (off < buf.length && r >= 0) {
+            r = in.read(buf, off, buf.length - off)
+            if (r > 0) off += r
+          }
+          off
+        } finally in.close()
+        new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
       }
-    } catch { case _: Exception => default }
-  }
+    } catch { case _: Exception => None }
 
   /** Legacy single-chunk parse (malformed dropped) — kept for the
     * spec surface; production paths run [[parseChunkAudited]].

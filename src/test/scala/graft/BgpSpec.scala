@@ -2508,6 +2508,35 @@ class BgpSpec extends AnyFunSuite {
         accept = "application/sparql-results+json, " +
           "application/sparql-results+xml")
       assert(jc == 200 && jsonBody.contains("\"bindings\""))
+      // media types are case-insensitive (RFC 9110): 'TEXT/CSV' must
+      // negotiate CSV, not silently fall back to JSON
+      val (uc, upperBody) = http("GET", s"${h.endpoint}?query=$q2",
+        accept = "TEXT/CSV")
+      assert(uc == 200 && upperBody.startsWith("s,v"),
+        s"uppercase Accept fell through: ${upperBody.take(60)}")
+    } finally h.stop()
+  }
+
+  test("XML arm replaces XML-1.0-forbidden control chars, stays parseable") {
+    // a stored literal carrying U+0001/U+000B: raw emission would make
+    // the response unreadable by ANY conforming XML parser — including
+    // our own parseXml; the escaper substitutes U+FFFD and the
+    // round trip survives (JSON handles the same data natively)
+    val st = TripleStore.fromTriples(Seq(
+      ("t:1", "val", "badctlend"),
+      ("t:2", "val", "tab\tand\nnewline ok")).toDF("s", "p", "o"))
+    val h = SparqlServer.serve(st)
+    try {
+      val query = "select ?s ?v where { ?s val ?v }"
+      val xml = SparqlHttp.fetch(h.endpoint, query,
+        accept = "application/sparql-results+xml")
+      assert(!xml.exists(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r'),
+        "forbidden control characters leaked into the XML body")
+      val (_, xrows) = SparqlHttp.parseXml(xml)
+      val got = xrows.map(_.toVector).toSet
+      assert(got == Set(
+        Vector("t:1", "bad�ctl�end"),
+        Vector("t:2", "tab\tand\nnewline ok")), s"got $got")
     } finally h.stop()
   }
 }

@@ -662,6 +662,63 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(bad.head.getString(3).contains("unclosed"))
   }
 
+  test("TriG CRLF dumps split on the probed block-close delimiter") {
+    val trig = List(
+      "@prefix n: <nation:> .",
+      "n:1 <name> \"one\" .",
+      "<g:a> {",
+      "n:1 <inregion> <region:1> .",
+      "}",
+      "<g:b> {",
+      "n:2 <inregion> <region:2> .",
+      "}").mkString("\r\n") + "\r\n"
+    val path = write("crlf.trig", trig)
+    val audit = TurtleIO.trigAudit(spark, path).collect()
+    assert(audit.forall(_.getString(4) == null), s"quarantine: ${audit.toSeq}")
+    val got = audit.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((null, "nation:1"), ("g:a", "nation:1"),
+      ("g:b", "nation:2")))
+  }
+
+  test("TriG literal-form block headers poison the block, never mislabel") {
+    val trig =
+      """@prefix n: <nation:> .
+        |"g" {
+        |n:1 <p> n:2 .
+        |}
+        |42 {
+        |n:3 <p> n:4 .
+        |}
+        |<g:ok> {
+        |n:5 <p> n:6 .
+        |}
+        |""".stripMargin
+    val path = write("lithdr.trig", trig)
+    val audit = TurtleIO.trigAudit(spark, path).collect()
+    val good = audit.filter(_.getString(4) == null)
+    val bad = audit.filter(_.getString(4) != null)
+    // only the IRI-headed block's statement survives; each poisoned
+    // block quarantines its header AND its statement
+    assert(good.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("g:ok", "nation:5")))
+    assert(bad.length == 4, s"expected 4 quarantine rows: ${bad.toSeq}")
+  }
+
+  test("directives after an inline statement on one line are collected") {
+    // 'ex:a … . @prefix p: <x> .' — the directive enters pass 2's strip
+    // but pass 1's head-only hint used to miss it, quarantining every
+    // later p: statement in a valid document
+    val ttl =
+      "<http://x.org/a> <http://x.org/b> <http://x.org/c> . " +
+        "@prefix p: <http://late.org/> .\n" +
+      "p:s p:q p:o .\n"
+    val path = write("inline-dir.ttl", ttl)
+    val audit = TurtleIO.turtleAudit(spark, path).collect()
+    assert(audit.forall(_.getString(3) == null), s"quarantine: ${audit.toSeq}")
+    val got = audit.map(_.getString(0)).toSet
+    assert(got == Set("http://x.org/a", "http://late.org/s"))
+  }
+
   test("statement chunking splits on the terminator, not on lines") {
     // one statement spanning four lines plus unspaced separators
     val ttl =
