@@ -362,10 +362,19 @@ object SparqlServer {
     * the store's own SparkSession (protocol requests are the
     * coordinator loop, not executor work).
     */
+  /** How many updates a persistence-less endpoint absorbs before its
+    * store's plan lineage is truncated ([[TripleStore.truncateLineage]]).
+    */
+  val DefaultCheckpointEvery = 64
+
   def serve(store: TripleStore, port: Int = 0, path: String = "/sparql",
       maxRows: Int = MaxResponseRows,
       bindAddress: InetAddress = InetAddress.getLoopbackAddress,
-      externalUrl: Option[String] = None): Handle = {
+      externalUrl: Option[String] = None,
+      persistDir: Option[String] = None,
+      checkpointEvery: Int = DefaultCheckpointEvery): Handle = {
+    require(persistDir.isEmpty || !store.encoded,
+      "persistDir write-back serves string-form stores (the writeDataset layout)")
     // loopback by DEFAULT: an unauthenticated endpoint that evaluates
     // arbitrary queries (including SERVICE blocks that trigger
     // outbound fetches from this host) must not bind 0.0.0.0 unless
@@ -389,6 +398,27 @@ object SparqlServer {
     // one-at-a-time against the then-current dataset (stores are
     // immutable; each update swaps the reference queries read)
     val updateLock = new Object
+    // lineage/persistence bound, applied under updateLock after each
+    // successful op chain. With a persistDir the DELTA writes back into
+    // the (g, p) dataset layout and the served store reloads from disk
+    // — lineage is depth-1 ALWAYS and the dataset survives restarts
+    // (SparqlServer.serve(fromDatasetParquet(dir), persistDir=dir)
+    // resumes where the last op left off). Without one, every
+    // checkpointEvery ops the plan lineage truncates in memory.
+    var opsSinceCheckpoint = 0
+    def bounded(spark: org.apache.spark.sql.SparkSession,
+        prev: TripleStore, next: TripleStore): TripleStore =
+      persistDir match {
+        case Some(dir) =>
+          TripleStore.writeBackDelta(prev, next, dir)
+          TripleStore.fromDatasetParquet(spark, dir)
+        case None =>
+          opsSinceCheckpoint += 1
+          if (opsSinceCheckpoint >= checkpointEvery) {
+            opsSinceCheckpoint = 0
+            TripleStore.truncateLineage(next)
+          } else next
+      }
     server.createContext(path, new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val (code, body, ctype) =
@@ -398,7 +428,8 @@ object SparqlServer {
                 updateLock.synchronized {
                   val cur = ref.get()
                   val spark = cur.slices.values.head.sparkSession
-                  ref.set(SparqlUpdate.applyAll(spark, cur, text))
+                  ref.set(bounded(spark, cur,
+                    SparqlUpdate.applyAll(spark, cur, text)))
                 }
                 (204, "", "text/plain")
               case QueryReq(text) =>
@@ -470,7 +501,8 @@ object SparqlServer {
               updateLock.synchronized {
                 val cur = ref.get()
                 val spark = cur.slices.values.head.sparkSession
-                ref.set(ops.foldLeft(cur)(SparqlUpdate.apply(spark, _, _)))
+                ref.set(bounded(spark, cur,
+                  ops.foldLeft(cur)(SparqlUpdate.apply(spark, _, _))))
               }
             import SparqlUpdate._
             ex.getRequestMethod match {

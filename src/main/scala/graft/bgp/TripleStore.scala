@@ -258,6 +258,121 @@ object TripleStore {
         .parquet(s"$path/quads"))
   }
 
+  /** INCREMENTAL write-back of one functional update into an existing
+    * [[writeDataset]] layout: only the slices the op chain TOUCHED are
+    * rewritten. Updates are functional maps over the immutable store
+    * ([[SparqlUpdate]]), so an untouched predicate keeps its exact
+    * DataFrame object — reference inequality IS the touched set, no
+    * data diff needed. At 100 TB this is the difference between a
+    * write-back costing O(delta's slices) and one costing O(dataset):
+    * an INSERT DATA touching two predicates rewrites two `p=`
+    * directories and leaves the other ten thousand alone.
+    *
+    * Mechanics per changed slice: write to a dot-prefixed tmp dir
+    * (hidden from partition discovery), then delete-and-rename over
+    * the `p=` target — the changed slice's plan READS the old files,
+    * so the swap happens only after the write job finishes. A slice
+    * whose new content is EMPTY (or was dropped) removes its
+    * directory: an empty slice and an absent predicate are the same
+    * thing in a set store. The quads subtree swaps whole when the
+    * quads relation changed (graph-grain diffing would need op
+    * introspection; named-graph ops are the rare case). Boundary
+    * (documented): the swap is not isolated from in-flight readers of
+    * the same directory — the serving loop serializes updates and
+    * re-loads after each write-back, but a long-running concurrent
+    * query holding the OLD store handle can lose files mid-scan; a
+    * deployment needing snapshot isolation versions the dataset root
+    * per checkpoint instead.
+    *
+    * String-form stores only (the layout [[writeDataset]] defines);
+    * `prev` must be the store `next` was derived from.
+    */
+  def writeBackDelta(prev: TripleStore, next: TripleStore,
+      path: String): Unit = {
+    require(!next.encoded, "writeBackDelta persists string-form datasets")
+    val spark = next.slices.headOption.orElse(prev.slices.headOption)
+      .map(_._2.sparkSession)
+      .getOrElse(throw new IllegalArgumentException("empty stores"))
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/default"))) {
+      // first write-back bootstraps the full layout
+      writeDataset(next, path)
+      return
+    }
+    def hasData(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+    def swapIn(tmp: org.apache.hadoop.fs.Path,
+        target: org.apache.hadoop.fs.Path): Unit = {
+      fs.delete(target, true)
+      if (hasData(tmp)) {
+        require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+      } else fs.delete(tmp, true) // empty slice = absent predicate
+    }
+    val changed = next.slices.filter { case (p, df) =>
+      !prev.slices.get(p).exists(_ eq df)
+    }
+    val removed = prev.slices.keySet -- next.slices.keySet
+    changed.foreach { case (p, df) =>
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path/default/.tmp-${esc(p)}")
+      df.select(col("s"), col("o")).write.mode("overwrite")
+        .parquet(tmp.toString)
+      swapIn(tmp, new org.apache.hadoop.fs.Path(
+        s"$path/default/p=${esc(p)}"))
+    }
+    removed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/default/p=${esc(p)}"), true))
+    val quadsChanged = (prev.quads, next.quads) match {
+      case (Some(a), Some(b)) => !(a eq b)
+      case (None, None) => false
+      case _ => true
+    }
+    if (quadsChanged) {
+      val target = new org.apache.hadoop.fs.Path(s"$path/quads")
+      next.quads match {
+        case None => fs.delete(target, true)
+        case Some(q) =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/.tmp-quads")
+          q.select(col("s"), col("o"), col("g"), col("p"))
+            .write.mode("overwrite").partitionBy("g", "p")
+            .parquet(tmp.toString)
+          // partitioned tmp holds subdirs, not files — swap if any
+          // partition dir exists (an all-empty quads relation deletes)
+          fs.delete(target, true)
+          if (fs.exists(tmp) && fs.listStatus(tmp)
+              .exists(st => st.isDirectory)) {
+            require(fs.rename(tmp, target), s"rename $tmp failed")
+          } else fs.delete(tmp, true)
+      }
+    }
+  }
+
+  /** Truncate the store's logical-plan LINEAGE (localCheckpoint on
+    * every slice, the quads relation, and the dict): a long-lived
+    * served endpoint applying thousands of functional updates
+    * otherwise accumulates unbounded plan depth — each op wraps the
+    * previous plan in a union/anti-join, so planning cost and driver
+    * plan memory grow per op even though the DATA stays small. The
+    * checkpoint replaces each plan with a depth-1 scan of its
+    * materialized RDD (lazy — no job storm over a wide predicate
+    * inventory; each slice materializes on first use). This is the
+    * in-memory analog of the [[writeBackDelta]] + [[fromDatasetParquet]]
+    * loop for endpoints serving without a persist directory.
+    */
+  def truncateLineage(st: TripleStore): TripleStore =
+    st.copy(
+      slices = st.slices.map { case (p, df) =>
+        p -> df.localCheckpoint(eager = false)
+      },
+      dict = st.dict.map(_.localCheckpoint(eager = false)),
+      quads = st.quads.map(_.localCheckpoint(eager = false)))
+
   /** Load a dataset written by [[writeDataset]]: the default graph's
     * slices dispatch by partition pruning, and GRAPH blocks filter the
     * quads relation on its `(g, p)` partition columns — Catalyst turns

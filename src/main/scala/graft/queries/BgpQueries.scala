@@ -2575,7 +2575,52 @@ object BgpQueries {
             count(col("bad")).as("n_malformed"))
       },
       Some("""SELECT CAST(count(*) * 2 AS BIGINT) AS n_triples,
-             |  CAST(0 AS BIGINT) AS n_malformed FROM nation""".stripMargin))
+             |  CAST(0 AS BIGINT) AS n_malformed FROM nation""".stripMargin)),
+
+    // update WRITE-BACK into the dataset layout (round 12): the served
+    // endpoint's persistence loop, exercised op-by-op — each functional
+    // update writes ONLY its touched slices back into the persisted
+    // (g, p) layout (reference-diff delta, writeBackDelta) and the
+    // store reloads from disk, so plan lineage is depth-1 after every
+    // op and the dataset survives restarts. The script mixes the op
+    // shapes: default-graph insert, GRAPH-scoped insert, ground delete,
+    // DROP GRAPH; the final query runs against a COLD load of the
+    // layout — what a restarted endpoint would serve.
+    GQuery(
+      "q362_update_writeback_layout",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-wb-q")
+          .toString
+        val keys = graft.Tables.t(s, dir, "nation")
+          .select("n_nationkey").collect().map(_.get(0).toString).sorted
+        val ops = Seq(
+          keys.map(k => s"""<nation:$k> <status> "active" """)
+            .mkString("INSERT DATA { ", ". ", "}"),
+          keys.map(k => s"""<nation:$k> <checked> "1" """)
+            .mkString("INSERT DATA { GRAPH <g:aud> { ", ". ", "} }"),
+          keys.take(5).map(k => s"""<nation:$k> <status> "active" """)
+            .mkString("DELETE DATA { ", ". ", "}"),
+          "DROP GRAPH <g:aud>",
+          keys.take(5).map(k => s"""<nation:$k> <status> "retired" """)
+            .mkString("INSERT DATA { ", ". ", "}"))
+        var cur: TripleStore = TripleStore.fromTriples(nationTriples(s, dir))
+        TripleStore.writeDataset(cur, tmp)
+        cur = TripleStore.fromDatasetParquet(s, tmp)
+        ops.foreach { op =>
+          val next = graft.bgp.SparqlUpdate.applyAll(s, cur, op)
+          TripleStore.writeBackDelta(cur, next, tmp)
+          cur = TripleStore.fromDatasetParquet(s, tmp)
+        }
+        BgpPlanner.query(cur,
+          """select ?n ?nm ?st where {
+            | ?n <name> ?nm . ?n <status> ?st }""".stripMargin)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
+             |  CASE WHEN n_nationkey IN (
+             |    SELECT n_nationkey FROM nation ORDER BY
+             |      CAST(n_nationkey AS VARCHAR) LIMIT 5)
+             |  THEN 'retired' ELSE 'active' END AS st
+             |FROM nation""".stripMargin))
   )
 
   private val pathGroupOracle =

@@ -2539,4 +2539,71 @@ class BgpSpec extends AnyFunSuite {
         Vector("t:2", "tab\tand\nnewline ok")), s"got $got")
     } finally h.stop()
   }
+
+  test("long update session keeps served plan depth bounded") {
+    // 200 sequential protocol updates: without the lineage bound every
+    // op wraps the slice plan in another union — planning cost and
+    // driver plan memory grow per op for the lifetime of the endpoint
+    val st = TripleStore.fromTriples(
+      Seq(("t:0", "val", "v0")).toDF("s", "p", "o"))
+    val h = SparqlServer.serve(st, checkpointEvery = 16)
+    try {
+      for (i <- 1 to 200) {
+        val (c, _) = http("POST", h.endpoint, "application/sparql-update",
+          s"""INSERT DATA { <t:$i> <val> "v$i" }""")
+        assert(c == 204)
+      }
+      val plan = h.store.slices("val").queryExecution.logical
+      val nodes = plan.collect { case n => n }.length
+      assert(nodes < 120,
+        s"plan depth grew unbounded across the session: $nodes nodes")
+      assert(BgpPlanner.query(h.store,
+        "select ?s ?v where { ?s val ?v }").count() == 201)
+    } finally h.stop()
+  }
+
+  test("persistDir write-back survives a restart and writes only deltas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb").toString
+    val st = TripleStore.fromTriples(Seq(
+      ("t:1", "name", "one"), ("t:2", "name", "two"),
+      ("t:1", "size", "s1")).toDF("s", "p", "o"))
+    val h = SparqlServer.serve(st, persistDir = Some(dir))
+    try {
+      val (c1, _) = http("POST", h.endpoint, "application/sparql-update",
+        """INSERT DATA { <t:3> <size> "s3" }""")
+      assert(c1 == 204)
+      // delta discipline: the op touched only <size> — the <name>
+      // partition's files must be byte-identical (not rewritten)
+      def sig(p: String): Seq[(String, Long, Long)] = {
+        val d = new java.io.File(s"$dir/default/p=$p")
+        d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+          .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+      }
+      val nameSig = sig("name")
+      val (c2, _) = http("POST", h.endpoint, "application/sparql-update",
+        """INSERT DATA { GRAPH <g:aud> { <t:1> <checked> "y" } } ;
+          |DELETE DATA { <t:1> <size> "s1" }""".stripMargin)
+      assert(c2 == 204)
+      assert(sig("name") == nameSig,
+        "untouched slice was rewritten — write-back is not incremental")
+    } finally h.stop()
+    // restart: a fresh endpoint over the persisted layout resumes with
+    // the full post-update dataset and keeps accepting updates
+    val resumed = TripleStore.fromDatasetParquet(spark, dir)
+    val h2 = SparqlServer.serve(resumed, persistDir = Some(dir))
+    try {
+      val got = BgpPlanner.query(h2.store,
+        """select ?s ?v where { ?s size ?v }""").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("t:3", "s3")))
+      val inGraph = BgpPlanner.query(h2.store,
+        "select ?s where { graph <g:aud> { ?s <checked> ?y } }").count()
+      assert(inGraph == 1)
+      val (c3, _) = http("POST", h2.endpoint, "application/sparql-update",
+        "DROP GRAPH <g:aud>")
+      assert(c3 == 204)
+      assert(!new java.io.File(s"$dir/quads").exists(),
+        "dropped graph's quads subtree must leave the layout")
+    } finally h2.stop()
+  }
 }
