@@ -450,12 +450,65 @@ object BgpPlanner {
     else if (!store.sequential) { v => xxhash64(lit(v)) }
     else {
       val dict = store.dict.get
-      val cache = scala.collection.mutable.Map.empty[String, Long]
-      v => lit(cache.getOrElseUpdate(v, {
-        val r = dict.filter(col("value") === v).select(col("id")).take(1)
-        if (r.isEmpty) 0L else r.head.getLong(0)
-      }))
+      val cache = store.constCache
+      v => lit {
+        val hit = cache.get(v)
+        if (hit != null) hit.longValue
+        else {
+          val r = dict.filter(col("value") === v).select(col("id")).take(1)
+          val id = if (r.isEmpty) 0L else r.head.getLong(0)
+          cache.put(v, id)
+          id
+        }
+      }
     }
+
+  /** Resolve a query's whole constant set against a sequential store's
+    * dictionary in ONE scan instead of one single-row probe job per
+    * constant: the plan-time cost of a 1000-constant VALUES/IN drops
+    * from 1000 Spark jobs to one `isin` dict pass. Values the dict
+    * lacks cache as id 0, which no dense id matches — identical to the
+    * single-probe arm's miss behavior. No-op on non-sequential stores
+    * and when at most one constant is uncached (a lone probe is
+    * already one job, with limit-1 early exit the batch scan lacks).
+    */
+  private[bgp] def primeConsts(store: TripleStore,
+      vs: Seq[String]): Unit =
+    if (store.encoded && store.sequential) {
+      val misses = vs.distinct.filterNot(store.constCache.containsKey)
+      if (misses.sizeIs > 1) {
+        val hits = store.dict.get.filter(col("value").isin(misses: _*))
+          .select(col("value"), col("id")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        misses.foreach(v =>
+          store.constCache.put(v, Long.box(hits.getOrElse(v, 0L))))
+      }
+    }
+
+  /** Every constant a query can send through [[constEncoder]]: pattern
+    * terms across all block kinds, id-space filter equality right-hand
+    * sides, single-var VALUES constants, GRAPH labels and dataset-
+    * clause graph names — recursively through sub-SELECTs (they plan
+    * against the same store). Over-collection is harmless (an unused
+    * primed entry is one extra row in the one batched scan);
+    * under-collection only costs the fallback single probe.
+    */
+  private def queryConsts(q: BgpQuery): Seq[String] = {
+    val pats = q.patterns ++ q.optionals.flatten ++ q.minuses.flatten ++
+      q.unions.flatten.flatten ++ q.existsFilters.flatMap(_._2) ++
+      q.graphBlocks.flatMap(_._2)
+    val patC = pats.flatMap(tp => Seq(tp.s, tp.p, tp.o))
+      .collect { case Const(v) => v }
+    val filtC = (q.filters ++ q.optionalFilters.flatten ++
+      q.minusFilters.flatten ++ q.unionFilters.flatten.flatten)
+      .flatMap(_.disjuncts.flatten)
+      .collect { case f if !f.rhsVar && (f.op == "=" || f.op == "!=") =>
+        f.value }
+    val graphC = q.graphBlocks.map(_._1).collect { case Const(v) => v } ++
+      q.fromGraphs ++ q.fromNamed
+    patC ++ filtC ++ q.values.flatMap(_._2) ++ graphC ++
+      q.subqueries.flatMap(queryConsts)
+  }
 
   /** Re-encode lexical COLUMNS `cols` of `df` into `store`'s term form:
     * identity on string stores, the xxhash64 expression on hash-id
@@ -503,6 +556,7 @@ object BgpPlanner {
     val store =
       if (q.fromGraphs.isEmpty && q.fromNamed.isEmpty) store0
       else datasetStore(store0, q)
+    primeConsts(store, queryConsts(q))
     val encode: String => Column = constEncoder(store)
 
     // Cross-block join consumers for constSlice's OPS dispatch: a
@@ -1143,11 +1197,14 @@ object BgpPlanner {
     // a constant table).
     for ((v, consts) <- q.values) {
       if (joined.columns.contains(v)) {
-        // a computed (lexical) column restricts on the literal itself
+        // a computed (lexical) column restricts on the literal itself.
+        // `isin` (not an OR-of-equals chain) so Catalyst's In→InSet
+        // conversion gives O(1) set probes per row on large lists —
+        // `lit` passes Column elements through, so the hash arm's
+        // xxhash64 expressions fold into the set too
         val rhs: String => Column =
           if (lexical(v)) c => lit(c) else encode
-        joined = joined.filter(
-          consts.map(c => col(v) === rhs(c)).reduce(_ || _))
+        joined = joined.filter(col(v).isin(consts.map(rhs): _*))
       }
       else {
         val spark = joined.sparkSession
@@ -1535,6 +1592,7 @@ object BgpPlanner {
     */
   def measureAndPlan(store: TripleStore, q: BgpQuery,
       stats: graft.tools.CostStats): DataFrame = {
+    primeConsts(store, queryConsts(q))
     val encode: String => Column = constEncoder(store)
     val allPatterns =
       (q.patterns ++ q.optionals.flatten ++ q.unions.flatten.flatten

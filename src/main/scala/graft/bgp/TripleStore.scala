@@ -53,6 +53,17 @@ final case class TripleStore(
     // Proxy.c:211-224).
     sequential: Boolean = false) {
 
+  /** Plan-time resolution cache for SEQUENTIAL-encoding query
+    * constants, shared across every planner pass over THIS store
+    * instance. Mutations rebuild the store through `copy`, so a grown
+    * dictionary is never read through a stale entry. Primed in one
+    * batched dict scan per query (`BgpPlanner.primeConsts`): a
+    * 1000-constant VALUES/IN resolves with ONE Spark job instead of
+    * 1000 single-row probe jobs.
+    */
+  private[bgp] val constCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def encoded: Boolean = dict.isDefined
 
   /** Union view `(s, p, o)` for variable-predicate patterns only —

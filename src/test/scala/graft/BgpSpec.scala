@@ -74,6 +74,42 @@ class BgpSpec extends AnyFunSuite {
       grownIds.distinct.length == grownIds.length)
   }
 
+  test("100-constant VALUES plans with one batched dict scan, not per-constant probe jobs") {
+    def mkq(n: Int) = "select ?p where { ?p worksFor ?d . VALUES ?d { " +
+      (0 until n).map(i => s"dept:$i").mkString(" ") + " } }"
+    // plan-time Spark jobs issued while planning `q` on a FRESH
+    // sequential store (fresh: the store-level constant cache must
+    // start cold both times for the counts to compare)
+    def planJobs(n: Int): (Long, org.apache.spark.sql.DataFrame) = {
+      val seq = TripleStore.encodeSequential(tinyStore, bands = 8)
+      seq.dict.get.count() // materialize the store outside the count
+      seq.slices.values.foreach(_.count())
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      org.apache.spark.sql.graftshim.GraftShim.waitListeners(spark)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val d = BgpPlanner.query(seq, mkq(n))
+        org.apache.spark.sql.graftshim.GraftShim.waitListeners(spark)
+        (jobs.get(), d)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (base, _) = planJobs(2)
+    val (wide, df) = planJobs(100)
+    // before the batch prime the 100-constant plan issued ~98 more
+    // jobs than the 2-constant one (one take(1) dict probe per
+    // constant); primed, both resolve their whole set in one isin scan
+    assert(wide <= base + 2,
+      s"plan-time jobs: $wide vs $base for 2 constants — constant " +
+        "priming regressed to per-constant probes")
+    assert(df.collect().map(_.getString(0)).toSet ==
+      Set("prof:0", "prof:1", "prof:2"))
+  }
+
   test("sequential store carries updates, SERVICE, subqueries, and multi-var VALUES") {
     val seq = TripleStore.encodeSequential(tinyStore, bands = 8)
     // DELETE/INSERT with a computed (BIND) template var: the inserted
