@@ -255,15 +255,51 @@ object SparqlServer {
   }
 
   /** `CONSTRUCT`/`DESCRIBE` over the protocol: an RDF graph, rendered
-    * N-Triples.
+    * in the negotiated graph format — N-Triples (the default:
+    * universally parseable), subject-grouped Turtle, or a TriG
+    * default-graph block. All three round-trip through the repo's own
+    * readers (BgpSpec pins the TriG/Turtle loops over live HTTP).
     */
   private[graft] def answerGraph(df: org.apache.spark.sql.DataFrame,
-      maxRows: Int): String = {
+      maxRows: Int,
+      format: String = "application/n-triples"): String = {
+    import graft.sources.RdfIO.{ntRes, ntTerm}
     val rows = df.limit(maxRows + 1).collect()
     if (rows.length > maxRows) throw new IllegalStateException(
       s"graph exceeds the $maxRows-row response cap")
-    rows.map(r => s"${ttlTerm(r.getString(0))} ${ttlTerm(r.getString(1))} " +
-      s"${ttlTerm(r.getString(2))} .").mkString("", "\n", "\n")
+    val triples = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    def ntLines = triples.map { case (s, p, o) =>
+      s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)} ." }
+    format match {
+      case "text/turtle" =>
+        // subject-grouped predicate lists — the Turtle shape real
+        // serializers emit; grouping is driver-side over the already
+        // row-capped response
+        triples.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ts) =>
+          ts.map { case (_, p, o) => s"${ntRes(p)} ${ntTerm(o)}" }
+            .mkString(s"${ntRes(s)} ", " ;\n    ", " .")
+        }.mkString("", "\n", if (triples.isEmpty) "" else "\n")
+      case "application/trig" =>
+        // a CONSTRUCT graph is the default graph: TriG's bare `{ … }`
+        // block, the }-delimited chunk shape readTrig splits on
+        if (triples.isEmpty) ""
+        else ntLines.mkString("{\n", "\n", "\n}\n")
+      case _ => ntLines.mkString("", "\n", if (triples.isEmpty) "" else "\n")
+    }
+  }
+
+  /** Graph-form content negotiation (CONSTRUCT/DESCRIBE responses):
+    * first-listed supported type wins, like [[negotiated]]; no
+    * supported type → N-Triples.
+    */
+  private def negotiatedGraph(accept: String): String = {
+    val supported = Seq("application/n-triples", "text/turtle",
+      "application/trig")
+    val acceptLc = accept.toLowerCase(java.util.Locale.ROOT)
+    supported.map(t => (acceptLc.indexOf(t), t))
+      .filter(_._1 >= 0).sortBy(_._1).map(_._2).headOption
+      .getOrElse("application/n-triples")
   }
 
   private val askFormRe = "(?is)^\\s*ask\\b.*".r
@@ -277,11 +313,11 @@ object SparqlServer {
   private def answerNegotiated(store: TripleStore, query: String,
       maxRows: Int, accept: String): (String, String) = query match {
     case q if constructFormRe.pattern.matcher(q).matches() =>
-      (answerGraph(BgpPlanner.construct(store, q), maxRows),
-        "application/n-triples")
+      val gf = negotiatedGraph(accept)
+      (answerGraph(BgpPlanner.construct(store, q), maxRows, gf), gf)
     case q if describeFormRe.pattern.matcher(q).matches() =>
-      (answerGraph(BgpPlanner.describe(store, q), maxRows),
-        "application/n-triples")
+      val gf = negotiatedGraph(accept)
+      (answerGraph(BgpPlanner.describe(store, q), maxRows, gf), gf)
     case q if askFormRe.pattern.matcher(q).matches() =>
       if (negotiated(accept) == "application/sparql-results+xml")
         (answerAskXml(store, q), "application/sparql-results+xml")

@@ -229,7 +229,7 @@ object RdfIO {
     * Rendering them as quoted literals instead would corrupt the
     * round trip (a re-read literal predicate never matches its slice).
     */
-  private def ntRes(v: String): String =
+  private[graft] def ntRes(v: String): String =
     if (v.startsWith("_:")) v else s"<$v>"
 
   /** DISTRIBUTED N-Triples sink: each `(s, p, o)` row renders to one

@@ -2482,9 +2482,10 @@ class BgpSpec extends AnyFunSuite {
       // DESCRIBE: n-triples body of the node's edges
       val desc = java.net.URLEncoder.encode("describe <t:2>", "UTF-8")
       val (dc, dnt) = http("GET", s"${h.endpoint}?query=$desc")
-      // the fixture's bare 'val' predicate is not IRI-shaped, so it
-      // renders as a literal term — the store model is relaxed here
-      assert(dc == 200 && dnt.contains("<t:2> \"val\" \"bonjour\"@fr ."))
+      // graph responses render s/p through the export sinks' resource
+      // renderer (a literal predicate never round-trips), so the
+      // relaxed store model's bare 'val' predicate comes back IRI-shaped
+      assert(dc == 200 && dnt.contains("<t:2> <val> \"bonjour\"@fr ."))
       // a bare GET answers with the SPARQL 1.1 Service Description —
       // and it round-trips through our own Turtle parser
       val (sc, sdesc) = http("GET", h.endpoint)
@@ -2497,6 +2498,52 @@ class BgpSpec extends AnyFunSuite {
       assert(parsed.contains(
         ("http://www.w3.org/ns/sparql-service-description#endpoint",
           h.endpoint)))
+    } finally h.stop()
+  }
+
+  test("CONSTRUCT negotiates Turtle and TriG, round-tripping through the repo's readers") {
+    val typed = TripleStore.fromTriples(Seq(
+      ("t:1", "val", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("t:1", "val", "\"bonjour\"@fr"),
+      ("t:2", "val", "line\nbreak \"quoted\"")).toDF("s", "p", "o"))
+    val h = SparqlServer.serve(typed)
+    try {
+      val con = java.net.URLEncoder.encode(
+        "construct { ?s <rel:copied> ?v } where { ?s val ?v }", "UTF-8")
+      val want = Set(
+        ("t:1", "rel:copied",
+          "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+        ("t:1", "rel:copied", "\"bonjour\"@fr"),
+        ("t:2", "rel:copied", "line\nbreak \"quoted\""))
+      // Turtle: subject-grouped predicate lists, parsed back by the
+      // repo's own reader (escapes and decorated spellings intact)
+      val (tc, ttl) = http("GET", s"${h.endpoint}?query=$con",
+        accept = "text/turtle")
+      assert(tc == 200)
+      assert(ttl.contains(" ;\n"), "expected subject-grouped Turtle")
+      val ttlDir = java.nio.file.Files.createTempDirectory("graft-cttl")
+      java.nio.file.Files.write(ttlDir.resolve("g.ttl"),
+        ttl.getBytes("UTF-8"))
+      val ttlBack = graft.sources.TurtleIO.turtleDF(spark, ttlDir.toString)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(ttlBack == want)
+      // TriG: a bare default-graph block, parsed back by readTrig
+      val (gc, trig) = http("GET", s"${h.endpoint}?query=$con",
+        accept = "Application/TriG") // case-insensitive negotiation
+      assert(gc == 200)
+      assert(trig.startsWith("{\n") && trig.endsWith("}\n"))
+      val trigDir = java.nio.file.Files.createTempDirectory("graft-ctrig")
+      java.nio.file.Files.write(trigDir.resolve("g.trig"),
+        trig.getBytes("UTF-8"))
+      val st = graft.sources.TurtleIO.readTrig(spark, trigDir.toString)
+      val trigBack = st.slices.toSeq.flatMap { case (p, df) =>
+        df.collect().map(r => (r.getString(0), p, r.getString(1))) }.toSet
+      assert(trigBack == want)
+      // no graph type in Accept → N-Triples default, unchanged
+      val (nc, nt) = http("GET", s"${h.endpoint}?query=$con",
+        accept = "application/json")
+      assert(nc == 200 && nt.contains("<t:1> <rel:copied> \"bonjour\"@fr ."))
     } finally h.stop()
   }
 
