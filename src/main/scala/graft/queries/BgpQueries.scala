@@ -2424,6 +2424,46 @@ object BgpQueries {
              |  concat('"C:\dir\', n_name, '"^^<x:path>') FROM nation"""
         .stripMargin)),
 
+    // prefix-compacted Turtle export round trip (round 12): writeTurtle
+    // ranks IRI namespaces in one bounded aggregation (map-side partial
+    // counts, a maxPrefixes-row collect), emits a self-contained
+    // @prefix header per part-file, locally sorts each partition by
+    // subject (no shuffle) into grouped predicate lists, and compacts
+    // a term to nsK:local only when the local part re-tokenizes
+    // cleanly. The fixture builds http://-style IRIs from nation so
+    // compaction engages, plus a quoted-newline literal to prove the
+    // escape discipline holds through the richer format.
+    GQuery(
+      "q363_turtle_export_compacted",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ttl-exp")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        val subj = concat(lit("http://tpch.org/nation/n"), col("n_nationkey"))
+        val triples = nat.select(subj.as("s"),
+            lit("http://tpch.org/ont#name").as("p"),
+            col("n_name").cast("string").as("o"))
+          .unionByName(nat.select(subj.as("s"),
+            lit("http://tpch.org/ont#region").as("p"),
+            concat(lit("http://tpch.org/region/r"),
+              col("n_regionkey")).as("o")))
+          .unionByName(nat.select(subj.as("s"), lit("comment").as("p"),
+            concat(lit("says \"x\"\n"), col("n_name")).as("o")))
+        graft.sources.RdfIO.writeTurtle(triples, tmp)
+        graft.sources.TurtleIO.turtleDF(s, tmp)
+      },
+      Some("""SELECT concat('http://tpch.org/nation/n', n_nationkey) AS s,
+             |  'http://tpch.org/ont#name' AS p, n_name AS o FROM nation
+             |UNION ALL
+             |SELECT concat('http://tpch.org/nation/n', n_nationkey),
+             |  'http://tpch.org/ont#region',
+             |  concat('http://tpch.org/region/r', n_regionkey) FROM nation
+             |UNION ALL
+             |SELECT concat('http://tpch.org/nation/n', n_nationkey),
+             |  'comment', concat('says "x"', chr(10), n_name) FROM nation"""
+        .stripMargin)),
+
     // whole-DATASET N-Quads export from an ENCODED store (round 11):
     // exportNQuads dumps the default graph through the planner's
     // variable-predicate path (which decodes ids — export is lexical

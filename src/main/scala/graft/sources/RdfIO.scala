@@ -327,6 +327,105 @@ object RdfIO {
   def exportTrig(store: TripleStore, path: String): Unit =
     writeTrig(datasetRelation(store), path)
 
+  /** Local-part shape a compacted name may carry: conservative subset
+    * of Turtle PN_LOCAL that the repo's own tokenizer reads back as
+    * one token with no terminator/escape ambiguity.
+    */
+  private val pnLocalRe = java.util.regex.Pattern
+    .compile("[A-Za-z_][A-Za-z0-9_]*")
+
+  /** `v` as a prefixed name under `pm` (namespace → prefix label), or
+    * None when `v` is not IRI-shaped, has no `/`/`#` namespace split,
+    * or its local part would not re-tokenize cleanly.
+    */
+  private def compactTerm(v: String,
+      pm: Map[String, String]): Option[String] = {
+    if (!v.matches(iriFormRe)) return None
+    val i = math.max(v.lastIndexOf('/'), v.lastIndexOf('#'))
+    if (i < 0 || i == v.length - 1) return None
+    val local = v.substring(i + 1)
+    if (!pnLocalRe.matcher(local).matches()) return None
+    pm.get(v.substring(0, i + 1)).map(p => s"$p:$local")
+  }
+
+  /** DISTRIBUTED Turtle sink with namespace compaction: one bounded
+    * aggregation ranks IRI namespaces (split at the last `/` or `#`)
+    * by frequency across s/p/o — map-side partial counts, a
+    * `maxPrefixes`-row collect — and the winners become a
+    * deterministic `@prefix nsK:` header emitted at the head of EVERY
+    * non-empty partition, so each part-file is a self-contained Turtle
+    * document (the reader deduplicates identical declarations).
+    * Partitions sort by subject locally (no shuffle) and render
+    * subject-grouped predicate lists, compacting a term to `nsK:local`
+    * only when the local part re-tokenizes unambiguously; everything
+    * else renders through the shared N-Triples-form terms, whose
+    * escaping keeps statement terminators out of literal bodies.
+    * Round-trip exact through [[TurtleIO.turtleDF]].
+    */
+  def writeTurtle(df: DataFrame, path: String,
+      maxPrefixes: Int = 16): Unit = {
+    import df.sparkSession.implicits._
+    val terms = df.select(col("s").cast("string"), col("p").cast("string"),
+      col("o").cast("string"))
+    val pm: Map[String, String] =
+      if (maxPrefixes <= 0) Map.empty
+      else {
+        val iriAnchored = iriFormRe
+        val ranked = terms
+          .select(explode(array(col("s"), col("p"), col("o"))).as("t"))
+          .where(col("t").rlike(iriAnchored))
+          .select(regexp_extract(col("t"),
+            "^(.*[/#])[A-Za-z_][A-Za-z0-9_]*$", 1).as("ns"))
+          .where(col("ns") =!= "")
+          .groupBy("ns").count()
+          .orderBy(col("count").desc, col("ns").asc)
+          .limit(maxPrefixes).collect().map(_.getString(0))
+        ranked.zipWithIndex.map { case (n, i) => (n, s"ns$i") }.toMap
+      }
+    val bc = terms.sparkSession.sparkContext.broadcast(pm)
+    terms.sortWithinPartitions("s")
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        val pmLocal = bc.value
+        def res(v: String) =
+          compactTerm(v, pmLocal).getOrElse(ntRes(v))
+        def obj(v: String) =
+          compactTerm(v, pmLocal).getOrElse(ntTerm(v))
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          val header = pmLocal.toSeq.sortBy(_._2.drop(2).toInt)
+            .map { case (ns, pre) => s"@prefix $pre: <$ns> ." }.iterator
+          val stmts: Iterator[String] = new Iterator[String] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): String = {
+              val s = buf.head._1
+              val b = new StringBuilder(res(s))
+              var first = true
+              while (buf.hasNext && buf.head._1 == s) {
+                val (_, p, o) = buf.next()
+                b.append(if (first) " " else " ;\n    ")
+                  .append(res(p)).append(' ').append(obj(o))
+                first = false
+              }
+              b.append(" .").result()
+            }
+          }
+          header ++ stmts
+        }
+      }
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Export a store's DEFAULT graph as prefix-compacted Turtle — the
+    * batch-export twin of [[TurtleIO.readTurtle]] (named graphs need
+    * the quad-grain [[exportTrig]]/[[exportNQuads]]).
+    */
+  def exportTurtle(store: TripleStore, path: String,
+      maxPrefixes: Int = 16): Unit =
+    writeTurtle(graft.bgp.BgpPlanner.query(store,
+      "select ?s ?p ?o where { ?s ?p ?o }"), path, maxPrefixes)
+
   /** S1: read a SPARQL query file (driver-side — query text is tiny). */
   def readQuery(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),

@@ -175,9 +175,13 @@ object TurtleIO {
           else tokenize(c.trim).map(ts => scanDirectives(ts)._2)
             .getOrElse(Nil))
       }
-      .limit(MaxPrefixes + 1).collect()
+      // dedupe before the bound: a sharded export re-declares the same
+      // header in every part-file (each must be self-contained), so
+      // the bound is on DISTINCT directives, not declaration sites
+      .distinct().limit(MaxPrefixes + 1).collect()
     require(runs.length <= MaxPrefixes,
-      s"more than $MaxPrefixes prefix/base directives: not a $what dump")
+      s"more than $MaxPrefixes distinct prefix/base directives: not a " +
+        s"$what dump")
     var base: Option[String] = None
     val prefixes = scala.collection.mutable.Map.empty[String, String]
     runs.foreach {

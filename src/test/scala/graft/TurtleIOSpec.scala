@@ -461,6 +461,55 @@ class TurtleIOSpec extends AnyFunSuite {
       ("g:a", "ex:s", "ex:p", "with \"quotes\"")))
   }
 
+  test("Turtle writer round-trips with namespace compaction and sharded headers") {
+    import spark.implicits._
+    val rows = Seq(
+      ("http://example.org/people/alice", "http://example.org/ont#knows",
+        "http://example.org/people/bob"),
+      ("http://example.org/people/alice", "http://example.org/ont#name",
+        "Alice \"A\"\nB"),
+      ("http://example.org/people/bob", "http://example.org/ont#age",
+        "\"30\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("http://example.org/people/trailing.dot",
+        "http://example.org/ont#knows", "http://example.org/people/bob"),
+      ("ex:plain", "rel", "just words"),
+      ("_:b0", "http://example.org/ont#knows",
+        "http://example.org/people/alice"))
+    // multiple partitions: every part-file must carry its own @prefix
+    // header and stay a self-contained Turtle document
+    val df = rows.toDF("s", "p", "o").repartition(3)
+    val out = java.nio.file.Files.createTempDirectory("graft-ttlw").toString
+    RdfIO.writeTurtle(df, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+    val texts = files.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    val nonEmpty = texts.filter(_.nonEmpty)
+    assert(nonEmpty.forall(_.contains("@prefix ns")),
+      "every non-empty part-file carries the prefix header")
+    // compaction actually engaged (a prefixed name in a statement)
+    assert(nonEmpty.exists(_.linesIterator.exists(l =>
+      !l.startsWith("@prefix") && l.contains("ns"))),
+      "expected at least one compacted nsK:local term")
+    // the dotted local part stayed angle-bracketed (a trailing-dot
+    // local would re-tokenize as a statement terminator)
+    assert(texts.exists(_.contains("<http://example.org/people/trailing.dot>")))
+    val back = TurtleIO.turtleDF(spark, out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == rows.toSet)
+    // exportTurtle: store in, identical default graph back out
+    val st = graft.bgp.TripleStore.fromTriples(Seq(
+      ("http://g/x", "http://g/p", "http://g/y"),
+      ("http://g/x", "http://g/q", "v")).toDF("s", "p", "o"))
+    val out2 = java.nio.file.Files.createTempDirectory("graft-ttle").toString
+    RdfIO.exportTurtle(st, out2)
+    val back2 = TurtleIO.turtleDF(spark, out2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back2 == Set(
+      ("http://g/x", "http://g/p", "http://g/y"),
+      ("http://g/x", "http://g/q", "v")))
+  }
+
   test("streaming turtle ingest equals the batch parse of the same dump") {
     val ttl =
       """ex:a ex:knows ex:b ; ex:name "A" .
