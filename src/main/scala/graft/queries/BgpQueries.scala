@@ -2464,6 +2464,39 @@ object BgpQueries {
              |  'comment', concat('says "x"', chr(10), n_name) FROM nation"""
         .stripMargin)),
 
+    // compressed export loop (round 12): the writers take a codec, so
+    // an export can ship in the form corpora actually travel —
+    // one gzip shard per partition. Re-ingest goes through
+    // decompressAndShard (gzip is unsplittable; the shard step
+    // restores parse fan-out) and must reproduce the stored forms,
+    // escapes included.
+    GQuery(
+      "q364_gzip_export_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-gz-exp")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        val subj = concat(lit("nation:"), col("n_nationkey"))
+        val triples = nat.select(subj.as("s"), lit("name").as("p"),
+            col("n_name").cast("string").as("o"))
+          .unionByName(nat.select(subj.as("s"), lit("says").as("p"),
+            concat(lit("multi\nline \"q\" of "), col("n_name")).as("o")))
+        graft.sources.RdfIO.writeNTriples(triples, s"$tmp/out",
+          codec = Some("gzip"))
+        val gz = new java.io.File(s"$tmp/out").listFiles()
+          .count(_.getName.endsWith(".gz"))
+        require(gz > 0, "export produced no .gz shards")
+        graft.sources.CompressedIngest.decompressAndShard(
+          s, s"$tmp/out", s"$tmp/shards")
+        graft.sources.RdfIO.ntriplesDF(s, s"$tmp/shards")
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS s, 'name' AS p,
+             |  n_name AS o FROM nation
+             |UNION ALL SELECT concat('nation:', n_nationkey), 'says',
+             |  concat('multi', chr(10), 'line "q" of ', n_name)
+             |FROM nation""".stripMargin)),
+
     // whole-DATASET N-Quads export from an ENCODED store (round 11):
     // exportNQuads dumps the default graph through the planner's
     // variable-predicate path (which decodes ids — export is lexical

@@ -238,29 +238,42 @@ object RdfIO {
     * a corpus export must be a parallel write). Round-trip exact:
     * `ntriplesDF(writeNTriples(df))` reproduces the stored forms.
     */
-  def writeNTriples(df: DataFrame, path: String): Unit = {
+  def writeNTriples(df: DataFrame, path: String,
+      codec: Option[String] = None): Unit = {
     import df.sparkSession.implicits._
-    df.select(col("s").cast("string"), col("p").cast("string"),
+    textOut(df.select(col("s").cast("string"), col("p").cast("string"),
         col("o").cast("string"))
       .as[(String, String, String)]
-      .map { case (s, p, o) => s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)} ." }
-      .write.mode(SaveMode.Overwrite).text(path)
+      .map { case (s, p, o) => s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)} ." },
+      path, codec)
+  }
+
+  /** Text-sink tail shared by the four writers: `codec` (gzip/bzip2/
+    * zstd/…) emits one compressed shard per partition — many small
+    * compressed files keep their parallelism on re-read, and
+    * [[CompressedIngest.decompressAndShard]] restores full splittable
+    * fan-out for dumps that arrive as a few huge archives.
+    */
+  private def textOut(ds: org.apache.spark.sql.Dataset[String],
+      path: String, codec: Option[String]): Unit = {
+    val w = ds.write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).text(path)
   }
 
   /** DISTRIBUTED N-Quads sink over a `(g, s, p, o)` relation — null
     * `g` renders a default-graph (triple) line, so one export carries
     * a whole dataset; the twin of [[nquadsDF]]/[[readNQuads]].
     */
-  def writeNQuads(df: DataFrame, path: String): Unit = {
+  def writeNQuads(df: DataFrame, path: String,
+      codec: Option[String] = None): Unit = {
     import df.sparkSession.implicits._
-    df.select(col("g").cast("string"), col("s").cast("string"),
+    textOut(df.select(col("g").cast("string"), col("s").cast("string"),
         col("p").cast("string"), col("o").cast("string"))
       .as[(String, String, String, String)]
       .map { case (g, s, p, o) =>
         val head = s"${ntRes(s)} ${ntRes(p)} ${ntTerm(o)}"
         if (g == null) s"$head ." else s"$head ${ntRes(g)} ."
-      }
-      .write.mode(SaveMode.Overwrite).text(path)
+      }, path, codec)
   }
 
   /** The whole-dataset relation behind the exports: the default graph
@@ -295,9 +308,10 @@ object RdfIO {
     * close lands on its own line, so the output is exactly the
     * `}`-delimited chunk shape [[TurtleIO.readTrig]] splits on.
     */
-  def writeTrig(df: DataFrame, path: String): Unit = {
+  def writeTrig(df: DataFrame, path: String,
+      codec: Option[String] = None): Unit = {
     import df.sparkSession.implicits._
-    df.select(col("g").cast("string"), col("s").cast("string"),
+    textOut(df.select(col("g").cast("string"), col("s").cast("string"),
         col("p").cast("string"), col("o").cast("string"))
       .sortWithinPartitions("g")
       .as[(String, String, String, String)]
@@ -316,8 +330,7 @@ object RdfIO {
         }
         body ++ Iterator.single(()).flatMap(_ =>
           if (cur.isDefined) Iterator("}") else Iterator.empty)
-      }
-      .write.mode(SaveMode.Overwrite).text(path)
+      }, path, codec)
   }
 
   /** Export a whole store as TriG (the compact dataset serialization
@@ -363,7 +376,7 @@ object RdfIO {
     * Round-trip exact through [[TurtleIO.turtleDF]].
     */
   def writeTurtle(df: DataFrame, path: String,
-      maxPrefixes: Int = 16): Unit = {
+      maxPrefixes: Int = 16, codec: Option[String] = None): Unit = {
     import df.sparkSession.implicits._
     val terms = df.select(col("s").cast("string"), col("p").cast("string"),
       col("o").cast("string"))
@@ -383,7 +396,7 @@ object RdfIO {
         ranked.zipWithIndex.map { case (n, i) => (n, s"ns$i") }.toMap
       }
     val bc = terms.sparkSession.sparkContext.broadcast(pm)
-    terms.sortWithinPartitions("s")
+    textOut(terms.sortWithinPartitions("s")
       .as[(String, String, String)]
       .mapPartitions { it =>
         val pmLocal = bc.value
@@ -413,8 +426,7 @@ object RdfIO {
           }
           header ++ stmts
         }
-      }
-      .write.mode(SaveMode.Overwrite).text(path)
+      }, path, codec)
   }
 
   /** Export a store's DEFAULT graph as prefix-compacted Turtle — the
