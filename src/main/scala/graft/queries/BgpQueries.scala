@@ -2464,6 +2464,36 @@ object BgpQueries {
              |  'comment', concat('says "x"', chr(10), n_name) FROM nation"""
         .stripMargin)),
 
+    // offset-scoped directive ingest (round 12): a dump that REDEFINES
+    // a prefix mid-document (legal Turtle the fast path's one
+    // document-wide map cannot express) escalates to the byte-offset
+    // scan — each chunk parses under exactly the directives at or
+    // before its own position. The fixture splits nation across the
+    // redefinition, so a wrong scoping produces wrong IRIs, not a
+    // crash.
+    GQuery(
+      "q365_scoped_prefix_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val tmp = java.nio.file.Files.createTempDirectory("graft-scoped-q")
+        // nation is the 25-row fixed dimension: a driver-side fixture
+        // build is schema-sized, like q343's protocol payload
+        val rows = graft.Tables.t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")).collect()
+          .map(r => (r.get(0).toString.toLong, r.getString(1))).sortBy(_._1)
+        val (lo, hi) = rows.partition(_._1 < 12)
+        def stmts(rs: Array[(Long, String)]) = rs.map { case (k, nm) =>
+          s"""n:$k <name> "$nm" .""" }.mkString("", "\n", "\n")
+        val doc = "@prefix n: <nationA:> .\n" + stmts(lo) +
+          "@prefix n: <nationB:> .\n" + stmts(hi)
+        java.nio.file.Files.write(tmp.resolve("d.ttl"),
+          doc.getBytes("UTF-8"))
+        graft.sources.TurtleIO.turtleDF(s, tmp.toString)
+      },
+      Some("""SELECT concat(CASE WHEN n_nationkey < 12 THEN 'nationA:'
+             |  ELSE 'nationB:' END, n_nationkey) AS s,
+             |  'name' AS p, n_name AS o FROM nation""".stripMargin)),
+
     // compressed export loop (round 12): the writers take a codec, so
     // an export can ship in the form corpora actually travel —
     // one gzip shard per partition. Re-ingest goes through

@@ -30,13 +30,15 @@ import org.apache.spark.sql.functions.{col, input_file_name}
   *    [[MaxPrefixes]] with a loud over-cap failure — the same
   *    discipline as [[graft.bgp.TripleStore.MaxPredicates]] — and the
   *    resolved map broadcasts into the chunk parser. Turtle allows
-  *    mid-document redefinition; this reader applies ONE document-wide
-  *    map (last definition wins) and is therefore exact for the
-  *    overwhelmingly common head-declared dumps. Mid-document
-  *    redefinition of the SAME prefix to a different IRI is not
-  *    detectable distributedly without an ordered scan — documented
-  *    subset, not silent wrongness: redefinitions are detected at
-  *    collect time and fail loudly.
+  *    mid-document redefinition; the fast path applies ONE
+  *    document-wide map — exact for the overwhelmingly common
+  *    head-declared dumps — and when collection DETECTS a conflicting
+  *    redefinition (mid-document or across files of one load) the
+  *    read escalates to [[scopedTurtleAudit]]: a byte-offset-aware
+  *    scan where each chunk parses under exactly the directives at or
+  *    before its position in its own file. Normal dumps never pay for
+  *    the escalation; redefining dumps parse correctly instead of
+  *    failing.
   *  - MALFORMED statements are ACCOUNTED, not silently dropped:
   *    [[turtleAudit]] returns the [[DocIO]]-style single relation
   *    `(s, p, o, bad)` where a good triple carries `bad = null` and a
@@ -99,9 +101,102 @@ object TurtleIO {
     // pass 1 — directives (literal-aware, token-level, bounded);
     // pass 2 — statements: split the scan on the probed terminator and
     // parse each chunk executor-side against the broadcast map
-    val (pmap, baseIri) = collectDirectives(spark, path, sep, "Turtle")
-    chunkedParse(spark.read.option("lineSep", sep).text(path),
+    val (pmap, baseIri, conflict) = collectDirectives(spark, path, sep,
+      "Turtle")
+    // mid-document (or cross-file) redefinition: the one document-wide
+    // map would be WRONG for some span of the dump — escalate to the
+    // offset-scoped scan, which prices one extra pass only on the rare
+    // dumps that need it (the fast path stays two scans, zero new cost)
+    if (conflict) scopedTurtleAudit(spark, path, sep)
+    else chunkedParse(spark.read.option("lineSep", sep).text(path),
       pmap, baseIri, sep)
+  }
+
+  /** `(file, byteOffset, chunk)` records of a delimited text scan —
+    * the escalation path's input: record offsets give every chunk a
+    * total order within its file, which the DataFrame reader does not
+    * expose. FileInputFormat splits are per-file and offset-ordered,
+    * so iteration within a partition ascends by offset.
+    */
+  private def offsetChunks(spark: SparkSession, path: String, sep: String)
+      : org.apache.spark.rdd.RDD[(String, Long, String)] = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", sep)
+    spark.sparkContext.newAPIHadoopFile(path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[
+        org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val f = split.asInstanceOf[
+          org.apache.hadoop.mapreduce.lib.input.FileSplit]
+          .getPath.toString
+        it.map { case (k, v) => (f, k.get(), v.toString) }
+      }
+  }
+
+  /** The escalation path behind [[turtleAudit]] for dumps that
+    * REDEFINE a prefix or `@base` mid-document (legal Turtle) — or
+    * define the same prefix differently in different files of one
+    * load. Chunks scan WITH byte offsets, directives collect WITH
+    * positions, and each chunk parses under exactly the directives at
+    * or before its own offset in ITS OWN file (per-spec document
+    * scoping; the fast path's global map is a pragmatism for sharded
+    * self-contained exports, which never conflict). A directive inside
+    * a mixed chunk applies from that chunk's start — a statement
+    * packed BEFORE an inline mid-chunk redefinition is the same
+    * documented subset as the fast path's inline-directive hint.
+    * Tear salvage still applies; the head fragment's offset picks the
+    * state.
+    */
+  private def scopedTurtleAudit(spark: SparkSession, path: String,
+      sep: String): DataFrame = {
+    import spark.implicits._
+    val chunks = offsetChunks(spark, path, sep)
+    val dirs = chunks.flatMap { case (f, off, c) =>
+      if (!directiveHint(c, headOnly = true)) Nil
+      else tokenize(c.trim).map(ts =>
+        scanDirectives(ts)._2.map { case (kind, pre, iri) =>
+          (f, off, kind, pre, iri) }).getOrElse(Nil)
+    }.take(MaxPrefixes + 1)
+    require(dirs.length <= MaxPrefixes,
+      s"more than $MaxPrefixes positioned prefix/base directives: not " +
+        "a Turtle dump")
+    val byFile: Map[String, Array[(Long, String, String, String)]] =
+      dirs.groupBy(_._1).map { case (f, ds) =>
+        f -> ds.map(d => (d._2, d._3, d._4, d._5)).sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast(byFile)
+    chunks.mapPartitions { it =>
+      // one partition = one split of one file; offsets ascend, so the
+      // directive walk is a single forward pointer per partition
+      var curFile: String = null
+      var arr: Array[(Long, String, String, String)] = Array.empty
+      var di = 0
+      var pm = Map.empty[String, String]
+      var bi: Option[String] = None
+      def state(f: String, off: Long)
+          : (Map[String, String], Option[String]) = {
+        if (f != curFile) {
+          curFile = f
+          arr = bc.value.getOrElse(f, Array.empty)
+          di = 0; pm = Map.empty; bi = None
+        }
+        while (di < arr.length && arr(di)._1 <= off) {
+          val (_, kind, pre, iri) = arr(di)
+          if (kind == "prefix") pm = pm.updated(pre, iri)
+          else bi = Some(iri)
+          di += 1
+        }
+        (pm, bi)
+      }
+      salvagingParseStated(
+        it.map { case (f, off, c) => (c, f, off) }, state, sep,
+        (f, off) => "f" + java.lang.Long.toHexString(fnv64(f)) +
+          "o" + java.lang.Long.toHexString(off))
+    }.toDF("s", "p", "o", "bad")
   }
 
   /** Pass-1 directive collection, LITERAL-AWARE: chunks tokenize (the
@@ -144,34 +239,41 @@ object TurtleIO {
   private val directiveHintRe =
     java.util.regex.Pattern.compile("(?i)prefix|base")
 
+  /** A Turtle chunk normally holds ONE statement (directives sit at
+    * the head), but inline-separator dumps pack several — a directive
+    * FOLLOWING an inline statement ('ex:a ex:b ex:c . @prefix …')
+    * would be stripped token-side in pass 2 yet never collected in
+    * pass 1. When the chunk shows an interior statement boundary, the
+    * collectors fall back to the TriG-style substring hint (false
+    * positives merely tokenize).
+    */
+  private def interiorDot(c: String): Boolean = {
+    var i = c.indexOf('.')
+    while (i >= 0 && i + 1 < c.length) {
+      val nx = c.charAt(i + 1)
+      if (nx == ' ' || nx == '\n' || nx == '\r' || nx == '\t' ||
+          nx == '@') return true
+      i = c.indexOf('.', i + 1)
+    }
+    false
+  }
+
+  /** Pass-1 hint: can this chunk hold a directive at all? */
+  private def directiveHint(c: String, headOnly: Boolean): Boolean =
+    if (headOnly)
+      headDirectiveHint(c) ||
+        (interiorDot(c) && directiveHintRe.matcher(c).find())
+    else directiveHintRe.matcher(c).find()
+
   private def collectDirectives(spark: SparkSession, path: String,
       lineSep: String, what: String)
-      : (Map[String, String], Option[String]) = {
+      : (Map[String, String], Option[String], Boolean) = {
     import spark.implicits._
     val headOnly = what == "Turtle"
-    // a Turtle chunk normally holds ONE statement (directives sit at
-    // the head), but inline-separator dumps pack several — a directive
-    // FOLLOWING an inline statement ('ex:a ex:b ex:c . @prefix …')
-    // would be stripped token-side in pass 2 yet never collected here.
-    // When the chunk shows an interior statement boundary, fall back to
-    // the TriG-style substring hint (false positives merely tokenize).
-    def interiorDot(c: String): Boolean = {
-      var i = c.indexOf('.')
-      while (i >= 0 && i + 1 < c.length) {
-        val nx = c.charAt(i + 1)
-        if (nx == ' ' || nx == '\n' || nx == '\r' || nx == '\t' ||
-            nx == '@') return true
-        i = c.indexOf('.', i + 1)
-      }
-      false
-    }
     val runs = spark.read.option("lineSep", lineSep).textFile(path)
       .mapPartitions { chunks =>
         chunks.flatMap(c =>
-          if (if (headOnly)
-                !headDirectiveHint(c) && !(interiorDot(c) &&
-                  directiveHintRe.matcher(c).find())
-              else !directiveHintRe.matcher(c).find()) Nil
+          if (!directiveHint(c, headOnly)) Nil
           else tokenize(c.trim).map(ts => scanDirectives(ts)._2)
             .getOrElse(Nil))
       }
@@ -183,19 +285,17 @@ object TurtleIO {
       s"more than $MaxPrefixes distinct prefix/base directives: not a " +
         s"$what dump")
     var base: Option[String] = None
+    var conflict = false
     val prefixes = scala.collection.mutable.Map.empty[String, String]
     runs.foreach {
       case ("prefix", pre, iri) =>
-        require(!prefixes.get(pre).exists(_ != iri),
-          s"prefix '$pre:' redefined mid-document ('${prefixes(pre)}' vs " +
-            s"'$iri') — this reader applies one document-wide prefix map")
+        if (prefixes.get(pre).exists(_ != iri)) conflict = true
         prefixes(pre) = iri
       case (_, _, iri) =>
-        require(base.forall(_ == iri),
-          s"@base redefined mid-document ('${base.get}' vs '$iri')")
+        if (base.exists(_ != iri)) conflict = true
         base = Some(iri)
     }
-    (prefixes.toMap, base)
+    (prefixes.toMap, base, conflict)
   }
 
   /** STREAMING Turtle ingest — incremental corpus loading: dump files
@@ -277,10 +377,25 @@ object TurtleIO {
     */
   private[sources] def salvagingParse(it: Iterator[(String, String)],
       pmap: Map[String, String], baseIri: Option[String], sep: String,
-      pid: Int): Iterator[(String, String, String, String)] = {
-    def mkKey(f: String, i: Long): String =
-      "f" + java.lang.Long.toHexString(fnv64(f)) + "p" + pid + "c" + i
-    val base = it.zipWithIndex.map { case ((c, f), i) => (c, f, i.toLong) }
+      pid: Int): Iterator[(String, String, String, String)] =
+    salvagingParseStated(
+      it.zipWithIndex.map { case ((c, f), i) => (c, f, i.toLong) },
+      (_, _) => (pmap, baseIri), sep,
+      (f, i) => "f" + java.lang.Long.toHexString(fnv64(f)) + "p" + pid +
+        "c" + i)
+
+  /** The salvage core, parameterized over per-chunk directive STATE
+    * (constant on the fast path; an offset-scoped fold on the
+    * escalation path) and the blank-label key derivation. `base`
+    * yields `(chunk, file, ordinal)` where the ordinal ascends within
+    * the iterator and keys the state lookup — a salvaged multi-chunk
+    * statement parses under its HEAD fragment's state.
+    */
+  private[sources] def salvagingParseStated(
+      base: Iterator[(String, String, Long)],
+      state: (String, Long) => (Map[String, String], Option[String]),
+      sep: String, mkKey: (String, Long) => String)
+      : Iterator[(String, String, String, String)] = {
     val queue = scala.collection.mutable.Queue.empty[(String, String, Long)]
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     def quarantineHeadRequeueTail(): Seq[(String, String, String, String)] = {
@@ -311,7 +426,8 @@ object TurtleIO {
                 if (body.nonEmpty && body != ".") {
                   tokenize(body) match {
                     case Some(ts) =>
-                      val rows = parseTokensAudited(ts, pmap, baseIri,
+                      val (pm, bi) = state(f, i)
+                      val rows = parseTokensAudited(ts, pm, bi,
                         mkKey(f, i))
                       if (rows.nonEmpty) nextBatch = rows
                     case None => buf += ((c, f, i))
@@ -322,7 +438,8 @@ object TurtleIO {
                 val candidate = buf.map(_._1).mkString(sep)
                 tokenize(candidate.trim) match {
                   case Some(ts) =>
-                    val rows = parseTokensAudited(ts, pmap, baseIri,
+                    val (pm, bi) = state(buf.head._2, buf.head._3)
+                    val rows = parseTokensAudited(ts, pm, bi,
                       mkKey(buf.head._2, buf.head._3))
                     if (rows.forall(_._4 == null)) {
                       buf.clear()
@@ -385,7 +502,15 @@ object TurtleIO {
     // dump whose blocks close with "}\r\n" would otherwise never match
     // the delimiter and collapse each file into ONE single-task record
     val sep = "}" + probeNl(spark, path)
-    val (pmap, baseIri) = collectDirectives(spark, path, sep, "TriG")
+    val (pmap, baseIri, conflict) = collectDirectives(spark, path, sep,
+      "TriG")
+    // TriG keeps the loud-failure contract: its chunks are whole
+    // blocks, so offset-scoping directives would still be wrong
+    // WITHIN a block — better a loud subset than a silent one
+    require(!conflict,
+      "prefix or @base redefined mid-document — the TriG reader " +
+        "applies one document-wide map (Turtle dumps escalate to the " +
+        "offset-scoped scan; TriG block grain cannot)")
     spark.read.option("lineSep", sep).text(path)
       .select(col("value"), input_file_name().as("f"))
       .as[(String, String)]

@@ -80,15 +80,52 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
-  test("mid-document prefix redefinition fails loudly") {
+  test("mid-document prefix redefinition escalates to the offset-scoped scan") {
     val ttl =
       """@prefix ex: <http://one.org/> .
         |ex:s ex:p ex:o .
         |@prefix ex: <http://two.org/> .
         |ex:s ex:p ex:o .
+        |@base <http://b1.org/> .
+        |<rel> ex:p ex:o .
+        |@base <http://b2.org/> .
+        |<rel> ex:p ex:o .
         |""".stripMargin
+    val got = TurtleIO.turtleDF(spark, write("d.ttl", ttl)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://one.org/s", "http://one.org/p", "http://one.org/o"),
+      ("http://two.org/s", "http://two.org/p", "http://two.org/o"),
+      ("http://b1.org/rel", "http://two.org/p", "http://two.org/o"),
+      ("http://b2.org/rel", "http://two.org/p", "http://two.org/o")))
+  }
+
+  test("cross-file prefix conflicts scope per file; salvage survives the scoped scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scoped")
+    // same prefix, different IRI per file — each file must parse under
+    // its OWN definition (per-spec document scoping)
+    java.nio.file.Files.write(dir.resolve("a.ttl"),
+      ("@prefix ex: <http://a.org/> .\n" +
+        "ex:s ex:p \"line one .\ncontinues\" .\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.ttl"),
+      ("@prefix ex: <http://b.org/> .\n" +
+        "ex:s ex:p ex:o .\n").getBytes("UTF-8"))
+    val audit = TurtleIO.turtleAudit(spark, dir.toString)
+    assert(audit.where(org.apache.spark.sql.functions.col("bad")
+      .isNotNull).count() == 0, "scoped scan must salvage the torn literal")
+    val got = audit.where(org.apache.spark.sql.functions.col("bad").isNull)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      ("http://a.org/s", "http://a.org/p", "line one .\ncontinues"),
+      ("http://b.org/s", "http://b.org/p", "http://b.org/o")))
+    // TriG keeps the loud contract (block grain cannot offset-scope)
+    val trig = "@prefix ex: <http://one.org/> .\n" +
+      "g:a { ex:s ex:p ex:o . }\n" +
+      "@prefix ex: <http://two.org/> .\n" +
+      "g:b { ex:s ex:p ex:o . }\n"
     val e = intercept[IllegalArgumentException] {
-      TurtleIO.turtleDF(spark, write("d.ttl", ttl)).collect()
+      TurtleIO.trigAudit(spark, write("c.trig", trig)).collect()
     }
     assert(e.getMessage.contains("redefined"))
   }
