@@ -123,4 +123,27 @@ object GuardedBroadcast {
 
   /** Visible for tests: current number of memoized guard relations. */
   def memoSize: Int = memo.size
+
+  /** TorrentBroadcast a BOUNDED driver-side VALUE (a directive table,
+    * a prefix map — things a schema-sized collect already capped) —
+    * the non-DataFrame sibling of [[maybe]]. The serialized size is
+    * measured and guarded here, so a value that silently outgrew its
+    * caller's bound fails LOUDLY at broadcast time instead of as an
+    * executor OOM or a per-task closure-shipping storm.
+    */
+  def boundedValue[T: scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession, v: T, what: String,
+      maxBytes: Long = 64L * 1024 * 1024)
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    val bytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val oo = new java.io.ObjectOutputStream(bo)
+      oo.writeObject(v); oo.close()
+      bo.size().toLong
+    }
+    require(bytes <= maxBytes,
+      s"$what serializes to $bytes bytes (> $maxBytes): not a bounded " +
+        "value — this belongs in a relation, not a broadcast")
+    spark.sparkContext.broadcast(v)
+  }
 }

@@ -395,11 +395,12 @@ object RdfIO {
           .limit(maxPrefixes).collect().map(_.getString(0))
         ranked.zipWithIndex.map { case (n, i) => (n, s"ns$i") }.toMap
       }
-    val bc = terms.sparkSession.sparkContext.broadcast(pm)
+    // pm is maxPrefixes entries — closure capture ships it with the
+    // task at no meaningful cost (no broadcast machinery needed)
     textOut(terms.sortWithinPartitions("s")
       .as[(String, String, String)]
       .mapPartitions { it =>
-        val pmLocal = bc.value
+        val pmLocal = pm
         def res(v: String) =
           compactTerm(v, pmLocal).getOrElse(ntRes(v))
         def obj(v: String) =

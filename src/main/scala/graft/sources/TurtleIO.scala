@@ -168,7 +168,8 @@ object TurtleIO {
       dirs.groupBy(_._1).map { case (f, ds) =>
         f -> ds.map(d => (d._2, d._3, d._4, d._5)).sortBy(_._1)
       }
-    val bc = spark.sparkContext.broadcast(byFile)
+    val bc = graft.scale.GuardedBroadcast.boundedValue(spark, byFile,
+      "positioned directive table")
     chunks.mapPartitions { it =>
       // one partition = one split of one file; offsets ascend, so the
       // directive walk is a single forward pointer per partition

@@ -2431,9 +2431,10 @@ class BgpSpec extends AnyFunSuite {
       assert(http("DELETE", s"$gsp?graph=$g")._1 == 404)
       // default graph: GET serves the store's triples
       val (c5, dflt) = http("GET", s"$gsp?default")
-      // tinyStore's bare 'worksFor' predicate is not IRI-shaped, so it
-      // renders as a literal term (the relaxed term model)
-      assert(c5 == 200 && dflt.contains("<prof:0> \"worksFor\" <dept:0> ."))
+      // graph responses render s/p through the export sinks' resource
+      // renderer (a literal predicate never round-trips), so the
+      // relaxed model's bare 'worksFor' comes back IRI-shaped
+      assert(c5 == 200 && dflt.contains("<prof:0> <worksFor> <dept:0> ."))
       // malformed payload is a loud 400, never a silent drop
       val (c6, msg) = http("POST", s"$gsp?default", "application/n-triples",
         "this is not n-triples\n")
