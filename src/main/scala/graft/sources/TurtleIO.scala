@@ -118,11 +118,18 @@ object TurtleIO {
     * expose. FileInputFormat splits are per-file and offset-ordered,
     * so iteration within a partition ascends by offset.
     */
-  private def offsetChunks(spark: SparkSession, path: String, sep: String)
+  private[graft] def offsetChunks(spark: SparkSession, path: String,
+      sep: String, maxSplitBytes: Long = 0L)
       : org.apache.spark.rdd.RDD[(String, Long, String)] = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", sep)
+    // test seam: force multi-split reads of one file so the
+    // cross-split directive-state reconstruction is pinnable on a
+    // fixture-sized input (production leaves the block-size default)
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize",
+        maxSplitBytes)
     spark.sparkContext.newAPIHadoopFile(path,
         classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
         classOf[org.apache.hadoop.io.LongWritable],
@@ -151,10 +158,10 @@ object TurtleIO {
     * Tear salvage still applies; the head fragment's offset picks the
     * state.
     */
-  private def scopedTurtleAudit(spark: SparkSession, path: String,
-      sep: String): DataFrame = {
+  private[graft] def scopedTurtleAudit(spark: SparkSession,
+      path: String, sep: String, maxSplitBytes: Long = 0L): DataFrame = {
     import spark.implicits._
-    val chunks = offsetChunks(spark, path, sep)
+    val chunks = offsetChunks(spark, path, sep, maxSplitBytes)
     val dirs = chunks.flatMap { case (f, off, c) =>
       if (!directiveHint(c, headOnly = true)) Nil
       else tokenize(c.trim).map(ts =>

@@ -130,6 +130,31 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(e.getMessage.contains("redefined"))
   }
 
+  test("scoped scan reconstructs directive state across input splits") {
+    // one file forced to split every 256 bytes: a later split's
+    // partition must rebuild its prefix state from directives whose
+    // chunks it NEVER scanned (they sit in earlier splits — the
+    // positioned table covers offsets before its first record)
+    val sb = new StringBuilder("@prefix ex: <http://a.org/> .\n")
+    for (i <- 0 until 30) sb.append(s"ex:s$i ex:p ex:o$i .\n")
+    sb.append("@prefix ex: <http://b.org/> .\n")
+    for (i <- 30 until 60) sb.append(s"ex:s$i ex:p ex:o$i .\n")
+    val f = write("split.ttl", sb.toString)
+    assert(TurtleIO.offsetChunks(spark, f, " .\n", maxSplitBytes = 256)
+      .getNumPartitions > 3, "fixture must span several splits")
+    val audit = TurtleIO.scopedTurtleAudit(spark, f, " .\n",
+      maxSplitBytes = 256)
+    assert(audit.where(org.apache.spark.sql.functions.col("bad")
+      .isNotNull).count() == 0)
+    val got = audit.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = (0 until 30).map(i => (s"http://a.org/s$i",
+        "http://a.org/p", s"http://a.org/o$i")).toSet ++
+      (30 until 60).map(i => (s"http://b.org/s$i",
+        "http://b.org/p", s"http://b.org/o$i"))
+    assert(got == want)
+  }
+
   test("malformed statements quarantine; the rest of the file loads") {
     val ttl =
       """@prefix ex: <http://x.org/> .
