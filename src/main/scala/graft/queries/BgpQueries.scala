@@ -2084,6 +2084,46 @@ object BgpQueries {
       },
       Some(turtleOracle)),
 
+    // STREAMING TriG ingest (round 12): the dataset-grain streaming
+    // twin of q342 — named-graph blocks land incrementally, parse into
+    // (g, s, p, o) rows, and the (g, p)-partitioned parquet sink IS
+    // the dataset layout's quads shape (null g reads back as the
+    // default graph through Hive's default-partition convention). The
+    // reload answers a mixed default+GRAPH join.
+    GQuery(
+      "q366_trig_stream",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-trig-st")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        nat.select(concat(lit("n:"), col("n_nationkey"),
+              lit(" <name> \""), col("n_name"), lit("\" .")).as("value"))
+          .unionByName(nat.select(concat(lit("<g:r> { n:"),
+            col("n_nationkey"), lit(" <inregion> r:"), col("n_regionkey"),
+            lit(" . }")).as("value")))
+          .write.mode("overwrite").text(s"$tmp/in")
+        val q = graft.sources.TurtleIO.trigStream(s, s"$tmp/in",
+            prefixes = Map("n" -> "nation:", "r" -> "region:"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/rows")
+          .option("checkpointLocation", s"$tmp/ck")
+          .partitionBy("g", "p")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val rows = s.read.parquet(s"$tmp/rows")
+        val st = TripleStore.fromTriples(
+            rows.where(col("g").isNull).select("s", "p", "o"))
+          .copy(quads = Some(rows.where(col("g").isNotNull)
+            .select("g", "s", "p", "o").distinct()))
+        BgpPlanner.query(st,
+          """select ?n ?nm ?r where {
+            | ?n <name> ?nm .
+            | graph <g:r> { ?n <inregion> ?r } }""".stripMargin)
+      },
+      Some(turtleOracle)),
+
     // SPARQL 1.1 Graph Store HTTP Protocol (round 10): region names
     // arrive as an N-Triples PUT payload at the /graphs service
     // (indirect graph identification, byte-capped payload, atomic

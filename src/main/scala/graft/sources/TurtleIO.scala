@@ -519,8 +519,18 @@ object TurtleIO {
       "prefix or @base redefined mid-document — the TriG reader " +
         "applies one document-wide map (Turtle dumps escalate to the " +
         "offset-scoped scan; TriG block grain cannot)")
-    spark.read.option("lineSep", sep).text(path)
-      .select(col("value"), input_file_name().as("f"))
+    trigChunkedParse(spark.read.option("lineSep", sep).text(path),
+      pmap, baseIri)
+  }
+
+  /** The shared batch/stream TriG chunk pipeline — block-label keys
+    * derive from (file, partition, chunk index) like [[chunkedParse]].
+    */
+  private def trigChunkedParse(chunks: DataFrame,
+      pmap: Map[String, String], baseIri: Option[String]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col("value"), input_file_name().as("f"))
       .as[(String, String)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
@@ -531,6 +541,34 @@ object TurtleIO {
       }
       .toDF("g", "s", "p", "o", "bad")
   }
+
+  /** STREAMING TriG ingest — the dataset-grain streaming twin of
+    * [[turtleStream]]: named-graph block files landing in `path` parse
+    * incrementally into `(g, s, p, o)` rows (`g` null = default
+    * graph). Directives and the block-close newline spelling are
+    * stream PARAMETERS, like [[turtleStream]]'s (head-probing is a
+    * batch affordance). Compose with a `(g, p)`-partitioned parquet
+    * sink for streaming load into the dataset layout
+    * ([[graft.bgp.TripleStore.fromDatasetParquet]]'s quads shape).
+    */
+  def trigStream(spark: SparkSession, path: String,
+      prefixes: Map[String, String] = Map.empty,
+      base: Option[String] = None,
+      nl: String = "\n"): DataFrame =
+    trigStreamAudit(spark, path, prefixes, base, nl)
+      .where(col("bad").isNull).select("g", "s", "p", "o")
+
+  /** The audited streaming TriG parse — `(g, s, p, o, bad)`; route
+    * `bad IS NOT NULL` to a quarantine sink for live drop-rate
+    * monitoring.
+    */
+  def trigStreamAudit(spark: SparkSession, path: String,
+      prefixes: Map[String, String] = Map.empty,
+      base: Option[String] = None,
+      nl: String = "\n"): DataFrame =
+    trigChunkedParse(
+      spark.readStream.option("lineSep", "}" + nl).text(path),
+      prefixes, base)
 
   /** Parse one `}`-delimited TriG chunk: leading top-level statements
     * are default-graph; a `<g> {` / `GRAPH <g> {` / bare `{` header

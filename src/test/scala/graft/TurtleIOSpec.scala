@@ -155,6 +155,91 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("randomized scoped-parse differential: sectioned redefinitions equal a sequential reference") {
+    val rnd = new scala.util.Random(12012)
+    for (trial <- 0 until 4) {
+      val nSections = 2 + rnd.nextInt(3)
+      val doc = new StringBuilder
+      val want = scala.collection.mutable.Set.empty[(String, String, String)]
+      var base = "http://ns0.org/"
+      for (j <- 0 until nSections) {
+        base = s"http://ns$j-t$trial.org/"
+        doc.append(s"@prefix ex: <$base> .\n")
+        for (i <- 0 until rnd.nextInt(8)) {
+          val lit = if (rnd.nextBoolean()) s"v$i" else s"line\nv$i \"q\""
+          val esc = lit.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", "\\n")
+          doc.append(s"""ex:s$i ex:p$j "$esc" .\n""")
+          want += ((s"${base}s$i", s"${base}p$j", lit))
+        }
+      }
+      val f = write(s"rand$trial.ttl", doc.toString)
+      val audit = TurtleIO.turtleAudit(spark, f)
+      assert(audit.where(org.apache.spark.sql.functions.col("bad")
+        .isNotNull).count() == 0, s"trial $trial quarantined rows")
+      val got = audit.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got == want.toSet, s"trial $trial")
+    }
+  }
+
+  test("randomized Turtle-writer round trip: namespaces, escapes, decorations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(36512)
+    val nss = Seq("http://a.org/x/", "http://b.org/y#", "urn:uuid:")
+    for (trial <- 0 until 3) {
+      val rows = (0 until (5 + rnd.nextInt(20))).map { i =>
+        val s = nss(rnd.nextInt(2)) + s"s$i" // urn: has no /# split
+        val p = nss(rnd.nextInt(3)) + s"p${rnd.nextInt(4)}"
+        val o = rnd.nextInt(5) match {
+          case 0 => nss(rnd.nextInt(3)) + s"o$i"
+          case 1 => s"plain $i with \"quotes\" and \\slash"
+          case 2 => s"multi\nline $i"
+          case 3 => s""""$i"^^<http://www.w3.org/2001/XMLSchema#integer>"""
+          case _ => s""""bonjour$i"@fr"""
+        }
+        (s, p, o)
+      }.distinct
+      val df = rows.toDF("s", "p", "o").repartition(1 + rnd.nextInt(3))
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-ttlrand$trial").toString
+      RdfIO.writeTurtle(df, out, maxPrefixes = 1 + rnd.nextInt(4))
+      val back = TurtleIO.turtleDF(spark, out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(back == rows.toSet, s"trial $trial")
+    }
+  }
+
+  test("streaming TriG ingest equals the batch parse of the same dump") {
+    val trig =
+      """@prefix ex: <http://x.org/> .
+        |@prefix g: <graph:> .
+        |ex:a ex:knows ex:b .
+        |g:one { ex:a ex:name "A" . ex:b ex:age 4 . }
+        |g:two { ex:b ex:name "B" . }
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig-s")
+    java.nio.file.Files.write(dir.resolve("d.trig"), trig.getBytes("UTF-8"))
+    // the batch reader resolves directives from the file; the stream
+    // takes the same map as a parameter (directives are deployment
+    // configuration on an unbounded stream, like turtleStream's)
+    val pmap = Map("ex" -> "http://x.org/", "g" -> "graph:")
+    val batch = TurtleIO.trigAudit(spark, dir.toString)
+    val stream = TurtleIO.trigStream(spark, dir.toString, pmap)
+    val q = stream.writeStream.format("memory").queryName("trigstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("select * from trigstream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val want = batch.where(org.apache.spark.sql.functions.col("bad")
+      .isNull).select("g", "s", "p", "o").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("malformed statements quarantine; the rest of the file loads") {
     val ttl =
       """@prefix ex: <http://x.org/> .
