@@ -94,6 +94,35 @@ object IngestProbe {
       f"uncompressed end-to-end)")
     require(nTtl == nNt && nNt == nNq && nNq == nTrig && nTrig == nGz,
       s"parser row mismatch: ttl $nTtl nt $nNt nq $nNq trig $nTrig gz $nGz")
+
+    // export half: the real writers over the same relation (cached so
+    // the timed step is rendering+writing, not the upstream scan)
+    val spo = triples.persist()
+    spo.count()
+    val (_, wNt) = time(
+      graft.sources.RdfIO.writeNTriples(spo, s"$base/w_nt"))
+    val (_, wTtl) = time(
+      graft.sources.RdfIO.writeTurtle(spo, s"$base/w_ttl"))
+    val quads = spo.select(concat(lit("g:"),
+      pmod(xxhash64(col("s")), lit(8))).as("g"), col("s"), col("p"),
+      col("o"))
+    val (_, wNq) = time(
+      graft.sources.RdfIO.writeNQuads(quads, s"$base/w_nq"))
+    val (_, wTrig) = time(
+      graft.sources.RdfIO.writeTrig(quads, s"$base/w_trig"))
+    val (_, wGz) = time(graft.sources.RdfIO.writeNTriples(
+      spo, s"$base/w_ntgz", codec = Some("gzip")))
+    val wBack = graft.sources.TurtleIO.turtleDF(spark, s"$base/w_ttl")
+      .count()
+    require(wBack == nTtl, s"turtle export re-read $wBack != $nTtl")
+    println(f"[ingest-probe] export: " +
+      f"ntriples ${du(s"$base/w_nt") / 1e6 / wNt}%.1f MB/s, " +
+      f"turtle ${du(s"$base/w_ttl") / 1e6 / wTtl}%.1f MB/s, " +
+      f"nquads ${du(s"$base/w_nq") / 1e6 / wNq}%.1f MB/s, " +
+      f"trig ${du(s"$base/w_trig") / 1e6 / wTrig}%.1f MB/s, " +
+      f"ntriples+gzip ${du(s"$base/w_ntgz") / 1e6 / wGz}%.1f MB/s " +
+      f"compressed (${du(s"$base/w_nt") / 1e6 / wGz}%.1f MB/s " +
+      "uncompressed-equivalent)")
     spark.stop()
   }
 }
