@@ -1309,6 +1309,31 @@ object BgpPlanner {
       // form, matching both engines' md5()/sha256()
       case BFunc1("md5", a) => md5(bindCol(a, lex).cast("string"))
       case BFunc1("sha256", a) => sha2(bindCol(a, lex).cast("string"), 256)
+      // ENCODE_FOR_URI (§17.4.3.10): percent-encode everything but RFC
+      // 3986 unreserved. Java's form-encoder (url_encode) differs on
+      // exactly three points — space as '+', '*' kept, '~' escaped —
+      // each repaired by a literal replace (an input '+' is already
+      // %2B before the repairs run, so none can collide)
+      case BFunc1("encode_for_uri", a) =>
+        call_function("replace",
+          call_function("replace",
+            call_function("replace",
+              call_function("url_encode", bindCol(a, lex).cast("string")),
+              lit("+"), lit("%20")),
+            lit("*"), lit("%2A")),
+          lit("%7E"), lit("~"))
+      // STR (§17.4.2.5): a literal's lexical form, an IRI unchanged —
+      // the FILTER surface's decoration stripper exposed to BIND
+      case BFunc1("str", a) => RdfLex.lex(bindCol(a, lex))
+      // STRLANG/STRDT (§17.4.2.8-9): construct the decorated stored
+      // spellings — tags lowercase like canonLang, xsd: datatypes
+      // expand like canonTyped
+      case BStr2("strlang", a, tag) =>
+        concat(lit("\""), bindCol(a, lex).cast("string"),
+          lit("\"@" + tag.toLowerCase))
+      case BStr2("strdt", a, dt) =>
+        concat(lit("\""), bindCol(a, lex).cast("string"),
+          lit("\"^^<" + Sparql.datatypeUri(dt) + ">"))
       case BFunc1(other, _) =>
         throw new IllegalArgumentException(s"unknown BIND function: $other")
       case BSubstr(a, st, ln) => bindCol(a, lex).cast("string")

@@ -1206,6 +1206,23 @@ object Sparql {
       BFunc1("md5", parseBindExpr(inner0))
     else if (low.startsWith("sha256(") && s.endsWith(")"))
       BFunc1("sha256", parseBindExpr(inner0))
+    else if (low.startsWith("encode_for_uri(") && s.endsWith(")"))
+      BFunc1("encode_for_uri", parseBindExpr(inner0))
+    else if (low.startsWith("str(") && s.endsWith(")"))
+      BFunc1("str", parseBindExpr(inner0))
+    else if (low.startsWith("strlang(") && s.endsWith(")")) {
+      val as = splitArgs(inner0)
+      require(as.size == 2, s"STRLANG takes 2 args: $raw")
+      BStr2("strlang", parseBindExpr(as.head), strLit(as(1)))
+    } else if (low.startsWith("strdt(") && s.endsWith(")")) {
+      val as = splitArgs(inner0)
+      require(as.size == 2, s"STRDT takes 2 args: $raw")
+      val dt0 = as(1).trim
+      BStr2("strdt", parseBindExpr(as.head),
+        if (dt0.startsWith("<") && dt0.endsWith(">"))
+          dt0.substring(1, dt0.length - 1)
+        else dt0)
+    }
     else if (low.startsWith("substr(") && s.endsWith(")")) {
       val as = splitArgs(inner0)
       require(as.size == 2 || as.size == 3, s"SUBSTR takes 2-3 args: $raw")

@@ -960,6 +960,30 @@ object BgpQueries {
              |    THEN 'long-id' ELSE 'short-id' END AS sz
              |FROM orders""".stripMargin)),
 
+    // the §17.4.2-3 term builtins (round 12): ENCODE_FOR_URI over a
+    // value carrying space and ':' (both must percent-encode — the
+    // fixture's own names are all-unreserved, so CONCAT plants the
+    // interesting characters), STRLANG/STRDT constructing the
+    // decorated stored spellings, and STR stripping one back off a
+    // previously-bound alias (sequence scoping over computed values)
+    GQuery(
+      "q367_bind_term_builtins",
+      bgp("""select ?n ?enc ?tagged ?typed ?plain where {
+            | ?n rdf:type "Nation" .
+            | ?n name ?nm .
+            | BIND (concat("name: ", ?nm) AS ?raw) .
+            | BIND (encode_for_uri(?raw) AS ?enc) .
+            | BIND (strlang(?nm, "EN") AS ?tagged) .
+            | BIND (strdt(?nm, xsd:token) AS ?typed) .
+            | BIND (str(?tagged) AS ?plain) }""".stripMargin),
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('name%3A%20', n_name) AS enc,
+             |  concat('"', n_name, '"@en') AS tagged,
+             |  concat('"', n_name,
+             |    '"^^<http://www.w3.org/2001/XMLSchema#token>') AS typed,
+             |  n_name AS plain
+             |FROM nation""".stripMargin)),
+
     // encoded-store twin of q156/q157: the new BIND functions compute
     // on decode-on-demand lexical values and the aliases stay lexical
     GQuery(
