@@ -1449,6 +1449,25 @@ class BgpSpec extends AnyFunSuite {
       Set(("prof:0", "FullProfessor0!", 28.0), ("prof:1", "FullProfessor1!", 28.0)))
   }
 
+  test("BIND term builtins: ENCODE_FOR_URI repairs, STR, STRLANG, STRDT") {
+    import spark.implicits._
+    // the three form-encoding deltas all at once, plus an input '+'
+    // (which must arrive %2B, never be mistaken for a repaired space)
+    val st = TripleStore.fromTriples(Seq(
+      ("t:1", "v", "a b+c*d~e/f")).toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st,
+      """select ?e ?g ?d ?s2 where { ?x v ?val .
+        | BIND (encode_for_uri(?val) AS ?e) .
+        | BIND (strlang(?val, "FR") AS ?g) .
+        | BIND (strdt(?val, xsd:token) AS ?d) .
+        | BIND (str(?g) AS ?s2) }""".stripMargin).collect().head
+    assert(out.getAs[String]("e") == "a%20b%2Bc%2Ad~e%2Ff")
+    assert(out.getAs[String]("g") == "\"a b+c*d~e/f\"@fr")
+    assert(out.getAs[String]("d") ==
+      "\"a b+c*d~e/f\"^^<http://www.w3.org/2001/XMLSchema#token>")
+    assert(out.getAs[String]("s2") == "a b+c*d~e/f")
+  }
+
   test("BIND string functions: UCASE/LCASE/SUBSTR/REPLACE/IF") {
     val out = BgpPlanner.query(tinyStore,
       """select ?A ?U ?L ?P ?R ?C where { ?A name ?N .
