@@ -548,8 +548,12 @@ object SparqlServer {
                   case Some(g) =>
                     s"select ?s ?p ?o where { graph <$g> { ?s ?p ?o } }"
                 }
+                // GSP §5.2 supports content negotiation like the query
+                // arm's CONSTRUCT: Turtle/TriG via the same renderer
+                val gf = negotiatedGraph(Option(
+                  ex.getRequestHeaders.getFirst("Accept")).getOrElse(""))
                 (200, answerGraph(BgpPlanner.query(ref.get(), q)
-                  .select("s", "p", "o"), maxRows), "application/n-triples")
+                  .select("s", "p", "o"), maxRows, gf), gf)
               case "PUT" =>
                 val ts = payload()
                 applyOps(target match {

@@ -2564,6 +2564,22 @@ class BgpSpec extends AnyFunSuite {
       val (nc, nt) = http("GET", s"${h.endpoint}?query=$con",
         accept = "application/json")
       assert(nc == 200 && nt.contains("<t:1> <rel:copied> \"bonjour\"@fr ."))
+      // the Graph Store arm negotiates the SAME graph formats (GSP
+      // §5.2): a Turtle GET of the default graph parses back through
+      // the repo's reader
+      val (gc2, ttl2) = http("GET", s"${h.endpoint}/graphs?default",
+        accept = "text/turtle")
+      assert(gc2 == 200)
+      val gspDir = java.nio.file.Files.createTempDirectory("graft-gspttl")
+      java.nio.file.Files.write(gspDir.resolve("g.ttl"),
+        ttl2.getBytes("UTF-8"))
+      val gspBack = graft.sources.TurtleIO.turtleDF(spark, gspDir.toString)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(gspBack == Set(
+        ("t:1", "val", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+        ("t:1", "val", "\"bonjour\"@fr"),
+        ("t:2", "val", "line\nbreak \"quoted\"")))
     } finally h.stop()
   }
 
