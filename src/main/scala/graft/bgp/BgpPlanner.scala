@@ -1322,6 +1322,40 @@ object BgpPlanner {
               lit("+"), lit("%20")),
             lit("*"), lit("%2A")),
           lit("%7E"), lit("~"))
+      // date/time accessors (§17.4.5) over xsd:date/dateTime literal
+      // lexical forms: FIELD extraction on the lexical value —
+      // cross-engine exact (no calendar library in the loop), null on
+      // non-date shapes via the rlike guard (ANSI-safe, like
+      // RdfLex.numeric)
+      case BFunc1("year", a) =>
+        val lx = RdfLex.lex(bindCol(a, lex))
+        when(lx.rlike("^\\d{4}-\\d\\d-\\d\\d"),
+          substring(lx, 1, 4).cast("long"))
+      case BFunc1("month", a) =>
+        val lx = RdfLex.lex(bindCol(a, lex))
+        when(lx.rlike("^\\d{4}-\\d\\d-\\d\\d"),
+          substring(lx, 6, 2).cast("long"))
+      case BFunc1("day", a) =>
+        val lx = RdfLex.lex(bindCol(a, lex))
+        when(lx.rlike("^\\d{4}-\\d\\d-\\d\\d"),
+          substring(lx, 9, 2).cast("long"))
+      case BFunc1("hours", a) =>
+        val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "T(\\d\\d):", 1)
+        when(f =!= "", f.cast("long"))
+      case BFunc1("minutes", a) =>
+        val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "T\\d\\d:(\\d\\d):", 1)
+        when(f =!= "", f.cast("long"))
+      case BFunc1("seconds", a) =>
+        val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "T\\d\\d:\\d\\d:(\\d\\d(?:\\.\\d+)?)", 1)
+        when(f =!= "", f.cast("double"))
+      // TZ (§17.4.5.8): "Z", an offset, or "" when absent — a simple
+      // literal either way, so no cast to guard
+      case BFunc1("tz", a) =>
+        regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "(Z|[+-]\\d\\d:\\d\\d)$", 0)
       // STR (§17.4.2.5): a literal's lexical form, an IRI unchanged —
       // the FILTER surface's decoration stripper exposed to BIND
       case BFunc1("str", a) => RdfLex.lex(bindCol(a, lex))

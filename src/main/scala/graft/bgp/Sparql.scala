@@ -1208,6 +1208,9 @@ object Sparql {
       BFunc1("sha256", parseBindExpr(inner0))
     else if (low.startsWith("encode_for_uri(") && s.endsWith(")"))
       BFunc1("encode_for_uri", parseBindExpr(inner0))
+    else if (Seq("year(", "month(", "day(", "hours(", "minutes(",
+        "seconds(", "tz(").exists(low.startsWith) && s.endsWith(")"))
+      BFunc1(low.substring(0, low.indexOf('(')), parseBindExpr(inner0))
     else if (low.startsWith("str(") && s.endsWith(")"))
       BFunc1("str", parseBindExpr(inner0))
     else if (low.startsWith("strlang(") && s.endsWith(")")) {

@@ -960,6 +960,41 @@ object BgpQueries {
              |    THEN 'long-id' ELSE 'short-id' END AS sz
              |FROM orders""".stripMargin)),
 
+    // §17.4.5 date/time accessors (round 12): YEAR..SECONDS/TZ as
+    // LEXICAL field extraction over decorated xsd:dateTime literals —
+    // no calendar library in the loop, so both engines agree bit-for-
+    // bit. The store is built from o_orderdate with a fixed clock
+    // suffix (the varying fields come from data, the fixed ones prove
+    // the T-anchored extraction).
+    GQuery(
+      "q368_bind_datetime_accessors",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tri = graft.Tables.t(s, dir, "orders").select(
+          concat(lit("order:"), col("o_orderkey")).as("s"),
+          lit("odate").as("p"),
+          concat(lit("\""), col("o_orderdate").cast("string"),
+            lit("T10:30:05Z\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"))
+            .as("o"))
+        BgpPlanner.query(TripleStore.fromTriples(tri),
+          """select ?o ?y ?m ?d ?hh ?mi ?ss ?tz where {
+            | ?o <odate> ?dt .
+            | BIND (year(?dt) AS ?y) .
+            | BIND (month(?dt) AS ?m) .
+            | BIND (day(?dt) AS ?d) .
+            | BIND (hours(?dt) AS ?hh) .
+            | BIND (minutes(?dt) AS ?mi) .
+            | BIND (seconds(?dt) AS ?ss) .
+            | BIND (tz(?dt) AS ?tz) }""".stripMargin)
+      },
+      Some("""SELECT concat('order:', o_orderkey) AS o,
+             |  CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS BIGINT) AS y,
+             |  CAST(substr(CAST(o_orderdate AS VARCHAR), 6, 2) AS BIGINT) AS m,
+             |  CAST(substr(CAST(o_orderdate AS VARCHAR), 9, 2) AS BIGINT) AS d,
+             |  CAST(10 AS BIGINT) AS hh, CAST(30 AS BIGINT) AS mi,
+             |  CAST(5 AS DOUBLE) AS ss, 'Z' AS tz
+             |FROM orders""".stripMargin)),
+
     // the §17.4.2-3 term builtins (round 12): ENCODE_FOR_URI over a
     // value carrying space and ':' (both must percent-encode — the
     // fixture's own names are all-unreserved, so CONCAT plants the
