@@ -362,6 +362,41 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("single-var VALUES (isin + batched probes) equals a naive filter across all three encodings (20 random)") {
+    import spark.implicits._
+    // the IN-restriction fast path: random constant lists (with
+    // absent-constant ghosts) must restrict exactly like a naive
+    // driver-side filter, on the string store, the hash-id store, and
+    // the SEQUENTIAL store (whose constants resolve through the
+    // batched isin dict prime)
+    val rnd = new Random(91212L)
+    val ents = Vector("e0", "e1", "e2", "e3", "e4")
+    val preds = Vector("p0", "p1")
+    for (round <- 0 until 20) {
+      val triples = Seq.fill(5 + rnd.nextInt(10))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val p = preds(rnd.nextInt(preds.size))
+      val consts = Seq.fill(1 + rnd.nextInt(4))(
+        if (rnd.nextBoolean()) ents(rnd.nextInt(ents.size))
+        else s"ghost$round").distinct
+      val q = BgpQuery(Seq("X", "Y"), Seq(
+        TriplePattern(Var("X"), Const(p), Var("Y"))),
+        values = Seq(("Y", consts)))
+      val want = triples.filter(t => t._2 == p && consts.contains(t._3))
+        .map(t => Seq[Any](t._1, t._3)).sortBy(_.mkString("|"))
+      val str = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      for ((st, tag) <- Seq((str, "string"),
+          (TripleStore.encode(str), "hash"),
+          (TripleStore.encodeSequential(str, bands = 4), "sequential"))) {
+        val got = BgpPlanner.plan(st, q).collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+        assert(got == want,
+          s"round $round [$tag]: IN $consts over $triples\n$got\nvs\n$want")
+      }
+    }
+  }
+
   test("VALUES tables with UNDEF equal a naive evaluator (25 random)") {
     import spark.implicits._
     // §10.2.2: a row restricts only on its bound cells; an UNDEF cell
