@@ -30,6 +30,20 @@ object DedupQueries {
     */
   private val MaxShingleDocFreq = 64
 
+  /** Per-band LSH bucket cap for q45 (MinHash) and q46 (SimHash): a
+    * band bucket holding B docs contributes B² candidate pairs ON ONE
+    * JOIN KEY, so a mass-duplicated cluster (boilerplate pages — the
+    * exact workload dedup exists for) of 10⁶ docs would concentrate
+    * ~10¹² pairs on a single key. Buckets over the cap are excluded
+    * from candidate generation (their docs still verify through other,
+    * smaller buckets) and the excluded-bucket count is surfaced as an
+    * `overcap_buckets` output column the oracle pins — q230's
+    * loud-overflow pattern. Exact dedup (q43) runs first in composed
+    * pipelines, so over-cap buckets are near-identical clusters exact
+    * dedup already collapses.
+    */
+  private val MaxLshBucket = 64
+
   /** Raw (doc_id, shingle-string) rows before dedup — shared subtree. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -180,32 +194,56 @@ object DedupQueries {
           .select($"doc_id", $"j",
             h32(concat($"j".cast("string"), lit(":"), $"s")).as("h"))
           .groupBy($"doc_id", $"j").agg(min($"h").as("h"))
-        val cand = mh.as("a").join(mh.as("b"),
+        // Band-bucket cap, the shingleBand spelling: groupBy partials
+        // collapse hot buckets map-side, the over-cap key set is tiny
+        // (≤ |mh rows| / cap) and excluded via guarded-broadcast
+        // anti-join — never a Window on the bucket grain, never a
+        // data-sized shuffle introduced by the cap itself.
+        val bct = mh.groupBy($"j", $"h").agg(count(lit(1)).as("bn"))
+        val overCap = bct.filter($"bn" > MaxLshBucket).select($"j", $"h")
+        val mhB = mh.join(graft.scale.GuardedBroadcast.maybe(overCap),
+          Seq("j", "h"), "left_anti")
+        val cand = mhB.as("a").join(mhB.as("b"),
             col("a.j") === col("b.j") && col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
+        // Loud overflow: every output row carries the count of buckets
+        // the cap excluded (q230's pattern) — a degenerate corpus
+        // surfaces as a nonzero column the operator re-shards on,
+        // instead of a silent recall loss. 1-row cross join.
+        val nOver = bct.agg(
+          count(when($"bn" > MaxLshBucket, lit(1))).as("overcap_buckets"))
         cand
           .join(mh.as("x"), col("x.doc_id") === col("d1"))
           .join(mh.as("y"), col("y.doc_id") === col("d2") && col("y.j") === col("x.j"))
           .groupBy($"d1", $"d2")
           .agg((sum(when(col("x.h") === col("y.h"), 1).otherwise(0)) / lit(16.0))
             .as("est_sim"))
+          .crossJoin(nOver)
       },
       Some(s"""WITH $shinglesSql,
               |hs AS (SELECT doc_id, s, unnest(generate_series(0, 15)) AS j FROM sh),
               |mh AS (SELECT doc_id, j,
               |         min(CAST(concat('0x', substr(md5(concat(j, ':', s)), 1, 8)) AS BIGINT)) AS h
               |       FROM hs GROUP BY 1, 2),
+              |bct AS (SELECT j, h, count(*) AS bn FROM mh GROUP BY 1, 2),
+              |mhb AS (SELECT mh.doc_id, mh.j, mh.h FROM mh
+              |        JOIN bct ON bct.j = mh.j AND bct.h = mh.h
+              |        WHERE bct.bn <= 64),
               |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |         FROM mh a JOIN mh b ON a.j = b.j AND a.h = b.h
-              |           AND a.doc_id < b.doc_id)
-              |SELECT d1, d2,
-              |  sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 16.0 AS est_sim
-              |FROM cand
-              |JOIN mh x ON x.doc_id = d1
-              |JOIN mh y ON y.doc_id = d2 AND y.j = x.j
-              |GROUP BY 1, 2""".stripMargin)),
+              |         FROM mhb a JOIN mhb b ON a.j = b.j AND a.h = b.h
+              |           AND a.doc_id < b.doc_id),
+              |ovc AS (SELECT count(CASE WHEN bn > 64 THEN 1 END) AS overcap_buckets
+              |        FROM bct),
+              |sims AS (SELECT d1, d2,
+              |    sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 16.0 AS est_sim
+              |  FROM cand
+              |  JOIN mh x ON x.doc_id = d1
+              |  JOIN mh y ON y.doc_id = d2 AND y.j = x.j
+              |  GROUP BY 1, 2)
+              |SELECT d1, d2, est_sim, overcap_buckets
+              |FROM sims CROSS JOIN ovc""".stripMargin)),
 
     // SimHash (60-bit over 5-token shingles) + 15-bit-band LSH
     // candidates, verified by Hamming distance ≤ 6. Shingles, not
@@ -233,16 +271,26 @@ object DedupQueries {
         val bands = sim.select($"doc_id", $"simhash",
             explode(sequence(lit(0), lit(3))).as("b"))
           .withColumn("bv", expr("shiftright(simhash, cast(b * 15 as int)) & 32767"))
-        val cand = bands.as("x").join(bands.as("y"),
+        // Same band-bucket cap as q45: exclude over-cap (b, bv) buckets
+        // from candidate generation via groupBy + broadcast anti-join,
+        // and surface the excluded-bucket count on every output row.
+        val bct = bands.groupBy($"b", $"bv").agg(count(lit(1)).as("bn"))
+        val overCap = bct.filter($"bn" > MaxLshBucket).select($"b", $"bv")
+        val bandsB = bands.join(graft.scale.GuardedBroadcast.maybe(overCap),
+          Seq("b", "bv"), "left_anti")
+        val cand = bandsB.as("x").join(bandsB.as("y"),
             col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
             col("x.simhash").as("s1"), col("y.simhash").as("s2"))
           .distinct()
+        val nOver = bct.agg(
+          count(when($"bn" > MaxLshBucket, lit(1))).as("overcap_buckets"))
         cand
           .select($"d1", $"d2",
             bit_count($"s1".bitwiseXOR($"s2")).cast("long").as("hamming"))
           .filter($"hamming" <= 6)
+          .crossJoin(nOver)
       },
       Some(s"""WITH $shinglesSql,
              |h AS (SELECT doc_id,
@@ -257,12 +305,20 @@ object DedupQueries {
              |        FROM bits GROUP BY doc_id),
              |bands AS (SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
              |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+             |bct AS (SELECT b, bv, count(*) AS bn FROM bands GROUP BY 1, 2),
+             |bnd AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bv
+             |        FROM bands JOIN bct ON bct.b = bands.b AND bct.bv = bands.bv
+             |        WHERE bct.bn <= 64),
              |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
              |           x.simhash AS s1, y.simhash AS s2
-             |         FROM bands x JOIN bands y
-             |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-             |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-             |FROM cand WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 6""".stripMargin)),
+             |         FROM bnd x JOIN bnd y
+             |           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+             |ovc AS (SELECT count(CASE WHEN bn > 64 THEN 1 END) AS overcap_buckets
+             |        FROM bct)
+             |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming,
+             |  overcap_buckets
+             |FROM cand CROSS JOIN ovc
+             |WHERE CAST(bit_count(xor(s1, s2)) AS BIGINT) <= 6""".stripMargin)),
 
     // capstone: the composed training-data pipeline — quality-filter
     // documents, drop near-duplicates (Jaccard ≥ 0.6 keeps the lowest
@@ -736,6 +792,134 @@ object DedupQueries {
               |  sp.doc_id IN (SELECT doc_id FROM nr) AS near_dup,
               |  sp.doc_id IN (SELECT doc_id FROM ex)
               |    OR sp.doc_id IN (SELECT doc_id FROM nr) AS "drop"
+              |FROM sp WHERE sp.is_batch""".stripMargin)),
+
+    // incremental MinHash/SimHash dedup: q162's batch-vs-corpus shape
+    // extended to the other two signature families, so the standing-
+    // index pattern covers all three (banded Jaccard in q162, MinHash
+    // bands and SimHash bands here). Candidate joins are restricted to
+    // batch×corpus pairs — a daily batch never pays an intra-corpus
+    // pair join — and both band joins ride the same skew-safe bucket
+    // cap as q45/q46 (groupBy partials + broadcast anti-join; over-cap
+    // buckets excluded). At 100 TB the corpus-side signatures are a
+    // pre-built standing index this probes; only the batch side is
+    // computed per ingest run. MinHash verdict: ≥8/16 agreeing
+    // permutations (est. Jaccard ≥ 0.5) against any corpus doc.
+    // SimHash verdict: Hamming ≤ 6 against any corpus doc sharing a
+    // 15-bit band.
+    GQuery(
+      "q369_incremental_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val split = t(s, dir, "documents")
+          .select($"doc_id",
+            (h32(concat($"doc_id".cast("string"), lit(":batch"))) % 10 === 0)
+              .as("is_batch"))
+        val sh = shingles(s, dir)
+        val mh = sh
+          .select($"doc_id", $"s", explode(sequence(lit(0), lit(15))).as("j"))
+          .select($"doc_id", $"j",
+            h32(concat($"j".cast("string"), lit(":"), $"s")).as("h"))
+          .groupBy($"doc_id", $"j").agg(min($"h").as("h"))
+          .join(split, Seq("doc_id"))
+        val bct = mh.groupBy($"j", $"h").agg(count(lit(1)).as("bn"))
+        val mhB = mh.join(graft.scale.GuardedBroadcast.maybe(
+            bct.filter($"bn" > MaxLshBucket).select($"j", $"h")),
+          Seq("j", "h"), "left_anti")
+        val mhCand = mhB.filter($"is_batch").as("b")
+          .join(mhB.filter(!$"is_batch").as("c"),
+            col("b.j") === col("c.j") && col("b.h") === col("c.h"))
+          .select(col("b.doc_id").as("d1"), col("c.doc_id").as("d2"))
+          .distinct()
+        val mhDup = mhCand
+          .join(mh.as("x"), col("x.doc_id") === col("d1"))
+          .join(mh.as("y"), col("y.doc_id") === col("d2") && col("y.j") === col("x.j"))
+          .groupBy($"d1", $"d2")
+          .agg(sum(when(col("x.h") === col("y.h"), 1).otherwise(0)).as("agree"))
+          .filter($"agree" >= 8)
+          .select($"d1".as("doc_id")).distinct()
+          .select($"doc_id", lit(true).as("mh_dup"))
+        val simh = sh.select($"doc_id",
+          conv(substring(md5($"s".cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        val bitCols = (0 until 60).map { b =>
+          when(sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }
+        val sim = simh.groupBy($"doc_id").agg(bitCols.reduce(_ + _).as("simhash"))
+          .join(split, Seq("doc_id"))
+        val bands = sim.select($"doc_id", $"simhash", $"is_batch",
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .withColumn("bv", expr("shiftright(simhash, cast(b * 15 as int)) & 32767"))
+        val sbct = bands.groupBy($"b", $"bv").agg(count(lit(1)).as("bn"))
+        val bandsB = bands.join(graft.scale.GuardedBroadcast.maybe(
+            sbct.filter($"bn" > MaxLshBucket).select($"b", $"bv")),
+          Seq("b", "bv"), "left_anti")
+        val shDup = bandsB.filter($"is_batch").as("x")
+          .join(bandsB.filter(!$"is_batch").as("y"),
+            col("x.b") === col("y.b") && col("x.bv") === col("y.bv"))
+          .select(col("x.doc_id").as("doc_id"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+              .cast("long").as("hd"))
+          .filter($"hd" <= 6)
+          .select($"doc_id").distinct()
+          .select($"doc_id", lit(true).as("sh_dup"))
+        split.filter($"is_batch").select($"doc_id")
+          .join(mhDup, Seq("doc_id"), "left")
+          .join(shDup, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"mh_dup", lit(false)).as("mh_dup"),
+            coalesce($"sh_dup", lit(false)).as("sh_dup"),
+            (coalesce($"mh_dup", lit(false)) ||
+              coalesce($"sh_dup", lit(false))).as("drop"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |sp AS (SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':batch')), 1, 8)) AS BIGINT) % 10 = 0 AS is_batch
+              |       FROM documents),
+              |hs AS (SELECT doc_id, s, unnest(generate_series(0, 15)) AS j FROM sh),
+              |mh AS (SELECT doc_id, j,
+              |         min(CAST(concat('0x', substr(md5(concat(j, ':', s)), 1, 8)) AS BIGINT)) AS h
+              |       FROM hs GROUP BY 1, 2),
+              |bct AS (SELECT j, h, count(*) AS bn FROM mh GROUP BY 1, 2),
+              |mhb AS (SELECT mh.doc_id, mh.j, mh.h FROM mh
+              |        JOIN bct ON bct.j = mh.j AND bct.h = mh.h
+              |        WHERE bct.bn <= 64),
+              |mhc AS (SELECT DISTINCT b.doc_id AS d1, c.doc_id AS d2
+              |        FROM mhb b JOIN sp spb ON spb.doc_id = b.doc_id AND spb.is_batch
+              |        JOIN mhb c ON c.j = b.j AND c.h = b.h
+              |        JOIN sp spc ON spc.doc_id = c.doc_id AND NOT spc.is_batch),
+              |mhd AS (SELECT DISTINCT d1 AS doc_id FROM (
+              |          SELECT d1, d2, sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS agree
+              |          FROM mhc JOIN mh x ON x.doc_id = d1
+              |          JOIN mh y ON y.doc_id = d2 AND y.j = x.j
+              |          GROUP BY 1, 2) WHERE agree >= 8),
+              |h60 AS (SELECT doc_id,
+              |          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+              |        FROM sh),
+              |bits AS (SELECT doc_id, b,
+              |           CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+              |                THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
+              |         FROM h60, (SELECT unnest(generate_series(0, 59)) AS b)
+              |         GROUP BY doc_id, b),
+              |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+              |        FROM bits GROUP BY doc_id),
+              |bands AS (SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
+              |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+              |sbct AS (SELECT b, bv, count(*) AS bn FROM bands GROUP BY 1, 2),
+              |bnd AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bv
+              |        FROM bands JOIN sbct ON sbct.b = bands.b AND sbct.bv = bands.bv
+              |        WHERE sbct.bn <= 64),
+              |shd AS (SELECT DISTINCT x.doc_id FROM bnd x
+              |        JOIN sp spx ON spx.doc_id = x.doc_id AND spx.is_batch
+              |        JOIN bnd y ON y.b = x.b AND y.bv = x.bv
+              |        JOIN sp spy ON spy.doc_id = y.doc_id AND NOT spy.is_batch
+              |        WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 6)
+              |SELECT sp.doc_id,
+              |  sp.doc_id IN (SELECT doc_id FROM mhd) AS mh_dup,
+              |  sp.doc_id IN (SELECT doc_id FROM shd) AS sh_dup,
+              |  sp.doc_id IN (SELECT doc_id FROM mhd)
+              |    OR sp.doc_id IN (SELECT doc_id FROM shd) AS "drop"
               |FROM sp WHERE sp.is_batch""".stripMargin)),
 
     // per-source duplication profile: docs vs distinct exact texts,

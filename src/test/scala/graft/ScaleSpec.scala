@@ -67,6 +67,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("LSH band-bucket caps plan skew-safe: groupBy + anti-join, no Window, bounded pairs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    // q45/q46/q369: the band-bucket cap must be a groupBy aggregate +
+    // anti-join on the bucket key — the r12-verdict spelling. A Window
+    // partitioned by (j,h)/(b,bv) would buffer a mass-duplicated
+    // cluster's whole bucket on one task; unbounded buckets make the
+    // candidate join quadratic per hot key.
+    for (name <- Seq("q45_minhash_lsh", "q46_simhash", "q369_incremental_lsh")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.isEmpty, s"$name must not window the band relation; found: $wins")
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("Window ["),
+        s"$name: no Window exec anywhere in:\n$physical")
+      assert(physical.contains("LeftAnti"),
+        s"$name: expected the over-cap anti-join in:\n$physical")
+    }
+    // Bound check on a degenerate corpus: every doc identical → every
+    // band bucket holds all docs → all buckets over-cap → zero
+    // candidate pairs, loudly flagged via overcap_buckets > 0.
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, "a b c d e f g h i j k l m n o p")).toDF("doc_id", "text")
+    val bands = docs
+      .select($"doc_id", xxhash64($"text").as("bv"), lit(0).as("b"))
+    val bct = bands.groupBy($"b", $"bv").agg(count(lit(1)).as("bn"))
+    val over = bct.filter($"bn" > 64).select($"b", $"bv")
+    val kept = bands.join(graft.scale.GuardedBroadcast.maybe(over),
+      Seq("b", "bv"), "left_anti")
+    assert(kept.count() == 0, "a 200-doc identical cluster must be fully over-cap")
+    assert(bct.filter($"bn" > 64).count() == 1, "exactly one over-cap bucket")
+  }
+
   test("saltedJoin equals plain join on a skewed key") {
     import spark.implicits._
     // 10k rows of hot key 1 + tail
