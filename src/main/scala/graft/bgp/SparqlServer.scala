@@ -435,20 +435,33 @@ object SparqlServer {
     // immutable; each update swaps the reference queries read)
     val updateLock = new Object
     // lineage/persistence bound, applied under updateLock after each
-    // successful op chain. With a persistDir the DELTA writes back into
-    // the (g, p) dataset layout and the served store reloads from disk
-    // — lineage is depth-1 ALWAYS and the dataset survives restarts
-    // (SparqlServer.serve(fromDatasetParquet(dir), persistDir=dir)
-    // resumes where the last op left off). Without one, every
-    // checkpointEvery ops the plan lineage truncates in memory.
+    // successful op chain. With a persistDir each op's ROW-GRAIN delta
+    // appends into the versioned dataset layout (insert/tombstone
+    // batches, compacted into a fresh version past
+    // TripleStore.CompactDeltaBatches) and the served store reloads
+    // from disk — lineage is depth-1 ALWAYS and the dataset survives
+    // restarts (SparqlServer.serve(fromDatasetParquet(dir),
+    // persistDir=dir) resumes from the VERSION pointer). Without one,
+    // every checkpointEvery ops the plan lineage truncates in memory.
     var opsSinceCheckpoint = 0
-    def bounded(spark: org.apache.spark.sql.SparkSession,
-        prev: TripleStore, next: TripleStore): TripleStore =
+    def boundedOps(spark: org.apache.spark.sql.SparkSession,
+        prev: TripleStore,
+        ops: Seq[SparqlUpdate.UpdateOp]): TripleStore =
       persistDir match {
         case Some(dir) =>
-          TripleStore.writeBackDelta(prev, next, dir)
+          // op-introspected deltas: a 1-triple INSERT writes a 1-row
+          // delta batch, never a slice scan or rewrite — bytes (and
+          // jobs) per op scale with the op's delta rows
+          val (next, deltas) = ops.foldLeft(
+            (prev, Vector.empty[TripleStore.OpDelta])) {
+            case ((st, acc), op) =>
+              val (n, d) = SparqlUpdate.applyWithDelta(spark, st, op)
+              (n, acc :+ d)
+          }
+          TripleStore.writeBackDelta(prev, next, dir, deltas)
           TripleStore.fromDatasetParquet(spark, dir)
         case None =>
+          val next = ops.foldLeft(prev)(SparqlUpdate.apply(spark, _, _))
           opsSinceCheckpoint += 1
           if (opsSinceCheckpoint >= checkpointEvery) {
             opsSinceCheckpoint = 0
@@ -464,8 +477,7 @@ object SparqlServer {
                 updateLock.synchronized {
                   val cur = ref.get()
                   val spark = cur.slices.values.head.sparkSession
-                  ref.set(bounded(spark, cur,
-                    SparqlUpdate.applyAll(spark, cur, text)))
+                  ref.set(boundedOps(spark, cur, SparqlUpdate.parse(text)))
                 }
                 (204, "", "text/plain")
               case QueryReq(text) =>
@@ -537,8 +549,7 @@ object SparqlServer {
               updateLock.synchronized {
                 val cur = ref.get()
                 val spark = cur.slices.values.head.sparkSession
-                ref.set(bounded(spark, cur,
-                  ops.foldLeft(cur)(SparqlUpdate.apply(spark, _, _))))
+                ref.set(boundedOps(spark, cur, ops))
               }
             import SparqlUpdate._
             ex.getRequestMethod match {

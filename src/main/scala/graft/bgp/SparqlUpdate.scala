@@ -300,6 +300,71 @@ object SparqlUpdate {
       text: String): TripleStore =
     parse(text).foldLeft(store)((st, op) => apply(spark, st, op))
 
+  /** [[applyAll]] that ALSO returns each op's row-grain delta
+    * ([[TripleStore.OpDelta]], one per parsed op, in application
+    * order) for delta-grain persistence
+    * ([[TripleStore.writeBackDelta]]): data ops surface their
+    * insert/tombstone rows WITHOUT any store scan — ground ops emit
+    * their literal triples, Modify/DeleteWhere reuse the instantiated
+    * template relations the apply itself builds — and structural ops
+    * (CLEAR/DROP/LOAD/graph management) are flagged so the write-back
+    * checkpoints a full version instead. Deltas are store-form rows;
+    * the persistence path serves string-form stores.
+    */
+  def applyAllWithDelta(spark: SparkSession, store: TripleStore,
+      text: String): (TripleStore, Seq[TripleStore.OpDelta]) =
+    parse(text).foldLeft((store, Vector.empty[TripleStore.OpDelta])) {
+      case ((st, acc), op) =>
+        val (next, d) = applyWithDelta(spark, st, op)
+        (next, acc :+ d)
+    }
+
+  /** [[apply]] one op, returning the op's [[TripleStore.OpDelta]]
+    * alongside the updated store (see [[applyAllWithDelta]]).
+    */
+  def applyWithDelta(spark: SparkSession, store: TripleStore,
+      op: UpdateOp): (TripleStore, TripleStore.OpDelta) = {
+    import spark.implicits._
+    def d3(ts: Seq[(String, String, String)], del: Boolean): DataFrame =
+      ts.map(t => (t._2, t._1, t._3, del)).toDF("p", "s", "o", "del")
+    def d4(g: String, ts: Seq[(String, String, String)],
+        del: Boolean): DataFrame =
+      ts.map(t => (g, t._2, t._1, t._3, del))
+        .toDF("g", "p", "s", "o", "del")
+    op match {
+      case InsertData(ts) =>
+        (apply(spark, store, op),
+          TripleStore.OpDelta(Some(d3(ts, del = false)), None,
+            structural = false))
+      case DeleteData(ts) =>
+        (apply(spark, store, op),
+          TripleStore.OpDelta(Some(d3(ts, del = true)), None,
+            structural = false))
+      case InsertDataGraph(g, ts) =>
+        (apply(spark, store, op),
+          TripleStore.OpDelta(None, Some(d4(g, ts, del = false)),
+            structural = false))
+      case DeleteDataGraph(g, ts) =>
+        (apply(spark, store, op),
+          TripleStore.OpDelta(None, Some(d4(g, ts, del = true)),
+            structural = false))
+      case DeleteWhere(pats) =>
+        val vars = pats.flatMap(tp => Seq(tp.s, tp.o))
+          .collect { case Sparql.Var(n) => n }.distinct
+        applyModify(spark, store, pats, Nil,
+          Sparql.BgpQuery(select = vars, patterns = pats))
+      case Modify(del, ins, where, delQ, insQ, withG) =>
+        applyModify(spark, store, del, ins, where, delQ, insQ, withG)
+      case CreateGraph(_, _) =>
+        // no-op on stores without empty-graph bookkeeping: no delta
+        (apply(spark, store, op),
+          TripleStore.OpDelta(None, None, structural = false))
+      case _ =>
+        (apply(spark, store, op),
+          TripleStore.OpDelta(None, None, structural = true))
+    }
+  }
+
   def apply(spark: SparkSession, store: TripleStore,
       op: UpdateOp): TripleStore = {
     import spark.implicits._
@@ -355,10 +420,10 @@ object SparqlUpdate {
         val vars = pats.flatMap(tp => Seq(tp.s, tp.o))
           .collect { case Sparql.Var(n) => n }.distinct
         applyModify(spark, store, pats, Nil,
-          Sparql.BgpQuery(select = vars, patterns = pats))
+          Sparql.BgpQuery(select = vars, patterns = pats))._1
 
       case Modify(del, ins, where, delQ, insQ, withG) =>
-        applyModify(spark, store, del, ins, where, delQ, insQ, withG)
+        applyModify(spark, store, del, ins, where, delQ, insQ, withG)._1
 
       case InsertDataGraph(g, ts) =>
         // dict grows first: on the sequential store both the quad terms
@@ -617,7 +682,8 @@ object SparqlUpdate {
       where: Sparql.BgpQuery,
       delQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
       insQuadTmpl: Seq[(String, Sparql.TriplePattern)] = Nil,
-      withGraph: Option[String] = None): TripleStore = {
+      withGraph: Option[String] = None)
+      : (TripleStore, TripleStore.OpDelta) = {
     import spark.implicits._
     (delTmpl ++ insTmpl ++ (delQuadTmpl ++ insQuadTmpl).map(_._2))
       .foreach(tp =>
@@ -688,8 +754,10 @@ object SparqlUpdate {
         ground(tp).select(c(tp.s).as("s"), lit(constOf(tp.p)).as("p"),
           c(tp.o).as("o"))
       }.reduce(_ unionByName _), Seq("s", "o")).distinct())
+    val delRows = instantiate(delTmpl, store.dict)
+    val insRows = instantiate(insTmpl, dict)
     var slices = store.slices
-    instantiate(delTmpl, store.dict).foreach { del =>
+    delRows.foreach { del =>
       val touched = delTmpl.map(tp => constOf(tp.p)).toSet
       slices = slices.map {
         case (p, df) if touched(p) => p ->
@@ -699,7 +767,7 @@ object SparqlUpdate {
         case kv => kv
       }
     }
-    instantiate(insTmpl, dict).foreach { insAll =>
+    insRows.foreach { insAll =>
       insTmpl.map(tp => constOf(tp.p)).distinct.foreach { p =>
         val add = insAll.filter($"p" === p).select($"s", $"o")
         slices = slices.updated(p,
@@ -724,24 +792,40 @@ object SparqlUpdate {
             lit(constOf(tp.p)).as("p"), c(tp.o).as("o")), Seq("s", "o"))
           .select(gid(store, encDict, g).as("g"), $"s", $"p", $"o")
       }.reduce(_ unionByName _).distinct())
+    val quadDel = instantiateQuads(delQuadTmpl, store.dict)
+    val quadIns = instantiateQuads(insQuadTmpl, dict)
     var quads = store.quads
-    instantiateQuads(delQuadTmpl, store.dict).foreach { del =>
+    quadDel.foreach { del =>
       quads = quads.map(_.join(GuardedBroadcast.maybe(del),
         Seq("g", "s", "p", "o"), "left_anti"))
     }
-    instantiateQuads(insQuadTmpl, dict).foreach { ins =>
+    quadIns.foreach { ins =>
       quads = Some(quads match {
         case Some(q) => q.unionByName(ins).distinct()
         case None => ins
       })
     }
-    store.copy(slices = slices, dict = dict, quads = quads,
+    // the op's row-grain delta: the SAME instantiated template
+    // relations the apply consumed, decorated with tombstone flags —
+    // no extra store scan (TripleStore.writeBackDelta persistence)
+    val deltaDefault = (delRows.map(_.select($"p", $"s", $"o",
+        lit(true).as("del"))).toSeq ++
+      insRows.map(_.select($"p", $"s", $"o",
+        lit(false).as("del"))).toSeq)
+      .reduceOption(_ unionByName _)
+    val deltaQuads = (quadDel.map(_.select($"g", $"p", $"s", $"o",
+        lit(true).as("del"))).toSeq ++
+      quadIns.map(_.select($"g", $"p", $"s", $"o",
+        lit(false).as("del"))).toSeq)
+      .reduceOption(_ unionByName _)
+    (store.copy(slices = slices, dict = dict, quads = quads,
       // the s-bucketed secondary derives from the default graph only —
       // keep them when this op touched nothing but named graphs
       sBucketed =
         if (delTmpl.isEmpty && insTmpl.isEmpty) store.sBucketed else None,
       oBucketed =
-        if (delTmpl.isEmpty && insTmpl.isEmpty) store.oBucketed else None)
+        if (delTmpl.isEmpty && insTmpl.isEmpty) store.oBucketed else None),
+      TripleStore.OpDelta(deltaDefault, deltaQuads, structural = false))
   }
 
   /** Append `values`' (id, value, dt, lang) rows to the dict and re-run

@@ -1,5 +1,6 @@
 package graft.bgp
 
+import graft.scale.GuardedBroadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -263,105 +264,226 @@ object TripleStore {
     */
   def writeDataset(store: TripleStore, path: String): Unit = {
     writePartitioned(store, s"$path/default")
-    store.quads.foreach(q =>
+    // an all-empty quads relation writes NO subtree (a partitioned
+    // parquet dir with zero partition dirs has no inferable schema on
+    // reload; an empty graph set and an absent one are the same thing)
+    store.quads.filter(q => !q.isEmpty).foreach(q =>
       q.select(col("s"), col("o"), col("g"), col("p"))
         .write.mode("overwrite").partitionBy("g", "p")
         .parquet(s"$path/quads"))
   }
 
-  /** INCREMENTAL write-back of one functional update into an existing
-    * [[writeDataset]] layout: only the slices the op chain TOUCHED are
-    * rewritten. Updates are functional maps over the immutable store
-    * ([[SparqlUpdate]]), so an untouched predicate keeps its exact
-    * DataFrame object — reference inequality IS the touched set, no
-    * data diff needed. At 100 TB this is the difference between a
-    * write-back costing O(delta's slices) and one costing O(dataset):
-    * an INSERT DATA touching two predicates rewrites two `p=`
-    * directories and leaves the other ten thousand alone.
+  /** Row-grain delta of ONE update op against the store it was applied
+    * to, in store (string) form. `default` rows are `(p, s, o, del)`,
+    * `quads` rows `(g, p, s, o, del)` — `del = true` tombstones,
+    * `del = false` inserts; within one op an insert beats a tombstone
+    * of the same row (SPARQL §3.1.3 delete-then-insert). `structural`
+    * marks ops whose effect is not row-grain (CLEAR / DROP / LOAD /
+    * graph management): the write-back checkpoints a full new dataset
+    * version for those instead of appending a delta batch.
+    */
+  final case class OpDelta(
+      default: Option[DataFrame],
+      quads: Option[DataFrame],
+      structural: Boolean)
+
+  /** Delta batches a dataset version absorbs before the write-back
+    * compacts them into a fresh full version (the lakehouse
+    * log-then-compact move; threshold keeps read-time merge cost and
+    * delta-file counts bounded).
+    */
+  val CompactDeltaBatches = 16
+
+  /** Versions retained after a pointer flip: the NEW version plus one
+    * predecessor, so readers that loaded before the flip finish their
+    * scans on intact files (one full compaction cycle of slack —
+    * CompactDeltaBatches row-grain ops, or one structural op).
+    */
+  val KeepVersions = 2
+
+  private def fsPath(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def sparkOf(st: TripleStore): SparkSession =
+    st.slices.values.headOption.orElse(st.quads).orElse(st.dict)
+      .map(_.sparkSession)
+      .getOrElse(throw new IllegalArgumentException("empty store"))
+
+  /** The dataset's current version number, if `path` is a versioned
+    * root (has a `VERSION` pointer file).
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[Int] = {
+    val (fs, _) = fsPath(spark, path)
+    val vp = new org.apache.hadoop.fs.Path(s"$path/VERSION")
+    if (!fs.exists(vp)) None
+    else {
+      val in = fs.open(vp)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Resolve the CURRENT version root of the dataset at `path`: the
+    * `v<n>` subdirectory the `VERSION` pointer names, or `path` itself
+    * for a legacy (unversioned) [[writeDataset]] layout. Everything
+    * under one version root is immutable-except-append (delta batches
+    * only ever ADD `seq=` directories), so a store loaded from a
+    * resolved root keeps reading intact files across later write-backs
+    * until its version is garbage-collected ([[KeepVersions]]).
+    */
+  def datasetRoot(spark: SparkSession, path: String): String =
+    currentVersion(spark, path).map(n => s"$path/v$n").getOrElse(path)
+
+  /** Write `store` as the NEXT full version of the dataset at `path`
+    * and flip the `VERSION` pointer: `<path>/v<n>/{default,quads}` in
+    * the [[writeDataset]] layout, pointer updated via tmp-file +
+    * rename, versions older than [[KeepVersions]] garbage-collected.
+    * Readers pinned to the previous version finish undisturbed; a
+    * legacy unversioned layout at `path` is retired (its dirs deleted)
+    * once the SECOND version lands — until then it plays the role of
+    * the previous version.
+    */
+  def writeDatasetVersioned(store: TripleStore, path: String): Unit = {
+    val spark = sparkOf(store)
+    val (fs, _) = fsPath(spark, path)
+    val n = currentVersion(spark, path).map(_ + 1).getOrElse(0)
+    writeDataset(store, s"$path/v$n")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.VERSION.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    val vp = new org.apache.hadoop.fs.Path(s"$path/VERSION")
+    fs.delete(vp, false)
+    require(fs.rename(tmp, vp), s"VERSION pointer flip to $n failed")
+    (0 to n - KeepVersions).foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m"), true))
+    if (n >= KeepVersions - 1 && n >= 1)
+      Seq("default", "quads", "delta").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+  }
+
+  private def nextDeltaSeq(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Int = {
+    def maxIn(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) -1
+      else fs.listStatus(p).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("seq=")) scala.util.Try(n.drop(4).toInt).toOption
+        else None
+      }.foldLeft(-1)(math.max)
+    }
+    math.max(maxIn(s"$root/delta/default"), maxIn(s"$root/delta/quads")) + 1
+  }
+
+  private def writeDeltaBatch(rows: DataFrame, dir: String, seq: Int,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-$seq")
+    // one file per batch: deltas are op-grain (a protocol update's
+    // rows), so a multi-MB-task fan-out only pads the log with empty
+    // part files; corpus-scale rewrites belong to LOAD/structural ops
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val target = new org.apache.hadoop.fs.Path(s"$dir/seq=$seq")
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"delta batch commit $target failed")
+  }
+
+  /** DELTA-GRAIN write-back of one update chain into the dataset at
+    * `path`: each row-grain op APPENDS its insert/tombstone rows as a
+    * parquet delta batch under the current version root
+    * (`delta/default/seq=<k>`, `delta/quads/seq=<k>`) — bytes written
+    * scale with the op's DELTA rows, never with the size of a touched
+    * slice. At 100 TB this is the difference that keeps a served
+    * endpoint alive: one inserted `rdf:type` triple writes one
+    * kilobyte-scale delta file instead of rewriting the corpus's
+    * hottest predicate slice. [[fromDatasetParquet]] merges the delta
+    * log back at read time (latest op wins per row); past
+    * [[CompactDeltaBatches]] batches the write-back compacts the
+    * merged store into a fresh full version
+    * ([[writeDatasetVersioned]]) and the log resets.
     *
-    * Mechanics per changed slice: write to a dot-prefixed tmp dir
-    * (hidden from partition discovery), then delete-and-rename over
-    * the `p=` target — the changed slice's plan READS the old files,
-    * so the swap happens only after the write job finishes. A slice
-    * whose new content is EMPTY (or was dropped) removes its
-    * directory: an empty slice and an absent predicate are the same
-    * thing in a set store. The quads subtree swaps whole when the
-    * quads relation changed (graph-grain diffing would need op
-    * introspection; named-graph ops are the rare case). Boundary
-    * (documented): the swap is not isolated from in-flight readers of
-    * the same directory — the serving loop serializes updates and
-    * re-loads after each write-back, but a long-running concurrent
-    * query holding the OLD store handle can lose files mid-scan; a
-    * deployment needing snapshot isolation versions the dataset root
-    * per checkpoint instead.
+    * Structural ops (CLEAR/DROP/LOAD/graph management — not row-grain)
+    * checkpoint a full new version immediately. Version flips never
+    * touch the previous version's files ([[KeepVersions]]), so
+    * readers loaded before the flip keep a consistent snapshot.
     *
     * String-form stores only (the layout [[writeDataset]] defines);
-    * `prev` must be the store `next` was derived from.
+    * `next` must be `prev` with exactly `deltas`' ops applied —
+    * [[graft.bgp.SparqlUpdate.applyAllWithDelta]] produces the pair.
+    */
+  def writeBackDelta(prev: TripleStore, next: TripleStore, path: String,
+      deltas: Seq[OpDelta]): Unit = {
+    require(!next.encoded, "writeBackDelta persists string-form datasets")
+    val spark =
+      try sparkOf(next) catch { case _: IllegalArgumentException => sparkOf(prev) }
+    val (fs, _) = fsPath(spark, path)
+    val hasLayout = currentVersion(spark, path).isDefined ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/default"))
+    if (!hasLayout || deltas.exists(_.structural)) {
+      // bootstrap, or a structural op: checkpoint a full new version
+      writeDatasetVersioned(next, path)
+      return
+    }
+    val root = datasetRoot(spark, path)
+    var seq = nextDeltaSeq(fs, root)
+    deltas.foreach { d =>
+      d.default.foreach(rows => writeDeltaBatch(
+        rows.select(col("p"), col("s"), col("o"), col("del")),
+        s"$root/delta/default", seq, fs))
+      d.quads.foreach(rows => writeDeltaBatch(
+        rows.select(col("g"), col("p"), col("s"), col("o"), col("del")),
+        s"$root/delta/quads", seq, fs))
+      if (d.default.nonEmpty || d.quads.nonEmpty) seq += 1
+    }
+    if (seq >= CompactDeltaBatches) writeDatasetVersioned(next, path)
+  }
+
+  /** Diff-derived write-back for callers without op introspection:
+    * row-grain deltas are computed by anti-joining `prev` against
+    * `next` per TOUCHED slice (reference inequality is the touched
+    * set — updates are functional maps over the immutable store, so
+    * an untouched predicate keeps its exact DataFrame object). Bytes
+    * WRITTEN scale with the delta; compute scales with the touched
+    * slices (two anti-joins each). The op-introspected overload
+    * ([[graft.bgp.SparqlUpdate.applyAllWithDelta]]) avoids even that
+    * scan for data ops — prefer it on served endpoints.
     */
   def writeBackDelta(prev: TripleStore, next: TripleStore,
       path: String): Unit = {
     require(!next.encoded, "writeBackDelta persists string-form datasets")
-    val spark = next.slices.headOption.orElse(prev.slices.headOption)
-      .map(_._2.sparkSession)
-      .getOrElse(throw new IllegalArgumentException("empty stores"))
-    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName _
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/default"))) {
-      // first write-back bootstraps the full layout
-      writeDataset(next, path)
-      return
-    }
-    def hasData(dir: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(dir) && fs.listStatus(dir).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
-      }
-    def swapIn(tmp: org.apache.hadoop.fs.Path,
-        target: org.apache.hadoop.fs.Path): Unit = {
-      fs.delete(target, true)
-      if (hasData(tmp)) {
-        require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
-      } else fs.delete(tmp, true) // empty slice = absent predicate
-    }
+    def withP(p: String, df: DataFrame, del: Boolean): DataFrame =
+      df.select(lit(p).as("p"), col("s"), col("o"), lit(del).as("del"))
     val changed = next.slices.filter { case (p, df) =>
       !prev.slices.get(p).exists(_ eq df)
     }
     val removed = prev.slices.keySet -- next.slices.keySet
-    changed.foreach { case (p, df) =>
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$path/default/.tmp-${esc(p)}")
-      df.select(col("s"), col("o")).write.mode("overwrite")
-        .parquet(tmp.toString)
-      swapIn(tmp, new org.apache.hadoop.fs.Path(
-        s"$path/default/p=${esc(p)}"))
+    val defaultParts: Seq[DataFrame] =
+      changed.toSeq.flatMap { case (p, df) =>
+        val base = prev.slices.get(p)
+        val ins = base.map(b => df.join(b, Seq("s", "o"), "left_anti"))
+          .getOrElse(df)
+        val del = base.map(b => b.join(df, Seq("s", "o"), "left_anti"))
+        withP(p, ins, del = false) +: del.map(withP(p, _, del = true)).toSeq
+      } ++ removed.toSeq.map(p => withP(p, prev.slices(p), del = true))
+    val qCols = Seq("g", "p", "s", "o")
+    def q4(df: DataFrame, del: Boolean): DataFrame =
+      df.select((qCols.map(col) :+ lit(del).as("del")): _*)
+    val quadsDelta: Option[DataFrame] = (prev.quads, next.quads) match {
+      case (Some(a), Some(b)) if a eq b => None
+      case (None, None) => None
+      case (Some(a), Some(b)) =>
+        Some(q4(b.join(a, qCols, "left_anti"), del = false)
+          .unionByName(q4(a.join(b, qCols, "left_anti"), del = true)))
+      case (None, Some(b)) => Some(q4(b, del = false))
+      case (Some(a), None) => Some(q4(a, del = true))
     }
-    removed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(
-      s"$path/default/p=${esc(p)}"), true))
-    val quadsChanged = (prev.quads, next.quads) match {
-      case (Some(a), Some(b)) => !(a eq b)
-      case (None, None) => false
-      case _ => true
-    }
-    if (quadsChanged) {
-      val target = new org.apache.hadoop.fs.Path(s"$path/quads")
-      next.quads match {
-        case None => fs.delete(target, true)
-        case Some(q) =>
-          val tmp = new org.apache.hadoop.fs.Path(s"$path/.tmp-quads")
-          q.select(col("s"), col("o"), col("g"), col("p"))
-            .write.mode("overwrite").partitionBy("g", "p")
-            .parquet(tmp.toString)
-          // partitioned tmp holds subdirs, not files — swap if any
-          // partition dir exists (an all-empty quads relation deletes)
-          fs.delete(target, true)
-          if (fs.exists(tmp) && fs.listStatus(tmp)
-              .exists(st => st.isDirectory)) {
-            require(fs.rename(tmp, target), s"rename $tmp failed")
-          } else fs.delete(tmp, true)
-      }
-    }
+    val defaultDelta = defaultParts.reduceOption(_ unionByName _)
+    if (defaultDelta.isEmpty && quadsDelta.isEmpty)
+      // nothing changed — the overload still bootstraps an absent layout
+      writeBackDelta(prev, next, path, Seq.empty)
+    else writeBackDelta(prev, next, path,
+      Seq(OpDelta(defaultDelta, quadsDelta, structural = false)))
   }
 
   /** Truncate the store's logical-plan LINEAGE (localCheckpoint on
@@ -384,18 +506,81 @@ object TripleStore {
       dict = st.dict.map(_.localCheckpoint(eager = false)),
       quads = st.quads.map(_.localCheckpoint(eager = false)))
 
-  /** Load a dataset written by [[writeDataset]]: the default graph's
+  /** Latest-op-wins row verdicts over a delta log directory: weight
+    * `seq * 2 + (insert ? 1 : 0)` — a key's max weight is odd iff the
+    * LAST batch touching it leaves it present (within one batch an
+    * insert beats a tombstone of the same row, §3.1.3
+    * delete-then-insert). Delta logs are op-sized and bounded by
+    * [[CompactDeltaBatches]]; the lineage is truncated
+    * (localCheckpoint, ContextCleaner-reclaimed) so the per-slice
+    * merge joins reuse one materialization instead of re-aggregating
+    * the log per action.
+    */
+  private def deltaVerdict(spark: SparkSession, deltaPath: String,
+      keys: Seq[String]): Option[DataFrame] = {
+    val (fs, p) = fsPath(spark, deltaPath)
+    if (!fs.exists(p) ||
+        !fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("seq=")))
+      None
+    else Some(spark.read.parquet(deltaPath)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("seq").cast("long") * 2 +
+        when(!col("del"), 1).otherwise(0)).as("__w"))
+      .localCheckpoint(eager = false))
+  }
+
+  /** Load a dataset at `path`: resolves the current version root
+    * ([[datasetRoot]]), reads the base layout — the default graph's
     * slices dispatch by partition pruning, and GRAPH blocks filter the
-    * quads relation on its `(g, p)` partition columns — Catalyst turns
-    * both into `PartitionFilters` (ScaleSpec asserts the pruned scan).
+    * quads relation on its `(g, p)` partition columns, Catalyst turns
+    * both into `PartitionFilters` (ScaleSpec asserts the pruned scan) —
+    * and merges any pending delta log on top: per slice,
+    * `base ANTI touched ∪ alive` with the touched set
+    * guarded-broadcast (delta-sized by construction), so the base scan
+    * keeps its pruning and the merge never shuffles the base.
     */
   def fromDatasetParquet(spark: SparkSession, path: String): TripleStore = {
-    val st = fromPartitionedParquet(spark, s"$path/default")
-    val quadPath = new org.apache.hadoop.fs.Path(s"$path/quads")
-    val fs = quadPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(quadPath)) st
-    else st.copy(quads = Some(spark.read.parquet(s"$path/quads")
-      .select(col("g"), col("s"), col("p"), col("o"))))
+    val root = datasetRoot(spark, path)
+    val st0 = fromPartitionedParquet(spark, s"$root/default")
+    val st = deltaVerdict(spark, s"$root/delta/default",
+        Seq("p", "s", "o")) match {
+      case None => st0
+      case Some(v) =>
+        val deltaPreds = v.select(col("p")).distinct()
+          .limit(MaxPredicates + 1).collect().map(_.getString(0))
+        require(deltaPreds.length <= MaxPredicates,
+          s"delta log touches more than $MaxPredicates predicates")
+        val slices = (st0.slices.keySet ++ deltaPreds).toSeq.map { p =>
+          val touched = v.filter(col("p") === p)
+          val alive = touched.filter(col("__w") % 2 === 1)
+            .select(col("s"), col("o"))
+          val base = st0.slices.get(p).map(_.join(
+            GuardedBroadcast.maybe(touched.select(col("s"), col("o"))),
+            Seq("s", "o"), "left_anti"))
+          p -> base.map(_.unionByName(alive)).getOrElse(alive)
+        }.toMap
+        st0.copy(slices = slices)
+    }
+    val (fs, quadPath) = fsPath(spark, s"$root/quads")
+    val quadBase =
+      if (fs.exists(quadPath) &&
+          fs.listStatus(quadPath).exists(_.isDirectory))
+        Some(spark.read.parquet(s"$root/quads")
+          .select(col("g"), col("s"), col("p"), col("o")))
+      else None
+    val qCols = Seq("g", "p", "s", "o")
+    val quads = deltaVerdict(spark, s"$root/delta/quads", qCols) match {
+      case None => quadBase
+      case Some(v) =>
+        val alive = v.filter(col("__w") % 2 === 1)
+          .select(col("g"), col("s"), col("p"), col("o"))
+        val base = quadBase.map(_.join(
+          GuardedBroadcast.maybe(v.select(qCols.map(col): _*)),
+          qCols, "left_anti"))
+        Some(base.map(_.unionByName(alive)).getOrElse(alive))
+    }
+    st.copy(quads = quads)
   }
 
   /** Load a store from the partitioned layout. The predicate inventory

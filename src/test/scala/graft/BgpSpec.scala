@@ -2691,23 +2691,40 @@ class BgpSpec extends AnyFunSuite {
       val (c1, _) = http("POST", h.endpoint, "application/sparql-update",
         """INSERT DATA { <t:3> <size> "s3" }""")
       assert(c1 == 204)
-      // delta discipline: the op touched only <size> — the <name>
-      // partition's files must be byte-identical (not rewritten)
+      // first update bootstraps version 0 of the versioned layout
+      val root = TripleStore.datasetRoot(spark, dir)
+      assert(root == s"$dir/v0", s"expected v0 bootstrap, got $root")
+      // delta discipline: subsequent row-grain ops must APPEND delta
+      // batches, never rewrite ANY base slice — the hot <name> AND the
+      // touched <size> partitions both stay byte-identical
       def sig(p: String): Seq[(String, Long, Long)] = {
-        val d = new java.io.File(s"$dir/default/p=$p")
+        val d = new java.io.File(s"$root/default/p=$p")
         d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
           .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
       }
       val nameSig = sig("name")
+      val sizeSig = sig("size")
       val (c2, _) = http("POST", h.endpoint, "application/sparql-update",
         """INSERT DATA { GRAPH <g:aud> { <t:1> <checked> "y" } } ;
           |DELETE DATA { <t:1> <size> "s1" }""".stripMargin)
       assert(c2 == 204)
       assert(sig("name") == nameSig,
         "untouched slice was rewritten — write-back is not incremental")
+      assert(sig("size") == sizeSig,
+        "touched slice was rewritten — write-back is not delta-grain")
+      // and the delta batches hold exactly the ops' rows
+      val deltas = new java.io.File(s"$root/delta/default")
+      assert(deltas.isDirectory && deltas.listFiles()
+        .exists(_.getName.startsWith("seq=")),
+        "expected appended delta batches under the version root")
+      val deltaRows = spark.read.parquet(s"$root/delta/default")
+      assert(deltaRows.count() == 1, "the DELETE DATA op is 1 tombstone row")
+      assert(spark.read.parquet(s"$root/delta/quads").count() == 1,
+        "the GRAPH insert op is 1 quad delta row")
     } finally h.stop()
     // restart: a fresh endpoint over the persisted layout resumes with
-    // the full post-update dataset and keeps accepting updates
+    // the full post-update dataset (delta log merged) and keeps
+    // accepting updates
     val resumed = TripleStore.fromDatasetParquet(spark, dir)
     val h2 = SparqlServer.serve(resumed, persistDir = Some(dir))
     try {
@@ -2718,11 +2735,111 @@ class BgpSpec extends AnyFunSuite {
       val inGraph = BgpPlanner.query(h2.store,
         "select ?s where { graph <g:aud> { ?s <checked> ?y } }").count()
       assert(inGraph == 1)
+      // DROP GRAPH is structural: it checkpoints a fresh full version
+      // (pointer flips to v1) whose layout has no quads subtree
       val (c3, _) = http("POST", h2.endpoint, "application/sparql-update",
         "DROP GRAPH <g:aud>")
       assert(c3 == 204)
-      assert(!new java.io.File(s"$dir/quads").exists(),
-        "dropped graph's quads subtree must leave the layout")
+      val root2 = TripleStore.datasetRoot(spark, dir)
+      assert(root2 == s"$dir/v1", s"expected v1 after structural op, got $root2")
+      assert(!new java.io.File(s"$root2/quads").exists(),
+        "dropped graph's quads subtree must leave the new version")
+      // the dropped graph set reloads as ABSENT (GRAPH queries on a
+      // store without named graphs throw by contract)
+      assert(h2.store.quads.isEmpty,
+        "dropped graph set must reload as absent")
     } finally h2.stop()
+  }
+
+  test("write-back bytes per op scale with the delta, not the hot slice") {
+    // the r12-verdict scale-killer: ONE inserted triple on a hot
+    // predicate must not rewrite the predicate's slice — the op's
+    // write cost is its delta-file bytes, orders below the base bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-amp").toString
+    val hot = (0 until 2000).map(i => (s"d:$i", "name", s"val-$i"))
+    val st = TripleStore.fromTriples(hot.toDF("s", "p", "o"))
+    TripleStore.writeDataset(st, dir)
+    var cur = TripleStore.fromDatasetParquet(spark, dir)
+    def bytesUnder(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytesUnder).sum).getOrElse(0L)
+    val baseBytes = bytesUnder(new java.io.File(s"$dir/default/p=name"))
+    val before = bytesUnder(new java.io.File(dir))
+    val next = graft.bgp.SparqlUpdate.applyAll(spark, cur,
+      """INSERT DATA { <d:new> <name> "fresh" }""")
+    TripleStore.writeBackDelta(cur, next, dir)
+    val opBytes = bytesUnder(new java.io.File(dir)) - before
+    assert(opBytes > 0, "the op must persist something")
+    assert(opBytes < baseBytes / 4,
+      s"1-row op wrote $opBytes bytes vs $baseBytes-byte hot slice — " +
+        "write amplification is back")
+    cur = TripleStore.fromDatasetParquet(spark, dir)
+    assert(BgpPlanner.query(cur,
+      "select ?s ?v where { ?s name ?v }").count() == 2001)
+  }
+
+  test("delta log compacts into a fresh version past the batch bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-cmp").toString
+    val st = TripleStore.fromTriples(
+      Seq(("t:0", "val", "v0")).toDF("s", "p", "o"))
+    val h = SparqlServer.serve(st, persistDir = Some(dir))
+    try {
+      // op 1 bootstraps v0; the next CompactDeltaBatches ops append
+      // batches seq=0..15, and the 16th append triggers compaction
+      for (i <- 1 to TripleStore.CompactDeltaBatches + 1) {
+        val (c, _) = http("POST", h.endpoint, "application/sparql-update",
+          s"""INSERT DATA { <t:$i> <val> "v$i" }""")
+        assert(c == 204)
+      }
+      val root = TripleStore.datasetRoot(spark, dir)
+      assert(root == s"$dir/v1",
+        s"expected compaction to flip the pointer to v1, got $root")
+      assert(!new java.io.File(s"$root/delta").exists(),
+        "a fresh compacted version starts with an empty delta log")
+      // keep-2: v0 survives the flip for readers pinned to it
+      assert(new java.io.File(s"$dir/v0").isDirectory,
+        "previous version must survive one flip (KeepVersions = 2)")
+      assert(BgpPlanner.query(h.store,
+        "select ?s ?v where { ?s val ?v }").count() ==
+        TripleStore.CompactDeltaBatches + 2)
+    } finally h.stop()
+  }
+
+  test("snapshot isolation: a reader pinned to the old version survives churn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-snap").toString
+    val st = TripleStore.fromTriples(
+      (0 until 500).map(i => (s"t:$i", "val", s"v$i")).toDF("s", "p", "o"))
+    TripleStore.writeDataset(st, dir)
+    // pin a reader to the CURRENT (legacy) root before any churn
+    val pinned = TripleStore.fromDatasetParquet(spark, dir)
+    var cur = pinned
+    // churn: row-grain appends (default + a named graph), then one
+    // STRUCTURAL op (CLEAR GRAPH) that checkpoints a new version and
+    // flips the pointer — the pinned reader's files must all remain
+    for (i <- 0 until 3) {
+      val next = graft.bgp.SparqlUpdate.applyAll(spark, cur,
+        s"""INSERT DATA { <n:$i> <val> "x$i" }""")
+      TripleStore.writeBackDelta(cur, next, dir)
+      cur = TripleStore.fromDatasetParquet(spark, dir)
+    }
+    val (withQuads, d1) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark,
+      cur, """INSERT DATA { GRAPH <g:x> { <q:1> <tag> "t" } }""")
+    TripleStore.writeBackDelta(cur, withQuads, dir, d1)
+    cur = TripleStore.fromDatasetParquet(spark, dir)
+    val (next2, d2) = graft.bgp.SparqlUpdate.applyAllWithDelta(
+      spark, cur, "CLEAR GRAPH <g:x>")
+    TripleStore.writeBackDelta(cur, next2, dir, d2)
+    assert(TripleStore.datasetRoot(spark, dir) == s"$dir/v0",
+      "structural op checkpoints a version")
+    // the pinned pre-churn reader still scans intact files: its load
+    // predates every delta batch, so it sees exactly the base 500
+    assert(BgpPlanner.query(pinned,
+      "select ?s ?v where { ?s val ?v }").count() == 500)
+    // and a fresh load sees the post-churn state from the new version
+    val fresh = TripleStore.fromDatasetParquet(spark, dir)
+    assert(BgpPlanner.query(fresh,
+      "select ?s ?v where { ?s val ?v }").count() == 503)
+    // the cleared graph left no quads subtree in the new version
+    assert(fresh.quads.isEmpty, "cleared graph set must reload as absent")
   }
 }
