@@ -2822,7 +2822,45 @@ object BgpQueries {
              |    SELECT n_nationkey FROM nation ORDER BY
              |      CAST(n_nationkey AS VARCHAR) LIMIT 5)
              |  THEN 'retired' ELSE 'active' END AS st
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // INTRA-block TriG scan (round 13): a dump that is ONE giant
+    // `<g> { … }` block is a single record under the block-close
+    // delimiter — one task, no matter the cluster (the documented
+    // honest boundary of q358's reader). scopedTrigAudit splits on the
+    // STATEMENT terminator instead and carries the enclosing graph
+    // label across splits via a positioned block-transition table
+    // (the round-12 offset-scoped state machinery). The fixture packs
+    // ALL region membership into one block and forces the file
+    // through many FileInputFormat splits (maxSplitBytes seam); the
+    // query joins the default-graph names against the in-block edges.
+    GQuery(
+      "q370_trig_giant_block",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val out = java.nio.file.Files.createTempDirectory("graft-trig-g")
+          .toString
+        val nat = graft.Tables.t(s, dir, "nation")
+        val header = s.createDataFrame(Seq(
+          Tuple1("@prefix n: <nation:> ."), Tuple1("@prefix r: <region:> .")))
+          .toDF("value")
+        val names = nat.select(concat(lit("n:"), col("n_nationkey"),
+          lit(" <name> \""), col("n_name"), lit("\" .")).as("value"))
+        val open = s.createDataFrame(Seq(Tuple1("<g:r> {"))).toDF("value")
+        val inregion = nat.select(concat(lit("n:"), col("n_nationkey"),
+          lit(" <inregion> r:"), col("n_regionkey"), lit(" .")).as("value"))
+        val close = s.createDataFrame(Seq(Tuple1("}"))).toDF("value")
+        header.unionByName(names).unionByName(open)
+          .unionByName(inregion).unionByName(close)
+          .coalesce(1).write.mode("overwrite").text(out)
+        val st = graft.sources.TurtleIO.readTrigScoped(s, out,
+          maxSplitBytes = 512)
+        BgpPlanner.query(st,
+          """select ?n ?nm ?r where {
+            | ?n <name> ?nm .
+            | graph <g:r> { ?n <inregion> ?r } }""".stripMargin)
+      },
+      Some(turtleOracle))
   )
 
   private val pathGroupOracle =

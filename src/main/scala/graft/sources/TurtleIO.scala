@@ -570,15 +570,186 @@ object TurtleIO {
       spark.readStream.option("lineSep", "}" + nl).text(path),
       prefixes, base)
 
-  /** Parse one `}`-delimited TriG chunk: leading top-level statements
-    * are default-graph; a `<g> {` / `GRAPH <g> {` / bare `{` header
-    * opens a block whose statements carry that graph label (the
-    * chunk-final block's `}` was consumed as the record delimiter, so
-    * an open context at end-of-chunk is the normal case); `}` tokens
-    * close inline blocks. Bad statements quarantine per statement.
+  /** Positioned block-transition table bound: the INTRA-block scoped
+    * scan serves dumps whose blocks are GIANT (hence few) — a dump
+    * with more top-level block opens/closes than this parses
+    * block-grain on the normal path, where transitions are free.
+    */
+  private[sources] val MaxBlockEvents = 65536
+
+  /** Top-level block open/close EVENTS of one statement-grain chunk,
+    * in token order: `(isOpen, resolvedLabelOrNull, bad)` — the
+    * offset-scoped pass-1 walk. Shares [[resolveBlockHeader]] and the
+    * parser's exact boundary discipline (header = tokens since the
+    * last top-level `.` / `}` / chunk start) so pass 1 and pass 2
+    * reconstruct identical state.
+    */
+  private def trigBlockEvents(toks: Seq[String],
+      prefixes: Map[String, String], base: Option[String])
+      : Seq[(Boolean, String, Boolean)] = {
+    val ev = scala.collection.mutable.ListBuffer
+      .empty[(Boolean, String, Boolean)]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    toks.foreach {
+      case "{" if depth == 0 =>
+        val header = cur.toVector; cur.clear()
+        resolveBlockHeader(header, prefixes, base) match {
+          case Right(ctx) => ev += ((true, ctx.orNull, false))
+          case Left(_) => ev += ((true, null, true))
+        }
+      case "}" if depth == 0 =>
+        cur.clear(); ev += ((false, null, false))
+      case "." if depth == 0 => cur.clear()
+      case t =>
+        if (t == "[" || t == "(") depth += 1
+        else if (t == "]" || t == ")") depth -= 1
+        cur += t
+    }
+    ev.toList
+  }
+
+  /** INTRA-block TriG scan — the scale path for dumps that are one
+    * (or a few) GIANT graph blocks: `GRAPH <g> { …100 GB… }` is a
+    * single record under the block-grain delimiter and parses on ONE
+    * task (honest boundary of [[trigAudit]]); here the scan splits on
+    * the STATEMENT terminator instead (full FileInputFormat fan-out,
+    * many tasks per block) and the enclosing graph label is
+    * reconstructed per chunk from a positioned block-transition table
+    * — the same offset-scoped state machinery as
+    * [[scopedTurtleAudit]]'s directive scoping. Pass 1 collects the
+    * (file, offset, open/close, label) events (bounded by
+    * [[MaxBlockEvents]]: giant blocks are few by construction); pass 2
+    * parses statement chunks with the initial context the events at
+    * strictly-smaller offsets imply, and transitions INSIDE a chunk
+    * are handled inline by the shared parser. Boundary: a chunk whose
+    * tokenize fails (torn long literal) contributes no events — a
+    * transition hiding inside such a chunk misattributes the span to
+    * the previous context (same tear-quarantine class as Turtle's
+    * salvage path; the statement rows of the torn chunk itself still
+    * quarantine loudly).
+    */
+  private[graft] def scopedTrigAudit(spark: SparkSession, path: String,
+      maxSplitBytes: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val sep = probeSep(spark, path)
+    val (pmap, baseIri, conflict) = collectDirectives(spark, path, sep,
+      "TriG")
+    require(!conflict,
+      "prefix or @base redefined mid-document — the TriG reader " +
+        "applies one document-wide map")
+    val chunks = offsetChunks(spark, path, sep, maxSplitBytes)
+    val events = chunks.flatMap { case (f, off, c) =>
+      val body = c.trim
+      // cheap hint: no brace characters, no top-level events (a brace
+      // inside a literal merely tokenizes and yields nothing)
+      if (body.isEmpty || (body.indexOf('{') < 0 && body.indexOf('}') < 0))
+        Nil
+      else tokenize(body).map(ts =>
+        trigBlockEvents(stripDirectiveTokens(ts), pmap, baseIri)
+          .zipWithIndex.map { case ((isOpen, lbl, bad), i) =>
+            (f, off, i, isOpen, lbl, bad)
+          }).getOrElse(Nil)
+    }.take(MaxBlockEvents + 1)
+    require(events.length <= MaxBlockEvents,
+      s"more than $MaxBlockEvents top-level TriG block transitions: " +
+        "this dump's blocks are not giant — parse it block-grain " +
+        "(readTrig/trigAudit)")
+    val byFile: Map[String, Array[(Long, Int, Boolean, String, Boolean)]] =
+      events.groupBy(_._1).map { case (f, es) =>
+        f -> es.map(e => (e._2, e._3, e._4, e._5, e._6))
+          .sortBy(e => (e._1, e._2))
+      }
+    val bc = graft.scale.GuardedBroadcast.boundedValue(spark, byFile,
+      "positioned block-transition table")
+    chunks.mapPartitions { it =>
+      // one partition = one split of one file; offsets ascend, so the
+      // event walk is a single forward pointer per partition
+      var curFile: String = null
+      var arr: Array[(Long, Int, Boolean, String, Boolean)] = Array.empty
+      var di = 0
+      var ctx: Option[String] = None
+      var bad = false
+      def state(f: String, off: Long): (Option[String], Boolean) = {
+        if (f != curFile) {
+          curFile = f
+          arr = bc.value.getOrElse(f, Array.empty)
+          di = 0; ctx = None; bad = false
+        }
+        // events AT this offset live inside this chunk — the parser
+        // replays them inline; fold only strictly-earlier ones
+        while (di < arr.length && arr(di)._1 < off) {
+          val (_, _, isOpen, lbl, b) = arr(di)
+          if (isOpen) { ctx = Option(lbl); bad = bad || b }
+          else { ctx = None; bad = false }
+          di += 1
+        }
+        (ctx, bad)
+      }
+      it.flatMap { case (f, off, c) =>
+        val (ictx, ibad) = state(f, off)
+        parseTrigChunkAudited(c, pmap, baseIri,
+          "f" + java.lang.Long.toHexString(fnv64(f)) +
+            "o" + java.lang.Long.toHexString(off), ictx, ibad)
+      }
+    }.toDF("g", "s", "p", "o", "bad")
+  }
+
+  /** [[readTrig]] through the INTRA-block scan ([[scopedTrigAudit]]):
+    * a TripleStore from a giant-block TriG dump, parsed on many tasks.
+    */
+  def readTrigScoped(spark: SparkSession, path: String,
+      maxSplitBytes: Long = 0L): TripleStore = {
+    import org.apache.spark.sql.functions.col
+    val q = scopedTrigAudit(spark, path, maxSplitBytes)
+      .where(col("bad").isNull)
+    val st = TripleStore.fromTriples(
+      q.where(col("g").isNull).select("s", "p", "o"))
+    st.copy(quads = Some(q.where(col("g").isNotNull)
+      .select("g", "s", "p", "o").distinct()))
+  }
+
+  /** Resolve a top-level TriG block header (the tokens accumulated
+    * before a `{`): `Right(None)` = bare default-graph block,
+    * `Right(Some(label))` = resolved IRI / blank-node label,
+    * `Left(badSnip)` = malformed header. Graph labels are IRIs or
+    * blank nodes ONLY — a quoted / bare numeric / boolean literal
+    * header is malformed (term3 would happily resolve it as a
+    * literal). Shared by the block-grain parser and the offset-scoped
+    * pass-1 event walk so the two NEVER disagree on a header.
+    */
+  private def resolveBlockHeader(header: Vector[String],
+      prefixes: Map[String, String], base: Option[String])
+      : Either[String, Option[String]] = {
+    val gTok = header match {
+      case Vector() => return Right(None)
+      case Vector(t) => t
+      case Vector(kw, t) if kw.equalsIgnoreCase("graph") => t
+      case _ => return Left(snip(header.mkString(" ") + " {"))
+    }
+    val res =
+      if (gTok.startsWith("_:")) Some(gTok)
+      else if (gTok.startsWith("\"") || gTok == "true" || gTok == "false" ||
+          gTok.matches("^[+-]?(\\d|\\.\\d).*")) None
+      else term3(gTok, prefixes, base, pred = false)
+    res match {
+      case Some(r) => Right(Some(r))
+      case None => Left(snip(gTok + " {"))
+    }
+  }
+
+  /** Parse one TriG chunk: leading top-level statements are
+    * default-graph (or the SPLIT-carried `initialCtx` on the
+    * offset-scoped path); a `<g> {` / `GRAPH <g> {` / bare `{` header
+    * opens a block whose statements carry that graph label (on the
+    * block-grain path the chunk-final block's `}` was consumed as the
+    * record delimiter, so an open context at end-of-chunk is the
+    * normal case); `}` tokens close inline blocks. Bad statements
+    * quarantine per statement.
     */
   private[sources] def parseTrigChunkAudited(chunk0: String,
-      prefixes: Map[String, String], base: Option[String], key: String)
+      prefixes: Map[String, String], base: Option[String], key: String,
+      initialCtx: Option[String] = None, initialBad: Boolean = false)
       : Seq[(String, String, String, String, String)] = {
     val body = chunk0.trim
     if (body.isEmpty || body == ".") return Nil
@@ -592,11 +763,11 @@ object TurtleIO {
     }
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, String, String, String, String)]
-    var graphCtx: Option[String] = None
+    var graphCtx: Option[String] = initialCtx
     // a block whose header failed to resolve POISONS its statements:
     // they quarantine one-by-one instead of silently landing in the
     // default graph (mis-attribution is worse than a counted drop)
-    var badBlock = false
+    var badBlock = initialBad
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var si = 0
@@ -621,27 +792,13 @@ object TurtleIO {
         // the tokens accumulated since the last boundary are the block
         // header: empty = default-graph block; [term] or [GRAPH term]
         val header = cur.toVector; cur.clear()
-        val gTok = header match {
-          case Vector() => None
-          case Vector(t) => Some(t)
-          case Vector(kw, t) if kw.equalsIgnoreCase("graph") => Some(t)
-          case _ =>
-            out += ((null, null, null, null,
-              snip(header.mkString(" ") + " {")))
+        resolveBlockHeader(header, prefixes, base) match {
+          case Right(ctx) =>
+            graphCtx = ctx
+          case Left(badSnip) =>
+            out += ((null, null, null, null, badSnip))
+            graphCtx = None
             badBlock = true
-            None
-        }
-        // graph labels are IRIs or blank nodes ONLY — a quoted / bare
-        // numeric / boolean literal header is malformed and poisons the
-        // block (term3 would happily resolve it as a literal)
-        graphCtx = gTok.flatMap(t =>
-          if (t.startsWith("_:")) Some(t)
-          else if (t.startsWith("\"") || t == "true" || t == "false" ||
-              t.matches("^[+-]?(\\d|\\.\\d).*")) None
-          else term3(t, prefixes, base, pred = false))
-        if (gTok.isDefined && graphCtx.isEmpty) {
-          out += ((null, null, null, null, snip(gTok.get + " {")))
-          badBlock = true
         }
       case "}" if depth == 0 =>
         flushStmt() // the final '.' inside a block is optional

@@ -72,6 +72,35 @@ object IngestProbe {
     val (nTrig, sTrig) = time(
       graft.sources.TurtleIO.trigAudit(spark, s"$base/trig")
         .where(col("bad").isNull).count())
+    // INTRA-block scale probe (round 13): the same corpus as ONE giant
+    // graph block in ONE file — the block-grain reader collapses it to
+    // a single record on a single task no matter the cluster; the
+    // scoped scan splits on the statement terminator and fans out,
+    // carrying the block label across splits. This extends the round-12
+    // linearity pin past the <=4 MB block regime: throughput should
+    // hold (or grow) when the BLOCK grows, not just when blocks
+    // multiply.
+    val giant = spark.createDataFrame(Seq(Tuple1("<g:all> {"))).toDF("value")
+      .unionByName(ttl)
+      .unionByName(spark.createDataFrame(Seq(Tuple1("}"))).toDF("value"))
+    giant.coalesce(1).write.mode("overwrite").text(s"$base/giant")
+    spark.read.textFile(s"$base/giant").count()
+    val gBlkBytes = du(s"$base/giant")
+    val (nBlk, sBlk) = time(
+      graft.sources.TurtleIO.trigAudit(spark, s"$base/giant")
+        .where(col("bad").isNull).count())
+    val (nScoped, sScoped) = time(
+      graft.sources.TurtleIO.scopedTrigAudit(spark, s"$base/giant",
+        maxSplitBytes = 8L << 20)
+        .where(col("bad").isNull).count())
+    require(nBlk == nTtl && nScoped == nTtl,
+      s"giant-block row mismatch: block-grain $nBlk scoped $nScoped " +
+        s"expected $nTtl")
+    println(f"[ingest-probe] giant block (${gBlkBytes / 1e6}%.1f MB, one " +
+      f"block, one file): block-grain $sBlk%.2f s " +
+      f"(${gBlkBytes / 1e6 / sBlk}%.1f MB/s, single task), scoped " +
+      f"$sScoped%.2f s (${gBlkBytes / 1e6 / sScoped}%.1f MB/s)")
+
     // compressed-dump path: gzip the Turtle corpus into a handful of
     // files (the shape real dumps ship in), then time BOTH halves —
     // the decompress-and-shard rewrite and the sharded parse — against

@@ -915,6 +915,78 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == Set("http://x.org/a", "http://late.org/s"))
   }
 
+  test("scoped TriG scan parses a giant single block across many splits") {
+    // ONE graph block holding every statement — the block-grain reader
+    // collapses this to a single record/task; the scoped scan splits
+    // on the statement terminator and reconstructs the enclosing label
+    // per chunk from the positioned transition table. maxSplitBytes
+    // forces the fixture through MANY FileInputFormat splits so the
+    // cross-split label carry is actually exercised.
+    val n = 200
+    val stmts = (0 until n)
+      .map(i => s"""<d:$i> <val> "v$i" .""").mkString("\n")
+    val trig =
+      s"""@prefix g: <graph:> .
+         |<t:head> <kind> "default" .
+         |g:big {
+         |$stmts
+         |}
+         |<t:tail> <kind> "default2" .
+         |""".stripMargin
+    val path = write("giant.trig", trig)
+    val got = TurtleIO.scopedTrigAudit(spark, path, maxSplitBytes = 512)
+    val rows = got.collect()
+    assert(rows.forall(_.getString(4) == null), s"quarantine: ${
+      rows.filter(_.getString(4) != null).take(3).toSeq}")
+    assert(rows.count(_.getString(0) == "graph:big") == n)
+    assert(rows.filter(_.getString(0) == null).map(_.getString(1)).toSet ==
+      Set("t:head", "t:tail"))
+    // and the split fan-out is real: the scan ran on several partitions
+    val parts = TurtleIO.scopedTrigAudit(spark, path, maxSplitBytes = 512)
+      .rdd.getNumPartitions
+    assert(parts > 3, s"expected multi-split fan-out, got $parts partitions")
+  }
+
+  test("scoped TriG equals the block-grain parse on a mixed dump") {
+    // default statements, two labeled blocks, a bare block, a poisoned
+    // literal-header block — the scoped scan (tiny splits) must agree
+    // with trigAudit row-for-row on both survivors and quarantine count
+    val trig =
+      """@prefix n: <nation:> .
+        |n:0 <kind> "top" .
+        |<g:a> {
+        |n:1 <inregion> <region:1> .
+        |n:2 <inregion> <region:1> .
+        |}
+        |{
+        |n:3 <bare> "in-default-block" .
+        |}
+        |"bad" {
+        |n:4 <p> n:5 .
+        |}
+        |<g:b> {
+        |n:6 <inregion> <region:2> .
+        |}
+        |n:7 <kind> "tail" .
+        |""".stripMargin
+    val path = write("mixed.trig", trig)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4) == null)).toSet
+    val blockGrain = norm(TurtleIO.trigAudit(spark, path))
+    val scoped = norm(TurtleIO.scopedTrigAudit(spark, path,
+      maxSplitBytes = 64))
+    // quarantine SNIPPETS may differ in spelling across grains; compare
+    // the good rows exactly and the bad row count
+    def good(s: Set[(String, String, String, String, Boolean)]) =
+      s.filter(_._5)
+    assert(good(scoped) == good(blockGrain),
+      s"scoped=${good(scoped)} vs block=${good(blockGrain)}")
+    assert(scoped.count(!_._5) == blockGrain.count(!_._5))
+    assert(good(scoped).exists(_._1 == "g:a"))
+    assert(good(scoped).exists(_._1 == null))
+  }
+
   test("statement chunking splits on the terminator, not on lines") {
     // one statement spanning four lines plus unspaced separators
     val ttl =
