@@ -89,6 +89,7 @@ object BgpPlanner {
         s"!(${(ps ++ inv.map("^" + _)).mkString("|")})"
       case PathGroupRepeat(ps, star) =>
         s"(${ps.mkString("/")})${if (star) "*" else "+"}"
+      case PathTree(e) => Sparql.PExpr.render(e)
       case PathSeq(_) => throw new IllegalStateException(
         "sequence paths are desugared at parse time and never planned")
     }
@@ -248,6 +249,68 @@ object BgpPlanner {
             .select(col("o").as("s"), col("s").as("o")))
           else None).flatten
         (arms.reduce(_ unionByName _), Seq("s" -> pat.s, "o" -> pat.o))
+      case PathTree(expr) =>
+        // NESTED property path — compositional evaluation to ONE
+        // derived edge relation: links are slice scans (partition
+        // pruning), inverse swaps columns, sequence composes via
+        // mid-vertex hash joins (bag semantics, like the PathSeq
+        // desugar), alternation is bag union, and the closure
+        // operators (+ * ? {n,m}) dedup their operand and reuse the
+        // SAME distributed PathOps iteration as the flat forms — log₂
+        // rounds of self-joins, set semantics per SPARQL §18.4. At
+        // 100 TB each piece keeps its flat-form scale shape; nesting
+        // only changes which edge relation feeds which operator.
+        val out = {
+          import Sparql.PExpr
+          def vertices(df: DataFrame): DataFrame =
+            df.select(col("s")).unionByName(df.select(col("o").as("s")))
+              .distinct().select(col("s"), col("s").as("o"))
+          def compose(a: DataFrame, b: DataFrame): DataFrame =
+            a.select(col("s"), col("o").as("__m"))
+              .join(b.select(col("s").as("__m"), col("o")), "__m")
+              .select(col("s"), col("o"))
+          def eval(e: PExpr): DataFrame = e match {
+            case PExpr.Link(p) => slice(p)
+            case PExpr.Inv(x) =>
+              eval(x).select(col("o").as("s"), col("s").as("o"))
+            case PExpr.Alt(es) => es.map(eval).reduce(_ unionByName _)
+            case PExpr.PSeq(es) => es.map(eval).reduce(compose)
+            case PExpr.Plus(x) =>
+              graft.graph.PathOps
+                .transitiveClosure(eval(x).distinct().toDF("src", "dst"))
+                .toDF("s", "o")
+            case PExpr.Star(x) =>
+              val edges = eval(x).distinct()
+              graft.graph.PathOps
+                .transitiveClosure(edges.toDF("src", "dst")).toDF("s", "o")
+                .unionByName(vertices(edges)).distinct()
+            case PExpr.ZeroOne(x) =>
+              val edges = eval(x)
+              edges.unionByName(vertices(edges)).distinct()
+            case PExpr.Repeat(x, lo, hi) =>
+              val edges = eval(x).distinct()
+              def kHops(k: Int): DataFrame =
+                if (k == 0) vertices(edges)
+                else (1 until k).foldLeft(edges)((acc, _) =>
+                  compose(acc, edges).distinct())
+              (lo to hi).map(kHops).reduce(_ unionByName _).distinct()
+            case PExpr.NegSet(ps, inv) =>
+              val arms = Seq(
+                if (ps.nonEmpty) Some(store.variableView
+                  .filter(ps.map(p => col("p") =!= encode(p))
+                    .reduce(_ && _))
+                  .select(col("s"), col("o")))
+                else None,
+                if (inv.nonEmpty) Some(store.variableView
+                  .filter(inv.map(p => col("p") =!= encode(p))
+                    .reduce(_ && _))
+                  .select(col("o").as("s"), col("s").as("o")))
+                else None).flatten
+              arms.reduce(_ unionByName _)
+          }
+          eval(expr)
+        }
+        (out, Seq("s" -> pat.s, "o" -> pat.o))
       case PathSeq(_) => throw new IllegalStateException(
         "sequence paths are desugared at parse time and never planned")
       case Var(_) =>

@@ -151,6 +151,49 @@ object Sparql {
   final case class PathGroupRepeat(steps: Seq[String], star: Boolean)
       extends Term
 
+  /** Recursive property-path expression tree (SPARQL 1.1 §9.1, full
+    * composition) — the general form behind the flat single-predicate
+    * cases above. The flat forms stay for the spellings they cover
+    * (they carry the planner's specialized evaluation and the
+    * PathSeq parse-time desugar); a spelling they CANNOT express —
+    * `^(p1|p2)`, `(a|b)+`, `(a+)/(b|c)`, nested groups — parses into
+    * this tree and the planner evaluates it compositionally to one
+    * derived edge relation (closures distributed via PathOps
+    * iteration, sequences as mid-vertex hash joins, alternation as
+    * bag union).
+    */
+  sealed trait PExpr
+  object PExpr {
+    final case class Link(p: String) extends PExpr
+    final case class Inv(e: PExpr) extends PExpr
+    final case class PSeq(es: Seq[PExpr]) extends PExpr
+    final case class Alt(es: Seq[PExpr]) extends PExpr
+    final case class Plus(e: PExpr) extends PExpr
+    final case class Star(e: PExpr) extends PExpr
+    final case class ZeroOne(e: PExpr) extends PExpr
+    final case class Repeat(e: PExpr, lo: Int, hi: Int) extends PExpr
+    final case class NegSet(fwd: Seq[String], inv: Seq[String]) extends PExpr
+
+    /** Printable canonical spelling (pattern/stats keys). */
+    def render(e: PExpr): String = e match {
+      case Link(p) => p
+      case Inv(x) => s"^(${render(x)})"
+      case PSeq(es) => es.map(render).mkString("(", "/", ")")
+      case Alt(es) => es.map(render).mkString("(", "|", ")")
+      case Plus(x) => s"(${render(x)})+"
+      case Star(x) => s"(${render(x)})*"
+      case ZeroOne(x) => s"(${render(x)})?"
+      case Repeat(x, lo, hi) => s"(${render(x)}){$lo,$hi}"
+      case NegSet(f, i) =>
+        "!(" + (f ++ i.map("^" + _)).mkString("|") + ")"
+    }
+  }
+
+  /** A nested property path the flat forms can't express — carries a
+    * full [[PExpr]] tree. Only valid at the predicate position.
+    */
+  final case class PathTree(expr: PExpr) extends Term
+
   /** Reserved prefix for desugared sequence-path intermediates; user
     * variables may not start with it, and `SELECT *` / UNION var-set
     * checks ignore it.
@@ -1364,6 +1407,83 @@ object Sparql {
   private val repeatRe = "^(.+)\\{(\\d+)(?:,(\\d+))?\\}$".r
   private val groupRepeatRe = "^\\(([^()]+)\\)([+*])$".r
 
+  /** Lower a flat path Term to the recursive tree — the bridge the
+    * nested fallbacks use when a sub-expression parsed into one of the
+    * specialized flat forms.
+    */
+  private def toPExpr(t: Term): PExpr = t match {
+    case Const(p) => PExpr.Link(p)
+    case PathPlus(p) => PExpr.Plus(PExpr.Link(p))
+    case PathStar(p) => PExpr.Star(PExpr.Link(p))
+    case PathOpt(p) => PExpr.ZeroOne(PExpr.Link(p))
+    case PathInverse(p) => PExpr.Inv(PExpr.Link(p))
+    case PathAlt(ps) => PExpr.Alt(ps.map(PExpr.Link))
+    case PathRepeat(p, lo, hi) => PExpr.Repeat(PExpr.Link(p), lo, hi)
+    case PathNeg(f, i) => PExpr.NegSet(f, i)
+    case PathGroupRepeat(ps, star) =>
+      val s = PExpr.PSeq(ps.map(PExpr.Link))
+      if (star) PExpr.Star(s) else PExpr.Plus(s)
+    case PathSeq(steps) => PExpr.PSeq(steps.map(toPExpr))
+    case PathTree(e) => e
+    case other => throw new IllegalArgumentException(
+      s"not a property path: $other")
+  }
+
+  /** Split on `sep` at paren depth 0, skipping `<...>` IRI spans —
+    * the nested-path splitter (alternation / sequence precedence).
+    */
+  private def depth0Split(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var d = 0
+    var inIri = false
+    s.foreach { c =>
+      c match {
+        case '<' if !inIri => inIri = true; cur += c
+        case '>' if inIri => inIri = false; cur += c
+        case '(' if !inIri => d += 1; cur += c
+        case ')' if !inIri => d -= 1; cur += c
+        case `sep` if d == 0 && !inIri => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Recursive-descent parse of one FULL path expression (SPARQL 1.1
+    * §9.1 composition, grammar precedence: `|` < `/` < `^`-prefix <
+    * postfix modifier < primary). Leaves resolve through [[term]], so
+    * IRIs / CURIEs / negated sets spell exactly as elsewhere.
+    */
+  private[bgp] def pathExprOf(tok0: String): PExpr = {
+    val tok = tok0.trim
+    require(tok.nonEmpty, "empty path expression")
+    val alts = depth0Split(tok, '|')
+    if (alts.length > 1) return PExpr.Alt(alts.map(pathExprOf))
+    val seqs = depth0Split(tok, '/')
+    if (seqs.length > 1) return PExpr.PSeq(seqs.map(pathExprOf))
+    if (tok.startsWith("^") && tok.length > 1)
+      return PExpr.Inv(pathExprOf(tok.drop(1)))
+    if (!tok.startsWith("<") && repeatRe.matches(tok)) tok match {
+      case repeatRe(inner, loS, hiS) =>
+        val lo = loS.toInt
+        val hi = if (hiS == null) lo else hiS.toInt
+        require(lo <= hi, s"path repeat needs lo <= hi: $tok")
+        require(hi <= 8, s"path repeat bound is capped at 8 hops: $tok")
+        return PExpr.Repeat(pathExprOf(inner), lo, hi)
+    }
+    if (tok.length > 1 && !tok.startsWith("<")) {
+      if (tok.endsWith("+")) return PExpr.Plus(pathExprOf(tok.dropRight(1)))
+      if (tok.endsWith("*")) return PExpr.Star(pathExprOf(tok.dropRight(1)))
+      if (tok.endsWith("?")) return PExpr.ZeroOne(pathExprOf(tok.dropRight(1)))
+    }
+    if (tok.length > 2 && tok.startsWith("(") && tok.endsWith(")") &&
+        parenCloseOf(tok, 0) == tok.length - 1)
+      return pathExprOf(tok.substring(1, tok.length - 1))
+    toPExpr(term(tok))
+  }
+
   private def term(tok: String): Term =
     if (tok.startsWith("?")) Var(tok.drop(1))
     // blank node in a pattern = a non-selectable query-scoped variable
@@ -1408,12 +1528,26 @@ object Sparql {
         val steps = inner.split("/").toSeq.map(_.trim)
         require(steps.nonEmpty && steps.forall(_.nonEmpty),
           s"empty grouped-path step: $tok")
-        PathGroupRepeat(steps.map(t => term(t) match {
-          case Const(p) => p
-          case other => throw new IllegalArgumentException(
-            s"grouped-path steps must be plain predicates, got $other in $tok")
-        }), star = mod == "*")
+        val stepTerms = steps.map(term)
+        if (stepTerms.forall(_.isInstanceOf[Const]))
+          PathGroupRepeat(stepTerms.collect { case Const(p) => p },
+            star = mod == "*")
+        else {
+          // non-plain steps — (a|b)+, (a+/c)* — take the general tree
+          val seq =
+            if (stepTerms.length == 1) toPExpr(stepTerms.head)
+            else PExpr.PSeq(stepTerms.map(toPExpr))
+          PathTree(if (mod == "*") PExpr.Star(seq) else PExpr.Plus(seq))
+        }
     }
+    // TOP-LEVEL alternation outranks sequence (SPARQL 1.1 §9.1
+    // precedence: `|` binds loosest): a|b/c ≡ a|(b/c). Checked before
+    // the '/'-split so unparenthesized mixes parse per spec. Bare
+    // tokens only; split is paren- and IRI-aware.
+    else if (depth0Split(tok, '|').length > 1 &&
+        depth0SlashSplit(tok).length > 1 && !tok.startsWith("<") &&
+        !tok.startsWith("\"") && tok.length > 1)
+      PathTree(PExpr.Alt(depth0Split(tok, '|').map(b => pathExprOf(b))))
     // sequence path p1/p2/...: bare-token paths only (URIs and quoted
     // literals containing '/' stay constants); each step may be any
     // single-predicate path form (a+, ^a, a?, ...), a parenthesized
@@ -1433,7 +1567,7 @@ object Sparql {
         case PathSeq(inner) => inner // nested sequence group flattens
         case s @ (Const(_) | PathPlus(_) | PathStar(_) | PathOpt(_) |
                   PathInverse(_) | PathAlt(_) | PathRepeat(_, _, _) |
-                  PathGroupRepeat(_, _)) => Seq(s)
+                  PathGroupRepeat(_, _) | PathTree(_)) => Seq(s)
         case other => throw new IllegalArgumentException(
           s"sequence-path steps must be predicate paths, got $other in $tok")
       })
@@ -1446,35 +1580,44 @@ object Sparql {
         require(hi <= 8, s"path repeat bound is capped at 8 hops: $tok")
         term(inner) match {
           case Const(p) => PathRepeat(p, lo, hi)
-          case other => throw new IllegalArgumentException(
-            s"counted repetition applies to plain predicates, got $other in $tok")
+          // counted repetition over a composite — (a|b){2,3} — nests
+          case other => PathTree(PExpr.Repeat(toPExpr(other), lo, hi))
         }
     }
     else if (tok.endsWith("+") && tok.length > 1) term(tok.dropRight(1)) match {
       case Const(p) => PathPlus(p)
-      case other => other
+      case other => PathTree(PExpr.Plus(toPExpr(other)))
     }
     else if (tok.endsWith("*") && tok.length > 1) term(tok.dropRight(1)) match {
       case Const(p) => PathStar(p)
-      case other => other
+      case other => PathTree(PExpr.Star(toPExpr(other)))
     }
     else if (tok.endsWith("?") && tok.length > 1) term(tok.dropRight(1)) match {
       case Const(p) => PathOpt(p)
-      case other => other
+      case other => PathTree(PExpr.ZeroOne(toPExpr(other)))
     }
     else if (tok.startsWith("^") && tok.length > 1) term(tok.drop(1)) match {
       case Const(p) => PathInverse(p)
-      case other => other
+      // inverse of a composite — ^(p1|p2), ^(a/b), ^a+ — nests
+      case other => PathTree(PExpr.Inv(toPExpr(other)))
     }
     // alternation applies to bare-token paths only: a URI or quoted
-    // literal containing '|' stays a constant
-    else if (tok.contains("|") && !tok.startsWith("<") && !tok.startsWith("\"")
-        && tok.length > 1)
-      PathAlt(tok.split("\\|").toSeq.map(t => term(t) match {
-        case Const(p) => p
-        case other => throw new IllegalArgumentException(
-          s"alternation branches must be plain predicates, got $other in $tok")
-      }))
+    // literal containing '|' stays a constant. The split is paren- and
+    // IRI-aware so group branches never tear: (a/b)|c
+    else if (depth0Split(tok, '|').length > 1 && !tok.startsWith("<") &&
+        !tok.startsWith("\"") && tok.length > 1) {
+      val branches = depth0Split(tok, '|').map(_.trim).map { b =>
+        if (b.length > 2 && b.startsWith("(") && b.endsWith(")") &&
+            parenCloseOf(b, 0) == b.length - 1)
+          term(b.substring(1, b.length - 1).trim)
+        else term(b)
+      }
+      if (branches.forall(_.isInstanceOf[Const]))
+        PathAlt(branches.collect { case Const(p) => p })
+      else
+        // alternation over composites — a+|b, (a/b)|c — nests
+        PathTree(PExpr.Alt(branches.map(toPExpr)))
+    }
     else if (tok.startsWith("<") && tok.endsWith(">")) Const(tok.drop(1).dropRight(1))
     else if (tok.startsWith("\"") && tok.endsWith("\"") && tok.length >= 2)
       Const(unescapeLit(tok.drop(1).dropRight(1)))

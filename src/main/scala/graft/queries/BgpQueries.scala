@@ -2860,7 +2860,71 @@ object BgpQueries {
             | ?n <name> ?nm .
             | graph <g:r> { ?n <inregion> ?r } }""".stripMargin)
       },
-      Some(turtleOracle))
+      Some(turtleOracle)),
+
+    // NESTED property paths (round 13): inverse of an alternation —
+    // ^(custkey|suppliedby) walks both edge kinds BACKWARD (customer/
+    // supplier to their orders) in one path term, a spelling the flat
+    // single-predicate forms cannot express (SPARQL 1.1 §9.1 full
+    // composition; r12 verdict gap #4). The planner evaluates the
+    // tree compositionally: alternation = bag union of slices,
+    // inverse = column swap — no shuffle beyond the slices' own reads.
+    // Bag semantics: one row per (entity, order) incidence.
+    GQuery(
+      "q371_bgp_path_inverse_alt",
+      bgp("""select ?e ?n where {
+            | ?e ^(custkey|suppliedby) ?o .
+            | ?e nationkey ?n }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS e,
+             |  concat('nation:', c_nationkey) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |UNION ALL
+             |SELECT concat('supplier:', s_suppkey),
+             |  concat('nation:', s_nationkey)
+             |FROM supplier JOIN (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem) ON l_suppkey = s_suppkey""".stripMargin)),
+
+    // alternation under transitive closure — (custkey|nationkey)+ —
+    // the derived edge relation (orders→customers ∪ {customers,
+    // suppliers}→nations) closes transitively via the SAME distributed
+    // path-doubling iteration as p+ (log₂ rounds of self-joins, set
+    // semantics). The star-schema graph is a 2-level DAG, so the
+    // oracle mirrors the closure as the explicit union of 1- and
+    // 2-hop reachability, no recursion needed.
+    GQuery(
+      "q372_bgp_path_nested_closure",
+      bgp("""select ?s ?x where {
+            | ?s (custkey|nationkey)+ ?x }""".stripMargin),
+      Some("""SELECT concat('order:', o_orderkey) AS s,
+             |  concat('customer:', o_custkey) AS x FROM orders
+             |UNION
+             |SELECT concat('customer:', c_custkey),
+             |  concat('nation:', c_nationkey) FROM customer
+             |UNION
+             |SELECT concat('supplier:', s_suppkey),
+             |  concat('nation:', s_nationkey) FROM supplier
+             |UNION
+             |SELECT concat('order:', o_orderkey),
+             |  concat('nation:', c_nationkey)
+             |FROM orders JOIN customer ON c_custkey = o_custkey"""
+        .stripMargin)),
+
+    // the encoded twin of q371: the nested tree evaluates on xxhash64
+    // id slices, decode at the result edge only — parity with the flat
+    // forms' dual-encoding gating (q348/q349 convention)
+    GQuery(
+      "q373_bgp_path_inverse_alt_encoded",
+      bgp("""select ?e ?n where {
+            | ?e ^(custkey|suppliedby) ?o .
+            | ?e nationkey ?n }""".stripMargin, encoded = true),
+      Some("""SELECT concat('customer:', c_custkey) AS e,
+             |  concat('nation:', c_nationkey) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |UNION ALL
+             |SELECT concat('supplier:', s_suppkey),
+             |  concat('nation:', s_nationkey)
+             |FROM supplier JOIN (SELECT DISTINCT l_orderkey, l_suppkey
+             |  FROM lineitem) ON l_suppkey = s_suppkey""".stripMargin))
   )
 
   private val pathGroupOracle =

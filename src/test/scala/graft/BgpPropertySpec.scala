@@ -553,6 +553,82 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NESTED path trees equal a naive evaluator (40 random trees)") {
+    import spark.implicits._
+    val rnd = new Random(4242L)
+    val ents = Vector("e0", "e1", "e2", "e3", "e4")
+    val preds = Vector("p0", "p1", "p2")
+
+    sealed trait PT
+    case class L(p: String) extends PT
+    case class I(x: PT) extends PT
+    case class A(a: PT, b: PT) extends PT
+    case class S(a: PT, b: PT) extends PT
+    case class P(x: PT) extends PT
+    case class St(x: PT) extends PT
+    case class Q(x: PT) extends PT
+    case class Rep(x: PT, lo: Int, hi: Int) extends PT
+
+    def render(t: PT): String = t match {
+      case L(p) => p
+      case I(x) => s"^${render(x)}"
+      case A(a, b) => s"(${render(a)}|${render(b)})"
+      case S(a, b) => s"(${render(a)}/${render(b)})"
+      case P(x) => s"(${render(x)})+"
+      case St(x) => s"(${render(x)})*"
+      case Q(x) => s"(${render(x)})?"
+      case Rep(x, lo, hi) => s"(${render(x)}){$lo,$hi}"
+    }
+    def gen(depth: Int): PT =
+      if (depth == 0) L(preds(rnd.nextInt(preds.size)))
+      else rnd.nextInt(8) match {
+        case 0 => A(gen(depth - 1), gen(depth - 1))
+        case 1 => S(gen(depth - 1), gen(depth - 1))
+        case 2 => I(gen(depth - 1))
+        case 3 => P(gen(depth - 1))
+        case 4 => St(gen(depth - 1))
+        case 5 => Q(gen(depth - 1))
+        case 6 => Rep(gen(depth - 1), 1 + rnd.nextInt(2), 2 + rnd.nextInt(2))
+        case 7 => L(preds(rnd.nextInt(preds.size)))
+      }
+
+    type R = Set[(String, String)]
+    def vids(r: R): R = r.flatMap(x => Set(x._1, x._2)).map(v => (v, v))
+    def comp(a: R, b: R): R =
+      for ((x, m) <- a; (m2, y) <- b if m == m2) yield (x, y)
+    def hopsOf(r: R, k: Int): R =
+      if (k == 0) vids(r) else (1 until k).foldLeft(r)((acc, _) => comp(acc, r))
+    def evalT(t: PT, ed: Map[String, R]): R = t match {
+      case L(p) => ed.getOrElse(p, Set.empty)
+      case I(x) => evalT(x, ed).map(_.swap)
+      case A(a, b) => evalT(a, ed) ++ evalT(b, ed)
+      case S(a, b) => comp(evalT(a, ed), evalT(b, ed))
+      case P(x) =>
+        val r = evalT(x, ed); (1 to ents.size).flatMap(hopsOf(r, _)).toSet
+      case St(x) =>
+        val r = evalT(x, ed); (0 to ents.size).flatMap(hopsOf(r, _)).toSet
+      case Q(x) => val r = evalT(x, ed); r ++ vids(r)
+      case Rep(x, lo, hi) =>
+        val r = evalT(x, ed); (lo to hi).flatMap(hopsOf(r, _)).toSet
+    }
+
+    for (round <- 0 until 40) {
+      val triples = Seq.fill(5 + rnd.nextInt(12))(
+        (ents(rnd.nextInt(ents.size)), preds(rnd.nextInt(preds.size)),
+          ents(rnd.nextInt(ents.size)))).distinct
+      val ed: Map[String, R] = triples.groupBy(_._2)
+        .map { case (p, ts) => p -> ts.map(t => (t._1, t._3)).toSet }
+      val tree = gen(1 + rnd.nextInt(2))
+      val want = evalT(tree, ed)
+      val q = s"select ?X ?Y where { ?X ${render(tree)} ?Y }"
+      val store = TripleStore.fromTriples(triples.toDF("s", "p", "o"))
+      val got = BgpPlanner.query(store, q).collect()
+        .map(r => (r.getAs[String]("X"), r.getAs[String]("Y"))).toSet
+      assert(got == want,
+        s"round $round: $q over $triples\ngot $got\nwant $want")
+    }
+  }
+
   test("planner equals brute-force with UNION groups (20 random)") {
     import spark.implicits._
     val rnd = new Random(31337L)
