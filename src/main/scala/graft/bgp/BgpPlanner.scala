@@ -1390,18 +1390,21 @@ object BgpPlanner {
       // cross-engine exact (no calendar library in the loop), null on
       // non-date shapes via the rlike guard (ANSI-safe, like
       // RdfLex.numeric)
+      // the year group is `-?\d{4,}`: XSD permits negative years (BCE)
+      // and 5+-digit years; month/day positions anchor AFTER the
+      // variable-width year via group extraction, not fixed offsets
       case BFunc1("year", a) =>
-        val lx = RdfLex.lex(bindCol(a, lex))
-        when(lx.rlike("^\\d{4}-\\d\\d-\\d\\d"),
-          substring(lx, 1, 4).cast("long"))
+        val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "^(-?\\d{4,})-\\d\\d-\\d\\d", 1)
+        when(f =!= "", f.cast("long"))
       case BFunc1("month", a) =>
-        val lx = RdfLex.lex(bindCol(a, lex))
-        when(lx.rlike("^\\d{4}-\\d\\d-\\d\\d"),
-          substring(lx, 6, 2).cast("long"))
+        val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "^-?\\d{4,}-(\\d\\d)-\\d\\d", 1)
+        when(f =!= "", f.cast("long"))
       case BFunc1("day", a) =>
-        val lx = RdfLex.lex(bindCol(a, lex))
-        when(lx.rlike("^\\d{4}-\\d\\d-\\d\\d"),
-          substring(lx, 9, 2).cast("long"))
+        val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
+          "^-?\\d{4,}-\\d\\d-(\\d\\d)", 1)
+        when(f =!= "", f.cast("long"))
       case BFunc1("hours", a) =>
         val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
           "T(\\d\\d):", 1)
@@ -1414,11 +1417,16 @@ object BgpPlanner {
         val f = regexp_extract(RdfLex.lex(bindCol(a, lex)),
           "T\\d\\d:\\d\\d:(\\d\\d(?:\\.\\d+)?)", 1)
         when(f =!= "", f.cast("double"))
-      // TZ (§17.4.5.8): "Z", an offset, or "" when absent — a simple
-      // literal either way, so no cast to guard
+      // TZ (§17.4.5.8): "Z", an offset, or "" when the dateTime has no
+      // timezone — but a NON-dateTime argument is a type error
+      // (unbound/null), distinguished from the legitimate ""-for-
+      // timezone-less case by the same dateTime-shape guard the other
+      // accessors use (regexp_extract's no-match result would conflate
+      // the two)
       case BFunc1("tz", a) =>
-        regexp_extract(RdfLex.lex(bindCol(a, lex)),
-          "(Z|[+-]\\d\\d:\\d\\d)$", 0)
+        val lx = RdfLex.lex(bindCol(a, lex))
+        when(lx.rlike("^-?\\d{4,}-\\d\\d-\\d\\dT"),
+          regexp_extract(lx, "(Z|[+-]\\d\\d:\\d\\d)$", 0))
       // STR (§17.4.2.5): a literal's lexical form, an IRI unchanged —
       // the FILTER surface's decoration stripper exposed to BIND
       case BFunc1("str", a) => RdfLex.lex(bindCol(a, lex))
@@ -1429,8 +1437,14 @@ object BgpPlanner {
         concat(lit("\""), bindCol(a, lex).cast("string"),
           lit("\"@" + tag.toLowerCase))
       case BStr2("strdt", a, dt) =>
-        concat(lit("\""), bindCol(a, lex).cast("string"),
-          lit("\"^^<" + Sparql.datatypeUri(dt) + ">"))
+        // xsd:string-typed literals canonicalize to the BARE lexical
+        // store-wide (Sparql.canonTyped) — STRDT must emit the same
+        // spelling or its output never joins/compares equal to stored
+        // simple literals
+        val uri = Sparql.datatypeUri(dt)
+        if (uri == Sparql.XsdNs + "string") bindCol(a, lex).cast("string")
+        else concat(lit("\""), bindCol(a, lex).cast("string"),
+          lit("\"^^<" + uri + ">"))
       case BFunc1(other, _) =>
         throw new IllegalArgumentException(s"unknown BIND function: $other")
       case BSubstr(a, st, ln) => bindCol(a, lex).cast("string")

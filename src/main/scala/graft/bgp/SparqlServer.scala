@@ -289,6 +289,19 @@ object SparqlServer {
     }
   }
 
+  /** Lowercase the Accept header and DROP media-range entries the
+    * client explicitly refused with `;q=0` (RFC 9110 §12.4.2: qvalue 0
+    * means "not acceptable") — the first-position match must never
+    * select a refused type. Full q-value weighting stays out of scope
+    * (listing order is the de-facto preference signal); only the
+    * hard-refusal form is honored.
+    */
+  private def acceptableRanges(accept: String): String =
+    accept.toLowerCase(java.util.Locale.ROOT).split(",")
+      .filterNot(_.split(";").drop(1)
+        .exists(_.trim.matches("q=0(\\.0{1,3})?")))
+      .mkString(",")
+
   /** Graph-form content negotiation (CONSTRUCT/DESCRIBE responses):
     * first-listed supported type wins, like [[negotiated]]; no
     * supported type → N-Triples.
@@ -296,7 +309,7 @@ object SparqlServer {
   private def negotiatedGraph(accept: String): String = {
     val supported = Seq("application/n-triples", "text/turtle",
       "application/trig")
-    val acceptLc = accept.toLowerCase(java.util.Locale.ROOT)
+    val acceptLc = acceptableRanges(accept)
     supported.map(t => (acceptLc.indexOf(t), t))
       .filter(_._1 >= 0).sortBy(_._1).map(_._2).headOption
       .getOrElse("application/n-triples")
@@ -343,8 +356,9 @@ object SparqlServer {
       "application/sparql-results+xml", "text/csv",
       "text/tab-separated-values")
     // media types are case-insensitive (RFC 9110 §8.3.1): 'TEXT/CSV'
-    // must match — the supported list is already lowercase
-    val acceptLc = accept.toLowerCase(java.util.Locale.ROOT)
+    // must match — the supported list is already lowercase; ;q=0
+    // refusals are stripped first (acceptableRanges)
+    val acceptLc = acceptableRanges(accept)
     supported.map(t => (acceptLc.indexOf(t), t))
       .filter(_._1 >= 0).sortBy(_._1).map(_._2).headOption
       .getOrElse("application/sparql-results+json")

@@ -56,6 +56,13 @@ object CompressedIngest {
     import spark.implicits._
     val files = listDataFiles(spark, inPath)
     require(files.nonEmpty, s"no data files under $inPath")
+    // OVERWRITE semantics, decided on the driver before the job: input
+    // part-file names differ per upstream write, so a stale shard dir
+    // would otherwise ACCUMULATE shards across runs — a silent 2x/3x
+    // row duplication on re-ingest
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outP, true)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val target = math.max(targetShardBytes, 1024L)
@@ -76,7 +83,18 @@ object CompressedIngest {
     * terminator boundary past the size target. Byte-level terminator
     * matching is UTF-8-safe: every terminator byte is ASCII and ASCII
     * bytes never occur inside multi-byte UTF-8 sequences.
+    *
+    * PIPELINED (round 13): decompression (CPU) and shard writes (I/O)
+    * run on separate threads joined by a bounded chunk queue, so a
+    * SINGLE-file dump — the most common real download, whose intrinsic
+    * parallelism floor is one decompress stream — costs
+    * max(decompress, write) wall-clock instead of their sum. Memory
+    * stays constant: the queue holds at most [[PipelineQueueChunks]]
+    * ~1 MB chunks and `put` backpressures the decompressor when the
+    * writer lags.
     */
+  private[sources] val PipelineQueueChunks = 16
+
   private def shardOneFile(hconf: org.apache.hadoop.conf.Configuration,
       src: String, outDir: String, target: Long): (String, Int, Long) = {
     val srcPath = new org.apache.hadoop.fs.Path(src)
@@ -97,17 +115,52 @@ object CompressedIngest {
         .getOrElse(n)
       stripped.replaceAll("[^A-Za-z0-9._-]", "_")
     }
-    var shardIdx = 0
+    // writer-thread protocol: Array[Byte] = append to the current
+    // shard; CUT = close it and open the next; DONE = finish
+    val CUT = new Object
+    val DONE = new Object
+    val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](
+      PipelineQueueChunks)
+    @volatile var werr: Throwable = null
+    val writer = new Thread(() => {
+      var out: java.io.OutputStream = null
+      var idx = 0
+      def openShard(): Unit = {
+        out = outFs.create(new org.apache.hadoop.fs.Path(
+          outDir, f"$baseName-s$idx%05d"), true)
+        idx += 1
+      }
+      try {
+        openShard()
+        var ev = queue.take()
+        while (ev ne DONE) {
+          ev match {
+            case arr: Array[Byte] => out.write(arr)
+            case _ => out.close(); out = null; openShard()
+          }
+          ev = queue.take()
+        }
+      } catch {
+        // exit immediately: the producer's offer-with-timeout loop
+        // observes werr and aborts its own side
+        case t: Throwable => werr = t
+      } finally if (out != null) out.close()
+    }, s"graft-shard-writer-$baseName")
+    writer.setDaemon(true)
+    var shardIdx = 1 // the writer opens shard 0 up front
     var bytesOut = 0L
-    var out: java.io.OutputStream = null
     var shardBytes = 0L
-    def openShard(): Unit = {
-      out = outFs.create(new org.apache.hadoop.fs.Path(
-        outDir, f"$baseName-s$shardIdx%05d"), true)
-      shardIdx += 1
-      shardBytes = 0L
+    def put(ev: AnyRef): Unit = {
+      while (!queue.offer(ev, 100,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        if (werr != null) throw new java.io.IOException(
+          s"shard writer failed for $src", werr)
+      }
+      if (werr != null) throw new java.io.IOException(
+        s"shard writer failed for $src", werr)
     }
     try {
+      writer.start()
       // probe the terminator from the decompressed head (bounded read,
       // buffered back into the stream via mark/reset)
       in.mark(65536)
@@ -126,7 +179,6 @@ object CompressedIngest {
       // position against the terminator (exact for these patterns —
       // no terminator has an internal repeated prefix beyond its first
       // byte); once past the size target, cut at the next match
-      openShard()
       var m = 0 // matched prefix length of termBytes
       val buf = new Array[Byte](1 << 20)
       var n = in.read(buf)
@@ -141,27 +193,67 @@ object CompressedIngest {
           if (m == termBytes.length) {
             m = 0
             if (shardBytes + (i - start) >= target) {
-              out.write(buf, start, i - start)
+              put(java.util.Arrays.copyOfRange(buf, start, i))
               bytesOut += i - start
-              out.close(); out = null
-              openShard()
+              put(CUT)
+              shardIdx += 1
+              shardBytes = 0L
               start = i
             }
           }
         }
-        out.write(buf, start, n - start)
-        shardBytes += n - start
-        bytesOut += n - start
+        if (n - start > 0) {
+          put(java.util.Arrays.copyOfRange(buf, start, n))
+          shardBytes += n - start
+          bytesOut += n - start
+        }
         n = in.read(buf)
       }
+      put(DONE)
+      writer.join()
+      if (werr != null) throw new java.io.IOException(
+        s"shard writer failed for $src", werr)
     } finally {
-      if (out != null) out.close()
       in.close()
+      if (writer.isAlive) { queue.clear(); queue.offer(DONE); writer.join(10000) }
     }
     // an empty trailing shard (file ended exactly on a cut) is fine —
     // readers skip empty files; report the real shard count
     (src, shardIdx, bytesOut)
   }
+
+  /** Is every data file under `path` a SPLITTABLE compressed format
+    * (bzip2 — block-compressed, Hadoop's record readers split it
+    * natively) or plain text? Then the shard step is unnecessary:
+    * point the statement-delimited readers at the dump directly and
+    * FileInputFormat fans the parse out inside each file, even a
+    * single 100 GB one — the arm that lifts the gzip single-file
+    * parallelism floor when the publisher ships `.bz2` (DBpedia does).
+    */
+  def splittable(spark: SparkSession, path: String): Boolean = {
+    val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration)
+    listDataFiles(spark, path).forall { f =>
+      factory.getCodec(new org.apache.hadoop.fs.Path(f)) match {
+        case null => true // plain text splits natively
+        case c => c.isInstanceOf[
+          org.apache.hadoop.io.compress.SplittableCompressionCodec]
+      }
+    }
+  }
+
+  /** Resolve the path the delimited readers should parse: the dump
+    * itself when [[splittable]] (zero-copy — bz2/plain fan out
+    * natively), else the [[decompressAndShard]] output (the explicit
+    * one-pass rewrite gzip requires).
+    */
+  def readablePath(spark: SparkSession, inPath: String, shardDir: String,
+      targetShardBytes: Long = DefaultShardBytes): String =
+    if (splittable(spark, inPath)) inPath
+    else {
+      decompressAndShard(spark, inPath, shardDir, targetShardBytes)
+      shardDir
+    }
 
   /** Same preference order as [[TurtleIO.probeSep]]: spaced dot beats
     * unspaced (every " .\n" contains ".\n"; the spaced split never

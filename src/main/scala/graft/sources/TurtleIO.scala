@@ -158,19 +158,80 @@ object TurtleIO {
     * Tear salvage still applies; the head fragment's offset picks the
     * state.
     */
+  /** ODD count of unescaped '"' in a chunk — the cheap tear signature:
+    * a long literal torn at the record delimiter leaves its OPENING
+    * fragment (and its CLOSING fragment) with unbalanced quotes, while
+    * every well-formed chunk balances. O(n) scan, no allocation.
+    */
+  private def quoteParityOdd(s: String): Boolean = {
+    var i = 0
+    var q = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '"' && (i == 0 || s.charAt(i - 1) != '\\')) q += 1
+      i += 1
+    }
+    (q & 1) == 1
+  }
+
   private[graft] def scopedTurtleAudit(spark: SparkSession,
       path: String, sep: String, maxSplitBytes: Long = 0L): DataFrame = {
     import spark.implicits._
     val chunks = offsetChunks(spark, path, sep, maxSplitBytes)
-    val dirs = chunks.flatMap { case (f, off, c) =>
-      if (!directiveHint(c, headOnly = true)) Nil
-      else tokenize(c.trim).map(ts =>
-        scanDirectives(ts)._2.map { case (kind, pre, iri) =>
-          (f, off, kind, pre, iri) }).getOrElse(Nil)
-    }.take(MaxPrefixes + 1)
+    // Positioned-site collection guards against PHANTOM directives
+    // tokenized from torn-literal CONTENT (a long literal whose text
+    // contains terminator sequences splits into fragments; an interior
+    // fragment spelling '@prefix …' would otherwise rebind that prefix
+    // for every later statement in the file — silently). The guard is
+    // the tear's signature: a chunk with BOTH unbalanced quotes (cheap
+    // parity pre-filter) AND a failing tokenize (the real signal — a
+    // valid odd-parity long literal like \"\"\"a \"q\"\"\"\" still
+    // tokenizes) OPENS a suspect span; the next such chunk CLOSES it
+    // (the torn literal's head and tail fragments). Sites inside the
+    // span are dropped — the torn statement itself still salvages or
+    // quarantines in pass 2, and a mis-closed span only SUPPRESSES
+    // later directives (statements then quarantine loudly) — never
+    // silently rebinds. Cost: one parity scan per chunk; a tokenize
+    // only on the rare unbalanced ones.
+    val dirSites = chunks.mapPartitions { it =>
+      var curFile: String = null
+      var openTear = false
+      it.flatMap { case (f, off, c) =>
+        if (f != curFile) { curFile = f; openTear = false }
+        val body = c.trim
+        // tear signature: unbalanced quotes (parity pre-filter) AND the
+        // chunk either fails to tokenize (unterminated literal — the
+        // head fragment) or carries a quote inside a bare token (the
+        // tail fragment's stray closing quote rides a word). A VALID
+        // odd-parity long literal ("""a "q"""") tokenizes into
+        // quote-LED tokens and matches neither.
+        def tearSig: Boolean = tokenize(body) match {
+          case None => true
+          case Some(ts) =>
+            ts.exists(t => !t.startsWith("\"") && t.contains("\""))
+        }
+        if (body.isEmpty) Nil
+        else if (quoteParityOdd(body) && tearSig) {
+          openTear = !openTear; Nil
+        }
+        else if (openTear || !directiveHint(c, headOnly = true)) Nil
+        else tokenize(body).map(ts =>
+          scanDirectives(ts)._2.map { case (kind, pre, iri) =>
+            (f, off, kind, pre, iri) }).getOrElse(Nil)
+      }
+    }
+    // bound DISTINCT directives (file, kind, prefix, iri) at their
+    // FIRST site, not raw sites: a sharded dump repeating its header
+    // per file (files × prefixes sites) must not trip the bound the
+    // escalation path exists to serve — matching collectDirectives'
+    // dedupe-before-bound discipline
+    val dirs = dirSites
+      .map { case (f, off, kind, pre, iri) => ((f, kind, pre, iri), off) }
+      .reduceByKey(math.min)
+      .map { case ((f, kind, pre, iri), off) => (f, off, kind, pre, iri) }
+      .take(MaxPrefixes + 1)
     require(dirs.length <= MaxPrefixes,
-      s"more than $MaxPrefixes positioned prefix/base directives: not " +
-        "a Turtle dump")
+      s"more than $MaxPrefixes distinct positioned prefix/base " +
+        "directives: not a Turtle dump")
     val byFile: Map[String, Array[(Long, String, String, String)]] =
       dirs.groupBy(_._1).map { case (f, ds) =>
         f -> ds.map(d => (d._2, d._3, d._4, d._5)).sortBy(_._1)

@@ -113,6 +113,39 @@ object IngestProbe {
       .collect())
     val (nGz, sGzParse) = time(
       graft.sources.TurtleIO.turtleDF(spark, s"$base/ttlgz_shards").count())
+    // SINGLE-file compressed arms (round 13): the shape the most
+    // common real download has. gzip: one decompress stream is the
+    // intrinsic floor — the pipelined shard step overlaps decompress
+    // with shard writes, then the parse fans out over shards. bzip2:
+    // block-compressed, Hadoop splits it NATIVELY — zero-copy, the
+    // parse fans out inside the one file.
+    ttl.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").text(s"$base/ttlgz1")
+    val gz1Bytes = du(s"$base/ttlgz1")
+    val (_, sShard1) = time(graft.sources.CompressedIngest
+      .decompressAndShard(spark, s"$base/ttlgz1", s"$base/ttlgz1_shards")
+      .collect())
+    val (nGz1, sGz1Parse) = time(
+      graft.sources.TurtleIO.turtleDF(spark, s"$base/ttlgz1_shards").count())
+    ttl.coalesce(1).write.mode("overwrite")
+      .option("compression", "bzip2").text(s"$base/ttlbz1")
+    val bz1Bytes = du(s"$base/ttlbz1")
+    // probe-scale seam: the fixture is far below the 128 MB default
+    // split size, so force ~1 MB splits to demonstrate the intra-file
+    // fan-out a real 100 GB dump gets for free
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+    val (nBz1, sBz1) =
+      try time(graft.sources.TurtleIO.turtleDF(spark, s"$base/ttlbz1").count())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+    require(nGz1 == nTtl && nBz1 == nTtl,
+      s"single-file arms row mismatch: gz $nGz1 bz2 $nBz1 expected $nTtl")
+    println(f"[ingest-probe] single-file: gzip(${gz1Bytes / 1e6}%.1f MB) " +
+      f"pipelined shard $sShard1%.2f s + parse $sGz1Parse%.2f s " +
+      f"(${bytes / 1e6 / (sShard1 + sGz1Parse)}%.1f MB/s uncompressed " +
+      f"end-to-end), bzip2(${bz1Bytes / 1e6}%.1f MB) native-split parse " +
+      f"$sBz1%.2f s (${bytes / 1e6 / sBz1}%.1f MB/s, zero-copy)")
+
     println(f"[ingest-probe] corpus: ${bytes / 1e6}%.1f MB, " +
       f"turtle: $nTtl rows in $sTtl%.2f s (${bytes / 1e6 / sTtl}%.1f MB/s), " +
       f"ntriples: $nNt rows in $sNt%.2f s (${bytes / 1e6 / sNt}%.1f MB/s), " +

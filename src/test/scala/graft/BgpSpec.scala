@@ -1466,6 +1466,42 @@ class BgpSpec extends AnyFunSuite {
     assert(out.getAs[String]("d") ==
       "\"a b+c*d~e/f\"^^<http://www.w3.org/2001/XMLSchema#token>")
     assert(out.getAs[String]("s2") == "a b+c*d~e/f")
+    // STRDT(x, xsd:string) emits the STORE's canonical spelling — the
+    // BARE lexical (canonTyped collapses xsd:string) — so its output
+    // joins/compares equal to stored simple literals
+    val str = BgpPlanner.query(st,
+      """select ?d2 where { ?x v ?val .
+        | BIND (strdt(?val, xsd:string) AS ?d2) }""".stripMargin)
+      .collect().head
+    assert(str.getAs[String]("d2") == "a b+c*d~e/f",
+      "xsd:string STRDT must be the bare canonical lexical")
+  }
+
+  test("TZ is a type error (unbound) on non-dateTime; wide/negative years") {
+    import spark.implicits._
+    val st = TripleStore.fromTriples(Seq(
+      ("t:1", "v", "\"2001-02-03T04:05:06+05:30\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"),
+      ("t:2", "v", "\"2001-02-03T04:05:06\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"),
+      ("t:3", "v", "not a date"),
+      ("t:4", "v", "\"-0450-06-01T00:00:00Z\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"),
+      ("t:5", "v", "\"12025-01-02T00:00:00Z\"^^<http://www.w3.org/2001/XMLSchema#dateTime>"))
+      .toDF("s", "p", "o"))
+    val out = BgpPlanner.query(st,
+      """select ?x ?tz ?y where { ?x v ?val .
+        | BIND (tz(?val) AS ?tz) .
+        | BIND (year(?val) AS ?y) }""".stripMargin).collect()
+      .map(r => r.getAs[String]("x") ->
+        ((Option(r.getAs[String]("tz")), Option(r.get(r.fieldIndex("y"))))))
+      .toMap
+    // offset, "" for a timezone-LESS dateTime (bound, distinct from
+    // the type-error null), null for a non-dateTime
+    assert(out("t:1")._1.contains("+05:30"))
+    assert(out("t:2")._1.contains(""))
+    assert(out("t:3")._1.isEmpty, "TZ on a non-dateTime must be unbound")
+    // negative and 5-digit years extract through the widened anchor
+    assert(out("t:4")._2.contains(-450L))
+    assert(out("t:5")._2.contains(12025L))
+    assert(out("t:3")._2.isEmpty)
   }
 
   test("BIND string functions: UCASE/LCASE/SUBSTR/REPLACE/IF") {
@@ -2487,6 +2523,13 @@ class BgpSpec extends AnyFunSuite {
         "<t:1>\t\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>\n"))
       assert(tsv.contains("<t:2>\t\"bonjour\"@fr\n"))
       assert(tsv.contains("<t:3>\t\"with, comma\"\n"))
+      // ;q=0 is an explicit REFUSAL (RFC 9110 §12.4.2): a refused type
+      // listed first must not win the position match
+      val (qc, qBody) = http("GET", s"${h.endpoint}?query=$q",
+        accept = "text/csv;q=0, text/tab-separated-values")
+      assert(qc == 200)
+      assert(qBody.startsWith("?s\t?v\n"),
+        s"q=0-refused CSV must lose to TSV, got: ${qBody.take(40)}")
       // ASK: boolean results-JSON
       val ask = java.net.URLEncoder.encode(
         "ask where { <t:1> val ?v }", "UTF-8")

@@ -155,6 +155,70 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("scoped scan bounds DISTINCT directives, not raw sites (repeated headers)") {
+    // a dump whose identical directives repeat at >MaxPrefixes SITES
+    // (self-contained sections — legal and common in concatenated
+    // exports) must still escalate cleanly: the bound counts distinct
+    // (file, kind, prefix, iri) at their first site, matching
+    // collectDirectives' dedupe-before-bound discipline
+    val dir = java.nio.file.Files.createTempDirectory("graft-sites")
+    val perHeader = 20
+    val repeats = 501 // 501 x 20 = 10020 sites > MaxPrefixes(10000)
+    val header = (0 until perHeader)
+      .map(j => s"@prefix p$j: <http://a.org/p$j/> .").mkString("\n")
+    val sb = new StringBuilder
+    for (r <- 0 until repeats) {
+      sb.append(header).append("\n")
+      sb.append(s"p0:s$r p1:p p2:o .\n")
+    }
+    java.nio.file.Files.write(dir.resolve("a.ttl"),
+      sb.toString.getBytes("UTF-8"))
+    // a second file redefines p0 differently — the cross-file conflict
+    // forces the offset-scoped path where the site bound lives
+    java.nio.file.Files.write(dir.resolve("b.ttl"),
+      ("@prefix p0: <http://b.org/p0/> .\n" +
+        "p0:x p0:y p0:z .\n").getBytes("UTF-8"))
+    val audit = TurtleIO.turtleAudit(spark, dir.toString)
+    assert(audit.where(org.apache.spark.sql.functions.col("bad")
+      .isNotNull).count() == 0)
+    val subjects = audit.collect().map(_.getString(0)).toSet
+    assert(subjects.contains("http://a.org/p0/s0") &&
+      subjects.contains(s"http://a.org/p0/s${repeats - 1}") &&
+      subjects.contains("http://b.org/p0/x"), s"got ${subjects.take(5)}")
+  }
+
+  test("phantom directives inside torn-literal content never rebind") {
+    // a long literal whose CONTENT contains terminator sequences AND a
+    // conflicting '@prefix' spelling: the fragments tear at the
+    // delimiter; the interior fragment is a pure-directive-looking
+    // chunk that previously rebound ex: for the rest of the file. The
+    // dump also redefines ex: legitimately to force the scoped path.
+    val ttl =
+      "@prefix ex: <http://real.org/> .\n" +
+      "ex:s1 ex:note \"prose .\n@prefix ex: <http://evil.org/> .\nmore prose\" .\n" +
+      "ex:s2 ex:p ex:o .\n" +
+      "@prefix ex: <http://second.org/> .\n" +
+      "ex:s3 ex:p ex:o .\n"
+    val f = write("phantom.ttl", ttl)
+    val audit = TurtleIO.scopedTurtleAudit(spark, f, " .\n")
+    val rows = audit.collect()
+    val good = rows.filter(_.getString(3) == null)
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    // s2 stays under the REAL prefix (the phantom evil.org site was
+    // inside the torn span and must be dropped); s3 under the legit
+    // redefinition; s1's torn literal salvages with its content intact
+    assert(good.exists(_._1 == "http://real.org/s2"),
+      s"s2 must parse under real.org, got $good")
+    assert(good.exists(_._1 == "http://second.org/s3"),
+      s"s3 must parse under the legit redefinition, got $good")
+    // the phantom IRI may survive only as the salvaged literal's TEXT
+    // content (that's the data), never as a resolved TERM
+    assert(!good.exists(_._1.contains("evil.org")),
+      s"phantom prefix resolved a subject: $good")
+    assert(!good.exists(t => t._2.startsWith("http://evil.org/")),
+      s"phantom prefix resolved an object term: $good")
+  }
+
   test("randomized scoped-parse differential: sectioned redefinitions equal a sequential reference") {
     val rnd = new scala.util.Random(12012)
     for (trial <- 0 until 4) {
@@ -985,6 +1049,53 @@ class TurtleIOSpec extends AnyFunSuite {
     assert(scoped.count(!_._5) == blockGrain.count(!_._5))
     assert(good(scoped).exists(_._1 == "g:a"))
     assert(good(scoped).exists(_._1 == null))
+  }
+
+  test("bz2 single-file dumps split natively; readablePath skips the copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bz2").toString
+    val n = 20000
+    (0 until n).map(i => s"""<d:$i> <val> "v$i" .""").toDF("value")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "bzip2").text(s"$dir/in")
+    val p = graft.sources.CompressedIngest.readablePath(
+      spark, s"$dir/in", s"$dir/shards")
+    assert(p == s"$dir/in", "splittable dump must read zero-copy")
+    assert(!new java.io.File(s"$dir/shards").exists(),
+      "readablePath must not shard a splittable dump")
+    // native split fan-out INSIDE the one compressed file
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+      val df = TurtleIO.turtleDF(spark, p)
+      assert(df.rdd.getNumPartitions > 1,
+        s"expected multi-split read of one .bz2 file, got " +
+          s"${df.rdd.getNumPartitions} partition(s)")
+      assert(df.count() == n)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    // a gzip sibling is NOT splittable: readablePath shards it
+    (0 until 100).map(i => s"""<g:$i> <val> "w$i" .""").toDF("value")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").text(s"$dir/ingz")
+    val p2 = graft.sources.CompressedIngest.readablePath(
+      spark, s"$dir/ingz", s"$dir/shards2")
+    assert(p2 == s"$dir/shards2")
+    assert(TurtleIO.turtleDF(spark, p2).count() == 100)
+  }
+
+  test("pipelined shard step round-trips content exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
+    val lines = (0 until 5000).map(i => s"""<p:$i> <val> "x$i" .""")
+    lines.toDF("value").coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").text(s"$dir/in")
+    val manifest = graft.sources.CompressedIngest
+      .decompressAndShard(spark, s"$dir/in", s"$dir/out", 4096)
+    val shards = manifest.select("shards").head.getInt(0)
+    assert(shards > 1, s"fixture must multi-shard, got $shards")
+    val back = spark.read.textFile(s"$dir/out").collect().toSet
+    assert(back == lines.toSet,
+      "pipelined decompress-and-shard must preserve every statement")
   }
 
   test("statement chunking splits on the terminator, not on lines") {
