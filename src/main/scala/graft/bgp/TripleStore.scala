@@ -325,6 +325,23 @@ object TripleStore {
     }
   }
 
+  /** Versions of the dataset at `path` still on disk, ascending —
+    * the current version plus up to [[KeepVersions]]-1 retained
+    * predecessors. Each is readable via the version-pinned
+    * [[fromDatasetParquet]] until [[writeDatasetVersioned]]
+    * garbage-collects it. One filesystem listing; no data read.
+    */
+  def listVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val (fs, p) = fsPath(spark, path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v"))
+        scala.util.Try(n.drop(1).toInt).toOption
+      else None
+    }.sorted
+  }
+
   /** Resolve the CURRENT version root of the dataset at `path`: the
     * `v<n>` subdirectory the `VERSION` pointer names, or `path` itself
     * for a legacy (unversioned) [[writeDataset]] layout. Everything
@@ -517,17 +534,24 @@ object TripleStore {
     * the log per action.
     */
   private def deltaVerdict(spark: SparkSession, deltaPath: String,
-      keys: Seq[String]): Option[DataFrame] = {
+      keys: Seq[String], maxOps: Option[Int] = None): Option[DataFrame] = {
     val (fs, p) = fsPath(spark, deltaPath)
     if (!fs.exists(p) ||
         !fs.listStatus(p).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("seq=")))
+          st.isDirectory && st.getPath.getName.startsWith("seq=")) ||
+        maxOps.exists(_ <= 0))
       None
-    else Some(spark.read.parquet(deltaPath)
-      .groupBy(keys.map(col): _*)
-      .agg(max(col("seq").cast("long") * 2 +
-        when(!col("del"), 1).otherwise(0)).as("__w"))
-      .localCheckpoint(eager = false))
+    else {
+      // seq is the partition-discovered batch directory — a maxOps
+      // bound is partition PRUNING, later batches' files never open
+      val log = spark.read.parquet(deltaPath)
+      val bounded = maxOps.map(k => log.filter(col("seq") < k)).getOrElse(log)
+      Some(bounded
+        .groupBy(keys.map(col): _*)
+        .agg(max(col("seq").cast("long") * 2 +
+          when(!col("del"), 1).otherwise(0)).as("__w"))
+        .localCheckpoint(eager = false))
+    }
   }
 
   /** Load a dataset at `path`: resolves the current version root
@@ -540,11 +564,34 @@ object TripleStore {
     * guarded-broadcast (delta-sized by construction), so the base scan
     * keeps its pruning and the merge never shuffles the base.
     */
-  def fromDatasetParquet(spark: SparkSession, path: String): TripleStore = {
-    val root = datasetRoot(spark, path)
+  def fromDatasetParquet(spark: SparkSession, path: String): TripleStore =
+    loadVersionRoot(spark, datasetRoot(spark, path), None)
+
+  /** TIME-TRAVEL load: the dataset at `path` as it stood while
+    * retained `version` was current — the version's base checkpoint
+    * merged with its own delta log, or only the FIRST `maxOps` delta
+    * batches of it for op-grain history within the version (the log's
+    * `seq=` partitioning makes the bound partition pruning — later
+    * batches' files never open). `maxOps = Some(0)` is the bare
+    * checkpoint state at the version flip. Versions are readable
+    * while [[listVersions]] shows them ([[KeepVersions]] retention);
+    * a garbage-collected version fails loudly here rather than
+    * returning a partial store.
+    */
+  def fromDatasetParquet(spark: SparkSession, path: String, version: Int,
+      maxOps: Option[Int] = None): TripleStore = {
+    val avail = listVersions(spark, path)
+    require(avail.contains(version),
+      s"version $version of $path is not retained (available: " +
+        s"${avail.mkString(", ")})")
+    loadVersionRoot(spark, s"$path/v$version", maxOps)
+  }
+
+  private def loadVersionRoot(spark: SparkSession, root: String,
+      maxOps: Option[Int]): TripleStore = {
     val st0 = fromPartitionedParquet(spark, s"$root/default")
     val st = deltaVerdict(spark, s"$root/delta/default",
-        Seq("p", "s", "o")) match {
+        Seq("p", "s", "o"), maxOps) match {
       case None => st0
       case Some(v) =>
         val deltaPreds = v.select(col("p")).distinct()
@@ -570,7 +617,8 @@ object TripleStore {
           .select(col("g"), col("s"), col("p"), col("o")))
       else None
     val qCols = Seq("g", "p", "s", "o")
-    val quads = deltaVerdict(spark, s"$root/delta/quads", qCols) match {
+    val quads = deltaVerdict(spark, s"$root/delta/quads", qCols,
+        maxOps) match {
       case None => quadBase
       case Some(v) =>
         val alive = v.filter(col("__w") % 2 === 1)

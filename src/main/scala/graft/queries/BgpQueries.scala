@@ -2966,7 +2966,69 @@ object BgpQueries {
         BgpPlanner.query(st,
           "select ?n ?nm ?r where { ?n <name> ?nm . ?n <inregion> ?r }")
       },
-      Some(turtleOracle))
+      Some(turtleOracle)),
+
+    // TIME-TRAVEL read over the versioned dataset roots (round 13):
+    // the natural completion of snapshot isolation — retained versions
+    // are READABLE history, not just crash padding. The pinned
+    // `fromDatasetParquet(path, version, maxOps)` replays a version's
+    // base checkpoint plus the first `maxOps` batches of its own delta
+    // log (the log's seq= partitioning makes the bound partition
+    // pruning), so history is queryable at OP grain between
+    // checkpoints at zero extra write cost. Fixture: v0 absorbs three
+    // row-grain status ops, a structural op flips to v1; the query
+    // reads the op-1 state, the full-v0 state, and the current state
+    // and aggregates status counts per snapshot.
+    GQuery(
+      "q375_time_travel_read",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-tt-q")
+          .toString
+        val keys = graft.Tables.t(s, dir, "nation")
+          .select("n_nationkey").collect().map(_.get(0).toString).sorted
+        var cur: TripleStore = TripleStore.fromTriples(nationTriples(s, dir))
+        TripleStore.writeDatasetVersioned(cur, tmp)
+        cur = TripleStore.fromDatasetParquet(s, tmp)
+        val ops = Seq(
+          keys.map(k => s"""<nation:$k> <status> "active" """)
+            .mkString("INSERT DATA { ", ". ", "}"),
+          keys.take(5).map(k => s"""<nation:$k> <status> "active" """)
+            .mkString("DELETE DATA { ", ". ", "}"),
+          keys.take(5).map(k => s"""<nation:$k> <status> "retired" """)
+            .mkString("INSERT DATA { ", ". ", "}"))
+        ops.foreach { op =>
+          val (next, d) = graft.bgp.SparqlUpdate.applyAllWithDelta(s, cur, op)
+          TripleStore.writeBackDelta(cur, next, tmp, d)
+          cur = TripleStore.fromDatasetParquet(s, tmp)
+        }
+        // structural flip: v0 (with its 3-batch log) becomes history
+        val (n2, d2) = graft.bgp.SparqlUpdate.applyAllWithDelta(s, cur,
+          """INSERT DATA { GRAPH <g:tmp> { <x:1> <t> "1" } } ;
+            |DROP GRAPH <g:tmp>""".stripMargin)
+        TripleStore.writeBackDelta(cur, n2, tmp, d2)
+        require(TripleStore.listVersions(s, tmp) == Seq(0, 1),
+          "expected v0 retained + v1 current")
+        def statuses(st: TripleStore, snap: String) =
+          BgpPlanner.query(st, "select ?n ?st where { ?n <status> ?st }")
+            .groupBy(col("st")).agg(count(lit(1)).as("cnt"))
+            .select(lit(snap).as("snap"), col("st"), col("cnt"))
+        statuses(TripleStore.fromDatasetParquet(s, tmp, 0, Some(1)),
+            "v0_op1")
+          .unionByName(statuses(
+            TripleStore.fromDatasetParquet(s, tmp, 0), "v0_full"))
+          .unionByName(statuses(
+            TripleStore.fromDatasetParquet(s, tmp), "current"))
+      },
+      Some("""SELECT 'v0_op1' AS snap, 'active' AS st,
+             |  CAST(count(*) AS BIGINT) AS cnt FROM nation
+             |UNION ALL SELECT 'v0_full', 'active',
+             |  CAST(count(*) - 5 AS BIGINT) FROM nation
+             |UNION ALL SELECT 'v0_full', 'retired', CAST(5 AS BIGINT)
+             |UNION ALL SELECT 'current', 'active',
+             |  CAST(count(*) - 5 AS BIGINT) FROM nation
+             |UNION ALL SELECT 'current', 'retired', CAST(5 AS BIGINT)"""
+        .stripMargin))
   )
 
   private val pathGroupOracle =

@@ -2885,4 +2885,54 @@ class BgpSpec extends AnyFunSuite {
     // the cleared graph left no quads subtree in the new version
     assert(fresh.quads.isEmpty, "cleared graph set must reload as absent")
   }
+
+  test("time travel: version-pinned loads replay checkpoint and op grain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val st = TripleStore.fromTriples(Seq(
+      ("t:1", "name", "one"), ("t:2", "name", "two")).toDF("s", "p", "o"))
+    TripleStore.writeDatasetVersioned(st, dir)
+    var cur = TripleStore.fromDatasetParquet(spark, dir)
+    // three row-grain ops append delta batches seq=0..2 under v0
+    Seq(
+      """INSERT DATA { <t:1> <status> "active" . <t:2> <status> "active" }""",
+      """DELETE DATA { <t:1> <status> "active" }""",
+      """INSERT DATA { <t:1> <status> "retired" }""").foreach { op =>
+      val (next, d) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark, cur, op)
+      TripleStore.writeBackDelta(cur, next, dir, d)
+      cur = TripleStore.fromDatasetParquet(spark, dir)
+    }
+    // a structural op flips to v1; v0 and its log are retained history
+    val (n2, d2) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark, cur,
+      """INSERT DATA { GRAPH <g:tmp> { <x:1> <t> "1" } } ;
+        |DROP GRAPH <g:tmp>""".stripMargin)
+    TripleStore.writeBackDelta(cur, n2, dir, d2)
+    assert(TripleStore.listVersions(spark, dir) == Seq(0, 1))
+    def statusOf(st: TripleStore): Map[String, String] =
+      BgpPlanner.query(st, "select ?n ?st where { ?n status ?st }")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // op-grain history within v0: the bare checkpoint, then each batch
+    assert(statusOf(TripleStore.fromDatasetParquet(spark, dir, 0, Some(0)))
+      == Map.empty, "maxOps=0 is the bare checkpoint state")
+    assert(statusOf(TripleStore.fromDatasetParquet(spark, dir, 0, Some(1)))
+      == Map("t:1" -> "active", "t:2" -> "active"))
+    assert(statusOf(TripleStore.fromDatasetParquet(spark, dir, 0, Some(2)))
+      == Map("t:2" -> "active"))
+    assert(statusOf(TripleStore.fromDatasetParquet(spark, dir, 0))
+      == Map("t:1" -> "retired", "t:2" -> "active"))
+    // the pinned current version reads identically to the live load
+    assert(statusOf(TripleStore.fromDatasetParquet(spark, dir, 1))
+      == statusOf(TripleStore.fromDatasetParquet(spark, dir)))
+    // a second structural flip garbage-collects v0 (KeepVersions = 2):
+    // the pinned read fails LOUDLY, never returns a partial store
+    cur = TripleStore.fromDatasetParquet(spark, dir)
+    val (n3, d3) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark, cur,
+      """INSERT DATA { GRAPH <g:t2> { <x:2> <t> "2" } } ;
+        |DROP GRAPH <g:t2>""".stripMargin)
+    TripleStore.writeBackDelta(cur, n3, dir, d3)
+    assert(TripleStore.listVersions(spark, dir) == Seq(1, 2))
+    val err = intercept[IllegalArgumentException] {
+      TripleStore.fromDatasetParquet(spark, dir, 0)
+    }
+    assert(err.getMessage.contains("not retained"))
+  }
 }
