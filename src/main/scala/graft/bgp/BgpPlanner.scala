@@ -494,7 +494,7 @@ object BgpPlanner {
       .flatMap(tp => Seq(tp.s, tp.o)).collect { case Var(n) => n }
     val pv = tps.map(_.p).collect { case Var(n) => n }
     val g = q.graphBlocks.map(_._1).collect { case Var(n) => n }
-    val sub = q.subqueries.flatMap { s =>
+    val sub = (q.subqueries ++ q.optionalSubqueries.flatten).flatMap { s =>
       val ids = idSpaceVars(s)
       if (s.select.nonEmpty) ids.intersect(s.select.toSet) else ids
     }
@@ -570,7 +570,7 @@ object BgpPlanner {
     val graphC = q.graphBlocks.map(_._1).collect { case Const(v) => v } ++
       q.fromGraphs ++ q.fromNamed
     patC ++ filtC ++ q.values.flatMap(_._2) ++ graphC ++
-      q.subqueries.flatMap(queryConsts)
+      (q.subqueries ++ q.optionalSubqueries.flatten).flatMap(queryConsts)
   }
 
   /** Re-encode lexical COLUMNS `cols` of `df` into `store`'s term form:
@@ -637,7 +637,8 @@ object BgpPlanner {
         ++ q.unions.flatten ++ q.graphBlocks.map(_._2))
     val nonPatternConsumers: Set[String] =
       seed.map(_.columns.toSet).getOrElse(Set.empty) ++
-        q.subqueries.flatMap(_.select) ++ q.values.map(_._1) ++
+        (q.subqueries ++ q.optionalSubqueries.flatten).flatMap(_.select) ++
+        q.values.map(_._1) ++
         q.valuesTables.flatMap(_._1) ++ q.services.flatMap(_.query.select)
     def outerVarsFor(block: Seq[TriplePattern]): Set[String] =
       blockSeqs.filter(_ ne block).flatMap(patVars).toSet ++
@@ -924,7 +925,7 @@ object BgpPlanner {
     // edge; re-encoding the pattern vars reproduces the store's ids
     // exactly (ids ARE the values' xxhash64), restoring the id-space
     // natural join, while aggregate outputs stay as computed values.
-    val subDfs = q.subqueries.map { sq =>
+    def planSubquery(sq: BgpQuery): DataFrame = {
       val sub = plan(store, sq)
       if (!store.encoded) sub
       else {
@@ -939,6 +940,7 @@ object BgpPlanner {
           sub.columns.toIndexedSeq.filterNot(aggAliases), keepMisses = true)
       }
     }
+    val subDfs = q.subqueries.map(planSubquery)
 
     // SERVICE blocks (SPARQL 1.1 Federated Query §2): each evaluates
     // on its endpoint's registered store — the in-process stand-in for
@@ -958,7 +960,8 @@ object BgpPlanner {
     val outerBoundVars = (q.patterns ++ q.optionals.flatten ++
       q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
       .flatMap(_.vars).toSet ++
-      q.subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
+      (q.subqueries ++ q.optionalSubqueries.flatten)
+        .flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
     val serviceResults: Seq[Either[Seq[String], DataFrame]] = q.services.map {
         case Sparql.ServiceBlock(endpoint, silent, raw, subQ) =>
       val vars = subQ.select
@@ -1158,11 +1161,25 @@ object BgpPlanner {
     // a failing filter nulls the block's bindings instead of dropping
     // the outer row.
     val optFilters = q.optionalFilters.padTo(q.optionals.length, Nil)
-    for ((block, bfs) <- q.optionals.zip(optFilters)) {
-      val sub = applyFilters(chain(block,
-        block.map(tp => patternScan(store, tp, encode, measured, block,
-          outerVarsFor(block))),
-        measured), bfs)
+    val optSubqs = q.optionalSubqueries.padTo(q.optionals.length, Nil)
+    for (((block, bfs), osubs) <- q.optionals.zip(optFilters).zip(optSubqs)) {
+      // the block relation: its own pattern chain joined with any
+      // block-scoped sub-SELECTs (each planned independently, exports
+      // re-encoded — planSubquery — exactly like top-level subqueries)
+      // BEFORE the left join, so the subquery restricts/extends the
+      // block, never the outer solution
+      val rels: Seq[DataFrame] =
+        (if (block.nonEmpty)
+          Seq(chain(block,
+            block.map(tp => patternScan(store, tp, encode, measured, block,
+              outerVarsFor(block))),
+            measured))
+        else Nil) ++ osubs.map(planSubquery)
+      val combined = rels.reduce { (a, b) =>
+        val common = b.columns.filter(a.columns.toSet).toSeq
+        if (common.nonEmpty) a.join(b, common, "inner") else a.crossJoin(b)
+      }
+      val sub = applyFilters(combined, bfs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(sub, common, "left_outer")

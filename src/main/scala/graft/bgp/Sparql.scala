@@ -359,7 +359,13 @@ object Sparql {
       // default graph, `fromNamed` the named-graph set a GRAPH block
       // may range over. Both empty = the store's own dataset.
       fromGraphs: Seq[String] = Nil,
-      fromNamed: Seq[String] = Nil)
+      fromNamed: Seq[String] = Nil,
+      // index-aligned with `optionals`: sub-SELECTs written INSIDE the
+      // i-th OPTIONAL block (the aggregate-as-OPTIONAL idiom). Each
+      // evaluates independently, joins the block's own patterns, and
+      // the combined block left-joins the outer solution — hoisting to
+      // `subqueries` would turn that left join into an inner join.
+      optionalSubqueries: Seq[Seq[BgpQuery]] = Nil)
 
   /** One SERVICE block: `raw` is the body text exactly as written
     * (the HTTP transport ships it verbatim, VALUES appended); `query`
@@ -370,7 +376,8 @@ object Sparql {
   final case class ServiceBlock(endpoint: String, silent: Boolean,
       raw: String, query: BgpQuery)
 
-  private val optionalRe = "(?is)optional\\s*\\{([^}]*)\\}".r
+  private val optionalHeadRe = "(?is)\\boptional\\s*\\{".r
+  private val subSelectProbeRe = "(?is)\\{\\s*select\\b".r
   private val serviceHeadRe =
     "(?is)service\\s+(silent\\s+)?(<[^>]*>|[^\\s{]+)\\s*\\{".r
   private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
@@ -872,17 +879,42 @@ object Sparql {
     // pull extension clauses out first; the remainder is the
     // reference's plain dot-separated pattern list. OPTIONAL blocks go
     // first so a `{...}` following the keyword is never misread as a
-    // UNION branch. A FILTER inside an OPTIONAL block scopes to that
-    // block: it restricts the block's sub-chain BEFORE the left join,
-    // never the outer solution.
-    val optionalBlocks = optionalRe.findAllMatchIn(bodyFull).map { m =>
-      val (rest, fs) = extractFilters(m.group(1))
-      (parsePatterns(rest), fs)
-    }.toSeq
+    // UNION branch, with MATCHED braces so a `{ SELECT ... }` inside
+    // the block is carried along. A FILTER inside an OPTIONAL block
+    // scopes to that block: it restricts the block's sub-chain BEFORE
+    // the left join, never the outer solution — and so does a block
+    // sub-SELECT (the aggregate-as-OPTIONAL idiom: the subquery joins
+    // the block's patterns first, then the whole block left-joins).
+    val (body0ex, optionalBlocks) = {
+      val out = Seq.newBuilder[
+        (Seq[TriplePattern], Seq[FilterClause], Seq[BgpQuery])]
+      val rem = new StringBuilder
+      var rest = bodyFull
+      var more = true
+      while (more) optionalHeadRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val (inner, after) = braceBlock(rest, m.end - 1)
+          // sub-SELECTs inside the block extract HERE (depth 0 of the
+          // block body), preserving left-join semantics
+          val (innerNoSub, osubs) = extractSubqueries(inner)
+          val (restP, fs) = extractFilters(innerNoSub)
+          val pats = parsePatterns(restP)
+          require(pats.nonEmpty || osubs.nonEmpty,
+            s"empty OPTIONAL block: $query")
+          out += ((pats, fs, osubs))
+          rem.append(rest.substring(0, m.start)).append(' ')
+          rest = rest.substring(after)
+        case None => more = false
+      }
+      rem.append(rest)
+      (rem.toString, out.result())
+    }
     val optionals = optionalBlocks.map(_._1)
     val optionalFilters = optionalBlocks.map(_._2)
-    optionalBlocks.foreach { case (pats, fs) =>
-      val bound = pats.flatMap(_.vars).toSet
+    val optionalSubqueries = optionalBlocks.map(_._3)
+    optionalBlocks.foreach { case (pats, fs, osubs) =>
+      val bound = pats.flatMap(_.vars).toSet ++
+        osubs.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
       fs.flatMap(_.disjuncts.flatten).foreach { f =>
         require(bound.contains(f.variable),
           s"OPTIONAL-scoped FILTER var ?${f.variable} must be bound inside the block: $query")
@@ -891,7 +923,10 @@ object Sparql {
             s"OPTIONAL-scoped FILTER var ?${f.value} must be bound inside the block: $query")
       }
     }
-    val body0ex = optionalRe.replaceAllIn(bodyFull, "")
+    // a sub-SELECT still in the body sits inside a block without
+    // sub-SELECT support — reject with intent, not a mis-parse
+    require(subSelectProbeRe.findFirstIn(body0ex).isEmpty,
+      s"sub-SELECT nested inside a MINUS/UNION/EXISTS block is not supported: $query")
     // FILTER [NOT] EXISTS blocks — pulled before VALUES/MINUS/UNION so
     // their braces are never misread downstream
     val existsFilters = existsRe.findAllMatchIn(body0ex).map(m =>
@@ -1021,8 +1056,10 @@ object Sparql {
         .flatMap(_.vars).toSet ++ valuesBinds.map(_._1) ++
         valuesTables.flatMap(_._1) ++ undefSingles.flatMap(_._1) ++
         // a subquery exports exactly its projection (group keys and
-        // aggregate aliases included) to the outer scope
-        subqueries.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
+        // aggregate aliases included) to the outer scope — OPTIONAL-
+        // scoped subqueries export too (their vars may be null-padded)
+        (subqueries ++ optionalSubqueries.flatten)
+          .flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
         // GRAPH blocks bind their pattern vars and (var form) the graph
         graphBlocks.flatMap { case (g, pats) =>
           pats.flatMap(_.vars) ++
@@ -1089,7 +1126,7 @@ object Sparql {
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
       binds, subqueries, valuesTables ++ undefSingles, graphBlocks, services,
-      fromGraphs, fromNamed)
+      fromGraphs, fromNamed, optionalSubqueries)
   }
 
   /** Matched-brace extraction shared by the SERVICE scanner and the
@@ -1164,12 +1201,25 @@ object Sparql {
         body.regionMatches(true, k, "select", 0, "select".length)
       }
       // a sub-SELECT inside a block has block-scoped semantics (e.g.
-      // OPTIONAL's left join) this planner doesn't implement — hoisting
-      // it would silently turn the left join into an inner join, so
-      // reject rather than reinterpret
-      require(!(isSub && blockDepth > 0),
-        s"sub-SELECT nested inside an OPTIONAL/MINUS/UNION block is not supported: $body")
-      if (isSub) {
+      // OPTIONAL's left join) — hoisting it here would silently turn
+      // the left join into an inner join, so leave it IN PLACE,
+      // verbatim, for the block's own extractor to handle (the
+      // OPTIONAL scanner re-runs this function on its block body at
+      // depth 0; blocks without sub-SELECT support reject loudly
+      // downstream). The copy skips over the sub-SELECT's braces so
+      // they never perturb blockDepth.
+      if (isSub && blockDepth > 0) {
+        var depth = 1
+        var j = i + 1
+        while (j < body.length && depth > 0) {
+          if (body.charAt(j) == '{') depth += 1
+          else if (body.charAt(j) == '}') depth -= 1
+          j += 1
+        }
+        require(depth == 0, s"unbalanced braces in subquery: $body")
+        sb.append(body.substring(i, j))
+        i = j
+      } else if (isSub) {
         var depth = 1
         var j = i + 1
         while (j < body.length && depth > 0) {

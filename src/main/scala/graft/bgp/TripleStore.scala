@@ -598,7 +598,11 @@ object TripleStore {
           .limit(MaxPredicates + 1).collect().map(_.getString(0))
         require(deltaPreds.length <= MaxPredicates,
           s"delta log touches more than $MaxPredicates predicates")
-        val slices = (st0.slices.keySet ++ deltaPreds).toSeq.map { p =>
+        // merge ONLY the predicates the log touches: an untouched
+        // slice keeps its bare pruned scan — no anti-join, no
+        // broadcast job — so a 1-predicate delta adds merge cost to
+        // exactly one slice, not to every plan that reads the store
+        val merged = deltaPreds.toSeq.map { p =>
           val touched = v.filter(col("p") === p)
           val alive = touched.filter(col("__w") % 2 === 1)
             .select(col("s"), col("o"))
@@ -607,7 +611,7 @@ object TripleStore {
             Seq("s", "o"), "left_anti"))
           p -> base.map(_.unionByName(alive)).getOrElse(alive)
         }.toMap
-        st0.copy(slices = slices)
+        st0.copy(slices = st0.slices ++ merged)
     }
     val (fs, quadPath) = fsPath(spark, s"$root/quads")
     val quadBase =

@@ -3028,7 +3028,27 @@ object BgpQueries {
              |UNION ALL SELECT 'current', 'active',
              |  CAST(count(*) - 5 AS BIGINT) FROM nation
              |UNION ALL SELECT 'current', 'retired', CAST(5 AS BIGINT)"""
-        .stripMargin))
+        .stripMargin)),
+
+    // SPARQL 1.1 §12 sub-SELECT INSIDE an OPTIONAL block — the
+    // aggregate-as-OPTIONAL idiom (round 13): every customer row
+    // survives; customers without orders carry a null count. Hoisting
+    // the subquery to the top level would inner-join them away, which
+    // is exactly why the parser used to reject this shape. Scale
+    // shape: the subquery is one partial-agg groupBy over the custkey
+    // slice; the left join is key-partitioned; nothing is
+    // outer-relation-sized on the build side.
+    GQuery(
+      "q378_bgp_optional_subselect",
+      bgp("""select ?c ?seg ?cnt where {
+            | ?c mktsegment ?seg .
+            | OPTIONAL { { select ?c (count(?o) as ?cnt)
+            |             where { ?o custkey ?c } group by ?c } } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  c_mktsegment AS seg, cnt
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM orders GROUP BY 1) ON o_custkey = c_custkey""".stripMargin))
   )
 
   private val pathGroupOracle =

@@ -18,6 +18,121 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   import Tables.t
 
+  /** Number of BPE merges q376/q377 train — small enough for an
+    * unrolled DuckDB-CTE oracle, large enough that merged tokens merge
+    * AGAIN (the part iteration one can't exercise).
+    */
+  val BpeMerges = 6
+
+  // learned merge table per (session, dataset) — training runs once,
+  // tokenize-apply (q377) reuses q376's result
+  private val bpeMemo = new graft.tools.BoundedMemo[
+      (org.apache.spark.sql.SparkSession, String),
+      Seq[(String, String, Long)]](4)
+
+  /** Word relation for BPE: lowercased ASCII-alpha runs, ≥2 chars —
+    * the ONE corpus-sized pass (map-side combine into a
+    * vocabulary-sized (word, freq) relation); everything after runs at
+    * vocabulary grain.
+    */
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Segmentation-state invariant shared by trainer, applier, and the
+    * DuckDB oracle: tokens joined by TWO spaces, two spaces at both
+    * ends ("  h  e  y  "). A merge (a,b→ab) is then the LITERAL
+    * replace of " a  b " with " ab " — the single-space flanks leave
+    * one space to the neighbor on each side, so the invariant is
+    * preserved AND adjacent merge sites stay matchable under the
+    * leftmost-non-overlapping semantics both engines' literal replace
+    * share ("a b a b" merges twice; "a a a" greedily once — standard
+    * BPE left-to-right application).
+    */
+  private val bpeSeg0 = "concat('  ', regexp_replace(word, '(.)', '$1  '))"
+
+  private def bpeSegExpr(merges: Seq[(String, String, Long)]): String =
+    merges.foldLeft(bpeSeg0) { case (e, (a, b, _)) =>
+      s"replace($e, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** BPE merge training, the driver loop: each iteration aggregates
+    * adjacent-pair counts over the vocabulary-sized segmentation
+    * relation (pair expansion is word-length-bounded inside the row;
+    * the shuffle is pair-vocabulary-sized after map-side combine),
+    * takes the top pair (ONE row to the driver — the inherent
+    * sequential sync point of BPE; k driver round-trips total), and
+    * folds the merge into the segmentation expression (a literal
+    * replace — embarrassingly parallel, no shuffle). Ties break
+    * (count DESC, a, b) so Spark and the unrolled-CTE oracle pick
+    * identical merges.
+    */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): Seq[(String, String, Long)] =
+    bpeMemo.getOrElseUpdate((s, dir), {
+      val words = bpeWords(s, dir).cache()
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var segExpr = bpeSeg0
+        var exhausted = false
+        for (_ <- 1 to k if !exhausted) {
+          val top = words
+            .select(col("freq"), expr(s"split(trim($segExpr), '  ')").as("tok"))
+            .filter(size(col("tok")) >= 2)
+            .select(col("freq"), explode(expr(
+              """transform(sequence(1, size(tok) - 1), j ->
+                |  struct(element_at(tok, j) AS a,
+                |         element_at(tok, j + 1) AS b))""".stripMargin)).as("p"))
+            .groupBy(col("p.a"), col("p.b"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+              top.head.getLong(2))
+            out += ((a, b, c))
+            segExpr = s"replace($segExpr, ' $a  $b ', ' $a$b ')"
+          }
+        }
+        out.toSeq
+      } finally { words.unpersist(); () }
+    })
+
+  /** Unrolled DuckDB mirror of one training iteration: pair counts
+    * over s{i-1}, top-1 by (count DESC, a, b), literal-replace into
+    * s{i} via scalar subqueries. Every CTE is MATERIALIZED — DuckDB
+    * inlines CTEs by default, and each level here references the
+    * previous one several times (the replace pattern reads t{i}
+    * thrice), so inlining would re-evaluate s0 ~4^k times.
+    */
+  private def bpeOracleSteps(k: Int): String = {
+    val base =
+      """w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |s0 AS MATERIALIZED (SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seg, freq
+        |       FROM w)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT t.a AS a, t.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |      unnest(list_transform(generate_series(1, len(tok) - 1),
+         |        j -> {'a': tok[j], 'b': tok[j + 1]})) AS t
+         |    FROM (SELECT string_split(trim(seg), '  ') AS tok, freq FROM s${i - 1})
+         |    WHERE len(tok) >= 2)
+         |  GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT replace(seg,
+         |    ' ' || (SELECT a FROM t$i) || '  ' || (SELECT b FROM t$i) || ' ',
+         |    ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ') AS seg, freq
+         |  FROM s${i - 1})""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   def all: Seq[GQuery] = Seq(
 
     // token counting: whitespace tokenization, distinct counts, lengths
@@ -2586,6 +2701,88 @@ object TextQueries {
              |SELECT doc_id, w,
              |  CAST((cprev + w) // step - cprev // step AS BIGINT) AS n_draws
              |FROM d, t
-             |WHERE (cprev + w) // step - cprev // step > 0""".stripMargin))
+             |WHERE (cprev + w) // step - cprev // step > 0""".stripMargin)),
+
+    // BPE merge TRAINING, the full loop (q278 is iteration one's pair
+    // count; this trains the actual merge table): BpeMerges rounds of
+    // count-adjacent-pairs → take the top pair → fold the merge into
+    // the segmentation. Scale shape: the corpus-sized pass happens
+    // ONCE (word-frequency groupBy, map-side combine, vocabulary-sized
+    // output); each round then aggregates the vocabulary-sized
+    // segmentation relation (pair expansion bounded by word length
+    // inside the row, shuffle pair-vocabulary-sized after partials)
+    // and ships ONE row to the driver — the sequential sync point BPE
+    // intrinsically has; merge application is a literal string replace
+    // with no shuffle at all. At 100 TB the corpus pass dominates and
+    // runs exactly once. Output: the learned merge table, rank-ordered.
+    GQuery(
+      "q376_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        bpeTrain(s, dir, BpeMerges).zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1L, a, b, a + b, c)
+        }.toDF("merge_rank", "pair_a", "pair_b", "merged", "pair_count")
+          .orderBy($"merge_rank")
+      },
+      Some {
+        val sel = (1 to BpeMerges).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b,
+             |  a || b AS merged, cnt AS pair_count FROM t$i""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"WITH ${bpeOracleSteps(BpeMerges)}\n$sel\nORDER BY merge_rank"
+      }),
+
+    // BPE tokenize-APPLY: re-segment the corpus with q376's learned
+    // merge table and report per-source token economics — words,
+    // characters, post-merge tokens, and fertility (tokens per 1000
+    // words; integer division keeps it cross-engine exact). The merges
+    // compose into ONE chained-replace projection, so the apply phase
+    // is a single embarrassingly-parallel pass over the
+    // vocabulary-sized per-source word relation followed by a
+    // source-sized aggregate — no shuffle wider than (source, word).
+    GQuery(
+      "q377_bpe_tokenize",
+      (s, dir) => {
+        import s.implicits._
+        val segExpr = bpeSegExpr(bpeTrain(s, dir, BpeMerges))
+        val ws = t(s, dir, "documents")
+          .select($"source",
+            explode(split(lower($"text"), "[^a-z]+")).as("word"))
+          .filter(length($"word") >= 2)
+          .groupBy($"source", $"word").agg(count(lit(1)).as("freq"))
+        ws.select($"source", $"freq", length($"word").cast("long").as("chars"),
+            expr(s"size(split(trim($segExpr), '  '))").cast("long").as("ntok"))
+          .groupBy($"source")
+          .agg(sum($"freq").as("n_words"),
+            sum($"freq" * $"chars").as("n_chars"),
+            sum($"freq" * $"ntok").as("n_tokens"))
+          .withColumn("fertility_milli",
+            expr("n_tokens * 1000 div n_words"))
+      },
+      Some {
+        val applySeg = (1 to BpeMerges).foldLeft(
+          "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") { (e, i) =>
+          s"""replace($e,
+             |      ' ' || (SELECT a FROM t$i) || '  ' || (SELECT b FROM t$i) || ' ',
+             |      ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ')""".stripMargin
+        }
+        s"""WITH ${bpeOracleSteps(BpeMerges)},
+           |ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT source,
+           |      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+           |    FROM documents)
+           |  WHERE length(word) >= 2 GROUP BY 1, 2),
+           |applied AS (SELECT source, freq,
+           |    CAST(length(word) AS BIGINT) AS chars,
+           |    CAST(len(string_split(trim($applySeg), '  ')) AS BIGINT) AS ntok
+           |  FROM ws)
+           |SELECT source,
+           |  CAST(sum(freq) AS BIGINT) AS n_words,
+           |  CAST(sum(freq * chars) AS BIGINT) AS n_chars,
+           |  CAST(sum(freq * ntok) AS BIGINT) AS n_tokens,
+           |  CAST((CAST(sum(freq * ntok) AS BIGINT) * 1000) //
+           |    CAST(sum(freq) AS BIGINT) AS BIGINT) AS fertility_milli
+           |FROM applied GROUP BY 1""".stripMargin
+      })
   )
 }

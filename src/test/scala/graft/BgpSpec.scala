@@ -1725,13 +1725,64 @@ class BgpSpec extends AnyFunSuite {
         | VALUES (?D ?T) { ("dept:0") } }""".stripMargin))
   }
 
-  test("sub-SELECT nested inside a block rejects rather than reinterprets") {
-    // hoisting a { SELECT } out of an OPTIONAL would silently turn the
-    // left join into an inner join
-    val e = intercept[IllegalArgumentException](Sparql.parse(
+  test("sub-SELECT inside OPTIONAL keeps left-join semantics") {
+    def both(q: String): Set[Seq[Any]] = {
+      val enc = TripleStore.encode(tinyStore)
+      val a = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet
+      val b = BgpPlanner.query(enc, q).collect().map(_.toSeq).toSet
+      assert(a == b, s"string vs encoded store diverged for:\n$q\n$a\n$b")
+      a
+    }
+    // the aggregate-as-OPTIONAL idiom: rows WITHOUT a subquery match
+    // must survive with a null count — hoisting the subquery to the
+    // top level would inner-join prof:1 away
+    assert(both(
+      """select ?A ?E ?n where { ?A email ?E .
+        | OPTIONAL { { select ?A (count(?X) as ?n)
+        |             where { ?X advisor ?A } group by ?A } } }"""
+        .stripMargin) ==
+      Set(Seq("prof:0", "p0@u.edu", 1L), Seq("prof:1", "p1@u.edu", null)))
+    // a block mixing patterns and a sub-SELECT: the subquery restricts
+    // the BLOCK (inner join inside), the block still left-joins — so
+    // prof:1's email nulls out even though the email triple exists
+    assert(both(
+      """select ?A ?E ?n where { ?A worksFor ?D .
+        | OPTIONAL { ?A email ?E .
+        |   { select ?A (count(?X) as ?n)
+        |     where { ?X advisor ?A } group by ?A } } }"""
+        .stripMargin) ==
+      Set(Seq("prof:0", "p0@u.edu", 1L), Seq("prof:1", null, null),
+        Seq("prof:2", null, null)))
+    // plain (non-aggregate) sub-SELECT inside OPTIONAL
+    assert(both(
       """select ?A ?D where { ?A memberOf ?D .
         | OPTIONAL { ?A advisor ?P . { select ?P where { ?P worksFor ?D2 } } } }"""
-        .stripMargin))
+        .stripMargin) == Set(Seq("stud:0", "dept:0")))
+  }
+
+  test("sub-SELECT inside a SERVICE body parses through the full grammar") {
+    // the top-level extractor leaves block-nested sub-SELECTs in
+    // place, so the SERVICE body ships verbatim and its own recursive
+    // parse extracts the subquery at depth 0
+    ServiceRegistry.register("graft://svcsub", TripleStore.fromTriples(
+      Seq(("p:a", "worksFor", "dept:0"), ("p:b", "worksFor", "dept:0"),
+        ("p:c", "worksFor", "dept:9")).toDF("s", "p", "o")))
+    val out = BgpPlanner.query(tinyStore,
+      """select ?D ?n where { ?S memberOf ?D .
+        | SERVICE <graft://svcsub> {
+        |   { select ?D (count(?P) as ?n) where { ?P worksFor ?D }
+        |     group by ?D } } }""".stripMargin)
+    assert(out.collect().map(r =>
+        (r.getAs[String]("D"), r.getAs[Long]("n"))).toSet ==
+      Set(("dept:0", 2L)))
+  }
+
+  test("sub-SELECT nested inside MINUS/UNION still rejects with intent") {
+    // those blocks' scoped semantics are not implemented for
+    // subqueries — reject rather than reinterpret
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A ?D where { ?A memberOf ?D .
+        | MINUS { { select ?A where { ?A advisor ?P } } } }""".stripMargin))
     assert(e.getMessage.contains("nested inside"))
   }
 
@@ -2819,6 +2870,32 @@ class BgpSpec extends AnyFunSuite {
     cur = TripleStore.fromDatasetParquet(spark, dir)
     assert(BgpPlanner.query(cur,
       "select ?s ?v where { ?s name ?v }").count() == 2001)
+  }
+
+  test("delta merge wraps ONLY touched slices; untouched slices stay bare scans") {
+    // read-side amplification guard: a 1-predicate delta must not put
+    // an anti-join (and its broadcast job) into EVERY slice's plan —
+    // at MaxPredicates scale that is MaxPredicates broadcast builds
+    // per store load for a 1-row op
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-bare").toString
+    val st = TripleStore.fromTriples(Seq(
+      ("d:1", "name", "a"), ("d:1", "age", "9")).toDF("s", "p", "o"))
+    TripleStore.writeDataset(st, dir)
+    val cur = TripleStore.fromDatasetParquet(spark, dir)
+    val next = graft.bgp.SparqlUpdate.applyAll(spark, cur,
+      """INSERT DATA { <d:2> <name> "b" }""")
+    TripleStore.writeBackDelta(cur, next, dir)
+    val reloaded = TripleStore.fromDatasetParquet(spark, dir)
+    val untouchedPlan = reloaded.slices("age")
+      .queryExecution.optimizedPlan.toString
+    assert(!untouchedPlan.toLowerCase.contains("join"),
+      s"untouched slice plan must stay a bare scan:\n$untouchedPlan")
+    val touchedPlan = reloaded.slices("name")
+      .queryExecution.optimizedPlan.toString
+    assert(touchedPlan.toLowerCase.contains("join"),
+      "touched slice must carry the delta merge")
+    assert(reloaded.slices("name").count() == 2 &&
+      reloaded.slices("age").count() == 1)
   }
 
   test("delta log compacts into a fresh version past the batch bound") {
