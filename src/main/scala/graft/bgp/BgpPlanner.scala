@@ -494,7 +494,7 @@ object BgpPlanner {
       .flatMap(tp => Seq(tp.s, tp.o)).collect { case Var(n) => n }
     val pv = tps.map(_.p).collect { case Var(n) => n }
     val g = q.graphBlocks.map(_._1).collect { case Var(n) => n }
-    val sub = (q.subqueries ++ q.optionalSubqueries.flatten).flatMap { s =>
+    val sub = q.allSubqueries.flatMap { s =>
       val ids = idSpaceVars(s)
       if (s.select.nonEmpty) ids.intersect(s.select.toSet) else ids
     }
@@ -570,7 +570,7 @@ object BgpPlanner {
     val graphC = q.graphBlocks.map(_._1).collect { case Const(v) => v } ++
       q.fromGraphs ++ q.fromNamed
     patC ++ filtC ++ q.values.flatMap(_._2) ++ graphC ++
-      (q.subqueries ++ q.optionalSubqueries.flatten).flatMap(queryConsts)
+      q.allSubqueries.flatMap(queryConsts)
   }
 
   /** Re-encode lexical COLUMNS `cols` of `df` into `store`'s term form:
@@ -637,7 +637,7 @@ object BgpPlanner {
         ++ q.unions.flatten ++ q.graphBlocks.map(_._2))
     val nonPatternConsumers: Set[String] =
       seed.map(_.columns.toSet).getOrElse(Set.empty) ++
-        (q.subqueries ++ q.optionalSubqueries.flatten).flatMap(_.select) ++
+        q.allSubqueries.flatMap(_.select) ++
         q.values.map(_._1) ++
         q.valuesTables.flatMap(_._1) ++ q.services.flatMap(_.query.select)
     def outerVarsFor(block: Seq[TriplePattern]): Set[String] =
@@ -899,28 +899,10 @@ object BgpPlanner {
           measured))
       else None
 
-    // UNION groups: each branch is its own sub-chain (branch-scoped
-    // FILTERs restrict it before the union); branches combine as a bag
-    // union (reference U1 semantics — never dedups), and the group
-    // joins the main chain on whatever variables they share.
-    val unionFilterGroups = q.unionFilters.padTo(q.unions.length, Nil)
-    val unionDfs = q.unions.zip(unionFilterGroups).map { case (branches, gfs) =>
-      branches.zip(gfs.padTo(branches.length, Nil)).map { case (b, fs) =>
-        val branch = applyFilters(
-          chain(b, b.map(tp =>
-            patternScan(store, tp, encode, measured, b,
-              outerVarsFor(b))), measured), fs)
-        // project away branch-local sequence-path intermediates: the
-        // branches' VISIBLE var sets match, their desugared columns
-        // don't (bag projection — multiplicity survives)
-        branch.select(branch.columns.filterNot(_.startsWith(SeqVarPrefix))
-          .sorted.map(col).toSeq: _*)
-      }.reduce(_ unionByName _)
-    }
-
     // sub-SELECTs (SPARQL 1.1 §12): each plans independently — its own
     // aggregation/modifiers run bottom-up — and exports exactly its
-    // projection, natural-joined into the outer solution below. On the
+    // projection, natural-joined into the enclosing scope (the outer
+    // solution, or the OPTIONAL/MINUS/UNION block it lives in). On the
     // encoded store the sub-plan decoded its projection at its own
     // edge; re-encoding the pattern vars reproduces the store's ids
     // exactly (ids ARE the values' xxhash64), restoring the id-space
@@ -942,6 +924,45 @@ object BgpPlanner {
     }
     val subDfs = q.subqueries.map(planSubquery)
 
+    // one block's relation: its pattern chain joined with any
+    // block-scoped sub-SELECTs, scoped filters applied AFTER the
+    // combine (a filter may reference subquery exports)
+    def blockRelation(block: Seq[TriplePattern], bfs: Seq[FilterClause],
+        bsubs: Seq[BgpQuery]): DataFrame = {
+      val rels: Seq[DataFrame] =
+        (if (block.nonEmpty)
+          Seq(chain(block,
+            block.map(tp => patternScan(store, tp, encode, measured, block,
+              outerVarsFor(block))),
+            measured))
+        else Nil) ++ bsubs.map(planSubquery)
+      val combined = rels.reduce { (a, b) =>
+        val common = b.columns.filter(a.columns.toSet).toSeq
+        if (common.nonEmpty) a.join(b, common, "inner") else a.crossJoin(b)
+      }
+      applyFilters(combined, bfs)
+    }
+
+    // UNION groups: each branch is its own sub-chain (branch-scoped
+    // FILTERs restrict it before the union; a branch sub-SELECT joins
+    // the branch's patterns first); branches combine as a bag union
+    // (reference U1 semantics — never dedups), and the group joins the
+    // main chain on whatever variables they share.
+    val unionFilterGroups = q.unionFilters.padTo(q.unions.length, Nil)
+    val unionSubqGroups = q.unionSubqueries.padTo(q.unions.length, Nil)
+    val unionDfs = q.unions.zip(unionFilterGroups).zip(unionSubqGroups)
+      .map { case ((branches, gfs), gsubs) =>
+      branches.zip(gfs.padTo(branches.length, Nil))
+        .zip(gsubs.padTo(branches.length, Nil)).map { case ((b, fs), subs) =>
+        val branch = blockRelation(b, fs, subs)
+        // project away branch-local sequence-path intermediates: the
+        // branches' VISIBLE var sets match, their desugared columns
+        // don't (bag projection — multiplicity survives)
+        branch.select(branch.columns.filterNot(_.startsWith(SeqVarPrefix))
+          .sorted.map(col).toSeq: _*)
+      }.reduce(_ unionByName _)
+    }
+
     // SERVICE blocks (SPARQL 1.1 Federated Query §2): each evaluates
     // on its endpoint's registered store — the in-process stand-in for
     // the remote SPARQL endpoint (ServiceRegistry) — and natural-joins
@@ -960,7 +981,7 @@ object BgpPlanner {
     val outerBoundVars = (q.patterns ++ q.optionals.flatten ++
       q.unions.flatten.flatten ++ q.graphBlocks.flatMap(_._2))
       .flatMap(_.vars).toSet ++
-      (q.subqueries ++ q.optionalSubqueries.flatten)
+      q.allSubqueries
         .flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
     val serviceResults: Seq[Either[Seq[String], DataFrame]] = q.services.map {
         case Sparql.ServiceBlock(endpoint, silent, raw, subQ) =>
@@ -1163,23 +1184,9 @@ object BgpPlanner {
     val optFilters = q.optionalFilters.padTo(q.optionals.length, Nil)
     val optSubqs = q.optionalSubqueries.padTo(q.optionals.length, Nil)
     for (((block, bfs), osubs) <- q.optionals.zip(optFilters).zip(optSubqs)) {
-      // the block relation: its own pattern chain joined with any
-      // block-scoped sub-SELECTs (each planned independently, exports
-      // re-encoded — planSubquery — exactly like top-level subqueries)
-      // BEFORE the left join, so the subquery restricts/extends the
-      // block, never the outer solution
-      val rels: Seq[DataFrame] =
-        (if (block.nonEmpty)
-          Seq(chain(block,
-            block.map(tp => patternScan(store, tp, encode, measured, block,
-              outerVarsFor(block))),
-            measured))
-        else Nil) ++ osubs.map(planSubquery)
-      val combined = rels.reduce { (a, b) =>
-        val common = b.columns.filter(a.columns.toSet).toSeq
-        if (common.nonEmpty) a.join(b, common, "inner") else a.crossJoin(b)
-      }
-      val sub = applyFilters(combined, bfs)
+      // block sub-SELECTs join the block BEFORE the left join, so the
+      // subquery restricts/extends the block, never the outer solution
+      val sub = blockRelation(block, bfs, osubs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       joined =
         if (common.nonEmpty) joined.join(sub, common, "left_outer")
@@ -1244,11 +1251,11 @@ object BgpPlanner {
     // A block sharing no variable with the main chain is dom-disjoint
     // and removes nothing (SPARQL MINUS semantics).
     val minusFilters = q.minusFilters.padTo(q.minuses.length, Nil)
-    for ((block, bfs) <- q.minuses.zip(minusFilters)) {
-      val sub = applyFilters(chain(block,
-        block.map(tp => patternScan(store, tp, encode, measured, block,
-          outerVarsFor(block))),
-        measured), bfs)
+    val minusSubqs = q.minusSubqueries.padTo(q.minuses.length, Nil)
+    for (((block, bfs), msubs) <- q.minuses.zip(minusFilters).zip(minusSubqs)) {
+      // a block sub-SELECT restricts which solutions the MINUS removes
+      // (§8.3: removal keys on the vars shared with the outer row)
+      val sub = blockRelation(block, bfs, msubs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       if (common.nonEmpty)
         joined = idSpaceSemiJoin(joined, sub, common, "left_anti")

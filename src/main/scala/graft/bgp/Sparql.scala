@@ -365,7 +365,22 @@ object Sparql {
       // evaluates independently, joins the block's own patterns, and
       // the combined block left-joins the outer solution — hoisting to
       // `subqueries` would turn that left join into an inner join.
-      optionalSubqueries: Seq[Seq[BgpQuery]] = Nil)
+      optionalSubqueries: Seq[Seq[BgpQuery]] = Nil,
+      // aligned with `unions`: per-group, per-branch sub-SELECTs —
+      // each joins its branch's patterns before the bag union
+      unionSubqueries: Seq[Seq[Seq[BgpQuery]]] = Nil,
+      // aligned with `minuses`: block sub-SELECTs — they restrict
+      // which solutions the MINUS removes, never bind outer vars
+      minusSubqueries: Seq[Seq[BgpQuery]] = Nil) {
+
+    /** Every nested sub-SELECT regardless of the block it lives in —
+      * the planner's constant-priming / id-space bookkeeping walks all
+      * of them identically.
+      */
+    def allSubqueries: Seq[BgpQuery] =
+      subqueries ++ optionalSubqueries.flatten ++
+        unionSubqueries.flatten.flatten ++ minusSubqueries.flatten
+  }
 
   /** One SERVICE block: `raw` is the body text exactly as written
     * (the HTTP transport ships it verbatim, VALUES appended); `query`
@@ -381,12 +396,10 @@ object Sparql {
   private val serviceHeadRe =
     "(?is)service\\s+(silent\\s+)?(<[^>]*>|[^\\s{]+)\\s*\\{".r
   private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
-  private val minusRe = "(?is)minus\\s*\\{([^}]*)\\}".r
+  private val minusHeadRe = "(?is)\\bminus\\s*\\{".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
   private val valuesTupleRe =
     "(?is)values\\s*\\(((?:\\s*\\?\\w+)+)\\s*\\)\\s*\\{([^}]*)\\}".r
-  private val unionChainRe = "(?is)\\{[^{}]*\\}(?:\\s*union\\s*\\{[^{}]*\\})+".r
-  private val braceBlockRe = "(?s)\\{([^{}]*)\\}".r
   // a FILTER body may contain one level of aggregate-free parens-less
   // comparisons chained with && / || — the lazy [^()]* stops at the
   // clause's closing paren
@@ -885,23 +898,31 @@ object Sparql {
     // the left join, never the outer solution — and so does a block
     // sub-SELECT (the aggregate-as-OPTIONAL idiom: the subquery joins
     // the block's patterns first, then the whole block left-joins).
-    val (body0ex, optionalBlocks) = {
+    // one braced block body → (patterns, scoped filters, sub-SELECTs):
+    // nested sub-SELECTs extract at the block body's own depth 0,
+    // preserving the enclosing block's join semantics
+    def parseBlockBody(inner: String, kind: String)
+        : (Seq[TriplePattern], Seq[FilterClause], Seq[BgpQuery]) = {
+      val (innerNoSub, subs) = extractSubqueries(inner)
+      val (restP, fs) = extractFilters(innerNoSub)
+      val pats = parsePatterns(restP)
+      require(pats.nonEmpty || subs.nonEmpty, s"empty $kind block: $query")
+      (pats, fs, subs)
+    }
+    // keyword-headed blocks (OPTIONAL/MINUS), matched-brace: returns
+    // (body with blocks removed, parsed blocks in textual order)
+    def extractKeywordBlocks(body: String,
+        headRe: scala.util.matching.Regex, kind: String)
+        : (String, Seq[(Seq[TriplePattern], Seq[FilterClause], Seq[BgpQuery])]) = {
       val out = Seq.newBuilder[
         (Seq[TriplePattern], Seq[FilterClause], Seq[BgpQuery])]
       val rem = new StringBuilder
-      var rest = bodyFull
+      var rest = body
       var more = true
-      while (more) optionalHeadRe.findFirstMatchIn(rest) match {
+      while (more) headRe.findFirstMatchIn(rest) match {
         case Some(m) =>
           val (inner, after) = braceBlock(rest, m.end - 1)
-          // sub-SELECTs inside the block extract HERE (depth 0 of the
-          // block body), preserving left-join semantics
-          val (innerNoSub, osubs) = extractSubqueries(inner)
-          val (restP, fs) = extractFilters(innerNoSub)
-          val pats = parsePatterns(restP)
-          require(pats.nonEmpty || osubs.nonEmpty,
-            s"empty OPTIONAL block: $query")
-          out += ((pats, fs, osubs))
+          out += parseBlockBody(inner, kind)
           rem.append(rest.substring(0, m.start)).append(' ')
           rest = rest.substring(after)
         case None => more = false
@@ -909,6 +930,8 @@ object Sparql {
       rem.append(rest)
       (rem.toString, out.result())
     }
+    val (body0ex, optionalBlocks) =
+      extractKeywordBlocks(bodyFull, optionalHeadRe, "OPTIONAL")
     val optionals = optionalBlocks.map(_._1)
     val optionalFilters = optionalBlocks.map(_._2)
     val optionalSubqueries = optionalBlocks.map(_._3)
@@ -923,14 +946,16 @@ object Sparql {
             s"OPTIONAL-scoped FILTER var ?${f.value} must be bound inside the block: $query")
       }
     }
-    // a sub-SELECT still in the body sits inside a block without
-    // sub-SELECT support — reject with intent, not a mis-parse
-    require(subSelectProbeRe.findFirstIn(body0ex).isEmpty,
-      s"sub-SELECT nested inside a MINUS/UNION/EXISTS block is not supported: $query")
     // FILTER [NOT] EXISTS blocks — pulled before VALUES/MINUS/UNION so
     // their braces are never misread downstream
-    val existsFilters = existsRe.findAllMatchIn(body0ex).map(m =>
-      (m.group(1) != null, parsePatterns(m.group(2)))).toSeq
+    val existsFilters = existsRe.findAllMatchIn(body0ex).map { m =>
+      // the [^}]-bounded capture truncates at a nested sub-SELECT's
+      // first close brace — reject with intent before parsePatterns
+      // produces a confusing fragment error
+      require(subSelectProbeRe.findFirstIn(m.group(2)).isEmpty,
+        s"sub-SELECT nested inside an EXISTS block is not supported: $query")
+      (m.group(1) != null, parsePatterns(m.group(2)))
+    }.toSeq
     existsFilters.foreach { case (_, pats) =>
       require(pats.nonEmpty, s"empty EXISTS block: $query") }
     val body0a = existsRe.replaceAllIn(body0ex, "")
@@ -986,33 +1011,103 @@ object Sparql {
         (Seq(v), es.map(e => Seq(e)))
     }
     val body0b = valuesRe.replaceAllIn(body0av, "")
-    val minusBlocks = minusRe.findAllMatchIn(body0b).map { m =>
-      val (rest, fs) = extractFilters(m.group(1))
-      (parsePatterns(rest), fs)
-    }.toSeq
+    val (body1, minusBlocks) =
+      extractKeywordBlocks(body0b, minusHeadRe, "MINUS")
     val minuses = minusBlocks.map(_._1)
     val minusFilters = minusBlocks.map(_._2)
-    val body1 = minusRe.replaceAllIn(body0b, "")
-    val unionGroups = unionChainRe.findAllIn(body1).toSeq
-      .map(chain => braceBlockRe.findAllMatchIn(chain).map { m =>
-        val (rest, fs) = extractFilters(m.group(1))
-        (parsePatterns(rest), fs)
-      }.toSeq)
-    val unions = unionGroups.map(_.map(_._1))
-    val unionFilters = unionGroups.map(_.map(_._2))
-    unions.foreach { branches =>
+    val minusSubqueries = minusBlocks.map(_._3)
+    // UNION chains, matched-brace (quote/IRI-aware): `{A} UNION {B}
+    // [UNION {C}…]` — a branch may itself contain a sub-SELECT, whose
+    // inner braces the old [^{}]-regex could not carry
+    def unionAt(s: String, k: Int): Boolean =
+      s.regionMatches(true, k, "union", 0, 5) &&
+        (k + 5 >= s.length || !s.charAt(k + 5).isLetterOrDigit)
+    def findUnionChain(s: String): Option[Int] = {
+      var i = 0
+      var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inQ) { if (c == '\\') i += 1 else if (c == '"') inQ = false }
+        else if (c == '"') inQ = true
+        else if (c == '<' && isIriOpen(s, i)) {
+          while (i < s.length && s.charAt(i) != '>') i += 1
+        } else if (c == '{') {
+          val (_, after) = braceBlock(s, i)
+          var k = after
+          while (k < s.length && s.charAt(k).isWhitespace) k += 1
+          if (unionAt(s, k)) return Some(i)
+          i = after - 1
+        }
+        i += 1
+      }
+      None
+    }
+    val (bodyStripped, unionBlocks) = {
+      val out = Seq.newBuilder[
+        Seq[(Seq[TriplePattern], Seq[FilterClause], Seq[BgpQuery])]]
+      val rem = new StringBuilder
+      var rest = body1
+      var more = true
+      while (more) findUnionChain(rest) match {
+        case Some(start) =>
+          val branches = Seq.newBuilder[
+            (Seq[TriplePattern], Seq[FilterClause], Seq[BgpQuery])]
+          var pos = start
+          var end = start
+          var cont = true
+          while (cont) {
+            val (inner, after) = braceBlock(rest, pos)
+            branches += parseBlockBody(inner, "UNION")
+            var k = after
+            while (k < rest.length && rest.charAt(k).isWhitespace) k += 1
+            if (unionAt(rest, k)) {
+              var j = k + 5
+              while (j < rest.length && rest.charAt(j).isWhitespace) j += 1
+              require(j < rest.length && rest.charAt(j) == '{',
+                s"UNION must be followed by a braced branch: $query")
+              pos = j
+            } else { end = after; cont = false }
+          }
+          out += branches.result()
+          rem.append(rest.substring(0, start)).append(' ')
+          rest = rest.substring(end)
+        case None => more = false
+      }
+      rem.append(rest)
+      (rem.toString, out.result())
+    }
+    val unions = unionBlocks.map(_.map(_._1))
+    val unionFilters = unionBlocks.map(_.map(_._2))
+    val unionSubqueries = unionBlocks.map(_.map(_._3))
+    unionBlocks.foreach { branches =>
       // sequence-path intermediates and blank nodes are branch-local,
       // not part of the branch's visible binding set (§4.1.4: a blank
-      // node label cannot span basic graph patterns)
-      val varSets = branches.map(_.flatMap(_.vars).filterNot(v =>
-        v.startsWith(SeqVarPrefix) || v.startsWith(BNodeVarPrefix)).toSet)
+      // node label cannot span basic graph patterns); a branch
+      // sub-SELECT contributes its projection
+      val varSets = branches.map { case (pats, _, subs) =>
+        (pats.flatMap(_.vars) ++
+          subs.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)))
+          .filterNot(v =>
+            v.startsWith(SeqVarPrefix) || v.startsWith(BNodeVarPrefix)).toSet
+      }
       require(varSets.distinct.size == 1,
         s"UNION branches must bind the same variables, got: $varSets")
+      // a var bound as an AGGREGATE in one branch and as a store term
+      // in another would union computed values with ids/lexicals —
+      // reject loudly rather than let the edge decode mis-type it
+      val aggVars = branches.flatMap(_._3)
+        .flatMap(_.aggregates.map(_.alias)).toSet
+      val patVars = branches.flatMap(_._1).flatMap(_.vars).toSet
+      require((aggVars intersect patVars).isEmpty,
+        s"UNION branch sub-SELECT aggregate alias(es) " +
+          s"${(aggVars intersect patVars).map("?" + _).mkString(", ")} " +
+          s"also bind as pattern variables in the group: $query")
     }
     // scoped-filter vars must be bound inside their own block/branch
     // (same contract as OPTIONAL-scoped filters)
-    (minusBlocks ++ unionGroups.flatten).foreach { case (pats, fs) =>
-      val bound = pats.flatMap(_.vars).toSet
+    (minusBlocks ++ unionBlocks.flatten).foreach { case (pats, fs, subs) =>
+      val bound = pats.flatMap(_.vars).toSet ++
+        subs.flatMap(sq => sq.select ++ sq.aggregates.map(_.alias))
       fs.flatMap(_.disjuncts.flatten).foreach { f =>
         require(bound.contains(f.variable),
           s"block-scoped FILTER var ?${f.variable} must be bound inside the block: $query")
@@ -1021,10 +1116,13 @@ object Sparql {
             s"block-scoped FILTER var ?${f.value} must be bound inside the block: $query")
       }
     }
+    // a sub-SELECT still in the body sits inside a block without
+    // sub-SELECT support — reject with intent, not a mis-parse
+    require(subSelectProbeRe.findFirstIn(bodyStripped).isEmpty,
+      s"sub-SELECT nested inside an EXISTS/VALUES block is not supported: $query")
     // top-level FILTERs, matched against the block-STRIPPED body only
     // (OPTIONAL/MINUS/UNION-scoped clauses are extracted with their
     // blocks above and never hoisted here)
-    val bodyStripped = unionChainRe.replaceAllIn(body1, "")
     // BIND clauses, in textual order (later BINDs see earlier aliases)
     val binds = bindRe.findAllMatchIn(bodyStripped).map(m =>
       Bind(m.group(2), parseBindExpr(m.group(1)))).toSeq
@@ -1057,8 +1155,11 @@ object Sparql {
         valuesTables.flatMap(_._1) ++ undefSingles.flatMap(_._1) ++
         // a subquery exports exactly its projection (group keys and
         // aggregate aliases included) to the outer scope — OPTIONAL-
-        // scoped subqueries export too (their vars may be null-padded)
-        (subqueries ++ optionalSubqueries.flatten)
+        // scoped subqueries export too (their vars may be null-padded),
+        // and UNION-branch subqueries export like branch pattern vars.
+        // MINUS-scoped subqueries restrict, never bind (§8.3).
+        (subqueries ++ optionalSubqueries.flatten ++
+          unionSubqueries.flatten.flatten)
           .flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
         // GRAPH blocks bind their pattern vars and (var form) the graph
         graphBlocks.flatMap { case (g, pats) =>
@@ -1126,7 +1227,8 @@ object Sparql {
       minuses, valuesBinds, aggregates, groupVars, orderKeys, limitN, offsetN,
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
       binds, subqueries, valuesTables ++ undefSingles, graphBlocks, services,
-      fromGraphs, fromNamed, optionalSubqueries)
+      fromGraphs, fromNamed, optionalSubqueries, unionSubqueries,
+      minusSubqueries)
   }
 
   /** Matched-brace extraction shared by the SERVICE scanner and the

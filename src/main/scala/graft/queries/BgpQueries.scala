@@ -3048,7 +3048,41 @@ object BgpQueries {
              |  c_mktsegment AS seg, cnt
              |FROM customer LEFT JOIN (
              |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
-             |  FROM orders GROUP BY 1) ON o_custkey = c_custkey""".stripMargin))
+             |  FROM orders GROUP BY 1) ON o_custkey = c_custkey""".stripMargin)),
+
+    // sub-SELECTs inside UNION branches (round 13): two independent
+    // aggregate subqueries bag-union into one relation — the "entity
+    // counts from two sources" idiom. Each branch is its own
+    // partial-agg groupBy; the union is a zero-shuffle concatenation.
+    GQuery(
+      "q379_bgp_union_subselect",
+      bgp("""select ?n ?cnt where {
+            | { { select ?n (count(?c) as ?cnt)
+            |     where { ?c nationkey ?n . ?c rdf:type "Customer" }
+            |     group by ?n } }
+            | UNION
+            | { { select ?n (count(?s) as ?cnt)
+            |     where { ?s nationkey ?n . ?s rdf:type "Supplier" }
+            |     group by ?n } } }""".stripMargin),
+      Some("""SELECT concat('nation:', c_nationkey) AS n,
+             |  CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1
+             |UNION ALL
+             |SELECT concat('nation:', s_nationkey),
+             |  CAST(count(*) AS BIGINT) FROM supplier GROUP BY 1""".stripMargin)),
+
+    // sub-SELECT inside MINUS (round 13): the block subquery computes
+    // the removal set (customers holding a finished order); MINUS
+    // anti-joins it on the shared var. Removal set is aggregate-sized,
+    // the anti join key-partitioned.
+    GQuery(
+      "q380_bgp_minus_subselect",
+      bgp("""select ?c ?seg where { ?c mktsegment ?seg .
+            | MINUS { { select ?c where { ?o custkey ?c . ?o status "F" } } } }"""
+        .stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  c_mktsegment AS seg FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin))
   )
 
   private val pathGroupOracle =

@@ -1777,12 +1777,66 @@ class BgpSpec extends AnyFunSuite {
       Set(("dept:0", 2L)))
   }
 
-  test("sub-SELECT nested inside MINUS/UNION still rejects with intent") {
-    // those blocks' scoped semantics are not implemented for
-    // subqueries — reject rather than reinterpret
+  test("sub-SELECT inside MINUS restricts the removal set") {
+    def both(q: String): Set[Seq[Any]] = {
+      val enc = TripleStore.encode(tinyStore)
+      val a = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet
+      val b = BgpPlanner.query(enc, q).collect().map(_.toSeq).toSet
+      assert(a == b, s"string vs encoded store diverged for:\n$q\n$a\n$b")
+      a
+    }
+    // the block subquery binds ?A = advised profs (prof:0); MINUS
+    // removes outer solutions sharing that binding
+    assert(both(
+      """select ?A ?D where { ?A worksFor ?D .
+        | MINUS { { select ?A where { ?X advisor ?A } } } }""".stripMargin) ==
+      Set(Seq("prof:1", "dept:0"), Seq("prof:2", "dept:1")))
+  }
+
+  test("sub-SELECT inside UNION branches unions like branch patterns") {
+    def both(q: String): Seq[Seq[Any]] = {
+      val enc = TripleStore.encode(tinyStore)
+      val a = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq)
+        .sortBy(_.mkString("|")).toSeq
+      val b = BgpPlanner.query(enc, q).collect().map(_.toSeq)
+        .sortBy(_.mkString("|")).toSeq
+      assert(a == b, s"string vs encoded store diverged for:\n$q\n$a\n$b")
+      a
+    }
+    // both branches are aggregate subqueries exporting the same vars
+    assert(both(
+      """select ?D ?n where {
+        | { { select ?D (count(?P) as ?n) where { ?P worksFor ?D }
+        |     group by ?D } }
+        | UNION
+        | { { select ?D (count(?S) as ?n) where { ?S memberOf ?D }
+        |     group by ?D } } }""".stripMargin) ==
+      Seq(Seq("dept:0", 1L), Seq("dept:0", 2L), Seq("dept:1", 1L)))
+    // one branch mixes patterns with a (non-aggregate) subquery, the
+    // other is a plain pattern branch — same visible var set
+    assert(both(
+      """select ?A ?D where {
+        | { ?A worksFor ?D . { select ?A where { ?A email ?E } } }
+        | UNION
+        | { ?A memberOf ?D } }""".stripMargin) ==
+      Seq(Seq("prof:0", "dept:0"), Seq("prof:1", "dept:0"),
+        Seq("stud:0", "dept:0")))
+    // an aggregate alias in one branch colliding with a pattern var in
+    // another would union computed values with store terms — loud
     val e = intercept[IllegalArgumentException](Sparql.parse(
-      """select ?A ?D where { ?A memberOf ?D .
-        | MINUS { { select ?A where { ?A advisor ?P } } } }""".stripMargin))
+      """select ?D ?n where {
+        | { { select ?D (count(?P) as ?n) where { ?P worksFor ?D }
+        |     group by ?D } }
+        | UNION
+        | { ?n memberOf ?D } }""".stripMargin))
+    assert(e.getMessage.contains("aggregate alias"))
+  }
+
+  test("sub-SELECT nested inside EXISTS still rejects with intent") {
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A worksFor ?D .
+        | FILTER EXISTS { { select ?A where { ?A email ?E } } } }"""
+        .stripMargin))
     assert(e.getMessage.contains("nested inside"))
   }
 
