@@ -101,6 +101,67 @@ object TextQueries {
       } finally { words.unpersist(); () }
     })
 
+  // q381's trained model (per-step weights + accuracy) per
+  // (session, dataset) — training runs once; the apply arm (q382) and
+  // the streaming scorer reuse the learned weights
+  private val clfMemo = new graft.tools.BoundedMemo[
+      (org.apache.spark.sql.SparkSession, String),
+      Seq[(Long, Long, Long, Long, Long)]](4)
+
+  /** q381/q382's feature relation: exact fixed-point document
+    * features + the distillation label (unique-token ratio ≥ 600‰).
+    */
+  private def clfFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
+      .withColumn("uniq", expr(
+        """cast(size(array_distinct(split(text, ' '))) as bigint) * 1000
+          |  div cast(size(split(text, ' ')) as bigint)""".stripMargin))
+      .select(col("source"),
+        when(col("uniq") >= 600, 1000L).otherwise(0L).as("y"),
+        lit(100L).as("x0"),
+        (least(col("n_chars").cast("long"), lit(1000L)) - 500L).as("x1"),
+        (lit(500L) - col("uniq")).as("x2"))
+
+  /** The q381 training loop (see the q381 comment for the math):
+    * 6 full-batch gradient steps + a final eval pass, every step ONE
+    * map-side-combined aggregate; returns (step, w0, w1, w2,
+    * n_correct) rows, memoized per (session, dataset).
+    */
+  private def clfTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Long, Long, Long, Long)] =
+    clfMemo.getOrElseUpdate((s, dir), {
+      val feat = clfFeatures(s, dir).cache()
+      try {
+        var w = Array(0L, 0L, 0L)
+        val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        def pass(): (Array[Long], Long, Long) = {
+          val r = feat
+            .withColumn("z", expr(
+              s"${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2"))
+            .withColumn("yh", expr(
+              "greatest(0L, least(1000L, 500L + z div 4000))"))
+            .agg(
+              sum((col("yh") - col("y")) * col("x0")),
+              sum((col("yh") - col("y")) * col("x1")),
+              sum((col("yh") - col("y")) * col("x2")), count(lit(1)),
+              sum(when((col("yh") >= 500) === (col("y") === 1000), 1L)
+                .otherwise(0L)))
+            .head()
+          (Array(r.getLong(0), r.getLong(1), r.getLong(2)),
+            r.getLong(3), r.getLong(4))
+        }
+        for (step <- 1L to 6L) {
+          val (sums, n, nc) = pass()
+          w = w.zip(sums).map { case (wj, sj) => wj - sj / (n * 200L) }
+          rows += ((step, w(0), w(1), w(2), nc))
+        }
+        val (_, _, ncFinal) = pass()
+        rows += ((7L, w(0), w(1), w(2), ncFinal))
+        rows.result()
+      } finally { feat.unpersist(); () }
+    })
+
   /** Unrolled DuckDB mirror of one training iteration: pair counts
     * over s{i-1}, top-1 by (count DESC, a, b), literal-replace into
     * s{i} via scalar subqueries. Every CTE is MATERIALIZED — DuckDB
@@ -2812,84 +2873,11 @@ object TextQueries {
       "q381_quality_classifier",
       (s, dir) => {
         import s.implicits._
-        val feat = t(s, dir, "documents")
-          .withColumn("uniq", expr(
-            """cast(size(array_distinct(split(text, ' '))) as bigint) * 1000
-              |  div cast(size(split(text, ' ')) as bigint)""".stripMargin))
-          .select(
-            when($"uniq" >= 600, 1000L).otherwise(0L).as("y"),
-            lit(100L).as("x0"),
-            (least($"n_chars".cast("long"), lit(1000L)) - 500L).as("x1"),
-            (lit(500L) - $"uniq").as("x2"))
-          .cache()
-        try {
-          var w = Array(0L, 0L, 0L)
-          val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
-          def pass(): (Array[Long], Long, Long) = {
-            val r = feat
-              .withColumn("z", expr(
-                s"${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2"))
-              .withColumn("yh", expr(
-                "greatest(0L, least(1000L, 500L + z div 4000))"))
-              .agg(
-                sum(($"yh" - $"y") * $"x0"), sum(($"yh" - $"y") * $"x1"),
-                sum(($"yh" - $"y") * $"x2"), count(lit(1)),
-                sum(when(($"yh" >= 500) === ($"y" === 1000), 1L)
-                  .otherwise(0L)))
-              .head()
-            (Array(r.getLong(0), r.getLong(1), r.getLong(2)),
-              r.getLong(3), r.getLong(4))
-          }
-          for (step <- 1L to 6L) {
-            val (sums, n, nc) = pass()
-            w = w.zip(sums).map { case (wj, sj) => wj - sj / (n * 200L) }
-            rows += ((step, w(0), w(1), w(2), nc))
-          }
-          val (_, _, ncFinal) = pass()
-          rows += ((7L, w(0), w(1), w(2), ncFinal))
-          rows.result()
-            .toDF("step", "w0", "w1", "w2", "n_correct").orderBy($"step")
-        } finally { feat.unpersist(); () }
+        clfTrain(s, dir)
+          .toDF("step", "w0", "w1", "w2", "n_correct").orderBy($"step")
       },
       Some {
-        val feat =
-          """feat AS MATERIALIZED (SELECT
-            |  CASE WHEN uniq >= 600 THEN 1000 ELSE 0 END AS y,
-            |  CAST(100 AS BIGINT) AS x0,
-            |  CAST(least(n_chars, 1000) AS BIGINT) - 500 AS x1,
-            |  500 - uniq AS x2
-            |FROM (SELECT n_chars,
-            |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-            |      * 1000 //
-            |      CAST(len(string_split(text, ' ')) AS BIGINT) AS uniq
-            |  FROM documents))""".stripMargin
-        def step(i: Int) = {
-          val prev = if (i == 1) "g0" else s"g${i - 1}"
-          s"""p$i AS MATERIALIZED (SELECT f.y, f.x0, f.x1, f.x2,
-             |    greatest(0, least(1000,
-             |      500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000))
-             |      AS yh
-             |  FROM feat f, $prev w),
-             |g$i AS MATERIALIZED (SELECT
-             |    (SELECT w0 FROM $prev) -
-             |      CAST(sum((yh - y) * x0) AS BIGINT) // (count(*) * 200) AS w0,
-             |    (SELECT w1 FROM $prev) -
-             |      CAST(sum((yh - y) * x1) AS BIGINT) // (count(*) * 200) AS w1,
-             |    (SELECT w2 FROM $prev) -
-             |      CAST(sum((yh - y) * x2) AS BIGINT) // (count(*) * 200) AS w2,
-             |    CAST(sum(CASE WHEN (yh >= 500) = (y = 1000)
-             |      THEN 1 ELSE 0 END) AS BIGINT) AS nc
-             |  FROM p$i)""".stripMargin
-        }
-        s"""WITH $feat,
-           |g0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-           |       CAST(0 AS BIGINT) AS w2),
-           |${(1 to 6).map(step).mkString(",\n")},
-           |p7 AS (SELECT f.y,
-           |    greatest(0, least(1000,
-           |      500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000))
-           |      AS yh
-           |  FROM feat f, g6 w)
+        s"""WITH $clfOracleSteps
            |SELECT CAST(1 AS BIGINT) AS step, w0, w1, w2, nc AS n_correct FROM g1
            |${(2 to 6).map(i =>
               s"UNION ALL SELECT $i, w0, w1, w2, nc FROM g$i").mkString("\n")}
@@ -2897,6 +2885,96 @@ object TextQueries {
            |  (SELECT CAST(sum(CASE WHEN (yh >= 500) = (y = 1000)
            |    THEN 1 ELSE 0 END) AS BIGINT) FROM p7) FROM g6
            |ORDER BY step""".stripMargin
+      }),
+
+    // classifier APPLY — the filter step a curation run actually
+    // executes with q381's trained weights: score every document with
+    // the final model, keep yh ≥ 500, report per-source volumes and
+    // keep rates. One embarrassingly parallel scoring pass (the
+    // weights are three broadcast-inlined longs) + a source-sized
+    // aggregate; at 100 TB this is a single map-side-combined scan.
+    // The keep decision is oracle-exact because scoring reuses the
+    // training discipline end to end.
+    GQuery(
+      "q382_classifier_apply",
+      (s, dir) => {
+        import s.implicits._
+        val w = clfTrain(s, dir).last
+        clfFeatures(s, dir)
+          .withColumn("z", expr(s"${w._2}L * x0 + ${w._3}L * x1 + ${w._4}L * x2"))
+          .withColumn("yh", expr(
+            "greatest(0L, least(1000L, 500L + z div 4000))"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"yh" >= 500, 1L).otherwise(0L)).as("n_keep"),
+            sum(when(($"yh" >= 500) === ($"y" === 1000), 1L).otherwise(0L))
+              .as("n_agree"))
+          .withColumn("keep_permille", expr("n_keep * 1000 div n_docs"))
+      },
+      Some {
+        s"""WITH $clfOracleSteps
+           |SELECT f.source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN
+           |    500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000 >= 500
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST(sum(CASE WHEN
+           |    (500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000 >= 500)
+           |      = (f.y = 1000) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           |  CAST(sum(CASE WHEN
+           |    500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000 >= 500
+           |    THEN 1 ELSE 0 END) AS BIGINT) * 1000 //
+           |    CAST(count(*) AS BIGINT) AS keep_permille
+           |FROM feat f, g6 w
+           |GROUP BY 1""".stripMargin
       })
   )
+
+  /** Shared DuckDB CTE chain for the q381/q382 classifier: the
+    * feature relation (WITH source for the apply arm), g0 init, six
+    * unrolled gradient steps (p{i} scores under g{i-1}, g{i} the
+    * update + that pass's accuracy), and p7 (scores under the final
+    * g6). MATERIALIZED throughout — DuckDB inlines CTEs by default
+    * and each level is referenced several times.
+    */
+  private val clfOracleSteps: String = {
+    val feat =
+      """feat AS MATERIALIZED (SELECT source,
+        |  CASE WHEN uniq >= 600 THEN 1000 ELSE 0 END AS y,
+        |  CAST(100 AS BIGINT) AS x0,
+        |  CAST(least(n_chars, 1000) AS BIGINT) - 500 AS x1,
+        |  500 - uniq AS x2
+        |FROM (SELECT source, n_chars,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      * 1000 //
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS uniq
+        |  FROM documents))""".stripMargin
+    def step(i: Int) = {
+      val prev = if (i == 1) "g0" else s"g${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT f.y, f.x0, f.x1, f.x2,
+         |    greatest(0, least(1000,
+         |      500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000))
+         |      AS yh
+         |  FROM feat f, $prev w),
+         |g$i AS MATERIALIZED (SELECT
+         |    (SELECT w0 FROM $prev) -
+         |      CAST(sum((yh - y) * x0) AS BIGINT) // (count(*) * 200) AS w0,
+         |    (SELECT w1 FROM $prev) -
+         |      CAST(sum((yh - y) * x1) AS BIGINT) // (count(*) * 200) AS w1,
+         |    (SELECT w2 FROM $prev) -
+         |      CAST(sum((yh - y) * x2) AS BIGINT) // (count(*) * 200) AS w2,
+         |    CAST(sum(CASE WHEN (yh >= 500) = (y = 1000)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |  FROM p$i)""".stripMargin
+    }
+    s"""$feat,
+       |g0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |       CAST(0 AS BIGINT) AS w2),
+       |${(1 to 6).map(step).mkString(",\n")},
+       |p7 AS (SELECT f.y,
+       |    greatest(0, least(1000,
+       |      500 + (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2) // 4000))
+       |      AS yh
+       |  FROM feat f, g6 w)""".stripMargin
+  }
 }

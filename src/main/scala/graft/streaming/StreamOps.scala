@@ -241,6 +241,30 @@ object StreamOps {
         col("chars_delta"))
   }
 
+  /** Streaming arm of the q381/q382 trained quality classifier: score
+    * in-flight documents with a LEARNED weight vector (trained batch-
+    * side, shipped here as three longs — the train-batch/serve-stream
+    * split every production quality filter runs) and keep docs scoring
+    * ≥ 500‰. Stateless per row: the exact fixed-point scoring
+    * discipline of the batch arm (clamp(500 + (w·x) div 4000)), so a
+    * document gets the SAME verdict in the stream as in the batch
+    * backfill — no train/serve skew by construction. Expects columns
+    * `text`, `n_chars`; emits the inputs plus `score_milli`/`keep`.
+    */
+  def qualityScoreStream(docs: DataFrame,
+      w: (Long, Long, Long)): DataFrame =
+    docs
+      .withColumn("uniq", expr(
+        """cast(size(array_distinct(split(text, ' '))) as bigint) * 1000
+          |  div cast(size(split(text, ' ')) as bigint)""".stripMargin))
+      .withColumn("z", expr(
+        s"${w._1}L * 100L + ${w._2}L * (least(cast(n_chars as bigint), " +
+          s"1000L) - 500L) + ${w._3}L * (500L - uniq)"))
+      .withColumn("score_milli", expr(
+        "greatest(0L, least(1000L, 500L + z div 4000))"))
+      .withColumn("keep", col("score_milli") >= 500)
+      .drop("uniq", "z")
+
   /** Stream-STREAM interval join (click attribution): each view joins
     * the clicks of the same user landing in `(vts, vts + window]` —
     * both sides are unbounded streams, so this exercises Spark's

@@ -1832,6 +1832,21 @@ class BgpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("aggregate alias"))
   }
 
+  test("OPTIONAL-scoped FILTER may reference the block subquery's exports") {
+    // the filter applies AFTER the block combines its patterns with
+    // the subquery, so it restricts the block (nulling the outer
+    // row's block vars), never the outer solution
+    val out = BgpPlanner.query(tinyStore,
+      """select ?A ?E ?n where { ?A email ?E .
+        | OPTIONAL { { select ?A (count(?X) as ?n)
+        |             where { ?X advisor ?A } group by ?A } .
+        |   FILTER (?n > 1) } }""".stripMargin)
+    // prof:0 has ONE advisee -> the filter drops the block row, but
+    // prof:0's outer email row must survive with a null ?n
+    assert(out.collect().map(_.toSeq).toSet ==
+      Set(Seq("prof:0", "p0@u.edu", null), Seq("prof:1", "p1@u.edu", null)))
+  }
+
   test("sub-SELECT nested inside EXISTS still rejects with intent") {
     val e = intercept[IllegalArgumentException](Sparql.parse(
       """select ?A where { ?A worksFor ?D .

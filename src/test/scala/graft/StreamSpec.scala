@@ -182,6 +182,42 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityScoreStream scores in-flight docs exactly like the batch arm") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String, Long)]
+    val docs = src.toDF().toDF("doc_id", "text", "n_chars")
+    // weights in the shape q381 learns (negative bias, negative
+    // duplication weight): high-uniqueness short docs keep
+    val w = (-100L, 10L, -300L)
+    val q = StreamOps.qualityScoreStream(docs, w)
+      .writeStream.format("memory").queryName("qscore")
+      .outputMode("append").start()
+    val fixture = Seq(
+      (1L, "a b c d e f g h", 15L),       // uniq 1000 -> strong keep
+      (2L, "a a a a a a a a", 15L),        // uniq 125  -> drop
+      (3L, "x y x y x y", 11L),            // uniq 333
+      (4L, "p q r s p q r s", 15L))        // uniq 500
+    try {
+      src.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qscore")
+        .select($"doc_id", $"score_milli", $"keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      // batch twin: the same expression chain over a static frame
+      val batch = StreamOps.qualityScoreStream(
+          fixture.toDF("doc_id", "text", "n_chars"), w)
+        .select($"doc_id", $"score_milli", $"keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch,
+        s"stream vs batch verdicts diverged: $streamed vs $batch")
+      // the verdicts separate: full-unique keeps, degenerate drops
+      val keeps = streamed.filter(_._3).map(_._1)
+      assert(keeps.contains(1L) && !keeps.contains(2L),
+        s"expected doc 1 kept and doc 2 dropped, got keeps=$keeps")
+    } finally q.stop()
+  }
+
   test("stream-static boilerplate join filters chunks against the batch set") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
