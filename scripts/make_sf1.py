@@ -12,8 +12,12 @@ Key families share one stride so foreign keys stay consistent:
 customer<-orders (custkey), orders<-lineitem (orderkey), part/supplier
 <-lineitem, and documents<->embeddings (doc_id = vec_id in the corpus).
 
+Derived corpora live under bench_corpora/ (NOT target/): a build-dir
+wipe must not destroy the corpus the cross-round bench ratios compare
+against (two rounds lost the sf10 chain to exactly that).
+
 Usage: make_sf1.py [in_dir out_dir]   (defaults: /root/testdata/sf0.1
-       -> target/testdata_sf1)
+       -> bench_corpora/testdata_sf1)
 """
 import os
 import sys
@@ -21,7 +25,7 @@ import sys
 import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-out = sys.argv[2] if len(sys.argv) > 2 else "target/testdata_sf1"
+out = sys.argv[2] if len(sys.argv) > 2 else "bench_corpora/testdata_sf1"
 reps = int(os.environ.get("GRAFT_SCALE_REPS", "10"))
 os.makedirs(out, exist_ok=True)
 

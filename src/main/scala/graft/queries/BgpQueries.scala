@@ -15,16 +15,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BgpQueries {
 
-  // The persisted store layouts live under the repo's build dir, one
-  // set per scale-factor dir, built on first touch and reused by every
-  // later session/JVM (the analog of a database load):
+  // The persisted store layouts live under `bench_corpora/pstore`
+  // (NOT `target/` — a `clean`/environment wipe of the build dir must
+  // not destroy the database-load artifacts the cross-round bench
+  // chain compares against; round-13 postmortem lost the sf10 ratio
+  // twice to exactly that). One set per scale-factor dir, built on
+  // first touch and reused by every later session/JVM (the analog of
+  // a database load):
   //  - parquet partitioned by predicate (POS analog): constant-predicate
   //    pattern scan = partition pruning, and the lineitem-derived
   //    distinct() shuffles are paid once at load, not per session;
   //  - parquet bucketed+sorted by subject (SOP analog): variable-
   //    predicate patterns prune to one bucket on a constant subject.
   private def pstoreRoot: String =
-    new java.io.File("target/pstore").getAbsolutePath
+    new java.io.File(sys.env.getOrElse("SPARK_GRAFT_PSTORE_DIR",
+      "bench_corpora/pstore")).getAbsolutePath
 
   private val storeCache =
     new graft.tools.BoundedMemo[(SparkSession, String, Boolean), TripleStore](
