@@ -396,6 +396,9 @@ object Sparql {
   private val serviceHeadRe =
     "(?is)service\\s+(silent\\s+)?(<[^>]*>|[^\\s{]+)\\s*\\{".r
   private val graphRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{([^}]*)\\}".r
+  // head-only variant for the matched-brace sub-SELECT probe (graphRe's
+  // [^}]-bounded body capture can't see past a nested block)
+  private val graphHeadRe = "(?is)graph\\s+(\\?\\w+|<[^>]*>|[^\\s{]+)\\s*\\{".r
   private val minusHeadRe = "(?is)\\bminus\\s*\\{".r
   private val valuesRe = "(?is)values\\s+\\?(\\w+)\\s*\\{([^}]*)\\}".r
   private val valuesTupleRe =
@@ -744,7 +747,17 @@ object Sparql {
     // GRAPH blocks — pulled before OPTIONAL/UNION so their braces are
     // never misread as a UNION branch; plain constant-predicate
     // patterns only (paths/variable predicates stay default-graph
-    // features)
+    // features). Probe matched-brace GRAPH bodies for sub-SELECTs
+    // BEFORE the [^}]-bounded capture runs: graphRe would tear a
+    // brace-nesting body short and surface a confusing parsePatterns
+    // error instead of this intent-naming rejection.
+    graphHeadRe.findAllMatchIn(bodyFullV).foreach { m =>
+      scala.util.Try(braceBlock(bodyFullV, m.end - 1)).foreach {
+        case (inner, _) =>
+          require(subSelectProbeRe.findFirstIn(inner).isEmpty,
+            s"sub-SELECT nested inside a GRAPH block is not supported: $query")
+      }
+    }
     val graphBlocks = graphRe.findAllMatchIn(bodyFullV).map { m =>
       val gterm = term(m.group(1))
       require(gterm.isInstanceOf[Var] || gterm.isInstanceOf[Const],
@@ -1119,7 +1132,8 @@ object Sparql {
     // a sub-SELECT still in the body sits inside a block without
     // sub-SELECT support — reject with intent, not a mis-parse
     require(subSelectProbeRe.findFirstIn(bodyStripped).isEmpty,
-      s"sub-SELECT nested inside an EXISTS/VALUES block is not supported: $query")
+      s"sub-SELECT nested inside an unsupported enclosing block " +
+        s"(EXISTS or VALUES) is not supported here: $query")
     // top-level FILTERs, matched against the block-STRIPPED body only
     // (OPTIONAL/MINUS/UNION-scoped clauses are extracted with their
     // blocks above and never hoisted here)
@@ -1146,6 +1160,24 @@ object Sparql {
         require(t.isInstanceOf[Var] || t.isInstanceOf[Const],
           s"property paths are only valid at the predicate position: $p"))
     }
+
+    // the UNION-branch aggregate-alias guard, generalized: an
+    // aggregate alias computed by ANY sub-SELECT (top-level, OPTIONAL-,
+    // MINUS-, or UNION-scoped) that also binds as a store term in a
+    // pattern would join encoded ids against computed aggregate
+    // values — and the shared column's lexical marking makes the
+    // result edge skip the id decode, emitting raw hashes. Reject
+    // loudly instead of producing silently wrong rows.
+    val subAggAliases =
+      (subqueries ++ optionalSubqueries.flatten ++ minusSubqueries.flatten ++
+        unionSubqueries.flatten.flatten)
+        .flatMap(_.aggregates.map(_.alias)).toSet
+    val storeBoundVars = allPatterns.flatMap(_.vars).toSet ++
+      services.flatMap(_.query.select)
+    require((subAggAliases intersect storeBoundVars).isEmpty,
+      s"sub-SELECT aggregate alias(es) " +
+        s"${(subAggAliases intersect storeBoundVars).map("?" + _).mkString(", ")} " +
+        s"also bind as pattern variables: $query")
 
     // MINUS blocks restrict, never bind: SELECT/FILTER vars must come
     // from the positive patterns (or a VALUES block, which DOES bind)
@@ -1293,51 +1325,65 @@ object Sparql {
     val subs = scala.collection.mutable.Buffer.empty[BgpQuery]
     var i = 0
     // depth of NON-subquery braces (OPTIONAL/MINUS/UNION blocks, still
-    // unextracted at this stage of the parse)
+    // unextracted at this stage of the parse). The depth counter and
+    // the sub-SELECT skip both share braceBlock's quote/IRI awareness:
+    // a '{' or '}' inside a string literal (or an IRI) must not
+    // misbalance blockDepth, or a block-nested sub-SELECT would look
+    // top-level and get hoisted — silently turning an OPTIONAL left
+    // join into an inner join, the exact hazard the leave-in-place
+    // rule prevents.
     var blockDepth = 0
+    var inQuote = false
+    var inAngle = false
     while (i < body.length) {
       val c = body.charAt(i)
-      val isSub = c == '{' && {
-        var k = i + 1
-        while (k < body.length && body.charAt(k).isWhitespace) k += 1
-        body.regionMatches(true, k, "select", 0, "select".length)
-      }
-      // a sub-SELECT inside a block has block-scoped semantics (e.g.
-      // OPTIONAL's left join) — hoisting it here would silently turn
-      // the left join into an inner join, so leave it IN PLACE,
-      // verbatim, for the block's own extractor to handle (the
-      // OPTIONAL scanner re-runs this function on its block body at
-      // depth 0; blocks without sub-SELECT support reject loudly
-      // downstream). The copy skips over the sub-SELECT's braces so
-      // they never perturb blockDepth.
-      if (isSub && blockDepth > 0) {
-        var depth = 1
-        var j = i + 1
-        while (j < body.length && depth > 0) {
-          if (body.charAt(j) == '{') depth += 1
-          else if (body.charAt(j) == '}') depth -= 1
-          j += 1
+      if (inQuote) {
+        if (c == '\\' && i + 1 < body.length) {
+          sb.append(c).append(body.charAt(i + 1))
+          i += 2
+        } else {
+          if (c == '"') inQuote = false
+          sb.append(c)
+          i += 1
         }
-        require(depth == 0, s"unbalanced braces in subquery: $body")
-        sb.append(body.substring(i, j))
-        i = j
-      } else if (isSub) {
-        var depth = 1
-        var j = i + 1
-        while (j < body.length && depth > 0) {
-          if (body.charAt(j) == '{') depth += 1
-          else if (body.charAt(j) == '}') depth -= 1
-          j += 1
-        }
-        require(depth == 0, s"unbalanced braces in subquery: $body")
-        subs += parse(body.substring(i + 1, j - 1))
-        sb.append(' ')
-        i = j
-      } else {
-        if (c == '{') blockDepth += 1
-        else if (c == '}') blockDepth -= 1
+      } else if (inAngle) {
+        if (c == '>') inAngle = false
         sb.append(c)
         i += 1
+      } else {
+        val isSub = c == '{' && {
+          var k = i + 1
+          while (k < body.length && body.charAt(k).isWhitespace) k += 1
+          body.regionMatches(true, k, "select", 0, "select".length)
+        }
+        if (isSub) {
+          // braceBlock is the shared quote/IRI-aware matched-brace
+          // scanner — literal braces inside the sub-SELECT can't tear
+          // the copy/extraction short
+          val (inner, j) = braceBlock(body, i)
+          // a sub-SELECT inside a block has block-scoped semantics
+          // (e.g. OPTIONAL's left join) — hoisting it here would
+          // silently change the join shape, so leave it IN PLACE,
+          // verbatim, for the block's own extractor (which re-runs
+          // this function on the block body at depth 0; blocks
+          // without sub-SELECT support reject loudly downstream)
+          if (blockDepth > 0) sb.append(body.substring(i, j))
+          else {
+            subs += parse(inner)
+            sb.append(' ')
+          }
+          i = j
+        } else {
+          c match {
+            case '"' => inQuote = true
+            case '<' if isIriOpen(body, i) => inAngle = true
+            case '{' => blockDepth += 1
+            case '}' => blockDepth -= 1
+            case _ => ()
+          }
+          sb.append(c)
+          i += 1
+        }
       }
     }
     (sb.toString, subs.toSeq)

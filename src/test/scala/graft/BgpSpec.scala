@@ -1855,6 +1855,49 @@ class BgpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nested inside"))
   }
 
+  test("sub-SELECT aggregate alias colliding with a pattern var rejects everywhere") {
+    // OPTIONAL-scoped: the alias ?n is also bound by an outer pattern —
+    // joining computed counts against store terms (and on an encoded
+    // store the shared column's lexical marking skips the id decode)
+    val e1 = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A where { ?A worksFor ?n .
+        | OPTIONAL { { select ?A (count(?X) as ?n)
+        |             where { ?X advisor ?A } group by ?A } } }""".stripMargin))
+    assert(e1.getMessage.contains("aggregate alias"))
+    // MINUS-scoped
+    val e2 = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A ?n where { ?A worksFor ?D . ?A email ?n .
+        | MINUS { { select ?A (count(?X) as ?n)
+        |          where { ?X advisor ?A } group by ?A } } }""".stripMargin))
+    assert(e2.getMessage.contains("aggregate alias"))
+    // top-level
+    val e3 = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?A ?n where { ?A email ?n .
+        | { select ?A (count(?X) as ?n)
+        |   where { ?X advisor ?A } group by ?A } }""".stripMargin))
+    assert(e3.getMessage.contains("aggregate alias"))
+  }
+
+  test("literal braces never misbalance block-scoped sub-SELECT extraction") {
+    // a '}' inside a string literal would (quote-blind) zero the
+    // block-depth counter and hoist the OPTIONAL's sub-SELECT to the
+    // top level — silently turning the left join into an inner join
+    val parsed = Sparql.parse(
+      """select ?A ?E ?n where { ?A email ?E .
+        | OPTIONAL { ?A note "}" .
+        |   { select ?A (count(?X) as ?n)
+        |     where { ?X advisor ?A } group by ?A } } }""".stripMargin)
+    assert(parsed.subqueries.isEmpty)
+    assert(parsed.optionalSubqueries.flatten.size == 1)
+  }
+
+  test("sub-SELECT nested inside GRAPH rejects naming the construct") {
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """select ?g ?A where {
+        | GRAPH ?g { { select ?A where { ?A email ?E } } } }""".stripMargin))
+    assert(e.getMessage.contains("GRAPH block"))
+  }
+
   test("measured pair merging seeds the chain with the merged subquery") {
     // DREAM's vertex merging (Optimizer.cpp:470-566): patterns 1⋈2
     // measure to 2 rows while the cheapest SINGLE is pattern 0 at 10 —
