@@ -1530,6 +1530,147 @@ object DedupQueries {
               |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
               |    AS kept_id,
               |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
-              |FROM r GROUP BY 1""".stripMargin))
+              |FROM r GROUP BY 1""".stripMargin)),
+
+    // persisted signature index, cold-load probe: the corpus-side
+    // MinHash/SimHash/band/fingerprint signatures live as a versioned
+    // parquet artifact (scale/SignatureStore — built once per dataset
+    // like the pstore layouts) and the ingest batch PROBES it. The
+    // probe's corpus-side cost is index scans only (ScaleSpec pins the
+    // plan reads signatures, never documents); verdict arithmetic is
+    // q369's (MinHash ≥8/16, SimHash Hamming ≤6) plus q162's banded
+    // ≥3-shared-shingles arm and the exact-fp arm, with all bucket/df
+    // caps computed as index counts + batch partials — identical to
+    // the monolithic corpus∪batch spelling.
+    GQuery(
+      "q383_sig_index_probe",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+          .withColumn("m",
+            h32(concat($"doc_id".cast("string"), lit(":batch"))) % 10)
+        val path = sigIndexPath("main", dir)
+        graft.scale.SignatureStore.ensure(
+          docs.filter($"m" =!= 0).select($"doc_id", $"text"), path, s)
+        graft.scale.SignatureStore.probe(s, path,
+          docs.filter($"m" === 0).select($"doc_id", $"text"))
+      },
+      Some(sigProbeSql)),
+
+    // incremental-growth arm: the index is built from 80% of the
+    // corpus, one ingest batch (10%) is APPENDED as delta-grain seq=
+    // batches (bytes written scale with the batch), and the probe of
+    // the final 10% reads base ∪ delta with counts re-aggregated. The
+    // oracle is IDENTICAL to q383's — the appended index must give
+    // exactly the verdicts a monolithically-built index gives.
+    GQuery(
+      "q384_sig_index_append",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+          .withColumn("m",
+            h32(concat($"doc_id".cast("string"), lit(":batch"))) % 10)
+        val path = sigIndexPath("incr", dir)
+        val done = new java.io.File(path, "APPENDED")
+        val fmt = new java.io.File(path, "FORMAT")
+        val fresh = done.exists() && fmt.exists() &&
+          new String(java.nio.file.Files.readAllBytes(fmt.toPath)).trim ==
+            graft.scale.SignatureStore.FormatVersion.toString
+        if (!fresh) {
+          val root = java.nio.file.Paths.get(path)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+          graft.scale.SignatureStore.write(
+            docs.filter($"m" >= 2).select($"doc_id", $"text"), path)
+          graft.scale.SignatureStore.append(
+            docs.filter($"m" === 1).select($"doc_id", $"text"), path)
+          java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+        }
+        graft.scale.SignatureStore.probe(s, path,
+          docs.filter($"m" === 0).select($"doc_id", $"text"))
+      },
+      Some(sigProbeSql))
   )
+
+  /** Versioned signature-index location for a dataset (the pstore
+    * root — derived artifacts survive build-dir wipes there).
+    */
+  private def sigIndexPath(suffix: String, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    new java.io.File(sys.env.getOrElse("SPARK_GRAFT_PSTORE_DIR",
+      "bench_corpora/pstore"), s"sigidx_${suffix}_$tag").getAbsolutePath
+  }
+
+  /** Shared oracle for q383/q384: recomputes every signature family
+    * from `documents` and takes the same batch×corpus verdicts (the
+    * append path must be indistinguishable from a monolithic build).
+    */
+  private def sigProbeSql: String =
+    s"""WITH $shinglesSql,
+       |sp AS (SELECT doc_id, md5(text) AS fp,
+       |         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':batch')), 1, 8)) AS BIGINT) % 10 = 0 AS is_batch
+       |       FROM documents),
+       |ex AS (SELECT DISTINCT b.doc_id FROM sp b
+       |       WHERE b.is_batch AND EXISTS (SELECT 1 FROM sp c
+       |         WHERE NOT c.is_batch AND c.fp = b.fp)),
+       |hs AS (SELECT doc_id, s, unnest(generate_series(0, 15)) AS j FROM sh),
+       |mh AS (SELECT doc_id, j,
+       |         min(CAST(concat('0x', substr(md5(concat(j, ':', s)), 1, 8)) AS BIGINT)) AS h
+       |       FROM hs GROUP BY 1, 2),
+       |bct AS (SELECT j, h, count(*) AS bn FROM mh GROUP BY 1, 2),
+       |mhb AS (SELECT mh.doc_id, mh.j, mh.h FROM mh
+       |        JOIN bct ON bct.j = mh.j AND bct.h = mh.h
+       |        WHERE bct.bn <= 64),
+       |mhc AS (SELECT DISTINCT b.doc_id AS d1, c.doc_id AS d2
+       |        FROM mhb b JOIN sp spb ON spb.doc_id = b.doc_id AND spb.is_batch
+       |        JOIN mhb c ON c.j = b.j AND c.h = b.h
+       |        JOIN sp spc ON spc.doc_id = c.doc_id AND NOT spc.is_batch),
+       |mhd AS (SELECT DISTINCT d1 AS doc_id FROM (
+       |          SELECT d1, d2, sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS agree
+       |          FROM mhc JOIN mh x ON x.doc_id = d1
+       |          JOIN mh y ON y.doc_id = d2 AND y.j = x.j
+       |          GROUP BY 1, 2) WHERE agree >= 8),
+       |h60 AS (SELECT doc_id,
+       |          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+       |        FROM sh),
+       |bits AS (SELECT doc_id, b,
+       |           CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+       |                THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bit
+       |         FROM h60, (SELECT unnest(generate_series(0, 59)) AS b)
+       |         GROUP BY doc_id, b),
+       |sim AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS bv
+       |          FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |sbct AS (SELECT b, bv, count(*) AS bn FROM bands GROUP BY 1, 2),
+       |bnd AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bv
+       |        FROM bands JOIN sbct ON sbct.b = bands.b AND sbct.bv = bands.bv
+       |        WHERE sbct.bn <= 64),
+       |shd AS (SELECT DISTINCT x.doc_id FROM bnd x
+       |        JOIN sp spx ON spx.doc_id = x.doc_id AND spx.is_batch
+       |        JOIN bnd y ON y.b = x.b AND y.bv = x.bv
+       |        JOIN sp spy ON spy.doc_id = y.doc_id AND NOT spy.is_batch
+       |        WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 6),
+       |kb AS (SELECT doc_id, s FROM sh
+       |       QUALIFY count(*) OVER (PARTITION BY s) <= 64),
+       |nr AS (SELECT b.doc_id FROM kb b
+       |       JOIN sp spb ON spb.doc_id = b.doc_id AND spb.is_batch
+       |       JOIN kb c ON c.s = b.s
+       |       JOIN sp spc ON spc.doc_id = c.doc_id AND NOT spc.is_batch
+       |       GROUP BY 1 HAVING count(*) >= 3)
+       |SELECT sp.doc_id,
+       |  sp.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       |  sp.doc_id IN (SELECT doc_id FROM mhd) AS mh_dup,
+       |  sp.doc_id IN (SELECT doc_id FROM shd) AS sh_dup,
+       |  sp.doc_id IN (SELECT doc_id FROM nr) AS band_dup,
+       |  sp.doc_id IN (SELECT doc_id FROM ex)
+       |    OR sp.doc_id IN (SELECT doc_id FROM mhd)
+       |    OR sp.doc_id IN (SELECT doc_id FROM shd)
+       |    OR sp.doc_id IN (SELECT doc_id FROM nr) AS "drop"
+       |FROM sp WHERE sp.is_batch""".stripMargin
 }
