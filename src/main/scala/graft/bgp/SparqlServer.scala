@@ -423,8 +423,9 @@ object SparqlServer {
       externalUrl: Option[String] = None,
       persistDir: Option[String] = None,
       checkpointEvery: Int = DefaultCheckpointEvery): Handle = {
-    require(persistDir.isEmpty || !store.encoded,
-      "persistDir write-back serves string-form stores (the writeDataset layout)")
+    // both dataset layouts persist: string-form stores append lexical
+    // delta rows, encoded stores id-space rows plus per-op dict-growth
+    // batches (TripleStore.writeBackDelta handles each)
     // loopback by DEFAULT: an unauthenticated endpoint that evaluates
     // arbitrary queries (including SERVICE blocks that trigger
     // outbound fetches from this host) must not bind 0.0.0.0 unless

@@ -308,8 +308,10 @@ object SparqlUpdate {
     * their literal triples, Modify/DeleteWhere reuse the instantiated
     * template relations the apply itself builds — and structural ops
     * (CLEAR/DROP/LOAD/graph management) are flagged so the write-back
-    * checkpoints a full version instead. Deltas are store-form rows;
-    * the persistence path serves string-form stores.
+    * checkpoints a full version instead. Deltas are STORE-FORM rows —
+    * lexical on string stores, id-space on encoded ones, with each
+    * op's dictionary growth captured in `dictRows` — so the
+    * persistence path serves both dataset layouts.
     */
   def applyAllWithDelta(spark: SparkSession, store: TripleStore,
       text: String): (TripleStore, Seq[TripleStore.OpDelta]) =
@@ -331,23 +333,43 @@ object SparqlUpdate {
         del: Boolean): DataFrame =
       ts.map(t => (g, t._2, t._1, t._3, del))
         .toDF("g", "p", "s", "o", "del")
+    // ground-op deltas are STORE-FORM rows (lexical on string stores,
+    // id-space on encoded ones — encodeCols/gid, the same spellings
+    // the apply consumes), so the write-back can append them under
+    // either dataset layout; inserts encode against the GROWN dict
+    // (the applied store's), deletes against the standing dict (a
+    // never-seen term drops — deleting it was the spec's no-op)
     op match {
       case InsertData(ts) =>
-        (apply(spark, store, op),
-          TripleStore.OpDelta(Some(d3(ts, del = false)), None,
-            structural = false))
+        val next = apply(spark, store, op)
+        val vocab = ts.flatMap(t => Seq(t._1, t._2, t._3))
+        (next, TripleStore.OpDelta(
+          Some(encodeCols(store, next.dict, d3(ts, del = false),
+            Seq("s", "o"))),
+          None, structural = false,
+          dictRows = dictDeltaOf(spark, store, vocab)))
       case DeleteData(ts) =>
         (apply(spark, store, op),
-          TripleStore.OpDelta(Some(d3(ts, del = true)), None,
-            structural = false))
+          TripleStore.OpDelta(
+            Some(encodeCols(store, store.dict, d3(ts, del = true),
+              Seq("s", "o"))),
+            None, structural = false))
       case InsertDataGraph(g, ts) =>
-        (apply(spark, store, op),
-          TripleStore.OpDelta(None, Some(d4(g, ts, del = false)),
-            structural = false))
+        val next = apply(spark, store, op)
+        val vocab = g +: ts.flatMap(t => Seq(t._1, t._2, t._3))
+        val rows = encodeCols(store, next.dict,
+            d4(g, ts, del = false).drop("g"), Seq("s", "o"))
+          .select(gid(store, next.dict, g).as("g"),
+            col("p"), col("s"), col("o"), col("del"))
+        (next, TripleStore.OpDelta(None, Some(rows), structural = false,
+          dictRows = dictDeltaOf(spark, store, vocab)))
       case DeleteDataGraph(g, ts) =>
+        val rows = encodeCols(store, store.dict,
+            d4(g, ts, del = true).drop("g"), Seq("s", "o"))
+          .select(gid(store, store.dict, g).as("g"),
+            col("p"), col("s"), col("o"), col("del"))
         (apply(spark, store, op),
-          TripleStore.OpDelta(None, Some(d4(g, ts, del = true)),
-            structural = false))
+          TripleStore.OpDelta(None, Some(rows), structural = false))
       case DeleteWhere(pats) =>
         val vars = pats.flatMap(tp => Seq(tp.s, tp.o))
           .collect { case Sparql.Var(n) => n }.distinct
@@ -582,7 +604,7 @@ object SparqlUpdate {
             .unionByName(triples.select(col("p").as("value")))
             .unionByName(Seq(g).toDF("value"))
             .distinct()
-          growDictDf(spark, store, d, vocab)
+          growDictDf(spark, store, d, vocab)._1
         }
         val enc = encodeCols(store, dict, triples, Seq("s", "o"))
         val asQuads = enc.select(gid(store, dict, g).as("g"),
@@ -725,16 +747,25 @@ object SparqlUpdate {
     val insVarCols = (insTmpl ++ insQuadTmpl.map(_._2))
       .flatMap(tp => Seq(tp.s, tp.o))
       .collect { case Sparql.Var(n) => n }.distinct
-    val dict0 =
-      if (insVarCols.isEmpty) store.dict
+    val grown0 =
+      if (insVarCols.isEmpty) None
       else store.dict.map { d =>
         val vocab = insVarCols.map(v => bind.select(col(v).as("value")))
           .reduce(_ unionByName _).na.drop().distinct()
         growDictDf(spark, store, d, vocab)
       }
-    val dict =
-      if (newVocab.isEmpty) dict0
-      else dict0.map(d => growDict(spark, store, d, newVocab.distinct))
+    val dict0 = grown0.map(_._1).orElse(store.dict)
+    val grown1 =
+      if (newVocab.isEmpty) None
+      else dict0.map { d =>
+        import spark.implicits._
+        growDictDf(spark, store, d, newVocab.distinct.toDF("value"))
+      }
+    val dict = grown1.map(_._1).orElse(dict0)
+    // this op's dict growth, for delta-grain persistence (empty deltas
+    // dropped — an op inserting only known terms appends no dict batch)
+    val dictNew = (grown0.map(_._2).toSeq ++ grown1.map(_._2).toSeq)
+      .reduceOption(_ unionByName _).filter(df => !df.isEmpty)
     // templates instantiate LEXICALLY (bind's columns are decoded
     // values), then encode into store form in one step: the xxhash64
     // expression on hash-id stores, a value→id join on sequential
@@ -825,7 +856,8 @@ object SparqlUpdate {
         if (delTmpl.isEmpty && insTmpl.isEmpty) store.sBucketed else None,
       oBucketed =
         if (delTmpl.isEmpty && insTmpl.isEmpty) store.oBucketed else None),
-      TripleStore.OpDelta(deltaDefault, deltaQuads, structural = false))
+      TripleStore.OpDelta(deltaDefault, deltaQuads, structural = false,
+        dictRows = dictNew))
   }
 
   /** Append `values`' (id, value, dt, lang) rows to the dict and re-run
@@ -836,7 +868,7 @@ object SparqlUpdate {
   private def growDict(spark: SparkSession, store: TripleStore,
       d: DataFrame, values: Seq[String]): DataFrame = {
     import spark.implicits._
-    growDictDf(spark, store, d, values.toDF("value"))
+    growDictDf(spark, store, d, values.toDF("value"))._1
   }
 
   /** [[growDict]] over a DataFrame vocabulary (a LOAD's term set is
@@ -852,14 +884,31 @@ object SparqlUpdate {
     * probe, never a vocabulary-wide groupBy.
     */
   private def growDictDf(spark: SparkSession, store: TripleStore,
-      d: DataFrame, values: DataFrame): DataFrame = {
-    import spark.implicits._
+      d: DataFrame, values: DataFrame): (DataFrame, DataFrame) = {
     // sequential stores: dense-id continuation past max(id) via the
     // banded prefix sum — collision-free by construction, no audit;
-    // standing terms keep their ids through the anti-join probe
-    if (store.sequential)
-      return TripleStore.growSequentialDict(d, values)
-    d.unionByName(TripleStore.hashDictDelta(d, values))
+    // standing terms keep their ids through the anti-join probe.
+    // Returns (grown dict, just-the-new rows): the delta is what the
+    // write-back appends as a dict batch (TripleStore.OpDelta.dictRows)
+    val delta =
+      if (store.sequential) TripleStore.sequentialDictDelta(d, values)
+      else TripleStore.hashDictDelta(d, values)
+    (d.unionByName(delta), delta)
+  }
+
+  /** The dict rows a ground op's vocabulary adds to the standing dict
+    * (None on string stores) — deterministic (same probe + id
+    * assignment the apply itself runs), so the captured delta and the
+    * applied store agree on every id. Empty when nothing is new.
+    */
+  private def dictDeltaOf(spark: SparkSession, store: TripleStore,
+      vocab: Seq[String]): Option[DataFrame] = {
+    import spark.implicits._
+    store.dict.map { d =>
+      if (store.sequential)
+        TripleStore.sequentialDictDelta(d, vocab.distinct.toDF("value"))
+      else TripleStore.hashDictDelta(d, vocab.distinct.toDF("value"))
+    }.filter(df => !df.isEmpty)
   }
 
   // ——— parsing helpers ———

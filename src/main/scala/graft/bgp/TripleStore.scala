@@ -263,7 +263,19 @@ object TripleStore {
     * move directory subtrees, not rows.
     */
   def writeDataset(store: TripleStore, path: String): Unit = {
-    writePartitioned(store, s"$path/default")
+    // encoded stores persist in ID SPACE: slices keep the predicate's
+    // STRING name as the partition key (dispatch stays name-keyed and
+    // pruned) while s/o carry BIGINT ids, and the dictionary lands
+    // beside them under <path>/dict — the >10⁹-term regime's layout,
+    // where a full string rewrite per op would be fatal. The id regime
+    // (hash vs sequential) is re-detected from the dict on reload
+    // ([[isSequentialDict]]), so no extra marker file is needed.
+    if (store.encoded) {
+      writeEncodedPartitioned(store, s"$path/default")
+      store.dict.foreach(_.select(col("id"), col("value"), col("dt"),
+          col("lang"))
+        .write.mode("overwrite").parquet(s"$path/dict"))
+    } else writePartitioned(store, s"$path/default")
     // an all-empty quads relation writes NO subtree (a partitioned
     // parquet dir with zero partition dirs has no inferable schema on
     // reload; an empty graph set and an absent one are the same thing)
@@ -285,7 +297,11 @@ object TripleStore {
   final case class OpDelta(
       default: Option[DataFrame],
       quads: Option[DataFrame],
-      structural: Boolean)
+      structural: Boolean,
+      // dictionary growth of this op (encoded stores): genuinely-new
+      // (id, value, dt, lang) rows — dict rows are append-only, so the
+      // delta log needs no tombstones for them
+      dictRows: Option[DataFrame] = None)
 
   /** Delta batches a dataset version absorbs before the write-back
     * compacts them into a fresh full version (the lakehouse
@@ -376,7 +392,7 @@ object TripleStore {
     (0 to n - KeepVersions).foreach(m =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m"), true))
     if (n >= KeepVersions - 1 && n >= 1)
-      Seq("default", "quads", "delta").foreach(d =>
+      Seq("default", "quads", "delta", "dict").foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
   }
 
@@ -391,7 +407,8 @@ object TripleStore {
         else None
       }.foldLeft(-1)(math.max)
     }
-    math.max(maxIn(s"$root/delta/default"), maxIn(s"$root/delta/quads")) + 1
+    Seq(s"$root/delta/default", s"$root/delta/quads", s"$root/delta/dict")
+      .map(maxIn).max + 1
   }
 
   private def writeDeltaBatch(rows: DataFrame, dir: String, seq: Int,
@@ -425,13 +442,17 @@ object TripleStore {
     * touch the previous version's files ([[KeepVersions]]), so
     * readers loaded before the flip keep a consistent snapshot.
     *
-    * String-form stores only (the layout [[writeDataset]] defines);
     * `next` must be `prev` with exactly `deltas`' ops applied —
     * [[graft.bgp.SparqlUpdate.applyAllWithDelta]] produces the pair.
+    * ENCODED stores persist id-space delta rows under the encoded
+    * [[writeDataset]] layout, with each op's dictionary growth
+    * appended as `delta/dict/seq=` batches (audited, batch-scoped —
+    * [[hashDictDelta]]/[[sequentialDictDelta]]); dict rows land FIRST
+    * within an op so a torn write can only leave extra vocabulary,
+    * never dangling ids.
     */
   def writeBackDelta(prev: TripleStore, next: TripleStore, path: String,
       deltas: Seq[OpDelta]): Unit = {
-    require(!next.encoded, "writeBackDelta persists string-form datasets")
     val spark =
       try sparkOf(next) catch { case _: IllegalArgumentException => sparkOf(prev) }
     val (fs, _) = fsPath(spark, path)
@@ -445,13 +466,17 @@ object TripleStore {
     val root = datasetRoot(spark, path)
     var seq = nextDeltaSeq(fs, root)
     deltas.foreach { d =>
+      d.dictRows.foreach(rows => writeDeltaBatch(
+        rows.select(col("id"), col("value"), col("dt"), col("lang")),
+        s"$root/delta/dict", seq, fs))
       d.default.foreach(rows => writeDeltaBatch(
         rows.select(col("p"), col("s"), col("o"), col("del")),
         s"$root/delta/default", seq, fs))
       d.quads.foreach(rows => writeDeltaBatch(
         rows.select(col("g"), col("p"), col("s"), col("o"), col("del")),
         s"$root/delta/quads", seq, fs))
-      if (d.default.nonEmpty || d.quads.nonEmpty) seq += 1
+      if (d.default.nonEmpty || d.quads.nonEmpty || d.dictRows.nonEmpty)
+        seq += 1
     }
     if (seq >= CompactDeltaBatches) writeDatasetVersioned(next, path)
   }
@@ -468,7 +493,6 @@ object TripleStore {
     */
   def writeBackDelta(prev: TripleStore, next: TripleStore,
       path: String): Unit = {
-    require(!next.encoded, "writeBackDelta persists string-form datasets")
     def withP(p: String, df: DataFrame, del: Boolean): DataFrame =
       df.select(lit(p).as("p"), col("s"), col("o"), lit(del).as("del"))
     val changed = next.slices.filter { case (p, df) =>
@@ -496,11 +520,21 @@ object TripleStore {
       case (Some(a), None) => Some(q4(a, del = true))
     }
     val defaultDelta = defaultParts.reduceOption(_ unionByName _)
-    if (defaultDelta.isEmpty && quadsDelta.isEmpty)
+    // dict growth without op introspection: when the dict object moved,
+    // diff it by id (vocabulary-sized anti-join — the op-introspected
+    // overload avoids this scan; prefer it on served endpoints)
+    val dictDelta: Option[DataFrame] = (prev.dict, next.dict) match {
+      case (Some(a), Some(b)) if !(a eq b) =>
+        Some(b.join(a.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("value"), col("dt"), col("lang")))
+      case _ => None
+    }
+    if (defaultDelta.isEmpty && quadsDelta.isEmpty && dictDelta.isEmpty)
       // nothing changed — the overload still bootstraps an absent layout
       writeBackDelta(prev, next, path, Seq.empty)
     else writeBackDelta(prev, next, path,
-      Seq(OpDelta(defaultDelta, quadsDelta, structural = false)))
+      Seq(OpDelta(defaultDelta, quadsDelta, structural = false,
+        dictRows = dictDelta)))
   }
 
   /** Truncate the store's logical-plan LINEAGE (localCheckpoint on
@@ -613,12 +647,35 @@ object TripleStore {
         }.toMap
         st0.copy(slices = st0.slices ++ merged)
     }
+    // encoded datasets carry their dictionary beside the slices: base
+    // dict ∪ appended delta/dict batches (dict rows are append-only,
+    // so the merge is a union, never a verdict); the id regime is
+    // re-detected from the loaded rows
+    val (dfs, dictPath) = fsPath(spark, s"$root/dict")
+    val dict: Option[DataFrame] =
+      if (dfs.exists(dictPath)) {
+        val cols = Seq("id", "value", "dt", "lang")
+        val base = spark.read.parquet(s"$root/dict")
+          .select(cols.map(col): _*)
+        val dd = new org.apache.hadoop.fs.Path(s"$root/delta/dict")
+        val merged =
+          if (dfs.exists(dd) && dfs.listStatus(dd).exists(s0 =>
+              s0.isDirectory && s0.getPath.getName.startsWith("seq=")))
+            base.unionByName(spark.read.parquet(s"$root/delta/dict")
+              .select(cols.map(col): _*))
+          else base
+        Some(merged.localCheckpoint(eager = false))
+      } else None
     val (fs, quadPath) = fsPath(spark, s"$root/quads")
     val quadBase =
       if (fs.exists(quadPath) &&
           fs.listStatus(quadPath).exists(_.isDirectory))
         Some(spark.read.parquet(s"$root/quads")
-          .select(col("g"), col("s"), col("p"), col("o")))
+          // partition-column type inference reads an id-space graph
+          // label as int where every value happens to fit — normalize
+          // to the encoded store's BIGINT id type
+          .select((if (dict.isDefined) col("g").cast("long") else col("g"))
+            .as("g"), col("s"), col("p"), col("o")))
       else None
     val qCols = Seq("g", "p", "s", "o")
     val quads = deltaVerdict(spark, s"$root/delta/quads", qCols,
@@ -632,7 +689,8 @@ object TripleStore {
           qCols, "left_anti"))
         Some(base.map(_.unionByName(alive)).getOrElse(alive))
     }
-    st.copy(quads = quads)
+    st.copy(quads = quads, dict = dict,
+      sequential = dict.exists(isSequentialDict))
   }
 
   /** Load a store from the partitioned layout. The predicate inventory
@@ -1067,6 +1125,14 @@ object TripleStore {
     * aggregate — update-cadence work, never data-sized on the driver.
     */
   private[bgp] def growSequentialDict(dict: DataFrame, values: DataFrame,
+      bands: Int = 256): DataFrame =
+    dict.unionByName(sequentialDictDelta(dict, values, bands))
+
+  /** Just the NEW rows [[growSequentialDict]] would append — dense ids
+    * continuing past `max(id)`, deterministic for a given (dict,
+    * values) pair, so delta capture and the apply itself agree on ids.
+    */
+  private[bgp] def sequentialDictDelta(dict: DataFrame, values: DataFrame,
       bands: Int = 256): DataFrame = {
     val fresh = values.select(col("value")).na.drop().distinct()
       .join(dict.select(col("value")), Seq("value"), "left_anti")
@@ -1074,7 +1140,7 @@ object TripleStore {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    dict.unionByName(assignDenseIds(fresh, bands, maxId))
+    assignDenseIds(fresh, bands, maxId)
   }
 
   def encodeSequential(store: TripleStore, bands: Int = 256): TripleStore = {

@@ -3087,7 +3087,55 @@ object BgpQueries {
       Some("""SELECT concat('customer:', c_custkey) AS c,
              |  c_mktsegment AS seg FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
-             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin))
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    // ENCODED-store delta write-back (round 14): q362's persistence
+    // loop over a hash-encoded dataset — the >10⁹-term regime where
+    // full rewrites are fatal. Each op appends ID-SPACE delta batches
+    // plus its dictionary growth (delta/dict/seq=) under the versioned
+    // root via the op-introspected path (applyAllWithDelta: a 1-triple
+    // INSERT writes a 1-row batch, never a slice scan); every reload
+    // is a COLD fromDatasetParquet that re-detects the id regime and
+    // merges base dict ∪ dict deltas, so the final query's result edge
+    // decodes terms that exist ONLY in delta batches ("active"/
+    // "retired" never appear in the base checkpoint's dictionary).
+    GQuery(
+      "q385_encoded_writeback",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ewb-q")
+          .toString
+        val keys = graft.Tables.t(s, dir, "nation")
+          .select("n_nationkey").collect().map(_.get(0).toString).sorted
+        val ops = Seq(
+          keys.map(k => s"""<nation:$k> <status> "active" """)
+            .mkString("INSERT DATA { ", ". ", "}"),
+          keys.map(k => s"""<nation:$k> <checked> "1" """)
+            .mkString("INSERT DATA { GRAPH <g:aud> { ", ". ", "} }"),
+          keys.take(5).map(k => s"""<nation:$k> <status> "active" """)
+            .mkString("DELETE DATA { ", ". ", "}"),
+          "DROP GRAPH <g:aud>",
+          keys.take(5).map(k => s"""<nation:$k> <status> "retired" """)
+            .mkString("INSERT DATA { ", ". ", "}"))
+        var cur: TripleStore =
+          TripleStore.encode(TripleStore.fromTriples(nationTriples(s, dir)))
+        TripleStore.writeDataset(cur, tmp)
+        cur = TripleStore.fromDatasetParquet(s, tmp)
+        ops.foreach { op =>
+          val (next, deltas) =
+            graft.bgp.SparqlUpdate.applyAllWithDelta(s, cur, op)
+          TripleStore.writeBackDelta(cur, next, tmp, deltas)
+          cur = TripleStore.fromDatasetParquet(s, tmp)
+        }
+        BgpPlanner.query(cur,
+          """select ?n ?nm ?st where {
+            | ?n <name> ?nm . ?n <status> ?st }""".stripMargin)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
+             |  CASE WHEN n_nationkey IN (
+             |    SELECT n_nationkey FROM nation ORDER BY
+             |      CAST(n_nationkey AS VARCHAR) LIMIT 5)
+             |  THEN 'retired' ELSE 'active' END AS st
+             |FROM nation""".stripMargin))
   )
 
   private val pathGroupOracle =

@@ -2984,6 +2984,77 @@ class BgpSpec extends AnyFunSuite {
       "select ?s ?v where { ?s name ?v }").count() == 2001)
   }
 
+  test("encoded write-back: id-space deltas + dict batches, op-bytes below slice-bytes") {
+    // the r13-verdict gap: the >10⁹-term regime (the whole reason the
+    // encoded layouts exist) got neither the delta log nor versioned
+    // roots. One inserted triple on a hash-encoded dataset must append
+    // an id-space delta batch plus its dict growth — never rewrite the
+    // hot slice or the vocabulary.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewb").toString
+    val hot = (0 until 2000).map(i => (s"d:$i", "name", s"val-$i"))
+    val st = TripleStore.encode(TripleStore.fromTriples(hot.toDF("s", "p", "o")))
+    TripleStore.writeDataset(st, dir)
+    var cur = TripleStore.fromDatasetParquet(spark, dir)
+    assert(cur.encoded && !cur.sequential,
+      "encoded dataset must reload encoded (hash regime re-detected)")
+    def bytesUnder(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(bytesUnder).sum).getOrElse(0L)
+    val baseBytes = bytesUnder(new java.io.File(s"$dir/default/p=name"))
+    val dictBytes = bytesUnder(new java.io.File(s"$dir/dict"))
+    val before = bytesUnder(new java.io.File(dir))
+    val (next, d) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark, cur,
+      """INSERT DATA { <d:new> <name> "fresh-term" }""")
+    TripleStore.writeBackDelta(cur, next, dir, d)
+    val opBytes = bytesUnder(new java.io.File(dir)) - before
+    assert(opBytes > 0, "the op must persist something")
+    assert(opBytes < (baseBytes + dictBytes) / 4,
+      s"1-row op wrote $opBytes bytes vs $baseBytes-byte slice + " +
+        s"$dictBytes-byte dict — write amplification on the encoded path")
+    // the delta rows are ID-SPACE and the dict batch holds exactly the
+    // genuinely-new terms (the predicate name was already vocabulary)
+    val deltaRows = spark.read.parquet(s"$dir/delta/default")
+    assert(deltaRows.schema("s").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "encoded delta batches must carry BIGINT ids")
+    val dictDelta = spark.read.parquet(s"$dir/delta/dict")
+    assert(dictDelta.select("value").collect().map(_.getString(0)).toSet ==
+      Set("d:new", "fresh-term"))
+    // cold reload: the result edge decodes terms that exist ONLY in
+    // the delta dict batch
+    cur = TripleStore.fromDatasetParquet(spark, dir)
+    val got = BgpPlanner.query(cur, "select ?s ?v where { ?s name ?v }")
+    assert(got.count() == 2001)
+    assert(got.filter(org.apache.spark.sql.functions.col("s") === "d:new")
+      .collect().map(_.getString(1)).toSeq == Seq("fresh-term"))
+  }
+
+  test("sequential-store write-back: dense-id dict deltas round-trip a reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swb").toString
+    val st = TripleStore.encodeSequential(TripleStore.fromTriples(Seq(
+      ("t:1", "name", "one"), ("t:2", "name", "two")).toDF("s", "p", "o")),
+      bands = 8)
+    TripleStore.writeDataset(st, dir)
+    var cur = TripleStore.fromDatasetParquet(spark, dir)
+    assert(cur.encoded && cur.sequential,
+      "sequential regime must re-detect from the persisted dict")
+    import org.apache.spark.sql.functions.{col, max, min}
+    val maxBefore = cur.dict.get.agg(max(col("id"))).head.getLong(0)
+    val (next, d) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark, cur,
+      """INSERT DATA { <t:3> <name> "three" }""")
+    TripleStore.writeBackDelta(cur, next, dir, d)
+    // dense ids continue past max(id) — the captured delta and the
+    // applied store agreed on the assignment
+    val dictDelta = spark.read.parquet(s"$dir/delta/dict")
+    assert(dictDelta.agg(min(col("id"))).head.getLong(0) == maxBefore + 1)
+    cur = TripleStore.fromDatasetParquet(spark, dir)
+    assert(cur.sequential, "regime survives a delta-dirty reload")
+    val got = BgpPlanner.query(cur,
+      "select ?s ?v where { ?s name ?v }").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("t:1", "one"), ("t:2", "two"), ("t:3", "three")))
+  }
+
   test("delta merge wraps ONLY touched slices; untouched slices stay bare scans") {
     // read-side amplification guard: a 1-predicate delta must not put
     // an anti-join (and its broadcast job) into EVERY slice's plan —
