@@ -73,33 +73,63 @@ object TextQueries {
       k: Int): Seq[(String, String, Long)] =
     bpeMemo.getOrElseUpdate((s, dir), {
       val words = bpeWords(s, dir).cache()
-      try {
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var segExpr = bpeSeg0
-        var exhausted = false
-        for (_ <- 1 to k if !exhausted) {
-          val top = words
-            .select(col("freq"), expr(s"split(trim($segExpr), '  ')").as("tok"))
-            .filter(size(col("tok")) >= 2)
-            .select(col("freq"), explode(expr(
-              """transform(sequence(1, size(tok) - 1), j ->
-                |  struct(element_at(tok, j) AS a,
-                |         element_at(tok, j + 1) AS b))""".stripMargin)).as("p"))
-            .groupBy(col("p.a"), col("p.b"))
-            .agg(sum(col("freq")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true
-          else {
-            val (a, b, c) = (top.head.getString(0), top.head.getString(1),
-              top.head.getLong(2))
-            out += ((a, b, c))
-            segExpr = s"replace($segExpr, ' $a  $b ', ' $a$b ')"
-          }
-        }
-        out.toSeq
-      } finally { words.unpersist(); () }
+      try bpeTrainLoop(words, k)
+      finally { words.unpersist(); () }
     })
+
+  /** The training loop over a (word, freq) relation, INCREMENTALLY
+    * materialized: the segmented relation carries each round's state,
+    * round i applies ONLY merge i (one literal replace) on top of the
+    * previous round's lazily-checkpointed rows, and the lineage
+    * truncates every [[BpeCheckpointEvery]] merges — per-round work is
+    * one replace plus one pair aggregate, FLAT in the round index.
+    * (The round-13 spelling re-evaluated an i-deep nested replace
+    * chain over the BASE segmentation each round: O(k²) total replace
+    * work and a Catalyst expression tree growing per round — invisible
+    * at k=6, the wrong shape twice over at a real tokenizer's k≈30k.)
+    * Merge choices are identical: the cumulative replaces commute with
+    * nesting because both apply the same merges in the same order.
+    * Old checkpoints unreference as `seg` rebinds, so the
+    * ContextCleaner reclaims them; TextSpec pins flat per-round cost
+    * at 96 merges and merge-sequence equality with the naive chain.
+    */
+  private[graft] val BpeCheckpointEvery = 4
+
+  private[graft] def bpeTrainLoop(words: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[(String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var seg = words.select(col("freq"), expr(bpeSeg0).as("seg"))
+      .localCheckpoint(eager = false)
+    var sinceCp = 0
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val top = seg
+        .select(col("freq"), expr("split(trim(seg), '  ')").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(tok) - 1), j ->
+            |  struct(element_at(tok, j) AS a,
+            |         element_at(tok, j + 1) AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        out += ((a, b, c))
+        seg = seg.withColumn("seg",
+          expr(s"replace(seg, ' $a  $b ', ' $a$b ')"))
+        sinceCp += 1
+        if (sinceCp >= BpeCheckpointEvery) {
+          seg = seg.localCheckpoint(eager = false)
+          sinceCp = 0
+        }
+      }
+    }
+    out.toSeq
+  }
 
   // q381's trained model (per-step weights + accuracy) per
   // (session, dataset) — training runs once; the apply arm (q382) and

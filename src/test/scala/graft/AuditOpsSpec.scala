@@ -786,4 +786,65 @@ class AuditOpsSpec extends AnyFunSuite {
       Tables.t(spark, sf, "documents").count())
     c.unpersist()
   }
+
+  test("BPE incremental trainer: merge-identical to the naive chain, flat per-round cost") {
+    import spark.implicits._
+    // deterministic synthetic vocabulary: 6-letter alphabet, 300 words
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 300).map { _ =>
+      val len = 6 + rnd.nextInt(8)
+      (Seq.fill(len)(('a' + rnd.nextInt(6)).toChar).mkString,
+        1L + rnd.nextInt(50))
+    }.toDF("word", "freq0")
+      .groupBy("word").agg(sum($"freq0").as("freq")).cache()
+    words.count()
+    // correctness of the refactor: the incrementally-materialized loop
+    // must pick EXACTLY the merges the r13 nested-replace chain picked
+    def naive(k: Int): Seq[(String, String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var segExpr = "concat('  ', regexp_replace(word, '(.)', '$1  '))"
+      var exhausted = false
+      for (_ <- 1 to k if !exhausted) {
+        val top = words
+          .select($"freq", expr(s"split(trim($segExpr), '  ')").as("tok"))
+          .filter(size($"tok") >= 2)
+          .select($"freq", explode(expr(
+            """transform(sequence(1, size(tok) - 1), j ->
+              |  struct(element_at(tok, j) AS a,
+              |         element_at(tok, j + 1) AS b))""".stripMargin)).as("p"))
+          .groupBy($"p.a", $"p.b")
+          .agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"a".asc, $"b".asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2))
+          out += ((a, b, c))
+          segExpr = s"replace($segExpr, ' $a  $b ', ' $a$b ')"
+        }
+      }
+      out.toSeq
+    }
+    assert(graft.queries.TextQueries.bpeTrainLoop(words, 16) == naive(16),
+      "incremental trainer diverged from the nested-replace reference")
+    // flat per-round cost: T(96) under a flat loop is ~3x T(32); the
+    // O(k^2) chain reads ~9x. Warm up first so JIT/codegen noise stays
+    // out of the ratio; threshold halfway between the two shapes.
+    graft.queries.TextQueries.bpeTrainLoop(words, 8)
+    def time(k: Int): Double = {
+      val t0 = System.nanoTime()
+      val m = graft.queries.TextQueries.bpeTrainLoop(words, k)
+      assert(m.length == k, s"vocabulary exhausted at ${m.length} < $k")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t32 = time(32)
+    val t96 = time(96)
+    assert(t96 < 5.5 * t32,
+      f"per-round cost is not flat: T(96)=$t96%.1fs vs T(32)=$t32%.1fs " +
+        "(a flat loop reads ~3x, the quadratic chain ~9x)")
+    words.unpersist()
+    ()
+  }
 }
