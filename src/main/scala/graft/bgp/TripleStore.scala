@@ -382,19 +382,46 @@ object TripleStore {
     val spark = sparkOf(store)
     val (fs, _) = fsPath(spark, path)
     val n = currentVersion(spark, path).map(_ + 1).getOrElse(0)
+    // multi-writer guard (a batch job beside a served endpoint is the
+    // normal lakehouse shape): the v<n> directory is CLAIMED with a
+    // create-exclusive file before anything writes — the losing JVM
+    // fails loudly here instead of interleaving files with the winner
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    require(claimExclusive(fs,
+        new org.apache.hadoop.fs.Path(s"$path/v$n.claim")),
+      s"version v$n of $path is already claimed by a concurrent " +
+        "writer — reload the dataset and retry this write")
     writeDataset(store, s"$path/v$n")
+    // conditional flip: by claim order the pointer must still read
+    // n-1 (or be absent for the bootstrap) — a moved pointer means a
+    // lost race, and clobbering it would orphan the winner's version
+    val cur = currentVersion(spark, path)
+    require(cur.forall(_ == n - 1),
+      s"VERSION pointer at $path moved to $cur while writing v$n — " +
+        "a concurrent writer won the race; this write is aborted")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.VERSION.tmp")
     val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
     val vp = new org.apache.hadoop.fs.Path(s"$path/VERSION")
     fs.delete(vp, false)
     require(fs.rename(tmp, vp), s"VERSION pointer flip to $n failed")
-    (0 to n - KeepVersions).foreach(m =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m"), true))
+    (0 to n - KeepVersions).foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m.claim"), false)
+    }
     if (n >= KeepVersions - 1 && n >= 1)
       Seq("default", "quads", "delta", "dict").foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
   }
+
+  /** Create-exclusive claim: atomically wins or returns false. HDFS
+    * and the local FS both fail `create(path, overwrite=false)` when
+    * the file exists, so two JVMs can never both win one slot.
+    */
+  private def claimExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    try { fs.create(p, false).close(); true }
+    catch { case _: java.io.IOException => false }
 
   private def nextDeltaSeq(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Int = {
@@ -466,17 +493,31 @@ object TripleStore {
     val root = datasetRoot(spark, path)
     var seq = nextDeltaSeq(fs, root)
     deltas.foreach { d =>
-      d.dictRows.foreach(rows => writeDeltaBatch(
-        rows.select(col("id"), col("value"), col("dt"), col("lang")),
-        s"$root/delta/dict", seq, fs))
-      d.default.foreach(rows => writeDeltaBatch(
-        rows.select(col("p"), col("s"), col("o"), col("del")),
-        s"$root/delta/default", seq, fs))
-      d.quads.foreach(rows => writeDeltaBatch(
-        rows.select(col("g"), col("p"), col("s"), col("o"), col("del")),
-        s"$root/delta/quads", seq, fs))
-      if (d.default.nonEmpty || d.quads.nonEmpty || d.dictRows.nonEmpty)
+      if (d.default.nonEmpty || d.quads.nonEmpty || d.dictRows.nonEmpty) {
+        // CAS-shaped sequence reservation: claim `seq=<k>.lock`
+        // create-exclusively, walking forward past slots another
+        // writer claimed — two JVMs appending to one dataset can
+        // interleave batches but never clobber one (the read-then-
+        // write hole the bare counter had)
+        var tries = 0
+        while (!claimExclusive(fs, new org.apache.hadoop.fs.Path(
+            s"$root/delta/seq=$seq.lock"))) {
+          seq += 1
+          tries += 1
+          require(tries < 10000,
+            s"could not reserve a delta sequence slot under $root")
+        }
+        d.dictRows.foreach(rows => writeDeltaBatch(
+          rows.select(col("id"), col("value"), col("dt"), col("lang")),
+          s"$root/delta/dict", seq, fs))
+        d.default.foreach(rows => writeDeltaBatch(
+          rows.select(col("p"), col("s"), col("o"), col("del")),
+          s"$root/delta/default", seq, fs))
+        d.quads.foreach(rows => writeDeltaBatch(
+          rows.select(col("g"), col("p"), col("s"), col("o"), col("del")),
+          s"$root/delta/quads", seq, fs))
         seq += 1
+      }
     }
     if (seq >= CompactDeltaBatches) writeDatasetVersioned(next, path)
   }

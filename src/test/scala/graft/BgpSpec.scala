@@ -3055,6 +3055,43 @@ class BgpSpec extends AnyFunSuite {
     assert(got == Set(("t:1", "one"), ("t:2", "two"), ("t:3", "three")))
   }
 
+  test("two writers on one versioned root: loser throws, dataset stays consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val st = TripleStore.fromTriples(Seq(
+      ("t:1", "name", "one")).toDF("s", "p", "o"))
+    TripleStore.writeDatasetVersioned(st, dir)
+    assert(TripleStore.currentVersion(spark, dir).contains(0))
+    // a concurrent writer already claimed v1: this writer's structural
+    // checkpoint must fail LOUDLY before writing anything
+    assert(new java.io.File(s"$dir/v1.claim").createNewFile())
+    val next = graft.bgp.SparqlUpdate.applyAll(spark,
+      TripleStore.fromDatasetParquet(spark, dir),
+      """INSERT DATA { <t:2> <name> "two" }""")
+    val e = intercept[IllegalArgumentException](
+      TripleStore.writeDatasetVersioned(next, dir))
+    assert(e.getMessage.contains("claimed"))
+    assert(TripleStore.currentVersion(spark, dir).contains(0),
+      "the pointer must not move under a lost race")
+    assert(new java.io.File(s"$dir/v1.claim").delete())
+    // delta sequence slots reserve via create-exclusive locks: with
+    // seq=0 pre-claimed by "another writer", this append walks forward
+    // to seq=1 instead of clobbering
+    assert(new java.io.File(s"$dir/v0/delta").mkdirs())
+    assert(new java.io.File(s"$dir/v0/delta/seq=0.lock").createNewFile())
+    val cur = TripleStore.fromDatasetParquet(spark, dir)
+    val (n2, d2) = graft.bgp.SparqlUpdate.applyAllWithDelta(spark, cur,
+      """INSERT DATA { <t:3> <name> "three" }""")
+    TripleStore.writeBackDelta(cur, n2, dir, d2)
+    assert(new java.io.File(s"$dir/v0/delta/default/seq=1").exists(),
+      "append must land on the next unclaimed slot")
+    assert(!new java.io.File(s"$dir/v0/delta/default/seq=0").exists(),
+      "the claimed slot must stay untouched")
+    val got = BgpPlanner.query(TripleStore.fromDatasetParquet(spark, dir),
+      "select ?s ?v where { ?s name ?v }").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("t:1", "one"), ("t:3", "three")))
+  }
+
   test("delta merge wraps ONLY touched slices; untouched slices stay bare scans") {
     // read-side amplification guard: a 1-predicate delta must not put
     // an anti-join (and its broadcast job) into EVERY slice's plan —
