@@ -368,7 +368,8 @@ object SparqlServer {
     * GET asking for the service description.
     */
   private sealed trait Req
-  private final case class QueryReq(text: String) extends Req
+  private final case class QueryReq(text: String,
+      version: Option[Int] = None, maxOps: Option[Int] = None) extends Req
   private final case class UpdateReq(text: String) extends Req
   private case object DescribeService extends Req
 
@@ -378,16 +379,26 @@ object SparqlServer {
     * the protocol).
     */
   private def requestOf(ex: HttpExchange): Req = {
+    def intParam(kv: Map[String, String], k: String): Option[Int] =
+      kv.get(k).map(v => scala.util.Try(v.toInt).getOrElse(
+        throw new IllegalArgumentException(s"$k must be an integer, got '$v'")))
     def fromForm(s: String): Req = {
       val kv = s.split('&').iterator.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
       kv.get("query").map(v =>
-          QueryReq(java.net.URLDecoder.decode(v, "UTF-8")): Req)
+          // time-travel params (persistDir endpoints): version pins a
+          // retained dataset version, maxOps bounds its replayed ops
+          QueryReq(java.net.URLDecoder.decode(v, "UTF-8"),
+            intParam(kv, "version"), intParam(kv, "maxOps")): Req)
         .orElse(kv.get("update").map(v =>
           UpdateReq(java.net.URLDecoder.decode(v, "UTF-8"))))
         .getOrElse(throw new IllegalArgumentException(
           "missing query=/update= parameter"))
     }
+    def uriParams: Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split('&').iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
     ex.getRequestMethod match {
       case "GET" =>
         fromForm(Option(ex.getRequestURI.getRawQuery)
@@ -400,7 +411,10 @@ object SparqlServer {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
           .getOrElse("")
-        if (ct.startsWith("application/sparql-query")) QueryReq(body)
+        if (ct.startsWith("application/sparql-query"))
+          // raw-body form: the time-travel pin rides the URI
+          QueryReq(body, intParam(uriParams, "version"),
+            intParam(uriParams, "maxOps"))
         else if (ct.startsWith("application/sparql-update")) UpdateReq(body)
         else fromForm(body)
       case m => throw new IllegalArgumentException(s"unsupported method $m")
@@ -495,17 +509,33 @@ object SparqlServer {
                   ref.set(boundedOps(spark, cur, SparqlUpdate.parse(text)))
                 }
                 (204, "", "text/plain")
-              case QueryReq(text) =>
+              case QueryReq(text, version, maxOps) =>
                 val accept = Option(
                   ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
-                val (b, ct) = answerNegotiated(ref.get(), text, maxRows,
-                  accept)
+                // version-pinned reads (time travel over HTTP): load
+                // the retained version's store while the head keeps
+                // moving — an unretained version rejects as a 400 via
+                // fromDatasetParquet's loud require, never a partial
+                // answer. The pinned load is metadata + lazy scans;
+                // the evaluation itself is the normal query arm.
+                val st = version match {
+                  case None => ref.get()
+                  case Some(v) =>
+                    val dir = persistDir.getOrElse(
+                      throw new IllegalArgumentException(
+                        "version-pinned queries need an endpoint served " +
+                          "with persistDir (no versioned dataset here)"))
+                    val spark = ref.get().slices.values.head.sparkSession
+                    TripleStore.fromDatasetParquet(spark, dir, v, maxOps)
+                }
+                val (b, ct) = answerNegotiated(st, text, maxRows, accept)
                 (200, b, ct)
               case DescribeService =>
                 // SPARQL 1.1 Service Description: a bare GET answers
                 // with the discovery graph — endpoint capabilities in
                 // Turtle, the spec's conneg-free default
-                (200, serviceDescription(advertised), "text/turtle")
+                (200, serviceDescription(advertised,
+                  timeTravel = persistDir.isDefined), "text/turtle")
             }
           } catch {
             case e: IllegalArgumentException =>
@@ -633,9 +663,17 @@ object SparqlServer {
     * bare dereference with — supported languages, result formats, and
     * the graph-store service location, in Turtle.
     */
-  private[graft] def serviceDescription(endpoint: String): String = {
+  private[graft] def serviceDescription(endpoint: String,
+      timeTravel: Boolean = false): String = {
     val sd = "http://www.w3.org/ns/sparql-service-description#"
     val fmt = "http://www.w3.org/ns/formats/"
+    // version-pinned reads advertise as an extension feature so a
+    // client can DISCOVER them (sd:feature takes any IRI; the graft
+    // namespace documents the ?version=/&maxOps= convention)
+    val tt =
+      if (timeTravel)
+        " , <http://graft.invalid/ns#VersionPinnedQuery>"
+      else ""
     s"""@prefix sd: <$sd> .
        |@prefix formats: <$fmt> .
        |_:service a sd:Service ;
@@ -644,7 +682,7 @@ object SparqlServer {
        |  sd:resultFormat formats:SPARQL_Results_JSON ,
        |    formats:SPARQL_Results_XML , formats:SPARQL_Results_CSV ,
        |    formats:SPARQL_Results_TSV , formats:N-Triples ;
-       |  sd:feature sd:BasicFederatedQuery .
+       |  sd:feature sd:BasicFederatedQuery$tt .
        |""".stripMargin
   }
 }

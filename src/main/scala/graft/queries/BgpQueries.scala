@@ -3135,7 +3135,78 @@ object BgpQueries {
              |    SELECT n_nationkey FROM nation ORDER BY
              |      CAST(n_nationkey AS VARCHAR) LIMIT 5)
              |  THEN 'retired' ELSE 'active' END AS st
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // time travel over the PROTOCOL (round 14): r13's version-pinned
+    // loads were API-only — no HTTP client could ask for "the store as
+    // of version n". A persistDir endpoint now honors `&version=` (+
+    // `&maxOps=` for op-grain history inside the version) on the query
+    // arm and advertises the feature in its service description. The
+    // fixture: checkpoint v0, move the HEAD via protocol updates
+    // (status edges land as delta batches), then read v0 at maxOps=0
+    // over live HTTP — the pinned answer must be the bare checkpoint
+    // (names + region edges only) even though the live store answers
+    // with statuses; both assertions run against the same endpoint.
+    GQuery(
+      "q386_protocol_time_travel",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ptt-q")
+          .toString
+        val st0 = TripleStore.fromTriples(nationTriples(s, dir))
+        TripleStore.writeDatasetVersioned(st0, tmp)
+        val h = graft.bgp.SparqlServer.serve(
+          TripleStore.fromDatasetParquet(s, tmp), persistDir = Some(tmp))
+        try {
+          def post(update: String): Unit = {
+            val conn = new java.net.URL(h.endpoint).openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestMethod("POST")
+            conn.setDoOutput(true)
+            conn.setRequestProperty("Content-Type",
+              "application/sparql-update")
+            conn.getOutputStream.write(update.getBytes("UTF-8"))
+            require(conn.getResponseCode == 204,
+              s"protocol update failed: HTTP ${conn.getResponseCode}")
+            conn.disconnect()
+          }
+          def get(url: String, accept: String): String = {
+            val conn = new java.net.URL(url).openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestProperty("Accept", accept)
+            require(conn.getResponseCode == 200,
+              s"protocol read failed: HTTP ${conn.getResponseCode}")
+            val out = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+            conn.disconnect()
+            out
+          }
+          // move the head: row-grain delta batches under v0
+          post("""INSERT DATA { <nation:0> <status> "active" }""")
+          post("""INSERT DATA { <nation:1> <status> "active" }""")
+          // discovery: the endpoint advertises version-pinned queries
+          require(get(h.endpoint, "text/turtle")
+              .contains("VersionPinnedQuery"),
+            "service description must advertise time travel")
+          val q = "select ?n ?nm ?r where { ?n <name> ?nm . " +
+            "?n <inregion> ?r }"
+          val enc = java.net.URLEncoder.encode(q, "UTF-8")
+          // the LIVE read sees the moved head…
+          val live = graft.bgp.SparqlHttp.parse(get(
+            s"${h.endpoint}?query=" + java.net.URLEncoder.encode(
+              "select ?n ?st where { ?n <status> ?st }", "UTF-8"),
+            "application/sparql-results+json"))
+          require(live._2.length == 2,
+            s"head must have moved (status rows), got ${live._2.length}")
+          // …while the version-pinned read answers from the checkpoint
+          val (vars, rows) = graft.bgp.SparqlHttp.parse(get(
+            s"${h.endpoint}?query=$enc&version=0&maxOps=0",
+            "application/sparql-results+json"))
+          import s.implicits._
+          rows.map { r => (r(vars.indexOf("n")), r(vars.indexOf("nm")),
+            r(vars.indexOf("r")))
+          }.toDF("n", "nm", "r")
+        } finally h.stop()
+      },
+      Some(turtleOracle))
   )
 
   private val pathGroupOracle =
