@@ -28,6 +28,14 @@ import Sparql._
   */
 object BgpPlanner {
 
+  /** Bound on the distinct endpoints a variable SERVICE block
+    * (`SERVICE ?ep { … }`) may range over: each one is a separate
+    * remote evaluation, and an endpoint inventory is deployment-sized
+    * by nature — past this the query fails loudly instead of fanning
+    * out a data-sized number of federated requests.
+    */
+  val MaxServiceEndpoints = 16
+
   /** Query-graph metadata (reference createGraph QueryPlanner.c:192-223;
     * identifyJoinNodes 226-239; assignConditionsToNodes 242-288).
     * Planner-side only — O(#patterns), never data-sized.
@@ -1011,8 +1019,8 @@ object BgpPlanner {
       // SILENT (§2.3): an unreachable endpoint yields the single empty
       // solution — the block simply stops restricting the outer
       // solutions, so it contributes no relation at all
-      val subOpt: Option[DataFrame] =
-        if (SparqlHttp.isHttp(endpoint)) {
+      def evalOne(ep: String): Option[DataFrame] =
+        if (SparqlHttp.isHttp(ep)) {
           try {
             val (bv, rows): (Seq[String], Seq[Seq[String]]) =
               lexSeed.map { case (shared, lex) =>
@@ -1024,14 +1032,14 @@ object BgpPlanner {
                   shared.indices.map(r.getString).toSeq))
               }.getOrElse((Nil, Nil))
             Some(SparqlHttp.queryDf(
-              store.slices.values.head.sparkSession, endpoint, vars, raw,
+              store.slices.values.head.sparkSession, ep, vars, raw,
               bv, rows))
           } catch { case scala.util.control.NonFatal(e) =>
             if (silent) None else throw e
           }
         } else {
           val remoteOpt =
-            try Some(ServiceRegistry.resolve(endpoint))
+            try Some(ServiceRegistry.resolve(ep))
             catch { case e: IllegalArgumentException =>
               if (silent) None else throw e
             }
@@ -1044,20 +1052,67 @@ object BgpPlanner {
             plan(remote, subQ, Map.empty[String, Long], remoteSeed)
           }
         }
-      subOpt match {
-        case Some(sub) => Right(
-          if (!store.encoded) sub
-          else {
-            // vars the outer patterns also bind re-enter id space (a
-            // remote-only value the outer store never saw encodes to a
-            // never-matching id — null on the sequential dict-join arm,
-            // a foreign hash otherwise — so the outer join correctly
-            // drops it); service-ONLY vars stay lexical
-            val toEncode = sub.columns.toIndexedSeq.filter(outerBoundVars)
-            sub.columns.filterNot(outerBoundVars).foreach(lexical += _)
-            encodeLexCols(store, sub, toEncode, keepMisses = true)
-          })
+      def wrapEncoded(sub: DataFrame): DataFrame =
+        if (!store.encoded) sub
+        else {
+          // vars the outer patterns also bind re-enter id space (a
+          // remote-only value the outer store never saw encodes to a
+          // never-matching id — null on the sequential dict-join arm,
+          // a foreign hash otherwise — so the outer join correctly
+          // drops it); service-ONLY vars stay lexical
+          val toEncode = sub.columns.toIndexedSeq.filter(outerBoundVars)
+          sub.columns.filterNot(outerBoundVars).foreach(lexical += _)
+          encodeLexCols(store, sub, toEncode, keepMisses = true)
+        }
+      if (!endpoint.startsWith("?")) evalOne(endpoint) match {
+        case Some(sub) => Right(wrapEncoded(sub))
         case None => Left(vars)
+      } else {
+        // variable endpoint (SPARQL 1.1 Fed §2.1's `SERVICE ?ep`):
+        // outer bindings group per endpoint value — the block
+        // evaluates once against each DISTINCT endpoint the outer
+        // chain binds, each result is tagged with its endpoint
+        // binding, and the tagged union natural-joins the outer
+        // solution on the endpoint var plus the shared vars (so a
+        // row only matches solutions evaluated AT ITS endpoint).
+        // The endpoint inventory is deployment-sized by nature; the
+        // collect is bounded loudly at MaxServiceEndpoints. SILENT:
+        // a failing endpoint contributes no rows (its solutions
+        // drop), never an error.
+        val epVar = endpoint.drop(1)
+        val mc = mainChain.getOrElse(throw new IllegalArgumentException(
+          s"SERVICE ?$epVar needs the endpoint variable bound by " +
+            s"the query's other patterns"))
+        require(mc.columns.contains(epVar),
+          s"SERVICE ?$epVar: the endpoint variable is not bound by " +
+            "the query's other patterns")
+        val epRaw = mc.select(col(epVar)).na.drop().distinct()
+        val epLex =
+          if (!store.encoded || lexical(epVar)) epRaw
+          else {
+            val (dec, lexMap) = decodeVars(epRaw, Seq(epVar))
+            dec.select(lexMap(epVar).as(epVar))
+          }
+        val eps = epLex.limit(MaxServiceEndpoints + 1).collect()
+          .map(_.getString(0)).toSeq
+        require(eps.length <= MaxServiceEndpoints,
+          s"SERVICE ?$epVar ranges over more than $MaxServiceEndpoints " +
+            "distinct endpoints — an endpoint inventory is " +
+            "deployment-sized, not data-sized")
+        val parts = eps.flatMap(ep =>
+          evalOne(ep).map(_.withColumn(epVar, lit(ep))))
+        parts.reduceOption(_ unionByName _) match {
+          case Some(u) => Right(wrapEncoded(u))
+          case None =>
+            // no endpoint produced rows (empty inventory, or every
+            // one failed SILENTly): an empty tagged relation — outer
+            // solutions with an endpoint binding find no match
+            val spark = store.slices.values.head.sparkSession
+            val empty = spark.range(0).select(
+              (epVar +: vars).map(v =>
+                lit(null).cast("string").as(v)): _*)
+            Right(wrapEncoded(empty))
+        }
       }
     }
     val serviceDfs = serviceResults.collect { case Right(df) => df }
@@ -1266,11 +1321,13 @@ object BgpPlanner {
     // solution survives iff the block has (no) solutions at all, which
     // a constant-true semi/anti join against the block's first row
     // decides without materializing it (`limit(1)` bounds the probe).
-    for ((negated, block) <- q.existsFilters) {
-      val sub = chain(block,
-        block.map(tp => patternScan(store, tp, encode, measured, block,
-          outerVarsFor(block))),
-        measured)
+    // A block sub-SELECT joins the block's patterns first
+    // (blockRelation — same machinery as OPTIONAL/MINUS blocks), so
+    // `EXISTS { { select … } }` restricts on the subquery's exports.
+    val existsSubqs = q.existsSubqueries.padTo(q.existsFilters.length,
+      Seq.empty[BgpQuery])
+    for (((negated, block), esubs) <- q.existsFilters.zip(existsSubqs)) {
+      val sub = blockRelation(block, Nil, esubs)
       val common = sub.columns.filter(joined.columns.toSet).toSeq
       val joinType = if (negated) "left_anti" else "left_semi"
       joined =

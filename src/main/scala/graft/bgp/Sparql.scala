@@ -371,7 +371,12 @@ object Sparql {
       unionSubqueries: Seq[Seq[Seq[BgpQuery]]] = Nil,
       // aligned with `minuses`: block sub-SELECTs — they restrict
       // which solutions the MINUS removes, never bind outer vars
-      minusSubqueries: Seq[Seq[BgpQuery]] = Nil) {
+      minusSubqueries: Seq[Seq[BgpQuery]] = Nil,
+      // aligned with `existsFilters`: sub-SELECTs inside the i-th
+      // [NOT] EXISTS block — they join the block's patterns and the
+      // combined relation semi/anti-joins the outer solution (the
+      // block restricts, never binds)
+      existsSubqueries: Seq[Seq[BgpQuery]] = Nil) {
 
     /** Every nested sub-SELECT regardless of the block it lives in —
       * the planner's constant-priming / id-space bookkeeping walks all
@@ -379,7 +384,8 @@ object Sparql {
       */
     def allSubqueries: Seq[BgpQuery] =
       subqueries ++ optionalSubqueries.flatten ++
-        unionSubqueries.flatten.flatten ++ minusSubqueries.flatten
+        unionSubqueries.flatten.flatten ++ minusSubqueries.flatten ++
+        existsSubqueries.flatten
   }
 
   /** One SERVICE block: `raw` is the body text exactly as written
@@ -495,7 +501,7 @@ object Sparql {
       "\\s+as\\s+\\?(\\w+)\\s*\\)|\\?(\\w+)").r
   // FILTER [NOT] EXISTS { patterns } — extracted before UNION chains so
   // the braced block is never misread as a UNION branch
-  private val existsRe = "(?is)filter\\s+(not\\s+)?exists\\s*\\{([^}]*)\\}".r
+  private val existsHeadRe = "(?is)filter\\s+(not\\s+)?exists\\s*\\{".r
   // BIND (expr AS ?alias) — the expr may nest one level of parens
   // (CONCAT/STRLEN calls)
   private val bindRe =
@@ -960,18 +966,33 @@ object Sparql {
       }
     }
     // FILTER [NOT] EXISTS blocks — pulled before VALUES/MINUS/UNION so
-    // their braces are never misread downstream
-    val existsFilters = existsRe.findAllMatchIn(body0ex).map { m =>
-      // the [^}]-bounded capture truncates at a nested sub-SELECT's
-      // first close brace — reject with intent before parsePatterns
-      // produces a confusing fragment error
-      require(subSelectProbeRe.findFirstIn(m.group(2)).isEmpty,
-        s"sub-SELECT nested inside an EXISTS block is not supported: $query")
-      (m.group(1) != null, parsePatterns(m.group(2)))
-    }.toSeq
-    existsFilters.foreach { case (_, pats) =>
-      require(pats.nonEmpty, s"empty EXISTS block: $query") }
-    val body0a = existsRe.replaceAllIn(body0ex, "")
+    // their braces are never misread downstream. Matched-brace scan
+    // (the bounded regex can't see past a nested block), with
+    // block-scoped sub-SELECT support: a `{ SELECT … }` inside the
+    // body joins the block's patterns and the combined relation is
+    // what semi/anti-joins the outer solution.
+    val (body0a, existsFilters, existsSubqueries) = {
+      val fs = Seq.newBuilder[(Boolean, Seq[TriplePattern])]
+      val sqs = Seq.newBuilder[Seq[BgpQuery]]
+      val rem = new StringBuilder
+      var rest = body0ex
+      var more = true
+      while (more) existsHeadRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val (inner, after) = braceBlock(rest, m.end - 1)
+          val (innerNoSub, subs) = extractSubqueries(inner)
+          val pats = parsePatterns(innerNoSub)
+          require(pats.nonEmpty || subs.nonEmpty,
+            s"empty EXISTS block: $query")
+          fs += ((m.group(1) != null, pats))
+          sqs += subs
+          rem.append(rest.substring(0, m.start)).append(' ')
+          rest = rest.substring(after)
+        case None => more = false
+      }
+      rem.append(rest)
+      (rem.toString, fs.result(), sqs.result())
+    }
     // VALUES (?a ?b) { (c1 c2) ... }: inline constant TABLES — must
     // extract before the single-var form (whose regex would not match
     // the parenthesized var list but could misread the row braces)
@@ -1170,7 +1191,7 @@ object Sparql {
     // loudly instead of producing silently wrong rows.
     val subAggAliases =
       (subqueries ++ optionalSubqueries.flatten ++ minusSubqueries.flatten ++
-        unionSubqueries.flatten.flatten)
+        unionSubqueries.flatten.flatten ++ existsSubqueries.flatten)
         .flatMap(_.aggregates.map(_.alias)).toSet
     val storeBoundVars = allPatterns.flatMap(_.vars).toSet ++
       services.flatMap(_.query.select)
@@ -1260,7 +1281,7 @@ object Sparql {
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
       binds, subqueries, valuesTables ++ undefSingles, graphBlocks, services,
       fromGraphs, fromNamed, optionalSubqueries, unionSubqueries,
-      minusSubqueries)
+      minusSubqueries, existsSubqueries)
   }
 
   /** Matched-brace extraction shared by the SERVICE scanner and the

@@ -3206,7 +3206,61 @@ object BgpQueries {
           }.toDF("n", "nm", "r")
         } finally h.stop()
       },
-      Some(turtleOracle))
+      Some(turtleOracle)),
+
+    // sub-SELECT inside FILTER EXISTS (round 14): the block subquery
+    // computes the keep set (customers holding a finished order) and
+    // the EXISTS semi-joins it on the shared var — the last deliberate
+    // sub-SELECT rejection in the grammar, now the same blockRelation
+    // machinery as OPTIONAL/MINUS/UNION. Dual of q380's MINUS.
+    GQuery(
+      "q387_bgp_exists_subselect",
+      bgp("""select ?c ?seg where { ?c mktsegment ?seg .
+            | FILTER EXISTS { { select ?c where { ?o custkey ?c .
+            |   ?o status "F" } } } }""".stripMargin),
+      Some("""SELECT concat('customer:', c_custkey) AS c,
+             |  c_mktsegment AS seg FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"""
+        .stripMargin)),
+
+    // variable SERVICE endpoints (round 14, SPARQL 1.1 Fed §2.1's
+    // `SERVICE ?ep`): the endpoint comes from prior bindings — outer
+    // solutions group per distinct endpoint value, the block evaluates
+    // once against each (bounded loudly at MaxServiceEndpoints), and
+    // the tagged union joins back on the endpoint var + shared vars.
+    // The fixture shards region names across TWO registered remotes
+    // (regions 0-1 vs 2-4) with the routing edge in the outer store,
+    // so a row can only match at ITS endpoint.
+    GQuery(
+      "q388_bgp_service_var_endpoint",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val reg = graft.Tables.t(s, dir, "region")
+        def remote(lo: Boolean): TripleStore = TripleStore.fromTriples(
+          reg.filter(if (lo) col("r_regionkey") < 2 else col("r_regionkey") >= 2)
+            .select(concat(lit("region:"), col("r_regionkey")).as("s"),
+              lit("rname").as("p"), col("r_name").cast("string").as("o")))
+        graft.bgp.ServiceRegistry.register("graft://r14lo", remote(lo = true))
+        graft.bgp.ServiceRegistry.register("graft://r14hi", remote(lo = false))
+        val ep = reg.select(
+          concat(lit("region:"), col("r_regionkey")).as("s"),
+          lit("ep").as("p"),
+          when(col("r_regionkey") < 2, "graft://r14lo")
+            .otherwise("graft://r14hi").as("o"))
+        val outer = TripleStore.fromTriples(
+          nationTriples(s, dir).unionByName(ep))
+        BgpPlanner.query(outer,
+          """select ?n ?r ?e ?rn where { ?n inregion ?r . ?r ep ?e .
+            | SERVICE ?e { ?r rname ?rn } }""".stripMargin)
+      },
+      Some("""SELECT concat('nation:', n_nationkey) AS n,
+             |  concat('region:', n_regionkey) AS r,
+             |  CASE WHEN n_regionkey < 2 THEN 'graft://r14lo'
+             |       ELSE 'graft://r14hi' END AS e,
+             |  r_name AS rn
+             |FROM nation JOIN region ON r_regionkey = n_regionkey"""
+        .stripMargin))
   )
 
   private val pathGroupOracle =

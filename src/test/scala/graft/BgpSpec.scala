@@ -1847,12 +1847,71 @@ class BgpSpec extends AnyFunSuite {
       Set(Seq("prof:0", "p0@u.edu", null), Seq("prof:1", "p1@u.edu", null)))
   }
 
-  test("sub-SELECT nested inside EXISTS still rejects with intent") {
+  test("sub-SELECT inside EXISTS/NOT EXISTS restricts via the block relation") {
+    def both(q: String): Set[Seq[Any]] = {
+      val enc = TripleStore.encode(tinyStore)
+      val a = BgpPlanner.query(tinyStore, q).collect().map(_.toSeq).toSet
+      val b = BgpPlanner.query(enc, q).collect().map(_.toSeq).toSet
+      assert(a == b, s"string vs encoded store diverged for:\n$q\n$a\n$b")
+      a
+    }
+    // EXISTS over a bare subquery: keep profs somebody is advised by
+    assert(both(
+      """select ?A ?D where { ?A worksFor ?D .
+        | FILTER EXISTS { { select ?A where { ?X advisor ?A } } } }"""
+        .stripMargin) == Set(Seq("prof:0", "dept:0")))
+    // NOT EXISTS flips it
+    assert(both(
+      """select ?A ?D where { ?A worksFor ?D .
+        | FILTER NOT EXISTS { { select ?A where { ?X advisor ?A } } } }"""
+        .stripMargin) ==
+      Set(Seq("prof:1", "dept:0"), Seq("prof:2", "dept:1")))
+    // subquery + patterns inside one block combine before the semi
+    // join: an aggregate subquery restricted by a block pattern
+    assert(both(
+      """select ?A ?E where { ?A email ?E .
+        | FILTER EXISTS { ?A worksFor ?D .
+        |   { select ?A (count(?X) as ?adv)
+        |     where { ?X advisor ?A } group by ?A } } }""".stripMargin) ==
+      Set(Seq("prof:0", "p0@u.edu")))
+    // and the alias-collision guard covers EXISTS blocks too
     val e = intercept[IllegalArgumentException](Sparql.parse(
-      """select ?A where { ?A worksFor ?D .
-        | FILTER EXISTS { { select ?A where { ?A email ?E } } } }"""
-        .stripMargin))
-    assert(e.getMessage.contains("nested inside"))
+      """select ?A where { ?A worksFor ?E .
+        | FILTER EXISTS { { select ?A (count(?X) as ?E)
+        |   where { ?X advisor ?A } group by ?A } } }""".stripMargin))
+    assert(e.getMessage.contains("aggregate alias"))
+  }
+
+  test("SERVICE with a variable endpoint groups outer bindings per endpoint") {
+    ServiceRegistry.register("graft://va", TripleStore.fromTriples(Seq(
+      ("prof:0", "val", "a0"), ("prof:1", "val", "a1"),
+      ("prof:9", "val", "a9")).toDF("s", "p", "o")))
+    ServiceRegistry.register("graft://vb", TripleStore.fromTriples(Seq(
+      ("prof:1", "val", "b1"), ("prof:2", "val", "b2")).toDF("s", "p", "o")))
+    val outer = TripleStore.fromTriples(Seq(
+      ("prof:0", "ep", "graft://va"),
+      ("prof:1", "ep", "graft://vb"),
+      ("prof:2", "ep", "graft://vb"),
+      ("prof:3", "ep", "graft://vb")).toDF("s", "p", "o"))
+    val q =
+      """select ?x ?e ?v where { ?x ep ?e .
+        | SERVICE ?e { ?x val ?v } }""".stripMargin
+    def run(st: TripleStore): Set[(String, String, String)] =
+      BgpPlanner.query(st, q).collect()
+        .map(r => (r.getAs[String]("x"), r.getAs[String]("e"),
+          r.getAs[String]("v"))).toSet
+    val want = Set(
+      ("prof:0", "graft://va", "a0"),   // evaluated AT va only
+      ("prof:1", "graft://vb", "b1"),   // vb's binding, never va's a1
+      ("prof:2", "graft://vb", "b2"))   // prof:3 has no remote row
+    assert(run(outer) == want)
+    assert(run(TripleStore.encode(outer)) == want,
+      "variable endpoints must work on the encoded store (decode, " +
+        "evaluate per endpoint, re-encode the tag)")
+    // unbound endpoint var rejects loudly
+    val e = intercept[IllegalArgumentException](BgpPlanner.query(outer,
+      "select ?v where { SERVICE ?nowhere { ?x val ?v } }"))
+    assert(e.getMessage.contains("endpoint variable"))
   }
 
   test("sub-SELECT aggregate alias colliding with a pattern var rejects everywhere") {
