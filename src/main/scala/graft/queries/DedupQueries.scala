@@ -1594,7 +1594,123 @@ object DedupQueries {
         graft.scale.SignatureStore.probe(s, path,
           docs.filter($"m" === 0).select($"doc_id", $"text"))
       },
-      Some(sigProbeSql))
+      Some(sigProbeSql)),
+
+    // the release pipeline GATED BY THE TRAINED MODEL (round 14):
+    // q200's full accounting chain with its hand-tuned quality
+    // heuristic swapped for q381's distilled classifier — train, then
+    // GATE with the trained model, the loop the distillation exists
+    // for. Both gates run the complete pipeline (the keeper set feeds
+    // dedup winners and the contamination probe, so the gate changes
+    // downstream stages too) and the report is the per-source
+    // before/after release delta: n_docs, released under the trained
+    // gate, released under the heuristic gate, and the permille swing.
+    // Scale shape: ONE corpus scan computes every per-doc flag plus
+    // the three-long-weights score (broadcast-inlined constants); the
+    // only data-sized joins are the shared memoized shingle band and
+    // doc_id-keyed label joins.
+    GQuery(
+      "q389_release_trained_gate",
+      (s, dir) => {
+        import s.implicits._
+        val (w0, w1, w2) = graft.queries.TextQueries.trainedWeights(s, dir)
+        val base = t(s, dir, "documents")
+          .select($"doc_id", $"source", $"text", $"n_chars",
+            split($"text", " ").as("w"))
+          .select($"doc_id", $"source", $"text", $"n_chars",
+            size($"w").cast("long").as("n"),
+            size(array_distinct($"w")).cast("long").as("nu"),
+            expr("size(filter(w, t -> t IN ('the', 'a')))")
+              .cast("long").as("stop"))
+          .withColumn("uniq", expr("nu * 1000 div n"))
+          .withColumn("qp_h",
+            $"n" >= 5 && $"nu" * 10 >= $"n" * 3 && $"stop" * 5 <= $"n")
+          .withColumn("z", expr(
+            s"${w0}L * 100L + ${w1}L * (least(cast(n_chars as bigint), " +
+              s"1000L) - 500L) + ${w2}L * (500L - uniq)"))
+          .withColumn("qp_t", expr(
+            "greatest(0L, least(1000L, 500L + z div 4000)) >= 500L"))
+          .withColumn("is_eval",
+            h32(concat($"doc_id".cast("string"), lit(":eval"))) % 10 === 0)
+          .withColumn("fp", md5($"text".cast("binary")))
+          .select($"doc_id", $"source", $"qp_h", $"qp_t", $"is_eval", $"fp")
+        val sb = shingleBand(s, dir)
+        val evalKeys = sb
+          .join(base.filter($"is_eval").select($"doc_id"), Seq("doc_id"))
+          .select($"k").distinct()
+        def released(qp: org.apache.spark.sql.Column): DataFrame = {
+          val keepers = base.filter(qp && !$"is_eval")
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"fp").orderBy($"doc_id")))
+            .filter($"rn" === 1).select($"doc_id")
+          val contam = sb.join(keepers, Seq("doc_id"))
+            .join(evalKeys, Seq("k"))
+            .select($"doc_id").distinct()
+          keepers.join(contam, Seq("doc_id"), "left_anti")
+        }
+        val relT = released($"qp_t").withColumn("rel_t", lit(1L))
+        val relH = released($"qp_h").withColumn("rel_h", lit(1L))
+        base.select($"doc_id", $"source")
+          .join(relT, Seq("doc_id"), "left")
+          .join(relH, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce($"rel_t", lit(0L))).as("released_trained"),
+            sum(coalesce($"rel_h", lit(0L))).as("released_heur"))
+          .withColumn("delta_permille",
+            expr("(released_trained - released_heur) * 1000 div n_docs"))
+      },
+      Some(s"""WITH $shinglesSql,
+              |$shingleBandSql,
+              |${graft.queries.TextQueries.clfOracleSteps},
+              |b AS (SELECT doc_id, source, n_chars,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+              |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      t -> t IN ('the', 'a'))) AS BIGINT) AS stop,
+              |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              |      ':eval')), 1, 8)) AS BIGINT) % 10 = 0 AS is_eval,
+              |    md5(text) AS fp
+              |  FROM documents),
+              |sc AS MATERIALIZED (SELECT b.*,
+              |    (b.n >= 5 AND b.nu * 10 >= b.n * 3 AND b.stop * 5 <= b.n)
+              |      AS qp_h,
+              |    greatest(0, least(1000, 500 + (w.w0 * 100
+              |      + w.w1 * (least(CAST(b.n_chars AS BIGINT), 1000) - 500)
+              |      + w.w2 * (500 - b.nu * 1000 // b.n)) // 4000)) >= 500
+              |      AS qp_t
+              |  FROM b, g6 w),
+              |evk AS (SELECT DISTINCT shf.s FROM shf
+              |        JOIN sc USING (doc_id) WHERE sc.is_eval),
+              |kt AS (SELECT doc_id FROM (
+              |        SELECT doc_id, row_number() OVER (PARTITION BY fp
+              |          ORDER BY doc_id) AS rn
+              |        FROM sc WHERE qp_t AND NOT is_eval) WHERE rn = 1),
+              |ct AS (SELECT DISTINCT shf.doc_id FROM shf
+              |       JOIN evk ON evk.s = shf.s
+              |       WHERE shf.doc_id IN (SELECT doc_id FROM kt)),
+              |rt AS (SELECT doc_id FROM kt
+              |       WHERE doc_id NOT IN (SELECT doc_id FROM ct)),
+              |kh AS (SELECT doc_id FROM (
+              |        SELECT doc_id, row_number() OVER (PARTITION BY fp
+              |          ORDER BY doc_id) AS rn
+              |        FROM sc WHERE qp_h AND NOT is_eval) WHERE rn = 1),
+              |ch AS (SELECT DISTINCT shf.doc_id FROM shf
+              |       JOIN evk ON evk.s = shf.s
+              |       WHERE shf.doc_id IN (SELECT doc_id FROM kh)),
+              |rh AS (SELECT doc_id FROM kh
+              |       WHERE doc_id NOT IN (SELECT doc_id FROM ch))
+              |SELECT sc.source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN sc.doc_id IN (SELECT doc_id FROM rt)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS released_trained,
+              |  CAST(sum(CASE WHEN sc.doc_id IN (SELECT doc_id FROM rh)
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS released_heur,
+              |  (CAST(sum(CASE WHEN sc.doc_id IN (SELECT doc_id FROM rt)
+              |    THEN 1 ELSE 0 END) AS BIGINT)
+              |   - CAST(sum(CASE WHEN sc.doc_id IN (SELECT doc_id FROM rh)
+              |    THEN 1 ELSE 0 END) AS BIGINT)) * 1000 // count(*)
+              |    AS delta_permille
+              |FROM sc GROUP BY 1""".stripMargin))
   )
 
   /** Versioned signature-index location for a dataset (the pstore

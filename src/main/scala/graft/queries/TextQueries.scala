@@ -153,6 +153,15 @@ object TextQueries {
         (least(col("n_chars").cast("long"), lit(1000L)) - 500L).as("x1"),
         (lit(500L) - col("uniq")).as("x2"))
 
+  /** Final trained weights (w0, w1, w2) of the q381 classifier — the
+    * composition surface q389's release gate scores with.
+    */
+  private[queries] def trainedWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long, Long) = {
+    val w = clfTrain(s, dir).last
+    (w._2, w._3, w._4)
+  }
+
   /** The q381 training loop (see the q381 comment for the math):
     * 6 full-batch gradient steps + a final eval pass, every step ONE
     * map-side-combined aggregate; returns (step, w0, w1, w2,
@@ -2967,7 +2976,7 @@ object TextQueries {
     * g6). MATERIALIZED throughout — DuckDB inlines CTEs by default
     * and each level is referenced several times.
     */
-  private val clfOracleSteps: String = {
+  private[queries] val clfOracleSteps: String = {
     val feat =
       """feat AS MATERIALIZED (SELECT source,
         |  CASE WHEN uniq >= 600 THEN 1000 ELSE 0 END AS y,
