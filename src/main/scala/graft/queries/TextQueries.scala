@@ -96,13 +96,16 @@ object TextQueries {
   private[graft] val BpeCheckpointEvery = 4
 
   private[graft] def bpeTrainLoop(words: org.apache.spark.sql.DataFrame,
-      k: Int): Seq[(String, String, Long)] = {
+      k: Int,
+      probe: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : Seq[(String, String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var seg = words.select(col("freq"), expr(bpeSeg0).as("seg"))
       .localCheckpoint(eager = false)
     var sinceCp = 0
     var exhausted = false
     for (_ <- 1 to k if !exhausted) {
+      probe(seg)
       val top = seg
         .select(col("freq"), expr("split(trim(seg), '  ')").as("tok"))
         .filter(size(col("tok")) >= 2)

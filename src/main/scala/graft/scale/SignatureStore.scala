@@ -179,12 +179,17 @@ object SignatureStore {
     * This is the multi-writer guard — HDFS/local `create(path,
     * overwrite=false)` fails if the file exists, so two JVMs appending
     * to one index can never reserve the same sequence number or race
-    * one version flip.
+    * one version flip. `content` (an idempotency token) lands in the
+    * claim file so a replayed writer can recognize its own slot.
     */
   private def claim(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path): Boolean =
-    try { fs.create(path, false).close(); true }
-    catch { case _: java.io.IOException => false }
+      path: org.apache.hadoop.fs.Path, content: String = ""): Boolean =
+    try {
+      val out = fs.create(path, false)
+      try { if (content.nonEmpty) out.write(content.getBytes("UTF-8")) }
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
 
   private def versionRoot(spark: SparkSession, path: String): String =
     currentVersion(spark, path) match {
@@ -264,19 +269,45 @@ object SignatureStore {
     * index compacts into a fresh full version — computed from the
     * LOADED index (signature grain), never from raw text.
     */
-  def append(docs: DataFrame, path: String): Unit = {
+  def append(docs: DataFrame, path: String,
+      token: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val root = versionRoot(spark, path)
     val (fs, _) = fsOf(spark, path)
     // claim a sequence number: start past the max existing batch and
-    // walk forward until a create-exclusive lock wins
-    var k = nextSeq(fs, root)
-    var tries = 0
-    while (!claim(fs,
-        new org.apache.hadoop.fs.Path(s"$root/delta/seq=$k.lock"))) {
-      k += 1
-      tries += 1
-      require(tries < 10000, s"could not claim an append slot under $root")
+    // walk forward until a create-exclusive lock wins. A TOKENED
+    // append (the streaming sink's replay key) first looks for a slot
+    // it already claimed — a replayed micro-batch then OVERWRITES its
+    // own seq= directories (writeDeltaBatch is delete+rename), so
+    // Structured Streaming's at-least-once foreachBatch becomes
+    // effectively-once on the index.
+    def tokenLockIn(r: String, t: String): Option[Int] = {
+      val dp = new org.apache.hadoop.fs.Path(s"$r/delta")
+      if (!fs.exists(dp)) None
+      else fs.listStatus(dp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".lock"))
+        .find(st => readSmall(fs, st.getPath).contains(t))
+        .flatMap(st => scala.util.Try(st.getPath.getName
+          .stripPrefix("seq=").stripSuffix(".lock").toInt).toOption)
+    }
+    // a token already absorbed into a RETAINED OLDER version (the
+    // crash-after-compaction replay): the batch's rows live in the
+    // compacted base — appending again would duplicate them; no-op
+    if (token.exists(t => listVersions(spark, path)
+        .map(v => s"$path/v$v").filter(_ != root)
+        .exists(r => tokenLockIn(r, t).isDefined)))
+      return
+    val reclaimed: Option[Int] = token.flatMap(t => tokenLockIn(root, t))
+    var k = reclaimed.getOrElse(nextSeq(fs, root))
+    if (reclaimed.isEmpty) {
+      var tries = 0
+      while (!claim(fs,
+          new org.apache.hadoop.fs.Path(s"$root/delta/seq=$k.lock"),
+          token.getOrElse(""))) {
+        k += 1
+        tries += 1
+        require(tries < 10000, s"could not claim an append slot under $root")
+      }
     }
     val (sh, mh, sim, bands, fps) = signatures(docs)
     val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

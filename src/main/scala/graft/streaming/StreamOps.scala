@@ -659,6 +659,31 @@ object StreamOps {
       }
     }
 
+  /** foreachBatch sink GROWING the standing dedup signature index
+    * ([[graft.scale.SignatureStore]]) — the incremental arm the
+    * batch-vs-corpus probes (q162/q369/q383) read: each micro-batch's
+    * MinHash/SimHash/band/fingerprint signatures append as delta-grain
+    * `seq=` batches keyed by an idempotency token (`stream-<batchId>`),
+    * so Structured Streaming's at-least-once replay OVERWRITES its own
+    * slot instead of duplicating rows — effectively-once on the index,
+    * the [[encodedIngestSink]] discipline. Bootstraps an empty v0 when
+    * the index is absent; compaction past
+    * [[graft.scale.SignatureStore.CompactAppends]] pending batches
+    * rides along (from the index, never from raw text). Batches apply
+    * serially (Structured Streaming's contract), so every append sees
+    * the prior state. Expects (doc_id, text) micro-batches.
+    */
+  def signatureIndexSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      if (graft.scale.SignatureStore.currentVersion(spark, path).isEmpty)
+        graft.scale.SignatureStore.write(
+          batch.select(col("doc_id"), col("text")).limit(0), path)
+      graft.scale.SignatureStore.append(
+        batch.select(col("doc_id"), col("text")), path,
+        token = Some(s"stream-$batchId"))
+    }
+
   def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val prev = batch.sparkSession.conf

@@ -829,21 +829,33 @@ class AuditOpsSpec extends AnyFunSuite {
     }
     assert(graft.queries.TextQueries.bpeTrainLoop(words, 16) == naive(16),
       "incremental trainer diverged from the nested-replace reference")
-    // flat per-round cost: T(96) under a flat loop is ~3x T(32); the
-    // O(k^2) chain reads ~9x. Warm up first so JIT/codegen noise stays
-    // out of the ratio; threshold halfway between the two shapes.
-    graft.queries.TextQueries.bpeTrainLoop(words, 8)
-    def time(k: Int): Double = {
-      val t0 = System.nanoTime()
-      val m = graft.queries.TextQueries.bpeTrainLoop(words, k)
-      assert(m.length == k, s"vocabulary exhausted at ${m.length} < $k")
-      (System.nanoTime() - t0) / 1e9
-    }
-    val t32 = time(32)
-    val t96 = time(96)
-    assert(t96 < 5.5 * t32,
-      f"per-round cost is not flat: T(96)=$t96%.1fs vs T(32)=$t32%.1fs " +
-        "(a flat loop reads ~3x, the quadratic chain ~9x)")
+    // flat per-round cost at 96 merges, pinned two ways inside ONE
+    // run (cross-run wall-clock ratios flake on a shared box):
+    //  - the segmentation relation's EXPRESSION size stays bounded —
+    //    the r13 chain grew one nested replace per round, so its
+    //    expression count was O(round index);
+    //  - within-run per-round wall times: median of the last third vs
+    //    the first third (the quadratic chain reads ~5x here even
+    //    with the constant pair-agg cost; flat reads ~1x).
+    graft.queries.TextQueries.bpeTrainLoop(words, 8) // JIT/codegen warm-up
+    val exprSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val m = graft.queries.TextQueries.bpeTrainLoop(words, 96, seg => {
+      ticks += System.nanoTime()
+      exprSizes += seg.queryExecution.analyzed.expressions
+        .map(_.collect { case e => e }.size).sum
+    })
+    assert(m.length == 96, s"vocabulary exhausted at ${m.length} < 96")
+    assert(exprSizes.max <= exprSizes.take(8).max + 100,
+      s"segmentation expression grew with the round index " +
+        s"(first-8 max ${exprSizes.take(8).max}, overall ${exprSizes.max})")
+    val rounds = ticks.sliding(2).map(w => (w(1) - w(0)) / 1e9).toSeq
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val early = median(rounds.take(32))
+    val late = median(rounds.takeRight(32))
+    assert(late < 3.5 * early,
+      f"per-round cost is not flat: late median $late%.3fs vs early " +
+        f"median $early%.3fs")
     words.unpersist()
     ()
   }

@@ -96,6 +96,50 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(n == 10 + SignatureStore.CompactAppends * 5)
   }
 
+  test("streaming sink grows the index effectively-once; equals a monolithic build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pathS = tmpDir("stream")
+    val pathM = tmpDir("streamMono")
+    // two micro-batches over MemoryStream → signatureIndexSink
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.StreamOps.signatureIndexSink(pathS))
+      .start()
+    try {
+      src.addData((1L to 10L).map(i =>
+        (i, s"s doc number $i alpha beta gamma delta epsilon zeta")): _*)
+      q.processAllAvailable()
+      src.addData((11L to 15L).map(i =>
+        (i, s"s doc number $i alpha beta gamma delta epsilon zeta")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    SignatureStore.write(corpus(1L to 15L, "s doc").limit(0), pathM)
+    // monolithic twin over the same 15 docs (one append = one batch)
+    val all = (1L to 15L).map(i =>
+      (i, s"s doc number $i alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    SignatureStore.append(all, pathM)
+    val batch = Seq((900L,
+      "s doc number 3 alpha beta gamma delta epsilon zeta tail"))
+      .toDF("doc_id", "text")
+    val a = SignatureStore.probe(spark, pathS, batch).collect().map(_.toSeq)
+    val b = SignatureStore.probe(spark, pathM, batch).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq,
+      "stream-grown index must be verdict-identical to a monolithic one")
+    // replay: re-running a committed micro-batch must overwrite its own
+    // slot, not duplicate rows (the at-least-once → effectively-once pin)
+    val before = SignatureStore.load(spark, pathS).fps.count()
+    graft.streaming.StreamOps.signatureIndexSink(pathS)(
+      (11L to 15L).map(i =>
+        (i, s"s doc number $i alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), 1L)
+    assert(SignatureStore.load(spark, pathS).fps.count() == before,
+      "a replayed batch duplicated signature rows")
+  }
+
   test("two writers on one index cannot interleave (create-exclusive claims)") {
     val path = tmpDir("race")
     SignatureStore.write(corpus(1L to 10L, "w"), path)
