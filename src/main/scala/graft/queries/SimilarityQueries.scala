@@ -1143,6 +1143,66 @@ object SimilarityQueries {
               |SELECT q2.qid, coalesce(h.n, 0) AS n_overlap,
               |  coalesce(h.n, 0) * 1.0 / 3 AS overlap_at_3
               |FROM (SELECT DISTINCT qid FROM f) q2
-              |LEFT JOIN h ON h.qid = q2.qid""".stripMargin))
+              |LEFT JOIN h ON h.qid = q2.qid""".stripMargin)),
+
+    // persisted IVF index, cold-load probe (round 14 — the similarity
+    // sibling of q383's signature index): cell-partitioned
+    // assignments + centroid sums live as a versioned artifact
+    // (scale/VectorIndex, built once per dataset like the pstore
+    // layouts); the probe ranks cells against the PERSISTED centroids
+    // and scans ONLY the probed cells' partition directories
+    // (VectorIndexSpec pins the PartitionFilters and that no
+    // non-index file is read). Arithmetic is q117's exactly — same
+    // quantization, centroid sums, tie-breaks — so the multiprobe
+    // oracle replays it from the raw embeddings.
+    GQuery(
+      "q390_vector_index_probe",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+        val path = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_PSTORE_DIR", "bench_corpora/pstore"),
+          s"vecidx_$tag").getAbsolutePath
+        graft.scale.VectorIndex.ensure(
+          t(s, dir, "embeddings").select($"vec_id", $"embedding", $"label"),
+          path, s)
+        val q = quantized(s, dir).filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+        graft.scale.VectorIndex.probe(s, path, q, nprobe = 2, k = 3)
+      },
+      Some(s"""WITH $quantizedSql,
+              |cs AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS cx
+              |       FROM flat GROUP BY 1, 2),
+              |csn AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS cnrm
+              |        FROM cs GROUP BY 1),
+              |pd AS (SELECT f.vec_id AS qid, cs.label,
+              |         CAST(sum(f.x * cs.cx) AS BIGINT) AS cdot
+              |       FROM flat f JOIN cs ON cs.i = f.i
+              |       WHERE f.vec_id < 20 GROUP BY 1, 2),
+              |ps AS (SELECT qid, pd.label,
+              |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(csn.cnrm AS DOUBLE))) AS cscore
+              |  FROM pd JOIN nrm nq ON nq.vec_id = qid
+              |  JOIN csn ON csn.label = pd.label),
+              |probes AS (SELECT qid, label FROM (
+              |    SELECT qid, label,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr
+              |    FROM ps)
+              |  WHERE pr <= 2),
+              |dots AS (SELECT p.qid, c.vec_id AS cid,
+              |           CAST(sum(qf.x * c.x) AS BIGINT) AS dot
+              |         FROM probes p
+              |         JOIN flat c ON c.label = p.label
+              |         JOIN flat qf ON qf.vec_id = p.qid AND qf.i = c.i
+              |         WHERE c.vec_id <> p.qid
+              |         GROUP BY 1, 2),
+              |scored AS (SELECT qid, cid,
+              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+              |  JOIN nrm nc ON nc.vec_id = cid)
+              |SELECT qid, cid, cos_sim, rank FROM (
+              |  SELECT qid, cid, cos_sim,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+              |  FROM scored)
+              |WHERE rank <= 3""".stripMargin))
   )
 }

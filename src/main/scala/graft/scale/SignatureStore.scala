@@ -138,86 +138,25 @@ object SignatureStore {
   private def bandCounts(bands: DataFrame): DataFrame =
     bands.groupBy(col("k")).agg(count(lit(1)).as("df"))
 
-  // ---- versioned-root plumbing ----
+  // ---- versioned-root plumbing (shared: [[VersionedRoot]]) ----
 
-  private def fsOf(spark: SparkSession, path: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
+  private def fsOf(spark: SparkSession, path: String) =
+    VersionedRoot.fsOf(spark, path)
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim)
-      } finally in.close()
-    }
-
-  def currentVersion(spark: SparkSession, path: String): Option[Int] = {
-    val (fs, _) = fsOf(spark, path)
-    readSmall(fs, new org.apache.hadoop.fs.Path(s"$path/VERSION"))
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
-  }
-
-  def listVersions(spark: SparkSession, path: String): Seq[Int] = {
-    val (fs, p) = fsOf(spark, path)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("v"))
-        scala.util.Try(n.drop(1).toInt).toOption
-      else None
-    }.sorted
-  }
-
-  /** Create-exclusive claim: atomically wins or throws-into-false.
-    * This is the multi-writer guard — HDFS/local `create(path,
-    * overwrite=false)` fails if the file exists, so two JVMs appending
-    * to one index can never reserve the same sequence number or race
-    * one version flip. `content` (an idempotency token) lands in the
-    * claim file so a replayed writer can recognize its own slot.
-    */
+    VersionedRoot.readSmall(fs, p)
   private def claim(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, content: String = ""): Boolean =
-    try {
-      val out = fs.create(path, false)
-      try { if (content.nonEmpty) out.write(content.getBytes("UTF-8")) }
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    VersionedRoot.claim(fs, path, content)
+
+  def currentVersion(spark: SparkSession, path: String): Option[Int] =
+    VersionedRoot.currentVersion(spark, path)
+
+  def listVersions(spark: SparkSession, path: String): Seq[Int] =
+    VersionedRoot.listVersions(spark, path)
 
   private def versionRoot(spark: SparkSession, path: String): String =
-    currentVersion(spark, path) match {
-      case Some(n) => s"$path/v$n"
-      case None => throw new IllegalArgumentException(
-        s"no signature index at $path (no VERSION pointer)")
-    }
-
-  /** Flip the VERSION pointer to `n`, failing LOUDLY on a lost race:
-    * the v<n> directory claim already serializes writers, so by the
-    * time a writer flips, the pointer must still read `n - 1` (or be
-    * absent for n == 0).
-    */
-  private def flipPointer(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, n: Int): Unit = {
-    val vp = new org.apache.hadoop.fs.Path(s"$path/VERSION")
-    val cur = readSmall(fs, vp).flatMap(s => scala.util.Try(s.toInt).toOption)
-    require(cur.forall(_ == n - 1),
-      s"VERSION pointer at $path moved to $cur while writing v$n — " +
-        "concurrent writer won the race; this write is aborted")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.VERSION.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(vp, false)
-    require(fs.rename(tmp, vp), s"VERSION pointer flip to $n failed")
-    (0 to n - KeepVersions).foreach(m =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m"), true))
-  }
+    VersionedRoot.root(spark, path, "signature index")
 
   // ---- write / append / load ----
 
@@ -230,15 +169,13 @@ object SignatureStore {
     val spark = docs.sparkSession
     val (fs, _) = fsOf(spark, path)
     val n = currentVersion(spark, path).map(_ + 1).getOrElse(0)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    require(claim(fs, new org.apache.hadoop.fs.Path(s"$path/v$n.claim")),
-      s"version v$n of $path is already claimed by another writer")
+    VersionedRoot.claimVersion(spark, path, n)
     val (sh, mh, sim, bands, fps) = signatures(docs)
     val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       writeSigs(Sigs(mh, sim, bands, fps,
         mhCounts(mh), shCounts(sim), bandCounts(bands)), s"$path/v$n")
-      flipPointer(fs, path, n)
+      VersionedRoot.flipPointer(spark, path, n, KeepVersions)
       writeMarker(fs, path)
     } finally { shP.unpersist(); () }
   }
@@ -346,10 +283,9 @@ object SignatureStore {
     val sigs = load(spark, path)
     val (fs, _) = fsOf(spark, path)
     val n = currentVersion(spark, path).map(_ + 1).getOrElse(0)
-    require(claim(fs, new org.apache.hadoop.fs.Path(s"$path/v$n.claim")),
-      s"version v$n of $path is already claimed by another writer")
+    VersionedRoot.claimVersion(spark, path, n)
     writeSigs(sigs, s"$path/v$n")
-    flipPointer(fs, path, n)
+    VersionedRoot.flipPointer(spark, path, n, KeepVersions)
   }
 
   /** Cold-load the index at `path`: per signature family,
