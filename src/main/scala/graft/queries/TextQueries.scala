@@ -53,7 +53,7 @@ object TextQueries {
     */
   private val bpeSeg0 = "concat('  ', regexp_replace(word, '(.)', '$1  '))"
 
-  private def bpeSegExpr(merges: Seq[(String, String, Long)]): String =
+  private[graft] def bpeSegExpr(merges: Seq[(String, String, Long)]): String =
     merges.foldLeft(bpeSeg0) { case (e, (a, b, _)) =>
       s"replace($e, ' $a  $b ', ' $a$b ')"
     }
@@ -132,6 +132,68 @@ object TextQueries {
       }
     }
     out.toSeq
+  }
+
+  /** Ranked BPE apply at word grain — the arm for REAL merge counts,
+    * where the chained-replace EXPRESSION (one nested `replace` per
+    * merge) blows past codegen method limits around k≈10³ and costs
+    * O(k·len) per word regardless of which merges fire. Semantics are
+    * identical to the replace chain by construction: merges apply IN
+    * RANK ORDER, each firing pass scanning the token sequence
+    * left-to-right and merging non-overlapping occurrences (the
+    * leftmost-non-overlapping contract the double-space literal
+    * replace implements). Per word, a merge whose pair is absent
+    * costs ONE hash probe against the current adjacent-pair set, so
+    * the work is O(len + fired·len + k probes) — at k = 30k with
+    * typical words firing a handful of merges, the probe stream
+    * dominates and stays branch-predictable. The merge table ships
+    * once as a bounded broadcast value (vocabulary-of-merges-sized,
+    * never corpus-sized). Input rows (source, word, freq); output
+    * adds `ntok`. AuditOpsSpec pins token-count equality with the
+    * replace-chain expression over randomized vocabularies.
+    */
+  private[graft] def bpeTokensRanked(
+      words: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String, Long)]): org.apache.spark.sql.DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val table = merges.map { case (a, b, _) => (a, b) }
+    val bc = graft.scale.GuardedBroadcast.boundedValue(
+      spark, table, "BPE merge table")
+    words.select(col("source"), col("word"), col("freq"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (source, word, freq) =>
+          var toks: Array[String] = word.split("").filter(_.nonEmpty)
+          if (toks.length >= 2) {
+            // current adjacent-pair set: O(1) skip for absent merges
+            var pairs = scala.collection.mutable.HashSet.empty[(String, String)]
+            var i = 0
+            while (i + 1 < toks.length) {
+              pairs += ((toks(i), toks(i + 1))); i += 1
+            }
+            ms.foreach { case (a, b) =>
+              if (pairs.contains((a, b))) {
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var j = 0
+                while (j < toks.length) {
+                  if (j + 1 < toks.length && toks(j) == a && toks(j + 1) == b) {
+                    out += a + b; j += 2
+                  } else { out += toks(j); j += 1 }
+                }
+                toks = out.toArray
+                pairs = scala.collection.mutable.HashSet.empty[(String, String)]
+                var p = 0
+                while (p + 1 < toks.length) {
+                  pairs += ((toks(p), toks(p + 1))); p += 1
+                }
+              }
+            }
+          }
+          (source, word, freq, toks.length.toLong)
+        }
+      }.toDF("source", "word", "freq", "ntok")
   }
 
   // q381's trained model (per-step weights + accuracy) per
@@ -2862,31 +2924,35 @@ object TextQueries {
           .withColumn("fertility_milli",
             expr("n_tokens * 1000 div n_words"))
       },
-      Some {
-        val applySeg = (1 to BpeMerges).foldLeft(
-          "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") { (e, i) =>
-          s"""replace($e,
-             |      ' ' || (SELECT a FROM t$i) || '  ' || (SELECT b FROM t$i) || ' ',
-             |      ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ')""".stripMargin
-        }
-        s"""WITH ${bpeOracleSteps(BpeMerges)},
-           |ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
-           |  FROM (SELECT source,
-           |      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
-           |    FROM documents)
-           |  WHERE length(word) >= 2 GROUP BY 1, 2),
-           |applied AS (SELECT source, freq,
-           |    CAST(length(word) AS BIGINT) AS chars,
-           |    CAST(len(string_split(trim($applySeg), '  ')) AS BIGINT) AS ntok
-           |  FROM ws)
-           |SELECT source,
-           |  CAST(sum(freq) AS BIGINT) AS n_words,
-           |  CAST(sum(freq * chars) AS BIGINT) AS n_chars,
-           |  CAST(sum(freq * ntok) AS BIGINT) AS n_tokens,
-           |  CAST((CAST(sum(freq * ntok) AS BIGINT) * 1000) //
-           |    CAST(sum(freq) AS BIGINT) AS BIGINT) AS fertility_milli
-           |FROM applied GROUP BY 1""".stripMargin
-      }),
+      Some(bpeTokenizeSql)),
+
+    // the SAME tokenize-apply through the RANKED per-word algorithm
+    // (round 14): q377's chained-replace expression is the right
+    // single-pass shape at k=6 but would blow codegen limits and pay
+    // O(k*len) per word at a real tokenizer's k~30k; bpeTokensRanked
+    // applies merges in rank order with O(1) skips for absent pairs.
+    // Same oracle as q377 — the two arms must be indistinguishable.
+    GQuery(
+      "q391_bpe_tokenize_ranked",
+      (s, dir) => {
+        import s.implicits._
+        val merges = bpeTrain(s, dir, BpeMerges)
+        val ws = t(s, dir, "documents")
+          .select($"source",
+            explode(split(lower($"text"), "[^a-z]+")).as("word"))
+          .filter(length($"word") >= 2)
+          .groupBy($"source", $"word").agg(count(lit(1)).as("freq"))
+        bpeTokensRanked(ws, merges)
+          .select($"source", $"freq",
+            length($"word").cast("long").as("chars"), $"ntok")
+          .groupBy($"source")
+          .agg(sum($"freq").as("n_words"),
+            sum($"freq" * $"chars").as("n_chars"),
+            sum($"freq" * $"ntok").as("n_tokens"))
+          .withColumn("fertility_milli",
+            expr("n_tokens * 1000 div n_words"))
+      },
+      Some(bpeTokenizeSql)),
 
     // TRAINABLE quality-classifier distillation — the fastText-filter
     // pattern every modern curation pipeline runs (CCNet-style):
@@ -2971,6 +3037,36 @@ object TextQueries {
            |GROUP BY 1""".stripMargin
       })
   )
+
+  /** Shared oracle for q377/q391: the unrolled replace-chain apply
+    * over the per-source word vocabulary — both the expression arm
+    * and the ranked mapPartitions arm must hash-match it.
+    */
+  private def bpeTokenizeSql: String = {
+    val applySeg = (1 to BpeMerges).foldLeft(
+      "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") { (e, i) =>
+      s"""replace($e,
+         |      ' ' || (SELECT a FROM t$i) || '  ' || (SELECT b FROM t$i) || ' ',
+         |      ' ' || (SELECT a FROM t$i) || (SELECT b FROM t$i) || ' ')""".stripMargin
+    }
+    s"""WITH ${bpeOracleSteps(BpeMerges)},
+       |ws AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT source,
+       |      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY 1, 2),
+       |applied AS (SELECT source, freq,
+       |    CAST(length(word) AS BIGINT) AS chars,
+       |    CAST(len(string_split(trim($applySeg), '  ')) AS BIGINT) AS ntok
+       |  FROM ws)
+       |SELECT source,
+       |  CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(freq * chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(freq * ntok) AS BIGINT) AS n_tokens,
+       |  CAST((CAST(sum(freq * ntok) AS BIGINT) * 1000) //
+       |    CAST(sum(freq) AS BIGINT) AS BIGINT) AS fertility_milli
+       |FROM applied GROUP BY 1""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain for the q381/q382 classifier: the
     * feature relation (WITH source for the apply arm), g0 init, six

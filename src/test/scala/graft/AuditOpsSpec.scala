@@ -787,6 +787,39 @@ class AuditOpsSpec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("ranked BPE apply matches the replace-chain expression word-for-word") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 250).map { _ =>
+      val len = 4 + rnd.nextInt(10)
+      (Seq.fill(len)(('a' + rnd.nextInt(5)).toChar).mkString,
+        1L + rnd.nextInt(40))
+    }.toDF("word", "freq0")
+      .groupBy("word").agg(sum($"freq0").as("freq")).cache()
+    vocab.count()
+    val merges = graft.queries.TextQueries.bpeTrainLoop(vocab, 48)
+    assert(merges.length == 48)
+    // the chained-replace expression (q377's arm) ...
+    val segExpr = graft.queries.TextQueries.bpeSegExpr(merges)
+    val viaExpr = vocab
+      .select($"word",
+        expr(s"size(split(trim($segExpr), '  '))").cast("long").as("ntok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ... vs the ranked per-word algorithm (q391's arm)
+    val viaRanked = graft.queries.TextQueries.bpeTokensRanked(
+        vocab.select(lit("src").as("source"), $"word", $"freq"), merges)
+      .select($"word", $"ntok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaExpr.keySet == viaRanked.keySet)
+    val diverged = viaExpr.keys.filter(w => viaExpr(w) != viaRanked(w))
+    assert(diverged.isEmpty,
+      s"ranked apply diverged from the replace chain on: " +
+        diverged.take(5).map(w =>
+          s"$w expr=${viaExpr(w)} ranked=${viaRanked(w)}").mkString("; "))
+    vocab.unpersist()
+    ()
+  }
+
   test("BPE incremental trainer: merge-identical to the naive chain, flat per-round cost") {
     import spark.implicits._
     // deterministic synthetic vocabulary: 6-letter alphabet, 300 words
