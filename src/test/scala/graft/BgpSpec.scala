@@ -3016,6 +3016,49 @@ class BgpSpec extends AnyFunSuite {
     } finally h2.stop()
   }
 
+  test("encoded endpoint compacts its delta log into a full version with the dict") {
+    // the full serve-loop on an ENCODED store: row-grain protocol
+    // updates append id-space + dict batches until the log crosses
+    // CompactDeltaBatches, the write-back compacts into a fresh full
+    // version (dict included), the log resets, and every term —
+    // including ones that only ever lived in dict delta batches —
+    // still decodes after the flip
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewb-cmp").toString
+    val st = TripleStore.encode(TripleStore.fromTriples(Seq(
+      ("t:1", "name", "one")).toDF("s", "p", "o")))
+    TripleStore.writeDataset(st, dir)
+    val h = SparqlServer.serve(
+      TripleStore.fromDatasetParquet(spark, dir), persistDir = Some(dir))
+    try {
+      for (i <- 0 until TripleStore.CompactDeltaBatches + 2) {
+        val (c, _) = http("POST", h.endpoint, "application/sparql-update",
+          s"""INSERT DATA { <t:$i> <val> "fresh-$i" }""")
+        assert(c == 204)
+      }
+      // the log crossed the threshold: pointer flipped to a fresh full
+      // version whose dict holds every delta-born term, log empty
+      val root = TripleStore.datasetRoot(spark, dir)
+      assert(root != dir, s"expected a versioned root after compaction")
+      assert(new java.io.File(s"$root/dict").exists(),
+        "compacted version must carry the dictionary")
+      assert(TripleStore.currentVersion(spark, dir).isDefined,
+        "compaction must flip to a versioned root")
+      // the fresh version's log holds only the POST-compaction ops
+      val pending = Option(new java.io.File(s"$root/delta/default")
+        .listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("seq="))
+      assert(pending <= 2,
+        s"compaction must reset the delta log, found $pending batches")
+      val reloaded = TripleStore.fromDatasetParquet(spark, dir)
+      assert(reloaded.encoded)
+      val got = BgpPlanner.query(reloaded,
+        "select ?s ?v where { ?s val ?v }").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == (0 until TripleStore.CompactDeltaBatches + 2)
+        .map(i => (s"t:$i", s"fresh-$i")).toSet)
+    } finally h.stop()
+  }
+
   test("write-back bytes per op scale with the delta, not the hot slice") {
     // the r12-verdict scale-killer: ONE inserted triple on a hot
     // predicate must not rewrite the predicate's slice — the op's
