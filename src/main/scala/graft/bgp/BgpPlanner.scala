@@ -1077,8 +1077,9 @@ object BgpPlanner {
         // row only matches solutions evaluated AT ITS endpoint).
         // The endpoint inventory is deployment-sized by nature; the
         // collect is bounded loudly at MaxServiceEndpoints. SILENT:
-        // a failing endpoint contributes no rows (its solutions
-        // drop), never an error.
+        // a failing endpoint leaves its outer solutions unrestricted
+        // with the block's vars unbound (§2.3 per endpoint value —
+        // see failedPart below), never an error.
         val epVar = endpoint.drop(1)
         val mc = mainChain.getOrElse(throw new IllegalArgumentException(
           s"SERVICE ?$epVar needs the endpoint variable bound by " +
@@ -1099,9 +1100,44 @@ object BgpPlanner {
           s"SERVICE ?$epVar ranges over more than $MaxServiceEndpoints " +
             "distinct endpoints — an endpoint inventory is " +
             "deployment-sized, not data-sized")
-        val parts = eps.flatMap(ep =>
-          evalOne(ep).map(_.withColumn(epVar, lit(ep))))
-        parts.reduceOption(_ unionByName _) match {
+        val evaluated = eps.map(ep => ep -> evalOne(ep))
+        val parts = evaluated.collect { case (ep, Some(sub)) =>
+          sub.withColumn(epVar, lit(ep))
+        }
+        // SILENT §2.3 applied PER ENDPOINT VALUE (the constant-arm
+        // semantics): a silently-failed endpoint must leave its outer
+        // solutions UNRESTRICTED, not drop them out of the inner join.
+        // Union in that endpoint's own outer (endpoint, shared-var)
+        // bindings — decoded to lexical, the union's wire form; they
+        // re-encode with the successful rows in wrapEncoded — with the
+        // service-ONLY vars null, so the endpoint join restores exactly
+        // those solutions with the block's bindings unbound.
+        val failedEps = evaluated.collect { case (ep, None) => ep }
+        val failedPart: Option[DataFrame] =
+          if (failedEps.isEmpty) None
+          else {
+            val sharedVars =
+              vars.filter(v => v != epVar && mc.columns.contains(v))
+            val onlyVars =
+              vars.filterNot(v => sharedVars.contains(v) || v == epVar)
+            val sel = epVar +: sharedVars
+            val rawB = mc.select(sel.map(col): _*).distinct()
+            val lexed =
+              if (!store.encoded) rawB
+              else {
+                val toDecode = sel.filterNot(lexical)
+                if (toDecode.isEmpty) rawB
+                else {
+                  val (dec, m) = decodeVars(rawB, toDecode)
+                  dec.select(sel.map(v =>
+                    (if (toDecode.contains(v)) m(v) else col(v)).as(v)): _*)
+                }
+              }
+            Some(lexed.filter(col(epVar).isin(failedEps: _*))
+              .select(sel.map(col) ++
+                onlyVars.map(v => lit(null).cast("string").as(v)): _*))
+          }
+        (parts ++ failedPart).reduceOption(_ unionByName _) match {
           case Some(u) => Right(wrapEncoded(u))
           case None =>
             // no endpoint produced rows (empty inventory, or every
@@ -1150,9 +1186,26 @@ object BgpPlanner {
     // variable-view p-vars, which bind xxhash ids) are id-encoded —
     // [[idSpaceVars]] enumerates the id positions QUERY-WIDE so a
     // shared name is rejected loudly instead of silently joining empty.
-    val graphDfs = q.graphBlocks.map { case (gterm, pats) =>
+    val graphSubqs = q.graphSubqueries.padTo(q.graphBlocks.length, Nil)
+    val graphDfs = q.graphBlocks.zip(graphSubqs).map {
+        case ((gterm, pats), gsubs) =>
       val quads = store.quads.getOrElse(throw new IllegalArgumentException(
         "query uses GRAPH but the store has no named graphs"))
+      // GRAPH-scoped sub-SELECTs (§13.3 ∘ §12): each evaluates with
+      // the block's CONSTANT named graph as its active graph — the
+      // sub-query rescopes through the FROM machinery (datasetStore
+      // turns graph g into the sub-plan's default graph), so its
+      // patterns scan exactly g's triples — then natural-joins the
+      // block's pattern chain like any block subquery
+      val subRels = gsubs.map { sq =>
+        val g = gterm match {
+          case Const(c) => c
+          case other => throw new IllegalArgumentException(
+            "sub-SELECT inside GRAPH needs a CONSTANT graph term, " +
+              s"got $other")
+        }
+        planSubquery(sq.copy(fromGraphs = Seq(g), fromNamed = Nil))
+      }
       val scans = pats.map { tp =>
         val (base, pPos) = tp.p match {
           case Const(c) => (quads.filter(col("p") === lit(c)),
@@ -1201,7 +1254,7 @@ object BgpPlanner {
         val firstPos = varPos.groupBy(_._2).map { case (n, xs) => xs.head._1 -> n }
         selfEq.select(firstPos.toSeq.map { case (c, n) => col(c).as(n) }: _*)
       }
-      scans.reduce { (a, b) =>
+      (scans ++ subRels).reduce { (a, b) =>
         val common = b.columns.filter(a.columns.toSet).toSeq
         if (common.nonEmpty) a.join(b, common, "inner") else a.crossJoin(b)
       }

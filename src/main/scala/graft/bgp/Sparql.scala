@@ -376,7 +376,14 @@ object Sparql {
       // [NOT] EXISTS block — they join the block's patterns and the
       // combined relation semi/anti-joins the outer solution (the
       // block restricts, never binds)
-      existsSubqueries: Seq[Seq[BgpQuery]] = Nil) {
+      existsSubqueries: Seq[Seq[BgpQuery]] = Nil,
+      // aligned with `graphBlocks`: sub-SELECTs inside the i-th GRAPH
+      // block (constant graph terms only) — each evaluates with the
+      // block's named graph as its ACTIVE graph (§13.3 ∘ §12: the
+      // planner rescopes it through the FROM machinery), joins the
+      // block's patterns, and exports its projection like any block
+      // subquery
+      graphSubqueries: Seq[Seq[BgpQuery]] = Nil) {
 
     /** Every nested sub-SELECT regardless of the block it lives in —
       * the planner's constant-priming / id-space bookkeeping walks all
@@ -385,7 +392,7 @@ object Sparql {
     def allSubqueries: Seq[BgpQuery] =
       subqueries ++ optionalSubqueries.flatten ++
         unionSubqueries.flatten.flatten ++ minusSubqueries.flatten ++
-        existsSubqueries.flatten
+        existsSubqueries.flatten ++ graphSubqueries.flatten
   }
 
   /** One SERVICE block: `raw` is the body text exactly as written
@@ -753,18 +760,54 @@ object Sparql {
     // GRAPH blocks — pulled before OPTIONAL/UNION so their braces are
     // never misread as a UNION branch; plain constant-predicate
     // patterns only (paths/variable predicates stay default-graph
-    // features). Probe matched-brace GRAPH bodies for sub-SELECTs
-    // BEFORE the [^}]-bounded capture runs: graphRe would tear a
-    // brace-nesting body short and surface a confusing parsePatterns
-    // error instead of this intent-naming rejection.
-    graphHeadRe.findAllMatchIn(bodyFullV).foreach { m =>
-      scala.util.Try(braceBlock(bodyFullV, m.end - 1)).foreach {
-        case (inner, _) =>
-          require(subSelectProbeRe.findFirstIn(inner).isEmpty,
-            s"sub-SELECT nested inside a GRAPH block is not supported: $query")
+    // features). Bodies that NEST a sub-SELECT extract here with
+    // MATCHED braces (the [^}]-bounded graphRe below would tear them
+    // short): the block's sub-SELECTs evaluate with the named graph as
+    // their active graph (§13.3 composed with §12 — the planner scopes
+    // them via the FROM machinery) and join the block's own patterns.
+    // A VARIABLE graph term with a sub-SELECT stays rejected with
+    // intent: per-graph evaluation of an aggregate needs implicit
+    // g-grouping inside the sub-plan, which this engine doesn't do.
+    val (bodyFullG, graphSubBlocks) = {
+      val out = Seq.newBuilder[(Term, Seq[TriplePattern], Seq[BgpQuery])]
+      val rem = new StringBuilder
+      var rest = bodyFullV
+      var more = true
+      while (more) graphHeadRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          scala.util.Try(braceBlock(rest, m.end - 1)).toOption match {
+            case Some((inner, after))
+                if subSelectProbeRe.findFirstIn(inner).isDefined =>
+              val gterm = term(m.group(1))
+              require(gterm.isInstanceOf[Const],
+                "sub-SELECT inside GRAPH needs a CONSTANT graph term " +
+                  "(per-graph aggregate evaluation is unsupported): " +
+                  query)
+              val (innerNoSub, subs) = extractSubqueries(inner)
+              val pats = parsePatterns(innerNoSub)
+              pats.foreach(tp => require(
+                tp.p.isInstanceOf[Const] || tp.p.isInstanceOf[Var],
+                "GRAPH block patterns need a constant or variable " +
+                  s"predicate: $tp in $query"))
+              out += ((gterm, pats, subs))
+              rem.append(rest.substring(0, m.start)).append(' ')
+              rest = rest.substring(after)
+            case Some((_, after)) =>
+              // no sub-SELECT: leave the block text for graphRe below
+              rem.append(rest.substring(0, after))
+              rest = rest.substring(after)
+            case None =>
+              // unbalanced body — let the graphRe pass surface its
+              // own error on the raw text
+              rem.append(rest.substring(0, m.end))
+              rest = rest.substring(m.end)
+          }
+        case None => more = false
       }
+      rem.append(rest)
+      (rem.toString, out.result())
     }
-    val graphBlocks = graphRe.findAllMatchIn(bodyFullV).map { m =>
+    val graphBlocksPlain = graphRe.findAllMatchIn(bodyFullG).map { m =>
       val gterm = term(m.group(1))
       require(gterm.isInstanceOf[Var] || gterm.isInstanceOf[Const],
         s"GRAPH term must be a variable or constant, got $gterm: $query")
@@ -778,7 +821,12 @@ object Sparql {
           s"$tp in $query"))
       (gterm, pats)
     }.toSeq
-    val bodyFull = graphRe.replaceAllIn(bodyFullV, "")
+    val graphBlocks = graphBlocksPlain ++
+      graphSubBlocks.map(b => (b._1, b._2))
+    val graphSubqueries: Seq[Seq[BgpQuery]] =
+      graphBlocksPlain.map(_ => Seq.empty[BgpQuery]) ++
+        graphSubBlocks.map(_._3)
+    val bodyFull = graphRe.replaceAllIn(bodyFullG, "")
 
     val groupVars = groupByRe.findFirstMatchIn(tail).toSeq
       .flatMap(_.group(1).split("\\s+").filter(_.nonEmpty).map(_.drop(1)))
@@ -1191,7 +1239,8 @@ object Sparql {
     // loudly instead of producing silently wrong rows.
     val subAggAliases =
       (subqueries ++ optionalSubqueries.flatten ++ minusSubqueries.flatten ++
-        unionSubqueries.flatten.flatten ++ existsSubqueries.flatten)
+        unionSubqueries.flatten.flatten ++ existsSubqueries.flatten ++
+        graphSubqueries.flatten)
         .flatMap(_.aggregates.map(_.alias)).toSet
     val storeBoundVars = allPatterns.flatMap(_.vars).toSet ++
       services.flatMap(_.query.select)
@@ -1214,11 +1263,14 @@ object Sparql {
         (subqueries ++ optionalSubqueries.flatten ++
           unionSubqueries.flatten.flatten)
           .flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
-        // GRAPH blocks bind their pattern vars and (var form) the graph
+        // GRAPH blocks bind their pattern vars and (var form) the
+        // graph; a GRAPH-scoped sub-SELECT exports its projection
         graphBlocks.flatMap { case (g, pats) =>
           pats.flatMap(_.vars) ++
             (g match { case Var(n) => Seq(n); case _ => Nil })
         } ++
+        graphSubqueries.flatten
+          .flatMap(sq => sq.select ++ sq.aggregates.map(_.alias)) ++
         // SERVICE blocks bind their pattern vars (§2.2 join semantics)
         services.flatMap(_.query.select)
     // BIND aliases must be fresh and their refs bound before use
@@ -1281,7 +1333,7 @@ object Sparql {
       optionalFilters, existsFilters, havingExprs, minusFilters, unionFilters,
       binds, subqueries, valuesTables ++ undefSingles, graphBlocks, services,
       fromGraphs, fromNamed, optionalSubqueries, unionSubqueries,
-      minusSubqueries, existsSubqueries)
+      minusSubqueries, existsSubqueries, graphSubqueries)
   }
 
   /** Matched-brace extraction shared by the SERVICE scanner and the

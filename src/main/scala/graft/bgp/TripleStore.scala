@@ -701,10 +701,18 @@ object TripleStore {
         val dd = new org.apache.hadoop.fs.Path(s"$root/delta/dict")
         val merged =
           if (dfs.exists(dd) && dfs.listStatus(dd).exists(s0 =>
-              s0.isDirectory && s0.getPath.getName.startsWith("seq=")))
-            base.unionByName(spark.read.parquet(s"$root/delta/dict")
-              .select(cols.map(col): _*))
-          else base
+              s0.isDirectory && s0.getPath.getName.startsWith("seq=")) &&
+              !maxOps.exists(_ <= 0)) {
+            // the op-grain pin bounds the DICT too (partition pruning
+            // on the discovered seq= column, like the triple deltas):
+            // a version pinned at maxOps=k must not carry vocabulary
+            // appended by later ops — the loaded dict always agrees
+            // with the triples it describes
+            val log = spark.read.parquet(s"$root/delta/dict")
+            val bounded =
+              maxOps.map(k => log.filter(col("seq") < k)).getOrElse(log)
+            base.unionByName(bounded.select(cols.map(col): _*))
+          } else base
         Some(merged.localCheckpoint(eager = false))
       } else None
     val (fs, quadPath) = fsPath(spark, s"$root/quads")

@@ -3260,6 +3260,61 @@ object BgpQueries {
              |       ELSE 'graft://r14hi' END AS e,
              |  r_name AS rn
              |FROM nation JOIN region ON r_regionkey = n_regionkey"""
+        .stripMargin)),
+
+    // GRAPH-scoped sub-SELECTs (round 15): the last block scope
+    // without §12 composition. A sub-SELECT inside a CONSTANT-graph
+    // GRAPH block evaluates with that graph as its ACTIVE graph — the
+    // planner rescopes the sub-plan through the FROM machinery, so its
+    // patterns scan exactly the named graph's triples — then joins the
+    // block's pattern chain on shared vars like any block subquery.
+    // Two subqueries probe both compositions at once: the ?n-grouped
+    // type count joins the name pattern per subject, and the group-less
+    // corpus count cross-joins — its value (region 2's nation count,
+    // not the store-wide one) is the active-graph scoping made
+    // visible. All three id regimes union under an `enc` tag; the
+    // sequential arm resolves the quads through the DENSE dict
+    // (value→id joins — dense ids are counters, not hashes).
+    GQuery(
+      "q394_bgp_graph_subselect",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sparql =
+          """select ?n ?nm ?tc ?cnt where {
+            | GRAPH region:2 {
+            |  ?n name ?nm .
+            |  { select ?n (count(?t) as ?tc) where { ?n rdf:type ?t }
+            |    group by ?n }
+            |  { select (count(?x) as ?cnt) where {
+            |    ?x rdf:type "Nation" } } } }""".stripMargin
+        val plainDf = BgpPlanner.query(store(s, dir, encoded = false), sparql)
+          .withColumn("enc", lit("string"))
+        val hashDf = BgpPlanner.query(store(s, dir, encoded = true), sparql)
+          .withColumn("enc", lit("hash"))
+        val seqSt = {
+          val st = seqStoreCache.getOrElseUpdate((s, dir),
+            TripleStore.encodeSequential(store(s, dir, encoded = false)))
+          val d = st.dict.get
+          val q0 = quadsFor(s, dir, encoded = false)
+          def encQ(df: DataFrame, c: String): DataFrame =
+            df.join(d.select(col("value").as(s"__v_$c"),
+                col("id").as(s"__i_$c")),
+              df(c) === col(s"__v_$c"))
+              .drop(c, s"__v_$c").withColumnRenamed(s"__i_$c", c)
+          val qs = Seq("g", "s", "o").foldLeft(q0)(encQ)
+            .select(col("g"), col("s"), col("p"), col("o"))
+          st.copy(quads = Some(qs))
+        }
+        val seqDf = BgpPlanner.query(seqSt, sparql)
+          .withColumn("enc", lit("sequential"))
+        plainDf.unionByName(hashDf).unionByName(seqDf)
+      },
+      Some("""WITH r2 AS (SELECT * FROM nation WHERE n_regionkey = 2)
+             |SELECT concat('nation:', n_nationkey) AS n, n_name AS nm,
+             |  CAST(1 AS BIGINT) AS tc,
+             |  (SELECT count(*) FROM r2) AS cnt, e.enc AS enc
+             |FROM r2, (SELECT 'string' AS enc UNION ALL
+             |  SELECT 'hash' UNION ALL SELECT 'sequential') e"""
         .stripMargin))
   )
 

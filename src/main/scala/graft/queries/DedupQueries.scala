@@ -1571,25 +1571,22 @@ object DedupQueries {
           .withColumn("m",
             h32(concat($"doc_id".cast("string"), lit(":batch"))) % 10)
         val path = sigIndexPath("incr", dir)
-        val done = new java.io.File(path, "APPENDED")
-        val fmt = new java.io.File(path, "FORMAT")
-        val fresh = done.exists() && fmt.exists() &&
-          new String(java.nio.file.Files.readAllBytes(fmt.toPath)).trim ==
-            graft.scale.SignatureStore.FormatVersion.toString
+        // fixture freshness + reset through the Hadoop FS abstraction
+        // (the pstore root need not be local), like every other
+        // artifact path in the repo
+        val (fs, _) = graft.scale.VersionedRoot.fsOf(s, path)
+        val donePath = new org.apache.hadoop.fs.Path(s"$path/APPENDED")
+        val fresh = fs.exists(donePath) &&
+          graft.scale.VersionedRoot.readSmall(fs,
+              new org.apache.hadoop.fs.Path(s"$path/FORMAT"))
+            .contains(graft.scale.SignatureStore.FormatVersion.toString)
         if (!fresh) {
-          val root = java.nio.file.Paths.get(path)
-          if (java.nio.file.Files.exists(root)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root)
-              .sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          }
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
           graft.scale.SignatureStore.write(
             docs.filter($"m" >= 2).select($"doc_id", $"text"), path)
           graft.scale.SignatureStore.append(
             docs.filter($"m" === 1).select($"doc_id", $"text"), path)
-          java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+          fs.create(donePath, true).close()
         }
         graft.scale.SignatureStore.probe(s, path,
           docs.filter($"m" === 0).select($"doc_id", $"text"))
@@ -1710,7 +1707,58 @@ object DedupQueries {
               |   - CAST(sum(CASE WHEN sc.doc_id IN (SELECT doc_id FROM rh)
               |    THEN 1 ELSE 0 END) AS BIGINT)) * 1000 // count(*)
               |    AS delta_permille
-              |FROM sc GROUP BY 1""".stripMargin))
+              |FROM sc GROUP BY 1""".stripMargin)),
+
+    // versioned-root VACUUM audit (round 15): every versioned artifact
+    // family (TripleStore datasets, SignatureStore, VectorIndex)
+    // shares the VERSION-pointer + claim + seq-lock discipline, but
+    // until now crashed writers leaked debris forever — an orphaned
+    // v<n>.claim even BLOCKS version n for good (claimVersion fails
+    // loudly on it). The fixture builds a real index (write + one
+    // append), plants the three crash shapes — a claim that never
+    // wrote its version, a version written but never flipped, a slot
+    // lock whose append died before any family landed — then audits,
+    // reaps, and audits again. The report is the before/after
+    // inventory; current version, held claim, and the complete batch
+    // must survive the reap untouched. (tools/RootVacuum; ToolsSpec
+    // pins the age guard: a YOUNG lock is never swept.)
+    GQuery(
+      "q395_root_vacuum_audit",
+      (s, dir) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-vac-q")
+          .toString
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+          .limit(200)
+        graft.scale.SignatureStore.write(docs, tmp)
+        graft.scale.SignatureStore.append(docs.limit(20), tmp)
+        val (fs, _) = graft.scale.VersionedRoot.fsOf(s, tmp)
+        def P(p: String) = new org.apache.hadoop.fs.Path(p)
+        graft.scale.VersionedRoot.claim(fs, P(s"$tmp/v7.claim"))
+        fs.mkdirs(P(s"$tmp/v5"))
+        fs.create(P(s"$tmp/v5/stray"), true).close()
+        graft.scale.VersionedRoot.claim(fs, P(s"$tmp/v0/delta/seq=9.lock"))
+        def snap(phase: String) =
+          graft.tools.RootVacuum.inspectEntries(s, tmp)
+            .map(e => (phase, e.kind, e.name, e.status))
+        val pre = snap("pre")
+        graft.tools.RootVacuum.reap(s, tmp, olderThanMs = 0)
+        val post = snap("post")
+        (pre ++ post).toDF("phase", "kind", "name", "status")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('pre', 'version', 'v0', 'current'),
+             |  ('pre', 'version', 'v5', 'orphaned'),
+             |  ('pre', 'claim', 'v0', 'held'),
+             |  ('pre', 'claim', 'v7', 'orphaned'),
+             |  ('pre', 'delta_batch', 'seq=0', 'complete'),
+             |  ('pre', 'lock', 'seq=0', 'held'),
+             |  ('pre', 'lock', 'seq=9', 'dangling'),
+             |  ('post', 'version', 'v0', 'current'),
+             |  ('post', 'claim', 'v0', 'held'),
+             |  ('post', 'delta_batch', 'seq=0', 'complete'),
+             |  ('post', 'lock', 'seq=0', 'held'))
+             |  t(phase, kind, name, status)""".stripMargin))
   )
 
   /** Versioned signature-index location for a dataset (the pstore

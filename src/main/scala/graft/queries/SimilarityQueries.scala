@@ -1170,39 +1170,137 @@ object SimilarityQueries {
           .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
         graft.scale.VectorIndex.probe(s, path, q, nprobe = 2, k = 3)
       },
+      Some(vecIdxProbeSql)),
+
+    // persisted IVF index, INCREMENTAL-GROWTH arm (round 15 — the q384
+    // pattern on the similarity artifact): the index is built from 90%
+    // of the embeddings, one batch (10%) is APPENDED as delta-grain
+    // seq= batches — cell-partitioned assignment rows plus PARTIAL
+    // centroid sums, bytes written scale with the batch — and the
+    // probe reads base ∪ delta with the centroid sums re-aggregated
+    // exactly (integer partials — no drift). The oracle is IDENTICAL
+    // to q390's: a delta-grown index must rank cells and neighbors
+    // exactly like a monolithically-built one.
+    GQuery(
+      "q392_vector_index_append",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+        val path = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_PSTORE_DIR", "bench_corpora/pstore"),
+          s"vecidx_incr_$tag").getAbsolutePath
+        val (fs, _) = graft.scale.VersionedRoot.fsOf(s, path)
+        val donePath = new org.apache.hadoop.fs.Path(s"$path/APPENDED")
+        val fresh = fs.exists(donePath) &&
+          graft.scale.VersionedRoot.readSmall(fs,
+              new org.apache.hadoop.fs.Path(s"$path/FORMAT"))
+            .contains(graft.scale.VectorIndex.FormatVersion.toString)
+        if (!fresh) {
+          fs.delete(new org.apache.hadoop.fs.Path(path), true)
+          val emb = t(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"), col("label"))
+            .withColumn("m", pmod(xxhash64(col("vec_id")), lit(10)))
+          graft.scale.VectorIndex.write(
+            emb.filter(col("m") =!= 0).drop("m"), path)
+          graft.scale.VectorIndex.append(
+            emb.filter(col("m") === 0).drop("m"), path)
+          fs.create(donePath, true).close()
+        }
+        val q = quantized(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        graft.scale.VectorIndex.probe(s, path, q, nprobe = 2, k = 3)
+      },
+      Some(vecIdxProbeSql)),
+
+    // IVF maintenance report (round 15): per-cell occupancy + drift
+    // over the PERSISTED index — member count, share of the corpus in
+    // permille, and mean member→own-centroid cosine in exact micro
+    // units (per-member floor(cos·10⁶) is IEEE-deterministic, the
+    // aggregation after it is integer — so the report replays
+    // bit-identically from the raw embeddings). nlist-row output: the
+    // report that triggers VectorIndex.recluster when a growing corpus
+    // skews cells (VectorIndexSpec pins the skew→recluster→rebalance
+    // arc); a frozen ANN layout degrades silently without it.
+    GQuery(
+      "q393_vector_index_occupancy",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+        val path = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_PSTORE_DIR", "bench_corpora/pstore"),
+          s"vecidx_$tag").getAbsolutePath
+        graft.scale.VectorIndex.ensure(
+          t(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"), col("label")),
+          path, s)
+        graft.scale.VectorIndex.occupancy(s, path)
+      },
       Some(s"""WITH $quantizedSql,
               |cs AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS cx
               |       FROM flat GROUP BY 1, 2),
               |csn AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS cnrm
               |        FROM cs GROUP BY 1),
-              |pd AS (SELECT f.vec_id AS qid, cs.label,
-              |         CAST(sum(f.x * cs.cx) AS BIGINT) AS cdot
-              |       FROM flat f JOIN cs ON cs.i = f.i
-              |       WHERE f.vec_id < 20 GROUP BY 1, 2),
-              |ps AS (SELECT qid, pd.label,
-              |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(csn.cnrm AS DOUBLE))) AS cscore
-              |  FROM pd JOIN nrm nq ON nq.vec_id = qid
-              |  JOIN csn ON csn.label = pd.label),
-              |probes AS (SELECT qid, label FROM (
-              |    SELECT qid, label,
-              |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr
-              |    FROM ps)
-              |  WHERE pr <= 2),
-              |dots AS (SELECT p.qid, c.vec_id AS cid,
-              |           CAST(sum(qf.x * c.x) AS BIGINT) AS dot
-              |         FROM probes p
-              |         JOIN flat c ON c.label = p.label
-              |         JOIN flat qf ON qf.vec_id = p.qid AND qf.i = c.i
-              |         WHERE c.vec_id <> p.qid
-              |         GROUP BY 1, 2),
-              |scored AS (SELECT qid, cid,
-              |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
-              |  FROM dots JOIN nrm nq ON nq.vec_id = qid
-              |  JOIN nrm nc ON nc.vec_id = cid)
-              |SELECT qid, cid, cos_sim, rank FROM (
-              |  SELECT qid, cid, cos_sim,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
-              |  FROM scored)
-              |WHERE rank <= 3""".stripMargin))
+              |md AS (SELECT f.vec_id, f.label,
+              |         CAST(sum(f.x * cs.cx) AS BIGINT) AS mdot
+              |       FROM flat f JOIN cs ON cs.label = f.label
+              |         AND cs.i = f.i
+              |       GROUP BY 1, 2),
+              |mc AS (SELECT md.label,
+              |    CAST(floor(CAST(mdot AS DOUBLE) /
+              |      (sqrt(CAST(nrm.nrm AS DOUBLE)) *
+              |       sqrt(CAST(csn.cnrm AS DOUBLE))) * 1e6) AS BIGINT)
+              |      AS cos_micro
+              |  FROM md JOIN nrm ON nrm.vec_id = md.vec_id
+              |  JOIN csn ON csn.label = md.label),
+              |per AS (SELECT label, count(*) AS n_members,
+              |    CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro
+              |  FROM mc GROUP BY 1)
+              |SELECT label, CAST(n_members AS BIGINT) AS n_members,
+              |  CAST(n_members * 1000 // (SELECT sum(n_members) FROM per)
+              |    AS BIGINT) AS share_permille,
+              |  CAST(sum_cos_micro // n_members AS BIGINT)
+              |    AS avg_cos_micro
+              |FROM per""".stripMargin))
   )
+
+  /** q390/q392's shared oracle: the IVF probe replayed from the raw
+    * embeddings — centroid sums per label, cell ranking, in-cell
+    * scoring, top-3 — the q117 arithmetic. q392 (the append arm)
+    * shares it VERBATIM: a delta-grown index must be verdict-identical
+    * to a monolithic build.
+    */
+  private val vecIdxProbeSql: String =
+    s"""WITH $quantizedSql,
+       |cs AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS cx
+       |       FROM flat GROUP BY 1, 2),
+       |csn AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS cnrm
+       |        FROM cs GROUP BY 1),
+       |pd AS (SELECT f.vec_id AS qid, cs.label,
+       |         CAST(sum(f.x * cs.cx) AS BIGINT) AS cdot
+       |       FROM flat f JOIN cs ON cs.i = f.i
+       |       WHERE f.vec_id < 20 GROUP BY 1, 2),
+       |ps AS (SELECT qid, pd.label,
+       |    CAST(cdot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(csn.cnrm AS DOUBLE))) AS cscore
+       |  FROM pd JOIN nrm nq ON nq.vec_id = qid
+       |  JOIN csn ON csn.label = pd.label),
+       |probes AS (SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr
+       |    FROM ps)
+       |  WHERE pr <= 2),
+       |dots AS (SELECT p.qid, c.vec_id AS cid,
+       |           CAST(sum(qf.x * c.x) AS BIGINT) AS dot
+       |         FROM probes p
+       |         JOIN flat c ON c.label = p.label
+       |         JOIN flat qf ON qf.vec_id = p.qid AND qf.i = c.i
+       |         WHERE c.vec_id <> p.qid
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT qid, cid,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nrm AS DOUBLE)) * sqrt(CAST(nc.nrm AS DOUBLE))) AS cos_sim
+       |  FROM dots JOIN nrm nq ON nq.vec_id = qid
+       |  JOIN nrm nc ON nc.vec_id = cid)
+       |SELECT qid, cid, cos_sim, rank FROM (
+       |  SELECT qid, cid, cos_sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3""".stripMargin
 }

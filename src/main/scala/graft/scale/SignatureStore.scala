@@ -145,10 +145,6 @@ object SignatureStore {
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
     VersionedRoot.readSmall(fs, p)
-  private def claim(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path, content: String = ""): Boolean =
-    VersionedRoot.claim(fs, path, content)
-
   def currentVersion(spark: SparkSession, path: String): Option[Int] =
     VersionedRoot.currentVersion(spark, path)
 
@@ -202,108 +198,158 @@ object SignatureStore {
     * batches under the current version root: bytes written scale with
     * the BATCH. Sequence numbers are claimed create-exclusively
     * (`seq=<k>.lock`), so concurrent appenders serialize instead of
-    * clobbering. Past [[CompactAppends]] pending batches, the merged
-    * index compacts into a fresh full version — computed from the
-    * LOADED index (signature grain), never from raw text.
+    * clobbering. Past [[CompactAppends]] COMPLETE pending batches
+    * (counted as actual `seq=` directories, not the claimed slot
+    * number — crash-abandoned locks don't skew the trigger), the
+    * merged index compacts into a fresh full version — computed from
+    * the LOADED index (signature grain), never from raw text.
+    *
+    * Append racing compaction is lost-update-safe: compaction records
+    * the exact `seq=` batches it merged in the new version's
+    * `COMPACTED` manifest, and an appender that finds the pointer
+    * moved while it was writing checks that manifest — a batch the
+    * compaction missed is CARRIED FORWARD into the new root (at
+    * signature grain, under a deterministic `carry-` token so the
+    * compactor's own rescue pass and the appender's re-check stay
+    * idempotent against each other).
+    *
+    * Tokened replay caveat: a token is recognized only while the
+    * version root whose lock recorded it is RETAINED ([[KeepVersions]]).
+    * A micro-batch replayed after its token has aged out of the
+    * retained set (≥ KeepVersions compactions later) appends again as
+    * a duplicate — Structured Streaming's serial batches make that
+    * window unreachable in practice, but a days-late manual replay is
+    * on the operator.
     */
   def append(docs: DataFrame, path: String,
       token: Option[String] = None): Unit = {
-    val spark = docs.sparkSession
+    val (sh, mh, sim, bands, fps) = signatures(docs)
+    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendSigs(docs.sparkSession, path,
+      Seq("minhash" -> mh, "simhash" -> sim, "bands" -> bands,
+        "fps" -> fps, "counts_mh" -> mhCounts(mh),
+        "counts_sh" -> shCounts(sim), "counts_band" -> bandCounts(bands)),
+      token)
+    finally { shP.unpersist(); () }
+  }
+
+  private def allFamilies: Seq[String] = SigFamilies ++ CountFamilies
+
+  /** The append engine: claims a slot (reclaiming by `token` on
+    * replay), writes the family batches, then re-checks the pointer —
+    * see [[append]] for the race contract.
+    */
+  private def appendSigs(spark: SparkSession, path: String,
+      fams: Seq[(String, DataFrame)], token: Option[String]): Unit = {
     val root = versionRoot(spark, path)
     val (fs, _) = fsOf(spark, path)
-    // claim a sequence number: start past the max existing batch and
-    // walk forward until a create-exclusive lock wins. A TOKENED
-    // append (the streaming sink's replay key) first looks for a slot
-    // it already claimed — a replayed micro-batch then OVERWRITES its
-    // own seq= directories (writeDeltaBatch is delete+rename), so
-    // Structured Streaming's at-least-once foreachBatch becomes
-    // effectively-once on the index.
-    def tokenLockIn(r: String, t: String): Option[Int] = {
-      val dp = new org.apache.hadoop.fs.Path(s"$r/delta")
-      if (!fs.exists(dp)) None
-      else fs.listStatus(dp).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".lock"))
-        .find(st => readSmall(fs, st.getPath).contains(t))
-        .flatMap(st => scala.util.Try(st.getPath.getName
-          .stripPrefix("seq=").stripSuffix(".lock").toInt).toOption)
-    }
     // a token already absorbed into a RETAINED OLDER version (the
     // crash-after-compaction replay): the batch's rows live in the
     // compacted base — appending again would duplicate them; no-op
-    if (token.exists(t => listVersions(spark, path)
-        .map(v => s"$path/v$v").filter(_ != root)
-        .exists(r => tokenLockIn(r, t).isDefined)))
+    if (token.exists(t =>
+        DeltaLog.tokenAbsorbedElsewhere(spark, path, root, t)))
       return
-    val reclaimed: Option[Int] = token.flatMap(t => tokenLockIn(root, t))
-    var k = reclaimed.getOrElse(nextSeq(fs, root))
-    if (reclaimed.isEmpty) {
-      var tries = 0
-      while (!claim(fs,
-          new org.apache.hadoop.fs.Path(s"$root/delta/seq=$k.lock"),
-          token.getOrElse(""))) {
-        k += 1
-        tries += 1
-        require(tries < 10000, s"could not claim an append slot under $root")
-      }
+    val k = DeltaLog.claimSlot(fs, root,
+      DeltaLog.nextSeq(fs, root, "minhash"), token)
+    fams.foreach { case (fam, df) =>
+      // op-sized batches: one file per family per append — a wide
+      // fan-out would only pad the log with empty part files
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/delta/$fam/seq=$k")
     }
-    val (sh, mh, sim, bands, fps) = signatures(docs)
-    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      def put(df: DataFrame, fam: String): Unit =
-        // op-sized batches: one file per family per append — a wide
-        // fan-out would only pad the log with empty part files
-        df.coalesce(1).write.mode("overwrite")
-          .parquet(s"$root/delta/$fam/seq=$k")
-      put(mh, "minhash"); put(sim, "simhash")
-      put(bands, "bands"); put(fps, "fps")
-      // count DELTAS: per-batch partials, re-aggregated at load time
-      put(mhCounts(mh), "counts_mh")
-      put(shCounts(sim), "counts_sh")
-      put(bandCounts(bands), "counts_band")
-    } finally { shP.unpersist(); () }
-    if (k + 1 >= CompactAppends) compact(spark, path)
+    // pointer re-check: a compaction may have flipped while this
+    // batch was writing; if its manifest misses seq k, carry forward
+    val newRoot = versionRoot(spark, path)
+    if (newRoot != root) {
+      val oldVer = DeltaLog.verOf(root)
+      DeltaLog.absorbedByCompaction(spark, path, oldVer, k) match {
+        case Some(false) => carryBatch(spark, path, root, oldVer, k)
+        case _ => () // absorbed, or superseded by a full rebuild
+      }
+    } else if (DeltaLog.completeSeqs(fs, root, allFamilies).size >=
+        CompactAppends)
+      compact(spark, path)
   }
 
-  private def nextSeq(fs: org.apache.hadoop.fs.FileSystem,
-      root: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/delta/minhash")
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("seq=")) scala.util.Try(n.drop(4).toInt).toOption
-      else None
-    }.foldLeft(-1)(math.max) + 1
+  /** Re-append a compaction-missed delta batch (signature grain — the
+    * per-family parquet of seq `k` under `oldRoot/delta`) into the
+    * CURRENT root, under the deterministic carry token that keeps the
+    * compactor's rescue pass and the appender's own re-check
+    * idempotent against each other.
+    */
+  private def carryBatch(spark: SparkSession, path: String,
+      oldRoot: String, oldVer: Int, k: Int): Unit = {
+    def fam(name: String, cols: Seq[String]): DataFrame =
+      spark.read.parquet(s"$oldRoot/delta/$name/seq=$k")
+        .select(cols.map(col): _*)
+    appendSigs(spark, path, Seq(
+      "minhash" -> fam("minhash", Seq("doc_id", "j", "h")),
+      "simhash" -> fam("simhash", Seq("doc_id", "simhash")),
+      "bands" -> fam("bands", Seq("doc_id", "k")),
+      "fps" -> fam("fps", Seq("doc_id", "fp")),
+      "counts_mh" -> fam("counts_mh", Seq("j", "h", "bn")),
+      "counts_sh" -> fam("counts_sh", Seq("b", "bv", "bn")),
+      "counts_band" -> fam("counts_band", Seq("k", "df"))),
+      Some(s"carry-v$oldVer-$k"))
   }
 
   /** Compact base + pending deltas into a fresh full version. Reads
     * only the index (signature grain); the delta log resets because
     * the new version root starts with an empty log.
+    *
+    * Lost-update safety (the append race): the compaction SNAPSHOTS
+    * the complete `seq=` batches first, merges exactly those, records
+    * them in the new version's `COMPACTED` manifest, and after the
+    * pointer flip RESCUES any batch that completed in the old root
+    * behind its back (appenders still mid-write at rescue time see the
+    * moved pointer themselves and carry forward — [[appendSigs]]; the
+    * shared `carry-` token keeps the two paths idempotent).
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val sigs = load(spark, path)
     val (fs, _) = fsOf(spark, path)
-    val n = currentVersion(spark, path).map(_ + 1).getOrElse(0)
+    val oldVer = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no signature index at $path"))
+    val oldRoot = s"$path/v$oldVer"
+    val snap = DeltaLog.completeSeqs(fs, oldRoot, allFamilies)
+    val sigs = loadFrom(spark, oldRoot, snap)
+    val n = oldVer + 1
     VersionedRoot.claimVersion(spark, path, n)
     writeSigs(sigs, s"$path/v$n")
+    DeltaLog.writeCompacted(fs, s"$path/v$n", oldVer, snap)
     VersionedRoot.flipPointer(spark, path, n, KeepVersions)
+    // rescue pass: batches that completed in the old root after the
+    // snapshot but before the flip belong to appenders that observed
+    // the OLD pointer when they finished — nobody else would carry them
+    DeltaLog.completeSeqs(fs, oldRoot, allFamilies).filterNot(snap.contains)
+      .foreach(k => carryBatch(spark, path, oldRoot, oldVer, k))
   }
 
   /** Cold-load the index at `path`: per signature family,
-    * base ∪ pending delta batches; count tables re-aggregate base +
+    * base ∪ COMPLETE pending delta batches (a mid-write appender's
+    * partial batch is never served); count tables re-aggregate base +
     * batch partials (`groupBy` — map-side combined, count-grain).
     */
   def load(spark: SparkSession, path: String): Sigs = {
     val root = versionRoot(spark, path)
     val (fs, _) = fsOf(spark, path)
+    loadFrom(spark, root, DeltaLog.completeSeqs(fs, root, allFamilies))
+  }
+
+  /** [[load]] pinned to an explicit delta-batch snapshot — the
+    * compaction reads exactly the batches its `COMPACTED` manifest
+    * will record, so a batch appended mid-compaction is never half
+    * merged.
+    */
+  private def loadFrom(spark: SparkSession, root: String,
+      seqs: Seq[Int]): Sigs = {
     def fam(name: String, cols: Seq[String]): DataFrame = {
       val base = spark.read.parquet(s"$root/$name")
         .select(cols.map(col): _*)
-      val dp = new org.apache.hadoop.fs.Path(s"$root/delta/$name")
-      if (fs.exists(dp) && fs.listStatus(dp).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("seq=")))
-        base.unionByName(
-          spark.read.parquet(s"$root/delta/$name").select(cols.map(col): _*))
-      else base
+      if (seqs.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(
+            seqs.map(k => s"$root/delta/$name/seq=$k"): _*)
+          .select(cols.map(col): _*))
     }
     Sigs(
       minhash = fam("minhash", Seq("doc_id", "j", "h")),
@@ -320,16 +366,23 @@ object SignatureStore {
 
   /** Build the index iff absent or format-stale (the pstore pattern:
     * a database-load cost paid once per dataset, reused by every later
-    * session).
+    * session). A format-stale root is REBUILT AS THE NEXT VERSION and
+    * the pointer flipped — never deleted under a live reader: a
+    * process probing the old version keeps resolving intact files
+    * until retention GC, the snapshot-isolation contract the versioned
+    * roots exist for. Only a root that never completed a version (no
+    * VERSION pointer — crashed bootstrap debris, unreadable by
+    * definition) is cleared in place.
     */
   def ensure(docs: => DataFrame, path: String,
       spark: SparkSession): Unit = {
     val (fs, _) = fsOf(spark, path)
     val marker = readSmall(fs, new org.apache.hadoop.fs.Path(s"$path/FORMAT"))
-    val fresh = currentVersion(spark, path).isDefined &&
-      marker.contains(FormatVersion.toString)
+    val cur = currentVersion(spark, path)
+    val fresh = cur.isDefined && marker.contains(FormatVersion.toString)
     if (!fresh) {
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      if (cur.isEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
       write(docs, path)
     }
   }

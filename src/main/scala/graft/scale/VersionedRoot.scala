@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * [[graft.bgp.TripleStore]] uses for dataset roots, factored for the
   * scale-layer artifacts.
   */
-private[scale] object VersionedRoot {
+private[graft] object VersionedRoot {
 
   def fsOf(spark: SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
@@ -35,8 +35,26 @@ private[scale] object VersionedRoot {
 
   def currentVersion(spark: SparkSession, path: String): Option[Int] = {
     val (fs, _) = fsOf(spark, path)
-    readSmall(fs, new org.apache.hadoop.fs.Path(s"$path/VERSION"))
-      .flatMap(s => scala.util.Try(s.toInt).toOption)
+    val vp = new org.apache.hadoop.fs.Path(s"$path/VERSION")
+    def read(): Option[Int] =
+      readSmall(fs, vp).flatMap(s => scala.util.Try(s.toInt).toOption)
+    read().orElse {
+      // pointer absent but version dirs exist: a writer may be
+      // mid-flip on an FS where the overwrite-rename fallback (delete
+      // + rename) left a sub-millisecond empty window — retry briefly
+      // before concluding the root is genuinely unversioned
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+          listVersions(spark, path).nonEmpty) {
+        var out: Option[Int] = None
+        var tries = 0
+        while (out.isEmpty && tries < 5) {
+          Thread.sleep(20)
+          out = read()
+          tries += 1
+        }
+        out
+      } else None
+    }
   }
 
   def listVersions(spark: SparkSession, path: String): Seq[Int] = {
@@ -94,8 +112,19 @@ private[scale] object VersionedRoot {
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.VERSION.tmp")
     val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(vp, false)
-    require(fs.rename(tmp, vp), s"VERSION pointer flip to $n failed")
+    // atomic overwrite-rename where the FS supports it (local/HDFS via
+    // FileContext) — a concurrent reader then never observes a missing
+    // pointer; the delete+rename fallback is covered by the bounded
+    // retry in currentVersion
+    val overwrote = scala.util.Try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(vp.toUri, fs.getConf)
+        .rename(tmp, vp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }.isSuccess
+    if (!overwrote) {
+      fs.delete(vp, false)
+      require(fs.rename(tmp, vp), s"VERSION pointer flip to $n failed")
+    }
     (0 to n - keepVersions).foreach { m =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$m.claim"), false)

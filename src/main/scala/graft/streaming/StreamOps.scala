@@ -684,6 +684,37 @@ object StreamOps {
         token = Some(s"stream-$batchId"))
     }
 
+  /** foreachBatch sink GROWING the persisted IVF vector index
+    * ([[graft.scale.VectorIndex]]) — the [[signatureIndexSink]]
+    * discipline on the similarity artifact: each micro-batch's
+    * cell-partitioned assignment rows + partial centroid sums append
+    * as delta-grain `seq=` batches keyed by an idempotency token
+    * (`stream-<batchId>`), so at-least-once replay OVERWRITES its own
+    * slot — effectively-once on the index. Batches WITHOUT a label
+    * column are labeled against the persisted centroids first
+    * ([[graft.scale.VectorIndex.assign]]); bootstraps an empty v0 when
+    * the index is absent (an unlabeled first batch on an empty index
+    * has no centroids to assign against and fails loudly). Compaction
+    * past CompactAppends pending batches rides along. Expects
+    * (vec_id, embedding[, label]) micro-batches.
+    */
+  def vectorIndexSink(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      if (graft.scale.VectorIndex.currentVersion(spark, path).isEmpty)
+        graft.scale.VectorIndex.write(
+          batch.select(col("vec_id"), col("embedding"),
+            (if (batch.columns.contains("label")) col("label")
+             else lit(0)).cast("int").as("label")).limit(0), path)
+      val labeled =
+        if (batch.columns.contains("label"))
+          batch.select(col("vec_id"), col("embedding"), col("label"))
+        else graft.scale.VectorIndex.assign(spark, path,
+          batch.select(col("vec_id"), col("embedding")))
+      graft.scale.VectorIndex.append(labeled, path,
+        token = Some(s"stream-$batchId"))
+    }
+
   def idempotentParquetSink(path: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val prev = batch.sparkSession.conf
