@@ -354,7 +354,7 @@ object VectorIndex {
     val cArr = centroidArrays(mergedCentroids(spark, root, seqs))
     val q = quantize(emb.withColumn("label", lit(0)))
       .select(col("vec_id"), col("v"), col("nrm"))
-    val scored = q.crossJoin(broadcast(cArr))
+    val scored = q.crossJoin(GuardedBroadcast.maybe(cArr))
       .select(col("vec_id"), col("label"),
         (expr("dot_i64(v, cv)").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
@@ -382,7 +382,7 @@ object VectorIndex {
     val seqs = DeltaLog.completeSeqs(fs, root, Families)
     val asn = loadAssignments(spark, root, seqs)
     val cArr = centroidArrays(mergedCentroids(spark, root, seqs))
-    val per = asn.join(broadcast(cArr), Seq("label"))
+    val per = asn.join(GuardedBroadcast.maybe(cArr), Seq("label"))
       .select(col("label"),
         floor(expr("dot_i64(v, cv)").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double")))
@@ -391,7 +391,7 @@ object VectorIndex {
       .agg(count(lit(1)).as("n_members"),
         sum(col("cos_micro")).as("sum_cos_micro"))
     val tot = per.agg(sum(col("n_members")).as("n_total"))
-    per.crossJoin(broadcast(tot))
+    per.crossJoin(GuardedBroadcast.maybe(tot))
       .select(col("label"), col("n_members"),
         expr("n_members * 1000 div n_total").as("share_permille"),
         expr("sum_cos_micro div n_members").as("avg_cos_micro"))
@@ -423,7 +423,7 @@ object VectorIndex {
       val cArr = centroidArrays(centroidSums(cur))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("label").asc)
-      cur = vecs.crossJoin(broadcast(cArr))
+      cur = vecs.crossJoin(GuardedBroadcast.maybe(cArr))
         .select(col("vec_id"), col("v"), col("nrm"), col("label"),
           (expr("dot_i64(v, cv)").cast("double") /
             (sqrt(col("nrm").cast("double")) *

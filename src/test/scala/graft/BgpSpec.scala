@@ -1950,11 +1950,19 @@ class BgpSpec extends AnyFunSuite {
     assert(parsed.optionalSubqueries.flatten.size == 1)
   }
 
-  test("sub-SELECT nested inside GRAPH rejects naming the construct") {
+  test("sub-SELECT inside GRAPH: constant graph parses, variable rejects") {
+    // constant graph term: the block's sub-SELECT is evaluated with the
+    // named graph as the active graph (the q394 semantics)
+    val ok = Sparql.parse(
+      """select ?A where {
+        | GRAPH g:one { { select ?A where { ?A email ?E } } } }""".stripMargin)
+    assert(ok.graphSubqueries.flatten.size == 1)
+    // variable graph term still rejects loudly (per-graph aggregate
+    // evaluation is unsupported by design)
     val e = intercept[IllegalArgumentException](Sparql.parse(
       """select ?g ?A where {
         | GRAPH ?g { { select ?A where { ?A email ?E } } } }""".stripMargin))
-    assert(e.getMessage.contains("GRAPH block"))
+    assert(e.getMessage.contains("CONSTANT graph term"))
   }
 
   test("measured pair merging seeds the chain with the merged subquery") {
