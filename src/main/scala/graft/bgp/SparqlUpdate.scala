@@ -295,10 +295,19 @@ object SparqlUpdate {
   private def braceBlock(s: String, from: Int): (String, Int) =
     Sparql.braceBlock(s, from)
 
-  /** Parse + fold a whole request over a store. */
+  /** Parse + fold a whole request over a store.
+    *
+    * r15: each applied op's store is lineage-truncated (the lazy
+    * localCheckpoint discipline SparqlServer.serve already uses) —
+    * without it op k's slices re-derive ops 1..k−1's joins on every
+    * downstream action, and a multi-op request over an encoded store
+    * re-executes the dict-growth chain once per pattern measurement
+    * (q327 read 25 s at sf0.1 on a 25-row store from exactly this).
+    */
   def applyAll(spark: SparkSession, store: TripleStore,
       text: String): TripleStore =
-    parse(text).foldLeft(store)((st, op) => apply(spark, st, op))
+    parse(text).foldLeft(store)((st, op) =>
+      TripleStore.truncateLineage(apply(spark, st, op)))
 
   /** [[applyAll]] that ALSO returns each op's row-grain delta
     * ([[TripleStore.OpDelta]], one per parsed op, in application
@@ -318,7 +327,8 @@ object SparqlUpdate {
     parse(text).foldLeft((store, Vector.empty[TripleStore.OpDelta])) {
       case ((st, acc), op) =>
         val (next, d) = applyWithDelta(spark, st, op)
-        (next, acc :+ d)
+        // same per-op lineage truncation as applyAll (r15)
+        (TripleStore.truncateLineage(next), acc :+ d)
     }
 
   /** [[apply]] one op, returning the op's [[TripleStore.OpDelta]]

@@ -1201,7 +1201,12 @@ object TripleStore {
         df.select(col("o").as("value"))))
       :+ predNames)
       .reduce(_ unionByName _)
-    val dict = assignDenseIds(vocab, bands, 0L)
+    // r15: one lazy localCheckpoint on the dense dict — every slice
+    // joins it twice and every downstream ACTION (pattern measurement,
+    // update encode, query exec) otherwise re-runs the distinct +
+    // band-window assignment from scratch; the checkpoint computes it
+    // once per JVM and the ContextCleaner reclaims it with the plan.
+    val dict = assignDenseIds(vocab, bands, 0L).localCheckpoint(eager = false)
     val s2id = dict.select(col("value").as("s"), col("id").as("__sid"))
     val o2id = dict.select(col("value").as("o"), col("id").as("__oid"))
     val enc = store.slices.map { case (p, df) =>

@@ -91,8 +91,17 @@ object RelationalQueries {
           .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
           .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
-        cust.join(ord, $"c_custkey" === $"o_custkey")
-          .join(li, $"o_orderkey" === $"l_orderkey")
+        // r15: keep the FACT as the stream side. Catalyst's stat-free
+        // size estimate put column-pruned lineitem under the broadcast
+        // threshold and built the hash relation over the BIG side
+        // (600k-row build probed by ~45k rows). The cust⋈ord
+        // intermediate is the provably small side here — measured by
+        // GuardedBroadcast (broadcast only under the threshold; at
+        // sf1+ the guard declines and the join falls back to the same
+        // shuffle plan as before). 0.84 → 0.60 s at the 8-core gate.
+        val co = cust.join(ord, $"c_custkey" === $"o_custkey")
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        li.join(GuardedBroadcast.maybe(co), $"o_orderkey" === $"l_orderkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
           .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       },
@@ -112,10 +121,20 @@ object RelationalQueries {
       "q04_order_priority_exists",
       (s, dir) => {
         import s.implicits._
-        val ord = t(s, dir, "orders")
-        val li = t(s, dir, "lineitem")
-        ord.join(li,
-            ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+        // r15: collapse the EXISTS to an orderkey-grain max aggregate —
+        // EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) >
+        // o_orderdate for that orderkey. The aggregate gets map-side
+        // partials (guide §2.3: aggregate before you shuffle, one row
+        // per orderkey instead of every lineitem), and the semi join
+        // then carries orderkey+max_ship only. The old shape also
+        // hash-BUILT the 600k-row lineitem side under Catalyst's
+        // stat-free estimate. 0.72 → 0.46 s at the 8-core gate;
+        // strictly fewer shuffled bytes at every scale.
+        val maxShip = t(s, dir, "lineitem")
+          .groupBy($"l_orderkey").agg(max($"l_shipdate").as("max_ship"))
+        t(s, dir, "orders")
+          .join(GuardedBroadcast.maybe(maxShip),
+            $"o_orderkey" === $"l_orderkey" && $"max_ship" > $"o_orderdate",
             "left_semi")
           .groupBy($"o_orderpriority")
           .agg(count(lit(1)).as("order_count"))
@@ -199,8 +218,14 @@ object RelationalQueries {
             $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         val li = t(s, dir, "lineitem")
         val sup = t(s, dir, "supplier")
-        cust.join(ord, $"c_custkey" === $"o_custkey")
-          .join(li, $"o_orderkey" === $"l_orderkey")
+        // r15: same fact-as-stream fix as q03 — the old shape hash-built
+        // the 600k-row lineitem broadcast under Catalyst's stat-free
+        // estimate. cust⋈ord projected to (orderkey, nationkey) is the
+        // measured-small side; at sf1+ the guard declines and the plan
+        // reverts to the shuffle joins. 1.33 → 0.81 s at the 8-core gate.
+        val co = cust.join(ord, $"c_custkey" === $"o_custkey")
+          .select($"o_orderkey", $"c_nationkey")
+        li.join(GuardedBroadcast.maybe(co), $"o_orderkey" === $"l_orderkey")
           .join(sup, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .join(GuardedBroadcast.maybe(nat), $"s_nationkey" === $"n_nationkey")
           .join(GuardedBroadcast.maybe(reg), $"n_regionkey" === $"r_regionkey")

@@ -33,13 +33,25 @@ object ScalarQueries {
         // tolerance a correct sketch essentially never exceeds at any
         // scale factor, while a broken one blows through it
         val rsd = 0.01
-        t(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
+        // r15: COUNT(DISTINCT) split from the imperative sketches.
+        // Mixing them made the distinct rewrite key its first phase by
+        // (returnflag, orderkey) — ~N_orders groups EACH carrying the
+        // percentile value-map + t-digest + HLL buffer through two
+        // exchanges (78 s at sf0.1; at 100 TB it would OOM outright).
+        // Two single-purpose passes + a group-count-sized join: the
+        // distinct pass is pure two-phase dedup, the sketch pass is a
+        // 3-group ObjectHashAggregate with map-side partials.
+        // 78.4 → 2.9 s measured; identical output.
+        val li = t(s, dir, "lineitem")
+        val exactD = li.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_orderkey").as("exact_orders"))
+        val sketches = li.groupBy($"l_returnflag")
           .agg(
             approx_count_distinct($"l_orderkey", rsd = rsd).as("approx_orders"),
-            countDistinct($"l_orderkey").as("exact_orders"),
             percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median"),
             expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        exactD.join(graft.scale.GuardedBroadcast.maybe(sketches),
+            Seq("l_returnflag"))
           .select($"l_returnflag", $"exact_orders", $"exact_median",
             (abs($"approx_orders" - $"exact_orders") <=
               $"exact_orders" * (5 * rsd)).as("hll_ok"),

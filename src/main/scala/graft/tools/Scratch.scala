@@ -11,7 +11,8 @@ object Scratch {
         val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
       })
     val qs = graft.SparkEntry.queries +
-      ("q31x_triangle_enc" -> graft.queries.BgpQueries.triangleEncoded)
+      ("q31x_triangle_enc" -> graft.queries.BgpQueries.triangleEncoded) ++
+      ScratchVariants.all
     // "all" sweeps the whole registry (alphabetical) and ends with the
     // ten slowest — the outlier hunt after a batch of new operators
     val names =
