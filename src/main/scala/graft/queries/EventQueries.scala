@@ -1498,23 +1498,34 @@ object EventQueries {
             sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
         val mx = perUser.agg(max($"last_us").as("corpus_max_us"),
           count(lit(1)).as("total"))
-        val base = perUser
+        // r15: PIN the user-grain base. The earlier "unpinned is
+        // faster" measurement predates the banded ExactRank: each of
+        // the three rowNumber calls now runs an approx_percentile
+        // boundary head over this relation's FULL lineage (events
+        // scan + user aggregate) before the final plan replays it a
+        // fourth time — 4× the events scan per run, ~85 driver jobs.
+        // The pinned relation is user-grain (aggregate-output-sized),
+        // so the persist cost is one events pass; re-measured at
+        // sf0.1: 8.4 s → ~2 s, and the boundary heads become
+        // sub-100 ms scans of the cached rows.
+        val base = GuardedBroadcast.pin(perUser
           .crossJoin(GuardedBroadcast.maybe(mx))
           .withColumn("recency_days",
             expr("(corpus_max_us - last_us) div 86400000000"))
-          .withColumn("h", ExactRank.h32($"user_id", ":rfm"))
-        // deliberately UNPINNED: measured at sf0.1, caching the base or
-        // the ranked intermediates is 1.3-2.7x SLOWER than recomputing
-        // them — the user-grain chain is cheap to rebuild from the
-        // parquet scan, and columnar cache serialization plus lost
-        // codegen fusion across the cache boundary cost more than the
-        // recompute they save (single-pass doc-grain callers like
-        // q288/q309 DO win from pinning their input; see those)
+          .withColumn("h", ExactRank.h32($"user_id", ":rfm")))
+        // r15: UNCHAINED ranks. The old foldLeft fed rank k the output
+        // of rank k−1, so rank k's boundary head (and the final plan)
+        // replayed every earlier rank's window chain — the three ranks
+        // only ever read (value, h, user_id) from base, so compute each
+        // against the pinned base and join the user-grain outputs back
+        // on the unique user_id (row set unchanged by construction).
         val ranked = Seq(("r_rk", $"recency_days"), ("f_rk", -$"freq"),
           ("m_rk", -$"cents"))
-          .foldLeft(base) { case (d, (out, v)) =>
-            ExactRank.rowNumber(d, v, $"h", $"user_id", out)
+          .map { case (out, v) =>
+            ExactRank.rowNumber(base, v, $"h", $"user_id", out)
+              .select($"user_id", col(out))
           }
+          .foldLeft(base)((d, p) => d.join(p, "user_id"))
         ranked
           .withColumn("r", ExactRank.ntileFromRank($"r_rk", $"total", 5))
           .withColumn("f", ExactRank.ntileFromRank($"f_rk", $"total", 5))

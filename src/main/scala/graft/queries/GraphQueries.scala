@@ -267,14 +267,14 @@ object GraphQueries {
       "q234_kcore",
       (s, dir) => {
         import s.implicits._
-        val store = TripleStore.fromStarSchema(s, dir)
-        val e0 = entityPreds.flatMap(store.slices.get)
-          .map(_.select($"s", $"o"))
-          .reduce(_ unionByName _)
-          .distinct()
-        val und = e0.select($"s".as("src"), $"o".as("dst"))
-          .unionByName(e0.select($"o".as("src"), $"s".as("dst")))
-          .distinct()
+        // r15: same symmetrized-distinct edge set as [[undirectedDf]]
+        // (entityPreds ≡ the 7 relational edge selects), so start the
+        // peel from the memoized persisted relation the other
+        // iterative queries share instead of re-deriving the whole
+        // star-schema union per invocation (was ~12 scan jobs + two
+        // distinct shuffles before the first peel round).
+        val und = undirectedDf(s, dir)
+          .select($"v".as("src"), $"w".as("dst"))
         graft.graph.PathOps.kCore(und, 5)
           .select(substring_index($"v", ":", 1).as("etype"))
           .groupBy($"etype").agg(count(lit(1)).as("n_core"))

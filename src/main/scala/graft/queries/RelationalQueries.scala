@@ -446,15 +446,23 @@ object RelationalQueries {
       "q185_null_join_keys",
       (s, dir) => {
         import s.implicits._
+        // r15: the join key has 6 live values, so materializing the
+        // join output (~275M pairs at sf0.1, quadratic at scale) to
+        // count it is an exploding join (guide §3.3). The inner join's
+        // per-key pair count is exactly cnt_o(k)·cnt_c(k), and NULL
+        // keys drop on both sides: under groupBy they form a group
+        // that the inner join on k = ck then discards — identical
+        // null semantics, two map-side-partial aggregates instead of
+        // a quadratic join. 4.1 s → sub-second at sf0.1; at 100 TB
+        // the old shape is simply not runnable.
         val o = t(s, dir, "orders")
-          .select(nullif($"o_custkey" % 7, lit(0)).as("k"),
-            $"o_orderkey")
+          .select(nullif($"o_custkey" % 7, lit(0)).as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("n_o"))
         val c = t(s, dir, "customer")
-          .select(nullif($"c_custkey" % 7, lit(0)).as("ck"),
-            $"c_custkey")
+          .select(nullif($"c_custkey" % 7, lit(0)).as("ck"))
+          .groupBy($"ck").agg(count(lit(1)).as("n_c"))
         o.join(c, $"k" === $"ck")
-          .groupBy($"k")
-          .agg(count(lit(1)).as("n_pairs"))
+          .select($"k", ($"n_o" * $"n_c").as("n_pairs"))
       },
       Some("""WITH o AS (SELECT nullif(o_custkey % 7, 0) AS k, o_orderkey
              |          FROM orders),
