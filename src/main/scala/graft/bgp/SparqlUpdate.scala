@@ -732,7 +732,13 @@ object SparqlUpdate {
       case Some(g) => scopedStore(store, Seq(g)).copy(quads = store.quads)
       case None => store
     }
-    val bind = BgpPlanner.plan(whereStore, where)
+    // r15: the WHERE solution feeds the vocab growth (one aggregate),
+    // the delete templates, the insert templates, AND every rewritten
+    // slice — each a separate downstream action that would otherwise
+    // re-run the whole pattern-join plan. One op-sized localCheckpoint
+    // computes it once (lazy: a DELETE-only op with no dict probe
+    // materializes it on the first slice action, not eagerly).
+    val bind = BgpPlanner.plan(whereStore, where).localCheckpoint(eager = false)
     // a solution leaving any of a template triple's vars UNBOUND (an
     // OPTIONAL miss) instantiates nothing for that triple (§3.1.3) —
     // filtered per triple, so other templates still instantiate
@@ -762,20 +768,23 @@ object SparqlUpdate {
       else store.dict.map { d =>
         val vocab = insVarCols.map(v => bind.select(col(v).as("value")))
           .reduce(_ unionByName _).na.drop().distinct()
-        growDictDf(spark, store, d, vocab)
+        growDictDfCounted(spark, store, d, vocab)
       }
     val dict0 = grown0.map(_._1).orElse(store.dict)
     val grown1 =
       if (newVocab.isEmpty) None
       else dict0.map { d =>
         import spark.implicits._
-        growDictDf(spark, store, d, newVocab.distinct.toDF("value"))
+        growDictDfCounted(spark, store, d, newVocab.distinct.toDF("value"))
       }
     val dict = grown1.map(_._1).orElse(dict0)
     // this op's dict growth, for delta-grain persistence (empty deltas
-    // dropped — an op inserting only known terms appends no dict batch)
-    val dictNew = (grown0.map(_._2).toSeq ++ grown1.map(_._2).toSeq)
-      .reduceOption(_ unionByName _).filter(df => !df.isEmpty)
+    // dropped — an op inserting only known terms appends no dict
+    // batch). Emptiness comes from the growth audits' own counts (r15)
+    // instead of an extra isEmpty action over the delta plans.
+    val dictNew = (grown0.toSeq ++ grown1.toSeq)
+      .collect { case (_, delta, n) if n > 0 => delta }
+      .reduceOption(_ unionByName _)
     // templates instantiate LEXICALLY (bind's columns are decoded
     // values), then encode into store form in one step: the xxhash64
     // expression on hash-id stores, a value→id join on sequential
@@ -894,16 +903,26 @@ object SparqlUpdate {
     * probe, never a vocabulary-wide groupBy.
     */
   private def growDictDf(spark: SparkSession, store: TripleStore,
-      d: DataFrame, values: DataFrame): (DataFrame, DataFrame) = {
+      d: DataFrame, values: DataFrame): (DataFrame, DataFrame) =
+    growDictDfCounted(spark, store, d, values) match {
+      case (grown, delta, _) => (grown, delta)
+    }
+
+  /** [[growDictDf]] plus the delta row count (from the audit's own
+    * aggregate — callers use it instead of paying an `isEmpty` action
+    * on the delta plan).
+    */
+  private def growDictDfCounted(spark: SparkSession, store: TripleStore,
+      d: DataFrame, values: DataFrame): (DataFrame, DataFrame, Long) = {
     // sequential stores: dense-id continuation past max(id) via the
     // banded prefix sum — collision-free by construction, no audit;
     // standing terms keep their ids through the anti-join probe.
     // Returns (grown dict, just-the-new rows): the delta is what the
     // write-back appends as a dict batch (TripleStore.OpDelta.dictRows)
-    val delta =
-      if (store.sequential) TripleStore.sequentialDictDelta(d, values)
-      else TripleStore.hashDictDelta(d, values)
-    (d.unionByName(delta), delta)
+    val (delta, n) =
+      if (store.sequential) TripleStore.sequentialDictDeltaCounted(d, values)
+      else TripleStore.hashDictDeltaCounted(d, values)
+    (d.unionByName(delta), delta, n)
   }
 
   /** The dict rows a ground op's vocabulary adds to the standing dict
@@ -916,9 +935,9 @@ object SparqlUpdate {
     import spark.implicits._
     store.dict.map { d =>
       if (store.sequential)
-        TripleStore.sequentialDictDelta(d, vocab.distinct.toDF("value"))
-      else TripleStore.hashDictDelta(d, vocab.distinct.toDF("value"))
-    }.filter(df => !df.isEmpty)
+        TripleStore.sequentialDictDeltaCounted(d, vocab.distinct.toDF("value"))
+      else TripleStore.hashDictDeltaCounted(d, vocab.distinct.toDF("value"))
+    }.collect { case (delta, n) if n > 0 => delta }
   }
 
   // ——— parsing helpers ———

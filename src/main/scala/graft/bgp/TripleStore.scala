@@ -1021,33 +1021,65 @@ object TripleStore {
     * ([[graft.streaming.StreamOps.encodedIngestSink]]).
     */
   private[graft] def hashDictDelta(standing: DataFrame,
-      values: DataFrame): DataFrame = {
+      values: DataFrame): DataFrame = hashDictDeltaCounted(standing, values)._1
+
+  /** [[hashDictDelta]] plus the new-row count, for callers that would
+    * otherwise pay a separate `isEmpty`/`count` action on the delta.
+    *
+    * r15 action discipline: the old spelling ran THREE driver actions
+    * per call (intra-batch `take`, batch-vs-standing `take`, and the
+    * caller's `isEmpty`), each re-executing the batch⋈dict join and
+    * its broadcast builds — at update cadence (one call per op) that
+    * was the single largest driver-job source in the update family.
+    * Now the batch-sized join materializes ONCE (localCheckpoint — the
+    * batch is update-grain by contract) and both audits plus the
+    * new-row count come out of one 1-row aggregate over it; the
+    * returned delta re-reads the checkpointed rows instead of
+    * re-joining the dictionary.
+    */
+  private[graft] def hashDictDeltaCounted(standing: DataFrame,
+      values: DataFrame): (DataFrame, Long) = {
     val newTerms = values.distinct()
       .select(xxhash64(col("value")).as("id"), col("value"),
         RdfLex.datatype(col("value")).as("dt"),
         RdfLex.lang(col("value")).as("lang"))
-    // intra-batch: two distinct new values sharing an id
-    val dup = newTerms.groupBy(col("id"))
-      .agg(countDistinct(col("value")).as("_nv"),
-        min(col("value")).as("_a"), max(col("value")).as("_b"))
-      .filter(col("_nv") > 1).take(1)
-    if (dup.nonEmpty) throw new IllegalStateException(
-      s"dictionary id collision on insert (id=${dup.head.get(0)}: " +
-        s"'${dup.head.get(2)}' vs '${dup.head.get(3)}') — see " +
-        "TripleStore.encode scaladoc")
-    // batch-vs-standing: same id, different lexical value
     val joined = newTerms
       .join(standing.select(col("id"), col("value").as("_old")),
         Seq("id"), "left_outer")
-    val clash = joined.filter(col("_old").isNotNull &&
-      col("_old") =!= col("value")).take(1)
-    if (clash.nonEmpty) throw new IllegalStateException(
-      s"dictionary id collision on insert (id=${clash.head.get(0)}" +
-        s", '${clash.head.getString(1)}' vs standing " +
-        s"'${clash.head.getAs[String]("_old")}') — see " +
-        "TripleStore.encode scaladoc")
-    joined.filter(col("_old").isNull)
-      .select(col("id"), col("value"), col("dt"), col("lang"))
+      .localCheckpoint()
+    // one audit pass: per-id facts first (intra-batch value spread +
+    // the standing value, constant within an id), then a single row
+    val audit = joined
+      .groupBy(col("id"))
+      .agg(countDistinct(col("value")).as("_nv"),
+        min(col("value")).as("_a"), max(col("value")).as("_b"),
+        max(col("_old")).as("_old"))
+      .agg(
+        max(when(col("_nv") > 1,
+          struct(col("id"), col("_a"), col("_b")))).as("dup"),
+        max(when(col("_old").isNotNull && col("_old") =!= col("_a"),
+          struct(col("id"), col("_a"), col("_old")))).as("clash"),
+        sum(when(col("_old").isNull, 1L).otherwise(0L)).as("n_new"))
+      .head()
+    // intra-batch: two distinct new values sharing an id
+    if (!audit.isNullAt(0)) {
+      val d = audit.getStruct(0)
+      throw new IllegalStateException(
+        s"dictionary id collision on insert (id=${d.get(0)}: " +
+          s"'${d.get(1)}' vs '${d.get(2)}') — see " +
+          "TripleStore.encode scaladoc")
+    }
+    // batch-vs-standing: same id, different lexical value
+    if (!audit.isNullAt(1)) {
+      val c = audit.getStruct(1)
+      throw new IllegalStateException(
+        s"dictionary id collision on insert (id=${c.get(0)}" +
+          s", '${c.get(1)}' vs standing '${c.get(2)}') — see " +
+          "TripleStore.encode scaladoc")
+    }
+    (joined.filter(col("_old").isNull)
+      .select(col("id"), col("value"), col("dt"), col("lang")),
+      if (audit.isNullAt(2)) 0L else audit.getLong(2))
   }
 
   /** Load a store from the streaming encoded-ingest layout
@@ -1182,14 +1214,27 @@ object TripleStore {
     * values) pair, so delta capture and the apply itself agree on ids.
     */
   private[bgp] def sequentialDictDelta(dict: DataFrame, values: DataFrame,
-      bands: Int = 256): DataFrame = {
+      bands: Int = 256): DataFrame =
+    sequentialDictDeltaCounted(dict, values, bands)._1
+
+  /** [[sequentialDictDelta]] plus the new-row count — same action
+    * discipline as [[hashDictDeltaCounted]]: the batch-sized anti-join
+    * probe materializes once (localCheckpoint) so the count, the band
+    * histogram inside [[assignDenseIds]], and every downstream use of
+    * the delta read the checkpointed rows instead of re-probing the
+    * standing dictionary per action.
+    */
+  private[bgp] def sequentialDictDeltaCounted(dict: DataFrame,
+      values: DataFrame, bands: Int = 256): (DataFrame, Long) = {
     val fresh = values.select(col("value")).na.drop().distinct()
       .join(dict.select(col("value")), Seq("value"), "left_anti")
+      .localCheckpoint()
+    val nNew = fresh.count()
     val maxId = dict.agg(max(col("id"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    assignDenseIds(fresh, bands, maxId)
+    (assignDenseIds(fresh, bands, maxId), nNew)
   }
 
   def encodeSequential(store: TripleStore, bands: Int = 256): TripleStore = {
