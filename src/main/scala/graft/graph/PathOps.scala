@@ -14,8 +14,29 @@ import org.apache.spark.sql.functions._
   * whole closure keeps per-iteration work proportional to new facts —
   * on a cluster each iteration is one shuffle of the delta, and the
   * closure accumulates in cached partitions.
+  *
+  * Action discipline (r16, guide §1.2): every round used to pay TWO
+  * driver actions — an EAGER localCheckpoint (one job materializing
+  * the round's blocks) and then the fixpoint-test count/aggregate (a
+  * second job over the just-cached blocks, re-executing every
+  * broadcast exchange in the plan a second time). The checkpoint is
+  * now LAZY and the fixpoint aggregate is the action that
+  * materializes it: one job per round does both, and the lineage
+  * truncation (the reason the checkpoint exists — without it each
+  * round's plan embeds all previous rounds' and optimizer time grows
+  * exponentially) is unchanged, because truncation is a plan-shape
+  * property of the returned Dataset, not of when its RDD materializes.
   */
 object PathOps {
+
+  /** Lazily checkpoint `df` and return it with its exact row count,
+    * computed by the SAME job that materializes the checkpointed
+    * blocks (the count scans every partition, so every block caches).
+    */
+  private def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val cp = df.localCheckpoint(eager = false)
+    (cp, cp.count())
+  }
 
   /** All (src, dst) pairs connected by ≥1 hop. `edges` must have
     * columns (src, dst). maxIter bounds runaway growth; the loop exits
@@ -25,27 +46,22 @@ object PathOps {
     * length 2^k after k rounds, so a diameter-d graph needs ⌈log₂ d⌉
     * rounds versus d for one-hop semi-naive extension — on Spark,
     * where each round is a scheduled job, round count dominates
-    * wall-clock. localCheckpoint (eager) after every round: without it
-    * each round's plan embeds all previous rounds' plans and optimizer
-    * time grows exponentially with depth — the classic iterative-Spark
-    * lineage blowup.
+    * wall-clock.
     */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var closure = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(eager = true)
-    var size = closure.count()
+    var (closure, size) =
+      checkpointWithCount(edges.select(col("src"), col("dst")).distinct())
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       // toDF renames mint fresh attribute ids on both sides, keeping
       // the (checkpointed) self-join unambiguous
-      val doubled = closure.toDF("a", "mid")
-        .join(closure.toDF("mid", "c"), "mid")
-        .select(col("a").as("src"), col("c").as("dst"))
-        .unionByName(closure)
-        .distinct()
-        .localCheckpoint(eager = true)
-      val newSize = doubled.count()
+      val (doubled, newSize) = checkpointWithCount(
+        closure.toDF("a", "mid")
+          .join(closure.toDF("mid", "c"), "mid")
+          .select(col("a").as("src"), col("c").as("dst"))
+          .unionByName(closure)
+          .distinct())
       if (newSize == size) done = true
       else { closure = doubled; size = newSize; iter += 1 }
     }
@@ -59,28 +75,29 @@ object PathOps {
     * hops is exact. Same ⌈log₂ d⌉ round count and localCheckpoint
     * lineage hygiene as [[transitiveClosure]]; the fixpoint test
     * compares (pair count, total distance) so a round that only
-    * SHORTENS known pairs still registers as change.
+    * SHORTENS known pairs still registers as change. The snapshot
+    * aggregate is the checkpoint-materializing action (one job per
+    * round — see the object scaladoc).
     */
   def shortestHops(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    def snap(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
+    def snapCp(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val cp = df.localCheckpoint(eager = false)
+      val r = cp.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head
+      (cp, (r.getLong(0), r.getLong(1)))
     }
-    var dist = edges.select(col("src"), col("dst")).distinct()
-      .withColumn("d", lit(1L))
-      .localCheckpoint(eager = true)
-    var state = snap(dist)
+    var (dist, state) = snapCp(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("d", lit(1L)))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val doubled = dist.toDF("a", "mid", "d1")
-        .join(dist.toDF("mid", "c", "d2"), "mid")
-        .select(col("a").as("src"), col("c").as("dst"),
-          (col("d1") + col("d2")).as("d"))
-        .unionByName(dist)
-        .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
-        .localCheckpoint(eager = true)
-      val ns = snap(doubled)
+      val (doubled, ns) = snapCp(
+        dist.toDF("a", "mid", "d1")
+          .join(dist.toDF("mid", "c", "d2"), "mid")
+          .select(col("a").as("src"), col("c").as("dst"),
+            (col("d1") + col("d2")).as("d"))
+          .unionByName(dist)
+          .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d")))
       if (ns == state) done = true
       else { dist = doubled; state = ns; iter += 1 }
     }
@@ -95,30 +112,66 @@ object PathOps {
     * The k-core is order-independent (the fixpoint is unique no matter
     * which low-degree vertex peels first), which is what makes a
     * distributed bulk peel correct: each round drops EVERY vertex
-    * currently under degree k at once — one aggregation + two
-    * semi-joins, all keyed on the vertex — and converges in at most
-    * the peel depth of the graph (rounds are a data property, ≤4 on
-    * the test corpus; degeneracy-bounded, not size-bounded, at 100×).
-    * Same localCheckpoint lineage hygiene as [[transitiveClosure]].
+    * currently under degree k at once, and converges in at most the
+    * peel depth of the graph (rounds are a data property, ≤4 on the
+    * test corpus; degeneracy-bounded, not size-bounded, at 100×).
+    *
+    * r16 semi-naive residual-degree peel (guide §2.3 — shuffle fewer
+    * bytes): the bulk peel recomputed every vertex's degree from the
+    * full edge set each round and REWROTE the edge set (two
+    * edge-grain semi-joins + an edge-grain checkpoint per round,
+    * O(E) shuffled and materialized per round). The peel only ever
+    * needs degrees, and a removed vertex changes only its neighbors'
+    * degrees — so the loop now maintains a VERTEX-grain degree
+    * relation and subtracts, per round, the edges lost to that
+    * round's removed set: one broadcast-ready join of the static
+    * (checkpointed-once) edge set against the removed vertices plus
+    * one vertex-grain aggregate and join. Per-round shuffled bytes
+    * drop from edge-grain to vertex-grain, and the edge relation is
+    * never rewritten. The removed set is guarded-broadcast
+    * (GuardedBroadcast.maybe): batch-sized in typical rounds, and the
+    * guard degrades to a shuffle join when a pathological round
+    * removes a data-sized set — never an OOM. Fixpoint, round count
+    * and the returned vertex set are identical to the bulk peel (the
+    * same vertices fall below k in the same rounds; both implement
+    * the unique k-core fixpoint).
     */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
-    var ed = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(eager = true)
-    var m = ed.count()
-    var done = false
-    var iter = 0
-    while (!done && iter < maxIter) {
-      val alive = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src"))
-      val pruned = ed
-        .join(alive, Seq("src"), "left_semi")
-        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(eager = true)
-      val m2 = pruned.count()
-      if (m2 == m) done = true
-      else { ed = pruned; m = m2; iter += 1 }
+    val ed = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    // vertex-grain state: current residual degree per still-alive
+    // vertex (vertices with no edges have no row — they are never in
+    // any k≥1 core, and for k=0 the k-core of a vertex with edges is
+    // what the bulk peel returned too: distinct srcs of the edge set).
+    var (deg, pending) = {
+      val cp = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(eager = false)
+      (cp, cp.filter(col("d") < k).count())
     }
-    ed.select(col("src").as("v")).distinct()
+    var iter = 0
+    while (pending > 0 && iter < maxIter) {
+      val removed = deg.filter(col("d") < k).select(col("src"))
+      // edges lost by surviving vertices: every edge whose dst was
+      // just removed decrements its (still-alive) src by one. Each
+      // edge's dst is removed in at most one round, so no edge is
+      // ever double-counted; edges whose src died earlier drop out
+      // because the join below is against the alive degree relation.
+      val lost = ed
+        .join(graft.scale.GuardedBroadcast.maybe(
+          removed.withColumnRenamed("src", "dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("_lost"))
+      val next = deg.filter(col("d") >= k)
+        .join(lost, Seq("src"), "left_outer")
+        .select(col("src"),
+          (col("d") - coalesce(col("_lost"), lit(0L))).as("d"))
+        .localCheckpoint(eager = false)
+      // one job per round: the fixpoint probe (how many alive
+      // vertices fell below k) is the action that materializes the
+      // round's vertex-grain checkpoint.
+      pending = next.filter(col("d") < k).count()
+      deg = next
+      iter += 1
+    }
+    deg.select(col("src").as("v"))
   }
 }
